@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the harness parquet tables (`/root/repo/TESTDATA.md`).
+  *
+  * Each loader is a bare `spark.read.parquet` scan so Catalyst can push
+  * filters into the parquet reader and prune columns (`PushedFilters` /
+  * `ReadSchema` in `.explain`). Nothing is cached or collected here: at
+  * 100 TB the scan must stream through executors, and any eager
+  * materialization at this layer would defeat partition pruning.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Timestamp columns the driver's generator wrote as parquet
+    * TIMESTAMP(NANOS) — a physical type Spark's vectorized reader rejects
+    * (`PARQUET_TYPE_ILLEGAL`). We read them as raw nanos (`nanosAsLong`)
+    * and rebuild TimestampType via integer division; the generator emits
+    * microsecond precision (sub-µs residue is 0 across all SFs), so the
+    * conversion is exact. */
+  private val nanosTimestampCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session conf, not a per-read option — lets the scan map parquet
+    // TIMESTAMP(NANOS) to LongType instead of failing.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    nanosTimestampCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // `ts DIV 1000` — integer division; a double division would
+          // lose precision above 2^53 ns (~1971) and corrupt timestamps.
+          // timestamp_ntz matches the naive TIMESTAMP the other tables
+          // carry and DuckDB's reading of the same files (session TZ is
+          // UTC, so the epoch→wall-clock cast is the identity).
+          df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr(s"`$c` DIV 1000")).cast("timestamp_ntz"))
+        case _ => df
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion surface re-expressing the reference's staging layer
+  * (`/root/reference/dags/operators/rest_api_json_to_gcs_operator.py`).
+  *
+  * The reference stages API payloads in two JSON layouts — a single JSON
+  * array (`rest_api_json_to_gcs_operator.py:64`) and NDJSON (`:61-62`).
+  * NDJSON is Spark's native JSON layout and splits across executors;
+  * array-JSON requires `multiLine=true`, which makes each file a single
+  * task — fine for small staged blobs, wrong for 100 TB. Prefer NDJSON at
+  * scale (the reference's parallel NDJSON branch already hints at this).
+  */
+object Ingest {
+
+  /** NDJSON (one JSON object per line) — splittable, the scale path. */
+  def readNdjson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Single-JSON-array layout (`[{...},{...}]`) — one task per file. */
+  def readJsonArray(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("multiLine", value = true)
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** Parse an already-fetched JSON payload string (the engine-side analog
+    * of the reference's driver-side `json.loads(response.text)`,
+    * `rest_api_json_to_gcs_operator.py:60`). The REST fetch itself is
+    * driver-side I/O, not a distributed operator; once the payload string
+    * exists, distribution starts here. */
+  def readJsonString(spark: SparkSession, payload: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("multiLine", value = true).json(Seq(payload).toDS())
+  }
+
+  /** Driver-side HTTP GET with bounded retry — the analog of the
+    * reference's `HttpSensor` + fetch (`dags/users_etl.py:184-196`).
+    * Plain JDK HTTP; no Spark involvement by design. */
+  def fetchJson(url: String, retries: Int = 1, retryDelayMs: Long = 1000): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    var attempt = 0
+    var result: Option[String] = None
+    var lastErr: Throwable = null
+    while (result.isEmpty && attempt <= retries) {
+      try {
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200) result = Some(resp.body())
+        else lastErr = new RuntimeException(s"HTTP ${resp.statusCode()} from $url")
+      } catch { case e: Throwable => lastErr = e }
+      attempt += 1
+      if (result.isEmpty && attempt <= retries) Thread.sleep(retryDelayMs)
+    }
+    result.getOrElse(throw lastErr)
+  }
+
+  /** NDJSON writer (A3): `df.write.json` is already NDJSON. */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Full-refresh parquet load — the engine's idempotent analog of the
+    * reference's DELETE-then-INSERT (`dags/users_etl.py:206-214,142-155`):
+    * an atomic overwrite via the output committer replaces truncate+insert. */
+  def writeParquetOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}
