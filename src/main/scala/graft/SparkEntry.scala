@@ -16,9 +16,16 @@ object SparkEntry {
     _root_.graft.queries.RefQueries.specs ++
       _root_.graft.queries.CoreQueries.specs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Looked up by name so reordering/prepending specs can't silently swap
+    * the smoke query for one that may legitimately return 0 rows.
+    *
+    * Note: query functions set `spark.sql.legacy.parquet.nanosAsLong` on
+    * the passed session (via [[Tables.load]]) — required to read the
+    * harness's TIMESTAMP(NANOS) parquet on any session, including ones
+    * the driver constructs itself. */
   def entry(spark: SparkSession): DataFrame =
-    allSpecs.head.fn(spark, "/root/testdata/sf0.001")
+    queries("ref_a_top_commenter")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -46,6 +46,21 @@ object Tables {
     }
   }
 
+  /** Guarantee at least the session's shuffle parallelism before
+    * CPU-heavy per-row work (regex tokenization, JSON parsing, shingling,
+    * vector math). The harness parquet is one row group per file, so a
+    * bare scan yields ONE input partition and serializes the compute onto
+    * a single core no matter how many executors exist.
+    *
+    * Guarded: a no-op when the scan already yields enough partitions — at
+    * 100 TB inputs arrive as many splittable files, the guard holds, and
+    * no extra shuffle is paid. The shuffle this inserts on small inputs
+    * moves only the projected columns (callers should select first). */
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

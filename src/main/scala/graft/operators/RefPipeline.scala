@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object RefPipeline {
 
-  private val keySep = ""
+  // Separator / NULL sentinel outside the data's alphabet, so field
+  // boundaries and NULLs are unambiguous: ("ab","c") vs ("a","bc") and
+  // NULL vs "" produce different keys.
+  private val nullSentinel = "\u0000"
+  private val keySep = "\u0001"
 
   /** Deterministic surrogate key over natural columns. */
   private def surrogateKey(cols: String*) =
-    sha2(concat_ws(keySep, cols.map(c => coalesce(col(c), lit(""))): _*), 256)
+    sha2(concat_ws(keySep, cols.map(c => coalesce(col(c), lit(nullSentinel))): _*), 256)
 
   /** Raw nested user records → normalized (users, addresses, companies).
     * Mirrors `users_etl.py:88-118`: pop address/company, flatten

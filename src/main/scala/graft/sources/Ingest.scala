@@ -41,17 +41,18 @@ object Ingest {
     * reference's `HttpSensor` + fetch (`dags/users_etl.py:184-196`).
     * Plain JDK HTTP; no Spark involvement by design. */
   def fetchJson(url: String, retries: Int = 1, retryDelayMs: Long = 1000): String = {
+    require(retries >= 0, s"retries must be >= 0, got $retries")
     val client = java.net.http.HttpClient.newHttpClient()
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
     var attempt = 0
     var result: Option[String] = None
-    var lastErr: Throwable = null
+    var lastErr: Throwable = new RuntimeException(s"fetchJson($url): no attempt made")
     while (result.isEmpty && attempt <= retries) {
       try {
         val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() == 200) result = Some(resp.body())
         else lastErr = new RuntimeException(s"HTTP ${resp.statusCode()} from $url")
-      } catch { case e: Throwable => lastErr = e }
+      } catch { case scala.util.control.NonFatal(e) => lastErr = e }
       attempt += 1
       if (result.isEmpty && attempt <= retries) Thread.sleep(retryDelayMs)
     }

@@ -10,6 +10,7 @@ cell-exact values on rows sorted by all columns. Reports per-query PASS /
 FAIL with a diff sample, so oracle-SQL mismatches are caught before the
 driver runs.
 """
+import decimal
 import json
 import math
 import os
@@ -22,16 +23,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # Normalize numeric types so the same column materialized as
+    # Decimal/float/int on the two sides builds identical sort keys
+    # (else rows misalign and equal values compare as diffs).
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 vs 0.0
+        if v == int(v) and abs(v) < 2**53:
+            return int(v)  # collapse 3.0 vs 3 (and -0.0 vs 0.0)
         return v + 0.0
     return v
 
 
 def sortkey(row):
-    return tuple((x is None, str(type(x)), str(x)) for x in row)
+    # bool is an int subclass in Python; rank it as its own kind so
+    # True doesn't interleave with 1.
+    def kind(x):
+        if isinstance(x, bool):
+            return "bool"
+        if isinstance(x, (int, float)):
+            return "num"
+        return str(type(x))
+
+    def val(x):
+        if not isinstance(x, bool) and isinstance(x, (int, float)):
+            return float(x)
+        return str(x)
+
+    return tuple((x is None, kind(x), val(x), str(x)) for x in row)
 
 
 def main(sf_dir, out_dir):
