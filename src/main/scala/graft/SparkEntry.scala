@@ -14,7 +14,9 @@ object SparkEntry {
 
   def allSpecs: Seq[QuerySpec] =
     _root_.graft.queries.RefQueries.specs ++
-      _root_.graft.queries.CoreQueries.specs
+      _root_.graft.queries.CoreQueries.specs ++
+      _root_.graft.queries.ExtQueries.specs ++
+      _root_.graft.queries.PipelineQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Looked up by name so reordering/prepending specs can't silently swap

@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, and SimHash near-dup.
+  *
+  * Absent from the reference (its only integrity ops are PK/FK constraints,
+  * `/root/reference/sql/blog_post_definitions.sql:15-81`); built per the
+  * north star as first-class engine operators.
+  *
+  * Scale design, common to all of them:
+  *  - signatures (minhash / simhash / fingerprints) are pure `Column`
+  *    expressions over built-ins (`transform`/`aggregate`/`xxhash64`) —
+  *    codegen'd map-side work, no UDFs, no driver participation;
+  *  - candidate generation shuffles only `(id, bucket)` pairs, never raw
+  *    text: at 100 TB the text stays columnar in the scan and the shuffle
+  *    payload is two longs per row per band;
+  *  - all-pairs verification happens only within LSH/SimHash buckets, so
+  *    the quadratic step is bounded by bucket size (capped — see
+  *    `maxBucketSize` — the classic guard against a boilerplate cluster
+  *    exploding one reducer);
+  *  - every step is deterministic (seeded xxhash64), so results are
+  *    reproducible under retries and comparable across runs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by full equality of `cols`: one row per
+    * distinct value combination with its multiplicity and a canonical
+    * (minimum) id to keep. Plain hash-aggregate: one shuffle on the
+    * grouping key, partial aggregation map-side. */
+  def exactDupGroups(df: DataFrame, idCol: String, cols: Column*): DataFrame =
+    df.groupBy(cols: _*)
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
+
+  /** Drop exact duplicates, keeping an arbitrary row per key — thin alias
+    * over the built-in so the engine surface names it. */
+  def dropExact(df: DataFrame, cols: String*): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Character k-shingles (distinct) of a text column — the unit set for
+    * Jaccard/MinHash. `sequence` + `transform`: no explode, the array
+    * stays inside the row.
+    *
+    * IMPORTANT evaluation contract: pass an *attribute* (a column staged
+    * by a previous `select`), not a composite expression. Higher-order
+    * function lambdas inline their argument expression per element — a
+    * regex-normalizing expression passed here would re-run once per
+    * shingle instead of once per row (a ~300× CPU blowup measured at
+    * sf0.01). Same rule for every signature function below. */
+  def shingles(normText: Column, k: Int = 5): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(normText) - (k - 1), lit(1))),
+        i => normText.substr(i, lit(k))))
+
+  /** Exact Jaccard similarity of two set-valued (pre-distinct) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the shingle
+    * set, h_i = min over shingles of xxhash64(shingle, i). Array-valued
+    * column, length `numHashes`; O(numHashes × shingles) map-side. */
+  def minHashSignature(shingleSet: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleSet, sh => xxhash64(sh, i))))
+
+  /** LSH band buckets: split the signature into `bands` bands of
+    * `signatureLen/bands` rows each and hash each band. Two documents
+    * land in the same (band, bucket) iff their band slices are identical —
+    * P[collision] = 1-(1-j^r)^b for Jaccard j.
+    *
+    * `sig` must be a staged attribute (see `shingles` contract): the
+    * lambda evaluates it once per band. */
+  def lshBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))
+
+  /** Fused minhash+banding: band bucket b = hash of the `rowsPerBand`
+    * min-hashes belonging to band b, computed directly from the shingle
+    * set. Each of the `bands × rowsPerBand` min-hashes is evaluated
+    * exactly once — materializing the signature and then slicing it per
+    * band would re-evaluate it once per band (Catalyst inlines
+    * single-use aliases into lambda bodies, where evaluation is
+    * per-element). */
+  def lshBucketsFromShingles(shingleSet: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(
+        transform(sequence(b * lit(rowsPerBand), (b + lit(1)) * lit(rowsPerBand) - 1),
+          i => array_min(transform(shingleSet, sh => xxhash64(sh, i)))),
+        b))
+
+  /** Candidate pairs (id1 < id2) from LSH buckets.
+    *
+    * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs that
+    * all collide): a bucket of n rows yields n² join rows, so one hot
+    * bucket can dominate the whole job at scale; dropping buckets larger
+    * than the cap bounds the blowup while keeping genuine near-dup
+    * clusters (which are small). AQE skew-join handles the rest.
+    */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, bucketsCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    // posexplode_outer, NOT posexplode: the inner variant makes Catalyst
+    // infer a `size(buckets) > 0` filter (InferFiltersFromGenerate) that
+    // gets pushed below the staging projections — re-inlining the whole
+    // signature expression into a pre-shuffle, single-partition filter (a
+    // measured ~100× CPU blowup). The buckets array has constant length,
+    // so outer semantics are identical here.
+    val exploded = df.select(col(idCol).as("__id"),
+        posexplode_outer(col(bucketsCol)).as(Seq("__band", "__bucket")))
+    val sized = exploded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__band", "__bucket")))
+      .where(col("__n") <= maxBucketSize)
+      .drop("__n")
+    val l = sized.select(col("__band"), col("__bucket"), col("__id").as("id1"))
+    val r = sized.select(col("__band"), col("__bucket"), col("__id").as("id2"))
+    l.join(r, Seq("__band", "__bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline over (`idCol`, `textCol`):
+    * shingle → signature → bands → candidate pairs → exact-Jaccard verify
+    * on the shingle sets → pairs with jaccard ≥ `threshold`.
+    *
+    * Shuffle inventory (the 100 TB budget): one narrow projection
+    * (id, shingles, buckets); one shuffle of (id, band, bucket); one
+    * shuffle joining candidates back to shingle sets; no shuffle ever
+    * carries raw text. */
+  def minhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 64, bands: Int = 8,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // Stage each computed value as a real column (select boundaries), so
+    // it evaluates once per row — see the evaluation contract on
+    // `shingles`. fanOut spreads the CPU-heavy signature stage across
+    // cores even when the scan yields a single partition.
+    val base = graft.Tables.fanOut(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.normalizeText(col(textCol)).as("__norm")))
+      .select(col("__id"), shingles(col("__norm"), shingleK).as("__sh"))
+    val sigs = base.select(col("__id"),
+      col("__sh"),
+      lshBucketsFromShingles(col("__sh"), bands, rowsPerBand).as("__buckets"))
+    val cands = lshCandidatePairs(
+      sigs.select(col("__id"), col("__buckets")), "__id", "__buckets", maxBucketSize)
+    val sets = sigs.select(col("__id"), col("__sh"))
+    cands
+      .join(sets.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("__sh1"), col("__sh2")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens: bit b is set iff the sum over tokens
+    * of ±1 (sign of bit b of xxhash64(token)) is positive. Near-identical
+    * texts differ in few bits. Pure nested higher-order functions —
+    * O(64 × tokens) map-side.
+    *
+    * `toks` must be a staged attribute (see `shingles` contract): the bit
+    * loop evaluates it 64 times per row. */
+  def simhash(toks: Column): Column = {
+    val core = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
+      val bitSum = aggregate(toks, lit(0L),
+        (s, t) => s + when(call_function("shiftright", xxhash64(t), b)
+          .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      acc.bitwiseOR(when(bitSum > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    })
+    // Second textual reference to `toks` stops CollapseProject from
+    // inlining a single-use token-array alias into the per-bit lambda
+    // (which would re-tokenize 64× per row).
+    when(size(toks) === 0, lit(0L)).otherwise(core)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
+    * the 4×16-bit chunk trick: any pair within Hamming distance 3 shares
+    * at least one exact 16-bit chunk (pigeonhole), so candidates are an
+    * equi-join on (chunk index, chunk value) — no quadratic scan. */
+  def simhashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val sigs = graft.Tables.fanOut(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.tokens(col(textCol)).as("__toks")))
+      .select(col("__id"), simhash(col("__toks")).as("__sig"))
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("__sig"), c * lit(16))
+          .bitwiseAND(lit(0xFFFFL))).as("__chunks"))
+    // posexplode_outer: see lshCandidatePairs — avoids the inferred
+    // size()>0 filter that would re-inline the simhash computation.
+    val exploded = chunked.select(col("__id"), col("__sig"),
+      posexplode_outer(col("__chunks")).as(Seq("__c", "__v")))
+    val sized = exploded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__c", "__v")))
+      .where(col("__n") <= maxBucketSize)
+    val l = sized.select(col("__c"), col("__v"), col("__id").as("id1"), col("__sig").as("__sig1"))
+    val r = sized.select(col("__c"), col("__v"), col("__id").as("id2"), col("__sig").as("__sig2"))
+    l.join(r, Seq("__c", "__v"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__sig1").bitwiseXOR(col("__sig2"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  /** Exact all-pairs word-token Jaccard over a *bounded* subset — the
+    * brute-force baseline the LSH paths approximate. Quadratic by
+    * construction; callers bound the input (the spec uses doc_id < N).
+    * The arrays are built once per side and the pair join is a broadcast
+    * of the smaller side. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("__toks"))
+    val l = sets.select(col("__id").as("id1"), col("__toks").as("__t1"))
+    val r = sets.select(col("__id").as("id2"), col("__toks").as("__t2"))
+    l.join(broadcast(r), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("__t1"), col("__t2")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: opaque `binary` payload
+  * + typed metadata struct, with decode / feature-extract / frame-sample
+  * stages. North-star extension; no counterpart in the reference.
+  *
+  * The *plumbing* is real and tested — schema, partitioning, batch shape,
+  * feature vector contract. The decode kernel itself is a clearly marked
+  * STUB (this container ships no image/audio codecs): it derives
+  * deterministic pseudo-features from the raw bytes, so the pipeline is
+  * end-to-end verifiable and a real decoder (JNI/javacv or a Python
+  * `mapInPandas` worker in a PySpark deployment) can replace one function
+  * without touching the plan shape.
+  *
+  * Scale notes:
+  *  - media rows are wide (MBs of bytes): stages `repartition` by id
+  *    before CPU-heavy decode so work spreads across executors even when
+  *    the scan yields few splits, and feature outputs drop the payload
+  *    column immediately — never shuffle bytes you no longer need;
+  *  - decode runs via `mapPartitions` (one iterator per partition — the
+  *    JVM-side analog of `mapInPandas` batches) so per-partition codec
+  *    state (decoder handles, buffers) is initialized once, not per row.
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** Attach a synthetic media payload to the documents table: the UTF-8
+    * bytes of `text` standing in for an encoded image, plus typed
+    * metadata. In production this column arrives from the lakehouse as
+    * real image/audio bytes with the same schema. */
+  def attachFakeMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        lit("raw").as("format"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height")).as("meta"))
+
+  /** "Frame sampling": every `stride`-th byte of the payload (for video,
+    * this is every n-th frame; the slicing pattern is identical). Pure
+    * columnar — no decode needed to subset the payload. */
+  def frameSample(media: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
+    filter(transform(sequence(lit(1), octet_length(media)),
+        i => when(pmod(i - 1, lit(stride)) === 0, substr(media, i, lit(1)))),
+      b => b.isNotNull)
+
+  /** Decoded feature record: fixed-width vector + payload stats. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])
+
+  /** STUB decode + feature extraction.
+    *
+    * A real implementation would decode `media` (JPEG/PNG/WAV/...) and run
+    * a feature extractor here; this container has no codecs, so the stub
+    * emits a deterministic 8-dim byte-histogram projection — same output
+    * contract (fixed-width float vector), same batch shape (iterator per
+    * partition), fully testable.
+    */
+  def decodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .repartition(parts, col("doc_id")) // spread decode CPU across executors
+      .mapPartitions { rows =>
+        // === STUB: replace this block with a real codec. Per-partition
+        // init happens here (decoder handles, model weights, buffers). ===
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val hist = new Array[Long](featureDim)
+          var checksum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xFF
+            hist(b % featureDim) += 1
+            checksum = (checksum * 31 + b) & 0x7FFFFFFFFFFFFFFFL
+            i += 1
+          }
+          val n = math.max(bytes.length, 1).toFloat
+          MediaFeatures(id, bytes.length.toLong, checksum,
+            hist.map(h => h / n))
+        }
+      }
+  }
+
+  /** Feature table for downstream similarity search: doc_id + vector,
+    * payload dropped (never carry bytes past the decode stage). */
+  def mediaFeatureTable(documents: DataFrame): DataFrame =
+    decodeFeatures(attachFakeMedia(documents)).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("checksum"), col("features"))
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable relational operators the reference's SQL surface implies but
@@ -46,4 +47,49 @@ object Relational {
     df.groupBy(pk.map(col): _*)
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
+
+  /** As-of join: attach to every left row the payload of the latest right
+    * row with `rightTime <= leftTime` for the same key (NULLs when no such
+    * row). Spark has no built-in; the classic theta-join formulation
+    * (`l.key = r.key AND r.time <= l.time` + argmax) degenerates to a
+    * per-key cross product, so this implements the scalable
+    * union-and-carry-forward shape instead:
+    *
+    *   tag sides → union → one shuffle on key → in-partition sort by
+    *   (time, tag) → `last(payload, ignoreNulls)` running window →
+    *   keep left rows.
+    *
+    * One shuffle + one sort total, independent of match multiplicity —
+    * the same plan a dedicated as-of operator would produce. Equal
+    * timestamps match inclusively (right sorts before left at the same
+    * instant).
+    *
+    * Contract: `right` must be unique per (key, time) — pre-aggregate it
+    * otherwise (multiple right rows at the same instant would make
+    * "latest" ambiguous; DuckDB's ASOF JOIN has the same requirement).
+    * Left/right non-key column names must not collide.
+    */
+  def asofJoin(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+
+    val lPart = left.select(
+      Seq(col(leftKey).cast("long").as("__k"), col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      Seq(col(rightKey).cast("long").as("__k"), col(rightTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionByName(rPart)
+      .select(Seq(col("__tag")) ++ leftCols.map(col) ++
+        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__tag") === 1)
+      .drop("__tag")
+  }
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): exact
+  * cosine top-k as the baseline, plus two sublinear scale paths — a
+  * sign-random-projection LSH and a label/centroid IVF probe.
+  *
+  * No counterpart in the reference (north-star extension). All vector math
+  * is built-in higher-order functions (`zip_with`/`aggregate`/`transform`)
+  * over the native array column — codegen'd, no UDF boxing, vectors never
+  * leave the executor row format.
+  *
+  * Scale shapes:
+  *  - brute force = one map-side cosine per row + `TakeOrderedAndProject`
+  *    top-k (per-partition heap, k-row driver merge; no full sort);
+  *  - LSH = candidates meet on an equi-join of (bucket) — shuffles two
+  *    longs per row, not the vectors;
+  *  - IVF = a tiny centroid table (n_labels × dim) broadcast both ways;
+  *    the fact table is scanned once with a partition-prunable
+  *    `label IN (probes)` filter.
+  */
+object Similarity {
+
+  /** Element-wise double cast (float storage → double math, exact). */
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity in [-1, 1]; 0 when either side is a zero vector. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Exact top-k by cosine against a single query vector, supplied as a
+    * 1-row DataFrame `(queryVecCol)` — broadcast, never collected to the
+    * driver. Deterministic order: (rounded similarity desc, id asc). */
+  def bruteForceTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    df.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** SplitMix64 mixer (public-domain constant set) — deterministic
+    * pseudo-random plane weights computed once on the driver and shipped
+    * as array literals, so executors do zero hashing per row. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane `plane` as a dim-length weight vector in [-1, 1]. */
+  private def planeVector(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => splitmix64(plane.toLong * dim + i).toDouble / Long.MaxValue)
+
+  /** Signed projection of `vec` onto the literal plane. */
+  private def signBit(vec: Column, plane: Int, dim: Int, bitPos: Int): Column = {
+    val proj = aggregate(
+      zip_with(asDouble(vec), typedLit(planeVector(plane, dim)), (x, w) => x * w),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj > 0, shiftleft(lit(1L), bitPos)).otherwise(lit(0L))
+  }
+
+  /** Sign-random-projection signature: `nPlanes` bits, bit p = sign of
+    * ⟨vec, plane_p⟩, folded into one long — the LSH bucket key. */
+  def srpSignature(vec: Column, dim: Int, nPlanes: Int = 16): Column = {
+    require(nPlanes <= 63, "signature must fit a long")
+    (0 until nPlanes).map(p => signBit(vec, p, dim, p))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via SRP-LSH: candidates share the query's bucket in at
+    * least one of `nTables` independent signatures; exact cosine reranks
+    * the candidates. Recall rises with tables, cost stays
+    * O(candidates), not O(n). */
+  def annTopK(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nPlanes: Int = 12, nTables: Int = 3): DataFrame = {
+    // Table t uses planes [t*nPlanes, (t+1)*nPlanes) via the plane index
+    // offset baked into the literal weight vectors.
+    def sigs(v: Column): Column = array(
+      (0 until nTables).map { t =>
+        (0 until nPlanes).map(p => signBit(v, t * nPlanes + p, dim, p))
+          .reduce((a, b) => a.bitwiseOR(b))
+      }: _*)
+
+    // Stage the signature array before exploding, and use posexplode_outer
+    // so no `size(sigs) > 0` filter is inferred and pushed below the
+    // staging projection (it would re-inline the full nTables×nPlanes
+    // projection work into a filter — see Dedup.lshCandidatePairs).
+    val data = df.select(col(idCol), col(vecCol), sigs(col(vecCol)).as("__sigs"))
+      .select(col(idCol), col(vecCol),
+        posexplode_outer(col("__sigs")).as(Seq("__t", "__sig")))
+    val q = query.select(col(queryVecCol).as("__qv"), sigs(col(queryVecCol)).as("__qsigs"))
+      .select(col("__qv"), posexplode_outer(col("__qsigs")).as(Seq("__t", "__qsig")))
+    data.join(broadcast(q),
+        data("__t") === q("__t") && col("__sig") === col("__qsig"))
+      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .groupBy(col(idCol)).agg(max(col("sim")).as("sim")) // dedup multi-table hits
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-style probe using a partition column (here: `label`) as the
+    * coarse quantizer. Centroids are computed as per-label mean vectors
+    * (posexplode → avg → re-assemble), the query probes its `nProbe`
+    * nearest centroids, and exact search runs only inside those
+    * partitions. With the fact table partitioned/bucketed by `label` on
+    * disk, the probe filter prunes entire partitions at scan time. */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String, partCol: String,
+      query: DataFrame, queryVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val centroids = df
+      .select(col(partCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col(partCol), col("__pos"))
+      .agg(avg(col("__x")).as("__m"))
+      .groupBy(col(partCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__m")))),
+        s => s.getField("__m")).as("__centroid"))
+
+    val probes = centroids
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(partCol), cosine(col("__centroid"), col("__qv")).as("__csim"))
+      .orderBy(col("__csim").desc, col(partCol))
+      .limit(nProbe)
+      .select(col(partCol))
+
+    df.join(broadcast(probes), Seq(partCol))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol), col(partCol),
+        round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ `threshold` over a bounded
+    * subset (brute force; the LSH/IVF paths above are the scale
+    * alternative). Broadcast self-join, ids ordered to emit each pair
+    * once. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val l = df.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val r = df.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+    l.join(broadcast(r), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosine(col("__v1"), col("__v2")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language identification, quality scoring, and document
+  * fingerprinting over a text column (the harness `documents` table).
+  *
+  * The reference has no text analytics (its only text ops are rename/cast,
+  * `/root/reference/dags/posts_etl.py:92-94`); these extend the engine per
+  * the north star. Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — codegen'd, no UDFs, no shuffles of
+  * their own — so each stays inside whole-stage codegen and scales as a
+  * map-side transform: at 100 TB these run at scan speed and the only
+  * shuffles are whatever aggregation the caller adds on top.
+  */
+object TextAnalysis {
+
+  /** Lowercase word tokens (runs of [a-z0-9]); empty tokens dropped.
+    * Whitespace-and-punctuation tokenizer — the exact semantics the DuckDB
+    * oracle mirrors with `string_split_regex`. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Word-token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: letter runs, digit runs, and each
+    * non-space symbol count as one token — a cheap, deterministic proxy
+    * for LLM tokenizer counts (no vocab needed). */
+  def subwordTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\p{L}+|\p{N}+|[^\s\p{L}\p{N}]"""), lit(0)))
+
+  /** Ratio of [a-z0-9 ] characters after lowercasing (1.0 = clean prose,
+    * low = symbol soup). NULL-safe: empty text → 0.0. */
+  def alphaRatio(text: Column): Column = {
+    val len = length(text)
+    when(len === 0, lit(0.0)).otherwise(
+      length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double") / len)
+  }
+
+  private val stopwordsEn = Seq(
+    "the", "a", "and", "of", "to", "in", "is", "you", "that", "it")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * fluency/quality signal; near 0 on keyword spam. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isInCollection(stopwordsEn)))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0, 1]: length band + alphanumeric purity
+    * + stopword presence. Deliberately simple and fully SQL-expressible so
+    * the DuckDB oracle can replicate it bit-for-bit (after rounding). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val alpha = alphaRatio(text)
+    val stop = least(stopwordRatio(text) * 5.0, lit(1.0))
+    (lenScore * 0.3 + alpha * 0.4 + stop * 0.3)
+  }
+
+  // Per-language function-word sets for the n-gram/stopword language-ID
+  // heuristic. ASCII-only on purpose: the tokenizer strips diacritics, so
+  // accented forms would never match anyway.
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"))
+
+  /** CJK character count — a script-based fast path for zh/ja/ko. */
+  def cjkCharCount(text: Column): Column =
+    length(regexp_replace(text, "[^一-鿿]", ""))
+
+  /** Language-ID heuristic: CJK script wins outright; otherwise the
+    * language with the most function-word token hits (ties resolved in
+    * fixed en→es→de→fr precedence); no hits → "und".
+    *
+    * Scale note: one pass over the token array per language — O(langs ×
+    * tokens) map-side work, no shuffle, no broadcast state. A production
+    * fastText-style model would slot in behind the same Column contract.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    // CASE chain in fixed precedence order: first language whose score is
+    // maximal and positive.
+    val maxScore = greatest(scores.map(_._2): _*)
+    val chain = scores.foldRight(lit("und"): Column) { case ((lang, score), el) =>
+      when(score === maxScore && score > 0, lit(lang)).otherwise(el)
+    }
+    when(cjkCharCount(text) > 0, lit("zh")).otherwise(chain)
+  }
+
+  /** Canonical text normalization for fingerprinting/dedup: lowercase,
+    * collapse every non-alphanumeric run to a single space, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** 128-bit content fingerprint of the normalized text (hex md5 —
+    * engine-portable, matches DuckDB's `md5`). */
+  def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
+
+  /** 62-bit rolling (polynomial) hash over word tokens: two independent
+    * 31-bit Rabin-style hashes `h = (h * mult + xxhash64(token)) mod
+    * 2^31-1` (mults 31 and 131) packed into one long. The modulus keeps
+    * every intermediate < 2^39, so the arithmetic can never overflow —
+    * Spark 4 runs ANSI mode by default, where a long overflow is an
+    * error, not a wrap. Pure `aggregate` higher-order functions, no UDF.
+    * Engine-specific (xxhash64) so it is test-verified rather than
+    * DuckDB-oracled. */
+  def rollingHash(text: Column): Column = {
+    val m = lit(2147483647L) // 2^31 - 1 (prime)
+    def poly(mult: Long) = aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), m), m))
+    poly(31L) * lit(2147483648L) + poly(131L)
+  }
+}

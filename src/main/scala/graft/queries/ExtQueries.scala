@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.Relational
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Relational extensions beyond the round-1 core (SURVEY §2.E continued):
+  * pivot, exact percentiles, session windows, as-of join, range join,
+  * approximate distinct — plus the Structured Streaming surface run to
+  * completion with `Trigger.AvailableNow` and oracled against the
+  * batch-equivalent SQL (stream/batch parity is the correctness claim).
+  */
+object ExtQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Pivot (columnar reshape): order counts per priority × status.
+    // Missing combinations are 0 on both sides (coalesce ↔ FILTER-less
+    // conditional sum).
+    QuerySpec(
+      "q26_pivot",
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+    },
+
+    // Exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+    // `quantile_cont`) — the exact baseline for approx_percentile at scale.
+    QuerySpec(
+      "q27_percentiles",
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.5)), 2).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9)), 2).as("p90"),
+          round(percentile(col("o_totalprice"), lit(0.99)), 2).as("p99"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Batch session windows (gap 10 min) via the built-in session_window;
+    // oracle is the classic gaps-and-islands rewrite. Spark merges
+    // sessions when the next event starts strictly before last_ts + gap,
+    // so a new session begins at diff >= gap; session_end = last_ts + gap.
+    QuerySpec(
+      "q28_session_window",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '10 minutes' AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Streams.sessionCounts(Tables.events(s, dir), "10 minutes")
+    },
+
+    // As-of join: every event picks up the customer's latest order key as
+    // of the event time (union-and-carry-forward plan; see
+    // Relational.asofJoin). Right side pre-aggregated to one row per
+    // (custkey, orderdate) — the determinism contract ASOF requires.
+    QuerySpec(
+      "q29_asof_join",
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  r.last_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2) r
+        |ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin) { (s, dir) =>
+      val lastOrder = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      Relational.asofJoin(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          lastOrder, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+    },
+
+    // Range join: per event, how many events by the same user land in the
+    // following 24 hours. Equi-join on user + range predicate — Spark
+    // plans the equality as the join key and the range as a join filter,
+    // so no cross product materializes.
+    QuerySpec(
+      "q30_range_join",
+      """SELECT a.event_id AS event_id,
+        |  CAST(count(b.event_id) AS BIGINT) AS n_next_24h
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL '24 hours'
+        |GROUP BY a.event_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val a = e.select(col("event_id"), col("user_id"), col("ts"))
+      val b = e.select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
+        col("ts").as("b_ts"))
+      a.join(b,
+          col("b_user_id") === col("user_id") && col("b_ts") > col("ts") &&
+            col("b_ts") <= col("ts") + expr("INTERVAL 24 HOURS"),
+          "left_outer")
+        .groupBy(col("event_id"))
+        .agg(count(col("b_event_id")).as("n_next_24h"))
+    },
+
+    // HLL++ approximate distinct next to the exact answer (no ANSI-SQL
+    // oracle for the sketch — driver records the rows-only check; the
+    // ScalaTest asserts the error bound instead).
+    QuerySpec.noOracle("q31_approx_distinct") { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    },
+
+    // --- Structured Streaming, run to completion (AvailableNow) and
+    // oracled against the batch-equivalent aggregation: the stream/batch
+    // parity guarantee. ---
+
+    // Tumbling 1h windows per event type.
+    QuerySpec(
+      "st1_stream_tumbling",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Streams.runToTable(
+        Streams.tumblingCounts(Streams.eventsStream(s, dir), "1 hour"),
+        "st1_mem", "complete")
+    },
+
+    // Sliding windows (1h wide, 30min slide): every event belongs to
+    // exactly two windows — the oracle unnests both bucket starts.
+    QuerySpec(
+      "st2_stream_sliding",
+      """SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+        |  FROM events) t
+        |GROUP BY ws""".stripMargin) { (s, dir) =>
+      Streams.runToTable(
+        Streams.slidingCounts(Streams.eventsStream(s, dir), "1 hour", "30 minutes"),
+        "st2_mem", "complete")
+    },
+
+    // Streaming identity dedup with watermark-bounded state; event_id is
+    // unique in the harness data, so the streamed output equals the input
+    // projection (the state-store plumbing is what's under test; the
+    // planted-duplicate case lives in the ScalaTest).
+    QuerySpec(
+      "st3_stream_dedup",
+      "SELECT event_id, user_id, event_type FROM events") { (s, dir) =>
+      Streams.runToTable(
+        Streams.dedupStream(Streams.eventsStream(s, dir), "1 hour"),
+        "st3_mem", "append")
+    }
+  )
+}

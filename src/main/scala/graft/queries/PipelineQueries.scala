@@ -1,0 +1,260 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** North-star training-data pipeline operators over the `documents` and
+  * `embeddings` tables: deduplication (exact → fingerprint → Jaccard →
+  * MinHash-LSH → SimHash → embedding-cosine), similarity search (brute
+  * force, SRP-LSH, IVF), text analysis (tokens, quality, language-ID,
+  * fingerprints) and multimodal column plumbing.
+  *
+  * Oracle policy: everything expressible in ANSI SQL gets a DuckDB oracle
+  * (including the exact-Jaccard and cosine pipelines — DuckDB list
+  * functions mirror Spark's higher-order functions); the seeded-hash
+  * pipelines (xxhash64 minhash/simhash/SRP) are deterministic but not
+  * portable SQL, so they register rows-only and carry ScalaTest specs with
+  * planted duplicates instead.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB fragment: tokenized lowercase words. */
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // --- deduplication ---
+
+    // Exact dedup over a doubled corpus (simulating a re-crawl): every
+    // content hash collapses to one keeper with multiplicity 2.
+    QuerySpec(
+      "dd1_dedup_exact",
+      """SELECT md5(text) AS content_hash,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Dedup.exactDupGroups(docs.unionByName(docs), "doc_id",
+          md5(col("text").cast("binary")).as("content_hash"))
+        .select(col("content_hash"), col("n_copies"), col("keep_id"))
+    },
+
+    // Fingerprint dedup: md5 of whitespace/punctuation-normalized text —
+    // catches trivially reformatted duplicates exact dedup misses.
+    QuerySpec(
+      "dd2_dedup_fingerprint",
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      Dedup.exactDupGroups(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("fp"), col("n_copies").as("n_docs"), col("keep_id"))
+    },
+
+    // Exact word-set Jaccard near-dup pairs over a bounded slice — the
+    // brute-force ground truth the LSH pipelines approximate.
+    QuerySpec(
+      "dd3_dedup_ngram_jaccard",
+      s"""WITH s AS (
+         |  SELECT doc_id, list_distinct($duckToks) AS toks
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT id1, id2, jaccard FROM (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |          len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id) t
+         |WHERE jaccard >= 0.9""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.9)
+    },
+
+    // MinHash + banded LSH near-dup detection over the full table —
+    // the sublinear scale path (seeded xxhash64 → rows-only check here;
+    // planted-duplicate assertions live in DedupSpec).
+    QuerySpec.noOracle("dd4_dedup_minhash_lsh") { (s, dir) =>
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+    },
+
+    // SimHash near-dup detection (Hamming ≤ 3 via the 4×16-bit chunk
+    // pigeonhole join).
+    QuerySpec.noOracle("dd5_dedup_simhash") { (s, dir) =>
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3)
+    },
+
+    // Embedding-cosine near-dup pairs over a bounded slice (brute force;
+    // ss2/ss3 are the sublinear alternatives).
+    QuerySpec(
+      "dd6_dedup_embedding_cosine",
+      """SELECT id1, id2, cos_sim FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 b.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE a.vec_id < 300 AND b.vec_id < 300) t
+        |WHERE cos_sim >= 0.4""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.4)
+    },
+
+    // --- similarity search ---
+
+    // Brute-force cosine top-k against the vec_id=0 query vector: the
+    // exact baseline (one map-side cosine per row + top-k merge).
+    QuerySpec(
+      "ss1_cosine_topk",
+      """SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[],
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS sim
+        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 10)
+    },
+
+    // ANN via sign-random-projection LSH (deterministic seeded planes).
+    // 6 planes × 4 tables: ~64 buckets per table keeps candidate lists in
+    // the tens at this cardinality (more planes → empty buckets, no
+    // recall; at larger corpora raise planes to keep bucket occupancy
+    // roughly constant).
+    QuerySpec.noOracle("ss2_ann_srp_lsh") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
+        emb.where(col("vec_id") === 0), "embedding", k = 10,
+        nPlanes = 6, nTables = 4)
+    },
+
+    // IVF probe with the label column as coarse quantizer (computed
+    // per-label centroids, nProbe=2).
+    QuerySpec.noOracle("ss3_ann_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
+    },
+
+    // --- text analysis ---
+
+    QuerySpec(
+      "tx1_token_stats",
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($duckToks)) AS BIGINT) AS n_uniq,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]')) AS BIGINT) AS n_subword
+         |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        size(array_distinct(TextAnalysis.tokens(col("text")))).cast("long").as("n_uniq"),
+        TextAnalysis.subwordTokenCount(col("text")).cast("long").as("n_subword"))
+    },
+
+    // Ratios reported in integer basis points via floor(x*10000 + 0.5):
+    // both engines compute the identical IEEE double, and the integer
+    // conversion sidesteps round()'s half-way-tie divergence (Spark and
+    // DuckDB disagreed on e.g. 0.86875 → .8687 vs .8688).
+    QuerySpec(
+      "tx2_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha,
+         |    len(list_filter($duckToks, t -> list_contains(
+         |      ['the','a','and','of','to','in','is','you','that','it'], t))) AS hits
+         |  FROM documents WHERE length(text) > 0)
+         |SELECT doc_id,
+         |  CAST(floor(alpha * 10000 + 0.5) AS BIGINT) AS alpha_bp,
+         |  CAST(floor(CAST(hits AS DOUBLE) / len(toks) * 10000 + 0.5) AS BIGINT) AS stopword_bp,
+         |  CAST(floor((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+         |    + alpha * 0.4
+         |    + least(CAST(hits AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3) * 10000 + 0.5)
+         |    AS BIGINT) AS quality_bp
+         |FROM t""".stripMargin) { (s, dir) =>
+      def bp(c: org.apache.spark.sql.Column) =
+        floor(c * 10000 + 0.5).cast("long")
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          bp(TextAnalysis.alphaRatio(col("text"))).as("alpha_bp"),
+          bp(TextAnalysis.stopwordRatio(col("text"))).as("stopword_bp"),
+          bp(TextAnalysis.qualityScore(col("text"))).as("quality_bp"))
+    },
+
+    // Language-ID confusion counts against the labeled lang column.
+    QuerySpec(
+      "tx3_lang_id",
+      s"""WITH t AS (
+         |  SELECT lang, $duckToks AS toks,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, cjk,
+         |    len(list_filter(toks, t -> list_contains(['the','a','and','of','to','in','is','you','that','it'], t))) AS s_en,
+         |    len(list_filter(toks, t -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], t))) AS s_es,
+         |    len(list_filter(toks, t -> list_contains(['der','die','und','den','von','zu','das','mit','sich','ist'], t))) AS s_de,
+         |    len(list_filter(toks, t -> list_contains(['le','la','de','et','les','des','en','un','du','une'], t))) AS s_fr
+         |  FROM t),
+         |p AS (
+         |  SELECT lang,
+         |    CASE WHEN cjk > 0 THEN 'zh'
+         |         WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+         |         WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+         |         WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+         |         WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+         |         ELSE 'und' END AS pred_lang
+         |  FROM s)
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("lang", "text"))
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    QuerySpec(
+      "tx4_fingerprint_md5",
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    },
+
+    // 64-bit rolling token hash (xxhash64-seeded → rows-only; exactness
+    // proven in TextAnalysisSpec against a reference implementation).
+    QuerySpec.noOracle("tx5_fingerprint_rolling") { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("fp64"))
+    },
+
+    // --- multimodal columns ---
+
+    // Columnar payload stats — no decode needed (bytes stay in the scan).
+    QuerySpec(
+      "mm1_media_stats",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.attachFakeMedia(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          octet_length(col("media")).cast("long").as("n_bytes"),
+          md5(col("media")).as("digest"))
+    },
+
+    // Decode + feature extraction through the mapPartitions stub (real
+    // plumbing, stubbed codec — see Multimodal.decodeFeatures).
+    QuerySpec.noOracle("mm2_media_features") { (s, dir) =>
+      Multimodal.mediaFeatureTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bytes"), col("checksum"))
+    }
+  )
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table: tumbling /
+  * sliding / session windows, watermarked late-data handling, and
+  * streaming dedup.
+  *
+  * The reference is batch-only (every DAG sets `schedule_interval=None`,
+  * `/root/reference/dags/users_etl.py:174`); this is the engine's
+  * streaming extension (SURVEY §2.E). Batch/stream parity is the design
+  * invariant: each transform is a plain DataFrame function usable on both
+  * `spark.read` and `spark.readStream` inputs, and the driver-oracled
+  * specs prove the streaming results equal the batch SQL the DuckDB
+  * oracle runs.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, keys) exactly
+  * like a batch groupBy; watermarks bound state size (state store keeps
+  * only windows newer than watermark); `Trigger.AvailableNow` gives
+  * deterministic catch-up batches for tests and backfills.
+  */
+object Streams {
+
+  /** On-disk schema of events.parquet with `nanosAsLong` in effect:
+    * TIMESTAMP(NANOS) surfaces as LongType (see [[graft.Tables.load]]). */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming scan of the events table (file source; at scale this is a
+    * Kafka/queue source with the identical downstream plan).
+    *
+    * The file source requires a directory, so the scan lists `dir` with a
+    * glob filter for the events file. Event time stays `TimestampType`
+    * (not NTZ): watermarks and streaming dedup require it
+    * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise); with the session
+    * in UTC the wall-clock values are identical, and window bounds are
+    * cast back to NTZ at the output edge for oracle comparability. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window counts (window `width`, slide `slide`). */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n"))
+
+  /** Session windows per user: events closer than `gap` merge into one
+    * session `[first_ts, last_ts + gap)`. Works identically over batch
+    * DataFrames (used by the oracled spec) and streams (used by the
+    * watermarked test). */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n"), col("total_value"))
+
+  /** Streaming exact dedup on identity columns, watermark-bounded state:
+    * rows older than the watermark are evictable from the dedup state
+    * store — the only way identity dedup stays O(window) at 100 TB/day. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
+  /** Run a streaming DataFrame to completion with `Trigger.AvailableNow`
+    * into an in-memory table and return the final result as a static
+    * DataFrame. Deterministic: processes everything available, then
+    * stops — the streaming analog of a batch run (used by the
+    * driver-oracled specs; a production job would use the same plan with
+    * a real sink and a continuous trigger). */
+  def runToTable(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

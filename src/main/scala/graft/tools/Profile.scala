@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time one registered query N times and print its physical
+  * plan — used to chase bench hotspots (first run includes codegen +
+  * scan-planning warm-up; steady-state is what the driver's 2× budget is
+  * really measuring against).
+  *
+  * Usage: runMain graft.tools.Profile <queryName> <sfDir> [reps]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).explain("formatted")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[profile] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators: planted exact and near duplicates must be found; the
+  * approximate paths (MinHash-LSH, SimHash) are checked against exact
+  * Jaccard ground truth on the same corpus. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus: 0/1 near-identical (one word changed), 2 = exact copy of 0,
+  // 3/4 unrelated.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "completely different content about spark partitions and shuffle tuning"),
+    (4L, "yet another unrelated document mentioning neither foxes nor rivers")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups collapses exact copies to one keeper") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", col("text"))
+    val dups = groups.where(col("n_copies") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("keep_id") == 0L)
+    assert(dups.head.getAs[Long]("n_copies") == 2L)
+    assert(Dedup.dropExact(docs, "text").count() == 4)
+  }
+
+  test("minhashNearDups finds planted near-dup and exact pair, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 16, threshold = 0.6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact copy: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+      .where(col("id1") === 0 && col("id2") === 2)
+      .select("jaccard").as[Double].head()
+    assert(exact == 1.0) // identical docs
+  }
+
+  test("simhash of identical docs is identical; near-dups within distance") {
+    val sigs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 12)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(sigs((0L, 2L)) == 0) // exact copies: distance 0
+    assert(sigs.contains((0L, 1L))) // one-word change: few bits differ
+  }
+
+  test("shingles: distinct char k-grams of staged normalized text") {
+    val out = Seq("a b").toDF("text")
+      .select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .select(Dedup.shingles(col("n"), 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(out.toSet == Set("a ", " b"))
+  }
+
+  test("jaccard column on known sets") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccard(col("x"), col("y")).as("j")).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, determinism and batch shape of the
+  * binary-payload pipeline (decode kernel itself is a stub — see
+  * Multimodal.decodeFeatures). */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world"), (1L, ""), (2L, "hello world"), (3L, "xyz")
+  ).toDF("doc_id", "text")
+
+  test("attachFakeMedia produces binary payload + typed metadata") {
+    val m = Multimodal.attachFakeMedia(docs)
+    assert(m.schema("media").dataType.typeName == "binary")
+    val meta = m.where(col("doc_id") === 0).select("meta.format", "meta.n_bytes")
+      .as[(String, Long)].head()
+    assert(meta == ("raw", 11L))
+  }
+
+  test("decodeFeatures: deterministic, fixed-width, equal inputs → equal features") {
+    val feats = Multimodal.mediaFeatureTable(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("checksum"),
+          r.getAs[scala.collection.Seq[Float]]("features").toSeq)).toMap
+    assert(feats.size == 4)
+    assert(feats(0L)._2.size == 8) // fixed feature width
+    assert(feats(0L) == feats(2L)) // identical payloads → identical features
+    assert(feats(0L) != feats(3L))
+    assert(feats(1L)._1 == 0L) // empty payload checksum
+    // Determinism across runs:
+    val again = Multimodal.mediaFeatureTable(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("checksum")).toMap
+    assert(again(3L) == feats(3L)._1)
+  }
+
+  test("frameSample keeps every stride-th byte") {
+    val sampled = Multimodal.attachFakeMedia(docs)
+      .where(col("doc_id") === 0)
+      .select(Multimodal.frameSample(col("media"), 4).as("frames"))
+      .as[Seq[Array[Byte]]].head()
+    // "hello world" bytes at offsets 0,4,8 -> h, o, r
+    assert(sampled.map(b => new String(b)) == Seq("h", "o", "r"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Relational operators (SURVEY §2.C R9/R11 + as-of join). */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argmaxWithTies preserves every max attainer") {
+    val df = Seq(("a", 3L), ("b", 5L), ("c", 5L), ("d", 1L)).toDF("k", "v")
+    val out = Relational.argmaxWithTies(df, col("v")).as[(String, Long)].collect().toSet
+    assert(out == Set(("b", 5L), ("c", 5L)))
+  }
+
+  test("argmaxWithTies single max") {
+    val df = Seq(("a", 3L), ("b", 5L)).toDF("k", "v")
+    assert(Relational.argmaxWithTies(df, col("v")).as[(String, Long)].collect().toSet ==
+      Set(("b", 5L)))
+  }
+
+  test("fkOrphans flags only non-null unmatched keys") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None)).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val orphans = Relational.fkOrphans(child, "fk", parent, "pk")
+      .select("id").as[Long].collect().toSeq
+    assert(orphans == Seq(2L)) // NULL fk row 3 is exempt per SQL FK semantics
+  }
+
+  test("pkDuplicates finds multiplicity > 1") {
+    val df = Seq(1L, 2L, 2L, 3L, 3L, 3L).toDF("pk")
+    val dups = Relational.pkDuplicates(df, "pk")
+      .as[(Long, Long)].collect().toMap
+    assert(dups == Map(2L -> 2L, 3L -> 3L))
+  }
+
+  test("asofJoin picks latest right row at or before left time, null when none") {
+    val left = Seq(
+      (1L, 1L, 5L), // key 1 at t=5  -> right (1, t=3) price 30
+      (2L, 1L, 3L), // key 1 at t=3  -> right (1, t=3) inclusive match
+      (3L, 1L, 2L), // key 1 at t=2  -> right (1, t=1) price 10
+      (4L, 2L, 9L), // key 2 at t=9  -> no right rows -> null
+      (5L, 3L, 0L)  // key 3 at t=0  -> right only at t=4 -> null
+    ).toDF("eid", "k", "t")
+    val right = Seq((1L, 1L, 10L), (1L, 3L, 30L), (3L, 4L, 99L))
+      .toDF("rk", "rt", "price")
+    val out = Relational.asofJoin(left, "k", "t", right, "rk", "rt")
+      .select("eid", "price").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(out == Map(
+      1L -> Some(30L), 2L -> Some(30L), 3L -> Some(10L), 4L -> None, 5L -> None))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector similarity: exact cosine math, brute-force top-k, and the two
+  * sublinear paths (SRP-LSH, IVF) against the exact baseline. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f), -1.0),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f), 1.0),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f), 0.0) // zero vector guard
+    ).toDF("a", "b", "expected")
+    val rows = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (c, e) => assert(math.abs(c - e) < 1e-9) }
+  }
+
+  private lazy val vecs = {
+    // 3 tight clusters around orthogonal axes in R^4 + ids.
+    val rows = for {
+      (axis, label) <- Seq(0, 1, 2).zipWithIndex
+      i <- 0 until 10
+    } yield {
+      val base = Array.fill(4)(0.01f * i)
+      base(axis) = 1.0f
+      (label.toLong * 10 + i, base.toSeq, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("bruteForceTopK returns the query's own cluster first") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, "embedding", 10)
+      .select("vec_id").as[Long].collect()
+    assert(top.head == 0L) // self-similarity = 1
+    assert(top.forall(_ < 10L)) // all from cluster 0
+  }
+
+  test("annTopK candidates are reranked by exact cosine and include self") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding"))
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding", dim = 4,
+      q, "embedding", k = 5, nPlanes = 8, nTables = 3)
+      .select("vec_id").as[Long].collect()
+    assert(ann.nonEmpty)
+    assert(ann.head == 0L)
+  }
+
+  test("ivfTopK with label quantizer finds the right cluster") {
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding"))
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", "label",
+      q, "embedding", k = 5, nProbe = 1)
+      .select("vec_id").as[Long].collect()
+    assert(out.head == 0L)
+    assert(out.forall(_ < 10L)) // probe stayed in cluster-0 partition
+  }
+
+  test("cosineNearDupPairs finds within-cluster pairs only at high threshold") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a / 10 == b / 10 }) // same cluster
+  }
+}

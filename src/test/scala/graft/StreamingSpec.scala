@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: windowed aggregation over a stream
+  * equals the batch result (parity), watermarks drop late data in append
+  * mode, session windows merge by gap, streaming dedup collapses
+  * duplicate ids. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  import StreamingSpec.Ev
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "a",
+      value: Double = 1.0) = Ev(id, ts(minute), user, typ, value, "{}")
+
+  test("stream tumbling counts equal the batch aggregation (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(ev(1, 1), ev(2, 5), ev(3, 12), ev(4, 59), ev(5, 61 % 60))
+    mem.addData(events)
+    val streamed = Streams.runToTable(
+      Streams.tumblingCounts(mem.toDF(),
+        "10 minutes"),
+      "t_parity", "complete")
+    val batch = Streams.tumblingCounts(
+      events.toDF(), "10 minutes")
+    assert(streamed.collect().toSet == batch.collect().toSet)
+  }
+
+  test("watermark drops events later than the delay in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("t_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // Batch 1: events in window [0,10) and [20,30) -> watermark 25-5=20.
+      mem.addData(Seq(ev(1, 1), ev(2, 25)))
+      q.processAllAvailable()
+      // Batch 2: late event for closed window [0,10) must be DROPPED;
+      // event at 27 keeps window [20,30) open.
+      mem.addData(Seq(ev(3, 2), ev(4, 27)))
+      q.processAllAvailable()
+      // Batch 3: advance watermark past 30 to close/emit [20,30).
+      mem.addData(Seq(ev(5, 41)))
+      q.processAllAvailable()
+      val rows = spark.table("t_late").as[(Timestamp, Long)].collect().toMap
+      assert(rows(ts(0)) == 1L) // late ev(3) not counted
+      assert(rows(ts(20)) == 2L) // both on-time events counted
+    } finally q.stop()
+  }
+
+  test("session windows merge events within gap, split beyond it") {
+    val events = Seq(
+      ev(1, 0), ev(2, 4), ev(3, 8), // one session 00:00-08:00(+5)
+      ev(4, 20), // second session (gap 12 > 5)
+      ev(5, 0, user = 2) // separate user
+    ).toDF()
+    val out = Streams.sessionCounts(events, "5 minutes")
+      .select(col("user_id"), col("session_start").cast("timestamp"),
+        col("session_end").cast("timestamp"), col("n"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(out == Set(
+      (1L, ts(0), ts(13), 3L), // end = last(8) + gap(5)
+      (1L, ts(20), ts(25), 1L),
+      (2L, ts(0), ts(5), 1L)))
+  }
+
+  test("streaming dedup emits each id once within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Seq(ev(1, 1), ev(1, 1), ev(2, 2), ev(1, 1), ev(3, 3)))
+    val out = Streams.runToTable(
+      Streams.dedupStream(mem.toDF(),
+        "1 hour"),
+      "t_dedup", "append")
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+}
+
+object StreamingSpec {
+  /** Top-level so the Dataset encoder needs no outer instance. */
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+}
