@@ -26,7 +26,20 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Memo of loaded logical plans per (session, dir, table): DataFrames
+  // are immutable plan handles, so reuse is safe, and it skips the
+  // repeated file-listing + footer-read that `spark.read.parquet` pays on
+  // every call (measurable across a 55-query bench run; irrelevant at
+  // 100 TB where a table is read once per query, so this is harness
+  // hygiene, not an execution-path optimization).
+  private val loadMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadMemo.computeIfAbsent((spark, dir, name),
+      _ => doLoad(spark, dir, name))
+
+  private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session conf, not a per-read option — lets the scan map parquet
     // TIMESTAMP(NANOS) to LongType instead of failing.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -68,4 +68,42 @@ object Ingest {
     * an atomic overwrite via the output committer replaces truncate+insert. */
   def writeParquetOverwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Single-JSON-array writer (A2, `rest_api_json_to_gcs_operator.py:64`).
+    * The reference builds the whole array blob in worker memory and
+    * uploads it as one object; this mirrors that shape (driver-side
+    * collect), which is only sane for small staged payloads — hence the
+    * row cap. At scale use [[writeNdjson]]: splittable on read, parallel
+    * on write (the reference's own NDJSON branch is the scale hint). */
+  def writeJsonArray(df: DataFrame, path: String, maxRows: Long = 1000000L): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"writeJsonArray is a driver-side collect ($n rows > cap $maxRows); use writeNdjson at scale")
+    val blob = df.toJSON.collect().mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      blob.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** JDBC batch sink (A6, `dags/users_etl.py:142-155`): full-refresh via
+    * `truncate` + overwrite, batched inserts executor-side. Untested in
+    * this harness (no database available); the parquet writers above are
+    * the harness-exercised sinks. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("truncate", value = true)
+      .jdbc(url, table, props)
+
+  /** Multi-table star load with FK write-order discipline (O4,
+    * `dags/users_etl.py:140-159`): parents (addresses, companies) land
+    * before the child (users), each table an atomic overwrite. Spark has
+    * no cross-table transaction — write order + per-table committer
+    * atomicity is the honest mapping (documented semantic gap vs the
+    * reference's single Postgres commit). */
+  def writeStar(users: DataFrame, addresses: DataFrame, companies: DataFrame,
+      baseDir: String): Unit = {
+    writeParquetOverwrite(addresses, s"$baseDir/addresses.parquet")
+    writeParquetOverwrite(companies, s"$baseDir/companies.parquet")
+    writeParquetOverwrite(users, s"$baseDir/users.parquet")
+  }
 }

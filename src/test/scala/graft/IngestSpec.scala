@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.{Flatten, RefPipeline}
+import graft.sources.Ingest
+import java.nio.file.Files
+
+/** Ingestion layer (SURVEY §2.A): both JSON layouts round-trip, the
+  * payload-string path parses nested records, and the star load writes
+  * parents before children. */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // jsonplaceholder-shaped nested user payload (array layout).
+  private val payload =
+    """[{"id": 1, "name": "Ann", "username": "ann", "email": "ann@x.com",
+      |  "address": {"street": "Main St", "suite": "Apt 1", "city": "Springfield",
+      |    "zipcode": "11111", "geo": {"lat": "1.5", "lng": "-2.5"}},
+      |  "phone": "1", "website": "a.com",
+      |  "company": {"name": "Acme", "catchPhrase": "do", "bs": "syn"}},
+      | {"id": 2, "name": "Bob", "username": "bob", "email": "bob@x.com",
+      |  "address": {"street": "Elm St", "suite": "Apt 2", "city": "Shelbyville",
+      |    "zipcode": "22222", "geo": {"lat": "3.5", "lng": "4.5"}},
+      |  "phone": "2", "website": "b.com",
+      |  "company": {"name": "Acme", "catchPhrase": "do", "bs": "syn"}}]""".stripMargin
+
+  test("readJsonString parses nested array payload; flatten yields leaf columns") {
+    val df = Ingest.readJsonString(spark, payload)
+    assert(df.count() == 2)
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.contains("address_geo_lat"))
+    assert(flat.columns.contains("company_catchPhrase"))
+  }
+
+  test("NDJSON and array-JSON layouts round-trip with equal content") {
+    val dir = Files.createTempDirectory("graft_ingest").toFile.getAbsolutePath
+    val df = Ingest.readJsonString(spark, payload).select("id", "email")
+    Ingest.writeNdjson(df, s"$dir/nd")
+    Ingest.writeJsonArray(df, s"$dir/arr.json")
+    val nd = Ingest.readNdjson(spark, s"$dir/nd")
+    val arr = Ingest.readJsonArray(spark, s"$dir/arr.json")
+    assert(nd.select("id", "email").as[(Long, String)].collect().toSet ==
+      arr.select("id", "email").as[(Long, String)].collect().toSet)
+  }
+
+  test("writeJsonArray enforces the driver-side row cap") {
+    val df = spark.range(10).toDF("id")
+    intercept[IllegalArgumentException] {
+      Ingest.writeJsonArray(df, "/tmp/graft_never_written.json", maxRows = 5)
+    }
+  }
+
+  test("writeStar end-to-end: normalize -> load -> integrity holds on reload") {
+    val dir = Files.createTempDirectory("graft_star").toFile.getAbsolutePath
+    val raw = Ingest.readJsonString(spark, payload)
+    val (users, addresses, companies) = RefPipeline.normalizeUsers(raw)
+    Ingest.writeStar(users, addresses, companies, dir)
+    val u = spark.read.parquet(s"$dir/users.parquet")
+    val a = spark.read.parquet(s"$dir/addresses.parquet")
+    val c = spark.read.parquet(s"$dir/companies.parquet")
+    assert(u.count() == 2 && a.count() == 2 && c.count() == 1)
+    assert(graft.operators.Relational.fkOrphans(u, "address_uuid", a, "uuid").count() == 0)
+    assert(graft.operators.Relational.fkOrphans(u, "company_uuid", c, "uuid").count() == 0)
+  }
+}
