@@ -177,6 +177,119 @@ object ExtQueries {
       Streams.runToTable(
         Streams.dedupStream(Streams.eventsStream(s, dir), "1 hour"),
         "st3_mem", "append")
+    },
+
+    // Stream-static join: the event stream enriched against the batch
+    // customer dimension (broadcast per micro-batch), then aggregated —
+    // the standard streaming-enrichment shape.
+    QuerySpec(
+      "st4_stream_static_join",
+      """SELECT c.c_mktsegment AS c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val stream = Streams.eventsStream(s, dir)
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      Streams.runToTable(stream, "st4_mem", "complete")
+    },
+
+    // --- scalar-function breadth (§2.E: math / regexp / date / array /
+    // map categories, each against the DuckDB oracle) ---
+
+    // Math functions. sqrt/abs/ceil/floor are IEEE-exact across engines;
+    // ln is rounded to 6dp (libm implementations may differ in the last
+    // ULP).
+    QuerySpec(
+      "q32_math_fns",
+      """SELECT o_orderkey,
+        |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+        |  round(ln(o_totalprice), 6) AS ln_price,
+        |  abs(o_totalprice - 100000.0) AS abs_delta,
+        |  CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS ceil_k,
+        |  CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS floor_k
+        |FROM orders WHERE o_totalprice > 0""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).where(col("o_totalprice") > 0)
+        .select(col("o_orderkey"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrt_price"),
+          round(log(col("o_totalprice")), 6).as("ln_price"),
+          abs(col("o_totalprice") - 100000.0).as("abs_delta"),
+          ceil(col("o_totalprice") / 1000.0).cast("long").as("ceil_k"),
+          floor(col("o_totalprice") / 1000.0).cast("long").as("floor_k"))
+    },
+
+    // Regexp extraction/matching (Java regex vs RE2 agree on this
+    // conservative pattern subset).
+    QuerySpec(
+      "q33_regexp_fns",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  CAST(CASE WHEN regexp_matches(p_name, '[0-9]') THEN 1 ELSE 0 END AS BIGINT) AS has_digit,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        when(col("p_name").rlike("[0-9]"), 1L).otherwise(0L).as("has_digit"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("devoweled"))
+    },
+
+    // Date/time arithmetic on the event timestamps.
+    QuerySpec(
+      "q34_date_fns",
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y,
+        |  CAST(month(ts) AS BIGINT) AS m,
+        |  CAST(day(ts) AS BIGINT) AS d,
+        |  CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(ts AS DATE) + INTERVAL '7 days' AS week_later,
+        |  date_trunc('hour', ts) AS hour_start
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        year(col("ts")).cast("long").as("y"),
+        month(col("ts")).cast("long").as("m"),
+        dayofmonth(col("ts")).cast("long").as("d"),
+        hour(col("ts")).cast("long").as("h"),
+        (to_date(col("ts")) + expr("INTERVAL 7 DAYS")).cast("timestamp_ntz").as("week_later"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
+    },
+
+    // Array functions over tokenized text (sort/slice/contains/distinct).
+    QuerySpec(
+      "q35_array_fns",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |  list_sort(list_distinct(toks))[1:3] AS first3,
+        |  CAST(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS BIGINT) AS has_spark
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |      FROM documents) t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          slice(array_sort(array_distinct(col("toks"))), 1, 3).as("first3"),
+          when(array_contains(col("toks"), "spark"), 1L).otherwise(0L).as("has_spark"))
+    },
+
+    // Map column: parse the JSON props into map<string,long>, explode
+    // entries. (DuckDB side reads the same entries through its JSON
+    // functions — the harness props objects carry the single key "k".)
+    QuerySpec(
+      "q36_map_fns",
+      """SELECT event_id, 'k' AS map_key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS map_value
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("map_key", "map_value")))
+        .where(col("map_value").isNotNull)
     }
   )
 }
