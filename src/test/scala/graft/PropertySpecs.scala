@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Flatten, Relational}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY §5.2.3): flatten over arbitrary
+  * nested schemas, argmax-with-ties vs brute force, jaccard vs set math. */
+object FlattenProps extends Properties("Flatten") {
+
+  private val leafType: Gen[DataType] =
+    Gen.oneOf(LongType, StringType, DoubleType, BooleanType)
+
+  private val fieldName: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private def structGen(depth: Int): Gen[StructType] =
+    for {
+      n <- Gen.choose(1, 4)
+      names <- Gen.listOfN(n, fieldName).map(_.distinct)
+      fields <- Gen.sequence[List[StructField], StructField](names.map { nm =>
+        val dt: Gen[DataType] =
+          if (depth <= 0) leafType
+          else Gen.frequency(3 -> leafType, 1 -> structGen(depth - 1))
+        dt.map(StructField(nm, _))
+      })
+    } yield StructType(fields)
+
+  private def leafCount(s: StructType): Int = s.fields.map(_.dataType match {
+    case st: StructType => leafCount(st)
+    case _ => 1
+  }).sum
+
+  private def leafPaths(s: StructType, prefix: Seq[String] = Nil): Seq[Seq[String]] =
+    s.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case st: StructType => leafPaths(st, prefix :+ f.name)
+        case _ => Seq(prefix :+ f.name)
+      }
+    }
+
+  property("leaf count preserved") = forAll(structGen(3)) { schema =>
+    Flatten.flatColumns(schema).size == leafCount(schema)
+  }
+
+  property("flat names are sep-joined paths in order") = forAll(structGen(3)) { schema =>
+    val got = Flatten.flatColumns(schema, "_").map(_.toString)
+    val want = leafPaths(schema).map(_.mkString("_"))
+    // Column.toString renders `path AS alias`; compare the alias part.
+    got.map(_.split(" AS ").last.stripSuffix("`").stripPrefix("`")) == want
+  }
+
+  property("flat on already-flat schema is identity") = forAll(structGen(0)) { schema =>
+    Flatten.flatColumns(schema).map(_.toString.split(" AS ").last) ==
+      schema.fieldNames.toSeq
+  }
+}
+
+object RelationalProps extends Properties("Relational") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val rows: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.choose(-5L, 5L)))
+
+  property("argmaxWithTies equals brute force") = forAll(rows) { xs =>
+    val df = xs.toDF("k", "v")
+    val got = Relational.argmaxWithTies(df, col("v"))
+      .as[(String, Long)].collect().sorted.toSeq
+    val mx = xs.map(_._2).max
+    val want = xs.filter(_._2 == mx).sorted
+    Prop(got == want) :| s"got=$got want=$want"
+  }
+
+  private val tokenSets: Gen[(List[String], List[String])] = {
+    val toks = Gen.listOf(Gen.oneOf("x", "y", "z", "w", "v"))
+    Gen.zip(toks, toks)
+  }
+
+  property("jaccard equals set formula") = forAll(tokenSets) { case (a, b) =>
+    val df = Seq((a.distinct, b.distinct)).toDF("a", "b")
+    val got = df.select(Dedup.jaccard(col("a"), col("b")).as("j")).as[Double].head()
+    val (sa, sb) = (a.toSet, b.toSet)
+    val want =
+      if ((sa ++ sb).isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    Prop(math.abs(got - want) < 1e-9) :| s"got=$got want=$want"
+  }
+}
