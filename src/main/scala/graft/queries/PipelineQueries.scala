@@ -138,6 +138,25 @@ object PipelineQueries {
         emb.where(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
     },
 
+    // Per-label centroids via the custom typed Aggregator (UDAF surface):
+    // one dim-length buffer per label with map-side partial merge —
+    // shuffles one buffer per (label, partition) instead of rows × dim
+    // exploded tuples. Exploded per-dim means in the oracle.
+    QuerySpec(
+      "ss4_label_centroids",
+      """SELECT label, CAST(i AS BIGINT) AS dim,
+        |  round(avg(embedding[i]), 6) AS mean_x
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val vecMean = udaf(new graft.functions.VectorMean(64))
+      Tables.embeddings(s, dir)
+        .groupBy(col("label"))
+        .agg(vecMean(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "x")))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          round(col("x"), 6).as("mean_x"))
+    },
+
     // --- text analysis ---
 
     QuerySpec(

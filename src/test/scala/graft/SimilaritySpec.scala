@@ -60,6 +60,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_ < 10L)) // probe stayed in cluster-0 partition
   }
 
+  test("VectorMean aggregator: element-wise mean with partial merge") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
+    ).toDF("label", "v").repartition(3) // force partial buffers + merge
+    val vm = udaf(new graft.functions.VectorMean(2))
+    val out = df.groupBy(col("label")).agg(vm(col("v")).as("m"))
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(out(0) == Seq(2.0, 3.0))
+    assert(out(1) == Seq(10.0, 20.0))
+  }
+
   test("cosineNearDupPairs finds within-cluster pairs only at high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .select("id1", "id2").as[(Long, Long)].collect()
