@@ -1,0 +1,92 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd cosine similarity over two numeric array columns.
+  *
+  * The declarative formulation (`zip_with` + `aggregate` higher-order
+  * functions, see [[graft.operators.Similarity.cosine]]) is interpreted
+  * per element — measured as the dominant cost of brute-force similarity
+  * at sf0.1. This expression is the SURVEY §4.3 escalation path taken:
+  * one fused loop accumulating dot product and both norms, generated
+  * into whole-stage codegen (no boxing, no lambda dispatch), with an
+  * identical interpreted fallback.
+  *
+  * Semantics (bit-identical to the HOF formulation, so DuckDB oracles
+  * keep matching): elements are widened to double before multiplying;
+  * accumulation is sequential in index order; result is 0.0 when either
+  * norm is 0; vectors of unequal length compare over the common prefix;
+  * NULL if either input is NULL.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity requires array<float|double> inputs, " +
+          s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
+        else s"$a.getDouble(i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
+        else s"$b.getDouble(i)"
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int i = 0; i < $n; i++) {
+         |  double x = $lGet;
+         |  double y = $rGet;
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}

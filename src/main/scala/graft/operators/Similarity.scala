@@ -35,11 +35,25 @@ object Similarity {
   def l2Norm(v: Column): Column =
     sqrt(aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity in [-1, 1]; 0 when either side is a zero vector. */
+  /** Cosine similarity in [-1, 1]; 0 when either side is a zero vector.
+    * Declarative higher-order-function formulation — interpreted per
+    * element; kept as the readable reference implementation and the
+    * equivalence baseline for [[cosineFast]] in tests. */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** Codegen'd cosine similarity (custom Catalyst expression,
+    * [[graft.expressions.CosineSimilarity]]): one fused whole-stage-
+    * codegen loop, bit-identical results to [[cosine]]. Used by every
+    * similarity operator below — the HOF version measured as the
+    * dominant cost of brute-force search at sf0.1. */
+  def cosineFast(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.CosineSimilarity(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Exact top-k by cosine against a single query vector, supplied as a
     * 1-row DataFrame `(queryVecCol)` — broadcast, never collected to the
@@ -49,7 +63,7 @@ object Similarity {
       query: DataFrame, queryVecCol: String, k: Int): DataFrame =
     df.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .select(col(idCol),
-        round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+        round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
@@ -110,7 +124,7 @@ object Similarity {
       .select(col("__qv"), posexplode_outer(col("__qsigs")).as(Seq("__t", "__qsig")))
     data.join(broadcast(q),
         data("__t") === q("__t") && col("__sig") === col("__qsig"))
-      .select(col(idCol), round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .select(col(idCol), round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
       .groupBy(col(idCol)).agg(max(col("sim")).as("sim")) // dedup multi-table hits
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -136,7 +150,7 @@ object Similarity {
 
     val probes = centroids
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
-      .select(col(partCol), cosine(col("__centroid"), col("__qv")).as("__csim"))
+      .select(col(partCol), cosineFast(col("__centroid"), col("__qv")).as("__csim"))
       .orderBy(col("__csim").desc, col(partCol))
       .limit(nProbe)
       .select(col(partCol))
@@ -144,7 +158,7 @@ object Similarity {
     df.join(broadcast(probes), Seq(partCol))
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .select(col(idCol), col(partCol),
-        round(cosine(col(vecCol), col("__qv")), 6).as("sim"))
+        round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -159,7 +173,7 @@ object Similarity {
     val r = df.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
     l.join(broadcast(r), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        round(cosine(col("__v1"), col("__v2")), 6).as("cos_sim"))
+        round(cosineFast(col("__v1"), col("__v2")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
 }

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ↔ Catalyst Expression
+  * converters — the standard technique for Spark extension libraries
+  * that ship custom expressions (Spark 4 moved Column onto ColumnNode;
+  * `classic.ExpressionUtils` is the supported conversion point but is
+  * package-private). Single shim file; everything else stays in the
+  * `graft` packages. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

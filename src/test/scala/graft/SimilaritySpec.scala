@@ -60,6 +60,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_ < 10L)) // probe stayed in cluster-0 partition
   }
 
+  test("cosineFast (codegen expression) is bit-identical to the HOF cosine") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q)
+      .select(Similarity.cosine(col("embedding"), col("qv")).as("hof"),
+        Similarity.cosineFast(col("embedding"), col("qv")).as("gen"))
+      .where(col("hof") =!= col("gen"))
+    assert(both.count() == 0) // exact equality, not approximate
+    // Null propagation + zero-vector guard:
+    val edge = Seq(
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 1.0f))),
+      (None, Some(Seq(1.0f, 1.0f)))
+    ).toDF("a", "b")
+      .select(Similarity.cosineFast(col("a"), col("b")).as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(edge.toSeq == Seq(Some(0.0), None))
+  }
+
   test("VectorMean aggregator: element-wise mean with partial merge") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)), (1, Seq(10.0f, 20.0f))
