@@ -12,6 +12,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM warm-up at the smallest SF: first executions pay JIT +
+    // codegen + streaming-machinery init that has nothing to do with the
+    // per-query cost being measured. Representative shapes: hash/HOF
+    // pipeline, streaming aggregation, broadcast join chain.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      Seq("dd4_dedup_minhash_lsh", "st1_stream_tumbling", "q2_join_revenue_by_nation")
+        .foreach { name =>
+          try SparkEntry.queries(name)(spark, warmDir).count()
+          catch { case _: Throwable => () }
+        }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
