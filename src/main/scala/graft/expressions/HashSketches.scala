@@ -1,0 +1,277 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Shared deterministic mixing (SplitMix64, public-domain constants). */
+object Hashing {
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** The same mixer as inline-able Java source for codegen. */
+  val splitmixJava: String =
+    """private static long graft_mix(long z) {
+      |  z += 0x9E3779B97F4A7C15L;
+      |  z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+      |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+      |  return z ^ (z >>> 31);
+      |}""".stripMargin
+}
+
+/** MinHash band buckets as one fused codegen loop.
+  *
+  * Input: the staged base-hash array (`xxhash64` per shingle folded into
+  * [0, 2^31-1), see `Dedup.shingleBaseHashes`). Output: `bands` bucket
+  * keys, where bucket b mixes the `rowsPerBand` min-hashes owned by band
+  * b; min-hash i is `min over h of (a_i*h + b_i) mod 2^31-1` with
+  * SplitMix64-derived coefficients.
+  *
+  * Why a custom expression (SURVEY §4.3 escalation, second instance):
+  * the HOF formulation dispatches `bands × rowsPerBand × shingles`
+  * interpreted lambda calls per row — measured as the top bench cost
+  * after everything else was optimized. This loop touches each base hash
+  * once per signature row with zero dispatch, inside whole-stage
+  * codegen. Interpreted fallback is bit-identical.
+  *
+  * Empty input → all-zero buckets (matches the HOF guard's semantics).
+  */
+case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  private val n = bands * rowsPerBand
+  private val P31 = 2147483647L
+
+  // Universal-hash coefficients, derived deterministically on the driver;
+  // identical on every executor (pure function of the index).
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(Hashing.splitmix64(2L * i), P31 - 1) + 1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(Hashing.splitmix64(2L * i + 1), P31))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_buckets requires array<bigint>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val out = new Array[Long](bands)
+    if (m > 0) {
+      val mins = Array.fill(n)(Long.MaxValue)
+      var j = 0
+      while (j < m) {
+        val h = hs.getLong(j)
+        var i = 0
+        while (i < n) {
+          val v = (as(i) * h + bs(i)) % P31
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      var b = 0
+      while (b < bands) {
+        var acc = 1125899906842597L + b
+        var r = 0
+        while (r < rowsPerBand) {
+          acc = Hashing.splitmix64(acc ^ mins(b * rowsPerBand + r))
+          r += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    ctx.addNewFunction("graft_mix", Hashing.splitmixJava)
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, hs => {
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("out")
+      s"""
+         |int $m = $hs.numElements();
+         |long[] $out = new long[$bands];
+         |if ($m > 0) {
+         |  long[] $mins = new long[$n];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int j = 0; j < $m; j++) {
+         |    long h = $hs.getLong(j);
+         |    for (int i = 0; i < $n; i++) {
+         |      long v = ($asRef[i] * h + $bsRef[i]) % ${P31}L;
+         |      if (v < $mins[i]) $mins[i] = v;
+         |    }
+         |  }
+         |  for (int b = 0; b < $bands; b++) {
+         |    long acc = 1125899906842597L + b;
+         |    for (int r = 0; r < $rowsPerBand; r++) {
+         |      acc = graft_mix(acc ^ $mins[b * $rowsPerBand + r]);
+         |    }
+         |    $out[b] = acc;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandBuckets =
+    copy(child = newChild)
+}
+
+/** Distinct character k-shingle hashes, computed directly from the
+  * string bytes: slide a k-byte window, hash it (31-polynomial →
+  * SplitMix64 finalizer → folded into [0, 2^31-1) for downstream
+  * universal hashing), sort, deduplicate. Output: sorted distinct
+  * `array<bigint>`.
+  *
+  * This replaces `shingles` + `shingleBaseHashes` for the MinHash
+  * pipeline: the ~`len` shingle *strings* per row never materialize, and
+  * everything downstream (bucketing, exact-Jaccard verification via
+  * `array_intersect`) operates on longs — so no shuffle in the near-dup
+  * pipeline ever carries text. Hash-set Jaccard equals string-set
+  * Jaccard up to 2^-31 collision probability per pair (negligible at any
+  * realistic shingle count).
+  *
+  * Byte windows ≡ char windows for the ASCII output of
+  * `TextAnalysis.normalizeText`; arbitrary UTF-8 still hashes
+  * deterministically (windows are byte-aligned). Strings shorter than k
+  * hash as a single window; empty → empty array. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires string, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    new GenericArrayData(ShingleHashes.hashWindows(bytes, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.ShingleHashes.hashWindows($bytes, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val P31 = 2147483647L
+
+  /** Shared kernel for eval and codegen paths (static, JIT-friendly). */
+  def hashWindows(bytes: Array[Byte], k: Int): Array[Long] = {
+    val len = bytes.length
+    if (len == 0) return Array.emptyLongArray
+    val nWin = math.max(len - k + 1, 1)
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var h = 1125899906842597L
+      val end = math.min(i + k, len)
+      var j = i
+      while (j < end) { h = 31 * h + bytes(j); j += 1 }
+      out(i) = Math.floorMod(Hashing.splitmix64(h), P31)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place unique-compact
+    var w = 1
+    var r = 1
+    while (r < nWin) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    if (w == nWin) out else java.util.Arrays.copyOf(out, w)
+  }
+}
+
+/** 64-bit SimHash over a pre-hashed token array, as one fused codegen
+  * loop: counter per bit, +1/-1 by bit value, sign → signature bit.
+  * Same escalation rationale as [[MinHashBandBuckets]]; bit-identical to
+  * the HOF formulation in `Dedup.simhash`. Empty input → 0L. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    val cnt = new Array[Int](64)
+    var j = 0
+    while (j < m) {
+      val h = hs.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val m = ctx.freshName("m")
+      val cnt = ctx.freshName("cnt")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $m = $hs.numElements();
+         |int[] $cnt = new int[64];
+         |for (int j = 0; j < $m; j++) {
+         |  long h = $hs.getLong(j);
+         |  for (int b = 0; b < 64; b++) {
+         |    if (((h >>> b) & 1L) == 1L) $cnt[b]++; else $cnt[b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int b = 0; b < 64; b++) {
+         |  if ($cnt[b] > 0) $sig |= (1L << b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

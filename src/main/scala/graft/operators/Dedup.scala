@@ -124,6 +124,20 @@ object Dedup {
     when(size(baseHashes) === 0, typedLit(Seq.fill(bands)(0L))).otherwise(core)
   }
 
+  /** Codegen'd band buckets (SURVEY §4.3 escalation:
+    * [[graft.expressions.MinHashBandBuckets]]) — the production path;
+    * [[lshBucketsFromHashes]] above is the declarative reference. */
+  def bucketsExpr(baseHashes: Column, bands: Int, rowsPerBand: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashBandBuckets(
+        org.apache.spark.sql.GraftColumnBridge.expression(baseHashes), bands, rowsPerBand))
+
+  /** Codegen'd SimHash ([[graft.expressions.SimHash64]]). */
+  def simhashExpr(tokenHashes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokenHashes)))
+
   /** Candidate pairs (id1 < id2) from LSH buckets.
     *
     * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs that
@@ -174,24 +188,36 @@ object Dedup {
     // it evaluates once per row — see the evaluation contract on
     // `shingles`. fanOut spreads the CPU-heavy signature stage across
     // cores even when the scan yields a single partition.
+    //
+    // The whole pipeline operates on shingle HASH sets
+    // (graft.expressions.ShingleHashes): shingle strings never
+    // materialize, and neither the bucket shuffle nor the verification
+    // join ever carries text — only long arrays. Exact Jaccard on hash
+    // sets equals string-set Jaccard up to 2^-31 collisions.
     val base = graft.Tables.fanOut(
         df.select(col(idCol).as("__id"),
           TextAnalysis.normalizeText(col(textCol)).as("__norm")))
-      .select(col("__id"), shingles(col("__norm"), shingleK).as("__sh"))
+      .select(col("__id"), shingleHashesExpr(col("__norm"), shingleK).as("__h"))
     val sigs = base
-      .select(col("__id"), col("__sh"), shingleBaseHashes(col("__sh")).as("__h"))
-      .select(col("__id"), col("__sh"),
-        lshBucketsFromHashes(col("__h"), bands, rowsPerBand).as("__buckets"))
+      .select(col("__id"), col("__h"),
+        bucketsExpr(col("__h"), bands, rowsPerBand).as("__buckets"))
     val cands = lshCandidatePairs(
       sigs.select(col("__id"), col("__buckets")), "__id", "__buckets", maxBucketSize)
-    val sets = sigs.select(col("__id"), col("__sh"))
+    val sets = sigs.select(col("__id"), col("__h"))
     cands
-      .join(sets.select(col("__id").as("id1"), col("__sh").as("__sh1")), "id1")
-      .join(sets.select(col("__id").as("id2"), col("__sh").as("__sh2")), "id2")
+      .join(sets.select(col("__id").as("id1"), col("__h").as("__h1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__h").as("__h2")), "id2")
       .select(col("id1"), col("id2"),
-        round(jaccard(col("__sh1"), col("__sh2")), 4).as("jaccard"))
+        round(jaccard(col("__h1"), col("__h2")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Codegen'd distinct shingle-hash set
+    * ([[graft.expressions.ShingleHashes]]). */
+  def shingleHashesExpr(normText: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.ShingleHashes(
+        org.apache.spark.sql.GraftColumnBridge.expression(normText), k))
 
   /** 64-bit SimHash over pre-hashed tokens (`tokenHashes` = staged
     * `transform(toks, xxhash64)` column): bit b is set iff the sum over
@@ -223,7 +249,7 @@ object Dedup {
         df.select(col(idCol).as("__id"),
           TextAnalysis.tokens(col(textCol)).as("__toks")))
       .select(col("__id"), transform(col("__toks"), t => xxhash64(t)).as("__th"))
-      .select(col("__id"), simhash(col("__th")).as("__sig"))
+      .select(col("__id"), simhashExpr(col("__th")).as("__sig"))
     val chunked = sigs.select(col("__id"), col("__sig"),
       transform(sequence(lit(0), lit(3)),
         c => call_function("shiftright", col("__sig"), c * lit(16))

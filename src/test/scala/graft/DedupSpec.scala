@@ -61,6 +61,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set("a ", " b"))
   }
 
+  test("shingleHashesExpr: sorted distinct hash per shingle, empty-safe") {
+    val out = Seq("a b", "").toDF("text")
+      .select(Dedup.shingleHashesExpr(col("text"), 2).as("h"))
+      .as[Seq[Long]].collect()
+    assert(out(0).size == 2) // {"a ", " b"} -> 2 distinct hashes
+    assert(out(0) == out(0).sorted)
+    assert(out(1).isEmpty)
+    // Deterministic across evaluations:
+    val again = Seq("a b").toDF("text")
+      .select(Dedup.shingleHashesExpr(col("text"), 2).as("h")).as[Seq[Long]].head()
+    assert(again == out(0))
+  }
+
   test("jaccard column on known sets") {
     val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
       .select(Dedup.jaccard(col("x"), col("y")).as("j")).as[Double].head()
