@@ -276,6 +276,42 @@ object ExtQueries {
           when(array_contains(col("toks"), "spark"), 1L).otherwise(0L).as("has_spark"))
     },
 
+    // Explicit GROUPING SETS (beyond rollup/cube) through the SQL front
+    // door, with grouping() flags disambiguating NULL-as-total from
+    // NULL-as-value.
+    QuerySpec(
+      "q37_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
+    // IN / NOT IN subqueries (rewritten by Catalyst to semi/anti joins —
+    // the SQL-form counterpart of q5/q6).
+    QuerySpec(
+      "q38_in_subquery",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+        |  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.09)""".stripMargin) { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("supplier_in")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_in")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier_in
+          |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem_in WHERE l_quantity > 49)
+          |  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem_in WHERE l_discount > 0.09)""".stripMargin)
+    },
+
     // Map column: parse the JSON props into map<string,long>, explode
     // entries. (DuckDB side reads the same entries through its JSON
     // functions — the harness props objects carry the single key "k".)
