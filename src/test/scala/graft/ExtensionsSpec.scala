@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL front door for the custom expressions (GraftExtensions). */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("cosine_similarity usable from SQL, equals DataFrame path") {
+    Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)), (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sql = spark.sql("SELECT cosine_similarity(a, b) AS c FROM vecs")
+      .as[Double].collect().toSeq
+    assert(sql == Seq(1.0, 0.0))
+  }
+
+  test("shingle_hashes and minhash_band_buckets compose in SQL") {
+    Seq("the quick brown fox", "the quick brown fox", "something else entirely")
+      .toDF("text").createOrReplaceTempView("docs")
+    val rows = spark.sql(
+      """SELECT minhash_band_buckets(shingle_hashes(text, 5), 4, 4) AS b
+        |FROM docs""".stripMargin).as[Seq[Long]].collect()
+    assert(rows(0) == rows(1)) // identical text -> identical buckets
+    assert(rows(0) != rows(2))
+    assert(rows(0).size == 4)
+  }
+
+  test("simhash64 from SQL on hashed tokens") {
+    val sig = spark.sql(
+      "SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS s")
+      .as[Long].head()
+    val again = spark.sql(
+      "SELECT simhash64(array(xxhash64('a'), xxhash64('b'))) AS s")
+      .as[Long].head()
+    assert(sig == again && sig != 0L)
+  }
+
+  test("builder arity and literal checks") {
+    intercept[Exception] {
+      spark.sql("SELECT cosine_similarity(array(1.0))").collect()
+    }
+  }
+}
