@@ -48,6 +48,29 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
 
+  /** Skew-mitigating salted equi-join (inner). The hot side's key is
+    * salted with a deterministic hash of `saltOn` (a high-cardinality
+    * column of `left`), the build side is replicated once per salt value,
+    * and the join key becomes (key, salt) — a hot key's rows spread over
+    * `saltFactor` reducers instead of one. Result set is identical to the
+    * plain join (verified against the unsalted oracle).
+    *
+    * When to use: only when one reduce key dominates (power-law keys at
+    * 100 TB) AND AQE's skew-join split (on by default in Spark 4) is not
+    * applicable — e.g. the skew appears in a grouped aggregation feeding
+    * the join, or the join is not sort-merge. Costs `saltFactor`× the
+    * build side's shuffle volume; keep the build side the small one. */
+  def saltedJoin(left: DataFrame, leftKey: String, saltOn: String,
+      right: DataFrame, rightKey: String, saltFactor: Int): DataFrame = {
+    val salted = left.withColumn("__salt", pmod(xxhash64(col(saltOn)), lit(saltFactor)))
+    val replicated = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated,
+        salted(leftKey) === replicated(rightKey) && salted("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
+
   /** As-of join: attach to every left row the payload of the latest right
     * row with `rightTime <= leftTime` for the same key (NULLs when no such
     * row). Spark has no built-in; the classic theta-join formulation

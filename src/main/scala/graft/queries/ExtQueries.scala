@@ -312,6 +312,26 @@ object ExtQueries {
           |  AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem_in WHERE l_discount > 0.09)""".stripMargin)
     },
 
+    // Salted skew join: events (hot side, salted on event_id) x customer
+    // (build side, replicated per salt) — result provably identical to
+    // the plain join the oracle runs. The technique for power-law keys
+    // when AQE's skew split doesn't apply.
+    QuerySpec(
+      "q39_salted_join",
+      """SELECT c.c_mktsegment AS c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Relational.saltedJoin(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+          "user_id", "event_id",
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+          "c_custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
+
     // Map column: parse the JSON props into map<string,long>, explode
     // entries. (DuckDB side reads the same entries through its JSON
     // functions — the harness props objects carry the single key "k".)

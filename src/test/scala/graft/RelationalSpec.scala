@@ -34,6 +34,19 @@ class RelationalSpec extends SparkSpec {
     assert(dups == Map(2L -> 2L, 3L -> 3L))
   }
 
+  test("saltedJoin returns exactly the plain join's rows (incl. skewed key)") {
+    // 90% of left rows share key 1 — the skew case salting targets.
+    val left = ((1 to 90).map(i => (1L, i.toLong)) ++ Seq((2L, 91L), (3L, 92L)))
+      .toDF("k", "payload")
+    val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("rk", "name")
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = Relational.saltedJoin(left, "k", "payload", right, "rk", 4)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    assert(plain.count(_._1 == 1L) == 90)
+  }
+
   test("asofJoin picks latest right row at or before left time, null when none") {
     val left = Seq(
       (1L, 1L, 5L), // key 1 at t=5  -> right (1, t=3) price 30

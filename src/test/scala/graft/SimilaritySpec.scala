@@ -90,6 +90,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == Seq(10.0, 20.0))
   }
 
+  test("ANN recall@10 vs brute force on harness embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.annTopK(emb, "vec_id", "embedding", 64, q, "embedding", 10,
+      nPlanes = 5, nTables = 6).select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q, "embedding", 10,
+      nProbe = 3).select("vec_id").as[Long].collect().toSet
+    // Approximate methods: require meaningful (not perfect) recall, and
+    // always the query itself.
+    assert(lsh.contains(0L) && (lsh & exact).size >= 3, s"lsh recall ${(lsh & exact).size}")
+    assert(ivf.contains(0L) && (ivf & exact).size >= 3, s"ivf recall ${(ivf & exact).size}")
+  }
+
   test("cosineNearDupPairs finds within-cluster pairs only at high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .select("id1", "id2").as[(Long, Long)].collect()
