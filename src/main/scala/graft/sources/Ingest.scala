@@ -94,6 +94,19 @@ object Ingest {
       .option("truncate", value = true)
       .jdbc(url, table, props)
 
+  /** Bucketed table write: co-locates rows by `key` into `numBuckets`
+    * per-bucket files registered in the session catalog. Two tables
+    * bucketed the same way join WITHOUT a shuffle (both sides'
+    * `outputPartitioning` already satisfies the join's distribution) —
+    * the standard trade for fact-to-fact joins repeated at 100 TB:
+    * pay one shuffle at write time, skip it on every subsequent join.
+    * Requires `saveAsTable` (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   /** Multi-table star load with FK write-order discipline (O4,
     * `dags/users_etl.py:140-159`): parents (addresses, companies) land
     * before the child (users), each table an atomic overwrite. Spark has

@@ -49,6 +49,32 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Ingest.writeBucketed(a, "graft_bucketed_a", "k", 4)
+    Ingest.writeBucketed(b, "graft_bucketed_b", "k", 4)
+    // Force a non-broadcast join so the assertion proves bucketing (a
+    // broadcast join is shuffle-free for the wrong reason).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_bucketed_a")
+        .join(spark.table("graft_bucketed_b"), "k")
+      assert(joined.count() == 100)
+      // Co-located buckets satisfy the join's required distribution: no
+      // shuffle exchange anywhere in the physical plan.
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+    }
+  }
+
   test("writeStar end-to-end: normalize -> load -> integrity holds on reload") {
     val dir = Files.createTempDirectory("graft_star").toFile.getAbsolutePath
     val raw = Ingest.readJsonString(spark, payload)
