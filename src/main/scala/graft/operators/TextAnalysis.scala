@@ -83,8 +83,16 @@ object TextAnalysis {
     * tokens) map-side work, no shuffle, no broadcast state. A production
     * fastText-style model would slot in behind the same Column contract.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column =
+    langIdFromParts(tokens(text), cjkCharCount(text))
+
+  /** Staged form of [[langId]]: callers doing per-document work at scale
+    * should tokenize once (`.select(tokens(text).as("toks"), ...)`) and
+    * pass the attributes here — the score CASE chain references its
+    * inputs many times, and only attribute references are free
+    * (re-tokenizing per reference is the HOF-staging trap; see the
+    * `Dedup.shingles` contract). */
+  def langIdFromParts(toks: Column, cjkCount: Column): Column = {
     val scores = langStopwords.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isInCollection(words)))
     }
@@ -94,7 +102,7 @@ object TextAnalysis {
     val chain = scores.foldRight(lit("und"): Column) { case ((lang, score), el) =>
       when(score === maxScore && score > 0, lit(lang)).otherwise(el)
     }
-    when(cjkCharCount(text) > 0, lit("zh")).otherwise(chain)
+    when(cjkCount > 0, lit("zh")).otherwise(chain)
   }
 
   /** Canonical text normalization for fingerprinting/dedup: lowercase,

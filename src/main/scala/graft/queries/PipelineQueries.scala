@@ -231,7 +231,11 @@ object PipelineQueries {
          |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.fanOut(Tables.documents(s, dir).select("lang", "text"))
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .select(col("lang"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.cjkCharCount(col("text")).as("__cjk"))
+        .select(col("lang"),
+          TextAnalysis.langIdFromParts(col("__toks"), col("__cjk")).as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     },
