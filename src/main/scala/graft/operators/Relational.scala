@@ -37,9 +37,13 @@ object Relational {
     * (`/root/reference/sql/blog_post_definitions.sql:44-53,62-67,76-81`).
     * Empty result ⇔ integrity holds. NULL fks are not orphans (SQL FK
     * semantics: NULL is exempt). */
-  def fkOrphans(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+  def fkOrphans(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
+    // Alias the parent key so a child column with the same name (e.g.
+    // posts.id vs users.id) can't make the join condition ambiguous.
+    val parentKeys = parent.select(col(pk).as("__graft_pk"))
     child.where(col(fk).isNotNull)
-      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      .join(parentKeys, col(fk) === col("__graft_pk"), "left_anti")
+  }
 
   /** Primary-key violation rows: `pk` values occurring more than once.
     * Empty result ⇔ uniqueness holds. */
