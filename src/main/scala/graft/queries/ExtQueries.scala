@@ -198,6 +198,30 @@ object ExtQueries {
       Streams.runToTable(stream, "st4_mem", "complete")
     },
 
+    // Stream-stream inner join with watermarks and a time-range bound
+    // (the join Structured Streaming requires the bound for — state on
+    // both sides is evicted past the watermark). AvailableNow over the
+    // static file makes the result equal the batch join the oracle runs.
+    QuerySpec(
+      "st5_stream_stream_join",
+      """SELECT a.event_id AS event_id, b.event_id AS next_event_id
+        |FROM events a JOIN events b
+        |  ON b.user_id = a.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL '1 hour'""".stripMargin) { (s, dir) =>
+      val left = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+      val right = Streams.eventsStream(s, dir)
+        .select(col("event_id").as("next_event_id"), col("user_id").as("r_user_id"),
+          col("ts").as("r_ts"))
+        .withWatermark("r_ts", "2 hours")
+      val joined = left.join(right,
+        col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("next_event_id"))
+      Streams.runToTable(joined, "st5_mem", "append")
+    },
+
     // --- scalar-function breadth (§2.E: math / regexp / date / array /
     // map categories, each against the DuckDB oracle) ---
 

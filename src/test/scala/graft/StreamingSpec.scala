@@ -78,6 +78,27 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(0), ts(5), 1L)))
   }
 
+  test("streaming session windows merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = Streams.sessionCounts(
+      mem.toDF().withWatermark("ts", "1 hour"), "5 minutes")
+    val q = agg.writeStream.format("memory").queryName("t_sess")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq(ev(1, 0), ev(2, 4)))
+      q.processAllAvailable()
+      // Batch 2 extends the open session (8 within gap of 4) and starts
+      // a new one at 30 — state merged across micro-batches.
+      mem.addData(Seq(ev(3, 8), ev(4, 30)))
+      q.processAllAvailable()
+      val out = spark.table("t_sess")
+        .select(col("session_start").cast("timestamp"), col("n"))
+        .as[(Timestamp, Long)].collect().toSet
+      assert(out == Set((ts(0), 3L), (ts(30), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each id once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
