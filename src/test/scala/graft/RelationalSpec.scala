@@ -47,6 +47,19 @@ class RelationalSpec extends SparkSpec {
     assert(plain.count(_._1 == 1L) == 90)
   }
 
+  test("approx_count_distinct within HLL++ error bound of exact") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val rows = events.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx"),
+        countDistinct(col("user_id")).as("exact"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"$t: approx=$approx exact=$exact")
+    }
+  }
+
   test("asofJoin picks latest right row at or before left time, null when none") {
     val left = Seq(
       (1L, 1L, 5L), // key 1 at t=5  -> right (1, t=3) price 30

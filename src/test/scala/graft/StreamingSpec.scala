@@ -99,6 +99,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state via flatMapGroupsWithState: running count per user") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = mem.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator((user, total))
+      }.toDF("user_id", "running_n")
+    val q = counts.writeStream.format("memory").queryName("t_state")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq(ev(1, 0), ev(2, 1), ev(3, 2, user = 2)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(4, 3), ev(5, 4, user = 3)))
+      q.processAllAvailable()
+      val rows = spark.table("t_state").as[(Long, Long)].collect().toSeq
+      // Batch 1: user1 -> 2, user2 -> 1; batch 2: user1 -> 3 (state
+      // carried), user3 -> 1.
+      assert(rows.toSet == Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each id once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
