@@ -258,6 +258,49 @@ object PipelineQueries {
         TextAnalysis.rollingHash(col("text")).as("fp64"))
     },
 
+    // Capstone composition — the actual corpus-curation shape: language
+    // filter + quality floor + fingerprint dedup (keep lowest doc_id per
+    // duplicate group), end to end in one declarative plan.
+    QuerySpec(
+      "tx6_curation_pipeline",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS alpha,
+         |    len(list_filter($duckToks, t -> list_contains(
+         |      ['the','a','and','of','to','in','is','you','that','it'], t))) AS hits,
+         |    len($duckToks) AS n_toks
+         |  FROM documents WHERE length(text) > 0),
+         |quality AS (
+         |  SELECT doc_id, lang, fp,
+         |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
+         |      + alpha * 0.4
+         |      + least(CAST(hits AS DOUBLE) / n_toks * 5.0, 1.0) * 0.3 AS q,
+         |    CASE WHEN hits > 0 THEN 1 ELSE 0 END AS en_hit
+         |  FROM scored),
+         |kept AS (
+         |  SELECT doc_id, fp,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM quality WHERE q >= 0.5 AND en_hit = 1)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM kept WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "lang", "text"))
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.stopwordRatio(col("text")).as("swr"))
+      scored
+        .where(col("q") >= 0.5 && col("swr") > 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- multimodal columns ---
 
     // Columnar payload stats — no decode needed (bytes stay in the scan).
