@@ -102,12 +102,15 @@ object Relational {
     val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
     val leftCols = left.columns.toSeq
 
+    // Key columns unify on the LEFT key's type (works for any key type —
+    // a fixed numeric cast would null out string keys).
+    val keyType = left.schema(leftKey).dataType
     val lPart = left.select(
-      Seq(col(leftKey).cast("long").as("__k"), col(leftTime).as("__t"), lit(1).as("__tag")) ++
+      Seq(col(leftKey).cast(keyType).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag")) ++
         leftCols.map(col) ++
         payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val rPart = right.select(
-      Seq(col(rightKey).cast("long").as("__k"), col(rightTime).as("__t"), lit(0).as("__tag")) ++
+      Seq(col(rightKey).cast(keyType).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payloadCols.map(col): _*)
 

@@ -198,6 +198,21 @@ object ExtQueries {
       Streams.runToTable(stream, "st4_mem", "complete")
     },
 
+    // dropDuplicatesWithinWatermark: dedup state keyed only on the id
+    // columns, evictable once older than the watermark — the practical
+    // streaming dedup when event-time skew between duplicates is bounded
+    // (plain dropDuplicates keys state forever without event time).
+    QuerySpec(
+      "st6_stream_dedup_within_watermark",
+      "SELECT DISTINCT event_id, user_id FROM events") { (s, dir) =>
+      Streams.runToTable(
+        Streams.eventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id", "user_id")
+          .select(col("event_id"), col("user_id")),
+        "st6_mem", "append")
+    },
+
     // Stream-stream inner join with watermarks and a time-range bound
     // (the join Structured Streaming requires the bound for — state on
     // both sides is evicted past the watermark). AvailableNow over the

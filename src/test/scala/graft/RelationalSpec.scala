@@ -77,4 +77,13 @@ class RelationalSpec extends SparkSpec {
     assert(out == Map(
       1L -> Some(30L), 2L -> Some(30L), 3L -> Some(10L), 4L -> None, 5L -> None))
   }
+
+  test("asofJoin works with string keys") {
+    val left = Seq(("u1", 5L), ("u2", 5L)).toDF("k", "t")
+    val right = Seq(("u1", 1L, 7L)).toDF("rk", "rt", "payload")
+    val out = Relational.asofJoin(left, "k", "t", right, "rk", "rt")
+      .select("k", "payload").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out == Map("u1" -> Some(7L), "u2" -> None))
+  }
 }
