@@ -26,23 +26,37 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  // Memo of loaded logical plans per (session, dir, table): DataFrames
+  // Memo of loaded logical plans per session and (dir, table): DataFrames
   // are immutable plan handles, so reuse is safe, and it skips the
   // repeated file-listing + footer-read that `spark.read.parquet` pays on
-  // every call (measurable across a 55-query bench run; irrelevant at
-  // 100 TB where a table is read once per query, so this is harness
-  // hygiene, not an execution-path optimization).
-  private val loadMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // every call (measurable across the bench run; irrelevant at 100 TB
+  // where a table is read once per query, so this is harness hygiene,
+  // not an execution-path optimization). Weakly keyed on the session so
+  // short-lived sessions (test suites) can be collected.
+  private val loadMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    loadMemo.computeIfAbsent((spark, dir, name),
-      _ => doLoad(spark, dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = loadMemo.synchronized {
+      var m = loadMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        loadMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name), _ => doLoad(spark, dir, name))
+  }
 
   private def doLoad(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Session conf, not a per-read option — lets the scan map parquet
-    // TIMESTAMP(NANOS) to LongType instead of failing.
+    // TIMESTAMP(NANOS) to LongType instead of failing. UTC is required
+    // for the epoch→NTZ cast below to be the identity — set it too, so
+    // driver-constructed sessions on non-UTC machines read the same
+    // wall-clock values the oracle does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     nanosTimestampCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       df.schema(c).dataType match {

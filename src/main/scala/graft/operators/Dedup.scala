@@ -198,9 +198,16 @@ object Dedup {
         df.select(col(idCol).as("__id"),
           TextAnalysis.normalizeText(col(textCol)).as("__norm")))
       .select(col("__id"), shingleHashesExpr(col("__norm"), shingleK).as("__h"))
+    // Persist the signature table: it feeds three plan branches (bucket
+    // generation + both sides of the verification join), and without a
+    // materialization point Spark re-derives the normalize+hash scan —
+    // the pipeline's most expensive kernel — once per branch. Hash sets
+    // are ~8 bytes/shingle, orders of magnitude smaller than the text,
+    // so MEMORY_AND_DISK is the right trade at any corpus size.
     val sigs = base
       .select(col("__id"), col("__h"),
         bucketsExpr(col("__h"), bands, rowsPerBand).as("__buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidatePairs(
       sigs.select(col("__id"), col("__buckets")), "__id", "__buckets", maxBucketSize)
     val sets = sigs.select(col("__id"), col("__h"))

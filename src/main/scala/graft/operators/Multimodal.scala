@@ -51,10 +51,15 @@ object Multimodal {
   /** "Frame sampling": every `stride`-th byte of the payload (for video,
     * this is every n-th frame; the slicing pattern is identical). Pure
     * columnar — no decode needed to subset the payload. */
-  def frameSample(media: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
-    filter(transform(sequence(lit(1), octet_length(media)),
+  def frameSample(media: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column = {
+    val sampled = filter(transform(sequence(lit(1), octet_length(media)),
         i => when(pmod(i - 1, lit(stride)) === 0, substr(media, i, lit(1)))),
       b => b.isNotNull)
+    // Guard the empty payload: sequence(1, 0) runs DESCENDING in Spark
+    // (default step -1), which would emit spurious empty-byte frames.
+    when(octet_length(media) === 0,
+      typedLit(Seq.empty[Array[Byte]])).otherwise(sampled)
+  }
 
   /** Decoded feature record: fixed-width vector + payload stats. */
   final case class MediaFeatures(

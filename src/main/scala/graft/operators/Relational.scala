@@ -116,10 +116,18 @@ object Relational {
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Carry the payload as ONE struct: `last(ignoreNulls)` per column
+    // would stitch together values from different right rows whenever a
+    // right row holds a genuine NULL (ASOF must attach the latest right
+    // row as-is, NULL fields included). Right rows carry a non-null
+    // struct; left rows carry NULL, so the last non-null struct IS the
+    // latest whole right row.
+    val payloadStruct = when(col("__tag") === 0,
+      struct(payloadCols.map(col): _*)).otherwise(lit(null))
     lPart.unionByName(rPart)
-      .select(Seq(col("__tag")) ++ leftCols.map(col) ++
-        payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("__payload", last(payloadStruct, ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .drop("__tag")
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

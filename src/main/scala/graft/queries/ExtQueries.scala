@@ -60,7 +60,7 @@ object ExtQueries {
     QuerySpec(
       "q28_session_window",
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
         |         THEN 1 ELSE 0 END AS new_s
@@ -68,7 +68,7 @@ object ExtQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start,

@@ -189,10 +189,12 @@ object PipelineQueries {
          |  FROM documents WHERE length(text) > 0)
          |SELECT doc_id,
          |  CAST(floor(alpha * 10000 + 0.5) AS BIGINT) AS alpha_bp,
-         |  CAST(floor(CAST(hits AS DOUBLE) / len(toks) * 10000 + 0.5) AS BIGINT) AS stopword_bp,
+         |  CAST(floor(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(hits AS DOUBLE) / len(toks) END * 10000 + 0.5) AS BIGINT) AS stopword_bp,
          |  CAST(floor((least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.3
          |    + alpha * 0.4
-         |    + least(CAST(hits AS DOUBLE) / len(toks) * 5.0, 1.0) * 0.3) * 10000 + 0.5)
+         |    + least(CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE CAST(hits AS DOUBLE) / len(toks) END * 5.0, 1.0) * 0.3) * 10000 + 0.5)
          |    AS BIGINT) AS quality_bp
          |FROM t""".stripMargin) { (s, dir) =>
       def bp(c: org.apache.spark.sql.Column) =

@@ -42,8 +42,14 @@ object Ingest {
     * Plain JDK HTTP; no Spark involvement by design. */
   def fetchJson(url: String, retries: Int = 1, retryDelayMs: Long = 1000): String = {
     require(retries >= 0, s"retries must be >= 0, got $retries")
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    // Explicit timeouts: a server that accepts the connection but never
+    // responds must fall through to the retry loop, not hang forever.
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30))
+      .GET().build()
     var attempt = 0
     var result: Option[String] = None
     var lastErr: Throwable = new RuntimeException(s"fetchJson($url): no attempt made")
@@ -76,10 +82,12 @@ object Ingest {
     * row cap. At scale use [[writeNdjson]]: splittable on read, parallel
     * on write (the reference's own NDJSON branch is the scale hint). */
   def writeJsonArray(df: DataFrame, path: String, maxRows: Long = 1000000L): Unit = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"writeJsonArray is a driver-side collect ($n rows > cap $maxRows); use writeNdjson at scale")
-    val blob = df.toJSON.collect().mkString("[", ",", "]")
+    // Single bounded job: take cap+1 and fail on overflow, instead of a
+    // separate count() pass followed by an unbounded collect().
+    val rows = df.toJSON.take(math.min(maxRows, Int.MaxValue - 1).toInt + 1)
+    require(rows.length <= maxRows,
+      s"writeJsonArray is a driver-side collect (> cap $maxRows rows); use writeNdjson at scale")
+    val blob = rows.mkString("[", ",", "]")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       blob.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -45,4 +45,12 @@ class MultimodalSpec extends SparkSpec {
     // "hello world" bytes at offsets 0,4,8 -> h, o, r
     assert(sampled.map(b => new String(b)) == Seq("h", "o", "r"))
   }
+
+  test("frameSample of an empty payload is an empty array") {
+    val sampled = Multimodal.attachFakeMedia(docs)
+      .where(col("doc_id") === 1) // text = ""
+      .select(Multimodal.frameSample(col("media"), 4).as("frames"))
+      .as[Seq[Array[Byte]]].head()
+    assert(sampled.isEmpty)
+  }
 }

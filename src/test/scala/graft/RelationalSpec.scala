@@ -78,6 +78,21 @@ class RelationalSpec extends SparkSpec {
       1L -> Some(30L), 2L -> Some(30L), 3L -> Some(10L), 4L -> None, 5L -> None))
   }
 
+  test("asofJoin attaches the latest right row as-is, NULL fields included") {
+    // Latest right row has a genuinely-NULL field: per-column
+    // last(ignoreNulls) would stitch a=5 from the older row; correct
+    // ASOF semantics give (a=NULL, b=7).
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 1L, Some(5L), Some(8L)),
+      (1L, 2L, Option.empty[Long], Some(7L))
+    ).toDF("rk", "rt", "a", "b")
+    val row = Relational.asofJoin(left, "k", "t", right, "rk", "rt")
+      .select("a", "b").collect().head
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) == 7L)
+  }
+
   test("asofJoin works with string keys") {
     val left = Seq(("u1", 5L), ("u2", 5L)).toDF("k", "t")
     val right = Seq(("u1", 1L, 7L)).toDF("rk", "rt", "payload")
