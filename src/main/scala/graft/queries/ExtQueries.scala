@@ -379,7 +379,7 @@ object ExtQueries {
       """SELECT event_id, 'k' AS map_key,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS map_value
         |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir)
+      Tables.fanOut(Tables.events(s, dir).select("event_id", "props"))
         .select(col("event_id"),
           from_json(col("props"),
             org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))

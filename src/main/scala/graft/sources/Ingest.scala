@@ -69,6 +69,40 @@ object Ingest {
   def writeNdjson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** NDJSON reader with explicit corrupt-record capture (PERMISSIVE
+    * mode): malformed lines land in `_corrupt_record` instead of
+    * poisoning the load — at crawl scale some fraction of staged JSON is
+    * always broken, and dropping it silently (or failing the whole job)
+    * are both wrong. Callers split on `_corrupt_record IS NULL` to route
+    * good rows forward and quarantine the rest. */
+  def readNdjsonPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** CSV round-trip (header + explicit schema on read — never infer in
+    * production: inference is a full extra pass over the data). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** ORC round-trip (columnar alternative to parquet; same pushdown and
+    * pruning properties through the DSv2 scan). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Full-refresh parquet load — the engine's idempotent analog of the
     * reference's DELETE-then-INSERT (`dags/users_etl.py:206-214,142-155`):
     * an atomic overwrite via the output committer replaces truncate+insert. */

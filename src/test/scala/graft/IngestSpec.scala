@@ -75,6 +75,42 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("CSV and ORC round-trip with explicit schemas") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", -2.0)).toDF("id", "s", "v")
+    Ingest.writeCsv(df, s"$dir/csv")
+    Ingest.writeOrc(df, s"$dir/orc")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val csv = Ingest.readCsv(spark, s"$dir/csv", schema)
+    val orc = Ingest.readOrc(spark, s"$dir/orc")
+    assert(csv.collect().toSet == df.collect().toSet)
+    assert(orc.collect().toSet == df.collect().toSet)
+  }
+
+  test("permissive NDJSON read quarantines corrupt lines instead of failing") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/data.json"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2 "name": "broken json
+        |{"id": 3, "name": "also ok"}""".stripMargin.getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    // Spark disallows querying ONLY the corrupt-record column straight
+    // off a raw file scan; materialize the parse first (cache), as the
+    // quarantine split would in production.
+    val df = Ingest.readNdjsonPermissive(spark, s"$dir/data.json", schema).cache()
+    try {
+      val good = df.where(col("_corrupt_record").isNull)
+      val bad = df.where(col("_corrupt_record").isNotNull)
+      assert(good.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      assert(bad.count() == 1)
+    } finally df.unpersist()
+  }
+
   test("writeStar end-to-end: normalize -> load -> integrity holds on reload") {
     val dir = Files.createTempDirectory("graft_star").toFile.getAbsolutePath
     val raw = Ingest.readJsonString(spark, payload)

@@ -126,6 +126,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: per-batch exactly-once style handoff") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // The standard sink escape hatch: batch is a static DataFrame a
+        // JDBC/Delta writer would consume transactionally, keyed by
+        // batch id for idempotent retries.
+        seen.synchronized { seen += ((id, batch.count())) }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq(ev(1, 1), ev(2, 2)))
+      q.processAllAvailable()
+      mem.addData(Seq(ev(3, 3)))
+      q.processAllAvailable()
+      assert(seen.sortBy(_._1).map(_._2).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits each id once within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
