@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * What "holds at scale" means here: with exact-copy replication the
   * TRUE near-dup output grows quadratically in clique size — at 10×
   * (sf0.1): rows ×10, true pairs ×~1000 (256 → 250,600), measured time
-  * ×22 (2.6 s → 57 s on local[32]). Time tracks candidate/output
-  * volume, not input² — the banded-LSH candidate generation plus the
-  * bucket-size cap keep the quadratic step confined to genuine
-  * duplicate cliques, which is the designed contract for 100 TB corpora.
+  * ×7.7 (1.6 s → 12.3 s on local[32], after the codegen sketches +
+  * signature persist). Time tracks candidate/output volume, not
+  * input² — the banded-LSH candidate generation plus the bucket-size
+  * cap keep the quadratic step confined to genuine duplicate cliques,
+  * which is the designed contract for 100 TB corpora.
   *
   * Usage: runMain graft.tools.ScaleCheck <sfDir> <mult>
   */
