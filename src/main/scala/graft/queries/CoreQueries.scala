@@ -280,7 +280,9 @@ object CoreQueries {
         upper(col("p_brand")).as("brand_u"),
         substring(col("p_name"), 1, 8).as("name_prefix"),
         length(col("p_name")).cast("long").as("name_len"),
-        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        // concat (not concat_ws): `||` propagates NULL, concat_ws skips
+        // NULL args — must match the oracle's NULL semantics exactly.
+        concat(col("p_brand"), lit("|"), col("p_type")).as("brand_type"))
     },
 
     // JSON scalar extraction from events.props (JSON text column).
@@ -304,8 +306,7 @@ object CoreQueries {
         |  FROM documents) t
         |GROUP BY w ORDER BY word""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
-        .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"),
-          t => t =!= lit(""))).as("word"))
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("word"))
     },

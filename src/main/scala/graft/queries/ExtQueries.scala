@@ -55,14 +55,15 @@ object ExtQueries {
 
     // Batch session windows (gap 10 min) via the built-in session_window;
     // oracle is the classic gaps-and-islands rewrite. Spark merges
-    // sessions when the next event starts strictly before last_ts + gap,
-    // so a new session begins at diff >= gap; session_end = last_ts + gap.
+    // adjacent sessions INCLUSIVELY: an event exactly one gap after the
+    // previous one still merges (verified empirically on 4.1.2), so a
+    // new session begins only at diff > gap; session_end = last_ts + gap.
     QuerySpec(
       "q28_session_window",
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL '10 minutes'
+        |           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -114,10 +115,9 @@ object ExtQueries {
         |  AND b.ts <= a.ts + INTERVAL '24 hours'
         |GROUP BY a.event_id""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      val a = e.select(col("event_id"), col("user_id"), col("ts"))
       val b = e.select(col("event_id").as("b_event_id"), col("user_id").as("b_user_id"),
         col("ts").as("b_ts"))
-      a.join(b,
+      e.join(b,
           col("b_user_id") === col("user_id") && col("b_ts") > col("ts") &&
             col("b_ts") <= col("ts") + expr("INTERVAL 24 HOURS"),
           "left_outer")

@@ -66,7 +66,10 @@ class StreamingSpec extends SparkSpec {
     val events = Seq(
       ev(1, 0), ev(2, 4), ev(3, 8), // one session 00:00-08:00(+5)
       ev(4, 20), // second session (gap 12 > 5)
-      ev(5, 0, user = 2) // separate user
+      ev(5, 0, user = 2), // separate user
+      // Boundary semantics (pins the oracle's strict-> condition): an
+      // event EXACTLY one gap after the previous one still merges.
+      ev(6, 0, user = 3), ev(7, 5, user = 3)
     ).toDF()
     val out = Streams.sessionCounts(events, "5 minutes")
       .select(col("user_id"), col("session_start").cast("timestamp"),
@@ -75,7 +78,8 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(
       (1L, ts(0), ts(13), 3L), // end = last(8) + gap(5)
       (1L, ts(20), ts(25), 1L),
-      (2L, ts(0), ts(5), 1L)))
+      (2L, ts(0), ts(5), 1L),
+      (3L, ts(0), ts(10), 2L))) // exact-gap adjacency merges
   }
 
   test("streaming session windows merge across micro-batches") {
