@@ -16,16 +16,21 @@ import org.apache.spark.sql.types._
   * into whole-stage codegen (no boxing, no lambda dispatch), with an
   * identical interpreted fallback.
   *
-  * Semantics (bit-identical to the HOF formulation, so DuckDB oracles
-  * keep matching): elements are widened to double before multiplying;
-  * accumulation is sequential in index order; result is 0.0 when either
-  * norm is 0; vectors of unequal length compare over the common prefix;
-  * NULL if either input is NULL.
+  * Semantics (bit-identical to the HOF formulation on well-formed input,
+  * so DuckDB oracles keep matching): elements are widened to double
+  * before multiplying; accumulation is sequential in index order; result
+  * is 0.0 when either norm is 0. NULL when either input is NULL, when
+  * the lengths differ (ragged data must surface, not silently rank by a
+  * prefix cosine), or when any element is NULL — all three match the
+  * HOF reference's NULL propagation.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  // Can return NULL for ragged/null-element inputs even when the inputs
+  // themselves are non-nullable.
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   private def elemType(e: Expression): DataType =
@@ -47,12 +52,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -73,16 +80,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
+         |for (int i = 0; !$bad && i < $n; i++) {
+         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { $bad = true; break; }
          |  double x = $lGet;
          |  double y = $rGet;
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
-         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |}
        """.stripMargin
     })
 

@@ -40,7 +40,9 @@ object Hashing {
   * once per signature row with zero dispatch, inside whole-stage
   * codegen. Interpreted fallback is bit-identical.
   *
-  * Empty input → all-zero buckets (matches the HOF guard's semantics).
+  * Empty input → all-zero buckets (matches the HOF guard's semantics);
+  * a NULL element → NULL result (ragged/corrupt inputs surface instead
+  * of hashing garbage).
   */
 case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
     extends UnaryExpression {
@@ -56,6 +58,9 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
     Array.tabulate(n)(i => Math.floorMod(Hashing.splitmix64(2L * i + 1), P31))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Can return NULL on null-element inputs even when the input itself is
+  // non-nullable.
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -72,6 +77,7 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
       val mins = Array.fill(n)(Long.MaxValue)
       var j = 0
       while (j < m) {
+        if (hs.isNullAt(j)) return null // null element → NULL result
         val h = hs.getLong(j)
         var i = 0
         while (i < n) {
@@ -97,35 +103,44 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    ctx.addNewFunction("graft_mix", Hashing.splitmixJava)
+    // Use the name addNewFunction RETURNS: in oversized generated classes
+    // Spark hoists the helper into a nested class and qualifies the name.
+    val mix = ctx.addNewFunction("graft_mix", Hashing.splitmixJava)
     val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
     val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, hs => {
       val m = ctx.freshName("m")
       val mins = ctx.freshName("mins")
       val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
       s"""
          |int $m = $hs.numElements();
          |long[] $out = new long[$bands];
+         |boolean $bad = false;
          |if ($m > 0) {
          |  long[] $mins = new long[$n];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int j = 0; j < $m; j++) {
+         |  for (int j = 0; j < $m && !$bad; j++) {
+         |    if ($hs.isNullAt(j)) { $bad = true; break; }
          |    long h = $hs.getLong(j);
          |    for (int i = 0; i < $n; i++) {
          |      long v = ($asRef[i] * h + $bsRef[i]) % ${P31}L;
          |      if (v < $mins[i]) $mins[i] = v;
          |    }
          |  }
-         |  for (int b = 0; b < $bands; b++) {
+         |  for (int b = 0; b < $bands && !$bad; b++) {
          |    long acc = 1125899906842597L + b;
          |    for (int r = 0; r < $rowsPerBand; r++) {
-         |      acc = graft_mix(acc ^ $mins[b * $rowsPerBand + r]);
+         |      acc = $mix(acc ^ $mins[b * $rowsPerBand + r]);
          |    }
          |    $out[b] = acc;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
   }
@@ -155,6 +170,9 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Can return NULL on null-element inputs even when the input itself is
+  // non-nullable.
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -215,10 +233,14 @@ object ShingleHashes {
 /** 64-bit SimHash over a pre-hashed token array, as one fused codegen
   * loop: counter per bit, +1/-1 by bit value, sign → signature bit.
   * Same escalation rationale as [[MinHashBandBuckets]]; bit-identical to
-  * the HOF formulation in `Dedup.simhash`. Empty input → 0L. */
+  * the HOF formulation in `Dedup.simhash`. Empty input → 0L; a NULL
+  * element → NULL result. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  // Can return NULL on null-element inputs even when the input itself is
+  // non-nullable.
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -233,6 +255,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val cnt = new Array[Int](64)
     var j = 0
     while (j < m) {
+      if (hs.isNullAt(j)) return null // null element → NULL result
       val h = hs.getLong(j)
       var b = 0
       while (b < 64) {
@@ -255,20 +278,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val m = ctx.freshName("m")
       val cnt = ctx.freshName("cnt")
       val sig = ctx.freshName("sig")
+      val bad = ctx.freshName("bad")
       s"""
          |int $m = $hs.numElements();
          |int[] $cnt = new int[64];
+         |boolean $bad = false;
          |for (int j = 0; j < $m; j++) {
+         |  if ($hs.isNullAt(j)) { $bad = true; break; }
          |  long h = $hs.getLong(j);
          |  for (int b = 0; b < 64; b++) {
          |    if (((h >>> b) & 1L) == 1L) $cnt[b]++; else $cnt[b]--;
          |  }
          |}
-         |long $sig = 0L;
-         |for (int b = 0; b < 64; b++) {
-         |  if ($cnt[b] > 0) $sig |= (1L << b);
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int b = 0; b < 64; b++) {
+         |    if ($cnt[b] > 0) $sig |= (1L << b);
+         |  }
+         |  ${ev.value} = $sig;
          |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -25,11 +25,16 @@ class VectorMean(dim: Int)
   override def zero: VectorMean.Buf = VectorMean.Buf(new Array[Double](dim), 0L)
 
   override def reduce(b: VectorMean.Buf, v: Seq[Float]): VectorMean.Buf = {
-    if (v != null && v.length == dim) {
+    if (v == null) b // NULL rows are ignored, like every SQL aggregate
+    else {
+      // Fail fast on ragged vectors: silently skipping them would report
+      // a mean over an unannounced subset of the rows.
+      require(v.length == dim,
+        s"VectorMean($dim) fed a vector of length ${v.length}")
       var i = 0
       while (i < dim) { b.sums(i) += v(i); i += 1 }
       VectorMean.Buf(b.sums, b.n + 1)
-    } else b
+    }
   }
 
   override def merge(a: VectorMean.Buf, b: VectorMean.Buf): VectorMean.Buf = {

@@ -83,12 +83,6 @@ object Dedup {
     * 2^62, safe under ANSI arithmetic. */
   private val P31 = 2147483647L // 2^31 - 1
 
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** Base hashes of the shingle set: xxhash64 folded into [0, 2^31-1).
     * Stage this as a column — the string hashing happens once; the
@@ -113,8 +107,8 @@ object Dedup {
     *    CollapseProject from inlining a non-attribute input. */
   def lshBucketsFromHashes(baseHashes: Column, bands: Int, rowsPerBand: Int): Column = {
     val n = bands * rowsPerBand
-    val as = typedLit((0 until n).map(i => Math.floorMod(splitmix64(2L * i), P31 - 1) + 1))
-    val bs = typedLit((0 until n).map(i => Math.floorMod(splitmix64(2L * i + 1), P31)))
+    val as = typedLit((0 until n).map(i => Math.floorMod(graft.expressions.Hashing.splitmix64(2L * i), P31 - 1) + 1))
+    val bs = typedLit((0 until n).map(i => Math.floorMod(graft.expressions.Hashing.splitmix64(2L * i + 1), P31)))
     val core = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(
         transform(sequence(b * lit(rowsPerBand), (b + lit(1)) * lit(rowsPerBand) - 1),

@@ -67,19 +67,14 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
-  /** SplitMix64 mixer (public-domain constant set) — deterministic
-    * pseudo-random plane weights computed once on the driver and shipped
-    * as array literals, so executors do zero hashing per row. */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  /** Hyperplane `plane` as a dim-length weight vector in [-1, 1]. */
+  /** Hyperplane `plane` as a dim-length weight vector in [-1, 1] —
+    * deterministic SplitMix64 weights (shared mixer:
+    * [[graft.expressions.Hashing.splitmix64]]) computed once on the
+    * driver and shipped as array literals, so executors do zero hashing
+    * per row. */
   private def planeVector(plane: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(i => splitmix64(plane.toLong * dim + i).toDouble / Long.MaxValue)
+    (0 until dim).map(i =>
+      graft.expressions.Hashing.splitmix64(plane.toLong * dim + i).toDouble / Long.MaxValue)
 
   /** Signed projection of `vec` onto the literal plane. */
   private def signBit(vec: Column, plane: Int, dim: Int, bitPos: Int): Column = {

@@ -39,7 +39,9 @@ object Pipelines {
     Ingest.writeNdjson(raw, s"$stagingDir/users_ndjson")
     Ingest.writeJsonArray(raw, s"$stagingDir/users.json")
 
-    val staged = Ingest.readNdjson(spark, s"$stagingDir/users_ndjson")
+    // Pin the staged read to the raw schema: no inference pass, no
+    // run-to-run schema drift in the warehouse.
+    val staged = Ingest.readNdjson(spark, s"$stagingDir/users_ndjson", Some(raw.schema))
     val (users, addresses, companies) = RefPipeline.normalizeUsers(staged)
     Ingest.writeStar(users, addresses, companies, warehouseDir)
 

@@ -105,17 +105,22 @@ object Streams {
     // the stream-stream join going 32 → 8). Size state partitions to
     // state volume, not to CPU count; restored after the run so batch
     // queries keep the session's parallelism.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // Synchronized on the session: the conf is session-global, so
+    // interleaved runToTable calls could otherwise restore each other's
+    // values out of order and leave the session misconfigured.
+    spark.synchronized {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      try {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 }

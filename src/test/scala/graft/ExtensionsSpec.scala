@@ -45,4 +45,17 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT cosine_similarity(array(1.0))").collect()
     }
   }
+
+  test("ragged or null-element inputs yield NULL, not garbage") {
+    val rows = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE)),
+        |                    array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS null_elem,
+        |  cosine_similarity(array(CAST(1.0 AS DOUBLE)),
+        |                    array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS ragged,
+        |  simhash64(array(1L, CAST(NULL AS BIGINT))) AS sh_null,
+        |  minhash_band_buckets(array(1L, CAST(NULL AS BIGINT)), 2, 2) AS mh_null""".stripMargin)
+      .collect().head
+    assert((0 to 3).forall(rows.isNullAt), rows.toString)
+  }
 }
