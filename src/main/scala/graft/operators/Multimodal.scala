@@ -61,6 +61,21 @@ object Multimodal {
       typedLit(Seq.empty[Array[Byte]])).otherwise(sampled)
   }
 
+  /** Nearest-neighbor resample of the payload to a fixed target size
+    * (the 1-D analog of image resize: output position i samples source
+    * position floor(i·len/target)). Deterministic, columnar, codegen'd —
+    * the resize stage of a decode → resize → extract pipeline, operating
+    * on the raw payload since the decode itself is stubbed. Empty
+    * payloads resize to an empty payload. */
+  def resizeStub(media: org.apache.spark.sql.Column, targetBytes: Int): org.apache.spark.sql.Column = {
+    val len = octet_length(media)
+    val sampled = transform(sequence(lit(0), lit(targetBytes - 1)),
+      i => substr(media, (i * len).cast("long") / targetBytes + 1, lit(1)))
+    when(len === 0, media)
+      .otherwise(aggregate(sampled, lit(Array.emptyByteArray),
+        (acc, b) => concat(acc, b)))
+  }
+
   /** Decoded feature record: fixed-width vector + payload stats. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])

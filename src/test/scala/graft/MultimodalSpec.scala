@@ -46,6 +46,18 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.map(b => new String(b)) == Seq("h", "o", "r"))
   }
 
+  test("resizeStub: nearest-neighbor resample to fixed size, empty-safe") {
+    val out = Multimodal.attachFakeMedia(docs)
+      .select(col("doc_id"), Multimodal.resizeStub(col("media"), 4).as("r"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("r")).toMap
+    // "hello world" (11 bytes) -> positions floor(i*11/4) = 0,2,5,8 -> h,l,space,r
+    assert(new String(out(0L)) == "hl r")
+    assert(out(0L).length == 4)
+    assert(out(1L).length == 0) // empty stays empty
+    // Upsampling "xyz" (3 bytes) to 4: floor(i*3/4) = 0,0,1,2 -> x,x,y,z
+    assert(new String(out(3L)) == "xxyz")
+  }
+
   test("frameSample of an empty payload is an empty array") {
     val sampled = Multimodal.attachFakeMedia(docs)
       .where(col("doc_id") === 1) // text = ""
