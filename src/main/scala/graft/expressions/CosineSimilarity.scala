@@ -71,10 +71,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
-      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+      // EVERY local must be freshName'd: two instances of this expression
+      // in one projection share a generated scope, and bare names would
+      // collide (Janino "Redefinition of local variable" → silent
+      // interpreted fallback).
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
@@ -85,11 +92,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = $a.numElements();
          |boolean $bad = ($n != $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int i = 0; !$bad && i < $n; i++) {
-         |  if ($a.isNullAt(i) || $b.isNullAt(i)) { $bad = true; break; }
-         |  double x = $lGet;
-         |  double y = $rGet;
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |  double $x = $lGet;
+         |  double $y = $rGet;
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;

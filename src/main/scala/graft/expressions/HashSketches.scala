@@ -109,10 +109,19 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
     val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
     val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
     nullSafeCodeGen(ctx, ev, hs => {
+      // All locals freshName'd: two instances in one generated scope must
+      // not collide (Janino redefinition -> interpreted fallback).
       val m = ctx.freshName("m")
       val mins = ctx.freshName("mins")
       val out = ctx.freshName("out")
       val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val r = ctx.freshName("r")
       s"""
          |int $m = $hs.numElements();
          |long[] $out = new long[$bands];
@@ -120,20 +129,20 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
          |if ($m > 0) {
          |  long[] $mins = new long[$n];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |  for (int j = 0; j < $m && !$bad; j++) {
-         |    if ($hs.isNullAt(j)) { $bad = true; break; }
-         |    long h = $hs.getLong(j);
-         |    for (int i = 0; i < $n; i++) {
-         |      long v = ($asRef[i] * h + $bsRef[i]) % ${P31}L;
-         |      if (v < $mins[i]) $mins[i] = v;
+         |  for (int $j = 0; $j < $m && !$bad; $j++) {
+         |    if ($hs.isNullAt($j)) { $bad = true; break; }
+         |    long $h = $hs.getLong($j);
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $v = ($asRef[$i] * $h + $bsRef[$i]) % ${P31}L;
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
          |    }
          |  }
-         |  for (int b = 0; b < $bands && !$bad; b++) {
-         |    long acc = 1125899906842597L + b;
-         |    for (int r = 0; r < $rowsPerBand; r++) {
-         |      acc = $mix(acc ^ $mins[b * $rowsPerBand + r]);
+         |  for (int $b = 0; $b < $bands && !$bad; $b++) {
+         |    long $acc = 1125899906842597L + $b;
+         |    for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |      $acc = $mix($acc ^ $mins[$b * $rowsPerBand + $r]);
          |    }
-         |    $out[b] = acc;
+         |    $out[$b] = $acc;
          |  }
          |}
          |if ($bad) {
@@ -275,27 +284,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, hs => {
+      // All locals freshName'd (see MinHashBandBuckets).
       val m = ctx.freshName("m")
       val cnt = ctx.freshName("cnt")
       val sig = ctx.freshName("sig")
       val bad = ctx.freshName("bad")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
       s"""
          |int $m = $hs.numElements();
          |int[] $cnt = new int[64];
          |boolean $bad = false;
-         |for (int j = 0; j < $m; j++) {
-         |  if ($hs.isNullAt(j)) { $bad = true; break; }
-         |  long h = $hs.getLong(j);
-         |  for (int b = 0; b < 64; b++) {
-         |    if (((h >>> b) & 1L) == 1L) $cnt[b]++; else $cnt[b]--;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  if ($hs.isNullAt($j)) { $bad = true; break; }
+         |  long $h = $hs.getLong($j);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $cnt[$b]++; else $cnt[$b]--;
          |  }
          |}
          |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $sig = 0L;
-         |  for (int b = 0; b < 64; b++) {
-         |    if ($cnt[b] > 0) $sig |= (1L << b);
+         |  for (int $b2 = 0; $b2 < 64; $b2++) {
+         |    if ($cnt[$b2] > 0) $sig |= (1L << $b2);
          |  }
          |  ${ev.value} = $sig;
          |}

@@ -88,4 +88,17 @@ object RelationalProps extends Properties("Relational") {
       else sa.intersect(sb).size.toDouble / sa.union(sb).size
     Prop(math.abs(got - want) < 1e-9) :| s"got=$got want=$want"
   }
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(8 -> Gen.alphaLowerChar, 2 -> Gen.const(' ')))
+      .map(_.mkString)
+
+  property("shingle hash sets are sorted, distinct, and size-bounded") =
+    forAll(asciiText, Gen.choose(2, 6)) { (text, k) =>
+      val hs = graft.expressions.ShingleHashes.hashWindows(
+        text.getBytes("UTF-8"), k).toSeq
+      val windows = if (text.isEmpty) 0 else math.max(text.length - k + 1, 1)
+      Prop(hs == hs.sorted && hs.distinct == hs && hs.size <= windows) :|
+        s"text='$text' k=$k hashes=$hs"
+    }
 }
