@@ -32,6 +32,7 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
+      finally graft.operators.Dedup.releaseCaches()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -37,6 +37,11 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
+  /** Memoized table scan. NOTE: the cached plan pins the parquet file
+    * listing at first read — re-reading a path whose files were replaced
+    * later in the same session returns the original listing. That is the
+    * right trade for the immutable harness tables; callers that rewrite a
+    * table path in-session must call [[invalidate]] first. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = loadMemo.synchronized {
       var m = loadMemo.get(spark)
@@ -70,6 +75,16 @@ object Tables {
             org.apache.spark.sql.functions.expr(s"`$c` DIV 1000")).cast("timestamp_ntz"))
         case _ => df
       }
+    }
+  }
+
+  /** Drop the memoized plan for (`dir`, `name`) — or the whole directory
+    * when `name` is null — so the next [[load]] re-lists the path. */
+  def invalidate(spark: SparkSession, dir: String, name: String = null): Unit = {
+    val perSession = loadMemo.synchronized(loadMemo.get(spark))
+    if (perSession != null) {
+      if (name != null) perSession.remove((dir, name))
+      else names.foreach(n => perSession.remove((dir, n)))
     }
   }
 

@@ -26,6 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // Signature DataFrames persisted by minhashNearDups, pending release.
+  // The result is lazy, so the operator cannot unpersist before the
+  // caller consumes it; instead every persist is registered here and
+  // freed by releaseCaches() — called by Verify/Bench/ScaleCheck after
+  // each query's action completes (and safe to call any time: an
+  // unpersisted plan stays valid, it just recomputes).
+  private val pendingCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every cache registered by prior near-dup invocations.
+    * Call after the consuming action; idempotent. */
+  def releaseCaches(): Unit = {
+    var d = pendingCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = pendingCaches.poll() }
+  }
+
   /** Exact duplicate groups by full equality of `cols`: one row per
     * distinct value combination with its multiplicity and a canonical
     * (minimum) id to keep. Plain hash-aggregate: one shuffle on the
@@ -202,6 +218,7 @@ object Dedup {
       .select(col("__id"), col("__h"),
         bucketsExpr(col("__h"), bands, rowsPerBand).as("__buckets"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingCaches.add(sigs)
     val cands = lshCandidatePairs(
       sigs.select(col("__id"), col("__buckets")), "__id", "__buckets", maxBucketSize)
     val sets = sigs.select(col("__id"), col("__h"))
@@ -246,6 +263,10 @@ object Dedup {
   def simhashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    // 4 chunks of 16 bits guarantee (pigeonhole) a shared chunk only for
+    // Hamming distance ≤ 3; a larger maxDist would silently lose recall.
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashNearDups: maxDist must be in [0,3] for the 4-chunk scheme (got $maxDist)")
     val sigs = graft.Tables.fanOut(
         df.select(col(idCol).as("__id"),
           TextAnalysis.tokens(col(textCol)).as("__toks")))

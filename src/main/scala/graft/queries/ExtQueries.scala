@@ -301,7 +301,7 @@ object ExtQueries {
       "q35_array_fns",
       """SELECT doc_id,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
-        |  list_sort(list_distinct(toks))[1:3] AS first3,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3,
         |  CAST(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS BIGINT) AS has_spark
         |FROM (SELECT doc_id,
         |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
@@ -311,7 +311,7 @@ object ExtQueries {
           graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
-          slice(array_sort(array_distinct(col("toks"))), 1, 3).as("first3"),
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",").as("first3"),
           when(array_contains(col("toks"), "spark"), 1L).otherwise(0L).as("has_spark"))
     },
 

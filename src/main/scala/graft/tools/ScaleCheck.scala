@@ -48,14 +48,19 @@ object ScaleCheck {
       println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    // Warm-up pass at 1x, then the timed multiplied run.
+    // Warm-up pass at 1x, then the timed multiplied run. Release the
+    // operator's persisted signature table between runs so each timing
+    // starts cold and cached blocks don't accumulate across invocations.
     Dedup.minhashNearDups(docs, "doc_id", "text").count()
+    Dedup.releaseCaches()
     val pairs1 = time("minhash 1x") {
       Dedup.minhashNearDups(docs, "doc_id", "text").count()
     }
+    Dedup.releaseCaches()
     val pairsN = time(s"minhash ${mult}x") {
       Dedup.minhashNearDups(big, "doc_id", "text").count()
     }
+    Dedup.releaseCaches()
     println(s"[scale] pairs 1x=$pairs1 ${mult}x=$pairsN")
     spark.stop()
   }

@@ -31,7 +31,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 2**53:
+        if math.isinf(v):
+            # Mirror the NaN sentinel; int(inf) would raise OverflowError.
+            return "Infinity" if v > 0 else "-Infinity"
+        if abs(v) < 2**53 and v == int(v):
             return int(v)  # collapse 3.0 vs 3 (and -0.0 vs 0.0)
         return v + 0.0
     return v
