@@ -56,3 +56,54 @@ object VectorMean {
   /** Partial state: running element sums + row count. */
   final case class Buf(sums: Array[Double], n: Long)
 }
+
+/** Bounded top-k by score: keeps the `k` best (score desc, id asc)
+  * pairs seen, as a typed Aggregator so the bound applies MAP-SIDE.
+  *
+  * Why not a window (`row_number over (partition by qid order by sim)`)
+  * : the window shuffles every candidate row to the query's partition
+  * before ranking — at a 100 TB base table that is the whole scored
+  * corpus over the wire per query batch. With map-side combine this
+  * aggregator shuffles at most `k` pairs per input partition per group,
+  * independent of corpus size. Used by `Similarity.knnJoin`.
+  *
+  * The buffer is a sorted (best-first) list of ≤ k pairs; reduce is an
+  * insertion into a ≤ k list and merge is a bounded sorted-list merge —
+  * O(k) each, negligible next to the similarity kernel.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  require(k > 0, s"TopKByScore: k must be positive (got $k)")
+
+  // Total order: higher score first, id ascending among equal scores —
+  // the determinism contract every caller's oracle relies on.
+  private def beats(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
+    if (v == null) buf
+    else if (buf.lengthCompare(k) >= 0 && !beats(v, buf.last)) buf
+    else {
+      val (better, worse) = buf.span(beats(_, v))
+      (better ++ (v +: worse)).take(k)
+    }
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var (i, j) = (0, 0)
+    while (out.length < k && (i < a.length || j < b.length)) {
+      if (j >= b.length || (i < a.length && beats(a(i), b(j)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+    }
+    out.toSeq
+  }
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

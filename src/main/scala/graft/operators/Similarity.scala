@@ -67,6 +67,32 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** k-nearest-neighbor JOIN: top-`k` base rows by cosine for EVERY query
+    * row (not a single vector — the batched retrieval shape). The query
+    * side broadcasts (assumed small: a probe batch), the base side
+    * streams map-side; ranking is a per-query-partition window, so the
+    * only shuffle carries (qid, id, sim) triples — never vectors.
+    * Deterministic: rank on (rounded sim desc, id asc). */
+  def knnJoin(
+      base: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int): DataFrame = {
+    // Map-side bounded top-k (graft.functions.TopKByScore): the shuffle
+    // after the scoring scan carries ≤ k (sim, id) pairs per partition
+    // per query — NOT the scored corpus, which a window row_number
+    // formulation would move wholesale.
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    base.crossJoin(broadcast(queries.select(
+        col(queryIdCol).as("qid"), col(queryVecCol).as("__qv"))))
+      .select(col("qid"), col(idCol).as("__id"),
+        round(cosineFast(col(vecCol), col("__qv")), 6).as("__sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("__sim"), col("__id")).as("__tops"))
+      .select(col("qid"), posexplode(col("__tops")).as(Seq("__r0", "__t")))
+      .select(col("qid"), col("__t._2").as(idCol), col("__t._1").as("sim"),
+        (col("__r0") + 1).cast("long").as("rank"))
+  }
+
   /** Hyperplane `plane` as a dim-length weight vector in [-1, 1] —
     * deterministic SplitMix64 weights (shared mixer:
     * [[graft.expressions.Hashing.splitmix64]]) computed once on the

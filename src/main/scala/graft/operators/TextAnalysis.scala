@@ -114,18 +114,27 @@ object TextAnalysis {
     * engine-portable, matches DuckDB's `md5`). */
   def fingerprint(text: Column): Column = md5(normalizeText(text).cast("binary"))
 
+  /** Per-token 31-bit seed hash, portable across engines: the first 8
+    * hex chars of `md5(token)` as an integer, mod 2^31-1. Exactly
+    * reproducible in DuckDB as
+    * `CAST('0x' || substr(md5(t),1,8) AS BIGINT) % 2147483647`, which is
+    * what lets [[rollingHash]] be oracle-verified end to end. */
+  def tokenSeed(tok: Column): Column =
+    pmod(conv(substring(md5(tok.cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(2147483647L))
+
   /** 62-bit rolling (polynomial) hash over word tokens: two independent
-    * 31-bit Rabin-style hashes `h = (h * mult + xxhash64(token)) mod
-    * 2^31-1` (mults 31 and 131) packed into one long. The modulus keeps
-    * every intermediate < 2^39, so the arithmetic can never overflow —
-    * Spark 4 runs ANSI mode by default, where a long overflow is an
-    * error, not a wrap. Pure `aggregate` higher-order functions, no UDF.
-    * Engine-specific (xxhash64) so it is test-verified rather than
-    * DuckDB-oracled. */
+    * 31-bit Rabin-style hashes `h = (h * mult + seed(token)) mod 2^31-1`
+    * (mults 31 and 131) packed into one long. The modulus keeps every
+    * intermediate < 2^39, so the arithmetic can never overflow — Spark 4
+    * runs ANSI mode by default, where a long overflow is an error, not a
+    * wrap. Pure `aggregate` higher-order functions, no UDF. The token
+    * seed is [[tokenSeed]] (md5-derived) rather than xxhash64 so the
+    * whole fingerprint is engine-portable and DuckDB-oracled. */
   def rollingHash(text: Column): Column = {
     val m = lit(2147483647L) // 2^31 - 1 (prime)
     def poly(mult: Long) = aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * lit(mult) + pmod(xxhash64(t), m), m))
+      (acc, t) => pmod(acc * lit(mult) + tokenSeed(t), m))
     poly(31L) * lit(2147483648L) + poly(131L)
   }
 }

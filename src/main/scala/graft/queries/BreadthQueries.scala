@@ -1,0 +1,372 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.{Multimodal, Similarity, TextAnalysis}
+import graft.streaming.Streams
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface widening (SURVEY §2.E continued): correlated
+  * existential subqueries, the remaining window-function families,
+  * unpivot, ordinal explode, date/bitwise/null scalar families,
+  * higher-order array arithmetic, RANGE frames, argmax aggregates,
+  * statistical aggregates, ordered string aggregation — plus
+  * training-pipeline additions (bigram top-k, knn join, streaming
+  * session windows, frame sampling) registered as first-class specs.
+  *
+  * Every oracle follows the parity rules proven in rounds 1–2: exact
+  * column-name match, BIGINT casts for engine-variant integer widths,
+  * round/basis-point projection for accumulated doubles, deterministic
+  * tie-breaks wherever a LIMIT or rank cuts.
+  */
+object BreadthQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // Correlated EXISTS / NOT EXISTS through the SQL front door (Catalyst
+    // rewrites to semi/anti joins — the declarative dual of q5/q6).
+    QuerySpec(
+      "q40_exists_subquery",
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_x40")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_x40")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment
+          |FROM customer_x40 c
+          |WHERE EXISTS (SELECT 1 FROM orders_x40 o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders_x40 o
+          |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""".stripMargin)
+    },
+
+    // Ranking-family windows not yet covered: percent_rank / cume_dist /
+    // ntile. The order key is unique per partition, so ntile's row
+    // placement is deterministic.
+    QuerySpec(
+      "q41_window_rank_family",
+      """SELECT o_orderkey, o_custkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+
+    // Value-family windows: first/nth over the running frame, last over
+    // the full frame (the default-frame trap spelled out explicitly).
+    QuerySpec(
+      "q42_window_value_fns",
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER w1 AS first_v,
+        |  nth_value(value, 2) OVER w1 AS second_v,
+        |  last_value(value) OVER w2 AS last_v
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+      val base = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val w1 = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        first(col("value")).over(w1).as("first_v"),
+        nth_value(col("value"), 2).over(w1).as("second_v"),
+        last(col("value")).over(w2).as("last_v"))
+    },
+
+    // Unpivot (wide → long reshape), the inverse of q26_pivot — same
+    // counts matrix melted back to (priority, metric, n) triples.
+    QuerySpec(
+      "q43_unpivot",
+      """SELECT o_orderpriority, status_metric, n FROM (
+        |  UNPIVOT (
+        |    SELECT o_orderpriority,
+        |      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |    FROM orders GROUP BY o_orderpriority)
+        |  ON n_f, n_o, n_p INTO NAME status_metric VALUE n)""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("n_f"), col("n_o"), col("n_p")), "status_metric", "n")
+    },
+
+    // Ordinal explode: tokens with their 1-based positions. The token
+    // array is staged as its own column before the generator, and
+    // posexplode_outer avoids the inferred size()>0 filter that would
+    // re-inline the tokenizer (see the staging notes on Dedup).
+    QuerySpec(
+      "q44_posexplode_ordinality",
+      """SELECT doc_id,
+        |  CAST(generate_subscripts(toks, 1) AS BIGINT) AS pos,
+        |  unnest(toks) AS tok
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |      FROM documents WHERE doc_id < 50) t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).where(col("doc_id") < 50)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode_outer(col("toks")).as(Seq("pos0", "tok")))
+        .where(col("tok").isNotNull)
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    },
+
+    // Calendar arithmetic: month addition with end-of-month clamping,
+    // last_day, quarter, day deltas from an epoch date.
+    QuerySpec(
+      "q45_date_arith",
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  (CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH)::DATE AS plus_3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val d = to_date(col("o_orderdate"))
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        d.as("d"),
+        add_months(d, 3).as("plus_3m"),
+        last_day(d).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        datediff(d, lit("1995-01-01")).cast("long").as("days_since"))
+    },
+
+    // Bitwise scalar family over the key columns (pure integer → exact).
+    QuerySpec(
+      "q46_bitwise_fns",
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_orderkey & 255 AS and_k,
+        |  l_orderkey | 64 AS or_k,
+        |  xor(l_orderkey, 129) AS xor_k,
+        |  l_orderkey << 2 AS shl_k,
+        |  l_orderkey >> 3 AS shr_k,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS nbits
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val k = col("l_orderkey")
+      Tables.lineitem(s, dir).select(k, col("l_linenumber").cast("long").as("l_linenumber"),
+        k.bitwiseAND(lit(255L)).as("and_k"),
+        k.bitwiseOR(lit(64L)).as("or_k"),
+        k.bitwiseXOR(lit(129L)).as("xor_k"),
+        shiftleft(k, 2).as("shl_k"),
+        shiftright(k, 3).as("shr_k"),
+        bit_count(k).cast("long").as("nbits"))
+    },
+
+    // NULL-handling scalar family; the base tables carry no NULLs, so
+    // nullif manufactures them and the rest of the family reacts.
+    QuerySpec(
+      "q47_null_fns",
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS seg_fill,
+        |  CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+        |       THEN 'kept' ELSE 'suppressed' END AS seg_kept,
+        |  ifnull(nullif(c_mktsegment, 'BUILDING'), c_name) AS seg_or_name
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val nb = nullif(col("c_mktsegment"), lit("BUILDING"))
+      Tables.customer(s, dir).select(col("c_custkey"),
+        nb.as("seg_nb"),
+        coalesce(nb, lit("suppressed")).as("seg_fill"),
+        nvl2(nb, lit("kept"), lit("suppressed")).as("seg_kept"),
+        ifnull(nb, col("c_name")).as("seg_or_name"))
+    },
+
+    // Higher-order array arithmetic (transform/aggregate/zip_with) on
+    // integer arrays — exact on both engines; DuckDB replays the folds
+    // with list_reduce (list_prepend supplies the start value).
+    QuerySpec(
+      "q48_hof_arith",
+      """SELECT o_orderkey,
+        |  list_reduce(list_prepend(0, arr), (x, y) -> x + y) AS s,
+        |  list_reduce(list_prepend(0, list_transform(arr, x -> x * x)), (x, y) -> x + y) AS sq,
+        |  list_reduce(list_prepend(0, list_transform(range(1, n + 1), i -> arr[i] * arr[n + 1 - i])),
+        |              (x, y) -> x + y) AS dotrev
+        |FROM (SELECT o_orderkey, n, range(1, n + 1) AS arr
+        |      FROM (SELECT o_orderkey, o_orderkey % 5 + 1 AS n FROM orders) t) a""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + 1L).as("arr"))
+        .select(col("o_orderkey"),
+          aggregate(col("arr"), lit(0L), (a, x) => a + x).as("s"),
+          aggregate(transform(col("arr"), x => x * x), lit(0L), (a, x) => a + x).as("sq"),
+          aggregate(zip_with(col("arr"), reverse(col("arr")), (x, y) => x * y),
+            lit(0L), (a, x) => a + x).as("dotrev"))
+    },
+
+    // RANGE frame (value-based, not row-based): trailing sum/count over
+    // an event-id distance window. Integer sums → exact.
+    QuerySpec(
+      "q49_window_range_frame",
+      """SELECT event_id, user_id,
+        |  CAST(sum(event_id) OVER w AS BIGINT) AS trail_sum,
+        |  CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rangeBetween(-1000, Window.currentRow)
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        sum(col("event_id")).over(w).cast("long").as("trail_sum"),
+        count(lit(1)).over(w).cast("long").as("trail_n"))
+    },
+
+    // Argmax aggregates (max_by/min_by ↔ arg_max/arg_min). The ordering
+    // argument is the unique order key, so the winner is deterministic.
+    QuerySpec(
+      "q50_argmax_aggregates",
+      """SELECT o_orderpriority,
+        |  round(arg_max(o_totalprice, o_orderkey), 2) AS price_of_latest,
+        |  round(arg_min(o_totalprice, o_orderkey), 2) AS price_of_first,
+        |  CAST(max(o_orderkey) AS BIGINT) AS latest_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+        round(max_by(col("o_totalprice"), col("o_orderkey")), 2).as("price_of_latest"),
+        round(min_by(col("o_totalprice"), col("o_orderkey")), 2).as("price_of_first"),
+        max(col("o_orderkey")).as("latest_key"))
+    },
+
+    // Statistical aggregates (corr/stddev/variance/covariance). Doubles
+    // accumulate in engine-specific merge orders, so results project to
+    // coarse fixed-point integers (the round-ties-safe floor(x·s + 0.5)
+    // basis-point pattern from rounds 1–2).
+    QuerySpec(
+      "q51_stats_agg",
+      """SELECT c_mktsegment,
+        |  CAST(floor(corr(c_acctbal, c_custkey) * 10000 + 0.5) AS BIGINT) AS corr_bp,
+        |  CAST(floor(stddev_samp(c_acctbal) * 100 + 0.5) AS BIGINT) AS sd_c,
+        |  CAST(floor(var_samp(c_acctbal) / 1000 + 0.5) AS BIGINT) AS var_k,
+        |  CAST(floor(covar_samp(c_acctbal, c_custkey) / 1000 + 0.5) AS BIGINT) AS cov_k
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).groupBy(col("c_mktsegment")).agg(
+        floor(corr(col("c_acctbal"), col("c_custkey")) * 10000 + 0.5).cast("long").as("corr_bp"),
+        floor(stddev_samp(col("c_acctbal")) * 100 + 0.5).cast("long").as("sd_c"),
+        floor(var_samp(col("c_acctbal")) / 1000 + 0.5).cast("long").as("var_k"),
+        floor(covar_samp(col("c_acctbal"), col("c_custkey")) / 1000 + 0.5).cast("long").as("cov_k"))
+    },
+
+    // Ordered string aggregation: collect → total order → join. The sort
+    // inside the group makes collect_list's arrival order irrelevant.
+    QuerySpec(
+      "q52_string_agg",
+      """SELECT c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).groupBy(col("c_nationkey")).agg(
+        count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"))
+    },
+
+    // --- training-pipeline additions ---
+
+    // Corpus bigram top-k: adjacent-token pairs, counted and cut with a
+    // deterministic (count desc, bigram asc) order. Bigrams are built
+    // index-wise inside the row (no self-join) and staged before the
+    // explode so the tokenizer runs once per document.
+    QuerySpec(
+      "tx7_bigram_topk",
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM toks WHERE len(toks) >= 2)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        |FROM big GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 15""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+            element_at(col("toks"), i + 2))).as("bigrams"))
+        .select(explode(col("bigrams")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(15)
+    },
+
+    // Batched knn retrieval: top-3 base neighbors for every query vector
+    // (map-side bounded-heap top-k — see Similarity.knnJoin). The oracle
+    // replays the ranking as a window over exact cosines.
+    QuerySpec(
+      "ss5_knn_join",
+      """SELECT qid, vec_id, sim, rank FROM (
+        |  SELECT q.vec_id AS qid, b.vec_id AS vec_id,
+        |    round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+        |               b.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings b ON b.vec_id >= 10
+        |  WHERE q.vec_id < 5) t
+        |WHERE rank <= 3""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnJoin(
+        emb.where(col("vec_id") >= 10), "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+    },
+
+    // Streaming session windows (complete mode — no watermark cutoff, so
+    // the streamed result equals the batch gaps-and-islands oracle;
+    // append-mode + watermark is exercised in StreamingSpec).
+    QuerySpec(
+      "st7_stream_session",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '10 minutes' AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Streams.runToTable(
+        Streams.sessionCounts(Streams.eventsStream(s, dir), "10 minutes"),
+        "st7_mem", "complete")
+    },
+
+    // Frame sampling (every 7th payload byte) as a registered query: the
+    // corpus is ASCII so the oracle replays the byte-stride as a
+    // character-stride and digests the same sampled payload.
+    QuerySpec(
+      "mm3_frame_sample",
+      """SELECT doc_id,
+        |  CAST((length(text) + 6) // 7 AS BIGINT) AS n_frames,
+        |  md5(array_to_string(list_transform(range(0, (length(text) + 6) // 7),
+        |                                     i -> substring(text, i * 7 + 1, 1)), '')) AS digest
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.attachFakeMedia(Tables.documents(s, dir))
+        .select(col("doc_id"), Multimodal.frameSample(col("media"), 7).as("frames"))
+        .select(col("doc_id"),
+          size(col("frames")).cast("long").as("n_frames"),
+          md5(aggregate(col("frames"), lit(Array.emptyByteArray),
+            (acc, b) => concat(acc, b))).as("digest"))
+    }
+  )
+}

@@ -252,9 +252,24 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
-    // 64-bit rolling token hash (xxhash64-seeded → rows-only; exactness
-    // proven in TextAnalysisSpec against a reference implementation).
-    QuerySpec.noOracle("tx5_fingerprint_rolling") { (s, dir) =>
+    // 62-bit rolling token hash. The per-token seed is md5-derived
+    // (TextAnalysis.tokenSeed) precisely so the whole fingerprint is
+    // reproducible in DuckDB: list_reduce replays the same polynomial
+    // fold, list_prepend supplies the 0 start value.
+    QuerySpec(
+      "tx5_fingerprint_rolling",
+      """SELECT doc_id, p31 * 2147483648 + p131 AS fp64
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0, seeds), (acc, h) -> (acc * 31 + h) % 2147483647) AS p31,
+        |    list_reduce(list_prepend(0, seeds), (acc, h) -> (acc * 131 + h) % 2147483647) AS p131
+        |  FROM (
+        |    SELECT doc_id,
+        |      list_transform(
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+        |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 2147483647) AS seeds
+        |    FROM documents) tok
+        |) polys""".stripMargin) { (s, dir) =>
       Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
         .select(col("doc_id"),
         TextAnalysis.rollingHash(col("text")).as("fp64"))

@@ -46,11 +46,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash of identical docs is identical; near-dups within distance") {
-    val sigs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 12)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect()
       .map(t => (t._1, t._2) -> t._3).toMap
-    assert(sigs((0L, 2L)) == 0) // exact copies: distance 0
-    assert(sigs.contains((0L, 1L))) // one-word change: few bits differ
+    assert(pairs((0L, 2L)) == 0) // exact copies: distance 0
+    // The one-word change (0,1): recompute its true signature distance
+    // and assert the candidate join's verdict matches it exactly within
+    // the guaranteed-recall radius.
+    val sig = docs
+      .select(col("doc_id"), Dedup.simhashExpr(
+        transform(TextAnalysis.tokens(col("text")), t => xxhash64(t))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val ham01 = java.lang.Long.bitCount(sig(0L) ^ sig(1L))
+    assert(pairs.get((0L, 1L)) == (if (ham01 <= 3) Some(ham01) else None))
+    // Out-of-range maxDist is rejected, not silently incomplete.
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 12)
+    }
   }
 
   test("shingles: distinct char k-grams of staged normalized text") {

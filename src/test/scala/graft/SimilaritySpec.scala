@@ -112,4 +112,40 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => a / 10 == b / 10 }) // same cluster
   }
+
+  test("knnJoin: per-query bounded top-k equals window ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.where(col("vec_id") >= 10)
+    val qs = emb.where(col("vec_id") < 4)
+    val knn = Similarity.knnJoin(base, "vec_id", "embedding",
+      qs, "vec_id", "embedding", k = 5)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(knn.length == 4 * 5)
+    // Independent reference: full window ranking over the same cosines.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val ref = base.crossJoin(broadcast(qs.select(col("vec_id").as("qid"),
+        col("embedding").as("qv"))))
+      .select(col("qid"), col("vec_id"),
+        round(Similarity.cosineFast(col("embedding"), col("qv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Long)].collect()
+    assert(knn.toSet == ref.toSet)
+  }
+
+  test("TopKByScore aggregator: order, bound, and merge associativity") {
+    val agg = new graft.functions.TopKByScore(3)
+    val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.7, 2L))
+    val all = items.foldLeft(agg.zero)(agg.reduce)
+    assert(all == Seq((0.9, 1L), (0.9, 3L), (0.7, 2L))) // ties → id asc
+    // Any split point merges to the same top-k as the sequential fold.
+    for (cut <- 0 to items.length) {
+      val (l, r) = items.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged == all, s"cut=$cut")
+    }
+  }
 }

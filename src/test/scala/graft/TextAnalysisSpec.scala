@@ -66,10 +66,14 @@ class TextAnalysisSpec extends SparkSpec {
     val h1b = one[Long](TextAnalysis.rollingHash(col("text")), "Alpha  BETA gamma!")
     assert(h1 != h2) // order matters (unlike a bag-of-words hash)
     assert(h1 == h1b) // normalization-invariant
-    // Reference recomputation via Spark's own xxhash64 on single tokens:
+    // Reference recomputation: JVM md5 on single tokens, first 8 hex
+    // chars as the 31-bit seed — independent of the Column implementation.
     val m = 2147483647L
-    val tokHashes = Seq("alpha", "beta", "gamma")
-      .map(t => Seq(t).toDF("t").select(pmod(xxhash64(col("t")), lit(m)).as("h")).as[Long].head())
+    val tokHashes = Seq("alpha", "beta", "gamma").map { t =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % m
+    }
     def poly(mult: Long) =
       tokHashes.foldLeft(0L)((acc, h) => java.lang.Math.floorMod(acc * mult + h, m))
     assert(h1 == poly(31L) * 2147483648L + poly(131L))
