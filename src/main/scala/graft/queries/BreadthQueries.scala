@@ -291,13 +291,25 @@ object BreadthQueries {
         |SELECT bigram, CAST(count(*) AS BIGINT) AS n
         |FROM big GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 15""".stripMargin) { (s, dir) =>
+      // Inlining discipline (the measured 10× trap here): NO pre-generate
+      // filter may mention toks/bigrams — a `size(toks) >= 2` filter gets
+      // pushed below the staging projections and the fan-out exchange,
+      // re-running the tokenizer per row on ONE partition; and a plain
+      // `explode` makes Catalyst infer such a filter itself
+      // (InferFiltersFromGenerate). So: short docs are handled by a
+      // `when` INSIDE the bigrams projection (whose second reference to
+      // toks also blocks CollapseProject), the generator is the _outer
+      // variant, and the null rows it emits for empty arrays are dropped
+      // by a post-generate filter on the generator's own output.
       Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
         .select(TextAnalysis.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
-        .select(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => concat(element_at(col("toks"), i + 1), lit(" "),
-            element_at(col("toks"), i + 2))).as("bigrams"))
-        .select(explode(col("bigrams")).as("bigram"))
+        .select(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat(element_at(col("toks"), i + 1), lit(" "),
+              element_at(col("toks"), i + 2))))
+          .otherwise(typedLit(Seq.empty[String])).as("bigrams"))
+        .select(explode_outer(col("bigrams")).as("bigram"))
+        .where(col("bigram").isNotNull)
         .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram"))
         .limit(15)
