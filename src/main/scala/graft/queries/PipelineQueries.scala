@@ -334,8 +334,17 @@ object PipelineQueries {
     },
 
     // Decode + feature extraction through the mapPartitions stub (real
-    // plumbing, stubbed codec — see Multimodal.decodeFeatures).
-    QuerySpec.noOracle("mm2_media_features") { (s, dir) =>
+    // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
+    // payload checksum is a mod-2^63 byte fold the oracle replays over
+    // the ASCII corpus with HUGEINT intermediates (BIGINT would overflow
+    // at the *31 step, and DuckDB errors rather than wraps).
+    QuerySpec(
+      "mm2_media_features",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_prepend(0::HUGEINT,
+        |         list_transform(string_split(text, ''), c -> ascii(c)::HUGEINT)),
+        |       (a, b) -> (a * 31 + b) % 9223372036854775808::HUGEINT) AS BIGINT) AS checksum
+        |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.mediaFeatureTable(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_bytes"), col("checksum"))
     }

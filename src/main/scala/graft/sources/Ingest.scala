@@ -149,6 +149,16 @@ object Ingest {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** Hive-style partitioned layout (`path/col=value/…`) — the 100 TB
+    * scan discipline: a filter on a partition column prunes directories
+    * at PLANNING time (`PartitionFilters` on the scan node), so
+    * unmatched data is never listed, let alone read. Partition by
+    * low-cardinality columns queries filter on (date, type, tenant);
+    * high-cardinality keys belong in [[writeBucketed]] instead (a
+    * directory per value would melt the file listing). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
   /** Multi-table star load with FK write-order discipline (O4,
     * `dags/users_etl.py:140-159`): parents (addresses, companies) land
     * before the child (users), each table an atomic overwrite. Spark has

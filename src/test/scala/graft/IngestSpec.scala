@@ -75,6 +75,49 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes partitions at planning time") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_part").toString
+    val df = Seq((1L, "click"), (2L, "view"), (3L, "click"), (4L, "purchase"))
+      .toDF("id", "etype")
+    Ingest.writePartitioned(df, s"$dir/t", "etype")
+    val back = spark.read.parquet(s"$dir/t").where(col("etype") === "click")
+    assert(back.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // The filter must land in PartitionFilters (directory pruning), NOT
+    // as a post-scan data filter — at 100 TB that is the difference
+    // between listing one partition and scanning the table.
+    val scans = back.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, back.queryExecution.executedPlan.toString)
+    assert(scans.head.metadata("PartitionFilters").contains("etype"),
+      scans.head.metadata.toString)
+    // The scan's file count (post-pruning) is strictly below the table's:
+    // only the click partition's files were selected.
+    val allFiles = spark.read.parquet(s"$dir/t").inputFiles.length
+    assert(scans.head.metrics("numFiles").value < allFiles,
+      s"scanned ${scans.head.metrics("numFiles").value} of $allFiles files")
+  }
+
+  test("catalog DDL (A9): CREATE TABLE / INSERT / CTAS / DROP") {
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_demo")
+    spark.sql("DROP TABLE IF EXISTS graft_ddl_ctas")
+    try {
+      spark.sql("CREATE TABLE graft_ddl_demo (k BIGINT, v STRING) USING parquet")
+      spark.sql("INSERT INTO graft_ddl_demo VALUES (1, 'a'), (2, 'b')")
+      assert(spark.table("graft_ddl_demo").count() == 2)
+      spark.sql(
+        "CREATE TABLE graft_ddl_ctas USING parquet AS " +
+          "SELECT k, upper(v) AS v FROM graft_ddl_demo")
+      assert(spark.table("graft_ddl_ctas").orderBy("k")
+        .collect().map(_.getString(1)).toSeq == Seq("A", "B"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ddl_demo")
+      spark.sql("DROP TABLE IF EXISTS graft_ddl_ctas")
+    }
+    assert(!spark.catalog.tableExists("graft_ddl_demo"))
+  }
+
   test("CSV and ORC round-trip with explicit schemas") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_fmt").toString
