@@ -273,6 +273,51 @@ object BreadthQueries {
         concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"))
     },
 
+    // Recursive CTE (Spark 4 UnionLoop): a dense date spine spanning the
+    // event range — including zero-event days, which no plain GROUP BY
+    // over the fact table can produce. The max date rides along in the
+    // recursion state so the step needs no correlated subquery.
+    QuerySpec(
+      "q53_recursive_cte",
+      """WITH RECURSIVE days(d, dmax) AS (
+        |  SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events
+        |  UNION ALL
+        |  SELECT d + 1, dmax FROM days WHERE d < dmax)
+        |SELECT days.d AS d, CAST(count(e.event_id) AS BIGINT) AS n
+        |FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = days.d
+        |GROUP BY days.d""".stripMargin) { (s, dir) =>
+      // The event range can exceed the default 100-step recursion cap.
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+      Tables.events(s, dir).createOrReplaceTempView("events_x53")
+      s.sql(
+        """WITH RECURSIVE days(d, dmax) AS (
+          |  SELECT CAST(min(ts) AS DATE), CAST(max(ts) AS DATE) FROM events_x53
+          |  UNION ALL
+          |  SELECT date_add(d, 1), dmax FROM days WHERE d < dmax)
+          |SELECT days.d AS d, CAST(count(e.event_id) AS BIGINT) AS n
+          |FROM days LEFT JOIN events_x53 e ON CAST(e.ts AS DATE) = days.d
+          |GROUP BY days.d""".stripMargin)
+    },
+
+    // Correlated LATERAL subquery with LIMIT (decorrelated by Catalyst
+    // into a ranked window): top-2 customers by balance per nation.
+    QuerySpec(
+      "q54_lateral_join",
+      """SELECT n.n_name, c.c_custkey, c.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin) { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("nation_x54")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_x54")
+      s.sql(
+        """SELECT n.n_name, c.c_custkey, c.c_acctbal
+          |FROM nation_x54 n JOIN LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer_x54
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin)
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a
