@@ -408,6 +408,43 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // ANSI-mode safety family: Spark 4 runs ANSI by default, where a bad
+    // cast or overflow ERRORS a 1000-executor job — try_* is how a
+    // curation pipeline survives dirty data. The oracle mirrors each
+    // null-on-failure semantic with DuckDB's TRY_CAST / nullif guards.
+    QuerySpec(
+      "q55_try_fns",
+      """SELECT o_orderkey,
+        |  round(o_totalprice / nullif(o_orderkey % 3, 0), 4) AS safe_div,
+        |  CAST(TRY_CAST(o_orderpriority AS BIGINT) AS BIGINT) AS bad_cast,
+        |  CAST(TRY_CAST(CAST(o_orderkey % 100 AS VARCHAR) AS BIGINT) AS BIGINT) AS good_cast,
+        |  (range(1, o_orderkey % 5 + 2))[5] AS maybe_5th
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        round(try_divide(col("o_totalprice"), pmod(col("o_orderkey"), lit(3))), 4).as("safe_div"),
+        expr("try_cast(o_orderpriority AS BIGINT)").as("bad_cast"),
+        expr("try_cast(CAST(o_orderkey % 100 AS STRING) AS BIGINT)").as("good_cast"),
+        try_element_at(sequence(lit(1L), pmod(col("o_orderkey"), lit(5L)) + 1L),
+          lit(5)).as("maybe_5th"))
+    },
+
+    // Custom streaming state (flatMapGroupsWithState) as a driver-oracled
+    // spec: per-user running (count, sum) with update-mode emissions; the
+    // final state per user is read back batch-robustly (max n is the last
+    // emission) and must equal the batch aggregate.
+    QuerySpec(
+      "st8_stream_custom_state",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Streams.runToTable(
+          Streams.runningUserTotals(Streams.eventsStream(s, dir)),
+          "st8_mem", "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          round(max_by(col("sum_v"), col("n")), 2).as("total_value"))
+    },
+
     // Frame sampling (every 7th payload byte) as a registered query: the
     // corpus is ASCII so the oracle replays the byte-stride as a
     // character-stride and digests the same sampled payload.

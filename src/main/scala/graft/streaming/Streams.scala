@@ -90,6 +90,33 @@ object Streams {
       .dropDuplicates("event_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Arbitrary stateful processing (`flatMapGroupsWithState`): running
+    * (count, sum) per user, state carried across micro-batches, one
+    * update row emitted per touched group per batch. This is the custom-
+    * state escape hatch for logic windowed aggregates can't express;
+    * state volume is one (long, double) pair per user — bounded by key
+    * cardinality, not stream length. Emitted counts are monotone per
+    * user, so the final state of a multi-batch run is recoverable
+    * downstream as `max_by(sum, n)` (see spec `st8_stream_custom_state`,
+    * which must not depend on how AvailableNow slices the input into
+    * batches). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (n, s) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { r => n += 1; s += r._2 }
+        state.update((n, s))
+        Iterator((user, n, s))
+      }
+      .toDF("user_id", "n", "sum_v")
+  }
+
   /** Run a streaming DataFrame to completion with `Trigger.AvailableNow`
     * into an in-memory table and return the final result as a static
     * DataFrame. Deterministic: processes everything available, then
