@@ -101,4 +101,23 @@ object RelationalProps extends Properties("Relational") {
       Prop(hs == hs.sorted && hs.distinct == hs && hs.size <= windows) :|
         s"text='$text' k=$k hashes=$hs"
     }
+
+  // TopKByScore must equal sort-then-take under ANY partitioning of the
+  // input into partial buffers — the exact contract map-side combine
+  // relies on (reduce into shards, merge shards in arbitrary tree order).
+  private val scored: Gen[List[(Double, Long)]] = Gen.listOf(
+    Gen.zip(Gen.chooseNum(-10.0, 10.0), Gen.chooseNum(-100L, 100L)))
+
+  property("TopKByScore == sort.take(k) under arbitrary sharding") =
+    forAll(scored, Gen.choose(1, 6), Gen.choose(1, 5)) { (xs, k, shards) =>
+      val agg = new graft.functions.TopKByScore(k)
+      val want = xs.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      // NB: duplicate (score,id) pairs are kept by the aggregator like
+      // any SQL aggregate input row — compare on distinct inputs to keep
+      // the sort-take reference well-defined.
+      val parts = xs.distinct.grouped(math.max(1, (xs.distinct.size + shards - 1) / shards))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val got = parts.foldLeft(agg.zero)(agg.merge)
+      Prop(got == want) :| s"xs=${xs.distinct} k=$k got=$got want=$want"
+    }
 }
