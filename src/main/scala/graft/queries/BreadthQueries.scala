@@ -318,6 +318,31 @@ object BreadthQueries {
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c""".stripMargin)
     },
 
+    // JSON construction (the write-side dual of q20/q36's extraction):
+    // struct → compact JSON text, identical bytes on both engines for
+    // integer/string fields.
+    QuerySpec(
+      "q56_to_json",
+      """SELECT o_orderkey,
+        |  to_json(struct_pack(k := o_orderkey, p := o_orderpriority)) AS js
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey").as("k"), col("o_orderpriority").as("p"))).as("js"))
+    },
+
+    // t-digest approximate percentiles next to the exact answer — the
+    // sketch family's quantile member (HLL distinct is q31). Like every
+    // sketch, engine-specific → rows-only; the ScalaTest pins the error
+    // bound against exact percentiles instead.
+    QuerySpec.noOracle("q57_approx_percentile") { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a

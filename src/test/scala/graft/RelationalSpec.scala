@@ -60,6 +60,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within relative bound of exact percentile") {
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    val rows = orders.groupBy(col("o_orderstatus"))
+      .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),
+        percentile(col("o_totalprice"), lit(0.5)).as("exact"))
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (st, approx, exact) =>
+      // accuracy=1000 → rank error ≤ 1/1000 of the group; on this value
+      // range that lands well inside 5% relative.
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"$st: approx=$approx exact=$exact")
+    }
+  }
+
   test("asofJoin picks latest right row at or before left time, null when none") {
     val left = Seq(
       (1L, 1L, 5L), // key 1 at t=5  -> right (1, t=3) price 30
