@@ -470,6 +470,28 @@ object BreadthQueries {
           round(max_by(col("sum_v"), col("n")), 2).as("total_value"))
     },
 
+    // Deterministic train/valid/test split by content-hash bucket — the
+    // scale-correct split discipline: stable under re-runs, retries, and
+    // repartitioning (a seeded randomSplit is none of those), and
+    // exactly reproducible by any engine that has md5. 80/10/10 on the
+    // document id.
+    QuerySpec(
+      "tx8_hash_split",
+      """SELECT doc_id,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |      FROM documents) b""".stripMargin) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+      Tables.documents(s, dir).select(col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+    },
+
     // Frame sampling (every 7th payload byte) as a registered query: the
     // corpus is ASCII so the oracle replays the byte-stride as a
     // character-stride and digests the same sampled payload.
