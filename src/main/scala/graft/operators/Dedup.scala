@@ -294,6 +294,56 @@ object Dedup {
       .where(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair list: every document gets
+    * the MINIMUM doc id reachable through pair edges as its cluster id —
+    * turning pairwise similarity output (dd3/dd4/dd5/dd6) into dedup
+    * GROUPS with a canonical keeper per group.
+    *
+    * Algorithm: iterative min-label propagation (the standard
+    * large-graph formulation — each round is one distributed join +
+    * partial-aggregated min, the driver only checks convergence).
+    * Rounds needed = graph diameter; near-dup components are
+    * quasi-cliques, so 2–3 rounds in practice, `maxIter` bounds
+    * pathological chains. At 100 TB both sides of the round's join
+    * shuffle only (long, long) pairs — label propagation never carries
+    * text or vectors.
+    *
+    * Each round's labels are persisted and the previous round's freed —
+    * without a materialization point the plan would re-derive ALL prior
+    * rounds each iteration (lineage doubles per round otherwise). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Symmetric edge list (propagation needs both directions).
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .persist(lvl)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("node"), col("lbl"))
+      val next = viaNeighbor.union(labels)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist(lvl)
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .where(col("lbl") =!= col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    pendingCaches.add(labels)
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** Exact all-pairs word-token Jaccard over a *bounded* subset — the
     * brute-force baseline the LSH paths approximate. Quadratic by
     * construction; callers bound the input (the spec uses doc_id < N).

@@ -73,6 +73,37 @@ object PipelineQueries {
         "doc_id", "text", threshold = 0.9)
     },
 
+    // Pairwise near-dups composed into dedup GROUPS: connected components
+    // by iterative min-label propagation (Dedup.connectedComponents),
+    // each doc labeled with the minimum reachable doc id = the canonical
+    // keeper. The oracle rebuilds the same clusters with a recursive-CTE
+    // transitive closure over the identical pair predicate.
+    QuerySpec(
+      "dd7_dedup_clusters",
+      s"""WITH RECURSIVE s AS (
+         |  SELECT doc_id, list_distinct($duckToks) AS toks
+         |  FROM documents WHERE doc_id < 300),
+         |p AS (
+         |  SELECT id1, id2 FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |      round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+         |            len(list_distinct(a.toks || b.toks)), 4) AS jaccard
+         |    FROM s a JOIN s b ON a.doc_id < b.doc_id) t
+         |  WHERE jaccard >= 0.5),
+         |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir).where(col("doc_id") < 300),
+          "doc_id", "text", threshold = 0.5),
+        "id1", "id2")
+    },
+
     // MinHash + banded LSH near-dup detection over the full table —
     // the sublinear scale path (seeded xxhash64 → rows-only check here;
     // planted-duplicate assertions live in DedupSpec).

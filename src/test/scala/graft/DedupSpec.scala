@@ -65,6 +65,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: chains, cliques and singleton pairs get min-id labels") {
+    // Components: {1,2,3,4} via a chain (diameter 3 — forces multiple
+    // propagation rounds), {10,11,12} via a triangle, {20,21} via one edge.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    graft.operators.Dedup.releaseCaches()
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("shingles: distinct char k-grams of staged normalized text") {
     val out = Seq("a b").toDF("text")
       .select(TextAnalysis.normalizeText(col("text")).as("n"))
