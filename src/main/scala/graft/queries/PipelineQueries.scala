@@ -82,7 +82,7 @@ object PipelineQueries {
       "dd7_dedup_clusters",
       s"""WITH RECURSIVE s AS (
          |  SELECT doc_id, list_distinct($duckToks) AS toks
-         |  FROM documents WHERE doc_id < 300),
+         |  FROM documents WHERE doc_id < 200),
          |p AS (
          |  SELECT id1, id2 FROM (
          |    SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -99,7 +99,7 @@ object PipelineQueries {
          |FROM reach GROUP BY a""".stripMargin) { (s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(
-          Tables.documents(s, dir).where(col("doc_id") < 300),
+          Tables.documents(s, dir).where(col("doc_id") < 200),
           "doc_id", "text", threshold = 0.5),
         "id1", "id2")
     },
