@@ -343,6 +343,48 @@ object BreadthQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL keep multiplicities
+    // (q15–q17 cover the distinct variants). Lineitem has repeated
+    // partkeys per suppkey slice, so multiplicity actually matters here.
+    QuerySpec(
+      "q58_set_ops_all",
+      """SELECT l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_suppkey < 50
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_suppkey < 10) t""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      li.where(col("l_suppkey") < 50).select(col("l_partkey"))
+        .exceptAll(li.where(col("l_suppkey") < 10).select(col("l_partkey")))
+    },
+
+    // GROUP BY ALL (group on every non-aggregate select item) through
+    // the SQL front door — supported by both engines.
+    QuerySpec(
+      "q59_group_by_all",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_x59")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders_x59 GROUP BY ALL""".stripMargin)
+    },
+
+    // Explicit cartesian product (the one join type not yet registered):
+    // every (region, nation) combination with a derived flag.
+    QuerySpec(
+      "q60_cross_join",
+      """SELECT r.r_name, n.n_name,
+        |  CAST(CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS BIGINT) AS is_home
+        |FROM region r CROSS JOIN nation n""".stripMargin) { (s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select(col("r_name"), col("n_name"),
+          when(col("n_regionkey") === col("r_regionkey"), 1L).otherwise(0L).as("is_home"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a

@@ -149,6 +149,18 @@ object Ingest {
       .sortBy(key)
       .saveAsTable(table)
 
+  /** XML sink (Spark 4 built-in XML source; one row element per record).
+    * Rounds out the format surface next to JSON/CSV/ORC/parquet — XML is
+    * the interchange format of the legacy feeds a migration off the
+    * reference stack typically still has to read. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("rowTag", rowTag).format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+      rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(schema).format("xml").load(path)
+
   /** Hive-style partitioned layout (`path/col=value/…`) — the 100 TB
     * scan discipline: a filter on a partition column prunes directories
     * at PLANNING time (`PartitionFilters` on the scan node), so

@@ -132,6 +132,20 @@ class IngestSpec extends SparkSpec {
     assert(orc.collect().toSet == df.collect().toSet)
   }
 
+  test("XML round-trips with explicit schema (built-in Spark 4 source)") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_xml").toString
+    val df = Seq((1L, "a&b <c>", 1.5), (2L, "plain", -2.0))
+      .toDF("id", "name", "score")
+    Ingest.writeXml(df, s"$dir/t", rowTag = "rec")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("score", DoubleType)))
+    val back = Ingest.readXml(spark, s"$dir/t", schema, rowTag = "rec")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    // Entity escaping must survive the round trip.
+    assert(back == Seq((1L, "a&b <c>", 1.5), (2L, "plain", -2.0)))
+  }
+
   test("permissive NDJSON read quarantines corrupt lines instead of failing") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col

@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store provider yields identical results to default") {
+    // The 100 TB state story: the default HDFS-backed provider keeps all
+    // state on the JVM heap; RocksDB keeps it off-heap/on-disk, which is
+    // what a production-scale stateful job runs. Same plan, same results.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val mem = MemoryStream[Ev]
+      val events = Seq(ev(1, 1), ev(2, 5), ev(3, 12), ev(4, 59))
+      mem.addData(events)
+      val streamed = Streams.runToTable(
+        Streams.tumblingCounts(mem.toDF(), "10 minutes"),
+        "t_rocksdb", "complete")
+      val batch = Streams.tumblingCounts(events.toDF(), "10 minutes")
+      assert(streamed.collect().toSet == batch.collect().toSet)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("foreachBatch sink: per-batch exactly-once style handoff") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
