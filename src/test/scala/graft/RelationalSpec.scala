@@ -60,6 +60,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("join strategy hints select the hinted physical join") {
+    val dir = "/root/testdata/sf0.001"
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    def physical(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // BROADCAST beats the size heuristic; SHUFFLE_HASH / MERGE override
+    // the default pick — the three knobs a 100 TB join tuning session
+    // actually turns.
+    val b = c.hint("broadcast").join(o, col("c_custkey") === col("o_custkey"))
+    assert(physical(b).contains("BroadcastHashJoin"), physical(b))
+    val sh = c.hint("shuffle_hash").join(o, col("c_custkey") === col("o_custkey"))
+    assert(physical(sh).contains("ShuffledHashJoin"), physical(sh))
+    val m = c.hint("merge").join(o, col("c_custkey") === col("o_custkey"))
+    assert(physical(m).contains("SortMergeJoin"), physical(m))
+    // All three compute the same rows.
+    assert(b.count() == sh.count() && sh.count() == m.count())
+  }
+
   test("approx_percentile within relative bound of exact percentile") {
     val orders = Tables.orders(spark, "/root/testdata/sf0.001")
     val rows = orders.groupBy(col("o_orderstatus"))
