@@ -24,6 +24,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev knob: GRAFT_ROCKSDB=1 times the query against the RocksDB
+    // state-store provider (off-heap state, the production backend).
+    if (sys.env.contains("GRAFT_ROCKSDB")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
     val fn = SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>

@@ -60,6 +60,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed join partitions at runtime (the salting alternative)") {
+    // One hot key carrying ~99% of a 200k-row fact side, sort-merge
+    // joined (broadcast disabled) against a small dim. With the skew
+    // thresholds scaled down to this data size, AQE must mark the hot
+    // partition skewed and split it — the runtime counterpart of the
+    // manual salted join in q39.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.shuffle.partitions" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(200000).select(
+        when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(50).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("name"))
+      val joined = fact.join(dim, "k")
+      // collect() drives THIS QueryExecution (count() would build its own
+      // plan and leave `joined`'s adaptive plan unexecuted → isFinalPlan=false).
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), plan.take(500))
+      assert(plan.contains("skew=true"), plan.take(2000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("join strategy hints select the hinted physical join") {
     val dir = "/root/testdata/sf0.001"
     val c = Tables.customer(spark, dir)
