@@ -385,6 +385,26 @@ object BreadthQueries {
           when(col("n_regionkey") === col("r_regionkey"), 1L).otherwise(0L).as("is_home"))
     },
 
+    // Edit distance between neighboring documents (dynamic-programming
+    // scalar, identical definition on both engines) — the character-level
+    // member of the similarity family, bounded to first-120-chars of a
+    // 50-doc slice to keep the O(n·m) kernel honest about its cost.
+    QuerySpec(
+      "q61_edit_distance",
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(substring(a.text, 1, 120), substring(b.text, 1, 120)) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 50""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val a = docs.where(col("doc_id") < 50)
+        .select(col("doc_id").as("id1"), substring(col("text"), 1, 120).as("t1"))
+      val b = docs.select((col("doc_id") - 1).as("id1"),
+        col("doc_id").as("id2"), substring(col("text"), 1, 120).as("t2"))
+      a.join(b, "id1")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a

@@ -112,6 +112,21 @@ object PipelineQueries {
         shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
     },
 
+    // The end-to-end dedup story at scale, composed from the sublinear
+    // pieces: MinHash-LSH pair discovery over the FULL corpus →
+    // connected components → one canonical keeper per cluster. Output:
+    // cluster sizes per keeper (seeded-hash pipeline → rows-only; the
+    // composition pieces are each verified separately).
+    QuerySpec.noOracle("dd8_minhash_clusters") { (s, dir) =>
+      val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+        "doc_id", "text", shingleK = 5, numHashes = 64, bands = 8,
+        threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"), col("n_docs"))
+    },
+
     // SimHash near-dup detection (Hamming ≤ 3 via the 4×16-bit chunk
     // pigeonhole join).
     QuerySpec.noOracle("dd5_dedup_simhash") { (s, dir) =>
