@@ -405,6 +405,58 @@ object BreadthQueries {
           levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
     },
 
+    // Boolean / conditional aggregates: bool_and, bool_or, count_if,
+    // every/any through the DataFrame API.
+    QuerySpec(
+      "q62_bool_aggs",
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 1) AS all_multi,
+        |  bool_or(l_discount > 0.09) AS any_high_disc,
+        |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        bool_and(col("l_quantity") > 1).as("all_multi"),
+        bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+        count_if(col("l_tax") === 0).as("n_taxfree"))
+    },
+
+    // Linear-regression aggregate family (slope/intercept/R²/count) —
+    // fixed-point projected like q51 (double merge order is
+    // engine-specific).
+    QuerySpec(
+      "q63_regression_aggs",
+      """SELECT c_mktsegment,
+        |  CAST(floor(regr_slope(c_acctbal, c_custkey) * 1000000 + 0.5) AS BIGINT) AS slope_ppm,
+        |  CAST(floor(regr_intercept(c_acctbal, c_custkey) * 100 + 0.5) AS BIGINT) AS icept_c,
+        |  CAST(floor(regr_r2(c_acctbal, c_custkey) * 10000 + 0.5) AS BIGINT) AS r2_bp,
+        |  CAST(regr_count(c_acctbal, c_custkey) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).groupBy(col("c_mktsegment")).agg(
+        floor(regr_slope(col("c_acctbal"), col("c_custkey")) * 1000000 + 0.5)
+          .cast("long").as("slope_ppm"),
+        floor(regr_intercept(col("c_acctbal"), col("c_custkey")) * 100 + 0.5)
+          .cast("long").as("icept_c"),
+        floor(regr_r2(col("c_acctbal"), col("c_custkey")) * 10000 + 0.5)
+          .cast("long").as("r2_bp"),
+        regr_count(col("c_acctbal"), col("c_custkey")).cast("long").as("n"))
+    },
+
+    // Explicit NULL placement in total orders (NULLS FIRST/LAST against
+    // each direction) — nulls manufactured since the base tables carry
+    // none. Total order: the null flag then the key, so the sort is
+    // deterministic and the harness's row hashing sees a stable layout.
+    QuerySpec(
+      "q64_null_ordering",
+      """SELECT seg_nb, c_custkey FROM (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg_nb, c_custkey
+        |  FROM customer WHERE c_custkey <= 100) t
+        |ORDER BY seg_nb DESC NULLS FIRST, c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).where(col("c_custkey") <= 100)
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+          col("c_custkey"))
+        .orderBy(col("seg_nb").desc_nulls_first, col("c_custkey"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a

@@ -298,6 +298,38 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // Readability statistics: sentence segmentation (terminator split) +
+    // per-sentence and per-word densities, fixed-point projected. Both
+    // array columns staged before use (HOF discipline).
+    QuerySpec(
+      "tx9_readability",
+      """SELECT doc_id, n_sent, n_words,
+        |  CAST(floor(CAST(n_words AS DOUBLE) / greatest(n_sent, 1) * 100 + 0.5) AS BIGINT) AS words_per_sent_c,
+        |  CAST(floor(CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) * 100 + 0.5) AS BIGINT) AS chars_per_word_c
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[.!?]+'), s -> trim(s) <> '')) AS BIGINT) AS n_sent,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, b) -> a + b) AS BIGINT) AS n_alpha
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |        FROM documents) s) m""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"),
+          filter(split(col("text"), "[.!?]+"), st => trim(st) =!= "").as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sent"),
+          size(col("toks")).cast("long").as("n_words"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0), (a, b) => a + b).cast("long").as("n_alpha"))
+        .select(col("doc_id"), col("n_sent"), col("n_words"),
+          floor(col("n_words").cast("double") / greatest(col("n_sent"), lit(1L)) * 100 + 0.5)
+            .cast("long").as("words_per_sent_c"),
+          floor(col("n_alpha").cast("double") / greatest(col("n_words"), lit(1L)) * 100 + 0.5)
+            .cast("long").as("chars_per_word_c"))
+    },
+
     // 62-bit rolling token hash. The per-token seed is md5-derived
     // (TextAnalysis.tokenSeed) precisely so the whole fingerprint is
     // reproducible in DuckDB: list_reduce replays the same polynomial
