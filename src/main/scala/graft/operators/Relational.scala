@@ -130,4 +130,35 @@ object Relational {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
+
+  /** Time-series gap fill: rows where `readingCol` is NULL get a value
+    * linearly interpolated between the nearest non-null readings before
+    * and after (by `tsCol` within `partCol`); one-sided gaps fall back to
+    * last-observation-carried-forward (or backfill at the head). The
+    * interpolation weight uses integer millisecond deltas, so the double
+    * arithmetic is order-independent and engine-portable.
+    *
+    * Two window passes over one partitioning (backward and forward
+    * running frames share the same shuffle+sort — Catalyst plans ONE
+    * Exchange and one Sort for both), no joins, no state. Appends
+    * `filledCol`; `orderCol` breaks timestamp ties so the fill is
+    * deterministic. */
+  def locfInterpolate(df: DataFrame, partCol: String, tsCol: String,
+      orderCol: String, readingCol: String,
+      filledCol: String = "filled"): DataFrame = {
+    val base = Window.partitionBy(col(partCol)).orderBy(col(tsCol), col(orderCol))
+    val back = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val reading = col(readingCol)
+    val readTs = when(reading.isNotNull, col(tsCol))
+    val prevV = last(reading, ignoreNulls = true).over(back)
+    val prevT = last(readTs, ignoreNulls = true).over(back)
+    val nextV = first(reading, ignoreNulls = true).over(fwd)
+    val nextT = first(readTs, ignoreNulls = true).over(fwd)
+    val gapMs = unix_millis(nextT.cast("timestamp")) - unix_millis(prevT.cast("timestamp"))
+    val posMs = unix_millis(col(tsCol).cast("timestamp")) - unix_millis(prevT.cast("timestamp"))
+    val linear = when(prevV.isNotNull && nextV.isNotNull && gapMs > 0,
+      prevV + (nextV - prevV) * posMs / gapMs)
+    df.withColumn(filledCol, coalesce(reading, linear, prevV, nextV))
+  }
 }

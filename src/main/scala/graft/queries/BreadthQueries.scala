@@ -457,6 +457,40 @@ object BreadthQueries {
         .orderBy(col("seg_nb").desc_nulls_first, col("c_custkey"))
     },
 
+    // Time-series gap fill (Relational.locfInterpolate): 'click' events
+    // carry readings, every other event gets a value linearly
+    // interpolated between its bracketing readings (LOCF / backfill at
+    // the edges). Millisecond-integer weights keep the double math
+    // engine-portable; one shuffle+sort serves both window directions.
+    QuerySpec(
+      "q65_locf_interpolate",
+      """SELECT event_id, user_id, round(coalesce(reading,
+        |    CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+        |              AND date_diff('millisecond', prev_t, next_t) > 0 THEN
+        |      prev_v + (next_v - prev_v) * date_diff('millisecond', prev_t, ts)
+        |        / date_diff('millisecond', prev_t, next_t)
+        |    END, prev_v, next_v), 4) AS filled
+        |FROM (
+        |  SELECT event_id, user_id, ts, reading,
+        |    last_value(reading IGNORE NULLS) OVER wb AS prev_v,
+        |    last_value(CASE WHEN reading IS NOT NULL THEN ts END IGNORE NULLS) OVER wb AS prev_t,
+        |    first_value(reading IGNORE NULLS) OVER wf AS next_v,
+        |    first_value(CASE WHEN reading IS NOT NULL THEN ts END IGNORE NULLS) OVER wf AS next_t
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CASE WHEN event_type = 'click' THEN value END AS reading
+        |        FROM events) r
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) w""".stripMargin) { (s, dir) =>
+      val readings = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", col("value")).as("reading"))
+      graft.operators.Relational.locfInterpolate(
+          readings, "user_id", "ts", "event_id", "reading")
+        .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a

@@ -60,6 +60,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("locfInterpolate: linear mid-gap, LOCF tail, backfill head, all-null partition") {
+    val rows = Seq(
+      // key 1: reading 10 at t=0s, gap at 2s and 3s, reading 40 at 4s,
+      // trailing gap at 6s (LOCF), leading gap handled by key 2.
+      (1L, 1L, 0L, Some(10.0)),
+      (2L, 1L, 2000L, None), // 2/4 of the way: 10 + 30*0.5 = 25
+      (3L, 1L, 3000L, None), // 3/4: 10 + 30*0.75 = 32.5
+      (4L, 1L, 4000L, Some(40.0)),
+      (5L, 1L, 6000L, None), // after last reading -> LOCF 40
+      (6L, 2L, 1000L, None), // before first reading -> backfill 7
+      (7L, 2L, 5000L, Some(7.0)),
+      (8L, 3L, 1000L, None)  // partition with no readings -> null
+    ).toDF("id", "k", "ms", "reading")
+      .select(col("id"), col("k"),
+        org.apache.spark.sql.functions.timestamp_millis(col("ms")).as("ts"),
+        col("reading"))
+    val got = Relational.locfInterpolate(rows, "k", "ts", "id", "reading")
+      .select(col("id"), col("filled")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(got(2L).contains(25.0))
+    assert(got(3L).contains(32.5))
+    assert(got(5L).contains(40.0))
+    assert(got(6L).contains(7.0))
+    assert(got(8L).isEmpty)
+  }
+
   test("AQE splits skewed join partitions at runtime (the salting alternative)") {
     // One hot key carrying ~99% of a 200k-row fact side, sort-merge
     // joined (broadcast disabled) against a small dim. With the skew
