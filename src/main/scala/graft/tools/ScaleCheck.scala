@@ -62,6 +62,21 @@ object ScaleCheck {
     }
     Dedup.releaseCaches()
     println(s"[scale] pairs 1x=$pairs1 ${mult}x=$pairsN")
+
+    // Connected components on a pathological 100k-node CHAIN — the
+    // worst case for plain propagation (diameter = n). Pointer jumping
+    // must converge in O(log n) rounds; correctness check: one
+    // component labeled by the chain's minimum node.
+    val chainN = 100000L
+    val chain = spark.range(chainN - 1)
+      .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+    val t0 = System.nanoTime()
+    val comp = Dedup.connectedComponents(chain, "id1", "id2")
+    val labels = comp.agg(countDistinct(col("cluster_id")).as("k"),
+      max(col("cluster_id")).as("mx")).head()
+    println(f"[scale] cc chain n=$chainN: ${(System.nanoTime() - t0) / 1e9}%.1f s, " +
+      s"components=${labels.getLong(0)} maxLabel=${labels.getLong(1)} (want 1, 0)")
+    Dedup.releaseCaches()
     spark.stop()
   }
 }
