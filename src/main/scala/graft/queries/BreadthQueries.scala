@@ -491,6 +491,34 @@ object BreadthQueries {
         .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
     },
 
+    // Map higher-order functions (transform_values / map_filter /
+    // map_keys / map_values) over the parsed props map — the map-lambda
+    // family q36's explode left unexercised. The harness maps are
+    // single-key ('k'), so the JSON projection is deterministic and the
+    // oracle replays it with scalar JSON functions.
+    QuerySpec(
+      "q66_map_hofs",
+      """SELECT event_id,
+        |  json_object('k', 2 * v) AS doubled_json,
+        |  CASE WHEN v % 2 = 0 THEN json_object('k', v) ELSE '{}' END AS evens_json,
+        |  'k' AS only_key,
+        |  v AS only_value
+        |FROM (SELECT event_id,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+        |      FROM events) t
+        |WHERE v IS NOT NULL""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.events(s, dir).select("event_id", "props"))
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")).as("m"))
+        .where(element_at(col("m"), "k").isNotNull)
+        .select(col("event_id"),
+          to_json(transform_values(col("m"), (_, v) => v * 2)).as("doubled_json"),
+          to_json(map_filter(col("m"), (_, v) => v % 2 === 0)).as("evens_json"),
+          array_join(map_keys(col("m")), ",").as("only_key"),
+          element_at(map_values(col("m")), 1).as("only_value"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a
