@@ -84,7 +84,12 @@ object Tables {
     val perSession = loadMemo.synchronized(loadMemo.get(spark))
     if (perSession != null) {
       if (name != null) perSession.remove((dir, name))
-      else names.foreach(n => perSession.remove((dir, n)))
+      else {
+        // Every memoized entry under the directory — including tables
+        // loaded by non-harness names — per the documented contract.
+        val it = perSession.keySet().iterator()
+        while (it.hasNext) if (it.next()._1 == dir) it.remove()
+      }
     }
   }
 

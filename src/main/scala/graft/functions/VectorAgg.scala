@@ -83,7 +83,10 @@ class TopKByScore(k: Int)
   override def zero: Seq[(Double, Long)] = Vector.empty
 
   override def reduce(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] =
-    if (v == null) buf
+    // NaN scores are dropped like SQL NULLs: beats() is a total order
+    // only over reals, and a NaN entry would land at the head of the
+    // buffer and break the bound/determinism invariants.
+    if (v == null || v._1.isNaN) buf
     else if (buf.lengthCompare(k) >= 0 && !beats(v, buf.last)) buf
     else {
       val (better, worse) = buf.span(beats(_, v))

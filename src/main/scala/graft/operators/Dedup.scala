@@ -328,6 +328,12 @@ object Dedup {
       .persist(lvl)
     val edgeCount = edges.count() // also materializes both caches
     directed.unpersist(blocking = false)
+    // Empty pair list → no clusters (and the loop's NULL-sum convergence
+    // probe would NPE on zero rows).
+    if (edgeCount == 0) {
+      edges.unpersist(blocking = false)
+      return edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    }
     // Size the loop's shuffle parallelism to the LABEL data (16-byte
     // rows), not the session default meant for table scans: an iterative
     // algorithm pays every empty partition once per shuffle PER ROUND,
@@ -376,6 +382,13 @@ object Dedup {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .persist(lvl)
+    // Register every loop intermediate for releaseCaches() as soon as it
+    // is persisted: if any action mid-loop fails (executor OOM, task
+    // abort), the caller's releaseCaches() in its error path still frees
+    // the blocks — nothing leaks for the rest of the session. Duplicate
+    // unpersist calls on already-released frames are no-ops.
+    pendingCaches.add(edges)
+    pendingCaches.add(labels)
     lap("init")
     // Convergence check: node ids are non-negative and min-propagation
     // only ever lowers labels, so sum(lbl) strictly decreases each round
@@ -393,6 +406,7 @@ object Dedup {
       val prop = viaNeighbor.union(labels)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .persist(lvl)
+      pendingCaches.add(prop)
       // Pointer jump (label ← its label's label): composes each round's
       // single-hop propagation into doubling reach, so rounds are
       // O(log diameter) instead of O(diameter) — the difference between
@@ -413,6 +427,7 @@ object Dedup {
       val next = edges.sparkSession
         .createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(lvl)
+      pendingCaches.add(next)
       val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
       prop.unpersist(blocking = false)
       labels.unpersist(blocking = false)
@@ -428,8 +443,11 @@ object Dedup {
     // ≥ ×1.6 per round (propagation + pointer jump), so the default 60
     // rounds covers any physically plausible diameter; a measured 100k-
     // node chain converges in 17.
-    require(converged,
-      s"connectedComponents did not converge within $maxIter rounds")
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds")
+    }
     pendingCaches.add(labels)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
   }

@@ -287,7 +287,11 @@ object BreadthQueries {
         |FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = days.d
         |GROUP BY days.d""".stripMargin) { (s, dir) =>
       // The event range can exceed the default 100-step recursion cap.
-      s.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
+      // Deliberately NOT set/restored: the limit must still be in effect
+      // when the returned (lazy) DataFrame executes, which outlives this
+      // builder. 10k bounds a ~27-year daily spine while still stopping
+      // a runaway recursion 10x sooner than unbounded.
+      s.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
       Tables.events(s, dir).createOrReplaceTempView("events_x53")
       s.sql(
         """WITH RECURSIVE days(d, dmax) AS (
@@ -349,12 +353,16 @@ object BreadthQueries {
     QuerySpec(
       "q58_set_ops_all",
       """SELECT l_partkey FROM (
-        |  SELECT l_partkey FROM lineitem WHERE l_suppkey < 50
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 4 < 2
         |  EXCEPT ALL
-        |  SELECT l_partkey FROM lineitem WHERE l_suppkey < 10) t""".stripMargin) { (s, dir) =>
+        |  SELECT l_partkey FROM lineitem WHERE l_orderkey % 4 = 0) t""".stripMargin) { (s, dir) =>
+      // Modulo predicates, not absolute key ranges: the two multisets
+      // genuinely differ (and overlap) at EVERY scale factor, so a
+      // broken exceptAll cannot pass on a slice where both inputs
+      // happen to coincide.
       val li = Tables.lineitem(s, dir)
-      li.where(col("l_suppkey") < 50).select(col("l_partkey"))
-        .exceptAll(li.where(col("l_suppkey") < 10).select(col("l_partkey")))
+      li.where(pmod(col("l_orderkey"), lit(4)) < 2).select(col("l_partkey"))
+        .exceptAll(li.where(pmod(col("l_orderkey"), lit(4)) === 0).select(col("l_partkey")))
     },
 
     // GROUP BY ALL (group on every non-aggregate select item) through
@@ -464,12 +472,13 @@ object BreadthQueries {
     // engine-portable; one shuffle+sort serves both window directions.
     QuerySpec(
       "q65_locf_interpolate",
-      """SELECT event_id, user_id, round(coalesce(reading,
+      """SELECT event_id, user_id,
+        |  CAST(floor(coalesce(reading,
         |    CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
         |              AND date_diff('millisecond', prev_t, next_t) > 0 THEN
         |      prev_v + (next_v - prev_v) * date_diff('millisecond', prev_t, ts)
         |        / date_diff('millisecond', prev_t, next_t)
-        |    END, prev_v, next_v), 4) AS filled
+        |    END, prev_v, next_v) * 10000 + 0.5) AS BIGINT) AS filled_e4
         |FROM (
         |  SELECT event_id, user_id, ts, reading,
         |    last_value(reading IGNORE NULLS) OVER wb AS prev_v,
@@ -486,9 +495,13 @@ object BreadthQueries {
       val readings = Tables.events(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"),
           when(col("event_type") === "click", col("value")).as("reading"))
+      // Basis-point projection, not round(): interpolated values are
+      // derived ratios, and round()'s half-way ties diverge between
+      // engines (the q51/tx2 parity rule).
       graft.operators.Relational.locfInterpolate(
           readings, "user_id", "ts", "event_id", "reading")
-        .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
+        .select(col("event_id"), col("user_id"),
+          floor(col("filled") * 10000 + 0.5).cast("long").as("filled_e4"))
     },
 
     // Map higher-order functions (transform_values / map_filter /

@@ -121,10 +121,12 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
         "doc_id", "text", shingleK = 5, numHashes = 64, bands = 8,
         threshold = 0.8)
+      // cluster_id IS the minimum member id by connectedComponents'
+      // contract — it doubles as the canonical keeper directly.
       Dedup.connectedComponents(pairs, "id1", "id2")
         .groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
-        .select(col("keep_id"), col("n_docs"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("cluster_id").as("keep_id"), col("n_docs"))
     },
 
     // SimHash near-dup detection (Hamming ≤ 3 via the 4×16-bit chunk
