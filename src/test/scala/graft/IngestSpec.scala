@@ -99,6 +99,47 @@ class IngestSpec extends SparkSpec {
       s"scanned ${scans.head.metrics("numFiles").value} of $allFiles files")
   }
 
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      // The incremental-load discipline at 100 TB: a day's re-run must
+      // replace that day's partition atomically and leave every other
+      // partition untouched (static mode would truncate the table).
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-02")).toDF("id", "day")
+      day1.write.partitionBy("day").parquet(s"$dir/t")
+      val rerun = Seq((20L, "2024-01-02")).toDF("id", "day")
+      rerun.write.mode("overwrite").partitionBy("day").parquet(s"$dir/t")
+      val back = spark.read.parquet(s"$dir/t")
+        .select("id", "day").as[(Long, String)].collect().toSet
+      assert(back == Set((1L, "2024-01-01"), (20L, "2024-01-02")))
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  test("mergeSchema unions evolving parquet schemas across batches") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/t/batch=1")
+    Seq((2L, 9.5)).toDF("id", "v2").write.parquet(s"$dir/t/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "batch"))
+    val rows = merged.select("id", "v1", "v2").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSet
+    assert(rows == Set((1L, Some("a"), None), (2L, None, Some(9.5))))
+  }
+
+  test("maxRecordsPerFile bounds output file sizes") {
+    val dir = Files.createTempDirectory("graft_maxrec").toString
+    spark.range(100).toDF("id").coalesce(1)
+      .write.option("maxRecordsPerFile", 30).parquet(s"$dir/t")
+    val files = spark.read.parquet(s"$dir/t").inputFiles
+    assert(files.length == 4, files.mkString(",")) // 30+30+30+10
+    assert(spark.read.parquet(s"$dir/t").count() == 100)
+  }
+
   test("catalog DDL (A9): CREATE TABLE / INSERT / CTAS / DROP") {
     spark.sql("DROP TABLE IF EXISTS graft_ddl_demo")
     spark.sql("DROP TABLE IF EXISTS graft_ddl_ctas")

@@ -60,6 +60,19 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("Observation collects metrics from the job without a second scan") {
+    // The runtime-metrics discipline at scale: quality counters ride the
+    // main action instead of costing a second pass over 100 TB.
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val df = Tables.orders(spark, "/root/testdata/sf0.001")
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).as("bad_price"))
+    val n = df.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("bad_price") == 0L)
+  }
+
   test("locfInterpolate: linear mid-gap, LOCF tail, backfill head, all-null partition") {
     val rows = Seq(
       // key 1: reading 10 at t=0s, gap at 2s and 3s, reading 40 at 4s,
