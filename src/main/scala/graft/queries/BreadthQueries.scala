@@ -532,6 +532,45 @@ object BreadthQueries {
           element_at(map_values(col("m")), 1).as("only_value"))
     },
 
+    // Array manipulation family: position lookup, element removal,
+    // null compaction — over staged token arrays.
+    QuerySpec(
+      "q67_array_manipulation",
+      """SELECT doc_id,
+        |  CAST(list_position(toks, 'data') AS BIGINT) AS pos_data,
+        |  CAST(len(list_filter(toks, x -> x <> 'the')) AS BIGINT) AS n_no_the,
+        |  array_to_string(list_filter(list_transform(toks, x -> nullif(x, 'a')), x -> x IS NOT NULL)[1:5], ',') AS first5_compact
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |      FROM documents WHERE doc_id < 100) t""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          array_position(col("toks"), "data").as("pos_data"),
+          size(array_remove(col("toks"), "the")).cast("long").as("n_no_the"),
+          array_join(slice(array_compact(transform(col("toks"),
+            x => nullif(x, lit("a")))), 1, 5), ",").as("first5_compact"))
+    },
+
+    // String scalar family, second batch: padding, translate, reverse,
+    // repeat, overlay-equivalent composition.
+    QuerySpec(
+      "q68_string_fns2",
+      """SELECT p_partkey,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+        |  rpad(p_brand, 12, '.') AS brand_padded,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_upvowel,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(left(p_brand, 2), 3) AS brand_echo
+        |FROM part""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        rpad(col("p_brand"), 12, ".").as("brand_padded"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_upvowel"),
+        reverse(col("p_name")).as("name_rev"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("brand_echo"))
+    },
+
     // --- training-pipeline additions ---
 
     // Corpus bigram top-k: adjacent-token pairs, counted and cut with a
