@@ -25,7 +25,11 @@ object Bench {
         }
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Name-sorted: Map iteration order varies per JVM, which lands the
+    // residual warm-up cost on different queries each run and inflates
+    // run-to-run variance of per-query numbers. A fixed order makes
+    // successive bench runs comparable query-by-query.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -38,7 +42,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
