@@ -300,6 +300,55 @@ object PipelineQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"))
     },
 
+    // TF-IDF top terms per document — the relevance-scoring member of
+    // the text family: explode → per-(doc,term) TF → per-term DF →
+    // smoothed IDF (rounded to 6dp BEFORE the product so both engines
+    // multiply identical doubles) → basis-point score → top-3 terms per
+    // doc (row_number, term tie-break). The DF side is a tiny
+    // (term, df) table: Catalyst broadcasts it back onto the TF rows.
+    QuerySpec(
+      "tx10_tfidf_topterms",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id < 200),
+        |tf AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tfc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+        |dfc AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tfc GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM toks),
+        |scored AS (
+        |  SELECT t.doc_id, t.term,
+        |    CAST(floor(t.tf * round(ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) * 10000 + 0.5) AS BIGINT) AS score_bp
+        |  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score_bp FROM (
+        |  SELECT doc_id, term, score_bp,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, term) AS rn
+        |  FROM scored) r
+        |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+      val toks = Tables.fanOut(
+          Tables.documents(s, dir).where(col("doc_id") < 200).select("doc_id", "text"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      val tf = toks
+        .select(col("doc_id"), explode_outer(col("toks")).as("term"))
+        .where(col("term").isNotNull)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          floor(col("tf") * round(log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6) * 10000 + 0.5)
+            .cast("long").as("score_bp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score_bp").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("score_bp"))
+    },
+
     // Readability statistics: sentence segmentation (terminator split) +
     // per-sentence and per-word densities, fixed-point projected. Both
     // array columns staged before use (HOF discipline).
