@@ -462,6 +462,19 @@ object PipelineQueries {
           md5(col("media")).as("digest"))
     },
 
+    // Multimodal retrieval end to end: decode stub → feature vectors →
+    // batched knn join over the features (Similarity.knnJoin's map-side
+    // bounded top-k). The features are deterministic (byte histograms),
+    // so the rows-only check is stable; the knn and decode pieces are
+    // each verified separately.
+    QuerySpec.noOracle("mm4_media_feature_knn") { (s, dir) =>
+      val feats = Multimodal.mediaFeatureTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("features"))
+      Similarity.knnJoin(
+        feats.where(col("doc_id") >= 10), "doc_id", "features",
+        feats.where(col("doc_id") < 3), "doc_id", "features", k = 3)
+    },
+
     // Decode + feature extraction through the mapPartitions stub (real
     // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
     // payload checksum is a mod-2^63 byte fold the oracle replays over
