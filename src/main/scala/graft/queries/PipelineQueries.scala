@@ -168,9 +168,11 @@ object PipelineQueries {
 
     // ANN via sign-random-projection LSH (deterministic seeded planes).
     // 6 planes × 4 tables: ~64 buckets per table keeps candidate lists in
-    // the tens at this cardinality (more planes → empty buckets, no
-    // recall; at larger corpora raise planes to keep bucket occupancy
-    // roughly constant).
+    // the tens at this cardinality. Tuning law (measured in ScaleCheck):
+    // planes bound candidate COST (occupancy ≈ n/2^planes) but each
+    // plane cuts per-table recall by (1 - θ/π); pick the fewest planes
+    // whose buckets fit the scoring budget, then add tables until
+    // recall holds (sf0.1: 6p4t=5/10 vs 4p8t=9/10).
     QuerySpec.noOracle("ss2_ann_srp_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,

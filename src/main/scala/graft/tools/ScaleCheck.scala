@@ -63,6 +63,35 @@ object ScaleCheck {
     Dedup.releaseCaches()
     println(s"[scale] pairs 1x=$pairs1 ${mult}x=$pairsN")
 
+    // ANN recall at this scale factor: does the SRP-LSH candidate
+    // generation still surface the true neighbors as the corpus grows?
+    // (The test-suite recall check runs only at sf0.001.)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q0 = emb.where(col("vec_id") === 0)
+    val exact = graft.operators.Similarity
+      .bruteForceTopK(emb, "vec_id", "embedding", q0, "embedding", 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def annRecall(planes: Int, tables: Int): Int = {
+      val ann = graft.operators.Similarity
+        .annTopK(emb, "vec_id", "embedding", 64, q0, "embedding", 10,
+          nPlanes = planes, nTables = tables)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (ann & exact).size
+    }
+    // The tuning law, measured at sf0.1 (2000 vectors), recall@10:
+    // fixed(6p,4t)=5, morePlanes(9p,8t)=1, moreTables(6p,8t)=5,
+    // fewerPlanes(4p,8t)=9. Per-table collision probability
+    // (1 - θ/π)^planes is what binds recall for mid-similarity
+    // neighbors — each extra plane cuts it by ~2/3, which extra tables
+    // cannot buy back linearly. Planes bound CANDIDATE COST (bucket
+    // occupancy ≈ n/2^planes); pick the fewest planes whose bucket size
+    // fits the scoring budget, then add tables until recall holds.
+    println(s"[scale] ann recall@10 at $sfDir: " +
+      s"fixed(6p,4t)=${annRecall(6, 4)}/10 " +
+      s"morePlanes(9p,8t)=${annRecall(9, 8)}/10 " +
+      s"moreTables(6p,8t)=${annRecall(6, 8)}/10 " +
+      s"fewerPlanes(4p,8t)=${annRecall(4, 8)}/10")
+
     // Connected components on a pathological 100k-node CHAIN — the
     // worst case for plain propagation (diameter = n). Pointer jumping
     // must converge in O(log n) rounds; correctness check: one
