@@ -71,10 +71,10 @@ object ScaleCheck {
     val exact = graft.operators.Similarity
       .bruteForceTopK(emb, "vec_id", "embedding", q0, "embedding", 10)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    def annRecall(planes: Int, tables: Int): Int = {
+    def annRecall(planes: Int, tables: Int, multiprobe: Boolean = false): Int = {
       val ann = graft.operators.Similarity
         .annTopK(emb, "vec_id", "embedding", 64, q0, "embedding", 10,
-          nPlanes = planes, nTables = tables)
+          nPlanes = planes, nTables = tables, multiprobe = multiprobe)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       (ann & exact).size
     }
@@ -90,7 +90,8 @@ object ScaleCheck {
       s"fixed(6p,4t)=${annRecall(6, 4)}/10 " +
       s"morePlanes(9p,8t)=${annRecall(9, 8)}/10 " +
       s"moreTables(6p,8t)=${annRecall(6, 8)}/10 " +
-      s"fewerPlanes(4p,8t)=${annRecall(4, 8)}/10")
+      s"fewerPlanes(4p,8t)=${annRecall(4, 8)}/10 " +
+      s"multiprobe(6p,4t)=${annRecall(6, 4, multiprobe = true)}/10")
 
     // Connected components on a pathological 100k-node CHAIN — the
     // worst case for plain propagation (diameter = n). Pointer jumping

@@ -104,6 +104,11 @@ class SimilaritySpec extends SparkSpec {
     // always the query itself.
     assert(lsh.contains(0L) && (lsh & exact).size >= 3, s"lsh recall ${(lsh & exact).size}")
     assert(ivf.contains(0L) && (ivf & exact).size >= 3, s"ivf recall ${(ivf & exact).size}")
+    // Multiprobe can only widen the candidate set → recall must not drop.
+    val mp = Similarity.annTopK(emb, "vec_id", "embedding", 64, q, "embedding", 10,
+      nPlanes = 5, nTables = 6, multiprobe = true).select("vec_id").as[Long].collect().toSet
+    assert(mp.contains(0L) && (mp & exact).size >= (lsh & exact).size,
+      s"multiprobe recall ${(mp & exact).size} < exact-probe ${(lsh & exact).size}")
   }
 
   test("cosineNearDupPairs finds within-cluster pairs only at high threshold") {
