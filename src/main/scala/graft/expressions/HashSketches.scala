@@ -23,6 +23,17 @@ object Hashing {
       |  z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
       |  return z ^ (z >>> 31);
       |}""".stripMargin
+
+  /** Universal-hash coefficients for the minhash permutations
+    * `(a_i*h + b_i) mod 2^31-1`, derived deterministically from the index.
+    * Shared by [[MinHashBandBuckets]], the declarative
+    * `Dedup.lshBucketsFromHashes`, and the portable-oracle pipeline (which
+    * interpolates the same values into its DuckDB SQL — parity by
+    * construction). `a` in [1, 2^31-2], `b` in [0, 2^31-2]. */
+  def minhashA(n: Int): Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(splitmix64(2L * i), 2147483646L) + 1)
+  def minhashB(n: Int): Array[Long] =
+    Array.tabulate(n)(i => Math.floorMod(splitmix64(2L * i + 1), 2147483647L))
 }
 
 /** MinHash band buckets as one fused codegen loop.
@@ -52,10 +63,8 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
 
   // Universal-hash coefficients, derived deterministically on the driver;
   // identical on every executor (pure function of the index).
-  @transient private lazy val as: Array[Long] =
-    Array.tabulate(n)(i => Math.floorMod(Hashing.splitmix64(2L * i), P31 - 1) + 1)
-  @transient private lazy val bs: Array[Long] =
-    Array.tabulate(n)(i => Math.floorMod(Hashing.splitmix64(2L * i + 1), P31))
+  @transient private lazy val as: Array[Long] = Hashing.minhashA(n)
+  @transient private lazy val bs: Array[Long] = Hashing.minhashB(n)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   // Can return NULL on null-element inputs even when the input itself is

@@ -123,8 +123,8 @@ object Dedup {
     *    CollapseProject from inlining a non-attribute input. */
   def lshBucketsFromHashes(baseHashes: Column, bands: Int, rowsPerBand: Int): Column = {
     val n = bands * rowsPerBand
-    val as = typedLit((0 until n).map(i => Math.floorMod(graft.expressions.Hashing.splitmix64(2L * i), P31 - 1) + 1))
-    val bs = typedLit((0 until n).map(i => Math.floorMod(graft.expressions.Hashing.splitmix64(2L * i + 1), P31)))
+    val as = typedLit(graft.expressions.Hashing.minhashA(n).toSeq)
+    val bs = typedLit(graft.expressions.Hashing.minhashB(n).toSeq)
     val core = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(
         transform(sequence(b * lit(rowsPerBand), (b + lit(1)) * lit(rowsPerBand) - 1),
@@ -450,6 +450,115 @@ object Dedup {
     }
     pendingCaches.add(labels)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Portable (md5-seeded) distinct shingle hashes: fold the first 8 hex
+    * chars of `md5(shingle)` into [0, 2^31-1). Exactly reproducible in
+    * DuckDB (`CAST('0x' || substr(md5(s),1,8) AS BIGINT) % 2147483647`),
+    * which is what lets [[minhashNearDupsPortable]] carry a full hash-
+    * compare oracle. ~3× the CPU of the xxhash64 production path
+    * ([[shingleHashesExpr]]) — this variant exists for verification, the
+    * production pipeline stays on xxhash64.
+    *
+    * `normText` must be a staged attribute (see the [[shingles]]
+    * evaluation contract). Distinct is applied AFTER hashing, mirroring
+    * the oracle's `list_distinct(list_transform(...))` order. */
+  def shingleHashesPortable(normText: Column, k: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(normText) - (k - 1), lit(1))),
+        i => pmod(
+          conv(substring(md5(normText.substr(i, lit(k)).cast("binary")), 1, 8), 16, 10)
+            .cast("long"),
+          lit(P31))))
+
+  /** MinHash+LSH near-dups with every hash engine-portable (md5-derived
+    * shingle hashes + SplitMix64-derived permutation coefficients): the
+    * verification twin of [[minhashNearDups]], identical shape — shingle →
+    * signature → band join → exact-Jaccard verify — but each band key is
+    * the band's raw minima slice (an `array<bigint>` join key) instead of
+    * an xxhash64 bucket, so a SQL oracle can replay the entire pipeline
+    * bit-for-bit. Same shuffle inventory as the production path; only the
+    * per-shingle hash is costlier. */
+  def minhashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val as = typedLit(graft.expressions.Hashing.minhashA(numHashes).toSeq)
+    val bs = typedLit(graft.expressions.Hashing.minhashB(numHashes).toSeq)
+    val base = graft.Tables.fanOut(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.normalizeText(col(textCol)).as("__norm")))
+      .select(col("__id"), shingleHashesPortable(col("__norm"), shingleK).as("__h"))
+    // Persisted for the same three-branch reason as minhashNearDups;
+    // registered with releaseCaches().
+    val sigs = base
+      .select(col("__id"), col("__h"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("__h"),
+            h => pmod(element_at(as, k + 1) * h + element_at(bs, k + 1), lit(P31)))))
+          .as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingCaches.add(sigs)
+    // Band key = the minima slice itself. posexplode_outer per the
+    // lshCandidatePairs contract (no inferred size()>0 filter).
+    val bandsDf = sigs.select(col("__id"),
+      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+        .as(Seq("__b", "__band")))
+    val l = bandsDf.select(col("__b"), col("__band"), col("__id").as("id1"))
+    val r = bandsDf.select(col("__b"), col("__band"), col("__id").as("id2"))
+    val cands = l.join(r, Seq("__b", "__band"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val sets = sigs.select(col("__id"), col("__h"))
+    cands
+      .join(sets.select(col("__id").as("id1"), col("__h").as("__h1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__h").as("__h2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("__h1"), col("__h2")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dups with portable token hashes: the verification twin
+    * of [[simhashNearDups]]. Token hash = first 15 hex chars of md5 (a
+    * 60-bit value), signature = [[graft.expressions.SimHash64]] over
+    * them — bits 60-63 of every input are zero, so their vote sums are
+    * strictly negative and those signature bits are always clear: the
+    * 64-bit kernel IS the 60-bit portable signature, and the oracle
+    * replays bits 0-59. Candidates via 4×15-bit chunks (pigeonhole for
+    * Hamming ≤ 3 over the 60 live bits). */
+  def simhashNearDupsPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashNearDupsPortable: maxDist must be in [0,3] (got $maxDist)")
+    val sigs = graft.Tables.fanOut(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.tokens(col(textCol)).as("__toks")))
+      .select(col("__id"), transform(col("__toks"),
+        t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")).as("__th"))
+      .select(col("__id"), simhashExpr(col("__th")).as("__sig"))
+    val chunked = sigs.select(col("__id"), col("__sig"),
+      transform(sequence(lit(0), lit(3)),
+        c => call_function("shiftright", col("__sig"), c * lit(15))
+          .bitwiseAND(lit(0x7FFFL))).as("__chunks"))
+    val exploded = chunked.select(col("__id"), col("__sig"),
+      posexplode_outer(col("__chunks")).as(Seq("__c", "__v")))
+    val sized = exploded
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__c", "__v")))
+      .where(col("__n") <= maxBucketSize)
+    val l = sized.select(col("__c"), col("__v"), col("__id").as("id1"), col("__sig").as("__sig1"))
+    val r = sized.select(col("__c"), col("__v"), col("__id").as("id2"), col("__sig").as("__sig2"))
+    l.join(r, Seq("__c", "__v"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__sig1").bitwiseXOR(col("__sig2"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
   }
 
   /** Exact all-pairs word-token Jaccard over a *bounded* subset — the

@@ -661,6 +661,38 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // Session windows in APPEND mode + watermark — the production shape
+    // (bounded state, exactly-once emission): the emitted set is the
+    // complete-mode session set minus sessions still open at the final
+    // watermark (max(ts) - 30 min), which the oracle replays as a HAVING
+    // over the gaps-and-islands sessions.
+    QuerySpec(
+      "st9_stream_session_append",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '10 minutes' AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL '10 minutes'
+        |  <= (SELECT max(ts) - INTERVAL '30 minutes' FROM events)""".stripMargin) { (s, dir) =>
+      Streams.runToTable(
+        Streams.sessionCountsAppend(Streams.eventsStream(s, dir),
+          "10 minutes", "30 minutes"),
+        "st9_mem", "append")
+    },
+
     // ANSI-mode safety family: Spark 4 runs ANSI by default, where a bad
     // cast or overflow ERRORS a 1000-executor job — try_* is how a
     // curation pipeline survives dirty data. The oracle mirrors each

@@ -1,0 +1,386 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.expressions.Hashing
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation surface: the data-hygiene operators a production
+  * training-data pipeline runs between raw crawl and training shards —
+  * PII redaction, train/test contamination detection, repetition scoring,
+  * sequence packing, deterministic sampling — plus portable-hash twins of
+  * the MinHash-LSH and SimHash near-dup pipelines that upgrade those from
+  * rows-only checks to full DuckDB hash-compare oracles, and two
+  * relational breadth families (extended stats aggregates, histograms).
+  *
+  * The reference has none of these (its pipeline stops at rename/cast +
+  * PK/FK checks, `/root/reference/dags/users_etl.py:92-155`); they extend
+  * the engine per the north star. Everything is built from
+  * `org.apache.spark.sql.functions` Column expressions — codegen'd,
+  * UDF-free — so each op runs at scan speed map-side, and the only
+  * shuffles are the explicit joins/aggregations noted per spec.
+  */
+object CurationQueries {
+
+  /** Shared DuckDB fragment: tokenized lowercase words (identical to
+    * [[TextAnalysis.tokens]]). */
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // PII patterns — RE2 ∩ java.util.regex common syntax only (no
+  // lookaround), so Spark and DuckDB compile the identical automaton.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The deterministic PII decoration both engines append to each doc —
+    * the corpus itself is synthetic prose with no PII, so the spec plants
+    * two emails, a phone, and an IP per row (varying with doc_id) and
+    * verifies detection counts plus the md5 of the redacted text. */
+  private val duckPiiText =
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@example.com or admin@test.org, call +1-555-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25.'"
+
+  /** DuckDB oracle for [[Dedup.minhashNearDupsPortable]] — the same
+    * pipeline replayed in SQL, with the SplitMix64-derived permutation
+    * coefficients interpolated from the same [[Hashing]] arrays the Spark
+    * side uses (parity by construction, not by luck). */
+  private def minhashPortableOracle(
+      k: Int, numHashes: Int, bands: Int, threshold: Double,
+      maxDocId: Long): String = {
+    val rowsPerBand = numHashes / bands
+    val a = Hashing.minhashA(numHashes).mkString("[", ",", "]")
+    val b = Hashing.minhashB(numHashes).mkString("[", ",", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+       |  FROM documents WHERE doc_id < $maxDocId
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |      range(1, greatest(length(norm) - ${k - 1}, 1) + 1),
+       |      i -> CAST('0x' || substr(md5(substr(norm, i, $k)), 1, 8) AS BIGINT) % 2147483647)) AS hs
+       |  FROM base
+       |), sig AS (
+       |  SELECT doc_id, hs, list_transform(range(0, $numHashes),
+       |      j -> list_min(list_transform(hs, h -> ($a[j+1]*h + $b[j+1]) % 2147483647))) AS sig
+       |  FROM sh
+       |), bands AS (
+       |  SELECT doc_id, hs, bb, list_slice(sig, bb*$rowsPerBand + 1, bb*$rowsPerBand + $rowsPerBand) AS band
+       |  FROM sig, range(0, $bands) t(bb)
+       |), cand AS (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.hs AS h1, r.hs AS h2
+       |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band AND l.doc_id < r.doc_id
+       |), verified AS (
+       |  SELECT id1, id2,
+       |    round(CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
+       |          len(list_distinct(h1 || h2)), 4) AS jaccard
+       |  FROM cand)
+       |SELECT id1, id2, jaccard FROM verified WHERE jaccard >= $threshold""".stripMargin
+  }
+
+  /** DuckDB oracle for [[Dedup.simhashNearDupsPortable]]: 60-bit simhash
+    * over md5-derived token hashes, 4×15-bit chunk candidates, Hamming
+    * filter. */
+  private val simhashPortableOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_transform($duckToks,
+       |      t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS th
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id, CASE WHEN len(th) = 0 THEN 0 ELSE
+       |    list_sum(list_transform(range(0, 60), b -> CASE WHEN
+       |      list_sum(list_transform(th, h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (1::BIGINT << b) ELSE 0 END)) END AS sig
+       |  FROM toks
+       |), chunks AS (
+       |  SELECT doc_id, sig, c, (sig >> (c*15)) & 32767 AS v
+       |  FROM sig, range(0, 4) t(c)
+       |)
+       |SELECT id1, id2, hamming FROM (
+       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+       |    CAST(bit_count(xor(l.sig, r.sig)) AS INT) AS hamming
+       |  FROM chunks l JOIN chunks r ON l.c = r.c AND l.v = r.v AND l.doc_id < r.doc_id) t
+       |WHERE hamming <= 3""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // --- PII redaction ---------------------------------------------------
+    // Email/phone/IP detection + scrubbing. Pure regexp map-side work: at
+    // 100 TB this runs at scan speed with zero shuffles (the aggregation
+    // here is only the per-doc fingerprint the oracle can hash-compare).
+    QuerySpec(
+      "tx11_pii_redact",
+      s"""WITH pii AS (
+         |  SELECT doc_id, $duckPiiText AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS red_fp
+         |FROM pii""".stripMargin) { (s, dir) =>
+      val pii = Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or admin@test.org, call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".25.")).as("t")))
+      pii.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe), lit("<PHONE>")),
+          lit(ipRe), lit("<IP>")).cast("binary")).as("red_fp"))
+    },
+
+    // --- train/test contamination ---------------------------------------
+    // The benchmark-hygiene check every training pipeline needs: which
+    // held-out docs share an 8-gram with the train split (under the
+    // tx8 hash split)? Shuffle inventory: one exchange of (gram, doc)
+    // pairs for the self-join — at 100 TB the gram strings would be
+    // hashed to longs first (same plan, 8-byte shuffle keys); kept as
+    // strings here so the oracle replays them verbatim.
+    QuerySpec(
+      "tx12_contamination",
+      """WITH split AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, bucket >= 90 AS is_test,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        |  FROM split WHERE bucket < 80 OR bucket >= 90
+        |), grams AS (
+        |  SELECT doc_id, is_test, unnest(
+        |    list_distinct(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+        |      i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS gram
+        |  FROM toks WHERE len(toks) >= 8
+        |)
+        |SELECT te.doc_id AS test_doc_id,
+        |  CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+        |  CAST(count(DISTINCT te.gram) AS BIGINT) AS n_shared_grams
+        |FROM grams te JOIN grams tr ON te.gram = tr.gram AND te.is_test AND NOT tr.is_test
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(100L))
+      val toks = Tables.fanOut(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"), bucket.as("bucket"))
+            .where(col("bucket") < 80 || col("bucket") >= 90))
+        .select(col("doc_id"), (col("bucket") >= 90).as("is_test"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 8)
+      // Stage the gram array behind a select boundary, then explode_outer
+      // + null-filter (the InferFiltersFromGenerate contract — see
+      // Dedup.lshCandidatePairs).
+      val grams = toks
+        .select(col("doc_id"), col("is_test"),
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 7),
+            i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gs"))
+        .select(col("doc_id"), col("is_test"), explode_outer(col("gs")).as("gram"))
+        .where(col("gram").isNotNull)
+      val te = grams.where(col("is_test")).select(col("doc_id").as("test_doc_id"), col("gram"))
+      val tr = grams.where(!col("is_test")).select(col("doc_id").as("train_doc_id"), col("gram"))
+      te.join(tr, "gram")
+        .groupBy(col("test_doc_id"))
+        .agg(count_distinct(col("train_doc_id")).as("n_train_docs"),
+          count_distinct(col("gram")).as("n_shared_grams"))
+    },
+
+    // --- repetition scoring ----------------------------------------------
+    // Fraction of repeated 3-grams per document (integer basis points) —
+    // the standard "degenerate/boilerplate text" quality signal. All
+    // in-row array work, no shuffle.
+    QuerySpec(
+      "tx13_repetition",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+         |    list_transform(range(1, len(toks) - 2 + 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |    ELSE [] END AS grams
+         |  FROM t)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+         |  CAST(CASE WHEN len(grams) = 0 THEN 0 ELSE
+         |    floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000 + 0.5)
+         |  END AS BIGINT) AS rep_bp
+         |FROM g""".stripMargin) { (s, dir) =>
+      Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => array_join(slice(col("toks"), i, lit(3)), " ")))
+            .otherwise(typedLit(Seq.empty[String])).as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+          when(size(col("grams")) === 0, lit(0L)).otherwise(
+            floor((lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+              / size(col("grams"))) * 10000 + 0.5).cast("long")).as("rep_bp"))
+    },
+
+    // --- sequence packing ------------------------------------------------
+    // Pack documents into fixed token-budget training bins (GPT-style
+    // concat-and-split at 128-token boundaries): a doc's bin is the bin
+    // containing its start offset in the per-source concatenation stream.
+    // One shuffle (window partitioned by source, ordered by doc_id) —
+    // packing is embarrassingly parallel across shards, which is exactly
+    // how a 100 TB corpus packs: per-shard windows, never a global order.
+    QuerySpec(
+      "tx14_pack_sequences",
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($duckToks) AS n_tok FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT source, CAST(floor((cum - n_tok) / 128.0) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc
+         |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.fanOut(Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")))
+        .select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(128.0)).cast("long"))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+
+    // --- deterministic stratified sampling -------------------------------
+    // Hash-bucket sampling (the scale-correct discipline, same rationale
+    // as tx8): stable under retries and repartitioning, exactly
+    // reproducible by any engine with md5 — per-stratum sample counts
+    // verify the ~20% rate stratum by stratum. The 'smp:' prefix makes
+    // the sampling hash independent of the tx8 split hash.
+    QuerySpec(
+      "q69_stratified_sample",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (WHERE
+        |    CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 20)
+        |    AS BIGINT) AS n_sample
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val bucket = pmod(
+        conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string")).cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(100L))
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(bucket < 20, lit(1))).as("n_sample"))
+    },
+
+    // --- extended stats aggregates ---------------------------------------
+    // median / mode / skewness / kurtosis per group. Spark's builtin
+    // central-moment aggregates are validated against a first-principles
+    // raw-moment formulation in the oracle (fixed-point projected — FP
+    // merge order differs); mode is computed manually on both sides
+    // (count-argmax, ties to the smallest value) because builtin mode()
+    // tie-breaking is engine-specific.
+    QuerySpec(
+      "q70_stats_extended",
+      """WITH m AS (
+        |  SELECT l_returnflag, avg(l_quantity) AS mu,
+        |    avg(l_quantity*l_quantity) AS ex2,
+        |    avg(l_quantity*l_quantity*l_quantity) AS ex3,
+        |    avg(l_quantity*l_quantity*l_quantity*l_quantity) AS ex4,
+        |    median(l_quantity) AS med
+        |  FROM lineitem GROUP BY 1),
+        |cnts AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |md AS (
+        |  SELECT l_returnflag, min(l_quantity) AS mode_qty FROM (
+        |    SELECT l_returnflag, l_quantity, c,
+        |      max(c) OVER (PARTITION BY l_returnflag) AS mc
+        |    FROM cnts) t WHERE c = mc GROUP BY 1)
+        |SELECT m.l_returnflag, round(med, 4) AS med_qty, mode_qty,
+        |  CAST(floor(((ex3 - 3*mu*ex2 + 2*mu*mu*mu)
+        |    / pow(ex2 - mu*mu, 1.5)) * 1e6 + 0.5) AS BIGINT) AS skew_fp,
+        |  CAST(floor(((ex4 - 4*mu*ex3 + 6*mu*mu*ex2 - 3*mu*mu*mu*mu)
+        |    / pow(ex2 - mu*mu, 2) - 3) * 1e6 + 0.5) AS BIGINT) AS kurt_fp
+        |FROM m JOIN md USING (l_returnflag)""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val stats = li.groupBy(col("l_returnflag")).agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        floor(skewness(col("l_quantity")) * 1e6 + 0.5).cast("long").as("skew_fp"),
+        floor(kurtosis(col("l_quantity")) * 1e6 + 0.5).cast("long").as("kurt_fp"))
+      val mw = Window.partitionBy(col("l_returnflag"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("mc", max(col("c")).over(mw))
+        .where(col("c") === col("mc"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("mode_qty"))
+      stats.join(mode, "l_returnflag")
+        .select(col("l_returnflag"), col("med_qty"), col("mode_qty"),
+          col("skew_fp"), col("kurt_fp"))
+    },
+
+    // --- histogram -------------------------------------------------------
+    // Fixed-width histogram of l_extendedprice over [0, 100000) in 10
+    // buckets, overflow clamped into the top bucket; Spark's builtin
+    // width_bucket is carried alongside and the oracle replays its exact
+    // out-of-range semantics (0 below, n+1 above). One shuffle (the
+    // groupBy); min/max are exact selections so no rounding is needed.
+    QuerySpec(
+      "q71_histogram",
+      """SELECT CAST(least(floor(l_extendedprice / 10000.0), 9) AS BIGINT) AS bucket,
+        |  CAST(CASE WHEN l_extendedprice < 0 THEN 0
+        |       WHEN l_extendedprice >= 100000 THEN 11
+        |       ELSE floor(l_extendedprice / 10000.0) + 1 END AS BIGINT) AS wb,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo_price,
+        |  max(l_extendedprice) AS hi_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val price = col("l_extendedprice")
+      Tables.lineitem(s, dir)
+        .groupBy(
+          least(floor(price / 10000.0), lit(9)).cast("long").as("bucket"),
+          width_bucket(price, lit(0d), lit(100000d), lit(10)).as("wb"))
+        .agg(count(lit(1)).as("n"),
+          min(price).as("lo_price"),
+          max(price).as("hi_price"))
+    },
+
+    // --- portable near-dup pipelines (oracle-verified twins) -------------
+    // The full MinHash-LSH pipeline with every hash portable: upgrades
+    // the sublinear dedup story from rows-only (dd4) to a hash-exact
+    // DuckDB compare — shingle hashing, permutation minima, band
+    // collision join, and exact-Jaccard verification all replayed in SQL
+    // from the same constants. Bounded to doc_id < 1000 (all docs at
+    // sf≤0.01) to cap the oracle's own md5-per-shingle cost.
+    QuerySpec(
+      "dd9_minhash_lsh_oracled",
+      minhashPortableOracle(k = 5, numHashes = 16, bands = 4,
+        threshold = 0.8, maxDocId = 1000L)) { (s, dir) =>
+      Dedup.minhashNearDupsPortable(
+        Tables.documents(s, dir).where(col("doc_id") < 1000),
+        "doc_id", "text", shingleK = 5, numHashes = 16, bands = 4,
+        threshold = 0.8)
+    },
+
+    // SimHash with portable 60-bit signatures, full corpus: candidate
+    // chunks, Hamming distances, and the signature itself are all
+    // replayed bit-for-bit by the oracle.
+    QuerySpec(
+      "dd10_simhash_oracled",
+      simhashPortableOracle) { (s, dir) =>
+      Dedup.simhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text")
+    }
+  )
+}

@@ -81,6 +81,26 @@ object Streams {
         col("w.end").cast("timestamp_ntz").as("session_end"),
         col("n"), col("total_value"))
 
+  /** Session windows in append mode with a watermark — the production
+    * configuration: state is bounded (sessions older than the watermark
+    * are finalized and evicted) and each session is emitted exactly once,
+    * which is what a downstream incremental sink needs. Under
+    * `Trigger.AvailableNow` the no-data flush batch advances the final
+    * watermark to `max(ts) - delay`, so the emitted set is exactly the
+    * sessions with `session_end <= max(ts) - delay` — the predicate the
+    * batch oracle replays (spec `st9_stream_session_append`; the
+    * complete-mode spec st7 covers the unfiltered session set). */
+  def sessionCountsAppend(events: DataFrame, gap: String = "10 minutes",
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").cast("timestamp_ntz").as("session_start"),
+        col("w.end").cast("timestamp_ntz").as("session_end"),
+        col("n"), col("total_value"))
+
   /** Streaming exact dedup on identity columns, watermark-bounded state:
     * rows older than the watermark are evictable from the dedup state
     * store — the only way identity dedup stays O(window) at 100 TB/day. */
