@@ -161,4 +161,44 @@ object Relational {
       prevV + (nextV - prevV) * posMs / gapMs)
     df.withColumn(filledCol, coalesce(reading, linear, prevV, nextV))
   }
+
+  /** SCD2 (type-2 slowly-changing-dimension) merge: apply an update batch
+    * to a dimension, versioning changed rows instead of overwriting —
+    * the scale-correct incremental alternative to the reference's
+    * DELETE-then-INSERT full refresh
+    * (`/root/reference/dags/users_etl.py:206-214`): at 100 TB a full
+    * refresh rewrites the world every run; SCD2 touches only changed keys
+    * and preserves history for point-in-time queries.
+    *
+    * Input: `current` (the live dimension, one row per `key`) and
+    * `updates` (the batch, one row per `key`). Output rows
+    * (`key`, tracked..., `version`, `is_current`):
+    *  - every current row, version 1; `is_current` stays true unless the
+    *    batch changed one of `tracked`;
+    *  - a version-2 row for each changed key, and a version-1 row for
+    *    each brand-new key — both current.
+    * No-op updates (batch row equal on all tracked columns) produce no
+    * new version: idempotent re-runs of the same batch are free.
+    *
+    * One shuffle (the full outer join on `key`); comparisons are
+    * null-safe (`<=>`). Unchanged-at-scale note: with both sides
+    * bucketed by `key` the join is shuffle-free. */
+  def scd2Merge(current: DataFrame, updates: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    val u = updates.select(
+      (col(key).as("__k") +: tracked.map(c => col(c).as(s"__u_$c"))): _*)
+    val joined = current.join(u, col(key) === col("__k"), "full_outer")
+    val changed = tracked.map(c => !(col(s"__u_$c") <=> col(c))).reduce(_ || _)
+    val hasUpdate = col("__k").isNotNull
+    val hasCurrent = col(key).isNotNull
+    val oldRows = joined.where(hasCurrent).select(
+      (col(key) +: tracked.map(col)) ++ Seq(
+        lit(1).as("version"),
+        (!(hasUpdate && changed)).as("is_current")): _*)
+    val newRows = joined.where(hasUpdate && (!hasCurrent || changed)).select(
+      (col("__k").as(key) +: tracked.map(c => col(s"__u_$c").as(c))) ++ Seq(
+        when(hasCurrent, 2).otherwise(1).as("version"),
+        lit(true).as("is_current")): _*)
+    oldRows.unionByName(newRows)
+  }
 }

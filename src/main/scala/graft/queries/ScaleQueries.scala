@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.{Relational, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 scale/ETL patterns: SCD2 incremental dimension maintenance
+  * (versus the reference's full-refresh), distributed equi-depth
+  * histograms (percentile boundaries + broadcast, NOT a global window),
+  * URL canonicalization dedup, and policy-driven dedup keeper selection.
+  */
+object ScaleQueries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // --- SCD2 merge ------------------------------------------------------
+    // The incremental alternative to the reference's DELETE-then-INSERT
+    // full refresh (users_etl.py:206-214). The batch is synthesized from
+    // the dimension itself so the oracle can replay it: keys %10==0
+    // change balance (new version), %10==1 arrive unchanged (idempotent:
+    // no new version), %10==2 arrive as brand-new keys.
+    QuerySpec(
+      "q72_scd2_merge",
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment
+        |    FROM dim WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT c_custkey, c_acctbal, c_mktsegment
+        |    FROM dim WHERE c_custkey % 10 = 1
+        |  UNION ALL SELECT c_custkey + 1000000, 0.0, 'NEW'
+        |    FROM dim WHERE c_custkey % 10 = 2),
+        |j AS (
+        |  SELECT d.c_custkey AS dk, d.c_acctbal AS dbal, d.c_mktsegment AS dseg,
+        |         u.c_custkey AS uk, u.c_acctbal AS ubal, u.c_mktsegment AS useg
+        |  FROM dim d FULL OUTER JOIN upd u ON d.c_custkey = u.c_custkey)
+        |SELECT dk AS c_custkey, dbal AS c_acctbal, dseg AS c_mktsegment,
+        |  1 AS version,
+        |  NOT (uk IS NOT NULL AND (ubal IS DISTINCT FROM dbal
+        |    OR useg IS DISTINCT FROM dseg)) AS is_current
+        |FROM j WHERE dk IS NOT NULL
+        |UNION ALL
+        |SELECT uk, ubal, useg,
+        |  CASE WHEN dk IS NOT NULL THEN 2 ELSE 1 END AS version,
+        |  true AS is_current
+        |FROM j WHERE uk IS NOT NULL
+        |  AND (dk IS NULL OR ubal IS DISTINCT FROM dbal
+        |       OR useg IS DISTINCT FROM dseg)""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val updates = dim.where(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 100).as("c_acctbal"),
+          col("c_mktsegment"))
+        .unionByName(dim.where(pmod(col("c_custkey"), lit(10)) === 1))
+        .unionByName(dim.where(pmod(col("c_custkey"), lit(10)) === 2)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+      Relational.scd2Merge(dim, updates, "c_custkey",
+        Seq("c_acctbal", "c_mktsegment"))
+    },
+
+    // --- distributed equi-depth histogram --------------------------------
+    // Quartile buckets via exact percentile boundaries + a 1-row
+    // broadcast — two streaming passes, no global window (an
+    // un-partitioned ntile() funnels the table through one task; this
+    // shape survives 100 TB; see Relational.argmaxWithTies for the same
+    // rationale). Spark's exact percentile and DuckDB's quantile_cont
+    // share linear-interpolation semantics.
+    QuerySpec(
+      "q73_equidepth_hist",
+      """WITH b AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+        |         quantile_cont(l_extendedprice, 0.50) AS p50,
+        |         quantile_cont(l_extendedprice, 0.75) AS p75
+        |  FROM lineitem)
+        |SELECT CAST(1 + (l_extendedprice > p25)::INT + (l_extendedprice > p50)::INT
+        |         + (l_extendedprice > p75)::INT AS BIGINT) AS q,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(l_extendedprice) AS lo_price,
+        |  max(l_extendedprice) AS hi_price
+        |FROM lineitem, b GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val price = col("l_extendedprice")
+      val bounds = li.agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.50)").as("p50"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75"))
+      li.crossJoin(broadcast(bounds))
+        .groupBy((lit(1) + (price > col("p25")).cast("int")
+          + (price > col("p50")).cast("int")
+          + (price > col("p75")).cast("int")).cast("long").as("q"))
+        .agg(count(lit(1)).as("n"),
+          min(price).as("lo_price"),
+          max(price).as("hi_price"))
+    },
+
+    // --- URL canonicalization dedup --------------------------------------
+    // Canonical form: lowercase scheme+host, default port stripped,
+    // fragment dropped, query parameters sorted — the standard crawl-
+    // dedup key. URLs are synthesized deterministically from doc_id
+    // (corpus has no URL column), with modulo collisions so groups
+    // appear at larger SFs. Pure regexp+array map-side work, one
+    // aggregation shuffle.
+    QuerySpec(
+      "tx15_url_canonical",
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'HTTP://Example' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/p/' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '?b=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '&a=' || CAST(doc_id % 5 AS VARCHAR) || '#s' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u),
+        |canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)), ':80$', '') ||
+        |    regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) ||
+        |    CASE WHEN regexp_extract(nf, '\?([^#]*)', 1) = '' THEN ''
+        |         ELSE '?' || array_to_string(list_sort(
+        |           string_split(regexp_extract(nf, '\?([^#]*)', 1), '&')), '&') END
+        |      AS canonical
+        |  FROM parts)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM canon GROUP BY 1""".stripMargin) { (s, dir) =>
+      val url = concat(
+        lit("HTTP://Example"), pmod(col("doc_id"), lit(7L)).cast("string"),
+        lit(".COM:80/p/"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit("?b="), pmod(col("doc_id"), lit(3L)).cast("string"),
+        lit("&a="), pmod(col("doc_id"), lit(5L)).cast("string"),
+        lit("#s"), col("doc_id").cast("string"))
+      val parts = Tables.fanOut(Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url")))
+        .select(col("doc_id"), regexp_replace(col("url"), "#.*$", "").as("nf"))
+      val query = regexp_extract(col("nf"), "\\?([^#]*)", 1)
+      val canonical = concat(
+        lower(regexp_extract(col("nf"), "^([A-Za-z]+)://", 1)), lit("://"),
+        regexp_replace(lower(regexp_extract(col("nf"), "^[A-Za-z]+://([^/?#]+)", 1)),
+          ":80$", ""),
+        regexp_extract(col("nf"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        when(query === "", lit(""))
+          .otherwise(concat(lit("?"), array_join(array_sort(split(query, "&")), "&"))))
+      parts.select(col("doc_id"), canonical.as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+    },
+
+    // --- dedup keeper policy ---------------------------------------------
+    // Dedup groups need a POLICY for which copy survives, not just a
+    // group id: keep the longest version (ties → smallest id). Corpus =
+    // originals ∪ truncated re-crawls (first 150 chars, ids offset), so
+    // every fingerprint-of-head group has 2 members and the policy must
+    // pick the untruncated one. Window rank per group (both engines
+    // replay the identical tie-break).
+    QuerySpec(
+      "dd11_dedup_keep_best",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substr(text, 1, 150) FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, length(text) AS n_len,
+        |    md5(trim(regexp_replace(lower(substr(text, 1, 100)), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        |  FROM corpus),
+        |ranked AS (
+        |  SELECT fp, doc_id, n_len,
+        |    row_number() OVER (PARTITION BY fp ORDER BY n_len DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_docs
+        |  FROM keyed)
+        |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(doc_id AS BIGINT) AS keep_id, CAST(n_len AS BIGINT) AS keep_len
+        |FROM ranked WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(docs.select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        substring(col("text"), 1, 150).as("text")))
+      val keyed = Tables.fanOut(corpus).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_len"),
+        TextAnalysis.fingerprint(substring(col("text"), 1, 100)).as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      val ranked = keyed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("n_len").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(w))
+      ranked.where(col("rn") === 1)
+        .select(col("fp"), col("n_docs"), col("doc_id").as("keep_id"),
+          col("n_len").as("keep_len"))
+    }
+  )
+}
