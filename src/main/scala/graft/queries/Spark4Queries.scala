@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Spark 4 feature surface: the VARIANT semi-structured type, string
+  * collations, mergeable Datasketches HLL, and the `transformWithState`
+  * arbitrary-state API — each registered as a first-class engine spec so
+  * a user migrating from the reference gets the modern forms, not just
+  * the classic ones.
+  */
+object Spark4Queries {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // --- VARIANT type ----------------------------------------------------
+    // Semi-structured ingestion without a schema: parse once to VARIANT,
+    // extract typed paths lazily. At 100 TB this is the schema-on-read
+    // path for ragged JSON (the reference's comments payloads) — VARIANT
+    // keeps a compact binary encoding in parquet instead of re-parsing
+    // strings per query. The oracle replays extraction + minification
+    // with DuckDB's JSON type.
+    QuerySpec(
+      "q76_variant",
+      """SELECT event_id,
+        |  json_extract(props, '$.k')::BIGINT AS k,
+        |  json_extract(props, '$.missing')::BIGINT AS k_missing,
+        |  json(props)::VARCHAR AS vj
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+        try_variant_get(parse_json(col("props")), "$.missing", "bigint").as("k_missing"),
+        to_json(parse_json(col("props"))).as("vj"))
+    },
+
+    // --- collations ------------------------------------------------------
+    // Spark 4 collated comparison (UTF8_LCASE) doing a case-insensitive
+    // GROUP BY natively — no lower() projection of the key — over a
+    // deterministically case-mangled segment column. The representative
+    // is min(original) so the output is deterministic; the oracle gets
+    // the same groups via lower().
+    QuerySpec(
+      "q75_collation",
+      """WITH mangled AS (
+        |  SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+        |              ELSE lower(c_mktsegment) END AS seg
+        |  FROM customer)
+        |SELECT min(seg) AS rep_seg, CAST(count(*) AS BIGINT) AS n
+        |FROM mangled GROUP BY lower(seg)""".stripMargin) { (s, dir) =>
+      val seg = when(pmod(col("c_custkey"), lit(2)) === 0, upper(col("c_mktsegment")))
+        .otherwise(lower(col("c_mktsegment")))
+      Tables.customer(s, dir).select(seg.as("seg"))
+        .groupBy(collate(col("seg"), "UTF8_LCASE"))
+        .agg(min(col("seg")).as("rep_seg"), count(lit(1)).as("n"))
+        .select(col("rep_seg"), col("n"))
+    },
+
+    // --- mergeable HLL sketches ------------------------------------------
+    // The scale pattern behind approx_count_distinct: build a Datasketches
+    // HLL per shard (here: per source), persist/merge them, estimate from
+    // the union — how a 100 TB pipeline keeps daily distinct-user counts
+    // mergeable across days without re-scanning. Deterministic estimates
+    // (rows-only check; Spark4Spec asserts the error bound vs exact).
+    QuerySpec.noOracle("q74_hll_mergeable") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val perSource = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id")).as("sk"),
+          count_distinct(col("doc_id")).as("exact_per_source"))
+      perSource.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_distinct"),
+        sum(col("exact_per_source")).as("exact_distinct"),
+        count(lit(1)).as("n_sketches"))
+    },
+
+    // --- transformWithState ----------------------------------------------
+    // The Spark 4 successor to flatMapGroupsWithState (typed state
+    // handles, TTL, timers, state-schema evolution), running the same
+    // per-user totals as st8 under the RocksDB provider the API
+    // requires — and checked against the same batch oracle.
+    QuerySpec(
+      "st10_transform_with_state",
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      Streams.runToTableRocksDB(
+          Streams.runningUserTotalsTws(Streams.eventsStream(s, dir)),
+          "st10_mem", "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          round(max_by(col("sum_v"), col("n")), 2).as("total_value"))
+    }
+  )
+}

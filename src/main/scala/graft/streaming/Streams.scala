@@ -137,6 +137,69 @@ object Streams {
       .toDF("user_id", "n", "sum_v")
   }
 
+  /** [[runningUserTotals]] re-expressed on the Spark 4 `transformWithState`
+    * API (the successor to `flatMapGroupsWithState`: typed state handles,
+    * TTL support, timers, state-schema evolution). Same semantics —
+    * running (count, sum) per user, one update row per touched group per
+    * batch, monotone counts — so the same batch oracle applies. Requires
+    * the RocksDB state-store provider (API contract; see
+    * [[runToTableRocksDB]]). */
+  def runningUserTotalsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, Long, Double)])
+      .toDF("user_id", "n", "sum_v")
+  }
+
+  /** Per-user running (count, sum) as a `StatefulProcessor`: one
+    * `ValueState` handle, no timers/TTL. State volume = one (long,
+    * double) pair per user, exactly like the `flatMapGroupsWithState`
+    * formulation it mirrors. */
+  private class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, s) = Option(totals.get()).getOrElse((0L, 0.0))
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator((user, n, s))
+    }
+  }
+
+  /** [[runToTable]] under the RocksDB state-store provider — required by
+    * `transformWithState`, and the production state backend once state
+    * exceeds executor heap (changelog checkpointing, off-heap blocks).
+    * Provider conf is set for the run and restored after (measured at
+    * tiny state RocksDB is ~2× the default provider's commit cost — use
+    * it for API reasons or GB-scale state, not by default). */
+  def runToTableRocksDB(df: DataFrame, name: String, outputMode: String,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    spark.synchronized {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try runToTable(df, name, outputMode, statePartitions)
+      finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Run a streaming DataFrame to completion with `Trigger.AvailableNow`
     * into an in-memory table and return the final result as a static
     * DataFrame. Deterministic: processes everything available, then

@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Spark 4 feature semantics: VARIANT extraction typing, collated
+  * comparisons, HLL sketch error bounds, transformWithState parity with
+  * the flatMapGroupsWithState formulation it replaces. */
+class Spark4Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("variant: typed path extraction, missing paths null, cast failure modes") {
+    val row = Seq("""{"a": 1, "s": "x", "nested": {"b": [10, 20]}}""").toDF("j")
+      .select(parse_json(col("j")).as("v"))
+      .select(
+        variant_get(col("v"), "$.a", "bigint").as("a"),
+        variant_get(col("v"), "$.s", "string").as("s"),
+        variant_get(col("v"), "$.nested.b[1]", "bigint").as("b1"),
+        try_variant_get(col("v"), "$.missing", "bigint").as("m"),
+        try_variant_get(col("v"), "$.s", "bigint").as("bad"))
+    val r = row.collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getString(1) == "x")
+    assert(r.getLong(2) == 20L)
+    assert(r.isNullAt(3))
+    assert(r.isNullAt(4)) // try_: type mismatch -> null, not error
+  }
+
+  test("collation: UTF8_LCASE equality and ordering ignore case") {
+    val out = Seq(("Apple", "APPLE"), ("Apple", "apple"), ("Apple", "Banana"))
+      .toDF("x", "y")
+      .select((collate(col("x"), "UTF8_LCASE") === collate(col("y"), "UTF8_LCASE")).as("eq"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, true, false))
+  }
+
+  test("hll sketches: union estimate within 5% of exact distinct") {
+    val df = spark.range(10000).select((col("id") % 5).as("shard"), col("id"))
+    val perShard = df.groupBy("shard").agg(hll_sketch_agg(col("id")).as("sk"))
+    val est = perShard.agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    assert(math.abs(est - 10000L) <= 500)
+  }
+
+  test("transformWithState totals equal flatMapGroupsWithState totals (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[StreamingSpec.Ev]
+    def ev(id: Long, user: Long, v: Double) = StreamingSpec.Ev(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), user, "a", v, "{}")
+    mem.addData(Seq(ev(1, 1, 1.5), ev(2, 1, 2.5), ev(3, 2, 10.0)))
+    val out = Streams.runToTableRocksDB(
+        Streams.runningUserTotalsTws(mem.toDF()), "t_tws", "update")
+      .groupBy("user_id").agg(max("n").as("n"), max_by(col("sum_v"), col("n")).as("s"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 4.0), (2L, 1L, 10.0)))
+  }
+}
