@@ -76,6 +76,31 @@ object Multimodal {
         (acc, b) => concat(acc, b)))
   }
 
+  /** "PCM decode" stub: the payload bytes as an int sample array (8-bit
+    * unsigned samples — for real audio this is the codec's sample
+    * output; the plumbing and window math downstream are identical).
+    * Byte-addressed `substr` on the binary column, so extraction is O(1)
+    * per sample. Empty payloads decode to an empty array (guards the
+    * descending-`sequence(1,0)` trap). */
+  def pcmSamples(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(octet_length(media) === 0, typedLit(Seq.empty[Int]))
+      .otherwise(transform(sequence(lit(1), octet_length(media)),
+        i => ascii(substr(media, i, lit(1)).cast("string"))))
+
+  /** Windowed RMS over a staged sample array: non-overlapping windows of
+    * `win` samples, RMS per full window as fixed-point centi-units
+    * (`floor(sqrt(mean(x²))·100 + 0.5)`). The all-integer window sums
+    * make the double math order-independent, so the result is
+    * engine-portable. Payloads shorter than one window yield an empty
+    * array. */
+  def windowRms(samples: org.apache.spark.sql.Column, win: Int): org.apache.spark.sql.Column =
+    when(size(samples) < win, typedLit(Seq.empty[Long]))
+      .otherwise(transform(
+        sequence(lit(0), floor(size(samples).cast("double") / win).cast("int") - 1),
+        w => floor(sqrt(
+          aggregate(slice(samples, w * lit(win) + 1, lit(win)), lit(0L),
+            (a, x) => a + x * x).cast("double") / win) * 100 + 0.5).cast("long")))
+
   /** Decoded feature record: fixed-width vector + payload stats. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, checksum: Long, features: Array[Float])

@@ -661,6 +661,23 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // Bitwise AGGREGATES (the scalar family is q46): bit_and/bit_or/
+    // bit_xor folds per group — commutative+associative, so partial
+    // aggregation combines map-side like sum.
+    QuerySpec(
+      "q77_bit_aggs",
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey % 256) AS band,
+        |  bit_or(l_orderkey % 256) AS bor,
+        |  bit_xor(l_orderkey % 256) AS bxor
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(pmod(col("l_orderkey"), lit(256L))).as("band"),
+          bit_or(pmod(col("l_orderkey"), lit(256L))).as("bor"),
+          bit_xor(pmod(col("l_orderkey"), lit(256L))).as("bxor"))
+    },
+
     // Session windows in APPEND mode + watermark — the production shape
     // (bounded state, exactly-once emission): the emitted set is the
     // complete-mode session set minus sessions still open at the final

@@ -475,6 +475,49 @@ object PipelineQueries {
           md5(col("media")).as("digest"))
     },
 
+    // Audio-shaped multimodal op: "PCM decode" stub (payload bytes as
+    // 8-bit samples) → windowed RMS, the standard loudness feature.
+    // All-integer window sums keep the double math order-independent, so
+    // the oracle replays sample extraction (chars ≡ bytes: ASCII corpus)
+    // and the RMS formula exactly.
+    QuerySpec(
+      "mm5_audio_rms",
+      """WITH s AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS smp
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, smp, unnest(range(0, len(smp) // 64)) AS w FROM s)
+        |SELECT doc_id, CAST(w AS BIGINT) AS win,
+        |  CAST(floor(sqrt(list_sum(list_transform(
+        |      list_slice(smp, w*64 + 1, w*64 + 64), x -> x*x)) / 64.0) * 100 + 0.5)
+        |    AS BIGINT) AS rms_c
+        |FROM w""".stripMargin) { (s, dir) =>
+      Multimodal.attachFakeMedia(Tables.fanOut(Tables.documents(s, dir)))
+        .select(col("doc_id"), Multimodal.pcmSamples(col("media")).as("smp"))
+        .select(col("doc_id"), Multimodal.windowRms(col("smp"), 64).as("rms"))
+        .select(col("doc_id"), posexplode_outer(col("rms")).as(Seq("win", "rms_c")))
+        .where(col("rms_c").isNotNull)
+        .select(col("doc_id"), col("win").cast("long").as("win"), col("rms_c"))
+    },
+
+    // ANN quality, measured in-harness: recall@10 of the multiprobe
+    // SRP-LSH path against the brute-force ground truth (both
+    // deterministic, so the recall itself is a stable regression gate —
+    // SimilaritySpec asserts the floor).
+    QuerySpec.noOracle("ss7_ann_recall") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0)
+      val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "embedding", k = 10).select(col("vec_id"))
+      val ann = Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
+        q, "embedding", k = 10, nPlanes = 6, nTables = 4, multiprobe = true)
+        .select(col("vec_id"))
+      truth.join(ann, "vec_id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("k"), col("n_hits"),
+          (col("n_hits") * 100 / 10).cast("long").as("recall_pct"))
+    },
+
     // Multimodal retrieval end to end: decode stub → feature vectors →
     // batched knn join over the features (Similarity.knnJoin's map-side
     // bounded top-k). The features are deterministic (byte histograms),

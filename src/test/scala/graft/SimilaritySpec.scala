@@ -8,6 +8,22 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("ss7 recall gate: multiprobe SRP-LSH recall@10 >= 8/10 on the harness table") {
+    val hits = graft.SparkEntry.queries("ss7_ann_recall")(spark, "/root/testdata/sf0.01")
+      .select("n_hits").as[Long].head()
+    assert(hits >= 8L, s"multiprobe recall@10 dropped to $hits/10")
+  }
+
+  test("windowRms: known samples produce the closed-form RMS, short payloads empty") {
+    import graft.operators.Multimodal
+    val out = Seq("AAAA" * 32, "short").toDF("text") // 128 'A's -> 2 windows of 64
+      .select(Multimodal.pcmSamples(col("text").cast("binary")).as("s"))
+      .select(Multimodal.windowRms(col("s"), 64).as("r"))
+      .as[Seq[Long]].collect()
+    assert(out(0) == Seq(6500L, 6500L)) // 'A' = 65 -> RMS 65.00
+    assert(out(1).isEmpty)
+  }
+
   test("cosine on known vectors") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
