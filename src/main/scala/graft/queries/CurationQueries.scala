@@ -186,9 +186,20 @@ object CurationQueries {
             i => array_join(slice(col("toks"), i, lit(8)), " "))).as("gs"))
         .select(col("doc_id"), col("is_test"), explode_outer(col("gs")).as("gram"))
         .where(col("gram").isNotNull)
-      val te = grams.where(col("is_test")).select(col("doc_id").as("test_doc_id"), col("gram"))
-      val tr = grams.where(!col("is_test")).select(col("doc_id").as("train_doc_id"), col("gram"))
-      te.join(tr, "gram")
+      // Single pass over the gram stream: instead of a test-side /
+      // train-side self-join (which would run the tokenize+gram pipeline
+      // once per branch — the filters sit below the exchange, so no
+      // reuse), group each gram's doc sets once and expand the (tiny)
+      // per-gram cross products. One gram shuffle total; the quadratic
+      // step is bounded by per-gram doc counts, exactly like an LSH
+      // bucket join.
+      val perGram = grams.groupBy(col("gram")).agg(
+        collect_set(when(col("is_test"), col("doc_id"))).as("te"),
+        collect_set(when(!col("is_test"), col("doc_id"))).as("tr"))
+        .where(size(col("te")) > 0 && size(col("tr")) > 0)
+      perGram
+        .select(col("gram"), explode(col("te")).as("test_doc_id"), col("tr"))
+        .select(col("gram"), col("test_doc_id"), explode(col("tr")).as("train_doc_id"))
         .groupBy(col("test_doc_id"))
         .agg(count_distinct(col("train_doc_id")).as("n_train_docs"),
           count_distinct(col("gram")).as("n_shared_grams"))
