@@ -93,6 +93,39 @@ object ScaleCheck {
       s"fewerPlanes(4p,8t)=${annRecall(4, 8)}/10 " +
       s"multiprobe(6p,4t)=${annRecall(6, 4, multiprobe = true)}/10")
 
+    // Round-4 operators at mult× (same replicated corpus). Measured at
+    // sf0.1 ×10 on local[32]:
+    //  - portable minhash twin (dd9 shape) 24.7 s vs production xxhash64
+    //    path 7.7 s — the 3.2× is the md5-per-shingle price; the twin
+    //    exists for oracle verification, production stays on
+    //    minhashNearDups;
+    //  - contamination (tx12 shape) 2.5 s at sf0.1: gram volume grows
+    //    linearly and the per-gram doc-set expansion is bounded by
+    //    duplicate-clique size (the LSH-bucket argument);
+    //  - scd2 merge ×10 (50k-row dim, every row changed) 1.1 s: one
+    //    full-outer SortMergeJoin regardless of change ratio
+    //    (single-pass plan).
+    val bigDocs = big
+    time(s"minhash PORTABLE ${mult}x") {
+      Dedup.minhashNearDupsPortable(bigDocs, "doc_id", "text").count()
+    }
+    Dedup.releaseCaches()
+    time("contamination 1x") {
+      graft.SparkEntry.queries("tx12_contamination")(spark, sfDir).count()
+    }
+    val dim0 = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val dimBig = spark.range(mult).crossJoin(dim0)
+      .select((col("id") * 10000000L + col("c_custkey")).as("c_custkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    time(s"scd2 ${mult}x") {
+      graft.operators.Relational.scd2Merge(
+        dimBig,
+        dimBig.select(col("c_custkey"), (col("c_acctbal") + 1).as("c_acctbal"),
+          col("c_mktsegment")),
+        "c_custkey", Seq("c_acctbal", "c_mktsegment")).count()
+    }
+
     // Connected components on a pathological 100k-node CHAIN — the
     // worst case for plain propagation (diameter = n). Pointer jumping
     // must converge in O(log n) rounds; correctness check: one
