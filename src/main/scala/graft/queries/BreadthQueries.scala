@@ -661,6 +661,48 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // String part/predicate scalar family: split_part, left/right,
+    // contains / startswith / endswith (boolean results cast to int so
+    // both engines hash identically).
+    QuerySpec(
+      "q79_string_parts",
+      """SELECT doc_id,
+        |  split_part(source, 'c', 2) AS after_c,
+        |  left(text, 8) AS l8,
+        |  right(text, 8) AS r8,
+        |  CASE WHEN contains(lower(text), 'the') THEN 1 ELSE 0 END AS has_the,
+        |  CASE WHEN starts_with(source, 'src1') THEN 1 ELSE 0 END AS is_src1x,
+        |  CASE WHEN ends_with(source, '3') THEN 1 ELSE 0 END AS ends_3
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        split_part(col("source"), lit("c"), lit(2)).as("after_c"),
+        expr("left(text, 8)").as("l8"),
+        expr("right(text, 8)").as("r8"),
+        contains(lower(col("text")), lit("the")).cast("int").as("has_the"),
+        startswith(col("source"), lit("src1")).cast("int").as("is_src1x"),
+        endswith(col("source"), lit("3")).cast("int").as("ends_3"))
+    },
+
+    // Binary codec scalar family: base64 round-trip, hex, SHA-256 —
+    // the content-addressing toolbox (dedup keys, cache keys, payload
+    // transport). Hex is case-normalized on both sides.
+    QuerySpec(
+      "q78_codec_fns",
+      """SELECT doc_id,
+        |  base64(substr(text, 1, 24)::BLOB) AS b64,
+        |  CASE WHEN from_base64(base64(substr(text, 1, 24)::BLOB)) = substr(text, 1, 24)::BLOB
+        |       THEN 1 ELSE 0 END AS roundtrip_ok,
+        |  upper(hex(substr(text, 1, 12))) AS hx,
+        |  sha256(text) AS sha
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val head24 = substring(col("text"), 1, 24).cast("binary")
+      Tables.documents(s, dir).select(col("doc_id"),
+        base64(head24).as("b64"),
+        when(unbase64(base64(head24)) === head24, 1).otherwise(0).as("roundtrip_ok"),
+        upper(hex(substring(col("text"), 1, 12).cast("binary"))).as("hx"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+    },
+
     // Bitwise AGGREGATES (the scalar family is q46): bit_and/bit_or/
     // bit_xor folds per group — commutative+associative, so partial
     // aggregation combines map-side like sum.
