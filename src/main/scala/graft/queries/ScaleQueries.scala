@@ -152,6 +152,87 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
     },
 
+    // --- CDC latest-snapshot compaction ----------------------------------
+    // Materialize the current state from an event log: latest row per
+    // key by (ts, event_id) — the log-compaction step every CDC/upsert
+    // pipeline runs. ONE aggregation shuffle via max_by (no window, no
+    // sort of the full log). The sort key is a fixed-width string
+    // (zero-padded epoch-µs ‖ event_id) because lexicographic order on
+    // it equals (ts, event_id) order and both engines build it
+    // identically (DuckDB's max_by takes no struct keys).
+    QuerySpec(
+      "q80_latest_snapshot",
+      """WITH e AS (
+        |  SELECT *, lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') ||
+        |            lpad(CAST(event_id AS VARCHAR), 12, '0') AS sk
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(max_by(event_id, sk) AS BIGINT) AS last_event_id,
+        |  max_by(event_type, sk) AS last_type,
+        |  round(max_by(value, sk), 2) AS last_value,
+        |  max(ts) AS last_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1""".stripMargin) { (s, dir) =>
+      val key = concat(
+        lpad(unix_micros(col("ts").cast("timestamp")).cast("string"), 16, "0"),
+        lpad(col("event_id").cast("string"), 12, "0"))
+      Tables.events(s, dir).withColumn("sk", key)
+        .groupBy(col("user_id")).agg(
+          max_by(col("event_id"), col("sk")).as("last_event_id"),
+          max_by(col("event_type"), col("sk")).as("last_type"),
+          round(max_by(col("value"), col("sk")), 2).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+    },
+
+    // --- top-k frequency with '(other)' rollup ---------------------------
+    // The reporting-safe frequency table: top-3 categories keep their
+    // identity, the tail rolls into one bucket (bounded output no matter
+    // the category cardinality — the fix for high-cardinality GROUP BY
+    // dashboards). Window runs over the already-aggregated category
+    // counts (tiny), never the raw rows.
+    QuerySpec(
+      "tx16_topk_other",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT source, n,
+        |        row_number() OVER (ORDER BY n DESC, source) AS rn FROM c)
+        |SELECT CASE WHEN rn <= 3 THEN source ELSE '(other)' END AS source_grp,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_sources
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("source"))
+      counts.withColumn("rn", row_number().over(w))
+        .select(when(col("rn") <= 3, col("source")).otherwise("(other)").as("source_grp"),
+          col("n"))
+        .groupBy(col("source_grp"))
+        .agg(sum(col("n")).as("n_docs"), count(lit(1)).as("n_sources"))
+    },
+
+    // --- order-independent table checksum --------------------------------
+    // Anti-entropy validation at scale: a content checksum two engines
+    // (or two snapshots, or two clusters) can compare WITHOUT sorting —
+    // per-row portable hash, summed (commutative) per group. Comparing
+    // per-nation checksums pinpoints which shard diverged after a
+    // migration; no row shuffle beyond the aggregation.
+    QuerySpec(
+      "q81_table_checksum",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  sum(CAST('0x' || substr(md5(
+        |        CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+        |        CAST(c_acctbal AS VARCHAR) || '|' || c_mktsegment), 1, 8) AS BIGINT)
+        |      % 2147483647) AS checksum
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      val rowHash = pmod(
+        conv(substring(md5(concat_ws("|",
+          col("c_custkey").cast("string"), col("c_name"),
+          col("c_acctbal").cast("string"), col("c_mktsegment")).cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(2147483647L))
+      Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+    },
+
     // --- dedup keeper policy ---------------------------------------------
     // Dedup groups need a POLICY for which copy survives, not just a
     // group id: keep the longest version (ties → smallest id). Corpus =
