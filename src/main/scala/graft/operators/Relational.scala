@@ -162,6 +162,15 @@ object Relational {
     df.withColumn(filledCol, coalesce(reading, linear, prevV, nextV))
   }
 
+  /** Per-partition row counts — the first diagnostic for shuffle skew
+    * (one reducer doing all the work looks exactly like this: one pid
+    * with ~all the rows). `spark_partition_id` is plan-dependent, so
+    * this is an operational probe, not a deterministic query — pair
+    * with `saltedJoin`/AQE once the hot partition is identified. */
+  def partitionStats(df: DataFrame): DataFrame =
+    df.groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n_rows"))
+
   /** SCD2 (type-2 slowly-changing-dimension) merge: apply an update batch
     * to a dimension, versioning changed rows instead of overwriting —
     * the scale-correct incremental alternative to the reference's

@@ -200,6 +200,57 @@ object Streams {
     }
   }
 
+  /** Merge one batch into a parquet target by `key`, newest `sortKey`
+    * wins — the upsert kernel for [[foreachBatchUpsert]], also callable
+    * for batch backfills. Idempotent: re-applying a batch already merged
+    * changes nothing. The rewrite goes through a staging directory and an
+    * atomic rename (you cannot overwrite a parquet dir you are reading).
+    * At scale this exact merge runs against a table format with real
+    * MERGE (Delta/Iceberg) or partition-scoped overwrite
+    * (`Ingest.writePartitioned` + dynamic overwrite); the plan shape —
+    * union, one per-key argmax aggregation — is the same. */
+  def upsertInto(batch: DataFrame, targetPath: String, key: String,
+      sortKey: String): Unit = {
+    val spark = batch.sparkSession
+    val target = new java.io.File(targetPath)
+    val existing =
+      if (target.isDirectory) spark.read.parquet(targetPath)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val cols = batch.columns
+    val merged = existing.unionByName(batch)
+      .groupBy(col(key))
+      .agg(max_by(struct(cols.filterNot(_ == key).map(col): _*), col(sortKey))
+        .as("__r"))
+      .select(col(key) +: cols.filterNot(_ == key).map(c => col(s"__r.$c").as(c)): _*)
+    val staging = targetPath + ".staging"
+    merged.coalesce(1).write.mode("overwrite").parquet(staging)
+    // Swap: the staged result becomes the target only after it is fully
+    // written — readers never observe a half-rewritten table.
+    val old = new java.io.File(targetPath + ".old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (target.isDirectory) target.renameTo(old)
+    new java.io.File(staging).renameTo(target)
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
+
+  /** Streaming upsert sink via `foreachBatch`: every micro-batch merges
+    * into the parquet target by key (newest `sortKey` wins). foreachBatch
+    * is the escape hatch for sinks Structured Streaming has no native
+    * writer for — the batch DataFrame plus a monotone batchId, with
+    * which [[upsertInto]]'s idempotency gives effective exactly-once on
+    * retries. */
+  def foreachBatchUpsert(stream: DataFrame, targetPath: String, key: String,
+      sortKey: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertInto(batch, targetPath, key, sortKey)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion with `Trigger.AvailableNow`
     * into an in-memory table and return the final result as a static
     * DataFrame. Deterministic: processes everything available, then

@@ -34,6 +34,45 @@ class ScalePatternSpec extends SparkSpec {
     assert(out.where(col("version") =!= 1 || !col("is_current")).count() == 0)
   }
 
+  test("foreachBatch upsert: newest wins, retries idempotent, target swap atomic") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toFile
+    val target = new java.io.File(dir, "t").getAbsolutePath
+    def ev(id: Long, user: Long, v: Double, min: Int) = StreamingSpec.Ev(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00"), user, "a", v, "{}")
+    val mem = MemoryStream[StreamingSpec.Ev]
+    mem.addData(Seq(ev(1, 1, 1.0, 1), ev(2, 2, 2.0, 2), ev(3, 1, 9.0, 9)))
+    Streams.foreachBatchUpsert(mem.toDF(), target, "user_id", "ts")
+    def snapshot() = spark.read.parquet(target)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(snapshot() == Set((1L, 9.0), (2L, 2.0))) // newest ts wins per user
+    // Second stream run: a late-arriving older row must NOT win; a newer
+    // one must. (New stream instance = a retry/extension of the feed.)
+    val mem2 = MemoryStream[StreamingSpec.Ev]
+    mem2.addData(Seq(ev(4, 1, 0.5, 3), ev(5, 2, 7.0, 30)))
+    Streams.foreachBatchUpsert(mem2.toDF(), target, "user_id", "ts")
+    assert(snapshot() == Set((1L, 9.0), (2L, 7.0)))
+    // Idempotency: re-applying an already-merged batch changes nothing.
+    Streams.upsertInto(
+      Seq(ev(5, 2, 7.0, 30)).toDF(), target, "user_id", "ts")
+    assert(snapshot() == Set((1L, 9.0), (2L, 7.0)))
+  }
+
+  test("partitionStats surfaces skew that a keyed repartition fixes") {
+    import graft.operators.Relational
+    val skewed = spark.range(10000).select(lit(1).as("k"), col("id"))
+      .repartition(8, col("k")) // all rows hash to one partition
+    val stats = Relational.partitionStats(skewed)
+      .as[(Int, Long)].collect().toMap
+    assert(stats.values.max == 10000L) // one hot partition holds everything
+    val even = Relational.partitionStats(
+        spark.range(10000).select(col("id")).repartition(8, col("id")))
+      .as[(Int, Long)].collect()
+    assert(even.map(_._2).sum == 10000L && even.map(_._2).max < 2500L)
+  }
+
   test("bloom-filter pruning: zero false negatives, most non-members dropped") {
     // Big side: 20k rows, keys 0..1999; member set: 50 keys (multiples
     // of 40). At 100 TB the sketch replaces shuffling the big side for a
