@@ -661,6 +661,49 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // Rolling aggregates: 7-row trailing moving average + min/max over
+    // the same ROWS frame (one window partitioning = one shuffle+sort
+    // for all three). Fixed-point projection for the average (partial
+    // sums merge in engine-specific order).
+    QuerySpec(
+      "q82_moving_avg",
+      """SELECT o_orderkey,
+        |  CAST(floor(avg(o_totalprice) OVER w * 100 + 0.5) AS BIGINT) AS ma7_c,
+        |  min(o_totalprice) OVER w AS mn7,
+        |  max(o_totalprice) OVER w AS mx7
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        floor(avg(col("o_totalprice")).over(w) * 100 + 0.5).cast("long").as("ma7_c"),
+        min(col("o_totalprice")).over(w).as("mn7"),
+        max(col("o_totalprice")).over(w).as("mx7"))
+    },
+
+    // TIME-based trailing window (RANGE over event time, not rows): how
+    // many events the same user produced in the trailing hour. Spark's
+    // rangeBetween is numeric, so the order key is epoch seconds — the
+    // standard idiom; DuckDB's native RANGE INTERVAL frame replays it.
+    QuerySpec(
+      "q83_time_range_window",
+      """SELECT event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_trailing_1h
+        |FROM events""".stripMargin) { (s, dir) =>
+      // Epoch MICROseconds, not seconds: second-granularity keys widen
+      // the frame for sub-second timestamps (caught by the sf0.1 oracle —
+      // two events 3600.4 s apart truncate to exactly 3600).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables.events(s, dir).select(col("event_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"))
+    },
+
     // String part/predicate scalar family: split_part, left/right,
     // contains / startswith / endswith (boolean results cast to int so
     // both engines hash identically).
