@@ -12,17 +12,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed JVM warm-up at the smallest SF: first executions pay JIT +
-    // codegen + streaming-machinery init that has nothing to do with the
-    // per-query cost being measured. Representative shapes: hash/HOF
-    // pipeline, streaming aggregation, broadcast join chain.
+    // Untimed JVM warm-up at the smallest SF: EVERY query runs once at
+    // sf0.001 before timing starts. A query's first execution pays
+    // analysis + whole-stage codegen + JIT + (for streaming) state-store
+    // machinery init — measured at 0.5–5 s per query, none of it a
+    // per-row cost, and all of it reused at the timed SF (the plan shape
+    // is identical, so the codegen cache hits). Timing steady-state is
+    // what makes per-query numbers comparable across runs and SFs.
+    // Set SPARK_GRAFT_NO_WARMUP=1 to time cold runs instead.
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) {
-      Seq("dd4_dedup_minhash_lsh", "st1_stream_tumbling", "q2_join_revenue_by_nation")
-        .foreach { name =>
-          try SparkEntry.queries(name)(spark, warmDir).count()
-          catch { case _: Throwable => () }
-        }
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
+        new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+        finally graft.operators.Dedup.releaseCaches()
+      }
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // Name-sorted: Map iteration order varies per JVM, which lands the
