@@ -50,11 +50,13 @@ object CurationQueries {
     * side uses (parity by construction, not by luck). */
   private def minhashPortableOracle(
       k: Int, numHashes: Int, bands: Int, threshold: Double,
-      maxDocId: Long): String = {
+      maxDocId: Long,
+      withPrefix: String = "WITH",
+      tail: String = "SELECT id1, id2, jaccard FROM verified WHERE jaccard >= THRESH"): String = {
     val rowsPerBand = numHashes / bands
     val a = Hashing.minhashA(numHashes).mkString("[", ",", "]")
     val b = Hashing.minhashB(numHashes).mkString("[", ",", "]")
-    s"""WITH base AS (
+    s"""$withPrefix base AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
        |  FROM documents WHERE doc_id < $maxDocId
        |), sh AS (
@@ -77,7 +79,7 @@ object CurationQueries {
        |    round(CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
        |          len(list_distinct(h1 || h2)), 4) AS jaccard
        |  FROM cand)
-       |SELECT id1, id2, jaccard FROM verified WHERE jaccard >= $threshold""".stripMargin
+       |${tail.replace("THRESH", threshold.toString)}""".stripMargin
   }
 
   /** DuckDB oracle for [[Dedup.simhashNearDupsPortable]]: 60-bit simhash
@@ -392,6 +394,37 @@ object CurationQueries {
       "dd10_simhash_oracled",
       simhashPortableOracle) { (s, dir) =>
       Dedup.simhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text")
+    },
+
+    // The capstone with a FULL oracle: portable MinHash-LSH pairs →
+    // connected components → canonical keeper + cluster size — the
+    // end-to-end sublinear dedup story (dd8's shape) where every stage,
+    // including the transitive closure, is replayed by the oracle
+    // (recursive CTE over the identical pair predicate).
+    QuerySpec(
+      "dd12_minhash_clusters_oracled",
+      minhashPortableOracle(k = 5, numHashes = 16, bands = 4,
+        threshold = 0.8, maxDocId = 1000L,
+        withPrefix = "WITH RECURSIVE",
+        tail =
+          """, p AS (SELECT id1, id2 FROM verified WHERE jaccard >= THRESH),
+            |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM e
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |        FROM reach GROUP BY a)
+            |SELECT cluster_id AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+            |FROM lab GROUP BY 1""".stripMargin)) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsPortable(
+        Tables.documents(s, dir).where(col("doc_id") < 1000),
+        "doc_id", "text", shingleK = 5, numHashes = 16, bands = 4,
+        threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("cluster_id").as("keep_id"), col("n_docs"))
     }
   )
 }

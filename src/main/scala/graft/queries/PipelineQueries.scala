@@ -520,10 +520,30 @@ object PipelineQueries {
 
     // Multimodal retrieval end to end: decode stub → feature vectors →
     // batched knn join over the features (Similarity.knnJoin's map-side
-    // bounded top-k). The features are deterministic (byte histograms),
-    // so the rows-only check is stable; the knn and decode pieces are
-    // each verified separately.
-    QuerySpec.noOracle("mm4_media_feature_knn") { (s, dir) =>
+    // bounded top-k). Fully oracled: the oracle recomputes the stub's
+    // byte-histogram features in FLOAT (DuckDB float division is
+    // bit-identical to the JVM's), then replays the knn ranking as a
+    // window over exact cosines — decode, features, and retrieval all
+    // hash-compared.
+    QuerySpec(
+      "mm4_media_feature_knn",
+      """WITH f AS (
+        |  SELECT doc_id, list_transform(range(0, 8),
+        |      b -> CAST(len(list_filter(
+        |             list_transform(string_split(text, ''), c -> ascii(c) % 8),
+        |             x -> x = b)) AS FLOAT)
+        |           / CAST(greatest(length(text), 1) AS FLOAT)) AS feat
+        |  FROM documents),
+        |q AS (SELECT doc_id AS qid, feat AS qf FROM f WHERE doc_id < 3),
+        |b AS (SELECT doc_id, feat FROM f WHERE doc_id >= 10),
+        |s AS (SELECT q.qid, b.doc_id,
+        |        round(list_cosine_similarity(b.feat::DOUBLE[], q.qf::DOUBLE[]), 6) AS sim
+        |      FROM b, q),
+        |r AS (SELECT qid, doc_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id)
+        |          AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT qid, doc_id, sim, rank FROM r WHERE rank <= 3""".stripMargin) { (s, dir) =>
       val feats = Multimodal.mediaFeatureTable(Tables.documents(s, dir))
         .select(col("doc_id"), col("features"))
       Similarity.knnJoin(
