@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.expressions.Hashing
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -12,10 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Oracle policy: everything expressible in ANSI SQL gets a DuckDB oracle
   * (including the exact-Jaccard and cosine pipelines — DuckDB list
-  * functions mirror Spark's higher-order functions); the seeded-hash
-  * pipelines (xxhash64 minhash/simhash/SRP) are deterministic but not
-  * portable SQL, so they register rows-only and carry ScalaTest specs with
-  * planted duplicates instead.
+  * functions mirror Spark's higher-order functions). The xxhash64-seeded
+  * production pipelines (dd4/dd5/dd8 minhash/simhash, ss2/ss3/ss6 ANN)
+  * register rows-only BUT each has a fully-oracled portable twin proving
+  * the identical pipeline shape hash-exact: dd9/dd10/dd12 (md5-seeded
+  * LSH through connected components) and ss8 (SRP-LSH with the
+  * hyperplane weights rendered into the SQL); planted-duplicate
+  * ScalaTest specs cover the seeded paths directly.
   */
 object PipelineQueries {
 
@@ -498,6 +502,50 @@ object PipelineQueries {
         .select(col("doc_id"), posexplode_outer(col("rms")).as(Seq("win", "rms_c")))
         .where(col("rms_c").isNotNull)
         .select(col("doc_id"), col("win").cast("long").as("win"), col("rms_c"))
+    },
+
+    // The ANN path with a FULL oracle: same SRP-LSH pipeline as ss2
+    // (identical planes, tables, rerank), with the SplitMix64-derived
+    // hyperplane weights rendered into the SQL as a list-of-lists
+    // literal. The projection is a sequential left fold on both sides
+    // (Spark `aggregate` HOF ≡ DuckDB `list_reduce` with prepended
+    // zero), so the sign bits — and therefore buckets, candidates, and
+    // the reranked top-k — are bit-identical.
+    {
+      val dim = 64; val nPlanes = 6; val nTables = 4
+      val w = (0 until nTables * nPlanes).map { plane =>
+        (0 until dim).map(i =>
+          (Hashing.splitmix64(plane.toLong * dim + i).toDouble / Long.MaxValue).toString)
+          .mkString("[", ",", "]")
+      }.mkString("[", ",\n    ", "]")
+      QuerySpec(
+        "ss8_ann_srp_oracled",
+        s"""WITH wt AS (SELECT $w AS w),
+           |base AS (SELECT vec_id, embedding FROM embeddings),
+           |sigt AS (
+           |  SELECT b.vec_id, tt.t,
+           |    list_sum(list_transform(range(0, $nPlanes), p ->
+           |      CASE WHEN list_reduce(list_prepend(0.0,
+           |             list_transform(range(1, ${dim + 1}),
+           |               i -> b.embedding[i]::DOUBLE * (wt.w)[tt.t*$nPlanes + p + 1][i])),
+           |             (a, x) -> a + x) > 0
+           |      THEN (1::BIGINT << p) ELSE 0 END)) AS sig
+           |  FROM base b, wt, range(0, $nTables) tt(t)),
+           |qv AS (SELECT embedding FROM base WHERE vec_id = 0),
+           |qs AS (SELECT t, sig FROM sigt WHERE vec_id = 0),
+           |cand AS (SELECT DISTINCT s.vec_id
+           |         FROM sigt s JOIN qs ON s.t = qs.t AND s.sig = qs.sig),
+           |scored AS (
+           |  SELECT c.vec_id,
+           |    round(list_cosine_similarity(b.embedding::DOUBLE[],
+           |      (SELECT embedding FROM qv)::DOUBLE[]), 6) AS sim
+           |  FROM cand c JOIN base b USING (vec_id))
+           |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+        val emb = Tables.embeddings(s, dir)
+        Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
+          emb.where(col("vec_id") === 0), "embedding", k = 10,
+          nPlanes = 6, nTables = 4)
+      }
     },
 
     // ANN quality, measured in-harness: recall@10 of the multiprobe
