@@ -121,3 +121,42 @@ object RelationalProps extends Properties("Relational") {
       Prop(got == want) :| s"xs=${xs.distinct} k=$k got=$got want=$want"
     }
 }
+
+/** SCD2 merge invariants over arbitrary dimension/update batches. */
+object Scd2Props extends Properties("Scd2") {
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private val dimSchema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+  private def df(rows: Seq[(Long, String)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), dimSchema)
+
+  private val table: Gen[Map[Long, String]] = Gen.mapOf(
+    Gen.zip(Gen.choose(0L, 12L), Gen.oneOf("a", "b", "c")))
+
+  property("every key is current exactly once; versions reflect change status") =
+    forAll(table, table) { (cur, upd) =>
+      val out = Relational.scd2Merge(
+          df(cur.toSeq), df(upd.toSeq), "k", Seq("v"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+      val byKey = out.groupBy(_._1)
+      val allKeys = cur.keySet ++ upd.keySet
+      val currentOncePerKey = allKeys.forall(k => byKey(k).count(_._4) == 1)
+      val currentIsLatest = allKeys.forall { k =>
+        val want = upd.getOrElse(k, cur(k)) // batch wins where present
+        byKey(k).find(_._4).exists(_._2 == want)
+      }
+      val changedGetTwoRows = allKeys.forall { k =>
+        val expected = (cur.get(k), upd.get(k)) match {
+          case (Some(a), Some(b)) if a != b => 2 // closed v1 + current v2
+          case _ => 1 // unchanged, insert-only, or dim-only
+        }
+        byKey(k).length == expected
+      }
+      Prop(currentOncePerKey && currentIsLatest && changedGetTwoRows) :|
+        s"cur=$cur upd=$upd out=${out.toList}"
+    }
+}
