@@ -185,6 +185,75 @@ object ScaleQueries {
           count(lit(1)).as("n_events"))
     },
 
+    // --- Z-order (Morton) interleaved sort key ---------------------------
+    // The multi-dimensional layout key behind data-skipping formats:
+    // interleaving the bits of (custkey-bucket, orderdate-day) makes
+    // rows close in EITHER dimension close in the sort order, so
+    // min/max-pruned scans skip files for 2-D predicates. Pure integer
+    // bit math, statically unrolled on both sides. Output: per
+    // 64-wide z-range, row count + dimension spans (the locality the
+    // layout buys).
+    QuerySpec(
+      "q84_zorder_key",
+      {
+        val x = "(o_custkey % 1024)"
+        val y = "(CAST(date_part('day', o_orderdate) AS BIGINT) + 31 * CAST(date_part('month', o_orderdate) AS BIGINT))"
+        // Fully parenthesized: bitwise operator precedence must not be
+        // left to either engine's grammar.
+        val terms = (0 until 10).map(i =>
+          s"(((($x >> $i) & 1) << ${2 * i}) | ((($y >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" | ")
+        s"""SELECT (($terms) // 64) AS zrange,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(max($x) - min($x) AS BIGINT) AS x_span,
+           |  CAST(max($y) - min($y) AS BIGINT) AS y_span
+           |FROM orders GROUP BY 1""".stripMargin
+      }) { (s, dir) =>
+      val x = pmod(col("o_custkey"), lit(1024L))
+      val y = dayofmonth(col("o_orderdate")).cast("long") +
+        lit(31L) * month(col("o_orderdate")).cast("long")
+      val z = (0 until 10).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_ bitwiseOR _)
+      Tables.orders(s, dir)
+        .select(x.as("x"), y.as("y"), z.as("z"))
+        .groupBy(floor(col("z") / 64).cast("long").as("zrange"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("x")) - min(col("x"))).as("x_span"),
+          (max(col("y")) - min(col("y"))).as("y_span"))
+    },
+
+    // --- rendezvous (highest-random-weight) sharding ---------------------
+    // Stable shard assignment: key k goes to the shard with the highest
+    // portable hash of (shard, k) — adding/removing a shard remaps only
+    // 1/N of keys (vs nearly all for mod-N), which is what keeps caches
+    // and co-located state warm through topology changes. The argmax is
+    // a statically unrolled greatest + CASE chain, identical in both
+    // engines. Output: per-shard key counts (balance check).
+    QuerySpec(
+      "q85_rendezvous_shard",
+      {
+        def h(sh: Int) =
+          s"(CAST('0x' || substr(md5('sh$sh:' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT))"
+        val mx = (0 until 8).map(h).mkString("greatest(", ", ", ")")
+        val cases = (0 until 8).map(sh => s"WHEN ${h(sh)} = $mx THEN $sh").mkString(" ")
+        s"""SELECT (CASE $cases END) AS shard,
+           |  CAST(count(*) AS BIGINT) AS n_keys
+           |FROM customer GROUP BY 1""".stripMargin
+      }) { (s, dir) =>
+      def h(sh: Int) = conv(substring(md5(
+        concat(lit(s"sh$sh:"), col("c_custkey").cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long")
+      val mx = greatest((0 until 8).map(h): _*)
+      val shard = (0 until 8).foldRight(lit(null).cast("int")) { (sh, el) =>
+        when(h(sh) === mx, lit(sh)).otherwise(el)
+      }
+      Tables.customer(s, dir)
+        .groupBy(shard.as("shard"))
+        .agg(count(lit(1)).as("n_keys"))
+    },
+
     // --- top-k frequency with '(other)' rollup ---------------------------
     // The reporting-safe frequency table: top-3 categories keep their
     // identity, the tail rolls into one bucket (bounded output no matter
