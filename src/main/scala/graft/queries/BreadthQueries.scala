@@ -661,6 +661,68 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // Funnel analysis: ordered stage progression per user (first view →
+    // first click AFTER it → first purchase after that), counted per
+    // stage. Three narrow conditional aggregations + equi-joins on
+    // user_id — no window over the raw log, no sort.
+    QuerySpec(
+      "q86_funnel",
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+        |  CAST((SELECT count(*) FROM c) AS BIGINT) AS n_view_click,
+        |  CAST((SELECT count(*) FROM p) AS BIGINT) AS n_full_funnel""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.where(col("event_type") === "click").as("e")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    // Cohort retention: of the users active in hour h, what fraction
+    // returns in hour h+1? Self-join of the (user, hour) activity set
+    // shifted by one — the retention-matrix kernel (daily/weekly at
+    // production scale, hourly here to fit the corpus).
+    QuerySpec(
+      "q87_retention",
+      """WITH a AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+        |SELECT a.h AS cohort_hour,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(count(r.user_id) AS BIGINT) AS n_retained
+        |FROM a LEFT JOIN a r
+        |  ON a.user_id = r.user_id AND r.h = a.h + INTERVAL '1 hour'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val a = Tables.events(s, dir)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      val r = a.select(col("user_id"), col("h").as("rh"))
+      a.join(r,
+          a("user_id") === r("user_id") &&
+            col("rh") === (col("h") + expr("INTERVAL 1 HOUR")), "left")
+        .groupBy(col("h").as("cohort_hour"))
+        .agg(count(lit(1)).as("n_active"),
+          count(col("rh")).as("n_retained"))
+    },
+
     // Rolling aggregates: 7-row trailing moving average + min/max over
     // the same ROWS frame (one window partitioning = one shuffle+sort
     // for all three). Fixed-point projection for the average (partial
