@@ -370,6 +370,53 @@ object CurationQueries {
           max(price).as("hi_price"))
     },
 
+    // --- statistical LM quality proxy ------------------------------------
+    // Bigram-LM "perplexity" proxy: per-doc total negative log prob of
+    // its adjacent word pairs under add-one-smoothed corpus bigram
+    // statistics — the classical fluency signal (gibberish scores high,
+    // formulaic text low). Each pair's -ln p is fixed-pointed BEFORE the
+    // per-doc sum, so the aggregation is pure integer math — immune to
+    // FP merge order on both engines. Two corpus-stat shuffles + one
+    // broadcast-back join; no window.
+    QuerySpec(
+      "tx17_bigram_perplexity",
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+         |    i -> struct_pack(w1 := toks[i], pair := toks[i] || ' ' || toks[i+1]))) AS p
+         |  FROM toks WHERE len(toks) >= 2),
+         |flat AS (SELECT doc_id, p.w1 AS w1, p.pair AS pair FROM pairs),
+         |cp AS (SELECT pair, count(*) AS cp FROM flat GROUP BY 1),
+         |cw AS (SELECT w1, count(*) AS cw FROM flat GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w1) AS v FROM flat)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CAST(floor(-ln((cp.cp + 1.0) / (cw.cw + v.v)) * 1e6 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS nll_sum_c
+         |FROM flat JOIN cp USING (pair) JOIN cw USING (w1) CROSS JOIN v
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val toks = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val flat = toks
+        .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1)).as("pair"))).as("ps"))
+        .select(col("doc_id"), explode_outer(col("ps")).as("p"))
+        .where(col("p").isNotNull)
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair"))
+      val cp = flat.groupBy(col("pair")).agg(count(lit(1)).as("cp"))
+      val cw = flat.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      val v = flat.agg(count_distinct(col("w1")).as("v"))
+      flat.join(cp, "pair").join(cw, "w1").crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          floor(-log((col("cp") + 1.0) / (col("cw") + col("v"))) * 1e6 + 0.5)
+            .cast("long").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("lp")).as("nll_sum_c"))
+    },
+
     // --- portable near-dup pipelines (oracle-verified twins) -------------
     // The full MinHash-LSH pipeline with every hash portable: upgrades
     // the sublinear dedup story from rows-only (dd4) to a hash-exact

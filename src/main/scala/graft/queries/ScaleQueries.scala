@@ -185,6 +185,72 @@ object ScaleQueries {
           count(lit(1)).as("n_events"))
     },
 
+    // --- mergeable statistics partials -----------------------------------
+    // The algebraic-aggregate pattern: per-day (n, Σx, Σx²) partials,
+    // merged into overall mean/variance — how a 100 TB pipeline keeps
+    // rolling statistics without re-scanning history (same design as the
+    // q74 HLL merge, numeric edition). The spec computes THROUGH the
+    // partial-merge path; the oracle computes directly from rows — equal
+    // outputs prove the merge is lossless. Coarse fixed-point (variance
+    // in kilo-units) absorbs FP merge-order noise.
+    QuerySpec(
+      "q88_mergeable_stats",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(avg(l_extendedprice) * 100 + 0.5) AS BIGINT) AS mean_c,
+        |  CAST(floor((avg(l_extendedprice * l_extendedprice)
+        |              - avg(l_extendedprice) * avg(l_extendedprice)) / 1000 + 0.5)
+        |    AS BIGINT) AS var_k
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val daily = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), to_date(col("l_shipdate")).as("d"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("l_extendedprice")).as("ps"),
+          sum(col("l_extendedprice") * col("l_extendedprice")).as("ps2"))
+      daily.groupBy(col("l_returnflag"))
+        .agg(sum(col("pn")).as("n"),
+          sum(col("ps")).as("s"), sum(col("ps2")).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          floor(col("s") / col("n") * 100 + 0.5).cast("long").as("mean_c"),
+          floor((col("s2") / col("n") - (col("s") / col("n")) * (col("s") / col("n")))
+            / 1000 + 0.5).cast("long").as("var_k"))
+    },
+
+    // --- share-of-total metrics ------------------------------------------
+    // Percent-of-parent OLAP: each nation's share of its region's
+    // revenue plus its share of the global total — windows over the
+    // 25-row aggregate, never the fact table.
+    QuerySpec(
+      "q89_share_of_total",
+      """WITH rev AS (
+        |  SELECT n.n_name, r.r_name, sum(l.l_extendedprice) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, r_name,
+        |  CAST(floor(rev / sum(rev) OVER (PARTITION BY r_name) * 10000 + 0.5)
+        |    AS BIGINT) AS region_share_bp,
+        |  CAST(floor(rev / sum(rev) OVER () * 10000 + 0.5)
+        |    AS BIGINT) AS global_share_bp
+        |FROM rev""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"), col("r_name"))
+        .agg(sum(col("l_extendedprice")).as("rev"))
+      val wr = Window.partitionBy(col("r_name"))
+      val wg = Window.partitionBy()
+      rev.select(col("n_name"), col("r_name"),
+        floor(col("rev") / sum(col("rev")).over(wr) * 10000 + 0.5)
+          .cast("long").as("region_share_bp"),
+        floor(col("rev") / sum(col("rev")).over(wg) * 10000 + 0.5)
+          .cast("long").as("global_share_bp"))
+    },
+
     // --- Z-order (Morton) interleaved sort key ---------------------------
     // The multi-dimensional layout key behind data-skipping formats:
     // interleaving the bits of (custkey-bucket, orderdate-day) makes
