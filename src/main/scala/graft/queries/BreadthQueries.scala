@@ -661,6 +661,23 @@ object BreadthQueries {
         "st7_mem", "complete")
     },
 
+    // Exact DECIMAL aggregation: money casts to DECIMAL(18,2) before the
+    // sum, so the result is EXACT and order-independent — no fixed-point
+    // projection needed, unlike every double aggregate in this file.
+    // This is the correct type discipline for financial rollups at any
+    // scale (doubles lose cents at 1e15-magnitude sums).
+    QuerySpec(
+      "q90_decimal_exact",
+      """SELECT l_returnflag,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+        |  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS min_price,
+        |  max(CAST(l_extendedprice AS DECIMAL(18,2))) AS max_price
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val p = col("l_extendedprice").cast("decimal(18,2)")
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+        .agg(sum(p).as("total_price"), min(p).as("min_price"), max(p).as("max_price"))
+    },
+
     // Funnel analysis: ordered stage progression per user (first view →
     // first click AFTER it → first purchase after that), counted per
     // stage. Three narrow conditional aggregations + equi-joins on

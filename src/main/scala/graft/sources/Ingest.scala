@@ -103,6 +103,34 @@ object Ingest {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Structural diff between two batch schemas: (added, removed, retyped)
+    * top-level columns — the guardrail against the reference's
+    * dynamic-schema hazard (INSERT column lists generated from the first
+    * row's dict keys, `dags/users_etl.py:143`): run the diff between
+    * yesterday's and today's staged batch BEFORE loading, and gate the
+    * load on an empty-or-approved report. Nested structs compare by full
+    * dataType, so a nested change reports as a retype of its root. */
+  def schemaDiff(before: StructType, after: StructType): SchemaDiff = {
+    val b = before.fields.map(f => f.name -> f.dataType).toMap
+    val a = after.fields.map(f => f.name -> f.dataType).toMap
+    SchemaDiff(
+      added = a.keySet.diff(b.keySet).toSeq.sorted,
+      removed = b.keySet.diff(a.keySet).toSeq.sorted,
+      retyped = a.keySet.intersect(b.keySet).toSeq.sorted
+        .filter(k => a(k) != b(k))
+        .map(k => (k, b(k).simpleString, a(k).simpleString)))
+  }
+
+  /** Result of [[schemaDiff]]; `isCompatible` = nothing removed or
+    * retyped (pure additions are the only change a downstream consumer
+    * survives without code changes — mergeSchema handles them). */
+  final case class SchemaDiff(
+      added: Seq[String], removed: Seq[String],
+      retyped: Seq[(String, String, String)]) {
+    def isCompatible: Boolean = removed.isEmpty && retyped.isEmpty
+    def isEmpty: Boolean = isCompatible && added.isEmpty
+  }
+
   /** Full-refresh parquet load — the engine's idempotent analog of the
     * reference's DELETE-then-INSERT (`dags/users_etl.py:206-214,142-155`):
     * an atomic overwrite via the output committer replaces truncate+insert. */

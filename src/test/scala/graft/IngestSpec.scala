@@ -221,4 +221,24 @@ class IngestSpec extends SparkSpec {
     assert(graft.operators.Relational.fkOrphans(u, "address_uuid", a, "uuid").count() == 0)
     assert(graft.operators.Relational.fkOrphans(u, "company_uuid", c, "uuid").count() == 0)
   }
+
+  test("schemaDiff: added/removed/retyped columns; compatibility gate") {
+    import org.apache.spark.sql.types._
+    val before = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val after = StructType(Seq(
+      StructField("id", LongType), StructField("name", LongType),
+      StructField("tags", StringType)))
+    val d = Ingest.schemaDiff(before, after)
+    assert(d.added == Seq("tags"))
+    assert(d.removed == Seq("score"))
+    assert(d.retyped == Seq(("name", "string", "bigint")))
+    assert(!d.isCompatible)
+    // Pure addition is the only compatible drift.
+    val addOnly = Ingest.schemaDiff(before,
+      StructType(before.fields :+ StructField("extra", StringType)))
+    assert(addOnly.isCompatible && addOnly.added == Seq("extra"))
+    assert(Ingest.schemaDiff(before, before).isEmpty)
+  }
 }
