@@ -178,6 +178,59 @@ object Streams {
     }
   }
 
+  /** Session counts with TIMER-driven emission on `transformWithState`:
+    * nothing is emitted while a session is live; when the event-time
+    * timer at `last event + gap` fires (the watermark passed it), the
+    * session's (user, n) emits once and its state clears. This is the
+    * API's distinguishing feature over `flatMapGroupsWithState` (typed
+    * timers per key, re-registered on every new event) and the manual
+    * analog of `session_window` — used when the session logic needs
+    * per-event state no windowed aggregate expresses. Input must carry
+    * a watermark (event-time TimeMode contract). */
+  def sessionCountsByTimer(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        unix_millis(col("ts").cast("timestamp")))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TimerSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[(Long, Long)])
+      .toDF("user_id", "n")
+  }
+
+  /** The timer-driven session kernel for [[sessionCountsByTimer]]: one
+    * ValueState (count, lastTsMs) per user; each batch re-registers the
+    * session-close timer at `last + gap` (deleting the previous one);
+    * expiry emits and clears. */
+  private class TimerSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var (n, last) = Option(st.get()).getOrElse((0L, Long.MinValue))
+      val prevTimer = if (last == Long.MinValue) None else Some(last + gapMs)
+      rows.foreach { r => n += 1; if (r._2 > last) last = r._2 }
+      st.update((n, last))
+      prevTimer.foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out = Option(st.get()).map(s => Iterator((user, s._1))).getOrElse(Iterator.empty)
+      st.clear()
+      out
+    }
+  }
+
   /** [[runToTable]] under the RocksDB state-store provider — required by
     * `transformWithState`, and the production state backend once state
     * exceeds executor heap (changelog checkpointing, off-heap blocks).

@@ -34,12 +34,44 @@ class Spark4Spec extends SparkSpec {
     assert(out == Seq(true, true, false))
   }
 
+  test("count-min sketch: overestimates only, within eps*N (frequency family)") {
+    // The heavy-hitter frequency sketch next to HLL (distinct), t-digest
+    // (quantiles) and bloom (membership): mergeable, fixed memory, and
+    // one-sided error — estimates never undercount.
+    val df = spark.range(20000).select(pmod(col("id"), lit(100)).as("k"))
+    val cms = df.stat.countMinSketch("k", eps = 0.001, confidence = 0.99, seed = 42)
+    val trueCount = 200L // each key appears 20000/100 times
+    (0L until 100L by 7L).foreach { k =>
+      val est = cms.estimateCount(k)
+      assert(est >= trueCount, s"CMS undercounted k=$k: $est")
+      assert(est <= trueCount + (0.001 * 20000).toLong + 1, s"CMS err too big k=$k: $est")
+    }
+  }
+
   test("hll sketches: union estimate within 5% of exact distinct") {
     val df = spark.range(10000).select((col("id") % 5).as("shard"), col("id"))
     val perShard = df.groupBy("shard").agg(hll_sketch_agg(col("id")).as("sk"))
     val est = perShard.agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
       .as[Long].head()
     assert(math.abs(est - 10000L) <= 500)
+  }
+
+  test("transformWithState timers: sessions emit once on expiry, live sessions stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, minute: Int) = StreamingSpec.Ev(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"), user, "a", 1.0, "{}")
+    val mem = MemoryStream[StreamingSpec.Ev]
+    // user 1: events at 00:01/00:03 then nothing -> closes when watermark
+    // passes 00:03+5min. user 2: event at 00:40 keeps its session OPEN at
+    // the final watermark (00:40 - 1min delay < 00:40+5min) -> no emission.
+    mem.addData(Seq(ev(1, 1, 1), ev(2, 1, 3), ev(3, 2, 40)))
+    val out = Streams.runToTableRocksDB(
+      Streams.sessionCountsByTimer(
+        mem.toDF().withWatermark("ts", "1 minute"), gapMs = 5 * 60 * 1000L),
+      "t_timer_sess", "append")
+    val rows = out.as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 2L))) // user 1's closed session only, exactly once
   }
 
   test("transformWithState totals equal flatMapGroupsWithState totals (batch parity)") {
