@@ -2,7 +2,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run on a small thread pool (SPARK_GRAFT_VERIFY_THREADS,
+  * default 4): per-query cost at sf0.01 is dominated by driver-side
+  * analysis/codegen, which is single-threaded per query, so overlapping
+  * queries cuts the dump's wall-clock without needing more cores. Each
+  * worker runs on its own `spark.newSession()` clone — sessions share the
+  * SparkContext but have isolated SQLConf, so operators that temporarily
+  * mutate session conf (Streams.runToTable's state-partition sizing, the
+  * dd7 label-propagation loop's AQE toggle) stay correct under
+  * concurrency: their `spark.synchronized` guards and set/restore pairs
+  * are per-session, and no cross-thread query observes the mutation. */
 object Verify {
   def main(args: Array[String]): Unit = {
     // Optional third arg: comma-separated name prefixes — run only
@@ -11,6 +22,8 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val threads =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,16 +36,34 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val work = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .foreach(work.add)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (1 to threads).foreach { _ =>
+      pool.execute { () =>
+        val sess = spark.newSession()
+        var item = work.poll()
+        while (item != null) {
+          val (name, fn) = item
+          try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+          item = work.poll()
+        }
       }
-      finally graft.operators.Dedup.releaseCaches()
     }
+    pool.shutdown()
+    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    // Cache release deferred to the end: the pending-cache queue is
+    // process-global, and releasing it per-query could unpersist a frame
+    // another worker's in-flight query still references (correct either
+    // way — persist is an optimization — but it would force recomputes).
+    graft.operators.Dedup.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
