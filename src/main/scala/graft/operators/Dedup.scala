@@ -577,4 +577,38 @@ object Dedup {
         round(jaccard(col("__t1"), col("__t2")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** C4/CCNet-style cross-corpus line deduplication: drop every line
+    * whose exact text occurs in ≥ `maxFreq` documents' lines corpus-wide
+    * (navigation chrome, legal footers, subscription prompts), and
+    * rebuild each document from its surviving lines in order. Returns
+    * `(idCol, kept, dropped, fp)` — fp is the md5 of the cleaned text
+    * (the verifiable artifact; production would emit the text itself).
+    *
+    * Scale: lines explode map-side; ONE shuffle aggregates line
+    * frequencies and a sort-merge join carries them back — at 100 TB the
+    * frequency table (distinct lines) is itself huge, so no broadcast.
+    * Rebuilding sorts each doc's surviving lines by position inside a
+    * per-doc aggregate (array_sort of (pos, line) structs — no window,
+    * no second shuffle beyond the doc_id aggregation). The explode uses
+    * `posexplode_outer` so Catalyst cannot push an inferred
+    * `size(split(..)) > 0` filter below the staging projection and
+    * re-inline the split per filter evaluation (the generate-inference
+    * trap, see [[shingles]]). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxFreq: Int): DataFrame = {
+    val lines = df
+      .select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), posexplode_outer(col("__lines")).as(Seq("pos", "line")))
+    val freq = lines.groupBy("line").agg(count(lit(1)).as("__freq"))
+    lines.join(freq, Seq("line"))
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("__freq") < maxFreq, lit(1))).as("kept"),
+        count(when(col("__freq") >= maxFreq, lit(1))).as("dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__freq") < maxFreq,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").cast("binary")).as("fp"))
+  }
 }

@@ -220,4 +220,38 @@ object Relational {
         x => x.isNotNull)).as("__r"))
       .select(col("__r.*"))
   }
+
+  /** Row-level diff of two table snapshots sharing a schema and a key:
+    * one row per key whose state differs, with `status` in
+    * {added, removed, changed} and `changed_cols` naming the differing
+    * columns (empty unless changed). The data-reconciliation primitive
+    * (CDC validation, migration cutover checks, replica drift audits);
+    * the reference's full-refresh loads (DELETE-then-INSERT,
+    * `/root/reference/dags/users_etl.py:206-214`) have exactly this
+    * before/after shape.
+    *
+    * Scale: ONE full-outer sort-merge join co-partitioned on the key —
+    * both sides shuffle once, AQE splits skewed keys. Payloads ride as
+    * single structs so the shuffle width is the data width, and the
+    * per-column compare is null-safe codegen'd Column math. For very
+    * wide schemas, pre-hash the payload and compare fingerprints first,
+    * falling back to column compare only on mismatched keys. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val cols = a.columns.filterNot(_ == key).toSeq
+    val aa = a.select(col(key), struct(cols.map(col): _*).as("__a"))
+    val bb = b.select(col(key), struct(cols.map(col): _*).as("__b"))
+    val joined = aa.join(bb, Seq(key), "full_outer")
+    val diffs = cols.map(c =>
+      when(!(col(s"__a.$c") <=> col(s"__b.$c")), lit(c)))
+    val changedCols = filter(array(diffs: _*), x => x.isNotNull)
+    val status = when(col("__a").isNull, lit("added"))
+      .when(col("__b").isNull, lit("removed"))
+      .when(size(changedCols) > 0, lit("changed"))
+      .otherwise(lit("unchanged"))
+    joined
+      .select(col(key), status.as("status"),
+        when(status === "changed", array_join(changedCols, ","))
+          .otherwise(lit("")).as("changed_cols"))
+      .where(col("status") =!= "unchanged")
+  }
 }

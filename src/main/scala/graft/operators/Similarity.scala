@@ -200,6 +200,48 @@ object Similarity {
       .limit(k)
   }
 
+  /** Scalar-quantized (int8) top-k: per-vector symmetric quantization
+    * `q_i = round_half_up(x_i · 127/amax)`, candidate generation by the
+    * dequantized integer dot product `dot(q, q_query) · amax · amax_q`,
+    * then an exact-cosine rerank of the best `cand` candidates.
+    *
+    * The memory-bandwidth scale path for dense retrieval: the scan that
+    * scores candidates touches 1 byte/dimension instead of 4, and the
+    * candidate ranking is pure integer math (64 dims × 127² < 2²⁰ — no
+    * overflow under ANSI mode). Exact-rerank reads full vectors for only
+    * `cand` rows. Unlike the LSH/IVF paths this variant is fully
+    * deterministic — every step is integer or reproducible IEEE double
+    * math, so the DuckDB oracle replays it bit-for-bit (ss9).
+    *
+    * Staging: amax and the scale are each materialized as attributes
+    * before use inside `transform` — composed they would re-evaluate the
+    * array-max per element (the HOF-inlining trap). */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      cand: Int = 50): DataFrame = {
+    def amaxOf(v: Column): Column = array_max(transform(v, x => abs(x.cast("double"))))
+    def scaleOf(amax: Column): Column =
+      lit(127.0) / when(amax === 0, lit(1.0)).otherwise(amax)
+    def quant(v: Column, scale: Column): Column =
+      transform(v, x => floor(x.cast("double") * scale + lit(0.5)))
+    val q = query.select(col(queryVecCol).as("__qv"))
+      .select(col("__qv"), amaxOf(col("__qv")).as("__qamax"))
+      .select(col("__qv"), col("__qamax"), scaleOf(col("__qamax")).as("__qs"))
+      .select(col("__qv"), col("__qamax"), quant(col("__qv"), col("__qs")).as("__qq"))
+    val data = df.select(col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol), amaxOf(col(vecCol)).as("__amax"))
+      .select(col(idCol), col(vecCol), col("__amax"), scaleOf(col("__amax")).as("__s"))
+      .select(col(idCol), col(vecCol), col("__amax"), quant(col(vecCol), col("__s")).as("__q8"))
+    val dotQ = aggregate(zip_with(col("__q8"), col("__qq"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val scored = data.crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("__qv"),
+        ((dotQ.cast("double") * col("__amax")) * col("__qamax")).as("__score"))
+    scored.orderBy(col("__score").desc, col(idCol)).limit(cand)
+      .select(col(idCol), round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` over a bounded
     * subset (brute force; the LSH/IVF paths above are the scale
     * alternative). Broadcast self-join, ids ordered to emit each pair

@@ -105,6 +105,68 @@ object TextAnalysis {
     when(cjkCount > 0, lit("zh")).otherwise(chain)
   }
 
+  /** Fixed-point basis points: `floor(x * 10000 + 0.5)` as a long —
+    * the engine-portable projection for derived ratios (double division
+    * of exact integers is IEEE-identical across engines; `round()`
+    * half-way ties are not). */
+  def bp(x: Column): Column = floor(x * 10000.0 + 0.5)
+
+  /** Gopher-style repetition/format quality rules (Rae et al. 2021,
+    * table A1) as one staged signal computation. Inputs are ATTRIBUTES
+    * (`text`/`toks`/`lines` staged by the caller via a select), never
+    * composed expressions — each signal references its input many times,
+    * and only attribute references are free under Catalyst inlining (the
+    * HOF-staging contract, see [[langIdFromParts]]).
+    *
+    * Signals (all exact integers or basis-point fixed-point, so the
+    * DuckDB oracle replays them bit-for-bit):
+    *  - `n_words`, `mwl_bp` (mean word length ×10⁴)
+    *  - `symbol_bp`: (`#` + `...` occurrences) / words
+    *  - `alpha_bp`: fraction of words containing a letter
+    *  - `bullet_bp` / `ellipsis_bp`: fraction of lines starting with a
+    *    bullet / ending with an ellipsis
+    *  - `n_stop`: distinct required-stopword hits
+    *
+    * Scale: pure map-side Column math over one scan — no shuffle, no
+    * UDF; at 100 TB this runs at scan speed and feeds a filter. */
+  def gopherSignals(text: Column, toks: Column, lines: Column): Seq[(String, Column)] = {
+    val nWords = size(toks)
+    val denomW = greatest(nWords, lit(1)).cast("double")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = (length(text) - length(replace(text, lit("..."), lit("")))) / 3
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletLines = size(filter(lines,
+      l => ltrim(l).startsWith("- ") || ltrim(l).startsWith("* ")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).endsWith("...")))
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "mwl_bp" -> bp(sumLen.cast("double") / denomW),
+      "symbol_bp" -> bp((hashes + ellipses).cast("double") / denomW),
+      "alpha_bp" -> bp(alphaWords.cast("double") / denomW),
+      "bullet_bp" -> bp(bulletLines.cast("double") / nLines),
+      "ellipsis_bp" -> bp(ellipsisLines.cast("double") / nLines),
+      "n_stop" -> size(array_intersect(toks,
+        array(gopherStopwords.map(lit): _*))).cast("long"))
+  }
+
+  /** Gopher required stopwords (Rae et al. 2021). The keep rule uses a
+    * ≥1 hit threshold instead of the paper's ≥2 — the harness corpus is
+    * synthetic vocabulary where only "the" occurs. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher keep decision from [[gopherSignals]] OUTPUT attributes —
+    * all comparisons on exact integers (counts and basis points), so the
+    * boundary cases cannot diverge between engines. */
+  def gopherKeep(
+      nWords: Column, mwlBp: Column, symbolBp: Column, alphaBp: Column,
+      bulletBp: Column, ellipsisBp: Column, nStop: Column): Column =
+    (nWords.between(50, 100000) && mwlBp.between(30000, 100000) &&
+      symbolBp < 1000 && bulletBp < 9000 && ellipsisBp < 3000 &&
+      alphaBp > 8000 && nStop >= 1).cast("int")
+
   /** Canonical text normalization for fingerprinting/dedup: lowercase,
     * collapse every non-alphanumeric run to a single space, trim. */
   def normalizeText(text: Column): Column =

@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 extension surface: Gopher-style document quality rules,
+  * C4-style cross-corpus line deduplication, scalar-quantized (int8)
+  * similarity search, and snapshot reconciliation — each fully
+  * deterministic (integer / fixed-point math throughout), so every spec
+  * here carries a complete DuckDB hash oracle, including the ANN path.
+  *
+  * The harness corpus is single-line synthetic prose with no markup, so
+  * the two text specs plant deterministic decorations (boilerplate
+  * lines, bullets, ellipses, `#` runs) keyed on `doc_id` — identically
+  * on both engines, the same pattern the PII spec uses
+  * ([[CurationQueries]]) — to make the rules discriminative.
+  */
+object QualityQueries {
+
+  private val duckToks =
+    "list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** doc_id-keyed decoration exercising every Gopher rule family. */
+  private val gopherDecoSql =
+    """text || CASE doc_id % 4
+      |    WHEN 0 THEN chr(10) || '- item one' || chr(10) || '- item two' || chr(10) || '* item three'
+      |    WHEN 1 THEN chr(10) || 'To be continued...' || chr(10) || 'more soon...'
+      |    WHEN 2 THEN ' ### markdown ### noise ##'
+      |    ELSE '' END""".stripMargin
+
+  private def gopherDeco = concat(col("text"),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      lit("\n- item one\n- item two\n* item three"))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        lit("\nTo be continued...\nmore soon..."))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        lit(" ### markdown ### noise ##"))
+      .otherwise(lit("")))
+
+  /** Shared boilerplate lines ~1/5 and ~1/7 of docs carry — the exact
+    * repeated-chrome shape C4's line dedup removes. */
+  // Single line on purpose: this fragment is interpolated into templates
+  // whose stripMargin would eat the first `|` of a line-leading `||`.
+  private val lineDecoSql =
+    "text || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'subscribe to our newsletter' || chr(10) || 'all rights reserved' ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'click here to read more' ELSE '' END"
+
+  private def lineDeco = concat(col("text"),
+    when(pmod(col("doc_id"), lit(5)) === 0,
+      lit("\nsubscribe to our newsletter\nall rights reserved"))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(7)) === 0,
+      lit("\nclick here to read more")).otherwise(lit("")))
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Gopher quality rules (Rae et al. 2021 table A1): per-document
+    // format/repetition signals plus the keep decision. All signals are
+    // exact integers or basis points, so the oracle is a full hash
+    // compare — including every rule boundary.
+    QuerySpec(
+      "tx18_gopher_rules",
+      s"""WITH base AS (
+         |  SELECT doc_id, $gopherDecoSql AS t FROM documents
+         |), staged AS (
+         |  SELECT doc_id, t, $duckToks AS toks, string_split(t, chr(10)) AS lines
+         |  FROM base
+         |), sig AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_words,
+         |    greatest(len(toks), 1)::DOUBLE AS dw,
+         |    greatest(len(lines), 1)::DOUBLE AS dl,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+         |    length(t) - length(replace(t, '#', '')) AS hashes,
+         |    (length(t) - length(replace(t, '...', ''))) / 3 AS ellipses,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS bullet_lines,
+         |    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines,
+         |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop
+         |  FROM staged
+         |), bps AS (
+         |  SELECT doc_id, n_words, n_stop,
+         |    CAST(floor(sum_len / dw * 10000 + 0.5) AS BIGINT) AS mwl_bp,
+         |    CAST(floor((hashes + ellipses) / dw * 10000 + 0.5) AS BIGINT) AS symbol_bp,
+         |    CAST(floor(alpha_words / dw * 10000 + 0.5) AS BIGINT) AS alpha_bp,
+         |    CAST(floor(bullet_lines / dl * 10000 + 0.5) AS BIGINT) AS bullet_bp,
+         |    CAST(floor(ellipsis_lines / dl * 10000 + 0.5) AS BIGINT) AS ellipsis_bp
+         |  FROM sig)
+         |SELECT doc_id, n_words, mwl_bp, symbol_bp, alpha_bp, bullet_bp,
+         |  ellipsis_bp, n_stop,
+         |  CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND mwl_bp BETWEEN 30000 AND 100000 AND symbol_bp < 1000
+         |    AND bullet_bp < 9000 AND ellipsis_bp < 3000 AND alpha_bp > 8000
+         |    AND n_stop >= 1 THEN 1 ELSE 0 END AS keep
+         |FROM bps""".stripMargin) { (s, dir) =>
+      val staged = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), gopherDeco.as("t"))
+        .select(col("doc_id"), col("t"),
+          TextAnalysis.tokens(col("t")).as("toks"),
+          split(col("t"), "\n").as("lines"))
+      val sig = staged.select(
+        col("doc_id") +: TextAnalysis.gopherSignals(
+          col("t"), col("toks"), col("lines"))
+          .map { case (n, c) => c.as(n) }: _*)
+      sig.select(col("*"),
+        TextAnalysis.gopherKeep(col("n_words"), col("mwl_bp"),
+          col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
+          col("ellipsis_bp"), col("n_stop")).as("keep"))
+    },
+
+    // C4-style cross-corpus line dedup: lines occurring in ≥5 documents
+    // are boilerplate and are dropped; each document is rebuilt from its
+    // surviving lines in order (verified via md5 of the cleaned text).
+    QuerySpec(
+      "tx19_line_dedup",
+      s"""WITH base AS (
+         |  SELECT doc_id, $lineDecoSql AS t FROM documents
+         |), ls AS (
+         |  SELECT doc_id, string_split(t, chr(10)) AS l FROM base
+         |), lines AS (
+         |  SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line FROM ls
+         |), freq AS (
+         |  SELECT line, count(*) AS freq FROM lines GROUP BY line)
+         |SELECT doc_id,
+         |  count(*) FILTER (WHERE freq < 5) AS kept,
+         |  count(*) FILTER (WHERE freq >= 5) AS dropped,
+         |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |    FILTER (WHERE freq < 5), '')) AS fp
+         |FROM lines JOIN freq USING (line)
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.dedupLines(
+        Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), lineDeco.as("text")),
+        "doc_id", "text", maxFreq = 5)
+    },
+
+    // Scalar-quantized (int8) ANN with exact rerank — deterministic end
+    // to end (integer candidate scoring, reproducible IEEE double
+    // dequantization), hence a FULL oracle for an approximate-search
+    // path, like ss8. Candidate metric: dequantized dot product.
+    QuerySpec(
+      "ss9_ann_int8",
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), qs AS (
+        |  SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qamax FROM q
+        |), qz AS (
+        |  SELECT qv, qamax, list_transform(qv, x -> CAST(floor(
+        |      x * (127.0 / CASE WHEN qamax = 0 THEN 1.0 ELSE qamax END) + 0.5)
+        |    AS BIGINT)) AS q8
+        |  FROM qs
+        |), d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), da AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM d
+        |), dz AS (
+        |  SELECT vec_id, v, amax, list_transform(v, x -> CAST(floor(
+        |      x * (127.0 / CASE WHEN amax = 0 THEN 1.0 ELSE amax END) + 0.5)
+        |    AS BIGINT)) AS v8
+        |  FROM da
+        |), scored AS (
+        |  SELECT vec_id, v,
+        |    (CAST(list_sum(list_transform(range(1, 65), i -> v8[i] * qz.q8[i])) AS DOUBLE)
+        |      * amax) * qamax AS score
+        |  FROM dz, qz
+        |), cand AS (
+        |  SELECT vec_id, v FROM scored ORDER BY score DESC, vec_id LIMIT 50)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8TopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 10, cand = 50)
+    },
+
+    // Snapshot reconciliation: row-level diff of two derived snapshots
+    // of `orders` (keys added / removed / values changed), the CDC
+    // validation primitive. Differences are planted deterministically on
+    // both engines.
+    QuerySpec(
+      "q91_snapshot_diff",
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |), a AS (
+        |  SELECT * FROM o WHERE o_orderkey % 11 <> 3
+        |), b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN 'R' ELSE o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 13 <> 5
+        |), j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    a.o_orderkey IS NULL AS is_added, b.o_orderkey IS NULL AS is_removed,
+        |    list_filter([
+        |      CASE WHEN NOT (a.o_custkey IS NOT DISTINCT FROM b.o_custkey) THEN 'o_custkey' END,
+        |      CASE WHEN NOT (a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus) THEN 'o_orderstatus' END,
+        |      CASE WHEN NOT (a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice) THEN 'o_totalprice' END
+        |    ], x -> x IS NOT NULL) AS cc
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN is_added THEN 'added' WHEN is_removed THEN 'removed'
+        |         WHEN len(cc) > 0 THEN 'changed' ELSE 'unchanged' END AS status,
+        |    CASE WHEN NOT is_added AND NOT is_removed AND len(cc) > 0
+        |         THEN array_to_string(cc, ',') ELSE '' END AS changed_cols
+        |  FROM j)
+        |WHERE status <> 'unchanged'""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val snapA = o.where(pmod(col("o_orderkey"), lit(11)) =!= 3)
+      val snapB = o.where(pmod(col("o_orderkey"), lit(13)) =!= 5)
+        .withColumn("o_orderstatus",
+          when(pmod(col("o_orderkey"), lit(6)) === 0, lit("R"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      Relational.snapshotDiff(snapA, snapB, "o_orderkey")
+    })
+}

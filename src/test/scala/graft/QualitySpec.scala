@@ -1,0 +1,113 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Round-4 extension operators: Gopher quality rules, cross-corpus line
+  * dedup, int8-quantized ANN, snapshot diff — planted-fixture checks;
+  * the hash-exact DuckDB compare runs through the driver oracle. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gopherRow(text: String) = {
+    val df = Seq(text).toDF("t")
+      .select(col("t"), TextAnalysis.tokens(col("t")).as("toks"),
+        split(col("t"), "\n").as("lines"))
+    val sig = df.select(TextAnalysis.gopherSignals(
+      col("t"), col("toks"), col("lines")).map { case (n, c) => c.as(n) }: _*)
+    sig.select(col("*"), TextAnalysis.gopherKeep(col("n_words"), col("mwl_bp"),
+      col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
+      col("ellipsis_bp"), col("n_stop")).as("keep")).collect()(0)
+  }
+
+  test("gopher signals: clean prose passes, each rule family fires") {
+    val clean = gopherRow(("the quick brown fox jumps over one lazy dog " * 10).trim)
+    assert(clean.getAs[Long]("n_words") == 90L)
+    assert(clean.getAs[Int]("keep") == 1)
+
+    // Too short.
+    assert(gopherRow("the tiny doc").getAs[Int]("keep") == 0)
+    // Symbol soup: ### runs push symbol_bp over 10%.
+    val sym = gopherRow(("the word " * 30).trim + " ##########")
+    assert(sym.getAs[Long]("symbol_bp") > 1000L)
+    assert(sym.getAs[Int]("keep") == 0)
+    // Bullet-dominated layout.
+    val bullets = ("- the point is here\n" * 20).trim
+    val b = gopherRow(bullets)
+    assert(b.getAs[Long]("bullet_bp") == 10000L)
+    assert(b.getAs[Int]("keep") == 0)
+    // Ellipsis-heavy teaser lines.
+    val e = gopherRow(("the story continues...\n" * 10).trim)
+    assert(e.getAs[Long]("ellipsis_bp") == 10000L)
+    // Mean word length: digit spam has mwl outside [3,10].
+    val digits = gopherRow(("77 " * 60).trim)
+    assert(digits.getAs[Long]("mwl_bp") == 20000L)
+    assert(digits.getAs[Int]("keep") == 0)
+  }
+
+  test("dedupLines drops corpus-frequent lines, keeps order, counts exactly") {
+    val docs = (0L to 9L).map { i =>
+      val boiler = if (i % 2 == 0) "\nsubscribe now" else ""
+      (i, s"unique body $i line one\nunique body $i line two" + boiler)
+    }.toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text", maxFreq = 3)
+      .orderBy("doc_id").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("kept") == 2L)
+      assert(r.getAs[Long]("dropped") == (if (id % 2 == 0) 1L else 0L))
+    }
+    // Rebuilt text = the two body lines joined in original order.
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique body 3 line one\nunique body 3 line two".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(3).getAs[String]("fp") == expect)
+  }
+
+  test("int8TopK matches exact brute-force top-k on separable vectors") {
+    // 20 base vectors spread along two axes + a query near axis 0: int8
+    // quantization error is far below the separation, so candidate
+    // ranking and the exact rerank must agree with brute force.
+    val base = (0 until 20).map { i =>
+      val v = Array.fill(8)(0.001f * i)
+      v(i % 2) = if (i % 2 == 0) 1.0f - 0.01f * i else 0.5f + 0.01f * i
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = base.where(col("vec_id") === 0)
+    val fast = Similarity.int8TopK(base, "vec_id", "embedding", q, "embedding",
+      k = 5, cand = 10).select("vec_id").as[Long].collect()
+    val exact = Similarity.bruteForceTopK(base, "vec_id", "embedding", q,
+      "embedding", k = 5).select("vec_id").as[Long].collect()
+    assert(fast.sameElements(exact))
+  }
+
+  test("int8TopK: zero vectors quantize safely (no division blowup)") {
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.int8TopK(base, "vec_id", "embedding",
+      base.where(col("vec_id") === 0), "embedding", k = 3, cand = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("vec_id")).contains(1L))
+  }
+
+  test("snapshotDiff classifies added/removed/changed with null-safe compare") {
+    val a = Seq(
+      (1L, Option("x"), Option(10.0)), (2L, Option("y"), Option(20.0)),
+      (3L, None: Option[String], Option(30.0)), (4L, Option("z"), Option(40.0)))
+      .toDF("k", "s", "v")
+    val b = Seq(
+      (1L, Option("x"), Option(10.0)),            // unchanged → absent
+      (2L, Option("y"), Option(21.0)),            // changed: v
+      (3L, Option("now"), Option(30.0)),          // changed: s (NULL → value)
+      (5L, Option("new"), None: Option[Double]))  // added
+      .toDF("k", "s", "v")                        // 4 removed
+    val out = Relational.snapshotDiff(a, b, "k").orderBy("k")
+      .as[(Long, String, String)].collect()
+    assert(out.toSeq == Seq(
+      (2L, "changed", "v"), (3L, "changed", "s"),
+      (4L, "removed", ""), (5L, "added", "")))
+  }
+}
