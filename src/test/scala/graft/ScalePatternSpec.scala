@@ -90,4 +90,67 @@ class ScalePatternSpec extends SparkSpec {
     assert(kept >= exact.count())
     assert(kept <= big.count() * (50.0 / 2000 + 0.3))
   }
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("bucketed tables sort-merge join with ZERO exchanges") {
+    // The co-location pattern for repeated large-table joins at 100 TB:
+    // both sides bucketed+sorted on the join key at write time, so the
+    // join is exchange-free AND sort-free — each task zips bucket i of
+    // both tables. Broadcast disabled to prove it is bucketing (not
+    // size) that removes the shuffle.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val a = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+    a.write.mode("overwrite").option("path", s"$dir/ta")
+      .bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_a")
+    b.write.mode("overwrite").option("path", s"$dir/tb")
+      .bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_b")
+    try withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+    }
+  }
+
+  test("AQE splits the hot partition of a skewed sort-merge join") {
+    // The runtime answer to key skew (vs the static q39 salted join):
+    // with thresholds scaled to the fixture, AQE's OptimizeSkewedJoin
+    // must split the hot key's shuffle partition into parallel subtasks
+    // — the `skew=true` marker on the final SortMergeJoin.
+    val left = spark.range(0, 50000)
+      .select(when(col("id") < 45000, 0L).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = spark.range(0, 100).select(col("id").as("k"), (col("id") * 2).as("w"))
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768") {
+      val j = left.join(right, "k")
+      // k=0 (45000 left rows) matches right k=0; left keys ≥45000 match
+      // nothing (right keys stop at 99) → exactly the hot-key volume.
+      // collect() (not count()) so THIS dataframe's adaptive plan is the
+      // one that executes and finalizes.
+      assert(j.collect().length == 45000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"skew split did not fire:\n$plan")
+    }
+  }
 }
