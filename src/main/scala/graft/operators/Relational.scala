@@ -221,6 +221,38 @@ object Relational {
       .select(col("__r.*"))
   }
 
+  /** Exact quantiles by distributed sort + order-statistic lookup,
+    * returning interpolated values with `percentile()`'s exact formula
+    * (`v_lo + (v_hi−v_lo)·(p−⌊p⌋)`, position `p = q·(n−1)` — NOT the
+    * mathematically-equal symmetric weighting, which differs in the
+    * last ulp and would break bit-parity with the aggregate and with
+    * DuckDB's `quantile_cont`).
+    *
+    * Why not the `percentile()` aggregate: its partial state is a
+    * value→count map, so for near-continuous columns (583k distinct of
+    * 600k at sf0.1) the final single-reducer merge materializes and
+    * sorts ~the whole column on one core — the aggregate is only
+    * scale-safe for low-cardinality columns. A distributed sort is the
+    * scale-correct exact algorithm: range-partitioned, every stage
+    * parallel, and the driver receives exactly `2·|qs|` doubles.
+    * (`sortBy` + `zipWithIndex` is genuine per-partition index logic —
+    * the rare legitimate RDD drop-down.) */
+  def exactQuantiles(df: DataFrame, colName: String, qs: Seq[Double]): Seq[Double] = {
+    val vals = df.select(col(colName).cast("double")).where(col(colName).isNotNull)
+    val n = vals.count()
+    require(n > 0, s"exactQuantiles: no non-null values in $colName")
+    val positions = qs.map(q => q * (n - 1))
+    val needed = positions.flatMap(p => Seq(p.floor.toLong, p.ceil.toLong)).toSet
+    val found = vals.rdd.map(_.getDouble(0)).sortBy(identity)
+      .zipWithIndex().filter { case (_, i) => needed.contains(i) }
+      .map(_.swap).collectAsMap()
+    positions.map { p =>
+      val (lo, hi) = (p.floor.toLong, p.ceil.toLong)
+      if (lo == hi) found(lo)
+      else found(lo) + (found(hi) - found(lo)) * (p - lo)
+    }
+  }
+
   /** Row-level diff of two table snapshots sharing a schema and a key:
     * one row per key whose state differs, with `status` in
     * {added, removed, changed} and `changed_cols` naming the differing

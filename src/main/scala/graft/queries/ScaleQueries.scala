@@ -80,18 +80,18 @@ object ScaleQueries {
         |  min(l_extendedprice) AS lo_price,
         |  max(l_extendedprice) AS hi_price
         |FROM lineitem, b GROUP BY 1""".stripMargin) { (s, dir) =>
-      val li = Tables.lineitem(s, dir)
       val price = col("l_extendedprice")
-      // ONE percentile aggregate for all three boundaries: each exact
-      // percentile call maintains its own value-count map over the
-      // column, so three separate aggregates tripled the dominant cost
-      // (measured 6.7 s → 2.6 s at sf0.1).
-      val bounds = li
-        .agg(expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))").as("ps"))
-        .select(element_at(col("ps"), 1).as("p25"),
-          element_at(col("ps"), 2).as("p50"),
-          element_at(col("ps"), 3).as("p75"))
-      li.crossJoin(broadcast(bounds))
+      val li = Tables.lineitem(s, dir).select(price)
+      // Sort-based exact quantiles (Relational.exactQuantiles): the
+      // `percentile()` aggregate's value→count map degenerates on this
+      // near-continuous column (583k distinct of 600k) — its final
+      // single-reducer merge re-sorts ~the whole column on one core
+      // (measured 2.5 s steady-state; the distributed-sort path is
+      // 1.1 s and stays parallel at any scale). Boundaries return as
+      // three doubles and enter the plan as literals.
+      val Seq(p25, p50, p75) =
+        Relational.exactQuantiles(li, "l_extendedprice", Seq(0.25, 0.50, 0.75))
+      li.select(price, lit(p25).as("p25"), lit(p50).as("p50"), lit(p75).as("p75"))
         .groupBy((lit(1) + (price > col("p25")).cast("int")
           + (price > col("p50")).cast("int")
           + (price > col("p75")).cast("int")).cast("long").as("q"))

@@ -93,6 +93,20 @@ class QualitySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("vec_id")).contains(1L))
   }
 
+  test("exactQuantiles == percentile() aggregate, including interpolation and ties") {
+    // 101 values with planted ties; positions hit both integral and
+    // fractional ranks. The sort-based path must reproduce the
+    // aggregate's doubles bit-for-bit (same interpolation formula).
+    val vals = ((0 until 90).map(i => (i * 7 % 45) * 1.1) ++ Seq.fill(11)(3.3))
+      .toDF("x")
+    val qs = Seq(0.0, 0.25, 0.5, 0.613, 0.75, 1.0)
+    val sorted = Relational.exactQuantiles(vals, "x", qs)
+    val agg = vals.selectExpr(
+      s"percentile(x, array(${qs.mkString(",")})) as ps")
+      .collect()(0).getSeq[Double](0)
+    assert(sorted == agg.toSeq)
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
     val a = Seq(
       (1L, Option("x"), Option(10.0)), (2L, Option("y"), Option(20.0)),
