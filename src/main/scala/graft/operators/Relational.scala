@@ -221,6 +221,29 @@ object Relational {
       .select(col("__r.*"))
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): every row draws `key = ln(u)/weight` with `u` a
+    * portable-hash uniform in (0,1], and the `k` largest keys win — a
+    * row's inclusion probability is proportional to its weight, and the
+    * whole draw replays bit-for-bit from the id column alone (no RNG
+    * state). Keys are fixed-pointed to µ-units BEFORE ranking, so libm
+    * `ln` ulp differences across engines cannot reorder the sample; id
+    * breaks ties. One map-side scan + a bounded top-k
+    * (`TakeOrderedAndProject`) — no shuffle of the data.
+    *
+    * Weights must be strictly positive. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val h = pmod(conv(substring(md5(col(idCol).cast("string").cast("binary")),
+      1, 8), 16, 10).cast("long"), lit(2147483647L))
+    val u = (h + 1).cast("double") / 2147483648.0
+    val key = log(u) / col(weightCol)
+    df.select(col(idCol), col(weightCol).as("weight"),
+        floor(key * 1000000.0 + 0.5).cast("long").as("key_bp"))
+      .orderBy(col("key_bp").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact quantiles by distributed sort + order-statistic lookup,
     * returning interpolated values with `percentile()`'s exact formula
     * (`v_lo + (v_hi−v_lo)·(p−⌊p⌋)`, position `p = q·(n−1)` — NOT the

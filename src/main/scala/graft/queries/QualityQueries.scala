@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-4 extension surface: Gopher-style document quality rules,
@@ -219,5 +219,70 @@ object QualityQueries {
           when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + 1.0)
             .otherwise(col("o_totalprice")))
       Relational.snapshotDiff(snapA, snapB, "o_orderkey")
+    },
+
+    // Time-series subsequence search: top-10 per-user event-value
+    // windows (length 8) closest in z-normalized Euclidean distance to
+    // a rising-ramp pattern. Folds are sequential on both engines,
+    // division/sqrt are IEEE-exact, ranking is on the fixed-point
+    // distance — full oracle despite the heavy floating-point pipeline.
+    QuerySpec(
+      "q92_ts_subseq",
+      {
+        val zp = TimeSeries.znorm((1 to 8).map(_.toDouble))
+          .map(_.toString).mkString("[", ", ", "]")
+        s"""WITH s AS (
+           |  SELECT user_id, value,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+           |  FROM events
+           |), w AS (
+           |  SELECT user_id, idx, list(value) OVER (
+           |    PARTITION BY user_id ORDER BY idx
+           |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win
+           |  FROM s
+           |), f AS (
+           |  SELECT user_id, idx, win FROM w WHERE len(win) = 8
+           |), m AS (
+           |  SELECT user_id, idx, win,
+           |    list_reduce(list_prepend(0.0, win), (a, x) -> a + x) / 8 AS mean
+           |  FROM f
+           |), sd AS (
+           |  SELECT user_id, idx, win, mean,
+           |    sqrt(list_reduce(list_prepend(0.0,
+           |      list_transform(win, x -> (x - mean) * (x - mean))), (a, x) -> a + x) / 8) AS sd
+           |  FROM m
+           |), z AS (
+           |  SELECT user_id, idx,
+           |    list_transform(win, x -> CASE WHEN sd = 0 THEN 0.0 ELSE (x - mean) / sd END) AS zw
+           |  FROM sd
+           |), d AS (
+           |  SELECT user_id, idx,
+           |    list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+           |      i -> (zw[i] - ($zp)[i]) * (zw[i] - ($zp)[i]))), (a, x) -> a + x) AS dist
+           |  FROM z)
+           |SELECT user_id, idx,
+           |  CAST(floor(dist * 10000.0 + 0.5) AS BIGINT) AS dist_bp
+           |FROM d ORDER BY dist_bp, user_id, idx LIMIT 10""".stripMargin
+      }) { (s, dir) =>
+      TimeSeries.subseqSearch(Tables.events(s, dir), "user_id", "ts",
+        "event_id", "value", (1 to 8).map(_.toDouble), k = 10)
+    },
+
+    // Weighted sampling (Efraimidis–Spirakis): 100 orders drawn with
+    // probability ∝ o_totalprice, reproducible from the key column
+    // alone. The fixed-point ranking key is part of the output so the
+    // oracle verifies the draw itself, not just membership.
+    QuerySpec(
+      "q93_weighted_sample",
+      """SELECT o_orderkey, o_totalprice AS weight,
+        |  CAST(floor(
+        |    ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+        |        % 2147483647 + 1)::DOUBLE / 2147483648.0)
+        |    / o_totalprice * 1000000.0 + 0.5) AS BIGINT) AS key_bp
+        |FROM orders
+        |ORDER BY key_bp DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Relational.weightedSample(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        "o_orderkey", "o_totalprice", k = 100)
     })
 }

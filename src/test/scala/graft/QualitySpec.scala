@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-4 extension operators: Gopher quality rules, cross-corpus line
@@ -105,6 +105,41 @@ class QualitySpec extends SparkSpec {
       s"percentile(x, array(${qs.mkString(",")})) as ps")
       .collect()(0).getSeq[Double](0)
     assert(sorted == agg.toSeq)
+  }
+
+  test("subseqSearch: affine copies of the pattern match at distance 0") {
+    // z-normalized distance is offset/scale invariant: the series embeds
+    // 10,20,…,80 (an affine image of the 1..8 ramp) at position 4 — that
+    // window must score dist_bp = 0 and rank first. Flat windows score
+    // ‖zp‖² = w exactly (all-zero z by convention) → 80000 bp.
+    val vals = Seq(5.0, 5.0, 5.0) ++ (1 to 8).map(_ * 10.0) ++ Seq(5.0, 5.0)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.subseqSearch(events, "user_id", "ts", "event_id",
+      "value", (1 to 8).map(_.toDouble), k = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(out.head == ((1L, 4L, 0L)))
+    val flat = Seq.fill(10)(7.0).zipWithIndex.map { case (v, i) =>
+      (2L, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "value")
+    val flatOut = TimeSeries.subseqSearch(flat, "user_id", "ts", "event_id",
+      "value", (1 to 8).map(_.toDouble), k = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(flatOut.head._3 == 80000L)
+  }
+
+  test("weightedSample: deterministic, weight-dominant row always drawn") {
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i == 500L) 1e9 else 1.0)).toDF("k", "w")
+    val s1 = Relational.weightedSample(rows, "k", "w", k = 50)
+      .select("k").as[Long].collect()
+    val s2 = Relational.weightedSample(rows, "k", "w", k = 50)
+      .select("k").as[Long].collect()
+    assert(s1.sameElements(s2))
+    assert(s1.contains(500L))
+    // Uniform weights → the draw is a pure hash order, still k distinct.
+    assert(s1.distinct.length == 50)
   }
 
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
