@@ -32,7 +32,9 @@ object Dedup {
   // freed by releaseCaches() — called by Verify/Bench/ScaleCheck after
   // each query's action completes (and safe to call any time: an
   // unpersisted plan stays valid, it just recomputes).
-  private val pendingCaches =
+  // Package-private so sibling iterative operators ([[Graph.pageRank]])
+  // share the same release discipline.
+  private[operators] val pendingCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
   /** Unpersist every cache registered by prior near-dup invocations.

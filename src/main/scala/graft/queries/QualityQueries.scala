@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Relational, Similarity, TextAnalysis, TimeSeries}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 extension surface: Gopher-style document quality rules,
@@ -284,5 +285,64 @@ object QualityQueries {
       Relational.weightedSample(
         Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
         "o_orderkey", "o_totalprice", k = 100)
+    },
+
+    // PageRank (10 damped iterations) over a deterministic functional
+    // graph on the event users — the second iterative-loop operator
+    // (Graph.pageRank; CC is the first). Per-edge contributions are
+    // fixed-pointed BEFORE the per-destination sum, so all 10 iterations
+    // replay bit-for-bit in the oracle's recursive CTE, which carries
+    // the rank vector as a LIST. NB the oracle writes `(1 - 0.85)`, not
+    // `0.15`: they differ in the last ulp, and the Scala side computes
+    // `1 - damping`.
+    QuerySpec(
+      "q94_pagerank",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) - 1 AS r
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |edges AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT r AS src, (r * 31 + 7) % n AS dst FROM nodes, params
+        |    UNION ALL
+        |    SELECT r, (r + 1) % n FROM nodes, params)
+        |), deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |odeg_t AS (
+        |  SELECT list(coalesce(d.outdeg, 0) ORDER BY nd.r) AS odeg
+        |  FROM nodes nd LEFT JOIN deg d ON d.src = nd.r
+        |), inn_t AS (
+        |  SELECT list(coalesce(a.srcs, []) ORDER BY nd.r) AS inn
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, list(src) AS srcs FROM edges GROUP BY dst) a ON a.dst = nd.r
+        |), pr AS (
+        |  SELECT 0 AS it, list_transform(range(1, n + 1), i -> 1.0 / n) AS p
+        |  FROM params
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_transform(range(1, params.n + 1), j ->
+        |      (1 - 0.85) / params.n + 0.85 * (CAST(list_reduce(list_prepend(0::BIGINT,
+        |        list_transform(inn[j], s -> CAST(floor(p[s + 1] / odeg[s + 1] * 1e12 + 0.5) AS BIGINT))),
+        |        (a, x) -> a + x) AS DOUBLE) / 1e12))
+        |  FROM pr, params, odeg_t, inn_t WHERE it < 10
+        |)
+        |SELECT r, pr_ppb FROM (
+        |  SELECT generate_subscripts(p, 1) - 1 AS r,
+        |    CAST(floor(unnest(p) * 1e9 + 0.5) AS BIGINT) AS pr_ppb
+        |  FROM pr WHERE it = 10)
+        |ORDER BY pr_ppb DESC, r LIMIT 20""".stripMargin) { (s, dir) =>
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      // Un-partitioned window over the DISTINCT USER SET only (≤ a few
+      // thousand rows at any SF) — the dense 0..n-1 node numbering; the
+      // event log itself never funnels through one task.
+      val ranked = users.select(
+        (row_number().over(Window.orderBy(col("user_id"))) - 1)
+          .cast("long").as("r"))
+      val n = ranked.count()
+      val edges = ranked
+        .select(col("r").as("src"), ((col("r") * 31 + 7) % n).as("dst"))
+        .union(ranked.select(col("r").as("src"), ((col("r") + 1) % n).as("dst")))
+      Graph.pageRank(edges, iterations = 10, damping = 0.85)
+        .select(col("r"), floor(col("p") * 1e9 + 0.5).cast("long").as("pr_ppb"))
+        .orderBy(col("pr_ppb").desc, col("r")).limit(20)
     })
 }

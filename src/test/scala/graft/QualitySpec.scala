@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Graph, Relational, Similarity, TextAnalysis, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Round-4 extension operators: Gopher quality rules, cross-corpus line
@@ -140,6 +140,25 @@ class QualitySpec extends SparkSpec {
     assert(s1.contains(500L))
     // Uniform weights → the draw is a pure hash order, still k distinct.
     assert(s1.distinct.length == 50)
+  }
+
+  test("pageRank: uniform on a cycle, center-heavy on a star, mass conserved") {
+    // Directed 10-cycle: every node has out-degree 1, so the uniform
+    // vector is the exact fixpoint — and the picounit fixed-pointing is
+    // exact for 0.1, so ranks stay EXACTLY 0.1.
+    val cycle = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val cp = Graph.pageRank(cycle, iterations = 5).select("p").as[Double].collect()
+    Dedup.releaseCaches()
+    assert(cp.length == 10 && cp.forall(_ == 0.1))
+
+    // Star: leaves 1..5 all point at 0; 0 points at 1. The center must
+    // rank strictly highest, and total mass stays 1 (no dangling nodes).
+    val star = ((1L to 5L).map(i => (i, 0L)) :+ ((0L, 1L))).toDF("src", "dst")
+    val sp = Graph.pageRank(star, iterations = 20)
+      .orderBy(desc("p")).as[(Long, Double)].collect()
+    Dedup.releaseCaches()
+    assert(sp.head._1 == 0L)
+    assert(math.abs(sp.map(_._2).sum - 1.0) < 1e-6)
   }
 
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
