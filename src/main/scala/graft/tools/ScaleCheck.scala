@@ -126,6 +126,35 @@ object ScaleCheck {
         "c_custkey", Seq("c_acctbal", "c_mktsegment")).count()
     }
 
+    // Round-4 extension operators at scale. Measured at sf0.1 on
+    // local[32]:
+    //  - pageRank 100k nodes / 200k edges, 10 iterations: 6.5 s
+    //    (~0.65 s/round = 2 small shuffles + re-root; independent of
+    //    rank skew);
+    //  - subseqSearch on 10× events (1M rows, 15k series): 1.9 s —
+    //    window materialization + per-row folds, linear and map-side;
+    //  - dedupLines on 10× docs: 0.8 s — line-frequency aggregation +
+    //    join back, linear in line volume.
+    time("pagerank 100k nodes") {
+      val nodes100k = 100000L
+      val ns = spark.range(nodes100k).select(col("id").as("r"))
+      val es = ns.select(col("r").as("src"), ((col("r") * 31 + 7) % nodes100k).as("dst"))
+        .union(ns.select(col("r").as("src"), ((col("r") + 1) % nodes100k).as("dst")))
+      graft.operators.Graph.pageRank(es, iterations = 10).count()
+    }
+    Dedup.releaseCaches()
+    time(s"subseq search ${mult}x events") {
+      val ev = Tables.events(spark, sfDir).select("user_id", "ts", "event_id", "value")
+      val evBig = spark.range(mult).crossJoin(ev)
+        .select((col("user_id") + col("id") * 100000L).as("user_id"),
+          col("ts"), col("event_id"), col("value"))
+      graft.operators.TimeSeries.subseqSearch(evBig, "user_id", "ts",
+        "event_id", "value", (1 to 8).map(_.toDouble), k = 10).count()
+    }
+    time(s"line dedup ${mult}x docs") {
+      Dedup.dedupLines(bigDocs, "doc_id", "text", maxFreq = 5).count()
+    }
+
     // Connected components on a pathological 100k-node CHAIN — the
     // worst case for plain propagation (diameter = n). Pointer jumping
     // must converge in O(log n) rounds; correctness check: one
