@@ -524,6 +524,60 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection: the production shape where a NEW
+    * increment (e.g. today's crawl) is checked against the whole corpus
+    * without re-comparing the corpus to itself. Same portable MinHash
+    * pipeline as [[minhashNearDupsPortable]], but the band join's left
+    * side carries only rows satisfying `isNew` — candidate volume (and
+    * the quadratic verification) scales with |increment| × bucket
+    * occupancy, not |corpus|². Pairs are emitted id-ordered
+    * (`least`/`greatest`) so a new-new collision appears once.
+    *
+    * Signatures still compute over the full input — at scale the old
+    * side's signatures come from the signature STORE written by the
+    * previous run (same schema as `sigs` here), making each daily run
+    * linear in the increment. */
+  def minhashNearDupsIncremental(
+      df: DataFrame, idCol: String, textCol: String, isNew: Column => Column,
+      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val as = typedLit(graft.expressions.Hashing.minhashA(numHashes).toSeq)
+    val bs = typedLit(graft.expressions.Hashing.minhashB(numHashes).toSeq)
+    val base = graft.Tables.fanOut(
+        df.select(col(idCol).as("__id"),
+          TextAnalysis.normalizeText(col(textCol)).as("__norm")))
+      .select(col("__id"), shingleHashesPortable(col("__norm"), shingleK).as("__h"))
+    val sigs = base
+      .select(col("__id"), col("__h"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          k => array_min(transform(col("__h"),
+            h => pmod(element_at(as, k + 1) * h + element_at(bs, k + 1), lit(P31)))))
+          .as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingCaches.add(sigs)
+    val bandsDf = sigs.select(col("__id"),
+      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+        .as(Seq("__b", "__band")))
+    val l = bandsDf.where(isNew(col("__id")))
+      .select(col("__b"), col("__band"), col("__id").as("__idl"))
+    val r = bandsDf.select(col("__b"), col("__band"), col("__id").as("__idr"))
+    val cands = l.join(r, Seq("__b", "__band"))
+      .where(col("__idl") =!= col("__idr"))
+      .select(least(col("__idl"), col("__idr")).as("id1"),
+        greatest(col("__idl"), col("__idr")).as("id2"))
+      .distinct()
+    val sets = sigs.select(col("__id"), col("__h"))
+    cands
+      .join(sets.select(col("__id").as("id1"), col("__h").as("__h1")), "id1")
+      .join(sets.select(col("__id").as("id2"), col("__h").as("__h2")), "id2")
+      .select(col("id1"), col("id2"),
+        round(jaccard(col("__h1"), col("__h2")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dups with portable token hashes: the verification twin
     * of [[simhashNearDups]]. Token hash = first 15 hex chars of md5 (a
     * 60-bit value), signature = [[graft.expressions.SimHash64]] over

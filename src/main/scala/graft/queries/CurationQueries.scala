@@ -48,11 +48,27 @@ object CurationQueries {
     * pipeline replayed in SQL, with the SplitMix64-derived permutation
     * coefficients interpolated from the same [[Hashing]] arrays the Spark
     * side uses (parity by construction, not by luck). */
+  /** Default candidate stage: all unordered pairs once (`id1 < id2`). */
+  private val allPairsCand =
+    """SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.hs AS h1, r.hs AS h2
+      |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band AND l.doc_id < r.doc_id""".stripMargin
+
+  /** Incremental candidate stage ([[Dedup.minhashNearDupsIncremental]]):
+    * the left side is the new increment only; pairs id-normalized. */
+  private def incrementalCand(newPred: String) =
+    s"""SELECT DISTINCT least(l.doc_id, r.doc_id) AS id1,
+       |    greatest(l.doc_id, r.doc_id) AS id2,
+       |    CASE WHEN l.doc_id < r.doc_id THEN l.hs ELSE r.hs END AS h1,
+       |    CASE WHEN l.doc_id < r.doc_id THEN r.hs ELSE l.hs END AS h2
+       |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band
+       |    AND l.doc_id <> r.doc_id AND ${newPred.replace("DOC", "l.doc_id")}""".stripMargin
+
   private def minhashPortableOracle(
       k: Int, numHashes: Int, bands: Int, threshold: Double,
       maxDocId: Long,
       withPrefix: String = "WITH",
-      tail: String = "SELECT id1, id2, jaccard FROM verified WHERE jaccard >= THRESH"): String = {
+      tail: String = "SELECT id1, id2, jaccard FROM verified WHERE jaccard >= THRESH",
+      candStage: String = allPairsCand): String = {
     val rowsPerBand = numHashes / bands
     val a = Hashing.minhashA(numHashes).mkString("[", ",", "]")
     val b = Hashing.minhashB(numHashes).mkString("[", ",", "]")
@@ -72,8 +88,7 @@ object CurationQueries {
        |  SELECT doc_id, hs, bb, list_slice(sig, bb*$rowsPerBand + 1, bb*$rowsPerBand + $rowsPerBand) AS band
        |  FROM sig, range(0, $bands) t(bb)
        |), cand AS (
-       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.hs AS h1, r.hs AS h2
-       |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band AND l.doc_id < r.doc_id
+       |  $candStage
        |), verified AS (
        |  SELECT id1, id2,
        |    round(CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
@@ -432,6 +447,23 @@ object CurationQueries {
         Tables.documents(s, dir).where(col("doc_id") < 1000),
         "doc_id", "text", shingleK = 5, numHashes = 16, bands = 4,
         threshold = 0.8)
+    },
+
+    // Incremental dedup — the daily-crawl shape: only pairs touching the
+    // NEW increment (doc_id % 10 = 0, ~10%) are candidates; the corpus
+    // is never self-compared. Same portable pipeline, band join left
+    // side filtered to the increment; at scale the old side's
+    // signatures come from the previous run's signature store, making
+    // each run linear in the increment.
+    QuerySpec(
+      "dd13_incremental_lsh",
+      minhashPortableOracle(k = 5, numHashes = 16, bands = 4,
+        threshold = 0.8, maxDocId = 1000L,
+        candStage = incrementalCand("DOC % 10 = 0"))) { (s, dir) =>
+      Dedup.minhashNearDupsIncremental(
+        Tables.documents(s, dir).where(col("doc_id") < 1000),
+        "doc_id", "text", isNew = id => pmod(id, lit(10)) === 0,
+        shingleK = 5, numHashes = 16, bands = 4, threshold = 0.8)
     },
 
     // SimHash with portable 60-bit signatures, full corpus: candidate

@@ -344,5 +344,88 @@ object QualityQueries {
       Graph.pageRank(edges, iterations = 10, damping = 0.85)
         .select(col("r"), floor(col("p") * 1e9 + 0.5).cast("long").as("pr_ppb"))
         .orderBy(col("pr_ppb").desc, col("r")).limit(20)
+    },
+
+    // Table profiler: one row per column with row/null/distinct counts
+    // and typed min/max — the data-quality summary every ingest gate
+    // runs. Exact distincts here for oracle parity; at 100 TB swap in
+    // approx_count_distinct (the multi-count-distinct Expand multiplies
+    // the scan by the column count).
+    QuerySpec(
+      "q95_profile_table",
+      Seq(("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+        ("o_orderstatus", false), ("o_orderpriority", false)).map {
+        case (c, isNum) =>
+          val minMax =
+            if (isNum) s"min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num, " +
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+            else "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+              s"min($c) AS min_str, max($c) AS max_str"
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct, $minMax FROM orders""".stripMargin
+      }.mkString("\nUNION ALL\n")) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val strCols = Seq("o_orderstatus", "o_orderpriority")
+      val allCols = numCols ++ strCols
+      val aggs = Seq(count(lit(1)).as("__n")) ++ allCols.flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"__${c}_nulls"),
+        countDistinct(col(c)).as(s"__${c}_dist"))) ++
+        numCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__${c}_min"),
+          max(col(c)).cast("double").as(s"__${c}_max"))) ++
+        strCols.flatMap(c => Seq(
+          min(col(c)).as(s"__${c}_mins"), max(col(c)).as(s"__${c}_maxs")))
+      val rows = allCols.map { c =>
+        val isNum = numCols.contains(c)
+        struct(
+          lit(c).as("col_name"), col("__n").as("n_rows"),
+          col(s"__${c}_nulls").as("n_nulls"), col(s"__${c}_dist").as("n_distinct"),
+          (if (isNum) col(s"__${c}_min") else lit(null).cast("double")).as("min_num"),
+          (if (isNum) col(s"__${c}_max") else lit(null).cast("double")).as("max_num"),
+          (if (isNum) lit(null).cast("string") else col(s"__${c}_mins")).as("min_str"),
+          (if (isNum) lit(null).cast("string") else col(s"__${c}_maxs")).as("max_str"))
+      }
+      o.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(rows: _*)).as("__r"))
+        .select(col("__r.*"))
+    },
+
+    // Robust outlier detection: per-group median + MAD (two exact
+    // percentile levels), rows flagged beyond 3 MADs. Median/MAD are
+    // bit-identical to quantile_cont, deviations and the 3×MAD boundary
+    // are exact double ops — so even the boundary rows agree.
+    QuerySpec(
+      "q96_mad_outliers",
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE d.adev > 3 * m.mad) AS n_outliers,
+        |  CAST(floor(max(d.med) * 10000 + 0.5) AS BIGINT) AS med_bp,
+        |  CAST(floor(max(m.mad) * 10000 + 0.5) AS BIGINT) AS mad_bp
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY d.event_type""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(3) * col("mad"), lit(1))).as("n_outliers"),
+          floor(max(col("med")) * 10000 + 0.5).cast("long").as("med_bp"),
+          floor(max(col("mad")) * 10000 + 0.5).cast("long").as("mad_bp"))
     })
 }

@@ -142,6 +142,26 @@ class QualitySpec extends SparkSpec {
     assert(s1.distinct.length == 50)
   }
 
+  test("incremental LSH = full-pair LSH restricted to pairs touching the increment") {
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank"
+    val textB = "completely unrelated text about spark shuffle partition tuning"
+    val docs = Seq( // new = doc_id % 10 == 0, i.e. only doc 10
+      (1L, textA), (2L, textA), (10L, textA), (11L, textB), (21L, textB))
+      .toDF("doc_id", "text")
+    val isNew = (id: org.apache.spark.sql.Column) => pmod(id, lit(10)) === 0
+    val full = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 16, bands = 8, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val inc = Dedup.minhashNearDupsIncremental(docs, "doc_id", "text", isNew,
+        shingleK = 5, numHashes = 16, bands = 8, threshold = 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    Dedup.releaseCaches()
+    val expected = full.filter { case (a, b) => a % 10 == 0 || b % 10 == 0 }
+    assert(inc == expected)
+    assert(inc == Set((1L, 10L), (2L, 10L)))
+    assert(full.contains((1L, 2L)) && full.contains((11L, 21L))) // old-old: full only
+  }
+
   test("pageRank: uniform on a cycle, center-heavy on a star, mass conserved") {
     // Directed 10-cycle: every node has out-degree 1, so the uniform
     // vector is the exact fixpoint — and the picounit fixed-pointing is
