@@ -52,9 +52,7 @@ object Graph {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
-        var ranks = nodes.select(col("r"), lit(1.0 / n).as("p")).persist(lvl)
-        Dedup.pendingCaches.add(ranks)
-        ranks.count()
+        var ranks = nodes.select(col("r"), lit(1.0 / n).as("p"))
         for (_ <- 1 to iterations) {
           val contribs = es
             .join(ranks.select(col("r").as("src"), col("p")), "src")
@@ -67,14 +65,17 @@ object Graph {
               (lit((1 - damping) / n) + lit(damping) *
                 (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e12))).as("p"))
           // Re-root as a flat LogicalRDD: keeps round K's analyzed tree
-          // one round deep instead of K joins deep (driver-side analysis
-          // is the hidden per-round cost of logical-plan chaining).
-          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-            .persist(lvl)
-          Dedup.pendingCaches.add(next)
-          next.count()
-          ranks.unpersist(blocking = false)
-          ranks = next
+          // one round deep instead of K joins deep (driver-side
+          // analysis/optimization is the hidden per-round cost of
+          // logical-plan chaining — measured 2.0 s vs 3.7 s steady-state
+          // at sf0.1 WITH vs WITHOUT the re-root, even though PR has no
+          // self-join). No per-round persist/materialization either:
+          // without a self-join the lazy re-rooted chain executes as ONE
+          // job at the caller's action — per-round count() actions were
+          // pure scheduling overhead (3.1 s → 2.0 s). `.rdd` only
+          // compiles the round's physical plan; the persisted nodes/es
+          // caches feed every round.
+          ranks = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         }
         ranks
       } finally {

@@ -128,9 +128,9 @@ object ScaleCheck {
 
     // Round-4 extension operators at scale. Measured at sf0.1 on
     // local[32]:
-    //  - pageRank 100k nodes / 200k edges, 10 iterations: 6.5 s
-    //    (~0.65 s/round = 2 small shuffles + re-root; independent of
-    //    rank skew);
+    //  - pageRank 100k nodes / 200k edges, 10 iterations: ~7 s
+    //    (2 small shuffles + re-root per round, one lazy job at the
+    //    action; independent of rank skew);
     //  - subseqSearch on 10× events (1M rows, 15k series): 1.9 s —
     //    window materialization + per-row folds, linear and map-side;
     //  - dedupLines on 10× docs: 0.8 s — line-frequency aggregation +
