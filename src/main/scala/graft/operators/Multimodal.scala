@@ -24,6 +24,12 @@ import org.apache.spark.sql.types._
   *  - decode runs via `mapPartitions` (one iterator per partition — the
   *    JVM-side analog of `mapInPandas` batches) so per-partition codec
   *    state (decoder handles, buffers) is initialized once, not per row.
+  *
+  * PySpark migration: `docs/mapinpandas_parity.py` is the line-by-line
+  * `mapInPandas` twin of [[decodeFeatures]]/[[mediaFeatureTable]] — same
+  * output schema, same repartition-before-decode, same per-batch worker
+  * state — showing that swapping the JVM stub for a Python codec worker
+  * changes one function, not the plan.
   */
 object Multimodal {
 
