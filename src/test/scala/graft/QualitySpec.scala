@@ -181,6 +181,42 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(sp.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  test("q95 profiler counts nulls/distincts on a corpus WITH nulls") {
+    // The harness orders table is null-free, so the oracle never
+    // exercises the null paths — this fixture does.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prof").toString
+    Seq(
+      (1L, Option(10L), Option(1.5), Option("O"), Option("HIGH"), 0L),
+      (2L, None: Option[Long], Option(2.5), Option("F"), None: Option[String], 0L),
+      (3L, Option(10L), None: Option[Double], Option("O"), Option("LOW"), 0L))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    val out = SparkEntry.queries("q95_profile_table")(spark, dir)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.values.forall(_.getAs[Long]("n_rows") == 3L))
+    assert(out("o_custkey").getAs[Long]("n_nulls") == 1L)
+    assert(out("o_custkey").getAs[Long]("n_distinct") == 1L) // nulls excluded
+    assert(out("o_orderpriority").getAs[Long]("n_nulls") == 1L)
+    assert(out("o_totalprice").getAs[Double]("max_num") == 2.5)
+    assert(out("o_orderstatus").getAs[String]("min_str") == "F")
+    assert(out("o_orderkey").getAs[Any]("min_str") == null)
+  }
+
+  test("q96 MAD flags exactly the planted extreme point") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    val vals = (1 to 9).map(_.toDouble) :+ 100.0
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, 0L, 1L, "a", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("q96_mad_outliers")(spark, dir).collect()(0)
+    // med 5.5, MAD 2.5 → 3·MAD = 7.5: only |100−5.5| = 94.5 exceeds it.
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("med_bp") == 55000L)
+    assert(r.getAs[Long]("mad_bp") == 25000L)
+  }
+
   test("snapshotDiff classifies added/removed/changed with null-safe compare") {
     val a = Seq(
       (1L, Option("x"), Option(10.0)), (2L, Option("y"), Option(20.0)),
