@@ -392,6 +392,48 @@ object QualityQueries {
         .select(col("__r.*"))
     },
 
+    // Training-mixture rebalancing: sample each source down to a target
+    // share of the corpus (targets ∝ source-index % 4 + 1, so some
+    // sources sub-sample and some keep everything). Rates derive from
+    // exact counts; the per-row draw is the portable-hash uniform — the
+    // whole resample replays bit-for-bit, including rows on the
+    // u < rate boundary. Conditional count (not a filter) so sources
+    // whose sample is empty still report kept = 0 on both engines.
+    QuerySpec(
+      "tx20_mixture_rebalance",
+      """WITH cnts AS (
+        |  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+        |), tot AS (SELECT count(*) AS n_tot FROM documents),
+        |rates AS (
+        |  SELECT source, n_src,
+        |    least(1.0, (CAST(substr(source, 4) AS INT) % 4 + 1)::DOUBLE
+        |      / 50.0 * n_tot / n_src) AS rate
+        |  FROM cnts, tot)
+        |SELECT d.source,
+        |  count(*) FILTER (WHERE
+        |    (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 2147483647)::DOUBLE / 2147483647.0 < r.rate) AS kept,
+        |  max(r.n_src) AS n_src,
+        |  CAST(floor(max(r.rate) * 10000 + 0.5) AS BIGINT) AS rate_bp
+        |FROM documents d JOIN rates r USING (source)
+        |GROUP BY d.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val cnts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val w = (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("double")
+      val rates = cnts.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_src"),
+          least(lit(1.0), w / 50.0 * col("n_tot") / col("n_src")).as("rate"))
+      val u = pmod(conv(substring(md5(col("doc_id").cast("string")
+        .cast("binary")), 1, 8), 16, 10).cast("long"), lit(2147483647L))
+        .cast("double") / 2147483647.0
+      docs.join(broadcast(rates), "source")
+        .groupBy("source")
+        .agg(count(when(u < col("rate"), lit(1))).as("kept"),
+          max(col("n_src")).as("n_src"),
+          floor(max(col("rate")) * 10000 + 0.5).cast("long").as("rate_bp"))
+    },
+
     // Robust outlier detection: per-group median + MAD (two exact
     // percentile levels), rows flagged beyond 3 MADs. Median/MAD are
     // bit-identical to quantile_cont, deviations and the 3×MAD boundary

@@ -203,6 +203,28 @@ class QualitySpec extends SparkSpec {
     assert(out("o_orderkey").getAs[Any]("min_str") == null)
   }
 
+  test("tx20 mixture rebalance: rates from exact counts, draw deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix").toString
+    (0 until 100).map(i => (i.toLong, s"doc $i", s"src${i % 4}"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val run = () => SparkEntry.queries("tx20_mixture_rebalance")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("kept"), r.getAs[Long]("n_src"), r.getAs[Long]("rate_bp")))
+      .toMap
+    val out = run()
+    // 4 sources × 25 docs; rate = min(1, (idx%4+1)/50 · 100/25).
+    assert(out.keySet == Set("src0", "src1", "src2", "src3"))
+    (0 to 3).foreach { i =>
+      val (kept, nSrc, rateBp) = out(s"src$i")
+      assert(nSrc == 25L)
+      assert(rateBp == 800L * (i + 1))
+      assert(kept <= nSrc)
+    }
+    Tables.invalidate(spark, dir)
+    assert(run() == out) // same draw on re-run: no RNG state anywhere
+  }
+
   test("q96 MAD flags exactly the planted extreme point") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mad").toString
     val vals = (1 to 9).map(_.toDouble) :+ 100.0
