@@ -246,10 +246,11 @@ object Relational {
 
   /** Exact quantiles by distributed sort + order-statistic lookup,
     * returning interpolated values with `percentile()`'s exact formula
-    * (`v_lo + (v_hi−v_lo)·(p−⌊p⌋)`, position `p = q·(n−1)` — NOT the
-    * mathematically-equal symmetric weighting, which differs in the
-    * last ulp and would break bit-parity with the aggregate and with
-    * DuckDB's `quantile_cont`).
+    * (`(⌈p⌉−p)·v_lo + (p−⌊p⌋)·v_hi`, position `p = q·(n−1)` — the
+    * symmetric weighting Spark's `Percentile.getPercentile` uses; the
+    * mathematically-equal `v_lo + (v_hi−v_lo)·frac` differs in the last
+    * ulp, caught by the `QuantileDiffProps` property against the
+    * aggregate on arbitrary doubles).
     *
     * Why not the `percentile()` aggregate: its partial state is a
     * value→count map, so for near-continuous columns (583k distinct of
@@ -272,7 +273,7 @@ object Relational {
     positions.map { p =>
       val (lo, hi) = (p.floor.toLong, p.ceil.toLong)
       if (lo == hi) found(lo)
-      else found(lo) + (found(hi) - found(lo)) * (p - lo)
+      else (hi - p) * found(lo) + (p - lo) * found(hi)
     }
   }
 

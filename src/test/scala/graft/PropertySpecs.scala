@@ -160,3 +160,56 @@ object Scd2Props extends Properties("Scd2") {
         s"cur=$cur upd=$upd out=${out.toList}"
     }
 }
+
+/** Round-4 extension operator invariants: sort-based quantiles vs the
+  * percentile aggregate over arbitrary data, and snapshot-diff algebra. */
+object QuantileDiffProps extends Properties("QuantileDiff") {
+  private lazy val spark = SparkSpec.session
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  // Values drawn from a small lattice so ties (the interpolation edge
+  // cases) occur often; at least one element so quantiles exist.
+  private val values: Gen[List[Double]] = Gen.nonEmptyListOf(
+    Gen.choose(0, 40).map(_ * 0.25))
+  private val qs: Gen[List[Double]] = Gen.nonEmptyListOf(
+    Gen.oneOf(0.0, 0.1, 0.25, 0.5, 0.613, 0.75, 0.9, 1.0))
+
+  property("exactQuantiles == percentile() aggregate for arbitrary data") =
+    forAll(values, qs) { (xs, quants) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(xs.map(Row(_)), 3),
+        StructType(Seq(StructField("x", DoubleType))))
+      val got = Relational.exactQuantiles(df, "x", quants)
+      val want = df.selectExpr(
+          s"percentile(x, array(${quants.mkString(",")})) as ps")
+        .collect()(0).getSeq[Double](0)
+      Prop(got == want.toSeq) :| s"xs=$xs qs=$quants got=$got want=$want"
+    }
+
+  private val snap: Gen[Map[Long, (Long, Double)]] = Gen.mapOf(
+    Gen.zip(Gen.choose(0L, 15L), Gen.zip(Gen.choose(0L, 3L), Gen.oneOf(1.0, 2.0))))
+  private val kvSchema = StructType(Seq(
+    StructField("k", LongType), StructField("a", LongType),
+    StructField("b", DoubleType)))
+  private def sdf(m: Map[Long, (Long, Double)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        m.toSeq.map { case (k, (a, b)) => Row(k, a, b) }, 2), kvSchema)
+
+  property("snapshotDiff: identity is empty; statuses match set algebra") =
+    forAll(snap, snap) { (a, b) =>
+      val self = Relational.snapshotDiff(sdf(a), sdf(a), "k").count() == 0
+      val out = Relational.snapshotDiff(sdf(a), sdf(b), "k")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val wantAdded = b.keySet -- a.keySet
+      val wantRemoved = a.keySet -- b.keySet
+      val wantChanged = (a.keySet & b.keySet).filter(k => a(k) != b(k))
+      val statuses =
+        wantAdded.forall(out.get(_).contains("added")) &&
+        wantRemoved.forall(out.get(_).contains("removed")) &&
+        wantChanged.forall(out.get(_).contains("changed")) &&
+        out.keySet == (wantAdded ++ wantRemoved ++ wantChanged)
+      Prop(self && statuses) :| s"a=$a b=$b out=$out"
+    }
+}
