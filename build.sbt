@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses Bench's single JSON stdout line. sbt decorates
+// forked output with an "[info] " prefix and appends a
+// "[success] Total time ..." banner, leaving no clean, final JSON line
+// on stdout. Pass forked output through verbatim and drop the banner so
+// the JSON line is the last line the harness reads.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's logger, not any task — exempt it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
