@@ -85,4 +85,187 @@ object Graph {
       }
     }
   }
+
+  /** Canonical undirected edge set: `(u, v)` with `u < v`, self-loops
+    * dropped, parallel edges collapsed. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).cast("long").as("u"),
+        greatest(col("src"), col("dst")).cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct()
+
+  /** Symmetric undirected adjacency: both `(u,v)` and `(v,u)` for every
+    * canonical edge. */
+  private def symmetric(edges: DataFrame): DataFrame = {
+    val c = canonical(edges)
+    c.union(c.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** Per-node triangle participation and local clustering coefficient
+    * over the undirected graph: `(node, degree, tri, cc_bp)` with
+    * `cc_bp = round(2·tri / (degree·(degree−1)) · 10⁴)` basis points
+    * (0 when degree < 2).
+    *
+    * Scale: the compact-forward algorithm — orient every edge from the
+    * endpoint with the smaller `(degree, id)` to the larger, then close
+    * wedges `a→b→c` with the orienting edge `a→c`. The orientation is a
+    * DAG under a total order, so each triangle is enumerated exactly
+    * once, and the wedge join fans out from a vertex's FORWARD degree
+    * only — Σ d_fwd² = O(m^1.5) even on power-law graphs, where the
+    * naive join explodes on hub vertices (Σ d² ≫ m^1.5). Three shuffles
+    * on edge keys; no driver-side iteration. The count is
+    * orientation-independent, so the DuckDB oracle (q97) replays it
+    * with the simpler id-ordered join. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = canonical(edges)
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = e
+      .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedge = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+      .select(col("a"), col("b"), col("c"))
+    val tri = wedge
+      .join(oriented.select(col("a").as("ca"), col("b").as("cb")),
+        col("a") === col("ca") && col("c") === col("cb"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("cc_bp",
+        when(col("degree") >= 2,
+          floor(lit(2.0) * col("tri") * 10000 /
+            (col("degree") * (col("degree") - 1)) + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
+  /** `iterations` rounds of synchronous label propagation over the
+    * undirected graph: every node simultaneously adopts the most
+    * frequent label among its distinct neighbors, smallest label on
+    * ties; isolated nodes keep their own id. Fully deterministic (no
+    * random tie-breaks, no asynchronous update order), so the DuckDB
+    * oracle replays every round bit-for-bit (q98 — argmax fold over the
+    * neighbor-label list in a recursive CTE). Returns `(node, label)`.
+    *
+    * The tie-break rides inside the aggregation as
+    * `max(struct(cnt, −label))` — one shuffle per round, no second
+    * argmax pass. Loop discipline as [[pageRank]]: lazy chain, per-round
+    * LogicalRDD re-root, broadcast/AQE off, shuffle width sized to the
+    * edge list. */
+  def labelPropagation(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val adj = symmetric(edges).persist(lvl)
+    val nodes = edges.select(col("src").cast("long").as("node"))
+      .union(edges.select(col("dst").cast("long").as("node")))
+      .distinct().persist(lvl)
+    Dedup.pendingCaches.add(adj)
+    Dedup.pendingCaches.add(nodes)
+    val edgeCount = adj.count()
+    nodes.count()
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var labels = nodes.select(col("node"), col("node").as("label"))
+        for (_ <- 1 to iterations) {
+          val picked = adj
+            .join(labels.select(col("node").as("v"), col("label")), "v")
+            .select(col("u").as("node"), col("label"))
+            .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+            .groupBy("node")
+            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node").as("pn"), (-col("m.nl")).as("plabel"))
+          val nextPlan = nodes
+            .join(picked, nodes("node") === picked("pn"), "left")
+            .select(nodes("node"),
+              coalesce(col("plabel"), nodes("node")).as("label"))
+          labels = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+        }
+        labels
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
+
+  /** BFS hop distances from `source` over the undirected graph, up to
+    * `maxHops` rounds: `(node, hops)` for every node reached (the source
+    * itself at 0). Frontier-expansion loop — each round joins the
+    * current frontier against the adjacency list, anti-joins the
+    * visited set, and stops early when the frontier empties, so the
+    * number of jobs is min(diameter, maxHops), not maxHops.
+    *
+    * Scale: per-round work is |frontier ⋈ adj| — the standard
+    * distributed BFS; visited/frontier persist round-over-round with
+    * LogicalRDD re-rooting (the visited set is referenced by both the
+    * anti-join and the union, so each round's result is materialized
+    * once, not recomputed per branch). The DuckDB oracle (q99) replays
+    * the same distances by vector relaxation in a recursive CTE, which
+    * reaches the identical fixed point regardless of round count. */
+  def shortestHops(edges: DataFrame, source: Long, maxHops: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val adj = symmetric(edges).persist(lvl)
+    Dedup.pendingCaches.add(adj)
+    val edgeCount = adj.count()
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var dist = spark.range(1)
+          .select(lit(source).as("node"), lit(0L).as("hops")).persist(lvl)
+        Dedup.pendingCaches.add(dist)
+        var frontier = dist
+        var h = 0L
+        var more = true
+        while (more && h < maxHops) {
+          h += 1
+          val nextPlan = adj
+            .join(frontier.select(col("node").as("u")), "u")
+            .select(col("v").as("node")).distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .select(col("node"), lit(h).as("hops"))
+          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+            .persist(lvl)
+          Dedup.pendingCaches.add(next)
+          more = next.count() > 0
+          if (more) {
+            val grown = spark
+              .createDataFrame(dist.union(next).rdd, dist.schema).persist(lvl)
+            Dedup.pendingCaches.add(grown)
+            grown.count()
+            dist.unpersist(blocking = false)
+            frontier = next
+            dist = grown
+          }
+        }
+        dist
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
 }

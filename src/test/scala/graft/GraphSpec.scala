@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+
+/** Round-5 graph operators on planted fixtures with hand-computed
+  * answers; the synthetic-graph specs hash-check through the driver
+  * oracle (q97–q99). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def afterAll(): Unit = {
+    Dedup.releaseCaches()
+    super.afterAll()
+  }
+
+  private def edges(pairs: (Long, Long)*) = pairs.toSeq.toDF("src", "dst")
+
+  test("triangleCounts: K4 — every node in 3 triangles, cc = 1") {
+    val k4 = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val out = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(_ == ((3L, 3L, 10000L))))
+  }
+
+  test("triangleCounts: triangle + pendant; reversed/duplicate edges collapse") {
+    // 0-1-2 triangle, 3 hangs off 2; edge (1,0) re-stated reversed.
+    val g = edges((0L, 1L), (1L, 0L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 3L))
+    val out = Graph.triangleCounts(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (0L, 2L, 1L, 10000L),
+      (1L, 2L, 1L, 10000L),
+      (2L, 3L, 1L, 3333L), // 2/(3·2) = 0.3333…
+      (3L, 1L, 0L, 0L)))   // self-loop dropped, degree from (2,3) only
+  }
+
+  test("labelPropagation: two cliques converge to min id; isolated keeps own") {
+    // Clique {0,1,2}, clique {10,11,12}, isolated via self-loop {20}.
+    val g = edges((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 20L))
+    val out = Graph.labelPropagation(g, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("labelPropagation: per-round tie-breaks and mode flooding") {
+    // Round 1 on 0–{1,2,3} plus a 2–3 edge: node 0 sees labels {1,2,3}
+    // (all count 1) → tie → min 1; nodes 1/2/3 all see label 0 (winning
+    // outright or by tie-min) → 0. Round 2: node 0 sees {0,0,0} → the
+    // mode floods back.
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (2L, 3L))
+    val r1 = Graph.labelPropagation(g, iterations = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // Round 2: node 0 sees labels {0,0,0} → 0; the clique label floods.
+    val r2 = Graph.labelPropagation(g, iterations = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(0L) == 0L)
+  }
+
+  test("shortestHops: path graph distances; cap stops expansion") {
+    val path = edges((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val out = Graph.shortestHops(path, source = 0L, maxHops = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+
+    val capped = Graph.shortestHops(path, source = 0L, maxHops = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+
+    // Disconnected component is never reached.
+    val twoComp = edges((0L, 1L), (5L, 6L))
+    val reach = Graph.shortestHops(twoComp, source = 0L, maxHops = 12)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(reach == Set(0L, 1L))
+  }
+}
