@@ -255,4 +255,75 @@ object Similarity {
         round(cosineFast(col("__v1"), col("__v2")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
   }
+
+  /** `struct(d, j)` — squared distance to and index of the nearest
+    * centroid, ties to the smallest index. Codegen'd fused loop
+    * ([[graft.expressions.NearestCentroid]]); distances accumulate
+    * sequentially in index order, so results are bit-identical to the
+    * `list_reduce(list_prepend(0.0, …))` folds the DuckDB oracle runs. */
+  private def nearest(v: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.NearestCentroid(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          array(centroids.map(c => array(c.map(lit): _*)): _*))))
+
+  /** Deterministic Lloyd's k-means over an embedding column: exactly
+    * `iterations` rounds from a fixed seed (the vectors of the `k`
+    * smallest ids), no RNG anywhere, so the whole trajectory — every
+    * assignment and every centroid of every round — is reproducible and
+    * the DuckDB oracle replays it bit-for-bit in a recursive CTE
+    * (q100). Returns `(id, cluster, d2_ppm)`: final nearest centroid
+    * and squared distance to it in parts-per-million.
+    *
+    * Engine-portability: per-coordinate contributions are fixed-pointed
+    * (×10⁹, half-up) BEFORE the per-cluster sum — integer sums are
+    * partition/merge-order-immune (the PageRank trick, fix the terms
+    * not the total) — and the new centroid coordinate is the one
+    * division `(Σfp / count) / 10⁹` performed identically on both
+    * engines. Distances are sequential folds against centroid LITERALS,
+    * so each round's assignment job is a flat scan of the persisted
+    * points: no join, no lineage chaining, nothing to re-root.
+    *
+    * Scale: per round one whole-stage-codegen'd scan computes k
+    * distances per row, then one `(cluster, dim)`-keyed partial
+    * aggregation shuffles k·dim longs total — centroids live on the
+    * driver (k·dim doubles), never as a joined table. Empty clusters
+    * keep their previous centroid. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+      iterations: Int = 5): DataFrame = {
+    val fp = 1e9
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.pendingCaches.add(pts)
+    var centroids: Seq[Seq[Double]] = pts.orderBy("id").limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(centroids.size == k,
+      s"kmeans: need at least k=$k points, got ${centroids.size}")
+    val dims = centroids.head.size
+    for (_ <- 1 to iterations) {
+      val sums = pts
+        .select(nearest(col("v"), centroids).getField("j").as("cl"),
+          posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cl", "d")
+        .agg(sum(floor(col("x") * fp + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+        .select(col("cl"), col("d"),
+          ((col("s").cast("double") / col("c")) / fp).as("cd"))
+        .collect()
+      val byCluster = sums.groupBy(_.getLong(0))
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        byCluster.get(j.toLong) match {
+          case Some(rows) =>
+            val m = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            (0 until dims).map(m)
+          case None => old
+        }
+      }
+    }
+    pts.select(col("id"), nearest(col("v"), centroids).as("m"))
+      .select(col("id"), col("m.j").as("cluster"),
+        floor(col("m.d") * 1e6 + 0.5).cast("long").as("d2_ppm"))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Round-5 semantic-clustering surface: deterministic Lloyd's k-means
+  * over the embeddings table and SemDeDup-style within-cluster
+  * near-duplicate pruning built on it (Abbas et al. 2023 shape:
+  * coarse-cluster first, exact cosine only inside each cluster).
+  *
+  * Both specs are fully DuckDB-oracled — the k-means trajectory is
+  * deterministic (fixed seed = vectors of the k smallest ids, no RNG),
+  * distances are sequential folds, and centroid updates fix the point
+  * (×10⁹) before the per-cluster sum, so all 5 iterations replay
+  * bit-for-bit in a recursive CTE carrying the centroid matrix as a
+  * LIST of DOUBLE[] (the q94 PageRank recipe at matrix rank).
+  */
+object SemanticQueries {
+
+  /** Shared recursive k-means CTE prefix (k=8, dims=64, 5 iterations,
+    * fp=1e9) ending with `fin` (final centroids) — the SQL twin of
+    * [[Similarity.kmeans]] on the embeddings table. */
+  private val kmeansSql =
+    """pts_t AS (
+      |  SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS pts,
+      |    list(list_transform(embedding,
+      |      x -> CAST(floor(x::DOUBLE * 1e9 + 0.5) AS BIGINT)) ORDER BY vec_id) AS fpts,
+      |    list(vec_id ORDER BY vec_id) AS ids
+      |  FROM embeddings
+      |), params AS (SELECT len(pts)::BIGINT AS n FROM pts_t),
+      |km AS (
+      |  SELECT 0 AS it, pts[1:8] AS cents FROM pts_t
+      |  UNION ALL
+      |  SELECT it + 1,
+      |    list_transform(range(1, 9), j ->
+      |      CASE WHEN cnt[j] > 0
+      |      THEN list_transform(range(1, 65), d ->
+      |        (CAST(list_reduce(list_prepend(0::BIGINT,
+      |           list_transform(range(1, n + 1), i ->
+      |             CASE WHEN assign[i] = j - 1 THEN fpts[i][d] ELSE 0::BIGINT END)),
+      |           (a, b) -> a + b) AS DOUBLE) / cnt[j]) / 1e9)
+      |      ELSE cents[j] END)
+      |  FROM (
+      |    SELECT it, cents, assign,
+      |      list_transform(range(0, 8), j -> len(list_filter(assign, a -> a = j))) AS cnt
+      |    FROM (
+      |      SELECT it, cents,
+      |        list_transform(pts, p ->
+      |          (list_reduce(
+      |            list_transform(range(1, 9), j2 -> {'d':
+      |               list_reduce(list_prepend(0.0,
+      |                 list_transform(range(1, 65), t ->
+      |                   (p[t] - cents[j2][t]) * (p[t] - cents[j2][t]))),
+      |                 (a, b) -> a + b),
+      |              'j': j2 - 1}),
+      |            (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END)).j) AS assign
+      |      FROM km, pts_t WHERE it < 5)
+      |  ) stepped, pts_t, params
+      |), fin AS (SELECT cents FROM km WHERE it = 5),
+      |asg AS (
+      |  SELECT ids[i] AS id, struct_extract(best, 'j') AS cluster,
+      |    CAST(floor(struct_extract(best, 'd') * 1e6 + 0.5) AS BIGINT) AS d2_ppm
+      |  FROM (
+      |    SELECT i, ids, list_reduce(
+      |      list_transform(range(1, 9), j2 -> {'d':
+      |         list_reduce(list_prepend(0.0,
+      |           list_transform(range(1, 65), t ->
+      |             (pts[i][t] - cents[j2][t]) * (pts[i][t] - cents[j2][t]))),
+      |           (a, b) -> a + b),
+      |        'j': j2 - 1}),
+      |      (acc, e) -> CASE WHEN e.d < acc.d THEN e ELSE acc END) AS best
+      |    FROM (SELECT unnest(range(1, n + 1)) AS i FROM params), pts_t, fin))""".stripMargin
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Five deterministic Lloyd's iterations, k=8, over all embeddings:
+    // final cluster assignment + squared distance (ppm) per vector.
+    QuerySpec(
+      "q100_kmeans",
+      s"""WITH RECURSIVE $kmeansSql
+        |SELECT id, cluster, d2_ppm FROM asg""".stripMargin) { (s, dir) =>
+      Similarity.kmeans(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, iterations = 5)
+    },
+
+    // SemDeDup: exact cosine near-duplicate candidates evaluated ONLY
+    // within a k-means cluster (the coarse quantizer bounds the
+    // quadratic search), then one keep/drop decision per duplicate:
+    // keep the smallest candidate id. The cluster-equality join key IS
+    // the scale story — brute force runs per cluster, never corpus-wide.
+    QuerySpec(
+      "dd14_semantic_dedup",
+      s"""WITH RECURSIVE $kmeansSql,
+        |pairs AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                 b.embedding::DOUBLE[]), 6) AS cs
+        |  FROM embeddings a
+        |  JOIN asg ca ON ca.id = a.vec_id
+        |  JOIN asg cb ON ca.cluster = cb.cluster
+        |  JOIN embeddings b ON b.vec_id = cb.id AND a.vec_id < b.vec_id)
+        |SELECT id2 AS drop_id, min(id1) AS keep_id,
+        |  count(*)::BIGINT AS n_cands, max(cs) AS max_sim
+        |FROM pairs WHERE cs >= 0.4 GROUP BY id2""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val asg = Similarity.kmeans(emb, "vec_id", "embedding",
+        k = 8, iterations = 5)
+      val l = emb.join(asg, emb("vec_id") === asg("id"))
+        .select(col("vec_id").as("id1"), col("cluster").as("c1"),
+          col("embedding").as("v1"))
+      val r = emb.join(asg, emb("vec_id") === asg("id"))
+        .select(col("vec_id").as("id2"), col("cluster").as("c2"),
+          col("embedding").as("v2"))
+      l.join(r, col("id1") < col("id2") && col("c1") === col("c2"))
+        .select(col("id1"), col("id2"),
+          round(Similarity.cosineFast(col("v1"), col("v2")), 6).as("cs"))
+        .where(col("cs") >= 0.4)
+        .groupBy(col("id2").as("drop_id"))
+        .agg(min(col("id1")).as("keep_id"),
+          count(lit(1)).as("n_cands"), max(col("cs")).as("max_sim"))
+    },
+  )
+}

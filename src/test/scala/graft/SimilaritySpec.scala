@@ -156,6 +156,36 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.toSet == ref.toSet)
   }
 
+  test("kmeans: planted clusters separate; trajectory is deterministic") {
+    // Two tight groups in 2-D; the fixed seed (ids 0 and 1) starts BOTH
+    // centroids inside group A, so convergence requires the mean-update
+    // to actually pull centroid 1 across — 3 iterations suffice.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.1f, 0.0f)),
+      (2L, Seq(10.0f, 10.0f)), (3L, Seq(10.1f, 10.0f)))
+      .toDF("id", "v")
+    val out = Similarity.kmeans(pts, "id", "v", k = 2, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == out(1L) && out(2L) == out(3L) && out(0L) != out(2L))
+    val again = Similarity.kmeans(pts, "id", "v", k = 2, iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == again)
+  }
+
+  test("kmeans: duplicate seed vectors — empty cluster keeps its centroid") {
+    // Seeds are identical, so round 1 ties every point to cluster 0
+    // (min index) and cluster 1 goes EMPTY — it must keep its [0,0]
+    // centroid rather than divide by zero. Round 2: cluster 0's centroid
+    // moved to the global mean, so the retained [0,0] centroid reclaims
+    // the two origin points; the split is then stable.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f)), (2L, Seq(5.0f, 5.0f)))
+      .toDF("id", "v")
+    val out = Similarity.kmeans(pts, "id", "v", k = 2, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 0L))
+  }
+
   test("TopKByScore aggregator: order, bound, and merge associativity") {
     val agg = new graft.functions.TopKByScore(3)
     val items = Seq((0.5, 7L), (0.9, 3L), (0.9, 1L), (0.1, 9L), (0.7, 2L))
