@@ -272,7 +272,10 @@ object Relational {
       .map(_.swap).collectAsMap()
     positions.map { p =>
       val (lo, hi) = (p.floor.toLong, p.ceil.toLong)
-      if (lo == hi) found(lo)
+      // Tie short-circuit mirrors Percentile.getPercentile: when the two
+      // neighboring sorted values are equal it returns the value itself —
+      // interpolating would drift a ULP ((hi-p)*v + (p-lo)*v != v).
+      if (lo == hi || found(lo) == found(hi)) found(lo)
       else (hi - p) * found(lo) + (p - lo) * found(hi)
     }
   }
