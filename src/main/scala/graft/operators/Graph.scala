@@ -204,6 +204,80 @@ object Graph {
     }
   }
 
+  /** Single-source shortest paths over DIRECTED weighted `edges`
+    * (`src`, `dst`, `w` — integer weights), by distributed Bellman–Ford:
+    * each round relaxes every edge out of the current distance table and
+    * folds the minimum per destination. Parallel edges collapse to their
+    * minimum weight; unreached nodes are absent from the output. Returns
+    * `(node, dist)`.
+    *
+    * Convergence: distances only decrease and the reached set only
+    * grows, so the (count, sum) pair is a fixpoint signature — one
+    * single-row aggregate per round (same probe as
+    * [[Dedup.connectedComponents]]'s label sum). Rounds needed = the hop
+    * length of the longest optimal path, which is bounded by
+    * (max w / min w) × the unweighted diameter; an unconverged exit
+    * throws rather than returning inconsistent distances.
+    *
+    * Scale: per-round work is one join of the edge list against the
+    * distance table plus a min-aggregate — both shuffle (long, long)
+    * pairs only. Loop discipline as [[pageRank]] (lineage re-root,
+    * AQE/broadcast off, width sized to the edge list); distances persist
+    * round-over-round because the convergence probe is an action. */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
+    val spark = edges.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges
+      .select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w"))
+      .persist(lvl)
+    Dedup.pendingCaches.add(e)
+    val edgeCount = e.count()
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var dist = spark.range(1)
+          .select(lit(source).as("node"), lit(0L).as("dist")).persist(lvl)
+        Dedup.pendingCaches.add(dist)
+        var sig = (1L, 0L)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < maxIter) {
+          val relaxed = e
+            .join(dist.select(col("node").as("src"), col("dist")), "src")
+            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+          val nextPlan = dist.union(relaxed)
+            .groupBy("node").agg(min(col("dist")).as("dist"))
+          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+            .persist(lvl)
+          Dedup.pendingCaches.add(next)
+          val row = next.agg(count(lit(1)), sum(col("dist"))).head()
+          val nextSig = (row.getLong(0), row.getLong(1))
+          dist.unpersist(blocking = false)
+          dist = next
+          converged = nextSig == sig
+          sig = nextSig
+          iter += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"sssp did not converge within $maxIter rounds")
+        dist
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
+
   /** BFS hop distances from `source` over the undirected graph, up to
     * `maxHops` rounds: `(node, hops)` for every node reached (the source
     * itself at 0). Frontier-expansion loop — each round joins the

@@ -237,6 +237,50 @@ object ExtQueries {
       Streams.runToTable(joined, "st5_mem", "append")
     },
 
+    // Watermarked stream-stream LEFT OUTER join: every event left-joined
+    // to purchases by the same user in the next 30 minutes; unmatched
+    // rows emit null-extended once the watermark passes their join
+    // window. Outer-row emission is watermark-gated, and the GLOBAL
+    // watermark is the min across inputs — the filtered purchase side's
+    // watermark tracks the last PURCHASE (Catalyst pushes a
+    // non-watermark-column filter below the watermark node, so filter
+    // placement cannot change this). The comparable set is therefore
+    // rows whose join window is strictly inside max(purchase ts) − 2 h;
+    // both sides restrict to ts ≤ that − 31 min — the 1-minute margin
+    // keeps the eviction boundary's >=/> semantics out of the compared
+    // set (the st9 closed-sessions recipe).
+    QuerySpec(
+      "st11_stream_left_outer_join",
+      """SELECT a.event_id AS event_id, b.event_id AS next_purchase_id
+        |FROM events a LEFT JOIN (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b
+        |  ON b.user_id = a.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL '30 minutes'
+        |WHERE a.ts <= (SELECT max(ts) - INTERVAL '2 hours' - INTERVAL '31 minutes'
+        |               FROM events WHERE event_type = 'purchase')""".stripMargin) { (s, dir) =>
+      val left = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+      val right = Streams.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("next_purchase_id"),
+          col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+        .withWatermark("r_ts", "2 hours")
+      val joined = left.join(right,
+        col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("event_id"), col("next_purchase_id"), col("ts"))
+      val res = Streams.runToTable(joined, "st11_mem", "append")
+      val cutoff = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")
+          - expr("INTERVAL 31 MINUTES")).as("__cutoff"))
+      res.crossJoin(broadcast(cutoff))
+        .where(col("ts") <= col("__cutoff"))
+        .select(col("event_id"), col("next_purchase_id"))
+    },
+
     // --- scalar-function breadth (§2.E: math / regexp / date / array /
     // map categories, each against the DuckDB oracle) ---
 

@@ -166,5 +166,51 @@ object GraphQueries {
           ((col("r") * 31 + 7) % n).as("dst")))
       Graph.shortestHops(edges, source = 0L, maxHops = 12)
     },
+
+    // Weighted single-source shortest paths (Bellman–Ford) from node 0
+    // over the ring + chord graph with integer weights in 1..3 — the
+    // weighted upgrade of q99. Integer min-plus relaxation is exact, so
+    // the oracle replays it to the same fixed point with a recursive CTE
+    // carrying the distance vector (48 rounds ≥ the longest optimal
+    // path's hop count, bounded by max-w/min-w × the hop diameter; extra
+    // rounds are identity at the fixpoint). Spark exits early at the
+    // measured fixpoint and throws if genuinely unconverged.
+    QuerySpec(
+      "q105_sssp",
+      s"""WITH RECURSIVE $nodesSql,
+        |edges AS (
+        |  SELECT src, dst, min(w) AS w FROM (
+        |    SELECT r AS src, (r + 1) % n AS dst, r % 2 + 1 AS w FROM nodes, params
+        |    UNION ALL
+        |    SELECT r, (r * 31 + 7) % n, r % 3 + 1 FROM nodes, params)
+        |  GROUP BY src, dst
+        |), inn_t AS (
+        |  SELECT list(coalesce(a.es, []) ORDER BY nd.r) AS inn
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, list({'s': src, 'w': w}) AS es FROM edges GROUP BY dst
+        |  ) a ON a.dst = nd.r
+        |), bf AS (
+        |  SELECT 0 AS it, list_transform(range(1, n + 1),
+        |    i -> CASE WHEN i = 1 THEN 0::BIGINT ELSE 1000000000000::BIGINT END) AS d
+        |  FROM params
+        |  UNION ALL
+        |  SELECT it + 1, list_transform(range(1, params.n + 1), j ->
+        |    least(d[j], coalesce(list_min(list_transform(inn[j],
+        |      e -> d[struct_extract(e, 's') + 1] + struct_extract(e, 'w'))),
+        |      1000000000000::BIGINT)))
+        |  FROM bf, params, inn_t WHERE it < 48)
+        |SELECT r AS node, dist FROM (
+        |  SELECT generate_subscripts(d, 1) - 1 AS r, unnest(d) AS dist
+        |  FROM bf WHERE it = 48)
+        |WHERE dist < 1000000000000""".stripMargin) { (s, dir) =>
+      val (ranked, n) = rankedUsers(s, dir)
+      val edges = ranked
+        .select(col("r").as("src"), ((col("r") + 1) % n).as("dst"),
+          (pmod(col("r"), lit(2L)) + 1).as("w"))
+        .union(ranked.select(col("r").as("src"),
+          ((col("r") * 31 + 7) % n).as("dst"),
+          (pmod(col("r"), lit(3L)) + 1).as("w")))
+      Graph.sssp(edges, source = 0L)
+    },
   )
 }
