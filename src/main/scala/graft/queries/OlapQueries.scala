@@ -90,5 +90,103 @@ object OlapQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(40).limit(20)
     },
+
+    // Entity resolution: blocking + pairwise edit-distance matching.
+    // Dirty duplicates are planted deterministically (every 10th
+    // customer re-enters with a shifted key and one appended character),
+    // candidate pairs form ONLY within a (nation, segment) block — the
+    // classic quadratic-taming move: at 100 TB the all-pairs compare is
+    // impossible, the per-block compare is bounded by block size — and
+    // pairs within Levenshtein 2 match. Includes realistic false
+    // positives (base customers one digit apart), identical on both
+    // engines.
+    QuerySpec(
+      "er1_entity_resolution",
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  CAST(CASE WHEN b.id = a.id + 1000000 THEN 1 ELSE 0 END AS BIGINT) AS planted
+        |FROM recs a JOIN recs b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val dirty = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(10)) === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name"), lit("x")).as("name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val recs = c.union(dirty)
+      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
+        col("c_nationkey"), col("c_mktsegment"))
+      l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        .where(col("id1") < col("id2") &&
+          levenshtein(col("n1"), col("n2")) <= 2)
+        .select(col("id1"), col("id2"),
+          levenshtein(col("n1"), col("n2")).cast("long").as("dist"),
+          when(col("id2") === col("id1") + 1000000L, 1L).otherwise(0L)
+            .as("planted"))
+    },
+
+    // Suffix-stripping stemmer (Porter-lite, CASE-based — no regex
+    // alternation whose preference order could differ between engines)
+    // with per-document vocabulary-reduction stats: the normalization
+    // pass before corpus-frequency features. Pure map-side HOF math.
+    QuerySpec(
+      "tx24_stemmer",
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents
+        |), stemmed AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(toks, t ->
+        |      CASE
+        |        WHEN length(t) > 4 AND ends_with(t, 'ing') THEN substr(t, 1, length(t) - 3)
+        |        WHEN length(t) > 3 AND ends_with(t, 'ed') THEN substr(t, 1, length(t) - 2)
+        |        WHEN length(t) > 3 AND ends_with(t, 'es') THEN substr(t, 1, length(t) - 2)
+        |        WHEN length(t) > 2 AND ends_with(t, 's') AND NOT ends_with(t, 'ss')
+        |          THEN substr(t, 1, length(t) - 1)
+        |        ELSE t END) AS st
+        |  FROM staged)
+        |SELECT doc_id, len(toks)::BIGINT AS n_toks,
+        |  len(list_distinct(toks))::BIGINT AS n_raw,
+        |  len(list_distinct(st))::BIGINT AS n_stem,
+        |  CAST(floor((1.0 - len(list_distinct(st))::DOUBLE
+        |    / greatest(len(list_distinct(toks)), 1)) * 10000 + 0.5) AS BIGINT)
+        |    AS reduction_bp
+        |FROM stemmed""".stripMargin) { (s, dir) =>
+      def stem(t: org.apache.spark.sql.Column) =
+        when(length(t) > 4 && t.endsWith("ing"), t.substr(lit(1), length(t) - 3))
+          .when(length(t) > 3 && t.endsWith("ed"), t.substr(lit(1), length(t) - 2))
+          .when(length(t) > 3 && t.endsWith("es"), t.substr(lit(1), length(t) - 2))
+          .when(length(t) > 2 && t.endsWith("s") && !t.endsWith("ss"),
+            t.substr(lit(1), length(t) - 1))
+          .otherwise(t)
+      Tables.fanOut(
+        graft.Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          transform(col("toks"), stem(_)).as("st"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_raw"),
+          size(array_distinct(col("st"))).cast("long").as("n_stem"),
+          floor((lit(1.0) - size(array_distinct(col("st"))).cast("double")
+            / greatest(size(array_distinct(col("toks"))), lit(1)))
+            * 10000 + 0.5).cast("long").as("reduction_bp"))
+    },
   )
 }
