@@ -281,6 +281,29 @@ object ExtQueries {
         .select(col("event_id"), col("next_purchase_id"))
     },
 
+    // Streaming UNION: two independently filtered streams of the same
+    // source merged before a tumbling aggregation — the multi-topic
+    // ingestion shape (N sources → one pipeline). Union of streams is
+    // plan-level (no state of its own); the downstream windowed agg sees
+    // one stream.
+    QuerySpec(
+      "st12_stream_union",
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_type IN ('view', 'purchase')
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val views = Streams.eventsStream(s, dir)
+        .where(col("event_type") === "view")
+      val purchases = Streams.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+      val unioned = views.union(purchases)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"))
+      Streams.runToTable(unioned, "st12_mem", "complete")
+    },
+
     // --- scalar-function breadth (§2.E: math / regexp / date / array /
     // map categories, each against the DuckDB oracle) ---
 

@@ -188,5 +188,88 @@ object OlapQueries {
             / greatest(size(array_distinct(col("toks"))), lit(1)))
             * 10000 + 0.5).cast("long").as("reduction_bp"))
     },
+
+    // Windowed DISTINCT aggregation: running count of distinct event
+    // types per user timeline. Spark has no DISTINCT inside window
+    // aggregates — the engine expresses it as size(collect_set) over the
+    // running frame (bounded here by the 5-type domain, the
+    // low-cardinality case where the set-state is safe at scale); the
+    // oracle uses DuckDB's native windowed count(DISTINCT).
+    QuerySpec(
+      "q106_window_count_distinct",
+      """SELECT event_id, user_id,
+        |  CAST(count(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS types_seen
+        |FROM events""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          size(collect_set(col("event_type")).over(w)).cast("long")
+            .as("types_seen"))
+    },
+
+    // Period-over-period OLAP: daily revenue in exact integer cents
+    // (fixed-point BEFORE the sum — immune to double aggregation order)
+    // with day-over-day and week-over-week deltas via lag windows over
+    // the DAY-sized series. The fact table aggregates once; the window
+    // runs over ~150 rows.
+    QuerySpec(
+      "q107_period_over_period",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, CAST(cents AS BIGINT) AS cents,
+        |  CAST(floor((cents - lag(cents, 1) OVER (ORDER BY day))::DOUBLE
+        |    / lag(cents, 1) OVER (ORDER BY day) * 10000 + 0.5) AS BIGINT) AS dod_bp,
+        |  CAST(floor((cents - lag(cents, 7) OVER (ORDER BY day))::DOUBLE
+        |    / lag(cents, 7) OVER (ORDER BY day) * 10000 + 0.5) AS BIGINT) AS wow_bp
+        |FROM daily""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+      val w = Window.orderBy("day")
+      daily.select(col("day"), col("cents"),
+        floor((col("cents") - lag(col("cents"), 1).over(w)).cast("double")
+          / lag(col("cents"), 1).over(w) * 10000 + 0.5).cast("long").as("dod_bp"),
+        floor((col("cents") - lag(col("cents"), 7).over(w)).cast("double")
+          / lag(col("cents"), 7).over(w) * 10000 + 0.5).cast("long").as("wow_bp"))
+    },
+
+    // Inverted-index construction: token → document posting list — the
+    // search-index build step of a retrieval pipeline. Two aggregations
+    // (token×doc term frequencies, then per-token rollup); posting lists
+    // are sorted and CAPPED at 10 entries (bounded output under
+    // power-law token frequencies), emitted as strings so the harness
+    // comparator never sees an array cell. High-df floor bounds the
+    // emitted vocabulary.
+    QuerySpec(
+      "tx25_inverted_index",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '')) AS tok
+        |  FROM documents
+        |), d AS (
+        |  SELECT tok, doc_id, count(*)::BIGINT AS tf FROM t GROUP BY tok, doc_id)
+        |SELECT tok, count(*)::BIGINT AS df, sum(tf)::BIGINT AS total_tf,
+        |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting
+        |FROM d GROUP BY tok HAVING count(*) >= 50""".stripMargin) { (s, dir) =>
+      val t = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      t.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), ",")
+            .as("posting"))
+        .where(col("df") >= 50)
+    },
   )
 }
