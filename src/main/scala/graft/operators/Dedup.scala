@@ -634,6 +634,28 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric set-containment pairs: C(A→B) = |A∩B| / |A| — "document
+    * A's token set is (nearly) contained in B's" — the subset-duplicate
+    * detector symmetric Jaccard misses (a quoted article inside a longer
+    * page scores low Jaccard but containment ≈ 1). Brute-force over a
+    * caller-bounded subset (the ground-truth shape, like
+    * [[ngramJaccardPairs]]); the LSH paths remain the scale route for
+    * candidate generation. Emits ordered (id1 ≠ id2) pairs with
+    * containment ≥ `threshold` in basis points. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("__id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("__toks"))
+    val l = sets.select(col("__id").as("id1"), col("__toks").as("__t1"))
+    val r = sets.select(col("__id").as("id2"), col("__toks").as("__t2"))
+    val cont = size(array_intersect(col("__t1"), col("__t2"))).cast("double") /
+      greatest(size(col("__t1")), lit(1)).cast("double")
+    l.join(broadcast(r), col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        floor(cont * 10000 + 0.5).cast("long").as("containment_bp"))
+      .where(col("containment_bp") >= (threshold * 10000).toLong)
+  }
+
   /** C4/CCNet-style cross-corpus line deduplication: drop every line
     * whose exact text occurs in ≥ `maxFreq` documents' lines corpus-wide
     * (navigation chrome, legal footers, subscription prompts), and

@@ -504,6 +504,40 @@ object CurationQueries {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
         .select(col("cluster_id").as("keep_id"), col("n_docs"))
-    }
+    },
+
+    // Asymmetric set containment — the subset-duplicate detector
+    // symmetric Jaccard misses (a document quoted whole inside a longer
+    // one scores low Jaccard, containment ≈ 1). Planted containments: a
+    // 200-char prefix of every 5th doc re-enters as its own document;
+    // its token set sits inside the original's (modulo the token the
+    // cut splits, hence the 0.9 floor). Brute-force ground truth over
+    // the bounded subset, same contract as dd3.
+    QuerySpec(
+      "dd15_containment",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 10000, substr(text, 1, 200)
+        |  FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+        |  FROM corpus)
+        |SELECT id1, id2, containment_bp FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(floor(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / greatest(len(a.toks), 1) * 10000 + 0.5) AS BIGINT) AS containment_bp
+        |  FROM s a JOIN s b ON a.doc_id <> b.doc_id) t
+        |WHERE containment_bp >= 9000""".stripMargin) { (s, dir) =>
+      val base = Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+      val planted = base.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentPairs(base.union(planted), "doc_id", "text",
+        threshold = 0.9)
+    },
   )
 }

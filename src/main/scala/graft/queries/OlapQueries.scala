@@ -271,5 +271,27 @@ object OlapQueries {
             .as("posting"))
         .where(col("df") >= 50)
     },
+
+    // Schema-evolution union: two batches with different column order
+    // and a missing column merged BY NAME (`unionByName(allowMissing)`),
+    // absent columns null-filled — the multi-batch ingestion reality the
+    // reference's positional INSERT (first-row dict keys,
+    // /root/reference/dags/users_etl.py:143) gets wrong. Positional
+    // UNION would silently transpose columns here; the by-name contract
+    // is what survives schema drift.
+    QuerySpec(
+      "q108_union_by_name",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL BY NAME
+        |SELECT o_orderstatus, o_orderkey, NULL AS o_totalprice
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val a = o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b = o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderstatus", "o_orderkey")
+      a.unionByName(b, allowMissingColumns = true)
+    },
   )
 }

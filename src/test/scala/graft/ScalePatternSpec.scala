@@ -153,4 +153,29 @@ class ScalePatternSpec extends SparkSpec {
       assert(plan.contains("skew=true"), s"skew split did not fire:\n$plan")
     }
   }
+
+  test("join strategy hints steer the physical join operator") {
+    // The manual override lane when the optimizer's size estimates are
+    // wrong at scale (stale stats, exploding joins): each hint must pin
+    // its physical operator. Broadcast threshold disabled so only the
+    // hint decides.
+    val a = spark.range(0, 1000).select(col("id").as("k"), col("id").as("va"))
+    val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("vb"))
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      def planOf(j: org.apache.spark.sql.DataFrame): String = {
+        assert(j.count() == 1000)
+        j.queryExecution.executedPlan.toString
+      }
+      assert(planOf(a.join(b.hint("SHUFFLE_HASH"), "k"))
+        .contains("ShuffledHashJoin"))
+      assert(planOf(a.join(b.hint("MERGE"), "k"))
+        .contains("SortMergeJoin"))
+      assert(planOf(a.join(broadcast(b), "k"))
+        .contains("BroadcastHashJoin"))
+      // Default under disabled broadcast: sort-merge — the baseline the
+      // hints override.
+      assert(planOf(a.join(b, "k")).contains("SortMergeJoin"))
+    }
+  }
 }
