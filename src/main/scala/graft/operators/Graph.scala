@@ -249,22 +249,38 @@ object Graph {
         var sig = (1L, 0L)
         var converged = false
         var iter = 0
+        // Relaxation rounds are BATCHED: several rounds chain lazily
+        // into ONE job per convergence probe — the loop's cost is
+        // driver-side (action scheduling), not data. Each lazy round is
+        // still re-rooted via `.rdd` (the PageRank recipe) so the plan
+        // tree stays one round deep even though the round output feeds
+        // BOTH the join and the union: the round ends in a shuffle, and
+        // both consumers read the same shuffle files rather than
+        // recomputing the branch.
+        val roundsPerProbe = 6
         while (!converged && iter < maxIter) {
-          val relaxed = e
-            .join(dist.select(col("node").as("src"), col("dist")), "src")
-            .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-          val nextPlan = dist.union(relaxed)
-            .groupBy("node").agg(min(col("dist")).as("dist"))
-          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-            .persist(lvl)
+          var plan = dist.toDF()
+          val steps = math.min(roundsPerProbe, maxIter - iter)
+          for (_ <- 1 to steps) {
+            val relaxed = e
+              .join(plan.select(col("node").as("src"), col("dist")), "src")
+              .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+            val roundPlan = plan.union(relaxed)
+              .groupBy("node").agg(min(col("dist")).as("dist"))
+            plan = spark.createDataFrame(roundPlan.rdd, roundPlan.schema)
+          }
+          val next = plan.persist(lvl)
           Dedup.pendingCaches.add(next)
           val row = next.agg(count(lit(1)), sum(col("dist"))).head()
           val nextSig = (row.getLong(0), row.getLong(1))
           dist.unpersist(blocking = false)
           dist = next
+          // Unchanged across a whole batch ⇒ the batch's rounds were all
+          // no-ops ⇒ fixpoint (distances are monotone non-increasing and
+          // the reached set monotone non-decreasing).
           converged = nextSig == sig
           sig = nextSig
-          iter += 1
+          iter += steps
         }
         if (!converged)
           throw new IllegalStateException(

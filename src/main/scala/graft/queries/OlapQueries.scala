@@ -130,12 +130,14 @@ object OlapQueries {
       val r = recs.select(col("id").as("id2"), col("name").as("n2"),
         col("c_nationkey"), col("c_mktsegment"))
       l.join(r, Seq("c_nationkey", "c_mktsegment"))
-        .where(col("id1") < col("id2") &&
-          levenshtein(col("n1"), col("n2")) <= 2)
+        .where(col("id1") < col("id2"))
+        // Stage the distance once: filtering on the raw expression would
+        // evaluate the O(len²) Levenshtein twice per surviving pair.
         .select(col("id1"), col("id2"),
           levenshtein(col("n1"), col("n2")).cast("long").as("dist"),
           when(col("id2") === col("id1") + 1000000L, 1L).otherwise(0L)
             .as("planted"))
+        .where(col("dist") <= 2)
     },
 
     // Suffix-stripping stemmer (Porter-lite, CASE-based — no regex
