@@ -36,5 +36,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs all executor threads in this one JVM: an 8g heap
+  // showed multi-second GC inflation on queries that follow
+  // allocation-heavy ones in a bench run (q101 8.3 s in-bench vs 1.6 s
+  // standalone). 16g removes that artifact on the 128 GiB harness box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -304,6 +304,52 @@ object ExtQueries {
       Streams.runToTable(unioned, "st12_mem", "complete")
     },
 
+    // Stream-stream FULL OUTER join — st11 plus right-side nulls
+    // (purchases with no event in the preceding 30 minutes). Eviction
+    // boundaries differ per side: a LEFT row closes when the watermark
+    // passes ts + 30 min, a RIGHT row when it passes r_ts itself (its
+    // earliest possible match is r_ts − 30 min, its latest left arrival
+    // r_ts) — so each side filters to its own closed set, with the same
+    // 1-minute margin. The global watermark again tracks the filtered
+    // purchase side's max.
+    QuerySpec(
+      "st13_stream_full_outer_join",
+      """WITH w AS (
+        |  SELECT max(ts) - INTERVAL '2 hours' AS wm FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT a.event_id AS event_id, b.event_id AS next_purchase_id
+        |FROM events a FULL OUTER JOIN (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') b
+        |  ON b.user_id = a.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL '30 minutes'
+        |WHERE (a.event_id IS NULL OR a.ts <= (SELECT wm - INTERVAL '31 minutes' FROM w))
+        |  AND (b.event_id IS NULL OR b.ts <= (SELECT wm - INTERVAL '1 minute' FROM w))""".stripMargin) { (s, dir) =>
+      val left = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+      val right = Streams.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("event_id").as("next_purchase_id"),
+          col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+        .withWatermark("r_ts", "2 hours")
+      val joined = left.join(right,
+        col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+        .select(col("event_id"), col("next_purchase_id"), col("ts"), col("r_ts"))
+      val res = Streams.runToTable(joined, "st13_mem", "append")
+      val wm = Tables.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("__wm"))
+      res.crossJoin(broadcast(wm))
+        .where(
+          (col("event_id").isNull ||
+            col("ts") <= col("__wm") - expr("INTERVAL 31 MINUTES")) &&
+          (col("next_purchase_id").isNull ||
+            col("r_ts") <= col("__wm") - expr("INTERVAL 1 MINUTE")))
+        .select(col("event_id"), col("next_purchase_id"))
+    },
+
     // --- scalar-function breadth (§2.E: math / regexp / date / array /
     // map categories, each against the DuckDB oracle) ---
 
