@@ -120,5 +120,49 @@ object SemanticQueries {
         .agg(min(col("id1")).as("keep_id"),
           count(lit(1)).as("n_cands"), max(col("cs")).as("max_sim"))
     },
+
+    // Johnson–Lindenstrauss random projection 64 → 16 dims: a fixed ±1
+    // matrix (SplitMix64-derived, shared with the oracle by literal
+    // interpolation — the ss8 recipe) applied to fixed-point vectors.
+    // Everything after the 1e6 quantization is INTEGER arithmetic, so
+    // the projection is exact on both engines. The dimensionality
+    // reduction that makes downstream ANN/clustering 4× cheaper per
+    // vector at 100 TB; map-side only, no shuffle, no UDF.
+    QuerySpec(
+      "ss10_random_projection",
+      {
+        val m = Array.tabulate(16, 64) { (j, d) =>
+          if ((graft.expressions.Hashing.splitmix64(j * 64L + d) & 1L) == 0L) 1L else -1L
+        }
+        val mSql = m.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+        s"""WITH xf_t AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS xf
+           |  FROM embeddings
+           |), proj AS (
+           |  SELECT vec_id, list_transform(range(1, 17), j ->
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range(1, 65), d -> xf[d] * ($mSql)[j][d])),
+           |      (a, b) -> a + b)) AS y
+           |  FROM xf_t)
+           |SELECT vec_id, generate_subscripts(y, 1) AS j, unnest(y) AS y
+           |FROM proj""".stripMargin
+      }) { (s, dir) =>
+      val m = Array.tabulate(16, 64) { (j, d) =>
+        if ((graft.expressions.Hashing.splitmix64(j * 64L + d) & 1L) == 0L) 1L else -1L
+      }
+      val mLit = typedLit(m.map(_.toSeq).toSeq)
+      val xf = Tables.fanOut(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000.0 + 0.5).cast("long")).as("xf"))
+      xf.select(col("vec_id"),
+        posexplode(transform(sequence(lit(1), lit(16)), j =>
+          aggregate(
+            zip_with(col("xf"), element_at(mLit, j), (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v))).as(Seq("j0", "y")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"), col("y"))
+    },
   )
 }

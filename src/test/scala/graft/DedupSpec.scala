@@ -108,4 +108,20 @@ class DedupSpec extends SparkSpec {
       .select(Dedup.jaccard(col("x"), col("y")).as("j")).as[Double].head()
     assert(math.abs(j - 0.5) < 1e-9)
   }
+
+  test("containmentPairs: subset scores 1.0 one way, partial the other") {
+    // Doc 2's tokens ⊂ doc 1's: containment(2→1) = 1.0 (10000 bp), while
+    // containment(1→2) = 2/4; doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta"),
+      (3L, "omega psi")).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((2L, 1L) -> 10000L))
+    val all = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(all((1L, 2L)) == 5000L)
+    assert(all((3L, 1L)) == 0L)
+  }
 }

@@ -79,4 +79,25 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(reach == Set(0L, 1L))
   }
+
+  test("sssp: cheap shortcut beats short hop path; parallel edges take min") {
+    import spark.implicits._
+    // 0→1→2→3 with weight 5 each; shortcut 0→3 weight 4; plus a parallel
+    // 0→1 edge of weight 2 that must win over the weight-5 copy.
+    val e = Seq(
+      (0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L),
+      (0L, 3L, 4L), (0L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val out = Graph.sssp(e, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 2L, 2L -> 7L, 3L -> 4L))
+
+    // Unreachable nodes are absent; a long chain still converges (the
+    // batched probe detects the fixpoint mid-batch).
+    val chain = (0L until 10L).map(i => (i, i + 1, 1L))
+      .toDF("src", "dst", "w")
+    val dists = Graph.sssp(chain, source = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists == (0L to 10L).map(i => i -> i).toMap)
+  }
 }
