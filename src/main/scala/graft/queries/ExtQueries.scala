@@ -350,6 +350,34 @@ object ExtQueries {
         .select(col("event_id"), col("next_purchase_id"))
     },
 
+    // Stream-stream LEFT SEMI join: events followed by a purchase from
+    // the same user within 30 minutes, emitted once on first match —
+    // matches emit as they arrive (no watermark gating of the OUTPUT;
+    // the watermark only bounds join state), so the full matched set is
+    // comparable with no cutoff, unlike st11/st13's outer rows.
+    QuerySpec(
+      "st14_stream_semi_join",
+      """SELECT a.event_id, a.user_id
+        |FROM events a
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events b
+        |  WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+        |    AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '30 minutes')""".stripMargin) { (s, dir) =>
+      val left = Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withWatermark("ts", "2 hours")
+      val right = Streams.eventsStream(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+        .withWatermark("r_ts", "2 hours")
+      val joined = left.join(right,
+        col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
+        "left_semi")
+        .select(col("event_id"), col("user_id"))
+      Streams.runToTable(joined, "st14_mem", "append")
+    },
+
     // --- scalar-function breadth (§2.E: math / regexp / date / array /
     // map categories, each against the DuckDB oracle) ---
 
