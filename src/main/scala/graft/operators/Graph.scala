@@ -341,11 +341,15 @@ object Graph {
           Dedup.pendingCaches.add(next)
           more = next.count() > 0
           if (more) {
+            // No eager count on `grown`: both parents are persisted and
+            // materialized, so its first consumer (next round's
+            // anti-join) assembles it from cache — an extra action per
+            // round here was pure scheduling overhead (~12 jobs/run).
+            // The old dist stays persisted until `grown` replaces it in
+            // the round after (registered for release either way).
             val grown = spark
               .createDataFrame(dist.union(next).rdd, dist.schema).persist(lvl)
             Dedup.pendingCaches.add(grown)
-            grown.count()
-            dist.unpersist(blocking = false)
             frontier = next
             dist = grown
           }

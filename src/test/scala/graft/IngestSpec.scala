@@ -209,6 +209,50 @@ class IngestSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("parquet aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_aggpush").toString
+    spark.range(0, 10000).selectExpr("id", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    // Aggregate pushdown is a DSv2 capability — route parquet through
+    // the v2 reader for this test (the session default keeps v1).
+    val confs = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prevs = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // No row-group decode at all: the scan node carries the pushed
+      // aggregation and reads only footer statistics — the difference
+      // between touching 100 TB and touching its metadata.
+      val agg = spark.read.parquet(s"$dir/t")
+        .agg(max(col("id")).as("mx"), min(col("id")).as("mn"),
+          count(lit(1)).as("n"))
+      val row = agg.collect()(0)
+      assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+        ((9999L, 0L, 10000L)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MAX(id), MIN(id), COUNT(*)]"),
+        s"aggregation not pushed:\n$plan")
+    } finally prevs.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("nested schema pruning reads only the referenced struct leaf") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_nested").toString
+    Seq((1L, ("x", 10.0, Seq(1, 2))), (2L, ("y", 20.0, Seq(3))))
+      .toDF("id", "s").write.mode("overwrite").parquet(s"$dir/t")
+    val q = spark.read.parquet(s"$dir/t").select(col("id"), col("s._1").as("a"))
+    assert(q.collect().map(_.getString(1)).sorted.toSeq == Seq("x", "y"))
+    val scanSchema = q.queryExecution.executedPlan.toString
+    // ReadSchema keeps only s._1 — the sibling leaves (_2 double, _3
+    // array) never leave the parquet column chunks.
+    assert(scanSchema.contains("s:struct<_1:string>"),
+      s"nested pruning missing:\n$scanSchema")
+  }
+
   test("writeStar end-to-end: normalize -> load -> integrity holds on reload") {
     val dir = Files.createTempDirectory("graft_star").toFile.getAbsolutePath
     val raw = Ingest.readJsonString(spark, payload)
