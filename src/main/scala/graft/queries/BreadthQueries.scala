@@ -949,6 +949,46 @@ object BreadthQueries {
           size(col("frames")).cast("long").as("n_frames"),
           md5(aggregate(col("frames"), lit(Array.emptyByteArray),
             (acc, b) => concat(acc, b))).as("digest"))
-    }
+    },
+
+    // Scene-cut detection over the sampled frame stream: consecutive
+    // sampled frames whose byte distance exceeds the threshold mark a
+    // cut — the video-shot-segmentation shape on the same stub-decode
+    // plumbing as mm3 (real codec slots in behind the same columns).
+    // All in-row HOF integer math: no explode, no shuffle, scan-speed.
+    QuerySpec(
+      "mm6_scene_cut",
+      """WITH f AS (
+        |  SELECT doc_id, (length(text) + 6) // 7 AS n_frames,
+        |    list_transform(range(0, (length(text) + 6) // 7),
+        |      i -> ascii(substring(text, (i * 7 + 1)::INT, 1))) AS codes
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, n_frames,
+        |    list_filter(range(1, n_frames),
+        |      i -> abs(codes[i + 1] - codes[i]) > 40) AS cuts
+        |  FROM f)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  len(cuts)::BIGINT AS n_cuts,
+        |  CAST(coalesce(list_min(cuts), 0) AS BIGINT) AS first_cut
+        |FROM d""".stripMargin) { (s, dir) =>
+      val staged = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          floor((length(col("text")) + 6) / 7).cast("long").as("n_frames"),
+          col("text"))
+        .select(col("doc_id"), col("n_frames"),
+          transform(sequence(lit(0L), col("n_frames") - 1),
+            i => ascii(col("text").substr((i * 7 + 1).cast("int"), lit(1))))
+            .as("codes"))
+      staged
+        .select(col("doc_id"), col("n_frames"),
+          filter(sequence(lit(1L), col("n_frames") - 1),
+            i => abs(element_at(col("codes"), (i + 1).cast("int"))
+              - element_at(col("codes"), i.cast("int"))) > 40).as("cuts"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("cuts")).cast("long").as("n_cuts"),
+          coalesce(array_min(col("cuts")), lit(0L)).as("first_cut"))
+    },
   )
 }

@@ -295,5 +295,22 @@ object OlapQueries {
         .select("o_orderstatus", "o_orderkey")
       a.unionByName(b, allowMissingColumns = true)
     },
+
+    // Contingency table via the DataFrameStatFunctions crosstab API —
+    // nation × market-segment counts reshaped wide (one pivot-style
+    // aggregation; the value domain must be small, which is exactly
+    // crosstab's contract). The oracle rebuilds the same wide shape with
+    // conditional aggregates under crosstab's column-naming convention.
+    QuerySpec(
+      "q109_crosstab",
+      """SELECT CAST(c_nationkey AS VARCHAR) AS c_nationkey_c_mktsegment,
+        |  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+        |  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).stat.crosstab("c_nationkey", "c_mktsegment")
+    },
   )
 }
