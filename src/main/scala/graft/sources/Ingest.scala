@@ -199,6 +199,37 @@ object Ingest {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory whose file count
+    * has drifted (streaming sinks, incremental upserts, partition
+    * appends) into ~`targetFileBytes`-sized files. THE recurring ops
+    * task at scale — a 100 TB table accreting thousands of KB-sized
+    * files melts both the driver's file listing and scan task scheduling.
+    * File count derives from the current on-disk bytes; the rewrite goes
+    * through a staging directory and an atomic rename (same reader-safe
+    * swap as `Streams.upsertInto`). Returns (filesBefore, filesAfter).
+    *
+    * Table formats with native compaction (Delta OPTIMIZE, Iceberg
+    * rewrite_data_files) replace this at the catalog layer; the plan
+    * shape — full read, repartition to size, atomic swap — is the same. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val dir = new java.io.File(path)
+    def parquetFiles = dir.listFiles().filter(f =>
+      f.isFile && f.getName.endsWith(".parquet"))
+    val before = parquetFiles
+    val totalBytes = before.map(_.length).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staged = spark.read.parquet(path).repartition(nFiles)
+    val staging = path + ".compacting"
+    staged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val old = new java.io.File(path + ".old")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    dir.renameTo(old)
+    new java.io.File(staging).renameTo(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    (before.length, parquetFiles.length)
+  }
+
   /** Multi-table star load with FK write-order discipline (O4,
     * `dags/users_etl.py:140-159`): parents (addresses, companies) land
     * before the child (users), each table an atomic overwrite. Spark has

@@ -253,6 +253,22 @@ class IngestSpec extends SparkSpec {
       s"nested pruning missing:\n$scanSchema")
   }
 
+  test("compact collapses a small-file swarm, preserving rows and content") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 one-row-group files — the streaming-sink accretion shape.
+    spark.range(0, 6400).select(col("id"), (col("id") * 3).as("v"))
+      .repartition(64).write.parquet(dir)
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("id") * col("v"))).head().getLong(0)
+    val (before, after) = Ingest.compact(spark, dir, targetFileBytes = 512L * 1024)
+    assert(before == 64)
+    assert(after < 8, s"expected <8 files after compaction, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6400)
+    assert(back.agg(sum(col("id") * col("v"))).head().getLong(0) == checksumBefore)
+  }
+
   test("writeStar end-to-end: normalize -> load -> integrity holds on reload") {
     val dir = Files.createTempDirectory("graft_star").toFile.getAbsolutePath
     val raw = Ingest.readJsonString(spark, payload)

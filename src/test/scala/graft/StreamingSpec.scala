@@ -185,6 +185,31 @@ class StreamingSpec extends SparkSpec {
       "t_dedup", "append")
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch under AvailableNow") {
+    // Backfill-safety: pointing a stream at a directory with history must
+    // not load everything into one giant batch — the per-trigger cap
+    // paces ingestion, and AvailableNow still drains to completion.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_paced").toString
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"f$i")).toDF("id", "tag")
+        .write.parquet(s"$dir/file_$i.parquet")
+    }
+    val stream = spark.readStream
+      .schema("id BIGINT, tag STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+    val q = stream.writeStream.format("memory").queryName("paced_mem")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // All data arrived, across at least 4 data batches of ≤1 file each.
+    assert(spark.table("paced_mem").count() == 4)
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 4,
+      s"expected >=4 paced batches, got ${dataBatches.length}")
+    assert(dataBatches.forall(_.numInputRows == 1))
+  }
 }
 
 object StreamingSpec {
