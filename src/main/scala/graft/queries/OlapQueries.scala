@@ -312,5 +312,67 @@ object OlapQueries {
         |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.customer(s, dir).stat.crosstab("c_nationkey", "c_mktsegment")
     },
+
+    // Winsorization: clip order totals at the exact global p01/p99 — the
+    // outlier-taming pass before statistical features. One percentile
+    // aggregation broadcast back as a single row; the clip itself is
+    // map-side. percentile() interpolation is bit-identical to DuckDB's
+    // quantile_cont (the q27 contract), and the comparison boundary is
+    // exact-double, so clipped flags agree row-for-row.
+    QuerySpec(
+      "q110_winsorize",
+      """WITH p AS (
+        |  SELECT quantile_cont(o_totalprice, 0.01) AS p1,
+        |    quantile_cont(o_totalprice, 0.99) AS p99
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(floor(least(greatest(o_totalprice, p1), p99) * 100 + 0.5) AS BIGINT)
+        |    AS clipped_cents,
+        |  CAST(CASE WHEN o_totalprice < p1 THEN -1
+        |            WHEN o_totalprice > p99 THEN 1 ELSE 0 END AS BIGINT) AS clip
+        |FROM orders, p""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val p = o.agg(
+        expr("percentile(o_totalprice, 0.01)").as("p1"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+      o.crossJoin(broadcast(p))
+        .select(col("o_orderkey"),
+          floor(least(greatest(col("o_totalprice"), col("p1")), col("p99"))
+            * 100 + 0.5).cast("long").as("clipped_cents"),
+          when(col("o_totalprice") < col("p1"), -1L)
+            .when(col("o_totalprice") > col("p99"), 1L)
+            .otherwise(0L).as("clip"))
+    },
+
+    // Leave-one-out target encoding: each order's priority category
+    // encoded as the mean total of the OTHER orders in that category —
+    // the leakage-free categorical encoding for model features. Sums are
+    // exact integer cents, the LOO division is one IEEE op, and a
+    // single-member category yields NULL on both engines (0/0 guarded
+    // by nullif). One aggregation + one broadcast join back.
+    QuerySpec(
+      "q111_target_encoding",
+      """WITH c AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders
+        |), g AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    sum(cents)::BIGINT AS s
+        |  FROM c GROUP BY o_orderpriority)
+        |SELECT o_orderkey,
+        |  CAST(floor((s - cents)::DOUBLE / nullif(n - 1, 0) + 0.5) AS BIGINT)
+        |    AS loo_cents
+        |FROM c JOIN g USING (o_orderpriority)""".stripMargin) { (s, dir) =>
+      val c = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val g = c.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      c.join(broadcast(g), "o_orderpriority")
+        .select(col("o_orderkey"),
+          floor((col("s") - col("cents")).cast("double")
+            / nullif(col("n") - 1, lit(0)) + 0.5).cast("long").as("loo_cents"))
+    },
   )
 }
