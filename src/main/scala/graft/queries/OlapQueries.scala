@@ -374,5 +374,36 @@ object OlapQueries {
           floor((col("s") - col("cents")).cast("double")
             / nullif(col("n") - 1, lit(0)) + 0.5).cast("long").as("loo_cents"))
     },
+
+    // Exponential recency decay: per-user engagement score where each
+    // event contributes value·e^(−age/1day) — the freshness weighting of
+    // feed ranking and training-sample reweighting. Ages are exact
+    // integer seconds from the corpus max; each term is fixed-pointed
+    // BEFORE the per-user sum (the perplexity recipe: fix the terms, not
+    // the total), so aggregation order cannot perturb the result and
+    // the only cross-engine surface is exp's last ULP under a 1e6 floor.
+    QuerySpec(
+      "q112_decay_score",
+      """WITH m AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM events),
+        |t AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * exp(-((mx - CAST(floor(epoch(ts)) AS BIGINT))::DOUBLE) / 86400.0)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS term
+        |  FROM events, m)
+        |SELECT user_id, count(*)::BIGINT AS n,
+        |  sum(term)::BIGINT AS decay_score_micro
+        |FROM t GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value"),
+          col("ts").cast("timestamp").cast("long").as("ep"))
+      val m = ev.agg(max(col("ep")).as("mx"))
+      ev.crossJoin(broadcast(m))
+        .select(col("user_id"),
+          floor(col("value")
+            * exp(-((col("mx") - col("ep")).cast("double")) / 86400.0)
+            * 1000000.0 + 0.5).cast("long").as("term"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("term")).as("decay_score_micro"))
+    },
   )
 }
