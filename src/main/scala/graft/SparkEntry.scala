@@ -25,7 +25,8 @@ object SparkEntry {
       _root_.graft.queries.GraphQueries.specs ++
       _root_.graft.queries.SemanticQueries.specs ++
       _root_.graft.queries.RankingQueries.specs ++
-      _root_.graft.queries.OlapQueries.specs
+      _root_.graft.queries.OlapQueries.specs ++
+      _root_.graft.queries.ExpQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Looked up by name so reordering/prepending specs can't silently swap

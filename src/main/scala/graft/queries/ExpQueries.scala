@@ -1,0 +1,296 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-6 expansion surface: array set algebra, privacy auditing
+  * (k-anonymity), market-basket association rules, and a planted-dirt
+  * data-quality report — four query shapes a production training-data /
+  * warehouse pipeline runs that the earlier surfaces didn't cover. Every
+  * spec carries a complete DuckDB hash oracle.
+  *
+  * Reference tie-in: the reference's only validation surface is its DDL
+  * constraints (`/root/reference/sql/blog_post_definitions.sql:15-81`);
+  * the quality-report spec generalizes those PK/FK/NOT NULL rules into
+  * the one-pass rule-counter report a pipeline would actually run before
+  * loading, and k-anonymity is the privacy analog over the same
+  * quasi-identifier shape (users' address/company columns).
+  */
+object ExpQueries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Array set algebra: union / intersect / except over the two token
+    // sets of each part (name words vs type words). Spark's array_union
+    // family dedups but preserves first-occurrence order while DuckDB's
+    // list primitives don't guarantee one, so both sides sort before
+    // serializing; arrays are projected to strings because the harness
+    // comparator sorts cell values (arrays are unhashable there). All
+    // in-row HOF work — zero shuffles beyond the scan.
+    QuerySpec(
+      "q113_array_set_ops",
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(list_distinct(list_cat(
+        |    string_split(p_name, ' '), string_split(p_type, ' ')))), ',') AS u,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(p_name, ' '),
+        |    x -> list_contains(string_split(p_type, ' '), x)))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(
+        |    string_split(p_name, ' '),
+        |    x -> NOT list_contains(string_split(p_type, ' '), x)))), ','), '') AS x,
+        |  CAST(len(list_distinct(list_cat(
+        |    string_split(p_name, ' '), string_split(p_type, ' ')))) AS BIGINT) AS n_union
+        |FROM part""".stripMargin) { (s, dir) =>
+      val a = split(col("p_name"), " ")
+      val b = split(col("p_type"), " ")
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        array_join(array_sort(array_union(a, b)), ",").as("u"),
+        array_join(array_sort(array_intersect(a, b)), ",").as("i"),
+        array_join(array_sort(array_except(a, b)), ",").as("x"),
+        size(array_union(a, b)).cast("long").as("n_union"))
+    },
+
+    // k-anonymity audit (k=5) over quasi-identifiers (nation, segment,
+    // balance band): every row's equivalence-class size, the violation
+    // flag, and the re-identification risk in basis points (floor of
+    // 10000/class size — integer, so engine-identical). One hash
+    // aggregation on the QI key; at 100 TB this is a groupBy + broadcast
+    // join-back of the (bounded-cardinality) class-size table, never a
+    // window over the fact table.
+    QuerySpec(
+      "q114_k_anonymity",
+      """WITH qi AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer
+        |), cls AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band, count(*)::BIGINT AS class_size
+        |  FROM qi GROUP BY 1, 2, 3
+        |)
+        |SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+        |  CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS violates_k5,
+        |  CAST(floor(10000.0 / class_size) AS BIGINT) AS reident_risk_bp
+        |FROM cls""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("class_size"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+          col("class_size"),
+          when(col("class_size") < 5, 1L).otherwise(0L).as("violates_k5"),
+          floor(lit(10000.0) / col("class_size")).cast("long").as("reident_risk_bp"))
+    },
+
+    // Market-basket association rules over order baskets: part-pair
+    // co-occurrence support, directed confidence, and lift — all in
+    // integer basis points (cross-multiplied, no division ordering
+    // hazards). The pair join is the classic quadratic-in-basket-size
+    // blowup: baskets here cap at 13 items (78 pairs); at 100 TB the
+    // same cap is enforced explicitly (drop or sample mega-baskets, the
+    // lshCandidatePairs discipline) and the join key is the basket id,
+    // so AQE skew-split handles hot baskets. Item supports are
+    // dimension-sized → broadcast back onto pairs.
+    QuerySpec(
+      "q116_assoc_rules",
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |), n AS (SELECT count(DISTINCT k)::BIGINT AS n_baskets FROM b),
+        |pairs AS (
+        |  SELECT a.p AS ant, c.p AS cons, count(*)::BIGINT AS supp
+        |  FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), items AS (
+        |  SELECT p, count(*)::BIGINT AS isupp FROM b GROUP BY 1
+        |), directed AS (
+        |  SELECT ant, cons, supp FROM pairs
+        |  UNION ALL
+        |  SELECT cons, ant, supp FROM pairs
+        |)
+        |SELECT d.ant, d.cons, d.supp,
+        |  CAST(floor(10000 * d.supp / ia.isupp) AS BIGINT) AS conf_bp,
+        |  CAST(floor(10000 * d.supp * n.n_baskets / (ia.isupp * ic.isupp)) AS BIGINT) AS lift_bp
+        |FROM directed d
+        |JOIN items ia ON ia.p = d.ant
+        |JOIN items ic ON ic.p = d.cons
+        |CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val b = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
+      val n = b.agg(countDistinct(col("k")).as("n_baskets"))
+      val pairs = b.as("a")
+        .join(b.as("c"), col("a.k") === col("c.k") && col("a.p") < col("c.p"))
+        .groupBy(col("a.p").as("ant"), col("c.p").as("cons"))
+        .agg(count(lit(1)).as("supp"))
+        .where(col("supp") >= 2)
+      val items = b.groupBy(col("p")).agg(count(lit(1)).as("isupp"))
+      val directed = pairs.select(col("ant"), col("cons"), col("supp"))
+        .unionAll(pairs.select(col("cons").as("ant"), col("ant").as("cons"), col("supp")))
+      // Integer cross-multiplication: 10000·supp·N ≤ 1e4·60k·15k ≈ 9e12,
+      // well inside BIGINT.
+      directed
+        .join(broadcast(items.select(col("p").as("ant"), col("isupp").as("ia"))), "ant")
+        .join(broadcast(items.select(col("p").as("cons"), col("isupp").as("ic"))), "cons")
+        .crossJoin(broadcast(n))
+        .select(col("ant"), col("cons"), col("supp"),
+          floor(lit(10000) * col("supp") / col("ia")).cast("long").as("conf_bp"),
+          floor(lit(10000) * col("supp") * col("n_baskets")
+            / (col("ia") * col("ic"))).cast("long").as("lift_bp"))
+    },
+
+    // One-pass data-quality rule report with planted violations — the
+    // pre-load gate generalizing the reference's DDL constraints
+    // (NOT NULL / CHECK-shaped / PK / FK) into counters. Dirt is planted
+    // deterministically on both engines (NULL custkeys, negative totals,
+    // bogus priority codes, duplicated PKs, orphan FKs), so every rule
+    // provably fires. All row-local rules ride ONE conditional
+    // aggregation over the dirty table (single pass, map-side partials);
+    // only the PK and FK rules need their own shuffles (a groupBy on the
+    // key and a broadcast anti-join) — the same pass structure a 100 TB
+    // pre-load audit wants: no per-rule rescans.
+    QuerySpec(
+      "q120_quality_report",
+      """WITH dirty AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |  UNION ALL SELECT o_orderkey + 10000000, NULL, o_totalprice, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 500 = 0
+        |  UNION ALL SELECT o_orderkey + 20000000, o_custkey, -o_totalprice, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 300 = 0
+        |  UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_totalprice, '9-BOGUS'
+        |    FROM orders WHERE o_orderkey % 400 = 0
+        |  UNION ALL SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 600 = 0
+        |  UNION ALL SELECT o_orderkey + 40000000, o_custkey + 90000000, o_totalprice, o_orderpriority
+        |    FROM orders WHERE o_orderkey % 700 = 0
+        |)
+        |SELECT 'null_custkey' AS rule, count(*) FILTER (o_custkey IS NULL)::BIGINT AS violations,
+        |  count(*)::BIGINT AS checked FROM dirty
+        |UNION ALL
+        |SELECT 'nonpositive_total', count(*) FILTER (o_totalprice <= 0)::BIGINT, count(*)::BIGINT FROM dirty
+        |UNION ALL
+        |SELECT 'bad_priority', count(*) FILTER (o_orderpriority NOT IN
+        |  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'))::BIGINT, count(*)::BIGINT FROM dirty
+        |UNION ALL
+        |SELECT 'duplicate_pk', (count(*) - count(DISTINCT o_orderkey))::BIGINT, count(*)::BIGINT FROM dirty
+        |UNION ALL
+        |SELECT 'orphan_custkey',
+        |  (SELECT count(*) FROM dirty d LEFT JOIN customer c ON d.o_custkey = c.c_custkey
+        |    WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL)::BIGINT,
+        |  count(*)::BIGINT FROM dirty""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      def planted(mod: Int)(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+        f(o.where(col("o_orderkey") % mod === 0))
+      val dirty = o
+        .unionAll(planted(500)(_.select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          lit(null).cast("long").as("o_custkey"), col("o_totalprice"), col("o_orderpriority"))))
+        .unionAll(planted(300)(_.select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+          col("o_custkey"), (-col("o_totalprice")).as("o_totalprice"), col("o_orderpriority"))))
+        .unionAll(planted(400)(_.select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), lit("9-BOGUS").as("o_orderpriority"))))
+        .unionAll(planted(600)(_.select(col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))))
+        .unionAll(planted(700)(_.select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+          (col("o_custkey") + 90000000L).as("o_custkey"), col("o_totalprice"), col("o_orderpriority"))))
+      val valid = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      // Row-local rules: one aggregation row, unpivoted via stack().
+      val rowLocal = dirty.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_total"),
+        sum(when(!col("o_orderpriority").isin(valid: _*), 1L).otherwise(0L)).as("bad_priority"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("duplicate_pk"),
+        count(lit(1)).as("checked"))
+      val unpivoted = rowLocal.selectExpr(
+        """stack(4,
+          |  'null_custkey', null_custkey,
+          |  'nonpositive_total', nonpositive_total,
+          |  'bad_priority', bad_priority,
+          |  'duplicate_pk', duplicate_pk) AS (rule, violations)""".stripMargin,
+        "checked")
+        .select(col("rule"), col("violations"), col("checked"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"))
+      val orphans = dirty.where(col("o_custkey").isNotNull)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val total = dirty.agg(count(lit(1)).as("checked"))
+      unpivoted.unionAll(
+        orphans.crossJoin(total)
+          .select(lit("orphan_custkey").as("rule"), col("violations"), col("checked")))
+    },
+
+    // Rolling z-score anomaly detection over each user's event stream:
+    // trailing 20-row window moments, 3σ flag — with the division-free
+    // integer formulation (x−μ > 3σ ⇔ n·x−Σx > 0 ∧ (n·x−Σx)² > 9·(n·Σx²−Σx²))
+    // so both engines compare exact BIGINTs, no FP accumulation order in
+    // sight. cents = floor(value·100) is one IEEE multiply + floor,
+    // identical on both engines. One shuffle (user partition), one sort,
+    // all three window sums share the frame.
+    QuerySpec(
+      "q117_anomaly_zscore",
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, cents,
+        |    count(*) OVER win AS n,
+        |    sum(cents) OVER win AS s1,
+        |    sum(cents * cents) OVER win AS s2
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, cents, n::BIGINT AS n,
+        |  (n * cents - s1)::BIGINT AS dev_n,
+        |  CAST(CASE WHEN n >= 10 AND n * cents - s1 > 0
+        |    AND (n * cents - s1) * (n * cents - s1) > 9 * (n * s2 - s1 * s1)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM w""".stripMargin) { (s, dir) =>
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+      val c = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val dev = col("n") * col("cents") - col("s1")
+      c.select(col("event_id"), col("user_id"), col("cents"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("cents")).over(win).as("s1"),
+          sum(col("cents") * col("cents")).over(win).as("s2"))
+        .select(col("event_id"), col("user_id"), col("cents"), col("n"),
+          dev.as("dev_n"),
+          when(col("n") >= 10 && dev > 0 &&
+            dev * dev > lit(9) * (col("n") * col("s2") - col("s1") * col("s1")),
+            1L).otherwise(0L).as("anomaly"))
+    },
+
+    // Per-key EWMA (α=1/4) as an order-sensitive sequential fold — the
+    // one aggregation shape that genuinely cannot be a commutative
+    // combine. The series is collected per key (bounded: one user's
+    // events fit in memory by assumption — the same contract as any
+    // per-entity timeline op) and folded in event-time order with
+    // s ← ⌊(3s+x)/4⌋; the init is the first element, matching DuckDB's
+    // list_reduce contract. Quantized to integer cents so the fold is
+    // exact; ⌊·/4.0⌋ on longs < 2⁵² is one exact IEEE divide + floor on
+    // both engines.
+    QuerySpec(
+      "q118_ewma",
+      """SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  list_reduce(
+        |    list(CAST(floor(value * 100) AS BIGINT) ORDER BY ts, event_id),
+        |    (s, x) -> CAST(floor((3 * s + x) / 4.0) AS BIGINT)) AS ewma_cents
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val series = sort_array(collect_list(struct(
+        col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))))
+      val cents = transform(series, e => e.getField("cents"))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), cents.as("__c"))
+        .select(col("user_id"), col("n_events"),
+          aggregate(slice(col("__c"), 2, 1000000), element_at(col("__c"), 1),
+            (acc, x) => floor((acc * 3 + x) / 4.0).cast("long")).as("ewma_cents"))
+    }
+  )
+}
