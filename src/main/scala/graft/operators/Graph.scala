@@ -362,4 +362,73 @@ object Graph {
       }
     }
   }
+
+  /** k-core decomposition by synchronous peeling: every round, all
+    * currently-alive nodes whose alive-neighbor count is < `k` are
+    * removed SIMULTANEOUSLY; repeat for exactly `rounds` rounds (peeling
+    * is monotone, so extra rounds past the fixpoint are identity — the
+    * q105 trick that lets a recursive-CTE oracle replay the loop with a
+    * fixed iteration count). Returns the surviving core as
+    * `(node, core_deg)` — each survivor's degree within the core.
+    *
+    * Synchronous (Jacobi) peeling is chosen over the sequential
+    * min-degree peel deliberately: it is order-free, hence deterministic
+    * under any partitioning, and each round is one join + one aggregate
+    * over `(long, long)` pairs — the same per-round shuffle shape as
+    * [[sssp]]. Early exit when a round removes nothing. Loop discipline
+    * as [[pageRank]]: lineage re-root per round, AQE/broadcast off,
+    * shuffle width sized to the edge list. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val adj = symmetric(edges).persist(lvl)
+    Dedup.pendingCaches.add(adj)
+    val edgeCount = adj.count()
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var alive = adj.select(col("u").as("node")).distinct().persist(lvl)
+        Dedup.pendingCaches.add(alive)
+        var nAlive = alive.count()
+        var r = 0
+        var converged = false
+        while (!converged && r < rounds) {
+          r += 1
+          // Degree within the alive subgraph: keep edges whose BOTH
+          // endpoints are alive, count per u. Nodes losing all edges
+          // drop out of the aggregate entirely — the left join below
+          // treats absence as degree 0.
+          val aliveDeg = adj
+            .join(alive.select(col("node").as("u")), "u")
+            .join(alive.select(col("node").as("v")), "v")
+            .groupBy("u").agg(count(lit(1)).as("__d"))
+          val nextPlan = alive
+            .join(aliveDeg.select(col("u").as("node"), col("__d")), Seq("node"), "left")
+            .where(coalesce(col("__d"), lit(0L)) >= k)
+            .select(col("node"))
+          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+            .persist(lvl)
+          Dedup.pendingCaches.add(next)
+          val n = next.count()
+          converged = n == nAlive
+          nAlive = n
+          alive = next
+        }
+        adj
+          .join(alive.select(col("node").as("u")), "u")
+          .join(alive.select(col("node").as("v")), "v")
+          .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
 }

@@ -242,6 +242,40 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
+  /** Binary (1-bit) quantization ANN with exact rerank: each vector's
+    * sign pattern packs into two 32-bit words (two BIGINTs, not one, so
+    * neither engine touches the sign bit of a 64-bit value), candidates
+    * rank by Hamming distance `bit_count(xor)` to the query signature,
+    * and the `cand` closest rerank by exact cosine. 1 bit/dim — 32×
+    * smaller than int8, the cheapest scan in the quantization ladder;
+    * fully deterministic (sign of an IEEE float is exact), hence a FULL
+    * oracle for an ANN path, like ss8/ss9. Ties in Hamming break by id
+    * on both engines. */
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      cand: Int = 50): DataFrame = {
+    // Word packing: bit (i−1) of word lo for dims 1..32, of word hi for
+    // dims 33..64. Sum of distinct powers of two < 2³² — no overflow,
+    // no sign-bit hazards.
+    def word(v: Column, offset: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, i) => acc + when(element_at(v, i + lit(offset + 1)).cast("double") >= 0,
+          call_function("shiftleft", lit(1L), i)).otherwise(lit(0L)))
+    val q = query.select(col(queryVecCol).as("__qv"))
+      .select(col("__qv"), word(col("__qv"), 0).as("__qlo"),
+        word(col("__qv"), 32).as("__qhi"))
+    val data = df.select(col(idCol), col(vecCol),
+      word(col(vecCol), 0).as("__lo"), word(col(vecCol), 32).as("__hi"))
+    val hamming = bit_count(col("__lo").bitwiseXOR(col("__qlo"))) +
+      bit_count(col("__hi").bitwiseXOR(col("__qhi")))
+    data.crossJoin(broadcast(q))
+      .select(col(idCol), col(vecCol), col("__qv"), hamming.as("__ham"))
+      .orderBy(col("__ham"), col(idCol)).limit(cand)
+      .select(col(idCol), col("__ham").cast("long").as("hamming"),
+        round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` over a bounded
     * subset (brute force; the LSH/IVF paths above are the scale
     * alternative). Broadcast self-join, ids ordered to emit each pair

@@ -291,6 +291,124 @@ object ExpQueries {
         .select(col("user_id"), col("n_events"),
           aggregate(slice(col("__c"), 2, 1000000), element_at(col("__c"), 1),
             (acc, x) => floor((acc * 3 + x) / 4.0).cast("long")).as("ewma_cents"))
+    },
+
+    // Dictionary encoding: replace high-cardinality string categories
+    // with dense integer codes (sorted-distinct rank) — the columnar
+    // compression / feature-id primitive. Spark builds each dictionary
+    // once (a window over the DISTINCT value set only — dimension-sized,
+    // never the fact table) and broadcast-joins the codes back; the
+    // oracle's dense_rank over the raw table is the semantic spec.
+    QuerySpec(
+      "q119_dictionary_encode",
+      """SELECT p_partkey,
+        |  CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS type_code,
+        |  CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS brand_code
+        |FROM part""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def dict(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        df.select(c).distinct()
+          .select(col(c),
+            (row_number().over(Window.orderBy(c)) - 1).cast("long").as(out))
+      val p = Tables.part(s, dir)
+      p.join(broadcast(dict(p, "p_type", "type_code")), "p_type")
+        .join(broadcast(dict(p, "p_brand", "brand_code")), "p_brand")
+        .select("p_partkey", "type_code", "brand_code")
+    },
+
+    // Binary (1-bit) quantized ANN: sign-pattern signatures in two
+    // 32-bit words, Hamming-distance candidate scan (bit_count(xor) — a
+    // 8-byte-per-vector scan, the cheapest rung on the quantization
+    // ladder below ss9's int8), exact-cosine rerank. Deterministic end
+    // to end (IEEE sign is exact), so this approximate-search path gets
+    // a FULL oracle.
+    QuerySpec(
+      "ss11_ann_binary",
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS qv
+        |  FROM embeddings WHERE vec_id = 1
+        |), qs AS (
+        |  SELECT qv,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN qv[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q
+        |), d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), ds AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33, 65),
+        |      i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM d
+        |), cand AS (
+        |  SELECT vec_id, v,
+        |    (bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)))::BIGINT AS hamming
+        |  FROM ds, qs ORDER BY hamming, vec_id LIMIT 50)
+        |SELECT vec_id, hamming,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+        |FROM cand ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.binaryTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 1), "embedding", k = 10, cand = 50)
+    },
+
+    // k-core decomposition (k=3) over a core-plus-satellites graph: a
+    // dense ring core (every node degree ≥ 4) plus 4-satellite chain
+    // blocks anchored to it, whose ends peel in round 1 and interiors
+    // cascade in round 2 — a bounded peel depth at ANY node count, so
+    // the fixed 6-round synchronous replay below is always past the
+    // fixpoint (the q105 bounded-iteration oracle trick). Output: the
+    // surviving core with each node's within-core degree.
+    QuerySpec(
+      "q121_kcore",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) - 1 AS r
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), params AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    (count(*) - count(*) // 3)::BIGINT AS h FROM nodes
+        |), eraw AS (
+        |  SELECT r AS x, (r + 1) % h AS y FROM nodes, params WHERE r < h
+        |  UNION ALL SELECT r, (r + 2) % h FROM nodes, params WHERE r < h
+        |  UNION ALL SELECT r, r % h FROM nodes, params WHERE r >= h
+        |  UNION ALL SELECT r, r - 1 FROM nodes, params
+        |    WHERE r >= h AND (r - h) % 4 <> 0
+        |), e AS (SELECT DISTINCT u, v FROM (
+        |  SELECT x AS u, y AS v FROM eraw WHERE x <> y
+        |  UNION ALL SELECT y, x FROM eraw WHERE x <> y)
+        |), adj_t AS (
+        |  SELECT list(coalesce(a.vs, []) ORDER BY nd.r) AS adj
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT u, list(v) AS vs FROM e GROUP BY u) a ON a.u = nd.r
+        |), core AS (
+        |  SELECT 0 AS it, list_transform(range(0, n), i -> true) AS alive
+        |  FROM params
+        |  UNION ALL
+        |  SELECT it + 1, list_transform(range(1, n + 1), j ->
+        |    CASE WHEN NOT alive[j] THEN false
+        |         ELSE len(list_filter(adj[j], x -> alive[x + 1])) >= 3 END)
+        |  FROM core, adj_t, params WHERE it < 6)
+        |SELECT r AS node,
+        |  len(list_filter(adj[r + 1], x -> alive[x + 1]))::BIGINT AS core_deg
+        |FROM core, nodes, adj_t WHERE it = 6 AND alive[r + 1]""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val ranked = users.select(
+        (row_number().over(Window.orderBy(col("user_id"))) - 1)
+          .cast("long").as("r"))
+      val n = ranked.count()
+      val h = n - n / 3
+      val r = col("r")
+      val edges = ranked.where(r < h)
+          .select(r.as("src"), ((r + 1) % h).as("dst"))
+        .union(ranked.where(r < h).select(r.as("src"), ((r + 2) % h).as("dst")))
+        .union(ranked.where(r >= h).select(r.as("src"), (r % h).as("dst")))
+        .union(ranked.where(r >= h && pmod(r - h, lit(4L)) =!= 0)
+          .select(r.as("src"), (r - 1).as("dst")))
+      graft.operators.Graph.kCore(edges, k = 3, rounds = 6)
     }
   )
 }

@@ -100,4 +100,40 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dists == (0L to 10L).map(i => i -> i).toMap)
   }
+
+  test("kCore: pendant chain cascades off a K4; core degrees are within-core") {
+    // K4 {0,1,2,3} + chain 3-4-5: 5 (deg 1) peels round 1, 4 (then deg
+    // 1) peels round 2 — the cascade — leaving the K4 as the 3-core
+    // with all within-core degrees 3 (node 3's chain edge must not
+    // count).
+    val g = edges((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (3L, 4L), (4L, 5L))
+    val out = Graph.kCore(g, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+
+    // k=2: the chain end still peels (deg 1) and the cascade takes node
+    // 4 with it; k=4 dissolves everything (K4 degrees are only 3).
+    val core2 = Graph.kCore(g, k = 2).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(core2 == Set(0L, 1L, 2L, 3L))
+    assert(Graph.kCore(g, k = 4).collect().isEmpty)
+  }
+
+  test("kCore: two 3-cores joined by a bridge both survive; bridge edge excluded") {
+    // Two K4s sharing no nodes, bridged by a single edge 3-10: every
+    // node keeps core_deg 3 — the bridge contributes nothing once
+    // neither endpoint can reach degree-3 through it alone (both
+    // endpoints survive, so the bridge edge itself stays IN the core
+    // subgraph and counts toward within-core degree).
+    val g = edges(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L),
+      (3L, 10L))
+    val out = Graph.kCore(g, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    assert(out(3L) == 4L && out(10L) == 4L) // bridge endpoints: 3 + bridge
+    assert(Set(0L, 1L, 2L, 11L, 12L, 13L).forall(out(_) == 3L))
+  }
 }

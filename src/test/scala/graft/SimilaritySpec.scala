@@ -199,4 +199,29 @@ class SimilaritySpec extends SparkSpec {
       assert(merged == all, s"cut=$cut")
     }
   }
+
+  test("binaryTopK: sign-identical vector found at Hamming 0; rerank is exact cosine") {
+    import spark.implicits._
+    // 64-dim vectors. id 0 = query; id 1 = same signs, different
+    // magnitudes (Hamming 0, cosine < 1); id 2 = query exactly (cosine
+    // 1); id 3 = all signs flipped (Hamming 64 — must rank last and
+    // fall outside cand when cand is small).
+    val base = (0 until 64).map(i => if (i % 3 == 0) 1.0f else -0.5f)
+    val sameSign = base.map(_ * 7.0f)
+    val flipped = base.map(-_)
+    val df = Seq(
+      (0L, base), (1L, sameSign), (2L, base), (3L, flipped))
+      .toDF("id", "v")
+    val out = Similarity.binaryTopK(df, "id", "v",
+      df.where($"id" === 0), "v", k = 3, cand = 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cand=3 keeps the three Hamming-0 rows; flipped is pruned.
+    assert(rows.map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(rows.forall(_._2 == 0L))
+    // Exact-cosine rerank: the two copies of the query score 1.0; the
+    // rescaled vector scores 1.0 too (cosine is scale-invariant) — all
+    // three tie at 1.0 and order by id.
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.forall(_._3 == 1.0))
+  }
 }
