@@ -409,6 +409,210 @@ object ExpQueries {
         .union(ranked.where(r >= h && pmod(r - h, lit(4L)) =!= 0)
           .select(r.as("src"), (r - 1).as("dst")))
       graft.operators.Graph.kCore(edges, k = 3, rounds = 6)
+    },
+
+    // A/B experiment readout: per-variant conversion rates and the
+    // two-proportion z-test. Assignment is the deterministic user-id
+    // parity split, conversion = any high-value purchase. Counts are the
+    // only aggregation (one pass over events, then a 2-row pivot);
+    // the z statistic's IEEE expression tree is written identically on
+    // both engines (exact long counts → the same divisions/sqrt in the
+    // same order), rounded at 4 dp, and the significance flag derives
+    // from the ROUNDED value so the boundary is engine-identical.
+    QuerySpec(
+      "q122_ab_test",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS grp,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT count(*) FILTER (grp = 0)::BIGINT AS n_a,
+        |    sum(conv) FILTER (grp = 0)::BIGINT AS conv_a,
+        |    count(*) FILTER (grp = 1)::BIGINT AS n_b,
+        |    sum(conv) FILTER (grp = 1)::BIGINT AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(floor(10000 * conv_a / n_a) AS BIGINT) AS cvr_a_bp,
+        |  CAST(floor(10000 * conv_b / n_b) AS BIGINT) AS cvr_b_bp,
+        |  round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+        |    / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+        |  CAST(CASE WHEN abs(round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+        |    / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / n_a + 1.0 / n_b)), 4)) > 1.96
+        |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM g""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("grp"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150, 1L)
+          .otherwise(0L)).as("conv"))
+      val g = u.agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("grp") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+      val pa = col("conv_a") / col("n_a").cast("double")
+      val pb = col("conv_b") / col("n_b").cast("double")
+      val p = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")).cast("double")
+      val z = round((pa - pb) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)
+      g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        floor(lit(10000) * col("conv_a") / col("n_a")).cast("long").as("cvr_a_bp"),
+        floor(lit(10000) * col("conv_b") / col("n_b")).cast("long").as("cvr_b_bp"),
+        z.as("z"),
+        when(abs(z) > 1.96, 1L).otherwise(0L).as("significant"))
+    },
+
+    // ViT-style patch extraction on the stub-decode media plumbing
+    // (mm3's contract: real codec slots in behind the same columns):
+    // every document's payload splits into 64-byte tiles, one output row
+    // per tile with its byte stats — the decode→patch→per-patch-featurize
+    // dataflow, all integer math. The payload-length explode is the only
+    // row expansion; stats fold in-row over slices, so nothing but
+    // (doc_id, tile stats) ever shuffles.
+    QuerySpec(
+      "mm7_image_tiles",
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_transform(range(0, length(text)),
+        |      i -> ascii(substring(text, (i + 1)::INT, 1))) AS codes,
+        |    (length(text) + 63) // 64 AS n_tiles
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, codes, unnest(range(0, n_tiles)) AS tile_id FROM c
+        |)
+        |SELECT doc_id, tile_id,
+        |  len(list_slice(codes, (tile_id * 64 + 1)::INT, ((tile_id + 1) * 64)::INT))::BIGINT AS n_bytes,
+        |  CAST(list_sum(list_slice(codes, (tile_id * 64 + 1)::INT, ((tile_id + 1) * 64)::INT)) AS BIGINT) AS byte_sum,
+        |  CAST(list_min(list_slice(codes, (tile_id * 64 + 1)::INT, ((tile_id + 1) * 64)::INT)) AS BIGINT) AS byte_min,
+        |  CAST(list_max(list_slice(codes, (tile_id * 64 + 1)::INT, ((tile_id + 1) * 64)::INT)) AS BIGINT) AS byte_max
+        |FROM t""".stripMargin) { (s, dir) =>
+      val staged = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), length(col("text")).as("len"), col("text"))
+        .select(col("doc_id"),
+          floor((col("len") + 63) / 64).cast("long").as("n_tiles"),
+          transform(sequence(lit(0L), col("len") - 1),
+            i => ascii(col("text").substr((i + 1).cast("int"), lit(1))))
+            .as("codes"))
+      staged
+        .select(col("doc_id"), col("codes"),
+          explode(sequence(lit(0L), col("n_tiles") - 1)).as("tile_id"))
+        .select(col("doc_id"), col("tile_id"),
+          slice(col("codes"), (col("tile_id") * 64 + 1).cast("int"), lit(64)).as("__t"))
+        .select(col("doc_id"), col("tile_id"),
+          size(col("__t")).cast("long").as("n_bytes"),
+          aggregate(col("__t"), lit(0L), (acc, x) => acc + x).as("byte_sum"),
+          array_min(col("__t")).cast("long").as("byte_min"),
+          array_max(col("__t")).cast("long").as("byte_max"))
+    },
+
+    // Multinomial Naive Bayes language classifier — train on 4/5 of the
+    // corpus (token-class counts with add-one smoothing), classify the
+    // held-out fifth. Every log-likelihood is fixed-pointed to integer
+    // micro-nats PER (token, class) BEFORE the per-document sum — the
+    // tx17 recipe — so document scores are exact integer sums and the
+    // argmax is engine-identical (ties break to the lexicographically
+    // smaller class). The model (token×class table) is bounded by
+    // vocabulary size → broadcast; scoring is one explode + one hash
+    // aggregate, the shape that scales to any corpus. (The harness
+    // corpus draws text independently of the lang label, so the learned
+    // model correctly collapses toward the majority class — the spec
+    // pins the mechanics bit-for-bit, not accuracy on synthetic text.)
+    QuerySpec(
+      "tx26_naive_bayes",
+      """WITH train AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0
+        |), test AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+        |), train_toks AS (
+        |  SELECT lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM train
+        |), tc AS (
+        |  SELECT lang, tok, count(*)::BIGINT AS cnt FROM train_toks GROUP BY 1, 2
+        |), ct AS (
+        |  SELECT lang, count(*)::BIGINT AS tot FROM train_toks GROUP BY 1
+        |), v AS (
+        |  SELECT count(DISTINCT tok)::BIGINT AS vocab FROM train_toks
+        |), priors AS (
+        |  SELECT lang, CAST(floor(ln(count(*) / CAST((SELECT count(*) FROM train) AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro
+        |  FROM train GROUP BY 1
+        |), model AS (
+        |  SELECT tc.lang, tc.tok,
+        |    CAST(floor(ln((tc.cnt + 1) / CAST(ct.tot + v.vocab AS DOUBLE)) * 1000000) AS BIGINT) AS llr_micro
+        |  FROM tc JOIN ct ON tc.lang = ct.lang CROSS JOIN v
+        |), unk AS (
+        |  SELECT ct.lang,
+        |    CAST(floor(ln(1 / CAST(ct.tot + v.vocab AS DOUBLE)) * 1000000) AS BIGINT) AS unk_micro
+        |  FROM ct CROSS JOIN v
+        |), test_toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM test
+        |), tok_scores AS (
+        |  SELECT t.doc_id, u.lang AS c,
+        |    sum(coalesce(m.llr_micro, u.unk_micro))::BIGINT AS tok_sum
+        |  FROM test_toks t CROSS JOIN unk u
+        |  LEFT JOIN model m ON m.tok = t.tok AND m.lang = u.lang
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT te.doc_id, te.lang AS true_lang, p.lang AS c,
+        |    p.prior_micro + coalesce(ts.tok_sum, 0) AS score_micro
+        |  FROM test te CROSS JOIN priors p
+        |  LEFT JOIN tok_scores ts ON ts.doc_id = te.doc_id AND ts.c = p.lang
+        |), ranked AS (
+        |  SELECT doc_id, true_lang, c, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, c) AS rk
+        |  FROM scored)
+        |SELECT doc_id, true_lang, c AS pred_lang, score_micro,
+        |  CAST(CASE WHEN c = true_lang THEN 1 ELSE 0 END AS BIGINT) AS correct
+        |FROM ranked WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val test = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+      val trainToks = train.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tc = trainToks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val ct = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
+      val v = trainToks.agg(countDistinct(col("tok")).as("vocab"))
+      val nTrain = train.agg(count(lit(1)).as("n_train"))
+      val priors = train.groupBy("lang").agg(count(lit(1)).as("ndocs"))
+        .crossJoin(broadcast(nTrain))
+        .select(col("lang"),
+          floor(log(col("ndocs") / col("n_train").cast("double")) * 1000000L)
+            .cast("long").as("prior_micro"))
+      val model = tc.join(ct, "lang").crossJoin(broadcast(v))
+        .select(col("lang"), col("tok"),
+          floor(log((col("cnt") + 1) / (col("tot") + col("vocab")).cast("double"))
+            * 1000000L).cast("long").as("llr_micro"))
+      val unk = ct.crossJoin(broadcast(v))
+        .select(col("lang"),
+          floor(log(lit(1) / (col("tot") + col("vocab")).cast("double"))
+            * 1000000L).cast("long").as("unk_micro"))
+      val testToks = test.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val tokScores = testToks
+        .crossJoin(broadcast(unk.select(col("lang").as("c"), col("unk_micro"))))
+        .join(broadcast(model.select(col("lang").as("c"), col("tok"), col("llr_micro"))),
+          Seq("c", "tok"), "left")
+        .groupBy("doc_id", "c")
+        .agg(sum(coalesce(col("llr_micro"), col("unk_micro"))).as("tok_sum"))
+      val scored = test.select(col("doc_id"), col("lang").as("true_lang"))
+        .crossJoin(broadcast(priors.select(col("lang").as("c"), col("prior_micro"))))
+        .join(tokScores, Seq("doc_id", "c"), "left")
+        .select(col("doc_id"), col("true_lang"), col("c"),
+          (col("prior_micro") + coalesce(col("tok_sum"), lit(0L))).as("score_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_micro").desc, col("c"))
+      scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("true_lang"), col("c").as("pred_lang"),
+          col("score_micro"),
+          when(col("c") === col("true_lang"), 1L).otherwise(0L).as("correct"))
     }
   )
 }
