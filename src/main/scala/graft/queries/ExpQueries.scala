@@ -613,6 +613,153 @@ object ExpQueries {
         .select(col("doc_id"), col("true_lang"), col("c").as("pred_lang"),
           col("score_micro"),
           when(col("c") === col("true_lang"), 1L).otherwise(0L).as("correct"))
+    },
+
+    // Interval overlap self-join via bin bucketing — the scalable plan
+    // for the θ-join Spark would otherwise turn into a per-key nested
+    // loop: every interval (event start, start + value-derived duration)
+    // explodes into the fixed-width bins it touches, candidates meet on
+    // (user, bin) equi-keys, pairs dedup, and the EXACT overlap
+    // predicate filters — same result as the naive quadratic join (the
+    // oracle), but the join is hash-partitionable and the per-bin
+    // quadratic is bounded by bin occupancy, exactly the
+    // lshCandidatePairs discipline. All µs-integer math.
+    QuerySpec(
+      "q115_interval_join",
+      """WITH iv AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + (1 + CAST(floor(value) AS BIGINT) % 30) * 60000000 AS en
+        |  FROM events
+        |)
+        |SELECT a.event_id AS event_id1, b.event_id AS event_id2,
+        |  (least(a.en, b.en) - greatest(a.st, b.st)) // 1000000 AS overlap_s
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.st <= b.en AND b.st <= a.en""".stripMargin) { (s, dir) =>
+      val binUs = 30L * 60000000L
+      val iv = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("st"),
+        (unix_micros(col("ts").cast("timestamp")) +
+          (lit(1) + floor(col("value")).cast("long") % 30) * 60000000L).as("en"))
+      val binned = iv.select(col("event_id"), col("user_id"), col("st"), col("en"),
+        explode(sequence(floor(col("st") / binUs).cast("long"),
+          floor(col("en") / binUs).cast("long"))).as("bin"))
+      val a = binned.select(col("user_id"), col("bin"),
+        col("event_id").as("event_id1"), col("st").as("st1"), col("en").as("en1"))
+      val b = binned.select(col("user_id"), col("bin"),
+        col("event_id").as("event_id2"), col("st").as("st2"), col("en").as("en2"))
+      a.join(b, Seq("user_id", "bin"))
+        .where(col("event_id1") < col("event_id2"))
+        .select("event_id1", "event_id2", "st1", "en1", "st2", "en2")
+        .distinct() // an overlapping pair can meet in several bins
+        .where(col("st1") <= col("en2") && col("st2") <= col("en1"))
+        .select(col("event_id1"), col("event_id2"),
+          floor((least(col("en1"), col("en2")) - greatest(col("st1"), col("st2")))
+            / 1000000.0).cast("long").as("overlap_s"))
+    },
+
+    // Voice-activity detection on the stub-PCM plumbing: mm5's windowed
+    // RMS, thresholded, then gaps-and-islands to contiguous active
+    // segments — the audio-segmentation dataflow (decode → frame →
+    // energy → segment). The island id (win − row_number over active
+    // windows) is pure integer window math; one explode and one
+    // doc-partitioned sort.
+    QuerySpec(
+      "mm8_audio_vad",
+      """WITH s AS (
+        |  SELECT doc_id, list_transform(string_split(text, ''), c -> ascii(c)) AS smp
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, smp, unnest(range(0, len(smp) // 64)) AS w FROM s),
+        |r AS (
+        |  SELECT doc_id, CAST(w AS BIGINT) AS win,
+        |    CAST(floor(sqrt(list_sum(list_transform(
+        |        list_slice(smp, w*64 + 1, w*64 + 64), x -> x*x)) / 64.0) * 100 + 0.5)
+        |      AS BIGINT) AS rms_c
+        |  FROM w),
+        |act AS (
+        |  SELECT doc_id, win, rms_c,
+        |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS seg
+        |  FROM r WHERE rms_c >= 9900)
+        |SELECT doc_id, min(win) AS start_win, max(win) AS end_win,
+        |  count(*)::BIGINT AS n_windows, max(rms_c) AS peak_rms_c
+        |FROM act GROUP BY doc_id, seg""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rms = graft.operators.Multimodal.attachFakeMedia(
+          Tables.fanOut(Tables.documents(s, dir)))
+        .select(col("doc_id"),
+          graft.operators.Multimodal.pcmSamples(col("media")).as("smp"))
+        .select(col("doc_id"),
+          graft.operators.Multimodal.windowRms(col("smp"), 64).as("rms"))
+        .select(col("doc_id"), posexplode_outer(col("rms")).as(Seq("win", "rms_c")))
+        .where(col("rms_c").isNotNull)
+        .select(col("doc_id"), col("win").cast("long").as("win"), col("rms_c"))
+      val act = rms.where(col("rms_c") >= 9900)
+        .withColumn("seg", col("win") -
+          row_number().over(Window.partitionBy("doc_id").orderBy("win")))
+      act.groupBy("doc_id", "seg")
+        .agg(min(col("win")).as("start_win"), max(col("win")).as("end_win"),
+          count(lit(1)).as("n_windows"), max(col("rms_c")).as("peak_rms_c"))
+        .select("doc_id", "start_win", "end_win", "n_windows", "peak_rms_c")
+    },
+
+    // First/last-touch attribution: every purchase credits the earliest
+    // and the most recent preceding touch (view/click) of the same user,
+    // with a 1-hour validity window on the last touch. Touches pack into
+    // a single integer (ts·4 + type code) so running min/max over the
+    // user timeline carry the (time, channel) pair through ONE window —
+    // no self-join against the touch log, no struct aggregates; decode
+    // is integer div/mod. Click outranks view at the same µs in the
+    // last-touch max, view wins the first-touch min — deterministic on
+    // both engines.
+    QuerySpec(
+      "q123_attribution",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        |), packed AS (
+        |  SELECT event_id, user_id, event_type, ts_us,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us * 4 + 1
+        |             WHEN event_type = 'click' THEN ts_us * 4 + 2 END)
+        |      OVER w AS first_touch,
+        |    max(CASE WHEN event_type = 'view' THEN ts_us * 4 + 1
+        |             WHEN event_type = 'click' THEN ts_us * 4 + 2 END)
+        |      OVER w AS last_touch
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id,
+        |  CASE WHEN first_touch IS NULL THEN 'none'
+        |       WHEN first_touch % 4 = 1 THEN 'view' ELSE 'click' END AS first_channel,
+        |  CASE WHEN last_touch IS NULL OR ts_us - last_touch // 4 > 3600000000 THEN 'none'
+        |       WHEN last_touch % 4 = 1 THEN 'view' ELSE 'click' END AS last_channel,
+        |  CASE WHEN last_touch IS NULL THEN -1
+        |       ELSE (ts_us - last_touch // 4) // 1000000 END AS last_lag_s
+        |FROM packed WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val touch = when(col("event_type") === "view", col("ts_us") * 4 + 1)
+        .when(col("event_type") === "click", col("ts_us") * 4 + 2)
+      val packed = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"),
+          min(touch).over(w).as("first_touch"),
+          max(touch).over(w).as("last_touch"))
+      packed.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(col("first_touch").isNull, "none")
+            .when(pmod(col("first_touch"), lit(4L)) === 1, "view")
+            .otherwise("click").as("first_channel"),
+          when(col("last_touch").isNull ||
+              col("ts_us") - floor(col("last_touch") / 4).cast("long") > 3600000000L, "none")
+            .when(pmod(col("last_touch"), lit(4L)) === 1, "view")
+            .otherwise("click").as("last_channel"),
+          when(col("last_touch").isNull, -1L)
+            .otherwise(floor((col("ts_us") - floor(col("last_touch") / 4).cast("long"))
+              / 1000000.0).cast("long")).as("last_lag_s"))
     }
   )
 }
