@@ -37,6 +37,16 @@ object Dedup {
   private[operators] val pendingCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
+  /** Persist `df` (MEMORY_AND_DISK) and register it for
+    * [[releaseCaches]] — the staging entry point for query code whose
+    * plan feeds one subtree into several consumers (the same contract
+    * the near-dup pipelines use internally). */
+  def stage(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pendingCaches.add(p)
+    p
+  }
+
   /** Unpersist every cache registered by prior near-dup invocations.
     * Call after the consuming action; idempotent. */
   def releaseCaches(): Unit = {

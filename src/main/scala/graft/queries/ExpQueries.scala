@@ -115,15 +115,24 @@ object ExpQueries {
         |JOIN items ia ON ia.p = d.ant
         |JOIN items ic ON ic.p = d.cons
         |CROSS JOIN n""".stripMargin) { (s, dir) =>
-      val b = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("k"), col("l_partkey").as("p")).distinct()
-      val n = b.agg(countDistinct(col("k")).as("n_baskets"))
+      // Plan shape: the item supports and the basket count come straight
+      // off the scan as single-pass distinct aggregations (no dependence
+      // on the staged pair table), and only the self-join consumes the
+      // distinct basket table — whose two sides are plan-identical, so
+      // the exchange is computed once and reused. Staging it through a
+      // cache was measurably SLOWER at bench scale (materialization
+      // barrier vs. a cheap 2-column recompute); at 100 TB the same
+      // trade flips and `Dedup.stage(b)` is the one-line change.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      val b = li.distinct()
+      val n = li.agg(countDistinct(col("k")).as("n_baskets"))
       val pairs = b.as("a")
         .join(b.as("c"), col("a.k") === col("c.k") && col("a.p") < col("c.p"))
         .groupBy(col("a.p").as("ant"), col("c.p").as("cons"))
         .agg(count(lit(1)).as("supp"))
         .where(col("supp") >= 2)
-      val items = b.groupBy(col("p")).agg(count(lit(1)).as("isupp"))
+      val items = li.groupBy(col("p")).agg(countDistinct(col("k")).as("isupp"))
       val directed = pairs.select(col("ant"), col("cons"), col("supp"))
         .unionAll(pairs.select(col("cons").as("ant"), col("ant").as("cons"), col("supp")))
       // Integer cross-multiplication: 10000·supp·N ≤ 1e4·60k·15k ≈ 9e12,
@@ -575,8 +584,10 @@ object ExpQueries {
       val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
       val train = docs.where(pmod(col("doc_id"), lit(5)) =!= 0)
       val test = docs.where(pmod(col("doc_id"), lit(5)) === 0)
-      val trainToks = train.select(col("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      // Staged once: the token stream feeds the counts, totals, and
+      // vocabulary branches (and the model join consumes two of those).
+      val trainToks = graft.operators.Dedup.stage(train.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok")))
       val tc = trainToks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
       val ct = trainToks.groupBy("lang").agg(count(lit(1)).as("tot"))
       val v = trainToks.agg(countDistinct(col("tok")).as("vocab"))
