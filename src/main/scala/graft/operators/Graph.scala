@@ -363,6 +363,65 @@ object Graph {
     }
   }
 
+  /** `iterations` rounds of UNNORMALIZED HITS over directed `edges`
+    * (self-loops dropped, parallel edges collapsed): per round, every
+    * node's authority becomes the sum of its in-neighbors' hubs, then
+    * every hub becomes the sum of its out-neighbors' NEW authorities —
+    * the classic alternating update, kept in exact integers by skipping
+    * the normalization (scores order identically; growth per round is
+    * bounded by max-degree², far from BIGINT range for realistic
+    * iteration counts). Deterministic, so a recursive-CTE oracle
+    * replays every round (q124). Returns `(node, hub, auth)`;
+    * zero-degree sides score 0.
+    *
+    * Two shuffled joins per round over `(long, long)` pairs; loop
+    * discipline as [[pageRank]] (lineage re-root, AQE/broadcast off,
+    * width sized to the edge list, no per-round action). */
+  def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct().persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
+    Dedup.pendingCaches.add(e)
+    Dedup.pendingCaches.add(nodes)
+    val edgeCount = e.count()
+    spark.synchronized {
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        var scores = nodes.select(col("node"),
+          lit(1L).as("hub"), lit(1L).as("auth"))
+        for (_ <- 1 to iterations) {
+          val auth = e
+            .join(scores.select(col("node").as("src"), col("hub")), "src")
+            .groupBy(col("dst")).agg(sum(col("hub")).as("na"))
+          val hub = e
+            .join(auth.select(col("dst"), col("na")), "dst")
+            .groupBy(col("src")).agg(sum(col("na")).as("nh"))
+          val nextPlan = nodes
+            .join(hub.select(col("src").as("node"), col("nh")), Seq("node"), "left")
+            .join(auth.select(col("dst").as("node"), col("na")), Seq("node"), "left")
+            .select(col("node"), coalesce(col("nh"), lit(0L)).as("hub"),
+              coalesce(col("na"), lit(0L)).as("auth"))
+          scores = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+        }
+        scores
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+  }
+
   /** k-core decomposition by synchronous peeling: every round, all
     * currently-alive nodes whose alive-neighbor count is < `k` are
     * removed SIMULTANEOUSLY; repeat for exactly `rounds` rounds (peeling

@@ -771,6 +771,139 @@ object ExpQueries {
           when(col("last_touch").isNull, -1L)
             .otherwise(floor((col("ts_us") - floor(col("last_touch") / 4).cast("long"))
               / 1000000.0).cast("long")).as("last_lag_s"))
+    },
+
+    // HITS hubs/authorities, 5 alternating rounds over the directed
+    // ring+chord graph — the link-analysis companion to q94's PageRank.
+    // Unnormalized: scores stay exact BIGINTs (growth ≈ max-degree² per
+    // round, nowhere near overflow), so the oracle's recursive CTE
+    // carries both vectors and replays every round bit-for-bit; the
+    // alternating update (auth from PREVIOUS hubs, hub from the NEW
+    // auths) is pinned by the same nested-lambda expansion on both
+    // engines.
+    QuerySpec(
+      "q124_hits",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) - 1 AS r
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |eraw AS (
+        |  SELECT r AS x, (r + 1) % n AS y FROM nodes, params
+        |  UNION ALL SELECT r, (r * 31 + 7) % n FROM nodes, params
+        |), e AS (SELECT DISTINCT x AS src, y AS dst FROM eraw WHERE x <> y),
+        |out_t AS (
+        |  SELECT list(coalesce(a.vs, []) ORDER BY nd.r) AS out_adj
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT src, list(dst) AS vs FROM e GROUP BY src) a ON a.src = nd.r
+        |), in_t AS (
+        |  SELECT list(coalesce(a.vs, []) ORDER BY nd.r) AS in_adj
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT dst, list(src) AS vs FROM e GROUP BY dst) a ON a.dst = nd.r
+        |), hits AS (
+        |  SELECT 0 AS it,
+        |    list_transform(range(0, n), i -> 1::BIGINT) AS h,
+        |    list_transform(range(0, n), i -> 1::BIGINT) AS a
+        |  FROM params
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_transform(range(1, n + 1), i ->
+        |      CAST(coalesce(list_sum(list_transform(out_adj[i], j ->
+        |        coalesce(list_sum(list_transform(in_adj[j + 1], k -> h[k + 1])), 0)
+        |      )), 0) AS BIGINT)),
+        |    list_transform(range(1, n + 1), j ->
+        |      CAST(coalesce(list_sum(list_transform(in_adj[j], k -> h[k + 1])), 0) AS BIGINT))
+        |  FROM hits, out_t, in_t, params WHERE it < 5)
+        |SELECT r AS node, h[r + 1] AS hub, a[r + 1] AS auth
+        |FROM hits, nodes WHERE it = 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val ranked = users.select(
+        (row_number().over(Window.orderBy(col("user_id"))) - 1)
+          .cast("long").as("r"))
+      val n = ranked.count()
+      val edges = ranked
+        .select(col("r").as("src"), ((col("r") + 1) % n).as("dst"))
+        .union(ranked.select(col("r").as("src"),
+          ((col("r") * 31 + 7) % n).as("dst")))
+      graft.operators.Graph.hits(edges, iterations = 5)
+    },
+
+    // Rolling exact median (15-row trailing window, integer cents): the
+    // robust-smoothing companion to q82's moving average. Both engines
+    // materialize the frame as a list, sort it, and index the lower
+    // middle — identical tie and short-leading-frame semantics by
+    // construction; no percentile interpolation anywhere.
+    QuerySpec(
+      "q125_moving_median",
+      """WITH c AS (
+        |  SELECT o_orderkey, o_custkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  list_sort(list(cents) OVER w)[(len(list(cents) OVER w) + 1) // 2] AS med_c,
+        |  len(list(cents) OVER w)::BIGINT AS n_window
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey").rowsBetween(-14, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(col("o_orderkey"),
+          sort_array(collect_list(col("cents")).over(w)).as("__l"),
+          count(lit(1)).over(w).as("n_window"))
+        .select(col("o_orderkey"),
+          element_at(col("__l"), ((col("n_window") + 1) / 2).cast("int")).as("med_c"),
+          col("n_window"))
+    },
+
+    // ABC / Pareto analysis: rank parts by revenue within each brand,
+    // cumulative revenue share in exact integer cents, class A/B/C at
+    // the 80%/95% cuts via cross-multiplied comparisons (no percentage
+    // division anywhere). One aggregation on (brand, part), then a
+    // window over the brand-sized ranking plus a brand-total broadcast
+    // join — the fact table never meets a window.
+    QuerySpec(
+      "q126_abc_analysis",
+      """WITH rev AS (
+        |  SELECT p.p_brand, l.l_partkey,
+        |    sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS rev_c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT p_brand, sum(rev_c)::BIGINT AS tot_c FROM rev GROUP BY 1
+        |), ranked AS (
+        |  SELECT r.p_brand, r.l_partkey, r.rev_c,
+        |    sum(r.rev_c) OVER (PARTITION BY r.p_brand
+        |      ORDER BY r.rev_c DESC, r.l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_c,
+        |    t.tot_c
+        |  FROM rev r JOIN tot t ON r.p_brand = t.p_brand)
+        |SELECT p_brand, l_partkey, rev_c, cum_c,
+        |  CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+        |       WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM ranked""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      val tot = rev.groupBy(col("p_brand")).agg(sum(col("rev_c")).as("tot_c"))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("rev_c").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(tot), "p_brand")
+        .select(col("p_brand"), col("l_partkey"), col("rev_c"),
+          sum(col("rev_c")).over(w).as("cum_c"), col("tot_c"))
+        .select(col("p_brand"), col("l_partkey"), col("rev_c"), col("cum_c"),
+          when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+            .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+            .otherwise("C").as("abc_class"))
     }
   )
 }

@@ -101,6 +101,17 @@ class GraphSpec extends SparkSpec {
     assert(dists == (0L to 10L).map(i => i -> i).toMap)
   }
 
+  test("hits: alternating update on a star — hand-computed two rounds") {
+    // 0→1, 0→2, 3→1. Round 1: a1=h0+h3=2, a2=h0=1; h0=a1+a2=3, h3=a1=2.
+    // Round 2: a1=3+2=5, a2=3; h0=5+3=8, h3=5. Sinks keep hub 0,
+    // sources keep auth 0.
+    val g = edges((0L, 1L), (0L, 2L), (3L, 1L))
+    val out = Graph.hits(g, iterations = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      0L -> ((8L, 0L)), 1L -> ((0L, 5L)), 2L -> ((0L, 3L)), 3L -> ((5L, 0L))))
+  }
+
   test("kCore: pendant chain cascades off a K4; core degrees are within-core") {
     // K4 {0,1,2,3} + chain 3-4-5: 5 (deg 1) peels round 1, 4 (then deg
     // 1) peels round 2 — the cascade — leaving the K4 as the 3-core
