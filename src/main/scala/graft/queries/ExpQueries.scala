@@ -904,6 +904,100 @@ object ExpQueries {
           when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
             .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
             .otherwise("C").as("abc_class"))
+    },
+
+    // Entity resolution end-to-end: er1's blocked Levenshtein match
+    // pairs flow into connected components (the dd7 operator) to mint
+    // one entity id per transitive match group, plus the group size —
+    // the master-data "golden record" keying step. Only records in some
+    // match pair appear (singletons keep their own id trivially). The
+    // oracle replays the closure with a recursive CTE over the
+    // identical pair predicate.
+    QuerySpec(
+      "er2_entity_clusters",
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), p AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM recs a JOIN recs b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2
+        |), e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (
+        |  SELECT a AS record_id, least(a, min(b)) AS entity_id
+        |  FROM reach GROUP BY a)
+        |SELECT record_id, entity_id,
+        |  count(*) OVER (PARTITION BY entity_id)::BIGINT AS cluster_size
+        |FROM lab""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_nationkey"), col("c_mktsegment"))
+      val dirty = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(10)) === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name"), lit("x")).as("name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val recs = c.union(dirty)
+      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val pairs = l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        .where(col("id1") < col("id2") &&
+          levenshtein(col("n1"), col("n2")) <= 2)
+        .select(col("id1"), col("id2"))
+      val cc = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("doc_id").as("record_id"), col("cluster_id").as("entity_id"))
+      val sizes = cc.groupBy(col("entity_id")).agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "entity_id")
+        .select("record_id", "entity_id", "cluster_size")
+    },
+
+    // Shuffle-key skew diagnostic: the key-distribution report a
+    // planner consults before choosing salting / AQE skew handling.
+    // Top-1/top-10 key share and the exact Gini coefficient of the key
+    // histogram — Gini via the rank formula Σ(2i−n−1)·cᵢ / (n·T) kept
+    // in cross-multiplied integers (basis points, floor). One
+    // aggregation over the fact table; everything after is
+    // key-cardinality-sized.
+    QuerySpec(
+      "q127_skew_gini",
+      """WITH counts AS (
+        |  SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT k, c, row_number() OVER (ORDER BY c, k) AS i FROM counts
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS t FROM counts
+        |)
+        |SELECT n AS n_keys, t AS total_rows,
+        |  CAST(floor(10000 * max(c) / t) AS BIGINT) AS top1_bp,
+        |  CAST(floor(10000 * sum(CASE WHEN i > n - 10 THEN c ELSE 0 END) / t) AS BIGINT) AS top10_bp,
+        |  CAST(floor(10000.0 * sum((2 * i - n - 1) * c) / (n * t)) AS BIGINT) AS gini_bp
+        |FROM ranked, tot GROUP BY n, t""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+      val ranked = counts.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("k"))).cast("long"))
+      val tot = counts.agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
+      ranked.crossJoin(broadcast(tot))
+        .groupBy(col("n"), col("t"))
+        .agg(max(col("c")).as("mx"),
+          sum(when(col("i") > col("n") - 10, col("c")).otherwise(0L)).as("s10"),
+          sum((lit(2) * col("i") - col("n") - 1) * col("c")).as("gnum"))
+        .select(col("n").as("n_keys"), col("t").as("total_rows"),
+          floor(lit(10000) * col("mx") / col("t")).cast("long").as("top1_bp"),
+          floor(lit(10000) * col("s10") / col("t")).cast("long").as("top10_bp"),
+          floor(lit(10000.0) * col("gnum") / (col("n") * col("t")))
+            .cast("long").as("gini_bp"))
     }
   )
 }

@@ -231,6 +231,82 @@ object Streams {
     }
   }
 
+  /** Per-user per-event-type running counts on a `MapState` handle — the
+    * keyed-sub-state shape (`state[user][event_type] += n`) that a
+    * ValueState would have to serialize wholesale on every update;
+    * MapState reads/writes only the touched sub-keys, the point of the
+    * handle at production state sizes. Emits one (user, type, n) row per
+    * TOUCHED type per batch (update semantics). */
+  def eventTypeCountsTws(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+      .toDF("user_id", "event_type", "n")
+  }
+
+  private class TypeCountsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val k = r._2
+        val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, cur + 1L)
+        touched += k
+      }
+      touched.iterator.map(k => (user, k, counts.getValue(k))).toSeq.iterator
+    }
+  }
+
+  /** Last-K event ids per user on a `ListState` handle (bounded recency
+    * buffer — the feature-store "recent items" shape). `appendValue`
+    * per event, truncation via `put` only when the bound is exceeded;
+    * emits the buffer as a comma-joined string per touched user per
+    * batch. */
+  def recentEventsTws(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentEventsProcessor(k),
+        TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[(Long, String)])
+      .toDF("user_id", "recent")
+  }
+
+  private class RecentEventsProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, String)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var recent: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, String)] = {
+      rows.foreach(r => recent.appendValue(r._2))
+      val all = recent.get().toArray
+      if (all.length > k) recent.put(all.takeRight(k))
+      Iterator((user, recent.get().mkString(",")))
+    }
+  }
+
   /** [[runToTable]] under the RocksDB state-store provider — required by
     * `transformWithState`, and the production state backend once state
     * exceeds executor heap (changelog checkpointing, off-heap blocks).

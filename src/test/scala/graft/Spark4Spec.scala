@@ -74,6 +74,35 @@ class Spark4Spec extends SparkSpec {
     assert(rows == Set((1L, 2L))) // user 1's closed session only, exactly once
   }
 
+  test("transformWithState MapState: per-type sub-keys accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long, t: String) = StreamingSpec.Ev(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), user, t, 1.0, "{}")
+    val mem = MemoryStream[StreamingSpec.Ev]
+    mem.addData(Seq(ev(1, 1, "view"), ev(2, 1, "view"), ev(3, 1, "click"),
+      ev(4, 2, "view")))
+    val out = Streams.runToTableRocksDB(
+        Streams.eventTypeCountsTws(mem.toDF()), "t_map_state", "update")
+      .groupBy("user_id", "event_type").agg(max("n").as("n"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "view", 2L), (1L, "click", 1L), (2L, "view", 1L)))
+  }
+
+  test("transformWithState ListState: bounded recency buffer keeps the last 3") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, user: Long) = StreamingSpec.Ev(
+      id, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), user, "a", 1.0, "{}")
+    val mem = MemoryStream[StreamingSpec.Ev]
+    mem.addData(Seq(ev(10, 1), ev(11, 1), ev(12, 1), ev(13, 1), ev(20, 2)))
+    val out = Streams.runToTableRocksDB(
+        Streams.recentEventsTws(mem.toDF(), k = 3), "t_list_state", "update")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "11,12,13") // 10 truncated out of the k=3 buffer
+    assert(out(2L) == "20")
+  }
+
   test("transformWithState totals equal flatMapGroupsWithState totals (batch parity)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
