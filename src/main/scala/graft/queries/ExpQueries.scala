@@ -998,6 +998,151 @@ object ExpQueries {
           floor(lit(10000) * col("s10") / col("t")).cast("long").as("top10_bp"),
           floor(lit(10000.0) * col("gnum") / (col("n") * col("t")))
             .cast("long").as("gini_bp"))
+    },
+
+    // Geo nearest-facility assignment: every customer snaps to the
+    // closest of 25 nation "stores" by haversine distance — the
+    // reference's address geo columns (blog_post_definitions.sql:21-22,
+    // users_etl.py:110-111) exercised as a real spatial op. Coordinates
+    // are planted deterministically from keys (exact binary doubles);
+    // distances round to metres-ish 3 dp BEFORE the argmin so the
+    // store choice and tie-break (smaller nation key) are
+    // engine-identical. Plan: dimension-sized store table broadcast,
+    // one pass over customers, argmin via min(struct) — no window over
+    // the fact table.
+    QuerySpec(
+      "q128_geo_nearest",
+      """WITH stores AS (
+        |  SELECT n_nationkey AS store_id,
+        |    (n_nationkey % 24) * 6 - 66 + 0.5 AS slat,
+        |    (n_nationkey * 13) % 360 - 180 + 0.5 AS slng
+        |  FROM nation
+        |), cust AS (
+        |  SELECT c_custkey,
+        |    (c_custkey % 170) - 85 + 0.25 AS clat,
+        |    (c_custkey * 7) % 360 - 180 + 0.25 AS clng
+        |  FROM customer
+        |), d AS (
+        |  SELECT c_custkey, store_id,
+        |    round(2 * 6371.0 * asin(sqrt(
+        |      sin(radians((slat - clat) / 2)) * sin(radians((slat - clat) / 2))
+        |      + cos(radians(clat)) * cos(radians(slat))
+        |        * sin(radians((slng - clng) / 2)) * sin(radians((slng - clng) / 2))
+        |    )), 3) AS dist_km
+        |  FROM cust, stores
+        |), ranked AS (
+        |  SELECT c_custkey, store_id, dist_km,
+        |    row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY dist_km, store_id) AS rk
+        |  FROM d)
+        |SELECT c_custkey, store_id AS nearest_store, dist_km
+        |FROM ranked WHERE rk = 1""".stripMargin) { (s, dir) =>
+      val stores = Tables.nation(s, dir).select(
+        col("n_nationkey").cast("long").as("store_id"),
+        ((col("n_nationkey") % 24) * 6 - 66 + 0.5).as("slat"),
+        ((col("n_nationkey") * 13) % 360 - 180 + 0.5).as("slng"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"),
+        ((col("c_custkey") % 170) - 85 + 0.25).as("clat"),
+        ((col("c_custkey") * 7) % 360 - 180 + 0.25).as("clng"))
+      def sin2(x: org.apache.spark.sql.Column) = sin(radians(x)) * sin(radians(x))
+      val dist = round(lit(2 * 6371.0) * asin(sqrt(
+        sin2((col("slat") - col("clat")) / 2)
+          + cos(radians(col("clat"))) * cos(radians(col("slat")))
+            * sin2((col("slng") - col("clng")) / 2))), 3)
+      cust.crossJoin(broadcast(stores))
+        .select(col("c_custkey"), col("store_id"), dist.as("dist_km"))
+        .groupBy("c_custkey")
+        .agg(min(struct(col("dist_km"), col("store_id"))).as("m"))
+        .select(col("c_custkey"), col("m.store_id").as("nearest_store"),
+          col("m.dist_km").as("dist_km"))
+    },
+
+    // Perceptual-hash (average-hash) image near-dup detection on the
+    // stub decode: each payload resamples into 32 RELATIVE tiles
+    // (t·len/32 boundaries — the resize step of a real aHash, so the
+    // fingerprint is length-invariant and every bit is live), a bit
+    // sets when the tile's mean byte exceeds the payload mean (integer
+    // cross-multiplication), then near-dup pairs (Hamming ≤ 2) surface
+    // through the dd5 chunk-pigeonhole join — 4 × 8-bit chunks, a pair
+    // within distance 2 must agree on ≥1 chunk (guaranteed recall for
+    // ≤ 3) — never a full cross join. A re-keyed doubled corpus plants
+    // exact-copy pairs at distance 0. The whole pipeline is integer
+    // arithmetic: FULL oracle.
+    QuerySpec(
+      "mm9_phash_neardup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+        |), c AS (
+        |  SELECT doc_id, length(text) AS len,
+        |    list_transform(range(0, length(text)),
+        |      i -> ascii(substring(text, (i + 1)::INT, 1))) AS codes
+        |  FROM corpus
+        |), sums AS (
+        |  SELECT doc_id, len,
+        |    CAST(list_sum(codes) AS BIGINT) AS total,
+        |    list_transform(range(0, 32), t -> {
+        |      's': CAST(list_sum(list_slice(codes,
+        |             (t * len // 32 + 1)::INT, ((t + 1) * len // 32)::INT)) AS BIGINT),
+        |      'n': CAST((t + 1) * len // 32 - t * len // 32 AS BIGINT)}) AS tiles
+        |  FROM c
+        |), ph AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 33), t ->
+        |      CASE WHEN tiles[t].s * len > total * tiles[t].n
+        |           THEN (1::BIGINT << (t - 1)) ELSE 0 END)) AS BIGINT) AS phash
+        |  FROM sums
+        |), chunks AS (
+        |  SELECT doc_id, phash, unnest(range(0, 4)) AS ci FROM ph
+        |), keyed AS (
+        |  SELECT doc_id, phash, ci, (phash >> (ci * 8)::INT) & 255 AS cv FROM chunks
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.phash AS p1, b.phash AS p2
+        |  FROM keyed a JOIN keyed b
+        |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, bit_count(xor(p1, p2))::BIGINT AS hamming
+        |FROM cand WHERE bit_count(xor(p1, p2)) <= 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val c = Tables.fanOut(corpus)
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"), col("text"))
+        .select(col("doc_id"), col("len"),
+          transform(sequence(lit(0L), col("len") - 1),
+            i => ascii(col("text").substr((i + 1).cast("int"), lit(1))))
+            .as("codes"))
+      def bnd(t: org.apache.spark.sql.Column) =
+        floor(t * col("len") / 32.0).cast("long") // ·len/32 exact: /32 is a power of two
+      val sums = c.select(col("doc_id"), col("len"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("total"),
+        transform(sequence(lit(0L), lit(31L)), t => struct(
+          aggregate(slice(col("codes"), (bnd(t) + 1).cast("int"),
+            (bnd(t + 1) - bnd(t)).cast("int")), lit(0L), (a, x) => a + x).as("s"),
+          (bnd(t + 1) - bnd(t)).as("n"))).as("tiles"))
+      val ph = sums.select(col("doc_id"),
+        aggregate(sequence(lit(1L), lit(32L)), lit(0L), (acc, t) =>
+          acc + when(
+            element_at(col("tiles"), t.cast("int")).getField("s") * col("len") >
+              col("total") * element_at(col("tiles"), t.cast("int")).getField("n"),
+            call_function("shiftleft", lit(1L), (t - 1).cast("int")))
+            .otherwise(lit(0L))).as("phash"))
+      val chunks = ph.select(col("doc_id"), col("phash"),
+          explode(sequence(lit(0), lit(3))).as("ci"))
+        .select(col("doc_id"), col("phash"), col("ci"),
+          call_function("shiftright", col("phash"), col("ci") * 8)
+            .bitwiseAND(lit(255L)).as("cv"))
+      val a = chunks.select(col("ci"), col("cv"),
+        col("doc_id").as("id1"), col("phash").as("p1"))
+      val b = chunks.select(col("ci"), col("cv"),
+        col("doc_id").as("id2"), col("phash").as("p2"))
+      a.join(b, Seq("ci", "cv"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2", "p1", "p2").distinct()
+        .where(bit_count(col("p1").bitwiseXOR(col("p2"))) <= 2)
+        .select(col("id1"), col("id2"),
+          bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long").as("hamming"))
     }
   )
 }
