@@ -1115,19 +1115,25 @@ object ExpQueries {
             .as("codes"))
       def bnd(t: org.apache.spark.sql.Column) =
         floor(t * col("len") / 32.0).cast("long") // ·len/32 exact: /32 is a power of two
-      val sums = c.select(col("doc_id"), col("len"),
-        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("total"),
-        transform(sequence(lit(0L), lit(31L)), t => struct(
-          aggregate(slice(col("codes"), (bnd(t) + 1).cast("int"),
-            (bnd(t + 1) - bnd(t)).cast("int")), lit(0L), (a, x) => a + x).as("s"),
-          (bnd(t + 1) - bnd(t)).as("n"))).as("tiles"))
-      val ph = sums.select(col("doc_id"),
-        aggregate(sequence(lit(1L), lit(32L)), lit(0L), (acc, t) =>
-          acc + when(
-            element_at(col("tiles"), t.cast("int")).getField("s") * col("len") >
-              col("total") * element_at(col("tiles"), t.cast("int")).getField("n"),
-            call_function("shiftleft", lit(1L), (t - 1).cast("int")))
-            .otherwise(lit(0L))).as("phash"))
+      // Expression discipline (the lesson this spec encodes): the bit
+      // fold references `codes` exactly ONCE per tile — a materialized
+      // 32-struct tile array re-referenced 64 times lets projection
+      // collapsing re-inline the per-char decode transform into every
+      // reference, a measured >100× CPU blowup at sf0.1 (DuckDB runs
+      // the same pipeline sub-second). One pass, 33 slice/total
+      // references, then the 8-byte/doc result is staged for the
+      // two-sided candidate join.
+      def tileSum(t: org.apache.spark.sql.Column) =
+        aggregate(slice(col("codes"), (bnd(t) + 1).cast("int"),
+          (bnd(t + 1) - bnd(t)).cast("int")), lit(0L), (a, x) => a + x)
+      val ph = graft.operators.Dedup.stage(c.select(col("doc_id"), col("len"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("total"), col("codes"))
+        .select(col("doc_id"),
+          aggregate(sequence(lit(0L), lit(31L)), lit(0L), (acc, t) =>
+            acc + when(
+              tileSum(t) * col("len") > col("total") * (bnd(t + 1) - bnd(t)),
+              call_function("shiftleft", lit(1L), t.cast("int")))
+              .otherwise(lit(0L))).as("phash")))
       val chunks = ph.select(col("doc_id"), col("phash"),
           explode(sequence(lit(0), lit(3))).as("ci"))
         .select(col("doc_id"), col("phash"), col("ci"),
@@ -1143,6 +1149,60 @@ object ExpQueries {
         .where(bit_count(col("p1").bitwiseXOR(col("p2"))) <= 2)
         .select(col("id1"), col("id2"),
           bit_count(col("p1").bitwiseXOR(col("p2"))).cast("long").as("hamming"))
+    },
+
+    // Holt linear-trend smoothing (double exponential, α=β=1/4) per user
+    // — the TWO-state upgrade of q118's EWMA fold. The (level, trend)
+    // pair packs into one BIGINT (level·2³² + trend + 2³¹) so both
+    // engines fold the same integer accumulator; unpacking uses shifts
+    // and masks, never a > 2⁵³ double. Updates quantize with the same
+    // exact ⌊·/4.0⌋ both sides. Init: level = first observation,
+    // trend = 0 (list_prepend contract).
+    QuerySpec(
+      "q129_holt_smoothing",
+      """WITH series AS (
+        |  SELECT user_id,
+        |    list(CAST(floor(value * 100) AS BIGINT) ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id
+        |), folded AS (
+        |  SELECT user_id, len(xs)::BIGINT AS n_events,
+        |    list_reduce(
+        |      list_prepend(xs[1] * 4294967296 + 2147483648, xs[2:]),
+        |      (acc, x) -> CAST(
+        |        CAST(floor((x + 3 * ((acc >> 32) + ((acc & 4294967295) - 2147483648))) / 4.0) AS BIGINT)
+        |          * 4294967296
+        |        + CAST(floor((
+        |            CAST(floor((x + 3 * ((acc >> 32) + ((acc & 4294967295) - 2147483648))) / 4.0) AS BIGINT)
+        |            - (acc >> 32)
+        |            + 3 * ((acc & 4294967295) - 2147483648)) / 4.0) AS BIGINT)
+        |        + 2147483648 AS BIGINT)) AS packed
+        |  FROM series)
+        |SELECT user_id, n_events,
+        |  (packed >> 32)::BIGINT AS level_c,
+        |  ((packed & 4294967295) - 2147483648)::BIGINT AS trend_c
+        |FROM folded""".stripMargin) { (s, dir) =>
+      val series = sort_array(collect_list(struct(
+        col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))))
+      def lvl(acc: org.apache.spark.sql.Column) =
+        call_function("shiftright", acc, lit(32))
+      def trd(acc: org.apache.spark.sql.Column) =
+        acc.bitwiseAND(lit(4294967295L)) - 2147483648L
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          transform(series, e => e.getField("cents")).as("__x"))
+        .select(col("user_id"), col("n_events"),
+          aggregate(slice(col("__x"), 2, 1000000),
+            element_at(col("__x"), 1) * 4294967296L + 2147483648L,
+            (acc, x) => {
+              val lNew = floor((x + lit(3) * (lvl(acc) + trd(acc))) / 4.0).cast("long")
+              val bNew = floor((lNew - lvl(acc) + lit(3) * trd(acc)) / 4.0).cast("long")
+              lNew * 4294967296L + bNew + 2147483648L
+            }).as("__p"))
+        .select(col("user_id"), col("n_events"),
+          call_function("shiftright", col("__p"), lit(32)).as("level_c"),
+          (col("__p").bitwiseAND(lit(4294967295L)) - 2147483648L).as("trend_c"))
     }
   )
 }
