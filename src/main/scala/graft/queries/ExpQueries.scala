@@ -1203,6 +1203,30 @@ object ExpQueries {
         .select(col("user_id"), col("n_events"),
           call_function("shiftright", col("__p"), lit(32)).as("level_c"),
           (col("__p").bitwiseAND(lit(4294967295L)) - 2147483648L).as("trend_c"))
+    },
+
+    // Chained stateful streaming aggregation: per-(hour, user) counts
+    // re-aggregated per hour into (distinct users, events) inside ONE
+    // streaming query — Spark's multiple-stateful-operators support,
+    // append mode. Only windows whose end passed the final watermark
+    // (max ts − 30 min) emit; the oracle replays the two-level rollup
+    // with the same closure HAVING (the st9 recipe).
+    QuerySpec(
+      "st15_stream_two_phase",
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, user_id,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), m AS (SELECT max(ts) - INTERVAL '30 minutes' AS wm FROM events)
+        |SELECT ws AS window_start, count(*)::BIGINT AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM w, m
+        |GROUP BY ws, wm
+        |HAVING ws + INTERVAL '1 hour' <= wm""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.runToTable(
+        graft.streaming.Streams.twoPhaseWindow(
+          graft.streaming.Streams.eventsStream(s, dir), "1 hour", "30 minutes"),
+        "st15_mem", "append")
     }
   )
 }

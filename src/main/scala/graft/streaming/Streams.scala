@@ -231,6 +231,23 @@ object Streams {
     }
   }
 
+  /** Chained stateful aggregation (Spark's multiple-stateful-operators
+    * support): tumbling per-(window, user) counts re-aggregated per
+    * window into (distinct users, total events) — the two-phase rollup
+    * every funnel/engagement dashboard runs, expressed as ONE streaming
+    * query instead of a staging table + second job. The second groupBy
+    * keys on the UNMODIFIED window struct (the chaining contract);
+    * append mode, so windows emit once their end passes the watermark. */
+  def twoPhaseWindow(events: DataFrame, width: String = "1 hour",
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), width).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("n_users"), col("n_events"))
+
   /** Per-user per-event-type running counts on a `MapState` handle — the
     * keyed-sub-state shape (`state[user][event_type] += n`) that a
     * ValueState would have to serialize wholesale on every update;
