@@ -1227,6 +1227,101 @@ object ExpQueries {
         graft.streaming.Streams.twoPhaseWindow(
           graft.streaming.Streams.eventsStream(s, dir), "1 hour", "30 minutes"),
         "st15_mem", "append")
+    },
+
+    // SQL pipe syntax (Spark 4): the linear FROM |> WHERE |> AGGREGATE
+    // form of a filtered grouped aggregation — same Catalyst plan as the
+    // classic form, exercised through the new front door. (Views are
+    // per-session: Verify workers run on isolated newSession clones.)
+    QuerySpec(
+      "q130_pipe_syntax",
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders WHERE o_totalprice > 100
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_pipe_v")
+      s.sql(
+        """FROM orders_pipe_v
+          ||> WHERE o_totalprice > 100
+          ||> AGGREGATE count(*) AS n,
+          |     sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_c
+          |     GROUP BY o_orderpriority""".stripMargin)
+        .select("o_orderpriority", "n", "rev_c")
+    },
+
+    // Parameterized SQL (named parameter markers — the injection-safe
+    // front door for templated queries): the same plan as literal SQL,
+    // with :seg and :minbal bound at execution.
+    QuerySpec(
+      "q131_param_sql",
+      """SELECT c_nationkey, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).createOrReplaceTempView("customer_param_v")
+      s.sql(
+        """SELECT c_nationkey, count(*) AS n,
+          |  sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_c
+          |FROM customer_param_v
+          |WHERE c_mktsegment = :seg AND c_acctbal > :minbal
+          |GROUP BY c_nationkey""".stripMargin,
+        Map("seg" -> "BUILDING", "minbal" -> 1000.0))
+    },
+
+    // Declarative SQL UDF (CREATE FUNCTION ... RETURN expr, Spark 4):
+    // the function body inlines into the plan (no JVM closure, full
+    // codegen) — the right way to package reusable business logic,
+    // vs. the reference's row-at-a-time Python transforms. The oracle
+    // inlines the same expression.
+    QuerySpec(
+      "q132_sql_udf",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100)
+        |    AS BIGINT)) AS BIGINT) AS charge_c
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_udf_v")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_charge_c(
+          |  p DOUBLE, d DOUBLE, t DOUBLE) RETURNS BIGINT
+          |RETURN CAST(floor(p * (1.0 - d) * (1.0 + t) * 100) AS BIGINT)""".stripMargin)
+      s.sql(
+        """SELECT l_orderkey,
+          |  sum(graft_charge_c(l_extendedprice, l_discount, l_tax)) AS charge_c
+          |FROM lineitem_udf_v GROUP BY l_orderkey""".stripMargin)
+    },
+
+    // Calendar-dimension attribution with PORTABLE day-of-week math:
+    // dow = (epoch_days + 4) mod 7 derived from the raw epoch (Spark's
+    // dayofweek is 1-indexed from Sunday, DuckDB's 0-indexed — the
+    // formula sidesteps both conventions), rolling revenue into
+    // weekend/weekday buckets per month. The calendar attributes are
+    // pure arithmetic on the scan — no dimension table needed, though
+    // the same columns would populate one.
+    QuerySpec(
+      "q133_calendar_rollup",
+      """WITH d AS (
+        |  SELECT CAST(floor(year(o_orderdate)) AS BIGINT) AS y,
+        |    CAST(floor(month(o_orderdate)) AS BIGINT) AS m,
+        |    (epoch(o_orderdate)::BIGINT // 86400 + 4) % 7 AS dow,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT y, m,
+        |  CAST(sum(CASE WHEN dow IN (0, 6) THEN cents ELSE 0 END) AS BIGINT) AS weekend_c,
+        |  CAST(sum(CASE WHEN dow NOT IN (0, 6) THEN cents ELSE 0 END) AS BIGINT) AS weekday_c,
+        |  count(*)::BIGINT AS n_orders
+        |FROM d GROUP BY y, m""".stripMargin) { (s, dir) =>
+      val days = floor(unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000.0)
+        .cast("long")
+      Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          pmod(days + 4, lit(7L)).as("dow"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("y", "m")
+        .agg(sum(when(col("dow").isin(0L, 6L), col("cents")).otherwise(0L)).as("weekend_c"),
+          sum(when(!col("dow").isin(0L, 6L), col("cents")).otherwise(0L)).as("weekday_c"),
+          count(lit(1)).as("n_orders"))
     }
   )
 }
