@@ -131,6 +131,39 @@ object Relational {
         payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
 
+  /** FORWARD as-of join: each left row attaches the EARLIEST right row
+    * with the same key and `rightTime >= leftTime` (the look-ahead twin
+    * of [[asofJoin]] — "next scheduled event", "following price tick").
+    * Same union-and-carry plan with the frame reversed: one shuffle on
+    * the key, one ordered window, first following non-null payload
+    * struct. Equal timestamps match (left sorts before right at the
+    * same instant, so the equal-time right row is inside the following
+    * frame) — mirroring DuckDB's `ASOF ... ON l.t <= r.t`. */
+  def asofJoinForward(
+      left: DataFrame, leftKey: String, leftTime: String,
+      right: DataFrame, rightKey: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == rightKey || c == rightTime).toSeq
+    val leftCols = left.columns.toSeq
+    val keyType = left.schema(leftKey).dataType
+    val lPart = left.select(
+      Seq(col(leftKey).cast(keyType).as("__k"), col(leftTime).as("__t"), lit(0).as("__tag")) ++
+        leftCols.map(col) ++
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      Seq(col(rightKey).cast(keyType).as("__k"), col(rightTime).as("__t"), lit(1).as("__tag")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payloadCols.map(col): _*)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payloadStruct = when(col("__tag") === 1,
+      struct(payloadCols.map(col): _*)).otherwise(lit(null))
+    lPart.unionByName(rPart)
+      .withColumn("__payload", first(payloadStruct, ignoreNulls = true).over(w))
+      .where(col("__tag") === 0)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
+  }
+
   /** Time-series gap fill: rows where `readingCol` is NULL get a value
     * linearly interpolated between the nearest non-null readings before
     * and after (by `tsCol` within `partCol`); one-sided gaps fall back to

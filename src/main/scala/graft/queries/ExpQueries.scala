@@ -1322,6 +1322,30 @@ object ExpQueries {
         .agg(sum(when(col("dow").isin(0L, 6L), col("cents")).otherwise(0L)).as("weekend_c"),
           sum(when(!col("dow").isin(0L, 6L), col("cents")).otherwise(0L)).as("weekday_c"),
           count(lit(1)).as("n_orders"))
+    },
+
+    // FORWARD as-of join (the look-ahead twin of q29): every event
+    // attaches the customer's NEXT order at-or-after the event time —
+    // "time to next purchase" enrichment. Right side pre-aggregated to
+    // one row per (custkey, orderdate) with min-key determinism;
+    // equal-timestamp events match the same-instant order, mirroring
+    // DuckDB's `ASOF ... ON e.ts <= r.o_orderdate`.
+    QuerySpec(
+      "q134_asof_forward",
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  r.next_orderkey AS next_orderkey
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey, o_orderdate, min(o_orderkey) AS next_orderkey
+        |  FROM orders GROUP BY 1, 2) r
+        |ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate""".stripMargin) { (s, dir) =>
+      val nextOrder = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(min(col("o_orderkey")).as("next_orderkey"))
+      graft.operators.Relational.asofJoinForward(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts")),
+          "user_id", "ts",
+          nextOrder, "o_custkey", "o_orderdate")
+        .select(col("event_id"), col("user_id"), col("next_orderkey"))
     }
   )
 }

@@ -204,4 +204,19 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out == Map("u1" -> Some(7L), "u2" -> None))
   }
+
+  test("asofJoinForward picks earliest right row at or after left time") {
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 31L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 100L), (1L, 25L, 200L), (1L, 30L, 300L))
+      .toDF("rk", "rt", "v")
+    val out = Relational.asofJoinForward(left, "k", "t", right, "rk", "rt")
+      .select("k", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out == Map(
+      (1L, 10L) -> Some(100L), // equal timestamps match
+      (1L, 20L) -> Some(200L), // next following
+      (1L, 31L) -> None,       // nothing after
+      (2L, 5L) -> None))       // no right rows for key
+  }
 }
