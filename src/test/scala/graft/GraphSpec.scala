@@ -101,6 +101,60 @@ class GraphSpec extends SparkSpec {
     assert(dists == (0L to 10L).map(i => i -> i).toMap)
   }
 
+  test("kCore equals brute-force peel on seeded random graphs") {
+    // Reference: iterate "drop all nodes with < k alive neighbors"
+    // synchronously until fixpoint, then within-core degrees.
+    def brute(es: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val adj = (es ++ es.map(_.swap)).filter(e => e._1 != e._2).distinct
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+      var alive = adj.keySet
+      var changed = true
+      while (changed) {
+        val next = alive.filter(n => (adj(n) & alive).size >= k)
+        changed = next != alive
+        alive = next
+      }
+      alive.map(n => n -> (adj(n) & alive).size.toLong).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 8 + rnd.nextInt(8)
+      val es = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val want = brute(es, 2)
+      val got = Graph.kCore(edges(es: _*), k = 2, rounds = 20).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial: es=$es")
+    }
+  }
+
+  test("hits equals dense reference fold on seeded random digraphs") {
+    def brute(es: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+      val e = es.filter(x => x._1 != x._2).distinct
+      val nodes = e.flatMap(x => Seq(x._1, x._2)).distinct
+      var h = nodes.map(_ -> 1L).toMap
+      var a = nodes.map(_ -> 1L).toMap
+      for (_ <- 1 to iters) {
+        val aNew = nodes.map(j => j -> e.filter(_._2 == j).map(x => h(x._1)).sum).toMap
+        val hNew = nodes.map(i => i -> e.filter(_._1 == i).map(x => aNew(x._2)).sum).toMap
+        h = hNew; a = aNew
+      }
+      nodes.map(x => x -> ((h(x), a(x)))).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 6 + rnd.nextInt(6)
+      val es = Seq.fill(2 * n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(x => x._1 != x._2)
+      if (es.nonEmpty) {
+        val want = brute(es, 3)
+        val got = Graph.hits(edges(es: _*), iterations = 3).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        assert(got == want, s"trial $trial: es=$es")
+      }
+    }
+  }
+
   test("hits: alternating update on a star — hand-computed two rounds") {
     // 0→1, 0→2, 3→1. Round 1: a1=h0+h3=2, a2=h0=1; h0=a1+a2=3, h3=a1=2.
     // Round 2: a1=3+2=5, a2=3; h0=5+3=8, h3=5. Sinks keep hub 0,
