@@ -1346,6 +1346,90 @@ object ExpQueries {
           "user_id", "ts",
           nextOrder, "o_custkey", "o_orderdate")
         .select(col("event_id"), col("user_id"), col("next_orderkey"))
+    },
+
+    // grouping_id() over CUBE: the bitmask that distinguishes "NULL
+    // because aggregated away" from "NULL in the data" — how BI layers
+    // route subtotal rows. Bit order (leftmost grouping column = MSB)
+    // agrees between engines.
+    QuerySpec(
+      "q135_grouping_id",
+      """SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  count(*)::BIGINT AS n,
+        |  CAST(grouping_id(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(grouping(year(o_orderdate)) AS BIGINT) AS g_year
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, year(o_orderdate))""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), year(col("o_orderdate")).cast("long").as("y"))
+        .cube(col("o_orderpriority"), col("y"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"),
+          grouping(col("o_orderpriority")).cast("long").as("g_pri"),
+          grouping(col("y")).cast("long").as("g_year"))
+        .select("o_orderpriority", "y", "n", "gid", "g_pri", "g_year")
+    },
+
+    // regexp_extract_all: every digit run in the event props JSON text,
+    // serialized + counted (the multi-match scalar the single-match
+    // q33 family doesn't cover).
+    QuerySpec(
+      "q136_regexp_extract_all",
+      """SELECT event_id,
+        |  array_to_string(regexp_extract_all(props, '[0-9]+'), ',') AS nums,
+        |  len(regexp_extract_all(props, '[0-9]+'))::BIGINT AS n_nums
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(col("event_id"),
+        array_join(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)), ",")
+          .as("nums"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_nums"))
+    },
+
+    // arrays_zip + inline: pair each name token with its length and
+    // ordinal — the struct-array zip/explode family (the oracle states
+    // the semantics with ordinality-unnest; the Spark side exercises
+    // the zip mechanism).
+    QuerySpec(
+      "q137_arrays_zip",
+      """SELECT p_partkey,
+        |  CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT) AS pos,
+        |  unnest(string_split(p_name, ' ')) AS w,
+        |  CAST(length(unnest(string_split(p_name, ' '))) AS BIGINT) AS wlen
+        |FROM part""".stripMargin) { (s, dir) =>
+      val words = split(col("p_name"), " ")
+      val zipped = zip_with(words, transform(words, w => length(w).cast("long")),
+        (w, l) => struct(w.as("w"), l.as("wlen")))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), posexplode(zipped).as(Seq("pos0", "z")))
+        .select(col("p_partkey"), (col("pos0") + 1).cast("long").as("pos"),
+          col("z.w").as("w"), col("z.wlen").as("wlen"))
+    },
+
+    // Chained streaming dedup → windowed aggregation: the doubled input
+    // stream proves the dedup state actually fires (without it every
+    // count would double and the oracle would catch it); the tumbling
+    // counts then aggregate the deduplicated stream in the same
+    // append-mode query — the classic at-least-once-ingest → exactly-
+    // once-rollup pipeline. Closure-gated like st15.
+    QuerySpec(
+      "st16_stream_dedup_window",
+      """WITH m AS (SELECT max(ts) - INTERVAL '30 minutes' AS wm FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  count(*)::BIGINT AS n
+        |FROM events, m
+        |GROUP BY 1, wm
+        |HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= wm""".stripMargin) { (s, dir) =>
+      val st = graft.streaming.Streams.eventsStream(s, dir)
+      val doubled = st.unionAll(graft.streaming.Streams.eventsStream(s, dir))
+      graft.streaming.Streams.runToTable(
+        doubled.withWatermark("ts", "30 minutes")
+          .dropDuplicates("event_id")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n")),
+        "st16_mem", "append")
     }
   )
 }
