@@ -1430,6 +1430,51 @@ object ExpQueries {
           .agg(count(lit(1)).as("n"))
           .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n")),
         "st16_mem", "append")
+    },
+
+    // Lexicon-based sentiment scoring — the social-media analytics op
+    // the reference's comment corpus invites (and the retrieved
+    // "Sentiment Analysis on Twitter with Spark" pattern): a fixed
+    // AFINN-style word→score lexicon rendered identically into both
+    // engines (the ss8 literal-constant recipe), summed in-row per
+    // document — integer scores, zero shuffles beyond the scan, and at
+    // 100 TB the lexicon stays a compile-time constant (no join at
+    // all). Ternary label from the exact integer sum.
+    QuerySpec(
+      "tx27_sentiment", {
+      val lex = Seq("fast" -> 3, "big" -> 2, "value" -> 1, "merge" -> 1,
+        "slow" -> -3, "small" -> -1, "filter" -> -1, "error" -> -4,
+        "scan" -> 2, "batch" -> -2)
+      val duckCase = lex.map { case (w, sc) => s"WHEN '$w' THEN $sc" }
+        .mkString("CASE t ", " ", " ELSE 0 END")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(tk, t -> $duckCase)), 0) AS BIGINT) AS sentiment,
+        |  CAST(len(list_filter(tk, t -> ($duckCase) <> 0)) AS BIGINT) AS n_hits,
+        |  CASE WHEN coalesce(list_sum(list_transform(tk, t -> $duckCase)), 0) > 0 THEN 'pos'
+        |       WHEN coalesce(list_sum(list_transform(tk, t -> $duckCase)), 0) < 0 THEN 'neg'
+        |       ELSE 'neu' END AS label
+        |FROM toks""".stripMargin }) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val lex = Seq("fast" -> 3L, "big" -> 2L, "value" -> 1L, "merge" -> 1L,
+        "slow" -> -3L, "small" -> -1L, "filter" -> -1L, "error" -> -4L,
+        "scan" -> 2L, "batch" -> -2L)
+      def scoreOf(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        lex.foldLeft(when(lit(false), lit(0L))) { case (acc, (w, sc)) =>
+          acc.when(t === w, lit(sc))
+        }.otherwise(lit(0L))
+      Tables.fanOut(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          aggregate(col("tk"), lit(0L), (a, t) => a + scoreOf(t)).as("sentiment"),
+          size(filter(col("tk"), t => scoreOf(t) =!= 0)).cast("long").as("n_hits"))
+        .select(col("doc_id"), col("sentiment"), col("n_hits"),
+          when(col("sentiment") > 0, "pos")
+            .when(col("sentiment") < 0, "neg")
+            .otherwise("neu").as("label"))
     }
   )
 }
