@@ -1475,6 +1475,26 @@ object ExpQueries {
           when(col("sentiment") > 0, "pos")
             .when(col("sentiment") < 0, "neg")
             .otherwise("neu").as("label"))
+    },
+
+    // Incremental top-k maintenance: the merge property top-k(full) ≡
+    // top-k(top-k(base) ∪ top-k(delta)) that lets a materialized top-k
+    // view absorb a new batch WITHOUT rescanning the base — the Spark
+    // side computes the merged form over a 95/5 split of orders, the
+    // oracle recomputes from scratch; hash-equality IS the algebraic
+    // proof. Tie-free total order (price desc, orderkey) keeps the cut
+    // deterministic.
+    QuerySpec(
+      "q138_incremental_topk",
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+      val base = topk(o.where(pmod(col("o_orderkey"), lit(20)) =!= 0))
+      val delta = topk(o.where(pmod(col("o_orderkey"), lit(20)) === 0))
+      topk(base.unionAll(delta))
     }
   )
 }
