@@ -298,7 +298,9 @@ object ExpQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), cents.as("__c"))
         .select(col("user_id"), col("n_events"),
-          aggregate(slice(col("__c"), 2, 1000000), element_at(col("__c"), 1),
+          aggregate(
+            slice(col("__c"), lit(2), greatest(size(col("__c")) - 1, lit(0))),
+            element_at(col("__c"), 1),
             (acc, x) => floor((acc * 3 + x) / 4.0).cast("long")).as("ewma_cents"))
     },
 
@@ -1193,7 +1195,8 @@ object ExpQueries {
         .agg(count(lit(1)).as("n_events"),
           transform(series, e => e.getField("cents")).as("__x"))
         .select(col("user_id"), col("n_events"),
-          aggregate(slice(col("__x"), 2, 1000000),
+          aggregate(
+            slice(col("__x"), lit(2), greatest(size(col("__x")) - 1, lit(0))),
             element_at(col("__x"), 1) * 4294967296L + 2147483648L,
             (acc, x) => {
               val lNew = floor((x + lit(3) * (lvl(acc) + trd(acc))) / 4.0).cast("long")
