@@ -1098,10 +1098,13 @@ object ExpQueries {
         |  SELECT doc_id, phash, unnest(range(0, 4)) AS ci FROM ph
         |), keyed AS (
         |  SELECT doc_id, phash, ci, (phash >> (ci * 8)::INT) & 255 AS cv FROM chunks
+        |), sized AS (
+        |  SELECT * FROM keyed
+        |  QUALIFY count(*) OVER (PARTITION BY ci, cv) <= 2000
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
         |    a.phash AS p1, b.phash AS p2
-        |  FROM keyed a JOIN keyed b
+        |  FROM sized a JOIN sized b
         |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
         |)
         |SELECT id1, id2, bit_count(xor(p1, p2))::BIGINT AS hamming
@@ -1141,9 +1144,18 @@ object ExpQueries {
         .select(col("doc_id"), col("phash"), col("ci"),
           call_function("shiftright", col("phash"), col("ci") * 8)
             .bitwiseAND(lit(255L)).as("cv"))
-      val a = chunks.select(col("ci"), col("cv"),
+      // Hot-bucket cap (the lshCandidatePairs discipline): a degenerate
+      // corpus where many payloads share a chunk value would otherwise
+      // turn one bucket quadratic; the cap bounds it, mirrored exactly
+      // by the oracle's QUALIFY. No effect on the harness corpora
+      // (max bucket ≈ 260 at sf0.1).
+      val sized = chunks
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ci", "cv")))
+        .where(col("__n") <= 2000).drop("__n")
+      val a = sized.select(col("ci"), col("cv"),
         col("doc_id").as("id1"), col("phash").as("p1"))
-      val b = chunks.select(col("ci"), col("cv"),
+      val b = sized.select(col("ci"), col("cv"),
         col("doc_id").as("id2"), col("phash").as("p2"))
       a.join(b, Seq("ci", "cv"))
         .where(col("id1") < col("id2"))
