@@ -22,8 +22,11 @@ object Verify {
     val only: Option[Seq[String]] =
       if (args.length > 2) Some(args(2).split(",").toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default 8: at 220+ registered queries the dump is driver-side
+    // bound (analysis/codegen per query); 8 workers measured 61 s vs
+    // ~5 min at 4 on the 32-core harness box, with no worker starvation.
     val threads =
-      math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
