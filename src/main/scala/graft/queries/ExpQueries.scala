@@ -1510,6 +1510,52 @@ object ExpQueries {
       val base = topk(o.where(pmod(col("o_orderkey"), lit(20)) =!= 0))
       val delta = topk(o.where(pmod(col("o_orderkey"), lit(20)) === 0))
       topk(base.unionAll(delta))
+    },
+
+    // One-sided upper CUSUM drift detection per user (the control-chart
+    // changepoint op): s ← max(0, s + x − k) over the event-time series
+    // in integer cents (k = reference 10000¢ allowance), alarm when the
+    // final statistic clears h = 50000¢. Pure integer fold — the q118
+    // sequential-fold machinery with a clamp — replayed exactly by
+    // list_reduce. Also reports the series max of the statistic via a
+    // packed (max·2³²+cur)-style two-field fold kept in one BIGINT
+    // (values bounded well below 2³¹).
+    QuerySpec(
+      "q139_cusum",
+      """WITH series AS (
+        |  SELECT user_id,
+        |    list(CAST(floor(value * 100) AS BIGINT) ORDER BY ts, event_id) AS xs
+        |  FROM events GROUP BY user_id
+        |), folded AS (
+        |  SELECT user_id, len(xs)::BIGINT AS n_events,
+        |    list_reduce(list_prepend(0::BIGINT, xs),
+        |      (acc, x) -> greatest((acc & 4294967295) + x - 10000, 0)
+        |        + greatest(acc >> 32,
+        |            greatest((acc & 4294967295) + x - 10000, 0)) * 4294967296) AS packed
+        |  FROM series)
+        |SELECT user_id, n_events,
+        |  (packed & 4294967295)::BIGINT AS cusum_c,
+        |  (packed >> 32)::BIGINT AS peak_c,
+        |  CAST(CASE WHEN (packed >> 32) > 50000 THEN 1 ELSE 0 END AS BIGINT) AS drift
+        |FROM folded""".stripMargin) { (s, dir) =>
+      val series = sort_array(collect_list(struct(
+        col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))))
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          transform(series, e => e.getField("cents")).as("__x"))
+        .select(col("user_id"), col("n_events"),
+          aggregate(col("__x"), lit(0L), (acc, x) => {
+            val cur = greatest(acc.bitwiseAND(lit(4294967295L)) + x - 10000L, lit(0L))
+            val peak = greatest(call_function("shiftright", acc, lit(32)), cur)
+            cur + peak * 4294967296L
+          }).as("__p"))
+        .select(col("user_id"), col("n_events"),
+          col("__p").bitwiseAND(lit(4294967295L)).as("cusum_c"),
+          call_function("shiftright", col("__p"), lit(32)).as("peak_c"),
+          when(call_function("shiftright", col("__p"), lit(32)) > 50000L, 1L)
+            .otherwise(0L).as("drift"))
     }
   )
 }
