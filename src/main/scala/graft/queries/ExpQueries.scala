@@ -1556,6 +1556,86 @@ object ExpQueries {
           call_function("shiftright", col("__p"), lit(32)).as("peak_c"),
           when(call_function("shiftright", col("__p"), lit(32)) > 50000L, 1L)
             .otherwise(0L).as("drift"))
+    },
+
+    // Distributed logistic-regression training: 5 rounds of full-batch
+    // gradient descent predicting the BUILDING segment from balance and
+    // nation features — the supervised companion to q100's k-means. The
+    // sigmoid is the ALGEBRAIC 0.5 + 0.5·z/(1+|z|) (rational ops only —
+    // bit-identical across engines, no libm exp in sight), per-row
+    // gradient terms fix-point to integer micros BEFORE the sum (exact,
+    // order-free), and each round is one aggregation job whose three
+    // sums update the weights on the driver (the canonical GD-on-Spark
+    // shape: model state driver-side, data never leaves executors).
+    // The oracle replays all 5 rounds in a recursive CTE carrying the
+    // weight vector. Output: final weights in micros + training
+    // accuracy counts.
+    QuerySpec(
+      "q140_logreg_gd",
+      """WITH RECURSIVE data AS (
+        |  SELECT list(c_acctbal / 10000.0 ORDER BY c_custkey) AS x1,
+        |    list((c_nationkey % 5) / 5.0 ORDER BY c_custkey) AS x2,
+        |    list(CASE WHEN c_mktsegment = 'BUILDING' THEN 1.0 ELSE 0.0 END
+        |      ORDER BY c_custkey) AS y,
+        |    count(*)::BIGINT AS n
+        |  FROM customer
+        |), gd AS (
+        |  -- DOUBLE-typed seed: a bare [0.0,…] literal types DECIMAL(2,1)
+        |  -- and silently quantizes every weight update to one decimal.
+        |  SELECT 0 AS it, [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE] AS w FROM data
+        |  UNION ALL
+        |  SELECT it + 1, [
+        |    w[1] - 0.5 * (list_sum(list_transform(range(1, (n + 1)::INT), i ->
+        |      floor(((0.5 + 0.5 * (w[1] + w[2] * x1[i] + w[3] * x2[i])
+        |        / (1 + abs(w[1] + w[2] * x1[i] + w[3] * x2[i]))) - y[i])
+        |        * 1.0 * 1000000))) / 1000000.0) / n,
+        |    w[2] - 0.5 * (list_sum(list_transform(range(1, (n + 1)::INT), i ->
+        |      floor(((0.5 + 0.5 * (w[1] + w[2] * x1[i] + w[3] * x2[i])
+        |        / (1 + abs(w[1] + w[2] * x1[i] + w[3] * x2[i]))) - y[i])
+        |        * x1[i] * 1000000))) / 1000000.0) / n,
+        |    w[3] - 0.5 * (list_sum(list_transform(range(1, (n + 1)::INT), i ->
+        |      floor(((0.5 + 0.5 * (w[1] + w[2] * x1[i] + w[3] * x2[i])
+        |        / (1 + abs(w[1] + w[2] * x1[i] + w[3] * x2[i]))) - y[i])
+        |        * x2[i] * 1000000))) / 1000000.0) / n]
+        |  FROM gd, data WHERE it < 5
+        |), fin AS (SELECT w FROM gd WHERE it = 5)
+        |SELECT CAST(floor(w[1] * 1000000) AS BIGINT) AS w0_micro,
+        |  CAST(floor(w[2] * 1000000) AS BIGINT) AS w1_micro,
+        |  CAST(floor(w[3] * 1000000) AS BIGINT) AS w2_micro,
+        |  CAST(list_sum(list_transform(range(1, (n + 1)::INT), i ->
+        |    CASE WHEN (CASE WHEN 0.5 + 0.5 * (w[1] + w[2] * x1[i] + w[3] * x2[i])
+        |        / (1 + abs(w[1] + w[2] * x1[i] + w[3] * x2[i])) > 0.5
+        |      THEN 1.0 ELSE 0.0 END) = y[i] THEN 1 ELSE 0 END)) AS BIGINT) AS n_correct,
+        |  n AS n_total
+        |FROM fin, data""".stripMargin) { (s, dir) =>
+      val base = Tables.customer(s, dir).select(
+        (col("c_acctbal") / 10000.0).as("x1"),
+        ((col("c_nationkey") % 5) / 5.0).as("x2"),
+        when(col("c_mktsegment") === "BUILDING", 1.0).otherwise(0.0).as("y"))
+      val n = base.count()
+      var w = Array(0.0, 0.0, 0.0)
+      def zCol = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      def pCol = lit(0.5) + lit(0.5) * zCol / (lit(1) + abs(zCol))
+      for (_ <- 1 to 5) {
+        def gradTerm(xj: org.apache.spark.sql.Column) =
+          floor(((pCol - col("y")) * xj) * 1000000).cast("long")
+        val g = base.agg(
+          sum(gradTerm(lit(1.0))).as("g0"),
+          sum(gradTerm(col("x1"))).as("g1"),
+          sum(gradTerm(col("x2"))).as("g2")).collect()(0)
+        w = Array(
+          w(0) - 0.5 * (g.getLong(0) / 1000000.0) / n,
+          w(1) - 0.5 * (g.getLong(1) / 1000000.0) / n,
+          w(2) - 0.5 * (g.getLong(2) / 1000000.0) / n)
+      }
+      val pred = when(pCol > 0.5, 1.0).otherwise(0.0)
+      base.agg(
+        sum(when(pred === col("y"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_total"))
+        .select(lit(math.floor(w(0) * 1000000).toLong).as("w0_micro"),
+          lit(math.floor(w(1) * 1000000).toLong).as("w1_micro"),
+          lit(math.floor(w(2) * 1000000).toLong).as("w2_micro"),
+          col("n_correct"), col("n_total"))
     }
   )
 }
