@@ -1,0 +1,617 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-7 expansion surface: classical-statistics and sketch operators a
+  * production warehouse runs that earlier surfaces didn't cover —
+  * autocorrelation (seasonality detection), Kaplan–Meier survival (churn
+  * curves), count-min sketches and Bloom filters (the two workhorse
+  * streaming/summary sketches, built engine-portably so DuckDB replays
+  * them cell-for-cell).
+  *
+  * Reference tie-in: the reference's analytics stop at three aggregate
+  * queries over the comment graph
+  * (`/root/reference/sql/blog_post_queries.sql:1-38`); these specs are
+  * the next layer a production deployment of that pipeline would ask for
+  * (retention of commenters, posting seasonality, approximate heavy
+  * hitters over unbounded comment streams).
+  *
+  * Determinism contract (same as ExpQueries): every double that feeds a
+  * hashed output is either (a) derived from exact integer sums, or (b)
+  * produced by an ordered fold both engines replay in the same order —
+  * never a float aggregation whose partial-merge order Spark controls.
+  */
+object Exp2Queries {
+
+  def specs: Seq[QuerySpec] = Seq(
+
+    // Autocorrelation function of the daily-revenue series at lags 1–7
+    // (the seasonality probe run before picking a forecast model). The
+    // series aggregates to one row per day — BOUNDED (a few thousand
+    // values at any corpus size), so collecting it into one ordered
+    // array and folding is the right distributed shape: the heavy
+    // groupBy(day) is map-side combinable, and the O(n·lags) fold runs
+    // on a single executor row. Per-term products fix-point to micros
+    // BEFORE the sum, so the numerator/denominator are exact integers
+    // (order-free); day revenue is summed in integer cents (exact).
+    QuerySpec(
+      "q141_acf",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), ser AS (
+        |  SELECT list(cents ORDER BY d) AS xs, count(*)::BIGINT AS n,
+        |    CAST(sum(cents) AS BIGINT) AS tot
+        |  FROM daily
+        |), lags AS (SELECT unnest(range(1, 8)) AS lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+        |  CAST(floor(
+        |    CAST(list_sum(list_transform(range(1, (n - lag + 1)::INT), i ->
+        |      CAST(floor(((xs[i] / 100000.0 - tot / 100000.0 / n)
+        |        * (xs[i + lag] / 100000.0 - tot / 100000.0 / n)) * 1000000.0)
+        |        AS BIGINT))) AS DOUBLE)
+        |    / list_sum(list_transform(range(1, (n + 1)::INT), i ->
+        |      CAST(floor(((xs[i] / 100000.0 - tot / 100000.0 / n)
+        |        * (xs[i] / 100000.0 - tot / 100000.0 / n)) * 1000000.0)
+        |        AS BIGINT)))
+        |    * 1000000.0) AS BIGINT) AS acf_micro
+        |FROM ser, lags""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ser = daily.agg(
+        transform(sort_array(collect_list(struct(col("d"), col("cents")))),
+          e => e.getField("cents")).as("xs"),
+        count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+      // mu re-derives from the exact integer (tot, n) pair on both sides —
+      // identical doubles by IEEE division.
+      def mu = col("tot") / 100000.0 / col("n")
+      def x(i: org.apache.spark.sql.Column) =
+        element_at(col("xs"), i.cast("int")) / 100000.0
+      def sq(lagTerm: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             upTo: org.apache.spark.sql.Column) =
+        aggregate(sequence(lit(1), upTo.cast("int")), lit(0L),
+          (acc, i) => acc + floor(((x(i) - mu) * (lagTerm(i) - mu)) * 1000000.0)
+            .cast("long"))
+      val lags = s.range(1, 8).select(col("id").cast("int").as("lag"))
+      ser.crossJoin(lags)
+        .select(col("lag").cast("long").as("lag"), col("n").as("n_days"),
+          floor(sq(i => x(i + col("lag")), col("n") - col("lag")).cast("double")
+            / sq(i => x(i), col("n")) * 1000000.0).cast("long").as("acf_micro"))
+    },
+
+    // Kaplan–Meier survival estimator over customer "lifetimes" (days
+    // between first and last order; churned = last order >180 days
+    // before the corpus end, else right-censored). The survival curve
+    // S(t) = Π_{u≤t}(1 − d_u/n_u) over event times — the standard churn
+    // readout. The life table (distinct lifetime → deaths/censored) is
+    // BOUNDED by the day range, so the per-position running products
+    // fold over one ordered array; each factor divides exact integers,
+    // and both engines left-fold the identical factor list. At 100 TB
+    // the per-customer min/max is the only fact-table pass (map-side
+    // combinable); everything after runs on a few-thousand-row table.
+    QuerySpec(
+      "q142_kaplan_meier",
+      """WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |life AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', min(CAST(o_orderdate AS DATE)),
+        |      max(CAST(o_orderdate AS DATE)))::BIGINT AS t,
+        |    CASE WHEN max(CAST(o_orderdate AS DATE)) < max(m) - 180
+        |      THEN 1 ELSE 0 END AS ev
+        |  FROM orders CROSS JOIN maxd GROUP BY 1
+        |), lt AS (
+        |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*)::BIGINT AS c
+        |  FROM life GROUP BY 1
+        |), ser AS (
+        |  SELECT list(t ORDER BY t) AS ts, list(d ORDER BY t) AS ds,
+        |    list(c ORDER BY t) AS cs, count(*)::INT AS k,
+        |    CAST(sum(c) AS BIGINT) AS total
+        |  FROM lt
+        |), pos AS (
+        |  SELECT ts, ds, cs, total, unnest(range(1, k + 1)) AS i FROM ser
+        |)
+        |SELECT ts[i] AS t, ds[i] AS d_events,
+        |  total - CAST(coalesce(list_sum(list_slice(cs, 1, (i - 1)::INT)), 0)
+        |    AS BIGINT) AS n_at_risk,
+        |  CAST(floor(list_reduce(list_prepend(1.0::DOUBLE,
+        |    list_transform(range(1, i + 1), j ->
+        |      CASE WHEN ds[j] = 0 THEN 1.0::DOUBLE
+        |        ELSE 1.0 - CAST(ds[j] AS DOUBLE) /
+        |          (total - CAST(coalesce(list_sum(list_slice(cs, 1, (j - 1)::INT)),
+        |            0) AS BIGINT)) END)),
+        |    (acc, f) -> acc * f) * 1000000.0) AS BIGINT) AS surv_micro
+        |FROM pos WHERE ds[i] > 0""".stripMargin) { (s, dir) =>
+      val day = to_date(col("o_orderdate"))
+      val maxd = Tables.orders(s, dir).agg(max(day).as("m"))
+      val life = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(datediff(max(day), min(day)).cast("long").as("t"),
+          max(day).as("last"))
+        .crossJoin(broadcast(maxd))
+        .select(col("t"),
+          when(col("last") < date_sub(col("m"), 180), 1L).otherwise(0L).as("ev"))
+      val lt = life.groupBy("t")
+        .agg(sum(col("ev")).as("d"), count(lit(1)).as("c"))
+      val ser = lt.agg(
+        transform(sort_array(collect_list(struct(col("t"), col("d"), col("c")))),
+          e => e.getField("t")).as("ts"),
+        transform(sort_array(collect_list(struct(col("t"), col("d"), col("c")))),
+          e => e.getField("d")).as("ds"),
+        transform(sort_array(collect_list(struct(col("t"), col("d"), col("c")))),
+          e => e.getField("c")).as("cs"),
+        count(lit(1)).cast("int").as("k"), sum(col("c")).as("total"))
+      def atRisk(i: org.apache.spark.sql.Column) =
+        col("total") - coalesce(
+          aggregate(slice(col("cs"), lit(1), (i - 1).cast("int")), lit(0L),
+            (acc, x) => acc + x), lit(0L))
+      val pos = ser
+        .select(col("ts"), col("ds"), col("cs"), col("total"),
+          explode(sequence(lit(1), col("k"))).as("i"))
+        .select(
+          element_at(col("ts"), col("i")).as("t"),
+          element_at(col("ds"), col("i")).as("d_events"),
+          atRisk(col("i")).as("n_at_risk"),
+          floor(aggregate(sequence(lit(1), col("i")), lit(1.0),
+            (acc, j) => acc * when(element_at(col("ds"), j) === 0L, lit(1.0))
+              .otherwise(lit(1.0) -
+                element_at(col("ds"), j).cast("double") / atRisk(j)))
+            * 1000000.0).cast("long").as("surv_micro"))
+      pos.where(col("d_events") > 0)
+    },
+
+    // Count-min sketch over lineitem part keys: d=4 rows × w=256
+    // buckets, every hash md5-derived so DuckDB rebuilds the identical
+    // cell matrix. The build is the sketch's whole point at scale: a
+    // 4-way explode + groupBy over a FIXED 1024-cell key space — partial
+    // aggregation collapses each executor's contribution to ≤1024 rows,
+    // so the shuffle is constant-size regardless of corpus size (vs the
+    // unbounded distinct-key shuffle of an exact count). Probes (the 25
+    // smallest part keys) read the broadcast cell table; est ≥ true by
+    // construction, and the overestimate column shows the collision
+    // inflation at w=256 ≪ 2000 distinct keys.
+    QuerySpec(
+      "q143_count_min_sketch",
+      """WITH cells AS (
+        |  SELECT hs.i AS ci, CAST('0x' || substr(md5(hs.i || ':' || l_partkey), 1, 8)
+        |      AS BIGINT) % 256 AS b, count(*)::BIGINT AS cnt
+        |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |  GROUP BY 1, 2
+        |), probes AS (
+        |  SELECT p_partkey FROM part WHERE p_partkey <= 25
+        |), truth AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS true_cnt FROM lineitem GROUP BY 1
+        |), est AS (
+        |  SELECT p_partkey,
+        |    min(coalesce(cnt, 0))::BIGINT AS est_cnt
+        |  FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |  LEFT JOIN cells ON ci = hs.i
+        |    AND b = CAST('0x' || substr(md5(hs.i || ':' || p_partkey), 1, 8)
+        |      AS BIGINT) % 256
+        |  GROUP BY 1
+        |)
+        |SELECT p_partkey, coalesce(true_cnt, 0) AS true_cnt, est_cnt,
+        |  est_cnt - coalesce(true_cnt, 0) AS over_cnt
+        |FROM est LEFT JOIN truth ON l_partkey = p_partkey""".stripMargin) { (s, dir) =>
+      def h(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(i.cast("string"), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 256
+      val rows = explode(sequence(lit(0), lit(3))).as("i")
+      val cells = Tables.lineitem(s, dir).select(col("l_partkey"), rows)
+        .groupBy(col("i").as("ci"), h(col("i"), col("l_partkey")).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val probes = Tables.part(s, dir)
+        .where(col("p_partkey") <= 25).select("p_partkey")
+      val truth = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
+      val est = probes.select(col("p_partkey"), rows)
+        .join(broadcast(cells),
+          col("ci") === col("i") && col("b") === h(col("i"), col("p_partkey")),
+          "left")
+        .groupBy("p_partkey")
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      est.join(truth, col("l_partkey") === col("p_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+          col("est_cnt"),
+          (col("est_cnt") - coalesce(col("true_cnt"), lit(0L))).as("over_cnt"))
+    },
+
+    // Bloom-filter join pre-filter: 4096-bit / 4-hash filter built over
+    // BUILDING-segment customer keys, probed by every distinct orders
+    // customer — the runtime-filter pattern (Spark's own
+    // spark.sql.optimizer.runtimeFilter does exactly this shape) made
+    // explicit and engine-portable. The filter materializes as 66
+    // (word → bits) rows via bit_or aggregation (63-bit words — DuckDB
+    // range-checks `1 << 63`, so bit 63 is never used) — constant-size
+    // state,
+    // broadcast to the probe side, so the expensive join's input shrinks
+    // by the filter's selectivity while shuffling nothing. Output is the
+    // accounting row a pre-filter earns its keep with: probe count,
+    // true members, sketch positives, false positives, FP basis points.
+    QuerySpec(
+      "q144_bloom_filter",
+      """WITH members AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), pts AS (
+        |  SELECT CAST('0x' || substr(md5(hs.i || ':' || c_custkey), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM members CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |), bits AS (
+        |  SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS mask
+        |  FROM pts GROUP BY 1
+        |), probes AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |), ppts AS (
+        |  SELECT o_custkey,
+        |    CAST('0x' || substr(md5(hs.i || ':' || o_custkey), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM probes CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |), checked AS (
+        |  SELECT o_custkey,
+        |    min(CASE WHEN (coalesce(mask, 0) & (1::BIGINT << (p % 63)::INT)) <> 0
+        |      THEN 1 ELSE 0 END) AS hit
+        |  FROM ppts LEFT JOIN bits ON word = p // 63
+        |  GROUP BY 1
+        |), labeled AS (
+        |  SELECT o_custkey, hit,
+        |    CASE WHEN c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        |  FROM checked LEFT JOIN members ON c_custkey = o_custkey
+        |)
+        |SELECT count(*)::BIGINT AS n_probe,
+        |  CAST(sum(is_member) AS BIGINT) AS n_member,
+        |  CAST(sum(hit) AS BIGINT) AS n_positive,
+        |  CAST(sum(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos,
+        |  CAST(floor(10000.0 * sum(CASE WHEN hit = 1 AND is_member = 0
+        |      THEN 1 ELSE 0 END) / greatest(count(*) - sum(is_member), 1))
+        |    AS BIGINT) AS fp_bp
+        |FROM labeled""".stripMargin) { (s, dir) =>
+      def pos(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(i.cast("string"), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 4096
+      val rows = explode(sequence(lit(0), lit(3))).as("i")
+      val members = Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val bits = members.select(col("c_custkey"), rows)
+        .select(pos(col("i"), col("c_custkey")).as("p"))
+        .select(floor(col("p") / 63).cast("long").as("word"),
+          call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
+        .groupBy("word").agg(bit_or(col("m")).as("mask"))
+      val probes = Tables.orders(s, dir).select("o_custkey").distinct()
+      val checked = probes.select(col("o_custkey"), rows)
+        .select(col("o_custkey"), pos(col("i"), col("o_custkey")).as("p"))
+        .join(broadcast(bits),
+          col("word") === floor(col("p") / 63).cast("long"), "left")
+        .select(col("o_custkey"),
+          when(coalesce(col("mask"), lit(0L))
+            .bitwiseAND(call_function("shiftleft", lit(1L),
+              (col("p") % 63).cast("int"))) =!= 0L, 1L).otherwise(0L).as("h"))
+        .groupBy("o_custkey").agg(min(col("h")).as("hit"))
+      val labeled = checked
+        .join(members.withColumnRenamed("c_custkey", "mk"),
+          col("mk") === col("o_custkey"), "left")
+        .select(col("hit"),
+          when(col("mk").isNotNull, 1L).otherwise(0L).as("is_member"))
+      labeled.agg(
+        count(lit(1)).as("n_probe"),
+        sum(col("is_member")).as("n_member"),
+        sum(col("hit")).as("n_positive"),
+        sum(when(col("hit") === 1L && col("is_member") === 0L, 1L).otherwise(0L))
+          .as("n_false_pos"),
+        floor(lit(10000.0)
+          * sum(when(col("hit") === 1L && col("is_member") === 0L, 1L)
+            .otherwise(0L))
+          / greatest(count(lit(1)) - sum(col("is_member")), lit(1L)))
+          .cast("long").as("fp_bp"))
+    },
+
+    // Multivariate OLS by normal equations: price ~ quantity + discount,
+    // solved in closed form via Cramer's rule over NINE exact integer
+    // sums (features fix-pointed to units/basis-points/cents first, so
+    // every Σ is a BIGINT no matter the aggregation order). The fit plus
+    // an R² residual pass is two scans total — the distributed-regression
+    // shape that needs no iteration (vs q140's GD): at 100 TB both
+    // passes are map-side-combinable aggregations, and the 3×3 solve is
+    // constant work on the driver-sized row. Residuals fix-point to
+    // micros in k$ units so SSE/SST stay inside BIGINT at any SF.
+    QuerySpec(
+      "q145_ols_normal_equations",
+      """WITH f AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n, CAST(sum(q) AS BIGINT) AS sq,
+        |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(q * q) AS BIGINT) AS sqq, CAST(sum(q * d) AS BIGINT) AS sqd,
+        |    CAST(sum(d * d) AS BIGINT) AS sdd, CAST(sum(q * p) AS BIGINT) AS sqp,
+        |    CAST(sum(d * p) AS BIGINT) AS sdp
+        |  FROM f
+        |), c AS (
+        |  SELECT n,
+        |    ((CAST(sqq AS DOUBLE) * sdd - CAST(sqd AS DOUBLE) * sqd) * sp
+        |      - (CAST(sq AS DOUBLE) * sdd - CAST(sqd AS DOUBLE) * sd) * sqp
+        |      + (CAST(sq AS DOUBLE) * sqd - CAST(sqq AS DOUBLE) * sd) * sdp)
+        |    / (CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sqd)
+        |      - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sd)
+        |      + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * sqd
+        |        - CAST(sqq AS DOUBLE) * sd)) AS b0,
+        |    ((CAST(sq AS DOUBLE) * sdp - CAST(sd AS DOUBLE) * sqp) * sd
+        |      - (CAST(n AS DOUBLE) * sdp - CAST(sd AS DOUBLE) * sp) * sqd
+        |      + (CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp) * sdd)
+        |    / (CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sqd)
+        |      - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sd)
+        |      + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * sqd
+        |        - CAST(sqq AS DOUBLE) * sd)) AS b1,
+        |    ((CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * sdp
+        |        - CAST(sqd AS DOUBLE) * sqp)
+        |      - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * sdp
+        |        - CAST(sd AS DOUBLE) * sqp)
+        |      + CAST(sp AS DOUBLE) * (CAST(sq AS DOUBLE) * sqd
+        |        - CAST(sqq AS DOUBLE) * sd)))
+        |    / (CAST(n AS DOUBLE) * (CAST(sqq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sqd)
+        |      - CAST(sq AS DOUBLE) * (CAST(sq AS DOUBLE) * sdd
+        |        - CAST(sqd AS DOUBLE) * sd)
+        |      + CAST(sd AS DOUBLE) * (CAST(sq AS DOUBLE) * sqd
+        |        - CAST(sqq AS DOUBLE) * sd)) AS b2,
+        |    CAST(sp AS DOUBLE) / n AS pbar
+        |  FROM s
+        |), r AS (
+        |  SELECT max(n) AS n, max(b0) AS b0, max(b1) AS b1, max(b2) AS b2,
+        |    CAST(sum(CAST(floor(
+        |      ((p - (b0 + b1 * q + b2 * d)) / 100000.0)
+        |      * ((p - (b0 + b1 * q + b2 * d)) / 100000.0) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sse,
+        |    CAST(sum(CAST(floor(
+        |      ((p - pbar) / 100000.0) * ((p - pbar) / 100000.0) * 1000000.0)
+        |      AS BIGINT)) AS BIGINT) AS sst
+        |  FROM f CROSS JOIN c
+        |)
+        |SELECT n, CAST(floor(b0 * 1000000) AS BIGINT) AS b0_micro,
+        |  CAST(floor(b1 * 1000000) AS BIGINT) AS b1_micro,
+        |  CAST(floor(b2 * 1000000) AS BIGINT) AS b2_micro,
+        |  CAST(floor((1.0 - CAST(sse AS DOUBLE) / sst) * 1000000) AS BIGINT)
+        |    AS r2_micro
+        |FROM r""".stripMargin) { (s, dir) =>
+      val f = Tables.lineitem(s, dir).select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_discount") * 100).cast("long").as("d"),
+        floor(col("l_extendedprice") * 100).cast("long").as("p"))
+      val sums = f.agg(
+        count(lit(1)).as("n"), sum(col("q")).as("sq"), sum(col("d")).as("sd"),
+        sum(col("p")).as("sp"), sum(col("q") * col("q")).as("sqq"),
+        sum(col("q") * col("d")).as("sqd"), sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("p")).as("sqp"), sum(col("d") * col("p")).as("sdp"))
+      // Mirror the oracle's expression tree exactly: every product casts
+      // its first factor to double, det is shared syntactically.
+      def D(c: String) = col(c).cast("double")
+      val det = D("n") * (D("sqq") * col("sdd") - D("sqd") * col("sqd")) -
+        D("sq") * (D("sq") * col("sdd") - D("sqd") * col("sd")) +
+        D("sd") * (D("sq") * col("sqd") - D("sqq") * col("sd"))
+      val b0 = ((D("sqq") * col("sdd") - D("sqd") * col("sqd")) * col("sp") -
+        (D("sq") * col("sdd") - D("sqd") * col("sd")) * col("sqp") +
+        (D("sq") * col("sqd") - D("sqq") * col("sd")) * col("sdp")) / det
+      val b1 = ((D("sq") * col("sdp") - D("sd") * col("sqp")) * col("sd") -
+        (D("n") * col("sdp") - D("sd") * col("sp")) * col("sqd") +
+        (D("n") * col("sqp") - D("sq") * col("sp")) * col("sdd")) / det
+      val b2 = (D("n") * (D("sqq") * col("sdp") - D("sqd") * col("sqp")) -
+        D("sq") * (D("sq") * col("sdp") - D("sd") * col("sqp")) +
+        D("sp") * (D("sq") * col("sqd") - D("sqq") * col("sd"))) / det
+      val coefs = sums.select(col("n"), b0.as("b0"), b1.as("b1"), b2.as("b2"),
+        (col("sp").cast("double") / col("n")).as("pbar"))
+      def sqMicro(e: org.apache.spark.sql.Column) =
+        sum(floor((e / 100000.0) * (e / 100000.0) * 1000000.0).cast("long"))
+      val resid = f.crossJoin(broadcast(coefs)).agg(
+        max(col("n")).as("n"), max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+        max(col("b2")).as("b2"),
+        sqMicro(col("p") - (col("b0") + col("b1") * col("q")
+          + col("b2") * col("d"))).as("sse"),
+        sqMicro(col("p") - col("pbar")).as("sst"))
+      resid.select(col("n"),
+        floor(col("b0") * 1000000).cast("long").as("b0_micro"),
+        floor(col("b1") * 1000000).cast("long").as("b1_micro"),
+        floor(col("b2") * 1000000).cast("long").as("b2_micro"),
+        floor((lit(1.0) - col("sse").cast("double") / col("sst")) * 1000000)
+          .cast("long").as("r2_micro"))
+    },
+
+    // Distribution-drift monitor: per-day KL and reverse-KL divergence of
+    // the event-type mix against the global mix. Probabilities are exact
+    // count ratios; each p·ln(p/q) term fix-points to nanos BEFORE the
+    // per-day sum, so partial-aggregation order can't move the hash (the
+    // ln itself matches DuckDB's — proven by the q128/tx17 libm parity).
+    // Shape at 100 TB: two bounded aggregations (day×type, type) joined
+    // through a broadcast — the fact table is scanned once.
+    QuerySpec(
+      "q146_kl_divergence",
+      """WITH dt AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), day_tot AS (
+        |  SELECT d, CAST(sum(c) AS BIGINT) AS cd FROM dt GROUP BY 1
+        |), g AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS cg FROM dt GROUP BY 1
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM dt)
+        |SELECT d, max(cd) AS n_events,
+        |  CAST(sum(CAST(floor((CAST(c AS DOUBLE) / cd)
+        |    * ln((CAST(c AS DOUBLE) / cd) / (CAST(cg AS DOUBLE) / ct))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_nano,
+        |  CAST(sum(CAST(floor((CAST(cg AS DOUBLE) / ct)
+        |    * ln((CAST(cg AS DOUBLE) / ct) / (CAST(c AS DOUBLE) / cd))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS rkl_nano
+        |FROM dt JOIN day_tot USING (d) JOIN g USING (event_type) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val dt = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val dayTot = dt.groupBy("d").agg(sum(col("c")).as("cd"))
+      val glob = dt.groupBy("event_type").agg(sum(col("c")).as("cg"))
+      val tot = dt.agg(sum(col("c")).as("ct"))
+      def p = col("c").cast("double") / col("cd")
+      def q = col("cg").cast("double") / col("ct")
+      def term(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum(floor(a * log(a / b) * 1000000000.0).cast("long"))
+      dt.join(dayTot, "d").join(broadcast(glob), "event_type")
+        .crossJoin(broadcast(tot))
+        .groupBy("d")
+        .agg(max(col("cd")).as("n_events"),
+          term(p, q).as("kl_nano"), term(q, p).as("rkl_nano"))
+    },
+
+    // Grid-bucketed geo radius self-join: all customer pairs within
+    // 50 km, found by hashing points into a 0.5°×0.5° lat/lng grid and
+    // joining only same-or-adjacent cells (the spatial analog of LSH
+    // banding — candidates shrink from n² to Σ|cell|², then exact
+    // haversine verifies). Coverage proof: the synthetic points live in
+    // |lat| ≤ 6.3 where cos(lat) ≥ 0.993, so 50 km ≤ 0.453° lng and
+    // ≤ 0.450° lat — both under one 0.5° cell, making the 3×3
+    // neighborhood a superset of every qualifying pair (the oracle
+    // brute-forces n² to prove no candidate is missed). At 100 TB the
+    // explode-by-9 probe side shuffles on (cell) like any equi-join; no
+    // cross join exists, and hot cells are ordinary AQE skew work.
+    QuerySpec(
+      "q147_geo_radius_join",
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    (c_custkey % 83) * 0.15 - 6.2 AS lat,
+        |    ((c_custkey * 13) % 157) * 0.15 - 11.8 AS lng
+        |  FROM customer
+        |)
+        |SELECT a.id AS id1, b.id AS id2,
+        |  round(2 * 6371.0 * asin(sqrt(
+        |    sin(radians((b.lat - a.lat) / 2)) * sin(radians((b.lat - a.lat) / 2))
+        |    + cos(radians(a.lat)) * cos(radians(b.lat))
+        |      * sin(radians((b.lng - a.lng) / 2)) * sin(radians((b.lng - a.lng) / 2))
+        |  )), 3) AS dist_km
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE round(2 * 6371.0 * asin(sqrt(
+        |    sin(radians((b.lat - a.lat) / 2)) * sin(radians((b.lat - a.lat) / 2))
+        |    + cos(radians(a.lat)) * cos(radians(b.lat))
+        |      * sin(radians((b.lng - a.lng) / 2)) * sin(radians((b.lng - a.lng) / 2))
+        |  )), 3) <= 50.0""".stripMargin) { (s, dir) =>
+      val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        ((col("c_custkey") % 83) * 0.15 - 6.2).as("lat"),
+        (((col("c_custkey") * 13) % 157) * 0.15 - 11.8).as("lng"))
+      // Home cell per point; probe side explodes to its 3×3 neighborhood
+      // so candidates need only a plain equi-join on the cell key.
+      val celled = pts.select(col("id"), col("lat"), col("lng"),
+        floor((col("lat") + 90) / 0.5).cast("long").as("cy"),
+        floor((col("lng") + 180) / 0.5).cast("long").as("cx"))
+      val probe = celled.select(col("id").as("id1"), col("lat").as("lat1"),
+          col("lng").as("lng1"),
+          explode(sequence(lit(-1), lit(1))).as("dy"), col("cy"), col("cx"))
+        .select(col("id1"), col("lat1"), col("lng1"),
+          (col("cy") + col("dy")).as("cy"),
+          explode(sequence(lit(-1), lit(1))).as("dx"), col("cx"))
+        .select(col("id1"), col("lat1"), col("lng1"), col("cy"),
+          (col("cx") + col("dx")).as("cx"))
+      val build = celled.select(col("id").as("id2"), col("lat").as("lat2"),
+        col("lng").as("lng2"), col("cy"), col("cx"))
+      def sin2(x: org.apache.spark.sql.Column) = sin(radians(x)) * sin(radians(x))
+      val dist = round(lit(2 * 6371.0) * asin(sqrt(
+        sin2((col("lat2") - col("lat1")) / 2)
+          + cos(radians(col("lat1"))) * cos(radians(col("lat2")))
+            * sin2((col("lng2") - col("lng1")) / 2))), 3)
+      probe.join(build, Seq("cy", "cx"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), dist.as("dist_km"))
+        .where(col("dist_km") <= 50.0)
+        .distinct()
+    },
+
+    // Item-item co-occurrence similarity (the collaborative-filtering /
+    // "frequently bought together" kernel): parts appearing in the same
+    // order, scored by cosine over order-occurrence vectors — all from
+    // integer counts, cosine = co/√(na·nb) with IEEE-exact sqrt. The
+    // (order, part) dedup and the self-join both shuffle on orderkey
+    // (co-partitioned — one exchange feeds both sides); baskets are
+    // bounded (≤7 lines), so the per-order pair fan-out is O(k²) with
+    // tiny k, and the co ≥ 2 support floor prunes the pair table before
+    // the similarity math.
+    QuerySpec(
+      "q148_item_cooccurrence",
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), freq AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS nf FROM op GROUP BY 1
+        |), co AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*)::BIGINT AS co
+        |  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT part_a, part_b, co,
+        |  CAST(floor(CAST(co AS DOUBLE) / sqrt(CAST(fa.nf * fb.nf AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS cos_micro
+        |FROM co
+        |JOIN freq fa ON fa.l_partkey = part_a
+        |JOIN freq fb ON fb.l_partkey = part_b""".stripMargin) { (s, dir) =>
+      val op = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+      val freq = op.groupBy("l_partkey").agg(count(lit(1)).as("nf"))
+      val co = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+        .join(op.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+          "l_orderkey")
+        .where(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(count(lit(1)).as("co"))
+        .where(col("co") >= 2)
+      co.join(broadcast(freq.withColumnRenamed("nf", "na")),
+          col("l_partkey") === col("part_a")).drop("l_partkey")
+        .join(broadcast(freq.withColumnRenamed("nf", "nb")),
+          col("l_partkey") === col("part_b")).drop("l_partkey")
+        .select(col("part_a"), col("part_b"), col("co"),
+          floor(col("co").cast("double")
+            / sqrt((col("na") * col("nb")).cast("double")) * 1000000)
+            .cast("long").as("cos_micro"))
+    },
+
+    // Reciprocal-rank fusion of two customer rankings (by total spend
+    // and by order count) — the standard hybrid-search result merger:
+    // score = Σ 1/(60+rank). Ranks come from tie-broken total orders
+    // (deterministic), the score is a two-term sum of identical doubles.
+    // Window-free at scale? No — rank IS a global sort, but over the
+    // customer aggregate (bounded), not the fact table.
+    QuerySpec(
+      "q150_rrf",
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_c,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM orders GROUP BY 1
+        |), ranked AS (
+        |  SELECT o_custkey, spend_c, n_orders,
+        |    row_number() OVER (ORDER BY spend_c DESC, o_custkey)::BIGINT AS r_spend,
+        |    row_number() OVER (ORDER BY n_orders DESC, o_custkey)::BIGINT AS r_freq
+        |  FROM agg
+        |)
+        |SELECT o_custkey, r_spend, r_freq,
+        |  CAST(floor((1.0 / (60 + r_spend) + 1.0 / (60 + r_freq)) * 1000000000.0)
+        |    AS BIGINT) AS rrf_nano
+        |FROM ranked""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val agg = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend_c"),
+          count(lit(1)).as("n_orders"))
+      val ranked = agg
+        .withColumn("r_spend", row_number().over(
+          Window.orderBy(col("spend_c").desc, col("o_custkey"))).cast("long"))
+        .withColumn("r_freq", row_number().over(
+          Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+      ranked.select(col("o_custkey"), col("r_spend"), col("r_freq"),
+        floor((lit(1.0) / (lit(60) + col("r_spend"))
+          + lit(1.0) / (lit(60) + col("r_freq"))) * 1000000000.0)
+          .cast("long").as("rrf_nano"))
+    }
+  )
+}
