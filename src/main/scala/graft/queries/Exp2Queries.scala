@@ -612,6 +612,268 @@ object Exp2Queries {
         floor((lit(1.0) / (lit(60) + col("r_spend"))
           + lit(1.0) / (lit(60) + col("r_freq"))) * 1000000000.0)
           .cast("long").as("rrf_nano"))
+    },
+
+    // Holt–Winters triple exponential smoothing (additive, season=7)
+    // over the daily-revenue series, plus a 7-day forecast. The state
+    // (level, trend, 7 seasonals) rides ONE ordered-array fold as a
+    // 9-slot double array — the q118/q129 sequential-fold machinery
+    // widened to vector state (Spark's `aggregate` allows array
+    // accumulators; DuckDB's list_reduce does not, so the oracle replays
+    // the identical recurrence in a recursive CTE — different engine
+    // mechanism, bit-identical arithmetic order). Day revenue sums in
+    // integer cents; the recurrence's doubles match because both engines
+    // evaluate the same expression tree over the same ordered xs.
+    QuerySpec(
+      "q149_holt_winters",
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), ser AS (
+        |  SELECT list(cents / 100000.0 ORDER BY d) AS xs, count(*)::INT AS n
+        |  FROM daily
+        |), init AS (
+        |  SELECT xs, n,
+        |    list_reduce(list_prepend(0.0::DOUBLE, xs[1:7]), (a, x) -> a + x) / 7.0
+        |      AS lvl0,
+        |    (list_reduce(list_prepend(0.0::DOUBLE, xs[8:14]), (a, x) -> a + x) / 7.0
+        |      - list_reduce(list_prepend(0.0::DOUBLE, xs[1:7]), (a, x) -> a + x)
+        |        / 7.0) / 7.0 AS tr0
+        |  FROM ser
+        |), hw AS (
+        |  SELECT 7 AS t, lvl0 AS lvl, tr0 AS tr,
+        |    list_transform(xs[1:7], x -> x - lvl0) AS s
+        |  FROM init
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    0.3 * (xs[t + 1] - s[1]) + 0.7 * (lvl + tr),
+        |    0.1 * ((0.3 * (xs[t + 1] - s[1]) + 0.7 * (lvl + tr)) - lvl) + 0.9 * tr,
+        |    list_append(s[2:7],
+        |      0.2 * (xs[t + 1] - (0.3 * (xs[t + 1] - s[1]) + 0.7 * (lvl + tr)))
+        |        + 0.8 * s[1])
+        |  FROM hw, ser WHERE t < n
+        |), fin AS (SELECT lvl, tr, s FROM hw, ser WHERE t = n)
+        |SELECT (SELECT n::BIGINT FROM ser) AS n_days,
+        |  CAST(floor(lvl * 1000000) AS BIGINT) AS lvl_micro,
+        |  CAST(floor(tr * 1000000) AS BIGINT) AS tr_micro,
+        |  CAST(floor((lvl + 1 * tr + s[1]) * 1000000) AS BIGINT) AS f1_micro,
+        |  CAST(floor((lvl + 2 * tr + s[2]) * 1000000) AS BIGINT) AS f2_micro,
+        |  CAST(floor((lvl + 3 * tr + s[3]) * 1000000) AS BIGINT) AS f3_micro,
+        |  CAST(floor((lvl + 4 * tr + s[4]) * 1000000) AS BIGINT) AS f4_micro,
+        |  CAST(floor((lvl + 5 * tr + s[5]) * 1000000) AS BIGINT) AS f5_micro,
+        |  CAST(floor((lvl + 6 * tr + s[6]) * 1000000) AS BIGINT) AS f6_micro,
+        |  CAST(floor((lvl + 7 * tr + s[7]) * 1000000) AS BIGINT) AS f7_micro
+        |FROM fin""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ser = daily.agg(
+        transform(sort_array(collect_list(struct(col("d"), col("cents")))),
+          e => e.getField("cents") / 100000.0).as("xs"),
+        count(lit(1)).cast("int").as("n"))
+      def meanOf(from: Int) =
+        aggregate(slice(col("xs"), from, 7), lit(0.0), (a, x) => a + x) / 7.0
+      val staged = ser.select(col("xs"), col("n"),
+        meanOf(1).as("lvl0"), ((meanOf(8) - meanOf(1)) / 7.0).as("tr0"))
+      // Accumulator layout: [1]=level, [2]=trend, [3..9]=seasonals with
+      // [3] always the next to consume (rotates each step).
+      val init = concat(array(col("lvl0"), col("tr0")),
+        transform(slice(col("xs"), 1, 7), x => x - col("lvl0")))
+      val folded = staged.select(col("n"),
+        aggregate(
+          slice(col("xs"), lit(8), col("n") - 7), init,
+          (acc, xv) => {
+            val lvl = element_at(acc, 1)
+            val tr = element_at(acc, 2)
+            val s1 = element_at(acc, 3)
+            // newlvl/news re-inline the same sub-expression — identical
+            // doubles by construction, mirroring the oracle's inlining.
+            val newlvl = lit(0.3) * (xv - s1) + lit(0.7) * (lvl + tr)
+            val newtr = lit(0.1) * (newlvl - lvl) + lit(0.9) * tr
+            val news = lit(0.2) * (xv - newlvl) + lit(0.8) * s1
+            concat(array(newlvl, newtr), slice(acc, 4, 6), array(news))
+          }).as("st"))
+      val f = (1 to 7).map(h =>
+        floor((element_at(col("st"), 1) + lit(h) * element_at(col("st"), 2)
+          + element_at(col("st"), 2 + h)) * 1000000.0)
+          .cast("long").as(s"f${h}_micro"))
+      folded.select(Seq(col("n").cast("long").as("n_days"),
+        floor(element_at(col("st"), 1) * 1000000.0).cast("long").as("lvl_micro"),
+        floor(element_at(col("st"), 2) * 1000000.0).cast("long").as("tr_micro"))
+        ++ f: _*)
+    },
+
+    // PCA by power iteration: the dominant eigenvector of the 4×4
+    // covariance matrix of (quantity, discount, tax, price) — covariance
+    // from ONE pass of exact integer sums (the only distributed work; at
+    // 100 TB it's a map-side-combinable aggregation), then 8 mat-vec
+    // iterations on the driver (constant work, the canonical shape for
+    // low-dimensional spectra on Spark). The oracle replays the identical
+    // iteration in a recursive CTE carrying the vector; sqrt is
+    // IEEE-exact so normalization matches bit-for-bit.
+    QuerySpec(
+      "q151_pca_power", {
+        val w = (1 to 4).map { i =>
+          (1 to 4).map { j =>
+            s"c${math.min(i, j)}${math.max(i, j)} * v[$j]"
+          }.mkString("(", " + ", ")")
+        }
+        val norm = s"sqrt(${w.map(e => s"$e * $e").mkString(" + ")})"
+        val comps = w.map(e => s"$e / $norm").mkString(",\n        |    ")
+        val lam = (1 to 4).map(i => s"v[$i] * ${w(i - 1)}").mkString(" + ")
+        s"""WITH RECURSIVE f AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS t,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS p
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(d) AS BIGINT) AS s2,
+        |    CAST(sum(t) AS BIGINT) AS s3, CAST(sum(p) AS BIGINT) AS s4,
+        |    CAST(sum(q * q) AS BIGINT) AS s11, CAST(sum(q * d) AS BIGINT) AS s12,
+        |    CAST(sum(q * t) AS BIGINT) AS s13, CAST(sum(q * p) AS BIGINT) AS s14,
+        |    CAST(sum(d * d) AS BIGINT) AS s22, CAST(sum(d * t) AS BIGINT) AS s23,
+        |    CAST(sum(d * p) AS BIGINT) AS s24, CAST(sum(t * t) AS BIGINT) AS s33,
+        |    CAST(sum(t * p) AS BIGINT) AS s34, CAST(sum(p * p) AS BIGINT) AS s44
+        |  FROM f
+        |), cov AS (
+        |  SELECT n,
+        |    CAST(s11 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS c11,
+        |    CAST(s12 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c12,
+        |    CAST(s13 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c13,
+        |    CAST(s14 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s4 AS DOUBLE) / n) AS c14,
+        |    CAST(s22 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) AS c22,
+        |    CAST(s23 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c23,
+        |    CAST(s24 AS DOUBLE) / n - (CAST(s2 AS DOUBLE) / n) * (CAST(s4 AS DOUBLE) / n) AS c24,
+        |    CAST(s33 AS DOUBLE) / n - (CAST(s3 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n) AS c33,
+        |    CAST(s34 AS DOUBLE) / n - (CAST(s3 AS DOUBLE) / n) * (CAST(s4 AS DOUBLE) / n) AS c34,
+        |    CAST(s44 AS DOUBLE) / n - (CAST(s4 AS DOUBLE) / n) * (CAST(s4 AS DOUBLE) / n) AS c44
+        |  FROM s
+        |), pw AS (
+        |  SELECT 0 AS it,
+        |    [0.5::DOUBLE, 0.5::DOUBLE, 0.5::DOUBLE, 0.5::DOUBLE] AS v
+        |  FROM cov
+        |  UNION ALL
+        |  SELECT it + 1, [
+        |    $comps
+        |  ] FROM pw, cov WHERE it < 8
+        |), fin AS (SELECT v FROM pw WHERE it = 8)
+        |SELECT n,
+        |  CAST(floor(v[1] * 1000000) AS BIGINT) AS v1_micro,
+        |  CAST(floor(v[2] * 1000000) AS BIGINT) AS v2_micro,
+        |  CAST(floor(v[3] * 1000000) AS BIGINT) AS v3_micro,
+        |  CAST(floor(v[4] * 1000000) AS BIGINT) AS v4_micro,
+        |  CAST(floor(($lam) * 1000000) AS BIGINT) AS lambda_micro
+        |FROM fin, cov""".stripMargin
+      }) { (s, dir) =>
+      val f = Tables.lineitem(s, dir).select(
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_discount") * 100).cast("long").as("d"),
+        floor(col("l_tax") * 100).cast("long").as("t"),
+        floor(col("l_extendedprice")).cast("long").as("p"))
+      val r = f.agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("s1"), sum(col("d")).as("s2"),
+        sum(col("t")).as("s3"), sum(col("p")).as("s4"),
+        sum(col("q") * col("q")).as("s11"), sum(col("q") * col("d")).as("s12"),
+        sum(col("q") * col("t")).as("s13"), sum(col("q") * col("p")).as("s14"),
+        sum(col("d") * col("d")).as("s22"), sum(col("d") * col("t")).as("s23"),
+        sum(col("d") * col("p")).as("s24"), sum(col("t") * col("t")).as("s33"),
+        sum(col("t") * col("p")).as("s34"), sum(col("p") * col("p")).as("s44"))
+        .collect()(0)
+      val n = r.getLong(0)
+      val s1 = r.getLong(1); val s2 = r.getLong(2)
+      val s3 = r.getLong(3); val s4 = r.getLong(4)
+      val sums2 = Map((1, 1) -> r.getLong(5), (1, 2) -> r.getLong(6),
+        (1, 3) -> r.getLong(7), (1, 4) -> r.getLong(8), (2, 2) -> r.getLong(9),
+        (2, 3) -> r.getLong(10), (2, 4) -> r.getLong(11), (3, 3) -> r.getLong(12),
+        (3, 4) -> r.getLong(13), (4, 4) -> r.getLong(14))
+      val firsts = Map(1 -> s1, 2 -> s2, 3 -> s3, 4 -> s4)
+      // Same expression tree as the oracle's cov CTE.
+      def cov(i: Int, j: Int): Double = {
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        sums2((a, b)).toDouble / n -
+          (firsts(a).toDouble / n) * (firsts(b).toDouble / n)
+      }
+      var v = Array(0.5, 0.5, 0.5, 0.5)
+      def matVec(u: Array[Double]): Array[Double] =
+        Array.tabulate(4)(i =>
+          cov(i + 1, 1) * u(0) + cov(i + 1, 2) * u(1)
+            + cov(i + 1, 3) * u(2) + cov(i + 1, 4) * u(3))
+      for (_ <- 1 to 8) {
+        val w = matVec(v)
+        val norm = math.sqrt(w(0) * w(0) + w(1) * w(1) + w(2) * w(2) + w(3) * w(3))
+        v = w.map(_ / norm)
+      }
+      val wf = matVec(v)
+      val lam = v(0) * wf(0) + v(1) * wf(1) + v(2) * wf(2) + v(3) * wf(3)
+      s.range(1).select(lit(n).as("n"),
+        lit(math.floor(v(0) * 1000000).toLong).as("v1_micro"),
+        lit(math.floor(v(1) * 1000000).toLong).as("v2_micro"),
+        lit(math.floor(v(2) * 1000000).toLong).as("v3_micro"),
+        lit(math.floor(v(3) * 1000000).toLong).as("v4_micro"),
+        lit(math.floor(lam * 1000000).toLong).as("lambda_micro"))
+    },
+
+    // Grid-density clustering (DBSCAN's grid cousin) over the first two
+    // embedding dimensions: points hash to 0.05-wide cells, cells with
+    // ≥3 points are "dense", and touching dense cells (8-neighborhood)
+    // merge into clusters via connected components — Dedup's min-label
+    // propagation reused on the cell graph. The expensive stage (cell
+    // histogram) is one map-side-combinable groupBy of the point table;
+    // everything after runs on the bounded cell table. The oracle
+    // replays the merge as exact recursive reachability (dd7's pattern),
+    // so cluster ids (= min member cell id) are engine-identical.
+    QuerySpec(
+      "q152_dbscan_grid",
+      """WITH RECURSIVE cells AS (
+        |  SELECT CAST(floor(embedding[1]::DOUBLE * 20) AS BIGINT) AS cx,
+        |    CAST(floor(embedding[2]::DOUBLE * 20) AS BIGINT) AS cy,
+        |    count(*)::BIGINT AS n
+        |  FROM embeddings GROUP BY 1, 2 HAVING count(*) >= 3
+        |), ids AS (
+        |  SELECT cx, cy, n, (cx + 20) * 100 + (cy + 20) AS cid FROM cells
+        |), p AS (
+        |  SELECT a.cid AS id1, b.cid AS id2
+        |  FROM ids a JOIN ids b ON a.cid < b.cid
+        |    AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |), e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+        |), lab AS (
+        |  SELECT a AS cid, least(a, min(b)) AS root FROM reach GROUP BY a
+        |)
+        |SELECT cx, cy, n AS n_points, coalesce(root, cid) AS cluster_id
+        |FROM ids LEFT JOIN lab USING (cid)""".stripMargin) { (s, dir) =>
+      val cells = Tables.embeddings(s, dir).select(
+        floor(element_at(col("embedding"), 1).cast("double") * 20)
+          .cast("long").as("cx"),
+        floor(element_at(col("embedding"), 2).cast("double") * 20)
+          .cast("long").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+      val ids = cells.select(col("cx"), col("cy"), col("n"),
+        ((col("cx") + 20) * 100 + (col("cy") + 20)).as("cid"))
+      // Candidate adjacency via the 9-offset equi-join (q147's shape) —
+      // no theta/cross join even though the cell table is tiny here.
+      val probe = ids.select(col("cid").as("id1"),
+          explode(sequence(lit(-1), lit(1))).as("dx"), col("cx"), col("cy"))
+        .select(col("id1"), (col("cx") + col("dx")).as("cx"),
+          explode(sequence(lit(-1), lit(1))).as("dy"), col("cy"))
+        .select(col("id1"), col("cx"), (col("cy") + col("dy")).as("cy"))
+      val pairs = probe
+        .join(ids.select(col("cid").as("id2"), col("cx"), col("cy")),
+          Seq("cx", "cy"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2")
+      val cc = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+      ids.join(cc, ids("cid") === cc("doc_id"), "left")
+        .select(col("cx"), col("cy"), col("n").as("n_points"),
+          coalesce(col("cluster_id"), col("cid")).as("cluster_id"))
     }
   )
 }
