@@ -874,6 +874,271 @@ object Exp2Queries {
       ids.join(cc, ids("cid") === cc("doc_id"), "left")
         .select(col("cx"), col("cy"), col("n").as("n_points"),
           coalesce(col("cluster_id"), col("cid")).as("cluster_id"))
+    },
+
+    // Mann–Whitney U (rank-sum) test comparing open vs finished order
+    // totals — the nonparametric companion to q122's parametric z-test.
+    // Everything stays in integers: ranks are computed over the DISTINCT
+    // value table (ties share an average rank, carried DOUBLED so the
+    // half-integers are exact BIGINTs), so the fact table contributes
+    // one bounded aggregation and the rank window runs over distinct
+    // values only — never a window over raw rows.
+    QuerySpec(
+      "q153_mann_whitney",
+      """WITH src AS (
+        |  SELECT CAST(floor(o_totalprice) AS BIGINT) AS v,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS g1
+        |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+        |), vals AS (
+        |  SELECT v, count(*)::BIGINT AS c, CAST(sum(g1) AS BIGINT) AS c1
+        |  FROM src GROUP BY 1
+        |), ranked AS (
+        |  SELECT v, c, c1,
+        |    2 * (CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - c + 1) + c - 1 AS ar2
+        |  FROM vals
+        |), agg AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c - c1) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * ar2) AS BIGINT) AS r1_x2
+        |  FROM ranked
+        |)
+        |SELECT n1, n2, r1_x2,
+        |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |  2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
+        |FROM agg""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.orders(s, dir)
+        .where(col("o_orderstatus").isin("O", "F"))
+        .select(floor(col("o_totalprice")).cast("long").as("v"),
+          when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g1"))
+      val vals = src.groupBy("v")
+        .agg(count(lit(1)).as("c"), sum(col("g1")).as("c1"))
+      val ranked = vals.withColumn("ar2",
+        lit(2) * (sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("c") + 1) + col("c") - 1)
+      val agg = ranked.agg(
+        sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * col("ar2")).as("r1_x2"))
+      agg.select(col("n1"), col("n2"), col("r1_x2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        (lit(2) * col("n1") * col("n2")
+          - (col("r1_x2") - col("n1") * (col("n1") + 1))).as("u2_x2"))
+    },
+
+    // Chi-square independence test on the segment × order-priority
+    // contingency table. Observed counts and marginals are exact
+    // integers; each cell's (O−E)²/E term fix-points to nanos before the
+    // (bounded, ~25-term) sum. The fact join is the only wide work —
+    // dimension marginals broadcast back onto the cell table.
+    QuerySpec(
+      "q154_chi_square",
+      """WITH joined AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        |  SELECT seg, pri, count(*)::BIGINT AS o FROM joined GROUP BY 1, 2
+        |), rows_t AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        |cols_t AS (SELECT pri, CAST(sum(o) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT max(n) AS n,
+        |  (count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1) AS dof,
+        |  CAST(sum(CAST(floor(
+        |    (o - CAST(ri * cj AS DOUBLE) / n) * (o - CAST(ri * cj AS DOUBLE) / n)
+        |      / (CAST(ri * cj AS DOUBLE) / n) * 1000000000.0) AS BIGINT))
+        |    AS BIGINT) AS chi2_nano
+        |FROM cells JOIN rows_t USING (seg) JOIN cols_t USING (pri) CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      val cells = joined.groupBy("seg", "pri").agg(count(lit(1)).as("o"))
+      val rowsT = cells.groupBy("seg").agg(sum(col("o")).as("ri"))
+      val colsT = cells.groupBy("pri").agg(sum(col("o")).as("cj"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      def e = (col("ri") * col("cj")).cast("double") / col("n")
+      cells.join(broadcast(rowsT), "seg").join(broadcast(colsT), "pri")
+        .crossJoin(broadcast(tot))
+        .agg(max(col("n")).as("n"),
+          ((count_distinct(col("seg")) - 1)
+            * (count_distinct(col("pri")) - 1)).as("dof"),
+          sum(floor((col("o") - e) * (col("o") - e) / e * 1000000000.0)
+            .cast("long")).as("chi2_nano"))
+    },
+
+    // Time-weighted average event value per user (the TWAP kernel):
+    // each reading holds until the user's next event, so its weight is
+    // the gap in whole seconds — lead() over (user, time) keys, then
+    // exact integer Σ(value_cents · dur) / Σ(dur). The window partitions
+    // by user (shuffles once on the natural key); the division happens
+    // once per user on exact longs.
+    QuerySpec(
+      "q155_time_weighted_avg",
+      """WITH t AS (
+        |  SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS x,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+        |    lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id, x, nxt - ep AS dur FROM t WHERE nxt IS NOT NULL
+        |)
+        |SELECT user_id, count(*)::BIGINT AS n_intervals,
+        |  CAST(sum(dur) AS BIGINT) AS total_sec,
+        |  CAST(floor(CAST(sum(x * dur) AS DOUBLE) / sum(dur) * 1000000.0)
+        |    AS BIGINT) AS twa_c_micro
+        |FROM w WHERE dur > 0 GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ep = col("ts").cast("timestamp").cast("long")
+      val t = Tables.events(s, dir).select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("x"), ep.as("ep"),
+        lead(ep, 1).over(Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))).as("nxt"))
+      t.where(col("nxt").isNotNull)
+        .select(col("user_id"), col("x"), (col("nxt") - col("ep")).as("dur"))
+        .where(col("dur") > 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"), sum(col("dur")).as("total_sec"),
+          floor(sum(col("x") * col("dur")).cast("double") / sum(col("dur"))
+            * 1000000.0).cast("long").as("twa_c_micro"))
+    },
+
+    // Quantile normalization of account balances: every customer's
+    // balance is replaced by the GLOBAL distribution's value at the same
+    // within-segment percentile — the cross-batch feature-alignment
+    // transform. Within-segment rank is a partitioned window (scales on
+    // the segment key); the global sorted array is bounded here and
+    // broadcast — at 100 TB it becomes a fixed-resolution quantile table
+    // (q73's equi-depth machinery), same join shape. Index math is all
+    // integer except the percentile itself, floored identically.
+    QuerySpec(
+      "q156_quantile_normalization",
+      """WITH v AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |), ranked AS (
+        |  SELECT c_custkey, seg, bal_c,
+        |    row_number() OVER (PARTITION BY seg ORDER BY bal_c, c_custkey)::BIGINT
+        |      AS r,
+        |    count(*) OVER (PARTITION BY seg)::BIGINT AS ns
+        |  FROM v
+        |), g AS (
+        |  SELECT list(bal_c ORDER BY bal_c, c_custkey) AS gv,
+        |    count(*)::BIGINT AS n
+        |  FROM v
+        |)
+        |SELECT c_custkey, seg, bal_c,
+        |  gv[(CAST(floor(CAST(r - 1 AS DOUBLE) / greatest(ns - 1, 1) * (n - 1))
+        |    AS BIGINT) + 1)::INT] AS qnorm_c
+        |FROM ranked CROSS JOIN g""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val ranked = v
+        .withColumn("r", row_number().over(Window.partitionBy("seg")
+          .orderBy(col("bal_c"), col("c_custkey"))).cast("long"))
+        .withColumn("ns",
+          count(lit(1)).over(Window.partitionBy("seg")).cast("long"))
+      val g = v.agg(
+        transform(sort_array(collect_list(struct(col("bal_c"), col("c_custkey")))),
+          e => e.getField("bal_c")).as("gv"),
+        count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(g))
+        .select(col("c_custkey"), col("seg"), col("bal_c"),
+          element_at(col("gv"),
+            (floor((col("r") - 1).cast("double") / greatest(col("ns") - 1, lit(1L))
+              * (col("n") - 1)).cast("long") + 1).cast("int")).as("qnorm_c"))
+    },
+
+    // RAKE keyword extraction: phrases are maximal stopword-free token
+    // runs; a word scores degree/frequency (degree = summed length of
+    // the phrases it appears in), a phrase scores the sum of its words'
+    // scores, and each document reports its top phrase. Word scores
+    // fix-point to nanos before the per-phrase sum. The run-id trick
+    // (prefix count of stopwords) turns phrase segmentation into plain
+    // gaps-and-islands grouping — token explode + two bounded
+    // aggregations, no per-document iteration anywhere.
+    QuerySpec(
+      "tx28_rake_keywords",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents
+        |), pt AS (
+        |  SELECT doc_id, unnest(tk) AS tok,
+        |    generate_subscripts(tk, 1) AS pos
+        |  FROM toks
+        |), flagged AS (
+        |  SELECT doc_id, tok, pos,
+        |    CASE WHEN list_contains(['the','a','and','of','to','in','is','you',
+        |      'that','it'], tok) THEN 1 ELSE 0 END AS st
+        |  FROM pt
+        |), runs AS (
+        |  SELECT doc_id, tok, pos, st,
+        |    CAST(sum(st) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+        |  FROM flagged
+        |), words AS (
+        |  SELECT doc_id, run, tok, pos,
+        |    count(*) OVER (PARTITION BY doc_id, run)::BIGINT AS plen
+        |  FROM runs WHERE st = 0
+        |), wstats AS (
+        |  SELECT tok, count(*)::BIGINT AS freq, CAST(sum(plen) AS BIGINT) AS deg
+        |  FROM words GROUP BY 1
+        |), scored AS (
+        |  SELECT w.doc_id, w.run,
+        |    string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+        |    max(w.plen) AS n_words,
+        |    CAST(sum(CAST(floor(CAST(ws.deg AS DOUBLE) / ws.freq * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) AS score_nano
+        |  FROM words w JOIN wstats ws ON ws.tok = w.tok
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, phrase, n_words, score_nano,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_nano DESC, phrase) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, phrase, n_words, score_nano
+        |FROM top WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "you",
+        "that", "it")
+      val pt = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos0", "tok")))
+        .select(col("doc_id"), col("tok"), (col("pos0") + 1).as("pos"))
+      val flagged = pt.withColumn("st",
+        when(col("tok").isInCollection(stop), 1L).otherwise(0L))
+      val runs = flagged.withColumn("run",
+        sum(col("st")).over(Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val words = runs.where(col("st") === 0)
+        .withColumn("plen",
+          count(lit(1)).over(Window.partitionBy("doc_id", "run")).cast("long"))
+      val wstats = words.groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      val scored = words
+        .join(broadcast(wstats.select(col("tok"), col("freq"), col("deg"))), "tok")
+        .groupBy("doc_id", "run")
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("tok")))),
+            e => e.getField("tok")), " ").as("phrase"),
+          max(col("plen")).as("n_words"),
+          sum(floor(col("deg").cast("double") / col("freq") * 1000000000.0)
+            .cast("long")).as("score_nano"))
+      scored
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score_nano").desc, col("phrase"))))
+        .where(col("rk") === 1)
+        .select("doc_id", "phrase", "n_words", "score_nano")
     }
   )
 }
