@@ -1139,6 +1139,212 @@ object Exp2Queries {
           .orderBy(col("score_nano").desc, col("phrase"))))
         .where(col("rk") === 1)
         .select("doc_id", "phrase", "n_words", "score_nano")
+    },
+
+    // Population stability index (the ML-ops drift gate) of the order-
+    // price distribution, 1995–97 reference vs 1998+ current: ten fixed
+    // price bins, add-one smoothing so empty bins stay finite, per-bin
+    // (p−q)·ln(p/q) fix-pointed to nanos before the 10-term sum. Two
+    // bounded histograms from one scan — the same shape q146 uses for
+    // day-level KL, lifted to the between-period comparison a model
+    // monitor actually runs.
+    QuerySpec(
+      "q157_psi",
+      """WITH b AS (
+        |  SELECT least(CAST(floor(o_totalprice / 30000) AS BIGINT), 9) AS bin,
+        |    CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |      THEN 1 ELSE 0 END AS ref
+        |  FROM orders
+        |), h AS (
+        |  SELECT bin, CAST(sum(ref) AS BIGINT) AS cr,
+        |    CAST(sum(1 - ref) AS BIGINT) AS cc
+        |  FROM b GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc,
+        |    count(*)::BIGINT AS nbins
+        |  FROM h
+        |)
+        |SELECT max(nr) AS n_ref, max(nc) AS n_cur,
+        |  CAST(sum(CAST(floor(
+        |    ((CAST(cr + 1 AS DOUBLE) / (nr + nbins))
+        |      - (CAST(cc + 1 AS DOUBLE) / (nc + nbins)))
+        |    * ln((CAST(cr + 1 AS DOUBLE) / (nr + nbins))
+        |      / (CAST(cc + 1 AS DOUBLE) / (nc + nbins)))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS psi_nano
+        |FROM h CROSS JOIN t""".stripMargin) { (s, dir) =>
+      val b = Tables.orders(s, dir).select(
+        least(floor(col("o_totalprice") / 30000).cast("long"), lit(9L)).as("bin"),
+        when(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date"), 1L)
+          .otherwise(0L).as("ref"))
+      val h = b.groupBy("bin")
+        .agg(sum(col("ref")).as("cr"), sum(lit(1L) - col("ref")).as("cc"))
+      val t = h.agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"),
+        count(lit(1)).as("nbins"))
+      def p = (col("cr") + 1).cast("double") / (col("nr") + col("nbins"))
+      def q = (col("cc") + 1).cast("double") / (col("nc") + col("nbins"))
+      h.crossJoin(broadcast(t)).agg(
+        max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        sum(floor((p - q) * log(p / q) * 1000000000.0).cast("long"))
+          .as("psi_nano"))
+    },
+
+    // RFM (recency / frequency / monetary) quintile scoring — the
+    // classic CRM segmentation. Per-customer aggregates come from one
+    // orders pass; each dimension gets an ntile(5) over the bounded
+    // customer table with a custkey tie-break so bucket boundaries are
+    // total-ordered (engine-identical). Score reads high = good
+    // (recent, frequent, high-spend).
+    QuerySpec(
+      "q158_rfm",
+      """WITH maxd AS (SELECT max(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', max(CAST(o_orderdate AS DATE)), max(m))::BIGINT
+        |      AS recency_days,
+        |    count(*)::BIGINT AS frequency,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders CROSS JOIN maxd GROUP BY 1
+        |)
+        |SELECT o_custkey, recency_days, frequency, monetary_c,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT)
+        |    AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS BIGINT)
+        |    AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT)
+        |    AS m_score
+        |FROM cust""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val day = to_date(col("o_orderdate"))
+      val maxd = Tables.orders(s, dir).agg(max(day).as("m"))
+      val cust = Tables.orders(s, dir).crossJoin(broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(datediff(max(col("m")), max(day)).cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+      cust.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_c"),
+        ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
+          .cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey")))
+          .cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary_c"), col("o_custkey")))
+          .cast("long").as("m_score"))
+    },
+
+    // Cohort lifetime value: customers cohorted by first-order month,
+    // revenue accumulated by month age — the subscription-analytics
+    // rollup behind every retention dashboard. Month indices are pure
+    // integers (y·12+m), the cumulative sum is a window over the
+    // bounded (cohort × age) grid, and cohort sizes ride a broadcast.
+    QuerySpec(
+      "q159_cohort_ltv",
+      """WITH fo AS (
+        |  SELECT o_custkey,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT AS cm
+        |  FROM orders GROUP BY 1
+        |), sz AS (
+        |  SELECT cm, count(*)::BIGINT AS n_customers FROM fo GROUP BY 1
+        |), cell AS (
+        |  SELECT cm,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT - cm AS age,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders JOIN fo USING (o_custkey)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cm AS cohort_month, age AS age_months, n_customers, rev_c,
+        |  CAST(sum(rev_c) OVER (PARTITION BY cm ORDER BY age
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_rev_c
+        |FROM cell JOIN sz USING (cm)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val mIdx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long")
+      val fo = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(min(mIdx).as("cm"))
+      val sz = fo.groupBy("cm").agg(count(lit(1)).as("n_customers"))
+      val cell = Tables.orders(s, dir).join(fo, "o_custkey")
+        .groupBy(col("cm"), (mIdx - col("cm")).as("age"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      cell.join(broadcast(sz), "cm")
+        .select(col("cm").as("cohort_month"), col("age").as("age_months"),
+          col("n_customers"), col("rev_c"),
+          sum(col("rev_c")).over(Window.partitionBy("cm").orderBy("age")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_rev_c"))
+    },
+
+    // Power-law (Pareto) exponent of the user activity distribution by
+    // the continuous-approximation MLE α = 1 + n / Σ ln(k / (kmin−½)) —
+    // the heavy-tail diagnostic behind skew-aware partitioning choices.
+    // Per-user counts are exact; each ln term fix-points to nanos, so
+    // the only double work after the scan is one division.
+    QuerySpec(
+      "q160_powerlaw_mle",
+      """WITH k AS (
+        |  SELECT user_id, count(*)::BIGINT AS k FROM events GROUP BY 1
+        |), f AS (
+        |  SELECT k FROM k WHERE k >= 5
+        |), s AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(CAST(floor(ln(CAST(k AS DOUBLE) / 4.5) * 1000000000.0)
+        |      AS BIGINT)) AS BIGINT) AS lsum_nano
+        |  FROM f
+        |)
+        |SELECT n, lsum_nano,
+        |  CAST(floor((1.0 + n / (CAST(lsum_nano AS DOUBLE) / 1000000000.0))
+        |    * 1000000.0) AS BIGINT) AS alpha_micro
+        |FROM s""".stripMargin) { (s, dir) =>
+      val k = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("k"))
+        .where(col("k") >= 5)
+      val sums = k.agg(count(lit(1)).as("n"),
+        sum(floor(log(col("k").cast("double") / 4.5) * 1000000000.0)
+          .cast("long")).as("lsum_nano"))
+      sums.select(col("n"), col("lsum_nano"),
+        floor((lit(1.0) + col("n")
+          / (col("lsum_nano").cast("double") / 1000000000.0)) * 1000000.0)
+          .cast("long").as("alpha_micro"))
+    },
+
+    // Shannon entropy of each document's token distribution — the
+    // repetition/diversity quality signal (low entropy = boilerplate or
+    // keyword stuffing; complements tx13's repetition ratios). Per-token
+    // −(c/n)·ln(c/n) terms fix-point to nanos before the per-doc sum, so
+    // the token-histogram aggregation order is free.
+    QuerySpec(
+      "tx29_token_entropy",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+        |  FROM documents
+        |), hist AS (
+        |  SELECT doc_id, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+        |), n_t AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*)::BIGINT AS n_distinct
+        |  FROM hist GROUP BY 1
+        |)
+        |SELECT doc_id, max(n) AS n_tokens, max(n_distinct) AS n_distinct,
+        |  CAST(-sum(CAST(floor((CAST(c AS DOUBLE) / n)
+        |    * ln(CAST(c AS DOUBLE) / n) * 1000000000.0) AS BIGINT))
+        |    AS BIGINT) AS entropy_nano
+        |FROM hist JOIN n_t USING (doc_id)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val toks = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val hist = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val nT = hist.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      def p = col("c").cast("double") / col("n")
+      hist.join(nT, "doc_id")
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_tokens"),
+          max(col("n_distinct")).as("n_distinct"),
+          (-sum(floor(p * log(p) * 1000000000.0).cast("long")))
+            .as("entropy_nano"))
     }
   )
 }
