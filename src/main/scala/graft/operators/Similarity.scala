@@ -276,6 +276,66 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol)).limit(k)
   }
 
+  /** Product-quantization ANN with exact rerank — the memory-traded
+    * middle rung of the quantization ladder (int8 > PQ > binary): the
+    * vector splits into `m` subspaces of `subDim` dims, each subvector
+    * encodes as the id of its nearest codebook centroid (argmin of
+    * micro-rounded L2², centroid-id tie-break), and a query scores a
+    * vector as the sum of per-subspace query·centroid partials from a
+    * precomputed ADC table — m table lookups per vector instead of a
+    * dim-length dot product, and the stored code is m bytes.
+    *
+    * `codebook` supplies the centroids (caller guarantees determinism —
+    * the specs use the first 16 vectors by id; production would ship
+    * k-means centroids, same contract). Partials fix-point to micro
+    * BEFORE the per-vector sum so the 8-term addition is exact integer
+    * math; candidates rank (approx desc, id), then `cand` rerank by
+    * exact cosine. Shuffle inventory at scale: codes are built by an
+    * (id, j)-grouped argmin over a broadcast codebook; the ADC table is
+    * m×16 rows broadcast back — the corpus shuffles only (id, j, code)
+    * triples, never vectors. */
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      codebook: DataFrame, codebookIdCol: String,
+      k: Int, cand: Int = 50, m: Int = 8, subDim: Int = 8): DataFrame = {
+    def subv(v: Column, j: Column): Column =
+      transform(slice(v, j * subDim + 1, lit(subDim)), x => x.cast("double"))
+    val js = explode(sequence(lit(0), lit(m - 1))).as("__j")
+    val cents = codebook.select(col(codebookIdCol).as("__cid"),
+        col(vecCol).as("__cv0"), js)
+      .select(col("__cid"), col("__j"), subv(col("__cv0"), col("__j")).as("__cv"))
+    val qsub = query.select(col(queryVecCol).as("__qv0"), js)
+      .select(col("__j"), subv(col("__qv0"), col("__j")).as("__qs"))
+    // ADC table: micro-fixed partial dot products, m×|codebook| rows.
+    val t = qsub.join(broadcast(cents), "__j")
+      .select(col("__j"), col("__cid"),
+        floor(aggregate(zip_with(col("__qs"), col("__cv"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v) * 1000000.0 + 0.5)
+          .cast("long").as("__tval"))
+    val dsub = df.select(col(idCol), col(vecCol), js)
+      .select(col(idCol), col("__j"), subv(col(vecCol), col("__j")).as("__sv"))
+    val enc = dsub.join(broadcast(cents), "__j")
+      .select(col(idCol), col("__j"),
+        floor(aggregate(
+          zip_with(col("__sv"), col("__cv"), (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, v) => acc + v) * 1000000.0 + 0.5)
+          .cast("long").as("__dm"),
+        col("__cid"))
+      .groupBy(col(idCol), col("__j"))
+      .agg(min(struct(col("__dm"), col("__cid"))).getField("__cid").as("__code"))
+    val tn = t.select(col("__j").as("__tj"), col("__cid").as("__tcid"),
+      col("__tval"))
+    val approx = enc.join(broadcast(tn),
+        col("__j") === col("__tj") && col("__code") === col("__tcid"))
+      .groupBy(col(idCol)).agg(sum(col("__tval")).as("__score"))
+    val qv = query.select(col(queryVecCol).as("__qv"))
+    approx.orderBy(col("__score").desc, col(idCol)).limit(cand)
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol), round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` over a bounded
     * subset (brute force; the LSH/IVF paths above are the scale
     * alternative). Broadcast self-join, ids ordered to emit each pair

@@ -1345,6 +1345,229 @@ object Exp2Queries {
           max(col("n_distinct")).as("n_distinct"),
           (-sum(floor(p * log(p) * 1000000000.0).cast("long")))
             .as("entropy_nano"))
+    },
+
+    // Product-quantization ANN (Similarity.pqTopK): 8 subspaces × 8
+    // dims, 16 deterministic codebook centroids (the first 16 vectors),
+    // micro-fixed L2² argmin encoding, ADC partial-dot lookup scoring,
+    // exact-cosine rerank — the middle rung of the quantization ladder
+    // between ss9 (int8) and ss11 (binary), and like them FULLY oracled:
+    // every quantity is either exact-integer or a micro-rounded double
+    // both engines compute identically.
+    QuerySpec(
+      "ss12_ann_pq",
+      """WITH cb AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+        |), js AS (SELECT unnest(range(0, 8)) AS j),
+        |cents AS (
+        |  SELECT j, cid,
+        |    list_transform(embedding[(j*8+1):(j*8+8)], x -> x::DOUBLE) AS cv
+        |  FROM cb CROSS JOIN js
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qsub AS (
+        |  SELECT j, list_transform(qe[(j*8+1):(j*8+8)], x -> x::DOUBLE) AS qs
+        |  FROM q CROSS JOIN js
+        |), t AS (
+        |  SELECT qsub.j, cid,
+        |    CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 9), d -> qs[d] * cv[d])),
+        |      (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS tval
+        |  FROM qsub JOIN cents ON cents.j = qsub.j
+        |), dsub AS (
+        |  SELECT vec_id, js.j,
+        |    list_transform(embedding[(js.j*8+1):(js.j*8+8)], x -> x::DOUBLE) AS sv
+        |  FROM embeddings CROSS JOIN js
+        |), enc0 AS (
+        |  SELECT vec_id, dsub.j, cid,
+        |    CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 9), d -> (sv[d] - cv[d]) * (sv[d] - cv[d]))),
+        |      (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM dsub JOIN cents ON cents.j = dsub.j
+        |), enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dm, cid) AS rk
+        |    FROM enc0) z
+        |  WHERE rk = 1
+        |), approx AS (
+        |  SELECT vec_id, CAST(sum(tval) AS BIGINT) AS score
+        |  FROM enc JOIN t ON t.j = enc.j AND t.cid = enc.code
+        |  GROUP BY 1
+        |), cand AS (
+        |  SELECT vec_id FROM approx ORDER BY score DESC, vec_id LIMIT 50
+        |)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(
+        |    list_transform(e.embedding, x -> x::DOUBLE),
+        |    (SELECT list_transform(qe, x -> x::DOUBLE) FROM q)), 6) AS sim
+        |FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.pqTopK(
+        emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding",
+        emb.where(col("vec_id") < 16), "vec_id",
+        k = 10, cand = 50)
+    },
+
+    // Streaming count-min sketch maintenance: the q143 cell-matrix build
+    // lifted onto the event stream — a complete-mode groupBy over the
+    // FIXED (row, bucket) key space, so the streaming state is exactly
+    // the 4×64 sketch and each micro-batch folds in map-side-combined
+    // increments. CMS increments are associative/commutative, so the
+    // streamed sketch equals the batch sketch cell-for-cell — which is
+    // precisely what the batch oracle asserts.
+    QuerySpec(
+      "st17_stream_cms",
+      """SELECT hs.i AS i_row,
+        |  CAST('0x' || substr(md5(hs.i || ':' || user_id), 1, 8) AS BIGINT)
+        |    % 64 AS bucket,
+        |  count(*)::BIGINT AS cnt
+        |FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = graft.streaming.Streams.eventsStream(s, dir)
+      val cells = ev
+        .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("i"))
+        .select(col("i").cast("long").as("i_row"),
+          (conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+            col("user_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 64).as("bucket"))
+        .groupBy("i_row", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+      graft.streaming.Streams.runToTable(cells, "st17_mem", "complete")
+    },
+
+    // Depth-1 decision tree (decision stump) on account balance
+    // predicting the BUILDING segment: candidate thresholds are the
+    // bounded 500-unit balance bins, split quality is weighted Gini
+    // impurity from exact integer counts (micro-rounded only for the
+    // final argmin), evaluated off a windowed cumulative histogram — one
+    // fact-table pass, then constant work. The one-node tree is the
+    // base learner a boosted ensemble would train distributedly.
+    QuerySpec(
+      "q161_decision_stump",
+      """WITH pts AS (
+        |  SELECT CAST(floor(c_acctbal / 500) AS BIGINT) AS bin,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        |  FROM customer
+        |), hist AS (
+        |  SELECT bin, count(*)::BIGINT AS nb, CAST(sum(y) AS BIGINT) AS pb
+        |  FROM pts GROUP BY 1
+        |), cum AS (
+        |  SELECT bin,
+        |    CAST(coalesce(sum(nb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS nl,
+        |    CAST(coalesce(sum(pb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS pl
+        |  FROM hist
+        |), tot AS (
+        |  SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(pb) AS BIGINT) AS pos
+        |  FROM hist
+        |), scored AS (
+        |  SELECT bin, nl, n - nl AS nr,
+        |    CAST(floor(
+        |      (2.0 * pl * (nl - pl) / greatest(nl, 1)
+        |        + 2.0 * (pos - pl) * ((n - nl) - (pos - pl)) / greatest(n - nl, 1))
+        |      / n * 1000000.0) AS BIGINT) AS imp_micro,
+        |    CAST(floor(2.0 * pos * (n - pos) / n / n * 1000000.0) AS BIGINT)
+        |      AS base_micro
+        |  FROM cum CROSS JOIN tot
+        |)
+        |SELECT bin AS threshold_bin, bin * 50000 AS threshold_c,
+        |  nl AS n_left, nr AS n_right, imp_micro, base_micro
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY imp_micro, bin) AS rk
+        |  FROM scored) z
+        |WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pts = Tables.customer(s, dir).select(
+        floor(col("c_acctbal") / 500).cast("long").as("bin"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("y"))
+      val hist = pts.groupBy("bin")
+        .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hist.select(col("bin"),
+        coalesce(sum(col("nb")).over(w), lit(0L)).as("nl"),
+        coalesce(sum(col("pb")).over(w), lit(0L)).as("pl"))
+      val tot = hist.agg(sum(col("nb")).as("n"), sum(col("pb")).as("pos"))
+      val scored = cum.crossJoin(broadcast(tot)).select(
+        col("bin"), col("nl"), (col("n") - col("nl")).as("nr"),
+        floor((lit(2.0) * col("pl") * (col("nl") - col("pl"))
+            / greatest(col("nl"), lit(1L))
+          + lit(2.0) * (col("pos") - col("pl"))
+            * ((col("n") - col("nl")) - (col("pos") - col("pl")))
+            / greatest(col("n") - col("nl"), lit(1L)))
+          / col("n") * 1000000.0).cast("long").as("imp_micro"),
+        floor(lit(2.0) * col("pos") * (col("n") - col("pos"))
+          / col("n") / col("n") * 1000000.0).cast("long").as("base_micro"))
+      scored
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("imp_micro"), col("bin"))))
+        .where(col("rk") === 1)
+        .select(col("bin").as("threshold_bin"),
+          (col("bin") * 50000).as("threshold_c"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("imp_micro"), col("base_micro"))
+    },
+
+    // Mutual information between customer segment and order priority
+    // (plus both marginal entropies) — the information-theoretic
+    // companion to q154's chi-square, from the same contingency
+    // machinery: exact integer counts, per-cell nano fixed points, and
+    // bounded (≤25-term) sums.
+    QuerySpec(
+      "q162_mutual_information",
+      """WITH joined AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), cells AS (
+        |  SELECT seg, pri, count(*)::BIGINT AS o FROM joined GROUP BY 1, 2
+        |), rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS ri FROM cells GROUP BY 1),
+        |ct AS (SELECT pri, CAST(sum(o) AS BIGINT) AS cj FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (
+        |  SELECT CAST(sum(CAST(floor((CAST(o AS DOUBLE) / n)
+        |    * ln((CAST(o AS DOUBLE) / n)
+        |      / ((CAST(ri AS DOUBLE) / n) * (CAST(cj AS DOUBLE) / n)))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_nano
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (pri) CROSS JOIN tot
+        |), hs AS (
+        |  SELECT CAST(-sum(CAST(floor((CAST(ri AS DOUBLE) / n)
+        |    * ln(CAST(ri AS DOUBLE) / n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |    AS h_seg_nano
+        |  FROM rt CROSS JOIN tot
+        |), hp AS (
+        |  SELECT CAST(-sum(CAST(floor((CAST(cj AS DOUBLE) / n)
+        |    * ln(CAST(cj AS DOUBLE) / n) * 1000000000.0) AS BIGINT)) AS BIGINT)
+        |    AS h_pri_nano
+        |  FROM ct CROSS JOIN tot
+        |)
+        |SELECT (SELECT n FROM tot) AS n, mi_nano, h_seg_nano, h_pri_nano
+        |FROM mi CROSS JOIN hs CROSS JOIN hp""".stripMargin) { (s, dir) =>
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+      val cells = joined.groupBy("seg", "pri").agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy("seg").agg(sum(col("o")).as("ri"))
+      val ct = cells.groupBy("pri").agg(sum(col("o")).as("cj"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      def po = col("o").cast("double") / col("n")
+      def pi = col("ri").cast("double") / col("n")
+      def pj = col("cj").cast("double") / col("n")
+      val mi = cells.join(broadcast(rt), "seg").join(broadcast(ct), "pri")
+        .crossJoin(broadcast(tot))
+        .agg(sum(floor(po * log(po / (pi * pj)) * 1000000000.0).cast("long"))
+          .as("mi_nano"))
+      val hs = rt.crossJoin(broadcast(tot))
+        .agg((-sum(floor(pi * log(pi) * 1000000000.0).cast("long")))
+          .as("h_seg_nano"))
+      val hp = ct.crossJoin(broadcast(tot))
+        .agg((-sum(floor(pj * log(pj) * 1000000000.0).cast("long")))
+          .as("h_pri_nano"))
+      tot.select(col("n")).crossJoin(mi).crossJoin(hs).crossJoin(hp)
     }
   )
 }

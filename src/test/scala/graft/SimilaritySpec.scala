@@ -127,6 +127,19 @@ class SimilaritySpec extends SparkSpec {
       s"multiprobe recall ${(mp & exact).size} < exact-probe ${(lsh & exact).size}")
   }
 
+  test("pqTopK: PQ candidates rerank to include self, recall vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 10)
+      .select("vec_id").as[Long].collect().toSet
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, "embedding",
+      emb.where(col("vec_id") < 16), "vec_id", k = 10, cand = 50)
+      .select("vec_id").as[Long].collect().toSet
+    assert(pq.contains(0L), "PQ top-k must contain the query itself")
+    assert((pq & exact).size >= 3, s"pq recall ${(pq & exact).size}/10")
+  }
+
   test("cosineNearDupPairs finds within-cluster pairs only at high threshold") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .select("id1", "id2").as[(Long, Long)].collect()
