@@ -1568,6 +1568,163 @@ object Exp2Queries {
         .agg((-sum(floor(pj * log(pj) * 1000000000.0).cast("long")))
           .as("h_pri_nano"))
       tot.select(col("n")).crossJoin(mi).crossJoin(hs).crossJoin(hp)
+    },
+
+    // ROC AUC of "balance predicts BUILDING membership" via the
+    // rank-sum identity AUC = U/(n₁n₂) — the model-evaluation metric on
+    // q153's exact-integer machinery (doubled tie-average ranks over the
+    // distinct-score table), so the only double is the final division.
+    QuerySpec(
+      "q163_roc_auc",
+      """WITH src AS (
+        |  SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS v,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |  FROM customer
+        |), vals AS (
+        |  SELECT v, count(*)::BIGINT AS c, CAST(sum(g1) AS BIGINT) AS c1
+        |  FROM src GROUP BY 1
+        |), ranked AS (
+        |  SELECT v, c, c1,
+        |    2 * (CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - c + 1) + c - 1 AS ar2
+        |  FROM vals
+        |), agg AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c - c1) AS BIGINT) AS n2,
+        |    CAST(sum(c1 * ar2) AS BIGINT) AS r1_x2
+        |  FROM ranked
+        |)
+        |SELECT n1, n2,
+        |  CAST(floor(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
+        |    / (2.0 * n1 * n2) * 1000000.0) AS BIGINT) AS auc_micro
+        |FROM agg""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.customer(s, dir).select(
+        floor(col("c_acctbal") * 100).cast("long").as("v"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g1"))
+      val vals = src.groupBy("v")
+        .agg(count(lit(1)).as("c"), sum(col("g1")).as("c1"))
+      val ranked = vals.withColumn("ar2",
+        lit(2) * (sum(col("c")).over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("c") + 1) + col("c") - 1)
+      ranked.agg(
+        sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
+        sum(col("c1") * col("ar2")).as("r1_x2"))
+        .select(col("n1"), col("n2"),
+          floor((col("r1_x2") - col("n1") * (col("n1") + 1)).cast("double")
+            / (lit(2.0) * col("n1") * col("n2")) * 1000000.0)
+            .cast("long").as("auc_micro"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov statistic between view and purchase
+    // event values: D = max |F₁−F₂| over the distinct-value grid,
+    // computed cross-multiplied (|c₁cum·n₂ − c₂cum·n₁|) so the max runs
+    // on exact integers — the distribution-shape drift test beside
+    // q157's binned PSI. One fact pass, then windows over distinct
+    // values only.
+    QuerySpec(
+      "q164_ks_test",
+      """WITH src AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), vals AS (
+        |  SELECT v, CAST(sum(g1) AS BIGINT) AS c1,
+        |    CAST(sum(1 - g1) AS BIGINT) AS c2
+        |  FROM src GROUP BY 1
+        |), cum AS (
+        |  SELECT v,
+        |    CAST(sum(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+        |    CAST(sum(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+        |  FROM vals
+        |), tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |  FROM vals
+        |)
+        |SELECT n1, n2,
+        |  CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_num,
+        |  CAST(floor(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * n2) * 1000000.0) AS BIGINT) AS ks_micro
+        |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.events(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+        .select(floor(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
+      val vals = src.groupBy("v")
+        .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = vals.select(col("v"),
+        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("d_num"),
+          floor(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+            .cast("double") / (col("n1").cast("double") * col("n2"))
+            * 1000000.0).cast("long").as("ks_micro"))
+    },
+
+    // Classical seasonal decomposition of the daily-revenue series:
+    // trend = centered 7-day moving average (full windows only),
+    // detrended residual averaged per weekday = the seasonal component,
+    // remainder = what's left — the pre-model diagnostic for q149's
+    // Holt–Winters. Micro-cent longs end-to-end: the only doubles are
+    // the /7 and per-dow mean divisions, floored identically; weekday
+    // uses the portable epoch-day formula (q133) on both engines.
+    QuerySpec(
+      "q165_seasonal_decompose",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    (epoch(o_orderdate)::BIGINT // 86400 + 4) % 7 AS dow,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT d, dow, cents,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      CAST(floor(CAST(sum(cents) OVER w7 AS DOUBLE) / 7.0 * 1000000.0)
+        |        AS BIGINT)
+        |    END AS trend_mc
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT d, dow, cents, trend_mc,
+        |    cents * 1000000 - trend_mc AS resid0_mc
+        |  FROM tr WHERE trend_mc IS NOT NULL
+        |), seas AS (
+        |  SELECT dow, CAST(floor(CAST(sum(resid0_mc) AS DOUBLE) / count(*))
+        |    AS BIGINT) AS seasonal_mc
+        |  FROM det GROUP BY 1
+        |)
+        |SELECT d, cents, trend_mc, seasonal_mc,
+        |  resid0_mc - seasonal_mc AS resid_mc
+        |FROM det JOIN seas USING (dow)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val days = floor(unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000.0).cast("long")
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"),
+          pmod(days + 4, lit(7L)).as("dow"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily.select(col("d"), col("dow"), col("cents"),
+        when(count(lit(1)).over(w7) === 7,
+          floor(sum(col("cents")).over(w7).cast("double") / 7.0 * 1000000.0)
+            .cast("long")).as("trend_mc"))
+      val det = tr.where(col("trend_mc").isNotNull)
+        .select(col("d"), col("dow"), col("cents"), col("trend_mc"),
+          (col("cents") * 1000000 - col("trend_mc")).as("resid0_mc"))
+      val seas = det.groupBy("dow")
+        .agg(floor(sum(col("resid0_mc")).cast("double") / count(lit(1)))
+          .cast("long").as("seasonal_mc"))
+      det.join(broadcast(seas), "dow")
+        .select(col("d"), col("cents"), col("trend_mc"), col("seasonal_mc"),
+          (col("resid0_mc") - col("seasonal_mc")).as("resid_mc"))
     }
   )
 }
