@@ -1725,6 +1725,116 @@ object Exp2Queries {
       det.join(broadcast(seas), "dow")
         .select(col("d"), col("cents"), col("trend_mc"), col("seasonal_mc"),
           (col("resid0_mc") - col("seasonal_mc")).as("resid_mc"))
+    },
+
+    // Deterministic negative sampling for recommender training pairs:
+    // each ordering customer draws 10 md5-seeded candidate parts,
+    // drops any they actually bought (anti-join against the positives),
+    // and keeps the first 3 survivors by draw index — the
+    // (user, item⁻) generator every contrastive trainer needs, with
+    // engine-portable pseudo-randomness instead of an RNG. Positives
+    // and candidates shuffle on the same (cust, part) key; the draw
+    // explosion is narrow map work.
+    QuerySpec(
+      "q166_negative_sampling",
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey, l_partkey
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), cust AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |), cand AS (
+        |  SELECT o_custkey, hs.j,
+        |    CAST('0x' || substr(md5(o_custkey || '#' || hs.j), 1, 8) AS BIGINT)
+        |      % 2000 AS part_neg
+        |  FROM cust CROSS JOIN (SELECT unnest(range(0, 10)) AS j) hs
+        |), neg AS (
+        |  SELECT o_custkey, j, part_neg FROM cand
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.o_custkey = cand.o_custkey
+        |      AND pos.l_partkey = cand.part_neg)
+        |)
+        |SELECT o_custkey, part_neg, rk FROM (
+        |  SELECT o_custkey, part_neg,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY j)::BIGINT AS rk
+        |  FROM neg) z
+        |WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select("o_custkey", "l_partkey").distinct()
+      val cust = Tables.orders(s, dir).select("o_custkey").distinct()
+      val cand = cust
+        .select(col("o_custkey"), explode(sequence(lit(0), lit(9))).as("j"))
+        .select(col("o_custkey"), col("j"),
+          (conv(substring(md5(concat(col("o_custkey").cast("string"), lit("#"),
+            col("j").cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long") % 2000).as("part_neg"))
+      val neg = cand.join(pos,
+        cand("o_custkey") === pos("o_custkey")
+          && col("part_neg") === col("l_partkey"), "left_anti")
+      neg
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_custkey").orderBy("j")).cast("long"))
+        .where(col("rk") <= 3)
+        .select("o_custkey", "part_neg", "rk")
+    },
+
+    // Target-leakage screen: Pearson correlation of every candidate
+    // feature against the target in ONE unpivoted pass — the
+    // pre-training sanity check that catches a feature that IS the
+    // label. All five sums per feature are exact integers; the r
+    // formula is the cross-multiplied one (no means), evaluated
+    // identically, and |r| > 0.5 flags the leak. Quantity correlates
+    // with extended price by construction — the planted leak the
+    // screen must find.
+    QuerySpec(
+      "q167_leakage_screen",
+      """WITH f AS (
+        |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS y,
+        |    CAST(floor(l_quantity) AS BIGINT) AS q,
+        |    CAST(floor(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(floor(l_tax * 100) AS BIGINT) AS t
+        |  FROM lineitem
+        |), u AS (
+        |  SELECT 'quantity' AS feature, q AS x, y FROM f
+        |  UNION ALL SELECT 'discount', d, y FROM f
+        |  UNION ALL SELECT 'tax', t, y FROM f
+        |), s AS (
+        |  SELECT feature, count(*)::BIGINT AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT feature,
+        |  CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+        |    * 1000000.0) AS BIGINT) AS r_micro,
+        |  CAST(CASE WHEN abs((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) > 0.5
+        |    THEN 1 ELSE 0 END AS BIGINT) AS leak_flag
+        |FROM s""".stripMargin) { (s, dir) =>
+      val f = Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice")).cast("long").as("y"),
+        floor(col("l_quantity")).cast("long").as("q"),
+        floor(col("l_discount") * 100).cast("long").as("d"),
+        floor(col("l_tax") * 100).cast("long").as("t"))
+      val u = f.select(expr(
+        "stack(3, 'quantity', q, 'discount', d, 'tax', t) AS (feature, x)"),
+        col("y"))
+      val sums = u.groupBy("feature").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      def D(c: String) = col(c).cast("double")
+      val r = (D("n") * col("sxy") - D("sx") * col("sy")) /
+        sqrt((D("n") * col("sxx") - D("sx") * col("sx"))
+          * (D("n") * col("syy") - D("sy") * col("sy")))
+      sums.select(col("feature"),
+        floor(r * 1000000.0).cast("long").as("r_micro"),
+        when(abs(r) > 0.5, 1L).otherwise(0L).as("leak_flag"))
     }
   )
 }
