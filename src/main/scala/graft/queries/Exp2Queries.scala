@@ -1835,6 +1835,96 @@ object Exp2Queries {
       sums.select(col("feature"),
         floor(r * 1000000.0).cast("long").as("r_micro"),
         when(abs(r) > 0.5, 1L).otherwise(0L).as("leak_flag"))
+    },
+
+    // Weighted quantiles (p25 / median / p75 of price, weighted by
+    // quantity, per return flag) — the aggregate Spark lacks natively,
+    // built the scale-correct way: weights collapse onto the DISTINCT
+    // value grid first (map-side combinable), a cumulative window runs
+    // over that bounded grid, and each quantile is the first value whose
+    // cross-multiplied cumulative weight crosses the target — exact
+    // integers end to end, no interpolation ambiguity.
+    QuerySpec(
+      "q168_weighted_median",
+      """WITH v AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS p_c,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT flag, p_c, w,
+        |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY p_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        |  FROM v
+        |)
+        |SELECT flag, max(tw) AS total_w,
+        |  min(CASE WHEN 4 * cw >= tw THEN p_c END) AS wp25_c,
+        |  min(CASE WHEN 2 * cw >= tw THEN p_c END) AS wmedian_c,
+        |  min(CASE WHEN 4 * cw >= 3 * tw THEN p_c END) AS wp75_c
+        |FROM cum GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("p_c"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("w"))
+      val cum = v.select(col("flag"), col("p_c"), col("w"),
+        sum(col("w")).over(Window.partitionBy("flag").orderBy("p_c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum(col("w")).over(Window.partitionBy("flag")).as("tw"))
+      cum.groupBy("flag").agg(
+        max(col("tw")).as("total_w"),
+        min(when(lit(4) * col("cw") >= col("tw"), col("p_c"))).as("wp25_c"),
+        min(when(lit(2) * col("cw") >= col("tw"), col("p_c"))).as("wmedian_c"),
+        min(when(lit(4) * col("cw") >= lit(3) * col("tw"), col("p_c")))
+          .as("wp75_c"))
+    },
+
+    // Funnel latency: for every purchase, the latest view by the same
+    // user at-or-before it (Relational.asofJoin — the q29 operator
+    // composed into the product-analytics question), then each user's
+    // conversion count and exact lower-median view→purchase latency in
+    // whole seconds. The as-of union-and-carry shuffles once on the
+    // user key; the median indexes a per-user sorted latency array
+    // (bounded by that user's conversions).
+    QuerySpec(
+      "q169_funnel_latency",
+      """WITH p AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+        |  FROM events WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT p.user_id, p.ep - v.ep AS lat
+        |  FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.ep <= p.ep
+        |), g AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_conv,
+        |    list(lat ORDER BY lat) AS ls
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT user_id, n_conv,
+        |  ls[((n_conv + 1) // 2)::INT] AS med_lat_sec
+        |FROM g""".stripMargin) { (s, dir) =>
+      val ep = col("ts").cast("timestamp").cast("long")
+      val ev = Tables.events(s, dir)
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), ep.as("ep"))
+      // The right time rides twice: once as the as-of ordering key, once
+      // as a payload column (asofJoin only carries payload columns out).
+      val v = ev.where(col("event_type") === "view")
+        .select(col("user_id"), ep.as("vep"), ep.as("view_ep"))
+      val j = graft.operators.Relational.asofJoin(
+        p, "user_id", "ep", v, "user_id", "vep")
+        .where(col("view_ep").isNotNull)
+        .select(col("user_id"), (col("ep") - col("view_ep")).as("lat"))
+      j.groupBy("user_id")
+        .agg(count(lit(1)).as("n_conv"),
+          sort_array(collect_list(col("lat"))).as("ls"))
+        .select(col("user_id"), col("n_conv"),
+          element_at(col("ls"), ((col("n_conv") + 1) / 2).cast("int"))
+            .as("med_lat_sec"))
     }
   )
 }
