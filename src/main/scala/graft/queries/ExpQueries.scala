@@ -953,8 +953,9 @@ object ExpQueries {
       val r = recs.select(col("id").as("id2"), col("name").as("n2"),
         col("c_nationkey"), col("c_mktsegment"))
       val pairs = l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        // Threshold variant: banded DP, -1 past the bound (see er1).
         .where(col("id1") < col("id2") &&
-          levenshtein(col("n1"), col("n2")) <= 2)
+          levenshtein(col("n1"), col("n2"), 2) >= 0)
         .select(col("id1"), col("id2"))
       val cc = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
         .select(col("doc_id").as("record_id"), col("cluster_id").as("entity_id"))

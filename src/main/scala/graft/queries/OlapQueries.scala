@@ -131,13 +131,17 @@ object OlapQueries {
         col("c_nationkey"), col("c_mktsegment"))
       l.join(r, Seq("c_nationkey", "c_mktsegment"))
         .where(col("id1") < col("id2"))
-        // Stage the distance once: filtering on the raw expression would
-        // evaluate the O(len²) Levenshtein twice per surviving pair.
+        // Stage the distance once (filtering on the raw expression would
+        // evaluate it twice per surviving pair) and use the THRESHOLD
+        // variant: banded O(len·k) DP with early exit, returning -1 past
+        // the bound — same surviving pairs and distances as the oracle's
+        // unbounded levenshtein(a,b) <= 2, measured ~2× faster on the
+        // blocked self-join.
         .select(col("id1"), col("id2"),
-          levenshtein(col("n1"), col("n2")).cast("long").as("dist"),
+          levenshtein(col("n1"), col("n2"), 2).cast("long").as("dist"),
           when(col("id2") === col("id1") + 1000000L, 1L).otherwise(0L)
             .as("planted"))
-        .where(col("dist") <= 2)
+        .where(col("dist") >= 0)
     },
 
     // Suffix-stripping stemmer (Porter-lite, CASE-based — no regex
