@@ -1925,6 +1925,185 @@ object Exp2Queries {
         .select(col("user_id"), col("n_conv"),
           element_at(col("ls"), ((col("n_conv") + 1) / 2).cast("int"))
             .as("med_lat_sec"))
+    },
+
+    // Join-size estimation by count-min inner product (the AGMS/CMS
+    // query-planner trick): the self-join size Σc(k)² of lineitem on
+    // suppkey, estimated as min over hash rows of Σ_b cell[b]² from the
+    // q143 sketch — two constant-size sketch scans instead of the
+    // O(distinct keys) exact histogram, and the planner-grade
+    // overestimate is the row-collision term the output quantifies.
+    QuerySpec(
+      "q170_cms_join_size",
+      """WITH cells AS (
+        |  SELECT hs.i AS ci,
+        |    CAST('0x' || substr(md5(hs.i || ':' || l_suppkey), 1, 8) AS BIGINT)
+        |      % 64 AS b, count(*)::BIGINT AS cnt
+        |  FROM lineitem CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT min(s)::BIGINT AS est_size FROM (
+        |    SELECT ci, CAST(sum(cnt * cnt) AS BIGINT) AS s
+        |    FROM cells GROUP BY 1) z
+        |), truth AS (
+        |  SELECT CAST(sum(c * c) AS BIGINT) AS true_size FROM (
+        |    SELECT l_suppkey, count(*)::BIGINT AS c FROM lineitem GROUP BY 1) z
+        |)
+        |SELECT true_size, est_size, est_size - true_size AS over_size,
+        |  CAST(floor(10000.0 * est_size / true_size) AS BIGINT) AS ratio_bp
+        |FROM truth CROSS JOIN est""".stripMargin) { (s, dir) =>
+      def h(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(i.cast("string"), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 64
+      val cells = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), explode(sequence(lit(0), lit(3))).as("i"))
+        .groupBy(col("i").as("ci"), h(col("i"), col("l_suppkey")).as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val est = cells.groupBy("ci").agg(sum(col("cnt") * col("cnt")).as("s"))
+        .agg(min(col("s")).as("est_size"))
+      val truth = Tables.lineitem(s, dir).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("true_size"))
+      truth.crossJoin(est).select(col("true_size"), col("est_size"),
+        (col("est_size") - col("true_size")).as("over_size"),
+        floor(lit(10000.0) * col("est_size") / col("true_size"))
+          .cast("long").as("ratio_bp"))
+    },
+
+    // Deterministic random walks over the user graph (the node2vec /
+    // DeepWalk sequence generator): 5 md5-seeded steps from each of the
+    // first 50 nodes, each step indexing into the SORTED neighbor list
+    // — engine-portable pseudo-randomness in place of an RNG, so the
+    // oracle replays every walk. Spark folds the walk inside one row
+    // against a broadcast adjacency map (nodes are bounded; edges never
+    // leave their aggregation); the oracle carries paths through a
+    // recursive CTE over the same adjacency arrays.
+    QuerySpec(
+      "q171_random_walks",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) - 1 AS r
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |eraw AS (
+        |  SELECT r AS x, (r * 31 + 7) % n AS y FROM nodes, params
+        |  UNION ALL SELECT r, (r + 1) % n FROM nodes, params
+        |), e AS (SELECT DISTINCT u, v FROM (
+        |  SELECT x AS u, y AS v FROM eraw WHERE x <> y
+        |  UNION ALL SELECT y, x FROM eraw WHERE x <> y)
+        |), adj_t AS (
+        |  SELECT list(coalesce(a.vs, []) ORDER BY nd.r) AS adj
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT u, list(v ORDER BY v) AS vs FROM e GROUP BY u) a ON a.u = nd.r
+        |), walks AS (
+        |  SELECT r AS start, 0 AS t, [r] AS path FROM nodes WHERE r < 50
+        |  UNION ALL
+        |  SELECT start, t + 1, list_append(path,
+        |    adj[(path[len(path)] + 1)::INT][
+        |      (CAST('0x' || substr(md5(start || ':' || (t + 1) || ':'
+        |          || path[len(path)]), 1, 8) AS BIGINT)
+        |        % len(adj[(path[len(path)] + 1)::INT]) + 1)::INT])
+        |  FROM walks, adj_t WHERE t < 5
+        |)
+        |SELECT start, array_to_string(path, '>') AS path_str,
+        |  path[6] AS end_node
+        |FROM walks WHERE t = 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val ranked = users.select(
+        (row_number().over(Window.orderBy(col("user_id"))) - 1)
+          .cast("long").as("r"))
+      val n = ranked.count()
+      val eraw = ranked
+        .select(col("r").as("x"), ((col("r") * 31 + 7) % n).as("y"))
+        .union(ranked.select(col("r").as("x"), ((col("r") + 1) % n).as("y")))
+        .where(col("x") =!= col("y"))
+      val e = eraw.select(col("x").as("u"), col("y").as("v"))
+        .union(eraw.select(col("y").as("u"), col("x").as("v")))
+        .distinct()
+      val adjMap = e.groupBy("u")
+        .agg(sort_array(collect_list(col("v"))).as("vs"))
+        .agg(map_from_entries(collect_list(struct(col("u"), col("vs"))))
+          .as("adjmap"))
+      val walk = aggregate(sequence(lit(1), lit(5)),
+        array(col("start")),
+        (acc, i) => {
+          val u = element_at(acc, size(acc))
+          val neigh = element_at(col("adjmap"), u)
+          val h = conv(substring(md5(concat(
+            element_at(acc, 1).cast("string"), lit(":"), i.cast("string"),
+            lit(":"), u.cast("string")).cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+          concat(acc, array(element_at(neigh,
+            (pmod(h, size(neigh).cast("long")) + 1).cast("int"))))
+        })
+      ranked.where(col("r") < 50).select(col("r").as("start"))
+        .crossJoin(broadcast(adjMap))
+        .select(col("start"), walk.as("path"))
+        .select(col("start"),
+          array_join(transform(col("path"), x => x.cast("string")), ">")
+            .as("path_str"),
+          element_at(col("path"), 6).as("end_node"))
+    },
+
+    // l-diversity audit — k-anonymity's (q114) companion: within each
+    // quasi-identifier class, how many DISTINCT sensitive values
+    // (balance bands) appear; a class can be k-anonymous yet leak when
+    // every member shares one sensitive value. One aggregation at QI
+    // granularity, integer everywhere.
+    QuerySpec(
+      "q172_l_diversity",
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, c_mktsegment,
+        |  count(*)::BIGINT AS class_size,
+        |  count(DISTINCT sens)::BIGINT AS l_distinct,
+        |  CAST(CASE WHEN count(DISTINCT sens) < 3 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS violates_l3
+        |FROM q GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("sens"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("class_size"),
+          count_distinct(col("sens")).as("l_distinct"),
+          when(count_distinct(col("sens")) < 3, 1L).otherwise(0L)
+            .as("violates_l3"))
+    },
+
+    // Differentially-private-style histogram release: per-segment
+    // counts plus Laplace(b=10) noise drawn by inverse-CDF from an
+    // md5-seeded uniform — the engine-portable stand-in for an RNG
+    // (same portable-randomness contract as q166's sampler), so the
+    // "noise" is deterministic and the oracle replays it. The pattern
+    // is the real one: noise derives from the released key alone,
+    // never from row data.
+    QuerySpec(
+      "q173_dp_noise",
+      """WITH h AS (
+        |  SELECT c_mktsegment AS seg, count(*)::BIGINT AS n
+        |  FROM customer GROUP BY 1
+        |), u AS (
+        |  SELECT seg, n,
+        |    (CAST('0x' || substr(md5(seg), 1, 8) AS BIGINT) % 1000000 + 0.5)
+        |      / 1000000.0 AS uni
+        |  FROM h
+        |)
+        |SELECT seg, n,
+        |  CAST(floor(n + (CASE WHEN uni < 0.5 THEN 10.0 ELSE -10.0 END)
+        |    * ln(1.0 - 2.0 * abs(uni - 0.5))) AS BIGINT) AS noisy_n
+        |FROM u""".stripMargin) { (s, dir) =>
+      val h = Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"))
+      val uni = (conv(substring(md5(col("seg").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 1000000 + 0.5) / 1000000.0
+      h.select(col("seg"), col("n"),
+        floor(col("n") + when(uni < 0.5, lit(10.0)).otherwise(lit(-10.0))
+          * log(lit(1.0) - lit(2.0) * abs(uni - 0.5)))
+          .cast("long").as("noisy_n"))
     }
   )
 }
