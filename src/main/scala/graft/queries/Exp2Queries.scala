@@ -2104,6 +2104,94 @@ object Exp2Queries {
         floor(col("n") + when(uni < 0.5, lit(10.0)).otherwise(lit(-10.0))
           * log(lit(1.0) - lit(2.0) * abs(uni - 0.5)))
           .cast("long").as("noisy_n"))
+    },
+
+    // BPE tokenizer training, 5 merge rounds over the top-200 word
+    // vocabulary: each round counts adjacent symbol pairs (weighted by
+    // word frequency), adopts the most frequent pair (lexicographic
+    // tie-break), and rewrites every word — the algorithm behind every
+    // production tokenizer, expressed as groupBy + literal replace.
+    // Words render as "[s][y][m]" strings so the merge is a plain
+    // substring replace with no boundary sharing ("[a][b][a][b]" →
+    // "[ab][ab]" — true greedy semantics, identical in both engines).
+    // Spark drives the loop (one bounded aggregation per round, the
+    // chosen pair collected like q140's weights); the oracle unrolls
+    // all 5 rounds as generated CTEs.
+    QuerySpec(
+      "tx30_bpe_merges", {
+        def topSel(r: Int, f: Int) = s"string_split((SELECT pr FROM top$r), ' ')[$f]"
+        val rounds = (1 to 5).map { r =>
+          s"""arr$r AS MATERIALIZED (
+          |  SELECT freq, string_split_regex(s[2:length(s) - 1], '\\]\\[') AS arr
+          |  FROM base${r - 1}
+          |), px$r AS (
+          |  SELECT freq, arr, unnest(range(1, len(arr))) AS i FROM arr$r
+          |), pc$r AS (
+          |  SELECT arr[i::INT] || ' ' || arr[(i + 1)::INT] AS pr,
+          |    CAST(sum(freq) AS BIGINT) AS c
+          |  FROM px$r GROUP BY 1
+          |), top$r AS MATERIALIZED (
+          |  SELECT pr, c FROM pc$r ORDER BY c DESC, pr LIMIT 1),
+          |base$r AS MATERIALIZED (
+          |  SELECT w, freq, replace(s,
+          |    '[' || ${topSel(r, 1)} || '][' || ${topSel(r, 2)} || ']',
+          |    '[' || ${topSel(r, 1)} || ${topSel(r, 2)} || ']') AS s
+          |  FROM base${r - 1}
+          |)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(r =>
+          s"""SELECT $r::BIGINT AS round, ${topSel(r, 1)} AS a,
+          |  ${topSel(r, 2)} AS b, (SELECT c FROM top$r) AS cnt""".stripMargin)
+          .mkString("\nUNION ALL ")
+        s"""WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), words0 AS (
+        |  SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1
+        |  ORDER BY freq DESC, w LIMIT 200
+        |), base0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    '[' || array_to_string(list_transform(range(1, length(w) + 1),
+        |      i -> w[i::INT]), '][') || ']' AS s
+        |  FROM words0
+        |),
+        |$rounds
+        |$out""".stripMargin
+      }) { (s, dir) =>
+      val toks = Tables.fanOut(Tables.documents(s, dir).select("text"))
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val words0 = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(200)
+      var words = words0.select(col("w"), col("freq"),
+        concat(lit("["),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => substring(col("w"), i, lit(1))), "]["),
+          lit("]")).as("s"))
+      // Driver-held merge table, one bounded aggregation per round.
+      val merges = (1 to 5).map { r =>
+        val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+        val top = words.select(col("freq"), arr.as("arr"))
+          .where(size(col("arr")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("arr")) - 1),
+            i => concat(element_at(col("arr"), i), lit(" "),
+              element_at(col("arr"), i + 1)))).as("pr"))
+          .groupBy("pr").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr")).limit(1)
+          .collect()(0)
+        val parts = top.getString(0).split(" ", 2)
+        val (a, b) = (parts(0), parts(1))
+        val cnt = top.getLong(1)
+        words = words.withColumn("s",
+          call_function("replace", col("s"),
+            lit(s"[$a][$b]"), lit(s"[$a$b]")))
+        (r, a, b, cnt)
+      }
+      merges.map { case (r, a, b, cnt) =>
+        s.range(1).select(lit(r.toLong).as("round"), lit(a).as("a"),
+          lit(b).as("b"), lit(cnt).as("cnt"))
+      }.reduce(_.unionAll(_))
     }
   )
 }
