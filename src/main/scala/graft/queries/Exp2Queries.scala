@@ -2192,6 +2192,113 @@ object Exp2Queries {
         s.range(1).select(lit(r.toLong).as("round"), lit(a).as("a"),
           lit(b).as("b"), lit(cnt).as("cnt"))
       }.reduce(_.unionAll(_))
+    },
+
+    // Residual-based anomaly days: q165's decomposition closed into a
+    // detector — a day alarms when its remainder sits more than 4.5
+    // robust deviations (MAD) from the median remainder, the
+    // cross-multiplied integer rule 2·|resid − med| > 9·mad (≈3σ under
+    // normality). Medians index sorted arrays of the bounded daily
+    // table; no double arithmetic anywhere.
+    QuerySpec(
+      "q174_stl_anomaly",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |), tr AS (
+        |  SELECT d, cents,
+        |    CASE WHEN count(*) OVER w7 = 7 THEN
+        |      CAST(floor(CAST(sum(cents) OVER w7 AS DOUBLE) / 7.0 * 1000000.0)
+        |        AS BIGINT)
+        |    END AS trend_mc
+        |  FROM daily
+        |  WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), det AS (
+        |  SELECT d, cents, cents * 1000000 - trend_mc AS resid_mc
+        |  FROM tr WHERE trend_mc IS NOT NULL
+        |), med AS (
+        |  SELECT list(resid_mc ORDER BY resid_mc)[((count(*) + 1) // 2)::INT]
+        |    AS med_mc
+        |  FROM det
+        |), mad AS (
+        |  SELECT med_mc,
+        |    list(abs(resid_mc - med_mc) ORDER BY abs(resid_mc - med_mc))
+        |      [((count(*) + 1) // 2)::INT] AS mad_mc
+        |  FROM det CROSS JOIN med GROUP BY med_mc
+        |)
+        |SELECT d, cents, resid_mc, med_mc, mad_mc
+        |FROM det CROSS JOIN mad
+        |WHERE 2 * abs(resid_mc - med_mc) > 9 * mad_mc""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w7 = Window.orderBy("d").rowsBetween(-3, 3)
+      val det = daily.select(col("d"), col("cents"),
+        when(count(lit(1)).over(w7) === 7,
+          floor(sum(col("cents")).over(w7).cast("double") / 7.0 * 1000000.0)
+            .cast("long")).as("trend_mc"))
+        .where(col("trend_mc").isNotNull)
+        .select(col("d"), col("cents"),
+          (col("cents") * 1000000 - col("trend_mc")).as("resid_mc"))
+      def lowerMedian(v: org.apache.spark.sql.Column) =
+        element_at(sort_array(collect_list(v)),
+          ((count(lit(1)) + 1) / 2).cast("int"))
+      val med = det.agg(lowerMedian(col("resid_mc")).as("med_mc"))
+      val mad = det.crossJoin(broadcast(med))
+        .groupBy("med_mc")
+        .agg(lowerMedian(abs(col("resid_mc") - col("med_mc"))).as("mad_mc"))
+      det.crossJoin(broadcast(mad))
+        .where(lit(2) * abs(col("resid_mc") - col("med_mc"))
+          > lit(9) * col("mad_mc"))
+        .select("d", "cents", "resid_mc", "med_mc", "mad_mc")
+    },
+
+    // Session bounce rate per day: q28's 10-minute gaps-and-islands
+    // sessionization rolled up to the product KPI — single-event
+    // sessions over total sessions, in basis points of exact integers.
+    QuerySpec(
+      "q175_bounce_rate",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), per AS (
+        |  SELECT user_id, sid, CAST(min(ts) AS DATE) AS d,
+        |    count(*)::BIGINT AS n_ev
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT d, count(*)::BIGINT AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+        |  CAST(floor(10000.0 * sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+        |    / count(*)) AS BIGINT) AS bounce_bp
+        |FROM per GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"),
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 10 MINUTES"),
+          1L).otherwise(0L).as("new_s"))
+      val sess = flagged.select(col("user_id"), col("ts"),
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("sid"))
+      val per = sess.groupBy("user_id", "sid")
+        .agg(to_date(min(col("ts"))).as("d"), count(lit(1)).as("n_ev"))
+      per.groupBy("d").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        floor(lit(10000.0) * sum(when(col("n_ev") === 1, 1L).otherwise(0L))
+          / count(lit(1))).cast("long").as("bounce_bp"))
     }
   )
 }
