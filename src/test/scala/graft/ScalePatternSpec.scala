@@ -126,6 +126,35 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("grid-bucketed spatial ops plan as equi-joins, never cross products") {
+    // q147/q152's scale contract: the 3×3-neighborhood explode turns the
+    // radius/adjacency predicate into a plain equi-join on the cell key —
+    // if a refactor ever drops the cell columns from the join condition,
+    // Catalyst would fall back to BroadcastNestedLoop/Cartesian and the
+    // operator silently stops scaling. Pin the physical shape.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q147_geo_radius_join", "q152_dbscan_grid")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"$name degenerated to a non-equi join:\n$plan")
+    }
+  }
+
+  test("item co-occurrence scan prunes to the two join columns") {
+    // AQE wraps the plan pre-execution, so assert on the plan text: the
+    // lineitem scans must read only the two join columns — any payload
+    // column name appearing anywhere in the plan means pruning broke.
+    val df = graft.SparkEntry.queries("q148_item_cooccurrence")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey"))
+    for (extra <- Seq("l_extendedprice", "l_quantity", "l_discount",
+        "l_shipdate", "l_returnflag"))
+      assert(!plan.contains(extra), s"scan reads pruned column $extra")
+  }
+
   test("AQE splits the hot partition of a skewed sort-merge join") {
     // The runtime answer to key skew (vs the static q39 salted join):
     // with thresholds scaled to the fixture, AQE's OptimizeSkewedJoin
