@@ -2299,6 +2299,99 @@ object Exp2Queries {
         sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounce"),
         floor(lit(10000.0) * sum(when(col("n_ev") === 1, 1L).otherwise(0L))
           / count(lit(1))).cast("long").as("bounce_bp"))
+    },
+
+    // Incremental view maintenance for AVG: the view splits into base
+    // (most rows) and delta partials of the algebraic state (Σ, n), and
+    // merging the partials must equal the full recompute — which is
+    // exactly what the oracle computes directly, so the hash match IS
+    // the merge-algebra proof (q138's contract, for an algebraic
+    // aggregate instead of top-k). This is the property that lets a
+    // 100 TB rollup absorb a day's delta without rescanning history.
+    QuerySpec(
+      "q176_ivm_avg",
+      """SELECT l_returnflag AS flag, count(*)::BIGINT AS n,
+        |  CAST(floor(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |    AS DOUBLE) / count(*) * 1000000.0) AS BIGINT) AS avg_c_micro
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("p_c"),
+        pmod(col("l_orderkey"), lit(5)).as("m"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("flag").agg(sum(col("p_c")).as("s"), count(lit(1)).as("c"))
+      val base = partial(li.where(col("m") =!= 0))
+      val delta = partial(li.where(col("m") === 0))
+      base.unionAll(delta)
+        .groupBy("flag")
+        .agg(sum(col("s")).as("s"), sum(col("c")).as("n"))
+        .select(col("flag"), col("n"),
+          floor(col("s").cast("double") / col("n") * 1000000.0)
+            .cast("long").as("avg_c_micro"))
+    },
+
+    // Bloom-prefiltered stream: the q144 filter built batch-side over
+    // heavy users (≥80 events), materialized to a 66-word literal on
+    // the driver (bounded state — the legitimate collect), and applied
+    // as a stateless filter inside the stream before an hourly windowed
+    // count — the streaming runtime-filter pattern: per-event work is
+    // four array indexes against a broadcast-literal, no join state at
+    // all. False positives are part of the contract; the oracle replays
+    // the same bloom, so counts match exactly.
+    QuerySpec(
+      "st18_stream_bloom_prefilter",
+      """WITH heavy AS (
+        |  SELECT user_id FROM events GROUP BY 1 HAVING count(*) >= 80
+        |), pts AS (
+        |  SELECT CAST('0x' || substr(md5(hs.i || ':' || user_id), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM heavy CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |), bits AS (
+        |  SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS mask
+        |  FROM pts GROUP BY 1
+        |), ppts AS (
+        |  SELECT event_id, ts,
+        |    CAST('0x' || substr(md5(hs.i || ':' || user_id), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs
+        |), checked AS (
+        |  SELECT event_id, min(ts) AS ts,
+        |    min(CASE WHEN (coalesce(mask, 0) & (1::BIGINT << (p % 63)::INT)) <> 0
+        |      THEN 1 ELSE 0 END) AS hit
+        |  FROM ppts LEFT JOIN bits ON word = p // 63
+        |  GROUP BY 1
+        |)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  count(*)::BIGINT AS n_flagged
+        |FROM checked WHERE hit = 1 GROUP BY 1""".stripMargin) { (s, dir) =>
+      def pos(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(i.cast("string"), lit(":"),
+          key.cast("string")).cast("binary")), 1, 8), 16, 10).cast("long") % 4096
+      val heavy = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("c")).where(col("c") >= 80)
+        .select("user_id")
+      val words = heavy
+        .select(col("user_id"), explode(sequence(lit(0), lit(3))).as("i"))
+        .select(pos(col("i"), col("user_id")).as("p"))
+        .select(floor(col("p") / 63).cast("long").as("word"),
+          call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
+        .groupBy("word").agg(bit_or(col("m")).as("mask"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // 66-word literal array (index word+1); absent words are 0.
+      val lut = array((0L to 65L).map(w => lit(words.getOrElse(w, 0L))): _*)
+      def hit(i: Int, key: org.apache.spark.sql.Column) = {
+        val p = pos(lit(i), key)
+        (element_at(lut, (floor(p / 63) + 1).cast("int"))
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (p % 63).cast("int"))) =!= 0L)
+      }
+      val ev = graft.streaming.Streams.eventsStream(s, dir)
+        .where(hit(0, col("user_id")) && hit(1, col("user_id")) &&
+          hit(2, col("user_id")) && hit(3, col("user_id")))
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_flagged"))
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("n_flagged"))
+      graft.streaming.Streams.runToTable(ev, "st18_mem", "complete")
     }
   )
 }
