@@ -2392,6 +2392,90 @@ object Exp2Queries {
         .select(col("w.start").cast("timestamp_ntz").as("window_start"),
           col("n_flagged"))
       graft.streaming.Streams.runToTable(ev, "st18_mem", "complete")
+    },
+
+    // Golden-record survivorship — the step after er2's clustering: each
+    // entity's member records merge field-by-field under deterministic
+    // rules (name: lexicographic min; balance: max — "most complete /
+    // most favorable" stand-ins; segment: mode with lexicographic
+    // tie-break). Mode rides a (count desc, value) row_number over the
+    // bounded per-entity value table; everything else is plain grouped
+    // min/max. The oracle replays the closure and every rule.
+    QuerySpec(
+      "er3_golden_record",
+      """WITH RECURSIVE recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) + 1000
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), p AS (
+        |  SELECT a.id AS id1, b.id AS id2
+        |  FROM recs a JOIN recs b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.id < b.id
+        |  WHERE levenshtein(a.name, b.name) <= 2
+        |), e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+        |lab AS (
+        |  SELECT a AS record_id, least(a, min(b)) AS entity_id
+        |  FROM reach GROUP BY a),
+        |members AS (
+        |  SELECT entity_id, name, bal_c, c_mktsegment FROM lab
+        |  JOIN recs ON recs.id = lab.record_id),
+        |segmode AS (
+        |  SELECT entity_id, c_mktsegment AS seg FROM (
+        |    SELECT entity_id, c_mktsegment,
+        |      row_number() OVER (PARTITION BY entity_id
+        |        ORDER BY count(*) DESC, c_mktsegment) AS rk
+        |    FROM members GROUP BY entity_id, c_mktsegment) z
+        |  WHERE rk = 1)
+        |SELECT m.entity_id, count(*)::BIGINT AS n_records,
+        |  min(m.name) AS canonical_name,
+        |  CAST(max(m.bal_c) AS BIGINT) AS bal_c,
+        |  max(s.seg) AS segment
+        |FROM members m JOIN segmode s ON s.entity_id = m.entity_id
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        col("c_name").as("name"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      val dirty = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(10)) === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name"), lit("x")).as("name"),
+          col("c_nationkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") * 100).cast("long") + 1000).as("bal_c"))
+      val recs = base.union(dirty)
+      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val pairs = l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        .where(col("id1") < col("id2") &&
+          levenshtein(col("n1"), col("n2"), 2) >= 0)
+        .select("id1", "id2")
+      val lab = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("doc_id").as("record_id"), col("cluster_id").as("entity_id"))
+      val members = lab.join(recs, lab("record_id") === recs("id"))
+        .select(col("entity_id"), col("name"), col("bal_c"), col("c_mktsegment"))
+      val segmode = members.groupBy("entity_id", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window.partitionBy("entity_id")
+          .orderBy(col("cnt").desc, col("c_mktsegment"))))
+        .where(col("rk") === 1)
+        .select(col("entity_id"), col("c_mktsegment").as("seg"))
+      members.join(broadcast(segmode), "entity_id")
+        .groupBy("entity_id")
+        .agg(count(lit(1)).as("n_records"),
+          min(col("name")).as("canonical_name"),
+          max(col("bal_c")).as("bal_c"),
+          max(col("seg")).as("segment"))
     }
   )
 }
