@@ -2476,6 +2476,85 @@ object Exp2Queries {
           min(col("name")).as("canonical_name"),
           max(col("bal_c")).as("bal_c"),
           max(col("seg")).as("segment"))
+    },
+
+    // OHLC resampling: the daily-revenue series downsampled to ISO
+    // weeks with open/high/low/close semantics (argmin/argmax over the
+    // unique day key inside each week — min_by/max_by ↔ arg_min/
+    // arg_max, tie-free by construction). The time-series downsampler
+    // every monitoring stack runs; one grouped aggregation over the
+    // bounded daily table.
+    QuerySpec(
+      "q177_ohlc_resample",
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    (epoch(o_orderdate)::BIGINT // 86400 + 3) // 7 AS wk,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2
+        |)
+        |SELECT wk, count(*)::BIGINT AS n_days,
+        |  arg_min(cents, d) AS open_c, CAST(max(cents) AS BIGINT) AS high_c,
+        |  CAST(min(cents) AS BIGINT) AS low_c, arg_max(cents, d) AS close_c
+        |FROM daily GROUP BY 1""".stripMargin) { (s, dir) =>
+      val days = floor(unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000.0).cast("long")
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"),
+          ((days + 3) / 7).cast("long").as("wk"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+      daily.groupBy("wk").agg(
+        count(lit(1)).as("n_days"),
+        min_by(col("cents"), col("d")).as("open_c"),
+        max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+        max_by(col("cents"), col("d")).as("close_c"))
+    },
+
+    // Session path analysis: each 10-minute session's first five event
+    // types joined into a path string, then the global top-10 paths —
+    // the "how do users move through the product" rollup on q28's
+    // sessionization. Paths truncate via slice on the ordered in-session
+    // event list; the top-10 cut is tie-broken on the path string.
+    QuerySpec(
+      "q178_session_paths",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |), paths AS (
+        |  SELECT user_id, sid,
+        |    array_to_string(list_slice(
+        |      list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT path, count(*)::BIGINT AS n_sessions
+        |FROM paths GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 10 MINUTES"),
+          1L).otherwise(0L).as("new_s"))
+      val sess = flagged.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"),
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("sid"))
+      val paths = sess.groupBy("user_id", "sid")
+        .agg(array_join(slice(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          e => e.getField("event_type")), 1, 5), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(10)
     }
   )
 }

@@ -126,6 +126,24 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune partitions at read time") {
+    // The other half of the storage-layout story next to bucketing: a
+    // status-partitioned copy of orders must answer a status-filtered
+    // read from ONE directory — PartitionFilters in the scan, zero data
+    // filters on the partition column.
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val rd = spark.read.parquet(dir).where(col("o_orderstatus") === "O")
+    val scan = rd.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("o_orderstatus"),
+      s"partition filter not pushed:\n$scan")
+    assert(rd.count() ==
+      orders.where(col("o_orderstatus") === "O").count())
+  }
+
   test("grid-bucketed spatial ops plan as equi-joins, never cross products") {
     // q147/q152's scale contract: the 3×3-neighborhood explode turns the
     // radius/adjacency predicate into a plain equi-join on the cell key —
