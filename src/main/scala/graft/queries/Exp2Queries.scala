@@ -2555,6 +2555,184 @@ object Exp2Queries {
           e => e.getField("event_type")), 1, 5), ">").as("path"))
       paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(col("n_sessions").desc, col("path")).limit(10)
+    },
+
+    // Bitemporal point-in-time lookup: a synthetic version history with
+    // BOTH valid-time and transaction-time intervals (three versions
+    // per order, deterministic offsets), answering "what did the system
+    // believe on tx day T about validity day V" — the audit query a
+    // regulator asks and SCD2 alone (q72: one time axis) cannot answer.
+    // The lookup is a half-open interval filter on both axes plus an
+    // argmax tie-break on version — pure filter + grouped argmax, no
+    // window over the fact table.
+    QuerySpec(
+      "q179_bitemporal",
+      """WITH versions AS (
+        |  SELECT o_orderkey, v,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) + v * 100 AS price_c,
+        |    epoch(o_orderdate)::BIGINT // 86400 + v * 30 AS valid_from,
+        |    epoch(o_orderdate)::BIGINT // 86400 + (v + 1) * 30 AS valid_to,
+        |    epoch(o_orderdate)::BIGINT // 86400 + v * 10 AS tx_from,
+        |    CASE WHEN v < 2
+        |      THEN epoch(o_orderdate)::BIGINT // 86400 + (v + 1) * 10
+        |      ELSE 999999 END AS tx_to
+        |  FROM orders CROSS JOIN (SELECT unnest(range(0, 3)) AS v)
+        |  WHERE o_orderkey % 7 = 0
+        |), asked AS (
+        |  SELECT o_orderkey,
+        |    epoch(o_orderdate)::BIGINT // 86400 + 45 AS v_day,
+        |    epoch(o_orderdate)::BIGINT // 86400 + 15 AS t_day
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT a.o_orderkey, max(v.v) AS version,
+        |  arg_max(v.price_c, v.v) AS price_c
+        |FROM asked a JOIN versions v ON v.o_orderkey = a.o_orderkey
+        |  AND v.valid_from <= a.v_day AND a.v_day < v.valid_to
+        |  AND v.tx_from <= a.t_day AND a.t_day < v.tx_to
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val day = floor(unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000.0).cast("long")
+      val base = Tables.orders(s, dir)
+        .where(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("p_c"),
+          day.as("d0"))
+      val versions = base
+        .select(col("o_orderkey"), col("p_c"), col("d0"),
+          explode(sequence(lit(0), lit(2))).as("v"))
+        .select(col("o_orderkey"), col("v").cast("long").as("v"),
+          (col("p_c") + col("v") * 100).as("price_c"),
+          (col("d0") + col("v") * 30).as("valid_from"),
+          (col("d0") + (col("v") + 1) * 30).as("valid_to"),
+          (col("d0") + col("v") * 10).as("tx_from"),
+          when(col("v") < 2, col("d0") + (col("v") + 1) * 10)
+            .otherwise(lit(999999L)).as("tx_to"))
+      val asked = base.select(col("o_orderkey").as("k"),
+        (col("d0") + 45).as("v_day"), (col("d0") + 15).as("t_day"))
+      asked.join(versions,
+          col("o_orderkey") === col("k")
+            && col("valid_from") <= col("v_day")
+            && col("v_day") < col("valid_to")
+            && col("tx_from") <= col("t_day")
+            && col("t_day") < col("tx_to"))
+        .groupBy(col("o_orderkey"))
+        .agg(max(col("v")).as("version"),
+          max_by(col("price_c"), col("v")).as("price_c"))
+    },
+
+    // BPE encode-apply — the inference half of tx30's training: the 5
+    // learned merges apply in order to every document's bracketed
+    // symbol stream (the same literal-replace greedy semantics), and
+    // the output reports the per-document symbol-count compression.
+    // Symbol counts read straight off the bracket count, so the whole
+    // apply stage is string transforms — no explode, no state.
+    QuerySpec(
+      "tx31_bpe_encode", {
+        def topSel(r: Int, f: Int) = s"string_split((SELECT pr FROM top$r), ' ')[$f]"
+        val rounds = (1 to 5).map { r =>
+          s"""arr$r AS MATERIALIZED (
+          |  SELECT freq, string_split_regex(s[2:length(s) - 1], '\\]\\[') AS arr
+          |  FROM base${r - 1}
+          |), px$r AS (
+          |  SELECT freq, arr, unnest(range(1, len(arr))) AS i FROM arr$r
+          |), pc$r AS (
+          |  SELECT arr[i::INT] || ' ' || arr[(i + 1)::INT] AS pr,
+          |    CAST(sum(freq) AS BIGINT) AS c
+          |  FROM px$r GROUP BY 1
+          |), top$r AS MATERIALIZED (
+          |  SELECT pr, c FROM pc$r ORDER BY c DESC, pr LIMIT 1),
+          |base$r AS MATERIALIZED (
+          |  SELECT w, freq, replace(s,
+          |    '[' || ${topSel(r, 1)} || '][' || ${topSel(r, 2)} || ']',
+          |    '[' || ${topSel(r, 1)} || ${topSel(r, 2)} || ']') AS s
+          |  FROM base${r - 1}
+          |)""".stripMargin
+        }.mkString(",\n")
+        val applied = (1 to 5).foldLeft("ds") { (acc, r) =>
+          s"""replace($acc,
+          |    '[' || ${topSel(r, 1)} || '][' || ${topSel(r, 2)} || ']',
+          |    '[' || ${topSel(r, 1)} || ${topSel(r, 2)} || ']')""".stripMargin
+        }
+        s"""WITH toks AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), words0 AS (
+        |  SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1
+        |  ORDER BY freq DESC, w LIMIT 200
+        |), base0 AS MATERIALIZED (
+        |  SELECT w, freq,
+        |    '[' || array_to_string(list_transform(range(1, length(w) + 1),
+        |      i -> w[i::INT]), '][') || ']' AS s
+        |  FROM words0
+        |),
+        |$rounds,
+        |docs0 AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]+', '', 'g') AS ct
+        |  FROM documents WHERE doc_id < 100
+        |), docs AS (
+        |  SELECT doc_id,
+        |    '[' || array_to_string(list_transform(range(1, length(ct) + 1),
+        |      i -> ct[i::INT]), '][') || ']' AS ds
+        |  FROM docs0
+        |), enc AS (
+        |  SELECT doc_id,
+        |    length(ds) - length(replace(ds, '[', '')) AS n_before,
+        |    length($applied) - length(replace($applied, '[', '')) AS n_after
+        |  FROM docs, top1, top2, top3, top4, top5
+        |)
+        |SELECT doc_id, CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after
+        |FROM enc""".stripMargin
+      }) { (s, dir) =>
+      // Re-learn the merges exactly as tx30 (bounded driver loop), then
+      // apply them as chained literal replaces to the document streams.
+      val toks = Tables.fanOut(Tables.documents(s, dir).select("text"))
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val words0 = toks.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(200)
+      var words = words0.select(col("w"), col("freq"),
+        concat(lit("["),
+          array_join(transform(sequence(lit(1), length(col("w"))),
+            i => substring(col("w"), i, lit(1))), "]["),
+          lit("]")).as("s"))
+      val merges = (1 to 5).map { r =>
+        val arr = split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+        val top = words.select(col("freq"), arr.as("arr"))
+          .where(size(col("arr")) >= 2)
+          .select(col("freq"), explode(transform(
+            sequence(lit(1), size(col("arr")) - 1),
+            i => concat(element_at(col("arr"), i), lit(" "),
+              element_at(col("arr"), i + 1)))).as("pr"))
+          .groupBy("pr").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr")).limit(1)
+          .collect()(0)
+        val parts = top.getString(0).split(" ", 2)
+        words = words.withColumn("s",
+          call_function("replace", col("s"),
+            lit(s"[${parts(0)}][${parts(1)}]"), lit(s"[${parts(0)}${parts(1)}]")))
+        (parts(0), parts(1))
+      }
+      // Stage the cleaned text, then the bracketed stream, as REAL
+      // columns (select boundaries): referencing the regexp through the
+      // per-character transform would re-inline it once per character —
+      // the measured projection-collapse blowup (see mm9's lesson).
+      val staged = Tables.documents(s, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          regexp_replace(lower(col("text")), "[^a-z0-9]+", "").as("ct"))
+        .select(col("doc_id"),
+          concat(lit("["),
+            array_join(transform(sequence(lit(1), length(col("ct"))),
+              i => substring(col("ct"), i, lit(1))), "]["),
+            lit("]")).as("ds"))
+      val applied = merges.foldLeft(col("ds")) { case (acc, (a, b)) =>
+        call_function("replace", acc, lit(s"[$a][$b]"), lit(s"[$a$b]"))
+      }
+      def nsyms(c: org.apache.spark.sql.Column) =
+        (length(c) - length(call_function("replace", c, lit("["), lit(""))))
+          .cast("long")
+      staged.select(col("doc_id"), nsyms(col("ds")).as("n_before"),
+        nsyms(applied).as("n_after"))
     }
   )
 }
