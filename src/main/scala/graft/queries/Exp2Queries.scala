@@ -2733,6 +2733,103 @@ object Exp2Queries {
           .cast("long")
       staged.select(col("doc_id"), nsyms(col("ds")).as("n_before"),
         nsyms(applied).as("n_after"))
+    },
+
+    // Community quality: Newman modularity of q98's label-propagation
+    // communities — Q = Σ_c (e_c/m − (d_c/2m)²) from exact integer
+    // edge/degree counts (per-community terms floored to nanos before
+    // the bounded sum). The oracle replays all five LP rounds (q98's
+    // argmax-fold CTE) and then the same integer accounting, closing
+    // the loop from community DETECTION to community EVALUATION.
+    QuerySpec(
+      "q180_modularity",
+      """WITH RECURSIVE nodes AS (
+        |  SELECT row_number() OVER (ORDER BY user_id) - 1 AS r
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), params AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        |eraw AS (
+        |  SELECT r AS x, r - r % 4 AS y FROM nodes
+        |  UNION ALL
+        |  SELECT r, r - r % 4 + (r + 1) % 4 FROM nodes, params
+        |  WHERE r - r % 4 + (r + 1) % 4 < n
+        |), e AS (SELECT DISTINCT u, v FROM (
+        |  SELECT x AS u, y AS v FROM eraw WHERE x <> y
+        |  UNION ALL SELECT y, x FROM eraw WHERE x <> y)
+        |), adj_t AS (
+        |  SELECT list(coalesce(a.vs, []) ORDER BY nd.r) AS adj
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT u, list(v) AS vs FROM e GROUP BY u) a ON a.u = nd.r
+        |), lp AS (
+        |  SELECT 0 AS it, list_transform(range(0, n), i -> i) AS lab
+        |  FROM params
+        |  UNION ALL
+        |  SELECT it + 1, list_transform(range(1, n + 1), j ->
+        |    CASE WHEN len(adj[j]) = 0 THEN lab[j]
+        |    ELSE -((list_reduce(
+        |      list_transform(
+        |        list_distinct(list_transform(adj[j], x -> lab[x + 1])), l ->
+        |          {'c': len(list_filter(list_transform(adj[j], x -> lab[x + 1]),
+        |                                q -> q = l)),
+        |           'nl': -l}),
+        |      (acc, cand) -> CASE WHEN cand.c > acc.c
+        |          OR (cand.c = acc.c AND cand.nl > acc.nl)
+        |        THEN cand ELSE acc END)).nl)
+        |    END)
+        |  FROM lp, params, adj_t WHERE it < 5
+        |), fin AS (
+        |  SELECT r AS node, lab[(r + 1)::INT] AS label
+        |  FROM lp, nodes WHERE it = 5
+        |), und AS (SELECT u, v FROM e WHERE u < v),
+        |m_t AS (SELECT count(*)::BIGINT AS m FROM und),
+        |deg AS (SELECT u AS node, count(*)::BIGINT AS dg FROM e GROUP BY 1),
+        |ec AS (
+        |  SELECT l1.label, count(*)::BIGINT AS ein
+        |  FROM und JOIN fin l1 ON l1.node = und.u
+        |    JOIN fin l2 ON l2.node = und.v
+        |  WHERE l1.label = l2.label GROUP BY 1
+        |), dc AS (
+        |  SELECT label, CAST(sum(dg) AS BIGINT) AS dsum
+        |  FROM deg JOIN fin USING (node) GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_communities, max(m) AS m_edges,
+        |  CAST(sum(CAST(floor(
+        |    (CAST(coalesce(ein, 0) AS DOUBLE) / m
+        |      - (CAST(dsum AS DOUBLE) / (2 * m)) * (CAST(dsum AS DOUBLE) / (2 * m)))
+        |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS q_nano
+        |FROM dc LEFT JOIN ec USING (label) CROSS JOIN m_t""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      val ranked = users.select(
+        (row_number().over(Window.orderBy(col("user_id"))) - 1)
+          .cast("long").as("r"))
+      val n = ranked.count()
+      val leader = col("r") - pmod(col("r"), lit(4L))
+      val cyc = leader + pmod(col("r") + 1, lit(4L))
+      val edgesIn = ranked.select(col("r").as("src"), leader.as("dst"))
+        .union(ranked.select(col("r").as("src"), cyc.as("dst")).where(cyc < n))
+      val labels = graft.operators.Graph.labelPropagation(edgesIn, iterations = 5)
+      // Symmetric distinct edge set (matching the oracle's `e`).
+      val eraw = edgesIn.where(col("src") =!= col("dst"))
+      val e = eraw.select(col("src").as("u"), col("dst").as("v"))
+        .union(eraw.select(col("dst").as("u"), col("src").as("v")))
+        .distinct()
+      val und = e.where(col("u") < col("v"))
+      val m = und.count()
+      val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
+      val l1 = labels.select(col("node").as("u"), col("label").as("lab1"))
+      val l2 = labels.select(col("node").as("v"), col("label").as("lab2"))
+      val ec = und.join(broadcast(l1), "u").join(broadcast(l2), "v")
+        .where(col("lab1") === col("lab2"))
+        .groupBy(col("lab1").as("label")).agg(count(lit(1)).as("ein"))
+      val dc = deg.join(broadcast(labels), "node")
+        .groupBy("label").agg(sum(col("dg")).as("dsum"))
+      dc.join(ec, Seq("label"), "left")
+        .agg(count(lit(1)).as("n_communities"),
+          max(lit(m)).as("m_edges"),
+          sum(floor((coalesce(col("ein"), lit(0L)).cast("double") / m
+            - (col("dsum").cast("double") / (2 * m))
+              * (col("dsum").cast("double") / (2 * m)))
+            * 1000000000.0).cast("long")).as("q_nano"))
     }
   )
 }
