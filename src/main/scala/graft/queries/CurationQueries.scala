@@ -449,6 +449,50 @@ object CurationQueries {
         threshold = 0.8)
     },
 
+    // LSH recall audit — "did my banding parameters lose pairs?": the
+    // portable MinHash pipeline's verified output measured against the
+    // brute-force exact-Jaccard pair set on the SAME shingle sets
+    // (bounded subset — the audit runs on a sample at scale, the
+    // pipeline on the corpus). n_missed is exactly the banding's recall
+    // loss: verification can't add pairs, so LSH ⊆ exact and the ratio
+    // is a true recall in basis points.
+    QuerySpec(
+      "dd16_lsh_recall",
+      minhashPortableOracle(k = 5, numHashes = 16, bands = 4,
+        threshold = 0.8, maxDocId = 500L,
+        tail =
+          """, lsh AS (SELECT id1, id2 FROM verified WHERE jaccard >= THRESH),
+            |exact AS (
+            |  SELECT a.doc_id AS id1, b.doc_id AS id2
+            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            |  WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+            |        len(list_distinct(a.hs || b.hs)), 4) >= THRESH
+            |)
+            |SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+            |  (SELECT count(*) FROM lsh)::BIGINT AS n_lsh,
+            |  ((SELECT count(*) FROM exact)
+            |    - (SELECT count(*) FROM lsh))::BIGINT AS n_missed,
+            |  CAST(floor(10000.0 * (SELECT count(*) FROM lsh) /
+            |    greatest((SELECT count(*) FROM exact), 1)) AS BIGINT)
+            |    AS recall_bp""".stripMargin)) { (s, dir) =>
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 500)
+      val lsh = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 16, bands = 4, threshold = 0.8)
+      val sets = Tables.fanOut(docs.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("__norm")))
+        .select(col("doc_id"), Dedup.shingleHashesPortable(col("__norm"), 5).as("hs"))
+      val a = sets.select(col("doc_id").as("id1"), col("hs").as("h1"))
+      val b = sets.select(col("doc_id").as("id2"), col("hs").as("h2"))
+      val exact = a.join(broadcast(b), col("id1") < col("id2"))
+        .where(round(Dedup.jaccard(col("h1"), col("h2")), 4) >= 0.8)
+        .select("id1", "id2")
+      val ne = exact.count()
+      val nl = lsh.count()
+      s.range(1).select(lit(ne).as("n_exact"), lit(nl).as("n_lsh"),
+        lit(ne - nl).as("n_missed"),
+        lit(math.floor(10000.0 * nl / math.max(ne, 1)).toLong).as("recall_bp"))
+    },
+
     // Incremental dedup — the daily-crawl shape: only pairs touching the
     // NEW increment (doc_id % 10 = 0, ~10%) are candidates; the corpus
     // is never self-compared. Same portable pipeline, band join left
