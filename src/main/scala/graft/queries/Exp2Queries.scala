@@ -2830,6 +2830,45 @@ object Exp2Queries {
             - (col("dsum").cast("double") / (2 * m))
               * (col("dsum").cast("double") / (2 * m)))
             * 1000000000.0).cast("long")).as("q_nano"))
+    },
+
+    // Calendar-gap completeness check: the full day spine between the
+    // corpus's first and last order date anti-joined against observed
+    // days, rolled up per month — the data-delivery monitor that
+    // catches a missing partition before a consumer does. The spine is
+    // a generated sequence (bounded by the date range), observed days
+    // one groupBy; all counts exact integers.
+    QuerySpec(
+      "q181_calendar_gaps",
+      """WITH bounds AS (
+        |  SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |    max(CAST(o_orderdate AS DATE)) AS hi
+        |  FROM orders
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        |  FROM bounds
+        |), obs AS (
+        |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+        |)
+        |SELECT year(s.d)::BIGINT AS y, month(s.d)::BIGINT AS m,
+        |  count(*)::BIGINT AS expected_days,
+        |  CAST(sum(CASE WHEN o.d IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS observed_days,
+        |  CAST(sum(CASE WHEN o.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS missing_days
+        |FROM spine s LEFT JOIN obs o ON o.d = s.d
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val day = to_date(col("o_orderdate"))
+      val bounds = Tables.orders(s, dir).agg(min(day).as("lo"), max(day).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val obs = Tables.orders(s, dir).select(day.as("od")).distinct()
+      spine.join(obs, col("od") === col("d"), "left")
+        .groupBy(year(col("d")).cast("long").as("y"),
+          month(col("d")).cast("long").as("m"))
+        .agg(count(lit(1)).as("expected_days"),
+          sum(when(col("od").isNull, 0L).otherwise(1L)).as("observed_days"),
+          sum(when(col("od").isNull, 1L).otherwise(0L)).as("missing_days"))
     }
   )
 }
