@@ -48,7 +48,16 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // Headline fields LAST: the harness archives only the tail of this
+    // line, and per-query maps grow left of wherever the total sits —
+    // tail-side placement keeps "value"/"failed" recoverable at any
+    // registry size. The full line also lands in bench_last.json so the
+    // complete per-query map survives regardless of capture size.
+    val line = s"""{"queries":$qs,"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -23,6 +23,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Dense 0-based node numbering over a distinct numeric id column —
+    * the shared mint behind every synthetic-graph spec (`r` =
+    * `row_number() OVER (ORDER BY id) - 1`). Built on
+    * [[Ranks.globalRowNumber]], so the whole node dimension never
+    * funnels through one task's sort: range-bucketed rank + broadcast
+    * offsets, scale-safe at any node count. Returns a single LongType
+    * column `r`. */
+  def nodeIds(ids: DataFrame, idCol: String): DataFrame =
+    Ranks.globalRowNumber(ids.select(col(idCol)).distinct(), "r",
+        Seq(col(idCol)), col(idCol))
+      .select((col("r") - 1).as("r"))
+
   /** `iterations` rounds of damped PageRank over directed `edges`
     * (`src`, `dst` long columns; parallel edges deduplicated). Every
     * node appearing as src or dst participates; dangling nodes (no

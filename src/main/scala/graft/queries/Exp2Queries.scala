@@ -1009,9 +1009,10 @@ object Exp2Queries {
     // balance is replaced by the GLOBAL distribution's value at the same
     // within-segment percentile — the cross-batch feature-alignment
     // transform. Within-segment rank is a partitioned window (scales on
-    // the segment key); the global sorted array is bounded here and
-    // broadcast — at 100 TB it becomes a fixed-resolution quantile table
-    // (q73's equi-depth machinery), same join shape. Index math is all
+    // the segment key); the global distribution is a POSITION TABLE
+    // (exact rank → value, minted by the range-bucketed Ranks helper)
+    // and the lookup is a plain equi-join on the computed position — no
+    // full-table array ever materializes on one row. Index math is all
     // integer except the percentile itself, floored identically.
     QuerySpec(
       "q156_quantile_normalization",
@@ -1035,23 +1036,25 @@ object Exp2Queries {
         |    AS BIGINT) + 1)::INT] AS qnorm_c
         |FROM ranked CROSS JOIN g""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val v = Tables.customer(s, dir).select(col("c_custkey"),
+      import graft.operators.{Dedup, Ranks}
+      val v = Dedup.stage(Tables.customer(s, dir).select(col("c_custkey"),
         col("c_mktsegment").as("seg"),
-        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        floor(col("c_acctbal") * 100).cast("long").as("bal_c")))
       val ranked = v
         .withColumn("r", row_number().over(Window.partitionBy("seg")
           .orderBy(col("bal_c"), col("c_custkey"))).cast("long"))
         .withColumn("ns",
           count(lit(1)).over(Window.partitionBy("seg")).cast("long"))
-      val g = v.agg(
-        transform(sort_array(collect_list(struct(col("bal_c"), col("c_custkey")))),
-          e => e.getField("bal_c")).as("gv"),
-        count(lit(1)).as("n"))
-      ranked.crossJoin(broadcast(g))
-        .select(col("c_custkey"), col("seg"), col("bal_c"),
-          element_at(col("gv"),
-            (floor((col("r") - 1).cast("double") / greatest(col("ns") - 1, lit(1L))
-              * (col("n") - 1)).cast("long") + 1).cast("int")).as("qnorm_c"))
+      val tot = v.agg(count(lit(1)).as("n"))
+      val gidx = Ranks.globalRowNumber(v, "pos",
+          Seq(col("bal_c"), col("c_custkey")), col("bal_c"))
+        .select(col("pos"), col("bal_c").as("qnorm_c"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("__idx",
+          floor((col("r") - 1).cast("double") / greatest(col("ns") - 1, lit(1L))
+            * (col("n") - 1)).cast("long") + 1)
+        .join(gidx, col("__idx") === col("pos"))
+        .select(col("c_custkey"), col("seg"), col("bal_c"), col("qnorm_c"))
     },
 
     // RAKE keyword extraction: phrases are maximal stopword-free token
@@ -1214,7 +1217,7 @@ object Exp2Queries {
         |  CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT)
         |    AS m_score
         |FROM cust""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranks
       val day = to_date(col("o_orderdate"))
       val maxd = Tables.orders(s, dir).agg(max(day).as("m"))
       val cust = Tables.orders(s, dir).crossJoin(broadcast(maxd))
@@ -1222,14 +1225,22 @@ object Exp2Queries {
         .agg(datediff(max(col("m")), max(day)).cast("long").as("recency_days"),
           count(lit(1)).as("frequency"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
-      cust.select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary_c"),
-        ntile(5).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
-          .cast("long").as("r_score"),
-        ntile(5).over(Window.orderBy(col("frequency"), col("o_custkey")))
-          .cast("long").as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary_c"), col("o_custkey")))
-          .cast("long").as("m_score"))
+      // Each ntile(5) = closed-form bucket from an EXACT global rank;
+      // ranks come from the range-bucketed Ranks helper, so no dimension
+      // ever funnels through a single-task sort (the oracle's three
+      // global ntile windows are the semantic spec only).
+      val tot = cust.agg(count(lit(1)).as("__n"))
+      val r1 = Ranks.globalRowNumber(cust, "__rr",
+        Seq(col("recency_days").desc, col("o_custkey")), -col("recency_days"))
+      val r2 = Ranks.globalRowNumber(r1, "__rf",
+        Seq(col("frequency"), col("o_custkey")), col("frequency"))
+      val r3 = Ranks.globalRowNumber(r2, "__rm",
+        Seq(col("monetary_c"), col("o_custkey")), col("monetary_c"))
+      r3.crossJoin(broadcast(tot)).select(col("o_custkey"),
+        col("recency_days"), col("frequency"), col("monetary_c"),
+        Ranks.ntileFromRank(col("__rr"), col("__n"), 5).as("r_score"),
+        Ranks.ntileFromRank(col("__rf"), col("__n"), 5).as("f_score"),
+        Ranks.ntileFromRank(col("__rm"), col("__n"), 5).as("m_score"))
     },
 
     // Cohort lifetime value: customers cohorted by first-order month,
@@ -2008,10 +2019,7 @@ object Exp2Queries {
         |  path[6] AS end_node
         |FROM walks WHERE t = 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      val ranked = users.select(
-        (row_number().over(Window.orderBy(col("user_id"))) - 1)
-          .cast("long").as("r"))
+      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
       val n = ranked.count()
       val eraw = ranked
         .select(col("r").as("x"), ((col("r") * 31 + 7) % n).as("y"))
@@ -2798,10 +2806,7 @@ object Exp2Queries {
         |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS q_nano
         |FROM dc LEFT JOIN ec USING (label) CROSS JOIN m_t""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      val ranked = users.select(
-        (row_number().over(Window.orderBy(col("user_id"))) - 1)
-          .cast("long").as("r"))
+      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
       val n = ranked.count()
       val leader = col("r") - pmod(col("r"), lit(4L))
       val cyc = leader + pmod(col("r") + 1, lit(4L))

@@ -406,10 +406,7 @@ object ExpQueries {
         |  len(list_filter(adj[r + 1], x -> alive[x + 1]))::BIGINT AS core_deg
         |FROM core, nodes, adj_t WHERE it = 6 AND alive[r + 1]""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      val ranked = users.select(
-        (row_number().over(Window.orderBy(col("user_id"))) - 1)
-          .cast("long").as("r"))
+      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
       val n = ranked.count()
       val h = n - n / 3
       val r = col("r")
@@ -818,10 +815,7 @@ object ExpQueries {
         |SELECT r AS node, h[r + 1] AS hub, a[r + 1] AS auth
         |FROM hits, nodes WHERE it = 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      val ranked = users.select(
-        (row_number().over(Window.orderBy(col("user_id"))) - 1)
-          .cast("long").as("r"))
+      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
       val n = ranked.count()
       val edges = ranked
         .select(col("r").as("src"), ((col("r") + 1) % n).as("dst"))
@@ -988,8 +982,8 @@ object ExpQueries {
       import org.apache.spark.sql.expressions.Window
       val counts = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
-      val ranked = counts.withColumn("i",
-        row_number().over(Window.orderBy(col("c"), col("k"))).cast("long"))
+      val ranked = graft.operators.Ranks.globalRowNumber(counts, "i",
+        Seq(col("c"), col("k")), col("c"))
       val tot = counts.agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
       ranked.crossJoin(broadcast(tot))
         .groupBy(col("n"), col("t"))

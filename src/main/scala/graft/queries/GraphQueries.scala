@@ -23,13 +23,10 @@ import org.apache.spark.sql.functions._
 object GraphQueries {
 
   /** Dense 0..n−1 node numbering over the distinct event users — the
-    * same ranked-id contract q94 uses (window over the tiny distinct
-    * user set only, never the event log). */
+    * same ranked-id contract q94 uses, minted scale-safe by
+    * [[Graph.nodeIds]] (range-bucketed rank, no global window). */
   private def rankedUsers(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val users = Tables.events(s, dir).select(col("user_id")).distinct()
-    val ranked = users.select(
-      (row_number().over(Window.orderBy(col("user_id"))) - 1)
-        .cast("long").as("r"))
+    val ranked = Graph.nodeIds(Tables.events(s, dir), "user_id")
     (ranked, ranked.count())
   }
 

@@ -330,13 +330,7 @@ object QualityQueries {
         |    CAST(floor(unnest(p) * 1e9 + 0.5) AS BIGINT) AS pr_ppb
         |  FROM pr WHERE it = 10)
         |ORDER BY pr_ppb DESC, r LIMIT 20""".stripMargin) { (s, dir) =>
-      val users = Tables.events(s, dir).select(col("user_id")).distinct()
-      // Un-partitioned window over the DISTINCT USER SET only (≤ a few
-      // thousand rows at any SF) — the dense 0..n-1 node numbering; the
-      // event log itself never funnels through one task.
-      val ranked = users.select(
-        (row_number().over(Window.orderBy(col("user_id"))) - 1)
-          .cast("long").as("r"))
+      val ranked = Graph.nodeIds(Tables.events(s, dir), "user_id")
       val n = ranked.count()
       val edges = ranked
         .select(col("r").as("src"), ((col("r") * 31 + 7) % n).as("dst"))

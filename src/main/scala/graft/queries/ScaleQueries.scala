@@ -354,10 +354,10 @@ object ScaleQueries {
     QuerySpec(
       "q81_table_checksum",
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
-        |  sum(CAST('0x' || substr(md5(
+        |  CAST(sum(CAST('0x' || substr(md5(
         |        CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
         |        CAST(c_acctbal AS VARCHAR) || '|' || c_mktsegment), 1, 8) AS BIGINT)
-        |      % 2147483647) AS checksum
+        |      % 2147483647) AS BIGINT) AS checksum
         |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
       val rowHash = pmod(
         conv(substring(md5(concat_ws("|",
