@@ -48,7 +48,16 @@ object Dedup {
   }
 
   /** Unpersist every cache registered by prior near-dup invocations.
-    * Call after the consuming action; idempotent. */
+    * Call after the consuming action; idempotent.
+    *
+    * PROCESS-GLOBAL, deliberately: the queue spans every SparkSession in
+    * the JVM, so this must only run at points where no query is in
+    * flight in ANY session — which both harness callers honor (Bench
+    * releases between strictly sequential queries; Verify defers one
+    * release to after its worker pool drains). Releasing mid-flight is
+    * still CORRECT (persist is an optimization; an unpersisted plan
+    * recomputes), it just forces recompute churn on whatever another
+    * worker had staged — don't call it from operator code. */
   def releaseCaches(): Unit = {
     var d = pendingCaches.poll()
     while (d != null) { d.unpersist(blocking = false); d = pendingCaches.poll() }
@@ -354,32 +363,38 @@ object Dedup {
     // graph), while a 100 TB edge list still gets the full session
     // parallelism through the min(). Same set/restore discipline as
     // Streams.runToTable, synchronized for the same reason.
+    withLoopConf(spark, edgeCount) { runLabelPropagation(edges, maxIter) }
+  }
+
+  /** Session-conf discipline shared by the iterative graph loops
+    * ([[connectedComponents]], [[connectedComponentsStar]]): shuffle
+    * width sized to the loop's 16-byte label rows (a small graph at the
+    * session's scan-width pays every empty partition once per shuffle
+    * PER ROUND — measured 7 s → sub-second on a 300-node graph — while a
+    * 100 TB edge list still gets full parallelism through the min());
+    * broadcast joins off (each round would pay collect-and-broadcast
+    * jobs for sides the loop already co-partitions, and the changing
+    * side is never reused); AQE off (one extra re-plan job per shuffle
+    * per round on partitioning this code sized explicitly). All three
+    * restored after. Synchronized for the same reason as
+    * Streams.runToTable. */
+  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
+      edgeCount: Long)(body: => T): T =
     spark.synchronized {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      // Broadcast joins are the wrong physical strategy INSIDE the loop:
-      // each round would pay 2–3 collect-and-broadcast jobs for tables
-      // this loop already co-partitions, and the label side changes every
-      // round so nothing is reused. Shuffle joins at the loop's (small)
-      // partition count are strictly cheaper per round.
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      // AQE re-plans per materialized shuffle stage — one extra job per
-      // shuffle per round, which dominates an iterative loop whose
-      // partitioning this code already sized explicitly. Off for the
-      // loop, restored after.
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        runLabelPropagation(edges, maxIter)
-      } finally {
+      try body
+      finally {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     }
-  }
 
   /** The propagation loop of [[connectedComponents]]; expects `edges`
     * symmetric, deduplicated, and already persisted. */
@@ -462,6 +477,111 @@ object Dedup {
     }
     pendingCaches.add(labels)
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (the MapReduce CC formulation of Kiveris et al., SoCC'14) — the
+    * O(log n)-round alternative to [[connectedComponents]]: convergence
+    * does not depend on graph DIAMETER, so a crawl-scale dedup graph
+    * with a pathological near-dup chain costs logarithmic rounds where
+    * label propagation would pay one shuffle round per hop of the chain.
+    * Same contract as [[connectedComponents]]: every node appearing in
+    * `pairs` labeled with its component's minimum id.
+    *
+    * Edges live canonically as (src=bigger, dst=smaller); each round is
+    * two join+aggregate passes shuffling only (long, long) pairs:
+    *  - large-star: each node's strictly-LARGER neighbors re-attach to
+    *    the minimum of its closed neighborhood (computed over the
+    *    symmetric edge list);
+    *  - small-star: each node and its smaller neighbors re-attach to its
+    *    minimum smaller neighbor.
+    * Both preserve connectivity and never raise any node's minimum
+    * neighbor, so the fixpoint is a star forest with one star per
+    * component, centered at the component minimum (the minimum cannot be
+    * a child: a child is strictly bigger than its center).
+    *
+    * Convergence test (exact, not a checksum): the edge set is a star
+    * forest iff every child has exactly ONE center and no node is both
+    * child and center — one aggregate plus one distinct-join per round,
+    * each over (long, long) rows. Per-round plans are lineage-truncated
+    * like the min-label loop (the star transforms self-join the round's
+    * output, doubling the logical tree per round otherwise). */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = pairs.sparkSession
+    val canon = pairs.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("src"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(lvl)
+    pendingCaches.add(canon)
+    val edgeCount = canon.count()
+    if (edgeCount == 0)
+      return canon.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    withLoopConf(spark, edgeCount) { runStarRounds(canon, maxIter) }
+  }
+
+  /** The alternating-star loop of [[connectedComponentsStar]]; expects
+    * `edges` canonical (src > dst), deduplicated, persisted, non-empty. */
+  private def runStarRounds(edges0: DataFrame, maxIter: Int): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var edges = edges0
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Large-star: min over each node's closed symmetric neighborhood;
+      // every undirected edge (a, b), b > a contributes (b → m(a)).
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src").as("u"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.where(col("dst") > col("src"))
+        .join(mins, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      // Small-star over (big → small) edges: node u and its smaller
+      // neighbors all re-attach to u's minimum smaller neighbor.
+      val mins2 = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+      val ssPlan = ls
+        .join(mins2, col("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .union(mins2.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+      // Lineage truncation — same load-bearing cut as the min-label
+      // loop: both star passes self-join the round's edge set, so the
+      // logical tree doubles per round without re-rooting it.
+      val next = edges.sparkSession
+        .createDataFrame(ssPlan.rdd, ssPlan.schema)
+        .persist(lvl)
+      pendingCaches.add(next)
+      // Star-forest fixpoint: every child has exactly one center AND no
+      // node is both child and center. Exact test, two small jobs.
+      val maxDeg = next.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      converged = maxDeg == 1 && {
+        next.select(col("src")).distinct()
+          .join(next.select(col("dst").as("src")).distinct(), "src")
+          .limit(1).count() == 0
+      }
+      edges.unpersist(blocking = false)
+      edges = next
+      iter += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds")
+    }
+    // Star forest → labels: children get their center, centers get
+    // themselves (a center never appears as a child at the fixpoint).
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .union(edges.select(col("dst"), col("dst")).distinct()
+        .toDF("doc_id", "cluster_id"))
   }
 
   /** Portable (md5-seeded) distinct shingle hashes: fold the first 8 hex

@@ -380,11 +380,16 @@ object Graph {
     * node's authority becomes the sum of its in-neighbors' hubs, then
     * every hub becomes the sum of its out-neighbors' NEW authorities —
     * the classic alternating update, kept in exact integers by skipping
-    * the normalization (scores order identically; growth per round is
-    * bounded by max-degree², far from BIGINT range for realistic
-    * iteration counts). Deterministic, so a recursive-CTE oracle
-    * replays every round (q124). Returns `(node, hub, auth)`;
-    * zero-degree sides score 0.
+    * the normalization (scores order identically). Growth COMPOUNDS:
+    * after `t` rounds magnitudes reach ~(d_in·d_out)^t for max
+    * in/out-degrees d_in/d_out, so exact-integer semantics are only
+    * safe while t·log2(d_in·d_out) stays under 62 bits — checked up
+    * front (two degree aggregates) with a hard `require`, rather than
+    * silently wrapping on a high-degree graph or a larger iteration
+    * count. Callers past the bound should normalize per round (double
+    * HITS) instead. Deterministic, so a recursive-CTE oracle replays
+    * every round (q124). Returns `(node, hub, auth)`; zero-degree
+    * sides score 0.
     *
     * Two shuffled joins per round over `(long, long)` pairs; loop
     * discipline as [[pageRank]] (lineage re-root, AQE/broadcast off,
@@ -400,6 +405,20 @@ object Graph {
     Dedup.pendingCaches.add(e)
     Dedup.pendingCaches.add(nodes)
     val edgeCount = e.count()
+    if (edgeCount > 0) {
+      // Exact-integer overflow guard (see scaladoc): bits per round =
+      // log2(max in-degree · max out-degree), compounded per iteration.
+      val dIn = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val dOut = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+      val bitsPerRound =
+        (math.log(dIn.toDouble) + math.log(dOut.toDouble)) / math.log(2.0)
+      require(iterations * bitsPerRound < 62.0,
+        s"unnormalized HITS would exceed 64-bit integers: $iterations rounds" +
+          f" × $bitsPerRound%.1f bits/round (max in-degree $dIn, out-degree" +
+          s" $dOut); reduce iterations or use a normalized variant")
+    }
     spark.synchronized {
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
       val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -446,10 +465,17 @@ object Graph {
     * min-degree peel deliberately: it is order-free, hence deterministic
     * under any partitioning, and each round is one join + one aggregate
     * over `(long, long)` pairs — the same per-round shuffle shape as
-    * [[sssp]]. Early exit when a round removes nothing. Loop discipline
-    * as [[pageRank]]: lineage re-root per round, AQE/broadcast off,
+    * [[sssp]]. Early exit when a round removes nothing, so `rounds` is
+    * purely a safety cap — each round removes ≥ 1 node until the
+    * fixpoint, and the default cap is generous for any test-scale
+    * graph. A capped-out unconverged peel (possible on a long pendant
+    * chain: one node falls per round) is reported on stderr rather
+    * than returned silently — the result is then a valid OVER-
+    * approximation of the k-core, which oracle specs replaying the
+    * same fixed round count still match exactly. Loop discipline as
+    * [[pageRank]]: lineage re-root per round, AQE/broadcast off,
     * shuffle width sized to the edge list. */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 40): DataFrame = {
     val spark = edges.sparkSession
     val lvl = StorageLevel.MEMORY_AND_DISK
     val adj = symmetric(edges).persist(lvl)
@@ -491,6 +517,10 @@ object Graph {
           nAlive = n
           alive = next
         }
+        if (!converged)
+          System.err.println(s"[graft] kCore: round cap $rounds hit before " +
+            s"the peel fixpoint ($nAlive nodes still alive) — result is an " +
+            "over-approximation; raise `rounds` for the exact core")
         adj
           .join(alive.select(col("node").as("u")), "u")
           .join(alive.select(col("node").as("v")), "v")

@@ -169,17 +169,29 @@ object Similarity {
 
   /** IVF-style probe using a partition column (here: `label`) as the
     * coarse quantizer. Centroids are computed as per-label mean vectors
-    * (posexplode → avg → re-assemble), the query probes its `nProbe`
-    * nearest centroids, and exact search runs only inside those
+    * (posexplode → fixed-point mean → re-assemble), the query probes its
+    * `nProbe` nearest centroids, and exact search runs only inside those
     * partitions. With the fact table partitioned/bucketed by `label` on
-    * disk, the probe filter prunes entire partitions at scan time. */
+    * disk, the probe filter prunes entire partitions at scan time.
+    *
+    * Centroid means are 1e-6 fixed-point: sum the quantized components
+    * as LONGs, divide once. An integer sum is associative, so the
+    * centroid — and therefore the probe choice — is bit-identical under
+    * any partitioning/merge order (a double `avg` varies in the last ulp
+    * with aggregation order, enough to flip a near-tied probe ranking
+    * between runs or engines); the 1e-6 quantization error is orders of
+    * magnitude below any meaningful centroid separation. This is what
+    * upgrades the IVF path from rows-only checks to a full replayable
+    * oracle (ss3). */
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String, partCol: String,
       query: DataFrame, queryVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
     val centroids = df
       .select(col(partCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col(partCol), col("__pos"))
-      .agg(avg(col("__x")).as("__m"))
+      .agg(sum(floor(col("__x").cast("double") * 1000000 + 0.5).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .withColumn("__m", (col("__s").cast("double") / 1000000.0) / col("__n"))
       .groupBy(col(partCol))
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__m")))),

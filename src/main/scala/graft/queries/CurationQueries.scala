@@ -63,7 +63,7 @@ object CurationQueries {
        |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band
        |    AND l.doc_id <> r.doc_id AND ${newPred.replace("DOC", "l.doc_id")}""".stripMargin
 
-  private def minhashPortableOracle(
+  private[queries] def minhashPortableOracle(
       k: Int, numHashes: Int, bands: Int, threshold: Double,
       maxDocId: Long,
       withPrefix: String = "WITH",
@@ -548,6 +548,34 @@ object CurationQueries {
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
         .select(col("cluster_id").as("keep_id"), col("n_docs"))
+    },
+
+    // The same portable pair graph resolved by the ALTERNATING-STAR
+    // connected-components algorithm (Dedup.connectedComponentsStar) —
+    // the O(log n)-round scale path whose convergence is independent of
+    // graph diameter. Full per-node label oracle: the recursive CTE
+    // replays the transitive closure, so dd17 green means star CC's
+    // cluster assignments match min-label's (dd12 aggregates the same
+    // labels) on the identical planted graph.
+    QuerySpec(
+      "dd17_cc_star",
+      minhashPortableOracle(k = 5, numHashes = 16, bands = 4,
+        threshold = 0.8, maxDocId = 1000L,
+        withPrefix = "WITH RECURSIVE",
+        tail =
+          """, p AS (SELECT id1, id2 FROM verified WHERE jaccard >= THRESH),
+            |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM e
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+            |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |FROM reach GROUP BY a""".stripMargin)) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsPortable(
+        Tables.documents(s, dir).where(col("doc_id") < 1000),
+        "doc_id", "text", shingleK = 5, numHashes = 16, bands = 4,
+        threshold = 0.8)
+      Dedup.connectedComponentsStar(pairs, "id1", "id2")
     },
 
     // Asymmetric set containment — the subset-duplicate detector

@@ -638,7 +638,8 @@ object ExpQueries {
       "q115_interval_join",
       """WITH iv AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS st,
-        |    epoch_us(ts) + (1 + CAST(floor(value) AS BIGINT) % 30) * 60000000 AS en
+        |    epoch_us(ts)
+        |      + (1 + ((CAST(floor(value) AS BIGINT) % 30) + 30) % 30) * 60000000 AS en
         |  FROM events
         |)
         |SELECT a.event_id AS event_id1, b.event_id AS event_id2,
@@ -650,8 +651,13 @@ object ExpQueries {
       val iv = Tables.events(s, dir).select(
         col("event_id"), col("user_id"),
         unix_micros(col("ts").cast("timestamp")).as("st"),
+        // pmod, not %: a negative value would give en < st and make the
+        // bin `sequence(st_bin, en_bin)` throw (DuckDB's % would instead
+        // emit negative-duration intervals — both engines clamp the same
+        // way here; values in the harness data are non-negative, so this
+        // is a robustness guard, not a behavior change).
         (unix_micros(col("ts").cast("timestamp")) +
-          (lit(1) + floor(col("value")).cast("long") % 30) * 60000000L).as("en"))
+          (lit(1) + pmod(floor(col("value")).cast("long"), lit(30L))) * 60000000L).as("en"))
       val binned = iv.select(col("event_id"), col("user_id"), col("st"), col("en"),
         explode(sequence(floor(col("st") / binUs).cast("long"),
           floor(col("en") / binUs).cast("long"))).as("bin"))

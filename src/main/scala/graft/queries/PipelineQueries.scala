@@ -13,19 +13,69 @@ import org.apache.spark.sql.functions._
   *
   * Oracle policy: everything expressible in ANSI SQL gets a DuckDB oracle
   * (including the exact-Jaccard and cosine pipelines — DuckDB list
-  * functions mirror Spark's higher-order functions). The xxhash64-seeded
-  * production pipelines (dd4/dd5/dd8 minhash/simhash, ss2/ss3/ss6 ANN)
-  * register rows-only BUT each has a fully-oracled portable twin proving
-  * the identical pipeline shape hash-exact: dd9/dd10/dd12 (md5-seeded
-  * LSH through connected components) and ss8 (SRP-LSH with the
-  * hyperplane weights rendered into the SQL); planted-duplicate
-  * ScalaTest specs cover the seeded paths directly.
+  * functions mirror Spark's higher-order functions, and every hash the
+  * pipelines key on is engine-portable: md5-derived shingle hashes,
+  * SplitMix64-derived permutation/hyperplane coefficients rendered into
+  * the SQL as literals). The xxhash64-seeded production variants of the
+  * same pipelines stay out of the registry — they are covered by
+  * planted-duplicate ScalaTest specs (DedupSpec/SimilaritySpec) and by
+  * ScaleCheck, while the registry carries the portable twins so the
+  * driver hash-verifies every stage, LSH banding and transitive closure
+  * included.
   */
 object PipelineQueries {
 
   /** Shared DuckDB fragment: tokenized lowercase words. */
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // SRP-LSH oracle geometry — must match the annTopK calls below.
+  private val srpDim = 64
+  private val srpPlanes = 6
+  private val srpTables = 4
+
+  /** The SplitMix64-derived hyperplane weights as a DuckDB list-of-lists
+    * literal — identical values to [[Similarity.annTopK]]'s plane
+    * vectors (parity by construction). */
+  private def srpWeights: String =
+    (0 until srpTables * srpPlanes).map { plane =>
+      (0 until srpDim).map(i =>
+        (Hashing.splitmix64(plane.toLong * srpDim + i).toDouble / Long.MaxValue).toString)
+        .mkString("[", ",", "]")
+    }.mkString("[", ",\n    ", "]")
+
+  /** DuckDB oracle for the SRP-LSH ANN pipeline: signatures via a
+    * sequential left fold (≡ Spark `aggregate` HOF, so sign bits match
+    * bit-for-bit), candidates within Hamming `maxHam` of the query
+    * signature per table (0 = exact bucket probe, 1 = the 1-bit
+    * multiprobe ring), exact-cosine scoring, then `tail` over the
+    * `scored`/`base`/`qv` CTEs. */
+  private def srpOracle(maxHam: Int, tail: String): String =
+    s"""WITH wt AS (SELECT $srpWeights AS w),
+       |base AS (SELECT vec_id, embedding FROM embeddings),
+       |sigt AS (
+       |  SELECT b.vec_id, tt.t,
+       |    list_sum(list_transform(range(0, $srpPlanes), p ->
+       |      CASE WHEN list_reduce(list_prepend(0.0,
+       |             list_transform(range(1, ${srpDim + 1}),
+       |               i -> b.embedding[i]::DOUBLE * (wt.w)[tt.t*$srpPlanes + p + 1][i])),
+       |             (a, x) -> a + x) > 0
+       |      THEN (1::BIGINT << p) ELSE 0 END)) AS sig
+       |  FROM base b, wt, range(0, $srpTables) tt(t)),
+       |qv AS (SELECT embedding FROM base WHERE vec_id = 0),
+       |qs AS (SELECT t, sig FROM sigt WHERE vec_id = 0),
+       |cand AS (SELECT DISTINCT s.vec_id
+       |         FROM sigt s JOIN qs ON s.t = qs.t
+       |           AND bit_count(xor(s.sig, qs.sig)) <= $maxHam),
+       |scored AS (
+       |  SELECT c.vec_id,
+       |    round(list_cosine_similarity(b.embedding::DOUBLE[],
+       |      (SELECT embedding FROM qv)::DOUBLE[]), 6) AS sim
+       |  FROM cand c JOIN base b USING (vec_id))
+       |$tail""".stripMargin
+
+  private val srpTopKTail =
+    "SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10"
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -108,21 +158,43 @@ object PipelineQueries {
         "id1", "id2")
     },
 
-    // MinHash + banded LSH near-dup detection over the full table —
-    // the sublinear scale path (seeded xxhash64 → rows-only check here;
-    // planted-duplicate assertions live in DedupSpec).
-    QuerySpec.noOracle("dd4_dedup_minhash_lsh") { (s, dir) =>
-      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+    // MinHash + banded LSH near-dup detection over the FULL corpus at
+    // the production geometry (64 hashes / 8 bands — a tighter band
+    // filter than dd9's 16/4 capped slice), every hash engine-portable,
+    // so the whole sublinear path is hash-verified at this geometry too.
+    // The xxhash64-seeded variant of the same pipeline is covered by
+    // DedupSpec's planted duplicates.
+    QuerySpec(
+      "dd4_dedup_minhash_lsh",
+      CurationQueries.minhashPortableOracle(k = 5, numHashes = 64,
+        bands = 8, threshold = 0.8, maxDocId = Long.MaxValue)) { (s, dir) =>
+      Dedup.minhashNearDupsPortable(Tables.documents(s, dir),
+        "doc_id", "text", shingleK = 5, numHashes = 64, bands = 8,
+        threshold = 0.8)
     },
 
     // The end-to-end dedup story at scale, composed from the sublinear
-    // pieces: MinHash-LSH pair discovery over the FULL corpus →
-    // connected components → one canonical keeper per cluster. Output:
-    // cluster sizes per keeper (seeded-hash pipeline → rows-only; the
-    // composition pieces are each verified separately).
-    QuerySpec.noOracle("dd8_minhash_clusters") { (s, dir) =>
-      val pairs = Dedup.minhashNearDups(Tables.documents(s, dir),
+    // pieces: MinHash-LSH pair discovery over the FULL corpus at the
+    // dd4 production geometry → connected components → one canonical
+    // keeper per cluster with its size. Fully oracled, transitive
+    // closure included (recursive CTE over the identical pair set).
+    QuerySpec(
+      "dd8_minhash_clusters",
+      CurationQueries.minhashPortableOracle(k = 5, numHashes = 64,
+        bands = 8, threshold = 0.8, maxDocId = Long.MaxValue,
+        withPrefix = "WITH RECURSIVE",
+        tail =
+          """, p AS (SELECT id1, id2 FROM verified WHERE jaccard >= THRESH),
+            |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+            |reach(a, b) AS (
+            |  SELECT a, b FROM e
+            |  UNION
+            |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+            |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            |        FROM reach GROUP BY a)
+            |SELECT cluster_id AS keep_id, CAST(count(*) AS BIGINT) AS n_docs
+            |FROM lab GROUP BY 1""".stripMargin)) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsPortable(Tables.documents(s, dir),
         "doc_id", "text", shingleK = 5, numHashes = 64, bands = 8,
         threshold = 0.8)
       // cluster_id IS the minimum member id by connectedComponents'
@@ -133,15 +205,8 @@ object PipelineQueries {
         .select(col("cluster_id").as("keep_id"), col("n_docs"))
     },
 
-    // SimHash near-dup detection (Hamming ≤ 3 via the 4×16-bit chunk
-    // pigeonhole join).
-    QuerySpec.noOracle("dd5_dedup_simhash") { (s, dir) =>
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 3)
-    },
-
     // Embedding-cosine near-dup pairs over a bounded slice (brute force;
-    // ss2/ss3 are the sublinear alternatives).
+    // ss6/ss3/ss8 are the sublinear alternatives).
     QuerySpec(
       "dd6_dedup_embedding_cosine",
       """SELECT id1, id2, cos_sim FROM (
@@ -170,34 +235,45 @@ object PipelineQueries {
         emb.where(col("vec_id") === 0), "embedding", k = 10)
     },
 
-    // ANN via sign-random-projection LSH (deterministic seeded planes).
-    // 6 planes × 4 tables: ~64 buckets per table keeps candidate lists in
-    // the tens at this cardinality. Tuning law (measured in ScaleCheck):
-    // planes bound candidate COST (occupancy ≈ n/2^planes) but each
-    // plane cuts per-table recall by (1 - θ/π); pick the fewest planes
-    // whose buckets fit the scoring budget, then add tables until
-    // recall holds (sf0.1: 6p4t=5/10 vs 4p8t=9/10).
-    QuerySpec.noOracle("ss2_ann_srp_lsh") { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
-        emb.where(col("vec_id") === 0), "embedding", k = 10,
-        nPlanes = 6, nTables = 4)
-    },
-
     // Multiprobe SRP-LSH: probes every 1-bit perturbation of the query
     // signatures — recall of a far larger table count at zero extra
     // data-side (map-side signature) cost. Measured (ScaleCheck, sf0.1):
-    // 5/10 → 9/10 recall@10 at the same 6 planes × 4 tables.
-    QuerySpec.noOracle("ss6_ann_multiprobe") { (s, dir) =>
+    // 5/10 → 9/10 recall@10 at the same 6 planes × 4 tables. Fully
+    // oracled: the Hamming-≤1 probe ring is one bit_count(xor) predicate
+    // over the same replayed signatures as ss8 (the exact-probe twin).
+    QuerySpec(
+      "ss6_ann_multiprobe",
+      srpOracle(maxHam = 1, tail = srpTopKTail)) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
         emb.where(col("vec_id") === 0), "embedding", k = 10,
         nPlanes = 6, nTables = 4, multiprobe = true)
     },
 
-    // IVF probe with the label column as coarse quantizer (computed
-    // per-label centroids, nProbe=2).
-    QuerySpec.noOracle("ss3_ann_ivf") { (s, dir) =>
+    // IVF probe with the label column as coarse quantizer (fixed-point
+    // per-label centroids, nProbe=2). Fully oracled: integer centroid
+    // sums are order-independent (see Similarity.ivfTopK), so probe
+    // choice and the exact rerank replay bit-for-bit in SQL.
+    QuerySpec(
+      "ss3_ann_ivf",
+      """WITH d AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, i, sum(CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM d, range(1, 65) t(i) GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY i) AS cv
+        |  FROM c GROUP BY label
+        |), q AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT label FROM cent, q
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, label LIMIT 2)
+        |SELECT vec_id, label,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 6) AS sim
+        |FROM d JOIN probe USING (label)
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
         emb.where(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
@@ -504,55 +580,40 @@ object PipelineQueries {
         .select(col("doc_id"), col("win").cast("long").as("win"), col("rms_c"))
     },
 
-    // The ANN path with a FULL oracle: same SRP-LSH pipeline as ss2
-    // (identical planes, tables, rerank), with the SplitMix64-derived
-    // hyperplane weights rendered into the SQL as a list-of-lists
-    // literal. The projection is a sequential left fold on both sides
-    // (Spark `aggregate` HOF ≡ DuckDB `list_reduce` with prepended
-    // zero), so the sign bits — and therefore buckets, candidates, and
-    // the reranked top-k — are bit-identical.
-    {
-      val dim = 64; val nPlanes = 6; val nTables = 4
-      val w = (0 until nTables * nPlanes).map { plane =>
-        (0 until dim).map(i =>
-          (Hashing.splitmix64(plane.toLong * dim + i).toDouble / Long.MaxValue).toString)
-          .mkString("[", ",", "]")
-      }.mkString("[", ",\n    ", "]")
-      QuerySpec(
-        "ss8_ann_srp_oracled",
-        s"""WITH wt AS (SELECT $w AS w),
-           |base AS (SELECT vec_id, embedding FROM embeddings),
-           |sigt AS (
-           |  SELECT b.vec_id, tt.t,
-           |    list_sum(list_transform(range(0, $nPlanes), p ->
-           |      CASE WHEN list_reduce(list_prepend(0.0,
-           |             list_transform(range(1, ${dim + 1}),
-           |               i -> b.embedding[i]::DOUBLE * (wt.w)[tt.t*$nPlanes + p + 1][i])),
-           |             (a, x) -> a + x) > 0
-           |      THEN (1::BIGINT << p) ELSE 0 END)) AS sig
-           |  FROM base b, wt, range(0, $nTables) tt(t)),
-           |qv AS (SELECT embedding FROM base WHERE vec_id = 0),
-           |qs AS (SELECT t, sig FROM sigt WHERE vec_id = 0),
-           |cand AS (SELECT DISTINCT s.vec_id
-           |         FROM sigt s JOIN qs ON s.t = qs.t AND s.sig = qs.sig),
-           |scored AS (
-           |  SELECT c.vec_id,
-           |    round(list_cosine_similarity(b.embedding::DOUBLE[],
-           |      (SELECT embedding FROM qv)::DOUBLE[]), 6) AS sim
-           |  FROM cand c JOIN base b USING (vec_id))
-           |SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin) { (s, dir) =>
-        val emb = Tables.embeddings(s, dir)
-        Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
-          emb.where(col("vec_id") === 0), "embedding", k = 10,
-          nPlanes = 6, nTables = 4)
-      }
+    // The exact-bucket SRP-LSH probe (the ss6 multiprobe's 0-Hamming
+    // twin), fully oracled: the SplitMix64-derived hyperplane weights
+    // are rendered into the SQL as a list-of-lists literal, and the
+    // projection is a sequential left fold on both sides (Spark
+    // `aggregate` HOF ≡ DuckDB `list_reduce` with prepended zero), so
+    // the sign bits — and therefore buckets, candidates, and the
+    // reranked top-k — are bit-identical.
+    QuerySpec(
+      "ss8_ann_srp_oracled",
+      srpOracle(maxHam = 0, tail = srpTopKTail)) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annTopK(emb, "vec_id", "embedding", dim = 64,
+        emb.where(col("vec_id") === 0), "embedding", k = 10,
+        nPlanes = 6, nTables = 4)
     },
 
     // ANN quality, measured in-harness: recall@10 of the multiprobe
-    // SRP-LSH path against the brute-force ground truth (both
-    // deterministic, so the recall itself is a stable regression gate —
-    // SimilaritySpec asserts the floor).
-    QuerySpec.noOracle("ss7_ann_recall") { (s, dir) =>
+    // SRP-LSH path against the brute-force ground truth. Fully oracled —
+    // both the truth set and the ANN set replay in SQL, so the recall
+    // number itself is hash-compared (SimilaritySpec still asserts the
+    // ≥8/10 floor as a regression gate).
+    QuerySpec(
+      "ss7_ann_recall",
+      srpOracle(maxHam = 1, tail =
+        """, ann AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+          |truth AS (SELECT vec_id FROM (
+          |  SELECT b.vec_id,
+          |    round(list_cosine_similarity(b.embedding::DOUBLE[],
+          |      (SELECT embedding FROM qv)::DOUBLE[]), 6) AS sim
+          |  FROM base b) t
+          |  ORDER BY sim DESC, vec_id LIMIT 10)
+          |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_hits,
+          |  CAST(count(*) * 100 / 10 AS BIGINT) AS recall_pct
+          |FROM truth JOIN ann USING (vec_id)""".stripMargin)) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
       val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",

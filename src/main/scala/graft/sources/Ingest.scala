@@ -155,9 +155,9 @@ object Ingest {
   }
 
   /** JDBC batch sink (A6, `dags/users_etl.py:142-155`): full-refresh via
-    * `truncate` + overwrite, batched inserts executor-side. Untested in
-    * this harness (no database available); the parquet writers above are
-    * the harness-exercised sinks. */
+    * `truncate` + overwrite, batched inserts executor-side. Exercised
+    * against embedded Derby in IngestSpec (round-trip + truncate
+    * refresh); a networked Postgres differs only in URL/driver. */
   def writeJdbc(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode(SaveMode.Overwrite)

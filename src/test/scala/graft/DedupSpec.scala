@@ -82,6 +82,28 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponentsStar: matches min-label on a 60-node chain plus cliques") {
+    // A 60-hop chain is the adversarial case for diameter-bound
+    // algorithms — alternating star rounds must still land the one
+    // component, matching min-label propagation's labels exactly.
+    val chain = (100L until 160L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val pairs = (chain ++ Seq(
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    )).toDF("id1", "id2")
+    val star = Dedup.connectedComponentsStar(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    graft.operators.Dedup.releaseCaches()
+    assert(star == prop)
+    assert(star(159L) == 100L && star(12L) == 10L && star(21L) == 20L)
+    // Empty pair list → empty labels (contract parity).
+    assert(Dedup.connectedComponentsStar(
+      Seq.empty[(Long, Long)].toDF("id1", "id2"), "id1", "id2").count() == 0)
+    graft.operators.Dedup.releaseCaches()
+  }
+
   test("shingles: distinct char k-grams of staged normalized text") {
     val out = Seq("a b").toDF("text")
       .select(TextAnalysis.normalizeText(col("text")).as("n"))

@@ -49,6 +49,21 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("writeJdbc round-trips through embedded Derby and truncate-overwrites") {
+    // Derby ships with Spark (the Hive metastore's store), so the JDBC
+    // sink is testable offline: write → read back → overwrite with
+    // truncate=true (full-refresh semantics, A6) → read again.
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val df = Seq((1L, "ann"), (2L, "bob")).toDF("id", "name")
+    Ingest.writeJdbc(df, url, "users")
+    val back = spark.read.jdbc(url, "users", new java.util.Properties())
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "ann"), (2L, "bob")))
+    val df2 = Seq((3L, "cat")).toDF("id", "name")
+    Ingest.writeJdbc(df2, url, "users")
+    val back2 = spark.read.jdbc(url, "users", new java.util.Properties())
+    assert(back2.as[(Long, String)].collect().toSet == Set((3L, "cat")))
+  }
+
   test("bucketed tables join without a shuffle") {
     import org.apache.spark.sql.functions.col
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")

@@ -161,16 +161,23 @@ class ScalePatternSpec extends SparkSpec {
   }
 
   test("item co-occurrence scan prunes to the two join columns") {
-    // AQE wraps the plan pre-execution, so assert on the plan text: the
-    // lineitem scans must read only the two join columns — any payload
-    // column name appearing anywhere in the plan means pruning broke.
+    // Anchor the assertion to the lineitem FileScan's ReadSchema — the
+    // one place column pruning is authoritative. (A whole-plan-text
+    // substring check is brittle: any future node mentioning a payload
+    // column in stats or comments would fail falsely.)
     val df = graft.SparkEntry.queries("q148_item_cooccurrence")(
       spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("l_orderkey"))
-    for (extra <- Seq("l_extendedprice", "l_quantity", "l_discount",
-        "l_shipdate", "l_returnflag"))
-      assert(!plan.contains(extra), s"scan reads pruned column $extra")
+    val scans = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("lineitem"))
+    assert(scans.nonEmpty, s"no lineitem FileScan in plan:\n$plan")
+    for (s <- scans) {
+      val readSchema = s.replaceAll("(?s).*ReadSchema: struct<([^>]*)>.*", "$1")
+      assert(readSchema.contains("l_orderkey"), s"unexpected ReadSchema: $s")
+      for (extra <- Seq("l_extendedprice", "l_quantity", "l_discount",
+          "l_shipdate", "l_returnflag"))
+        assert(!readSchema.contains(extra), s"scan reads pruned column $extra: $s")
+    }
   }
 
   test("AQE splits the hot partition of a skewed sort-merge join") {
