@@ -29,11 +29,19 @@ object Graph {
     * [[Ranks.globalRowNumber]], so the whole node dimension never
     * funnels through one task's sort: range-bucketed rank + broadcast
     * offsets, scale-safe at any node count. Returns a single LongType
-    * column `r`. */
+    * column `r`.
+    *
+    * The result is STAGED (persisted via [[Dedup.stage]]): every caller
+    * consumes it several times (a count for `n`, the edge mint's src and
+    * dst sides, often a final label join), and the range-bucketed rank
+    * is a multi-job plan — recomputing it per consumer measurably
+    * doubled the graph-family bench times when this helper replaced the
+    * naive global window. */
   def nodeIds(ids: DataFrame, idCol: String): DataFrame =
-    Ranks.globalRowNumber(ids.select(col(idCol)).distinct(), "r",
-        Seq(col(idCol)), col(idCol))
-      .select((col("r") - 1).as("r"))
+    Dedup.stage(
+      Ranks.globalRowNumber(ids.select(col(idCol)).distinct(), "r",
+          Seq(col(idCol)), col(idCol))
+        .select((col("r") - 1).as("r")))
 
   /** `iterations` rounds of damped PageRank over directed `edges`
     * (`src`, `dst` long columns; parallel edges deduplicated). Every

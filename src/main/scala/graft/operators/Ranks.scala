@@ -37,28 +37,36 @@ object Ranks {
     * @param buckets  range-bucket count; defaults to
     *                 `spark.sql.shuffle.partitions`
     */
-  def globalRowNumber(df: DataFrame, out: String, sort: Seq[Column],
-      rangeKey: Column, buckets: Int = 0): DataFrame = {
+  /** Shared bucketing pass: stage `df` (it feeds the boundary
+    * aggregate, the per-bucket aggregate, and the final output) and
+    * append a deterministic, leading-key-monotone `__pid` range-bucket
+    * id derived from `percentile_approx` boundaries of `rangeKey`. */
+  private def rangeBucket(df: DataFrame, rangeKey: Column,
+      buckets: Int): DataFrame = {
     val spark = df.sparkSession
     val nb = math.max(1,
       if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    // Stage the input: it feeds three consumers (boundary aggregate,
-    // bucket counts, the ranked output) and a persisted source also
-    // pins the boundary aggregate to one deterministic input.
     val in = Dedup.stage(df)
     val k = rangeKey.cast("double")
-    val bucketed =
-      if (nb == 1) in.withColumn("__pid", lit(0))
-      else {
-        val ps = (1 until nb).map(i => i.toDouble / nb)
-        val bnd = in.agg(
-          percentile_approx(k, typedLit(ps), lit(10000)).as("__bnds"))
-        in.crossJoin(broadcast(bnd))
-          .withColumn("__pid", size(filter(col("__bnds"), b => b < k)))
-          .drop("__bnds")
-      }
-    val counts = bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    if (nb == 1) in.withColumn("__pid", lit(0))
+    else {
+      val ps = (1 until nb).map(i => i.toDouble / nb)
+      val bnd = in.agg(
+        percentile_approx(k, typedLit(ps), lit(10000)).as("__bnds"))
+      in.crossJoin(broadcast(bnd))
+        .withColumn("__pid", size(filter(col("__bnds"), b => b < k)))
+        .drop("__bnds")
+    }
+  }
+
+  def globalRowNumber(df: DataFrame, out: String, sort: Seq[Column],
+      rangeKey: Column, buckets: Int = 0): DataFrame = {
+    val bucketed = rangeBucket(df, rangeKey, buckets)
+    // Staged: counts feeds both sides of the offset self-join below, and
+    // each un-cached consumer would re-run the whole bucketing pass.
+    val counts = Dedup.stage(
+      bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt")))
     val offs = counts.as("a")
       .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
@@ -69,6 +77,90 @@ object Ranks {
       .withColumn(out, (col("__rn") + col("__off")).cast("long"))
       .drop("__pid", "__rn", "__off")
   }
+
+  /** Append the strict-prefix running MAX of `value` under the total
+    * order `sort` as column `out` (NULL for the global first row — the
+    * `max(...) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * 1 PRECEDING)` contract), without a single-partition sort: running
+    * max within each range bucket via a partitioned window, plus the max
+    * over all LOWER buckets via the same triangular broadcast join
+    * [[globalRowNumber]] uses for offsets. Same requirements: `sort`
+    * total, `rangeKey` numeric and aligned with the leading direction.
+    *
+    * NOTE on ties in `rangeKey`: rows tying on the leading key share a
+    * bucket (bucket id is monotone in the leading key), so the
+    * within-bucket window sees every tied predecessor — prefix semantics
+    * hold for any total `sort`. */
+  def strictPrefixMax(df: DataFrame, out: String, sort: Seq[Column],
+      rangeKey: Column, value: Column, buckets: Int = 0): DataFrame = {
+    val bucketed = rangeBucket(df, rangeKey, buckets)
+    val bmax = Dedup.stage(
+      bucketed.groupBy(col("__pid")).agg(max(value).as("__bm")))
+    val lower = bmax.as("a")
+      .join(broadcast(bmax.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(max(col("b.__bm")).as("__lowmax"))
+    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("__wmax", max(value).over(w))
+      .join(broadcast(lower), "__pid")
+      .withColumn(out, greatest(
+        coalesce(col("__wmax"), col("__lowmax")),
+        coalesce(col("__lowmax"), col("__wmax"))))
+      .drop("__pid", "__wmax", "__lowmax")
+  }
+
+  /** Append the INCLUSIVE running sums of each `(value, out)` pair under
+    * the total order `sort` — the
+    * `sum(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * CURRENT ROW)` contract — without a single-partition sort: running
+    * sums within each range bucket via a partitioned window, plus the
+    * totals of all LOWER buckets via the triangular broadcast join
+    * [[globalRowNumber]] uses for offsets. All requested sums share one
+    * bucketing pass and one window, so a CDF pair (the KS / AUC /
+    * Mann–Whitney shape) costs the same as a single sum. Values must be
+    * integral (per-bucket totals coalesce with `0L`); same contract as
+    * the siblings: `sort` total, `rangeKey` aligned with the leading
+    * direction, ties in the leading key share a bucket so prefix
+    * semantics hold. */
+  def prefixSums(df: DataFrame, sort: Seq[Column], rangeKey: Column,
+      values: Seq[(Column, String)], buckets: Int = 0): DataFrame = {
+    val bucketed = rangeBucket(df, rangeKey, buckets)
+    val btotAggs = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v).as(s"__bt$i") }
+    val btot = Dedup.stage(
+      bucketed.groupBy(col("__pid")).agg(btotAggs.head, btotAggs.tail: _*))
+    val lowAggs = values.indices.map { i =>
+      coalesce(sum(col(s"b.__bt$i")), lit(0L)).as(s"__low$i") }
+    val lower = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(lowAggs.head, lowAggs.tail: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = values.zipWithIndex.foldLeft(bucketed) {
+      case (d, ((v, _), i)) => d.withColumn(s"__w$i", sum(v).over(w))
+    }
+    val summed = values.zipWithIndex.foldLeft(
+      windowed.join(broadcast(lower), "__pid")) {
+      case (d, ((_, out), i)) =>
+        d.withColumn(out, col(s"__w$i") + col(s"__low$i"))
+    }
+    summed.drop("__pid" +: values.indices.flatMap(i =>
+      Seq(s"__w$i", s"__low$i")): _*)
+  }
+
+  /** Numeric range key for a STRING sort column: the first 6 UTF-8
+    * bytes as a right-zero-padded big-endian integer. Monotone
+    * (non-strict) in the lexicographic byte order — strings sharing a
+    * 6-byte prefix collapse to one key, which only merges buckets,
+    * never reorders them, so it satisfies the [[globalRowNumber]]
+    * range-key contract for any binary/ASCII collation. 6 bytes keeps
+    * the value < 2^48, exact through the double cast the bucketing
+    * applies. */
+  def stringPrefixKey(c: Column): Column =
+    conv(rpad(hex(c.cast("binary")), 12, "0"), 16, 10).cast("long")
 
   /** `ntile(k)` reconstructed from an exact 1-based global rank `rn` and
     * the total row count `n` — SQL-standard bucket sizing (the first

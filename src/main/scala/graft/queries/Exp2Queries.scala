@@ -579,8 +579,11 @@ object Exp2Queries {
     // and by order count) — the standard hybrid-search result merger:
     // score = Σ 1/(60+rank). Ranks come from tie-broken total orders
     // (deterministic), the score is a two-term sum of identical doubles.
-    // Window-free at scale? No — rank IS a global sort, but over the
-    // customer aggregate (bounded), not the fact table.
+    // Both global ranks are minted by the range-bucketed
+    // Ranks.globalRowNumber (negated range key for the descending
+    // heads), so the customer dimension never funnels through one
+    // task's sort — the oracle's global windows are the semantic spec
+    // only.
     QuerySpec(
       "q150_rrf",
       """WITH agg AS (
@@ -599,15 +602,15 @@ object Exp2Queries {
         |  CAST(floor((1.0 / (60 + r_spend) + 1.0 / (60 + r_freq)) * 1000000000.0)
         |    AS BIGINT) AS rrf_nano
         |FROM ranked""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val agg = Tables.orders(s, dir).groupBy("o_custkey")
+      import graft.operators.{Dedup, Ranks}
+      val agg = Dedup.stage(Tables.orders(s, dir).groupBy("o_custkey")
         .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend_c"),
-          count(lit(1)).as("n_orders"))
-      val ranked = agg
-        .withColumn("r_spend", row_number().over(
-          Window.orderBy(col("spend_c").desc, col("o_custkey"))).cast("long"))
-        .withColumn("r_freq", row_number().over(
-          Window.orderBy(col("n_orders").desc, col("o_custkey"))).cast("long"))
+          count(lit(1)).as("n_orders")))
+      val ranked = Ranks.globalRowNumber(
+        Ranks.globalRowNumber(agg, "r_spend",
+          Seq(col("spend_c").desc, col("o_custkey")), -col("spend_c")),
+        "r_freq", Seq(col("n_orders").desc, col("o_custkey")),
+        -col("n_orders"))
       ranked.select(col("o_custkey"), col("r_spend"), col("r_freq"),
         floor((lit(1.0) / (lit(60) + col("r_spend"))
           + lit(1.0) / (lit(60) + col("r_freq"))) * 1000000000.0)
@@ -908,17 +911,21 @@ object Exp2Queries {
         |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
         |  2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
         |FROM agg""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranks
       val src = Tables.orders(s, dir)
         .where(col("o_orderstatus").isin("O", "F"))
         .select(floor(col("o_totalprice")).cast("long").as("v"),
           when(col("o_orderstatus") === "O", 1L).otherwise(0L).as("g1"))
       val vals = src.groupBy("v")
         .agg(count(lit(1)).as("c"), sum(col("g1")).as("c1"))
-      val ranked = vals.withColumn("ar2",
-        lit(2) * (sum(col("c")).over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("c") + 1) + col("c") - 1)
+      // Running rank-sum over the distinct-value grid WITHOUT a global
+      // window (Ranks.prefixSums: range buckets + lower-bucket totals
+      // broadcast) — the grid is value-domain-sized, unbounded if the
+      // domain is continuous at scale.
+      val ranked = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+          Seq((col("c"), "__cum")))
+        .withColumn("ar2",
+          lit(2) * (col("__cum") - col("c") + 1) + col("c") - 1)
       val agg = ranked.agg(
         sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
         sum(col("c1") * col("ar2")).as("r1_x2"))
@@ -1492,17 +1499,20 @@ object Exp2Queries {
         |  SELECT *, row_number() OVER (ORDER BY imp_micro, bin) AS rk
         |  FROM scored) z
         |WHERE rk = 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Dedup, Ranks}
       val pts = Tables.customer(s, dir).select(
         floor(col("c_acctbal") / 500).cast("long").as("bin"),
         when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("y"))
-      val hist = pts.groupBy("bin")
-        .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
-      val w = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = hist.select(col("bin"),
-        coalesce(sum(col("nb")).over(w), lit(0L)).as("nl"),
-        coalesce(sum(col("pb")).over(w), lit(0L)).as("pl"))
+      val hist = Dedup.stage(pts.groupBy("bin")
+        .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb")))
+      // Strict-prefix counts = one shared inclusive Ranks.prefixSums
+      // pass minus the current row — no global window over the bin grid
+      // (bounded today, unbounded if the feature domain is continuous).
+      val cum = Ranks.prefixSums(hist, Seq(col("bin")), col("bin"),
+          Seq((col("nb"), "__cn"), (col("pb"), "__cp")))
+        .select(col("bin"),
+          (col("__cn") - col("nb")).as("nl"),
+          (col("__cp") - col("pb")).as("pl"))
       val tot = hist.agg(sum(col("nb")).as("n"), sum(col("pb")).as("pos"))
       val scored = cum.crossJoin(broadcast(tot)).select(
         col("bin"), col("nl"), (col("n") - col("nl")).as("nr"),
@@ -1514,10 +1524,10 @@ object Exp2Queries {
           / col("n") * 1000000.0).cast("long").as("imp_micro"),
         floor(lit(2.0) * col("pos") * (col("n") - col("pos"))
           / col("n") / col("n") * 1000000.0).cast("long").as("base_micro"))
-      scored
-        .withColumn("rk",
-          row_number().over(Window.orderBy(col("imp_micro"), col("bin"))))
-        .where(col("rk") === 1)
+      // Global argmin via sort+limit — plans as TakeOrderedAndProject
+      // (per-partition top-1, merged on the driver), not a
+      // single-partition window sort.
+      scored.orderBy(col("imp_micro"), col("bin")).limit(1)
         .select(col("bin").as("threshold_bin"),
           (col("bin") * 50000).as("threshold_c"),
           col("nl").as("n_left"), col("nr").as("n_right"),
@@ -1610,16 +1620,18 @@ object Exp2Queries {
         |  CAST(floor(CAST(r1_x2 - n1 * (n1 + 1) AS DOUBLE)
         |    / (2.0 * n1 * n2) * 1000000.0) AS BIGINT) AS auc_micro
         |FROM agg""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranks
       val src = Tables.customer(s, dir).select(
         floor(col("c_acctbal") * 100).cast("long").as("v"),
         when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g1"))
       val vals = src.groupBy("v")
         .agg(count(lit(1)).as("c"), sum(col("g1")).as("c1"))
-      val ranked = vals.withColumn("ar2",
-        lit(2) * (sum(col("c")).over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("c") + 1) + col("c") - 1)
+      // Rank-sum prefix via Ranks.prefixSums — no global window over
+      // the distinct-score grid (q153's scale rationale).
+      val ranked = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+          Seq((col("c"), "__cum")))
+        .withColumn("ar2",
+          lit(2) * (col("__cum") - col("c") + 1) + col("c") - 1)
       ranked.agg(
         sum(col("c1")).as("n1"), sum(col("c") - col("c1")).as("n2"),
         sum(col("c1") * col("ar2")).as("r1_x2"))
@@ -1661,17 +1673,18 @@ object Exp2Queries {
         |  CAST(floor(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
         |    / (CAST(n1 AS DOUBLE) * n2) * 1000000.0) AS BIGINT) AS ks_micro
         |FROM cum CROSS JOIN tot GROUP BY n1, n2""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Dedup, Ranks}
       val src = Tables.events(s, dir)
         .where(col("event_type").isin("view", "purchase"))
         .select(floor(col("value") * 100).cast("long").as("v"),
           when(col("event_type") === "view", 1L).otherwise(0L).as("g1"))
-      val vals = src.groupBy("v")
-        .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2"))
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = vals.select(col("v"),
-        sum(col("c1")).over(w).as("f1"), sum(col("c2")).over(w).as("f2"))
+      val vals = Dedup.stage(src.groupBy("v")
+        .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2")))
+      // Both CDFs ride ONE Ranks.prefixSums pass (shared bucketing +
+      // window) — no single-partition sort over the value grid.
+      val cum = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+          Seq((col("c1"), "f1"), (col("c2"), "f2")))
+        .select(col("v"), col("f1"), col("f2"))
       val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
       cum.crossJoin(broadcast(tot))
         .groupBy("n1", "n2")

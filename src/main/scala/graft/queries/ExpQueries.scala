@@ -307,20 +307,22 @@ object ExpQueries {
     // Dictionary encoding: replace high-cardinality string categories
     // with dense integer codes (sorted-distinct rank) — the columnar
     // compression / feature-id primitive. Spark builds each dictionary
-    // once (a window over the DISTINCT value set only — dimension-sized,
-    // never the fact table) and broadcast-joins the codes back; the
-    // oracle's dense_rank over the raw table is the semantic spec.
+    // once over the DISTINCT value set, ranked by the range-bucketed
+    // Ranks.globalRowNumber (string order proxied by the 6-byte
+    // stringPrefixKey), so even a web-scale vocabulary never funnels
+    // through one task's sort; codes broadcast-join back. The oracle's
+    // dense_rank over the raw table is the semantic spec.
     QuerySpec(
       "q119_dictionary_encode",
       """SELECT p_partkey,
         |  CAST(dense_rank() OVER (ORDER BY p_type) - 1 AS BIGINT) AS type_code,
         |  CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS brand_code
         |FROM part""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      import graft.operators.Ranks
       def dict(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
-        df.select(c).distinct()
-          .select(col(c),
-            (row_number().over(Window.orderBy(c)) - 1).cast("long").as(out))
+        Ranks.globalRowNumber(df.select(c).distinct(), "__code1",
+            Seq(col(c)), Ranks.stringPrefixKey(col(c)))
+          .select(col(c), (col("__code1") - 1).cast("long").as(out))
       val p = Tables.part(s, dir)
       p.join(broadcast(dict(p, "p_type", "type_code")), "p_type")
         .join(broadcast(dict(p, "p_brand", "brand_code")), "p_brand")

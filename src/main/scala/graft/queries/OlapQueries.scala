@@ -32,11 +32,13 @@ object OlapQueries {
       val p = Tables.part(s, dir)
         .select("p_partkey", "p_retailprice", "p_size")
       val ms = p.groupBy("p_retailprice").agg(max(col("p_size")).as("__ms"))
-      // Window over distinct prices only (dimension-sized — the fact
-      // table never funnels through one task).
-      val w = Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val front = ms.withColumn("__cum", max(col("__ms")).over(w))
+      // Strict-prefix max over the price dimension WITHOUT a global
+      // window (Ranks.strictPrefixMax: range buckets + boundary
+      // broadcast) — the price domain is bounded today, but a continuous
+      // value domain at scale would have made the single-partition sort
+      // the bottleneck.
+      val front = graft.operators.Ranks.strictPrefixMax(ms, "__cum",
+        Seq(col("p_retailprice")), col("p_retailprice"), col("__ms"))
       p.join(broadcast(front), "p_retailprice")
         .where(col("p_size") === col("__ms") &&
           (col("__cum").isNull || col("p_size") > col("__cum")))

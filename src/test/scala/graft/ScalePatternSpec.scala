@@ -232,4 +232,26 @@ class ScalePatternSpec extends SparkSpec {
       assert(planOf(a.join(b, "k")).contains("SortMergeJoin"))
     }
   }
+
+  test("de-globalized rank/prefix queries plan zero unpartitioned windows") {
+    // Every spec rebuilt on the Ranks range-bucket helpers must never
+    // regress to a `Window.orderBy` with no partition spec — the
+    // single-task global sort the helpers exist to avoid. Checked on
+    // the OPTIMIZED logical plan (collectWithSubqueries: the scalar
+    // boundary aggregates ride subqueries), so it needs no execution
+    // and is AQE-agnostic.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q102_skyline", "q119_dictionary_encode", "q150_rrf",
+        "q153_mann_whitney", "q156_quantile_normalization", "q158_rfm",
+        "q161_decision_stump", "q163_roc_auc", "q164_ks_test")) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val bad = df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name still plans ${bad.size} unpartitioned window(s)")
+      graft.operators.Dedup.releaseCaches()
+    }
+  }
 }
