@@ -819,4 +819,64 @@ object Dedup {
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), "\n").cast("binary")).as("fp"))
   }
+
+  /** Cross-document duplicated-SPAN detection — the scalable
+    * approximation of suffix-array exact-substring dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * every `k`-token window is hashed (md5 of the space-joined window —
+    * portable, so a SQL oracle replays it bit-for-bit), a window is
+    * duplicated iff its hash occurs in ≥ 2 DISTINCT documents, and per
+    * document the duplicated windows merge into MAXIMAL spans
+    * (gaps-and-islands over window start positions). Returns one row per
+    * document that contains at least one duplicated span:
+    * `(doc_id, n_spans, dup_tokens, n_tokens, dup_bp)`.
+    *
+    * Scale design: the tokenized frame is STAGED once (a persisted
+    * barrier — without it projection collapse re-inlines the tokenizer
+    * into every window slice, the measured >100× blowup class); the one
+    * corpus-wide shuffle is the window-hash groupBy and it carries only
+    * `(hash, doc_id, pos)` — text never leaves the map side; span
+    * merging runs under windows PARTITIONED by document, so no global
+    * sort exists anywhere in the plan. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = stage(docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val wins = stage(tok.where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => md5(array_join(slice(col("toks"), i, lit(k)), " ")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h")))
+    val dup = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .where(col("__nd") >= 2).select("h")
+    val d = wins.join(dup, "h").select("doc_id", "pos")
+    // Gaps-and-islands: a window starts a new span iff it begins past
+    // the running max end of its predecessors + 1 (adjacent windows are
+    // contiguous token runs, so they merge too).
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = d
+      .withColumn("__pe", max(col("pos") + (k - 1)).over(wPrev))
+      .withColumn("__b",
+        when(col("__pe").isNull || col("pos") > col("__pe") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__b")).over(wRun))
+      .groupBy("doc_id", "__isl")
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + (k - 1)).as("en"))
+    val n = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    sp.join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        floor(col("dup_tokens").cast("double") / col("n_tokens") * 10000
+          + 0.5).cast("long").as("dup_bp"))
+  }
 }

@@ -611,5 +611,50 @@ object CurationQueries {
       Dedup.containmentPairs(base.union(planted), "doc_id", "text",
         threshold = 0.9)
     },
+
+    // --- cross-document substring (duplicated-span) dedup ---------------
+    // The scalable stand-in for suffix-array exact-substring dedup (Lee
+    // et al. 2022): hash every 8-token window, keep hashes seen in >= 2
+    // distinct docs, merge each doc's duplicated windows into maximal
+    // spans. Portable md5 window hashes let DuckDB replay the whole
+    // pipeline — windows, dup set, island merge — bit-for-bit. The one
+    // corpus shuffle is the window-hash groupBy carrying (hash, id, pos);
+    // span merging is per-doc-partitioned windows, never global.
+    QuerySpec(
+      "tx32_substring_dedup",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |wl AS (
+         |  SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+         |    list_transform(range(1, len(toks) - 8 + 2),
+         |      i -> struct_pack(pos := i,
+         |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))
+         |    ELSE [] END AS wins
+         |  FROM t),
+         |w AS (SELECT doc_id, u.pos AS pos, u.h AS h
+         |      FROM (SELECT doc_id, unnest(wins) AS u FROM wl)),
+         |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN coalesce(pos > max(pos + 7) OVER (PARTITION BY doc_id
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+         |      TRUE) THEN 1 ELSE 0 END AS b
+         |  FROM d),
+         |g AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM brk),
+         |sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 7 AS en
+         |  FROM g GROUP BY 1, 2),
+         |n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
+         |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(floor(CAST(sum(en - st + 1) AS DOUBLE) / n_tokens * 10000 + 0.5)
+         |    AS BIGINT) AS dup_bp
+         |FROM sp JOIN n ON sp.doc_id = n.doc_id
+         |GROUP BY sp.doc_id, n_tokens""".stripMargin) { (s, dir) =>
+      Dedup.substringDedup(
+        Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text")),
+        "doc_id", "text", k = 8)
+    },
   )
 }
