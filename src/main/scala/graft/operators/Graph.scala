@@ -40,7 +40,7 @@ object Graph {
   def nodeIds(ids: DataFrame, idCol: String): DataFrame =
     Dedup.stage(
       Ranks.globalRowNumber(ids.select(col(idCol)).distinct(), "r",
-          Seq(col(idCol)), col(idCol))
+          Seq(col(idCol)))
         .select((col("r") - 1).as("r")))
 
   /** `iterations` rounds of damped PageRank over directed `edges`

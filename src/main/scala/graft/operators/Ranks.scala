@@ -8,92 +8,92 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(...)` plan (`WindowExec: No Partition Defined` — the
   * whole input funnelling through one task's sort).
   *
-  * Shape: bucket rows by deterministic range boundaries of the leading
-  * sort key (one `percentile_approx` aggregate, broadcast back), rank
-  * WITHIN each bucket with a partitioned window, then shift each bucket
-  * by the total count of all lower buckets (a bucket-count table of at
-  * most `buckets` rows, combined with a triangular broadcast self-join —
-  * no driver collect, no global window anywhere). Every task stays
-  * bounded by its range slice at any scale; bucket count follows
-  * `spark.sql.shuffle.partitions`, so a 1000-executor cluster gets a
-  * proportionally finer range split for free.
+  * Shape: range-partition rows on the FULL sort order
+  * (`repartitionByRange` — Spark's sampled RangePartitioner, the same
+  * machinery a distributed ORDER BY uses, so partitions hold disjoint
+  * ordered slices), tag each row with its slice id
+  * (`spark_partition_id()`), rank/accumulate WITHIN each slice with a
+  * partitioned window, then shift each slice by the aggregate of all
+  * lower slices (a per-slice table of at most `buckets` rows combined
+  * with a triangular broadcast self-join — no driver collect, no global
+  * window anywhere). Every task stays bounded by its range slice at any
+  * scale; slice count follows `spark.sql.shuffle.partitions`, so a
+  * 1000-executor cluster gets a proportionally finer split for free.
   *
-  * Correctness does not depend on the boundaries being balanced, only on
-  * bucket id being a deterministic, monotone (in the leading sort key)
-  * function of the row — `percentile_approx` boundaries are a
-  * deterministic aggregate of the (staged) input, and ties share a
-  * bucket. The full `sort` order must be total (callers pass a unique
-  * tie-break key), which every global-rank semantics needs anyway.
+  * Correctness does not depend on the sampled boundaries being balanced,
+  * only on the slice id being non-decreasing along `sort` — which range
+  * partitioning guarantees by construction, for ANY sort expression
+  * (descending heads, strings, structs) with no numeric range-key proxy
+  * needed. The partitioned frame is STAGED (persisted): every helper
+  * reads it twice (per-slice aggregate + final output), and the persist
+  * also pins one boundary sample so all consumers see one partitioning.
+  * The full `sort` order must be total (callers pass a unique tie-break
+  * key), which every global-rank semantics needs anyway.
   */
 object Ranks {
 
-  /** Append the exact 1-based global `row_number()` by `sort` as column
-    * `out` (LongType), without a single-partition sort.
-    *
-    * @param sort     total order (include a unique tie-break key)
-    * @param rangeKey numeric expression aligned with the LEADING sort
-    *                 direction (negate it for a descending head) — used
-    *                 only to derive range buckets, never in the output
-    * @param buckets  range-bucket count; defaults to
-    *                 `spark.sql.shuffle.partitions`
-    */
-  /** Shared bucketing pass: stage `df` (it feeds the boundary
-    * aggregate, the per-bucket aggregate, and the final output) and
-    * append a deterministic, leading-key-monotone `__pid` range-bucket
-    * id derived from `percentile_approx` boundaries of `rangeKey`. */
-  private def rangeBucket(df: DataFrame, rangeKey: Column,
+  /** Shared pass: stage `df` range-partitioned on `sort` with its slice
+    * id appended as `__pid` (non-decreasing along `sort`). */
+  private def rangeBucket(df: DataFrame, sort: Seq[Column],
       buckets: Int): DataFrame = {
     val spark = df.sparkSession
     val nb = math.max(1,
       if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-    val in = Dedup.stage(df)
-    val k = rangeKey.cast("double")
-    if (nb == 1) in.withColumn("__pid", lit(0))
-    else {
-      val ps = (1 until nb).map(i => i.toDouble / nb)
-      val bnd = in.agg(
-        percentile_approx(k, typedLit(ps), lit(10000)).as("__bnds"))
-      in.crossJoin(broadcast(bnd))
-        .withColumn("__pid", size(filter(col("__bnds"), b => b < k)))
-        .drop("__bnds")
-    }
+    Dedup.stage(df.repartitionByRange(nb, sort: _*)
+      .withColumn("__pid", spark_partition_id()))
   }
 
+  /** Append the exact 1-based global `row_number()` by `sort` as column
+    * `out` (LongType), without a single-partition sort: range-partition
+    * on `sort` (ordered disjoint slices), sort within each slice, then
+    * `zipWithIndex` — the minimal distributed global rank (ONE shuffle
+    * plus one lightweight count job for the per-partition offsets; no
+    * window, no persist, no broadcast). The RDD hop is deliberate:
+    * zipWithIndex's offset pass is exactly the per-slice count +
+    * prefix-shift the declarative formulation needs a second shuffle, a
+    * cache, and a partitioned window to express, and the rank column is
+    * a pure bijection of row order — nothing for Catalyst to optimize
+    * through. Output ranks are exact for ANY total `sort` regardless of
+    * how the sampled range boundaries balance.
+    *
+    * The result is a fresh `LogicalRDD` root: each consumer re-runs the
+    * rank pipeline, so callers that fan out (e.g. [[Graph.nodeIds]])
+    * should stage the result.
+    *
+    * @param sort    total order (include a unique tie-break key)
+    * @param buckets range-slice count; defaults to
+    *                `spark.sql.shuffle.partitions`
+    */
   def globalRowNumber(df: DataFrame, out: String, sort: Seq[Column],
-      rangeKey: Column, buckets: Int = 0): DataFrame = {
-    val bucketed = rangeBucket(df, rangeKey, buckets)
-    // Staged: counts feeds both sides of the offset self-join below, and
-    // each un-cached consumer would re-run the whole bucketing pass.
-    val counts = Dedup.stage(
-      bucketed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt")))
-    val offs = counts.as("a")
-      .join(broadcast(counts.as("b")), col("b.__pid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(sort: _*)
-    bucketed.withColumn("__rn", row_number().over(w))
-      .join(broadcast(offs), "__pid")
-      .withColumn(out, (col("__rn") + col("__off")).cast("long"))
-      .drop("__pid", "__rn", "__off")
+      buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val nb = math.max(1,
+      if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val parted = df.repartitionByRange(nb, sort: _*)
+      .sortWithinPartitions(sort: _*)
+    val schema = StructType(
+      parted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val rows = parted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Append the strict-prefix running MAX of `value` under the total
     * order `sort` as column `out` (NULL for the global first row — the
     * `max(...) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
     * 1 PRECEDING)` contract), without a single-partition sort: running
-    * max within each range bucket via a partitioned window, plus the max
-    * over all LOWER buckets via the same triangular broadcast join
-    * [[globalRowNumber]] uses for offsets. Same requirements: `sort`
-    * total, `rangeKey` numeric and aligned with the leading direction.
-    *
-    * NOTE on ties in `rangeKey`: rows tying on the leading key share a
-    * bucket (bucket id is monotone in the leading key), so the
-    * within-bucket window sees every tied predecessor — prefix semantics
-    * hold for any total `sort`. */
+    * max within each range slice via a partitioned window, plus the max
+    * over all LOWER slices via the same triangular broadcast join
+    * [[globalRowNumber]] uses for offsets. Requires `sort` total; range
+    * partitioning keeps every predecessor of a row in its own or a lower
+    * slice, so prefix semantics hold for any total `sort`. */
   def strictPrefixMax(df: DataFrame, out: String, sort: Seq[Column],
-      rangeKey: Column, value: Column, buckets: Int = 0): DataFrame = {
-    val bucketed = rangeBucket(df, rangeKey, buckets)
+      value: Column, buckets: Int = 0): DataFrame = {
+    val bucketed = rangeBucket(df, sort, buckets)
     val bmax = Dedup.stage(
       bucketed.groupBy(col("__pid")).agg(max(value).as("__bm")))
     val lower = bmax.as("a")
@@ -115,18 +115,16 @@ object Ranks {
     * the total order `sort` — the
     * `sum(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
     * CURRENT ROW)` contract — without a single-partition sort: running
-    * sums within each range bucket via a partitioned window, plus the
-    * totals of all LOWER buckets via the triangular broadcast join
+    * sums within each range slice via a partitioned window, plus the
+    * totals of all LOWER slices via the triangular broadcast join
     * [[globalRowNumber]] uses for offsets. All requested sums share one
-    * bucketing pass and one window, so a CDF pair (the KS / AUC /
+    * partitioning pass and one window, so a CDF pair (the KS / AUC /
     * Mann–Whitney shape) costs the same as a single sum. Values must be
-    * integral (per-bucket totals coalesce with `0L`); same contract as
-    * the siblings: `sort` total, `rangeKey` aligned with the leading
-    * direction, ties in the leading key share a bucket so prefix
-    * semantics hold. */
-  def prefixSums(df: DataFrame, sort: Seq[Column], rangeKey: Column,
+    * integral (per-slice totals coalesce with `0L`); `sort` must be
+    * total, as for the siblings. */
+  def prefixSums(df: DataFrame, sort: Seq[Column],
       values: Seq[(Column, String)], buckets: Int = 0): DataFrame = {
-    val bucketed = rangeBucket(df, rangeKey, buckets)
+    val bucketed = rangeBucket(df, sort, buckets)
     val btotAggs = values.zipWithIndex.map { case ((v, _), i) =>
       sum(v).as(s"__bt$i") }
     val btot = Dedup.stage(
@@ -150,17 +148,6 @@ object Ranks {
     summed.drop("__pid" +: values.indices.flatMap(i =>
       Seq(s"__w$i", s"__low$i")): _*)
   }
-
-  /** Numeric range key for a STRING sort column: the first 6 UTF-8
-    * bytes as a right-zero-padded big-endian integer. Monotone
-    * (non-strict) in the lexicographic byte order — strings sharing a
-    * 6-byte prefix collapse to one key, which only merges buckets,
-    * never reorders them, so it satisfies the [[globalRowNumber]]
-    * range-key contract for any binary/ASCII collation. 6 bytes keeps
-    * the value < 2^48, exact through the double cast the bucketing
-    * applies. */
-  def stringPrefixKey(c: Column): Column =
-    conv(rpad(hex(c.cast("binary")), 12, "0"), 16, 10).cast("long")
 
   /** `ntile(k)` reconstructed from an exact 1-based global rank `rn` and
     * the total row count `n` — SQL-standard bucket sizing (the first

@@ -608,9 +608,8 @@ object Exp2Queries {
           count(lit(1)).as("n_orders")))
       val ranked = Ranks.globalRowNumber(
         Ranks.globalRowNumber(agg, "r_spend",
-          Seq(col("spend_c").desc, col("o_custkey")), -col("spend_c")),
-        "r_freq", Seq(col("n_orders").desc, col("o_custkey")),
-        -col("n_orders"))
+          Seq(col("spend_c").desc, col("o_custkey"))),
+        "r_freq", Seq(col("n_orders").desc, col("o_custkey")))
       ranked.select(col("o_custkey"), col("r_spend"), col("r_freq"),
         floor((lit(1.0) / (lit(60) + col("r_spend"))
           + lit(1.0) / (lit(60) + col("r_freq"))) * 1000000000.0)
@@ -922,7 +921,7 @@ object Exp2Queries {
       // window (Ranks.prefixSums: range buckets + lower-bucket totals
       // broadcast) — the grid is value-domain-sized, unbounded if the
       // domain is continuous at scale.
-      val ranked = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+      val ranked = Ranks.prefixSums(vals, Seq(col("v")),
           Seq((col("c"), "__cum")))
         .withColumn("ar2",
           lit(2) * (col("__cum") - col("c") + 1) + col("c") - 1)
@@ -1054,7 +1053,7 @@ object Exp2Queries {
           count(lit(1)).over(Window.partitionBy("seg")).cast("long"))
       val tot = v.agg(count(lit(1)).as("n"))
       val gidx = Ranks.globalRowNumber(v, "pos",
-          Seq(col("bal_c"), col("c_custkey")), col("bal_c"))
+          Seq(col("bal_c"), col("c_custkey")))
         .select(col("pos"), col("bal_c").as("qnorm_c"))
       ranked.crossJoin(broadcast(tot))
         .withColumn("__idx",
@@ -1233,16 +1232,16 @@ object Exp2Queries {
           count(lit(1)).as("frequency"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
       // Each ntile(5) = closed-form bucket from an EXACT global rank;
-      // ranks come from the range-bucketed Ranks helper, so no dimension
-      // ever funnels through a single-task sort (the oracle's three
-      // global ntile windows are the semantic spec only).
+      // ranks come from the range-partitioned Ranks helper, so no
+      // dimension ever funnels through a single-task sort (the oracle's
+      // three global ntile windows are the semantic spec only).
       val tot = cust.agg(count(lit(1)).as("__n"))
       val r1 = Ranks.globalRowNumber(cust, "__rr",
-        Seq(col("recency_days").desc, col("o_custkey")), -col("recency_days"))
+        Seq(col("recency_days").desc, col("o_custkey")))
       val r2 = Ranks.globalRowNumber(r1, "__rf",
-        Seq(col("frequency"), col("o_custkey")), col("frequency"))
+        Seq(col("frequency"), col("o_custkey")))
       val r3 = Ranks.globalRowNumber(r2, "__rm",
-        Seq(col("monetary_c"), col("o_custkey")), col("monetary_c"))
+        Seq(col("monetary_c"), col("o_custkey")))
       r3.crossJoin(broadcast(tot)).select(col("o_custkey"),
         col("recency_days"), col("frequency"), col("monetary_c"),
         Ranks.ntileFromRank(col("__rr"), col("__n"), 5).as("r_score"),
@@ -1508,7 +1507,7 @@ object Exp2Queries {
       // Strict-prefix counts = one shared inclusive Ranks.prefixSums
       // pass minus the current row — no global window over the bin grid
       // (bounded today, unbounded if the feature domain is continuous).
-      val cum = Ranks.prefixSums(hist, Seq(col("bin")), col("bin"),
+      val cum = Ranks.prefixSums(hist, Seq(col("bin")),
           Seq((col("nb"), "__cn"), (col("pb"), "__cp")))
         .select(col("bin"),
           (col("__cn") - col("nb")).as("nl"),
@@ -1628,7 +1627,7 @@ object Exp2Queries {
         .agg(count(lit(1)).as("c"), sum(col("g1")).as("c1"))
       // Rank-sum prefix via Ranks.prefixSums — no global window over
       // the distinct-score grid (q153's scale rationale).
-      val ranked = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+      val ranked = Ranks.prefixSums(vals, Seq(col("v")),
           Seq((col("c"), "__cum")))
         .withColumn("ar2",
           lit(2) * (col("__cum") - col("c") + 1) + col("c") - 1)
@@ -1682,7 +1681,7 @@ object Exp2Queries {
         .agg(sum(col("g1")).as("c1"), sum(lit(1L) - col("g1")).as("c2")))
       // Both CDFs ride ONE Ranks.prefixSums pass (shared bucketing +
       // window) — no single-partition sort over the value grid.
-      val cum = Ranks.prefixSums(vals, Seq(col("v")), col("v"),
+      val cum = Ranks.prefixSums(vals, Seq(col("v")),
           Seq((col("c1"), "f1"), (col("c2"), "f2")))
         .select(col("v"), col("f1"), col("f2"))
       val tot = vals.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))

@@ -307,11 +307,11 @@ object ExpQueries {
     // Dictionary encoding: replace high-cardinality string categories
     // with dense integer codes (sorted-distinct rank) — the columnar
     // compression / feature-id primitive. Spark builds each dictionary
-    // once over the DISTINCT value set, ranked by the range-bucketed
-    // Ranks.globalRowNumber (string order proxied by the 6-byte
-    // stringPrefixKey), so even a web-scale vocabulary never funnels
-    // through one task's sort; codes broadcast-join back. The oracle's
-    // dense_rank over the raw table is the semantic spec.
+    // once over the DISTINCT value set, ranked by the range-partitioned
+    // Ranks.globalRowNumber (range partitioning orders strings natively),
+    // so even a web-scale vocabulary never funnels through one task's
+    // sort; codes broadcast-join back. The oracle's dense_rank over the
+    // raw table is the semantic spec.
     QuerySpec(
       "q119_dictionary_encode",
       """SELECT p_partkey,
@@ -321,7 +321,7 @@ object ExpQueries {
       import graft.operators.Ranks
       def dict(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
         Ranks.globalRowNumber(df.select(c).distinct(), "__code1",
-            Seq(col(c)), Ranks.stringPrefixKey(col(c)))
+            Seq(col(c)))
           .select(col(c), (col("__code1") - 1).cast("long").as(out))
       val p = Tables.part(s, dir)
       p.join(broadcast(dict(p, "p_type", "type_code")), "p_type")
@@ -991,7 +991,7 @@ object ExpQueries {
       val counts = Tables.orders(s, dir)
         .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
       val ranked = graft.operators.Ranks.globalRowNumber(counts, "i",
-        Seq(col("c"), col("k")), col("c"))
+        Seq(col("c"), col("k")))
       val tot = counts.agg(count(lit(1)).as("n"), sum(col("c")).as("t"))
       ranked.crossJoin(broadcast(tot))
         .groupBy(col("n"), col("t"))

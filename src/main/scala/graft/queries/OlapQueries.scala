@@ -33,12 +33,12 @@ object OlapQueries {
         .select("p_partkey", "p_retailprice", "p_size")
       val ms = p.groupBy("p_retailprice").agg(max(col("p_size")).as("__ms"))
       // Strict-prefix max over the price dimension WITHOUT a global
-      // window (Ranks.strictPrefixMax: range buckets + boundary
+      // window (Ranks.strictPrefixMax: range partitioning + lower-slice
       // broadcast) — the price domain is bounded today, but a continuous
       // value domain at scale would have made the single-partition sort
       // the bottleneck.
       val front = graft.operators.Ranks.strictPrefixMax(ms, "__cum",
-        Seq(col("p_retailprice")), col("p_retailprice"), col("__ms"))
+        Seq(col("p_retailprice")), col("__ms"))
       p.join(broadcast(front), "p_retailprice")
         .where(col("p_size") === col("__ms") &&
           (col("__cum").isNull || col("p_size") > col("__cum")))

@@ -146,4 +146,27 @@ class DedupSpec extends SparkSpec {
     assert(all((1L, 2L)) == 5000L)
     assert(all((3L, 1L)) == 0L)
   }
+
+  test("substringDedup merges duplicated windows into maximal spans") {
+    // Doc 1 shares "a b c d e" with doc 2 (3-windows at pos 1..3 → span
+    // [1,5]) and "h i j" with doc 3 (pos 8 → span [8,10]); the two spans
+    // stay separate (gap at 6-7). Doc 5 repeats "m n o" only WITHIN
+    // itself — intra-doc repeats need >= 2 distinct docs, so it is
+    // absent, as is the no-overlap doc 4.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e y y z"),
+      (3L, "p q r h i j"),
+      (4L, "totally unrelated words only here"),
+      (5L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Dedup.releaseCaches()
+    assert(out == Map(
+      1L -> ((2L, 8L, 10L, 8000L)),
+      2L -> ((1L, 5L, 10L, 5000L)),
+      3L -> ((1L, 3L, 6L, 5000L))))
+  }
 }
