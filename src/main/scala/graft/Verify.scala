@@ -56,16 +56,16 @@ object Verify {
           catch { case e: Throwable =>
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+          // Cache registrations are session-scoped, so each worker can
+          // release after every query without touching the staged plans
+          // of another worker's in-flight query.
+          finally graft.operators.Dedup.releaseCaches(sess)
           item = work.poll()
         }
       }
     }
     pool.shutdown()
     pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
-    // Cache release deferred to the end: the pending-cache queue is
-    // process-global, and releasing it per-query could unpersist a frame
-    // another worker's in-flight query still references (correct either
-    // way — persist is an optimization — but it would force recomputes).
     graft.operators.Dedup.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -28,14 +28,36 @@ object Dedup {
 
   // Signature DataFrames persisted by minhashNearDups, pending release.
   // The result is lazy, so the operator cannot unpersist before the
-  // caller consumes it; instead every persist is registered here and
-  // freed by releaseCaches() — called by Verify/Bench/ScaleCheck after
-  // each query's action completes (and safe to call any time: an
-  // unpersisted plan stays valid, it just recomputes).
-  // Package-private so sibling iterative operators ([[Graph.pageRank]])
-  // share the same release discipline.
-  private[operators] val pendingCaches =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  // caller consumes it; instead every persist is registered and freed
+  // by releaseCaches() — called by Verify/Bench/ScaleCheck after each
+  // query's action completes (and safe to call any time: an unpersisted
+  // plan stays valid, it just recomputes).
+  //
+  // Registrations are scoped PER SESSION (weakly keyed, so short-lived
+  // test sessions stay collectible): Verify's concurrent workers each
+  // run on their own `spark.newSession()` clone, and per-session queues
+  // let one worker release after every query without unpersisting
+  // another worker's in-flight staged plans.
+  private val perSession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]())
+
+  private def queueFor(s: org.apache.spark.sql.SparkSession) =
+    perSession.synchronized {
+      var q = perSession.get(s)
+      if (q == null) {
+        q = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+        perSession.put(s, q)
+      }
+      q
+    }
+
+  // Adapter keeping the historical `pendingCaches.add(df)` registration
+  // shape at the ~30 operator sites ([[Graph.pageRank]] and friends
+  // share the same release discipline).
+  private[operators] object pendingCaches {
+    def add(df: DataFrame): Unit = queueFor(df.sparkSession).add(df)
+  }
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for
     * [[releaseCaches]] — the staging entry point for query code whose
@@ -47,20 +69,26 @@ object Dedup {
     p
   }
 
-  /** Unpersist every cache registered by prior near-dup invocations.
-    * Call after the consuming action; idempotent.
-    *
-    * PROCESS-GLOBAL, deliberately: the queue spans every SparkSession in
-    * the JVM, so this must only run at points where no query is in
-    * flight in ANY session — which both harness callers honor (Bench
-    * releases between strictly sequential queries; Verify defers one
-    * release to after its worker pool drains). Releasing mid-flight is
+  private def drain(
+      q: java.util.concurrent.ConcurrentLinkedQueue[DataFrame]): Unit = {
+    var d = q.poll()
+    while (d != null) { d.unpersist(blocking = false); d = q.poll() }
+  }
+
+  /** Unpersist caches registered by `spark` (this session ONLY) — safe
+    * while other sessions' queries are in flight. Idempotent. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    drain(queueFor(spark))
+
+  /** Unpersist every session's registered caches. Call only where no
+    * query is in flight in ANY session (Bench between its strictly
+    * sequential queries; tests between cases). Releasing mid-flight is
     * still CORRECT (persist is an optimization; an unpersisted plan
-    * recomputes), it just forces recompute churn on whatever another
-    * worker had staged — don't call it from operator code. */
-  def releaseCaches(): Unit = {
-    var d = pendingCaches.poll()
-    while (d != null) { d.unpersist(blocking = false); d = pendingCaches.poll() }
+    * recomputes), it just forces recompute churn — concurrent callers
+    * should use the per-session overload instead. */
+  def releaseCaches(): Unit = perSession.synchronized {
+    val it = perSession.values().iterator()
+    while (it.hasNext) drain(it.next())
   }
 
   /** Exact duplicate groups by full equality of `cols`: one row per
