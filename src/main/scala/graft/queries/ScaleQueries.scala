@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Relational, TextAnalysis}
+import graft.operators.{Ranks, Relational, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -408,6 +408,72 @@ object ScaleQueries {
       ranked.where(col("rn") === 1)
         .select(col("fp"), col("n_docs"), col("doc_id").as("keep_id"),
           col("n_len").as("keep_len"))
+    },
+
+    // --- Z-order data layout ---------------------------------------------
+    // The clustering op behind OPTIMIZE ZORDER (Delta/Iceberg/Hudi):
+    // interleave the bits of two filter dimensions into a Morton code,
+    // lay rows out in z-code order, and multi-dimensional min/max file
+    // skipping falls out of per-file stats. The spec writes BOTH layouts
+    // (z-order vs. the naive insertion order) to 1000-row "files" and
+    // reports each file's (x, y) bounding box plus whether a fixed box
+    // predicate (x∈[64,79], y∈[32,47]) must scan it — the z-order rows
+    // show the pruning win as data, and the whole thing is exact integer
+    // math both engines replay bit-for-bit. Layout ranks are minted by
+    // the range-partitioned Ranks helper; the oracle's global windows
+    // are the semantic spec only. At 100 TB this IS how the table gets
+    // written: range-partition by z-code, one file per task slice.
+    {
+      val zTerms = (0 until 8).map(i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((y >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      QuerySpec(
+        "q182_zorder_layout",
+        s"""WITH pts AS (
+           |  SELECT o_orderkey, o_custkey % 256 AS x,
+           |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS y
+           |  FROM orders),
+           |z AS (SELECT o_orderkey, x, y, $zTerms AS zcode FROM pts),
+           |r AS (
+           |  SELECT 'zorder' AS layout, x, y,
+           |    row_number() OVER (ORDER BY zcode, o_orderkey) AS rn FROM z
+           |  UNION ALL
+           |  SELECT 'linear', x, y,
+           |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM z),
+           |f AS (SELECT layout,
+           |  CAST((rn - 1) // 1000 AS BIGINT) AS file_id, x, y FROM r)
+           |SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+           |  CAST(CASE WHEN min(x) <= 79 AND max(x) >= 64
+           |    AND min(y) <= 47 AND max(y) >= 32
+           |    THEN 1 ELSE 0 END AS BIGINT) AS scan_needed
+           |FROM f GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+        val pts = Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("x"),
+          (floor(col("o_totalprice")).cast("long") % 256).as("y"))
+        val zc = (0 until 8).map(i =>
+          shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+            shiftright(col("y"), i).bitwiseAND(lit(1L)) *
+              lit(1L << (2 * i + 1))).reduce(_ + _)
+        val z = pts.withColumn("zcode", zc)
+        val both = Ranks.globalRowNumber(z, "rn",
+            Seq(col("zcode"), col("o_orderkey")))
+          .withColumn("layout", lit("zorder"))
+          .unionByName(Ranks.globalRowNumber(z, "rn", Seq(col("o_orderkey")))
+            .withColumn("layout", lit("linear")))
+        both
+          .withColumn("file_id", floor((col("rn") - 1) / 1000).cast("long"))
+          .groupBy("layout", "file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .select(col("layout"), col("file_id"), col("n_rows"),
+            col("min_x"), col("max_x"), col("min_y"), col("max_y"),
+            when(col("min_x") <= 79 && col("max_x") >= 64 &&
+              col("min_y") <= 47 && col("max_y") >= 32, 1L)
+              .otherwise(0L).as("scan_needed"))
+      }
     }
   )
 }
