@@ -233,25 +233,22 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
-  test("de-globalized rank/prefix queries plan zero unpartitioned windows") {
-    // Every spec rebuilt on the Ranks range-bucket helpers must never
-    // regress to a `Window.orderBy` with no partition spec — the
-    // single-task global sort the helpers exist to avoid. Checked on
-    // the OPTIMIZED logical plan (collectWithSubqueries: the scalar
-    // boundary aggregates ride subqueries), so it needs no execution
-    // and is AQE-agnostic.
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
-    val dir = "/root/testdata/sf0.001"
-    for (name <- Seq("q102_skyline", "q119_dictionary_encode", "q150_rrf",
-        "q153_mann_whitney", "q156_quantile_normalization", "q158_rfm",
-        "q161_decision_stump", "q163_roc_auc", "q164_ks_test")) {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
-      val bad = df.queryExecution.optimizedPlan.collectWithSubqueries {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
-      assert(bad.isEmpty,
-        s"$name still plans ${bad.size} unpartitioned window(s)")
-      graft.operators.Dedup.releaseCaches()
-    }
+  test("registry-wide plan lint: bounded-grid allowlist only, no cartesians") {
+    // PlanLint sweeps EVERY batch query's optimized + physical plan —
+    // any new unpartitioned global window (the single-task sort the
+    // Ranks helpers exist to avoid) or cartesian product anywhere in
+    // the registry fails here unless its input is provably bounded and
+    // recorded below with its bound.
+    val allowed = Map(
+      "q107_period_over_period" -> "month-grain series (calendar-bounded)",
+      "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
+      "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
+      "q89_share_of_total" -> "group-dimension aggregate (25 rows)",
+      "tx16_topk_other" -> "source-dimension counts (bounded)")
+    val findings = graft.tools.PlanLint.lint(spark, "/root/testdata/sf0.001")
+    val bad = findings.filter(f =>
+      f.kind != "global-window" || !allowed.contains(f.query))
+    assert(bad.isEmpty,
+      s"plan-lint findings outside the allowlist:\n${bad.mkString("\n")}")
   }
 }
