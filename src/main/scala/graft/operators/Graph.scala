@@ -27,16 +27,16 @@ object Graph {
     * the shared mint behind every synthetic-graph spec (`r` =
     * `row_number() OVER (ORDER BY id) - 1`). Built on
     * [[Ranks.globalRowNumber]], so the whole node dimension never
-    * funnels through one task's sort: range-bucketed rank + broadcast
-    * offsets, scale-safe at any node count. Returns a single LongType
-    * column `r`.
+    * funnels through one task's sort: range-partitioned sort +
+    * zipWithIndex offsets, scale-safe at any node count. Returns a
+    * single LongType column `r`.
     *
     * The result is STAGED (persisted via [[Dedup.stage]]): every caller
     * consumes it several times (a count for `n`, the edge mint's src and
-    * dst sides, often a final label join), and the range-bucketed rank
-    * is a multi-job plan — recomputing it per consumer measurably
-    * doubled the graph-family bench times when this helper replaced the
-    * naive global window. */
+    * dst sides, often a final label join), and the rank pipeline is a
+    * multi-job plan — recomputing it per consumer measurably doubled
+    * the graph-family bench times when this helper replaced the naive
+    * global window. */
   def nodeIds(ids: DataFrame, idCol: String): DataFrame =
     Dedup.stage(
       Ranks.globalRowNumber(ids.select(col(idCol)).distinct(), "r",

@@ -8,27 +8,28 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(...)` plan (`WindowExec: No Partition Defined` — the
   * whole input funnelling through one task's sort).
   *
-  * Shape: range-partition rows on the FULL sort order
-  * (`repartitionByRange` — Spark's sampled RangePartitioner, the same
-  * machinery a distributed ORDER BY uses, so partitions hold disjoint
-  * ordered slices), tag each row with its slice id
-  * (`spark_partition_id()`), rank/accumulate WITHIN each slice with a
-  * partitioned window, then shift each slice by the aggregate of all
-  * lower slices (a per-slice table of at most `buckets` rows combined
-  * with a triangular broadcast self-join — no driver collect, no global
-  * window anywhere). Every task stays bounded by its range slice at any
-  * scale; slice count follows `spark.sql.shuffle.partitions`, so a
-  * 1000-executor cluster gets a proportionally finer split for free.
+  * Shape, shared by all helpers: range-partition rows on the FULL sort
+  * order (`repartitionByRange` — Spark's sampled RangePartitioner, the
+  * same machinery a distributed ORDER BY uses, so partitions hold
+  * disjoint ordered slices), then combine a per-slice pass with the
+  * aggregate of all LOWER slices. [[globalRowNumber]] does this in its
+  * cheapest form — sort within slices + `zipWithIndex` offsets — while
+  * the prefix helpers tag slices with `spark_partition_id()`, window
+  * WITHIN each slice, and broadcast the lower-slice aggregates via a
+  * triangular self-join (no driver collect, no global window anywhere).
+  * Every task stays bounded by its range slice at any scale; slice
+  * count follows `spark.sql.shuffle.partitions`, so a 1000-executor
+  * cluster gets a proportionally finer split for free.
   *
   * Correctness does not depend on the sampled boundaries being balanced,
   * only on the slice id being non-decreasing along `sort` — which range
   * partitioning guarantees by construction, for ANY sort expression
   * (descending heads, strings, structs) with no numeric range-key proxy
-  * needed. The partitioned frame is STAGED (persisted): every helper
-  * reads it twice (per-slice aggregate + final output), and the persist
-  * also pins one boundary sample so all consumers see one partitioning.
-  * The full `sort` order must be total (callers pass a unique tie-break
-  * key), which every global-rank semantics needs anyway.
+  * needed. The prefix helpers STAGE the partitioned frame (it feeds the
+  * per-slice aggregate and the final output, and the persist pins one
+  * boundary sample for both consumers). The full `sort` order must be
+  * total (callers pass a unique tie-break key), which every global-rank
+  * semantics needs anyway.
   */
 object Ranks {
 
