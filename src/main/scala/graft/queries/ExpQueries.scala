@@ -966,6 +966,94 @@ object ExpQueries {
         .select("record_id", "entity_id", "cluster_size")
     },
 
+    // Probabilistic record linkage (Fellegi–Sunter): per blocked pair a
+    // comparison vector — name edit distance ≤ 2, synthesized-zip
+    // equality (the corpus has no address column, so zip is minted
+    // deterministically from the ORIGINAL key, which planted copies
+    // share — the tx15 synthesis pattern), balance within 100.00 — and
+    // each field adds its trained log-likelihood weight: ln(m/u) on
+    // agreement, ln((1−m)/(1−u)) on disagreement, for (m,u) =
+    // name(.9,.1), zip(.95,.2), bal(.8,.05). Weights enter BOTH engines
+    // as the same integer micros, so the score is exact; thresholds
+    // classify link (all three agree) vs possible (any two). All 150
+    // planted dirty copies score 'link'. Blocking bounds the pair space
+    // exactly as er1/er2; the shuffle carries ids + three bits.
+    QuerySpec(
+      "er4_fellegi_sunter",
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    (c_custkey * 7919) % 100000 AS zip,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c,
+        |    c_nationkey, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x',
+        |    (c_custkey * 7919) % 100000,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) + 5000,
+        |    c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    CASE WHEN levenshtein(a.name, b.name) <= 2 THEN 1 ELSE 0 END AS g_name,
+        |    CASE WHEN a.zip = b.zip THEN 1 ELSE 0 END AS g_zip,
+        |    CASE WHEN abs(a.bal_c - b.bal_c) <= 10000 THEN 1 ELSE 0 END AS g_bal
+        |  FROM recs a JOIN recs b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.id < b.id),
+        |s AS (
+        |  SELECT id1, id2, g_name, g_zip, g_bal,
+        |    (CASE WHEN g_name = 1 THEN 2197225 ELSE -2197225 END
+        |     + CASE WHEN g_zip = 1 THEN 1558145 ELSE -2772589 END
+        |     + CASE WHEN g_bal = 1 THEN 2772589 ELSE -1558145 END)::BIGINT
+        |      AS score_micro
+        |  FROM p)
+        |SELECT id1, id2, CAST(g_name AS BIGINT) AS g_name,
+        |  CAST(g_zip AS BIGINT) AS g_zip, CAST(g_bal AS BIGINT) AS g_bal,
+        |  score_micro,
+        |  CASE WHEN score_micro >= 4000000 THEN 'link' ELSE 'possible' END
+        |    AS decision
+        |FROM s WHERE score_micro >= 0""".stripMargin) { (s, dir) =>
+      val base = Tables.customer(s, dir)
+      def recsOf(dirty: Boolean) = {
+        val src = if (dirty)
+          base.where(pmod(col("c_custkey"), lit(10)) === 0) else base
+        src.select(
+          (if (dirty) col("c_custkey") + 1000000L else col("c_custkey"))
+            .as("id"),
+          (if (dirty) concat(col("c_name"), lit("x")) else col("c_name"))
+            .as("name"),
+          (col("c_custkey") * 7919 % 100000).as("zip"),
+          (floor(col("c_acctbal") * 100).cast("long")
+            + (if (dirty) lit(5000L) else lit(0L))).as("bal_c"),
+          col("c_nationkey"), col("c_mktsegment"))
+      }
+      val recs = recsOf(dirty = false).unionByName(recsOf(dirty = true))
+      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
+        col("zip").as("z1"), col("bal_c").as("b1"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
+        col("zip").as("z2"), col("bal_c").as("b2"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val g = l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          // Banded DP: -1 past the bound, so >= 0 means lev <= 2.
+          when(levenshtein(col("n1"), col("n2"), 2) >= 0, 1L)
+            .otherwise(0L).as("g_name"),
+          when(col("z1") === col("z2"), 1L).otherwise(0L).as("g_zip"),
+          when(abs(col("b1") - col("b2")) <= 10000, 1L)
+            .otherwise(0L).as("g_bal"))
+      g.withColumn("score_micro",
+          when(col("g_name") === 1, 2197225L).otherwise(-2197225L)
+            + when(col("g_zip") === 1, 1558145L).otherwise(-2772589L)
+            + when(col("g_bal") === 1, 2772589L).otherwise(-1558145L))
+        .where(col("score_micro") >= 0)
+        .select(col("id1"), col("id2"), col("g_name"), col("g_zip"),
+          col("g_bal"), col("score_micro"),
+          when(col("score_micro") >= 4000000, "link").otherwise("possible")
+            .as("decision"))
+    },
+
     // Shuffle-key skew diagnostic: the key-distribution report a
     // planner consults before choosing salting / AQE skew handling.
     // Top-1/top-10 key share and the exact Gini coefficient of the key
