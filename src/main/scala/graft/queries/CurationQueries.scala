@@ -656,5 +656,54 @@ object CurationQueries {
         Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text")),
         "doc_id", "text", k = 8)
     },
+
+    // --- RAG chunking ----------------------------------------------------
+    // Overlapping fixed-size chunking (size 64 tokens, stride 48 — the
+    // retrieval-index preprocessing step): chunk count is closed-form
+    // from the token count, every chunk materializes with its start,
+    // length, and an md5 content fingerprint the oracle replays
+    // bit-for-bit. The tokenized frame is staged (one persist) so
+    // projection collapse cannot re-inline the tokenizer into the
+    // count, the chunk-index sequence, AND every slice; all work after
+    // tokenization is per-row map-side — chunking shards embarrassingly
+    // at any corpus size.
+    QuerySpec(
+      "tx33_chunk_overlap",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+         |n AS (
+         |  SELECT doc_id, toks, len(toks) AS nt,
+         |    CASE WHEN len(toks) <= 64 THEN 1
+         |      ELSE CAST(ceil((len(toks) - 64) / 48.0) AS BIGINT) + 1 END AS nc
+         |  FROM t WHERE len(toks) > 0),
+         |cl AS (
+         |  SELECT doc_id, nt,
+         |    list_transform(range(0, nc), i -> struct_pack(cid := i,
+         |      st := 48 * i + 1,
+         |      ch := list_slice(toks, 48 * i + 1, least(48 * i + 64, nt))))
+         |      AS chunks
+         |  FROM n)
+         |SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id,
+         |  CAST(u.st AS BIGINT) AS chunk_start,
+         |  CAST(len(u.ch) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(u.ch, ' ')) AS chunk_md5
+         |FROM (SELECT doc_id, nt, unnest(chunks) AS u FROM cl)""".stripMargin) {
+      (s, dir) =>
+      val tok = Dedup.stage(
+        Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .where(size(col("toks")) > 0))
+      val nc = when(size(col("toks")) <= 64, 1L).otherwise(
+        ceil((size(col("toks")) - 64).cast("double") / 48.0).cast("long") + 1L)
+      tok.select(col("doc_id"), col("toks"), nc.as("nc"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("cid"))
+        .select(col("doc_id"), col("cid").as("chunk_id"),
+          (col("cid") * 48 + 1).as("chunk_start"),
+          slice(col("toks"), (col("cid") * 48 + 1).cast("int"), lit(64))
+            .as("ch"))
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          size(col("ch")).cast("long").as("chunk_len"),
+          md5(array_join(col("ch"), " ").cast("binary")).as("chunk_md5"))
+    },
   )
 }

@@ -279,6 +279,52 @@ object PipelineQueries {
         emb.where(col("vec_id") === 0), "embedding", k = 10, nProbe = 2)
     },
 
+    // Matryoshka-truncation retrieval: rank the corpus against the
+    // query by cosine over only the FIRST nd dimensions (8/16/64) — the
+    // MRL deployment pattern where a prefix of the embedding serves as
+    // its own lower-cost index. Emitting the top-10 per truncation
+    // exposes ranking degradation as data (the 64-dim rows are ss1's
+    // exact answer). Per-dimension work is one sliced fold map-side;
+    // the only shuffle is the per-nd top-10 (WindowGroupLimit keeps it
+    // a bounded per-partition heap, never a full sort).
+    QuerySpec(
+      "ss13_matryoshka_truncation",
+      """WITH d AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+        |dims AS (SELECT unnest([8, 16, 64]) AS nd),
+        |r AS (
+        |  SELECT nd, vec_id,
+        |    round(list_cosine_similarity(list_slice(v, 1, nd),
+        |      list_slice(qv, 1, nd)), 6) AS sim
+        |  FROM d, q, dims),
+        |t AS (
+        |  SELECT nd, vec_id, sim,
+        |    row_number() OVER (PARTITION BY nd ORDER BY sim DESC, vec_id) AS rn
+        |  FROM r)
+        |SELECT CAST(nd AS BIGINT) AS nd, vec_id, sim
+        |FROM t WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val scored = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          explode(typedLit(Seq(8, 16, 64))).as("nd"), col("embedding"),
+          col("qe"))
+        .select(col("nd").cast("long").as("nd"), col("vec_id"),
+          round(Similarity.cosine(
+            slice(col("embedding"), lit(1), col("nd")),
+            slice(col("qe"), lit(1), col("nd"))), 6).as("sim"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("nd").orderBy(col("sim").desc, col("vec_id"))))
+        .where(col("rn") <= 10)
+        .select("nd", "vec_id", "sim")
+    },
+
     // Per-label centroids via the custom typed Aggregator (UDAF surface):
     // one dim-length buffer per label with map-side partial merge —
     // shuffles one buffer per (label, partition) instead of rows × dim
