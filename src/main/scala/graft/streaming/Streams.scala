@@ -24,16 +24,6 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** On-disk schema of events.parquet with `nanosAsLong` in effect:
-    * TIMESTAMP(NANOS) surfaces as LongType (see [[graft.Tables.load]]). */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming scan of the events table (file source; at scale this is a
     * Kafka/queue source with the identical downstream plan).
     *
@@ -42,14 +32,34 @@ object Streams {
     * (not NTZ): watermarks and streaming dedup require it
     * (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise); with the session
     * in UTC the wall-clock values are identical, and window bounds are
-    * cast back to NTZ at the output edge for oracle comparability. */
+    * cast back to NTZ at the output edge for oracle comparability.
+    *
+    * The `ts` physical type is PROBED from the file, not assumed: the
+    * harness generator has emitted both parquet TIMESTAMP(NANOS) (which
+    * surfaces as LongType under `nanosAsLong` and needs a `DIV 1000`
+    * rebuild — the same defensive pattern as [[graft.Tables]]) and plain
+    * TIMESTAMP(MICROS) (read directly). Hard-coding either breaks the
+    * other: a nanos divide applied to micros compresses the event
+    * timeline 1000×. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // One driver-side footer read; the streaming source needs an explicit
+    // schema anyway, so probing it from the batch reader costs nothing
+    // extra and keeps stream and batch reads byte-identical.
+    val onDisk = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
     val raw = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    onDisk("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) as raw nanos: exact integer µs rebuild
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ: identity wall-clock cast under UTC session
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling-window counts per event type. */
