@@ -50,16 +50,14 @@ object CurationQueries {
     * side uses (parity by construction, not by luck). */
   /** Default candidate stage: all unordered pairs once (`id1 < id2`). */
   private val allPairsCand =
-    """SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.hs AS h1, r.hs AS h2
+    """SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
       |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band AND l.doc_id < r.doc_id""".stripMargin
 
   /** Incremental candidate stage ([[Dedup.minhashNearDupsIncremental]]):
     * the left side is the new increment only; pairs id-normalized. */
   private def incrementalCand(newPred: String) =
     s"""SELECT DISTINCT least(l.doc_id, r.doc_id) AS id1,
-       |    greatest(l.doc_id, r.doc_id) AS id2,
-       |    CASE WHEN l.doc_id < r.doc_id THEN l.hs ELSE r.hs END AS h1,
-       |    CASE WHEN l.doc_id < r.doc_id THEN r.hs ELSE l.hs END AS h2
+       |    greatest(l.doc_id, r.doc_id) AS id2
        |  FROM bands l JOIN bands r ON l.bb = r.bb AND l.band = r.band
        |    AND l.doc_id <> r.doc_id AND ${newPred.replace("DOC", "l.doc_id")}""".stripMargin
 
@@ -70,30 +68,42 @@ object CurationQueries {
       tail: String = "SELECT id1, id2, jaccard FROM verified WHERE jaccard >= THRESH",
       candStage: String = allPairsCand): String = {
     val rowsPerBand = numHashes / bands
-    val a = Hashing.minhashA(numHashes).mkString("[", ",", "]")
-    val b = Hashing.minhashB(numHashes).mkString("[", ",", "]")
-    s"""$withPrefix base AS (
+    // Permutation coefficients as a 64-row inline relation instead of two
+    // literal arrays indexed inside a lambda: the signature stage is then
+    // a plain unnest→join→min-groupBy, which DuckDB vectorizes. Every
+    // stage is MATERIALIZED — the planner otherwise inlines the whole
+    // chain once per reference (the band self-join references `bands`
+    // twice, and a recursive-closure tail re-evaluates `e` per
+    // iteration), which measured 160–550 s per oracle at sf0.01 and
+    // silently blew the driver's correctness budget. Materialized, the
+    // same oracles run in ~1 s.
+    val coefRows = (0 until numHashes).map { j =>
+      s"($j, ${Hashing.minhashA(numHashes)(j)}, ${Hashing.minhashB(numHashes)(j)})"
+    }.mkString(", ")
+    s"""$withPrefix base AS MATERIALIZED (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
        |  FROM documents WHERE doc_id < $maxDocId
-       |), sh AS (
+       |), sh AS MATERIALIZED (
        |  SELECT doc_id, list_distinct(list_transform(
        |      range(1, greatest(length(norm) - ${k - 1}, 1) + 1),
        |      i -> CAST('0x' || substr(md5(substr(norm, i, $k)), 1, 8) AS BIGINT) % 2147483647)) AS hs
        |  FROM base
-       |), sig AS (
-       |  SELECT doc_id, hs, list_transform(range(0, $numHashes),
-       |      j -> list_min(list_transform(hs, h -> ($a[j+1]*h + $b[j+1]) % 2147483647))) AS sig
-       |  FROM sh
-       |), bands AS (
-       |  SELECT doc_id, hs, bb, list_slice(sig, bb*$rowsPerBand + 1, bb*$rowsPerBand + $rowsPerBand) AS band
-       |  FROM sig, range(0, $bands) t(bb)
-       |), cand AS (
+       |), coef(j, ca, cb) AS MATERIALIZED (VALUES $coefRows
+       |), shrow AS MATERIALIZED (
+       |  SELECT doc_id, unnest(hs) AS h FROM sh
+       |), sigrow AS MATERIALIZED (
+       |  SELECT s.doc_id, c.j, min((c.ca * s.h + c.cb) % 2147483647) AS m
+       |  FROM shrow s CROSS JOIN coef c GROUP BY 1, 2
+       |), bands AS MATERIALIZED (
+       |  SELECT doc_id, j // $rowsPerBand AS bb, list(m ORDER BY j) AS band
+       |  FROM sigrow GROUP BY 1, 2
+       |), cand AS MATERIALIZED (
        |  $candStage
-       |), verified AS (
-       |  SELECT id1, id2,
-       |    round(CAST(len(list_intersect(h1, h2)) AS DOUBLE) /
-       |          len(list_distinct(h1 || h2)), 4) AS jaccard
-       |  FROM cand)
+       |), verified AS MATERIALIZED (
+       |  SELECT c.id1, c.id2,
+       |    round(CAST(len(list_intersect(s1.hs, s2.hs)) AS DOUBLE) /
+       |          len(list_distinct(s1.hs || s2.hs)), 4) AS jaccard
+       |  FROM cand c JOIN sh s1 ON s1.doc_id = c.id1 JOIN sh s2 ON s2.doc_id = c.id2)
        |${tail.replace("THRESH", threshold.toString)}""".stripMargin
   }
 

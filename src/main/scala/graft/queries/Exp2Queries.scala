@@ -565,9 +565,12 @@ object Exp2Queries {
         .groupBy("part_a", "part_b")
         .agg(count(lit(1)).as("co"))
         .where(col("co") >= 2)
-      co.join(broadcast(freq.withColumnRenamed("nf", "na")),
+      // freq is O(#parts) — it grows with scale factor, so it is NOT a
+      // broadcast-able dimension at 100×; plain shuffle joins co-partition
+      // on the part key (and AQE still picks broadcast when it fits).
+      co.join(freq.withColumnRenamed("nf", "na"),
           col("l_partkey") === col("part_a")).drop("l_partkey")
-        .join(broadcast(freq.withColumnRenamed("nf", "nb")),
+        .join(freq.withColumnRenamed("nf", "nb"),
           col("l_partkey") === col("part_b")).drop("l_partkey")
         .select(col("part_a"), col("part_b"), col("co"),
           floor(col("co").cast("double")
@@ -2490,7 +2493,11 @@ object Exp2Queries {
           .orderBy(col("cnt").desc, col("c_mktsegment"))))
         .where(col("rk") === 1)
         .select(col("entity_id"), col("c_mktsegment").as("seg"))
-      members.join(broadcast(segmode), "entity_id")
+      // segmode is one row per resolved entity — O(#customers), not a
+      // bounded dimension; a broadcast hint would pin it into every
+      // executor at 100×. Plain join: both sides are already keyed on
+      // entity_id, so this co-partitions with the aggregate that follows.
+      members.join(segmode, "entity_id")
         .groupBy("entity_id")
         .agg(count(lit(1)).as("n_records"),
           min(col("name")).as("canonical_name"),

@@ -134,19 +134,21 @@ object SemanticQueries {
         val m = Array.tabulate(16, 64) { (j, d) =>
           if ((graft.expressions.Hashing.splitmix64(j * 64L + d) & 1L) == 0L) 1L else -1L
         }
-        val mSql = m.map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
-        s"""WITH xf_t AS (
-           |  SELECT vec_id, list_transform(embedding,
-           |    x -> CAST(floor(x::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS xf
-           |  FROM embeddings
-           |), proj AS (
-           |  SELECT vec_id, list_transform(range(1, 17), j ->
-           |    list_reduce(list_prepend(0::BIGINT,
-           |      list_transform(range(1, 65), d -> xf[d] * ($mSql)[j][d])),
-           |      (a, b) -> a + b)) AS y
-           |  FROM xf_t)
-           |SELECT vec_id, generate_subscripts(y, 1) AS j, unnest(y) AS y
-           |FROM proj""".stripMargin
+        // The ±1 matrix as a 1024-row (j, d, m) relation: the projection
+        // is then one vectorized join + sum-groupBy. The nested-lambda
+        // formulation (`(m)[j][d]` indexed inside list_transform)
+        // re-materialized the 16×64 literal per element and measured
+        // ~110 s in DuckDB at sf0.01 — an oracle-budget hazard.
+        val coefRows = (for (j <- 0 until 16; d <- 0 until 64)
+          yield s"(${j + 1}, ${d + 1}, ${m(j)(d)})").mkString(", ")
+        s"""WITH coef(j, d, m) AS MATERIALIZED (VALUES $coefRows
+           |), xfrow AS MATERIALIZED (
+           |  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           |    CAST(floor(unnest(embedding)::DOUBLE * 1000000.0 + 0.5) AS BIGINT) AS x
+           |  FROM embeddings)
+           |SELECT f.vec_id, c.j, CAST(sum(f.x * c.m) AS BIGINT) AS y
+           |FROM xfrow f JOIN coef c ON c.d = f.d
+           |GROUP BY 1, 2""".stripMargin
       }) { (s, dir) =>
       val m = Array.tabulate(16, 64) { (j, d) =>
         if ((graft.expressions.Hashing.splitmix64(j * 64L + d) & 1L) == 0L) 1L else -1L

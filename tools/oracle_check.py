@@ -15,6 +15,7 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -67,6 +68,15 @@ def main(sf_dir, out_dir):
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
+    # Oracle-cost budget: a slow oracle is as fatal as a wrong one — it
+    # blows the driver's per-round correctness budget and silently zeroes
+    # the WHOLE round's signal (rounds 5–6 proved this: two oracles at
+    # 166 s / 477 s made CORRECTNESS_r0{5,6} come back empty). Gate it
+    # here so a regression fails the local check before the driver runs.
+    budget_each = float(os.environ.get("ORACLE_BUDGET_EACH_S", "30"))
+    budget_total = float(os.environ.get("ORACLE_BUDGET_TOTAL_S", "300"))
+    oracle_secs = {}
+
     n_pass = n_fail = 0
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
@@ -83,7 +93,9 @@ def main(sf_dir, out_dir):
             print(f"SKIP {name}: no oracle (rows={sdf.num_rows})")
             continue
         try:
+            t0 = time.monotonic()
             odf = con.execute(oracles[name]).fetch_arrow_table()
+            oracle_secs[name] = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -120,7 +132,20 @@ def main(sf_dir, out_dir):
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
           f"{len(names) - n_pass - n_fail} no-oracle")
-    return 1 if n_fail else 0
+
+    total = sum(oracle_secs.values())
+    slow = sorted(((s, n) for n, s in oracle_secs.items()), reverse=True)
+    print(f"oracle cost: total {total:.1f}s over {len(oracle_secs)} oracles; "
+          f"slowest: " + ", ".join(f"{n} {s:.1f}s" for s, n in slow[:5]))
+    n_budget = 0
+    for s, n in slow:
+        if s > budget_each:
+            print(f"BUDGET {n}: oracle took {s:.1f}s > {budget_each:.0f}s cap")
+            n_budget += 1
+    if total > budget_total:
+        print(f"BUDGET total: {total:.1f}s > {budget_total:.0f}s cap")
+        n_budget += 1
+    return 1 if (n_fail or n_budget) else 0
 
 
 if __name__ == "__main__":
