@@ -44,6 +44,20 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach(work.add)
+    // Per-query watchdog: a hung query would otherwise pin its worker
+    // silently until the pool's 2-hour deadline and eat the round's
+    // correctness budget. Each query runs under its own job group with
+    // interrupt-on-cancel; the watchdog cancels the group at the
+    // timeout, the raised exception surfaces through the normal
+    // `[verify] <name> failed:` path, and the worker moves on. (Job
+    // groups are thread-local on the shared SparkContext, so parallel
+    // workers cannot cancel each other.)
+    val timeoutS =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_S", "600").toLong
+    val watchdog =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, "verify-watchdog"); t.setDaemon(true); t
+      }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     (1 to threads).foreach { _ =>
       pool.execute { () =>
@@ -51,6 +65,13 @@ object Verify {
         var item = work.poll()
         while (item != null) {
           val (name, fn) = item
+          sess.sparkContext.setJobGroup(s"verify-$name",
+            s"verify $name", interruptOnCancel = true)
+          val kill = watchdog.schedule({ () =>
+            System.err.println(
+              s"[verify] $name exceeded ${timeoutS}s — cancelling its jobs")
+            sess.sparkContext.cancelJobGroup(s"verify-$name")
+          }: Runnable, timeoutS, java.util.concurrent.TimeUnit.SECONDS)
           try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
@@ -59,7 +80,11 @@ object Verify {
           // Cache registrations are session-scoped, so each worker can
           // release after every query without touching the staged plans
           // of another worker's in-flight query.
-          finally graft.operators.Dedup.releaseCaches(sess)
+          finally {
+            kill.cancel(false)
+            sess.sparkContext.clearJobGroup()
+            graft.operators.Dedup.releaseCaches(sess)
+          }
           item = work.poll()
         }
       }
