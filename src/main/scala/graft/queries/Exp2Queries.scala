@@ -1136,8 +1136,11 @@ object Exp2Queries {
           count(lit(1)).over(Window.partitionBy("doc_id", "run")).cast("long"))
       val wstats = words.groupBy("tok")
         .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      // wstats is vocabulary-sized (grows with the corpus, Heaps' law) —
+      // no broadcast hint; the tok equi-join shuffles on the token key
+      // and AQE broadcasts only while the vocab actually fits.
       val scored = words
-        .join(broadcast(wstats.select(col("tok"), col("freq"), col("deg"))), "tok")
+        .join(wstats.select(col("tok"), col("freq"), col("deg")), "tok")
         .groupBy("doc_id", "run")
         .agg(
           array_join(transform(

@@ -137,9 +137,13 @@ object ExpQueries {
         .unionAll(pairs.select(col("cons").as("ant"), col("ant").as("cons"), col("supp")))
       // Integer cross-multiplication: 10000·supp·N ≤ 1e4·60k·15k ≈ 9e12,
       // well inside BIGINT.
+      // items is O(#parts) — grows with SF, so no broadcast hint (q148's
+      // lesson: the hint pins an unbounded frame into every executor at
+      // 100×); the part-key join co-partitions and AQE still broadcasts
+      // when the side truly fits. broadcast(n) stays: 1 row by maxRows.
       directed
-        .join(broadcast(items.select(col("p").as("ant"), col("isupp").as("ia"))), "ant")
-        .join(broadcast(items.select(col("p").as("cons"), col("isupp").as("ic"))), "cons")
+        .join(items.select(col("p").as("ant"), col("isupp").as("ia")), "ant")
+        .join(items.select(col("p").as("cons"), col("isupp").as("ic")), "cons")
         .crossJoin(broadcast(n))
         .select(col("ant"), col("cons"), col("supp"),
           floor(lit(10000) * col("supp") / col("ia")).cast("long").as("conf_bp"),
@@ -217,9 +221,12 @@ object ExpQueries {
           |  'duplicate_pk', duplicate_pk) AS (rule, violations)""".stripMargin,
         "checked")
         .select(col("rule"), col("violations"), col("checked"))
+      // customer is O(SF) — the FK anti-join shuffles on the key at
+      // 100 TB (AQE still broadcasts while the keyset fits); a hint here
+      // would pin an unbounded keyset into every executor.
       val cust = Tables.customer(s, dir).select(col("c_custkey"))
       val orphans = dirty.where(col("o_custkey").isNotNull)
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(cust, col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("violations"))
       val total = dirty.agg(count(lit(1)).as("checked"))
       unpivoted.unionAll(
@@ -608,9 +615,13 @@ object ExpQueries {
             * 1000000L).cast("long").as("unk_micro"))
       val testToks = test.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      // model is (lang × vocabulary) — vocab grows with the corpus
+      // (Heaps' law), so no broadcast hint: the (c, tok) equi-join
+      // shuffles on the token key at scale. unk/priors stay hinted —
+      // they are one row per language, a bounded enum.
       val tokScores = testToks
         .crossJoin(broadcast(unk.select(col("lang").as("c"), col("unk_micro"))))
-        .join(broadcast(model.select(col("lang").as("c"), col("tok"), col("llr_micro"))),
+        .join(model.select(col("lang").as("c"), col("tok"), col("llr_micro")),
           Seq("c", "tok"), "left")
         .groupBy("doc_id", "c")
         .agg(sum(coalesce(col("llr_micro"), col("unk_micro"))).as("tok_sum"))
@@ -891,9 +902,12 @@ object ExpQueries {
         |       ELSE 'C' END AS abc_class
         |FROM ranked""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // part is O(SF) — no broadcast hint on it (at 100 TB it is ~1e9
+      // rows); the partkey equi-join co-partitions, AQE broadcasts when
+      // it fits. broadcast(tot) below is per-BRAND — a 25-row bounded
+      // dimension grid — and keeps its hint.
       val rev = Tables.lineitem(s, dir)
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
+        .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("l_partkey"))
         .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("rev_c"))

@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   *  - `cartesian`: a CartesianProductExec — an unbounded all-pairs
   *    join. Acceptable only in brute-force ground-truth specs that
   *    exist to oracle an approximate operator, on a capped input.
+  *  - `broadcast-unbounded`: an explicit broadcast() hint whose subtree
+  *    reads a scale-factor-sized table with no PROVABLE cardinality
+  *    bound (no Limit / ungrouped aggregate anywhere above the scan,
+  *    i.e. `maxRows` undefined, and not a pure region/nation dimension
+  *    read). A hint like this pins an O(n) frame into every executor at
+  *    100× — the er3/q148 failure mode. Sites whose bound is real but
+  *    not statically provable (grouping on a bounded dimension key,
+  *    a planted-constant filter) are reviewed and pinned in
+  *    ScalePatternSpec's allowlist with their bound.
   *
   * BroadcastNestedLoopJoin is deliberately NOT flagged: every instance
   * in this repo is a `crossJoin(broadcast(<1-row aggregate>))` attach,
@@ -29,6 +38,30 @@ import org.apache.spark.sql.SparkSession
 object PlanLint {
 
   final case class Finding(query: String, kind: String, detail: String)
+
+  /** Broadcast hints in `df`'s analyzed plan whose subtree reads a
+    * scale-factor-sized table with no provable cardinality bound: the
+    * hint survives planning as `ResolvedHint`, `maxRows` is the
+    * planner's own bound proof (defined for Limit and ungrouped
+    * aggregates), and region/nation are the constant-size dimensions
+    * (5/25 rows at every SF). Returns one comma-joined risky-table list
+    * per offending hint. */
+  def broadcastRisks(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.analyzed.collectWithSubqueries {
+      case h: ResolvedHint
+          if h.hints.strategy.contains(BROADCAST) && h.child.maxRows.isEmpty =>
+        h.child.collectLeaves().flatMap {
+          case l: LogicalRelation => l.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.getName.stripSuffix(".parquet"))
+            case _ => Seq(l.relation.toString)
+          }
+          case _ => Nil // LocalRelation / Range: bounded literals
+        }.distinct.sorted.filterNot(Set("region", "nation"))
+    }.collect { case risky if risky.nonEmpty => risky.mkString(",") }
+  }
 
   def lint(spark: SparkSession, dir: String,
       include: String => Boolean = _ => true): Seq[Finding] = {
@@ -48,7 +81,9 @@ object PlanLint {
                   .contains("CartesianProduct"))
                 Seq(Finding(name, "cartesian", ""))
               else Nil
-            wins ++ cart
+            val bcast = broadcastRisks(df)
+              .map(Finding(name, "broadcast-unbounded", _))
+            wins ++ cart ++ bcast
           } catch {
             case e: Throwable =>
               Seq(Finding(name, "error",

@@ -233,6 +233,26 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("broadcastRisks flags unbounded hints and proves bounded ones") {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    val dir = "/root/testdata/sf0.001"
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    // Positive control: broadcasting the raw customer table — O(n) in the
+    // scale factor — must be flagged (the er3/q148 failure mode).
+    val bad = cust.join(broadcast(cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"))), "c_nationkey")
+    assert(graft.tools.PlanLint.broadcastRisks(bad) == Seq("customer"))
+    // Bounded by construction: a constant dimension, an explicit limit,
+    // and a 1-row (ungrouped) aggregate must all pass.
+    assert(graft.tools.PlanLint.broadcastRisks(
+      cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))).isEmpty)
+    assert(graft.tools.PlanLint.broadcastRisks(
+      cust.join(broadcast(cust.limit(10).select("c_custkey")), "c_custkey")).isEmpty)
+    assert(graft.tools.PlanLint.broadcastRisks(
+      cust.crossJoin(broadcast(cust.agg(count(lit(1)).as("n"))))).isEmpty)
+  }
+
   test("registry-wide plan lint: bounded-grid allowlist only, no cartesians") {
     // PlanLint sweeps EVERY batch query's optimized + physical plan —
     // any new unpartitioned global window (the single-task sort the
@@ -245,9 +265,55 @@ class ScalePatternSpec extends SparkSpec {
       "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
       "q89_share_of_total" -> "group-dimension aggregate (25 rows)",
       "tx16_topk_other" -> "source-dimension counts (bounded)")
+    // broadcast() hints whose subtree has no STATICALLY provable bound
+    // (maxRows undefined, fact-table leaves) but whose cardinality is
+    // bounded by construction — each reviewed and pinned with its bound.
+    // A hint over a frame NOT in this map (an O(n) keyset, a vocabulary,
+    // a per-entity aggregate — the q116/q120/q126/tx26/tx28 mistakes
+    // this lint caught and removed) fails here.
+    val broadcastAllowed = Map(
+      "dd3_dedup_ngram_jaccard" -> "ground-truth slice (doc_id < 100 literal cap)",
+      "dd15_containment" -> "ground-truth slice (doc_id < 100 literal cap)",
+      "dd6_dedup_embedding_cosine" -> "ground-truth slice (vec_id < 300 literal cap)",
+      "mm4_media_feature_knn" -> "capped probe set (literal id filter)",
+      "q101_embed_znorm" -> "per-dimension moments (64 rows)",
+      "q102_skyline" -> "distinct-price grid + Ranks slice heads (<= partitions)",
+      "q111_target_encoding" -> "order-priority enum aggregate (5 rows)",
+      "q126_abc_analysis" -> "per-brand totals (25-row brand dimension)",
+      "q143_count_min_sketch" -> "fixed 4x64 sketch cell grid (256 rows)",
+      "q144_bloom_filter" -> "fixed 66-word filter grid",
+      "q146_kl_divergence" -> "fixed price-bin histograms",
+      "q153_mann_whitney" -> "Ranks slice heads (<= partitions) + 2-group sums",
+      "q154_chi_square" -> "segment x priority contingency (25 cells)",
+      "q159_cohort_ltv" -> "cohort-month x age grid (calendar-bounded)",
+      "q161_decision_stump" -> "fixed balance-bin histogram",
+      "q162_mutual_information" -> "segment x priority contingency (25 cells)",
+      "q163_roc_auc" -> "Ranks slice heads (<= partitions) + 2-class totals",
+      "q164_ks_test" -> "Ranks slice heads (<= partitions)",
+      "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
+      "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
+      "q89_share_of_total" -> "group-dimension aggregate (25 rows)",
+      "q96_mad_outliers" -> "per-event-type medians (5-value enum)",
+      "ss1_cosine_topk" -> "planted single query vector (vec_id = 0)",
+      "ss3_ann_ivf" -> "query vector + 8-label centroid table",
+      "ss5_knn_join" -> "capped probe set (literal id filter)",
+      "ss6_ann_multiprobe" -> "query vector + probe signatures (bounded)",
+      "ss7_ann_recall" -> "query vector + bucket heads (bounded)",
+      "ss8_ann_srp_oracled" -> "planted single query vector (vec_id = 0)",
+      "ss9_ann_int8" -> "planted single query vector (vec_id = 0)",
+      "ss11_ann_binary" -> "planted single query vector (vec_id = 0)",
+      "ss12_ann_pq" -> "16-centroid-per-subspace codebooks (128 rows)",
+      "ss13_matryoshka_truncation" -> "planted single query vector (vec_id = 0)",
+      "tx20_mixture_rebalance" -> "per-source mixture weights (bounded enum)",
+      "tx23_event_transitions" -> "event-type transition matrix (5x5)",
+      "tx26_naive_bayes" -> "per-language priors/unk scores (bounded enum)")
     val findings = graft.tools.PlanLint.lint(spark, "/root/testdata/sf0.001")
-    val bad = findings.filter(f =>
-      f.kind != "global-window" || !allowed.contains(f.query))
+    val bad = findings.filter {
+      case f if f.kind == "global-window" => !allowed.contains(f.query)
+      case f if f.kind == "broadcast-unbounded" =>
+        !broadcastAllowed.contains(f.query)
+      case _ => true
+    }
     assert(bad.isEmpty,
       s"plan-lint findings outside the allowlist:\n${bad.mkString("\n")}")
   }
