@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{CosineSimilarity, MinHashBandBuckets, ShingleHashes, SimHash64}
+import graft.expressions.{CosineSimilarity, JaroWinkler, MinHashBandBuckets, ShingleHashes, SimHash64}
 
 /** SQL front-door registration for the engine's custom expressions, so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works next to the
@@ -52,6 +52,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 2, "shingle_hashes(str, k)")
         ShingleHashes(es.head, intArg(es(1), "k"))
+      }),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "jaro_winkler(strA, strB)")
+        JaroWinkler(es.head, es(1))
       }),
     ("minhash_band_buckets",
       new ExpressionInfo(classOf[MinHashBandBuckets].getName, "minhash_band_buckets"),

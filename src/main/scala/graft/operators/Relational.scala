@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Jaro–Winkler similarity via the codegen'd custom expression
+    * ([[graft.expressions.JaroWinkler]]) — the fuzzy-name comparator for
+    * blocked entity resolution (er5), DuckDB-parity semantics. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.JaroWinkler(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
   /** All rows attaining the global max of `metric` — *ties preserved*
     * (SURVEY R9: both nontrivial reference queries
     * `/root/reference/sql/blog_post_queries.sql:13-17,35-38` return every

@@ -146,6 +146,56 @@ object OlapQueries {
         .where(col("dist") >= 0)
     },
 
+    // er1's blocking with a Jaro-Winkler scorer (the custom codegen
+    // expression; DuckDB's jaro_winkler_similarity replays it
+    // value-for-value): prefix-weighted fuzzy name matching, the
+    // comparator edit distance under-weights (a trailing typo in a long
+    // name scores ~0.99 JW but distance 1 ties with a leading typo).
+    // Threshold 0.98 keeps the planted trailing-'x' copies (0.9895) and
+    // drops one-digit-apart key siblings (0.9778) — both engines apply
+    // it to the ROUNDED score so the cut is identical. Same per-block
+    // quadratic bound as er1; the scoring loop stays inside whole-stage
+    // codegen.
+    QuerySpec(
+      "er5_jaro_winkler",
+      """WITH recs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name || 'x', c_nationkey, c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |)
+        |SELECT id1, id2, jw, planted FROM (
+        |  SELECT a.id AS id1, b.id AS id2,
+        |    round(jaro_winkler_similarity(a.name, b.name), 4) AS jw,
+        |    CAST(CASE WHEN b.id = a.id + 1000000 THEN 1 ELSE 0 END AS BIGINT) AS planted
+        |  FROM recs a JOIN recs b
+        |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        |    AND a.id < b.id) t
+        |WHERE jw >= 0.98""".stripMargin) { (s, dir) =>
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val dirty = Tables.customer(s, dir)
+        .where(pmod(col("c_custkey"), lit(10)) === 0)
+        .select((col("c_custkey") + 1000000L).as("id"),
+          concat(col("c_name"), lit("x")).as("name"),
+          col("c_nationkey"), col("c_mktsegment"))
+      val recs = c.union(dirty)
+      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
+        col("c_nationkey"), col("c_mktsegment"))
+      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
+        col("c_nationkey"), col("c_mktsegment"))
+      l.join(r, Seq("c_nationkey", "c_mktsegment"))
+        .where(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(graft.operators.Relational.jaroWinkler(col("n1"), col("n2")), 4)
+            .as("jw"),
+          when(col("id2") === col("id1") + 1000000L, 1L).otherwise(0L)
+            .as("planted"))
+        .where(col("jw") >= 0.98)
+    },
+
     // Suffix-stripping stemmer (Porter-lite, CASE-based — no regex
     // alternation whose preference order could differ between engines)
     // with per-document vocabulary-reduction stats: the normalization

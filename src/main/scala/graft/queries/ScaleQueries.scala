@@ -474,6 +474,52 @@ object ScaleQueries {
               col("min_y") <= 47 && col("max_y") >= 32, 1L)
               .otherwise(0L).as("scan_needed"))
       }
+    },
+
+    // Engine-portable HyperLogLog REGISTERS over the distinct-user
+    // stream — the mergeable approx-distinct sketch with a full oracle
+    // (q74 exercises Spark's built-in HLL sketch, whose binary is
+    // engine-specific and rows-only by design; here every register is
+    // exact integer state both engines derive identically). 60-bit
+    // md5 hash → 6-bit bucket + 54-bit tail; rho = leading zeros of the
+    // tail + 1 via bin()-length (pure integer — no log2 doubles to
+    // disagree on); registers = per-bucket max(rho). This 64-row state
+    // IS what a 100 TB pipeline stores and merges: one map-side combine
+    // per partition, a 64-row shuffle, and cross-day union = per-bucket
+    // max — associativity the scalatest pins alongside the standard
+    // 1.04/sqrt(64) error bound on the harmonic estimate.
+    QuerySpec(
+      "q183_hll_registers",
+      """WITH h AS (
+        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |parts AS (
+        |  SELECT hv % 64 AS bucket, hv // 64 AS tail FROM h),
+        |rho AS (
+        |  SELECT bucket,
+        |    CASE WHEN tail = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(tail)) AS BIGINT) END AS r
+        |  FROM parts)
+        |SELECT bucket, max(r) AS max_rho
+        |FROM rho GROUP BY bucket""".stripMargin) { (s, dir) =>
+      ScaleQueries.hllRegisters(
+        Tables.events(s, dir).select(col("user_id").cast("string").as("k")))
     }
   )
+
+  /** Portable-HLL register table for a key column `k` (string): 64 rows
+    * of (bucket, max_rho) exact integer state. Mergeable: registers of a
+    * union = per-bucket max of the parts' registers. */
+  def hllRegisters(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = keys.select(conv(substring(md5(col("k").cast("binary")), 1, 15),
+      16, 10).cast("long").as("hv")).distinct()
+    h.select(pmod(col("hv"), lit(64)).as("bucket"),
+        expr("hv div 64").as("tail"))
+      .select(col("bucket"),
+        when(col("tail") === 0, 55L)
+          .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+      .groupBy("bucket")
+      .agg(max(col("r")).as("max_rho"))
+  }
 }

@@ -40,6 +40,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig == again && sig != 0L)
   }
 
+  test("jaro_winkler: DuckDB-verified values, SQL + DataFrame parity") {
+    // Constants checked against DuckDB's jaro_winkler_similarity — the
+    // er5 oracle function — including the boost threshold (0.6 case gets
+    // NO prefix boost), the window floor ('ab'/'ba' -> 0), and the
+    // empty-string convention (0.0, both-empty included).
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+      ("ab", "ba", 0.0),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("same", "same", 1.0))
+    cases.foreach { case (a, b, want) =>
+      assert(graft.expressions.JaroWinkler.score(a, b) == want, s"($a, $b)")
+    }
+    cases.toDF("a", "b", "want").createOrReplaceTempView("jw_cases")
+    // SQL path (codegen) agrees with the static kernel bit-for-bit.
+    val mism = spark.sql(
+      "SELECT * FROM jw_cases WHERE jaro_winkler(a, b) <> want").count()
+    assert(mism == 0)
+    // DataFrame helper path too.
+    assert(cases.toDF("a", "b", "want")
+      .where(graft.operators.Relational.jaroWinkler(col("a"), col("b"))
+        =!= col("want")).count() == 0)
+  }
+
   test("builder arity and literal checks") {
     intercept[Exception] {
       spark.sql("SELECT cosine_similarity(array(1.0))").collect()

@@ -233,6 +233,37 @@ class ScalePatternSpec extends SparkSpec {
     }
   }
 
+  test("portable HLL registers: error bound and exact mergeability") {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, pmod}
+    val dir = "/root/testdata/sf0.001"
+    val keys = Tables.events(spark, dir)
+      .select(col("user_id").cast("string").as("k"))
+    def estimate(regs: Map[Long, Long]): Double = {
+      val m = 64
+      val z = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+      val e = 0.709 * m * m / z
+      val zeros = m - regs.count(_._2 > 0)
+      // Standard small-range (linear counting) correction — the harness
+      // tables sit well below 2.5m distinct keys, squarely in it.
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+    }
+    val regs = graft.queries.ScaleQueries.hllRegisters(keys)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = keys.agg(countDistinct(col("k"))).head().getLong(0)
+    val est = estimate(regs)
+    // Standard error for m=64 is 1.04/8 = 13%; assert a 3-sigma-ish band.
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"HLL estimate $est vs exact $exact")
+    // Mergeability — the 100 TB property: registers of the whole equal
+    // the per-bucket max of any partition of the input.
+    val parts = Seq(0, 1).map(p => graft.queries.ScaleQueries.hllRegisters(
+      keys.where(pmod(col("k").cast("long"), org.apache.spark.sql.functions.lit(2)) === p)))
+    val merged = parts.reduce(_ unionByName _)
+      .groupBy("bucket").agg(max(col("max_rho")).as("max_rho"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == regs)
+  }
+
   test("broadcastRisks flags unbounded hints and proves bounded ones") {
     import org.apache.spark.sql.functions.{broadcast, count, lit}
     val dir = "/root/testdata/sf0.001"
