@@ -322,6 +322,57 @@ object CurationQueries {
           count(when(bucket < 20, lit(1))).as("n_sample"))
     },
 
+    // Exact-proportion stratified 80/10/10 split: within each language
+    // stratum, rows are ranked by a portable salted hash and cut at
+    // exact integer boundaries (rnk·10 ≤ n·8 → train, ≤ n·9 → val) — the
+    // eval-set discipline hash-RATE splits (tx8/q69) can't give, since
+    // their per-stratum counts carry binomial noise. Scale shape: the
+    // per-stratum rank is a GLOBAL range-partitioned rank on
+    // (lang, hash, id) minus broadcast per-stratum offsets — no
+    // partitionBy(lang) window, so one dominant language cannot funnel
+    // its stratum through a single task (the oracle's per-lang window is
+    // the semantic spec only). The offsets join is language-dimension
+    // sized; no broadcast hint needed (AQE handles a 10-row side).
+    QuerySpec(
+      "tx34_stratified_split",
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rnk * 10 <= n * 8 THEN 'train'
+        |       WHEN rnk * 10 <= n * 9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin) { (s, dir) =>
+      import graft.operators.Ranks
+      val h = conv(substring(md5(concat(lit("spl:"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), h.as("hv"))
+      val ranked = Ranks.globalRowNumber(docs, "grn",
+        Seq(col("lang"), col("hv"), col("doc_id")))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val offs = counts.select(col("lang").as("cl"), col("n"))
+        .join(counts.select(col("lang").as("ol"), col("n").as("on")),
+          col("ol") < col("cl"), "left")
+        .groupBy(col("cl"), col("n"))
+        .agg(coalesce(sum(col("on")), lit(0L)).as("off"))
+        .select(col("cl").as("lang"), col("n"), col("off"))
+      ranked.join(offs, "lang")
+        .select(col("doc_id"), col("lang"),
+          (col("grn") - col("off")).as("rnk"), col("n"))
+        .select(col("doc_id"), col("lang"),
+          when(col("rnk") * 10 <= col("n") * 8, "train")
+            .when(col("rnk") * 10 <= col("n") * 9, "val")
+            .otherwise("test").as("split"))
+    },
+
     // --- extended stats aggregates ---------------------------------------
     // median / mode / skewness / kurtosis per group. Spark's builtin
     // central-moment aggregates are validated against a first-principles
