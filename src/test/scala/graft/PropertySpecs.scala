@@ -212,4 +212,20 @@ object QuantileDiffProps extends Properties("QuantileDiff") {
         out.keySet == (wantAdded ++ wantRemoved ++ wantChanged)
       Prop(self && statuses) :| s"a=$a b=$b out=$out"
     }
+
+  private val word: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+
+  property("jaroWinkler: range, symmetry, identity, empty convention") =
+    forAll(word, word) { (a, b) =>
+      val jw = graft.expressions.JaroWinkler.score(a, b)
+      val sym = jw == graft.expressions.JaroWinkler.score(b, a)
+      val range = jw >= 0.0 && jw <= 1.0
+      // Identity is exactly 1 for nonempty strings; anything involving
+      // an empty side is exactly 0 (the DuckDB convention er5 relies on).
+      val ident = a.isEmpty || graft.expressions.JaroWinkler.score(a, a) == 1.0
+      val empty = a.nonEmpty ||
+        (jw == 0.0 && graft.expressions.JaroWinkler.score(a, a) == 0.0)
+      Prop(sym && range && ident && empty) :| s"a='$a' b='$b' jw=$jw"
+    }
 }
