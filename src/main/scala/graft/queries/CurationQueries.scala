@@ -373,6 +373,80 @@ object CurationQueries {
             .otherwise("test").as("split"))
     },
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): per-document log importance weight
+    // ln(p_target/p_source) under two hashed-n-gram unigram models —
+    // target = the English slice, source = the whole corpus; features =
+    // unigrams + bigrams hashed into 256 buckets (portable md5).
+    // Determinism discipline: each BUCKET's log-ratio is fixed-pointed
+    // to micros once in the 256-row model table, and per-doc weights are
+    // exact integer sums of those terms — aggregation order cannot
+    // perturb them. Scale shape: feature extraction is map-side explode;
+    // the model is a bounded 256-row grid joined back on the bucket key
+    // (AQE broadcasts it, no hint needed); the only corpus-sized
+    // shuffles are the bucket-count groupBy and the per-doc sum.
+    QuerySpec(
+      "tx35_dsir_weights",
+      s"""WITH t AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |u AS (SELECT doc_id, lang, unnest(tk) AS f FROM t),
+         |bg AS (
+         |  SELECT doc_id, lang, unnest(CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)), i -> tk[i] || '_' || tk[i+1])
+         |    END) AS f
+         |  FROM t),
+         |fe AS MATERIALIZED (
+         |  SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5('f:' || f), 1, 8) AS BIGINT) % 256 AS b
+         |  FROM (SELECT * FROM u UNION ALL SELECT * FROM bg)),
+         |ct AS (SELECT b, count(*)::BIGINT AS c FROM fe WHERE lang = 'en' GROUP BY 1),
+         |cs AS (SELECT b, count(*)::BIGINT AS c FROM fe GROUP BY 1),
+         |nt AS (SELECT count(*)::BIGINT AS n FROM fe WHERE lang = 'en'),
+         |ns AS (SELECT count(*)::BIGINT AS n FROM fe),
+         |model AS MATERIALIZED (
+         |  SELECT g.b,
+         |    CAST(floor((ln((coalesce(ct.c, 0) + 1) / CAST(nt.n + 256 AS DOUBLE))
+         |      - ln((coalesce(cs.c, 0) + 1) / CAST(ns.n + 256 AS DOUBLE)))
+         |      * 1000000) AS BIGINT) AS w
+         |  FROM range(0, 256) g(b)
+         |  LEFT JOIN ct ON ct.b = g.b
+         |  LEFT JOIN cs ON cs.b = g.b
+         |  CROSS JOIN nt CROSS JOIN ns)
+         |SELECT fe.doc_id, fe.lang, count(*)::BIGINT AS n_feats,
+         |  CAST(sum(m.w) AS BIGINT) AS logw_micro
+         |FROM fe JOIN model m ON m.b = fe.b
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import graft.operators.{Dedup, TextAnalysis}
+      val toks = Dedup.stage(
+        Tables.fanOut(Tables.documents(s, dir).select("doc_id", "lang", "text"))
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokens(col("text")).as("tk")))
+      val uni = toks.select(col("doc_id"), col("lang"), explode(col("tk")).as("f"))
+      val bi = toks.select(col("doc_id"), col("lang"), explode(expr(
+        """CASE WHEN size(tk) < 2 THEN array()
+          |ELSE transform(sequence(0, size(tk) - 2),
+          |  i -> concat(element_at(tk, i + 1), '_', element_at(tk, i + 2)))
+          |END""".stripMargin)).as("f"))
+      val fe = Dedup.stage(uni.union(bi).select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(concat(lit("f:"), col("f")).cast("binary")),
+          1, 8), 16, 10).cast("long"), lit(256L)).as("b")))
+      val ct = fe.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("c_t"))
+      val cs = fe.groupBy("b").agg(count(lit(1)).as("c_s"))
+      val tot = fe.agg(count(lit(1)).as("ns"),
+        count(when(col("lang") === "en", lit(1))).as("nt"))
+      val model = s.range(256).select(col("id").as("b"))
+        .join(ct, Seq("b"), "left").join(cs, Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          floor((log((coalesce(col("c_t"), lit(0L)) + 1)
+              / (col("nt") + 256).cast("double"))
+            - log((coalesce(col("c_s"), lit(0L)) + 1)
+              / (col("ns") + 256).cast("double"))) * 1000000)
+            .cast("long").as("w"))
+      fe.join(model, "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("logw_micro"))
+    },
+
     // --- extended stats aggregates ---------------------------------------
     // median / mode / skewness / kurtosis per group. Spark's builtin
     // central-moment aggregates are validated against a first-principles

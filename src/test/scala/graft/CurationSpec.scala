@@ -95,4 +95,17 @@ class CurationSpec extends SparkSpec {
     assert(rep(0) == 0.75) // 4 grams, 1 distinct
     assert(rep(1) == 0.0)
   }
+
+  test("DSIR weights discriminate toward the target distribution") {
+    // The whole point of importance weighting: documents drawn from the
+    // target (English) slice must average a higher log-weight under the
+    // target-over-source model than documents from other languages.
+    val w = graft.SparkEntry.queries("tx35_dsir_weights")(
+        spark, "/root/testdata/sf0.001")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("logw_micro").cast("double")).as("mean_w"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(w(true) > w(false),
+      s"en mean ${w(true)} should exceed non-en mean ${w(false)}")
+  }
 }
