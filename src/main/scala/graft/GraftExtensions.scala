@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{CosineSimilarity, JaroWinkler, MinHashBandBuckets, ShingleHashes, SimHash64}
+import graft.expressions.{CosineSimilarity, JaroWinkler, MinHashBandBuckets, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SQL front-door registration for the engine's custom expressions, so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works next to the
@@ -64,6 +64,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         require(es.length == 3, "minhash_band_buckets(hashArray, bands, rowsPerBand)")
         MinHashBandBuckets(es.head, intArg(es(1), "bands"), intArg(es(2), "rowsPerBand"))
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "minhash_signature(hashArray, numHashes)")
+        MinHashSignature(es.head, intArg(es(1), "numHashes"))
       }))
 
   /** Register into an already-built session (extensions only apply at

@@ -167,6 +167,93 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/** Raw portable MinHash signature: the per-permutation minima array
+  * `min_h((a_i·h + b_i) mod (2^31−1))` for the SplitMix64-derived
+  * [[Hashing.minhashA]]/[[Hashing.minhashB]] coefficients — EXACTLY the
+  * values the declarative formulation
+  * (`transform(sequence(...), k -> array_min(transform(hs, ...)))`)
+  * produces and the DuckDB oracles interpolate, but in one fused codegen
+  * loop instead of n·|hs| interpreted higher-order-function lambda
+  * dispatches (measured as the dominant cost of the portable near-dup
+  * pipelines at sf0.1). Unlike [[MinHashBandBuckets]] the minima are NOT
+  * mixed into opaque band buckets, so band keys built from slices of
+  * this signature stay oracle-replayable. NULL on empty or null-element
+  * input (an empty shingle set has no meaningful signature). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P31 = 2147483647L
+
+  @transient private lazy val as: Array[Long] = Hashing.minhashA(numHashes)
+  @transient private lazy val bs: Array[Long] = Hashing.minhashB(numHashes)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint>, got ${t.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val m = hs.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      if (hs.isNullAt(j)) return null
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val v = (as(i) * h + bs(i)) % P31
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashSigAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashSigBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m")
+      val mins = ctx.freshName("mins")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
+      s"""
+         |int $m = $c.numElements();
+         |boolean $bad = ($m == 0);
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; !$bad && $j < $m; $j++) {
+         |  if ($c.isNullAt($j)) { $bad = true; break; }
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = ($asRef[$i] * $h + $bsRef[$i]) % ${P31}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
 /** Distinct character k-shingle hashes, computed directly from the
   * string bytes: slide a k-byte window, hash it (31-polynomial →
   * SplitMix64 finalizer → folded into [0, 2^31-1) for downstream

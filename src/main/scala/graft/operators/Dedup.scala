@@ -631,6 +631,16 @@ object Dedup {
             .cast("long"),
           lit(P31))))
 
+  /** Portable MinHash signature minima via the fused codegen expression
+    * ([[graft.expressions.MinHashSignature]]) — value-identical to
+    * `transform(sequence(0, n-1), k -> array_min(transform(hs, ...)))`
+    * on the same [[graft.expressions.Hashing]] coefficients, one codegen
+    * loop instead of n·|hs| interpreted lambda dispatches. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.GraftColumnBridge.expression(hashes), numHashes))
+
   /** MinHash+LSH near-dups with every hash engine-portable (md5-derived
     * shingle hashes + SplitMix64-derived permutation coefficients): the
     * verification twin of [[minhashNearDups]], identical shape — shingle →
@@ -645,20 +655,18 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val as = typedLit(graft.expressions.Hashing.minhashA(numHashes).toSeq)
-    val bs = typedLit(graft.expressions.Hashing.minhashB(numHashes).toSeq)
     val base = graft.Tables.fanOut(
         df.select(col(idCol).as("__id"),
           TextAnalysis.normalizeText(col(textCol)).as("__norm")))
       .select(col("__id"), shingleHashesPortable(col("__norm"), shingleK).as("__h"))
     // Persisted for the same three-branch reason as minhashNearDups;
-    // registered with releaseCaches().
+    // registered with releaseCaches(). Signature minima via the fused
+    // codegen MinHashSignature expression — value-identical to the
+    // declarative transform/array_min formulation the oracle
+    // interpolates, without its n·|hs| interpreted lambda dispatches.
     val sigs = base
       .select(col("__id"), col("__h"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          k => array_min(transform(col("__h"),
-            h => pmod(element_at(as, k + 1) * h + element_at(bs, k + 1), lit(P31)))))
-          .as("__sig"))
+        minhashSignature(col("__h"), numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pendingCaches.add(sigs)
     // Band key = the minima slice itself. posexplode_outer per the
@@ -701,18 +709,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val as = typedLit(graft.expressions.Hashing.minhashA(numHashes).toSeq)
-    val bs = typedLit(graft.expressions.Hashing.minhashB(numHashes).toSeq)
     val base = graft.Tables.fanOut(
         df.select(col(idCol).as("__id"),
           TextAnalysis.normalizeText(col(textCol)).as("__norm")))
       .select(col("__id"), shingleHashesPortable(col("__norm"), shingleK).as("__h"))
     val sigs = base
       .select(col("__id"), col("__h"),
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          k => array_min(transform(col("__h"),
-            h => pmod(element_at(as, k + 1) * h + element_at(bs, k + 1), lit(P31)))))
-          .as("__sig"))
+        minhashSignature(col("__h"), numHashes).as("__sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pendingCaches.add(sigs)
     val bandsDf = sigs.select(col("__id"),

@@ -40,6 +40,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(sig == again && sig != 0L)
   }
 
+  test("minhash_signature equals the declarative transform/array_min formula") {
+    import graft.expressions.Hashing
+    val n = 16
+    val as = typedLit(Hashing.minhashA(n).toSeq)
+    val bs = typedLit(Hashing.minhashB(n).toSeq)
+    val df = Seq(Seq(3L, 99L, 2147483646L), Seq(7L), Seq(0L, 1L, 2L, 3L, 4L))
+      .toDF("hs")
+    val cmp = df.select(
+      graft.operators.Dedup.minhashSignature(col("hs"), n).as("fast"),
+      transform(sequence(lit(0), lit(n - 1)),
+        k => array_min(transform(col("hs"),
+          h => pmod(element_at(as, k + 1) * h + element_at(bs, k + 1),
+            lit(2147483647L))))).as("hof"))
+    assert(cmp.where(col("fast") =!= col("hof")).count() == 0)
+    // Empty input -> NULL (no meaningful signature), null element -> NULL.
+    val edge = spark.sql(
+      """SELECT minhash_signature(CAST(array() AS ARRAY<BIGINT>), 4) AS e,
+        |  minhash_signature(array(1L, CAST(NULL AS BIGINT)), 4) AS ne""".stripMargin)
+      .collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("jaro_winkler: DuckDB-verified values, SQL + DataFrame parity") {
     // Constants checked against DuckDB's jaro_winkler_similarity — the
     // er5 oracle function — including the boost threshold (0.6 case gets
