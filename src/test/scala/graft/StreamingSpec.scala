@@ -153,6 +153,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("RocksDB changelog checkpointing yields identical results") {
+    // Changelog checkpointing uploads per-batch DELTAS instead of full
+    // RocksDB snapshots — the knob that makes commit cost proportional
+    // to state CHANGE rather than state SIZE, i.e. the production
+    // configuration once state is GB-scale. Pure performance knob: the
+    // emitted rows must be identical to the snapshot-checkpoint run.
+    implicit val sqlCtx = spark.sqlContext
+    val keys = Seq("spark.sql.streaming.stateStore.providerClass",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(keys(0),
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(keys(1), "true")
+      val mem = MemoryStream[Ev]
+      val events = Seq(ev(1, 1), ev(2, 5), ev(3, 12), ev(4, 59),
+        ev(5, 2, user = 2L), ev(6, 30, user = 2L))
+      mem.addData(events)
+      val streamed = Streams.runToTable(
+        Streams.sessionCounts(mem.toDF(), "10 minutes"),
+        "t_changelog", "complete")
+      val batch = Streams.sessionCounts(events.toDF(), "10 minutes")
+      assert(streamed.collect().toSet == batch.collect().toSet)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("foreachBatch sink: per-batch exactly-once style handoff") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
