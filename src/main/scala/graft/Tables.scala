@@ -108,6 +108,62 @@ object Tables {
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 
+  /** The logical schema every query in the registry assumes each loader
+    * delivers, pinned column by column. The on-disk PHYSICAL types are
+    * the generator's business and have drifted between rounds (events.ts
+    * has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)); the
+    * loaders probe and convert. What must NOT drift silently is the
+    * materialized logical type — the r5→r6 regeneration broke 12
+    * streaming specs precisely because nothing asserted it. Compared via
+    * `DataType.sql` (nullability is data-dependent, not contract). */
+  val expectedSchema: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq("r_regionkey" -> "INT", "r_name" -> "STRING"),
+    "nation" -> Seq("n_nationkey" -> "INT", "n_name" -> "STRING",
+      "n_regionkey" -> "INT"),
+    "customer" -> Seq("c_custkey" -> "BIGINT", "c_name" -> "STRING",
+      "c_nationkey" -> "INT", "c_acctbal" -> "DOUBLE",
+      "c_mktsegment" -> "STRING"),
+    "supplier" -> Seq("s_suppkey" -> "BIGINT", "s_name" -> "STRING",
+      "s_nationkey" -> "INT", "s_acctbal" -> "DOUBLE"),
+    "part" -> Seq("p_partkey" -> "BIGINT", "p_name" -> "STRING",
+      "p_brand" -> "STRING", "p_type" -> "STRING", "p_size" -> "INT",
+      "p_retailprice" -> "DOUBLE"),
+    "orders" -> Seq("o_orderkey" -> "BIGINT", "o_custkey" -> "BIGINT",
+      "o_orderstatus" -> "STRING", "o_totalprice" -> "DOUBLE",
+      "o_orderdate" -> "TIMESTAMP_NTZ", "o_orderpriority" -> "STRING"),
+    "lineitem" -> Seq("l_orderkey" -> "BIGINT", "l_partkey" -> "BIGINT",
+      "l_suppkey" -> "BIGINT", "l_linenumber" -> "INT",
+      "l_quantity" -> "DOUBLE", "l_extendedprice" -> "DOUBLE",
+      "l_discount" -> "DOUBLE", "l_tax" -> "DOUBLE",
+      "l_returnflag" -> "STRING", "l_linestatus" -> "STRING",
+      "l_shipdate" -> "TIMESTAMP_NTZ"),
+    "events" -> Seq("event_id" -> "BIGINT", "ts" -> "TIMESTAMP_NTZ",
+      "user_id" -> "BIGINT", "event_type" -> "STRING",
+      "value" -> "DOUBLE", "props" -> "STRING"),
+    "documents" -> Seq("doc_id" -> "BIGINT", "text" -> "STRING",
+      "lang" -> "STRING", "source" -> "STRING", "n_chars" -> "BIGINT"),
+    "embeddings" -> Seq("vec_id" -> "BIGINT",
+      "embedding" -> "ARRAY<FLOAT>", "label" -> "INT"))
+
+  /** Columns whose MATERIALIZED type under the loaders diverges from
+    * [[expectedSchema]] — empty when parity holds. Each entry names the
+    * table, column, got-type, and want-type, so a testdata regeneration
+    * that changes a physical type fails with the exact column instead of
+    * silently corrupting downstream specs. */
+  def schemaDrift(spark: SparkSession, dir: String,
+      tables: Seq[String] = names): Seq[String] =
+    tables.flatMap { t =>
+      val actual = load(spark, dir, t).schema
+        .map(f => f.name -> f.dataType.sql).toMap
+      expectedSchema(t).flatMap { case (c, want) =>
+        actual.get(c) match {
+          case None => Some(s"$t.$c: MISSING (want $want)")
+          case Some(got) if got != want => Some(s"$t.$c: got $got, want $want")
+          case _ => None
+        }
+      }
+    }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

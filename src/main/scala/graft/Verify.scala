@@ -48,8 +48,11 @@ object Verify {
     // silently until the pool's 2-hour deadline and eat the round's
     // correctness budget. Each query runs under its own job group with
     // interrupt-on-cancel; the watchdog cancels the group at the
-    // timeout, the raised exception surfaces through the normal
-    // `[verify] <name> failed:` path, and the worker moves on. (Job
+    // timeout AND interrupts the worker thread — per-query cost is
+    // dominated by driver-side analysis/codegen, which runs on the
+    // worker OUTSIDE any job, so cancelJobGroup alone cannot unstick a
+    // hang there. The raised exception surfaces through the normal
+    // `[verify] <name> failed:` path and the worker moves on. (Job
     // groups are thread-local on the shared SparkContext, so parallel
     // workers cannot cancel each other.)
     val timeoutS =
@@ -58,10 +61,15 @@ object Verify {
       java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, "verify-watchdog"); t.setDaemon(true); t
       }
+    // Per-query elapsed seconds, dumped alongside the results so a spec
+    // creeping toward the watchdog limit is visible in round artifacts
+    // before it ever times out.
+    val timings = new java.util.concurrent.ConcurrentHashMap[String, Double]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     (1 to threads).foreach { _ =>
       pool.execute { () =>
         val sess = spark.newSession()
+        val worker = Thread.currentThread()
         var item = work.poll()
         while (item != null) {
           val (name, fn) = item
@@ -71,7 +79,9 @@ object Verify {
             System.err.println(
               s"[verify] $name exceeded ${timeoutS}s — cancelling its jobs")
             sess.sparkContext.cancelJobGroup(s"verify-$name")
+            worker.interrupt()
           }: Runnable, timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+          val t0 = System.nanoTime()
           try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
@@ -81,7 +91,14 @@ object Verify {
           // release after every query without touching the staged plans
           // of another worker's in-flight query.
           finally {
-            kill.cancel(false)
+            if (!kill.cancel(false)) {
+              // The watchdog already fired (or is mid-fire): wait it out,
+              // then clear any interrupt it left so the flag cannot leak
+              // into the next query's work.
+              try kill.get() catch { case _: Throwable => () }
+              Thread.interrupted()
+            }
+            timings.put(name, (System.nanoTime() - t0) / 1e9)
             sess.sparkContext.clearJobGroup()
             graft.operators.Dedup.releaseCaches(sess)
           }
@@ -91,6 +108,16 @@ object Verify {
     }
     pool.shutdown()
     pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    // Slowest-first so the artifact reads as a budget report.
+    locally {
+      import scala.jdk.CollectionConverters._
+      val body = timings.asScala.toSeq.sortBy(-_._2)
+        .map { case (n, s) =>
+          val secs = String.format(java.util.Locale.ROOT, "%.2f", Double.box(s))
+          s""""$n": $secs"""
+        }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/timings.json"), body)
+    }
     graft.operators.Dedup.releaseCaches()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -90,7 +90,10 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
         val h = hs.getLong(j)
         var i = 0
         while (i < n) {
-          val v = (as(i) * h + bs(i)) % P31
+          // floorMod, not %: pmod semantics for any input hash (see
+          // MinHashSignature) — identical on the non-negative folded
+          // hashes the portable pipelines feed.
+          val v = Math.floorMod(as(i) * h + bs(i), P31)
           if (v < mins(i)) mins(i) = v
           i += 1
         }
@@ -142,7 +145,7 @@ case class MinHashBandBuckets(child: Expression, bands: Int, rowsPerBand: Int)
          |    if ($hs.isNullAt($j)) { $bad = true; break; }
          |    long $h = $hs.getLong($j);
          |    for (int $i = 0; $i < $n; $i++) {
-         |      long $v = ($asRef[$i] * $h + $bsRef[$i]) % ${P31}L;
+         |      long $v = java.lang.Math.floorMod($asRef[$i] * $h + $bsRef[$i], ${P31}L);
          |      if ($v < $mins[$i]) $mins[$i] = $v;
          |    }
          |  }
@@ -208,7 +211,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val h = hs.getLong(j)
       var i = 0
       while (i < numHashes) {
-        val v = (as(i) * h + bs(i)) % P31
+        // floorMod, not %: matches the declarative pmod the docs promise
+        // for ANY input hash. shingleHashesPortable folds into
+        // [0, 2^31-1) where the two agree, but the function is exposed
+        // generically via spark.sql and a negative caller-supplied hash
+        // must not yield negative minima.
+        val v = java.lang.Math.floorMod(as(i) * h + bs(i), P31)
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -237,7 +245,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  if ($c.isNullAt($j)) { $bad = true; break; }
          |  long $h = $c.getLong($j);
          |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $v = ($asRef[$i] * $h + $bsRef[$i]) % ${P31}L;
+         |    long $v = java.lang.Math.floorMod($asRef[$i] * $h + $bsRef[$i], ${P31}L);
          |    if ($v < $mins[$i]) $mins[$i] = $v;
          |  }
          |}

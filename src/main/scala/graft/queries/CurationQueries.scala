@@ -336,7 +336,7 @@ object CurationQueries {
     QuerySpec(
       "tx34_stratified_split",
       """WITH h AS (
-        |  SELECT doc_id, lang,
+        |  SELECT doc_id, coalesce(lang, '') AS lang,
         |    CAST('0x' || substr(md5('spl:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
         |  FROM documents),
         |r AS (
@@ -353,8 +353,14 @@ object CurationQueries {
       val h = conv(substring(md5(concat(lit("spl:"),
         col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
         .cast("long")
+      // Null-safe stratum key: an inner join on a NULL lang would drop
+      // the NULL stratum while the oracle's PARTITION BY keeps it — fold
+      // NULL into '' on BOTH engines (identity on current data, where
+      // lang is never null; a regenerated dataset with nulls stays
+      // green instead of silently diverging).
       val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), h.as("hv"))
+        .select(col("doc_id"), coalesce(col("lang"), lit("")).as("lang"),
+          h.as("hv"))
       val ranked = Ranks.globalRowNumber(docs, "grn",
         Seq(col("lang"), col("hv"), col("doc_id")))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))

@@ -2037,8 +2037,7 @@ object Exp2Queries {
         |  path[6] AS end_node
         |FROM walks WHERE t = 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
-      val n = ranked.count()
+      val (ranked, n) = graft.operators.Graph.stagedUserNodes(s, dir)
       val eraw = ranked
         .select(col("r").as("x"), ((col("r") * 31 + 7) % n).as("y"))
         .union(ranked.select(col("r").as("x"), ((col("r") + 1) % n).as("y")))
@@ -2828,8 +2827,7 @@ object Exp2Queries {
         |    * 1000000000.0) AS BIGINT)) AS BIGINT) AS q_nano
         |FROM dc LEFT JOIN ec USING (label) CROSS JOIN m_t""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
-      val n = ranked.count()
+      val (ranked, n) = graft.operators.Graph.stagedUserNodes(s, dir)
       val leader = col("r") - pmod(col("r"), lit(4L))
       val cyc = leader + pmod(col("r") + 1, lit(4L))
       val edgesIn = ranked.select(col("r").as("src"), leader.as("dst"))

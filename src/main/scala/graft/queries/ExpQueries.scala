@@ -415,8 +415,7 @@ object ExpQueries {
         |  len(list_filter(adj[r + 1], x -> alive[x + 1]))::BIGINT AS core_deg
         |FROM core, nodes, adj_t WHERE it = 6 AND alive[r + 1]""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
-      val n = ranked.count()
+      val (ranked, n) = graft.operators.Graph.stagedUserNodes(s, dir)
       val h = n - n / 3
       val r = col("r")
       val edges = ranked.where(r < h)
@@ -834,8 +833,7 @@ object ExpQueries {
         |SELECT r AS node, h[r + 1] AS hub, a[r + 1] AS auth
         |FROM hits, nodes WHERE it = 5""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val ranked = graft.operators.Graph.nodeIds(Tables.events(s, dir), "user_id")
-      val n = ranked.count()
+      val (ranked, n) = graft.operators.Graph.stagedUserNodes(s, dir)
       val edges = ranked
         .select(col("r").as("src"), ((col("r") + 1) % n).as("dst"))
         .union(ranked.select(col("r").as("src"),

@@ -24,11 +24,10 @@ object GraphQueries {
 
   /** Dense 0..n−1 node numbering over the distinct event users — the
     * same ranked-id contract q94 uses, minted scale-safe by
-    * [[Graph.nodeIds]] (range-bucketed rank, no global window). */
-  private def rankedUsers(s: SparkSession, dir: String): (DataFrame, Long) = {
-    val ranked = Graph.nodeIds(Tables.events(s, dir), "user_id")
-    (ranked, ranked.count())
-  }
+    * [[Graph.stagedUserNodes]] (range-bucketed rank, no global window;
+    * one persisted copy shared by every graph spec in the session). */
+  private def rankedUsers(s: SparkSession, dir: String): (DataFrame, Long) =
+    Graph.stagedUserNodes(s, dir)
 
   private val nodesSql =
     """nodes AS (

@@ -330,8 +330,7 @@ object QualityQueries {
         |    CAST(floor(unnest(p) * 1e9 + 0.5) AS BIGINT) AS pr_ppb
         |  FROM pr WHERE it = 10)
         |ORDER BY pr_ppb DESC, r LIMIT 20""".stripMargin) { (s, dir) =>
-      val ranked = Graph.nodeIds(Tables.events(s, dir), "user_id")
-      val n = ranked.count()
+      val (ranked, n) = Graph.stagedUserNodes(s, dir)
       val edges = ranked
         .select(col("r").as("src"), ((col("r") * 31 + 7) % n).as("dst"))
         .union(ranked.select(col("r").as("src"), ((col("r") + 1) % n).as("dst")))

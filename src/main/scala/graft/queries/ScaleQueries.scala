@@ -476,7 +476,7 @@ object ScaleQueries {
       }
     },
 
-    // Engine-portable HyperLogLog REGISTERS over the distinct-user
+    // Engine-portable HyperLogLog REGISTERS over the raw user-id
     // stream — the mergeable approx-distinct sketch with a full oracle
     // (q74 exercises Spark's built-in HLL sketch, whose binary is
     // engine-specific and rows-only by design; here every register is
@@ -491,7 +491,7 @@ object ScaleQueries {
     QuerySpec(
       "q183_hll_registers",
       """WITH h AS (
-        |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
         |    AS BIGINT) AS hv
         |  FROM events),
         |parts AS (
@@ -505,6 +505,69 @@ object ScaleQueries {
         |FROM rho GROUP BY bucket""".stripMargin) { (s, dir) =>
       ScaleQueries.hllRegisters(
         Tables.events(s, dir).select(col("user_id").cast("string").as("k")))
+    },
+
+    // Sharded HLL register MERGE — the cross-day pattern a 100 TB
+    // pipeline actually runs: each day's events fold into a 64-row
+    // register shard (one map-side combine per day partition), shards
+    // union, and the merged registers are the per-bucket max — no raw
+    // key ever crosses a day boundary. Upgrades q74's rows-only
+    // cross-day check to a fully-oracled one: every register is exact
+    // integer state, and the harmonic estimate is made hash-stable by
+    // exact integer scaling — z_scaled = sum over all 64 buckets of
+    // 2^(55 - max_rho) (missing buckets contribute 2^55) is an exact
+    // BIGINT both engines derive identically, and the only floating
+    // step is one constant-times-power-of-two multiply and one IEEE
+    // divide, bit-identical across engines, floored into a BIGINT.
+    QuerySpec(
+      "q184_hll_merge",
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT day, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(hv // 64)) AS BIGINT) END AS r
+        |  FROM h),
+        |shards AS (
+        |  SELECT day, bucket, max(r) AS max_rho FROM rho GROUP BY day, bucket),
+        |merged AS (
+        |  SELECT bucket, max(max_rho) AS max_rho FROM shards GROUP BY bucket),
+        |summary AS (
+        |  SELECT (SELECT CAST(count(DISTINCT day) AS BIGINT) FROM shards)
+        |      AS n_days,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INTEGER))
+        |      + (64 - count(*)) * 36028797018963968 AS BIGINT) AS z_scaled
+        |  FROM merged)
+        |SELECT m.bucket, m.max_rho, s.n_days,
+        |  CAST(floor(0.709e0 * 4096e0 * 36028797018963968e0
+        |    / CAST(s.z_scaled AS DOUBLE)) AS BIGINT) AS est_users
+        |FROM merged m CROSS JOIN summary s""".stripMargin) { (s, dir) =>
+      val h = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("hv"))
+      val rho = h
+        .select(col("day"), pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("day"), col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+      // Per-day shard (what each day's job would persist), then merge =
+      // per-bucket max. Both aggregations combine map-side; the shuffle
+      // carries at most 64 rows per day.
+      val shards = rho.groupBy("day", "bucket").agg(max(col("r")).as("max_rho"))
+      val merged = shards.groupBy("bucket").agg(max(col("max_rho")).as("max_rho"))
+      val nDays = shards.agg(countDistinct(col("day")).as("n_days"))
+      val zRow = merged.agg(
+        (sum(expr("shiftleft(1L, cast(55 - max_rho as int))")) +
+          (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("z_scaled"))
+      merged.crossJoin(broadcast(nDays)).crossJoin(broadcast(zRow))
+        .select(col("bucket"), col("max_rho"), col("n_days"),
+          floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+            col("z_scaled").cast("double")).cast("long").as("est_users"))
     }
   )
 
@@ -512,8 +575,13 @@ object ScaleQueries {
     * of (bucket, max_rho) exact integer state. Mergeable: registers of a
     * union = per-bucket max of the parts' registers. */
   def hllRegisters(keys: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // No distinct: per-bucket max(rho) is duplicate-idempotent, so hashing
+    // every row straight into the 64-bucket aggregate gives bit-identical
+    // registers while the plan stays a single map-side-combining
+    // aggregation (the whole point of the sketch — an exact distinct here
+    // would shuffle the full keyspace, costing what HLL exists to avoid).
     val h = keys.select(conv(substring(md5(col("k").cast("binary")), 1, 15),
-      16, 10).cast("long").as("hv")).distinct()
+      16, 10).cast("long").as("hv"))
     h.select(pmod(col("hv"), lit(64)).as("bucket"),
         expr("hv div 64").as("tail"))
       .select(col("bucket"),

@@ -23,6 +23,10 @@ import org.apache.spark.sql.SparkSession
   *    not statically provable (grouping on a bounded dimension key,
   *    a planted-constant filter) are reviewed and pinned in
   *    ScalePatternSpec's allowlist with their bound.
+  *  - `distinct-idempotent-agg`: an exact distinct whose consumer
+  *    aggregates with only max/min — duplicate-idempotent, so the
+  *    distinct buys nothing and shuffles the full keyspace (the q183
+  *    r7 finding, generalized).
   *
   * BroadcastNestedLoopJoin is deliberately NOT flagged: every instance
   * in this repo is a `crossJoin(broadcast(<1-row aggregate>))` attach,
@@ -63,6 +67,48 @@ object PlanLint {
     }.collect { case risky if risky.nonEmpty => risky.mkString(",") }
   }
 
+  /** Exact-distinct feeding a duplicate-idempotent aggregate — the q183
+    * shape: a pure-distinct Aggregate (grouping only, no aggregate
+    * functions; `Distinct`/`dropDuplicates` both optimize to this) whose
+    * consumer aggregates with ONLY max/min. Max/min ignore duplicates,
+    * so the distinct changes nothing in the result while shuffling every
+    * distinct key — the exact cost a bounded-state sketch exists to
+    * avoid. (A distinct under count/sum is a legitimate two-phase
+    * count-distinct and is NOT flagged.) Returns the consumer's grouping
+    * columns per offending site. */
+  def distinctIntoIdempotentAgg(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, Project}
+    @annotation.tailrec
+    def stripProjects(p: LogicalPlan): LogicalPlan = p match {
+      case pr: Project => stripProjects(pr.child)
+      case other => other
+    }
+    def pureDistinct(p: LogicalPlan): Boolean = p match {
+      case d: Aggregate => d.aggregateExpressions.forall(
+        _.collectFirst { case _: AggregateExpression => () }.isEmpty)
+      case _ => false
+    }
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case a: Aggregate =>
+        val fns = a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae.aggregateFunction })
+        val idempotentOnly = fns.nonEmpty && fns.forall {
+          case _: Max | _: Min => true
+          case _ => false
+        }
+        if (idempotentOnly && pureDistinct(stripProjects(a.child)))
+          Some(a.groupingExpressions.flatMap(_.collectFirst {
+            case n: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+              n.name
+          }).mkString(","))
+        else None
+    }.flatten
+  }
+
   def lint(spark: SparkSession, dir: String,
       include: String => Boolean = _ => true): Seq[Finding] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -83,7 +129,9 @@ object PlanLint {
               else Nil
             val bcast = broadcastRisks(df)
               .map(Finding(name, "broadcast-unbounded", _))
-            wins ++ cart ++ bcast
+            val dist = distinctIntoIdempotentAgg(df)
+              .map(Finding(name, "distinct-idempotent-agg", _))
+            wins ++ cart ++ bcast ++ dist
           } catch {
             case e: Throwable =>
               Seq(Finding(name, "error",

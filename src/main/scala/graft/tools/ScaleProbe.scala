@@ -1,0 +1,101 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-shot scale probe for the dedup capstone (the dd8 pipeline:
+  * portable MinHash-LSH pair discovery → connected components → cluster
+  * keepers): runs the SAME code at sf0.1 and at synthesized multiples of
+  * it, recording wall-clock, shuffle volume, task count, and peak task
+  * memory, so the "designed for 100×" claims rest on a measured
+  * extrapolation anchor (results land in `SCALE.md`).
+  *
+  * Synthesis: copy i of the corpus shifts doc_id by i·10⁷ and rewrites
+  * every 'e' to a per-copy digit. The rewrite perturbs a large fraction
+  * of the 5-char shingles, so replicas do NOT co-bucket with their
+  * originals — the scaled corpus keeps sf0.1's near-dup cluster
+  * structure per copy-class instead of minting factor-sized artificial
+  * clusters whose in-bucket quadratic blowup would measure a workload
+  * no real crawl has. (A real 10× crawl has ~10× the clusters, not
+  * 10×-bigger clusters.)
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [factors-csv]
+  */
+object ScaleProbe {
+
+  private final class ProbeListener extends SparkListener {
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    val peakMem = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled)
+        peakMem.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        tasks.incrementAndGet()
+      }
+    }
+  }
+
+  private def scaledDocs(spark: SparkSession, base: String,
+      factor: Int): DataFrame = {
+    val orig = Tables.documents(spark, base).select(col("doc_id"), col("text"))
+    (0 until factor).map { i =>
+      if (i == 0) orig
+      else orig.select((col("doc_id") + i * 10000000L).as("doc_id"),
+        translate(col("text"), "e", ('0' + (i % 10)).toChar.toString).as("text"))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors = (if (args.length > 1) args(1) else "1,3,10")
+      .split(",").toSeq.map(_.trim.toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    factors.foreach { f =>
+      val docs = scaledDocs(spark, base, f)
+      val listener = new ProbeListener
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val pairs = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
+        shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      val clusters = Dedup.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"))
+      val (nClusters, nPairs) = (clusters.count(), pairs.count())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val nDocs = docs.count()
+      // Listener bus drains asynchronously; give in-flight task-end
+      // events a moment before reading the counters.
+      Thread.sleep(2000)
+      spark.sparkContext.removeSparkListener(listener)
+      Dedup.releaseCaches()
+      def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+      println(
+        s"""{"probe":"dd8_minhash_clusters","factor":$f,"docs":$nDocs,""" +
+        s""""pairs":$nPairs,"clusters":$nClusters,""" +
+        f""""wall_s":$wall%.1f,""" +
+        s""""shuffle_read_mb":${mb(listener.shuffleRead.get)},""" +
+        s""""shuffle_write_mb":${mb(listener.shuffleWrite.get)},""" +
+        s""""spill_mb":${mb(listener.spill.get)},""" +
+        s""""peak_task_mem_mb":${mb(listener.peakMem.get)},""" +
+        s""""tasks":${listener.tasks.get}}""")
+    }
+    spark.stop()
+  }
+}

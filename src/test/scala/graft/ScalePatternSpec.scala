@@ -284,6 +284,45 @@ class ScalePatternSpec extends SparkSpec {
       cust.crossJoin(broadcast(cust.agg(count(lit(1)).as("n"))))).isEmpty)
   }
 
+  test("distinctIntoIdempotentAgg flags the q183 shape, passes count-distinct") {
+    import org.apache.spark.sql.functions.{col, count, max, pmod}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), pmod(col("user_id"), lit(64)).as("bucket"))
+    // Positive control: the LITERAL r7 q183 pipeline — distinct on the
+    // hash, derived bucket/rho projections, max-only aggregate. The
+    // projections matter: a DIRECT distinct→max is already elided by
+    // Spark's own RemoveRedundantAggregates, and a cheap single-use
+    // Project collapses into the aggregate and is elided too; q183
+    // survived both because hv/tail are each referenced twice in
+    // non-cheap expressions (CollapseProject declines), which is exactly
+    // the gap this lint covers.
+    def q183r7(dedup: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.DataFrame) = {
+      val h = dedup(ev.select(conv(substring(md5(col("user_id")
+        .cast("string").cast("binary")), 1, 15), 16, 10).cast("long").as("hv")))
+      h.select(pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+        .groupBy("bucket").agg(max(col("r")).as("max_rho"))
+    }
+    val bad = q183r7(_.distinct())
+    assert(graft.tools.PlanLint.distinctIntoIdempotentAgg(bad) == Seq("bucket"))
+    // dropDuplicates optimizes to the same pure-distinct Aggregate.
+    val bad2 = q183r7(_.dropDuplicates("hv"))
+    assert(graft.tools.PlanLint.distinctIntoIdempotentAgg(bad2).nonEmpty)
+    // Legitimate two-phase count-distinct: the distinct IS the semantics.
+    val ok = ev.distinct().groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(graft.tools.PlanLint.distinctIntoIdempotentAgg(ok).isEmpty)
+    // Two-level max (the q184 shard-merge shape): inner level is a real
+    // aggregate, not a distinct — must pass.
+    val ok2 = ev.groupBy("user_id", "bucket").agg(max("user_id").as("m"))
+      .groupBy("bucket").agg(max("m").as("m"))
+    assert(graft.tools.PlanLint.distinctIntoIdempotentAgg(ok2).isEmpty)
+  }
+
   test("registry-wide plan lint: bounded-grid allowlist only, no cartesians") {
     // PlanLint sweeps EVERY batch query's optimized + physical plan —
     // any new unpartitioned global window (the single-task sort the
