@@ -74,6 +74,8 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val pairs = Dedup.minhashNearDupsPortable(docs, "doc_id", "text",
         shingleK = 5, numHashes = 64, bands = 8, threshold = 0.8)
+      if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+        pairs.explain("formatted")
       val clusters = Dedup.connectedComponents(pairs, "id1", "id2")
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_docs"))
