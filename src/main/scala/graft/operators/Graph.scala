@@ -52,37 +52,23 @@ object Graph {
   // spec. This memo keys the staged table (and its count — every spec
   // needs n) per (session, dir), OUTSIDE the release queue: it is a
   // node DIMENSION (distinct users — thousands of rows at bench SFs,
-  // bounded by the user population at any SF), deliberately
-  // session-lifetime like [[graft.Tables]]'s plan memo, and weakly
-  // keyed so test sessions stay collectible. Unpersist-on-evict is
-  // unnecessary: eviction only happens when the session itself is
-  // collected, which drops its block manager with it.
-  private val userNodeMemo = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]]())
+  // bounded by the user population at any SF), session-lifetime by
+  // [[graft.SessionMemo]]'s contract.
+  private val userNodeMemo = new graft.SessionMemo[String, (DataFrame, Long)]
 
   /** The shared ranked-user node table of `dir`'s events — memoized
     * per session so consecutive graph specs reuse one persisted copy
     * instead of re-ranking the users per spec. Returns (nodes, n). */
   def stagedUserNodes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (DataFrame, Long) = {
-    val perSession = userNodeMemo.synchronized {
-      var m = userNodeMemo.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long)]()
-        userNodeMemo.put(spark, m)
-      }
-      m
-    }
-    perSession.computeIfAbsent(dir, { _ =>
+      dir: String): (DataFrame, Long) =
+    userNodeMemo.getOrElseUpdate(spark, dir) {
       val ranked = Ranks.globalRowNumber(
           graft.Tables.events(spark, dir).select(col("user_id")).distinct(),
           "r", Seq(col("user_id")))
         .select((col("r") - 1).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       (ranked, ranked.count())
-    })
-  }
+    }
 
   /** `iterations` rounds of damped PageRank over directed `edges`
     * (`src`, `dst` long columns; parallel edges deduplicated). Every

@@ -2419,6 +2419,42 @@ object Exp2Queries {
       graft.streaming.Streams.runToTable(ev, "st18_mem", "complete")
     },
 
+    // Streaming portable-HLL registers: q183's 64-bucket register state
+    // maintained over the event STREAM — per-bucket max(rho) is
+    // associative/commutative, so a complete-mode groupBy over the fixed
+    // bucket grid holds EXACTLY 64 rows of state no matter how many
+    // events flow (the streaming cardinality pattern that replaces an
+    // unbounded distinct-user dedup state with a sketch), and the
+    // streamed registers equal the batch registers register-for-register
+    // — which is precisely what the q183 batch oracle asserts.
+    QuerySpec(
+      "st19_stream_hll",
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) AS hv
+        |  FROM events),
+        |parts AS (
+        |  SELECT hv % 64 AS bucket, hv // 64 AS tail FROM h),
+        |rho AS (
+        |  SELECT bucket,
+        |    CASE WHEN tail = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(tail)) AS BIGINT) END AS r
+        |  FROM parts)
+        |SELECT bucket, max(r) AS max_rho
+        |FROM rho GROUP BY bucket""".stripMargin) { (s, dir) =>
+      val regs = graft.streaming.Streams.eventsStream(s, dir)
+        .select(conv(substring(md5(col("user_id").cast("string")
+          .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+        .select(pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+        .groupBy("bucket")
+        .agg(max(col("r")).as("max_rho"))
+      graft.streaming.Streams.runToTable(regs, "st19_mem", "complete")
+    },
+
     // Golden-record survivorship — the step after er2's clustering: each
     // entity's member records merge field-by-field under deterministic
     // rules (name: lexicographic min; balance: max — "most complete /
@@ -2467,26 +2503,11 @@ object Exp2Queries {
         |FROM members m JOIN segmode s ON s.entity_id = m.entity_id
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val base = Tables.customer(s, dir).select(col("c_custkey").as("id"),
-        col("c_name").as("name"), col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
-      val dirty = Tables.customer(s, dir)
-        .where(pmod(col("c_custkey"), lit(10)) === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
-          concat(col("c_name"), lit("x")).as("name"),
-          col("c_nationkey"), col("c_mktsegment"),
-          (floor(col("c_acctbal") * 100).cast("long") + 1000).as("bal_c"))
-      val recs = base.union(dirty)
-      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
-        col("c_nationkey"), col("c_mktsegment"))
-      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
-        col("c_nationkey"), col("c_mktsegment"))
-      val pairs = l.join(r, Seq("c_nationkey", "c_mktsegment"))
-        .where(col("id1") < col("id2") &&
-          levenshtein(col("n1"), col("n2"), 2) >= 0)
-        .select("id1", "id2")
-      val lab = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
-        .select(col("doc_id").as("record_id"), col("cluster_id").as("entity_id"))
+      // Records + blocked-match CC labels from the shared session-staged
+      // resolution (EntityResolution) — er2 consumes the identical label
+      // stage; this spec is the golden-record CONSUMER of it.
+      val recs = EntityResolution.records(s, dir)
+      val lab = EntityResolution.entityLabels(s, dir)
       val members = lab.join(recs, lab("record_id") === recs("id"))
         .select(col("entity_id"), col("name"), col("bal_c"), col("c_mktsegment"))
       val segmode = members.groupBy("entity_id", "c_mktsegment")

@@ -954,25 +954,11 @@ object ExpQueries {
         |SELECT record_id, entity_id,
         |  count(*) OVER (PARTITION BY entity_id)::BIGINT AS cluster_size
         |FROM lab""".stripMargin) { (s, dir) =>
-      val c = Tables.customer(s, dir).select(col("c_custkey").as("id"),
-        col("c_name").as("name"), col("c_nationkey"), col("c_mktsegment"))
-      val dirty = Tables.customer(s, dir)
-        .where(pmod(col("c_custkey"), lit(10)) === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
-          concat(col("c_name"), lit("x")).as("name"),
-          col("c_nationkey"), col("c_mktsegment"))
-      val recs = c.union(dirty)
-      val l = recs.select(col("id").as("id1"), col("name").as("n1"),
-        col("c_nationkey"), col("c_mktsegment"))
-      val r = recs.select(col("id").as("id2"), col("name").as("n2"),
-        col("c_nationkey"), col("c_mktsegment"))
-      val pairs = l.join(r, Seq("c_nationkey", "c_mktsegment"))
-        // Threshold variant: banded DP, -1 past the bound (see er1).
-        .where(col("id1") < col("id2") &&
-          levenshtein(col("n1"), col("n2"), 2) >= 0)
-        .select(col("id1"), col("id2"))
-      val cc = graft.operators.Dedup.connectedComponents(pairs, "id1", "id2")
-        .select(col("doc_id").as("record_id"), col("cluster_id").as("entity_id"))
+      // Blocked pairs + CC labels come from the shared, session-staged
+      // resolution (EntityResolution.entityLabels) — er3 consumes the
+      // identical stage, mirroring the run-once/consume-many production
+      // shape.
+      val cc = EntityResolution.entityLabels(s, dir)
       val sizes = cc.groupBy(col("entity_id")).agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "entity_id")
         .select("record_id", "entity_id", "cluster_size")

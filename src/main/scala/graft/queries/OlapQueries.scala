@@ -118,15 +118,7 @@ object OlapQueries {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         |  AND a.id < b.id
         |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin) { (s, dir) =>
-      val c = Tables.customer(s, dir)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"),
-          col("c_nationkey"), col("c_mktsegment"))
-      val dirty = Tables.customer(s, dir)
-        .where(pmod(col("c_custkey"), lit(10)) === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
-          concat(col("c_name"), lit("x")).as("name"),
-          col("c_nationkey"), col("c_mktsegment"))
-      val recs = c.union(dirty)
+      val recs = EntityResolution.records(s, dir)
       val l = recs.select(col("id").as("id1"), col("name").as("n1"),
         col("c_nationkey"), col("c_mktsegment"))
       val r = recs.select(col("id").as("id2"), col("name").as("n2"),
@@ -173,15 +165,7 @@ object OlapQueries {
         |    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
         |    AND a.id < b.id) t
         |WHERE jw >= 0.98""".stripMargin) { (s, dir) =>
-      val c = Tables.customer(s, dir)
-        .select(col("c_custkey").as("id"), col("c_name").as("name"),
-          col("c_nationkey"), col("c_mktsegment"))
-      val dirty = Tables.customer(s, dir)
-        .where(pmod(col("c_custkey"), lit(10)) === 0)
-        .select((col("c_custkey") + 1000000L).as("id"),
-          concat(col("c_name"), lit("x")).as("name"),
-          col("c_nationkey"), col("c_mktsegment"))
-      val recs = c.union(dirty)
+      val recs = EntityResolution.records(s, dir)
       val l = recs.select(col("id").as("id1"), col("name").as("n1"),
         col("c_nationkey"), col("c_mktsegment"))
       val r = recs.select(col("id").as("id2"), col("name").as("n2"),
