@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Ranks, Relational, TextAnalysis}
+import graft.operators.{Dedup, Ranks, Relational, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -568,6 +568,105 @@ object ScaleQueries {
         .select(col("bucket"), col("max_rho"), col("n_days"),
           floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
             col("z_scaled").cast("double")).cast("long").as("est_users"))
+    },
+
+    // Sketch ALGEBRA on the q184 register shards: day-over-day retained
+    // users estimated by inclusion–exclusion — |A∩B| ≈ est(A) + est(B)
+    // − est(A∪B), where est(A∪B) comes from per-bucket max of the two
+    // days' registers. This is how a 100 TB pipeline reports retention
+    // without ever storing a user set: 64 rows of state per day, union
+    // by max, three estimates per day pair. Same hash-stability
+    // discipline as q184 (exact integer z·2⁵⁵, IEEE-deterministic final
+    // divide, floor to BIGINT); IE can go negative at sketch error
+    // scale, clamped at 0 on both engines.
+    QuerySpec(
+      "q185_hll_retention",
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT day, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(hv // 64)) AS BIGINT) END AS r
+        |  FROM h),
+        |shards AS (
+        |  SELECT day, bucket, max(r) AS max_rho FROM rho GROUP BY day, bucket),
+        |days AS (SELECT DISTINCT day FROM shards),
+        |valid AS (
+        |  SELECT a.day AS pair FROM days a JOIN days b ON b.day = a.day + 1),
+        |dayest AS (
+        |  SELECT day,
+        |    CAST(floor(0.709e0 * 4096e0 * 36028797018963968e0 / CAST(
+        |      sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INTEGER))
+        |      + (64 - count(*)) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+        |      AS est
+        |  FROM shards GROUP BY day),
+        |uni AS (
+        |  SELECT pair, bucket, max(r) AS max_rho FROM (
+        |    SELECT day AS pair, bucket, max_rho AS r FROM shards
+        |    UNION ALL
+        |    SELECT day - 1 AS pair, bucket, max_rho FROM shards) u
+        |  JOIN valid USING (pair)
+        |  GROUP BY pair, bucket),
+        |uest AS (
+        |  SELECT pair,
+        |    CAST(floor(0.709e0 * 4096e0 * 36028797018963968e0 / CAST(
+        |      sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INTEGER))
+        |      + (64 - count(*)) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+        |      AS est_union
+        |  FROM uni GROUP BY pair)
+        |SELECT v.pair AS day, da.est AS est_day, db.est AS est_next,
+        |  ue.est_union,
+        |  greatest(0, da.est + db.est - ue.est_union) AS est_retained
+        |FROM valid v
+        |JOIN dayest da ON da.day = v.pair
+        |JOIN dayest db ON db.day = v.pair + 1
+        |JOIN uest ue ON ue.pair = v.pair""".stripMargin) { (s, dir) =>
+      val h = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("hv"))
+      val rho = h
+        .select(col("day"), pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("day"), col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+      val shards = Dedup.stage(
+        rho.groupBy("day", "bucket").agg(max(col("r")).as("max_rho")))
+      // z·2⁵⁵ exact-integer estimate over a register group (see q184).
+      val zExpr = (sum(expr("shiftleft(1L, cast(55 - max_rho as int))")) +
+        (lit(64L) - count(lit(1))) * lit(36028797018963968L))
+      def estCol(z: org.apache.spark.sql.Column) =
+        floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+          z.cast("double")).cast("long")
+      val dayEst = shards.groupBy("day").agg(zExpr.as("z"))
+        .select(col("day"), estCol(col("z")).as("est"))
+      val days = shards.select(col("day")).distinct()
+      val valid = days.as("a")
+        .join(days.as("b"), col("b.day") === date_add(col("a.day"), 1))
+        .select(col("a.day").as("pair"))
+      val uni = shards.select(col("day").as("pair"), col("bucket"),
+          col("max_rho").as("r"))
+        .unionByName(shards.select(date_sub(col("day"), 1).as("pair"),
+          col("bucket"), col("max_rho").as("r")))
+        .join(valid, "pair", "left_semi")
+        .groupBy("pair", "bucket").agg(max(col("r")).as("max_rho"))
+      val uEst = uni.groupBy("pair").agg(zExpr.as("z"))
+        .select(col("pair"), estCol(col("z")).as("est_union"))
+      valid
+        .join(dayEst.select(col("day"), col("est").as("est_day")),
+          col("pair") === col("day")).drop("day")
+        .join(dayEst.select(col("day"), col("est").as("est_next")),
+          col("pair") === date_sub(col("day"), 1)).drop("day")
+        .join(uEst, "pair")
+        .select(col("pair").as("day"), col("est_day"), col("est_next"),
+          col("est_union"),
+          greatest(lit(0L),
+            col("est_day") + col("est_next") - col("est_union"))
+            .as("est_retained"))
     }
   )
 
