@@ -284,6 +284,22 @@ class ScalePatternSpec extends SparkSpec {
       cust.crossJoin(broadcast(cust.agg(count(lit(1)).as("n"))))).isEmpty)
   }
 
+  test("q183 plan: one shuffle exchange total — the 64-row register agg") {
+    // The r7 verdict's fix contract: with the redundant distinct gone,
+    // the register build must be a single map-side-combining aggregation
+    // — ONE exchange carrying at most 64 partial-max rows per map task,
+    // nothing shuffling the raw hash keyspace.
+    val df = graft.queries.ScaleQueries.hllRegisters(
+      Tables.events(spark, "/root/testdata/sf0.001")
+        .select(col("user_id").cast("string").as("k")))
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle exchange, got $exchanges:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("distinctIntoIdempotentAgg flags the q183 shape, passes count-distinct") {
     import org.apache.spark.sql.functions.{col, count, max, pmod}
     val dir = "/root/testdata/sf0.001"
