@@ -300,6 +300,25 @@ class ScalePatternSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
   }
 
+  test("q185 sketch algebra invariants hold on every day pair") {
+    // Exact algebraic properties of the register formulation, true for
+    // ANY data (so they survive testdata regeneration): union registers
+    // dominate each side's registers pointwise, hence z_union <= z_side
+    // and est_union >= max(est_day, est_next); the IE estimate is
+    // clamped to [0, est_day + est_next].
+    val rows = graft.SparkEntry.queries("q185_hll_retention")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, u, ret) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))
+      assert(u >= math.max(a, b), s"union $u < max($a, $b) at ${r.get(0)}")
+      assert(ret >= 0 && ret <= a + b, s"retained $ret outside [0, ${a + b}]")
+      // IE identity under the clamp: ret = max(0, a + b - u).
+      assert(ret == math.max(0L, a + b - u))
+    }
+  }
+
   test("distinctIntoIdempotentAgg flags the q183 shape, passes count-distinct") {
     import org.apache.spark.sql.functions.{col, count, max, pmod}
     val dir = "/root/testdata/sf0.001"
