@@ -242,4 +242,79 @@ object Ingest {
     writeParquetOverwrite(companies, s"$baseDir/companies.parquet")
     writeParquetOverwrite(users, s"$baseDir/users.parquet")
   }
+
+  // --- snapshot-versioned multi-table commit -----------------------------
+
+  private def pointerFile(baseDir: String) =
+    java.nio.file.Paths.get(baseDir, "_current")
+
+  /** Version the `_current` pointer names, or 0 before the first commit. */
+  def currentVersion(baseDir: String): Long = {
+    val p = pointerFile(baseDir)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+    else 0L
+  }
+
+  /** TRUE all-or-nothing multi-table load — the cross-table transaction
+    * [[writeStar]]'s write-order discipline documents as a gap
+    * (`dags/users_etl.py:140-159` runs one Postgres commit across three
+    * tables). Storage has no transactions, so the commit is moved to a
+    * single atomic POINTER swap, the same idea a table format's catalog
+    * commit implements: every table of snapshot N+1 is fully written
+    * under `baseDir/vN+1/` while readers keep resolving `_current` → vN;
+    * the one mutation readers can observe is an atomic rename of the new
+    * pointer, after which EVERY table reads at N+1. A failure anywhere
+    * before the swap leaves `_current` untouched — no reader ever sees a
+    * torn cross-table state, and the orphaned staging dir is re-created
+    * on retry. Single-writer by design (concurrent committers need a
+    * conditional swap — a catalog CAS or object-store if-match PUT — the
+    * documented next step this local-fs analog stands in for).
+    * Returns the committed version. */
+  def commitSnapshot(tables: Map[String, DataFrame], baseDir: String): Long = {
+    require(tables.nonEmpty, "empty snapshot")
+    new java.io.File(baseDir).mkdirs()
+    val next = currentVersion(baseDir) + 1
+    val vdir = s"$baseDir/v$next"
+    // Fresh staging dir per attempt: a crashed attempt's leftovers are
+    // overwritten, never promoted.
+    tables.foreach { case (name, df) =>
+      df.write.mode(SaveMode.Overwrite).parquet(s"$vdir/$name.parquet")
+    }
+    // The commit point: write-temp + ATOMIC_MOVE. Everything before this
+    // line is invisible to readers; everything after is fully visible.
+    val tmp = java.nio.file.Paths.get(baseDir, s"_current.tmp$next")
+    java.nio.file.Files.write(tmp, next.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, pointerFile(baseDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Read `table` at the CURRENT committed snapshot. The version is
+    * resolved once at plan time — a concurrent [[commitSnapshot]] never
+    * retargets an already-built plan (old snapshot dirs stay on disk
+    * until [[vacuumSnapshots]]). */
+  def readSnapshot(spark: SparkSession, baseDir: String,
+      table: String): DataFrame = {
+    val v = currentVersion(baseDir)
+    require(v > 0, s"no committed snapshot under $baseDir")
+    spark.read.parquet(s"$baseDir/v$v/$table.parquet")
+  }
+
+  /** Drop snapshot dirs older than the newest `keep` (in-flight readers
+    * of retained versions are unaffected; this is the GC half of the
+    * pointer-swap contract). */
+  def vacuumSnapshots(baseDir: String, keep: Int = 2): Seq[Long] = {
+    val cur = currentVersion(baseDir)
+    val versions = Option(new java.io.File(baseDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).sorted
+    val drop = versions.filter(v => v <= cur - keep)
+    drop.foreach { v =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$baseDir/v$v"))
+    }
+    drop
+  }
 }

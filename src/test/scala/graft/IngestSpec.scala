@@ -297,6 +297,46 @@ class IngestSpec extends SparkSpec {
     assert(graft.operators.Relational.fkOrphans(u, "company_uuid", c, "uuid").count() == 0)
   }
 
+  test("commitSnapshot: all-or-nothing multi-table commit via pointer swap") {
+    val dir = Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+    val raw = Ingest.readJsonString(spark, payload)
+    val (users, addresses, companies) = RefPipeline.normalizeUsers(raw)
+    // v1: clean commit of the star.
+    assert(Ingest.commitSnapshot(Map(
+      "addresses" -> addresses, "companies" -> companies,
+      "users" -> users), dir) == 1L)
+    assert(Ingest.currentVersion(dir) == 1L)
+    assert(Ingest.readSnapshot(spark, dir, "users").count() == 2)
+    // v2 attempt that fails mid-write (the LAST table's job throws after
+    // the first two already landed in the staging dir): the pointer must
+    // be untouched and every table must still read at v1 — no torn
+    // cross-table state, the exact failure writeStar's write-order
+    // discipline cannot mask.
+    val poisoned = users.withColumn("boom",
+      org.apache.spark.sql.functions.expr("assert_true(cast(id as long) < 0)"))
+    intercept[Exception] {
+      Ingest.commitSnapshot(Map(
+        "addresses" -> addresses, "companies" -> companies,
+        "users" -> poisoned), dir)
+    }
+    assert(Ingest.currentVersion(dir) == 1L)
+    Seq("users", "addresses", "companies").foreach { t =>
+      assert(Ingest.readSnapshot(spark, dir, t).count() > 0)
+    }
+    // Retry succeeds: version 2 everywhere, new data visible atomically.
+    val users2 = users.withColumn("reloaded",
+      org.apache.spark.sql.functions.lit(true))
+    assert(Ingest.commitSnapshot(Map(
+      "addresses" -> addresses, "companies" -> companies,
+      "users" -> users2), dir) == 2L)
+    assert(Ingest.readSnapshot(spark, dir, "users")
+      .columns.contains("reloaded"))
+    // Vacuum keeps the newest snapshot only; v1 is collected.
+    assert(Ingest.vacuumSnapshots(dir, keep = 1) == Seq(1L))
+    assert(!new java.io.File(s"$dir/v1").exists())
+    assert(Ingest.readSnapshot(spark, dir, "users").count() == 2)
+  }
+
   test("schemaDiff: added/removed/retyped columns; compatibility gate") {
     import org.apache.spark.sql.types._
     val before = StructType(Seq(
