@@ -284,6 +284,32 @@ class ScalePatternSpec extends SparkSpec {
       cust.crossJoin(broadcast(cust.agg(count(lit(1)).as("n"))))).isEmpty)
   }
 
+  test("partition-count independence: results identical at width 5 vs default") {
+    // The portability discipline's operational claim: every draw, split,
+    // sketch, and near-dup decision derives from row CONTENT (portable
+    // hashes, fixed-point terms), never from partition layout — so the
+    // same query at a different shuffle width returns byte-identical
+    // rows. This is what makes results stable under retries, AQE
+    // re-planning, and cluster resizing at 100 TB.
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q93_weighted_sample", "tx8_hash_split",
+      "dd4_dedup_minhash_lsh", "q183_hll_registers", "q185_hll_retention")
+    def rowsOf(name: String): Seq[String] = {
+      val out = graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      graft.operators.Dedup.releaseCaches(spark)
+      out
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = names.map(n => n -> rowsOf(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      names.foreach { n =>
+        assert(rowsOf(n) == baseline(n), s"$n diverged at width 5")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q183 plan: one shuffle exchange total — the 64-row register agg") {
     // The r7 verdict's fix contract: with the redundant distinct gone,
     // the register build must be a single map-side-combining aggregation
