@@ -667,6 +667,65 @@ object ScaleQueries {
           greatest(lit(0L),
             col("est_day") + col("est_next") - col("est_union"))
             .as("est_retained"))
+    },
+
+    // Rolling 7-day active users from the SAME register shards — the
+    // third member of the register-algebra family (q184 merge, q185
+    // retention): for each day, union the trailing week's shards by
+    // per-bucket max and estimate. The production "7-day actives"
+    // metric with 64 rows of state per day and no user sets; the
+    // spine×shards range join is calendar-bounded on both sides
+    // (days × 64 buckets), never corpus-sized.
+    QuerySpec(
+      "q186_hll_rolling",
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT day, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(hv // 64)) AS BIGINT) END AS r
+        |  FROM h),
+        |shards AS (
+        |  SELECT day, bucket, max(r) AS max_rho FROM rho GROUP BY day, bucket),
+        |days AS (SELECT DISTINCT day FROM shards),
+        |win AS (
+        |  SELECT d.day, s.bucket, max(s.max_rho) AS max_rho
+        |  FROM days d JOIN shards s
+        |    ON s.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day, s.bucket)
+        |SELECT day,
+        |  CAST(floor(0.709e0 * 4096e0 * 36028797018963968e0 / CAST(
+        |    sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INTEGER))
+        |    + (64 - count(*)) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+        |    AS est_users_7d
+        |FROM win GROUP BY day""".stripMargin) { (s, dir) =>
+      val h = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("hv"))
+      val rho = h
+        .select(col("day"), pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("day"), col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+      val shards = Dedup.stage(
+        rho.groupBy("day", "bucket").agg(max(col("r")).as("max_rho")))
+      val days = shards.select(col("day")).distinct()
+      val win = days.as("d")
+        .join(shards.as("s"),
+          col("s.day").between(date_sub(col("d.day"), 6), col("d.day")))
+        .groupBy(col("d.day").as("day"), col("s.bucket").as("bucket"))
+        .agg(max(col("s.max_rho")).as("max_rho"))
+      win.groupBy("day")
+        .agg((sum(expr("shiftleft(1L, cast(55 - max_rho as int))")) +
+          (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("z"))
+        .select(col("day"),
+          floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+            col("z").cast("double")).cast("long").as("est_users_7d"))
     }
   )
 
