@@ -726,6 +726,73 @@ object ScaleQueries {
         .select(col("day"),
           floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
             col("z").cast("double")).cast("long").as("est_users_7d"))
+    },
+
+    // Growth accounting from the shards — cumulative distinct users per
+    // day (prefix union of registers: est is monotone because registers
+    // only grow) and NEW users per day as the cumulative delta. Rounds
+    // out the family: DAU = per-day shards, WAU = q186's rolling union,
+    // retention = q185's IE, growth = this prefix union. The lag window
+    // is a day-grain calendar-bounded series (the q107/q165 allowlisted
+    // shape); the prefix join is days × days × 64 — calendar², never
+    // corpus-sized.
+    QuerySpec(
+      "q187_hll_growth",
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |rho AS (
+        |  SELECT day, hv % 64 AS bucket,
+        |    CASE WHEN hv // 64 = 0 THEN CAST(55 AS BIGINT)
+        |         ELSE CAST(55 - length(bin(hv // 64)) AS BIGINT) END AS r
+        |  FROM h),
+        |shards AS (
+        |  SELECT day, bucket, max(r) AS max_rho FROM rho GROUP BY day, bucket),
+        |days AS (SELECT DISTINCT day FROM shards),
+        |pre AS (
+        |  SELECT d.day, s.bucket, max(s.max_rho) AS max_rho
+        |  FROM days d JOIN shards s ON s.day <= d.day
+        |  GROUP BY d.day, s.bucket),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(floor(0.709e0 * 4096e0 * 36028797018963968e0 / CAST(
+        |      sum(CAST(1 AS BIGINT) << CAST(55 - max_rho AS INTEGER))
+        |      + (64 - count(*)) * 36028797018963968 AS DOUBLE)) AS BIGINT)
+        |      AS est_cum
+        |  FROM pre GROUP BY day)
+        |SELECT day, est_cum,
+        |  est_cum - lag(est_cum, 1, CAST(0 AS BIGINT)) OVER (ORDER BY day)
+        |    AS est_new
+        |FROM cum""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"),
+        conv(substring(md5(col("user_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("hv"))
+      val rho = h
+        .select(col("day"), pmod(col("hv"), lit(64)).as("bucket"),
+          expr("hv div 64").as("tail"))
+        .select(col("day"), col("bucket"),
+          when(col("tail") === 0, 55L)
+            .otherwise(lit(55L) - length(bin(col("tail")))).as("r"))
+      val shards = Dedup.stage(
+        rho.groupBy("day", "bucket").agg(max(col("r")).as("max_rho")))
+      val days = shards.select(col("day")).distinct()
+      val pre = days.as("d")
+        .join(shards.as("s"), col("s.day") <= col("d.day"))
+        .groupBy(col("d.day").as("day"), col("s.bucket").as("bucket"))
+        .agg(max(col("s.max_rho")).as("max_rho"))
+      val cum = pre.groupBy("day")
+        .agg((sum(expr("shiftleft(1L, cast(55 - max_rho as int))")) +
+          (lit(64L) - count(lit(1))) * lit(36028797018963968L)).as("z"))
+        .select(col("day"),
+          floor(lit(0.709) * lit(4096.0) * lit(3.6028797018963968e16) /
+            col("z").cast("double")).cast("long").as("est_cum"))
+      cum.select(col("day"), col("est_cum"),
+        (col("est_cum") - lag(col("est_cum"), 1, 0L)
+          .over(Window.orderBy(col("day")))).as("est_new"))
     }
   )
 

@@ -391,6 +391,7 @@ class ScalePatternSpec extends SparkSpec {
     // the registry fails here unless its input is provably bounded and
     // recorded below with its bound.
     val allowed = Map(
+      "q187_hll_growth" -> "day-grain series (calendar-bounded)",
       "q107_period_over_period" -> "month-grain series (calendar-bounded)",
       "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
       "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
