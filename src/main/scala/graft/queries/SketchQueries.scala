@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.KMinValues
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Round-8 sketch algebra beyond HLL: KMV (k-minimum-values) distinct
+  * sketches — whose set-operation support (union / intersection /
+  * Jaccard) is exactly what the register-only HLL family can't do
+  * without inclusion–exclusion error stacking — and a DDSketch-style
+  * log-bucketed quantile summary, upgrading the approx-percentile
+  * pattern (q57, rows-only: Spark's KLL binary is engine-specific) to a
+  * fully-DuckDB-oracled mergeable sketch.
+  *
+  * Shared discipline with the q183–q187 HLL family: every piece of
+  * sketch state is exact integer math both engines derive identically
+  * (md5-prefix 60-bit hashes, `length(bin(x))` bit-lengths, shifts and
+  * integer division); the only floating steps are single IEEE
+  * multiply/divides floored into BIGINT — bit-identical across engines.
+  *
+  * Reference anchor: the reference's analytics layer delegates distinct
+  * counts and percentiles to Postgres over full data
+  * (`sql/blog_post_queries.sql:4-38`); at 100 TB those become bounded
+  * sketch state with map-side combine — the operators this file
+  * registers.
+  */
+object SketchQueries {
+
+  /** Sketch size: rel. std-error ≈ 1/sqrt(k-2) ≈ 6.3 %. */
+  private val K = 256
+
+  /** Hash space: hashes are uniform 60-bit md5 prefixes in [0, 2^60). */
+  private val M = 1152921504606846976L // 2^60, exactly representable
+
+  /** Portable 60-bit hash of a string column — same recipe as the HLL
+    * family (q183): md5 hex prefix, identical in Spark and DuckDB. */
+  private def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** KMV estimate from a sorted sketch array: exact count below k
+    * (the sketch IS the distinct set), else (k-1)·M / h_k floored —
+    * one IEEE multiply+divide, deterministic across engines. */
+  private def kmvEstimate(sk: Column): Column =
+    when(size(sk) < K, size(sk).cast("long"))
+      .otherwise(floor((size(sk) - 1).cast("double") * lit(M.toDouble) /
+        element_at(sk, -1).cast("double")).cast("long"))
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // KMV distinct sketch over the event user stream. The oracle is the
+    // relational spec (DISTINCT → ORDER BY → LIMIT k); the engine plan
+    // is the scalable one: a typed Aggregator whose partial state is a
+    // sorted ≤ k array per partition — map-side combine, one bounded
+    // array per partition over the wire, NO distinct shuffle (the exact
+    // cost the r7 q183 finding flagged). Harness SFs exercise both
+    // estimator branches: 15/150 distinct users (< k → exact path) at
+    // sf0.001/0.01, 1500 (> k → (k-1)·M/h_k path) at sf0.1.
+    QuerySpec(
+      "q188_kmv_sketch",
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST('0x' ||
+         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events),
+         |k AS (SELECT hv FROM h ORDER BY hv LIMIT $K),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rank FROM k),
+         |s AS (SELECT max(hv) AS h_k, CAST(count(*) AS BIGINT) AS n_k FROM k)
+         |SELECT CAST(r.rank AS BIGINT) AS rank, r.hv,
+         |  CASE WHEN s.n_k < $K THEN s.n_k
+         |       ELSE CAST(floor(CAST(s.n_k - 1 AS DOUBLE) * ${M}e0
+         |         / CAST(s.h_k AS DOUBLE)) AS BIGINT) END AS est_distinct
+         |FROM r CROSS JOIN s""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new KMinValues(K), Encoders.scalaLong)
+      Tables.events(s, dir)
+        .select(hash60(col("user_id").cast("string")).as("hv"))
+        .agg(kmv(col("hv")).as("sk"))
+        .select(col("sk"), posexplode(col("sk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col").as("hv"), kmvEstimate(col("sk")).as("est_distinct"))
+    },
+
+    // KMV SET ALGEBRA — the operation HLL registers cannot express
+    // without stacking inclusion–exclusion error (q185): estimated
+    // union, intersection, and Jaccard of two key sets from two bounded
+    // sketches. Keys are user-days; sets are "days a user clicked" vs
+    // "days a user purchased", so the intersection is a real
+    // same-day-conversion overlap, not a degenerate all-users match.
+    // Union sketch = k smallest of the two sketch SETS (array_sort ∘
+    // array_union ∘ slice — in-row array ops on two ≤ k arrays);
+    // J ≈ |union sketch ∩ A ∩ B| / |union sketch|; every output is
+    // integer (permille for J, integer-division estimates) so both
+    // engines agree bit-for-bit.
+    QuerySpec(
+      "q189_kmv_jaccard",
+      s"""WITH a AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(
+         |      CAST(user_id AS VARCHAR) || '-' ||
+         |      CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events WHERE event_type = 'click'),
+         |b AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(
+         |      CAST(user_id AS VARCHAR) || '-' ||
+         |      CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events WHERE event_type = 'purchase'),
+         |ka AS (SELECT hv FROM a ORDER BY hv LIMIT $K),
+         |kb AS (SELECT hv FROM b ORDER BY hv LIMIT $K),
+         |u AS (SELECT hv FROM (
+         |    SELECT hv FROM ka UNION SELECT hv FROM kb)
+         |  ORDER BY hv LIMIT $K),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k_union, max(hv) AS h_k
+         |      FROM u),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+         |      FROM u JOIN ka USING (hv) JOIN kb USING (hv)),
+         |e AS (SELECT s.k_union, s.h_k, c.n_common,
+         |    CASE WHEN s.k_union < $K THEN s.k_union
+         |         ELSE CAST(floor(CAST(s.k_union - 1 AS DOUBLE) * ${M}e0
+         |           / CAST(s.h_k AS DOUBLE)) AS BIGINT) END AS est_union
+         |  FROM s CROSS JOIN c)
+         |SELECT k_union, h_k, n_common, est_union,
+         |  (est_union * n_common) // k_union AS est_intersect,
+         |  (n_common * 1000) // k_union AS jaccard_permille
+         |FROM e""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new KMinValues(K), Encoders.scalaLong)
+      val ev = Tables.events(s, dir)
+      def sketch(t: String, as: String): DataFrame =
+        ev.where(col("event_type") === t)
+          .select(hash60(concat(col("user_id").cast("string"), lit("-"),
+            to_date(col("ts")).cast("string"))).as("hv"))
+          .agg(kmv(col("hv")).as(as)) // 1 row: maxRows-bounded attach
+      sketch("click", "sa").crossJoin(sketch("purchase", "sb"))
+        .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))),
+          1, K))
+        .select(size(col("u")).cast("long").as("k_union"),
+          element_at(col("u"), -1).as("h_k"),
+          size(array_intersect(array_intersect(col("u"), col("sa")),
+            col("sb"))).cast("long").as("n_common"),
+          kmvEstimate(col("u")).as("est_union"))
+        .select(col("k_union"), col("h_k"), col("n_common"), col("est_union"),
+          expr("(est_union * n_common) div k_union").as("est_intersect"),
+          expr("(n_common * 1000) div k_union").as("jaccard_permille"))
+    },
+
+    // DDSketch-style log-bucketed quantile summary over line-item price
+    // cents — the fully-oracled mergeable upgrade of the q57
+    // approx-percentile pattern (Spark's KLL binary is engine-specific
+    // and rows-only by design). Bucket = value truncated to 3
+    // significand bits: s = bitlen(v)-3, lo = (v >> s) << s — pure
+    // integer both engines, relative bucket width ≤ 1/4 so the midpoint
+    // estimate is within 12.5 % of any value in the bucket (pinned vs
+    // exact percentiles in SketchSpec). The histogram is built as
+    // per-ship-year SHARDS then merged by per-bucket SUM — the
+    // mergeability a 100 TB pipeline needs is in the oracled path
+    // itself, not just a scalatest. State is ~32 buckets; the quantile
+    // walk is a bounded-grid self-join (no global window, no sort of
+    // the data).
+    QuerySpec(
+      "q190_dds_quantiles",
+      """WITH v AS (
+        |  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |buck AS (
+        |  SELECT yr, ((v // (CAST(1 AS BIGINT) << s)) << s) AS lo FROM (
+        |    SELECT yr, v, greatest(length(bin(v)), 3) - 3 AS s FROM v)),
+        |shards AS (
+        |  SELECT yr, lo, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM buck GROUP BY yr, lo),
+        |merged AS (
+        |  SELECT lo, CAST(sum(cnt) AS BIGINT) AS cnt FROM shards GROUP BY lo),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+        |cum AS (
+        |  SELECT a.lo, CAST(sum(b.cnt) AS BIGINT) AS cum
+        |  FROM merged a JOIN merged b ON b.lo <= a.lo GROUP BY a.lo),
+        |q(q_permille) AS (VALUES (250), (500), (750), (900), (990)),
+        |t AS (
+        |  SELECT CAST(q_permille AS BIGINT) AS q_permille,
+        |    CAST((q_permille * n + 999) // 1000 AS BIGINT) AS target_rank
+        |  FROM q CROSS JOIN tot),
+        |ans AS (
+        |  SELECT t.q_permille, t.target_rank, min(c.lo) AS est_lo
+        |  FROM t JOIN cum c ON c.cum >= t.target_rank GROUP BY 1, 2),
+        |w AS (
+        |  SELECT q_permille, target_rank, est_lo,
+        |    CASE WHEN est_lo < 4 THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << (length(bin(est_lo)) - 3)
+        |    END AS bucket_width
+        |  FROM ans)
+        |SELECT q_permille, target_rank, est_lo, bucket_width,
+        |  est_lo + bucket_width // 2 AS est_mid
+        |FROM w""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val v = Tables.lineitem(s, dir).select(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      val buck = v
+        .withColumn("s", expr("cast(greatest(length(bin(v)), 3) - 3 as int)"))
+        .select(col("yr"),
+          expr("shiftleft(v div shiftleft(1L, s), s)").as("lo"))
+      // Per-year shards (what each partition's job persists), merged by
+      // per-bucket sum — both aggregations combine map-side; the shuffle
+      // carries ~32 rows per year.
+      val shards = buck.groupBy("yr", "lo").agg(count(lit(1)).as("cnt"))
+      val merged = shards.groupBy("lo").agg(sum(col("cnt")).as("cnt"))
+      val tot = merged.agg(sum(col("cnt")).as("n"))
+      val cum = merged.select(col("lo").as("lo_b"), col("cnt").as("cnt_b"))
+        .join(merged, col("lo_b") <= col("lo"))
+        .groupBy("lo").agg(sum(col("cnt_b")).as("cum"))
+      val targets = Seq(250L, 500L, 750L, 900L, 990L).toDF("q_permille")
+        .crossJoin(broadcast(tot)) // 1-row aggregate: maxRows-bounded
+        .select(col("q_permille"),
+          expr("(q_permille * n + 999) div 1000").as("target_rank"))
+      targets.join(cum, col("cum") >= col("target_rank"))
+        .groupBy("q_permille", "target_rank").agg(min(col("lo")).as("est_lo"))
+        .withColumn("bucket_width", when(col("est_lo") < 4, 1L)
+          .otherwise(expr("shiftleft(1L, cast(length(bin(est_lo)) - 3 as int))")))
+        .select(col("q_permille"), col("target_rank"), col("est_lo"),
+          col("bucket_width"),
+          (col("est_lo") + expr("bucket_width div 2")).as("est_mid"))
+    }
+  )
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.KMinValues
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** KMV + DDSketch family (q188–q190): aggregator set semantics,
+  * mergeability, estimator error bounds, plan shape, and
+  * partition-count independence. */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("KMinValues keeps the k smallest DISTINCT values, sorted") {
+    val agg = new KMinValues(4)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 7L)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq(1L, 2L, 3L, 7L))
+    // Values worse than the current k-th are rejected without growth.
+    assert(agg.reduce(buf, 100L) == Seq(1L, 2L, 3L, 7L))
+    // A better value displaces the tail.
+    assert(agg.reduce(buf, 0L) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("KMinValues merge is a capped sorted SET union (idempotent)") {
+    val agg = new KMinValues(4)
+    val a = Seq(1L, 3L, 5L, 7L)
+    val b = Seq(2L, 3L, 6L, 9L)
+    assert(agg.merge(a, b) == Seq(1L, 2L, 3L, 5L))
+    assert(agg.merge(a, a) == a) // self-merge: no duplicate inflation
+    assert(agg.merge(a, Nil) == a)
+  }
+
+  test("KMV mergeability: sketch(A union B) == merge(sketch(A), sketch(B))") {
+    // The cross-shard contract a 100 TB pipeline relies on: per-day KMV
+    // shards merge into exactly the sketch of the concatenated stream.
+    val agg = new KMinValues(64)
+    def hash(i: Long): Long = graft.expressions.Hashing.splitmix64(i) >>> 4
+    val skA = (0L until 5000L).map(hash).foldLeft(agg.zero)(agg.reduce)
+    val skB = (3000L until 9000L).map(hash).foldLeft(agg.zero)(agg.reduce)
+    val skAll = (0L until 9000L).map(hash).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(skA, skB) == skAll)
+  }
+
+  test("KMV estimator: within 20% of a 100k-distinct synthetic truth") {
+    // (k-1)·M/h_k with k=256 has rel std-error ~1/sqrt(254) ≈ 6.3 %;
+    // 20 % is a fixed-hash 3-sigma bound (deterministic, not flaky).
+    val k = 256
+    val kmv = udaf(new KMinValues(k), Encoders.scalaLong)
+    val est = spark.range(100000)
+      .select(conv(substring(md5(col("id").cast("string").cast("binary")),
+        1, 15), 16, 10).cast("long").as("hv"))
+      .agg(kmv(col("hv")).as("sk"))
+      .select(floor(lit((k - 1).toDouble) * lit(1.152921504606846976e18) /
+        element_at(col("sk"), -1).cast("double")).cast("long"))
+      .as[Long].head()
+    assert(math.abs(est - 100000.0) / 100000.0 < 0.20,
+      s"KMV estimate $est off by more than 20% from 100000")
+  }
+
+  test("q188 plan: one shuffle exchange total — the bounded sketch agg") {
+    // Same contract as q183's register build: the KMV aggregation must
+    // be ONE map-side-combining aggregate — a <=k array per partition
+    // over the wire, never a distinct shuffle of the keyspace.
+    val df = SparkEntry.queries("q188_kmv_sketch")(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle exchange, got $exchanges:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("q189 algebraic invariants: intersection within union, J in [0,1]") {
+    val row = SparkEntry.queries("q189_kmv_jaccard")(spark, dir)
+      .select("k_union", "n_common", "est_union", "est_intersect",
+        "jaccard_permille").as[(Long, Long, Long, Long, Long)].head()
+    val (kU, nC, estU, estI, jac) = row
+    assert(nC >= 0 && nC <= kU)
+    assert(estI >= 0 && estI <= estU)
+    assert(jac >= 0 && jac <= 1000)
+    // Identical inputs must give J = 1 exactly (sketch == union sketch).
+    val agg = new KMinValues(16)
+    val sk = (1L to 100L).map(i =>
+      graft.expressions.Hashing.splitmix64(i) >>> 4)
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(sk, sk) == sk)
+  }
+
+  test("q190 bucket invariant: est_mid within 12.5% of the exact quantile") {
+    // Bucket width is 2^s with lower bound idx·2^s, idx in [4,8) — so
+    // width/lo <= 1/4 and the midpoint is within 1/8 of ANY member of
+    // the bucket, including the exact target-rank value. True for any
+    // data (regeneration-proof).
+    val out = SparkEntry.queries("q190_dds_quantiles")(spark, dir)
+      .select("q_permille", "target_rank", "est_mid")
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("v"))
+      .orderBy("v").as[Long].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, rank, mid) =>
+      val truth = exact((rank - 1).toInt)
+      assert(math.abs(mid - truth).toDouble / truth <= 0.125,
+        s"q=$q: est_mid $mid vs exact $truth exceeds 12.5%")
+    }
+  }
+
+  test("partition-count independence: sketch results identical at width 5") {
+    // Sketch state derives from row CONTENT (portable hashes, integer
+    // bucketing), never partition layout — byte-identical results under
+    // any shuffle width (retries, AQE re-plans, cluster resizing).
+    val names =
+      Seq("q188_kmv_sketch", "q189_kmv_jaccard", "q190_dds_quantiles")
+    def rowsOf(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = names.map(n => n -> rowsOf(n)).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      names.foreach { n =>
+        assert(rowsOf(n) == baseline(n), s"$n diverged at width 5")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
