@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.expressions.Hashing
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Ranks, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -27,6 +28,54 @@ object CurationQueries {
     * [[TextAnalysis.tokens]]). */
   private val duckToks =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** Shared DuckDB CTE chain ending in `nll(doc_id, n_pairs, nll_sum_c)`
+    * — the add-one-smoothed bigram NLL of tx17, reused by tx36's
+    * CCNet-style bucketing. Each pair's -ln p is fixed-pointed BEFORE
+    * the per-doc sum, so the aggregation is pure integer math. */
+  private lazy val bigramNllCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents),
+       |pairs AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       |    i -> struct_pack(w1 := toks[i], pair := toks[i] || ' ' || toks[i+1]))) AS p
+       |  FROM toks WHERE len(toks) >= 2),
+       |flat AS (SELECT doc_id, p.w1 AS w1, p.pair AS pair FROM pairs),
+       |cp AS (SELECT pair, count(*) AS cp FROM flat GROUP BY 1),
+       |cw AS (SELECT w1, count(*) AS cw FROM flat GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w1) AS v FROM flat),
+       |nll AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CAST(floor(-ln((cp.cp + 1.0) / (cw.cw + v.v)) * 1e6 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS nll_sum_c
+       |  FROM flat JOIN cp USING (pair) JOIN cw USING (w1) CROSS JOIN v
+       |  GROUP BY 1)""".stripMargin
+
+  /** Per-doc add-one-smoothed bigram NLL: (doc_id, n_pairs, nll_sum_c)
+    * — the Spark twin of [[bigramNllCtes]] (see tx17 for the plan
+    * notes: two corpus-stat shuffles + one broadcast-back join). */
+  private def bigramNll(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    val flat = toks
+      .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)).as("pair"))).as("ps"))
+      .select(col("doc_id"), explode_outer(col("ps")).as("p"))
+      .where(col("p").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair"))
+    val cp = flat.groupBy(col("pair")).agg(count(lit(1)).as("cp"))
+    val cw = flat.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val v = flat.agg(count_distinct(col("w1")).as("v"))
+    flat.join(cp, "pair").join(cw, "w1").crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(-log((col("cp") + 1.0) / (col("cw") + col("v"))) * 1e6 + 0.5)
+          .cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("lp")).as("nll_sum_c"))
+  }
 
   // PII patterns — RE2 ∩ java.util.regex common syntax only (no
   // lookaround), so Spark and DuckDB compile the identical automaton.
@@ -536,41 +585,40 @@ object CurationQueries {
     // broadcast-back join; no window.
     QuerySpec(
       "tx17_bigram_perplexity",
-      s"""WITH toks AS (
-         |  SELECT doc_id, $duckToks AS toks FROM documents),
-         |pairs AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-         |    i -> struct_pack(w1 := toks[i], pair := toks[i] || ' ' || toks[i+1]))) AS p
-         |  FROM toks WHERE len(toks) >= 2),
-         |flat AS (SELECT doc_id, p.w1 AS w1, p.pair AS pair FROM pairs),
-         |cp AS (SELECT pair, count(*) AS cp FROM flat GROUP BY 1),
-         |cw AS (SELECT w1, count(*) AS cw FROM flat GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w1) AS v FROM flat)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(CAST(floor(-ln((cp.cp + 1.0) / (cw.cw + v.v)) * 1e6 + 0.5) AS BIGINT))
-         |    AS BIGINT) AS nll_sum_c
-         |FROM flat JOIN cp USING (pair) JOIN cw USING (w1) CROSS JOIN v
-         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val toks = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
-      val flat = toks
-        .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1)).as("pair"))).as("ps"))
-        .select(col("doc_id"), explode_outer(col("ps")).as("p"))
-        .where(col("p").isNotNull)
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair"))
-      val cp = flat.groupBy(col("pair")).agg(count(lit(1)).as("cp"))
-      val cw = flat.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-      val v = flat.agg(count_distinct(col("w1")).as("v"))
-      flat.join(cp, "pair").join(cw, "w1").crossJoin(broadcast(v))
-        .select(col("doc_id"),
-          floor(-log((col("cp") + 1.0) / (col("cw") + col("v"))) * 1e6 + 0.5)
-            .cast("long").as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_pairs"), sum(col("lp")).as("nll_sum_c"))
+      s"""WITH $bigramNllCtes
+         |SELECT doc_id, n_pairs, nll_sum_c FROM nll""".stripMargin) {
+      (s, dir) => bigramNll(s, dir)
+    },
+
+    // CCNet-style perplexity bucketing — the corpus-curation POLICY
+    // built on the tx17 LM signal: rank documents by integer per-pair
+    // NLL (nll_sum_c div n_pairs — integer division, so ordering has no
+    // FP hazard) and split into head/middle/tail terciles; head = most
+    // fluent (lowest perplexity), the slice CCNet keeps for LM
+    // training. Global rank rides the range-partitioned Ranks helper
+    // (no unpartitioned window funneling the corpus through one task);
+    // tercile assignment is exact integer math ((rn−1)·3 div n) so both
+    // engines agree on every boundary document.
+    QuerySpec(
+      "tx36_ccnet_buckets",
+      s"""WITH $bigramNllCtes,
+         |ppl AS (SELECT doc_id, nll_sum_c // n_pairs AS ppl_c FROM nll),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppl),
+         |r AS (SELECT doc_id, ppl_c,
+         |    row_number() OVER (ORDER BY ppl_c, doc_id) AS rn FROM ppl)
+         |SELECT r.doc_id, r.ppl_c,
+         |  CASE ((r.rn - 1) * 3) // n.n WHEN 0 THEN 'head'
+         |       WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r CROSS JOIN n""".stripMargin) { (s, dir) =>
+      val ppl = bigramNll(s, dir)
+        .select(col("doc_id"), expr("nll_sum_c div n_pairs").as("ppl_c"))
+      val n = ppl.agg(count(lit(1)).as("n"))
+      Ranks.globalRowNumber(ppl, "rn", Seq(col("ppl_c"), col("doc_id")))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("ppl_c"),
+          when(expr("((rn - 1) * 3) div n") === 0, "head")
+            .when(expr("((rn - 1) * 3) div n") === 1, "middle")
+            .otherwise("tail").as("bucket"))
     },
 
     // --- portable near-dup pipelines (oracle-verified twins) -------------

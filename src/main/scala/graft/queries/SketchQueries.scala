@@ -217,6 +217,108 @@ object SketchQueries {
         .select(col("q_permille"), col("target_rank"), col("est_lo"),
           col("bucket_width"),
           (col("est_lo") + expr("bucket_width div 2")).as("est_mid"))
+    },
+
+    // KMV set DIFFERENCE — completes the q189 algebra: estimated
+    // |A\B|, |B\A|, and the symmetric difference from the same two
+    // bounded sketches. Membership tests are in-row array ops on the
+    // union sketch (element of u in A's sketch but not B's); the same
+    // integer-division estimate discipline keeps both engines
+    // bit-identical. At 100 TB this is "users who clicked but never
+    // purchased that day" from 2×k longs of state, no user set stored.
+    QuerySpec(
+      "q191_kmv_difference",
+      s"""WITH a AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(
+         |      CAST(user_id AS VARCHAR) || '-' ||
+         |      CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events WHERE event_type = 'click'),
+         |b AS (
+         |  SELECT DISTINCT CAST('0x' || substr(md5(
+         |      CAST(user_id AS VARCHAR) || '-' ||
+         |      CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events WHERE event_type = 'purchase'),
+         |ka AS (SELECT hv FROM a ORDER BY hv LIMIT $K),
+         |kb AS (SELECT hv FROM b ORDER BY hv LIMIT $K),
+         |u AS (SELECT hv FROM (
+         |    SELECT hv FROM ka UNION SELECT hv FROM kb)
+         |  ORDER BY hv LIMIT $K),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS k_union, max(hv) AS h_k
+         |      FROM u),
+         |oa AS (SELECT CAST(count(*) AS BIGINT) AS n_only_a
+         |       FROM u JOIN ka USING (hv)
+         |       WHERE hv NOT IN (SELECT hv FROM kb)),
+         |ob AS (SELECT CAST(count(*) AS BIGINT) AS n_only_b
+         |       FROM u JOIN kb USING (hv)
+         |       WHERE hv NOT IN (SELECT hv FROM ka)),
+         |e AS (SELECT s.k_union, oa.n_only_a, ob.n_only_b,
+         |    CASE WHEN s.k_union < $K THEN s.k_union
+         |         ELSE CAST(floor(CAST(s.k_union - 1 AS DOUBLE) * ${M}e0
+         |           / CAST(s.h_k AS DOUBLE)) AS BIGINT) END AS est_union
+         |  FROM s CROSS JOIN oa CROSS JOIN ob)
+         |SELECT k_union, n_only_a, n_only_b, est_union,
+         |  (est_union * n_only_a) // k_union AS est_only_a,
+         |  (est_union * n_only_b) // k_union AS est_only_b,
+         |  (est_union * n_only_a) // k_union
+         |    + (est_union * n_only_b) // k_union AS est_symdiff
+         |FROM e""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new KMinValues(K), Encoders.scalaLong)
+      val ev = Tables.events(s, dir)
+      def sketch(t: String, as: String): DataFrame =
+        ev.where(col("event_type") === t)
+          .select(hash60(concat(col("user_id").cast("string"), lit("-"),
+            to_date(col("ts")).cast("string"))).as("hv"))
+          .agg(kmv(col("hv")).as(as)) // 1 row: maxRows-bounded attach
+      sketch("click", "sa").crossJoin(sketch("purchase", "sb"))
+        .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))),
+          1, K))
+        .select(size(col("u")).cast("long").as("k_union"),
+          size(array_except(array_intersect(col("u"), col("sa")), col("sb")))
+            .cast("long").as("n_only_a"),
+          size(array_except(array_intersect(col("u"), col("sb")), col("sa")))
+            .cast("long").as("n_only_b"),
+          kmvEstimate(col("u")).as("est_union"))
+        .select(col("k_union"), col("n_only_a"), col("n_only_b"),
+          col("est_union"),
+          expr("(est_union * n_only_a) div k_union").as("est_only_a"),
+          expr("(est_union * n_only_b) div k_union").as("est_only_b"),
+          (expr("(est_union * n_only_a) div k_union") +
+            expr("(est_union * n_only_b) div k_union")).as("est_symdiff"))
+    },
+
+    // Streaming KMV: q188's bounded distinct sketch maintained over the
+    // event STREAM — the aggregation buffer is the sorted ≤k array, so
+    // complete-mode state is ONE row of ≤k longs no matter how many
+    // events flow (the streaming-cardinality pattern st19 establishes
+    // for HLL registers, here with the sketch that also supports set
+    // algebra). The streamed sketch equals the batch sketch
+    // value-for-value, so q188's relational oracle applies verbatim;
+    // rank/estimate are derived from the finished table batch-side (a
+    // generator after a streaming aggregation is not a supported
+    // streaming plan, and the sketch — not its presentation — is the
+    // stateful part).
+    QuerySpec(
+      "st20_stream_kmv",
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST('0x' ||
+         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |  FROM events),
+         |k AS (SELECT hv FROM h ORDER BY hv LIMIT $K),
+         |r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rank FROM k),
+         |s AS (SELECT max(hv) AS h_k, CAST(count(*) AS BIGINT) AS n_k FROM k)
+         |SELECT CAST(r.rank AS BIGINT) AS rank, r.hv,
+         |  CASE WHEN s.n_k < $K THEN s.n_k
+         |       ELSE CAST(floor(CAST(s.n_k - 1 AS DOUBLE) * ${M}e0
+         |         / CAST(s.h_k AS DOUBLE)) AS BIGINT) END AS est_distinct
+         |FROM r CROSS JOIN s""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new KMinValues(K), Encoders.scalaLong)
+      val sk = graft.streaming.Streams.eventsStream(s, dir)
+        .select(hash60(col("user_id").cast("string")).as("hv"))
+        .agg(kmv(col("hv")).as("sk"))
+      graft.streaming.Streams.runToTable(sk, "st20_mem", "complete")
+        .select(col("sk"), posexplode(col("sk")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col").as("hv"), kmvEstimate(col("sk")).as("est_distinct"))
     }
   )
 }

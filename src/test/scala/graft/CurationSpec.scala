@@ -108,4 +108,22 @@ class CurationSpec extends SparkSpec {
     assert(w(true) > w(false),
       s"en mean ${w(true)} should exceed non-en mean ${w(false)}")
   }
+
+  test("tx36 CCNet buckets: balanced terciles, perplexity-monotone") {
+    val rows = graft.SparkEntry.queries("tx36_ccnet_buckets")(
+        spark, "/root/testdata/sf0.001")
+      .select("bucket", "ppl_c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val n = rows.size
+    val byBucket = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // Exact tercile arithmetic: |head| = ceil(n/3) etc. differ by <= 1.
+    val sizes = byBucket.values.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced terciles: $byBucket")
+    assert(sizes.sum == n)
+    // Fluency ordering: every head doc scores <= every middle doc,
+    // every middle <= every tail (ties allowed at the boundary).
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+  }
 }

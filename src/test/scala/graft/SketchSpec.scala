@@ -107,12 +107,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q191 difference algebra: disjoint slices partition the union sketch") {
+    val row = SparkEntry.queries("q191_kmv_difference")(spark, dir)
+      .select("k_union", "n_only_a", "n_only_b", "est_union", "est_only_a",
+        "est_only_b", "est_symdiff")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (kU, onlyA, onlyB, estU, estA, estB, symdiff) = row
+    // only-A, only-B, and common are disjoint slices of the union sketch.
+    assert(onlyA >= 0 && onlyB >= 0 && onlyA + onlyB <= kU)
+    assert(estA <= estU && estB <= estU)
+    assert(symdiff == estA + estB)
+  }
+
+  test("st20 stream/batch parity: streamed KMV equals the batch sketch") {
+    // The complete-mode aggregation buffer IS the sketch — one row of
+    // <=k longs of state — and must finish value-identical to q188's
+    // batch aggregation over the same events.
+    val streamed = SparkEntry.queries("st20_stream_kmv")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = SparkEntry.queries("q188_kmv_sketch")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("partition-count independence: sketch results identical at width 5") {
     // Sketch state derives from row CONTENT (portable hashes, integer
     // bucketing), never partition layout — byte-identical results under
     // any shuffle width (retries, AQE re-plans, cluster resizing).
-    val names =
-      Seq("q188_kmv_sketch", "q189_kmv_jaccard", "q190_dds_quantiles")
+    val names = Seq("q188_kmv_sketch", "q189_kmv_jaccard",
+      "q190_dds_quantiles", "q191_kmv_difference")
     def rowsOf(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toString).sorted.toSeq
