@@ -20,10 +20,17 @@ object Bench {
     // is identical, so the codegen cache hits). Timing steady-state is
     // what makes per-query numbers comparable across runs and SFs.
     // Set SPARK_GRAFT_NO_WARMUP=1 to time cold runs instead.
+    // Optional first arg: comma-separated name prefixes — bench only
+    // matching queries (local iteration on a hot spot; the driver
+    // passes no args and benches the full registry).
+    val only: Option[Seq[String]] =
+      args.headOption.map(_.split(",").toSeq)
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val warmDir = "/root/testdata/sf0.001"
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP") &&
         new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).count()
         catch { case _: Throwable => () }
         finally graft.operators.Dedup.releaseCaches()
@@ -34,7 +41,7 @@ object Bench {
     // residual warm-up cost on different queries each run and inflates
     // run-to-run variance of per-query numbers. A fixed order makes
     // successive bench runs comparable query-by-query.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

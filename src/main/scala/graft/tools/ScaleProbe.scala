@@ -22,7 +22,18 @@ import org.apache.spark.sql.functions._
   * no real crawl has. (A real 10× crawl has ~10× the clusters, not
   * 10×-bigger clusters.)
   *
-  * Usage: runMain graft.tools.ScaleProbe [baseDir] [factors-csv]
+  * A second mode (`probe = sketch`) anchors the bounded-state sketch
+  * family instead: scaled copies of `events` (user_id shifted per copy,
+  * so DISTINCT users grow linearly with the factor) run through the
+  * portable-HLL register build (q183), the KMV aggregator (q188), and
+  * an exact `count(DISTINCT)` baseline — recording the same metrics.
+  * The design claim made measurable: sketch shuffle volume and state
+  * are O(1) in both corpus size and key cardinality (64 rows / one ≤k
+  * array per partition), while the exact baseline's shuffle grows with
+  * the keyspace.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [baseDir] [factors-csv] [probe]
+  *        (probe: dd8 | sketch, default dd8)
   */
 object ScaleProbe {
 
@@ -54,10 +65,69 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** Scaled event keys: copy i shifts user_id by i·10⁷, so the distinct
+    * keyspace grows linearly with the factor (the dimension a sketch
+    * must be insensitive to and an exact distinct is not). */
+  private def scaledUserKeys(spark: SparkSession, base: String,
+      factor: Int): DataFrame = {
+    val orig = Tables.events(spark, base).select(col("user_id"))
+    (0 until factor).map { i =>
+      if (i == 0) orig
+      else orig.select((col("user_id") + i * 10000000L).as("user_id"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def runProbe(spark: SparkSession, name: String, factor: Int,
+      rows: Long)(body: => Long): Unit = {
+    val listener = new ProbeListener
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val out = body
+    val wall = (System.nanoTime() - t0) / 1e9
+    // Listener bus drains asynchronously; give in-flight task-end
+    // events a moment before reading the counters.
+    Thread.sleep(2000)
+    spark.sparkContext.removeSparkListener(listener)
+    def mb(b: Long): Double = math.round(b / 1048.576) / 1000.0
+    println(
+      s"""{"probe":"$name","factor":$factor,"rows":$rows,"result":$out,""" +
+      f""""wall_s":$wall%.1f,""" +
+      s""""shuffle_read_mb":${mb(listener.shuffleRead.get)},""" +
+      s""""shuffle_write_mb":${mb(listener.shuffleWrite.get)},""" +
+      s""""spill_mb":${mb(listener.spill.get)},""" +
+      s""""peak_task_mem_mb":${mb(listener.peakMem.get)},""" +
+      s""""tasks":${listener.tasks.get}}""")
+  }
+
+  private def sketchProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    val kmv = udaf(new graft.functions.KMinValues(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    factors.foreach { f =>
+      val keys = scaledUserKeys(spark, base, f)
+      val rows = keys.count()
+      runProbe(spark, "q183_hll_registers", f, rows) {
+        graft.queries.ScaleQueries.hllRegisters(
+          keys.select(col("user_id").cast("string").as("k"))).count()
+      }
+      runProbe(spark, "q188_kmv_sketch", f, rows) {
+        keys.select(conv(substring(md5(col("user_id").cast("string")
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          .agg(kmv(col("hv")).as("sk"))
+          .select(org.apache.spark.sql.functions.size(col("sk")))
+          .head().getInt(0).toLong
+      }
+      runProbe(spark, "exact_count_distinct", f, rows) {
+        keys.agg(countDistinct(col("user_id"))).head().getLong(0)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = (if (args.length > 1) args(1) else "1,3,10")
       .split(",").toSeq.map(_.trim.toInt)
+    val probe = if (args.length > 2) args(2) else "dd8"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,6 +137,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (probe == "sketch") {
+      sketchProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
     factors.foreach { f =>
       val docs = scaledDocs(spark, base, f)
       val listener = new ProbeListener
