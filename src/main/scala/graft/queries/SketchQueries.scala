@@ -319,6 +319,32 @@ object SketchQueries {
         .select(col("sk"), posexplode(col("sk")))
         .select((col("pos") + 1).cast("long").as("rank"),
           col("col").as("hv"), kmvEstimate(col("sk")).as("est_distinct"))
+    },
+
+    // Streaming DDSketch histogram — completes the streaming sketch trio
+    // (st19 HLL registers, st20 KMV, here the quantile summary): event
+    // values log-bucket into q190's integer grid, so complete-mode state
+    // is the bounded bucket histogram (~60 rows for this value range)
+    // no matter how many events flow, and any quantile is answerable
+    // from it at read time. The streamed histogram equals the batch
+    // bucketing count-for-count — the oracle is the batch replay of the
+    // same pure-integer bucket math.
+    QuerySpec(
+      "st21_stream_dds",
+      """WITH v AS (
+        |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |buck AS (
+        |  SELECT ((v // (CAST(1 AS BIGINT) << s)) << s) AS lo FROM (
+        |    SELECT v, greatest(length(bin(v)), 3) - 3 AS s FROM v))
+        |SELECT lo, CAST(count(*) AS BIGINT) AS cnt
+        |FROM buck GROUP BY lo""".stripMargin) { (s, dir) =>
+      val hist = graft.streaming.Streams.eventsStream(s, dir)
+        .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .withColumn("s", expr("cast(greatest(length(bin(v)), 3) - 3 as int)"))
+        .select(expr("shiftleft(v div shiftleft(1L, s), s)").as("lo"))
+        .groupBy("lo")
+        .agg(count(lit(1)).as("cnt"))
+      graft.streaming.Streams.runToTable(hist, "st21_mem", "complete")
     }
   )
 }

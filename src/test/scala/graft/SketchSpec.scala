@@ -130,6 +130,20 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("st21 stream/batch parity: streamed histogram equals batch buckets") {
+    val streamed = SparkEntry.queries("st21_stream_dds")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Tables.events(spark, dir)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .withColumn("s", expr("cast(greatest(length(bin(v)), 3) - 3 as int)"))
+      .select(expr("shiftleft(v div shiftleft(1L, s), s)").as("lo"))
+      .groupBy("lo").agg(count(lit(1)).as("cnt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+    // Bounded-state claim: the histogram is a fixed grid, not a keyspace.
+    assert(streamed.size < 256, s"histogram unexpectedly wide: ${streamed.size}")
+  }
+
   test("partition-count independence: sketch results identical at width 5") {
     // Sketch state derives from row CONTENT (portable hashes, integer
     // bucketing), never partition layout — byte-identical results under
