@@ -229,3 +229,51 @@ object QuantileDiffProps extends Properties("QuantileDiff") {
       Prop(sym && range && ident && empty) :| s"a='$a' b='$b' jw=$jw"
     }
 }
+
+/** Round-8 sketch invariants: KMV aggregator algebra over arbitrary
+  * streams and splits, and the DDSketch integer bucket contract. */
+object SketchProps extends Properties("Sketch") {
+  import graft.functions.KMinValues
+
+  private val hashes: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(0L, 1L << 20))
+  private val ks: Gen[Int] = Gen.choose(1, 16)
+
+  private def sketch(agg: KMinValues, xs: Seq[Long]): Seq[Long] =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  property("KMV sketch == sorted distinct take k, any order") =
+    forAll(hashes, ks) { (xs, k) =>
+      val agg = new KMinValues(k)
+      val want = xs.distinct.sorted.take(k)
+      val got = sketch(agg, xs)
+      val gotShuffled = sketch(agg, xs.reverse)
+      Prop(got == want && gotShuffled == want) :|
+        s"k=$k xs=$xs got=$got want=$want"
+    }
+
+  property("KMV merge(sketch(a), sketch(b)) == sketch(a ++ b), any split") =
+    forAll(hashes, hashes, ks) { (a, b, k) =>
+      val agg = new KMinValues(k)
+      val merged = agg.merge(sketch(agg, a), sketch(agg, b))
+      val whole = sketch(agg, a ++ b)
+      Prop(merged == whole) :| s"k=$k a=$a b=$b merged=$merged whole=$whole"
+    }
+
+  // The q190/st21 bucket contract, in plain Long math (what the SQL
+  // shifts compute): lo <= v < lo + width, width == 1 for v < 4, and
+  // width/lo <= 1/4 above — the bound behind the 12.5% midpoint claim.
+  private def bucket(v: Long): (Long, Long) = {
+    val s = math.max(64 - java.lang.Long.numberOfLeadingZeros(v), 3) - 3
+    val lo = (v >> s) << s
+    (lo, 1L << s)
+  }
+
+  property("DDSketch bucket: contains v, width 1 below 4, rel width <= 1/4") =
+    forAll(Gen.choose(1L, 1L << 40)) { v =>
+      val (lo, w) = bucket(v)
+      Prop(lo <= v && v < lo + w &&
+        (v >= 4 || w == 1) && (v < 4 || w * 4 <= lo)) :|
+        s"v=$v lo=$lo w=$w"
+    }
+}
