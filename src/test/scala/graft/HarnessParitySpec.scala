@@ -83,4 +83,19 @@ class HarnessParitySpec extends SparkSpec {
           "er5's JaroWinkler/DuckDB parity assumption no longer holds")
     }
   }
+
+  test("events carry the full 5-value event_type enum at every SF") {
+    // q189/q191 (KMV algebra on click vs purchase), tx23 (transition
+    // matrix), tx26 (Naive Bayes priors) and friends key on event_type
+    // literals. A regenerated dataset that drops a type would not error
+    // — those specs would silently compute over empty slices (and
+    // q189/q191's division-by-k_union parity would be exercised on a
+    // degenerate shape no oracle run has covered). Fail loudly instead.
+    val want = Set("click", "error", "purchase", "signup", "view")
+    sfDirs.foreach { dir =>
+      val got = Tables.events(spark, dir).select("event_type").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(got == want, s"$dir: event_type enum drifted: $got")
+    }
+  }
 }
