@@ -321,6 +321,39 @@ object SketchQueries {
           col("col").as("hv"), kmvEstimate(col("sk")).as("est_distinct"))
     },
 
+    // GROUPED KMV — the per-dimension production shape ("distinct users
+    // per day"): one bounded sketch per group key, built in a single
+    // map-side-combining aggregation (each map task holds one ≤k array
+    // per day it sees; the shuffle carries those partials, never user
+    // rows). Harness SFs exercise both estimator branches per group.
+    // The relational oracle replays each day's sketch as a partitioned
+    // rank (the semantic spec; the Aggregator is the scalable plan).
+    QuerySpec(
+      "q192_kmv_daily",
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS hv
+         |  FROM events),
+         |k AS (SELECT day, hv,
+         |    row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h),
+         |s AS (SELECT day, max(hv) AS h_k, CAST(count(*) AS BIGINT) AS n_k
+         |      FROM k WHERE rn <= $K GROUP BY day)
+         |SELECT day, n_k,
+         |  CASE WHEN n_k < $K THEN n_k
+         |       ELSE CAST(floor(CAST(n_k - 1 AS DOUBLE) * ${M}e0
+         |         / CAST(h_k AS DOUBLE)) AS BIGINT) END AS est_users
+         |FROM s""".stripMargin) { (s, dir) =>
+      val kmv = udaf(new KMinValues(K), Encoders.scalaLong)
+      Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"),
+          hash60(col("user_id").cast("string")).as("hv"))
+        .groupBy("day")
+        .agg(kmv(col("hv")).as("sk"))
+        .select(col("day"), size(col("sk")).cast("long").as("n_k"),
+          kmvEstimate(col("sk")).as("est_users"))
+    },
+
     // Streaming DDSketch histogram — completes the streaming sketch trio
     // (st19 HLL registers, st20 KMV, here the quantile summary): event
     // values log-bucket into q190's integer grid, so complete-mode state

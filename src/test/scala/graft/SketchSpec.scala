@@ -130,6 +130,18 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q192 grouped KMV: per-day sketches bounded, exact below k") {
+    val rows = SparkEntry.queries("q192_kmv_daily")(spark, dir)
+      .select("n_k", "est_users").as[(Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (nK, est) =>
+      assert(nK >= 1 && nK <= 256)
+      // Below the sketch bound the estimate IS the exact per-day count.
+      if (nK < 256) assert(est == nK)
+      assert(est >= 1)
+    }
+  }
+
   test("st21 stream/batch parity: streamed histogram equals batch buckets") {
     val streamed = SparkEntry.queries("st21_stream_dds")(spark, dir)
       .collect().map(_.toString).sorted.toSeq
@@ -149,7 +161,7 @@ class SketchSpec extends SparkSpec {
     // bucketing), never partition layout — byte-identical results under
     // any shuffle width (retries, AQE re-plans, cluster resizing).
     val names = Seq("q188_kmv_sketch", "q189_kmv_jaccard",
-      "q190_dds_quantiles", "q191_kmv_difference")
+      "q190_dds_quantiles", "q191_kmv_difference", "q192_kmv_daily")
     def rowsOf(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toString).sorted.toSeq
