@@ -871,9 +871,30 @@ object Dedup {
     * sort exists anywhere in the plan. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = stage(docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
+    val sp = duplicatedSpans(tok, k)
+    val n = tok.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"))
+    sp.join(n, "doc_id")
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).as("dup_tokens"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("n_tokens"),
+        floor(col("dup_tokens").cast("double") / col("n_tokens") * 10000
+          + 0.5).cast("long").as("dup_bp"))
+  }
+
+  /** Maximal duplicated-span table (doc_id, st, en; 1-based inclusive
+    * token positions) over a STAGED (doc_id, toks) frame: hash every
+    * k-token window, keep hashes seen in ≥ 2 distinct docs, merge each
+    * doc's duplicated windows into maximal spans (gaps-and-islands).
+    * Shared core of [[substringDedup]] (the report) and the span scrub
+    * (the removal policy, `tx37_span_scrub`). The one corpus shuffle is
+    * the window-hash groupBy carrying (hash, id, pos). */
+  def duplicatedSpans(tok: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wins = stage(tok.where(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("toks")) - (k - 1)),
@@ -891,23 +912,41 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sp = d
-      .withColumn("__pe", max(col("pos") + (k - 1)).over(wPrev))
+    d.withColumn("__pe", max(col("pos") + (k - 1)).over(wPrev))
       .withColumn("__b",
         when(col("__pe").isNull || col("pos") > col("__pe") + 1, 1L)
           .otherwise(0L))
       .withColumn("__isl", sum(col("__b")).over(wRun))
       .groupBy("doc_id", "__isl")
       .agg(min(col("pos")).as("st"), (max(col("pos")) + (k - 1)).as("en"))
-    val n = tok.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"))
-    sp.join(n, "doc_id")
-      .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("en") - col("st") + 1).as("dup_tokens"))
-      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
-        col("n_tokens"),
-        floor(col("dup_tokens").cast("double") / col("n_tokens") * 10000
-          + 0.5).cast("long").as("dup_bp"))
+      .select("doc_id", "st", "en")
+  }
+
+  /** Span SCRUB — the removal policy on [[duplicatedSpans]] (Lee et al.
+    * delete duplicated substrings; here every doc drops its duplicated
+    * spans, a documented symmetric policy): tokens covered by a span go,
+    * the survivors rejoin, and the result is fingerprinted. The span
+    * list per doc is bounded by n_tokens/k; membership is an in-row
+    * HOF fold — after the span table, scrubbing is embarrassingly
+    * map-side. */
+  def scrubSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val tok = stage(docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks")))
+    val spl = duplicatedSpans(tok, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
+    val kept = expr(
+      """transform(
+        |  filter(transform(toks, (x, i) -> struct(x AS x, i + 1 AS i)),
+        |    p -> NOT exists(spans, s -> p.i >= s.st AND p.i <= s.en)),
+        |  p -> p.x)""".stripMargin)
+    tok.join(spl, Seq("doc_id"), "left")
+      .withColumn("kt",
+        when(col("spans").isNull, col("toks")).otherwise(kept))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kt")).cast("long").as("kept_tokens"),
+        md5(array_join(col("kt"), " ").cast("binary")).as("scrub_md5"))
   }
 }

@@ -51,6 +51,35 @@ object CurationQueries {
        |  FROM flat JOIN cp USING (pair) JOIN cw USING (w1) CROSS JOIN v
        |  GROUP BY 1)""".stripMargin
 
+  /** Shared DuckDB CTE chain ending in `sp(doc_id, isl, st, en)` — the
+    * duplicated-span table of [[graft.operators.Dedup.duplicatedSpans]]
+    * (k = 8): window hashes, ≥2-distinct-doc dup set, gaps-and-islands
+    * merge. `t(doc_id, toks)` stays visible for consumers. Reused by
+    * tx32 (the report) and tx37 (the scrub). */
+  private lazy val spanCtes: String =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |wl AS (
+       |  SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
+       |    list_transform(range(1, len(toks) - 8 + 2),
+       |      i -> struct_pack(pos := i,
+       |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))
+       |    ELSE [] END AS wins
+       |  FROM t),
+       |w AS (SELECT doc_id, u.pos AS pos, u.h AS h
+       |      FROM (SELECT doc_id, unnest(wins) AS u FROM wl)),
+       |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN coalesce(pos > max(pos + 7) OVER (PARTITION BY doc_id
+       |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
+       |      TRUE) THEN 1 ELSE 0 END AS b
+       |  FROM d),
+       |g AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM brk),
+       |sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 7 AS en
+       |  FROM g GROUP BY 1, 2)""".stripMargin
+
   /** Per-doc add-one-smoothed bigram NLL: (doc_id, n_pairs, nll_sum_c)
     * — the Spark twin of [[bigramNllCtes]] (see tx17 for the plan
     * notes: two corpus-stat shuffles + one broadcast-back join). */
@@ -835,28 +864,7 @@ object CurationQueries {
     // span merging is per-doc-partitioned windows, never global.
     QuerySpec(
       "tx32_substring_dedup",
-      s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-         |wl AS (
-         |  SELECT doc_id, CASE WHEN len(toks) >= 8 THEN
-         |    list_transform(range(1, len(toks) - 8 + 2),
-         |      i -> struct_pack(pos := i,
-         |        h := md5(array_to_string(list_slice(toks, i, i + 7), ' '))))
-         |    ELSE [] END AS wins
-         |  FROM t),
-         |w AS (SELECT doc_id, u.pos AS pos, u.h AS h
-         |      FROM (SELECT doc_id, unnest(wins) AS u FROM wl)),
-         |dup AS (SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
-         |brk AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN coalesce(pos > max(pos + 7) OVER (PARTITION BY doc_id
-         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1,
-         |      TRUE) THEN 1 ELSE 0 END AS b
-         |  FROM d),
-         |g AS (SELECT doc_id, pos, sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM brk),
-         |sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 7 AS en
-         |  FROM g GROUP BY 1, 2),
+      s"""WITH $spanCtes,
          |n AS (SELECT doc_id, len(toks) AS n_tokens FROM t)
          |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens,
@@ -866,6 +874,42 @@ object CurationQueries {
          |FROM sp JOIN n ON sp.doc_id = n.doc_id
          |GROUP BY sp.doc_id, n_tokens""".stripMargin) { (s, dir) =>
       Dedup.substringDedup(
+        Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text")),
+        "doc_id", "text", k = 8)
+    },
+
+    // Span SCRUB — the removal policy tx32's report feeds (Lee et al.
+    // delete duplicated substrings from the corpus; here EVERY doc
+    // drops its duplicated spans — a documented symmetric policy):
+    // tokens covered by any span are removed, survivors rejoin, and
+    // the cleaned text is fingerprinted so the oracle replays the edit
+    // bit-for-bit. After the shared span table, the scrub is an in-row
+    // HOF over (token, position) pairs — embarrassingly map-side at any
+    // corpus size; the per-doc span list is bounded by n_tokens/k.
+    QuerySpec(
+      "tx37_span_scrub",
+      s"""WITH $spanCtes,
+         |spl AS (
+         |  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans
+         |  FROM sp GROUP BY doc_id),
+         |tt AS (
+         |  SELECT t.doc_id, toks, coalesce(spl.spans, []) AS spans
+         |  FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+         |kept AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |    list_transform(
+         |      list_filter(
+         |        list_transform(range(1, len(toks) + 1),
+         |          i -> struct_pack(i := i, x := toks[i])),
+         |        p -> len(list_filter(spans,
+         |          s -> p.i >= s.st AND p.i <= s.en)) = 0),
+         |      p -> p.x) AS kt
+         |  FROM tt)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(len(kt) AS BIGINT) AS kept_tokens,
+         |  md5(coalesce(array_to_string(kt, ' '), '')) AS scrub_md5
+         |FROM kept""".stripMargin) { (s, dir) =>
+      Dedup.scrubSpans(
         Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text")),
         "doc_id", "text", k = 8)
     },

@@ -169,4 +169,50 @@ class DedupSpec extends SparkSpec {
       2L -> ((1L, 5L, 10L, 5000L)),
       3L -> ((1L, 3L, 6L, 5000L))))
   }
+
+  test("scrubSpans removes exactly the duplicated spans from every doc") {
+    // Same fixture as the span report above: scrubbing doc 1 drops
+    // [1,5] and [8,10] leaving "f g", doc 2 drops [3,7] leaving
+    // "x x y y z", doc 3 drops [4,6] leaving "p q r"; docs 4 and 5
+    // (no cross-doc span) survive untouched.
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x x a b c d e y y z"),
+      (3L, "p q r h i j"),
+      (4L, "totally unrelated words only here"),
+      (5L, "m n o m n o m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    Dedup.releaseCaches()
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out == Map(
+      1L -> ((10L, 2L, m("f g"))),
+      2L -> ((10L, 5L, m("x x y y z"))),
+      3L -> ((6L, 3L, m("p q r"))),
+      4L -> ((5L, 5L, m("totally unrelated words only here"))),
+      5L -> ((9L, 9L, m("m n o m n o m n o")))))
+  }
+
+  test("scrubSpans is consistent with the tx32 report on harness docs") {
+    // kept_tokens == n_tokens − dup_tokens for every doc the report
+    // flags, and == n_tokens for every doc it does not.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val report = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("dup_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scrub = Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_tokens"), col("kept_tokens")).collect()
+    Dedup.releaseCaches()
+    assert(scrub.nonEmpty && report.nonEmpty)
+    scrub.foreach { r =>
+      val want = r.getLong(1) - report.getOrElse(r.getLong(0), 0L)
+      assert(r.getLong(2) == want,
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} != $want")
+    }
+  }
 }
