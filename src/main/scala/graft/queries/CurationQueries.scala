@@ -619,6 +619,103 @@ object CurationQueries {
       (s, dir) => bigramNll(s, dir)
     },
 
+    // COMPOSITE quality policy — the keep/drop gate a curation run
+    // actually ships, composed from three oracled signals: Gopher
+    // format rules on the raw text (tx18's signal set), n-gram
+    // language-ID (tx3's heuristic; policy keeps the 'en' target
+    // slice), and duplicated-span share (tx32's dup_bp ≥ 20 % drops).
+    // Each failing rule sets a bit in `reasons` (1 = gopher, 2 = lang,
+    // 4 = dup), keep ⇔ reasons = 0 — the auditable form a production
+    // filter needs (why did this doc drop?). One staged pass computes
+    // text signals; the span share left-joins from the shared span
+    // table. All comparisons are exact integers, so every rule
+    // boundary hash-matches.
+    QuerySpec(
+      "tx38_quality_policy",
+      s"""WITH $spanCtes,
+         |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+         |dupbp AS (
+         |  SELECT sp.doc_id,
+         |    CAST(floor(CAST(sum(en - st + 1) AS DOUBLE) / n_tokens * 10000
+         |      + 0.5) AS BIGINT) AS dup_bp
+         |  FROM sp JOIN nn ON sp.doc_id = nn.doc_id
+         |  GROUP BY sp.doc_id, n_tokens),
+         |raw AS (
+         |  SELECT d.doc_id, d.text AS tx, t.toks,
+         |    string_split(d.text, chr(10)) AS lines,
+         |    length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
+         |      AS cjk
+         |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+         |sig AS (
+         |  SELECT doc_id, cjk,
+         |    len(toks) AS n_words,
+         |    greatest(len(toks), 1)::DOUBLE AS dw,
+         |    greatest(len(lines), 1)::DOUBLE AS dl,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+         |    length(tx) - length(replace(tx, '#', '')) AS hashes,
+         |    (length(tx) - length(replace(tx, '...', ''))) / 3 AS ellipses,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+         |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS bullet_lines,
+         |    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines,
+         |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop,
+         |    len(list_filter(toks, t2 -> list_contains(['the','a','and','of','to','in','is','you','that','it'], t2))) AS s_en,
+         |    len(list_filter(toks, t2 -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], t2))) AS s_es,
+         |    len(list_filter(toks, t2 -> list_contains(['der','die','und','den','von','zu','das','mit','sich','ist'], t2))) AS s_de,
+         |    len(list_filter(toks, t2 -> list_contains(['le','la','de','et','les','des','en','un','du','une'], t2))) AS s_fr
+         |  FROM raw),
+         |bps AS (
+         |  SELECT doc_id, cjk, n_words, n_stop, s_en, s_es, s_de, s_fr,
+         |    CAST(floor(sum_len / dw * 10000 + 0.5) AS BIGINT) AS mwl_bp,
+         |    CAST(floor((hashes + ellipses) / dw * 10000 + 0.5) AS BIGINT) AS symbol_bp,
+         |    CAST(floor(alpha_words / dw * 10000 + 0.5) AS BIGINT) AS alpha_bp,
+         |    CAST(floor(bullet_lines / dl * 10000 + 0.5) AS BIGINT) AS bullet_bp,
+         |    CAST(floor(ellipsis_lines / dl * 10000 + 0.5) AS BIGINT) AS ellipsis_bp
+         |  FROM sig),
+         |pol AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN n_words BETWEEN 50 AND 100000
+         |      AND mwl_bp BETWEEN 30000 AND 100000 AND symbol_bp < 1000
+         |      AND bullet_bp < 9000 AND ellipsis_bp < 3000 AND alpha_bp > 8000
+         |      AND n_stop >= 1 THEN 0 ELSE 1 END
+         |    + CASE WHEN (CASE WHEN cjk > 0 THEN 'zh'
+         |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+         |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+         |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+         |        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+         |        ELSE 'und' END) = 'en' THEN 0 ELSE 2 END
+         |    + CASE WHEN coalesce(dup_bp, 0) >= 2000 THEN 4 ELSE 0 END
+         |      AS reasons
+         |  FROM bps b LEFT JOIN dupbp USING (doc_id))
+         |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+         |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM pol""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val staged = Dedup.stage(Tables.fanOut(docs)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"),
+          split(col("text"), "\n").as("lines"),
+          TextAnalysis.cjkCharCount(col("text")).as("cjk")))
+      val sig = staged.select(
+        col("doc_id") +: col("toks") +: col("cjk") +:
+          TextAnalysis.gopherSignals(col("text"), col("toks"), col("lines"))
+            .map { case (n, c) => c.as(n) }: _*)
+      val scored = sig.select(col("doc_id"),
+        TextAnalysis.gopherKeep(col("n_words"), col("mwl_bp"),
+          col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
+          col("ellipsis_bp"), col("n_stop")).as("gk"),
+        TextAnalysis.langIdFromParts(col("toks"), col("cjk")).as("pl"))
+      val dup = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("dup_bp"))
+      scored.join(dup, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (when(col("gk") === 1, 0L).otherwise(1L) +
+            when(col("pl") === "en", 0L).otherwise(2L) +
+            when(coalesce(col("dup_bp"), lit(0L)) >= 2000, 4L).otherwise(0L))
+            .as("reasons"))
+        .select(col("doc_id"), col("reasons"),
+          when(col("reasons") === 0, 1L).otherwise(0L).as("keep"))
+    },
+
     // CCNet-style perplexity bucketing — the corpus-curation POLICY
     // built on the tx17 LM signal: rank documents by integer per-pair
     // NLL (nll_sum_c div n_pairs — integer division, so ordering has no

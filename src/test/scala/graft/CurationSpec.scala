@@ -109,6 +109,29 @@ class CurationSpec extends SparkSpec {
       s"en mean ${w(true)} should exceed non-en mean ${w(false)}")
   }
 
+  test("tx38 policy: keep iff reasons==0, dup bit tracks the tx32 report") {
+    val dir = "/root/testdata/sf0.001"
+    val pol = graft.SparkEntry.queries("tx38_quality_policy")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.operators.Dedup.releaseCaches()
+    val dupBp = graft.operators.Dedup.substringDedup(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    graft.operators.Dedup.releaseCaches()
+    assert(pol.nonEmpty)
+    pol.foreach { case (id, (reasons, keep)) =>
+      assert(reasons >= 0 && reasons <= 7, s"doc $id reasons=$reasons")
+      assert(keep == (if (reasons == 0) 1L else 0L))
+      // Bit 4 is exactly the tx32 dup_bp >= 2000 rule.
+      val wantDup = dupBp.get(id).exists(_ >= 2000)
+      assert(((reasons & 4) != 0) == wantDup,
+        s"doc $id: dup bit ${(reasons & 4) != 0} vs report $wantDup")
+    }
+    // The policy discriminates on this corpus: both outcomes occur.
+    assert(pol.values.exists(_._2 == 1L) && pol.values.exists(_._2 == 0L))
+  }
+
   test("tx36 CCNet buckets: balanced terciles, perplexity-monotone") {
     val rows = graft.SparkEntry.queries("tx36_ccnet_buckets")(
         spark, "/root/testdata/sf0.001")
