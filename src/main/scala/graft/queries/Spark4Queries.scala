@@ -73,6 +73,60 @@ object Spark4Queries {
         count(lit(1)).as("n_sketches"))
     },
 
+    // --- lateral column aliases ------------------------------------------
+    // Spark 4 lateral column aliases: a SELECT item referencing an alias
+    // defined earlier in the SAME select list (including aggregate
+    // aliases) — the ergonomic form of chained derivations without a
+    // wrapping subquery. All-integer math so the chain hash-matches; the
+    // oracle states the same semantics with an explicit CTE (the
+    // pre-lateral spelling).
+    QuerySpec(
+      "q193_lateral_alias",
+      """WITH a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, n, rev_c,
+        |  rev_c // n AS avg_rev_c,
+        |  ((rev_c // n) * 7) // 100 AS est_tax_c
+        |FROM a""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lca_v")
+      s.sql(
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev_c,
+          |  rev_c div n AS avg_rev_c,
+          |  (avg_rev_c * 7) div 100 AS est_tax_c
+          |FROM orders_lca_v GROUP BY o_orderpriority""".stripMargin)
+    },
+
+    // --- SQL session variables -------------------------------------------
+    // Spark 4 session variables (DECLARE / SET VAR): the SQL-native way
+    // to parameterize a templated query per run — the engine twin of
+    // q131's named parameter markers, but stateful across statements
+    // (a scheduler sets the run's variables once, every statement reads
+    // them). DECLARE OR REPLACE keeps the spec idempotent per session;
+    // Verify's per-worker `newSession` clones isolate the variables
+    // under concurrency. The oracle inlines the post-SET values.
+    QuerySpec(
+      "q194_sql_variables",
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 2000.0
+        |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      s.sql("DECLARE OR REPLACE VARIABLE graft_seg STRING DEFAULT 'BUILDING'")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_minbal DOUBLE DEFAULT 1000.0")
+      s.sql("SET VAR graft_minbal = 2000.0") // the per-run override
+      Tables.customer(s, dir).createOrReplaceTempView("customer_var_v")
+      s.sql(
+        """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS bal_c
+          |FROM customer_var_v
+          |WHERE c_mktsegment = graft_seg AND c_acctbal > graft_minbal
+          |GROUP BY c_nationkey""".stripMargin)
+    },
+
     // --- transformWithState ----------------------------------------------
     // The Spark 4 successor to flatMapGroupsWithState (typed state
     // handles, TTL, timers, state-schema evolution), running the same
