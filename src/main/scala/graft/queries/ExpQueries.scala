@@ -83,6 +83,87 @@ object ExpQueries {
           floor(lit(10000.0) / col("class_size")).cast("long").as("reident_risk_bp"))
     },
 
+    // k-anonymity GENERALIZATION — the enforcement step q114's audit
+    // feeds: a fixed 4-level global-recoding ladder over the quasi-
+    // identifiers (L0 fine bands → L1 coarse bands → L2 drop the band →
+    // L3 nation→region), released at the FIRST level whose smallest
+    // equivalence class reaches k = 10; if even L3 misses, its
+    // undersized classes are marked suppressed (the standard recoding +
+    // suppression policy). The level choice is a relational CASE over
+    // three 1-row min aggregates (no driver loop — the ladder is a
+    // bounded enum, so all four candidate groupings compute in one
+    // pass-shaped plan and the chosen one survives a join). Every
+    // signal is an exact integer; which level wins varies with SF, so
+    // the oracle exercises the choice logic, not one frozen branch.
+    QuerySpec(
+      "q195_k_anon_generalize",
+      """WITH qi AS (
+        |  SELECT c.c_nationkey, n.n_regionkey, c.c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b0,
+        |    CAST(floor(c_acctbal / 5000.0) AS BIGINT) AS b1
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |l0 AS (
+        |  SELECT CAST(0 AS BIGINT) AS lvl, CAST(c_nationkey AS VARCHAR) AS g1,
+        |    seg, b0 AS band, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY 2, 3, 4),
+        |l1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS lvl, CAST(c_nationkey AS VARCHAR) AS g1,
+        |    seg, b1 AS band, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY 2, 3, 4),
+        |l2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS lvl, CAST(c_nationkey AS VARCHAR) AS g1,
+        |    seg, CAST(-1 AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY 2, 3),
+        |l3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS lvl, 'R' || CAST(n_regionkey AS VARCHAR) AS g1,
+        |    seg, CAST(-1 AS BIGINT) AS band, CAST(count(*) AS BIGINT) AS class_size
+        |  FROM qi GROUP BY 2, 3),
+        |ml0 AS MATERIALIZED (SELECT min(class_size) AS m0 FROM l0),
+        |ml1 AS MATERIALIZED (SELECT min(class_size) AS m1 FROM l1),
+        |ml2 AS MATERIALIZED (SELECT min(class_size) AS m2 FROM l2),
+        |chosen AS (
+        |  SELECT CAST(CASE WHEN m0 >= 10 THEN 0 WHEN m1 >= 10 THEN 1
+        |    WHEN m2 >= 10 THEN 2 ELSE 3 END AS BIGINT) AS lvl
+        |  FROM ml0 CROSS JOIN ml1 CROSS JOIN ml2),
+        |alll AS (
+        |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+        |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        |SELECT a.lvl, a.g1, a.seg, a.band, a.class_size,
+        |  CAST(CASE WHEN a.lvl = 3 AND a.class_size < 10 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS suppressed
+        |FROM alll a JOIN chosen c ON a.lvl = c.lvl""".stripMargin) { (s, dir) =>
+      val qi = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey"), col("n_regionkey"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("b0"),
+          floor(col("c_acctbal") / 5000.0).cast("long").as("b1"))
+      def cls(lvl: Int, g1: org.apache.spark.sql.Column,
+          band: org.apache.spark.sql.Column) = qi
+        .groupBy(g1.as("g1"), col("seg"), band.as("band"))
+        .agg(count(lit(1)).as("class_size"))
+        .select(lit(lvl.toLong).as("lvl"), col("g1"), col("seg"),
+          col("band"), col("class_size"))
+      val l0 = cls(0, col("c_nationkey").cast("string"), col("b0"))
+      val l1 = cls(1, col("c_nationkey").cast("string"), col("b1"))
+      val l2 = cls(2, col("c_nationkey").cast("string"), lit(-1L))
+      val l3 = cls(3, concat(lit("R"), col("n_regionkey").cast("string")),
+        lit(-1L))
+      def minOf(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.agg(min(col("class_size")).as(as)) // 1 row: maxRows-bounded
+      val chosen = minOf(l0, "m0").crossJoin(minOf(l1, "m1"))
+        .crossJoin(minOf(l2, "m2"))
+        .select(when(col("m0") >= 10, 0L).when(col("m1") >= 10, 1L)
+          .when(col("m2") >= 10, 2L).otherwise(3L).as("lvl"))
+      l0.unionByName(l1).unionByName(l2).unionByName(l3)
+        .join(broadcast(chosen), "lvl")
+        .select(col("lvl"), col("g1"), col("seg"), col("band"),
+          col("class_size"),
+          when(col("lvl") === 3 && col("class_size") < 10, 1L).otherwise(0L)
+            .as("suppressed"))
+    },
+
     // Market-basket association rules over order baskets: part-pair
     // co-occurrence support, directed confidence, and lift — all in
     // integer basis points (cross-multiplied, no division ordering

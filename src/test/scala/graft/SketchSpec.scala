@@ -156,6 +156,23 @@ class SketchSpec extends SparkSpec {
     assert(streamed.size < 256, s"histogram unexpectedly wide: ${streamed.size}")
   }
 
+  test("q195 generalization: released classes reach k or are suppressed") {
+    // The enforcement contract: at the chosen ladder level every
+    // released equivalence class has size >= 10, except classes the
+    // terminal level explicitly marks suppressed — and the chosen level
+    // is minimal (a single level appears in the output).
+    val rows = SparkEntry.queries("q195_k_anon_generalize")(spark, dir)
+      .select("lvl", "class_size", "suppressed")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.size == 1, "multiple levels released")
+    rows.foreach { case (lvl, size, sup) =>
+      assert(size >= 10 || sup == 1,
+        s"class of size $size at level $lvl released unsuppressed")
+      if (sup == 1) assert(lvl == 3 && size < 10)
+    }
+  }
+
   test("partition-count independence: sketch results identical at width 5") {
     // Sketch state derives from row CONTENT (portable hashes, integer
     // bucketing), never partition layout — byte-identical results under
