@@ -80,6 +80,113 @@ object CurationQueries {
        |sp AS (SELECT doc_id, isl, min(pos) AS st, max(pos) + 7 AS en
        |  FROM g GROUP BY 1, 2)""".stripMargin
 
+  /** Shared DuckDB CTE chain (expects [[spanCtes]]'s `t` in scope)
+    * ending in `kept(doc_id, n_tokens, kt)` — tx37's span scrub:
+    * per-doc span list, position filter, surviving tokens. */
+  private lazy val scrubCtes: String =
+    """spl AS (
+      |  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans
+      |  FROM sp GROUP BY doc_id),
+      |tt AS (
+      |  SELECT t.doc_id, toks, coalesce(spl.spans, []) AS spans
+      |  FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id),
+      |kept AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    list_transform(
+      |      list_filter(
+      |        list_transform(range(1, len(toks) + 1),
+      |          i -> struct_pack(i := i, x := toks[i])),
+      |        p -> len(list_filter(spans,
+      |          s -> p.i >= s.st AND p.i <= s.en)) = 0),
+      |      p -> p.x) AS kt
+      |  FROM tt)""".stripMargin
+
+  /** Shared DuckDB CTE chain (expects `t` and `sp` in scope) ending in
+    * `pol(doc_id, reasons)` — tx38's composite policy bits
+    * (1 = gopher, 2 = lang, 4 = dup-span share ≥ 20 %). */
+  private lazy val policyCtes: String =
+    """nn AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
+      |dupbp AS (
+      |  SELECT sp.doc_id,
+      |    CAST(floor(CAST(sum(en - st + 1) AS DOUBLE) / n_tokens * 10000
+      |      + 0.5) AS BIGINT) AS dup_bp
+      |  FROM sp JOIN nn ON sp.doc_id = nn.doc_id
+      |  GROUP BY sp.doc_id, n_tokens),
+      |raw AS (
+      |  SELECT d.doc_id, d.text AS tx, t.toks,
+      |    string_split(d.text, chr(10)) AS lines,
+      |    length(regexp_replace(d.text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+      |      AS cjk
+      |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+      |sig AS (
+      |  SELECT doc_id, cjk,
+      |    len(toks) AS n_words,
+      |    greatest(len(toks), 1)::DOUBLE AS dw,
+      |    greatest(len(lines), 1)::DOUBLE AS dl,
+      |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
+      |    length(tx) - length(replace(tx, '#', '')) AS hashes,
+      |    (length(tx) - length(replace(tx, '...', ''))) / 3 AS ellipses,
+      |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+      |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS bullet_lines,
+      |    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines,
+      |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop,
+      |    len(list_filter(toks, t2 -> list_contains(['the','a','and','of','to','in','is','you','that','it'], t2))) AS s_en,
+      |    len(list_filter(toks, t2 -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], t2))) AS s_es,
+      |    len(list_filter(toks, t2 -> list_contains(['der','die','und','den','von','zu','das','mit','sich','ist'], t2))) AS s_de,
+      |    len(list_filter(toks, t2 -> list_contains(['le','la','de','et','les','des','en','un','du','une'], t2))) AS s_fr
+      |  FROM raw),
+      |bps AS (
+      |  SELECT doc_id, cjk, n_words, n_stop, s_en, s_es, s_de, s_fr,
+      |    CAST(floor(sum_len / dw * 10000 + 0.5) AS BIGINT) AS mwl_bp,
+      |    CAST(floor((hashes + ellipses) / dw * 10000 + 0.5) AS BIGINT) AS symbol_bp,
+      |    CAST(floor(alpha_words / dw * 10000 + 0.5) AS BIGINT) AS alpha_bp,
+      |    CAST(floor(bullet_lines / dl * 10000 + 0.5) AS BIGINT) AS bullet_bp,
+      |    CAST(floor(ellipsis_lines / dl * 10000 + 0.5) AS BIGINT) AS ellipsis_bp
+      |  FROM sig),
+      |pol AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN n_words BETWEEN 50 AND 100000
+      |      AND mwl_bp BETWEEN 30000 AND 100000 AND symbol_bp < 1000
+      |      AND bullet_bp < 9000 AND ellipsis_bp < 3000 AND alpha_bp > 8000
+      |      AND n_stop >= 1 THEN 0 ELSE 1 END
+      |    + CASE WHEN (CASE WHEN cjk > 0 THEN 'zh'
+      |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+      |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
+      |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
+      |        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
+      |        ELSE 'und' END) = 'en' THEN 0 ELSE 2 END
+      |    + CASE WHEN coalesce(dup_bp, 0) >= 2000 THEN 4 ELSE 0 END
+      |      AS reasons
+      |  FROM bps b LEFT JOIN dupbp USING (doc_id))""".stripMargin
+
+  /** Spark twin of [[policyCtes]]: (doc_id, reasons) — the tx38
+    * composite bits, shared with the tx39 funnel. */
+  private def qualityReasons(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val staged = Dedup.stage(Tables.fanOut(docs)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"),
+        split(col("text"), "\n").as("lines"),
+        TextAnalysis.cjkCharCount(col("text")).as("cjk")))
+    val sig = staged.select(
+      col("doc_id") +: col("toks") +: col("cjk") +:
+        TextAnalysis.gopherSignals(col("text"), col("toks"), col("lines"))
+          .map { case (n, c) => c.as(n) }: _*)
+    val scored = sig.select(col("doc_id"),
+      TextAnalysis.gopherKeep(col("n_words"), col("mwl_bp"),
+        col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
+        col("ellipsis_bp"), col("n_stop")).as("gk"),
+      TextAnalysis.langIdFromParts(col("toks"), col("cjk")).as("pl"))
+    val dup = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("dup_bp"))
+    scored.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (when(col("gk") === 1, 0L).otherwise(1L) +
+          when(col("pl") === "en", 0L).otherwise(2L) +
+          when(coalesce(col("dup_bp"), lit(0L)) >= 2000, 4L).otherwise(0L))
+          .as("reasons"))
+  }
+
   /** Per-doc add-one-smoothed bigram NLL: (doc_id, n_pairs, nll_sum_c)
     * — the Spark twin of [[bigramNllCtes]] (see tx17 for the plan
     * notes: two corpus-stat shuffles + one broadcast-back join). */
@@ -633,87 +740,79 @@ object CurationQueries {
     QuerySpec(
       "tx38_quality_policy",
       s"""WITH $spanCtes,
-         |nn AS (SELECT doc_id, len(toks) AS n_tokens FROM t),
-         |dupbp AS (
-         |  SELECT sp.doc_id,
-         |    CAST(floor(CAST(sum(en - st + 1) AS DOUBLE) / n_tokens * 10000
-         |      + 0.5) AS BIGINT) AS dup_bp
-         |  FROM sp JOIN nn ON sp.doc_id = nn.doc_id
-         |  GROUP BY sp.doc_id, n_tokens),
-         |raw AS (
-         |  SELECT d.doc_id, d.text AS tx, t.toks,
-         |    string_split(d.text, chr(10)) AS lines,
-         |    length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))
-         |      AS cjk
-         |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
-         |sig AS (
-         |  SELECT doc_id, cjk,
-         |    len(toks) AS n_words,
-         |    greatest(len(toks), 1)::DOUBLE AS dw,
-         |    greatest(len(lines), 1)::DOUBLE AS dl,
-         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS sum_len,
-         |    length(tx) - length(replace(tx, '#', '')) AS hashes,
-         |    (length(tx) - length(replace(tx, '...', ''))) / 3 AS ellipses,
-         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
-         |    len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS bullet_lines,
-         |    len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ellipsis_lines,
-         |    len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS n_stop,
-         |    len(list_filter(toks, t2 -> list_contains(['the','a','and','of','to','in','is','you','that','it'], t2))) AS s_en,
-         |    len(list_filter(toks, t2 -> list_contains(['el','la','de','que','y','en','un','ser','se','no'], t2))) AS s_es,
-         |    len(list_filter(toks, t2 -> list_contains(['der','die','und','den','von','zu','das','mit','sich','ist'], t2))) AS s_de,
-         |    len(list_filter(toks, t2 -> list_contains(['le','la','de','et','les','des','en','un','du','une'], t2))) AS s_fr
-         |  FROM raw),
-         |bps AS (
-         |  SELECT doc_id, cjk, n_words, n_stop, s_en, s_es, s_de, s_fr,
-         |    CAST(floor(sum_len / dw * 10000 + 0.5) AS BIGINT) AS mwl_bp,
-         |    CAST(floor((hashes + ellipses) / dw * 10000 + 0.5) AS BIGINT) AS symbol_bp,
-         |    CAST(floor(alpha_words / dw * 10000 + 0.5) AS BIGINT) AS alpha_bp,
-         |    CAST(floor(bullet_lines / dl * 10000 + 0.5) AS BIGINT) AS bullet_bp,
-         |    CAST(floor(ellipsis_lines / dl * 10000 + 0.5) AS BIGINT) AS ellipsis_bp
-         |  FROM sig),
-         |pol AS (
-         |  SELECT b.doc_id,
-         |    CASE WHEN n_words BETWEEN 50 AND 100000
-         |      AND mwl_bp BETWEEN 30000 AND 100000 AND symbol_bp < 1000
-         |      AND bullet_bp < 9000 AND ellipsis_bp < 3000 AND alpha_bp > 8000
-         |      AND n_stop >= 1 THEN 0 ELSE 1 END
-         |    + CASE WHEN (CASE WHEN cjk > 0 THEN 'zh'
-         |        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
-         |        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) AND s_es > 0 THEN 'es'
-         |        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) AND s_de > 0 THEN 'de'
-         |        WHEN s_fr = greatest(s_en, s_es, s_de, s_fr) AND s_fr > 0 THEN 'fr'
-         |        ELSE 'und' END) = 'en' THEN 0 ELSE 2 END
-         |    + CASE WHEN coalesce(dup_bp, 0) >= 2000 THEN 4 ELSE 0 END
-         |      AS reasons
-         |  FROM bps b LEFT JOIN dupbp USING (doc_id))
+         |$policyCtes
          |SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
          |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM pol""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val staged = Dedup.stage(Tables.fanOut(docs)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.tokens(col("text")).as("toks"),
-          split(col("text"), "\n").as("lines"),
-          TextAnalysis.cjkCharCount(col("text")).as("cjk")))
-      val sig = staged.select(
-        col("doc_id") +: col("toks") +: col("cjk") +:
-          TextAnalysis.gopherSignals(col("text"), col("toks"), col("lines"))
-            .map { case (n, c) => c.as(n) }: _*)
-      val scored = sig.select(col("doc_id"),
-        TextAnalysis.gopherKeep(col("n_words"), col("mwl_bp"),
-          col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
-          col("ellipsis_bp"), col("n_stop")).as("gk"),
-        TextAnalysis.langIdFromParts(col("toks"), col("cjk")).as("pl"))
-      val dup = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
-        .select(col("doc_id"), col("dup_bp"))
-      scored.join(dup, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (when(col("gk") === 1, 0L).otherwise(1L) +
-            when(col("pl") === "en", 0L).otherwise(2L) +
-            when(coalesce(col("dup_bp"), lit(0L)) >= 2000, 4L).otherwise(0L))
-            .as("reasons"))
+      qualityReasons(s, dir)
         .select(col("doc_id"), col("reasons"),
           when(col("reasons") === 0, 1L).otherwise(0L).as("keep"))
+    },
+
+    // End-to-end CURATION FUNNEL — the flagship composite: the whole
+    // corpus-hygiene run as one query, emitting the per-stage doc and
+    // token counts an operator actually reports. Stages: raw → exact
+    // dedup (one keeper per normalized fingerprint, min doc_id) →
+    // quality policy (tx38 reasons = 0) → span scrub (tx37's surviving
+    // tokens). The span table is computed corpus-wide BEFORE dedup (the
+    // order a real pipeline uses — duplicated chrome is cross-doc
+    // evidence that must see the duplicates); each stage is a semijoin
+    // on bounded id sets, so the funnel costs the sum of its parts, not
+    // a product. Every count is exact, both engines replay the same
+    // four stages. Note the harness corpus's near-dups are ~whole-doc
+    // copies (dup share ≥ 91 % wherever a span exists), so every
+    // spanned doc already fails the policy's dup bit and stage d's
+    // marginal token removal is 0 HERE — on a real crawl partial
+    // overlaps dominate and stage d bites; DedupSpec's planted fixture
+    // proves the partial-span path.
+    QuerySpec(
+      "tx39_curation_funnel",
+      s"""WITH $spanCtes,
+         |$scrubCtes,
+         |$policyCtes,
+         |fp AS (
+         |  SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+         |  FROM documents),
+         |s1 AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |s2 AS (
+         |  SELECT s1.doc_id FROM s1 JOIN pol ON s1.doc_id = pol.doc_id
+         |  WHERE pol.reasons = 0)
+         |SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM kept
+         |UNION ALL
+         |SELECT 'b_exact_dedup', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_tokens) AS BIGINT)
+         |FROM kept JOIN s1 ON kept.doc_id = s1.doc_id
+         |UNION ALL
+         |SELECT 'c_policy', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_tokens) AS BIGINT)
+         |FROM kept JOIN s2 ON kept.doc_id = s2.doc_id
+         |UNION ALL
+         |SELECT 'd_span_scrub', CAST(count(*) AS BIGINT),
+         |  CAST(sum(len(kt)) AS BIGINT)
+         |FROM kept JOIN s2 ON kept.doc_id = s2.doc_id""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      // (doc_id, n_tokens, kept_tokens): corpus-wide span scrub.
+      val scrub = Dedup.stage(Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("kept_tokens")))
+      val s1 = docs
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+        .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val s2 = s1.join(qualityReasons(s, dir), "doc_id")
+        .where(col("reasons") === 0).select("doc_id")
+      def stageRow(name: String, ids: Option[DataFrame], tokCol: String) = {
+        val base = ids.map(scrub.join(_, "doc_id")).getOrElse(scrub)
+        base.agg(count(lit(1)).as("n_docs"),
+            sum(col(tokCol)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      }
+      stageRow("a_raw", None, "n_tokens")
+        .unionByName(stageRow("b_exact_dedup", Some(s1), "n_tokens"))
+        .unionByName(stageRow("c_policy", Some(s2), "n_tokens"))
+        .unionByName(stageRow("d_span_scrub", Some(s2), "kept_tokens"))
     },
 
     // CCNet-style perplexity bucketing — the corpus-curation POLICY
@@ -986,22 +1085,7 @@ object CurationQueries {
     QuerySpec(
       "tx37_span_scrub",
       s"""WITH $spanCtes,
-         |spl AS (
-         |  SELECT doc_id, list(struct_pack(st := st, en := en)) AS spans
-         |  FROM sp GROUP BY doc_id),
-         |tt AS (
-         |  SELECT t.doc_id, toks, coalesce(spl.spans, []) AS spans
-         |  FROM t LEFT JOIN spl ON t.doc_id = spl.doc_id),
-         |kept AS (
-         |  SELECT doc_id, len(toks) AS n_tokens,
-         |    list_transform(
-         |      list_filter(
-         |        list_transform(range(1, len(toks) + 1),
-         |          i -> struct_pack(i := i, x := toks[i])),
-         |        p -> len(list_filter(spans,
-         |          s -> p.i >= s.st AND p.i <= s.en)) = 0),
-         |      p -> p.x) AS kt
-         |  FROM tt)
+         |$scrubCtes
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(len(kt) AS BIGINT) AS kept_tokens,
          |  md5(coalesce(array_to_string(kt, ' '), '')) AS scrub_md5
