@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.operators.Dedup
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -309,9 +310,58 @@ object OlapQueries {
       t.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
         .groupBy("tok")
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
-          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10), ",")
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10),
+            ",")
             .as("posting"))
         .where(col("df") >= 50)
+    },
+
+    // Positional PHRASE SEARCH — the retrieval op tx25's doc-level
+    // index cannot answer: build positional postings (tok, doc_id,
+    // pos), pick the corpus's top bigram deterministically IN the query
+    // (count desc, then lexicographic — no magic constant to go stale
+    // on regeneration), and match it by a postings self-join on
+    // doc_id ∧ pos+1 — the classic two-term AND-with-adjacency plan.
+    // At scale postings co-partition by doc for the join; the 1-row
+    // phrase attaches by broadcast. Exact counts end to end.
+    QuerySpec(
+      "tx40_phrase_search",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |      i -> struct_pack(pos := i, tok := toks[i]))) AS u
+        |    FROM t)),
+        |big AS (
+        |  SELECT a.tok AS w1, b.tok AS w2
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2 ORDER BY count(*) DESC, w1, w2 LIMIT 1)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM p a
+        |JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |CROSS JOIN big
+        |WHERE a.tok = big.w1 AND b.tok = big.w2
+        |GROUP BY a.doc_id""".stripMargin) { (s, dir) =>
+      val p = Dedup.stage(Tables.fanOut(
+          Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"), posexplode(
+          graft.operators.TextAnalysis.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"),
+          col("col").as("tok")))
+      val pairs = p.as("a").join(p.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.tok").as("w1"),
+          col("b.tok").as("w2"))
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w1"), col("w2")).limit(1)
+        .select("w1", "w2")
+      pairs.join(broadcast(big), Seq("w1", "w2"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     },
 
     // Schema-evolution union: two batches with different column order
