@@ -354,6 +354,63 @@ object SketchQueries {
           kmvEstimate(col("sk")).as("est_users"))
     },
 
+    // Privacy-delete RETRACTION — the right-to-be-forgotten pattern at
+    // aggregate scale: instead of rescanning the corpus after a delete
+    // request, subtract the deleted users' CONTRIBUTIONS (a delta
+    // aggregate over only their rows) from the standing daily rollup.
+    // The spec is self-checking: it emits both the delta-corrected
+    // aggregate and a `recompute_match` flag proving it equals the
+    // ground-truth recompute without the deleted users — on both
+    // engines, so the retraction algebra itself is oracled. Sums are
+    // exact integer cents; the delete set (user_id % 97 = 0) is the
+    // planted request.
+    QuerySpec(
+      "q196_retraction_delta",
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_c
+        |  FROM events GROUP BY 1),
+        |delta AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_del,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_del_c
+        |  FROM events WHERE user_id % 97 = 0 GROUP BY 1),
+        |truth AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS sum_c
+        |  FROM events WHERE user_id % 97 <> 0 GROUP BY 1)
+        |SELECT b.day, b.n AS n_before, coalesce(d.n_del, 0) AS n_deleted,
+        |  b.n - coalesce(d.n_del, 0) AS n_after,
+        |  b.sum_c - coalesce(d.sum_del_c, 0) AS sum_after_c,
+        |  CAST(CASE WHEN b.n - coalesce(d.n_del, 0) = t.n
+        |    AND b.sum_c - coalesce(d.sum_del_c, 0) = t.sum_c
+        |    THEN 1 ELSE 0 END AS BIGINT) AS recompute_match
+        |FROM base b
+        |LEFT JOIN delta d ON b.day = d.day
+        |JOIN truth t ON b.day = t.day""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir).select(to_date(col("ts")).as("day"),
+        col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      def roll(df: DataFrame, n: String, sc: String) = df.groupBy("day")
+        .agg(count(lit(1)).as(n), sum(col("v")).as(sc))
+      val base = roll(ev, "n", "sum_c")
+      val delta = roll(ev.where(pmod(col("user_id"), lit(97)) === 0),
+        "n_del", "sum_del_c")
+      val truth = roll(ev.where(pmod(col("user_id"), lit(97)) =!= 0),
+        "n_t", "sum_t_c")
+      base.join(delta, Seq("day"), "left").join(truth, "day")
+        .select(col("day"), col("n").as("n_before"),
+          coalesce(col("n_del"), lit(0L)).as("n_deleted"),
+          (col("n") - coalesce(col("n_del"), lit(0L))).as("n_after"),
+          (col("sum_c") - coalesce(col("sum_del_c"), lit(0L)))
+            .as("sum_after_c"),
+          when((col("n") - coalesce(col("n_del"), lit(0L))) === col("n_t") &&
+            (col("sum_c") - coalesce(col("sum_del_c"), lit(0L)))
+              === col("sum_t_c"), 1L).otherwise(0L).as("recompute_match"))
+    },
+
     // Streaming DDSketch histogram — completes the streaming sketch trio
     // (st19 HLL registers, st20 KMV, here the quantile summary): event
     // values log-bucket into q190's integer grid, so complete-mode state
