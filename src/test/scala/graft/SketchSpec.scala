@@ -130,6 +130,19 @@ class SketchSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q192 plan: one shuffle exchange — grouped sketch combines map-side") {
+    // The grouped form must keep the same contract as the global one:
+    // partial <=k arrays per (task, day) merge map-side, ONE exchange
+    // carries them — never a distinct shuffle of the user keyspace.
+    val df = SparkEntry.queries("q192_kmv_daily")(spark, dir)
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle exchange, got $exchanges:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("q192 grouped KMV: per-day sketches bounded, exact below k") {
     val rows = SparkEntry.queries("q192_kmv_daily")(spark, dir)
       .select("n_k", "est_users").as[(Long, Long)].collect().toSeq
