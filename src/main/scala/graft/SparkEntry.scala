@@ -28,7 +28,8 @@ object SparkEntry {
       _root_.graft.queries.OlapQueries.specs ++
       _root_.graft.queries.ExpQueries.specs ++
       _root_.graft.queries.Exp2Queries.specs ++
-      _root_.graft.queries.SketchQueries.specs
+      _root_.graft.queries.SketchQueries.specs ++
+      _root_.graft.queries.IncrementalQueries.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Looked up by name so reordering/prepending specs can't silently swap

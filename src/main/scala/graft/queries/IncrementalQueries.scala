@@ -1,0 +1,284 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Round-8 incremental-maintenance operators: the patterns a 100 TB
+  * warehouse uses to avoid rescanning history — CDC merge with
+  * tombstones, bloom-prefiltered incremental crawl dedup, and
+  * bounded-state per-group reservoir sampling.
+  *
+  * Reference anchor: the reference pipeline is full-refresh only (every
+  * DAG truncates and reloads, `dags/users_etl.py:140-159`); these specs
+  * are the incremental counterparts that replace "reload the world"
+  * with "merge the day's delta", which is the only shape that survives
+  * when history is 100 TB and the day's increment is 100 GB.
+  *
+  * Shared discipline: every derived quantity is exact integer math
+  * (cents, counts, md5-derived hashes) so each spec carries a full
+  * DuckDB oracle; self-checking specs additionally emit a
+  * `recompute_match` flag proving the incremental result equals the
+  * ground-truth recompute on both engines.
+  */
+object IncrementalQueries {
+
+  /** Fixed-width CDC sort key: zero-padded epoch-µs ‖ event_id.
+    * Lexicographic order on it equals (ts, event_id) order, and both
+    * engines build it byte-identically (the q80 recipe —
+    * `ScaleQueries.scala`). */
+  private def sortKey: Column = concat(
+    lpad(unix_micros(col("ts").cast("timestamp")).cast("string"), 16, "0"),
+    lpad(col("event_id").cast("string"), 12, "0"))
+
+  private val sortKeySql =
+    """lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') ||
+      |      lpad(CAST(event_id AS VARCHAR), 12, '0')""".stripMargin
+
+  /** CDC op code derived from the event enum: errors are tombstones,
+    * signups are inserts, everything else updates. */
+  private def opCode: Column =
+    when(col("event_type") === "error", "D")
+      .when(col("event_type") === "signup", "I").otherwise("U")
+
+  /** Log compaction: latest (event_id, op, cents) per user by the CDC
+    * sort key — ONE map-side-combining aggregation, no window, no sort
+    * of the log. */
+  private def compact(log: DataFrame): DataFrame =
+    log.groupBy(col("user_id")).agg(
+      max_by(col("event_id"), col("sk")).as("eid"),
+      max_by(col("op"), col("sk")).as("op"),
+      max_by(col("val_c"), col("sk")).as("val"))
+
+  /** Bloom geometry shared by dd18's Spark side and oracle: 4096 bits,
+    * 4 hashes, 63-bit words (DuckDB range-checks `1 << 63`). */
+  private val BloomBits = 4096
+  private def bloomPos(i: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$i:"), key).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // CDC MERGE with tombstones: compact a base snapshot (events before
+    // the cutoff), compact the delta log (events after), and merge —
+    // delta tombstone deletes the key, delta upsert wins over base,
+    // untouched base rows carry forward. The merge is ONE co-partitioned
+    // full-outer join of two compacted (per-key) tables — history is
+    // never rescanned, which is the entire point of CDC at 100 TB where
+    // the base is the warehouse and the delta is the day's binlog.
+    // SELF-CHECKING: `recompute_match` proves merged state ≡ compacting
+    // the whole log from scratch, on both engines — the merge algebra
+    // itself is oracled, not just the output. Exact integer cents.
+    QuerySpec(
+      "q197_cdc_merge",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, ts,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+         |    $sortKeySql AS sk,
+         |    CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I'
+         |      ELSE 'U' END AS op
+         |  FROM events),
+         |cut AS (SELECT max(ts) - INTERVAL 6 HOUR AS c FROM ev),
+         |base AS (
+         |  SELECT user_id, max_by(event_id, sk) AS eid, max_by(op, sk) AS op,
+         |    max_by(val_c, sk) AS val
+         |  FROM ev WHERE ts < (SELECT c FROM cut) GROUP BY 1),
+         |basek AS (SELECT * FROM base WHERE op <> 'D'),
+         |delta AS (
+         |  SELECT user_id, max_by(event_id, sk) AS eid, max_by(op, sk) AS op,
+         |    max_by(val_c, sk) AS val
+         |  FROM ev WHERE ts >= (SELECT c FROM cut) GROUP BY 1),
+         |merged AS (
+         |  SELECT coalesce(d.user_id, b.user_id) AS user_id,
+         |    coalesce(d.eid, b.eid) AS eid, coalesce(d.val, b.val) AS val,
+         |    coalesce(d.op, b.op) AS op,
+         |    CASE WHEN d.user_id IS NOT NULL THEN 'delta' ELSE 'base' END AS src
+         |  FROM basek b FULL JOIN delta d ON b.user_id = d.user_id
+         |  WHERE NOT (d.user_id IS NOT NULL AND d.op = 'D')),
+         |truth AS (
+         |  SELECT user_id, max_by(event_id, sk) AS eid, max_by(val_c, sk) AS val,
+         |    max_by(op, sk) AS op
+         |  FROM ev GROUP BY 1),
+         |truthk AS (SELECT * FROM truth WHERE op <> 'D')
+         |SELECT coalesce(m.user_id, t.user_id) AS user_id,
+         |  m.eid AS last_event_id, m.val AS val_c, m.op AS last_op, m.src AS src,
+         |  CASE WHEN m.eid = t.eid AND m.val = t.val THEN 1 ELSE 0 END
+         |    AS recompute_match
+         |FROM merged m FULL JOIN truthk t ON m.user_id = t.user_id""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"),
+        sortKey.as("sk"), opCode.as("op"))
+      // 1-row cutoff: joined (Spark broadcasts single-row sides), never
+      // collected — the plan stays fully distributed.
+      val cut = ev.agg(max(col("ts")).as("mx"))
+        .select((col("mx") - expr("INTERVAL 6 HOURS")).as("c"))
+      val staged = ev.crossJoin(cut)
+      val basek = compact(staged.where(col("ts") < col("c")))
+        .where(col("op") =!= "D")
+        .select(col("user_id").as("b_user"), col("eid").as("b_eid"),
+          col("op").as("b_op"), col("val").as("b_val"))
+      val delta = compact(staged.where(col("ts") >= col("c")))
+        .select(col("user_id").as("d_user"), col("eid").as("d_eid"),
+          col("op").as("d_op"), col("val").as("d_val"))
+      val merged = basek.join(delta, col("b_user") === col("d_user"), "full_outer")
+        .where(!(col("d_user").isNotNull && col("d_op") === "D"))
+        .select(coalesce(col("d_user"), col("b_user")).as("m_user"),
+          coalesce(col("d_eid"), col("b_eid")).as("m_eid"),
+          coalesce(col("d_val"), col("b_val")).as("m_val"),
+          coalesce(col("d_op"), col("b_op")).as("m_op"),
+          when(col("d_user").isNotNull, "delta").otherwise("base").as("src"))
+      val truthk = compact(ev).where(col("op") =!= "D")
+        .select(col("user_id").as("t_user"), col("eid").as("t_eid"),
+          col("val").as("t_val"))
+      merged.join(truthk, col("m_user") === col("t_user"), "full_outer")
+        .select(coalesce(col("m_user"), col("t_user")).as("user_id"),
+          col("m_eid").as("last_event_id"), col("m_val").as("val_c"),
+          col("m_op").as("last_op"), col("src"),
+          when(col("m_eid") === col("t_eid") && col("m_val") === col("t_val"),
+            1L).otherwise(0L).as("recompute_match"))
+    },
+
+    // Bloom-prefiltered incremental crawl dedup — the daily-ingest
+    // counterpart to dd13's LSH shape, for EXACT duplicates: the day's
+    // increment (5 % of docs by id bucket) builds a 4096-bit bloom over
+    // its content fingerprints; the FULL history is probed map-side
+    // against the broadcast filter (66 words — constant size regardless
+    // of corpus scale), and only bloom-passing rows reach the exact
+    // fingerprint join. No false negatives (bloom property), so the
+    // per-doc verdicts are exact; the accounting columns price the
+    // filter (pass/true/false-positive counts). At 100 TB: history
+    // never shuffles — the only rows that move are the handful the
+    // bloom lets through. Fingerprint = md5 of the first 20 sorted
+    // distinct tokens, a content signature coarse enough that the
+    // synthetic corpus contains real cross-slice duplicates.
+    QuerySpec(
+      "dd18_bloom_incremental",
+      """WITH doc AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(
+        |      list_sort(list_distinct(string_split(text, ' ')))[1:20], ' ')) AS f
+        |  FROM documents),
+        |new_docs AS (SELECT * FROM doc WHERE doc_id % 20 = 0),
+        |hist AS (SELECT * FROM doc WHERE doc_id % 20 <> 0),
+        |pts AS (
+        |  SELECT CAST('0x' || substr(md5(hs.i || ':' || f), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM new_docs CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs),
+        |bits AS (
+        |  SELECT p // 63 AS word, bit_or(1::BIGINT << (p % 63)::INT) AS mask
+        |  FROM pts GROUP BY 1),
+        |hp AS (
+        |  SELECT doc_id, f,
+        |    CAST('0x' || substr(md5(hs.i || ':' || f), 1, 8) AS BIGINT)
+        |      % 4096 AS p
+        |  FROM hist CROSS JOIN (SELECT unnest(range(0, 4)) AS i) hs),
+        |hflag AS (
+        |  SELECT doc_id, f,
+        |    min(CASE WHEN (coalesce(mask, 0) & (1::BIGINT << (p % 63)::INT)) <> 0
+        |      THEN 1 ELSE 0 END) AS hit
+        |  FROM hp LEFT JOIN bits ON word = p // 63 GROUP BY 1, 2),
+        |acct AS (
+        |  SELECT count(*)::BIGINT AS n_hist_probed,
+        |    CAST(sum(hit) AS BIGINT) AS n_bloom_pass,
+        |    CAST(sum(CASE WHEN hit = 1 AND f IN (SELECT f FROM new_docs)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_true_member
+        |  FROM hflag),
+        |m AS (
+        |  SELECT n.doc_id, count(h.doc_id)::BIGINT AS n_hist
+        |  FROM new_docs n LEFT JOIN (SELECT * FROM hflag WHERE hit = 1) h
+        |    ON h.f = n.f
+        |  GROUP BY 1)
+        |SELECT m.doc_id,
+        |  CAST(CASE WHEN n_hist > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  n_hist, n_hist_probed, n_bloom_pass, n_true_member,
+        |  n_bloom_pass - n_true_member AS n_bloom_fp
+        |FROM m CROSS JOIN acct""".stripMargin) { (s, dir) =>
+      val fp = md5(array_join(
+        slice(array_sort(array_distinct(split(col("text"), " "))), 1, 20), " ")
+        .cast("binary"))
+      val doc = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), fp.as("f"))
+      val newDocs = doc.where(col("doc_id") % 20 === 0)
+      val hist = doc.where(col("doc_id") % 20 =!= 0)
+      // Build: 66-word bit table from the increment's fingerprints, then
+      // ONE row holding the whole filter as a word→mask map.
+      val bits = newDocs
+        .select(explode(array((0 until 4).map(i => bloomPos(i, col("f"))): _*))
+          .as("p"))
+        .select(expr("p DIV 63").as("word"),
+          call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
+        .groupBy("word").agg(bit_or(col("m")).as("mask"))
+      val bloomRow = bits.agg(map_from_entries(
+        sort_array(collect_list(struct(col("word"), col("mask"))))).as("bm"))
+      // Probe: pure map-side — the broadcast single-row map is the whole
+      // filter; no explode, no per-probe shuffle.
+      val probed = hist.crossJoin(broadcast(bloomRow))
+      val hit = (0 until 4).map { i =>
+        val p = bloomPos(i, col("f"))
+        coalesce(element_at(col("bm"), (p / 63).cast("long")), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 63).cast("int"))) =!= 0L
+      }.reduce(_ && _)
+      val flagged = probed.select(col("doc_id"), col("f"),
+        when(hit, 1L).otherwise(0L).as("hit"))
+      val candidates = flagged.where(col("hit") === 1L)
+      val newFps = newDocs.select(col("f")).distinct()
+      val acct = flagged.agg(count(lit(1)).as("n_hist_probed"),
+          sum(col("hit")).as("n_bloom_pass"))
+        .crossJoin(candidates.join(newFps, Seq("f"), "left_semi")
+          .agg(count(lit(1)).as("n_true_member")))
+      val matches = newDocs.as("n")
+        .join(candidates.as("h"), col("h.f") === col("n.f"), "left")
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(count(col("h.doc_id")).as("n_hist"))
+      matches.select(col("doc_id"),
+          when(col("n_hist") > 0, 1L).otherwise(0L).as("is_dup"), col("n_hist"))
+        .crossJoin(acct)
+        .select(col("doc_id"), col("is_dup"), col("n_hist"),
+          col("n_hist_probed"), col("n_bloom_pass"), col("n_true_member"),
+          (col("n_bloom_pass") - col("n_true_member")).as("n_bloom_fp"))
+    },
+
+    // Per-group reservoir sampling with BOUNDED state: a deterministic
+    // fixed-k sample per market segment via the map-side top-k heap
+    // aggregator (graft.functions.TopKByScore) over 48-bit md5 draw
+    // keys. The shuffle carries ≤ k (draw, id) pairs per partition per
+    // group — NOT the group's rows, which the window-row_number
+    // formulation the oracle uses would move wholesale. Replayable:
+    // content-hash draws, so re-runs, retries, and repartitioning all
+    // produce the same sample (a seeded rand() is none of those).
+    // Complements q69 (per-stratum RATE sample) and q93 (global
+    // weighted top-k): fixed-k per group is the audit-sample shape.
+    QuerySpec(
+      "q201_grouped_reservoir",
+      """WITH s AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS BIGINT)
+        |      AS h
+        |  FROM customer),
+        |r AS (
+        |  SELECT c_mktsegment, c_custkey, h,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY h DESC, c_custkey) AS rnk
+        |  FROM s)
+        |SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rank, c_custkey
+        |FROM r WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      // 48-bit draw: exactly representable in the aggregator's Double
+      // score (< 2^53); collisions are ~|group|²/2^49 — and the (score,
+      // id) total order in TopKByScore matches the oracle's (h DESC,
+      // c_custkey ASC) tiebreak even then.
+      val draw = conv(
+        substring(md5(col("c_custkey").cast("string").cast("binary")), 1, 12),
+        16, 10).cast("long")
+      val topk = udaf(new graft.functions.TopKByScore(10))
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"), draw.cast("double").as("d"))
+        .groupBy(col("c_mktsegment"))
+        .agg(topk(col("d"), col("c_custkey")).as("tops"))
+        .select(col("c_mktsegment"), posexplode(col("tops")).as(Seq("r0", "t")))
+        .select(col("c_mktsegment"), (col("r0") + 1).cast("long").as("rank"),
+          col("t._2").as("c_custkey"))
+    })
+}

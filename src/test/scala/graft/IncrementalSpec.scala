@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the incremental-maintenance family
+  * (`queries/IncrementalQueries.scala`) that the DuckDB hash compare
+  * can't express: the CDC merge algebra's self-check, the bloom
+  * filter's no-false-negative contract, and the reservoir's exact
+  * per-group size. */
+class IncrementalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("q197 CDC merge: incremental state ≡ full recompute, both branches hit") {
+    val out = SparkEntry.queries("q197_cdc_merge")(spark, dir).cache()
+    try {
+      assert(out.where(col("recompute_match") =!= 1L).count() == 0,
+        "merged state diverged from the ground-truth recompute")
+      // Both merge branches must be exercised: untouched base rows carry
+      // forward AND delta rows upsert (else the full-outer join is
+      // vacuously testing one side).
+      val srcs = out.select("src").distinct().collect().map(_.getString(0)).toSet
+      assert(srcs == Set("base", "delta"), s"merge branches exercised: $srcs")
+      // Tombstones actually delete: fewer final rows than live users.
+      val users = Tables.events(spark, dir).select("user_id").distinct().count()
+      assert(out.count() < users,
+        s"no user was tombstoned (${out.count()} rows vs $users users)")
+    } finally out.unpersist()
+  }
+
+  test("dd18 bloom prefilter: no false negatives, and the filter pays") {
+    val out = SparkEntry.queries("dd18_bloom_incremental")(spark, dir).cache()
+    try {
+      val row = out.select("n_hist_probed", "n_bloom_pass", "n_true_member",
+        "n_bloom_fp").head()
+      val (probed, pass, truth, fp) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      // Bloom contract: every true member passes (pass ≥ truth ⇔ fp ≥ 0),
+      // and the filter prunes the vast majority of history before the
+      // exact join — the property that makes the pattern worth running.
+      assert(fp >= 0L, "bloom false-positive count went negative")
+      assert(pass >= truth, "bloom dropped a true member (false negative)")
+      assert(pass < probed / 2,
+        s"filter pruned nothing: $pass of $probed history rows passed")
+      // The synthetic corpus must exercise the dup path, else the exact
+      // join is never tested against a non-empty candidate set.
+      assert(out.where(col("is_dup") === 1L).count() > 0,
+        "no increment doc duplicated history — degenerate fixture")
+      // Per-doc verdicts agree with a bloom-free exact recompute.
+      val dupIds = out.where(col("is_dup") === 1L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val fpCol = md5(array_join(
+        slice(array_sort(array_distinct(split(col("text"), " "))), 1, 20), " ")
+        .cast("binary"))
+      val doc = Tables.documents(spark, dir)
+        .select(col("doc_id"), fpCol.as("f"))
+      val exact = doc.where(col("doc_id") % 20 === 0).as("n")
+        .join(doc.where(col("doc_id") % 20 =!= 0).as("h"), "f")
+        .select(col("n.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+      assert(dupIds == exact,
+        s"bloom-prefiltered verdicts diverge from exact: ${dupIds.diff(exact)} / ${exact.diff(dupIds)}")
+    } finally out.unpersist()
+  }
+
+  test("q201 reservoir: exactly k per group, ranked by the draw order") {
+    val out = SparkEntry.queries("q201_grouped_reservoir")(spark, dir)
+    val perGroup = out.groupBy("c_mktsegment").count().collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_.getLong(1) == 10L),
+      "a segment sample is not exactly k=10 rows")
+    // Ranks are 1..10 with no gaps in every group.
+    val ranks = out.groupBy("c_mktsegment")
+      .agg(sort_array(collect_list(col("rank"))).as("r"))
+      .collect().map(_.getSeq[Long](1))
+    assert(ranks.forall(_ == (1L to 10L)), "rank sequence has gaps")
+  }
+}

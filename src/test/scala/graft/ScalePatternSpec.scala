@@ -293,7 +293,8 @@ class ScalePatternSpec extends SparkSpec {
     // re-planning, and cluster resizing at 100 TB.
     val dir = "/root/testdata/sf0.001"
     val names = Seq("q93_weighted_sample", "tx8_hash_split",
-      "dd4_dedup_minhash_lsh", "q183_hll_registers", "q185_hll_retention")
+      "dd4_dedup_minhash_lsh", "q183_hll_registers", "q185_hll_retention",
+      "q201_grouped_reservoir")
     def rowsOf(name: String): Seq[String] = {
       val out = graft.SparkEntry.queries(name)(spark, dir)
         .collect().map(_.toString).sorted.toSeq
