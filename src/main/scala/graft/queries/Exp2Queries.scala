@@ -2098,6 +2098,83 @@ object Exp2Queries {
             .as("violates_l3"))
     },
 
+    // t-closeness audit — completes the release-audit ladder (q114
+    // k-anonymity: class size; q172 l-diversity: distinct sensitive
+    // values; here: DISTRIBUTION distance): a class can be k-anonymous
+    // AND l-diverse yet still leak when its sensitive-value distribution
+    // skews far from the corpus's. Distance is the ordered-categorical
+    // EMD (Σ|cumulative p−q| / (b−1)) over balance bands. Per-band
+    // |cum| is fixed-pointed to 1e-7 units BEFORE the per-class sum so
+    // the only cross-row double addition is over exact integers —
+    // aggregation order cannot move the result. The band grid and band
+    // count are derived from data (broadcast ≤ a dozen rows), the
+    // cumsum window is partitioned per class over that bounded grid —
+    // nothing here grows with row count except the two aggregations.
+    QuerySpec(
+      "q199_t_closeness",
+      """WITH q AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |cc AS (SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS cnt
+        |       FROM q GROUP BY 1, 2, 3),
+        |ct AS (SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n
+        |       FROM q GROUP BY 1, 2),
+        |gc AS (SELECT band, count(*)::BIGINT AS g FROM q GROUP BY 1),
+        |gt AS (SELECT count(*)::BIGINT AS big_n, count(DISTINCT band)::BIGINT
+        |         AS nb FROM q),
+        |grid AS (
+        |  SELECT ct.c_nationkey, ct.c_mktsegment, ct.n, gc.band, gc.g,
+        |    coalesce(cc.cnt, 0) AS cnt
+        |  FROM ct CROSS JOIN gc
+        |  LEFT JOIN cc ON cc.c_nationkey = ct.c_nationkey
+        |    AND cc.c_mktsegment = ct.c_mktsegment AND cc.band = gc.band),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, n,
+        |    CAST(floor(abs(sum(CAST(cnt AS DOUBLE) / n
+        |        - CAST(g AS DOUBLE) / (SELECT big_n FROM gt))
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+        |            ROWS UNBOUNDED PRECEDING)) * 10000000 + 0.5) AS BIGINT)
+        |      AS icum
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment, n,
+        |  CAST(floor(CAST(sum(icum) AS DOUBLE)
+        |    / ((SELECT nb FROM gt) - 1) / 1000.0 + 0.5) AS BIGINT) AS emd_bp,
+        |  CAST(CASE WHEN floor(CAST(sum(icum) AS DOUBLE)
+        |    / ((SELECT nb FROM gt) - 1) / 1000.0 + 0.5) > 2000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS violates_t02
+        |FROM cum GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val q = Tables.customer(s, dir)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+      val cc = q.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("cnt"))
+      val ct = q.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+      val gc = q.groupBy("band").agg(count(lit(1)).as("g"))
+      val gt = q.agg(count(lit(1)).as("big_n"),
+        count_distinct(col("band")).as("nb"))
+      val grid = ct.crossJoin(broadcast(gc))
+        .join(cc, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .crossJoin(broadcast(gt))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n"), col("band"),
+          col("g"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("big_n"), col("nb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "c_mktsegment").orderBy("band")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = grid.select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        col("nb"),
+        floor(abs(sum(col("cnt").cast("double") / col("n")
+          - col("g").cast("double") / col("big_n")).over(w)) * 10000000 + 0.5)
+          .cast("long").as("icum"))
+      val emd = floor(sum(col("icum")).cast("double")
+        / (max(col("nb")) - 1) / 1000.0 + 0.5).cast("long")
+      cum.groupBy("c_nationkey", "c_mktsegment", "n")
+        .agg(emd.as("emd_bp"),
+          when(emd > 2000, 1L).otherwise(0L).as("violates_t02"))
+    },
+
     // Differentially-private-style histogram release: per-segment
     // counts plus Laplace(b=10) noise drawn by inverse-CDF from an
     // md5-seeded uniform — the engine-portable stand-in for an RNG

@@ -280,5 +280,117 @@ object IncrementalQueries {
         .select(col("c_mktsegment"), posexplode(col("tops")).as(Seq("r0", "t")))
         .select(col("c_mktsegment"), (col("r0") + 1).cast("long").as("rank"),
           col("t._2").as("c_custkey"))
+    },
+
+    // Content-defined chunking (CDC-chunking, Rabin style) + cross-doc
+    // chunk dedup — the variable-boundary sibling of tx32's fixed
+    // windows: boundaries fall where a rolling 3-token fingerprint hits
+    // 0 mod 16 (expected chunk ~16 tokens), so an insertion shifts ONE
+    // chunk instead of every window downstream — the property dedup
+    // storage and crawl re-chunking rely on. Boundary detection and
+    // chunk slicing are in-row HOFs (no per-token explode); the single
+    // corpus shuffle is the chunk-fingerprint groupBy carrying
+    // (fp, doc_id, len) triples. Portable md5 window hashes let DuckDB
+    // replay boundaries, chunks, and the dup report bit-for-bit.
+    QuerySpec(
+      "tx41_cdc_chunking",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    list_filter(range(3, len(toks) + 1),
+        |      j -> CAST('0x' || substr(md5(toks[j-2] || ' ' || toks[j-1] || ' '
+        |             || toks[j]), 1, 8) AS BIGINT) % 2147483647 % 16 = 0) AS bnd
+        |  FROM t),
+        |cuts AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(bnd) > 0 AND bnd[-1] = n THEN [0] || bnd
+        |         ELSE [0] || bnd || [n] END AS cu
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(cu)),
+        |      i -> md5(array_to_string(toks[cu[i]+1:cu[i+1]], ' ')))) AS chunk_fp,
+        |    unnest(list_transform(range(1, len(cu)),
+        |      i -> cu[i+1] - cu[i])) AS tok_len
+        |  FROM cuts)
+        |SELECT chunk_fp, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occ, CAST(min(tok_len) AS BIGINT) AS tok_len,
+        |  min(doc_id) AS keep_doc
+        |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
+      (s, dir) =>
+      val t = Tables.fanOut(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val winHash = (j: Column) => pmod(
+        conv(substring(md5(concat_ws(" ",
+          element_at(col("toks"), (j - 2).cast("int")),
+          element_at(col("toks"), (j - 1).cast("int")),
+          element_at(col("toks"), j.cast("int"))).cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(2147483647L))
+      val b = t.select(col("doc_id"), col("toks"), size(col("toks")).as("n"),
+        when(size(col("toks")) >= 3,
+          filter(sequence(lit(3), size(col("toks"))), j => winHash(j) % 16 === 0))
+          .otherwise(array().cast("array<int>")).as("bnd"))
+      val cuts = b.select(col("doc_id"), col("toks"),
+        when(size(col("bnd")) > 0 &&
+            try_element_at(col("bnd"), lit(-1)) === col("n"),
+          concat(array(lit(0)), col("bnd")))
+          .otherwise(concat(array(lit(0)), col("bnd"), array(col("n"))))
+          .as("cu"))
+      val ch = cuts.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("cu")) - 1), i => struct(
+            md5(array_join(slice(col("toks"),
+              element_at(col("cu"), i.cast("int")) + 1,
+              element_at(col("cu"), (i + 1).cast("int"))
+                - element_at(col("cu"), i.cast("int"))), " ").cast("binary"))
+              .as("chunk_fp"),
+            (element_at(col("cu"), (i + 1).cast("int"))
+              - element_at(col("cu"), i.cast("int"))).cast("long").as("tok_len"))))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_fp"), col("c.tok_len"))
+      ch.groupBy(col("chunk_fp"))
+        .agg(count_distinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("tok_len")).as("tok_len"),
+          min(col("doc_id")).as("keep_doc"))
+        .where(col("n_docs") >= 2)
+    },
+
+    // Streaming CDC compaction — q197's merge algebra running as a
+    // stream: per-user latest-wins state (`Streams.cdcCompactState`,
+    // flatMapGroupsWithState) folds the change log batch by batch; the
+    // final state is recovered batch-robustly (max_by on the monotone
+    // emission count) and the tombstone filter applies AFTER recovery,
+    // so a user whose last event is a delete disappears exactly as in
+    // the batch compaction the oracle runs. State is one 5-field row
+    // per user — bounded by key cardinality, not stream length.
+    QuerySpec(
+      "st22_stream_cdc",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+         |    $sortKeySql AS sk,
+         |    CASE event_type WHEN 'error' THEN 'D' WHEN 'signup' THEN 'I'
+         |      ELSE 'U' END AS op
+         |  FROM events),
+         |t AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         |    max_by(event_id, sk) AS last_event_id, max_by(op, sk) AS op,
+         |    max_by(val_c, sk) AS val_c
+         |  FROM ev GROUP BY 1)
+         |SELECT user_id, n, last_event_id, val_c
+         |FROM t WHERE op <> 'D'""".stripMargin) { (s, dir) =>
+      val log = graft.streaming.Streams.eventsStream(s, dir).select(
+        col("user_id"), col("event_id"), sortKey.as("sk"), opCode.as("op"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+      graft.streaming.Streams.runToTable(
+          graft.streaming.Streams.cdcCompactState(log), "st22_mem", "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n")).as("n"),
+          max_by(col("last_event_id"), col("n")).as("last_event_id"),
+          max_by(col("last_op"), col("n")).as("op"),
+          max_by(col("val_c"), col("n")).as("val_c"))
+        .where(col("op") =!= "D")
+        .select(col("user_id"), col("n"), col("last_event_id"), col("val_c"))
     })
 }

@@ -143,6 +143,35 @@ object Spark4Queries {
         .groupBy(col("user_id"))
         .agg(max(col("n")).as("n"),
           round(max_by(col("sum_v"), col("n")), 2).as("total_value"))
+    },
+
+    // --- Spark 4.1 SQL conveniences in one statement ---------------------
+    // `GROUP BY ALL` (infer grouping keys), `listagg(DISTINCT …) WITHIN
+    // GROUP (ORDER BY …)` (the ANSI ordered string aggregate), `SELECT *
+    // EXCEPT (…)` (drop a helper column without re-listing the
+    // projection), and `ORDER BY ALL` — the query-authoring surface a
+    // migrating user expects to keep. The oracle states the same
+    // semantics in portable spellings (explicit GROUP BY, string_agg
+    // with ORDER BY, explicit projection), proving the sugar desugars
+    // to the exact same rows.
+    QuerySpec(
+      "q198_sql_sugar",
+      """SELECT l_linestatus,
+        |  string_agg(DISTINCT l_returnflag, '|' ORDER BY l_returnflag) AS flags,
+        |  count(*)::BIGINT AS n,
+        |  CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sugar_v")
+      s.sql(
+        """SELECT * EXCEPT (qty_raw) FROM (
+          |  SELECT l_linestatus,
+          |    listagg(DISTINCT l_returnflag, '|')
+          |      WITHIN GROUP (ORDER BY l_returnflag) AS flags,
+          |    CAST(count(*) AS BIGINT) AS n,
+          |    sum(l_quantity) AS qty_raw,
+          |    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS qty
+          |  FROM lineitem_sugar_v GROUP BY ALL)
+          |ORDER BY ALL""".stripMargin)
     }
   )
 }

@@ -147,6 +147,41 @@ object Streams {
       .toDF("user_id", "n", "sum_v")
   }
 
+  /** Streaming CDC compaction (`flatMapGroupsWithState`): per-key
+    * latest-wins state over a change log — the stream twin of the
+    * q197/q80 batch compaction. State per user = (rows-seen, best sort
+    * key, event id, op, cents); each batch folds its rows into the state
+    * (order-independent: a pure max by the sort key) and emits the
+    * current compacted row. Emission count `n` is monotone per user, so
+    * the final state of a multi-batch run is recoverable downstream as
+    * `max_by(·, n)` — the st8 batch-robustness recipe. Tombstone ops
+    * ride along in the emitted row; the CALLER applies the delete
+    * filter after recovering final state (filtering inside the stream
+    * would suppress the emission that retracts an earlier live row).
+    * Input must carry (user_id, sk, event_id, op, val_c). */
+  def cdcCompactState(changeLog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = changeLog.sparkSession
+    import spark.implicits._
+    changeLog.select(col("user_id").cast("long"), col("sk").cast("string"),
+        col("event_id").cast("long"), col("op").cast("string"),
+        col("val_c").cast("long"))
+      .as[(Long, String, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String, Long, String, Long),
+        (Long, Long, Long, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (n, sk, eid, op, v) = state.getOption.getOrElse((0L, "", 0L, "", 0L))
+        rows.foreach { r =>
+          n += 1
+          if (r._2 > sk) { sk = r._2; eid = r._3; op = r._4; v = r._5 }
+        }
+        state.update((n, sk, eid, op, v))
+        Iterator((user, n, eid, op, v))
+      }
+      .toDF("user_id", "n", "last_event_id", "last_op", "val_c")
+  }
+
   /** [[runningUserTotals]] re-expressed on the Spark 4 `transformWithState`
     * API (the successor to `flatMapGroupsWithState`: typed state handles,
     * TTL support, timers, state-schema evolution). Same semantics —

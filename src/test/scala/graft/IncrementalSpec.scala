@@ -62,6 +62,44 @@ class IncrementalSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("tx41 chunking is content-defined: a prefix edit shifts only the head") {
+    // The property that justifies variable boundaries over tx32's fixed
+    // windows: prepending tokens to a document leaves every chunk after
+    // the first re-synchronized boundary byte-identical (a fixed stride
+    // would shift every window downstream). The rolling 3-token window
+    // re-synchronizes as soon as it no longer overlaps the edit, so
+    // every ORIGINAL boundary survives (shifted) and only the head
+    // chunk(s) can differ.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunkFps(text: String): Vector[String] = {
+      val toks = text.split(" ").toVector
+      val n = toks.length
+      // 1-based j, window toks[j-2..j] — the spec's exact recipe.
+      val bnd = (3 to n).filter { j =>
+        val h = java.lang.Long.parseLong(
+          md5hex(s"${toks(j - 3)} ${toks(j - 2)} ${toks(j - 1)}").take(8), 16)
+        Math.floorMod(h, 2147483647L) % 16 == 0
+      }.toVector
+      val cuts = (0L +: bnd.map(_.toLong)) ++
+        (if (bnd.nonEmpty && bnd.last == n) Nil else Seq(n.toLong))
+      cuts.sliding(2).map { case Seq(a, b) =>
+        md5hex(toks.slice(a.toInt, b.toInt).mkString(" "))
+      }.toVector
+    }
+    val original = (1 to 400).map(i => s"w${i % 37}x$i").mkString(" ")
+    val edited = "zz0 zz1 " + original
+    val oc = chunkFps(original)
+    val ec = chunkFps(edited)
+    assert(oc.size > 10, s"fixture degenerate: ${oc.size} chunks")
+    val common = oc.reverse.zip(ec.reverse).takeWhile { case (a, b) => a == b }
+    assert(common.size >= oc.size - 1,
+      s"prefix edit desynchronized the chunker: only ${common.size} of " +
+        s"${oc.size} suffix chunks survived")
+    assert(ec.size <= oc.size + 2, "edit created more than head-local chunks")
+  }
+
   test("q201 reservoir: exactly k per group, ranked by the draw order") {
     val out = SparkEntry.queries("q201_grouped_reservoir")(spark, dir)
     val perGroup = out.groupBy("c_mktsegment").count().collect()

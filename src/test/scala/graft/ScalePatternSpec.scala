@@ -425,6 +425,7 @@ class ScalePatternSpec extends SparkSpec {
       "q164_ks_test" -> "Ranks slice heads (<= partitions)",
       "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
       "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
+      "q199_t_closeness" -> "sensitive-band grid (acctbal/1000 ~ a dozen values)",
       "q89_share_of_total" -> "group-dimension aggregate (25 rows)",
       "q96_mad_outliers" -> "per-event-type medians (5-value enum)",
       "ss1_cosine_topk" -> "planted single query vector (vec_id = 0)",
