@@ -183,9 +183,14 @@ object Similarity {
     * magnitude below any meaningful centroid separation. This is what
     * upgrades the IVF path from rows-only checks to a full replayable
     * oracle (ss3). */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String, partCol: String,
-      query: DataFrame, queryVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+  /** The `nProbe` partitions of `partCol` whose fixed-point centroid is
+    * most cosine-similar to the query — the IVF coarse-quantizer probe
+    * choice, shared by [[ivfTopK]] and [[ivfPqTopK]]. Integer centroid
+    * sums are aggregation-order-independent, so the choice replays
+    * bit-for-bit in SQL. */
+  private def ivfProbes(
+      df: DataFrame, vecCol: String, partCol: String,
+      query: DataFrame, queryVecCol: String, nProbe: Int): DataFrame = {
     val centroids = df
       .select(col(partCol), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .groupBy(col(partCol), col("__pos"))
@@ -196,14 +201,18 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__m")))),
         s => s.getField("__m")).as("__centroid"))
-
-    val probes = centroids
+    centroids
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .select(col(partCol), cosineFast(col("__centroid"), col("__qv")).as("__csim"))
       .orderBy(col("__csim").desc, col(partCol))
       .limit(nProbe)
       .select(col(partCol))
+  }
 
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String, partCol: String,
+      query: DataFrame, queryVecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val probes = ivfProbes(df, vecCol, partCol, query, queryVecCol, nProbe)
     df.join(broadcast(probes), Seq(partCol))
       .crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
       .select(col(idCol), col(partCol),
@@ -346,6 +355,25 @@ object Similarity {
       .crossJoin(broadcast(qv))
       .select(col(idCol), round(cosineFast(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol)).limit(k)
+  }
+
+  /** IVF + PQ — the composed index shape production ANN systems ship
+    * (FAISS `IVFxPQy`): the coarse quantizer ([[ivfProbes]]) prunes the
+    * corpus to `nProbe` partitions, and only the surviving fraction is
+    * PQ-scored ([[pqTopK]]'s ADC lookup) and exact-reranked. At scale
+    * the two stages multiply: IVF cuts the scan to nProbe/nlist of the
+    * corpus, PQ cuts the scanned bytes per row to m codes — the full
+    * corpus is never scanned OR shuffled. The codebook stays GLOBAL
+    * (trained once, shared across partitions), matching production
+    * practice. Same determinism contract as both parents → fully
+    * SQL-replayable. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String, partCol: String,
+      query: DataFrame, queryVecCol: String,
+      codebook: DataFrame, codebookIdCol: String,
+      k: Int, nProbe: Int = 2, cand: Int = 50): DataFrame = {
+    val probes = ivfProbes(df, vecCol, partCol, query, queryVecCol, nProbe)
+    pqTopK(df.join(broadcast(probes), Seq(partCol)), idCol, vecCol,
+      query, queryVecCol, codebook, codebookIdCol, k, cand)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ `threshold` over a bounded

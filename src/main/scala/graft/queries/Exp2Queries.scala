@@ -1433,6 +1433,87 @@ object Exp2Queries {
         k = 10, cand = 50)
     },
 
+    // IVF+PQ composed ANN (Similarity.ivfPqTopK) — the index shape
+    // production vector stores actually ship (FAISS IVFxPQy): ss3's
+    // coarse probe prunes the corpus to 2 of 8 label partitions, then
+    // ss12's ADC scoring + exact rerank run over only the survivors
+    // with the GLOBAL codebook. The stages multiply at scale: scan
+    // nProbe/nlist of the corpus at m bytes per row. Oracle = the two
+    // parents' CTEs composed, restricting the PQ encode to the probed
+    // partitions — every step exact-integer or micro-rounded, so the
+    // whole two-stage index replays bit-for-bit.
+    QuerySpec(
+      "ss14_ann_ivf_pq",
+      """WITH d AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, i, sum(CAST(floor(v[i] * 1000000 + 0.5) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM d, range(1, 65) t(i) GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list((CAST(s AS DOUBLE) / 1000000.0) / n ORDER BY i) AS cv
+        |  FROM c GROUP BY label
+        |), q0 AS (SELECT v AS qv FROM d WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT label FROM cent, q0
+        |  ORDER BY list_cosine_similarity(cv, qv) DESC, label LIMIT 2),
+        |r AS (
+        |  SELECT e.vec_id, e.embedding FROM embeddings e JOIN probe USING (label)),
+        |cb AS (
+        |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 16
+        |), js AS (SELECT unnest(range(0, 8)) AS j),
+        |cents AS (
+        |  SELECT j, cid,
+        |    list_transform(embedding[(j*8+1):(j*8+8)], x -> x::DOUBLE) AS cv
+        |  FROM cb CROSS JOIN js
+        |), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |qsub AS (
+        |  SELECT j, list_transform(qe[(j*8+1):(j*8+8)], x -> x::DOUBLE) AS qs
+        |  FROM q CROSS JOIN js
+        |), t AS (
+        |  SELECT qsub.j, cid,
+        |    CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 9), dd -> qs[dd] * cv[dd])),
+        |      (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS tval
+        |  FROM qsub JOIN cents ON cents.j = qsub.j
+        |), dsub AS (
+        |  SELECT vec_id, js.j,
+        |    list_transform(embedding[(js.j*8+1):(js.j*8+8)], x -> x::DOUBLE) AS sv
+        |  FROM r CROSS JOIN js
+        |), enc0 AS (
+        |  SELECT vec_id, dsub.j, cid,
+        |    CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 9), dd -> (sv[dd] - cv[dd]) * (sv[dd] - cv[dd]))),
+        |      (a, x) -> a + x) * 1000000.0 + 0.5) AS BIGINT) AS dm
+        |  FROM dsub JOIN cents ON cents.j = dsub.j
+        |), enc AS (
+        |  SELECT vec_id, j, cid AS code FROM (
+        |    SELECT vec_id, j, cid,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dm, cid) AS rk
+        |    FROM enc0) z
+        |  WHERE rk = 1
+        |), approx AS (
+        |  SELECT vec_id, CAST(sum(tval) AS BIGINT) AS score
+        |  FROM enc JOIN t ON t.j = enc.j AND t.cid = enc.code
+        |  GROUP BY 1
+        |), cand AS (
+        |  SELECT vec_id FROM approx ORDER BY score DESC, vec_id LIMIT 50
+        |)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(
+        |    list_transform(e.embedding, x -> x::DOUBLE),
+        |    (SELECT list_transform(qe, x -> x::DOUBLE) FROM q)), 6) AS sim
+        |FROM r e JOIN cand ON cand.vec_id = e.vec_id
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id") === 0), "embedding",
+        emb.where(col("vec_id") < 16), "vec_id",
+        k = 10, nProbe = 2, cand = 50)
+    },
+
     // Streaming count-min sketch maintenance: the q143 cell-matrix build
     // lifted onto the event stream — a complete-mode groupBy over the
     // FIXED (row, bucket) key space, so the streaming state is exactly

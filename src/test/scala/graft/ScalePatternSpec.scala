@@ -437,6 +437,7 @@ class ScalePatternSpec extends SparkSpec {
       "ss9_ann_int8" -> "planted single query vector (vec_id = 0)",
       "ss11_ann_binary" -> "planted single query vector (vec_id = 0)",
       "ss12_ann_pq" -> "16-centroid-per-subspace codebooks (128 rows)",
+      "ss14_ann_ivf_pq" -> "16-centroid-per-subspace codebooks (128 rows)",
       "ss13_matryoshka_truncation" -> "planted single query vector (vec_id = 0)",
       "tx20_mixture_rebalance" -> "per-source mixture weights (bounded enum)",
       "tx23_event_transitions" -> "event-type transition matrix (5x5)",
