@@ -50,12 +50,54 @@ object IncrementalQueries {
       max_by(col("op"), col("sk")).as("op"),
       max_by(col("val_c"), col("sk")).as("val"))
 
-  /** Bloom geometry shared by dd18's Spark side and oracle: 4096 bits,
-    * 4 hashes, 63-bit words (DuckDB range-checks `1 << 63`). */
+  /** Bloom geometry shared by dd18's Spark side and oracle: 4096 bits
+    * (the spec's default — ample for the harness's ≤250-doc increments
+    * at 4 hashes), 63-bit words (DuckDB range-checks `1 << 63`). */
   private val BloomBits = 4096
-  private def bloomPos(i: Int, key: Column): Column =
+  private def bloomPos(i: Int, key: Column, bits: Long): Column =
     conv(substring(md5(concat(lit(s"$i:"), key).cast("binary")), 1, 8), 16, 10)
-      .cast("long") % BloomBits
+      .cast("long") % bits
+
+  /** dd18's content fingerprint: md5 of the first 20 sorted distinct
+    * tokens — coarse enough that the synthetic corpus has real
+    * cross-slice duplicates. Shared with `tools/ScaleProbe` (bloom
+    * mode) so the probe measures the exact registered recipe. */
+  private[graft] def docFingerprint: Column = md5(array_join(
+    slice(array_sort(array_distinct(split(col("text"), " "))), 1, 20), " ")
+    .cast("binary"))
+
+  /** dd18's bloom build + map-side probe: aggregate `newDocs`' (`f`)
+    * fingerprints into ONE (word → mask) map row, broadcast it, and
+    * return the `hist` rows flagged 1/0 by the 4-hash membership test.
+    * The broadcast is filter-size (bits/8 bytes) no matter how large
+    * the increment grows — the property that keeps the pattern alive
+    * when the increment's fingerprint set itself is too big to ship.
+    *
+    * SIZING DISCIPLINE (measured, `tools/ScaleProbe` bloom mode): a
+    * filter must be sized to its increment — m ≳ 16 bits per inserted
+    * key keeps the false-positive rate low single-digit %; holding m
+    * fixed while the increment grows saturates the filter and the
+    * "prefilter" passes most of history (66 % at 4·n/m ≈ 2.4). The
+    * spec pins m = 4096 because the harness increment is ≤ 250 docs;
+    * callers at other scales pass their own `bits`. */
+  private[graft] def bloomFlagged(newDocs: DataFrame, hist: DataFrame,
+      bits: Long = BloomBits): DataFrame = {
+    val words = newDocs
+      .select(explode(array((0 until 4).map(i => bloomPos(i, col("f"), bits)): _*))
+        .as("p"))
+      .select(expr("p DIV 63").as("word"),
+        call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
+      .groupBy("word").agg(bit_or(col("m")).as("mask"))
+    val bloomRow = words.agg(map_from_entries(
+      sort_array(collect_list(struct(col("word"), col("mask"))))).as("bm"))
+    val hit = (0 until 4).map { i =>
+      val p = bloomPos(i, col("f"), bits)
+      coalesce(element_at(col("bm"), (p / 63).cast("long")), lit(0L))
+        .bitwiseAND(call_function("shiftleft", lit(1L), (p % 63).cast("int"))) =!= 0L
+    }.reduce(_ && _)
+    hist.crossJoin(broadcast(bloomRow))
+      .select(col("doc_id"), col("f"), when(hit, 1L).otherwise(0L).as("hit"))
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -195,34 +237,14 @@ object IncrementalQueries {
         |  n_hist, n_hist_probed, n_bloom_pass, n_true_member,
         |  n_bloom_pass - n_true_member AS n_bloom_fp
         |FROM m CROSS JOIN acct""".stripMargin) { (s, dir) =>
-      val fp = md5(array_join(
-        slice(array_sort(array_distinct(split(col("text"), " "))), 1, 20), " ")
-        .cast("binary"))
       val doc = Tables.fanOut(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), fp.as("f"))
+        .select(col("doc_id"), docFingerprint.as("f"))
       val newDocs = doc.where(col("doc_id") % 20 === 0)
       val hist = doc.where(col("doc_id") % 20 =!= 0)
-      // Build: 66-word bit table from the increment's fingerprints, then
-      // ONE row holding the whole filter as a word→mask map.
-      val bits = newDocs
-        .select(explode(array((0 until 4).map(i => bloomPos(i, col("f"))): _*))
-          .as("p"))
-        .select(expr("p DIV 63").as("word"),
-          call_function("shiftleft", lit(1L), (col("p") % 63).cast("int")).as("m"))
-        .groupBy("word").agg(bit_or(col("m")).as("mask"))
-      val bloomRow = bits.agg(map_from_entries(
-        sort_array(collect_list(struct(col("word"), col("mask"))))).as("bm"))
-      // Probe: pure map-side — the broadcast single-row map is the whole
-      // filter; no explode, no per-probe shuffle.
-      val probed = hist.crossJoin(broadcast(bloomRow))
-      val hit = (0 until 4).map { i =>
-        val p = bloomPos(i, col("f"))
-        coalesce(element_at(col("bm"), (p / 63).cast("long")), lit(0L))
-          .bitwiseAND(call_function("shiftleft", lit(1L), (p % 63).cast("int"))) =!= 0L
-      }.reduce(_ && _)
-      val flagged = probed.select(col("doc_id"), col("f"),
-        when(hit, 1L).otherwise(0L).as("hit"))
+      // Build + probe ([[bloomFlagged]]): 66-word map row broadcast,
+      // pure map-side membership test — no explode, no per-probe shuffle.
+      val flagged = bloomFlagged(newDocs, hist)
       val candidates = flagged.where(col("hit") === 1L)
       val newFps = newDocs.select(col("f")).distinct()
       val acct = flagged.agg(count(lit(1)).as("n_hist_probed"),

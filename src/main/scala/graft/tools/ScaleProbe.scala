@@ -123,6 +123,51 @@ object ScaleProbe {
     }
   }
 
+  /** Bloom-prefilter anchor (`probe = bloom`): dd18's incremental-dedup
+    * shape vs the naive exact semi-join, at growing corpus factors,
+    * with broadcast-hash joins DISABLED — the regime a 100 TB history
+    * with a too-big-to-broadcast daily increment actually runs in. The
+    * claim made measurable: the naive join shuffles the FULL history's
+    * fingerprints; the bloom path ships one constant-size filter row
+    * and shuffles only bloom-passing candidates. */
+  private def bloomProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAdapt = spark.conf
+      .getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try factors.foreach { f =>
+      val doc = scaledDocs(spark, base, f)
+        .select(col("doc_id"), graft.queries.IncrementalQueries.docFingerprint
+          .as("f"))
+      val newDocs = doc.where(col("doc_id") % 20 === 0)
+      val hist = doc.where(col("doc_id") % 20 =!= 0)
+      val rows = doc.count()
+      // Size the filter to the increment (~16 bits/key, the documented
+      // sizing discipline): a fixed-size filter saturates as the
+      // increment grows and stops prefiltering anything.
+      val bits = math.max(4096L, 16L * newDocs.count())
+      runProbe(spark, "dd18_bloom_path", f, rows) {
+        val candidates = graft.queries.IncrementalQueries
+          .bloomFlagged(newDocs, hist, bits)
+          .where(col("hit") === 1L).select("f")
+        newDocs.join(candidates, Seq("f"), "left_semi").count()
+      }
+      runProbe(spark, "exact_semi_join", f, rows) {
+        newDocs.join(hist, Seq("f"), "left_semi").count()
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      prevAdapt match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = (if (args.length > 1) args(1) else "1,3,10")
@@ -139,6 +184,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (probe == "sketch") {
       sketchProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "bloom") {
+      bloomProbes(spark, base, factors)
       spark.stop()
       return
     }
