@@ -435,6 +435,60 @@ object SketchQueries {
         .groupBy("lo")
         .agg(count(lit(1)).as("cnt"))
       graft.streaming.Streams.runToTable(hist, "st21_mem", "complete")
+    },
+
+    // Activity BITMAPS — the bitmap-index rollup OLAP engines use for
+    // cohort/retention math: each user's month compresses to ONE 64-bit
+    // word (bit d = active on day d, days indexed from the corpus min —
+    // no calendar literal to go stale), built by a single bit_or
+    // aggregation; every downstream metric is then word-local bit math,
+    // no re-scan: active days (bit_count), day-7 retention pairs
+    // (bm & bm>>7), longest streak (the x &= x<<1 erosion fold — each
+    // pass erodes runs by one; the iteration count to zero IS the run
+    // length). At 100 TB the shuffle carries one long per (user,
+    // partition) and month-over-month rollups are bit_or merges of the
+    // stored words — the mergeable-sketch contract with EXACT semantics
+    // on a bounded time grid. All-integer → full oracle.
+    QuerySpec(
+      "q202_activity_bitmaps",
+      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |      CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events),
+        |bm AS (
+        |  SELECT user_id, bit_or(CAST(1 AS BIGINT) << day::INT) AS bm
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, bm,
+        |  CAST(bit_count(bm) AS BIGINT) AS n_active_days,
+        |  CAST(bit_count(bm & (bm >> 7)) AS BIGINT) AS retained_7_pairs,
+        |  list_reduce(
+        |    list_prepend([bm, 0::BIGINT],
+        |      list_transform(range(1, 31), i -> [0::BIGINT, 0::BIGINT])),
+        |    (acc, x) -> CASE WHEN acc[1] <> 0
+        |      THEN [acc[1] & (acc[1] << 1), acc[2] + 1] ELSE acc END)[2]
+        |    AS longest_streak
+        |FROM bm""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val t0 = ev.agg(min(col("ts")).as("t0"))
+        .select(col("t0").cast("date").as("d0"))
+      val bm = ev.crossJoin(t0)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+        .groupBy("user_id")
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
+      bm.select(col("user_id"), col("bm"),
+        bit_count(col("bm")).cast("long").as("n_active_days"),
+        bit_count(col("bm").bitwiseAND(call_function("shiftright",
+          col("bm"), lit(7)))).cast("long").as("retained_7_pairs"),
+        aggregate(sequence(lit(1), lit(30)),
+          struct(col("bm").as("s"), lit(0L).as("len")),
+          (acc, _) => when(acc.getField("s") =!= 0L,
+            struct(acc.getField("s")
+              .bitwiseAND(shiftleft(acc.getField("s"), 1)).as("s"),
+              (acc.getField("len") + 1).as("len"))).otherwise(acc),
+          acc => acc.getField("len")).as("longest_streak"))
     }
   )
 }

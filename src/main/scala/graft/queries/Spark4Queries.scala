@@ -172,6 +172,24 @@ object Spark4Queries {
           |    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS qty
           |  FROM lineitem_sugar_v GROUP BY ALL)
           |ORDER BY ALL""".stripMargin)
+    },
+
+    // Spark 4.1 `approx_top_k` (Datasketches frequent-items under the
+    // hood): heavy-hitter counts with bounded state — the built-in twin
+    // of q143's hand-rolled count-min and tx16's top-k-plus-other. On a
+    // column whose cardinality fits maxItemsTracked the sketch is EXACT
+    // (no item ever evicts), so unlike q31/q57/q74 this
+    // engine-specific-sketch spec carries a FULL oracle: k spans the
+    // whole enum, making the result the exact frequency table
+    // regardless of tie order at any boundary.
+    QuerySpec(
+      "q204_approx_top_k",
+      """SELECT event_type, count(*)::BIGINT AS cnt
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(expr("approx_top_k(event_type, 5)").as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
     }
   )
 }

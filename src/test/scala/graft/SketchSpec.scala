@@ -186,6 +186,35 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q202 bitmap metrics agree with a day-set recompute") {
+    // The erosion fold (x &= x<<1 until zero) and the bm & bm>>7
+    // retention mask are easy to get off by one; recompute all three
+    // metrics naively from each user's day SET and compare user by user.
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q202_activity_bitmaps")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val t0 = Tables.events(spark, dir).agg(min(col("ts")).cast("date"))
+      .head().getDate(0).toLocalDate
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct().collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          t0, r.getDate(1).toLocalDate).toInt).toSet).toMap
+    assert(out.keySet == days.keySet)
+    days.foreach { case (u, ds) =>
+      val nActive = ds.size.toLong
+      val ret7 = ds.count(d => ds.contains(d + 7)).toLong
+      val streak = (0 to 63).map(start =>
+        Iterator.from(start).takeWhile(ds.contains).length).max.toLong
+      assert(out(u) == ((nActive, ret7, streak)),
+        s"user $u: bitmap metrics ${out(u)} != set recompute " +
+          s"(${(nActive, ret7, streak)})")
+    }
+  }
+
   test("partition-count independence: sketch results identical at width 5") {
     // Sketch state derives from row CONTENT (portable hashes, integer
     // bucketing), never partition layout — byte-identical results under
