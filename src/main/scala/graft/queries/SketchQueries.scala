@@ -489,6 +489,78 @@ object SketchQueries {
               .bitwiseAND(shiftleft(acc.getField("s"), 1)).as("s"),
               (acc.getField("len") + 1).as("len"))).otherwise(acc),
           acc => acc.getField("len")).as("longest_streak"))
+    },
+
+    // Serving analytics FROM the bitmap store: the daily-active-users
+    // curve derived from q202's per-user words — 30 bit probes per user
+    // row — instead of rescanning the event log. This is the payoff of
+    // the bitmap rollup: the fact table is visited once (to build bm);
+    // every cohort/DAU/retention question afterwards reads |users| words.
+    // The probe explodes a bounded 30-day grid per user (rows = 30·|users|,
+    // tiny next to the event log) into one aggregation.
+    QuerySpec(
+      "q205_dau_from_bitmaps",
+      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |      CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events),
+        |bm AS (
+        |  SELECT user_id, bit_or(CAST(1 AS BIGINT) << day::INT) AS bm
+        |  FROM d GROUP BY 1),
+        |probe AS (
+        |  SELECT unnest(range(0, 30)) AS day, bm FROM bm)
+        |SELECT day, CAST(sum((bm >> day::INT) & 1) AS BIGINT) AS dau
+        |FROM probe GROUP BY 1 HAVING sum((bm >> day::INT) & 1) > 0""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val t0 = ev.agg(min(col("ts")).as("t0"))
+        .select(col("t0").cast("date").as("d0"))
+      val bm = ev.crossJoin(t0)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+        .groupBy("user_id")
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
+      bm.select(explode(sequence(lit(0L), lit(29L))).as("day"), col("bm"))
+        .groupBy("day")
+        .agg(sum(call_function("shiftright", col("bm"), col("day").cast("int"))
+          .bitwiseAND(lit(1L))).as("dau"))
+        .where(col("dau") > 0)
+    },
+
+    // Streaming bitmap maintenance — q202's word store lifted onto the
+    // event stream (the st17/st19/st20/st21 pattern: an associative,
+    // commutative sketch in complete mode): each micro-batch bit_ors its
+    // days into the per-user word, so streaming state IS the bitmap
+    // table (one long per user) and the streamed words equal the batch
+    // words bit-for-bit — which is what the batch oracle asserts. The
+    // day origin is pinned to the BATCH min(ts) (a 1-row broadcast the
+    // stream reads per batch) so stream and batch index days identically.
+    QuerySpec(
+      "st23_stream_bitmaps",
+      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+        |d AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |      CAST(ts AS DATE)) AS BIGINT) AS day
+        |  FROM events)
+        |SELECT user_id, bit_or(CAST(1 AS BIGINT) << day::INT) AS bm,
+        |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << day::INT)) AS BIGINT)
+        |    AS n_active_days
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      val t0 = Tables.events(s, dir).agg(min(col("ts")).as("t0"))
+        .select(col("t0").cast("date").as("d0"))
+      val stream = graft.streaming.Streams.eventsStream(s, dir)
+        .select(col("user_id"), col("ts"))
+        .crossJoin(broadcast(t0))
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+        .groupBy("user_id")
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
+        .select(col("user_id"), col("bm"),
+          bit_count(col("bm")).cast("long").as("n_active_days"))
+      graft.streaming.Streams.runToTable(stream, "st23_mem", "complete")
     }
   )
 }

@@ -25,6 +25,25 @@ class HarnessParitySpec extends SparkSpec {
     }
   }
 
+  test("documents.text stays single-space tokenizable at every SF") {
+    // tx41 (CDC chunking), dd18 (content fingerprints), tx14 and the
+    // shingling family all tokenize with split(' '); a regenerated
+    // corpus that ships double spaces, newlines, or edge whitespace
+    // would silently create empty tokens and shift every boundary and
+    // fingerprint. Fail loudly, naming the violation kind.
+    sfDirs.foreach { dir =>
+      val bad = Tables.documents(spark, dir)
+        .select(
+          sum(when(col("text").contains("  "), 1).otherwise(0)).as("dbl"),
+          sum(when(col("text").contains("\n"), 1).otherwise(0)).as("nl"),
+          sum(when(col("text") =!= trim(col("text")), 1).otherwise(0)).as("pad"))
+        .head()
+      assert(bad.getLong(0) == 0, s"$dir: ${bad.getLong(0)} docs with double spaces")
+      assert(bad.getLong(1) == 0, s"$dir: ${bad.getLong(1)} docs with newlines")
+      assert(bad.getLong(2) == 0, s"$dir: ${bad.getLong(2)} docs with edge whitespace")
+    }
+  }
+
   test("nanos-physical events fixture still materializes TIMESTAMP_NTZ " +
       "with identical values (the r5->r6 regeneration, synthesized)") {
     val dir = sfDirs.head
