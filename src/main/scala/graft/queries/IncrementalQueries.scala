@@ -414,5 +414,63 @@ object IncrementalQueries {
           max_by(col("val_c"), col("n")).as("val_c"))
         .where(col("op") =!= "D")
         .select(col("user_id"), col("n"), col("last_event_id"), col("val_c"))
+    },
+
+    // Point-in-time-correct FEATURE JOIN — the feature-store operation
+    // every supervised pipeline needs: for each label event (a
+    // purchase), attach features computed ONLY from events strictly
+    // before it (no label leakage; q167 screens for the bug, this op
+    // prevents it by construction). NOT a per-label rescan of history:
+    // label and feature rows ride ONE per-user time-ordered window —
+    // lifetime counts via a strict ROWS frame, trailing 7-day spend via
+    // a RANGE frame on epoch seconds ending 1 s before the label — so
+    // the cost is one co-partitioned sort per user regardless of label
+    // count, the shape that survives when features span years of
+    // history. All-integer features; both frames replay exactly in SQL.
+    QuerySpec(
+      "q206_pit_features",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch(ts) AS es,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+         |    $sortKeySql AS sk
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, event_id, event_type, es,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY sk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prior_events,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |      OVER (PARTITION BY user_id ORDER BY sk
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prior_purchases,
+         |    sum(val_c) OVER (PARTITION BY user_id ORDER BY es
+         |      RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+         |      AS spend_7d_c
+         |  FROM ev)
+         |SELECT user_id, event_id AS label_event_id,
+         |  CAST(prior_events AS BIGINT) AS prior_events,
+         |  CAST(prior_purchases AS BIGINT) AS prior_purchases,
+         |  CAST(coalesce(spend_7d_c, 0) AS BIGINT) AS spend_7d_c
+         |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("eu"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"),
+        sortKey.as("sk"))
+        .withColumn("es", expr("eu DIV 1000000"))
+      val rows = Window.partitionBy("user_id").orderBy("sk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val range = Window.partitionBy("user_id").orderBy("es")
+        .rangeBetween(-604800L, -1L)
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          count(lit(1)).over(rows).as("prior_events"),
+          count(when(col("event_type") === "purchase", 1)).over(rows)
+            .as("prior_purchases"),
+          sum(col("val_c")).over(range).as("spend_7d"))
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("label_event_id"),
+          col("prior_events"), col("prior_purchases"),
+          coalesce(col("spend_7d"), lit(0L)).as("spend_7d_c"))
     })
 }

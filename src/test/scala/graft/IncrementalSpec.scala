@@ -100,6 +100,41 @@ class IncrementalSpec extends SparkSpec {
     assert(ec.size <= oc.size + 2, "edit created more than head-local chunks")
   }
 
+  test("q206 features are leakage-free: label's own row never counted") {
+    // The contract the op exists for: every feature of a label event
+    // derives from STRICTLY earlier rows. Recompute from raw events for
+    // a sample of labels and compare — including that the label
+    // purchase's own value is absent from its trailing spend.
+    import spark.implicits._
+    val out = SparkEntry.queries("q206_pit_features")(spark, dir)
+      .orderBy("label_event_id").limit(50).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("eu"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val byId = ev.map(e => e._2 -> e).toMap
+    out.foreach { r =>
+      val (u, id) = (r.getLong(0), r.getLong(1))
+      val label = byId(id)
+      val mine = ev.filter(_._1 == u)
+      def key(e: (Long, Long, String, Long, Long)) = (e._4, e._2)
+      val prior = mine.filter(e => key(e)._1 < key(label)._1 ||
+        (key(e)._1 == key(label)._1 && key(e)._2 < key(label)._2))
+      assert(r.getLong(2) == prior.length, s"label $id prior_events")
+      assert(r.getLong(3) == prior.count(_._3 == "purchase"),
+        s"label $id prior_purchases")
+      val es = label._4 / 1000000L
+      val spend = mine.filter { e =>
+        val s = e._4 / 1000000L
+        s >= es - 604800L && s <= es - 1L
+      }.map(_._5).sum
+      assert(r.getLong(4) == spend, s"label $id spend_7d_c")
+    }
+  }
+
   test("q201 reservoir: exactly k per group, ranked by the draw order") {
     val out = SparkEntry.queries("q201_grouped_reservoir")(spark, dir)
     val perGroup = out.groupBy("c_mktsegment").count().collect()
