@@ -2179,6 +2179,59 @@ object Exp2Queries {
             .as("violates_l3"))
     },
 
+    // Rolling-origin BACKTEST — the forecast-evaluation harness the
+    // time-series family (q118 EWMA, q129 Holt, q149 Holt-Winters) has
+    // no scorecard for: at each origin day d ≥ 7, "train" = the
+    // trailing-7-day mean of daily revenue strictly before d, "test" =
+    // day d's actual; emit per-origin absolute error and APE basis
+    // points. The whole backtest is ONE window over the day-grain
+    // aggregate (30 rows here; calendar-bounded at any SF) — the raw
+    // events are touched once to build the series, never per origin.
+    // Forecast floors to cents so both engines round identically.
+    QuerySpec(
+      "q207_rolling_backtest",
+      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+        |daily AS (
+        |  SELECT CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |      CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS actual_c
+        |  FROM events GROUP BY 1),
+        |w AS (
+        |  SELECT day, actual_c,
+        |    CAST(sum(actual_c) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        |  FROM daily)
+        |SELECT day, actual_c,
+        |  CAST(floor(CAST(s7 AS DOUBLE) / n7 + 0.5) AS BIGINT) AS forecast_c,
+        |  abs(actual_c - CAST(floor(CAST(s7 AS DOUBLE) / n7 + 0.5) AS BIGINT))
+        |    AS abs_err_c,
+        |  CAST(floor(abs(actual_c
+        |      - CAST(floor(CAST(s7 AS DOUBLE) / n7 + 0.5) AS BIGINT))
+        |    * 10000.0 / actual_c + 0.5) AS BIGINT) AS ape_bp
+        |FROM w WHERE n7 = 7""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val t0 = ev.agg(min(col("ts")).as("t0"))
+        .select(col("t0").cast("date").as("d0"))
+      val daily = ev.crossJoin(t0)
+        .groupBy(datediff(col("ts").cast("date"), col("d0")).cast("long")
+          .as("day"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("actual_c"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      val fc = floor(col("s7").cast("double") / col("n7") + 0.5).cast("long")
+      daily.select(col("day"), col("actual_c"),
+          sum(col("actual_c")).over(w).as("s7"),
+          count(lit(1)).over(w).as("n7"))
+        .where(col("n7") === 7)
+        .select(col("day"), col("actual_c"), fc.as("forecast_c"),
+          abs(col("actual_c") - fc).as("abs_err_c"),
+          floor(abs(col("actual_c") - fc) * 10000.0 / col("actual_c") + 0.5)
+            .cast("long").as("ape_bp"))
+    },
+
     // t-closeness audit — completes the release-audit ladder (q114
     // k-anonymity: class size; q172 l-diversity: distinct sensitive
     // values; here: DISTRIBUTION distance): a class can be k-anonymous

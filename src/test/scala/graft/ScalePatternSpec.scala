@@ -396,6 +396,7 @@ class ScalePatternSpec extends SparkSpec {
       "q107_period_over_period" -> "month-grain series (calendar-bounded)",
       "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
       "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
+      "q207_rolling_backtest" -> "day-grain series (calendar-bounded)",
       "q89_share_of_total" -> "group-dimension aggregate (25 rows)",
       "tx16_topk_other" -> "source-dimension counts (bounded)")
     // broadcast() hints whose subtree has no STATICALLY provable bound
