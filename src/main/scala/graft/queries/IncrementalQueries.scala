@@ -472,5 +472,45 @@ object IncrementalQueries {
         .select(col("user_id"), col("event_id").as("label_event_id"),
           col("prior_events"), col("prior_purchases"),
           coalesce(col("spend_7d"), lit(0L)).as("spend_7d_c"))
+    },
+
+    // q206's feature join running as an APPEND-mode stream
+    // (`Streams.pitFeatureState`): each purchase emits its
+    // strictly-prior features exactly once as the stream advances —
+    // online feature engineering with bounded per-user state (two
+    // counters + the trailing-week buffer). The oracle is q206's batch
+    // SQL verbatim: streamed features must equal the batch window
+    // computation row for row.
+    QuerySpec(
+      "st24_stream_pit_features",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_id, event_type, epoch(ts) AS es,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c,
+         |    $sortKeySql AS sk
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, event_id, event_type, es,
+         |    count(*) OVER (PARTITION BY user_id ORDER BY sk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prior_events,
+         |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |      OVER (PARTITION BY user_id ORDER BY sk
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prior_purchases,
+         |    sum(val_c) OVER (PARTITION BY user_id ORDER BY es
+         |      RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+         |      AS spend_7d_c
+         |  FROM ev)
+         |SELECT user_id, event_id AS label_event_id,
+         |  CAST(prior_events AS BIGINT) AS prior_events,
+         |  CAST(prior_purchases AS BIGINT) AS prior_purchases,
+         |  CAST(coalesce(spend_7d_c, 0) AS BIGINT) AS spend_7d_c
+         |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, dir) =>
+      val log = graft.streaming.Streams.eventsStream(s, dir).select(
+        col("user_id"), sortKey.as("sk"), col("event_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp)) DIV 1000000").as("es"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+      graft.streaming.Streams.runToTable(
+        graft.streaming.Streams.pitFeatureState(log), "st24_mem", "append")
     })
 }

@@ -182,6 +182,52 @@ object Streams {
       .toDF("user_id", "n", "last_event_id", "last_op", "val_c")
   }
 
+  /** Streaming point-in-time features (`flatMapGroupsWithState`,
+    * APPEND mode): the q206 feature-store join as a stream — each
+    * purchase emits, exactly once, features computed from the STRICTLY
+    * earlier rows of its user (lifetime counts + trailing-7-day spend),
+    * never from itself or anything later. Per-user state = two counters
+    * plus the (second, cents) buffer of the trailing window, evicted as
+    * the user's event time advances — bounded by events-per-user-week,
+    * not stream length. Rows within a batch are folded in CDC sort-key
+    * order, so batch slicing cannot reorder a user's timeline. Input
+    * must carry (user_id, sk, event_id, event_type, es, val_c). */
+  def pitFeatureState(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("sk").cast("string"),
+        col("event_id").cast("long"), col("event_type").cast("string"),
+        col("es").cast("long"), col("val_c").cast("long"))
+      .as[(Long, String, Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Seq[(Long, Long)]),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (n, np, buf) = state.getOption.getOrElse(
+          (0L, 0L, Seq.empty[(Long, Long)]))
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+        rows.toSeq.sortBy(_._2).foreach { r =>
+          val (_, _, eid, typ, es, vc) = r
+          if (typ == "purchase") {
+            // Features BEFORE folding this row in: strictly-prior rows
+            // only — the q206 leakage contract, [es-7d, es-1] spend.
+            val spend = buf.iterator
+              .filter(e => e._1 >= es - 604800L && e._1 <= es - 1L)
+              .map(_._2).sum
+            out += ((user, eid, n, np, spend))
+          }
+          n += 1
+          if (typ == "purchase") np += 1
+          buf = (buf :+ ((es, vc))).filter(_._1 >= es - 604800L)
+        }
+        state.update((n, np, buf))
+        out.result().iterator
+      }
+      .toDF("user_id", "label_event_id", "prior_events", "prior_purchases",
+        "spend_7d_c")
+  }
+
   /** [[runningUserTotals]] re-expressed on the Spark 4 `transformWithState`
     * API (the successor to `flatMapGroupsWithState`: typed state handles,
     * TTL support, timers, state-schema evolution). Same semantics —

@@ -258,6 +258,46 @@ class StreamingSpec extends SparkSpec {
       s"suspicious window count ${streamed.count()} — timestamp unit bug?")
     assert(streamed.collect().toSet == batch.collect().toSet)
   }
+
+  test("pitFeatureState carries counters and the 7-day buffer across batches") {
+    // The st24 state machine's risky parts are exactly what a
+    // single-batch AvailableNow run can't exercise: counters resuming
+    // from state, and the trailing-week buffer surviving one batch and
+    // being EVICTED by event-time in a later one. Three in-order slices
+    // over 20 days; the day-20 purchase must see the day-19 spend but
+    // not day-1's (evicted), on top of counters from every prior batch.
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+    def e(id: Long, day: Int, hour: Int, typ: String, v: Double) =
+      Ev(id, at(day, hour), 1L, typ, v, "{}")
+    val b1 = Seq(e(1, 1, 1, "view", 5.0), e(2, 1, 2, "purchase", 10.0))
+    val b2 = Seq(e(3, 12, 1, "click", 7.0))
+    val b3 = Seq(e(4, 19, 1, "view", 3.0), e(5, 20, 1, "purchase", 9.0))
+    val mem = MemoryStream[Ev]
+    val proj = mem.toDF().select(
+      col("user_id"),
+      concat(
+        lpad(unix_micros(col("ts").cast("timestamp")).cast("string"), 16, "0"),
+        lpad(col("event_id").cast("string"), 12, "0")).as("sk"),
+      col("event_id"), col("event_type"),
+      expr("unix_micros(cast(ts as timestamp)) DIV 1000000").as("es"),
+      floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+    val q = Streams.pitFeatureState(proj)
+      .writeStream.format("memory").queryName("t_pit").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      Seq(b1, b2, b3).foreach { b => mem.addData(b); q.processAllAvailable() }
+      val rows = spark.table("t_pit")
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+      // Purchase 2 (day 1): one prior event (the view), 500c inside 7d.
+      // Purchase 5 (day 20): four prior events, one prior purchase, and
+      // ONLY day-19's 300c in the window — day 1 and day 12 evicted.
+      assert(rows == Seq(
+        (1L, 2L, 1L, 0L, 500L),
+        (1L, 5L, 4L, 1L, 300L)), s"streamed features: $rows")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
