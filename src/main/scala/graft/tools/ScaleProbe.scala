@@ -168,6 +168,30 @@ object ScaleProbe {
     }
   }
 
+  /** Iterative-graph anchor (`probe = graph`): the q94 PageRank kernel
+    * (10 driver-controlled rounds under the loop discipline — AQE and
+    * broadcast off, fixed width, lineage re-rooting) on the q94-shaped
+    * synthetic graph scaled to `factor`× the base user population. The
+    * claim made measurable: round COUNT is fixed by the algorithm, so
+    * wall and shuffle must scale with edges-per-round, not with rounds ×
+    * corpus. */
+  private def graphProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    val n0 = Tables.events(spark, base).select("user_id").distinct().count()
+    factors.foreach { f =>
+      val n = n0 * f
+      val nodes = spark.range(n).select(col("id").as("r"))
+      val edges = nodes
+        .select(col("r").as("src"), ((col("r") * 31 + 7) % n).as("dst"))
+        .unionByName(nodes.select(col("r").as("src"), ((col("r") + 1) % n).as("dst")))
+      runProbe(spark, "q94_pagerank_kernel", f, n) {
+        val out = graft.operators.Graph.pageRank(edges, iterations = 10).count()
+        graft.operators.Dedup.releaseCaches()
+        out
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = (if (args.length > 1) args(1) else "1,3,10")
@@ -189,6 +213,11 @@ object ScaleProbe {
     }
     if (probe == "bloom") {
       bloomProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "graph") {
+      graphProbes(spark, base, factors)
       spark.stop()
       return
     }
