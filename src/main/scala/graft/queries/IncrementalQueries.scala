@@ -512,5 +512,32 @@ object IncrementalQueries {
         floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
       graft.streaming.Streams.runToTable(
         graft.streaming.Streams.pitFeatureState(log), "st24_mem", "append")
+    },
+
+    // Custom DataSource V2 (`graft.sources.PagedApiSource`) — the
+    // paginated-REST staging step (reference A1) in the shape a 100 TB
+    // engine needs: one InputPartition per page, executors fetch their
+    // own pages, the driver never holds payload, and column pruning
+    // reaches the reader (SupportsPushDownRequiredColumns — this query
+    // synthesizes/ships 3 of 4 columns, `id` never materializes).
+    // Records are a pure function of
+    // their offset, so DuckDB regenerates the identical table from
+    // range() and the whole source is hash-oracled end to end.
+    QuerySpec(
+      "a10_dsv2_paged_source",
+      """WITH api AS (
+        |  SELECT i % 97 AS user_id, (i * 31 + 7) % 1000 AS score,
+        |    CASE i % 4 WHEN 0 THEN 'news' WHEN 1 THEN 'blog'
+        |      WHEN 2 THEN 'forum' ELSE 'wiki' END AS category
+        |  FROM (SELECT unnest(range(0, 10000)) AS i))
+        |SELECT category, count(*)::BIGINT AS n,
+        |  CAST(sum(score) AS BIGINT) AS score_sum,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM api GROUP BY 1""".stripMargin) { (s, dir) =>
+      s.read.format("graft.sources.PagedApiSource")
+        .option("pages", 40).option("pageSize", 250).load()
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"),
+          count_distinct(col("user_id")).as("n_users"))
     })
 }

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 mapping of the reference's paginated-REST staging step
+  * (`dags/operators/rest_api_json_to_gcs_operator.py:7-85`) re-expressed
+  * the way a 100 TB engine must: the reference fetches the WHOLE payload
+  * on the scheduler (fine for jsonplaceholder's 500 comments, fatal for a
+  * paginated API with 10⁹ records), while this source plans ONE
+  * `InputPartition` per page range so executors fetch their own pages in
+  * parallel and the driver never holds a byte of payload.
+  *
+  * The transport is a deterministic in-process synthesizer (the sandbox
+  * has no egress; `Ingest.fetchJson` keeps the real-HTTP analog) — every
+  * record is a pure function of its global offset, which is exactly what
+  * makes the source ORACLE-REPLAYABLE: DuckDB regenerates the identical
+  * table from `range(pages·pageSize)` (spec `a10_dsv2_paged_source`).
+  *
+  * Implements `SupportsPushDownRequiredColumns`: a projection reaches the
+  * reader, so `SELECT category` synthesizes/ships one column, not four —
+  * the DSv2 contract that replaces a REST source's "fetch everything,
+  * prune later" (plan-pinned in `IngestSpec`).
+  *
+  * Usage: `spark.read.format("graft.sources.PagedApiSource")
+  *   .option("pages", 40).option("pageSize", 250).load()`
+  */
+class PagedApiSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedApiSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // getTable receives the raw option map with the caller's key case
+    // ("pageSize"); normalize like inferSchema's CaseInsensitiveStringMap.
+    val opts = new CaseInsensitiveStringMap(properties)
+    new PagedApiTable(opts.getInt("pages", 10), opts.getInt("pagesize", 100))
+  }
+}
+
+object PagedApiSource {
+  /** The "API response" schema. */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("score", LongType, nullable = false),
+    StructField("category", StringType, nullable = false)))
+
+  private val categories = Array("news", "blog", "forum", "wiki")
+
+  /** Record as a pure function of the global offset — the determinism
+    * contract the DuckDB oracle replays. */
+  def userIdAt(i: Long): Long = i % 97
+  def scoreAt(i: Long): Long = (i * 31 + 7) % 1000
+  def categoryAt(i: Long): String = categories((i % 4).toInt)
+}
+
+private[sources] class PagedApiTable(pages: Int, pageSize: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"paged_api(pages=$pages, pageSize=$pageSize)"
+  override def schema(): StructType = PagedApiSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedApiScanBuilder(pages, pageSize)
+}
+
+private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PagedApiSource.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Empty projection (e.g. count(*)) still needs row CARDINALITY:
+    // keep a zero-column schema as-is; the reader emits empty rows.
+    required = requiredSchema
+
+  override def build(): Scan = new PagedApiScan(pages, pageSize, required)
+}
+
+private[sources] class PagedApiScan(pages: Int, pageSize: Int,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // One partition per page: the unit a paginated API parallelizes by.
+    // (A production source would coalesce tiny pages into ranges; one
+    // page per task keeps the planning contract visible in tests.)
+    (0 until pages).map(p => PagedApiPartition(p, pageSize): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedApiReaderFactory(required)
+}
+
+private[sources] final case class PagedApiPartition(page: Int, pageSize: Int)
+    extends InputPartition
+
+private[sources] class PagedApiReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagedApiPartition]
+    new PagedApiReader(p.page, p.pageSize, required)
+  }
+}
+
+/** Executor-side "page fetch": synthesizes only the projected columns of
+  * its page — the per-partition parallel fetch the reference's
+  * driver-side operator cannot do. */
+private[sources] class PagedApiReader(page: Int, pageSize: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val start = page.toLong * pageSize
+  private var i = -1L
+
+  // Column generators resolved ONCE per partition from the pruned
+  // schema, not per row.
+  private val gens: Array[Long => Any] = required.fields.map(_.name match {
+    case "id" => (i: Long) => i
+    case "user_id" => (i: Long) => PagedApiSource.userIdAt(i)
+    case "score" => (i: Long) => PagedApiSource.scoreAt(i)
+    case "category" =>
+      (i: Long) => UTF8String.fromString(PagedApiSource.categoryAt(i))
+    case other => throw new IllegalArgumentException(
+      s"paged_api has no column '$other'")
+  })
+
+  override def next(): Boolean = { i += 1; i < pageSize }
+
+  override def get(): InternalRow = {
+    val g = start + i
+    InternalRow.fromSeq(gens.toSeq.map(_(g)))
+  }
+
+  override def close(): Unit = ()
+}

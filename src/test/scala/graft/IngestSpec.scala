@@ -356,4 +356,30 @@ class IngestSpec extends SparkSpec {
     assert(addOnly.isCompatible && addOnly.added == Seq("extra"))
     assert(Ingest.schemaDiff(before, before).isEmpty)
   }
+
+  test("PagedApiSource: one partition per page, pruning reaches the reader") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.PagedApiSource")
+      .option("pages", 7).option("pageSize", 5).load()
+    // Partition planning: the parallelism unit is the page.
+    assert(df.rdd.getNumPartitions == 7)
+    assert(df.count() == 35)
+    // Column pruning is a physical-plan fact: the BatchScan's output must
+    // shrink to the projection, proving SupportsPushDownRequiredColumns
+    // fired (a REST-style source that fetches all fields and prunes
+    // later would scan the full struct here).
+    val pruned = df.select("category")
+    val scanCols = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.output.map(_.name)
+    }
+    assert(scanCols == Seq(Seq("category")),
+      s"projection did not reach the reader: $scanCols")
+    // Determinism contract: record i is a pure function of i.
+    val r = df.where(col("id") === 13L).head()
+    assert(r.getLong(1) == 13L % 97 && r.getLong(2) == (13L * 31 + 7) % 1000
+      && r.getString(3) == "blog")
+    // Empty projection (count-star shape) still yields full cardinality.
+    assert(df.select(lit(1)).count() == 35)
+  }
 }
