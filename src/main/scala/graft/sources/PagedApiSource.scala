@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -73,19 +74,51 @@ private[sources] class PagedApiTable(pages: Int, pageSize: Int)
 }
 
 private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = PagedApiSource.schema
+  private var idLo: Long = 0L
+  private var idHi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Empty projection (e.g. count(*)) still needs row CARDINALITY:
     // keep a zero-column schema as-is; the reader emits empty rows.
     required = requiredSchema
 
-  override def build(): Scan = new PagedApiScan(pages, pageSize, required)
+  /** `id` range predicates prune whole PAGES at plan time — the source
+    * never plans (never "fetches") a partition the query cannot need,
+    * the paginated-API analog of parquet partition pruning. Every
+    * filter is also RETURNED as residual, so Spark re-applies it
+    * post-scan: pruning is a pure optimization, never a correctness
+    * dependency. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThan("id", v: Long) => idLo = math.max(idLo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => idLo = math.max(idLo, v)
+      case LessThan("id", v: Long) => idHi = math.min(idHi, v - 1)
+      case LessThanOrEqual("id", v: Long) => idHi = math.min(idHi, v)
+      case EqualTo("id", v: Long) =>
+        idLo = math.max(idLo, v); idHi = math.min(idHi, v)
+      case _ => () // non-id / non-range filters: residual only
+    }
+    pushed = filters.filter {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+           LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+           EqualTo("id", _: Long) => true
+      case _ => false
+    }
+    filters // all residual — Spark re-applies row-level
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new PagedApiScan(pages, pageSize, required, idLo, idHi)
 }
 
 private[sources] class PagedApiScan(pages: Int, pageSize: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, idLo: Long, idHi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -93,7 +126,14 @@ private[sources] class PagedApiScan(pages: Int, pageSize: Int,
     // One partition per page: the unit a paginated API parallelizes by.
     // (A production source would coalesce tiny pages into ranges; one
     // page per task keeps the planning contract visible in tests.)
-    (0 until pages).map(p => PagedApiPartition(p, pageSize): InputPartition)
+    // Pages wholly outside the pushed id range are never planned.
+    (0 until pages)
+      .filter { p =>
+        val first = p.toLong * pageSize
+        val last = first + pageSize - 1
+        last >= idLo && first <= idHi
+      }
+      .map(p => PagedApiPartition(p, pageSize): InputPartition)
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -382,4 +382,30 @@ class IngestSpec extends SparkSpec {
     // Empty projection (count-star shape) still yields full cardinality.
     assert(df.select(lit(1)).count() == 35)
   }
+
+  test("PagedApiSource: id-range filters prune whole pages at plan time") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft.sources.PagedApiSource")
+      .option("pages", 40).option("pageSize", 250).load()
+    def partitionsOf(d: org.apache.spark.sql.DataFrame): Int =
+      d.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputRDD.getNumPartitions
+      }.head
+    // id < 500 covers exactly pages 0-1 of 40: 38 pages never planned
+    // (the paginated-API analog of partition pruning — those pages are
+    // never "fetched" at all).
+    val pruned = df.where(col("id") < 500)
+    assert(partitionsOf(pruned) == 2, "expected 2 surviving pages")
+    assert(pruned.count() == 500)
+    // Pruning is an optimization, not a correctness dependency: the
+    // filter is also residual, so row-level semantics hold inside the
+    // surviving pages too.
+    val mid = df.where(col("id") >= 100 && col("id") <= 260)
+    assert(partitionsOf(mid) == 2 && mid.count() == 161)
+    // Unpushable predicates plan every page and still filter correctly.
+    val byScore = df.where(col("score") === 7L)
+    assert(partitionsOf(byScore) == 40)
+    assert(byScore.count() == df.select("score").where(col("score") === 7L).count())
+  }
 }
