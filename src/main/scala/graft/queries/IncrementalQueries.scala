@@ -539,5 +539,29 @@ object IncrementalQueries {
         .groupBy("category")
         .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"),
           count_distinct(col("user_id")).as("n_users"))
+    },
+
+    // The same DSv2 source read INCREMENTALLY (MICRO_BATCH_READ): the
+    // offset is the page cursor — exactly what a paginated API hands
+    // back — so each micro-batch fetches only the pages between the
+    // committed cursor and the feed's end, and a restarted query
+    // resumes at the first uncommitted page. AvailableNow drains the
+    // feed; the streamed complete-mode aggregate must equal the batch
+    // scan's (the oracle) — the "tail the API" ingestion shape.
+    QuerySpec(
+      "st25_stream_paged_source",
+      """WITH api AS (
+        |  SELECT (i * 31 + 7) % 1000 AS score,
+        |    CASE i % 4 WHEN 0 THEN 'news' WHEN 1 THEN 'blog'
+        |      WHEN 2 THEN 'forum' ELSE 'wiki' END AS category
+        |  FROM (SELECT unnest(range(0, 10000)) AS i))
+        |SELECT category, count(*)::BIGINT AS n,
+        |  CAST(sum(score) AS BIGINT) AS score_sum
+        |FROM api GROUP BY 1""".stripMargin) { (s, dir) =>
+      val agg = s.readStream.format("graft.sources.PagedApiSource")
+        .option("pages", 40).option("pageSize", 250).load()
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+      graft.streaming.Streams.runToTable(agg, "st25_mem", "complete")
     })
 }

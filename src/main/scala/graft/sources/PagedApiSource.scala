@@ -5,6 +5,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -68,12 +69,62 @@ private[sources] class PagedApiTable(pages: Int, pageSize: Int)
   override def name(): String = s"paged_api(pages=$pages, pageSize=$pageSize)"
   override def schema(): StructType = PagedApiSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedApiScanBuilder(pages, pageSize)
+    new PagedApiScanBuilder(pages, pageSize,
+      Option(options.get("maxpagespertrigger")).map(_.toInt))
 }
 
-private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int)
+/** Page-cursor offset: "pages consumed so far" — exactly the cursor a
+  * paginated API hands back. */
+private[sources] final case class PageOffset(page: Int) extends Offset {
+  override def json(): String = page.toString
+}
+
+/** Incremental ("tail the API") read: each micro-batch covers the pages
+  * between the committed cursor and the current end of the feed. With
+  * `Trigger.AvailableNow` this drains all pages then stops — giving the
+  * streaming twin of the batch scan, which is what the st25 oracle
+  * compares against. Restart-safe by construction: the offset is the
+  * page cursor, so a restarted query resumes fetching at the first
+  * uncommitted page. */
+private[sources] class PagedApiMicroBatchStream(pages: Int, pageSize: Int,
+    required: StructType, maxPagesPerTrigger: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  // AvailableNow contract: pin the drain target when the query starts,
+  // so a feed that grows mid-run doesn't keep the trigger alive.
+  @volatile private var drainTo: Int = pages
+
+  override def prepareForTriggerAvailableNow(): Unit = { drainTo = pages }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Rate-limited cursor advance: at most `maxPagesPerTrigger` pages per
+    * micro-batch (an API quota made declarative); unbounded otherwise. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PageOffset].page
+    PageOffset(maxPagesPerTrigger.fold(drainTo)(m => math.min(drainTo, s + m)))
+  }
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset = PageOffset(drainTo)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PageOffset].page
+    val e = end.asInstanceOf[PageOffset].page
+    (s until e).map(p => PagedApiPartition(p, pageSize): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedApiReaderFactory(required)
+}
+
+private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int,
+    maxPagesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = PagedApiSource.schema
@@ -114,13 +165,16 @@ private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new PagedApiScan(pages, pageSize, required, idLo, idHi)
+    new PagedApiScan(pages, pageSize, required, idLo, idHi, maxPagesPerTrigger)
 }
 
 private[sources] class PagedApiScan(pages: Int, pageSize: Int,
-    required: StructType, idLo: Long, idHi: Long) extends Scan with Batch {
+    required: StructType, idLo: Long, idHi: Long,
+    maxPagesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedApiMicroBatchStream(pages, pageSize, required, maxPagesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     // One partition per page: the unit a paginated API parallelizes by.

@@ -408,4 +408,32 @@ class IngestSpec extends SparkSpec {
     assert(partitionsOf(byScore) == 40)
     assert(byScore.count() == df.select("score").where(col("score") === 7L).count())
   }
+
+  test("PagedApiSource streams incrementally: page-cursor offsets, rate limit") {
+    import org.apache.spark.sql.functions._
+    // maxPagesPerTrigger=7 over 40 pages: AvailableNow must drain the
+    // feed in ceil(40/7)=6 rate-limited micro-batches (an API quota made
+    // declarative), and the drained aggregate must equal the batch scan.
+    val agg = spark.readStream.format("graft.sources.PagedApiSource")
+      .option("pages", 40).option("pageSize", 250)
+      .option("maxPagesPerTrigger", 7).load()
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+    val q = agg.writeStream.format("memory").queryName("t_paged")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(120000)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches == 6, s"expected 6 rate-limited batches, saw $batches")
+      val streamed = spark.table("t_paged").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = spark.read.format("graft.sources.PagedApiSource")
+        .option("pages", 40).option("pageSize", 250).load()
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, "drained stream diverged from the batch scan")
+    } finally q.stop()
+  }
 }
