@@ -6,6 +6,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics}
+import java.util.OptionalLong
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -170,8 +172,29 @@ private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int,
 
 private[sources] class PagedApiScan(pages: Int, pageSize: Int,
     required: StructType, idLo: Long, idHi: Long,
-    maxPagesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxPagesPerTrigger: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Exact statistics AFTER page pruning and column pruning — what lets
+    * Catalyst pick a broadcast join over a small slice of this source
+    * with no hint (plan-pinned in IngestSpec). A REST source knows its
+    * page count up front; reporting it is free and buys the optimizer
+    * its cardinality. */
+  override def estimateStatistics(): Statistics = {
+    val survivingPages = (0 until pages).count { p =>
+      val first = p.toLong * pageSize
+      first + pageSize - 1 >= idLo && first <= idHi
+    }
+    val rows = survivingPages.toLong * pageSize
+    // Per-row width from the PRUNED schema: longs 8 B, category ~6 B.
+    val width = required.fields.map(f =>
+      if (f.dataType == StringType) 6L else 8L).sum.max(1L)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(rows * width)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new PagedApiMicroBatchStream(pages, pageSize, required, maxPagesPerTrigger)

@@ -409,6 +409,34 @@ class IngestSpec extends SparkSpec {
     assert(byScore.count() == df.select("score").where(col("score") === 7L).count())
   }
 
+  test("PagedApiSource reports statistics: hint-free broadcast, SQL catalog") {
+    import org.apache.spark.sql.functions._
+    // SupportsReportStatistics: a pruned 500-row slice reports ~KB
+    // sizeInBytes, so Catalyst picks a broadcast hash join against the
+    // big side with NO hint — the optimizer integration that separates
+    // a source from a dump.
+    val api = spark.read.format("graft.sources.PagedApiSource")
+      .option("pages", 40).option("pageSize", 250).load()
+      .where(col("id") < 500)
+      .select(col("id"), col("category"))
+    val big = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val joined = big.join(api, big("l_orderkey") === api("id"))
+    // The join sits under AdaptiveSparkPlanExec (not a child for
+    // collect()), so assert on the rendered plan.
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"reported stats did not trigger a hint-free broadcast:\n$plan")
+    // The SQL catalog front door: CREATE TABLE ... USING <provider>.
+    spark.sql(
+      """CREATE OR REPLACE TABLE paged_api_sql
+        |USING graft.sources.PagedApiSource
+        |OPTIONS (pages 3, pageSize 4)""".stripMargin)
+    try {
+      val n = spark.sql("SELECT count(*) FROM paged_api_sql").head().getLong(0)
+      assert(n == 12, s"SQL-created table returned $n rows")
+    } finally spark.sql("DROP TABLE IF EXISTS paged_api_sql")
+  }
+
   test("PagedApiSource streams incrementally: page-cursor offsets, rate limit") {
     import org.apache.spark.sql.functions._
     // maxPagesPerTrigger=7 over 40 pages: AvailableNow must drain the
