@@ -6,7 +6,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.sources.In
 import java.util.OptionalLong
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -132,7 +134,22 @@ private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int,
   private var required: StructType = PagedApiSource.schema
   private var idLo: Long = 0L
   private var idHi: Long = Long.MaxValue
+  private var idSet: Option[Set[Long]] = None
   private var pushed: Array[Filter] = Array.empty
+
+  /** The id literals of an `In` / OR-of-equals predicate, if that is
+    * what `f` is — these arrive from IN lists and from Catalyst's
+    * constraint propagation across equi-joins with literal-filtered
+    * dims, and prune to exactly the pages holding some listed id. */
+  private def idLiterals(f: Filter): Option[Seq[Long]] = f match {
+    case In("id", vs) =>
+      val ls = vs.collect { case v: java.lang.Long => v.longValue() }
+      if (ls.length == vs.length) Some(ls.toSeq) else None
+    case EqualTo("id", v: Long) => Some(Seq(v))
+    case org.apache.spark.sql.sources.Or(a, b) =>
+      for (x <- idLiterals(a); y <- idLiterals(b)) yield x ++ y
+    case _ => None
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Empty projection (e.g. count(*)) still needs row CARDINALITY:
@@ -146,35 +163,63 @@ private[sources] class PagedApiScanBuilder(pages: Int, pageSize: Int,
     * post-scan: pruning is a pure optimization, never a correctness
     * dependency. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach {
-      case GreaterThan("id", v: Long) => idLo = math.max(idLo, v + 1)
-      case GreaterThanOrEqual("id", v: Long) => idLo = math.max(idLo, v)
-      case LessThan("id", v: Long) => idHi = math.min(idHi, v - 1)
-      case LessThanOrEqual("id", v: Long) => idHi = math.min(idHi, v)
-      case EqualTo("id", v: Long) =>
-        idLo = math.max(idLo, v); idHi = math.min(idHi, v)
-      case _ => () // non-id / non-range filters: residual only
+    filters.foreach { f =>
+      f match {
+        case GreaterThan("id", v: Long) => idLo = math.max(idLo, v + 1)
+        case GreaterThanOrEqual("id", v: Long) => idLo = math.max(idLo, v)
+        case LessThan("id", v: Long) => idHi = math.min(idHi, v - 1)
+        case LessThanOrEqual("id", v: Long) => idHi = math.min(idHi, v)
+        case EqualTo("id", v: Long) =>
+          idLo = math.max(idLo, v); idHi = math.min(idHi, v)
+        case _ => () // non-id / non-range filters: residual only
+      }
+      idLiterals(f).foreach { ls =>
+        val s = ls.toSet
+        idSet = Some(idSet.fold(s)(_ intersect s))
+      }
     }
     pushed = filters.filter {
       case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
            LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
            EqualTo("id", _: Long) => true
-      case _ => false
+      case f => idLiterals(f).isDefined
     }
     filters // all residual — Spark re-applies row-level
   }
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new PagedApiScan(pages, pageSize, required, idLo, idHi, maxPagesPerTrigger)
+  override def build(): Scan = {
+    val setPages = idSet.map(_.map(v => (v / pageSize).toInt))
+    new PagedApiScan(pages, pageSize, required, idLo, idHi,
+      maxPagesPerTrigger, setPages)
+  }
 }
 
 private[sources] class PagedApiScan(pages: Int, pageSize: Int,
     required: StructType, idLo: Long, idHi: Long,
-    maxPagesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    maxPagesPerTrigger: Option[Int] = None,
+    staticPages: Option[Set[Int]] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  // Runtime (join-time) page pruning — the DSv2 analog of dynamic
+  // partition pruning: declaring `id` filterable lets Spark push the
+  // OTHER join side's key values into this scan at execution time; the
+  // page set shrinks to pages containing some joined id. Static
+  // (planning-time) bounds and runtime values compose.
+  @volatile private var runtimePages: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", values) =>
+      runtimePages = Some(values.collect { case v: java.lang.Long =>
+        (v.longValue() / pageSize).toInt }.toSet)
+    case _ => ()
+  }
 
   /** Exact statistics AFTER page pruning and column pruning — what lets
     * Catalyst pick a broadcast join over a small slice of this source
@@ -184,7 +229,8 @@ private[sources] class PagedApiScan(pages: Int, pageSize: Int,
   override def estimateStatistics(): Statistics = {
     val survivingPages = (0 until pages).count { p =>
       val first = p.toLong * pageSize
-      first + pageSize - 1 >= idLo && first <= idHi
+      first + pageSize - 1 >= idLo && first <= idHi &&
+        staticPages.forall(_.contains(p))
     }
     val rows = survivingPages.toLong * pageSize
     // Per-row width from the PRUNED schema: longs 8 B, category ~6 B.
@@ -203,12 +249,14 @@ private[sources] class PagedApiScan(pages: Int, pageSize: Int,
     // One partition per page: the unit a paginated API parallelizes by.
     // (A production source would coalesce tiny pages into ranges; one
     // page per task keeps the planning contract visible in tests.)
-    // Pages wholly outside the pushed id range are never planned.
+    // Pages wholly outside the pushed id range — or outside the
+    // runtime-filtered page set — are never planned.
     (0 until pages)
       .filter { p =>
         val first = p.toLong * pageSize
         val last = first + pageSize - 1
-        last >= idLo && first <= idHi
+        last >= idLo && first <= idHi && staticPages.forall(_.contains(p)) &&
+          runtimePages.forall(_.contains(p))
       }
       .map(p => PagedApiPartition(p, pageSize): InputPartition)
       .toArray

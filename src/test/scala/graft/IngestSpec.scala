@@ -437,6 +437,45 @@ class IngestSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS paged_api_sql")
   }
 
+  test("PagedApiSource join pruning: static In/Or and runtime DPP filters") {
+    import org.apache.spark.sql.functions._
+    val api = spark.read.format("graft.sources.PagedApiSource")
+      .option("pages", 40).option("pageSize", 250).load()
+    def apiPartitions(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      df.collect() // materialize so AQE finalizes and DPP subqueries run
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+        p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b.inputRDD.getNumPartitions)
+        }.flatten
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case p => scans(p)
+      }
+    }
+    // Statically-known join keys: Catalyst's constraint propagation
+    // plants (id=260 OR id=9600) on the scan side; the builder's
+    // In/Or-of-equals pushdown prunes 40 pages to the 2 holding them.
+    val dimA = spark.range(0, 10000).toDF("k")
+      .where(col("k") === 260L || col("k") === 9600L)
+    assert(apiPartitions(api.join(dimA, api("id") === dimA("k"))) == Seq(2),
+      "static In/Or pushdown did not prune to 2 pages")
+    // Keys NOT statically known (parquet dim filtered on ANOTHER
+    // column): only SupportsRuntimeFiltering can prune — Spark pushes
+    // the broadcast dim's id values into the scan at execution time
+    // (dynamic partition pruning for a V2 source). Customer keys are
+    // <= 1500, so only the first 6 of 40 pages survive.
+    val dimB = Tables.customer(spark, "/root/testdata/sf0.01")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val joinedB = api.join(dimB, api("id") === dimB("k"))
+    assert(apiPartitions(joinedB) == Seq(6),
+      s"runtime filter did not prune pages:\n${joinedB.queryExecution.executedPlan}")
+  }
+
   test("PagedApiSource streams incrementally: page-cursor offsets, rate limit") {
     import org.apache.spark.sql.functions._
     // maxPagesPerTrigger=7 over 40 pages: AvailableNow must drain the
