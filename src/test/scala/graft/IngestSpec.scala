@@ -476,6 +476,48 @@ class IngestSpec extends SparkSpec {
       s"runtime filter did not prune pages:\n${joinedB.queryExecution.executedPlan}")
   }
 
+  test("ManifestSink: V2 committer protocol — atomic publish, append, truncate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest_sink").toString
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .repartition(2)
+    df1.write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    // Readers resolve the manifest: counts and content match the write,
+    // and nothing staged survives the publish.
+    assert(graft.sources.ManifestSink.committedRowCount(dir) == 3)
+    val files1 = graft.sources.ManifestSink.committedFiles(dir)
+    assert(files1.size == 2, s"expected 2 part files, got $files1")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")),
+      "staging directory leaked past commit")
+    def readBack(): Set[(Long, String)] = {
+      val paths = graft.sources.ManifestSink.committedFiles(dir)
+        .map(n => s"$dir/$n")
+      spark.read.json(paths: _*)
+        .select(col("id").cast("long"), col("tag"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    assert(readBack() == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // APPEND composes with prior commits in the manifest.
+    Seq((4L, "d")).toDF("id", "tag").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    assert(graft.sources.ManifestSink.committedRowCount(dir) == 4)
+    assert(readBack() == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // OVERWRITE (SupportsTruncate) atomically replaces the whole table:
+    // one manifest swap publishes the new files and retires the old.
+    Seq((9L, "z")).toDF("id", "tag").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite").save()
+    assert(graft.sources.ManifestSink.committedRowCount(dir) == 1)
+    assert(readBack() == Set((9L, "z")))
+    // Retired data files are gone from disk too.
+    val ndjson = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".ndjson"))
+    assert(ndjson == 1, s"expected 1 surviving part file, found $ndjson")
+  }
+
   test("PagedApiSource streams incrementally: page-cursor offsets, rate limit") {
     import org.apache.spark.sql.functions._
     // maxPagesPerTrigger=7 over 40 pages: AvailableNow must drain the
