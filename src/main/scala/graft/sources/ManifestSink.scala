@@ -7,6 +7,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,7 +79,8 @@ private[sources] class ManifestTable(path: String, writeSchema: StructType)
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = writeSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
@@ -94,6 +96,65 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate)
+
+  override def buildForStreaming(): StreamingWrite =
+    new ManifestStreamingWrite(path, schema, queryId)
+}
+
+/** Streaming (epoch-committed) writes: each micro-batch publishes like a
+  * small batch job — task-staged files, driver-side manifest append —
+  * with the EPOCH id baked into every file name, so a replayed epoch
+  * (failure between sink commit and checkpoint advance) regenerates the
+  * SAME names and the manifest composition stays idempotent: re-running
+  * epoch k replaces epoch k's files instead of duplicating them. That is
+  * the V2-native version of the foreachBatch idempotent-upsert recipe. */
+private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path, s".staging-$queryId"))
+    new ManifestStreamingWriterFactory(path, queryId, schema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val staging = Paths.get(path, s".staging-$queryId")
+    val winners = messages.map(_.asInstanceOf[StagedFile])
+    winners.foreach { f =>
+      Files.move(staging.resolve(f.name), dir.resolve(f.name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+    // Manifest composition keyed by file NAME: a replayed epoch's names
+    // collide with its first run's, so the replacement is exact.
+    val winnerNames = winners.map(_.name).toSet
+    val prior = ManifestSink.committedFiles(path)
+      .filterNot(winnerNames.contains)
+      .map { n => StagedFile(n, Files.lines(dir.resolve(n)).count()) }
+    val all = prior ++ winners
+    val json = all.map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
+      .mkString("{\"files\":[", ",", "]}")
+    val tmp = dir.resolve(s".${ManifestSink.ManifestName}.$queryId.$epochId.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(ManifestSink.ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = Paths.get(path, s".staging-$queryId")
+    messages.collect { case f: StagedFile =>
+      Files.deleteIfExists(staging.resolve(f.name))
+    }
+  }
+}
+
+private[sources] class ManifestStreamingWriterFactory(path: String,
+    queryId: String, schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
+      Some(epochId))
 }
 
 private[sources] final case class StagedFile(name: String, rows: Long)
@@ -165,9 +226,16 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
   * staged file — attempt uniqueness is what lets speculative duplicates
   * coexist until the driver picks winners. */
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
-    schema: StructType, partitionId: Int, taskId: Long)
+    schema: StructType, partitionId: Int, taskId: Long,
+    epochId: Option[Long] = None)
     extends DataWriter[InternalRow] {
-  private val name = f"part-$partitionId%05d-$taskId.ndjson"
+  // Batch: (partition, task) uniqueness isolates speculative attempts.
+  // Streaming: (epoch, partition) DETERMINISM is what makes an epoch
+  // replay regenerate — and therefore replace — its own files.
+  private val name = epochId match {
+    case Some(e) => f"part-e$e%05d-$partitionId%05d.ndjson"
+    case None => f"part-$partitionId%05d-$taskId.ndjson"
+  }
   private val file = Paths.get(path, s".staging-$queryId", name)
   private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
   private var rows = 0L

@@ -518,6 +518,39 @@ class IngestSpec extends SparkSpec {
     assert(ndjson == 1, s"expected 1 surviving part file, found $ndjson")
   }
 
+  test("ManifestSink streaming: epoch-committed manifests compose per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_manifest_stream").toString
+    val ckpt = Files.createTempDirectory("graft_manifest_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "tag")
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq((1L, "a"), (2L, "b")))
+      q.processAllAvailable()
+      val afterEpoch0 = graft.sources.ManifestSink.committedRowCount(dir)
+      assert(afterEpoch0 == 2, s"epoch 0 committed $afterEpoch0 rows")
+      mem.addData(Seq((3L, "c")))
+      q.processAllAvailable()
+      assert(graft.sources.ManifestSink.committedRowCount(dir) == 3)
+      val paths = graft.sources.ManifestSink.committedFiles(dir)
+        .map(n => s"$dir/$n")
+      val got = spark.read.json(paths: _*)
+        .select(col("id").cast("long"), col("tag"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // Epoch-deterministic names: file set carries the epoch ids, the
+      // replay-idempotence contract's visible half.
+      assert(graft.sources.ManifestSink.committedFiles(dir)
+        .forall(_.startsWith("part-e")), "epoch missing from file names")
+    } finally q.stop()
+  }
+
   test("PagedApiSource streams incrementally: page-cursor offsets, rate limit") {
     import org.apache.spark.sql.functions._
     // maxPagesPerTrigger=7 over 40 pages: AvailableNow must drain the
