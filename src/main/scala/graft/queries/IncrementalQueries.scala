@@ -341,9 +341,13 @@ object IncrementalQueries {
         |  min(doc_id) AS keep_doc
         |FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
       (s, dir) =>
-      val t = Tables.fanOut(
+      // Staged (tx33's lesson): projection collapse would otherwise
+      // re-inline the tokenizer into every one of the many toks
+      // references downstream (the boundary lambda, the cut builder,
+      // and every chunk slice), re-splitting the text per reference.
+      val t = graft.operators.Dedup.stage(Tables.fanOut(
         Tables.documents(s, dir).select(col("doc_id"), col("text")))
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks")))
       val winHash = (j: Column) => pmod(
         conv(substring(md5(concat_ws(" ",
           element_at(col("toks"), (j - 2).cast("int")),
