@@ -66,6 +66,14 @@ object ManifestSink {
     "\"name\":\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
   }
 
+  /** Line count with the stream CLOSED — `Files.lines` holds the file
+    * handle until the stream closes, and a commit recounts every prior
+    * file. */
+  private[sources] def lineCount(p: Path): Long = {
+    val st = Files.lines(p)
+    try st.count() finally st.close()
+  }
+
   def committedRowCount(dir: String): Long = {
     val m = Paths.get(dir, ManifestName)
     if (!Files.exists(m)) return 0L
@@ -131,7 +139,7 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     val winnerNames = winners.map(_.name).toSet
     val prior = ManifestSink.committedFiles(path)
       .filterNot(winnerNames.contains)
-      .map { n => StagedFile(n, Files.lines(dir.resolve(n)).count()) }
+      .map { n => StagedFile(n, ManifestSink.lineCount(dir.resolve(n))) }
     val all = prior ++ winners
     val json = all.map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
       .mkString("{\"files\":[", ",", "]}")
@@ -179,7 +187,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     val prior =
       if (truncate) Seq.empty
       else ManifestSink.committedFiles(path).map { n =>
-        val rows = Files.lines(dir.resolve(n)).count()
+        val rows = ManifestSink.lineCount(dir.resolve(n))
         StagedFile(n, rows)
       }
     winners.foreach { f =>
@@ -211,7 +219,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 
   private def cleanupStaging(): Unit =
     if (Files.exists(staging)) {
-      Files.list(staging).forEach(p => Files.deleteIfExists(p))
+      val ls = Files.list(staging)
+      try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
       Files.deleteIfExists(staging)
     }
 }
