@@ -55,31 +55,27 @@ class ManifestSink extends TableProvider {
 object ManifestSink {
   val ManifestName = "manifest.json"
 
-  /** Committed data files per the manifest — the only files a reader may
-    * trust (staged or orphaned files are invisible by construction). */
-  def committedFiles(dir: String): Seq[String] = {
+  /** Committed (file, rows) entries per the manifest — the manifest is
+    * self-describing, so a commit composes the next manifest from these
+    * instead of re-counting every prior file's lines (which would cost
+    * O(total corpus) per commit — per EPOCH on the streaming path). */
+  private[sources] def committedEntries(dir: String): Seq[StagedFile] = {
     val m = Paths.get(dir, ManifestName)
     if (!Files.exists(m)) return Seq.empty
     val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
     // Minimal parse of the {"files":[{"name":...,"rows":...},...]} shape
     // this sink writes (no JSON library on the unmanaged classpath).
-    "\"name\":\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSeq
+    "\\{\"name\":\"([^\"]+)\",\"rows\":(\\d+)\\}".r.findAllMatchIn(txt)
+      .map(mt => StagedFile(mt.group(1), mt.group(2).toLong)).toSeq
   }
 
-  /** Line count with the stream CLOSED — `Files.lines` holds the file
-    * handle until the stream closes, and a commit recounts every prior
-    * file. */
-  private[sources] def lineCount(p: Path): Long = {
-    val st = Files.lines(p)
-    try st.count() finally st.close()
-  }
+  /** Committed data files per the manifest — the only files a reader may
+    * trust (staged or orphaned files are invisible by construction). */
+  def committedFiles(dir: String): Seq[String] =
+    committedEntries(dir).map(_.name)
 
-  def committedRowCount(dir: String): Long = {
-    val m = Paths.get(dir, ManifestName)
-    if (!Files.exists(m)) return 0L
-    val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    "\"rows\":(\\d+)".r.findAllMatchIn(txt).map(_.group(1).toLong).sum
-  }
+  def committedRowCount(dir: String): Long =
+    committedEntries(dir).map(_.rows).sum
 }
 
 private[sources] class ManifestTable(path: String, writeSchema: StructType)
@@ -134,12 +130,18 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       Files.move(staging.resolve(f.name), dir.resolve(f.name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
-    // Manifest composition keyed by file NAME: a replayed epoch's names
-    // collide with its first run's, so the replacement is exact.
+    // Manifest composition keyed by EPOCH: a replayed epoch (failure
+    // between sink commit and checkpoint advance) retires ALL of its
+    // first attempt's entries, not just name collisions — a replay that
+    // plans fewer partitions must not leave the first attempt's extra
+    // files committed (they would double-count rows). Prior rows come
+    // from the manifest itself (no per-epoch re-count).
+    val epochPrefix = f"part-e$epochId%05d-"
+    val (stale, prior) = ManifestSink.committedEntries(path)
+      .partition(_.name.startsWith(epochPrefix))
     val winnerNames = winners.map(_.name).toSet
-    val prior = ManifestSink.committedFiles(path)
-      .filterNot(winnerNames.contains)
-      .map { n => StagedFile(n, ManifestSink.lineCount(dir.resolve(n))) }
+    stale.filterNot(f => winnerNames.contains(f.name))
+      .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
     val all = prior ++ winners
     val json = all.map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
       .mkString("{\"files\":[", ",", "]}")
@@ -184,12 +186,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     val winners = messages.map(_.asInstanceOf[StagedFile])
+    // Prior entries come from the manifest (self-describing — no re-count)
+    // and are keyed OUT by winner name: if an append's task file name
+    // collides with a prior commit's, the move below replaces the file in
+    // place, so the manifest must carry the new entry only, not both.
+    val winnerNames = winners.map(_.name).toSet
     val prior =
       if (truncate) Seq.empty
-      else ManifestSink.committedFiles(path).map { n =>
-        val rows = ManifestSink.lineCount(dir.resolve(n))
-        StagedFile(n, rows)
-      }
+      else ManifestSink.committedEntries(path)
+        .filterNot(f => winnerNames.contains(f.name))
     winners.foreach { f =>
       Files.move(staging.resolve(f.name), dir.resolve(f.name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -198,7 +203,6 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // Truncate semantics: files of prior commits leave the manifest
       // (and the directory) in the same publish step — except a prior
       // name a winner just replaced in place, which must survive.
-      val winnerNames = winners.map(_.name).toSet
       ManifestSink.committedFiles(path)
         .filterNot(winnerNames.contains)
         .foreach(n => Files.deleteIfExists(dir.resolve(n)))
