@@ -495,5 +495,81 @@ object OlapQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum(col("term")).as("decay_score_micro"))
     },
+
+    // Welch's two-sample t-test (unequal variances): do urgent orders
+    // carry a different mean total than the rest? The parametric twin of
+    // q153's Mann–Whitney — the A/B-test statistic a metrics pipeline
+    // reports. Determinism discipline: prices fix-point to integer CENTS
+    // first (one IEEE multiply+floor, identical both engines), the two
+    // groups' (n, Σx, Σx²) accumulate as exact integers (Σx² as
+    // decimal(38,0)/HUGEINT — BIGINT would overflow beyond ~10⁵ rows of
+    // ~10⁷-cent orders), and only the final scalar t / Welch-df formula
+    // touches doubles — same expression tree on exact inputs, so the
+    // basis-point outputs hash-match. Plan: ONE map-side-combining
+    // conditional aggregate into a single row — no shuffle wider than
+    // the 6 partial sums at any scale; no per-group subqueries.
+    QuerySpec(
+      "q208_welch_ttest",
+      """WITH x AS (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN g = 1 THEN c ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN g = 0 THEN c ELSE 0 END) AS BIGINT) AS s2,
+        |    sum(CASE WHEN g = 1 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q1,
+        |    sum(CASE WHEN g = 0 THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS q2
+        |  FROM x),
+        |t AS (
+        |  SELECT n1, n2,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+        |      / (n1 - 1) AS v1,
+        |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2)
+        |      / (n2 - 1) AS v2
+        |  FROM m)
+        |SELECT n1, n2,
+        |  CAST(floor(m1 + 0.5) AS BIGINT) AS mean1_c,
+        |  CAST(floor(m2 + 0.5) AS BIGINT) AS mean2_c,
+        |  CAST(floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 10000 + 0.5)
+        |    AS BIGINT) AS t_bp,
+        |  CAST(floor((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+        |    / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+        |       + (v2 / n2) * (v2 / n2) / (n2 - 1)) * 100 + 0.5)
+        |    AS BIGINT) AS df_cp
+        |FROM t""".stripMargin) { (s, dir) =>
+      val g = when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val x = Tables.orders(s, dir).select(g.as("g"), cents.as("c"))
+      val m = x.agg(
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === 1, col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("g") === 0, col("c")).otherwise(0L)).as("s2"),
+        sum(when(col("g") === 1, (col("c") * col("c")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q1"),
+        sum(when(col("g") === 0, (col("c") * col("c")).cast("decimal(38,0)"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("q2"))
+      val m1 = col("s1").cast("double") / col("n1")
+      val m2 = col("s2").cast("double") / col("n2")
+      val v1 = (col("q1").cast("double")
+        - col("s1").cast("double") * col("s1").cast("double") / col("n1")) /
+        (col("n1") - 1)
+      val v2 = (col("q2").cast("double")
+        - col("s2").cast("double") * col("s2").cast("double") / col("n2")) /
+        (col("n2") - 1)
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      m.select(col("n1"), col("n2"),
+        floor(m1 + 0.5).cast("long").as("mean1_c"),
+        floor(m2 + 0.5).cast("long").as("mean2_c"),
+        floor((m1 - m2) / sqrt(se2) * 10000 + 0.5).cast("long").as("t_bp"),
+        floor(se2 * se2
+          / ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1)
+             + (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+          * 100 + 0.5).cast("long").as("df_cp"))
+    },
   )
 }
