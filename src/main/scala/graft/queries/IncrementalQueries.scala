@@ -567,5 +567,41 @@ object IncrementalQueries {
         .groupBy("category")
         .agg(count(lit(1)).as("n"), sum(col("score")).as("score_sum"))
       graft.streaming.Streams.runToTable(agg, "st25_mem", "complete")
+    },
+
+    // ManifestSink round trip END TO END (reference A4's object-store
+    // sink + its read barrier): the documents corpus — full of
+    // newlines, tabs, and quotes, exactly the payload class that breaks
+    // naive NDJSON framing — is written through the V2 two-phase
+    // committer and read back through the committed-files-only scan,
+    // then hashed per language. The oracle aggregates the SOURCE table
+    // directly, so a single corrupted byte anywhere in the
+    // write-escape-commit-scan-unescape loop breaks the hash match:
+    // atomic visibility and payload fidelity are proven in one spec.
+    QuerySpec(
+      "a11_manifest_roundtrip",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a11_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // Overwrite (SupportsTruncate) keeps re-runs idempotent: one
+      // manifest swap publishes this run's files and retires the last.
+      Tables.documents(s, dir)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
     })
 }

@@ -4,44 +4,93 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.OptionalLong
 
-/** DataSource V2 WRITE path — the reference's object-store sink
+/** DataSource V2 sink + source — the reference's object-store sink
   * (`rest_api_json_to_gcs_operator.py:64-85` uploads a staged blob to
   * GCS) re-expressed through Spark's two-phase committer protocol, which
   * is what makes a distributed write ATOMIC on storage that has no
   * rename-into-place transaction of its own:
   *
   *  1. each task's [[DataWriter]] writes its partition to a STAGED file
-  *     named by (task, attempt) — speculative/retried attempts can never
-  *     collide — and describes it in a [[WriterCommitMessage]];
+  *     under an attempt-unique name — speculative/retried attempts can
+  *     never collide — and describes it in a [[WriterCommitMessage]];
   *  2. the driver's [[BatchWrite.commit]] publishes, in one step, ONLY
   *     the attempts Spark declared winners: staged files move into place
   *     and a `manifest.json` naming the committed files + row counts is
-  *     written last via temp-file + atomic rename — readers resolve the
-  *     manifest, so they see the whole job's output or none of it
-  *     (the `Ingest.commitSnapshot` idea, V2-native);
+  *     written via temp-file + atomic rename BEFORE any retired file is
+  *     deleted — readers resolve the manifest, so they see the whole
+  *     job's output or none of it, and a crash mid-publish can only
+  *     leave unreferenced garbage (GC'd by the next commit), never a
+  *     live manifest pointing at deleted data;
   *  3. [[BatchWrite.abort]] deletes the staging directory — a failed job
   *     leaves the target exactly as it was.
   *
-  * Payload format is NDJSON (the scale layout the read side prefers).
+  * The manifest publish (read-compose-swap) is SINGLE-WRITER per target
+  * directory, enforced by a create-exclusive `.manifest.lock` held for
+  * the critical section: a second concurrent committer fails loudly
+  * instead of silently losing the first one's entries to a last-rename-
+  * wins race. Each manifest also carries a monotonic `generation`
+  * counter, so lost updates are detectable after the fact.
+  *
+  * The READ side closes the loop ([[SupportsRead]]): a scan plans one
+  * `InputPartition` per COMMITTED file — staged or orphaned files are
+  * invisible by construction, which makes the atomic-visibility
+  * guarantee provable end-to-end (spec `a11_manifest_roundtrip`), with
+  * column pruning and manifest-derived exact statistics.
+  *
+  * Payload format is NDJSON with full JSON string escaping (control
+  * characters included — the documents corpus is full of whitespace);
+  * binary is base64, date/timestamp are ISO-8601 strings, and nested
+  * types are rejected up front at write-builder construction.
   * Local-fs here; the protocol is the part that transfers to GCS/S3.
   *
   * Usage: `df.write.format("graft.sources.ManifestSink")
-  *   .option("path", dir).mode("append"|"overwrite").save()`
+  *   .option("path", dir).mode("append"|"overwrite").save()`, then
+  * `spark.read.format("graft.sources.ManifestSink").schema(s)
+  *   .option("path", dir).load()`.
   */
 class ManifestSink extends TableProvider {
   // The sink takes whatever schema the written DataFrame has.
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+  /** Read-side inference when no schema is supplied: peek the first
+    * committed file's first record and type each field from its JSON
+    * shape (long / double / boolean / string). Numeric inference is
+    * lossy by nature (a long column whose sample value is `1.5`-free
+    * still infers long) — callers that round-trip typed data supply
+    * `.schema(...)` and skip this. */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (path == null) return new StructType()
+    val entries = ManifestSink.committedEntries(path)
+    if (entries.isEmpty) return new StructType()
+    val first = Paths.get(path, entries.head.name)
+    val in = Files.newBufferedReader(first, StandardCharsets.UTF_8)
+    val line = try in.readLine() finally in.close()
+    if (line == null || line.isEmpty) return new StructType()
+    val fields = NdjsonCodec.parseLine(line).toSeq.map { case (k, v) =>
+      val dt = v match {
+        case NdjsonCodec.JsonTok(raw) =>
+          if (raw == "true" || raw == "false") BooleanType
+          else if (raw.forall(c => c.isDigit || c == '-')) LongType
+          else DoubleType
+        case _ => StringType
+      }
+      StructField(k, dt)
+    }
+    StructType(fields)
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -54,6 +103,7 @@ class ManifestSink extends TableProvider {
 
 object ManifestSink {
   val ManifestName = "manifest.json"
+  private val LockName = ".manifest.lock"
 
   /** Committed (file, rows) entries per the manifest — the manifest is
     * self-describing, so a commit composes the next manifest from these
@@ -63,8 +113,10 @@ object ManifestSink {
     val m = Paths.get(dir, ManifestName)
     if (!Files.exists(m)) return Seq.empty
     val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    // Minimal parse of the {"files":[{"name":...,"rows":...},...]} shape
-    // this sink writes (no JSON library on the unmanaged classpath).
+    // Minimal parse of the {"generation":N,"files":[{"name":...,"rows":
+    // ...},...]} shape this sink writes (no JSON library on the
+    // unmanaged classpath). File names are committer-minted (`part-*`),
+    // never payload, so the no-escape regex is safe.
     "\\{\"name\":\"([^\"]+)\",\"rows\":(\\d+)\\}".r.findAllMatchIn(txt)
       .map(mt => StagedFile(mt.group(1), mt.group(2).toLong)).toSeq
   }
@@ -76,19 +128,347 @@ object ManifestSink {
 
   def committedRowCount(dir: String): Long =
     committedEntries(dir).map(_.rows).sum
+
+  /** Monotonic commit counter carried in the manifest — pre-generation
+    * manifests read as 0. Lost updates (a bug the lock exists to
+    * prevent) would show as a non-monotonic or repeated generation. */
+  def committedGeneration(dir: String): Long = {
+    val m = Paths.get(dir, ManifestName)
+    if (!Files.exists(m)) return 0L
+    val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    "\"generation\":(\\d+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(0L)
+  }
+
+  /** Serialize the manifest's read-compose-swap critical section:
+    * create-exclusive lock file, released in `finally`. A second
+    * concurrent committer FAILS (loudly, with recovery guidance) rather
+    * than silently dropping the first committer's entries in a
+    * last-rename-wins race. A crash inside the section leaves a stale
+    * lock that subsequent commits refuse — erring toward safety on
+    * storage with no compare-and-swap. */
+  private[sources] def withPublishLock[T](dir: Path)(body: => T): T = {
+    Files.createDirectories(dir)
+    val lock = dir.resolve(LockName)
+    try Files.createFile(lock)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent committer detected on $dir: $LockName exists. The " +
+            "manifest publish is single-writer per directory; if no other " +
+            "job is committing here, a crashed committer left a stale " +
+            "lock — delete the file to recover.")
+    }
+    try body finally Files.deleteIfExists(lock)
+  }
+
+  /** Write the manifest LAST in the publish sequence, via temp file +
+    * atomic rename: the swap is the single instant the commit becomes
+    * visible. Callers delete retired files only AFTER this returns, so
+    * a crash at any point leaves either the old manifest (whose files
+    * all still exist) or the new one — never a manifest referencing
+    * deleted data. */
+  private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
+      generation: Long, tag: String): Unit = {
+    val files = entries
+      .map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
+      .mkString("[", ",", "]")
+    val json = s"""{"generation":$generation,"files":$files}"""
+    val tmp = dir.resolve(s".$ManifestName.$tag.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
 }
 
-private[sources] class ManifestTable(path: String, writeSchema: StructType)
-    extends Table with SupportsWrite {
+/** NDJSON value codec shared by the writer and the reader. Flat rows of
+  * primitive/temporal/binary fields only — exactly what the sink's
+  * payload contract supports; nested types are rejected before any task
+  * launches. */
+private[sources] object NdjsonCodec {
+  sealed trait JsonVal
+  case object JsonNull extends JsonVal
+  final case class JsonStr(value: String) extends JsonVal
+  /** Unquoted literal: number, boolean, or a non-finite double token. */
+  final case class JsonTok(raw: String) extends JsonVal
+
+  def supported(dt: DataType): Boolean = dt match {
+    case StringType | BooleanType | ByteType | ShortType | IntegerType |
+         LongType | FloatType | DoubleType | DateType | TimestampType |
+         BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Full JSON string escape — backslash, quote, and EVERY control
+    * character below 0x20 (`\n` would otherwise split one logical
+    * record across two physical lines, breaking NDJSON framing). */
+  def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Renderer for one field of the writer's schema, resolved once per
+    * writer (Catalyst internal values in, JSON text out). */
+  def renderer(dt: DataType): Any => String = dt match {
+    case StringType => v => "\"" + escape(v.toString) + "\""
+    case BooleanType | ByteType | ShortType | IntegerType | LongType =>
+      v => v.toString
+    case FloatType | DoubleType =>
+      // NaN/Infinity render as bare tokens (the lenient-JSON convention
+      // Spark's own reader accepts); finite values round-trip exactly
+      // via Java's shortest-representation toString.
+      v => v.toString
+    case _: DecimalType => v => v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+      .toJavaBigDecimal.toPlainString
+    case DateType => v =>
+      "\"" + java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong) + "\""
+    case TimestampType => v =>
+      "\"" + java.time.Instant.EPOCH.plus(v.asInstanceOf[Long],
+        java.time.temporal.ChronoUnit.MICROS) + "\""
+    case BinaryType => v =>
+      "\"" + java.util.Base64.getEncoder.encodeToString(
+        v.asInstanceOf[Array[Byte]]) + "\""
+    case other => throw new UnsupportedOperationException(
+      s"ManifestSink NDJSON payload does not support type $other")
+  }
+
+  /** Converter from a parsed [[JsonVal]] back to the Catalyst internal
+    * value of `dt` — the reader-side inverse of [[renderer]]. Strict:
+    * a shape mismatch throws rather than silently nulling. */
+  def converter(dt: DataType): JsonVal => Any = {
+    val conv: JsonVal => Any = dt match {
+      case StringType => { case JsonStr(s) => UTF8String.fromString(s)
+        case v => badShape(dt, v) }
+      case BooleanType => { case JsonTok(r) => r.toBoolean
+        case v => badShape(dt, v) }
+      case ByteType => { case JsonTok(r) => r.toByte; case v => badShape(dt, v) }
+      case ShortType => { case JsonTok(r) => r.toShort; case v => badShape(dt, v) }
+      case IntegerType => { case JsonTok(r) => r.toInt; case v => badShape(dt, v) }
+      case LongType => { case JsonTok(r) => r.toLong; case v => badShape(dt, v) }
+      case FloatType => { case JsonTok(r) => r.toFloat; case v => badShape(dt, v) }
+      case DoubleType => { case JsonTok(r) => r.toDouble
+        case v => badShape(dt, v) }
+      case d: DecimalType => { case JsonTok(r) =>
+          org.apache.spark.sql.types.Decimal(BigDecimal(r), d.precision, d.scale)
+        case v => badShape(dt, v) }
+      case DateType => { case JsonStr(s) =>
+          java.time.LocalDate.parse(s).toEpochDay.toInt
+        case v => badShape(dt, v) }
+      case TimestampType => { case JsonStr(s) =>
+          java.time.temporal.ChronoUnit.MICROS
+            .between(java.time.Instant.EPOCH, java.time.Instant.parse(s))
+        case v => badShape(dt, v) }
+      case BinaryType => { case JsonStr(s) =>
+          java.util.Base64.getDecoder.decode(s)
+        case v => badShape(dt, v) }
+      case other => throw new UnsupportedOperationException(
+        s"ManifestSink NDJSON payload does not support type $other")
+    }
+    { case JsonNull => null; case v => conv(v) }
+  }
+
+  private def badShape(dt: DataType, v: JsonVal): Nothing =
+    throw new IllegalArgumentException(
+      s"NDJSON value $v does not match expected type $dt")
+
+  /** Parse one flat NDJSON object (the writer's output shape) into
+    * key → value. Handles the full string-escape set including \\uXXXX;
+    * rejects nested objects/arrays — the writer never emits them. */
+  def parseLine(line: String): collection.Map[String, JsonVal] = {
+    val m = collection.mutable.LinkedHashMap[String, JsonVal]()
+    var i = 0
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"bad NDJSON at offset $i ($msg): $line")
+    def ws(): Unit = while (i < line.length && line.charAt(i) <= ' ') i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= line.length || line.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new java.lang.StringBuilder
+      while (i < line.length && line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= line.length) fail("truncated escape")
+          line.charAt(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 4 >= line.length) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(line.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case o => fail(s"bad escape \\$o")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      if (i >= line.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    expect('{')
+    ws()
+    if (i < line.length && line.charAt(i) == '}') return m
+    var done = false
+    while (!done) {
+      val k = str()
+      expect(':')
+      ws()
+      if (i >= line.length) fail("truncated value")
+      val v = line.charAt(i) match {
+        case '"' => JsonStr(str())
+        case '{' | '[' => fail("nested values are not part of the payload contract")
+        case _ =>
+          val s0 = i
+          while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}')
+            i += 1
+          val raw = line.substring(s0, i).trim
+          if (raw == "null") JsonNull else JsonTok(raw)
+      }
+      m(k) = v
+      ws()
+      if (i >= line.length) fail("truncated object")
+      line.charAt(i) match {
+        case ',' => i += 1
+        case '}' => i += 1; done = true
+        case _ => fail("expected ',' or '}'")
+      }
+    }
+    m
+  }
+}
+
+private[sources] class ManifestTable(path: String, tableSchema: StructType)
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"manifest_sink($path)"
-  override def schema(): StructType = writeSchema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Fail BEFORE any task launches on a schema the payload format
+    // cannot carry faithfully — a toString fallback would silently
+    // corrupt nested/unsupported values instead.
+    val bad = info.schema().fields.filterNot(f => NdjsonCodec.supported(f.dataType))
+    require(bad.isEmpty,
+      s"ManifestSink NDJSON payload supports flat primitive/temporal/binary " +
+        s"columns only; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false)
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(path, tableSchema)
+}
+
+/** Read side: committed files ONLY — the manifest is the read barrier.
+  * One [[InputPartition]] per committed file (executor-parallel), column
+  * pruning via [[SupportsPushDownRequiredColumns]], and exact row-count
+  * statistics straight from the manifest. */
+private[sources] class ManifestScanBuilder(path: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ManifestScan(path, full, required)
+}
+
+private[sources] class ManifestScan(path: String, full: StructType,
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ManifestSink.committedEntries(path)
+      .map(f => ManifestFilePartition(
+        Paths.get(path, f.name).toString, f.rows): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(required)
+
+  /** Exact numRows from the manifest (free — counted at write time);
+    * bytes from the committed files, scaled by the projected column
+    * fraction so a pruned scan advertises its true width. */
+  override def estimateStatistics(): Statistics = {
+    val entries = ManifestSink.committedEntries(path)
+    val rows = entries.map(_.rows).sum
+    val onDisk = entries.map { f =>
+      try Files.size(Paths.get(path, f.name)) catch { case _: Exception => 0L }
+    }.sum
+    val frac =
+      if (full.fields.isEmpty) 1.0
+      else math.max(required.fields.length.toDouble / full.fields.length, 0.05)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.max((onDisk * frac).toLong, 1L))
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
+}
+
+private[sources] final case class ManifestFilePartition(file: String,
+    rows: Long) extends InputPartition
+
+private[sources] class ManifestReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new NdjsonPartitionReader(
+      partition.asInstanceOf[ManifestFilePartition].file, required)
+}
+
+/** Executor-side NDJSON reader for one committed file: line-framed,
+  * schema-strict, emitting only the pruned columns. */
+private[sources] class NdjsonPartitionReader(file: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val in = Files.newBufferedReader(Paths.get(file),
+    StandardCharsets.UTF_8)
+  private val convs: Array[NdjsonCodec.JsonVal => Any] =
+    required.fields.map(f => NdjsonCodec.converter(f.dataType))
+  private val names: Array[String] = required.fields.map(_.name)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = in.readLine()
+    while (line != null && line.isEmpty) line = in.readLine()
+    if (line == null) { current = null; return false }
+    val parsed = NdjsonCodec.parseLine(line)
+    val vals = new Array[Any](names.length)
+    var i = 0
+    while (i < names.length) {
+      vals(i) = convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
+      i += 1
+    }
+    current = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
 }
 
 private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
@@ -107,10 +487,12 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
   * small batch job — task-staged files, driver-side manifest append —
-  * with the EPOCH id baked into every file name, so a replayed epoch
-  * (failure between sink commit and checkpoint advance) regenerates the
-  * SAME names and the manifest composition stays idempotent: re-running
-  * epoch k replaces epoch k's files instead of duplicating them. That is
+  * with the EPOCH id baked into every PUBLISHED file name, so a replayed
+  * epoch (failure between sink commit and checkpoint advance)
+  * regenerates the SAME names and the manifest composition stays
+  * idempotent: re-running epoch k replaces epoch k's files instead of
+  * duplicating them. Staging is attempt-unique (see
+  * [[NdjsonDataWriter]]) — only the final name is deterministic. That is
   * the V2-native version of the foreachBatch idempotent-upsert recipe. */
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     queryId: String) extends StreamingWrite {
@@ -123,32 +505,33 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    Files.createDirectories(dir)
     val staging = Paths.get(path, s".staging-$queryId")
     val winners = messages.map(_.asInstanceOf[StagedFile])
-    winners.foreach { f =>
-      Files.move(staging.resolve(f.name), dir.resolve(f.name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ManifestSink.withPublishLock(dir) {
+      // Manifest composition keyed by EPOCH: a replayed epoch (failure
+      // between sink commit and checkpoint advance) retires ALL of its
+      // first attempt's entries, not just name collisions — a replay
+      // that plans fewer partitions must not leave the first attempt's
+      // extra files committed (they would double-count rows). Prior
+      // rows come from the manifest itself (no per-epoch re-count).
+      val generation = ManifestSink.committedGeneration(path)
+      val epochPrefix = f"part-e$epochId%05d-"
+      val (stale, prior) = ManifestSink.committedEntries(path)
+        .partition(_.name.startsWith(epochPrefix))
+      val winnerNames = winners.map(_.name).toSet
+      winners.foreach { f =>
+        Files.move(staging.resolve(f.name), dir.resolve(f.name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
+        s"$queryId.$epochId")
+      // Retired first-attempt files are deleted only AFTER the swap:
+      // before it the old manifest still references them; after it they
+      // are unreferenced garbage, so this delete is idempotent GC that a
+      // crash can defer harmlessly to the next replay of the epoch.
+      stale.filterNot(f => winnerNames.contains(f.name))
+        .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
     }
-    // Manifest composition keyed by EPOCH: a replayed epoch (failure
-    // between sink commit and checkpoint advance) retires ALL of its
-    // first attempt's entries, not just name collisions — a replay that
-    // plans fewer partitions must not leave the first attempt's extra
-    // files committed (they would double-count rows). Prior rows come
-    // from the manifest itself (no per-epoch re-count).
-    val epochPrefix = f"part-e$epochId%05d-"
-    val (stale, prior) = ManifestSink.committedEntries(path)
-      .partition(_.name.startsWith(epochPrefix))
-    val winnerNames = winners.map(_.name).toSet
-    stale.filterNot(f => winnerNames.contains(f.name))
-      .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
-    val all = prior ++ winners
-    val json = all.map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
-      .mkString("{\"files\":[", ",", "]}")
-    val tmp = dir.resolve(s".${ManifestSink.ManifestName}.$queryId.$epochId.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(ManifestSink.ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -180,40 +563,39 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
   }
 
   /** Driver-side publish: exactly the winner attempts move into place;
-    * the manifest (written LAST, temp + atomic rename) is the read
-    * barrier that makes the whole job's output visible at once. */
+    * the manifest (written via temp + atomic rename, BEFORE any retired
+    * file is deleted) is the read barrier that makes the whole job's
+    * output visible at once. Single-writer via the publish lock. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    Files.createDirectories(dir)
     val winners = messages.map(_.asInstanceOf[StagedFile])
-    // Prior entries come from the manifest (self-describing — no re-count)
-    // and are keyed OUT by winner name: if an append's task file name
-    // collides with a prior commit's, the move below replaces the file in
-    // place, so the manifest must carry the new entry only, not both.
-    val winnerNames = winners.map(_.name).toSet
-    val prior =
-      if (truncate) Seq.empty
-      else ManifestSink.committedEntries(path)
-        .filterNot(f => winnerNames.contains(f.name))
-    winners.foreach { f =>
-      Files.move(staging.resolve(f.name), dir.resolve(f.name),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ManifestSink.withPublishLock(dir) {
+      val generation = ManifestSink.committedGeneration(path)
+      // Prior entries come from the manifest (self-describing — no
+      // re-count) and are keyed OUT by winner name: if an append's task
+      // file name collides with a prior commit's, the move below
+      // replaces the file in place, so the manifest must carry the new
+      // entry only, not both.
+      val winnerNames = winners.map(_.name).toSet
+      val priorAll = ManifestSink.committedEntries(path)
+      val prior =
+        if (truncate) Seq.empty
+        else priorAll.filterNot(f => winnerNames.contains(f.name))
+      winners.foreach { f =>
+        Files.move(staging.resolve(f.name), dir.resolve(f.name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+      ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
+        queryId)
+      if (truncate) {
+        // Truncate semantics: prior commits' files leave the directory —
+        // but only AFTER the manifest swap stopped referencing them
+        // (idempotent GC, never a live manifest over deleted data).
+        // A prior name a winner just replaced in place must survive.
+        priorAll.map(_.name).filterNot(winnerNames.contains)
+          .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      }
     }
-    if (truncate) {
-      // Truncate semantics: files of prior commits leave the manifest
-      // (and the directory) in the same publish step — except a prior
-      // name a winner just replaced in place, which must survive.
-      ManifestSink.committedFiles(path)
-        .filterNot(winnerNames.contains)
-        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
-    }
-    val all = prior ++ winners
-    val json = all.map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
-      .mkString("{\"files\":[", ",", "]}")
-    val tmp = dir.resolve(s".${ManifestSink.ManifestName}.$queryId.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(ManifestSink.ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     cleanupStaging()
   }
 
@@ -235,47 +617,70 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
     new NdjsonDataWriter(path, queryId, schema, partitionId, taskId)
 }
 
-/** Executor-side writer: NDJSON rows into a (partition, task)-unique
-  * staged file — attempt uniqueness is what lets speculative duplicates
-  * coexist until the driver picks winners. */
+/** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
+  * attempt uniqueness is what lets speculative/retried duplicates coexist
+  * until winners are picked. Batch names carry (partition, task) and are
+  * already attempt-unique. Streaming names must be epoch-deterministic
+  * when PUBLISHED (that is what makes an epoch replay replace its own
+  * files), so the writer stages under `<name>.a<taskId>` and renames to
+  * the deterministic name at task commit: a losing attempt's abort can
+  * only ever delete its own staged bytes, never the winner's. */
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
     epochId: Option[Long] = None)
     extends DataWriter[InternalRow] {
-  // Batch: (partition, task) uniqueness isolates speculative attempts.
-  // Streaming: (epoch, partition) DETERMINISM is what makes an epoch
-  // replay regenerate — and therefore replace — its own files.
   private val name = epochId match {
     case Some(e) => f"part-e$e%05d-$partitionId%05d.ndjson"
     case None => f"part-$partitionId%05d-$taskId.ndjson"
   }
-  private val file = Paths.get(path, s".staging-$queryId", name)
+  private val staging = Paths.get(path, s".staging-$queryId")
+  // Streaming: stage attempt-unique, publish-name at commit (below).
+  private val stagedName =
+    if (epochId.isDefined) s"$name.a$taskId" else name
+  private val file = staging.resolve(stagedName)
   private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
   private var rows = 0L
 
+  // One renderer per field, resolved from the DataType up front — never
+  // a toString fallback (unsupported types were rejected at the write
+  // builder; this re-throws if one slips through).
+  private val renderers: Array[Any => String] =
+    schema.fields.map(f => NdjsonCodec.renderer(f.dataType))
+
   override def write(record: InternalRow): Unit = {
-    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-      val v = record.get(i, f.dataType)
-      val rendered = v match {
-        case null => "null"
-        case s: org.apache.spark.unsafe.types.UTF8String =>
-          "\"" + s.toString.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-        case other => other.toString
-      }
-      s""""${f.name}":$rendered"""
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    var i = 0
+    while (i < schema.fields.length) {
+      if (i > 0) sb.append(',')
+      sb.append('"').append(schema.fields(i).name).append("\":")
+      if (record.isNullAt(i)) sb.append("null")
+      else sb.append(renderers(i)(record.get(i, schema.fields(i).dataType)))
+      i += 1
     }
-    out.write(fields.mkString("{", ",", "}"))
+    sb.append('}')
+    out.write(sb.toString)
     out.write("\n")
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
+    if (epochId.isDefined) {
+      // Claim the deterministic epoch name. Task commit is the point
+      // Spark has picked this attempt; a concurrent zombie's staged
+      // file lives under ITS attempt-unique name and cannot clobber
+      // this one.
+      Files.move(file, staging.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     StagedFile(name, rows)
   }
 
   override def abort(): Unit = {
     out.close()
+    // Only this attempt's staged bytes — never the deterministic name a
+    // winning attempt may already have claimed.
     Files.deleteIfExists(file)
   }
 

@@ -65,6 +65,101 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(ManifestSink.committedRowCount(dir) == 1L)
   }
 
+  test("NDJSON codec round-trips control characters and every payload type") {
+    // The documents corpus is full of whitespace: a newline that leaks
+    // unescaped splits one logical record across two physical lines and
+    // the file stops being NDJSON. Escape → parse must be identity for
+    // the full control range, and every supported DataType must survive
+    // renderer → converter bit-for-bit.
+    import org.apache.spark.sql.types._
+    val nasty = "line1\nline2\r\ttabbed \"quoted\" back\\slash  end"
+    val esc = NdjsonCodec.escape(nasty)
+    assert(!esc.exists(_ < 0x20), s"control char leaked into: $esc")
+    val back = NdjsonCodec.parseLine(s"""{"t":"$esc"}""")("t")
+    assert(back == NdjsonCodec.JsonStr(nasty))
+
+    def rt(dt: DataType, v: Any): Any = {
+      val rendered = NdjsonCodec.renderer(dt)(v)
+      NdjsonCodec.converter(dt)(NdjsonCodec.parseLine(s"""{"v":$rendered}""")("v"))
+    }
+    assert(rt(LongType, 42L) == 42L)
+    assert(rt(IntegerType, -7) == -7)
+    assert(rt(BooleanType, true) == true)
+    assert(rt(DoubleType, 1.5e-3) == 1.5e-3)
+    assert(rt(DoubleType, Double.NaN).asInstanceOf[Double].isNaN)
+    assert(rt(DateType, 19000) == 19000) // days since epoch → ISO date → days
+    assert(rt(TimestampType, 1700000000123456L) == 1700000000123456L)
+    assert(rt(DecimalType(10, 2),
+      org.apache.spark.sql.types.Decimal(BigDecimal("12345.67"), 10, 2))
+      .asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal
+      == new java.math.BigDecimal("12345.67"))
+    assert(java.util.Arrays.equals(
+      rt(BinaryType, Array[Byte](0, 1, -2, 127)).asInstanceOf[Array[Byte]],
+      Array[Byte](0, 1, -2, 127)))
+  }
+
+  test("streaming: a losing concurrent attempt cannot clobber the winner's staged bytes") {
+    // Speculation / zombie retry: two attempts of the SAME (epoch,
+    // partition). Staging is attempt-unique; the deterministic epoch
+    // name is claimed only at task commit, so the loser's abort deletes
+    // its own file and the winner's staged bytes survive intact.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.createDirectories(Paths.get(dir, ".staging-q5"))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("t", org.apache.spark.sql.types.StringType)))
+    val winner = new NdjsonDataWriter(dir, "q5", sch, 0, 100L, Some(3L))
+    val zombie = new NdjsonDataWriter(dir, "q5", sch, 0, 101L, Some(3L))
+    winner.write(InternalRow(1L, UTF8String.fromString("multi\nline")))
+    zombie.write(InternalRow(1L, UTF8String.fromString("stale attempt")))
+    val msg = winner.commit().asInstanceOf[StagedFile]
+    zombie.abort() // must delete ONLY the zombie's attempt file
+    val staged = Paths.get(dir, ".staging-q5", msg.name)
+    assert(Files.exists(staged), "winner's staged file was destroyed by the loser")
+    val content = new String(Files.readAllBytes(staged), StandardCharsets.UTF_8)
+    assert(content == "{\"id\":1,\"t\":\"multi\\nline\"}\n",
+      s"winner's bytes corrupted or unescaped: $content")
+    // And the driver-side epoch commit publishes the winner cleanly.
+    new ManifestStreamingWrite(dir, sch, "q5").commit(3L, Array(msg))
+    assert(ManifestSink.committedEntries(dir) == Seq(StagedFile(msg.name, 1L)))
+  }
+
+  test("publish is single-writer: a held lock fails the second committer loudly") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-q6"))
+    Files.write(staging.resolve("part-00000-1.ndjson"),
+      "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+    Files.createFile(Paths.get(dir, ".manifest.lock")) // a committer mid-publish
+    val ex = intercept[IllegalStateException] {
+      new ManifestBatchWrite(dir, schema, "q6", truncate = false)
+        .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
+    }
+    assert(ex.getMessage.contains("concurrent committer"),
+      s"wrong failure: ${ex.getMessage}")
+    // Recovery path: remove the lock, the commit goes through, and the
+    // lock is released afterwards.
+    Files.delete(Paths.get(dir, ".manifest.lock"))
+    new ManifestBatchWrite(dir, schema, "q6", truncate = false)
+      .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
+    assert(ManifestSink.committedRowCount(dir) == 1L)
+    assert(!Files.exists(Paths.get(dir, ".manifest.lock")), "lock leaked")
+  }
+
+  test("manifest generation is monotonic across commits") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    assert(ManifestSink.committedGeneration(dir) == 0L)
+    (1 to 3).foreach { g =>
+      val staging = Files.createDirectories(Paths.get(dir, s".staging-g$g"))
+      Files.write(staging.resolve(s"part-0000$g-1.ndjson"),
+        "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+      new ManifestBatchWrite(dir, schema, s"g$g", truncate = false)
+        .commit(Array(StagedFile(s"part-0000$g-1.ndjson", 1L)))
+      assert(ManifestSink.committedGeneration(dir) == g.toLong)
+    }
+    assert(ManifestSink.committedRowCount(dir) == 3L)
+  }
+
   test("epoch replay retires ALL of the epoch's first-attempt files") {
     // Failure between sink commit and checkpoint advance replays the
     // epoch; if the replay plans FEWER partitions than the first attempt
