@@ -121,13 +121,9 @@ object GraphQueries {
         |  FROM lp, params, adj_t WHERE it < 5)
         |SELECT r AS node, lab[r + 1] AS label
         |FROM lp, nodes WHERE it = 5""".stripMargin) { (s, dir) =>
-      val (ranked, n) = rankedUsers(s, dir)
-      val leader = col("r") - pmod(col("r"), lit(4L))
-      val cyc = leader + pmod(col("r") + 1, lit(4L))
-      val edges = ranked.select(col("r").as("src"), leader.as("dst"))
-        .union(ranked.select(col("r").as("src"), cyc.as("dst"))
-          .where(cyc < n))
-      Graph.labelPropagation(edges, iterations = 5)
+      // Shared with q180's modularity accounting via the session memo —
+      // detection builds the label table once, evaluation reuses it.
+      Graph.communityLabels(s, dir)
     },
 
     // BFS hop distances from node 0 over the ring + 31r+7-chord graph,

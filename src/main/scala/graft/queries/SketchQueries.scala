@@ -39,6 +39,37 @@ object SketchQueries {
   private def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Corpus day bounds for the bitmap family (q202/q205/st23): `d0` =
+    * min event date (the day origin — no calendar literal to go stale)
+    * and `span` = number of distinct calendar days covered, from which
+    * every probe/erosion window below is DERIVED (no duplicated `30`
+    * literal to drift if the harness window changes). One row →
+    * broadcast attach. */
+  private def dayBounds(ev: DataFrame): DataFrame =
+    ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      .select(col("t0").cast("date").as("d0"),
+        (datediff(col("t1").cast("date"), col("t0").cast("date")) + 1)
+          .cast("long").as("span"))
+
+  /** (user_id, day) with day = days since the corpus min — GUARDED to
+    * one 64-bit word: JVM/Spark `shiftleft` wraps its shift amount
+    * mod 64 while DuckDB's `<<` does not, so a corpus spanning ≥ 64
+    * days would silently alias days onto wrong bits and diverge from
+    * the oracle. Out-of-range days fail loudly instead (raise_error),
+    * which is the contract a (user, month) keying would restore. */
+  private def guardedDays(ev: DataFrame): DataFrame =
+    ev.crossJoin(broadcast(dayBounds(ev)))
+      .select(col("user_id"), col("span"),
+        datediff(col("ts").cast("date"), col("d0")).cast("int").as("rawday"))
+      .select(col("user_id"), col("span"), guardDay(col("rawday")).as("day"))
+
+  /** The 64-bit-word guard itself — shared with the streaming twin. */
+  private def guardDay(rawday: Column): Column =
+    when(rawday.between(0, 63), rawday)
+      .otherwise(raise_error(concat(
+        lit("activity bitmap day outside [0, 64): "),
+        rawday.cast("string"))).cast("int"))
+
   /** KMV estimate from a sorted sketch array: exact count below k
     * (the sketch IS the distinct set), else (k-1)·M / h_k floored —
     * one IEEE multiply+divide, deterministic across engines. */
@@ -451,10 +482,14 @@ object SketchQueries {
     // on a bounded time grid. All-integer → full oracle.
     QuerySpec(
       "q202_activity_bitmaps",
-      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+      """WITH b AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+        |      AS span
+        |  FROM events),
         |d AS (
         |  SELECT user_id,
-        |    CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |    CAST(date_diff('day', (SELECT d0 FROM b),
         |      CAST(ts AS DATE)) AS BIGINT) AS day
         |  FROM events),
         |bm AS (
@@ -465,24 +500,23 @@ object SketchQueries {
         |  CAST(bit_count(bm & (bm >> 7)) AS BIGINT) AS retained_7_pairs,
         |  list_reduce(
         |    list_prepend([bm, 0::BIGINT],
-        |      list_transform(range(1, 31), i -> [0::BIGINT, 0::BIGINT])),
+        |      list_transform(range(1, (SELECT span FROM b) + 1),
+        |        i -> [0::BIGINT, 0::BIGINT])),
         |    (acc, x) -> CASE WHEN acc[1] <> 0
         |      THEN [acc[1] & (acc[1] << 1), acc[2] + 1] ELSE acc END)[2]
         |    AS longest_streak
         |FROM bm""".stripMargin) { (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val t0 = ev.agg(min(col("ts")).as("t0"))
-        .select(col("t0").cast("date").as("d0"))
-      val bm = ev.crossJoin(t0)
-        .select(col("user_id"),
-          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+      // Erosion iteration count = the corpus day span (derived, not a
+      // literal): a streak can never exceed the covered days.
+      val bm = guardedDays(Tables.events(s, dir))
         .groupBy("user_id")
-        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"),
+          max(col("span")).as("span"))
       bm.select(col("user_id"), col("bm"),
         bit_count(col("bm")).cast("long").as("n_active_days"),
         bit_count(col("bm").bitwiseAND(call_function("shiftright",
           col("bm"), lit(7)))).cast("long").as("retained_7_pairs"),
-        aggregate(sequence(lit(1), lit(30)),
+        aggregate(sequence(lit(1L), col("span")),
           struct(col("bm").as("s"), lit(0L).as("len")),
           (acc, _) => when(acc.getField("s") =!= 0L,
             struct(acc.getField("s")
@@ -500,29 +534,31 @@ object SketchQueries {
     // tiny next to the event log) into one aggregation.
     QuerySpec(
       "q205_dau_from_bitmaps",
-      """WITH d0 AS (SELECT min(ts) AS t0 FROM events),
+      """WITH b AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0,
+        |    date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+        |      AS span
+        |  FROM events),
         |d AS (
         |  SELECT user_id,
-        |    CAST(date_diff('day', (SELECT CAST(t0 AS DATE) FROM d0),
+        |    CAST(date_diff('day', (SELECT d0 FROM b),
         |      CAST(ts AS DATE)) AS BIGINT) AS day
         |  FROM events),
         |bm AS (
         |  SELECT user_id, bit_or(CAST(1 AS BIGINT) << day::INT) AS bm
         |  FROM d GROUP BY 1),
         |probe AS (
-        |  SELECT unnest(range(0, 30)) AS day, bm FROM bm)
+        |  SELECT unnest(range(0, (SELECT span FROM b))) AS day, bm FROM bm)
         |SELECT day, CAST(sum((bm >> day::INT) & 1) AS BIGINT) AS dau
         |FROM probe GROUP BY 1 HAVING sum((bm >> day::INT) & 1) > 0""".stripMargin) {
       (s, dir) =>
-      val ev = Tables.events(s, dir)
-      val t0 = ev.agg(min(col("ts")).as("t0"))
-        .select(col("t0").cast("date").as("d0"))
-      val bm = ev.crossJoin(t0)
-        .select(col("user_id"),
-          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+      // Probe window = the corpus day span (derived with the bitmap, no
+      // duplicated literal).
+      val bm = guardedDays(Tables.events(s, dir))
         .groupBy("user_id")
-        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
-      bm.select(explode(sequence(lit(0L), lit(29L))).as("day"), col("bm"))
+        .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"),
+          max(col("span")).as("span"))
+      bm.select(explode(sequence(lit(0L), col("span") - 1)).as("day"), col("bm"))
         .groupBy("day")
         .agg(sum(call_function("shiftright", col("bm"), col("day").cast("int"))
           .bitwiseAND(lit(1L))).as("dau"))
@@ -549,13 +585,13 @@ object SketchQueries {
         |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << day::INT)) AS BIGINT)
         |    AS n_active_days
         |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
-      val t0 = Tables.events(s, dir).agg(min(col("ts")).as("t0"))
-        .select(col("t0").cast("date").as("d0"))
+      val bounds = dayBounds(Tables.events(s, dir))
       val stream = graft.streaming.Streams.eventsStream(s, dir)
         .select(col("user_id"), col("ts"))
-        .crossJoin(broadcast(t0))
+        .crossJoin(broadcast(bounds))
         .select(col("user_id"),
-          datediff(col("ts").cast("date"), col("d0")).cast("int").as("day"))
+          guardDay(datediff(col("ts").cast("date"), col("d0")).cast("int"))
+            .as("day"))
         .groupBy("user_id")
         .agg(bit_or(call_function("shiftleft", lit(1L), col("day"))).as("bm"))
         .select(col("user_id"), col("bm"),

@@ -168,6 +168,78 @@ object ScaleProbe {
     }
   }
 
+  /** Streaming-state anchor (`probe = stream`): the bounded-state
+    * claims of the streaming sketch family (st19 HLL registers ≈ 64
+    * rows, st20 KMV = 1 row of ≤k longs, st21 DDSketch ≈ one row per
+    * log-bucket, st23 bitmaps = 1 word per user) measured instead of
+    * argued — scaled copies of the events table (user keyspace grows
+    * linearly with the factor) flow through a MemoryStream into the
+    * SAME aggregation shapes the specs register, and the state store's
+    * row count and bytes come from the query's progress telemetry.
+    * Flat `state_rows` across factors = bounded state; st23's rows
+    * grow with USERS by design — its claim is constant bytes/user. */
+  private def streamProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val kmv = udaf(new graft.functions.KMinValues(256),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // One driver-side collect of the base tuples; copies shift user_id.
+    val baseTuples = Tables.events(spark, base)
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"),
+        pmod(dayofmonth(col("ts")) - 1, lit(28)).cast("int").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+    def probeOne(name: String, factor: Int,
+        agg: DataFrame => DataFrame): Unit = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Int)]
+      val df = mem.toDF().toDF("user_id", "val_c", "day")
+      val q = agg(df).writeStream.format("memory")
+        .queryName(s"probe_${name}_$factor")
+        .outputMode("complete").start()
+      try {
+        var rows = 0L
+        // Three micro-batches per factor — state must be flat across
+        // batches too, not just at the end.
+        (0 until factor).foreach { i =>
+          val chunk = baseTuples.map { case (u, v, d) =>
+            (u + i * 10000000L, v, d)
+          }
+          chunk.grouped(math.max(1, chunk.size / 3 + 1)).foreach { g =>
+            mem.addData(g)
+          }
+          rows += chunk.size
+        }
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        println(s"""{"probe":"$name","factor":$factor,"rows":$rows,""" +
+          s""""state_rows":${ops.map(_.numRowsTotal).sum},""" +
+          s""""state_bytes":${ops.map(_.memoryUsedBytes).sum}}""")
+      } finally q.stop()
+    }
+
+    factors.foreach { f =>
+      probeOne("st19_stream_hll_state", f, df =>
+        graft.queries.ScaleQueries.hllRegisters(
+          df.select(col("user_id").cast("string").as("k"))))
+      probeOne("st20_stream_kmv_state", f, df =>
+        df.select(conv(substring(md5(col("user_id").cast("string")
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          .agg(kmv(col("hv")).as("sk")))
+      probeOne("st21_stream_dds_state", f, df =>
+        df.withColumn("s",
+            expr("cast(greatest(length(bin(val_c)), 3) - 3 as int)"))
+          .select(expr("shiftleft(val_c div shiftleft(1L, s), s)").as("lo"))
+          .groupBy("lo").agg(count(lit(1)).as("cnt")))
+      probeOne("st23_stream_bitmap_state", f, df =>
+        df.groupBy("user_id")
+          .agg(bit_or(call_function("shiftleft", lit(1L), col("day")))
+            .as("bm")))
+    }
+  }
+
   /** Iterative-graph anchor (`probe = graph`): the q94 PageRank kernel
     * (10 driver-controlled rounds under the loop discipline — AQE and
     * broadcast off, fixed width, lineage re-rooting) on the q94-shaped
@@ -218,6 +290,11 @@ object ScaleProbe {
     }
     if (probe == "graph") {
       graphProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "stream") {
+      streamProbes(spark, base, factors)
       spark.stop()
       return
     }

@@ -215,6 +215,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q202 bitmap guard: a corpus spanning >= 64 days fails loudly, never wraps") {
+    // JVM shiftleft wraps its shift amount mod 64 (day 64 aliases day
+    // 0) while DuckDB's << does not — so instead of silently diverging
+    // from the oracle, out-of-word days must raise. Synthesize an
+    // events table spanning 100 days and drive the REGISTERED query.
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm_guard").toString
+    val wide = (0 until 100).map { d =>
+      (d.toLong, 1L, "view", 1.0,
+        Timestamp.valueOf(f"2024-01-01 12:00:00").toInstant
+          .plus(java.time.Duration.ofDays(d.toLong)))
+    }.toDF("event_id", "user_id", "event_type", "value", "ts")
+    wide.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val ex = intercept[Exception] {
+      SparkEntry.queries("q202_activity_bitmaps")(spark, tmp).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m =>
+      m != null && m.contains("activity bitmap day outside")),
+      s"expected the 64-day guard to fire, got: ${causes(ex).mkString(" | ")}")
+  }
+
   test("partition-count independence: sketch results identical at width 5") {
     // Sketch state derives from row CONTENT (portable hashes, integer
     // bucketing), never partition layout — byte-identical results under
