@@ -603,5 +603,118 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
+    },
+
+    // File SKIPPING through the manifest's per-file min/max bounds —
+    // the parquet-row-group idea at DSv2 file granularity: documents
+    // land range-partitioned by doc_id (the sorted/Z-ordered layout a
+    // 100 TB table actually has), so the doc_id range predicate prunes
+    // whole files from the PLAN (pinned in IngestSpec: a point lookup
+    // plans 1 of 4 files, an impossible one plans zero) while this
+    // oracle proves the skip path loses no qualifying row. Every
+    // filter stays residual, so skipping is pure optimization.
+    QuerySpec(
+      "a12_manifest_skipping",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a12_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.documents(s, dir)
+        .repartitionByRange(8, col("doc_id"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .where(col("doc_id") >= 100 && col("doc_id") < 300)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
+    // TIME TRAVEL over retained snapshots (retainHistory → versionAsOf,
+    // the Iceberg snapshot model on the manifest committer): two
+    // overwrite commits build generations 1 (half the corpus) and 2
+    // (all of it) into a FRESH table dir, then both generations are
+    // read back and aggregated side by side. The oracle replays each
+    // snapshot's defining predicate against the source table — if
+    // overwrite had torn history or versionAsOf resolved the wrong
+    // manifest, either branch's hash breaks.
+    QuerySpec(
+      "a13_manifest_time_travel",
+      """SELECT * FROM (
+        |  SELECT 'g1' AS v, count(*)::BIGINT AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT 'g2', count(*)::BIGINT, CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a13_" + Integer.toHexString(dir.hashCode)).toPath
+      // Fresh table per run: generation numbers are part of the spec's
+      // semantics, so the history must start at 1 deterministically.
+      if (java.nio.file.Files.exists(out)) {
+        val walk = java.nio.file.Files.walk(out)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+      def write(df: org.apache.spark.sql.DataFrame): Unit =
+        df.coalesce(2).write.format("graft.sources.ManifestSink")
+          .option("path", out.toString).option("retainHistory", "true")
+          .mode("overwrite").save()
+      write(Tables.documents(s, dir).where(col("doc_id") < 250)) // gen 1
+      write(Tables.documents(s, dir))                            // gen 2
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def snap(gen: Int): org.apache.spark.sql.DataFrame =
+        s.read.format("graft.sources.ManifestSink").schema(schema)
+          .option("path", out.toString).option("versionAsOf", gen.toString)
+          .load()
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit(s"g$gen").as("v"), col("n"), col("sum_chars"))
+      snap(1).unionAll(snap(2))
+    },
+
+    // COMPACTION (the small-files problem): the documents corpus lands
+    // as 16 deliberately tiny files, ManifestSink.compact bin-packs
+    // them into few large ones in one atomic manifest swap — NDJSON is
+    // line-framed, so the merge is driver-side concatenation, no Spark
+    // job — and the post-compaction scan must still hash-match the
+    // source table exactly (per-language counts + a content hash over
+    // text, so one lost or doubled record anywhere breaks it).
+    QuerySpec(
+      "a14_manifest_compaction",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a14_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.documents(s, dir).repartition(16)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      // Bin-pack everything below the target; at sf0.01's 500 docs the
+      // 16 ~31-row files collapse to a handful of ≤200-row files.
+      graft.sources.ManifestSink.compact(out, targetRows = 200L)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
     })
 }

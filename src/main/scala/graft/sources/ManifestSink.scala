@@ -6,7 +6,8 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -97,7 +98,8 @@ class ManifestSink extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val path = opts.get("path")
     require(path != null, "ManifestSink requires a 'path' option")
-    new ManifestTable(path, schema)
+    val version = Option(opts.get("versionasof")).map(_.toLong)
+    new ManifestTable(path, schema, version)
   }
 }
 
@@ -105,21 +107,53 @@ object ManifestSink {
   val ManifestName = "manifest.json"
   private val LockName = ".manifest.lock"
 
-  /** Committed (file, rows) entries per the manifest — the manifest is
-    * self-describing, so a commit composes the next manifest from these
-    * instead of re-counting every prior file's lines (which would cost
-    * O(total corpus) per commit — per EPOCH on the streaming path). */
-  private[sources] def committedEntries(dir: String): Seq[StagedFile] = {
-    val m = Paths.get(dir, ManifestName)
-    if (!Files.exists(m)) return Seq.empty
-    val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
-    // Minimal parse of the {"generation":N,"files":[{"name":...,"rows":
-    // ...},...]} shape this sink writes (no JSON library on the
-    // unmanaged classpath). File names are committer-minted (`part-*`),
-    // never payload, so the no-escape regex is safe.
-    "\\{\"name\":\"([^\"]+)\",\"rows\":(\\d+)\\}".r.findAllMatchIn(txt)
-      .map(mt => StagedFile(mt.group(1), mt.group(2).toLong)).toSeq
+  /** Committed (file, rows, per-column stats) entries per the
+    * manifest — the manifest is self-describing, so a commit composes
+    * the next manifest from these instead of re-counting every prior
+    * file's lines (which would cost O(total corpus) per commit — per
+    * EPOCH on the streaming path). Each entry is a FLAT JSON object
+    * (`min.<col>` / `max.<col>` keys carry the file's column bounds),
+    * so the NDJSON codec parses it; entries never nest. */
+  private[sources] def committedEntries(dir: String): Seq[StagedFile] =
+    parseEntries(manifestText(dir, ManifestName))
+
+  private[sources] def manifestText(dir: String, name: String): String = {
+    val m = Paths.get(dir, name)
+    if (!Files.exists(m)) return ""
+    new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
   }
+
+  private[sources] def parseEntries(txt: String): Seq[StagedFile] =
+    // The outer {"generation":..,"files":[..]} object contains braces,
+    // so the flat-object regex matches exactly the inner entries; the
+    // "name"-key guard drops any degenerate match.
+    "\\{[^{}]*\\}".r.findAllIn(txt).toSeq.flatMap { obj =>
+      val m = NdjsonCodec.parseLine(obj)
+      m.get("name") match {
+        case Some(NdjsonCodec.JsonStr(n)) =>
+          val rows = m.get("rows") match {
+            case Some(NdjsonCodec.JsonTok(r)) => r.toLong
+            case _ => 0L
+          }
+          // Re-render parsed stat values to their JSON literal form so
+          // an entry composed forward into the next manifest carries
+          // its bounds unchanged.
+          def rendered(v: NdjsonCodec.JsonVal): String = v match {
+            case NdjsonCodec.JsonStr(s) => "\"" + NdjsonCodec.escape(s) + "\""
+            case NdjsonCodec.JsonTok(raw) => raw
+            case NdjsonCodec.JsonNull => "null"
+          }
+          val mins = m.collect { case (k, v) if k.startsWith("min.") =>
+            k.drop(4) -> rendered(v) }
+          val maxs = m.collect { case (k, v) if k.startsWith("max.") =>
+            k.drop(4) -> rendered(v) }
+          val stats = mins.toSeq.sortBy(_._1).flatMap { case (c, lo) =>
+            maxs.get(c).map(hi => ColStat(c, lo, hi))
+          }
+          Some(StagedFile(n, rows, stats))
+        case _ => None
+      }
+    }
 
   /** Committed data files per the manifest — the only files a reader may
     * trust (staged or orphaned files are invisible by construction). */
@@ -162,22 +196,190 @@ object ManifestSink {
     try body finally Files.deleteIfExists(lock)
   }
 
+  /** Compaction — the small-files answer (a streaming sink at one file
+    * per (epoch, partition) accretes thousands of tiny files whose
+    * per-file open/parse overhead eventually dominates the scan): glue
+    * committed files whose row counts are below `targetRows` into
+    * bin-packed replacements, in ONE atomic manifest swap. NDJSON is
+    * line-framed, so merging is driver-side stream concatenation — no
+    * Spark job, no re-encode — and per-column bounds merge as
+    * min-of-mins / max-of-maxs (numeric tokens compare as decimals,
+    * strings lexically; a mixed or unparsable column drops its stat,
+    * which only costs pruning, never correctness). Readers see the old
+    * file set or the new one, never a mix; retired originals are
+    * deleted AFTER the swap (idempotent GC). NOTE: compaction rewrites
+    * the CURRENT snapshot only — retained time-travel generations that
+    * reference merged-away files become invalid, the expire-snapshots
+    * trade every table format makes.
+    *
+    * Returns the number of small files merged away. */
+  def compact(dir: String, targetRows: Long): Int = {
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      val entries = committedEntries(dir)
+      val (small, big) = entries.partition(_.rows < targetRows)
+      if (small.size < 2) return 0
+      // First-fit bin packing over name-sorted small files: determinism
+      // over optimality (the wins come from merging at all).
+      val bins = collection.mutable.ArrayBuffer[collection.mutable.ArrayBuffer[StagedFile]]()
+      small.sortBy(_.name).foreach { f =>
+        bins.find(b => b.map(_.rows).sum + f.rows <= targetRows) match {
+          case Some(b) => b += f
+          case None => bins += collection.mutable.ArrayBuffer(f)
+        }
+      }
+      val (merge, keepSingles) = bins.partition(_.size >= 2)
+      if (merge.isEmpty) return 0
+      val generation = committedGeneration(dir)
+      val merged = merge.zipWithIndex.map { case (group, k) =>
+        val name = f"compact-g${generation + 1}%06d-$k%04d.ndjson"
+        val tmp = dirPath.resolve(s".$name.tmp")
+        val out = Files.newOutputStream(tmp)
+        try group.foreach { f =>
+          Files.copy(dirPath.resolve(f.name), out)
+        } finally out.close()
+        // Into place BEFORE the swap: invisible until the manifest
+        // names it, orphaned if we crash here (GC'd by a later compact).
+        Files.move(tmp, dirPath.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        StagedFile(name, group.map(_.rows).sum,
+          mergeStats(group.map(_.stats).toSeq))
+      }
+      val next = big ++ keepSingles.flatten ++ merged
+      publishManifest(dirPath, next, generation + 1, "compact")
+      merge.flatten.foreach(f => Files.deleteIfExists(dirPath.resolve(f.name)))
+      merge.map(_.size).sum
+    }
+  }
+
+  /** Schema-free stat merge: JSON-token bounds compare as decimals,
+    * string bounds lexically; a column missing from ANY member — or
+    * mixing shapes — drops out (no stats beats wrong stats). */
+  private[sources] def mergeStats(all: Seq[Seq[ColStat]]): Seq[ColStat] = {
+    if (all.isEmpty) return Nil
+    val byCol = all.map(_.map(s => s.col -> s).toMap)
+    val shared = byCol.map(_.keySet).reduce(_ intersect _)
+    def lower(a: String, b: String): Option[String] = cmp(a, b).map(c => if (c <= 0) a else b)
+    def upper(a: String, b: String): Option[String] = cmp(a, b).map(c => if (c >= 0) a else b)
+    def cmp(a: String, b: String): Option[Int] =
+      (a.startsWith("\""), b.startsWith("\"")) match {
+        case (true, true) =>
+          for {
+            x <- asStr(a); y <- asStr(b)
+          } yield x.compareTo(y)
+        case (false, false) =>
+          try Some(new java.math.BigDecimal(a)
+            .compareTo(new java.math.BigDecimal(b)))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    def asStr(r: String): Option[String] =
+      NdjsonCodec.parseLine(s"""{"v":$r}""").get("v").collect {
+        case NdjsonCodec.JsonStr(s) => s
+      }
+    def foldBound(vals: Seq[String],
+        pick: (String, String) => Option[String]): Option[String] =
+      vals.tail.foldLeft(Option(vals.head))((acc, v) => acc.flatMap(pick(_, v)))
+    shared.toSeq.sorted.flatMap { c =>
+      val ss = byCol.map(_(c)).toSeq
+      for {
+        lo <- foldBound(ss.map(_.min), lower)
+        hi <- foldBound(ss.map(_.max), upper)
+      } yield ColStat(c, lo, hi)
+    }
+  }
+
   /** Write the manifest LAST in the publish sequence, via temp file +
     * atomic rename: the swap is the single instant the commit becomes
     * visible. Callers delete retired files only AFTER this returns, so
     * a crash at any point leaves either the old manifest (whose files
     * all still exist) or the new one — never a manifest referencing
     * deleted data. */
+  private[sources] def renderEntry(f: StagedFile): String = {
+    val stats = f.stats.flatMap(s =>
+      Seq(s""""min.${s.col}":${s.min}""", s""""max.${s.col}":${s.max}"""))
+    (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ stats)
+      .mkString("{", ",", "}")
+  }
+
+  private[sources] def generationManifestName(gen: Long): String =
+    f"manifest-g$gen%06d.json"
+
   private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
-      generation: Long, tag: String): Unit = {
-    val files = entries
-      .map(f => s"""{"name":"${f.name}","rows":${f.rows}}""")
-      .mkString("[", ",", "]")
+      generation: Long, tag: String, retain: Boolean = false): Unit = {
+    val files = entries.map(renderEntry).mkString("[", ",", "]")
     val json = s"""{"generation":$generation,"files":$files}"""
+    // Snapshot retention (time travel): the generation-numbered copy is
+    // written BEFORE the pointer swap — a crash between the two leaves
+    // a dangling gen file (harmless; replaced on retry), never a
+    // current pointer whose snapshot is missing.
+    if (retain)
+      Files.write(dir.resolve(generationManifestName(generation)),
+        json.getBytes(StandardCharsets.UTF_8))
     val tmp = dir.resolve(s".$ManifestName.$tag.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Entries of a RETAINED generation (`versionAsOf` reads). The
+    * current generation always resolves (pointer manifest); an older
+    * one resolves only if it was written with `retainHistory` and not
+    * yet expired. */
+  private[sources] def committedEntriesAt(dir: String,
+      version: Option[Long]): Seq[StagedFile] = version match {
+    case None => committedEntries(dir)
+    case Some(v) =>
+      val genFile = Paths.get(dir, generationManifestName(v))
+      if (Files.exists(genFile))
+        parseEntries(manifestText(dir, generationManifestName(v)))
+      else if (v == committedGeneration(dir)) committedEntries(dir)
+      else throw new IllegalArgumentException(
+        s"generation $v of $dir is not retained (write with " +
+          "option retainHistory=true, and check expireSnapshots)")
+  }
+
+  /** Expire retained snapshots, keeping the most recent `keepLast`
+    * generations (the current pointer always survives): drops the older
+    * generation manifests and deletes every data file no RETAINED
+    * manifest references — the deferred GC that retention mode trades
+    * truncate-time deletion for. Returns (data files deleted, snapshot
+    * manifests dropped). */
+  def expireSnapshots(dir: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      val current = committedGeneration(dir)
+      val genRe = "manifest-g(\\d+)\\.json".r
+      val ls = Files.list(dirPath)
+      val gens =
+        try ls.iterator().asScala().flatMap(p =>
+          genRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toLong)).toSeq.sorted
+        finally ls.close()
+      val cutoff = current - keepLast + 1
+      val (drop, keep) = gens.partition(_ < cutoff)
+      val referenced = (keep.map(g =>
+          parseEntries(manifestText(dir, generationManifestName(g)))) :+
+        committedEntries(dir)).flatten.map(_.name).toSet
+      val doomed = drop
+        .flatMap(g => parseEntries(manifestText(dir, generationManifestName(g))))
+        .map(_.name).distinct
+        .filterNot(referenced.contains)
+      doomed.foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
+      drop.foreach(g =>
+        Files.deleteIfExists(dirPath.resolve(generationManifestName(g))))
+      (doomed.size, drop.size)
+    }
+  }
+
+  // Small seam: java Stream → scala Iterator without the full converters
+  // import churn.
+  private implicit final class JIter[A](private val it: java.util.Iterator[A]) {
+    def asScala(): Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
   }
 }
 
@@ -281,6 +483,31 @@ private[sources] object NdjsonCodec {
     { case JsonNull => null; case v => conv(v) }
   }
 
+  /** Ordering over the CATALYST value domain of `dt`, for writer-side
+    * min/max tracking — None for types whose bounds the manifest does
+    * not record (binary). */
+  def statOrdering(dt: DataType): Option[Ordering[Any]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
+    case FloatType | DoubleType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Number].doubleValue))
+    case StringType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[UTF8String]))
+    case _: DecimalType =>
+      Some(Ordering.by((v: Any) =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal]))
+    case BooleanType =>
+      Some(Ordering.by((v: Any) => v.asInstanceOf[Boolean]))
+    case _ => None
+  }
+
+  def isNaN(v: Any): Boolean = v match {
+    case d: java.lang.Double => d.isNaN
+    case f: java.lang.Float => f.isNaN
+    case _ => false
+  }
+
   private def badShape(dt: DataType, v: JsonVal): Nothing =
     throw new IllegalArgumentException(
       s"NDJSON value $v does not match expected type $dt")
@@ -361,7 +588,8 @@ private[sources] object NdjsonCodec {
   }
 }
 
-private[sources] class ManifestTable(path: String, tableSchema: StructType)
+private[sources] class ManifestTable(path: String, tableSchema: StructType,
+    version: Option[Long] = None)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = tableSchema
@@ -377,33 +605,162 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType)
     require(bad.isEmpty,
       s"ManifestSink NDJSON payload supports flat primitive/temporal/binary " +
         s"columns only; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+    // retainHistory=true keeps every generation's manifest (and, under
+    // truncate, the retired data files) for versionAsOf reads, until
+    // expireSnapshots collects them — Iceberg's snapshot model, lite.
+    val retain = info.options().getBoolean("retainhistory", false)
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
-      truncate = false)
+      truncate = false, retain = retain)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, tableSchema)
+    new ManifestScanBuilder(path, tableSchema, version)
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
   * One [[InputPartition]] per committed file (executor-parallel), column
-  * pruning via [[SupportsPushDownRequiredColumns]], and exact row-count
-  * statistics straight from the manifest. */
-private[sources] class ManifestScanBuilder(path: String, full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  * pruning via [[SupportsPushDownRequiredColumns]], FILE SKIPPING
+  * against the manifest's per-file min/max bounds
+  * ([[SupportsPushDownFilters]] — the parquet row-group-skipping idea at
+  * file granularity: a filter outside a file's recorded range means the
+  * file is never opened, planned, or fetched), and exact row-count
+  * statistics straight from the manifest. Every filter is also returned
+  * as residual, so Spark re-applies it row-level: skipping is a pure
+  * optimization, never a correctness dependency. */
+private[sources] class ManifestScanBuilder(path: String, full: StructType,
+    version: Option[Long] = None)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ManifestScan(path, full, required)
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(ManifestStats.prunable)
+    filters // all residual — row-level semantics stay with Spark
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan =
+    new ManifestScan(path, full, required, pushed, version)
+}
+
+/** File-skipping decision logic: can a file whose column bounds are
+  * `entry.stats` possibly contain a row matching `filter`? Conservative
+  * in every uncertain direction — unknown column, missing stats,
+  * un-normalizable literal, unsupported predicate all answer "yes". */
+private[sources] object ManifestStats {
+  import sources._
+
+  def prunable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+         _: LessThan | _: LessThanOrEqual | _: In => true
+    case And(a, b) => prunable(a) || prunable(b)
+    case Or(a, b) => prunable(a) && prunable(b)
+    case _ => false
+  }
+
+  /** Compare a stat bound (Catalyst domain) against a filter literal
+    * (external/Java domain); None = not comparable → no pruning. */
+  private def compare(dt: DataType, stat: Any, litVal: Any): Option[Int] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => litVal match {
+        case n: Number => Some(java.lang.Long.compare(
+          stat.asInstanceOf[Number].longValue, n.longValue))
+        case _ => None
+      }
+      case FloatType | DoubleType => litVal match {
+        case n: Number => Some(java.lang.Double.compare(
+          stat.asInstanceOf[Number].doubleValue, n.doubleValue))
+        case _ => None
+      }
+      case _: DecimalType => litVal match {
+        case n: java.math.BigDecimal =>
+          Some(stat.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal.compareTo(n))
+        case n: Number =>
+          Some(stat.asInstanceOf[org.apache.spark.sql.types.Decimal]
+            .toJavaBigDecimal
+            .compareTo(new java.math.BigDecimal(n.toString)))
+        case _ => None
+      }
+      case StringType => litVal match {
+        case s: String =>
+          Some(stat.asInstanceOf[UTF8String].toString.compareTo(s))
+        case s: UTF8String =>
+          Some(stat.asInstanceOf[UTF8String].compareTo(s))
+        case _ => None
+      }
+      case DateType =>
+        val days = litVal match {
+          case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate => Some(d.toEpochDay)
+          case _ => None
+        }
+        days.map(d => java.lang.Long.compare(
+          stat.asInstanceOf[Number].longValue, d))
+      case TimestampType =>
+        val micros = litVal match {
+          case t: java.sql.Timestamp =>
+            Some(math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L)
+          case t: java.time.Instant =>
+            Some(java.time.temporal.ChronoUnit.MICROS
+              .between(java.time.Instant.EPOCH, t))
+          case _ => None
+        }
+        micros.map(m => java.lang.Long.compare(
+          stat.asInstanceOf[Number].longValue, m))
+      case _ => None
+    }
+
+  def mayMatch(full: StructType, entry: StagedFile, f: Filter): Boolean = {
+    def bounds(c: String): Option[(Any, Any, DataType)] = for {
+      fld <- full.fields.find(_.name == c)
+      st <- entry.stats.find(_.col == c)
+    } yield {
+      val conv = NdjsonCodec.converter(fld.dataType)
+      (conv(NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v")),
+        conv(NdjsonCodec.parseLine(s"""{"v":${st.max}}""")("v")),
+        fld.dataType)
+    }
+    // cmpLo/cmpHi: sign of (bound - literal), None when unprunable.
+    def cmpLo(c: String, v: Any): Option[Int] =
+      bounds(c).flatMap { case (lo, _, dt) => compare(dt, lo, v) }
+    def cmpHi(c: String, v: Any): Option[Int] =
+      bounds(c).flatMap { case (_, hi, dt) => compare(dt, hi, v) }
+    f match {
+      case EqualTo(c, v) =>
+        !(cmpLo(c, v).exists(_ > 0) || cmpHi(c, v).exists(_ < 0))
+      case GreaterThan(c, v) => !cmpHi(c, v).exists(_ <= 0)
+      case GreaterThanOrEqual(c, v) => !cmpHi(c, v).exists(_ < 0)
+      case LessThan(c, v) => !cmpLo(c, v).exists(_ >= 0)
+      case LessThanOrEqual(c, v) => !cmpLo(c, v).exists(_ > 0)
+      case In(c, vs) =>
+        vs.isEmpty || vs.exists(v => mayMatch(full, entry, EqualTo(c, v)))
+      case And(a, b) =>
+        mayMatch(full, entry, a) && mayMatch(full, entry, b)
+      case Or(a, b) =>
+        mayMatch(full, entry, a) || mayMatch(full, entry, b)
+      case _ => true
+    }
+  }
 }
 
 private[sources] class ManifestScan(path: String, full: StructType,
-    required: StructType) extends Scan with Batch with SupportsReportStatistics {
+    required: StructType, pushed: Array[sources.Filter] = Array.empty,
+    version: Option[Long] = None)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  private def survivingEntries: Seq[StagedFile] =
+    ManifestSink.committedEntriesAt(path, version).filter(e =>
+      pushed.forall(f => ManifestStats.mayMatch(full, e, f)))
+
   override def planInputPartitions(): Array[InputPartition] =
-    ManifestSink.committedEntries(path)
+    survivingEntries
       .map(f => ManifestFilePartition(
         Paths.get(path, f.name).toString, f.rows): InputPartition)
       .toArray
@@ -411,11 +768,12 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)
 
-  /** Exact numRows from the manifest (free — counted at write time);
-    * bytes from the committed files, scaled by the projected column
-    * fraction so a pruned scan advertises its true width. */
+  /** Exact numRows from the manifest (free — counted at write time),
+    * AFTER file skipping; bytes from the surviving files, scaled by the
+    * projected column fraction so a pruned scan advertises its true
+    * width. */
   override def estimateStatistics(): Statistics = {
-    val entries = ManifestSink.committedEntries(path)
+    val entries = survivingEntries
     val rows = entries.map(_.rows).sum
     val onDisk = entries.map { f =>
       try Files.size(Paths.get(path, f.name)) catch { case _: Exception => 0L }
@@ -472,17 +830,17 @@ private[sources] class NdjsonPartitionReader(file: String,
 }
 
 private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
-    queryId: String, truncate: Boolean)
+    queryId: String, truncate: Boolean, retain: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new ManifestWriteBuilder(path, schema, queryId, truncate = true)
+    new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain)
 
   override def buildForBatch(): BatchWrite =
-    new ManifestBatchWrite(path, schema, queryId, truncate)
+    new ManifestBatchWrite(path, schema, queryId, truncate, retain)
 
   override def buildForStreaming(): StreamingWrite =
-    new ManifestStreamingWrite(path, schema, queryId)
+    new ManifestStreamingWrite(path, schema, queryId, retain)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -495,7 +853,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
   * [[NdjsonDataWriter]]) — only the final name is deterministic. That is
   * the V2-native version of the foreachBatch idempotent-upsert recipe. */
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, retain: Boolean = false) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -524,13 +882,16 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
       ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
-        s"$queryId.$epochId")
+        s"$queryId.$epochId", retain)
       // Retired first-attempt files are deleted only AFTER the swap:
       // before it the old manifest still references them; after it they
       // are unreferenced garbage, so this delete is idempotent GC that a
-      // crash can defer harmlessly to the next replay of the epoch.
-      stale.filterNot(f => winnerNames.contains(f.name))
-        .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+      // crash can defer harmlessly to the next replay of the epoch. In
+      // retention mode the history manifests may still reference them —
+      // deletion defers to expireSnapshots.
+      if (!retain)
+        stale.filterNot(f => winnerNames.contains(f.name))
+          .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
     }
   }
 
@@ -550,11 +911,19 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
       Some(epochId))
 }
 
-private[sources] final case class StagedFile(name: String, rows: Long)
-    extends WriterCommitMessage
+/** Per-file column bounds, parquet-footer style: `min`/`max` are the
+  * column's extreme values RENDERED as JSON literals (the same encoding
+  * as the payload), so they ride inside the manifest entry unchanged
+  * and re-parse losslessly when the scan prunes files against them. */
+private[sources] final case class ColStat(col: String, min: String,
+    max: String)
+
+private[sources] final case class StagedFile(name: String, rows: Long,
+    stats: Seq[ColStat] = Nil) extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean) extends BatchWrite {
+    queryId: String, truncate: Boolean, retain: Boolean = false)
+    extends BatchWrite {
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -586,12 +955,14 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
       ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
-        queryId)
-      if (truncate) {
+        queryId, retain)
+      if (truncate && !retain) {
         // Truncate semantics: prior commits' files leave the directory —
         // but only AFTER the manifest swap stopped referencing them
         // (idempotent GC, never a live manifest over deleted data).
         // A prior name a winner just replaced in place must survive.
+        // In retention mode the retired files stay (older generations
+        // still reference them) until expireSnapshots collects them.
         priorAll.map(_.name).filterNot(winnerNames.contains)
           .foreach(n => Files.deleteIfExists(dir.resolve(n)))
       }
@@ -647,6 +1018,14 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   private val renderers: Array[Any => String] =
     schema.fields.map(f => NdjsonCodec.renderer(f.dataType))
 
+  // Per-file column bounds, maintained as rows stream through (the
+  // parquet-footer idea): orderable types only; NaN never updates a
+  // bound (a [NaN, NaN] range would prune every filter).
+  private val comparators: Array[Ordering[Any]] =
+    schema.fields.map(f => NdjsonCodec.statOrdering(f.dataType).orNull)
+  private val mins = new Array[Any](schema.fields.length)
+  private val maxs = new Array[Any](schema.fields.length)
+
   override def write(record: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder(64)
     sb.append('{')
@@ -655,7 +1034,22 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       if (i > 0) sb.append(',')
       sb.append('"').append(schema.fields(i).name).append("\":")
       if (record.isNullAt(i)) sb.append("null")
-      else sb.append(renderers(i)(record.get(i, schema.fields(i).dataType)))
+      else {
+        val v = record.get(i, schema.fields(i).dataType)
+        sb.append(renderers(i)(v))
+        val cmp = comparators(i)
+        if (cmp != null && !NdjsonCodec.isNaN(v)) {
+          // Defensive copy: a UTF8String from an UnsafeRow is a VIEW
+          // into a buffer Spark reuses across rows — holding the
+          // reference would silently track the LAST row, not the min.
+          def owned: Any = v match {
+            case s: UTF8String => s.clone()
+            case other => other
+          }
+          if (mins(i) == null || cmp.lt(v, mins(i))) mins(i) = owned
+          if (maxs(i) == null || cmp.gt(v, maxs(i))) maxs(i) = owned
+        }
+      }
       i += 1
     }
     sb.append('}')
@@ -674,7 +1068,12 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       Files.move(file, staging.resolve(name),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
-    StagedFile(name, rows)
+    val stats = schema.fields.indices.collect {
+      case i if mins(i) != null =>
+        ColStat(schema.fields(i).name,
+          renderers(i)(mins(i)), renderers(i)(maxs(i)))
+    }
+    StagedFile(name, rows, stats.toSeq)
   }
 
   override def abort(): Unit = {

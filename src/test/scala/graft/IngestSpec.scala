@@ -560,6 +560,80 @@ class IngestSpec extends SparkSpec {
     assert(inferred.count() == 3)
   }
 
+  test("ManifestSink file skipping: min/max bounds prune whole files from the plan") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_manifest_skip").toString
+    // Range-partitioned by id → 4 files with disjoint id ranges, the
+    // layout a sorted/Z-ordered table at scale actually has.
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("doc-"), format_string("%04d", col("id"))).as("t"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val sch = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    assert(filePartitions(table) == 4, "expected one partition per file")
+    // A point lookup plans exactly the one file whose range holds it …
+    val point = table.where(col("id") === 500L)
+    assert(filePartitions(point) == 1,
+      s"point filter did not skip files:\n${point.queryExecution.executedPlan}")
+    assert(point.count() == 1)
+    // … a range predicate keeps only overlapping files …
+    val range = table.where(col("id") >= 900L)
+    assert(filePartitions(range) == 1, "range filter did not skip files")
+    assert(range.count() == 100)
+    // … string bounds prune too, and an impossible predicate plans ZERO
+    // files (the scan never touches storage).
+    assert(filePartitions(table.where(col("t") === "doc-0001")) == 1)
+    assert(filePartitions(table.where(col("id") > 5000L)) == 0)
+    // Skipping is an optimization, not a correctness dependency: the
+    // residual row-level filter still applies inside surviving files.
+    assert(table.where(col("id") === 250L || col("id") === 750L).count() == 2)
+  }
+
+  test("ManifestSink time travel: retained generations read back; expiry collects them") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_manifest_tt").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "t").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("overwrite").save()
+    write(Seq((1L, "v1-a"), (2L, "v1-b"))) // generation 1
+    write(Seq((3L, "v2-a")))               // generation 2
+    write(Seq((4L, "v3-a"), (5L, "v3-b"), (6L, "v3-c"))) // generation 3
+    val sch = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    def readGen(g: Option[Long]): Set[Long] = {
+      val r = spark.read.format("graft.sources.ManifestSink").schema(sch)
+        .option("path", dir)
+      g.foreach(v => r.option("versionAsOf", v.toString))
+      r.load().select("id").collect().map(_.getLong(0)).toSet
+    }
+    // Every retained generation reads back exactly as committed — the
+    // overwrite DID replace the current view, yet history is intact.
+    assert(readGen(None) == Set(4L, 5L, 6L))
+    assert(readGen(Some(3L)) == Set(4L, 5L, 6L))
+    assert(readGen(Some(2L)) == Set(3L))
+    assert(readGen(Some(1L)) == Set(1L, 2L))
+    // Expire: keep the last 2 generations; gen 1's manifest AND its
+    // now-unreferenced data files go, gens 2-3 stay readable.
+    val (filesGone, manifestsGone) = graft.sources.ManifestSink.expireSnapshots(dir, keepLast = 2)
+    assert(manifestsGone == 1, s"expected 1 expired manifest, got $manifestsGone")
+    assert(filesGone == 1, s"expected gen 1's data file collected, got $filesGone")
+    assert(readGen(Some(2L)) == Set(3L) && readGen(None) == Set(4L, 5L, 6L))
+    val ex = intercept[IllegalArgumentException] { readGen(Some(1L)) }
+    assert(ex.getMessage.contains("not retained"), ex.getMessage)
+  }
+
   test("ManifestSink streaming: epoch-committed manifests compose per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._

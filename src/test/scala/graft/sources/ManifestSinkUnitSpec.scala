@@ -122,7 +122,8 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       s"winner's bytes corrupted or unescaped: $content")
     // And the driver-side epoch commit publishes the winner cleanly.
     new ManifestStreamingWrite(dir, sch, "q5").commit(3L, Array(msg))
-    assert(ManifestSink.committedEntries(dir) == Seq(StagedFile(msg.name, 1L)))
+    assert(ManifestSink.committedEntries(dir)
+      .map(e => (e.name, e.rows)) == Seq((msg.name, 1L)))
   }
 
   test("publish is single-writer: a held lock fails the second committer loudly") {
@@ -144,6 +145,125 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
     assert(ManifestSink.committedRowCount(dir) == 1L)
     assert(!Files.exists(Paths.get(dir, ".manifest.lock")), "lock leaked")
+  }
+
+  test("per-file column bounds ride the manifest and compose across commits") {
+    // The writer records min/max per orderable column (parquet-footer
+    // style); the bounds must survive the manifest's flat-entry encoding
+    // AND re-compose unchanged when a later commit carries prior entries
+    // forward.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.createDirectories(Paths.get(dir, ".staging-q7"))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("t", org.apache.spark.sql.types.StringType)))
+    val w = new NdjsonDataWriter(dir, "q7", sch, 0, 1L)
+    w.write(InternalRow(5L, UTF8String.fromString("m\"id")))
+    w.write(InternalRow(2L, UTF8String.fromString("aaa")))
+    w.write(InternalRow(9L, UTF8String.fromString("zzz")))
+    val msg = w.commit().asInstanceOf[StagedFile]
+    assert(msg.stats.toSet == Set(
+      ColStat("id", "2", "9"),
+      ColStat("t", "\"aaa\"", "\"zzz\"")), s"writer stats: ${msg.stats}")
+    new ManifestBatchWrite(dir, sch, "q7", truncate = false).commit(Array(msg))
+    assert(ManifestSink.committedEntries(dir).head.stats.toSet == msg.stats.toSet,
+      "stats lost in the manifest round trip")
+    // Second commit composes the first entry forward, bounds intact.
+    val staging2 = Files.createDirectories(Paths.get(dir, ".staging-q8"))
+    Files.write(staging2.resolve("part-00001-2.ndjson"),
+      "{\"id\":100,\"t\":\"k\"}\n".getBytes(StandardCharsets.UTF_8))
+    new ManifestBatchWrite(dir, sch, "q8", truncate = false)
+      .commit(Array(StagedFile("part-00001-2.ndjson", 1L,
+        Seq(ColStat("id", "100", "100")))))
+    val byName = ManifestSink.committedEntries(dir).map(e => e.name -> e).toMap
+    assert(byName(msg.name).stats.toSet == msg.stats.toSet,
+      "prior entry's bounds corrupted by composition")
+    assert(byName("part-00001-2.ndjson").stats == Seq(ColStat("id", "100", "100")))
+  }
+
+  test("file skipping: bounds prune files; uncertainty always keeps the file") {
+    import org.apache.spark.sql.sources._
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("t", org.apache.spark.sql.types.StringType)))
+    val e = StagedFile("f", 10L,
+      Seq(ColStat("id", "10", "20"), ColStat("t", "\"b\"", "\"d\"")))
+    def may(f: Filter): Boolean = ManifestStats.mayMatch(sch, e, f)
+    assert(!may(EqualTo("id", 5L)) && may(EqualTo("id", 10L)) &&
+      may(EqualTo("id", 15L)) && !may(EqualTo("id", 21L)))
+    assert(!may(GreaterThan("id", 20L)) && may(GreaterThan("id", 19L)))
+    assert(!may(LessThan("id", 10L)) && may(LessThanOrEqual("id", 10L)))
+    assert(!may(In("id", Array(1L, 5L, 30L))) && may(In("id", Array(1L, 12L))))
+    assert(!may(EqualTo("t", "a")) && may(EqualTo("t", "c")) && !may(EqualTo("t", "x")))
+    assert(!may(And(EqualTo("id", 15L), EqualTo("t", "z"))),
+      "And must prune when either side cannot match")
+    assert(may(Or(EqualTo("id", 5L), EqualTo("t", "c"))),
+      "Or must keep when either side can match")
+    // Conservative directions: unknown column, no stats, unsupported
+    // predicate, un-normalizable literal — all keep the file.
+    assert(may(EqualTo("nope", 1L)))
+    assert(may(EqualTo("id", "not-a-number")))
+    assert(may(IsNull("id")))
+    assert(ManifestStats.mayMatch(sch, StagedFile("bare", 1L), EqualTo("id", 999L)))
+  }
+
+  test("compact bin-packs small files atomically, preserving rows and bounds") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    // Four 1-row files + one already-big file; target 2 rows/file.
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val entries = (1 to 4).map { i =>
+      val n = s"part-0000$i-$i.ndjson"
+      Files.write(Paths.get(dir, n),
+        s"""{"id":$i}\n""".getBytes(StandardCharsets.UTF_8))
+      StagedFile(n, 1L, Seq(ColStat("id", i.toString, i.toString)))
+    } :+ {
+      Files.write(Paths.get(dir, "part-big.ndjson"),
+        "{\"id\":50}\n{\"id\":51}\n".getBytes(StandardCharsets.UTF_8))
+      StagedFile("part-big.ndjson", 2L, Seq(ColStat("id", "50", "51")))
+    }
+    ManifestSink.withPublishLock(Paths.get(dir)) {
+      ManifestSink.publishManifest(Paths.get(dir), entries, 1L, "t")
+    }
+    assert(ManifestSink.compact(dir, targetRows = 2L) == 4)
+    val after = ManifestSink.committedEntries(dir)
+    // 4 singles -> 2 merged pairs; the big file is untouched.
+    assert(after.size == 3, s"entries after compact: $after")
+    assert(ManifestSink.committedRowCount(dir) == 6L)
+    assert(after.exists(_.name == "part-big.ndjson"))
+    val mergedStats = after.filter(_.name.startsWith("compact-"))
+      .flatMap(_.stats).sortBy(_.min)
+    // min-of-mins / max-of-maxs per merged pair (1+2 and 3+4 by
+    // name-sorted first-fit).
+    assert(mergedStats == Seq(ColStat("id", "1", "2"), ColStat("id", "3", "4")),
+      s"merged bounds: $mergedStats")
+    // Retired originals are GONE; merged payload is the concatenation.
+    assert((1 to 4).forall(i => !Files.exists(Paths.get(dir, s"part-0000$i-$i.ndjson"))))
+    val allRows = after.flatMap { e =>
+      new String(Files.readAllBytes(Paths.get(dir, e.name)),
+        StandardCharsets.UTF_8).split("\n").toSeq
+    }.sorted
+    assert(allRows == Seq("{\"id\":1}", "{\"id\":2}", "{\"id\":3}", "{\"id\":4}",
+      "{\"id\":50}", "{\"id\":51}"))
+    // Nothing left to do: idempotent no-op second pass.
+    assert(ManifestSink.compact(dir, targetRows = 2L) == 0)
+    assert(!Files.exists(Paths.get(dir, ".manifest.lock")), "lock leaked")
+  }
+
+  test("mergeStats: decimal/lexical bound folding, conservative drops") {
+    def cs(c: String, lo: String, hi: String) = ColStat(c, lo, hi)
+    assert(ManifestSink.mergeStats(Seq(
+      Seq(cs("a", "10", "20"), cs("s", "\"b\"", "\"d\"")),
+      Seq(cs("a", "2", "30"), cs("s", "\"a\"", "\"c\"")))) ==
+      Seq(cs("a", "2", "30"), cs("s", "\"a\"", "\"d\"")))
+    // A column missing from one member drops; others survive.
+    assert(ManifestSink.mergeStats(Seq(
+      Seq(cs("a", "1", "2"), cs("b", "1", "2")), Seq(cs("a", "3", "4")))) ==
+      Seq(cs("a", "1", "4")))
+    // Mixed string/number shapes drop ONLY the broken column.
+    assert(ManifestSink.mergeStats(Seq(
+      Seq(cs("a", "1", "2"), cs("ok", "5", "6")),
+      Seq(cs("a", "\"x\"", "\"y\""), cs("ok", "7", "8")))) ==
+      Seq(cs("ok", "5", "8")))
   }
 
   test("manifest generation is monotonic across commits") {
