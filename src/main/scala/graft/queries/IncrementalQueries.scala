@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalQueries {
 
+  /** Deterministic per-(spec, sfDir) scratch dir, DELETED up front:
+    * specs whose semantics include generation / epoch numbering need
+    * history to restart from zero on every run. */
+  private def freshDir(tag: String, dir: String): java.nio.file.Path = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_" + Integer.toHexString(dir.hashCode)).toPath
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+    p
+  }
+
   /** Fixed-width CDC sort key: zero-padded epoch-µs ‖ event_id.
     * Lexicographic order on it equals (ts, event_id) order, and both
     * engines build it byte-identically (the q80 recipe —
@@ -655,16 +670,9 @@ object IncrementalQueries {
         |  SELECT 'g2', count(*)::BIGINT, CAST(sum(n_chars) AS BIGINT)
         |  FROM documents)""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types._
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_a13_" + Integer.toHexString(dir.hashCode)).toPath
       // Fresh table per run: generation numbers are part of the spec's
       // semantics, so the history must start at 1 deterministically.
-      if (java.nio.file.Files.exists(out)) {
-        val walk = java.nio.file.Files.walk(out)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      val out = freshDir("a13", dir)
       def write(df: org.apache.spark.sql.DataFrame): Unit =
         df.coalesce(2).write.format("graft.sources.ManifestSink")
           .option("path", out.toString).option("retainHistory", "true")
@@ -716,5 +724,87 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"),
           sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
             .cast("long")).as("text_hash"))
+    },
+
+    // The STREAMING half of the committer, oracled end-to-end: the
+    // events stream drains through the epoch-idempotent V2 sink
+    // (attempt-unique staging → deterministic epoch names → per-epoch
+    // manifest swaps), then the committed table is read back through
+    // the manifest scan and aggregated. The oracle aggregates the
+    // source table directly — any record an epoch dropped, doubled
+    // (replay), or corrupted breaks the hash. Checkpoint and table dir
+    // are rebuilt fresh per run so epoch numbering is deterministic.
+    QuerySpec(
+      "st26_stream_manifest_sink",
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_c
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val base = freshDir("st26", dir)
+      val out = base.resolve("table").toString
+      val q = graft.streaming.Streams.eventsStream(s, dir)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", out)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("val_c", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
+    },
+
+    // WEIGHTED sampling with exact-integer selection — the mixture-
+    // construction primitive q201's unweighted reservoir can't express
+    // (sampling proportional to value/importance weights, e.g. DSIR
+    // scores or spend). A-ES exponential keys need u^(1/w) — a libm
+    // call no cross-engine oracle survives — so this is weighted
+    // SYSTEMATIC resampling instead: rows order by a portable hash,
+    // integer cumulative weights land in k strata of the group total,
+    // and a row is picked where its weight interval crosses a stratum
+    // boundary: ⌊cw·k/W⌋ > ⌊(cw−w)·k/W⌋. Pure integer compare → full
+    // oracle; heavy rows (w ≥ W/k) select once, so groups yield ≤ k
+    // rows deterministically. One partitioned window + one broadcast
+    // total per group — no per-group sort of anything but the group.
+    QuerySpec(
+      "q209_weighted_systematic_sample",
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) + 1 AS w,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |cum AS (
+        |  SELECT event_type, event_id, w,
+        |    sum(w) OVER (PARTITION BY event_type ORDER BY h, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY event_type) AS tw
+        |  FROM base)
+        |SELECT event_type, event_id, w
+        |FROM cum WHERE (cw * 10) // tw > ((cw - w) * 10) // tw""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, dir).select(
+        col("event_type"), col("event_id"),
+        (floor(col("value") * 100 + 0.5).cast("long") + 1).as("w"),
+        conv(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 15), 16, 10).cast("long").as("h"))
+      val win = Window.partitionBy("event_type")
+        .orderBy(col("h"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("event_type")
+      base
+        .withColumn("cw", sum(col("w")).over(win))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .where(expr("(cw * 10) div tw") > expr("((cw - w) * 10) div tw"))
+        .select(col("event_type"), col("event_id"), col("w"))
     })
 }
