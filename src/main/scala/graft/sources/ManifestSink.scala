@@ -614,7 +614,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, tableSchema, version)
+    new ManifestScanBuilder(path, tableSchema, version,
+      options.getLong("maxsplitbytes", 128L * 1024 * 1024))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -628,7 +629,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   * as residual, so Spark re-applies it row-level: skipping is a pure
   * optimization, never a correctness dependency. */
 private[sources] class ManifestScanBuilder(path: String, full: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    maxSplitBytes: Long = 128L * 1024 * 1024)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -644,7 +646,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new ManifestScan(path, full, required, pushed, version)
+    new ManifestScan(path, full, required, pushed, version, maxSplitBytes)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -750,7 +752,8 @@ private[sources] object ManifestStats {
 
 private[sources] class ManifestScan(path: String, full: StructType,
     required: StructType, pushed: Array[sources.Filter] = Array.empty,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    maxSplitBytes: Long = 128L * 1024 * 1024)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -759,11 +762,23 @@ private[sources] class ManifestScan(path: String, full: StructType,
     ManifestSink.committedEntriesAt(path, version).filter(e =>
       pushed.forall(f => ManifestStats.mayMatch(full, e, f)))
 
+  /** One partition per `maxSplitBytes` byte range, not per file — a
+    * 10 GB NDJSON file must fan out across the cluster, not serialize
+    * into one task. Ranges use the Hadoop line-split contract (a record
+    * belongs to the split containing its first byte; a reader past
+    * byte 0 discards through the first newline and may finish one line
+    * past its end), so any split size yields the same rows exactly. */
   override def planInputPartitions(): Array[InputPartition] =
-    survivingEntries
-      .map(f => ManifestFilePartition(
-        Paths.get(path, f.name).toString, f.rows): InputPartition)
-      .toArray
+    survivingEntries.flatMap { f =>
+      val p = Paths.get(path, f.name)
+      val size = try Files.size(p) catch { case _: Exception => 0L }
+      if (size <= maxSplitBytes)
+        Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue): InputPartition)
+      else
+        (0L until size by maxSplitBytes).map(s =>
+          ManifestFilePartition(p.toString, s,
+            math.min(s + maxSplitBytes, size)): InputPartition)
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)
@@ -790,38 +805,77 @@ private[sources] class ManifestScan(path: String, full: StructType,
 }
 
 private[sources] final case class ManifestFilePartition(file: String,
-    rows: Long) extends InputPartition
+    start: Long, end: Long) extends InputPartition
 
 private[sources] class ManifestReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new NdjsonPartitionReader(
-      partition.asInstanceOf[ManifestFilePartition].file, required)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ManifestFilePartition]
+    new NdjsonPartitionReader(p.file, p.start, p.end, required)
+  }
 }
 
-/** Executor-side NDJSON reader for one committed file: line-framed,
-  * schema-strict, emitting only the pruned columns. */
-private[sources] class NdjsonPartitionReader(file: String,
-    required: StructType) extends PartitionReader[InternalRow] {
-  private val in = Files.newBufferedReader(Paths.get(file),
-    StandardCharsets.UTF_8)
+/** Executor-side NDJSON reader for one byte range of a committed file:
+  * line-framed, schema-strict, emitting only the pruned columns.
+  *
+  * Range contract (the Hadoop line-split rule, which makes any split
+  * size yield the same rows exactly once): a reader starting past byte
+  * 0 discards through the first newline (that record belongs to the
+  * preceding range, which reads up to one line past its end); it then
+  * emits every record whose first byte offset is ≤ `end`. Newline is a
+  * single byte that cannot occur inside a UTF-8 multi-byte sequence,
+  * so byte-wise framing is encoding-safe. */
+private[sources] class NdjsonPartitionReader(file: String, start: Long,
+    end: Long, required: StructType) extends PartitionReader[InternalRow] {
+  private val in = new java.io.BufferedInputStream(
+    Files.newInputStream(Paths.get(file)), 1 << 16)
+  private var pos = 0L
+  locally {
+    var n = start
+    while (n > 0) {
+      val k = in.skip(n)
+      if (k > 0) { n -= k; pos += k }
+      else if (in.read() == -1) n = 0
+      else { n -= 1; pos += 1 }
+    }
+    if (start > 0) readRawLine() // partial record: the previous range's
+  }
+
   private val convs: Array[NdjsonCodec.JsonVal => Any] =
     required.fields.map(f => NdjsonCodec.converter(f.dataType))
   private val names: Array[String] = required.fields.map(_.name)
   private var current: InternalRow = _
 
+  /** One raw line (newline excluded, trailing \r tolerated), advancing
+    * `pos` past the terminator; null at EOF with no bytes read. */
+  private def readRawLine(): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    val arr = buf.toByteArray
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.dropRight(1) else arr
+  }
+
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null && line.isEmpty) line = in.readLine()
-    if (line == null) { current = null; return false }
-    val parsed = NdjsonCodec.parseLine(line)
-    val vals = new Array[Any](names.length)
-    var i = 0
-    while (i < names.length) {
-      vals(i) = convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
-      i += 1
+    current = null
+    while (current == null) {
+      if (pos > end) return false // next record's first byte is past the range
+      val raw = readRawLine()
+      if (raw == null) return false
+      if (raw.nonEmpty) {
+        val parsed = NdjsonCodec.parseLine(
+          new String(raw, StandardCharsets.UTF_8))
+        val vals = new Array[Any](names.length)
+        var i = 0
+        while (i < names.length) {
+          vals(i) = convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
+          i += 1
+        }
+        current = new GenericInternalRow(vals)
+      }
     }
-    current = new GenericInternalRow(vals)
     true
   }
 
