@@ -65,12 +65,14 @@ class ManifestSink extends TableProvider {
   // The sink takes whatever schema the written DataFrame has.
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Read-side inference when no schema is supplied: peek the first
-    * committed file's first record and type each field from its JSON
-    * shape (long / double / boolean / string). Numeric inference is
-    * lossy by nature (a long column whose sample value is `1.5`-free
-    * still infers long) — callers that round-trip typed data supply
-    * `.schema(...)` and skip this. */
+  /** Read-side inference when no schema is supplied: sample up to 100
+    * records of the first committed file and type each field from its
+    * JSON shape (long / double / boolean / string) — a null in the
+    * LEADING row no longer mistypes the column, it just defers to the
+    * first non-null observation; long and double observations widen to
+    * double. Numeric inference is still lossy by nature (a long column
+    * whose sampled values are `1.5`-free infers long) — callers that
+    * round-trip typed data supply `.schema(...)` and skip this. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     if (path == null) return new StructType()
@@ -78,19 +80,36 @@ class ManifestSink extends TableProvider {
     if (entries.isEmpty) return new StructType()
     val first = Paths.get(path, entries.head.name)
     val in = Files.newBufferedReader(first, StandardCharsets.UTF_8)
-    val line = try in.readLine() finally in.close()
-    if (line == null || line.isEmpty) return new StructType()
-    val fields = NdjsonCodec.parseLine(line).toSeq.map { case (k, v) =>
-      val dt = v match {
-        case NdjsonCodec.JsonTok(raw) =>
-          if (raw == "true" || raw == "false") BooleanType
-          else if (raw.forall(c => c.isDigit || c == '-')) LongType
-          else DoubleType
-        case _ => StringType
+    val lines =
+      try Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).take(100).toVector
+      finally in.close()
+    // First-appearance key order; value None = only nulls seen so far.
+    val seen = collection.mutable.LinkedHashMap[String, Option[DataType]]()
+    lines.foreach { line =>
+      NdjsonCodec.parseLine(line).foreach { case (k, v) =>
+        val t: Option[DataType] = v match {
+          case NdjsonCodec.JsonNull => None
+          case NdjsonCodec.JsonTok(raw) =>
+            Some(if (raw == "true" || raw == "false") BooleanType
+            else if (raw.forall(c => c.isDigit || c == '-')) LongType
+            else DoubleType)
+          case _ => Some(StringType)
+        }
+        (seen.get(k), t) match {
+          case (None, _) | (Some(None), _) => seen(k) = t
+          case (Some(Some(prev)), Some(nt)) if nt != prev =>
+            seen(k) = Some((prev, nt) match {
+              case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+              case _ => StringType
+            })
+          case _ =>
+        }
       }
-      StructField(k, dt)
     }
-    StructType(fields)
+    StructType(seen.toSeq.map { case (k, t) =>
+      StructField(k, t.getOrElse(StringType))
+    })
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -123,11 +142,41 @@ object ManifestSink {
     new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
   }
 
+  /** Extract the entry objects (depth 2 inside the outer
+    * {"generation":..,"files":[..]} wrapper) with a STRING-AWARE brace
+    * scanner: a '{' or '}' inside a recorded string bound (document
+    * min/max stats embed document text) is data, not structure. The
+    * round-9 flat-object regex got this wrong — a brace in a stat
+    * silently dropped the committed file's entry (data loss via the
+    * next truncate's GC) — so depth counts only outside string
+    * literals, with backslash escapes keeping the quote state honest. */
+  private[sources] def entryObjects(txt: String): Seq[String] = {
+    val objs = collection.mutable.ArrayBuffer[String]()
+    var depth = 0; var inStr = false; var esc = false; var start = -1
+    var i = 0
+    while (i < txt.length) {
+      val c = txt.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1; if (depth == 2) start = i
+        case '}' =>
+          if (depth == 2 && start >= 0) {
+            objs += txt.substring(start, i + 1); start = -1
+          }
+          depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    objs.toSeq
+  }
+
   private[sources] def parseEntries(txt: String): Seq[StagedFile] =
-    // The outer {"generation":..,"files":[..]} object contains braces,
-    // so the flat-object regex matches exactly the inner entries; the
-    // "name"-key guard drops any degenerate match.
-    "\\{[^{}]*\\}".r.findAllIn(txt).toSeq.flatMap { obj =>
+    entryObjects(txt).flatMap { obj =>
       val m = NdjsonCodec.parseLine(obj)
       m.get("name") match {
         case Some(NdjsonCodec.JsonStr(n)) =>
@@ -143,14 +192,26 @@ object ManifestSink {
             case NdjsonCodec.JsonTok(raw) => raw
             case NdjsonCodec.JsonNull => "null"
           }
+          // Data-file size recorded at write time (round-10): planning
+          // reads it from the manifest instead of a per-file
+          // Files.size round-trip — pre-`bytes` manifests read as -1
+          // and planning falls back to the filesystem.
+          val bytes = m.get("bytes") match {
+            case Some(NdjsonCodec.JsonTok(b)) => b.toLong
+            case _ => -1L
+          }
+          val nans = m.collect {
+            case (k, NdjsonCodec.JsonTok("true")) if k.startsWith("nan.") =>
+              k.drop(4)
+          }.toSet
           val mins = m.collect { case (k, v) if k.startsWith("min.") =>
             k.drop(4) -> rendered(v) }
           val maxs = m.collect { case (k, v) if k.startsWith("max.") =>
             k.drop(4) -> rendered(v) }
           val stats = mins.toSeq.sortBy(_._1).flatMap { case (c, lo) =>
-            maxs.get(c).map(hi => ColStat(c, lo, hi))
+            maxs.get(c).map(hi => ColStat(c, lo, hi, nans.contains(c)))
           }
-          Some(StagedFile(n, rows, stats))
+          Some(StagedFile(n, rows, stats, bytes))
         case _ => None
       }
     }
@@ -174,26 +235,67 @@ object ManifestSink {
       .map(_.group(1).toLong).getOrElse(0L)
   }
 
+  /** A lock this old is presumed orphaned by a crashed committer and may
+    * be broken (the manifest critical section is milliseconds of local
+    * file work; minutes of hold time means the holder died). */
+  private[sources] val DefaultLockLeaseMs: Long = 15L * 60 * 1000
+
   /** Serialize the manifest's read-compose-swap critical section:
-    * create-exclusive lock file, released in `finally`. A second
-    * concurrent committer FAILS (loudly, with recovery guidance) rather
-    * than silently dropping the first committer's entries in a
-    * last-rename-wins race. A crash inside the section leaves a stale
-    * lock that subsequent commits refuse — erring toward safety on
-    * storage with no compare-and-swap. */
-  private[sources] def withPublishLock[T](dir: Path)(body: => T): T = {
+    * create-exclusive lock file carrying an OWNER TOKEN, released in
+    * `finally` only if the token still matches (we never delete a lock
+    * another committer legitimately re-acquired). A second concurrent
+    * committer FAILS (loudly) rather than silently dropping the first
+    * one's entries in a last-rename-wins race — UNLESS the existing
+    * lock is older than `leaseMs`, in which case it is treated as the
+    * debris of a crashed committer and reclaimed: we re-read the lock
+    * to confirm the same dead owner still holds it and re-check that
+    * the manifest generation did not advance while we looked (a live
+    * committer would have published), then delete-and-recreate. The
+    * create after the break is still create-exclusive, so two
+    * breakers racing resolve to exactly one winner. */
+  private[sources] def withPublishLock[T](dir: Path,
+      leaseMs: Long = DefaultLockLeaseMs)(body: => T): T = {
     Files.createDirectories(dir)
     val lock = dir.resolve(LockName)
-    try Files.createFile(lock)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+    val token = java.util.UUID.randomUUID().toString
+    def readLock(): Option[String] =
+      try Some(new String(Files.readAllBytes(lock), StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => None }
+    def tryAcquire(): Boolean =
+      try {
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!tryAcquire()) {
+      val age =
+        try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => -1L } // vanished: retry below
+      val holder = readLock()
+      val genBefore = committedGeneration(dir.toString)
+      if (age >= 0 && age <= leaseMs)
         throw new IllegalStateException(
-          s"concurrent committer detected on $dir: $LockName exists. The " +
-            "manifest publish is single-writer per directory; if no other " +
-            "job is committing here, a crashed committer left a stale " +
-            "lock — delete the file to recover.")
+          s"concurrent committer detected on $dir: $LockName exists and is " +
+            s"within its ${leaseMs}ms lease. The manifest publish is " +
+            "single-writer per directory; if no other job is committing " +
+            "here, wait for the lease to lapse (the lock is then reclaimed " +
+            "automatically) or delete the file to recover immediately.")
+      // Lease lapsed (or the lock vanished between attempts): break it,
+      // but only while the SAME dead owner holds it and no publish
+      // progressed — any movement means a live committer.
+      if (readLock() != holder || committedGeneration(dir.toString) != genBefore)
+        throw new IllegalStateException(
+          s"lock activity detected on $dir while reclaiming a stale " +
+            s"$LockName — another committer is live; not breaking the lock.")
+      Files.deleteIfExists(lock)
+      if (!tryAcquire())
+        throw new IllegalStateException(
+          s"lost the reacquire race on $dir after breaking a stale " +
+            s"$LockName — another committer won; retry this commit.")
     }
-    try body finally Files.deleteIfExists(lock)
+    try body finally {
+      if (readLock().contains(token)) Files.deleteIfExists(lock)
+    }
   }
 
   /** Compaction — the small-files answer (a streaming sink at one file
@@ -215,9 +317,23 @@ object ManifestSink {
     * Returns the number of small files merged away. */
   def compact(dir: String, targetRows: Long): Int = {
     val dirPath = Paths.get(dir)
-    withPublishLock(dirPath) {
+    withPublishLock(dirPath) { compactLocked(dirPath, targetRows) }
+  }
+
+  /** Compaction core, caller already holding the publish lock — the
+    * streaming sink auto-compacts INSIDE its epoch-commit critical
+    * section (one lock acquisition, no self-deadlock). `exclude` keeps
+    * named files out of the merge: the streaming path excludes the
+    * just-committed epoch's files so an epoch replay (failure between
+    * sink commit and checkpoint advance) still finds its own
+    * epoch-named entries to retire. */
+  private[sources] def compactLocked(dirPath: Path, targetRows: Long,
+      exclude: String => Boolean = _ => false): Int = {
+    val dir = dirPath.toString
+    locally {
       val entries = committedEntries(dir)
-      val (small, big) = entries.partition(_.rows < targetRows)
+      val (small, big) = entries.partition(e =>
+        e.rows < targetRows && !exclude(e.name))
       if (small.size < 2) return 0
       // First-fit bin packing over name-sorted small files: determinism
       // over optimality (the wins come from merging at all).
@@ -243,7 +359,8 @@ object ManifestSink {
         Files.move(tmp, dirPath.resolve(name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         StagedFile(name, group.map(_.rows).sum,
-          mergeStats(group.map(_.stats).toSeq))
+          mergeStats(group.map(_.stats).toSeq),
+          Files.size(dirPath.resolve(name)))
       }
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
@@ -264,9 +381,12 @@ object ManifestSink {
     def cmp(a: String, b: String): Option[Int] =
       (a.startsWith("\""), b.startsWith("\"")) match {
         case (true, true) =>
+          // UTF8String byte order — the SAME order the writer's stat
+          // tracking and the scan's pruning compare use, so a merged
+          // bound stays a valid bound under the order that matters.
           for {
             x <- asStr(a); y <- asStr(b)
-          } yield x.compareTo(y)
+          } yield UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
         case (false, false) =>
           try Some(new java.math.BigDecimal(a)
             .compareTo(new java.math.BigDecimal(b)))
@@ -285,7 +405,7 @@ object ManifestSink {
       for {
         lo <- foldBound(ss.map(_.min), lower)
         hi <- foldBound(ss.map(_.max), upper)
-      } yield ColStat(c, lo, hi)
+      } yield ColStat(c, lo, hi, ss.exists(_.hasNan)) // NaN anywhere → NaN in the merge
     }
   }
 
@@ -297,8 +417,10 @@ object ManifestSink {
     * deleted data. */
   private[sources] def renderEntry(f: StagedFile): String = {
     val stats = f.stats.flatMap(s =>
-      Seq(s""""min.${s.col}":${s.min}""", s""""max.${s.col}":${s.max}"""))
-    (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ stats)
+      Seq(s""""min.${s.col}":${s.min}""", s""""max.${s.col}":${s.max}""") ++
+        (if (s.hasNan) Seq(s""""nan.${s.col}":true""") else Nil))
+    val bytes = if (f.bytes >= 0) Seq(s""""bytes":${f.bytes}""") else Nil
+    (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++ stats)
       .mkString("{", ",", "}")
   }
 
@@ -502,6 +624,47 @@ private[sources] object NdjsonCodec {
     case _ => None
   }
 
+  /** Manifest string-stat bound cap, in CODEPOINTS (parquet truncates
+    * its column-index bounds the same way): without it, a text column's
+    * min/max embed the two extreme documents wholesale in every
+    * manifest entry — a 1 MB document makes a 2 MB entry that every
+    * subsequent commit re-parses and re-renders. */
+  val StatLen = 64
+
+  /** Lower bound under truncation: any codepoint-prefix of the minimum
+    * is ≤ it in UTF8String byte order (and every other order that has
+    * the prefix property), so plain truncation stays a valid lower
+    * bound. Never splits a surrogate pair. */
+  def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StatLen))
+
+  /** Upper bound under truncation: a prefix alone would UNDERSTATE the
+    * max, so the last prefix codepoint is incremented (skipping the
+    * surrogate range — the manifest must stay valid UTF-8), carrying
+    * left while the increment overflows U+10FFFF; None if no finite
+    * bound exists at this length (prefix all U+10FFFF) — the caller
+    * then drops the stat, costing pruning, never correctness. */
+  def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StatLen) return Some(s)
+    val cps = new Array[Int](StatLen)
+    var i = 0; var off = 0
+    while (i < StatLen) {
+      cps(i) = s.codePointAt(off); off += Character.charCount(cps(i)); i += 1
+    }
+    var j = StatLen - 1
+    while (j >= 0) {
+      var c = cps(j) + 1
+      if (c >= 0xD800 && c <= 0xDFFF) c = 0xE000
+      if (c <= 0x10FFFF) {
+        cps(j) = c
+        return Some(new String(cps, 0, j + 1))
+      }
+      j -= 1
+    }
+    None
+  }
+
   def isNaN(v: Any): Boolean = v match {
     case d: java.lang.Double => d.isNaN
     case f: java.lang.Float => f.isNaN
@@ -609,8 +772,15 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.
     val retain = info.options().getBoolean("retainhistory", false)
+    // autoCompactRows > 0 bounds the manifest on the STREAMING path:
+    // each epoch commit bin-packs prior sub-threshold files (never the
+    // epoch just committed — a replay must still find its own entries
+    // to retire), so entries stop accreting one per (epoch×partition)
+    // forever. Ignored in retention mode, where older generations still
+    // reference the files compaction would delete.
+    val autoCompact = info.options().getLong("autocompactrows", 0L)
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
-      truncate = false, retain = retain)
+      truncate = false, retain = retain, autoCompactRows = autoCompact)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -689,8 +859,12 @@ private[sources] object ManifestStats {
         case _ => None
       }
       case StringType => litVal match {
+        // UTF8String BYTE order on both sides — the same order the
+        // writer's stat tracking used, so a java-String code-unit
+        // comparison can't disagree with the recorded bounds on
+        // supplementary characters.
         case s: String =>
-          Some(stat.asInstanceOf[UTF8String].toString.compareTo(s))
+          Some(stat.asInstanceOf[UTF8String].compareTo(UTF8String.fromString(s)))
         case s: UTF8String =>
           Some(stat.asInstanceOf[UTF8String].compareTo(s))
         case _ => None
@@ -728,10 +902,16 @@ private[sources] object ManifestStats {
         fld.dataType)
     }
     // cmpLo/cmpHi: sign of (bound - literal), None when unprunable.
+    // A column flagged hasNan holds NaN rows the bounds exclude — and
+    // Spark orders NaN ABOVE everything (NaN = NaN is true, NaN > x for
+    // every non-NaN x), so the recorded max is NOT an upper bound: the
+    // file's effective max is NaN, and upper-bound pruning must stand
+    // down. The min is unaffected (NaN can never be the minimum).
     def cmpLo(c: String, v: Any): Option[Int] =
       bounds(c).flatMap { case (lo, _, dt) => compare(dt, lo, v) }
     def cmpHi(c: String, v: Any): Option[Int] =
-      bounds(c).flatMap { case (_, hi, dt) => compare(dt, hi, v) }
+      if (entry.stats.exists(s => s.col == c && s.hasNan)) None
+      else bounds(c).flatMap { case (_, hi, dt) => compare(dt, hi, v) }
     f match {
       case EqualTo(c, v) =>
         !(cmpLo(c, v).exists(_ > 0) || cmpHi(c, v).exists(_ < 0))
@@ -762,6 +942,13 @@ private[sources] class ManifestScan(path: String, full: StructType,
     ManifestSink.committedEntriesAt(path, version).filter(e =>
       pushed.forall(f => ManifestStats.mayMatch(full, e, f)))
 
+  /** Data-file size from the MANIFEST (recorded at write time) — the
+    * plan must not pay O(files) filesystem round-trips per query on an
+    * object store. Pre-`bytes` manifests (-1) fall back to a stat. */
+  private def fileSize(f: StagedFile): Long =
+    if (f.bytes >= 0) f.bytes
+    else try Files.size(Paths.get(path, f.name)) catch { case _: Exception => 0L }
+
   /** One partition per `maxSplitBytes` byte range, not per file — a
     * 10 GB NDJSON file must fan out across the cluster, not serialize
     * into one task. Ranges use the Hadoop line-split contract (a record
@@ -771,7 +958,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     survivingEntries.flatMap { f =>
       val p = Paths.get(path, f.name)
-      val size = try Files.size(p) catch { case _: Exception => 0L }
+      val size = fileSize(f)
       if (size <= maxSplitBytes)
         Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue): InputPartition)
       else
@@ -790,9 +977,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def estimateStatistics(): Statistics = {
     val entries = survivingEntries
     val rows = entries.map(_.rows).sum
-    val onDisk = entries.map { f =>
-      try Files.size(Paths.get(path, f.name)) catch { case _: Exception => 0L }
-    }.sum
+    val onDisk = entries.map(fileSize).sum
     val frac =
       if (full.fields.isEmpty) 1.0
       else math.max(required.fields.length.toDouble / full.fields.length, 0.05)
@@ -828,7 +1013,20 @@ private[sources] class ManifestReaderFactory(required: StructType)
 private[sources] class NdjsonPartitionReader(file: String, start: Long,
     end: Long, required: StructType) extends PartitionReader[InternalRow] {
   private val in = new java.io.BufferedInputStream(
-    Files.newInputStream(Paths.get(file)), 1 << 16)
+    try Files.newInputStream(Paths.get(file))
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        // The read/GC race, surfaced honestly: compact/truncate/
+        // expireSnapshots delete retired files right after their
+        // manifest swap, so a scan planned against the PREVIOUS
+        // snapshot can reach an executor after its file is gone.
+        throw new IllegalStateException(
+          s"committed file $file vanished between planning and reading — " +
+            "a concurrent compact/truncate/expireSnapshots retired the " +
+            "snapshot this scan planned against. Re-run the query (it " +
+            "will plan against the current manifest), or pause " +
+            "compaction while long scans are in flight.", e)
+    }, 1 << 16)
   private var pos = 0L
   locally {
     var n = start
@@ -884,17 +1082,19 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
 }
 
 private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
-    queryId: String, truncate: Boolean, retain: Boolean = false)
+    queryId: String, truncate: Boolean, retain: Boolean = false,
+    autoCompactRows: Long = 0L)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
-    new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain)
+    new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
+      autoCompactRows)
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain)
 
   override def buildForStreaming(): StreamingWrite =
-    new ManifestStreamingWrite(path, schema, queryId, retain)
+    new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -907,7 +1107,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
   * [[NdjsonDataWriter]]) — only the final name is deterministic. That is
   * the V2-native version of the foreachBatch idempotent-upsert recipe. */
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String, retain: Boolean = false) extends StreamingWrite {
+    queryId: String, retain: Boolean = false, autoCompactRows: Long = 0L)
+    extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -946,6 +1147,15 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       if (!retain)
         stale.filterNot(f => winnerNames.contains(f.name))
           .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+      // Bound the manifest: without this, a long-running stream
+      // accretes one entry per (epoch × partition) forever and the
+      // wholesale manifest rewrite above grows without limit. Inside
+      // the held lock (compactLocked, no re-acquire); the CURRENT
+      // epoch's files are excluded so a replay of this epoch still
+      // finds its epoch-named entries to retire.
+      if (autoCompactRows > 0 && !retain)
+        ManifestSink.compactLocked(dir, autoCompactRows,
+          exclude = _.startsWith(epochPrefix))
     }
   }
 
@@ -968,12 +1178,21 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
 /** Per-file column bounds, parquet-footer style: `min`/`max` are the
   * column's extreme values RENDERED as JSON literals (the same encoding
   * as the payload), so they ride inside the manifest entry unchanged
-  * and re-parse losslessly when the scan prunes files against them. */
+  * and re-parse losslessly when the scan prunes files against them.
+  * String bounds are TRUNCATED parquet-style ([[NdjsonCodec.truncLower]]
+  * / [[NdjsonCodec.truncUpper]]) so an extreme megabyte document never
+  * rides in the manifest. `hasNan` marks a float/double column that
+  * contains NaN rows — Spark orders NaN ABOVE every value, so the
+  * recorded (NaN-free) max is not an upper bound for pruning purposes
+  * when the flag is set (Iceberg's nan_value_counts idea). */
 private[sources] final case class ColStat(col: String, min: String,
-    max: String)
+    max: String, hasNan: Boolean = false)
 
+/** `bytes` is the data file's on-disk size recorded at write time (-1
+  * for entries from pre-round-10 manifests — planning then falls back
+  * to a filesystem stat). */
 private[sources] final case class StagedFile(name: String, rows: Long,
-    stats: Seq[ColStat] = Nil) extends WriterCommitMessage
+    stats: Seq[ColStat] = Nil, bytes: Long = -1L) extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false)
@@ -1079,6 +1298,11 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema.fields.map(f => NdjsonCodec.statOrdering(f.dataType).orNull)
   private val mins = new Array[Any](schema.fields.length)
   private val maxs = new Array[Any](schema.fields.length)
+  // NaN presence per float/double column: NaN never enters the bounds
+  // (Spark orders it above everything — a [NaN, NaN] range would prune
+  // every filter), but its PRESENCE must be recorded so the scan knows
+  // the recorded max is not an upper bound for this file.
+  private val nanSeen = new Array[Boolean](schema.fields.length)
 
   override def write(record: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder(64)
@@ -1092,6 +1316,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
         val v = record.get(i, schema.fields(i).dataType)
         sb.append(renderers(i)(v))
         val cmp = comparators(i)
+        if (NdjsonCodec.isNaN(v)) nanSeen(i) = true
         if (cmp != null && !NdjsonCodec.isNaN(v)) {
           // Defensive copy: a UTF8String from an UnsafeRow is a VIEW
           // into a buffer Spark reuses across rows — holding the
@@ -1114,20 +1339,41 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (epochId.isDefined) {
+    val finalStaged = if (epochId.isDefined) {
       // Claim the deterministic epoch name. Task commit is the point
       // Spark has picked this attempt; a concurrent zombie's staged
       // file lives under ITS attempt-unique name and cannot clobber
       // this one.
-      Files.move(file, staging.resolve(name),
+      val dst = staging.resolve(name)
+      Files.move(file, dst,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      dst
+    } else file
+    val stats = schema.fields.indices.flatMap { i =>
+      if (mins(i) == null) None // all-null/all-NaN: no bounds, no pruning
+      else schema.fields(i).dataType match {
+        case StringType =>
+          // Truncate parquet-style so an extreme megabyte document
+          // never rides in the manifest: min takes a plain prefix
+          // (always a valid lower bound), max takes a prefix with its
+          // last codepoint incremented (valid upper bound), or drops
+          // the whole stat if no finite bound exists at this length.
+          val lo = NdjsonCodec.truncLower(mins(i).asInstanceOf[UTF8String].toString)
+          NdjsonCodec.truncUpper(maxs(i).asInstanceOf[UTF8String].toString)
+            .map { hi =>
+              ColStat(schema.fields(i).name,
+                "\"" + NdjsonCodec.escape(lo) + "\"",
+                "\"" + NdjsonCodec.escape(hi) + "\"")
+            }
+        case _ =>
+          Some(ColStat(schema.fields(i).name,
+            renderers(i)(mins(i)), renderers(i)(maxs(i)),
+            hasNan = nanSeen(i)))
+      }
     }
-    val stats = schema.fields.indices.collect {
-      case i if mins(i) != null =>
-        ColStat(schema.fields(i).name,
-          renderers(i)(mins(i)), renderers(i)(maxs(i)))
-    }
-    StagedFile(name, rows, stats.toSeq)
+    // Size recorded here (one executor-local stat of a file we just
+    // wrote) so the scan never has to ask the filesystem at plan time.
+    StagedFile(name, rows, stats.toSeq, Files.size(finalStaged))
   }
 
   override def abort(): Unit = {

@@ -309,4 +309,291 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       "first attempt's extra partition file must be deleted")
     assert(Files.exists(Paths.get(dir, e0)), "other epochs untouched")
   }
+
+  test("braces inside string stats survive manifest parse and composition") {
+    // Round-9's flat-object regex dropped any entry whose string bound
+    // contained '{' or '}' — committed data became invisible to readers
+    // AND to the next commit's composition (then GC'd as unreferenced:
+    // permanent loss). The string-aware scanner must hold the entry
+    // through parse, a forward composition, and a re-parse.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val brace = StagedFile("part-brace.ndjson", 3L, Seq(
+      ColStat("t", "\"a{b\"", "\"z}x\""),
+      ColStat("u", "\"{\\\"json\\\":1}\"", "\"}}{{\"")))
+    ManifestSink.withPublishLock(Paths.get(dir)) {
+      ManifestSink.publishManifest(Paths.get(dir), Seq(brace), 1L, "t")
+    }
+    assert(ManifestSink.committedEntries(dir) == Seq(brace),
+      s"brace-stat entry corrupted: ${ManifestSink.committedEntries(dir)}")
+    // Composition: an append commit must carry the brace entry forward.
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qb"))
+    Files.write(staging.resolve("part-plain.ndjson"),
+      "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+    new ManifestBatchWrite(dir, schema, "qb", truncate = false)
+      .commit(Array(StagedFile("part-plain.ndjson", 1L)))
+    val after = ManifestSink.committedEntries(dir)
+    assert(after.size == 2, s"entry lost across composition: $after")
+    assert(after.contains(brace), s"brace bounds corrupted: $after")
+    assert(ManifestSink.committedRowCount(dir) == 4L)
+  }
+
+  test("string stat bounds truncate parquet-style; bounds stay valid") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = NdjsonCodec.StatLen
+    // Short strings pass through untouched.
+    assert(NdjsonCodec.truncLower("abc") == "abc")
+    assert(NdjsonCodec.truncUpper("abc").contains("abc"))
+    val exact = "x" * n
+    assert(NdjsonCodec.truncUpper(exact).contains(exact))
+    // Long: lower is the plain prefix, upper increments the last cp.
+    val long = "a" * (n + 100)
+    assert(NdjsonCodec.truncLower(long) == "a" * n)
+    assert(NdjsonCodec.truncUpper(long).contains("a" * (n - 1) + "b"))
+    // The truncated bounds must bracket the original in UTF8String
+    // byte order (the order the scan prunes with).
+    def leq(a: String, b: String) =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
+    for (s <- Seq(long, "ünïcödé-" * 20, "日本語テキスト" * 15, "a" * 63 + "퟿퟿퟿")) {
+      assert(leq(NdjsonCodec.truncLower(s), s), s"lower bound broken for $s")
+      val hi = NdjsonCodec.truncUpper(s)
+      assert(hi.isDefined && leq(s, hi.get), s"upper bound broken for $s -> $hi")
+    }
+    // Incrementing U+D7FF skips the surrogate range entirely.
+    val preSurrogate = "a" * (n - 1) + "퟿" + "tail"
+    assert(NdjsonCodec.truncUpper(preSurrogate)
+      .contains("a" * (n - 1) + ""))
+    // Carry: a prefix ending in U+10FFFF increments the codepoint
+    // before it; all-U+10FFFF has no finite bound and drops the stat.
+    val top = new String(Character.toChars(0x10FFFF))
+    assert(NdjsonCodec.truncUpper("a" * (n - 1) + top + "tail")
+      .contains("a" * (n - 2) + "b"))
+    assert(NdjsonCodec.truncUpper(top * (n + 1)).isEmpty)
+    // End to end: the writer records truncated bounds.
+    import org.apache.spark.sql.catalyst.InternalRow
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.createDirectories(Paths.get(dir, ".staging-qt"))
+    val sch = StructType(Seq(StructField("t", org.apache.spark.sql.types.StringType)))
+    val w = new NdjsonDataWriter(dir, "qt", sch, 0, 1L)
+    w.write(InternalRow(UTF8String.fromString("m" * 500)))
+    w.write(InternalRow(UTF8String.fromString("b" * 500)))
+    val msg = w.commit().asInstanceOf[StagedFile]
+    assert(msg.stats == Seq(ColStat("t",
+      "\"" + "b" * n + "\"", "\"" + "m" * (n - 1) + "n\"")),
+      s"writer bounds not truncated: ${msg.stats}")
+  }
+
+  test("NaN presence disables upper-bound pruning for float/double") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types.DoubleType
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.createDirectories(Paths.get(dir, ".staging-qn"))
+    val sch = StructType(Seq(StructField("v", DoubleType)))
+    val w = new NdjsonDataWriter(dir, "qn", sch, 0, 1L)
+    Seq(1.0, 2.0, Double.NaN).foreach(d => w.write(InternalRow(d)))
+    val msg = w.commit().asInstanceOf[StagedFile]
+    assert(msg.stats == Seq(ColStat("v", "1.0", "2.0", hasNan = true)),
+      s"NaN presence not recorded: ${msg.stats}")
+    // Spark orders NaN above every value: a filter above the recorded
+    // max STILL matches the NaN rows, so the file must survive pruning.
+    val nanFile = StagedFile("f", 3L, Seq(ColStat("v", "1.0", "2.0", hasNan = true)))
+    val cleanFile = StagedFile("g", 3L, Seq(ColStat("v", "1.0", "2.0")))
+    def may(e: StagedFile, f: Filter) = ManifestStats.mayMatch(sch, e, f)
+    assert(may(nanFile, GreaterThan("v", 5.0)), "NaN rows match > 5.0")
+    assert(!may(cleanFile, GreaterThan("v", 5.0)), "NaN-free file prunes")
+    assert(may(nanFile, EqualTo("v", Double.NaN)), "NaN = NaN is true in Spark")
+    assert(!may(cleanFile, EqualTo("v", Double.NaN)))
+    // Lower bound stays exact either way (NaN is never the minimum).
+    assert(!may(nanFile, LessThan("v", 1.0)))
+    // The flag rides the manifest and survives a merge.
+    ManifestSink.withPublishLock(Paths.get(dir)) {
+      ManifestSink.publishManifest(Paths.get(dir), Seq(nanFile), 1L, "t")
+    }
+    assert(ManifestSink.committedEntries(dir) == Seq(nanFile),
+      "hasNan lost in manifest round trip")
+    assert(ManifestSink.mergeStats(Seq(
+      Seq(ColStat("v", "1.0", "2.0", hasNan = true)),
+      Seq(ColStat("v", "0.5", "9.0")))) ==
+      Seq(ColStat("v", "0.5", "9.0", hasNan = true)),
+      "NaN presence must survive a stat merge")
+  }
+
+  test("file bytes ride the manifest: planning never stats the filesystem") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.createDirectories(Paths.get(dir, ".staging-qz"))
+    val w = new NdjsonDataWriter(dir, "qz", StructType(Seq(StructField("id", LongType))), 0, 1L)
+    (1L to 5L).foreach(i => w.write(InternalRow(i)))
+    val msg = w.commit().asInstanceOf[StagedFile]
+    assert(msg.bytes == 5 * "{\"id\":1}\n".length,
+      s"writer must record the staged file's size, got ${msg.bytes}")
+    new ManifestBatchWrite(dir, StructType(Seq(StructField("id", LongType))),
+      "qz", truncate = false).commit(Array(msg))
+    val entry = ManifestSink.committedEntries(dir).head
+    assert(entry.bytes == msg.bytes, "bytes lost in manifest round trip")
+    // The proof: DELETE the data file — the plan (partitions + stats)
+    // must still come out right, because it reads sizes from the
+    // manifest, not the filesystem (O(files) object-store round-trips
+    // per query otherwise).
+    Files.delete(Paths.get(dir, entry.name))
+    val sch = StructType(Seq(StructField("id", LongType)))
+    val scan = new ManifestScan(dir, sch, sch)
+    assert(scan.planInputPartitions().length == 1)
+    assert(scan.estimateStatistics().sizeInBytes().getAsLong == entry.bytes)
+    assert(scan.estimateStatistics().numRows().getAsLong == 5L)
+    // Split planning sizes from the manifest too.
+    val split = new ManifestScan(dir, sch, sch, maxSplitBytes = 10L)
+    assert(split.planInputPartitions().length ==
+      (entry.bytes + 9) / 10, "split count must derive from manifest bytes")
+  }
+
+  test("a stale publish lock is reclaimed after its lease; a live one is not") {
+    val dir = Files.createTempDirectory("graft_manifest_unit")
+    val lock = dir.resolve(".manifest.lock")
+    // Crashed committer: lock mtime an hour old, lease 1 s — reclaimed,
+    // body runs, lock released.
+    Files.write(lock, "dead-owner".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3600L * 1000))
+    var ran = false
+    ManifestSink.withPublishLock(dir, leaseMs = 1000L) { ran = true }
+    assert(ran, "stale lock must be reclaimed after its lease")
+    assert(!Files.exists(lock), "reclaimed lock must be released")
+    // Live committer: fresh lock within lease — refused, lock intact.
+    Files.write(lock, "live-owner".getBytes(StandardCharsets.UTF_8))
+    val ex = intercept[IllegalStateException] {
+      ManifestSink.withPublishLock(dir, leaseMs = 60000L) { fail("must not run") }
+    }
+    assert(ex.getMessage.contains("lease"), s"wrong failure: ${ex.getMessage}")
+    assert(Files.exists(lock), "live lock must not be deleted")
+    assert(new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+      == "live-owner", "live lock content must be untouched")
+  }
+
+  test("byte-range split reads: every split size yields the whole file exactly once") {
+    // The Hadoop line-split contract, swept exhaustively: for EVERY
+    // split size 1..fileSize the union of range readers must equal the
+    // whole-file read — same rows, exactly once — through empty lines,
+    // \r\n terminators, multi-byte UTF-8, and a final line with no
+    // trailing newline. Byte-offset framing is exactly the code that
+    // needs this (round 9 shipped the reader with zero split coverage).
+    val dir = Files.createTempDirectory("graft_manifest_unit")
+    val lines = Seq(
+      """{"t":"alpha"}""",
+      """{"t":"héllo wörld ünïcödé"}""",
+      "",
+      """{"t":"crlf-terminated"}""" + "\r",
+      """{"t":"日本語テキスト"}""",
+      "",
+      """{"t":"последняя строка"}""")
+    // Mixed terminators; final line deliberately lacks a newline.
+    val content = lines.mkString("\n")
+    val file = dir.resolve("part-sweep.ndjson")
+    Files.write(file, content.getBytes(StandardCharsets.UTF_8))
+    val size = Files.size(file)
+    val sch = StructType(Seq(StructField("t", org.apache.spark.sql.types.StringType)))
+    def readRange(start: Long, end: Long): Seq[String] = {
+      val r = new NdjsonPartitionReader(file.toString, start, end, sch)
+      try Iterator.continually(r.next()).takeWhile(identity)
+        .map(_ => r.get().getUTF8String(0).toString).toVector
+      finally r.close()
+    }
+    val whole = readRange(0L, Long.MaxValue)
+    assert(whole.size == 5 && whole.head == "alpha", s"baseline read broken: $whole")
+    for (split <- 1L to size) {
+      val rows = (0L until size by split).flatMap(s =>
+        readRange(s, math.min(s + split, size)))
+      assert(rows == whole,
+        s"split=$split lost/duplicated rows: got ${rows.size} of ${whole.size}")
+    }
+  }
+
+  test("retention streaming: replay-retired files defer GC to expireSnapshots") {
+    // retainHistory mode: an epoch replay retires its first attempt's
+    // extra files from the CURRENT manifest, but older generations
+    // still reference them — the files must stay until expireSnapshots,
+    // and versionAsOf must keep reading them until then.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val e1a = "part-e00001-00000.ndjson"
+    val e1b = "part-e00001-00001.ndjson"
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qr"))
+    def stage(n: String, rows: Int): StagedFile = {
+      Files.write(staging.resolve(n),
+        (1 to rows).map(i => s"""{"id":$i}""").mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      StagedFile(n, rows.toLong)
+    }
+    val sink = new ManifestStreamingWrite(dir, schema, "qr", retain = true)
+    sink.commit(1L, Array(stage(e1a, 1), stage(e1b, 2))) // first attempt: gen 1
+    sink.commit(1L, Array(stage(e1a, 1)))                // replay: gen 2, e1b retired
+    assert(ManifestSink.committedEntries(dir).map(_.name) == Seq(e1a))
+    assert(Files.exists(Paths.get(dir, e1b)),
+      "retention mode must defer replay-retired file GC to expireSnapshots")
+    // The retained snapshot still reads the retired file.
+    assert(ManifestSink.committedEntriesAt(dir, Some(1L)).map(_.name).sorted
+      == Seq(e1a, e1b))
+    val (droppedFiles, droppedManifests) = ManifestSink.expireSnapshots(dir, 1)
+    assert((droppedFiles, droppedManifests) == (1, 1),
+      s"expected e1b + gen-1 manifest to drop, got ($droppedFiles, $droppedManifests)")
+    assert(!Files.exists(Paths.get(dir, e1b)), "expired file must be deleted")
+    assert(ManifestSink.committedEntries(dir).map(_.name) == Seq(e1a),
+      "current snapshot must survive expiry")
+    intercept[IllegalArgumentException] {
+      ManifestSink.committedEntriesAt(dir, Some(1L))
+    }
+  }
+
+  test("streaming auto-compaction bounds manifest growth across epochs") {
+    // One 1-row file per epoch, autoCompactRows=10: prior epochs'
+    // entries keep collapsing into compact-* files, the CURRENT epoch's
+    // file is never merged (a replay must find its epoch-named entries
+    // to retire), and no rows are lost or doubled.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qa"))
+    val sink = new ManifestStreamingWrite(dir, schema, "qa",
+      retain = false, autoCompactRows = 10L)
+    (1 to 6).foreach { e =>
+      val n = f"part-e$e%05d-00000.ndjson"
+      Files.write(staging.resolve(n),
+        s"""{"id":$e}\n""".getBytes(StandardCharsets.UTF_8))
+      sink.commit(e.toLong, Array(StagedFile(n, 1L,
+        Seq(ColStat("id", e.toString, e.toString)))))
+    }
+    val entries = ManifestSink.committedEntries(dir)
+    // Without compaction there would be 6 entries; with it, everything
+    // before epoch 6 is merged into one compact file.
+    assert(entries.size == 2, s"manifest not bounded: ${entries.map(_.name)}")
+    assert(entries.exists(_.name == "part-e00006-00000.ndjson"),
+      "current epoch's file must stay epoch-named for replay")
+    assert(ManifestSink.committedRowCount(dir) == 6L)
+    val allRows = entries.flatMap { e =>
+      new String(Files.readAllBytes(Paths.get(dir, e.name)),
+        StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+    }.sorted
+    assert(allRows == (1 to 6).map(i => s"""{"id":$i}""").sorted,
+      s"auto-compaction lost or doubled rows: $allRows")
+    // Merged bounds survive: the compact entry spans epochs 1-5.
+    val compactEntry = entries.find(_.name.startsWith("compact-")).get
+    assert(compactEntry.stats == Seq(ColStat("id", "1", "5")),
+      s"merged bounds: ${compactEntry.stats}")
+  }
+
+  test("inferSchema samples past leading nulls and widens long|double") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    Files.write(Paths.get(dir, "part-s.ndjson"),
+      Seq("""{"a":null,"b":1,"c":"x"}""",
+        """{"a":2.5,"b":2,"c":null}""",
+        """{"a":3,"b":null,"c":"y"}""").mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    writeManifest(dir, "part-s.ndjson" -> 3L)
+    val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", dir))
+    val inferred = new ManifestSink().inferSchema(opts)
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    assert(inferred == StructType(Seq(
+      StructField("a", DoubleType),  // null → 2.5 → 3 widens to double
+      StructField("b", LongType),
+      StructField("c", StringType))), s"inferred: $inferred")
+  }
 }
