@@ -726,6 +726,80 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // BYTE-RANGE SPLIT reads (the 10 GB-file problem): the corpus lands
+    // as TWO committed files, and the scan is forced through the
+    // Hadoop-line-split path with a 4 KB maxSplitBytes — dozens of
+    // range partitions per file, every record owned by exactly the
+    // split containing its first byte. The oracle aggregates the source
+    // table directly, so one record lost or doubled at ANY split
+    // boundary (mid-document, mid-UTF-8 sequence, at a newline) breaks
+    // the count or the content hash. Round 9 shipped this reader with
+    // zero split coverage; this spec is the standing regression.
+    QuerySpec(
+      "a15_manifest_split_read",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a15_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      Tables.documents(s, dir).coalesce(2)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val table = s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out)
+        .option("maxSplitBytes", "4096").load()
+      table.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
+    // BRACES IN STRING STATS (the round-9 manifest-parse data-loss bug,
+    // oracled): every document gets '{'/'}' planted around its text, so
+    // the per-file min/max string bounds that ride the manifest contain
+    // braces — exactly what the old flat-regex parser corrupted,
+    // silently dropping committed files. Two commits (overwrite then
+    // append) force the second commit to COMPOSE the brace-stat entries
+    // forward; the oracle aggregates the transformed source, so one
+    // dropped file breaks counts and hashes.
+    QuerySpec(
+      "a16_manifest_brace_stats",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST('0x' || substr(md5('{' || text || '}'), 1, 8) AS BIGINT))
+        |    AS BIGINT) AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a16_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val braced = Tables.documents(s, dir).select(
+        col("doc_id"),
+        concat(lit("{"), col("text"), lit("}")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      braced.where(col("doc_id") % 2 === 0).coalesce(2)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      braced.where(col("doc_id") % 2 === 1).coalesce(2)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // The STREAMING half of the committer, oracled end-to-end: the
     // events stream drains through the epoch-idempotent V2 sink
     // (attempt-unique staging → deterministic epoch names → per-epoch
@@ -791,19 +865,34 @@ object IncrementalQueries {
         |SELECT event_type, event_id, w
         |FROM cum WHERE (cw * 10) // tw > ((cw - w) * 10) // tw""".stripMargin) {
       (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      // Scale shape (round-10 fix): the oracle's per-group running sum
+      // is a window over PARTITION BY event_type — ~5 distinct values,
+      // so at scale each partition's ENTIRE event set would sort in a
+      // single task. Instead: a GLOBAL range-partitioned prefix sum
+      // over the total order (event_type, h, event_id) — every task
+      // bounded by its range slice (the tx34 recipe, Ranks machinery) —
+      // minus a broadcast per-group offset (total weight of all LOWER
+      // groups) recovers the per-group cumulative weight exactly; the
+      // per-group total joins in from the same group-count-sized
+      // aggregate (AQE broadcasts a 5-row side unhinted).
+      import graft.operators.Ranks
       val base = Tables.events(s, dir).select(
         col("event_type"), col("event_id"),
         (floor(col("value") * 100 + 0.5).cast("long") + 1).as("w"),
         conv(substring(md5(col("event_id").cast("string").cast("binary")),
           1, 15), 16, 10).cast("long").as("h"))
-      val win = Window.partitionBy("event_type")
-        .orderBy(col("h"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy("event_type")
-      base
-        .withColumn("cw", sum(col("w")).over(win))
-        .withColumn("tw", sum(col("w")).over(tot))
+      val summed = Ranks.prefixSums(base,
+        Seq(col("event_type"), col("h"), col("event_id")),
+        Seq((col("w"), "gcw")))
+      val totals = base.groupBy("event_type").agg(sum(col("w")).as("tw"))
+      val offs = totals.select(col("event_type").as("ct"), col("tw"))
+        .join(totals.select(col("event_type").as("ot"), col("tw").as("otw")),
+          col("ot") < col("ct"), "left")
+        .groupBy(col("ct"), col("tw"))
+        .agg(coalesce(sum(col("otw")), lit(0L)).as("off"))
+        .select(col("ct").as("event_type"), col("tw"), col("off"))
+      summed.join(offs, "event_type")
+        .withColumn("cw", col("gcw") - col("off"))
         .where(expr("(cw * 10) div tw") > expr("((cw - w) * 10) div tw"))
         .select(col("event_type"), col("event_id"), col("w"))
     })

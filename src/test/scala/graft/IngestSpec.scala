@@ -598,6 +598,46 @@ class IngestSpec extends SparkSpec {
     assert(table.where(col("id") === 250L || col("id") === 750L).count() == 2)
   }
 
+  test("ManifestSink split reads: maxSplitBytes fans one file across partitions") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_manifest_split").toString
+    // ONE committed file (the 10 GB-file shape in miniature): without
+    // byte-range splits the whole file serializes through one task.
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("doc-"), format_string("%04d", col("id"))).as("t"))
+      .coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val fileName = graft.sources.ManifestSink.committedFiles(dir).head
+    val fileBytes = Files.size(java.nio.file.Paths.get(dir, fileName))
+    val sch = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    def read(split: Option[Long]) = {
+      val r = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir)
+      split.foreach(v => r.option("maxSplitBytes", v.toString))
+      r.load()
+    }
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    // Default split size: one file → one partition.
+    assert(filePartitions(read(None)) == 1)
+    // Forced 1 KB ranges: the partition count is pinned to the byte
+    // math (ceil(bytes/split)) — ≥ 3 splits for this fixture — and the
+    // split path loses/duplicates nothing.
+    val split = 1024L
+    val parts = filePartitions(read(Some(split)))
+    assert(parts == ((fileBytes + split - 1) / split).toInt && parts >= 3,
+      s"expected ceil($fileBytes/$split) partitions, got $parts")
+    val rows = read(Some(split)).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 1000 && rows.toSet.size == 1000,
+      "split read lost or duplicated rows")
+    assert(rows.toMap.get(500L).contains("doc-0500"))
+  }
+
   test("ManifestSink time travel: retained generations read back; expiry collects them") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
