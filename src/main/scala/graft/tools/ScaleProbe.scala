@@ -33,7 +33,8 @@ import org.apache.spark.sql.functions._
   * the keyspace.
   *
   * Usage: runMain graft.tools.ScaleProbe [baseDir] [factors-csv] [probe]
-  *        (probe: dd8 | sketch, default dd8)
+  *        (probe: dd8 | sketch | bloom | graph | stream | manifest,
+  *         default dd8)
   */
 object ScaleProbe {
 
@@ -240,6 +241,65 @@ object ScaleProbe {
     }
   }
 
+  /** Manifest-growth anchor (`probe = manifest`): a long-running stream
+    * commits one file per epoch through the V2 sink for 120 epochs,
+    * with auto-compaction OFF and ON (`autoCompactRows`). Measured per
+    * checkpoint: manifest bytes, entry count, data-file count, and mean
+    * epoch wall — the round-9 finding made a number: without
+    * compaction the manifest is rewritten wholesale every epoch and
+    * grows one entry per (epoch × partition) forever (commit cost
+    * O(epochs²) cumulative); with it, both the manifest and the file
+    * count stay bounded while the committed row count and the read-back
+    * aggregate stay identical. */
+  private def manifestProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val epochs = 120
+    val rowsPerEpoch = 50
+    Seq(0L, 500L).foreach { auto =>
+      val root = java.nio.file.Files.createTempDirectory("graft_manifest_probe")
+      val dir = root.resolve("table").toString
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("id", "v")
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", dir)
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .option("autoCompactRows", auto.toString)
+        .outputMode("append").start()
+      try {
+        var wallNs = 0L
+        (1 to epochs).foreach { e =>
+          val t0 = System.nanoTime()
+          mem.addData((1 to rowsPerEpoch).map(i =>
+            (e.toLong * 1000 + i, i.toLong)))
+          q.processAllAvailable()
+          wallNs += System.nanoTime() - t0
+          if (e % 30 == 0 || e == 1) {
+            val mBytes = java.nio.file.Files.size(
+              java.nio.file.Paths.get(dir, graft.sources.ManifestSink.ManifestName))
+            val entries = graft.sources.ManifestSink.committedFiles(dir).size
+            println(s"""{"probe":"manifest_growth","auto_compact_rows":$auto,""" +
+              s""""epoch":$e,"manifest_bytes":$mBytes,"entries":$entries,""" +
+              s""""rows":${graft.sources.ManifestSink.committedRowCount(dir)},""" +
+              f""""mean_epoch_ms":${wallNs / 1e6 / e}%.1f}""")
+          }
+        }
+      } finally q.stop()
+      // Correctness floor: the bounded table still reads back whole.
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val n = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir).load().count()
+      require(n == epochs.toLong * rowsPerEpoch,
+        s"manifest probe lost rows: $n of ${epochs * rowsPerEpoch}")
+    }
+  }
+
   /** Iterative-graph anchor (`probe = graph`): the q94 PageRank kernel
     * (10 driver-controlled rounds under the loop discipline — AQE and
     * broadcast off, fixed width, lineage re-rooting) on the q94-shaped
@@ -295,6 +355,11 @@ object ScaleProbe {
     }
     if (probe == "stream") {
       streamProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "manifest") {
+      manifestProbes(spark, base, factors)
       spark.stop()
       return
     }
