@@ -455,9 +455,12 @@ object CurationQueries {
     // Pack documents into fixed token-budget training bins (GPT-style
     // concat-and-split at 128-token boundaries): a doc's bin is the bin
     // containing its start offset in the per-source concatenation stream.
-    // One shuffle (window partitioned by source, ordered by doc_id) —
-    // packing is embarrassingly parallel across shards, which is exactly
-    // how a 100 TB corpus packs: per-shard windows, never a global order.
+    // Scale shape (round-10 fix): the oracle's per-source running sum is
+    // a PARTITION BY source window — a ≤10-value enum, so one task would
+    // sort a fifth of the corpus at scale. Instead the cumulative offset
+    // is the GLOBAL range-partitioned prefix sum over the total order
+    // (source, doc_id) minus a broadcast per-source offset (the q209 /
+    // tx34 Ranks recipe); every task stays bounded by its range slice.
     QuerySpec(
       "tx14_pack_sequences",
       s"""WITH t AS (
@@ -472,12 +475,22 @@ object CurationQueries {
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |  CAST(min(doc_id) AS BIGINT) AS first_doc
          |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.fanOut(Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")))
+      import graft.operators.Ranks
+      val toks = Tables.fanOut(
+          Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")))
         .select(col("source"), col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+      val summed = Ranks.prefixSums(toks,
+        Seq(col("source"), col("doc_id")), Seq((col("n_tok"), "gcum")))
+      val totals = toks.groupBy("source").agg(sum(col("n_tok")).as("stot"))
+      val offs = totals.select(col("source").as("cs"), col("stot"))
+        .join(totals.select(col("source").as("os"), col("stot").as("ot")),
+          col("os") < col("cs"), "left")
+        .groupBy(col("cs"))
+        .agg(coalesce(sum(col("ot")), lit(0L)).as("off"))
+        .select(col("cs").as("source"), col("off"))
+      summed.join(offs, "source")
+        .withColumn("cum", col("gcum") - col("off"))
         .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(128.0)).cast("long"))
         .groupBy(col("source"), col("bin"))
         .agg(count(lit(1)).as("n_docs"),

@@ -109,6 +109,35 @@ object PlanLint {
     }.flatten
   }
 
+  /** Enum columns of the harness corpus with ≤10 distinct values at
+    * EVERY scale factor. A window partitioned ONLY by these funnels
+    * corpus/|enum| rows through each task's sort — the q209 round-9
+    * hazard: correct and fast at sf0.1, a single-task bottleneck at
+    * 100×. The per-group Ranks recipe (global range-partitioned
+    * prefix/rank minus broadcast per-group offsets) is the replacement.
+    * Sites whose per-group row count is bounded by construction (a
+    * window over an already-aggregated calendar/dimension grid) are
+    * pinned in ScalePatternSpec's allowlist with their bound. */
+  private val LowCardCols = Set("event_type", "lang", "source", "op",
+    "l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus",
+    "c_mktsegment", "r_name", "r_regionkey", "split")
+
+  /** Windows whose partition spec references ONLY ≤10-cardinality enum
+    * columns — name-based (an alias dodges it; the lint is a tripwire,
+    * not a proof). Returns the partition column lists per site. */
+  def lowCardWindows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LWindow if w.partitionSpec.nonEmpty =>
+        val refs = w.partitionSpec.flatMap(_.collect {
+          case a: AttributeReference => a.name.toLowerCase
+        }).distinct
+        if (refs.nonEmpty && refs.forall(LowCardCols)) Some(refs.mkString(","))
+        else None
+    }.flatten
+  }
+
   def lint(spark: SparkSession, dir: String,
       include: String => Boolean = _ => true): Seq[Finding] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
@@ -131,7 +160,9 @@ object PlanLint {
               .map(Finding(name, "broadcast-unbounded", _))
             val dist = distinctIntoIdempotentAgg(df)
               .map(Finding(name, "distinct-idempotent-agg", _))
-            wins ++ cart ++ bcast ++ dist
+            val lowCard = lowCardWindows(df)
+              .map(Finding(name, "low-card-window", _))
+            wins ++ cart ++ bcast ++ dist ++ lowCard
           } catch {
             case e: Throwable =>
               Seq(Finding(name, "error",

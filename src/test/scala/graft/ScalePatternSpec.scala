@@ -424,6 +424,10 @@ class ScalePatternSpec extends SparkSpec {
       "q162_mutual_information" -> "segment x priority contingency (25 cells)",
       "q163_roc_auc" -> "Ranks slice heads (<= partitions) + 2-class totals",
       "q164_ks_test" -> "Ranks slice heads (<= partitions)",
+      "q209_weighted_systematic_sample" ->
+        "Ranks per-bucket totals (<= partitions)",
+      "tx14_pack_sequences" ->
+        "Ranks per-bucket totals (<= partitions) + 5-row source offsets",
       "q165_seasonal_decompose" -> "day-grain series (calendar-bounded)",
       "q174_stl_anomaly" -> "day-grain series (calendar-bounded)",
       "q199_t_closeness" -> "sensitive-band grid (acctbal/1000 ~ a dozen values)",
@@ -443,11 +447,21 @@ class ScalePatternSpec extends SparkSpec {
       "tx20_mixture_rebalance" -> "per-source mixture weights (bounded enum)",
       "tx23_event_transitions" -> "event-type transition matrix (5x5)",
       "tx26_naive_bayes" -> "per-language priors/unk scores (bounded enum)")
+    // Windows partitioned ONLY by a <=10-value enum (the q209/tx14
+    // round-9/10 hazard: corpus/|enum| rows sort in ONE task at scale).
+    // Allowed only when the window's input is already an aggregate whose
+    // row count is bounded by construction — pinned here with the bound.
+    // A window over a FACT table partitioned by an enum fails this lint;
+    // the fix is the Ranks global-prefix-minus-offset recipe (q209, tx14).
+    val lowCardAllowed = Map(
+      "q70_stats_extended" -> "returnflag x distinct-quantity grid (~250 rows)",
+      "q89_share_of_total" -> "nation x region aggregate (25 rows)")
     val findings = graft.tools.PlanLint.lint(spark, "/root/testdata/sf0.001")
     val bad = findings.filter {
       case f if f.kind == "global-window" => !allowed.contains(f.query)
       case f if f.kind == "broadcast-unbounded" =>
         !broadcastAllowed.contains(f.query)
+      case f if f.kind == "low-card-window" => !lowCardAllowed.contains(f.query)
       case _ => true
     }
     assert(bad.isEmpty,
