@@ -800,6 +800,43 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // The TWO-LEVEL manifest (manifest-list layer), oracled end-to-end:
+    // four commits land as SEGMENTED appends — each writes one new
+    // segment plus a tiny pointer, O(delta) bytes, never re-rendering
+    // prior entries — and maxSegments=3 forces the fourth commit down
+    // the COLLAPSE path (one segment, retired segments swept), so both
+    // publish paths and the segment-resolving read are under one
+    // oracle: a row lost by a mis-carried segment reference, doubled by
+    // a bad collapse, or dropped by the sweep breaks the hash.
+    QuerySpec(
+      "a17_manifest_segments",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a17_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val docs = Tables.documents(s, dir)
+      (0 to 3).foreach { k =>
+        docs.where(col("doc_id") % 4 === k).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).option("maxsegments", "3")
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // The STREAMING half of the committer, oracled end-to-end: the
     // events stream drains through the epoch-idempotent V2 sink
     // (attempt-unique staging → deterministic epoch names → per-epoch

@@ -126,15 +126,79 @@ object ManifestSink {
   val ManifestName = "manifest.json"
   private val LockName = ".manifest.lock"
 
+  /** Default bound on manifest SEGMENTS before an append commit
+    * collapses them into one (Iceberg's `min-count-to-merge` trade):
+    * append commits write O(delta) bytes, and every `MaxSegments`-th
+    * commit pays one O(total) rewrite — amortized O(total/MaxSegments)
+    * per commit instead of O(total) every commit. */
+  private[sources] val DefaultMaxSegments = 32
+
   /** Committed (file, rows, per-column stats) entries per the
     * manifest — the manifest is self-describing, so a commit composes
     * the next manifest from these instead of re-counting every prior
     * file's lines (which would cost O(total corpus) per commit — per
     * EPOCH on the streaming path). Each entry is a FLAT JSON object
     * (`min.<col>` / `max.<col>` keys carry the file's column bounds),
-    * so the NDJSON codec parses it; entries never nest. */
+    * so the NDJSON codec parses it; entries never nest.
+    *
+    * TWO-LEVEL manifest (round 10, the manifest-list layer): the
+    * pointer `manifest.json` is tiny — `{"generation":g,"segments":
+    * ["seg-g000007.json",...]}` — and the entries live in IMMUTABLE
+    * segment files (`{"files":[...]}`), so an append commit writes one
+    * new segment plus the pointer (O(delta)) instead of re-rendering
+    * every entry (O(table)). Legacy single-file manifests (inline
+    * `"files"` array, no `"segments"`) stay fully readable. */
   private[sources] def committedEntries(dir: String): Seq[StagedFile] =
-    parseEntries(manifestText(dir, ManifestName))
+    resolveEntries(dir, manifestText(dir, ManifestName))
+
+  /** Entries of a pointer-or-legacy manifest text: segment-referenced
+    * entries first (list order), then any inline `files` entries. */
+  private[sources] def resolveEntries(dir: String, txt: String): Seq[StagedFile] =
+    segmentRefs(txt).flatMap(s => parseEntries(manifestText(dir, s))) ++
+      parseEntries(txt)
+
+  /** Segment file names referenced by a pointer manifest's
+    * `"segments":[...]` array — a STRING-AWARE scan (a legacy inline
+    * entry's string stat could contain the literal `"segments":[`; only
+    * the real depth-1 key counts). Empty for legacy manifests. */
+  private[sources] def segmentRefs(txt: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer[String]()
+    var i = 0; var depth = 0; var collecting = false
+    // Reads the string literal starting at txt(i) == '"'; leaves i one
+    // past the closing quote. Escapes only guard the terminator —
+    // segment names are written unescaped by us.
+    def readStr(): String = {
+      val sb = new java.lang.StringBuilder
+      i += 1
+      var esc = false
+      while (i < txt.length && (esc || txt.charAt(i) != '"')) {
+        if (esc) { sb.append(txt.charAt(i)); esc = false }
+        else if (txt.charAt(i) == '\\') esc = true
+        else sb.append(txt.charAt(i))
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    def ws(): Unit = while (i < txt.length && txt.charAt(i) <= ' ') i += 1
+    while (i < txt.length) {
+      txt.charAt(i) match {
+        case '"' =>
+          val s = readStr()
+          if (collecting) out += s
+          else if (depth == 1 && s == "segments") {
+            ws()
+            if (i < txt.length && txt.charAt(i) == ':') { i += 1; ws() }
+            if (i < txt.length && txt.charAt(i) == '[') { i += 1; collecting = true }
+          }
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case ']' => if (collecting) return out.toSeq else i += 1
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
 
   private[sources] def manifestText(dir: String, name: String): String = {
     val m = Paths.get(dir, name)
@@ -365,6 +429,9 @@ object ManifestSink {
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
       merge.flatten.foreach(f => Files.deleteIfExists(dirPath.resolve(f.name)))
+      // Compaction collapsed every prior segment into one fresh one —
+      // sweep the retired segments (and any crash orphans) now.
+      sweepSegments(dirPath)
       merge.map(_.size).sum
     }
   }
@@ -427,14 +494,34 @@ object ManifestSink {
   private[sources] def generationManifestName(gen: Long): String =
     f"manifest-g$gen%06d.json"
 
-  private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
-      generation: Long, tag: String, retain: Boolean = false): Unit = {
-    val files = entries.map(renderEntry).mkString("[", ",", "]")
-    val json = s"""{"generation":$generation,"files":$files}"""
+  private[sources] def segmentName(gen: Long, suffix: String = ""): String =
+    f"seg-g$gen%06d$suffix.json"
+
+  /** Write one immutable segment file holding `entries` — INVISIBLE
+    * until a pointer manifest names it, so a crash between segment
+    * write and pointer swap leaves only sweepable garbage. Written
+    * direct (not tmp+rename): the name is unique per generation and
+    * nothing references it yet. */
+  private[sources] def writeSegment(dir: Path, name: String,
+      entries: Seq[StagedFile]): Unit = {
+    val json =
+      s"""{"files":${entries.map(renderEntry).mkString("[", ",", "]")}}"""
+    Files.write(dir.resolve(name), json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The pointer-manifest swap — the single instant a commit becomes
+    * visible. Pointer carries ONLY the generation and segment names, so
+    * its size is O(#segments), never O(entries). Callers delete retired
+    * data files and sweep retired segments only AFTER this returns. */
+  private[sources] def writePointer(dir: Path, segments: Seq[String],
+      generation: Long, tag: String, retain: Boolean): Unit = {
+    val segs = segments.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val json = s"""{"generation":$generation,"segments":$segs}"""
     // Snapshot retention (time travel): the generation-numbered copy is
     // written BEFORE the pointer swap — a crash between the two leaves
     // a dangling gen file (harmless; replaced on retry), never a
-    // current pointer whose snapshot is missing.
+    // current pointer whose snapshot is missing. Segments are immutable,
+    // so the copy stays resolvable until expireSnapshots drops it.
     if (retain)
       Files.write(dir.resolve(generationManifestName(generation)),
         json.getBytes(StandardCharsets.UTF_8))
@@ -442,6 +529,68 @@ object ManifestSink {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** FULL rewrite: all entries into ONE fresh segment + pointer swap —
+    * the collapse path (truncate, compaction, entry retirement, and
+    * every `MaxSegments`-th append). Callers holding the lock sweep
+    * retired segments afterwards via [[sweepSegments]]. */
+  private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
+      generation: Long, tag: String, retain: Boolean = false): Unit = {
+    val segs =
+      if (entries.isEmpty) Nil
+      else {
+        val sn = segmentName(generation)
+        writeSegment(dir, sn, entries)
+        Seq(sn)
+      }
+    writePointer(dir, segs, generation, tag, retain)
+  }
+
+  /** APPEND publish, the O(delta) path: prior segments are carried BY
+    * NAME (never re-read or re-rendered), surviving legacy inline
+    * entries migrate into a one-time segment, and the delta gets its
+    * own segment. Total bytes written: O(delta + #segments). */
+  private[sources] def publishDelta(dir: Path, carrySegments: Seq[String],
+      migrated: Seq[StagedFile], delta: Seq[StagedFile],
+      generation: Long, tag: String, retain: Boolean): Unit = {
+    val mig =
+      if (migrated.isEmpty) Nil
+      else {
+        val sn = segmentName(generation, "-m")
+        writeSegment(dir, sn, migrated)
+        Seq(sn)
+      }
+    val dseg =
+      if (delta.isEmpty) Nil
+      else {
+        val sn = segmentName(generation)
+        writeSegment(dir, sn, delta)
+        Seq(sn)
+      }
+    writePointer(dir, carrySegments ++ mig ++ dseg, generation, tag, retain)
+  }
+
+  /** GC segment files no manifest references — the current pointer and
+    * every retained generation manifest keep theirs; everything else
+    * (collapsed-away segments, crash orphans) is deleted. Runs under
+    * the publish lock, so no committer is mid-publish. One directory
+    * listing per sweep — called only on the already-O(total) collapse
+    * paths, never per append. Returns files deleted. */
+  private[sources] def sweepSegments(dir: Path): Int = {
+    val refs = collection.mutable.Set[String]()
+    val manifestRe = "manifest(-g\\d+)?\\.json".r
+    val ls = Files.list(dir)
+    val (segs, manifests) =
+      try {
+        val names = ls.iterator().asScala().map(_.getFileName.toString).toSeq
+        (names.filter(n => n.startsWith("seg-") && n.endsWith(".json")),
+          names.filter(manifestRe.matches(_)))
+      } finally ls.close()
+    manifests.foreach(m => refs ++= segmentRefs(manifestText(dir.toString, m)))
+    val doomed = segs.filterNot(refs.contains)
+    doomed.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    doomed.size
   }
 
   /** Entries of a RETAINED generation (`versionAsOf` reads). The
@@ -454,7 +603,7 @@ object ManifestSink {
     case Some(v) =>
       val genFile = Paths.get(dir, generationManifestName(v))
       if (Files.exists(genFile))
-        parseEntries(manifestText(dir, generationManifestName(v)))
+        resolveEntries(dir, manifestText(dir, generationManifestName(v)))
       else if (v == committedGeneration(dir)) committedEntries(dir)
       else throw new IllegalArgumentException(
         s"generation $v of $dir is not retained (write with " +
@@ -482,15 +631,17 @@ object ManifestSink {
       val cutoff = current - keepLast + 1
       val (drop, keep) = gens.partition(_ < cutoff)
       val referenced = (keep.map(g =>
-          parseEntries(manifestText(dir, generationManifestName(g)))) :+
+          resolveEntries(dir, manifestText(dir, generationManifestName(g)))) :+
         committedEntries(dir)).flatten.map(_.name).toSet
       val doomed = drop
-        .flatMap(g => parseEntries(manifestText(dir, generationManifestName(g))))
+        .flatMap(g => resolveEntries(dir, manifestText(dir, generationManifestName(g))))
         .map(_.name).distinct
         .filterNot(referenced.contains)
       doomed.foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
       drop.foreach(g =>
         Files.deleteIfExists(dirPath.resolve(generationManifestName(g))))
+      // Segments referenced only by the dropped generations go with them.
+      sweepSegments(dirPath)
       (doomed.size, drop.size)
     }
   }
@@ -779,8 +930,14 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // forever. Ignored in retention mode, where older generations still
     // reference the files compaction would delete.
     val autoCompact = info.options().getLong("autocompactrows", 0L)
+    // maxSegments bounds the two-level manifest's segment list: append
+    // commits write O(delta) until the list reaches this, then one
+    // commit collapses to a single segment (amortized O(total/max)).
+    val maxSegments = info.options().getInt("maxsegments",
+      ManifestSink.DefaultMaxSegments)
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
-      truncate = false, retain = retain, autoCompactRows = autoCompact)
+      truncate = false, retain = retain, autoCompactRows = autoCompact,
+      maxSegments = maxSegments)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1083,18 +1240,21 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
 
 private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
-    autoCompactRows: Long = 0L)
+    autoCompactRows: Long = 0L,
+    maxSegments: Int = ManifestSink.DefaultMaxSegments)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
-      autoCompactRows)
+      autoCompactRows, maxSegments)
 
   override def buildForBatch(): BatchWrite =
-    new ManifestBatchWrite(path, schema, queryId, truncate, retain)
+    new ManifestBatchWrite(path, schema, queryId, truncate, retain,
+      maxSegments)
 
   override def buildForStreaming(): StreamingWrite =
-    new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows)
+    new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
+      maxSegments)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -1107,7 +1267,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
   * [[NdjsonDataWriter]]) — only the final name is deterministic. That is
   * the V2-native version of the foreachBatch idempotent-upsert recipe. */
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
-    queryId: String, retain: Boolean = false, autoCompactRows: Long = 0L)
+    queryId: String, retain: Boolean = false, autoCompactRows: Long = 0L,
+    maxSegments: Int = ManifestSink.DefaultMaxSegments)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1129,15 +1290,34 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       // rows come from the manifest itself (no per-epoch re-count).
       val generation = ManifestSink.committedGeneration(path)
       val epochPrefix = f"part-e$epochId%05d-"
-      val (stale, prior) = ManifestSink.committedEntries(path)
+      val txt = ManifestSink.manifestText(path, ManifestSink.ManifestName)
+      val segNames = ManifestSink.segmentRefs(txt)
+      val segEntries = segNames.flatMap(s =>
+        ManifestSink.parseEntries(ManifestSink.manifestText(path, s)))
+      val inline = ManifestSink.parseEntries(txt)
+      val (stale, prior) = (segEntries ++ inline)
         .partition(_.name.startsWith(epochPrefix))
       val winnerNames = winners.map(_.name).toSet
       winners.foreach { f =>
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
-      ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
-        s"$queryId.$epochId", retain)
+      // A FIRST-attempt epoch (no stale entries anywhere, segment count
+      // under the collapse bound) publishes O(delta): carry segments by
+      // name, migrate surviving legacy inline entries once, append the
+      // epoch's files as one new segment. A REPLAY (stale entries to
+      // retire — possibly buried inside carried segments) or the
+      // every-MaxSegments-th commit collapses to one segment instead.
+      val segStale = segEntries.exists(_.name.startsWith(epochPrefix))
+      if (!segStale && segNames.size < maxSegments) {
+        ManifestSink.publishDelta(dir, segNames,
+          inline.filterNot(_.name.startsWith(epochPrefix)),
+          winners.toSeq, generation + 1, s"$queryId.$epochId", retain)
+      } else {
+        ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
+          s"$queryId.$epochId", retain)
+        ManifestSink.sweepSegments(dir)
+      }
       // Retired first-attempt files are deleted only AFTER the swap:
       // before it the old manifest still references them; after it they
       // are unreferenced garbage, so this delete is idempotent GC that a
@@ -1195,7 +1375,8 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Nil, bytes: Long = -1L) extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
-    queryId: String, truncate: Boolean, retain: Boolean = false)
+    queryId: String, truncate: Boolean, retain: Boolean = false,
+    maxSegments: Int = ManifestSink.DefaultMaxSegments)
     extends BatchWrite {
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
@@ -1219,7 +1400,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // replaces the file in place, so the manifest must carry the new
       // entry only, not both.
       val winnerNames = winners.map(_.name).toSet
-      val priorAll = ManifestSink.committedEntries(path)
+      val txt = ManifestSink.manifestText(path, ManifestSink.ManifestName)
+      val segNames = ManifestSink.segmentRefs(txt)
+      val segEntries = segNames.flatMap(s =>
+        ManifestSink.parseEntries(ManifestSink.manifestText(path, s)))
+      val inline = ManifestSink.parseEntries(txt)
+      val priorAll = segEntries ++ inline
       val prior =
         if (truncate) Seq.empty
         else priorAll.filterNot(f => winnerNames.contains(f.name))
@@ -1227,8 +1413,21 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
-      ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
-        queryId, retain)
+      // O(delta) append when no carried segment needs an entry removed
+      // and the segment count stays under the collapse bound; otherwise
+      // a full single-segment rewrite (truncate, a name collision inside
+      // a segment, or the every-MaxSegments-th merge).
+      val segTouched = segEntries.exists(e => winnerNames.contains(e.name))
+      if (!truncate && !segTouched &&
+          segNames.size < maxSegments) {
+        ManifestSink.publishDelta(dir, segNames,
+          inline.filterNot(f => winnerNames.contains(f.name)),
+          winners.toSeq, generation + 1, queryId, retain)
+      } else {
+        ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
+          queryId, retain)
+        ManifestSink.sweepSegments(dir)
+      }
       if (truncate && !retain) {
         // Truncate semantics: prior commits' files leave the directory —
         // but only AFTER the manifest swap stopped referencing them

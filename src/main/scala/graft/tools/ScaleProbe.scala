@@ -270,19 +270,49 @@ object ScaleProbe {
         .outputMode("append").start()
       try {
         var wallNs = 0L
+        // Per-epoch commit WRITE cost for the two-level manifest: the
+        // pointer (rewritten every commit) plus segments that appeared
+        // this epoch — the O(delta) claim, measured. A segment from an
+        // earlier epoch being re-written would surface here as a size
+        // change under an existing name (tracked via the size map).
+        var prevSegs = Map.empty[String, Long]
+        var writtenBytes = 0L
+        def listSegs(): Map[String, Long] = {
+          val p = java.nio.file.Paths.get(dir)
+          if (!java.nio.file.Files.exists(p)) return Map.empty
+          val ls = java.nio.file.Files.list(p)
+          try {
+            val it = ls.iterator()
+            val b = collection.mutable.Map[String, Long]()
+            while (it.hasNext) {
+              val f = it.next()
+              val n = f.getFileName.toString
+              if (n.startsWith("seg-") && n.endsWith(".json"))
+                b(n) = java.nio.file.Files.size(f)
+            }
+            b.toMap
+          } finally ls.close()
+        }
         (1 to epochs).foreach { e =>
           val t0 = System.nanoTime()
           mem.addData((1 to rowsPerEpoch).map(i =>
             (e.toLong * 1000 + i, i.toLong)))
           q.processAllAvailable()
           wallNs += System.nanoTime() - t0
+          val pointerBytes = java.nio.file.Files.size(
+            java.nio.file.Paths.get(dir, graft.sources.ManifestSink.ManifestName))
+          val segs = listSegs()
+          writtenBytes += pointerBytes +
+            segs.collect { case (n, sz) if !prevSegs.get(n).contains(sz) => sz }.sum
+          prevSegs = segs
           if (e % 30 == 0 || e == 1) {
-            val mBytes = java.nio.file.Files.size(
-              java.nio.file.Paths.get(dir, graft.sources.ManifestSink.ManifestName))
+            val mBytes = pointerBytes + segs.values.sum
             val entries = graft.sources.ManifestSink.committedFiles(dir).size
             println(s"""{"probe":"manifest_growth","auto_compact_rows":$auto,""" +
               s""""epoch":$e,"manifest_bytes":$mBytes,"entries":$entries,""" +
+              s""""segments":${segs.size},""" +
               s""""rows":${graft.sources.ManifestSink.committedRowCount(dir)},""" +
+              f""""mean_commit_write_bytes":${writtenBytes.toDouble / e}%.0f,""" +
               f""""mean_epoch_ms":${wallNs / 1e6 / e}%.1f}""")
           }
         }

@@ -596,4 +596,177 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       StructField("b", LongType),
       StructField("c", StringType))), s"inferred: $inferred")
   }
+
+  // --- two-level (segmented) manifest -----------------------------------
+
+  /** Stage one single-row file and batch-commit it. */
+  private def appendOne(dir: String, q: String, name: String,
+      maxSegments: Int = ManifestSink.DefaultMaxSegments): Unit = {
+    val staging = Files.createDirectories(Paths.get(dir, s".staging-$q"))
+    Files.write(staging.resolve(name),
+      "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+    new ManifestBatchWrite(dir, schema, q, truncate = false,
+      maxSegments = maxSegments)
+      .commit(Array(StagedFile(name, 1L)))
+  }
+
+  private def pointerText(dir: String): String =
+    ManifestSink.manifestText(dir, ManifestSink.ManifestName)
+
+  private def segFilesOnDisk(dir: String): Seq[String] = {
+    val ls = Files.list(Paths.get(dir))
+    try {
+      val it = ls.iterator()
+      val buf = collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("seg-") && n.endsWith(".json")) buf += n
+      }
+      buf.toSeq.sorted
+    } finally ls.close()
+  }
+
+  test("append commits write O(delta): prior segments carried by name, unchanged") {
+    // The manifest-list layer: each append writes ONE new segment plus a
+    // tiny pointer; the prior segments are referenced, never re-rendered.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    appendOne(dir, "s1", "part-00000-1.ndjson")
+    appendOne(dir, "s2", "part-00000-2.ndjson")
+    val seg1 = ManifestSink.segmentRefs(pointerText(dir)).head
+    val seg1Bytes = Files.readAllBytes(Paths.get(dir, seg1)).toSeq
+    appendOne(dir, "s3", "part-00000-3.ndjson")
+
+    val ptr = pointerText(dir)
+    val segs = ManifestSink.segmentRefs(ptr)
+    assert(segs.size == 3, s"one segment per append commit: $segs")
+    // The pointer is O(#segments): segment names only, no entry objects.
+    assert(!ptr.contains("\"rows\""), s"pointer must not inline entries: $ptr")
+    // Immutability: the first commit's segment is byte-identical after
+    // two more commits — O(delta) means untouched, not rewritten.
+    assert(Files.readAllBytes(Paths.get(dir, seg1)).toSeq == seg1Bytes,
+      "a carried segment must never be rewritten by an append")
+    // The delta segment holds ONLY the new entry.
+    assert(ManifestSink.parseEntries(
+      ManifestSink.manifestText(dir, segs.last)).map(_.name) ==
+      Seq("part-00000-3.ndjson"))
+    assert(ManifestSink.committedFiles(dir).sorted == Seq(
+      "part-00000-1.ndjson", "part-00000-2.ndjson", "part-00000-3.ndjson"))
+    assert(ManifestSink.committedRowCount(dir) == 3L)
+  }
+
+  test("legacy inline manifest migrates into a segment on first append") {
+    // Pre-segmentation tables carry entries inline in manifest.json;
+    // the first append moves them into a one-time migration segment so
+    // later appends never re-render them again.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    writeManifest(dir, "part-old-1.ndjson" -> 5L, "part-old-2.ndjson" -> 7L)
+    appendOne(dir, "m1", "part-00000-9.ndjson")
+
+    val segs = ManifestSink.segmentRefs(pointerText(dir))
+    assert(segs.size == 2, s"migration + delta segments expected: $segs")
+    assert(ManifestSink.parseEntries(pointerText(dir)).isEmpty,
+      "no inline entries may remain after migration")
+    assert(ManifestSink.committedRowCount(dir) == 13L)
+    assert(ManifestSink.committedFiles(dir).sorted == Seq(
+      "part-00000-9.ndjson", "part-old-1.ndjson", "part-old-2.ndjson"))
+  }
+
+  test("segment list collapses at maxSegments; retired segments are swept") {
+    // Unbounded segment accretion would just move the manifest-growth
+    // problem down a level: every maxSegments-th commit collapses the
+    // list to ONE segment (amortized O(total/max) write cost) and the
+    // collapsed-away segment files leave the directory.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    (1 to 5).foreach(i =>
+      appendOne(dir, s"c$i", s"part-0000$i-1.ndjson", maxSegments = 3))
+    // Commits 1-3 append (1,2,3 segments); commit 4 sees 3 ≥ max →
+    // collapse to 1; commit 5 appends → 2.
+    val segs = ManifestSink.segmentRefs(pointerText(dir))
+    assert(segs.size == 2, s"collapse must bound the list: $segs")
+    assert(segFilesOnDisk(dir) == segs.sorted,
+      s"retired segments must be swept: disk=${segFilesOnDisk(dir)} refs=$segs")
+    assert(ManifestSink.committedRowCount(dir) == 5L)
+    assert(ManifestSink.committedFiles(dir).size == 5)
+  }
+
+  test("epoch replay retires stale entries buried inside carried segments") {
+    // A replayed epoch's first-attempt entries live inside an immutable
+    // carried segment — the append fast path cannot retire them, so the
+    // commit must fall back to a collapse that can. (The all-inline
+    // variant of this invariant is the earlier epoch-replay test.)
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val e1a = "part-e00001-00000.ndjson"
+    val e1b = "part-e00001-00001.ndjson"
+    val sw = new ManifestStreamingWrite(dir, schema, "qr")
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qr"))
+    Seq(e1a, e1b).foreach { n =>
+      Files.write(staging.resolve(n),
+        "{\"id\":0}\n".getBytes(StandardCharsets.UTF_8))
+    }
+    sw.commit(1L, Array(StagedFile(e1a, 1L), StagedFile(e1b, 1L)))
+    assert(ManifestSink.segmentRefs(pointerText(dir)).nonEmpty,
+      "epoch commit must publish as a segment")
+    // Replay of epoch 1 with ONE partition: e1b must leave the table.
+    Files.write(staging.resolve(e1a),
+      "{\"id\":1}\n{\"id\":2}\n".getBytes(StandardCharsets.UTF_8))
+    sw.commit(1L, Array(StagedFile(e1a, 2L)))
+    assert(ManifestSink.committedEntries(dir) == Seq(StagedFile(e1a, 2L)),
+      s"stale segment entries must be retired: ${ManifestSink.committedEntries(dir)}")
+    assert(!Files.exists(Paths.get(dir, e1b)),
+      "first attempt's extra file must be deleted")
+    // The collapse swept the first attempt's segment.
+    assert(segFilesOnDisk(dir) ==
+      ManifestSink.segmentRefs(pointerText(dir)).sorted)
+  }
+
+  test("compaction sweeps crash-orphaned segments, keeps referenced ones") {
+    // A crash between segment write and pointer swap leaves an orphan
+    // segment no manifest references; the next collapse (compaction
+    // here) sweeps it. Segments the pointer still references survive.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    (1 to 3).foreach { i =>
+      Files.write(Paths.get(dir, s"part-0000$i-1.ndjson"),
+        "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+      appendOne(dir, s"o$i", s"part-0000$i-1.ndjson")
+    }
+    Files.write(Paths.get(dir, "seg-g000099.json"),
+      """{"files":[{"name":"ghost.ndjson","rows":9}]}"""
+        .getBytes(StandardCharsets.UTF_8))
+    assert(ManifestSink.committedRowCount(dir) == 3L,
+      "an unreferenced segment must be invisible to readers")
+    assert(ManifestSink.compact(dir, 10L) == 3)
+    assert(!Files.exists(Paths.get(dir, "seg-g000099.json")),
+      "orphan segment must be swept by the collapse")
+    assert(segFilesOnDisk(dir) ==
+      ManifestSink.segmentRefs(pointerText(dir)).sorted)
+    assert(ManifestSink.committedRowCount(dir) == 3L)
+  }
+
+  test("time travel resolves segmented generations; expire sweeps their segments") {
+    // Retained generation manifests are pointer COPIES referencing
+    // immutable segments — versionAsOf must resolve through them, and
+    // expireSnapshots must release segments only the dropped
+    // generations referenced.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    (1 to 3).foreach { i =>
+      val staging = Files.createDirectories(Paths.get(dir, s".staging-r$i"))
+      Files.write(staging.resolve(s"part-0000$i-1.ndjson"),
+        "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+      new ManifestBatchWrite(dir, schema, s"r$i", truncate = false,
+        retain = true).commit(Array(StagedFile(s"part-0000$i-1.ndjson", 1L)))
+    }
+    assert(ManifestSink.committedEntriesAt(dir, Some(1L)).map(_.name) ==
+      Seq("part-00001-1.ndjson"), "gen 1 must resolve via its segment")
+    assert(ManifestSink.committedEntriesAt(dir, Some(2L)).size == 2)
+    val (gone, dropped) = ManifestSink.expireSnapshots(dir, keepLast = 1)
+    assert(dropped == 2)
+    assert(gone == 0, "all data files still referenced by the current gen")
+    // Segments referenced by the current pointer survive; none dangle.
+    assert(segFilesOnDisk(dir).toSet ==
+      ManifestSink.segmentRefs(pointerText(dir)).toSet)
+    assert(ManifestSink.committedRowCount(dir) == 3L)
+    intercept[IllegalArgumentException] {
+      ManifestSink.committedEntriesAt(dir, Some(1L))
+    }
+  }
 }
