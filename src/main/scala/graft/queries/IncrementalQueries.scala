@@ -873,6 +873,58 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
     },
 
+    // STREAMING LSH bucket index — the state an incremental near-dup
+    // pipeline (dd13's daily-crawl shape) maintains continuously: each
+    // arriving document's portable MinHash signature splits into band
+    // slices, and a streaming aggregation keyed by (band, slice) keeps
+    // the bucket's anchor (min doc_id) and occupancy. Buckets with
+    // n_docs ≥ 2 ARE the candidate pairs the batch verifier consumes —
+    // so the oracle replays the batch MinHash pipeline (same md5
+    // shingles, same SplitMix64 coefficients) and aggregates its bands
+    // CTE directly: stream state ≡ batch group-by, order-insensitive by
+    // construction (min/count commute with arrival order). State is
+    // bounded by DISTINCT buckets (≤ docs × bands), each a fixed-width
+    // row — the registry a 100 TB corpus shards by bucket hash, never
+    // by document. The band key rides as the minima CSV (portable,
+    // engine-stable) rather than an engine hash.
+    QuerySpec(
+      "st27_stream_lsh_index",
+      CurationQueries.minhashPortableOracle(k = 5, numHashes = 16,
+        bands = 4, threshold = 0.8, maxDocId = 1000L,
+        candStage = "SELECT NULL::BIGINT AS id1, NULL::BIGINT AS id2 WHERE FALSE",
+        tail =
+          """SELECT CAST(bb AS BIGINT) AS bb,
+            |  array_to_string(band, ',') AS band_key,
+            |  min(doc_id)::BIGINT AS anchor_doc, count(*)::BIGINT AS n_docs
+            |FROM bands GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)) { (s, dir) =>
+      import graft.operators.{Dedup, TextAnalysis}
+      val rowsPerBand = 4
+      val docSchema = s.read
+        .option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+      val docs = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(col("doc_id") < 1000)
+      // Chained projections keep each stage an attribute (the shingles
+      // evaluation contract): normalize once, hash once, sign once.
+      val sigs = docs
+        .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("__norm"))
+        .select(col("doc_id"), Dedup.shingleHashesPortable(col("__norm"), 5).as("__h"))
+        .select(col("doc_id"), Dedup.minhashSignature(col("__h"), 16).as("__sig"))
+      val bandsDf = sigs.select(col("doc_id"),
+        posexplode_outer(transform(sequence(lit(0), lit(3)),
+          b => slice(col("__sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))))
+          .as(Seq("bb", "__band")))
+      val idx = bandsDf
+        .select(col("bb").cast("long").as("bb"),
+          array_join(expr("transform(__band, x -> cast(x as string))"), ",")
+            .as("band_key"),
+          col("doc_id"))
+        .groupBy("bb", "band_key")
+        .agg(min(col("doc_id")).as("anchor_doc"), count(lit(1)).as("n_docs"))
+      graft.streaming.Streams.runToTable(idx, "st27_mem", "complete")
+        .where(col("n_docs") >= 2)
+    },
+
     // WEIGHTED sampling with exact-integer selection — the mixture-
     // construction primitive q201's unweighted reservoir can't express
     // (sampling proportional to value/importance weights, e.g. DSIR
