@@ -152,53 +152,92 @@ object ManifestSink {
     resolveEntries(dir, manifestText(dir, ManifestName))
 
   /** Entries of a pointer-or-legacy manifest text: segment-referenced
-    * entries first (list order), then any inline `files` entries. */
+    * entries first (list order), then any inline `files` entries.
+    * Referenced segments read STRICTLY — a missing segment file throws
+    * instead of silently vanishing its committed entries (the same
+    * data-invisibility class as the round-9 brace bug; an absent
+    * pointer is an empty table, an absent referenced segment is
+    * corruption or a concurrent-GC race and must be loud). */
   private[sources] def resolveEntries(dir: String, txt: String): Seq[StagedFile] =
-    segmentRefs(txt).flatMap(s => parseEntries(manifestText(dir, s))) ++
-      parseEntries(txt)
+    segmentRefsFull(txt).flatMap(r =>
+      parseEntries(segmentTextStrict(dir, r.name))) ++ parseEntries(txt)
 
-  /** Segment file names referenced by a pointer manifest's
-    * `"segments":[...]` array — a STRING-AWARE scan (a legacy inline
-    * entry's string stat could contain the literal `"segments":[`; only
-    * the real depth-1 key counts). Empty for legacy manifests. */
-  private[sources] def segmentRefs(txt: String): Seq[String] = {
-    val out = collection.mutable.ArrayBuffer[String]()
-    var i = 0; var depth = 0; var collecting = false
-    // Reads the string literal starting at txt(i) == '"'; leaves i one
-    // past the closing quote. Escapes only guard the terminator —
-    // segment names are written unescaped by us.
-    def readStr(): String = {
-      val sb = new java.lang.StringBuilder
-      i += 1
-      var esc = false
-      while (i < txt.length && (esc || txt.charAt(i) != '"')) {
-        if (esc) { sb.append(txt.charAt(i)); esc = false }
-        else if (txt.charAt(i) == '\\') esc = true
-        else sb.append(txt.charAt(i))
-        i += 1
-      }
-      i += 1
-      sb.toString
-    }
-    def ws(): Unit = while (i < txt.length && txt.charAt(i) <= ' ') i += 1
-    while (i < txt.length) {
-      txt.charAt(i) match {
-        case '"' =>
-          val s = readStr()
-          if (collecting) out += s
-          else if (depth == 1 && s == "segments") {
-            ws()
-            if (i < txt.length && txt.charAt(i) == ':') { i += 1; ws() }
-            if (i < txt.length && txt.charAt(i) == '[') { i += 1; collecting = true }
-          }
-        case '{' => depth += 1; i += 1
-        case '}' => depth -= 1; i += 1
-        case ']' => if (collecting) return out.toSeq else i += 1
-        case _ => i += 1
-      }
-    }
-    out.toSeq
+  private[sources] def segmentTextStrict(dir: String, name: String): String = {
+    val p = Paths.get(dir, name)
+    if (!Files.exists(p))
+      throw new java.io.UncheckedIOException(
+        s"manifest references segment $name but it is missing from $dir — " +
+          "either corruption or a concurrent compact/truncate/" +
+          "expireSnapshots retired the snapshot this read resolved",
+        new java.nio.file.NoSuchFileException(p.toString))
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
   }
+
+  /** One reference in the pointer's `segments` array. `summary` is the
+    * segment-level rollup (rows/bytes totals + column bounds merged
+    * across the segment's entries, rendered in the SAME flat shape as a
+    * file entry) — the manifest-list idea: a filtered scan tests the
+    * summary FIRST and skips reading the whole segment file when no
+    * entry inside can match. None for legacy name-only references,
+    * which are then always read (skipping is an optimization, never a
+    * correctness dependency). */
+  private[sources] final case class SegmentRef(name: String,
+      summary: Option[StagedFile])
+
+  /** References of a pointer manifest's `"segments":[...]` array —
+    * bare-string elements (legacy, name only) and summary objects both
+    * parse; string-aware throughout (summary string bounds may contain
+    * any character, including braces and brackets). Empty for legacy
+    * single-file manifests. */
+  private[sources] def segmentRefsFull(txt: String): Seq[SegmentRef] =
+    arrayText(txt, "segments") match {
+      case None => Nil
+      case Some(raw) =>
+        val out = collection.mutable.ArrayBuffer[SegmentRef]()
+        var i = 0
+        while (i < raw.length) {
+          raw.charAt(i) match {
+            case '"' =>
+              val sb = new java.lang.StringBuilder
+              i += 1
+              var esc = false
+              while (i < raw.length && (esc || raw.charAt(i) != '"')) {
+                if (esc) { sb.append(raw.charAt(i)); esc = false }
+                else if (raw.charAt(i) == '\\') esc = true
+                else sb.append(raw.charAt(i))
+                i += 1
+              }
+              i += 1
+              out += SegmentRef(sb.toString, None)
+            case '{' =>
+              val start = i
+              var d = 0; var inStr = false; var esc = false
+              var end = -1
+              while (i < raw.length && end < 0) {
+                val c = raw.charAt(i)
+                if (inStr) {
+                  if (esc) esc = false
+                  else if (c == '\\') esc = true
+                  else if (c == '"') inStr = false
+                } else c match {
+                  case '"' => inStr = true
+                  case '{' => d += 1
+                  case '}' => d -= 1; if (d == 0) end = i
+                  case _ =>
+                }
+                i += 1
+              }
+              if (end > start)
+                parseEntryObj(raw.substring(start, end + 1))
+                  .foreach(sf => out += SegmentRef(sf.name, Some(sf)))
+            case _ => i += 1
+          }
+        }
+        out.toSeq
+    }
+
+  private[sources] def segmentRefs(txt: String): Seq[String] =
+    segmentRefsFull(txt).map(_.name)
 
   private[sources] def manifestText(dir: String, name: String): String = {
     val m = Paths.get(dir, name)
@@ -239,8 +278,67 @@ object ManifestSink {
     objs.toSeq
   }
 
-  private[sources] def parseEntries(txt: String): Seq[StagedFile] =
-    entryObjects(txt).flatMap { obj =>
+  /** Raw inner text of the depth-1 `"key":[ ... ]` array, string-aware
+    * (braces/brackets inside string literals are data): None when the
+    * key is absent. Entries are flat objects, so the only structural
+    * nesting inside the array is one brace level. */
+  private[sources] def arrayText(txt: String, key: String): Option[String] = {
+    var i = 0; var depth = 0
+    def readStr(): String = {
+      val sb = new java.lang.StringBuilder
+      i += 1
+      var esc = false
+      while (i < txt.length && (esc || txt.charAt(i) != '"')) {
+        if (esc) { sb.append(txt.charAt(i)); esc = false }
+        else if (txt.charAt(i) == '\\') esc = true
+        else sb.append(txt.charAt(i))
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    def ws(): Unit = while (i < txt.length && txt.charAt(i) <= ' ') i += 1
+    while (i < txt.length) {
+      txt.charAt(i) match {
+        case '"' =>
+          val s = readStr()
+          if (depth == 1 && s == key) {
+            ws()
+            if (i < txt.length && txt.charAt(i) == ':') { i += 1; ws() }
+            if (i < txt.length && txt.charAt(i) == '[') {
+              i += 1
+              val start = i
+              // Find the matching ']': only strings and flat objects
+              // occur inside, so track brace depth and string state.
+              var d = 0; var inStr = false; var esc = false
+              while (i < txt.length) {
+                val c = txt.charAt(i)
+                if (inStr) {
+                  if (esc) esc = false
+                  else if (c == '\\') esc = true
+                  else if (c == '"') inStr = false
+                } else c match {
+                  case '"' => inStr = true
+                  case '{' => d += 1
+                  case '}' => d -= 1
+                  case ']' if d == 0 => return Some(txt.substring(start, i))
+                  case _ =>
+                }
+                i += 1
+              }
+              return Some(txt.substring(start))
+            }
+          }
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** One flat entry object → StagedFile (None when malformed). */
+  private[sources] def parseEntryObj(obj: String): Option[StagedFile] = {
       val m = NdjsonCodec.parseLine(obj)
       m.get("name") match {
         case Some(NdjsonCodec.JsonStr(n)) =>
@@ -278,6 +376,18 @@ object ManifestSink {
           Some(StagedFile(n, rows, stats, bytes))
         case _ => None
       }
+    }
+
+  /** Entries of the manifest's `files` array ONLY — the pointer's
+    * `segments` array may carry summary OBJECTS (same flat shape) that
+    * must not be mistaken for file entries, so the object scan is
+    * scoped to the files array's raw text. */
+  private[sources] def parseEntries(txt: String): Seq[StagedFile] =
+    arrayText(txt, "files") match {
+      case None => Nil
+      // Re-wrapping puts the array's objects back at depth 2, which is
+      // what the brace scanner expects.
+      case Some(raw) => entryObjects("{" + raw + "}").flatMap(parseEntryObj)
     }
 
   /** Committed data files per the manifest — the only files a reader may
@@ -509,13 +619,27 @@ object ManifestSink {
     Files.write(dir.resolve(name), json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Segment-level rollup of freshly written entries — rows/bytes
+    * totals plus column bounds merged across the segment (conservative:
+    * a column absent from any entry drops out). Ride in the POINTER so
+    * a filtered scan prunes whole segments before reading them. */
+  private[sources] def summarize(segName: String,
+      entries: Seq[StagedFile]): StagedFile =
+    StagedFile(segName, entries.map(_.rows).sum,
+      mergeStats(entries.map(_.stats)),
+      if (entries.forall(_.bytes >= 0)) entries.map(_.bytes).sum else -1L)
+
   /** The pointer-manifest swap — the single instant a commit becomes
-    * visible. Pointer carries ONLY the generation and segment names, so
-    * its size is O(#segments), never O(entries). Callers delete retired
-    * data files and sweep retired segments only AFTER this returns. */
-  private[sources] def writePointer(dir: Path, segments: Seq[String],
+    * visible. Pointer carries the generation and one reference per
+    * segment (name + summary rollup), so its size is O(#segments),
+    * never O(entries). Callers delete retired data files and sweep
+    * retired segments only AFTER this returns. */
+  private[sources] def writePointer(dir: Path, segments: Seq[SegmentRef],
       generation: Long, tag: String, retain: Boolean): Unit = {
-    val segs = segments.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val segs = segments.map {
+      case SegmentRef(_, Some(sum)) => renderEntry(sum)
+      case SegmentRef(n, None) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     val json = s"""{"generation":$generation,"segments":$segs}"""
     // Snapshot retention (time travel): the generation-numbered copy is
     // written BEFORE the pointer swap — a crash between the two leaves
@@ -542,7 +666,7 @@ object ManifestSink {
       else {
         val sn = segmentName(generation)
         writeSegment(dir, sn, entries)
-        Seq(sn)
+        Seq(SegmentRef(sn, Some(summarize(sn, entries))))
       }
     writePointer(dir, segs, generation, tag, retain)
   }
@@ -551,7 +675,7 @@ object ManifestSink {
     * NAME (never re-read or re-rendered), surviving legacy inline
     * entries migrate into a one-time segment, and the delta gets its
     * own segment. Total bytes written: O(delta + #segments). */
-  private[sources] def publishDelta(dir: Path, carrySegments: Seq[String],
+  private[sources] def publishDelta(dir: Path, carrySegments: Seq[SegmentRef],
       migrated: Seq[StagedFile], delta: Seq[StagedFile],
       generation: Long, tag: String, retain: Boolean): Unit = {
     val mig =
@@ -559,14 +683,14 @@ object ManifestSink {
       else {
         val sn = segmentName(generation, "-m")
         writeSegment(dir, sn, migrated)
-        Seq(sn)
+        Seq(SegmentRef(sn, Some(summarize(sn, migrated))))
       }
     val dseg =
       if (delta.isEmpty) Nil
       else {
         val sn = segmentName(generation)
         writeSegment(dir, sn, delta)
-        Seq(sn)
+        Seq(SegmentRef(sn, Some(summarize(sn, delta))))
       }
     writePointer(dir, carrySegments ++ mig ++ dseg, generation, tag, retain)
   }
@@ -598,13 +722,18 @@ object ManifestSink {
     * one resolves only if it was written with `retainHistory` and not
     * yet expired. */
   private[sources] def committedEntriesAt(dir: String,
-      version: Option[Long]): Seq[StagedFile] = version match {
-    case None => committedEntries(dir)
+      version: Option[Long]): Seq[StagedFile] =
+    resolveEntries(dir, manifestTextAt(dir, version))
+
+  /** Manifest text of the requested generation: the current pointer, or
+    * a RETAINED generation copy (`versionAsOf` reads). */
+  private[sources] def manifestTextAt(dir: String,
+      version: Option[Long]): String = version match {
+    case None => manifestText(dir, ManifestName)
     case Some(v) =>
       val genFile = Paths.get(dir, generationManifestName(v))
-      if (Files.exists(genFile))
-        resolveEntries(dir, manifestText(dir, generationManifestName(v)))
-      else if (v == committedGeneration(dir)) committedEntries(dir)
+      if (Files.exists(genFile)) manifestText(dir, generationManifestName(v))
+      else if (v == committedGeneration(dir)) manifestText(dir, ManifestName)
       else throw new IllegalArgumentException(
         s"generation $v of $dir is not retained (write with " +
           "option retainHistory=true, and check expireSnapshots)")
@@ -630,11 +759,19 @@ object ManifestSink {
         finally ls.close()
       val cutoff = current - keepLast + 1
       val (drop, keep) = gens.partition(_ < cutoff)
-      val referenced = (keep.map(g =>
-          resolveEntries(dir, manifestText(dir, generationManifestName(g)))) :+
+      // Lenient per-generation resolve: compaction documents that it
+      // invalidates retained generations whose files it merges away —
+      // such a generation may reference an already-swept segment, and
+      // expire must still be able to CLEAN IT UP, not wedge on it. An
+      // unreadable generation was already unreadable for time travel,
+      // so treating its references as empty loses nothing live.
+      def entriesOf(g: Long): Seq[StagedFile] =
+        try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
+        catch { case _: java.io.UncheckedIOException => Seq.empty }
+      val referenced = (keep.map(entriesOf) :+
         committedEntries(dir)).flatten.map(_.name).toSet
       val doomed = drop
-        .flatMap(g => resolveEntries(dir, manifestText(dir, generationManifestName(g))))
+        .flatMap(entriesOf)
         .map(_.name).distinct
         .filterNot(referenced.contains)
       doomed.foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
@@ -1095,9 +1232,26 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  private def survivingEntries: Seq[StagedFile] =
-    ManifestSink.committedEntriesAt(path, version).filter(e =>
-      pushed.forall(f => ManifestStats.mayMatch(full, e, f)))
+  /** Entries surviving file skipping — with SEGMENT-level skipping
+    * first (the manifest-list idea): each segment reference's summary
+    * rollup is tested against the pushed filters, and a segment no
+    * entry of which can match is never READ — on an object store that
+    * is one metadata fetch saved per pruned segment per query, the same
+    * O(surviving) planning Iceberg gets from manifest-list bounds.
+    * Summary-less references (legacy pointers) are always read;
+    * entry-level skipping then re-tests every entry, so segment
+    * skipping is a pure optimization on top. */
+  private def survivingEntries: Seq[StagedFile] = {
+    def keep(e: StagedFile): Boolean =
+      pushed.forall(f => ManifestStats.mayMatch(full, e, f))
+    val txt = ManifestSink.manifestTextAt(path, version)
+    val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
+      if (r.summary.exists(s => !keep(s))) Nil
+      else ManifestSink.parseEntries(
+        ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
+    }
+    segEntries ++ ManifestSink.parseEntries(txt).filter(keep)
+  }
 
   /** Data-file size from the MANIFEST (recorded at write time) — the
     * plan must not pay O(files) filesystem round-trips per query on an
@@ -1291,9 +1445,9 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       val generation = ManifestSink.committedGeneration(path)
       val epochPrefix = f"part-e$epochId%05d-"
       val txt = ManifestSink.manifestText(path, ManifestSink.ManifestName)
-      val segNames = ManifestSink.segmentRefs(txt)
-      val segEntries = segNames.flatMap(s =>
-        ManifestSink.parseEntries(ManifestSink.manifestText(path, s)))
+      val segRefs = ManifestSink.segmentRefsFull(txt)
+      val segEntries = segRefs.flatMap(r =>
+        ManifestSink.parseEntries(ManifestSink.segmentTextStrict(path, r.name)))
       val inline = ManifestSink.parseEntries(txt)
       val (stale, prior) = (segEntries ++ inline)
         .partition(_.name.startsWith(epochPrefix))
@@ -1309,8 +1463,8 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       // retire — possibly buried inside carried segments) or the
       // every-MaxSegments-th commit collapses to one segment instead.
       val segStale = segEntries.exists(_.name.startsWith(epochPrefix))
-      if (!segStale && segNames.size < maxSegments) {
-        ManifestSink.publishDelta(dir, segNames,
+      if (!segStale && segRefs.size < maxSegments) {
+        ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(_.name.startsWith(epochPrefix)),
           winners.toSeq, generation + 1, s"$queryId.$epochId", retain)
       } else {
@@ -1401,9 +1555,9 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // entry only, not both.
       val winnerNames = winners.map(_.name).toSet
       val txt = ManifestSink.manifestText(path, ManifestSink.ManifestName)
-      val segNames = ManifestSink.segmentRefs(txt)
-      val segEntries = segNames.flatMap(s =>
-        ManifestSink.parseEntries(ManifestSink.manifestText(path, s)))
+      val segRefs = ManifestSink.segmentRefsFull(txt)
+      val segEntries = segRefs.flatMap(r =>
+        ManifestSink.parseEntries(ManifestSink.segmentTextStrict(path, r.name)))
       val inline = ManifestSink.parseEntries(txt)
       val priorAll = segEntries ++ inline
       val prior =
@@ -1419,8 +1573,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // a segment, or the every-MaxSegments-th merge).
       val segTouched = segEntries.exists(e => winnerNames.contains(e.name))
       if (!truncate && !segTouched &&
-          segNames.size < maxSegments) {
-        ManifestSink.publishDelta(dir, segNames,
+          segRefs.size < maxSegments) {
+        ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(f => winnerNames.contains(f.name)),
           winners.toSeq, generation + 1, queryId, retain)
       } else {

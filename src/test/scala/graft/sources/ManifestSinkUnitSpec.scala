@@ -639,8 +639,11 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     val ptr = pointerText(dir)
     val segs = ManifestSink.segmentRefs(ptr)
     assert(segs.size == 3, s"one segment per append commit: $segs")
-    // The pointer is O(#segments): segment names only, no entry objects.
-    assert(!ptr.contains("\"rows\""), s"pointer must not inline entries: $ptr")
+    // The pointer is O(#segments): segment references (name + summary
+    // rollup), never inline FILE entries.
+    assert(ManifestSink.parseEntries(ptr).isEmpty,
+      s"pointer must not inline file entries: $ptr")
+    assert(!ptr.contains("part-"), s"pointer must not name data files: $ptr")
     // Immutability: the first commit's segment is byte-identical after
     // two more commits — O(delta) means untouched, not rewritten.
     assert(Files.readAllBytes(Paths.get(dir, seg1)).toSeq == seg1Bytes,
@@ -740,6 +743,45 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(segFilesOnDisk(dir) ==
       ManifestSink.segmentRefs(pointerText(dir)).sorted)
     assert(ManifestSink.committedRowCount(dir) == 3L)
+  }
+
+  test("segment summaries prune whole segments UNREAD at plan time") {
+    // The manifest-list skip: each pointer reference carries the
+    // segment's merged column bounds, so a filtered scan tests the
+    // summary and never READS a segment no entry of which can match.
+    // Hard proof: the pruned segment file is DELETED from disk — if
+    // planning touched it, this would throw, not plan.
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    def commitRange(q: String, name: String, lo: Long, hi: Long): Unit = {
+      val staging = Files.createDirectories(Paths.get(dir, s".staging-$q"))
+      Files.write(staging.resolve(name),
+        s"""{"id":$lo}\n{"id":$hi}\n""".getBytes(StandardCharsets.UTF_8))
+      new ManifestBatchWrite(dir, schema, q, truncate = false)
+        .commit(Array(StagedFile(name, 2L,
+          Seq(ColStat("id", lo.toString, hi.toString)), 20L)))
+    }
+    commitRange("lo", "part-00000-1.ndjson", 1L, 10L)
+    commitRange("hi", "part-00000-2.ndjson", 100L, 110L)
+    // Both summaries ride the pointer with their merged id bounds.
+    val refs = ManifestSink.segmentRefsFull(pointerText(dir))
+    assert(refs.size == 2 && refs.forall(_.summary.exists(
+      _.stats.exists(_.col == "id"))), s"summaries missing: $refs")
+    val loSeg = refs.head.name
+    Files.delete(Paths.get(dir, loSeg)) // pruned segments must stay unread
+    import org.apache.spark.sql.sources.GreaterThan
+    val sb = new ManifestScanBuilder(dir, schema)
+    sb.pushFilters(Array(GreaterThan("id", 50L)))
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.map(_.asInstanceOf[ManifestFilePartition].file).toSeq ==
+      Seq(Paths.get(dir, "part-00000-2.ndjson").toString),
+      "only the surviving segment's files may plan")
+    // Without a filter the scan must READ the deleted segment and fail
+    // LOUDLY — a missing referenced segment silently vanishing its
+    // entries would be the brace-bug class again. This also proves the
+    // skip above was real, not a lucky empty read.
+    intercept[java.io.UncheckedIOException] {
+      new ManifestScanBuilder(dir, schema).build().toBatch.planInputPartitions()
+    }
   }
 
   test("time travel resolves segmented generations; expire sweeps their segments") {
