@@ -837,6 +837,46 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // PARTITIONED writes (the Hive/Iceberg layout idea on the manifest
+    // committer): the corpus is written with partitionBy=lang — each
+    // task emits one single-language file, whose manifest bounds record
+    // min == max for `lang` — so the IN-filtered read plans ONLY the
+    // two matching languages' files (pinned in IngestSpec: equality
+    // plans 1 file, deleted non-matching partitions stay unread). The
+    // oracle replays the same predicate against the source table, so a
+    // row mis-routed at write or a file wrongly pruned at read breaks
+    // the per-(lang, source) counts and hashes.
+    QuerySpec(
+      "a18_manifest_partitioned",
+      """SELECT lang, source, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_a18_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      // Repartition BY the partition column first (the documented
+      // pattern): each task holds whole languages, so the writer emits
+      // one file per (task, lang) without a small-files explosion.
+      Tables.documents(s, dir).repartition(col("lang"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).option("partitionBy", "lang")
+        .mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .where(col("lang").isin("en", "zh"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // The STREAMING half of the committer, oracled end-to-end: the
     // events stream drains through the epoch-idempotent V2 sink
     // (attempt-unique staging → deterministic epoch names → per-epoch

@@ -118,7 +118,14 @@ class ManifestSink extends TableProvider {
     val path = opts.get("path")
     require(path != null, "ManifestSink requires a 'path' option")
     val version = Option(opts.get("versionasof")).map(_.toLong)
-    new ManifestTable(path, schema, version)
+    // `df.write.partitionBy(...)` / catalog `PARTITIONED BY` arrive as
+    // identity transforms; only those are meaningful for this format.
+    val partCols = partitioning.toSeq.map { t =>
+      require(t.name == "identity",
+        s"ManifestSink supports identity partition transforms only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    new ManifestTable(path, schema, version, partCols)
   }
 }
 
@@ -1040,7 +1047,7 @@ private[sources] object NdjsonCodec {
 }
 
 private[sources] class ManifestTable(path: String, tableSchema: StructType,
-    version: Option[Long] = None)
+    version: Option[Long] = None, tablePartCols: Seq[String] = Nil)
     extends Table with SupportsWrite with SupportsRead {
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = tableSchema
@@ -1072,9 +1079,25 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // commit collapses to a single segment (amortized O(total/max)).
     val maxSegments = info.options().getInt("maxsegments",
       ManifestSink.DefaultMaxSegments)
+    // Partitioned writes: one file per partition TUPLE per task, whose
+    // min == max manifest bounds make the existing file skipping an
+    // EXACT partition pruner. Columns come from the write option (the
+    // path-based `.save()` route) or the table definition (catalog /
+    // `partitionBy` transforms); the option wins when both are set.
+    val partCols = Option(info.options().get("partitionby"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(tablePartCols)
+    partCols.foreach { c =>
+      val fld = info.schema().fields.find(_.name == c)
+      require(fld.isDefined,
+        s"partitionBy column '$c' is not in the written schema")
+      require(NdjsonCodec.statOrdering(fld.get.dataType).isDefined,
+        s"partitionBy column '$c' (${fld.get.dataType}) is not orderable — " +
+          "partition pruning needs min/max bounds")
+    }
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
-      maxSegments = maxSegments)
+      maxSegments = maxSegments, partCols = partCols)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1395,20 +1418,21 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
 private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     autoCompactRows: Long = 0L,
-    maxSegments: Int = ManifestSink.DefaultMaxSegments)
+    maxSegments: Int = ManifestSink.DefaultMaxSegments,
+    partCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
-      autoCompactRows, maxSegments)
+      autoCompactRows, maxSegments, partCols)
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
-      maxSegments)
+      maxSegments, partCols)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
-      maxSegments)
+      maxSegments, partCols)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -1422,19 +1446,20 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
   * the V2-native version of the foreachBatch idempotent-upsert recipe. */
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     queryId: String, retain: Boolean = false, autoCompactRows: Long = 0L,
-    maxSegments: Int = ManifestSink.DefaultMaxSegments)
+    maxSegments: Int = ManifestSink.DefaultMaxSegments,
+    partCols: Seq[String] = Nil)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path, s".staging-$queryId"))
-    new ManifestStreamingWriterFactory(path, queryId, schema)
+    new ManifestStreamingWriterFactory(path, queryId, schema, partCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     val staging = Paths.get(path, s".staging-$queryId")
-    val winners = messages.map(_.asInstanceOf[StagedFile])
+    val winners = StagedFileSet.all(messages)
     ManifestSink.withPublishLock(dir) {
       // Manifest composition keyed by EPOCH: a replayed epoch (failure
       // between sink commit and checkpoint advance) retires ALL of its
@@ -1495,18 +1520,23 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staging = Paths.get(path, s".staging-$queryId")
-    messages.collect { case f: StagedFile =>
+    StagedFileSet.all(messages.filter(_ != null)).foreach { f =>
       Files.deleteIfExists(staging.resolve(f.name))
     }
   }
 }
 
 private[sources] class ManifestStreamingWriterFactory(path: String,
-    queryId: String, schema: StructType) extends StreamingDataWriterFactory {
+    queryId: String, schema: StructType, partCols: Seq[String] = Nil)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-      Some(epochId))
+    if (partCols.isEmpty)
+      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
+        Some(epochId))
+    else
+      new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
+        partitionId, taskId, Some(epochId))
 }
 
 /** Per-file column bounds, parquet-footer style: `min`/`max` are the
@@ -1528,15 +1558,31 @@ private[sources] final case class ColStat(col: String, min: String,
 private[sources] final case class StagedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Nil, bytes: Long = -1L) extends WriterCommitMessage
 
+/** A partitioned task commits SEVERAL staged files (one per partition
+  * tuple it saw) in one message. */
+private[sources] final case class StagedFileSet(files: Seq[StagedFile])
+    extends WriterCommitMessage
+
+private[sources] object StagedFileSet {
+  /** Every staged file across a job's commit messages, whichever
+    * message shape each task used. */
+  def all(messages: Array[WriterCommitMessage]): Seq[StagedFile] =
+    messages.toSeq.flatMap {
+      case f: StagedFile => Seq(f)
+      case s: StagedFileSet => s.files
+    }
+}
+
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
-    maxSegments: Int = ManifestSink.DefaultMaxSegments)
+    maxSegments: Int = ManifestSink.DefaultMaxSegments,
+    partCols: Seq[String] = Nil)
     extends BatchWrite {
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new ManifestWriterFactory(path, queryId, schema)
+    new ManifestWriterFactory(path, queryId, schema, partCols)
   }
 
   /** Driver-side publish: exactly the winner attempts move into place;
@@ -1545,7 +1591,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     * output visible at once. Single-writer via the publish lock. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    val winners = messages.map(_.asInstanceOf[StagedFile])
+    val winners = StagedFileSet.all(messages)
     ManifestSink.withPublishLock(dir) {
       val generation = ManifestSink.committedGeneration(path)
       // Prior entries come from the manifest (self-describing — no
@@ -1609,9 +1655,13 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class ManifestWriterFactory(path: String, queryId: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, partCols: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new NdjsonDataWriter(path, queryId, schema, partitionId, taskId)
+    if (partCols.isEmpty)
+      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId)
+    else
+      new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
+        partitionId, taskId)
 }
 
 /** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
@@ -1624,11 +1674,15 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
   * only ever delete its own staged bytes, never the winner's. */
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    epochId: Option[Long] = None)
+    epochId: Option[Long] = None, suffix: String = "")
     extends DataWriter[InternalRow] {
+  // `suffix` distinguishes a partitioned task's per-tuple files. It is a
+  // pure function of the partition VALUES, so streaming names stay
+  // epoch-deterministic (replays regenerate the same names) and batch
+  // names stay attempt-unique via taskId.
   private val name = epochId match {
-    case Some(e) => f"part-e$e%05d-$partitionId%05d.ndjson"
-    case None => f"part-$partitionId%05d-$taskId.ndjson"
+    case Some(e) => f"part-e$e%05d-$partitionId%05d$suffix.ndjson"
+    case None => f"part-$partitionId%05d-$taskId$suffix.ndjson"
   }
   private val staging = Paths.get(path, s".staging-$queryId")
   // Streaming: stage attempt-unique, publish-name at commit (below).
@@ -1737,4 +1791,64 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   }
 
   override def close(): Unit = ()
+}
+
+/** Hive/Iceberg-style partitioned writes: each task routes rows to one
+  * child file PER PARTITION TUPLE it sees. The payoff is in the
+  * manifest, not the directory layout — a file holding one tuple's rows
+  * records min == max for every partition column, so the EXISTING
+  * bounds-based file skipping prunes `part = x` (and IN / range)
+  * scans exactly, the way partition pruning does in a real table format.
+  *
+  * File names carry a digest of the tuple's RENDERED values (not the
+  * values themselves — they are arbitrary user data): deterministic per
+  * (epoch, sparkPartition, tuple), so streaming epoch replays regenerate
+  * and replace their own names. Callers should repartition by the
+  * partition columns before writing, or every task emits a file per
+  * tuple it sees (the classic small-files hazard — same advice as Hive's
+  * dynamic partitioning).
+  */
+private[sources] class PartitionedNdjsonDataWriter(path: String,
+    queryId: String, schema: StructType, partCols: Seq[String],
+    partitionId: Int, taskId: Long, epochId: Option[Long] = None)
+    extends DataWriter[InternalRow] {
+  private val idx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val renderers: Array[Any => String] =
+    idx.map(i => NdjsonCodec.renderer(schema.fields(i).dataType))
+  private val children =
+    collection.mutable.LinkedHashMap[String, NdjsonDataWriter]()
+
+  private def tupleKey(r: InternalRow): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < idx.length) {
+      // Separator is unambiguous: rendered values are JSON literals
+      // (strings quoted and escaped), so a raw space never splits one.
+      if (j > 0) sb.append(' ')
+      if (r.isNullAt(idx(j))) sb.append("null")
+      else sb.append(renderers(j)(r.get(idx(j), schema.fields(idx(j)).dataType)))
+      j += 1
+    }
+    sb.toString
+  }
+
+  private def digest(key: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(key.getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  override def write(record: InternalRow): Unit = {
+    val key = tupleKey(record)
+    children.getOrElseUpdate(key,
+      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
+        epochId, suffix = "-p" + digest(key))).write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    StagedFileSet(children.values.map(
+      _.commit().asInstanceOf[StagedFile]).toSeq)
+
+  override def abort(): Unit = children.values.foreach(_.abort())
+  override def close(): Unit = children.values.foreach(_.close())
 }

@@ -598,6 +598,54 @@ class IngestSpec extends SparkSpec {
     assert(table.where(col("id") === 250L || col("id") === 750L).count() == 2)
   }
 
+  test("ManifestSink partitionBy: per-tuple files, exact pruning, unplanned files unread") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_manifest_part").toString
+    // Hive-style partitioned write: repartition BY the partition column
+    // first (the documented pattern), so each task holds whole tuples
+    // and the writer emits one single-tuple file per (task, value).
+    spark.range(0, 900)
+      .select(col("id"), (col("id") % 3).cast("int").as("bucket"),
+        concat(lit("doc-"), col("id")).as("t"))
+      .repartition(col("bucket"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("partitionBy", "bucket")
+      .mode("append").save()
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("bucket", IntegerType), StructField("t", StringType)))
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    // One file per partition VALUE (3 values, each hashed to one task).
+    val files = graft.sources.ManifestSink.committedFiles(dir)
+    assert(files.size == 3, s"expected one file per bucket value: $files")
+    // Equality on the partition column prunes to exactly one file; IN
+    // keeps two; an absent value plans ZERO files.
+    assert(filePartitions(table.where(col("bucket") === 1)) == 1)
+    assert(filePartitions(table.where(col("bucket").isin(0, 2))) == 2)
+    assert(filePartitions(table.where(col("bucket") === 7)) == 0)
+    // Hard proof the pruned partitions are never READ: delete them from
+    // disk — the filtered scan still answers (correctly), only a full
+    // scan notices.
+    val keep = table.where(col("bucket") === 1)
+    def bucketOf(f: String): Int = {
+      val in = Files.newBufferedReader(java.nio.file.Paths.get(dir, f))
+      try """"bucket":(\d+)""".r.findFirstMatchIn(in.readLine()).get
+        .group(1).toInt
+      finally in.close()
+    }
+    files.filter(bucketOf(_) != 1)
+      .foreach(f => Files.delete(java.nio.file.Paths.get(dir, f)))
+    assert(keep.count() == 300)
+    assert(keep.agg(sum("id")).head.getLong(0) ==
+      (0L until 900L).filter(_ % 3 == 1).sum)
+  }
+
   test("ManifestSink split reads: maxSplitBytes fans one file across partitions") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
