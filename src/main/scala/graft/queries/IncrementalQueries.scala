@@ -877,6 +877,42 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // The CATALOG + SQL DML surface, oracled end-to-end: a GraftCatalog
+    // table is CREATEd partitioned by lang, INSERTed from the corpus,
+    // a whole partition is DELETEd — metadata-only, provable because
+    // partitioned files record min == max bounds and exact null counts
+    // (mustMatch) — and the survivors are read back through SQL. The
+    // oracle replays the delete's complement against the source table:
+    // a file wrongly dropped, wrongly kept, or partially deleted breaks
+    // the per-(lang, source) counts and content hashes.
+    QuerySpec(
+      "a19_catalog_sql_delete",
+      """SELECT lang, source, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a19", dir)
+      val cat = "graft_a19"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        PARTITIONED BY (lang)""")
+      Tables.documents(s, dir).repartition(col("lang"))
+        .createOrReplaceTempView("a19_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id, text, lang, source, n_chars FROM a19_src""")
+      s.sql(s"DELETE FROM $cat.docs WHERE lang = 'de'")
+      s.sql(s"""SELECT lang, source, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang, source""")
+    },
+
     // The STREAMING half of the committer, oracled end-to-end: the
     // events stream drains through the epoch-idempotent V2 sink
     // (attempt-unique staging → deterministic epoch names → per-epoch

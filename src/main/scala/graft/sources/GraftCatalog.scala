@@ -1,0 +1,223 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A [[TableCatalog]] over [[ManifestSink]] tables — the piece that
+  * turns the mini table format into a full SQL surface. Register once:
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *             spark.sql.catalog.graft.base = /warehouse/dir
+  * }}}
+  *
+  * then every DDL/DML statement routes through the V2 connector stack:
+  *
+  *   - `CREATE TABLE graft.db.t (...) PARTITIONED BY (c)` → a table
+  *     directory + persisted `_table.json` (schema, partition columns)
+  *   - `INSERT INTO` / `INSERT OVERWRITE` → the two-phase committer
+  *     (partitioned writes when the table declares partition columns)
+  *   - `SELECT ... FROM graft.db.t` → manifest scan with file skipping
+  *   - `SELECT ... FROM graft.db.t VERSION AS OF 3` → retained-snapshot
+  *     time travel ([[TableCatalog.loadTable(Identifier, String)]])
+  *   - `DELETE FROM graft.db.t WHERE part = x` → metadata-only delete
+  *     through [[ManifestTable.deleteWhere]]
+  *
+  * Tables live at `<base>/<namespace...>/<name>`; the catalog is just
+  * the name→directory mapping plus schema persistence — every
+  * transactional guarantee stays in the manifest committer, where a
+  * catalog outage cannot corrupt it. Metadata file `_table.json` is
+  * written once at CREATE (create-exclusive: concurrent CREATE of the
+  * same name fails loudly) and never rewritten.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var base: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val b = options.get("base")
+    require(b != null,
+      s"catalog $name needs spark.sql.catalog.$name.base = <warehouse dir>")
+    base = Paths.get(b)
+    Files.createDirectories(base)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path = {
+    // Path traversal guard: identifiers are directory names, never paths.
+    (ident.namespace() :+ ident.name()).foreach(part =>
+      require(!part.contains("/") && !part.contains("\\") && part != ".." &&
+        part.nonEmpty, s"invalid identifier part: '$part'"))
+    ident.namespace().foldLeft(base)(_.resolve(_)).resolve(ident.name())
+  }
+
+  private def metaPath(dir: Path): Path = dir.resolve("_table.json")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(base)(_.resolve(_))
+    if (!Files.isDirectory(nsDir)) return Array.empty
+    val ls = Files.list(nsDir)
+    try {
+      val it = ls.iterator()
+      val out = collection.mutable.ArrayBuffer[Identifier]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.exists(metaPath(p)))
+          out += Identifier.of(namespace, p.getFileName.toString)
+      }
+      out.toArray
+    } finally ls.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(metaPath(dirOf(ident)))
+
+  /** Persisted as three JSON lines: the schema (StructType.json —
+    * Spark's own stable wire format), the partition column list, and
+    * the table properties (TBLPROPERTIES — `retainHistory` etc. become
+    * write-option defaults). */
+  private def writeMeta(dir: Path, schema: StructType,
+      partCols: Seq[String], props: Map[String, String]): Unit = {
+    val json = schema.json + "\n" +
+      partCols.map(c => "\"" + NdjsonCodec.escape(c) + "\"")
+        .mkString("[", ",", "]") + "\n" +
+      props.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(v) + "\""
+      }.mkString("{", ",", "}") + "\n"
+    val tmp = Files.createTempFile(dir, "._table", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    // Create-exclusive publish: two racing CREATEs cannot both win.
+    try Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new TableAlreadyExistsException(
+          Seq(name()) ++ dirToIdentParts(dir))
+    }
+  }
+
+  private def dirToIdentParts(dir: Path): Seq[String] =
+    base.relativize(dir).iterator().asScalaSeq.map(_.toString)
+
+  private def readMeta(dir: Path): (StructType, Seq[String], Map[String, String]) = {
+    val lines = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8).split("\n")
+    val schema = DataType.fromJson(lines(0)).asInstanceOf[StructType]
+    val props =
+      if (lines.length < 3) Map.empty[String, String]
+      else NdjsonCodec.parseLine(lines(2)).collect {
+        case (k, NdjsonCodec.JsonStr(v)) => k -> v
+      }.toMap
+    (schema, parseStringArray(lines(1)), props)
+  }
+
+  private def parseStringArray(txt: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < txt.length) {
+      if (txt.charAt(i) == '"') {
+        val sb = new java.lang.StringBuilder
+        i += 1
+        var esc = false
+        while (i < txt.length && (esc || txt.charAt(i) != '"')) {
+          if (esc) { sb.append(txt.charAt(i)); esc = false }
+          else if (txt.charAt(i) == '\\') esc = true
+          else sb.append(txt.charAt(i))
+          i += 1
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (!Files.exists(metaPath(dir)))
+      throw new NoSuchTableException(Seq(name()) ++
+        ident.namespace().toSeq :+ ident.name())
+    val (schema, partCols, props) = readMeta(dir)
+    new ManifestTable(dir.toString, schema, None, partCols, props)
+  }
+
+  /** `VERSION AS OF v` time travel — resolves a RETAINED generation of
+    * the manifest (tables written with retainHistory). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!Files.exists(metaPath(dir)))
+      throw new NoSuchTableException(Seq(name()) ++
+        ident.namespace().toSeq :+ ident.name())
+    val (schema, partCols, props) = readMeta(dir)
+    new ManifestTable(dir.toString, schema, Some(version.toLong), partCols,
+      props)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"GraftCatalog supports identity partitioning only, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    // Keep user TBLPROPERTIES; drop Spark's internal bookkeeping keys.
+    val props = {
+      val it = properties.entrySet().iterator()
+      val b = collection.mutable.Map[String, String]()
+      while (it.hasNext) { val e = it.next(); b(e.getKey.toLowerCase) = e.getValue }
+      b.toMap -- Seq("provider", "owner", "location", "external", "comment")
+    }
+    writeMeta(dir, schema, partCols, props)
+    new ManifestTable(dir.toString, schema, None, partCols, props)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema lives in _table.json")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!Files.exists(metaPath(dir))) return false
+    // Delete contents bottom-up, then the directory itself.
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!Files.exists(metaPath(from)))
+      throw new NoSuchTableException(Seq(name()) ++
+        oldIdent.namespace().toSeq :+ oldIdent.name())
+    val to = dirOf(newIdent)
+    if (Files.exists(to))
+      throw new TableAlreadyExistsException(Seq(name()) ++
+        newIdent.namespace().toSeq :+ newIdent.name())
+    Files.createDirectories(to.getParent)
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private implicit final class JIterSeq[A](private val it: java.util.Iterator[A]) {
+    def asScalaSeq: Seq[A] = {
+      val b = collection.mutable.ArrayBuffer[A]()
+      while (it.hasNext) b += it.next()
+      b.toSeq
+    }
+  }
+}

@@ -380,7 +380,11 @@ object ManifestSink {
           val stats = mins.toSeq.sortBy(_._1).flatMap { case (c, lo) =>
             maxs.get(c).map(hi => ColStat(c, lo, hi, nans.contains(c)))
           }
-          Some(StagedFile(n, rows, stats, bytes))
+          val nulls = m.collect {
+            case (k, NdjsonCodec.JsonTok(v)) if k.startsWith("nulls.") =>
+              k.drop(6) -> v.toLong
+          }.toMap
+          Some(StagedFile(n, rows, stats, bytes, nulls))
         case _ => None
       }
     }
@@ -541,7 +545,8 @@ object ManifestSink {
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         StagedFile(name, group.map(_.rows).sum,
           mergeStats(group.map(_.stats).toSeq),
-          Files.size(dirPath.resolve(name)))
+          Files.size(dirPath.resolve(name)),
+          mergeNullCounts(group.toSeq))
       }
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
@@ -604,12 +609,26 @@ object ManifestSink {
       Seq(s""""min.${s.col}":${s.min}""", s""""max.${s.col}":${s.max}""") ++
         (if (s.hasNan) Seq(s""""nan.${s.col}":true""") else Nil))
     val bytes = if (f.bytes >= 0) Seq(s""""bytes":${f.bytes}""") else Nil
-    (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++ stats)
-      .mkString("{", ",", "}")
+    val nulls = f.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
+      s""""nulls.$c":$n"""
+    }
+    (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
+      stats ++ nulls).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
     f"manifest-g$gen%06d.json"
+
+  /** Does the table keep snapshot history (any retained generation
+    * manifest on disk)? Operations that retire files (DELETE) defer
+    * their data-file GC to expireSnapshots when it does. */
+  private[sources] def hasRetainedGenerations(dir: String): Boolean = {
+    val ls = Files.list(Paths.get(dir))
+    try ls.iterator().asScala().exists { p =>
+      val n = p.getFileName.toString
+      n.startsWith("manifest-g") && n.endsWith(".json")
+    } finally ls.close()
+  }
 
   private[sources] def segmentName(gen: Long, suffix: String = ""): String =
     f"seg-g$gen%06d$suffix.json"
@@ -634,7 +653,16 @@ object ManifestSink {
       entries: Seq[StagedFile]): StagedFile =
     StagedFile(segName, entries.map(_.rows).sum,
       mergeStats(entries.map(_.stats)),
-      if (entries.forall(_.bytes >= 0)) entries.map(_.bytes).sum else -1L)
+      if (entries.forall(_.bytes >= 0)) entries.map(_.bytes).sum else -1L,
+      mergeNullCounts(entries))
+
+  /** Null counts sum across a merge; a column any member lacks a count
+    * for drops out (unknown + n = unknown — absence stays conservative). */
+  private[sources] def mergeNullCounts(
+      entries: Seq[StagedFile]): Map[String, Long] =
+    if (entries.isEmpty) Map.empty
+    else entries.map(_.nullCounts.keySet).reduce(_ intersect _).iterator
+      .map(c => c -> entries.map(_.nullCounts(c)).sum).toMap
 
   /** The pointer-manifest swap — the single instant a commit becomes
     * visible. Pointer carries the generation and one reference per
@@ -1047,13 +1075,62 @@ private[sources] object NdjsonCodec {
 }
 
 private[sources] class ManifestTable(path: String, tableSchema: StructType,
-    version: Option[Long] = None, tablePartCols: Seq[String] = Nil)
-    extends Table with SupportsWrite with SupportsRead {
+    version: Option[Long] = None, tablePartCols: Seq[String] = Nil,
+    tableProps: Map[String, String] = Map.empty)
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ)
+
+  /** Metadata-only DELETE (the Iceberg/Delta fast path): a file is
+    * droppable when its manifest stats PROVE every row matches the
+    * conjunction ([[ManifestStats.mustMatch]]) and ignorable when they
+    * prove no row can ([[!ManifestStats.mayMatch]]). Any file in
+    * between (partial overlap) would need a data rewrite — this table
+    * refuses, and Spark surfaces the refusal at analysis, exactly the
+    * contract `canDeleteWhere` exists for. Partition-aligned layouts
+    * (partitionBy writes → min == max partition bounds) make the
+    * common `DELETE WHERE part = x` always metadata-only. */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    version.isEmpty && ManifestSink.committedEntries(path).forall { e =>
+      filters.forall(f => ManifestStats.mustMatch(tableSchema, e, f)) ||
+        filters.exists(f => !ManifestStats.mayMatch(tableSchema, e, f))
+    }
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    require(version.isEmpty, "cannot DELETE from a versionAsOf read")
+    val dir = Paths.get(path)
+    ManifestSink.withPublishLock(dir) {
+      val entries = ManifestSink.committedEntries(path)
+      val (dropped, kept) = entries.partition(e =>
+        filters.forall(f => ManifestStats.mustMatch(tableSchema, e, f)))
+      // Defensive re-check under the lock (entries may have changed
+      // since canDeleteWhere): a kept file that may still match has
+      // rows this delete would need to rewrite — refuse loudly rather
+      // than delete too little silently.
+      val partial = kept.filter(e =>
+        filters.forall(f => ManifestStats.mayMatch(tableSchema, e, f)))
+      if (partial.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"DELETE needs a data rewrite for ${partial.map(_.name).mkString(", ")}" +
+            " (stats cannot prove all-match); only metadata-only deletes are" +
+            " supported — align files to the delete predicate (partitionBy)" +
+            " or delete whole partitions")
+      if (dropped.nonEmpty) {
+        val gen = ManifestSink.committedGeneration(path)
+        // A table with retained history keeps dropped files on disk for
+        // time travel until expireSnapshots collects them.
+        val retain = ManifestSink.hasRetainedGenerations(path)
+        ManifestSink.publishManifest(dir, kept, gen + 1, "delete", retain)
+        ManifestSink.sweepSegments(dir)
+        if (!retain)
+          dropped.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // Fail BEFORE any task launches on a schema the payload format
@@ -1066,7 +1143,10 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // retainHistory=true keeps every generation's manifest (and, under
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.
-    val retain = info.options().getBoolean("retainhistory", false)
+    // Catalog tables default it from TBLPROPERTIES (SQL INSERT has no
+    // per-write options).
+    val retain = info.options().getBoolean("retainhistory",
+      tableProps.get("retainhistory").exists(_.toBoolean))
     // autoCompactRows > 0 bounds the manifest on the STREAMING path:
     // each epoch commit bin-packs prior sub-threshold files (never the
     // epoch just committed — a replay must still find its own entries
@@ -1145,9 +1225,11 @@ private[sources] object ManifestStats {
 
   def prunable(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
-         _: LessThan | _: LessThanOrEqual | _: In => true
+         _: LessThan | _: LessThanOrEqual | _: In |
+         _: IsNull | _: IsNotNull => true
     case And(a, b) => prunable(a) || prunable(b)
     case Or(a, b) => prunable(a) && prunable(b)
+    case Not(a) => prunable(a)
     case _ => false
   }
 
@@ -1238,11 +1320,73 @@ private[sources] object ManifestStats {
       case LessThanOrEqual(c, v) => !cmpLo(c, v).exists(_ > 0)
       case In(c, vs) =>
         vs.isEmpty || vs.exists(v => mayMatch(full, entry, EqualTo(c, v)))
+      // Null-count pruning (needs recorded counts; unknown → keep).
+      case IsNull(c) => !entry.nullCounts.get(c).contains(0L)
+      case IsNotNull(c) => !entry.nullCounts.get(c).contains(entry.rows)
+      // De Morgan duality: NOT f may match unless EVERY row matches f.
+      case Not(a) => !mustMatch(full, entry, a)
       case And(a, b) =>
         mayMatch(full, entry, a) && mayMatch(full, entry, b)
       case Or(a, b) =>
         mayMatch(full, entry, a) || mayMatch(full, entry, b)
       case _ => true
+    }
+  }
+
+  /** The dual of [[mayMatch]]: does EVERY row of the file provably
+    * match `f`? This is what makes a DELETE metadata-only — an
+    * all-match file's entry is dropped without rewriting data.
+    * Conservative in every uncertain direction: unknown null counts,
+    * missing bounds, NaN presence, truncated string bounds (min < max
+    * after truncation never proves equality), unsupported predicates
+    * all answer "no" — a false negative costs a rewrite refusal, a
+    * false positive would delete live rows. Null semantics: a NULL row
+    * never satisfies a comparison, so every column predicate first
+    * requires a RECORDED zero null count. */
+  def mustMatch(full: StructType, entry: StagedFile, f: Filter): Boolean = {
+    def bounds(c: String): Option[(Any, Any, DataType)] = for {
+      fld <- full.fields.find(_.name == c)
+      st <- entry.stats.find(_.col == c)
+    } yield {
+      val conv = NdjsonCodec.converter(fld.dataType)
+      (conv(NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v")),
+        conv(NdjsonCodec.parseLine(s"""{"v":${st.max}}""")("v")),
+        fld.dataType)
+    }
+    def noNulls(c: String): Boolean = entry.nullCounts.get(c).contains(0L)
+    def noNan(c: String): Boolean = !entry.stats.exists(s => s.col == c && s.hasNan)
+    // String bounds are TRUNCATED at write time, so min == max can hold
+    // even though the file's real values differ beyond the cap; only
+    // un-truncated bounds (strictly shorter than the cap) prove equality.
+    def exactEq(c: String, v: Any): Boolean = bounds(c).exists {
+      case (lo, hi, dt) =>
+        compare(dt, lo, v).contains(0) && compare(dt, hi, v).contains(0) &&
+          (dt != StringType ||
+            lo.asInstanceOf[UTF8String].numChars() < NdjsonCodec.StatLen)
+    }
+    def cmpLo(c: String, v: Any): Option[Int] =
+      bounds(c).flatMap { case (lo, _, dt) => compare(dt, lo, v) }
+    def cmpHi(c: String, v: Any): Option[Int] =
+      bounds(c).flatMap { case (_, hi, dt) => compare(dt, hi, v) }
+    f match {
+      // NaN rows are excluded from bounds yet ordered ABOVE every value
+      // by Spark: they'd satisfy > / >= but not = / < / <= — each case
+      // stands down where NaN could flip a row's verdict.
+      case EqualTo(c, v) => noNulls(c) && noNan(c) && exactEq(c, v)
+      case GreaterThan(c, v) => noNulls(c) && cmpLo(c, v).exists(_ > 0)
+      case GreaterThanOrEqual(c, v) => noNulls(c) && cmpLo(c, v).exists(_ >= 0)
+      case LessThan(c, v) => noNulls(c) && noNan(c) && cmpHi(c, v).exists(_ < 0)
+      case LessThanOrEqual(c, v) =>
+        noNulls(c) && noNan(c) && cmpHi(c, v).exists(_ <= 0)
+      case In(c, vs) => vs.exists(v => mustMatch(full, entry, EqualTo(c, v)))
+      case IsNull(c) => entry.nullCounts.get(c).contains(entry.rows)
+      case IsNotNull(c) => noNulls(c)
+      case Not(a) => !mayMatch(full, entry, a)
+      case And(a, b) =>
+        mustMatch(full, entry, a) && mustMatch(full, entry, b)
+      case Or(a, b) =>
+        mustMatch(full, entry, a) || mustMatch(full, entry, b)
+      case _ => false
     }
   }
 }
@@ -1554,9 +1698,14 @@ private[sources] final case class ColStat(col: String, min: String,
 
 /** `bytes` is the data file's on-disk size recorded at write time (-1
   * for entries from pre-round-10 manifests — planning then falls back
-  * to a filesystem stat). */
+  * to a filesystem stat). `nullCounts` records per-column null counts
+  * (Iceberg's null_value_counts): a column ABSENT from the map has an
+  * unknown count (legacy entries, or dropped by a conservative merge) —
+  * absence always disables, never enables, pruning and metadata
+  * deletes. */
 private[sources] final case class StagedFile(name: String, rows: Long,
-    stats: Seq[ColStat] = Nil, bytes: Long = -1L) extends WriterCommitMessage
+    stats: Seq[ColStat] = Nil, bytes: Long = -1L,
+    nullCounts: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 /** A partitioned task commits SEVERAL staged files (one per partition
   * tuple it saw) in one message. */
@@ -1710,6 +1859,10 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // every filter), but its PRESENCE must be recorded so the scan knows
   // the recorded max is not an upper bound for this file.
   private val nanSeen = new Array[Boolean](schema.fields.length)
+  // Per-column null counts (Iceberg's null_value_counts): bounds ignore
+  // nulls, so pruning IS NULL / IS NOT NULL — and PROVING every row of
+  // a file matches a predicate (metadata-only DELETE) — needs them.
+  private val nullCounts = new Array[Long](schema.fields.length)
 
   override def write(record: InternalRow): Unit = {
     val sb = new java.lang.StringBuilder(64)
@@ -1718,7 +1871,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     while (i < schema.fields.length) {
       if (i > 0) sb.append(',')
       sb.append('"').append(schema.fields(i).name).append("\":")
-      if (record.isNullAt(i)) sb.append("null")
+      if (record.isNullAt(i)) { sb.append("null"); nullCounts(i) += 1 }
       else {
         val v = record.get(i, schema.fields(i).dataType)
         sb.append(renderers(i)(v))
@@ -1780,7 +1933,9 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     }
     // Size recorded here (one executor-local stat of a file we just
     // wrote) so the scan never has to ask the filesystem at plan time.
-    StagedFile(name, rows, stats.toSeq, Files.size(finalStaged))
+    StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
+      schema.fields.indices.map(i =>
+        schema.fields(i).name -> nullCounts(i)).toMap)
   }
 
   override def abort(): Unit = {

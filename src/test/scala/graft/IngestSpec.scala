@@ -686,6 +686,57 @@ class IngestSpec extends SparkSpec {
     assert(rows.toMap.get(500L).contains("doc-0500"))
   }
 
+  test("GraftCatalog SQL surface: DDL, INSERT, pruned SELECT, time travel, metadata DELETE") {
+    val wh = Files.createTempDirectory("graft_catalog").toString
+    spark.conf.set("spark.sql.catalog.g10", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g10.base", wh)
+    spark.sql("""CREATE TABLE g10.docs (id BIGINT, lang STRING, t STRING)
+      PARTITIONED BY (lang) TBLPROPERTIES ('retainHistory'='true')""")
+    assert(spark.sql("SHOW TABLES IN g10").collect().map(_.getString(1))
+      .contains("docs"))
+    // Two INSERTs → retained generations 1 and 2; partitioned files.
+    spark.sql("""INSERT INTO g10.docs
+      SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END,
+             concat('d', id) FROM range(100)""")
+    spark.sql("""INSERT INTO g10.docs
+      SELECT /*+ REPARTITION(1) */ id, 'fr', concat('d', id)
+      FROM range(100, 150)""")
+    assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 150)
+    // Partition pruning reaches SQL reads: lang = 'fr' plans 1 file.
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    assert(filePartitions(
+      spark.sql("SELECT * FROM g10.docs WHERE lang = 'fr'")) == 1)
+    // Time travel through SQL: generation 1 predates the second insert.
+    assert(spark.sql("SELECT count(*) FROM g10.docs VERSION AS OF 1")
+      .head.getLong(0) == 100)
+    // Metadata-only DELETE of a whole partition (min == max bounds
+    // prove all-match; null counts prove no null escapes the proof).
+    spark.sql("DELETE FROM g10.docs WHERE lang = 'de'")
+    assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 100)
+    assert(spark.sql(
+      "SELECT count(*) FROM g10.docs WHERE lang = 'de'").head.getLong(0) == 0)
+    // Retention: the pre-delete snapshot still reads the deleted rows.
+    assert(spark.sql("SELECT count(*) FROM g10.docs VERSION AS OF 2")
+      .head.getLong(0) == 150)
+    // A partial-overlap DELETE (stats cannot prove all-match) refuses
+    // loudly instead of rewriting data or deleting too little.
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM g10.docs WHERE id < 10")
+    }
+    assert(err.getMessage != null)
+    assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 100,
+      "refused DELETE must not change the table")
+    // Rename + drop round out the DDL surface.
+    spark.sql("ALTER TABLE g10.docs RENAME TO docs2")
+    assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 100)
+    spark.sql("DROP TABLE g10.docs2")
+    assert(spark.sql("SHOW TABLES IN g10").collect().isEmpty)
+  }
+
   test("ManifestSink time travel: retained generations read back; expiry collects them") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -784,6 +784,94 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     }
   }
 
+  test("mustMatch proves all-match only when stats leave no escape hatch") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("x", DoubleType), StructField("s", StringType)))
+    def entry(stats: Seq[ColStat], nulls: Map[String, Long],
+        rows: Long = 10L): StagedFile =
+      StagedFile("f.ndjson", rows, stats, 100L, nulls)
+    def must(e: StagedFile, f: Filter): Boolean =
+      ManifestStats.mustMatch(sch, e, f)
+    val idStat = ColStat("id", "5", "5")
+    // Equality: min == max == v AND a recorded zero null count.
+    assert(must(entry(Seq(idStat), Map("id" -> 0L)), EqualTo("id", 5L)))
+    assert(!must(entry(Seq(idStat), Map("id" -> 1L)), EqualTo("id", 5L)),
+      "a null row does not satisfy id = 5")
+    assert(!must(entry(Seq(idStat), Map.empty), EqualTo("id", 5L)),
+      "unknown null counts (legacy entry) prove nothing")
+    assert(!must(entry(Seq(ColStat("id", "4", "5")), Map("id" -> 0L)),
+      EqualTo("id", 5L)), "min < max cannot prove equality")
+    // Ranges: > / >= hold for NaN rows (Spark orders NaN above all),
+    // < / <= do not.
+    val nan = ColStat("x", "1.0", "2.0", hasNan = true)
+    val noNan = ColStat("x", "1.0", "2.0")
+    assert(must(entry(Seq(noNan), Map("x" -> 0L)), GreaterThan("x", 0.5)))
+    assert(must(entry(Seq(nan), Map("x" -> 0L)), GreaterThan("x", 0.5)),
+      "NaN rows satisfy > under Spark ordering")
+    assert(must(entry(Seq(noNan), Map("x" -> 0L)), LessThan("x", 3.0)))
+    assert(!must(entry(Seq(nan), Map("x" -> 0L)), LessThan("x", 3.0)),
+      "a NaN row is NOT below the recorded max")
+    // Strings: bounds at the truncation cap never prove equality.
+    val long64 = "a" * NdjsonCodec.StatLen
+    val sEq = ColStat("s", "\"" + long64 + "\"", "\"" + long64 + "\"")
+    assert(!must(entry(Seq(sEq), Map("s" -> 0L)), EqualTo("s", long64)),
+      "64-codepoint bounds may be truncated — equality unprovable")
+    val short = ColStat("s", "\"en\"", "\"en\"")
+    assert(must(entry(Seq(short), Map("s" -> 0L)), EqualTo("s", "en")))
+    assert(must(entry(Seq(short), Map("s" -> 0L)), In("s", Array("en", "fr"))))
+    // Null predicates need exact counts.
+    assert(must(entry(Nil, Map("id" -> 10L)), IsNull("id")))
+    assert(!must(entry(Nil, Map("id" -> 9L)), IsNull("id")))
+    assert(must(entry(Nil, Map("id" -> 0L)), IsNotNull("id")))
+    // Duality: NOT f is all-match exactly when f cannot match any row.
+    assert(must(entry(Seq(idStat), Map("id" -> 0L)), Not(EqualTo("id", 99L))))
+    assert(!must(entry(Seq(idStat), Map("id" -> 0L)), Not(EqualTo("id", 5L))))
+    // And the mayMatch side of the null counts:
+    assert(!ManifestStats.mayMatch(sch, entry(Nil, Map("id" -> 0L)),
+      IsNull("id")), "zero nulls prunes IS NULL")
+    assert(!ManifestStats.mayMatch(sch, entry(Nil, Map("id" -> 10L)),
+      IsNotNull("id")), "all-null prunes IS NOT NULL")
+    assert(ManifestStats.mayMatch(sch, entry(Nil, Map.empty), IsNull("id")),
+      "unknown counts keep the file")
+  }
+
+  test("deleteWhere: metadata-only file drops; partial overlap refuses untouched") {
+    import org.apache.spark.sql.sources._
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    def commitFile(q: String, name: String, ids: Seq[Long]): Unit = {
+      val staging = Files.createDirectories(Paths.get(dir, s".staging-$q"))
+      Files.write(staging.resolve(name),
+        ids.map(i => s"""{"id":$i}""").mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8))
+      new ManifestBatchWrite(dir, schema, q, truncate = false)
+        .commit(Array(StagedFile(name, ids.size.toLong,
+          Seq(ColStat("id", ids.min.toString, ids.max.toString)), 20L,
+          Map("id" -> 0L))))
+    }
+    commitFile("q1", "part-00000-1.ndjson", Seq(1L, 2L, 3L))
+    commitFile("q2", "part-00000-2.ndjson", Seq(10L, 11L))
+    val table = new ManifestTable(dir, schema)
+    // Whole-file delete: bounds prove all of file 2 matches id >= 10.
+    assert(table.canDeleteWhere(Array[Filter](GreaterThanOrEqual("id", 10L))))
+    table.deleteWhere(Array[Filter](GreaterThanOrEqual("id", 10L)))
+    assert(ManifestSink.committedFiles(dir) == Seq("part-00000-1.ndjson"))
+    assert(!Files.exists(Paths.get(dir, "part-00000-2.ndjson")),
+      "dropped data file must be GC'd (no retained history)")
+    // Partial overlap: id >= 2 intersects file 1 without covering it.
+    assert(!table.canDeleteWhere(Array[Filter](GreaterThanOrEqual("id", 2L))))
+    intercept[UnsupportedOperationException] {
+      table.deleteWhere(Array[Filter](GreaterThanOrEqual("id", 2L)))
+    }
+    assert(ManifestSink.committedRowCount(dir) == 3L,
+      "refused delete leaves the table untouched")
+    // DELETE with no predicate (SQL TRUNCATE path) drops everything.
+    assert(table.canDeleteWhere(Array.empty[Filter]))
+    table.deleteWhere(Array.empty[Filter])
+    assert(ManifestSink.committedFiles(dir).isEmpty)
+  }
+
   test("time travel resolves segmented generations; expire sweeps their segments") {
     // Retained generation manifests are pointer COPIES referencing
     // immutable segments — versionAsOf must resolve through them, and
