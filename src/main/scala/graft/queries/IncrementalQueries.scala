@@ -949,6 +949,46 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
     },
 
+    // The manifest table as a STREAMING SOURCE (generation offsets —
+    // the Delta/Iceberg "streaming table" idea): the corpus lands in
+    // THREE retained commits, and the tail drains them under
+    // maxGenerationsPerTrigger=1, so every commit becomes its own
+    // micro-batch resolving a RETAINED intermediate generation — three
+    // real incremental (gen, gen+1] diffs, not one bulk read. The
+    // complete-mode aggregate over the tailed rows must equal the batch
+    // aggregate of the source table (the oracle): a row re-delivered by
+    // a wrong diff, dropped by a missed generation, or mis-framed by
+    // the NDJSON reader breaks the counts and hashes.
+    QuerySpec(
+      "st28_stream_manifest_source",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("st28", dir).toString
+      val docs = Tables.documents(s, dir)
+      (0 to 2).foreach { k =>
+        docs.where(col("doc_id") % 3 === k).coalesce(1)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).option("retainHistory", "true")
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val agg = s.readStream.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out)
+        .option("maxGenerationsPerTrigger", "1").load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+      graft.streaming.Streams.runToTable(agg, "st28_mem", "complete")
+    },
+
     // STREAMING LSH bucket index — the state an incremental near-dup
     // pipeline (dd13's daily-crawl shape) maintains continuously: each
     // arriving document's portable MinHash signature splits into band

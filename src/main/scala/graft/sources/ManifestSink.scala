@@ -619,6 +619,26 @@ object ManifestSink {
   private[sources] def generationManifestName(gen: Long): String =
     f"manifest-g$gen%06d.json"
 
+  /** Data-file size from the MANIFEST (recorded at write time) — the
+    * plan must not pay O(files) filesystem round-trips per query on an
+    * object store. Pre-`bytes` manifests (-1) fall back to a stat. */
+  private[sources] def fileSize(dir: String, f: StagedFile): Long =
+    if (f.bytes >= 0) f.bytes
+    else try Files.size(Paths.get(dir, f.name)) catch { case _: Exception => 0L }
+
+  /** Byte-range partitions for one committed file (Hadoop line-split
+    * contract) — shared by the batch scan and the streaming source. */
+  private[sources] def splitFile(dir: String, f: StagedFile,
+      maxSplitBytes: Long): Seq[InputPartition] = {
+    val p = Paths.get(dir, f.name)
+    val size = fileSize(dir, f)
+    if (size <= maxSplitBytes)
+      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue))
+    else
+      (0L until size by maxSplitBytes).map(s =>
+        ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size)))
+  }
+
   /** Does the table keep snapshot history (any retained generation
     * manifest on disk)? Operations that retire files (DELETE) defer
     * their data-file GC to expireSnapshots when it does. */
@@ -1083,7 +1103,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Metadata-only DELETE (the Iceberg/Delta fast path): a file is
     * droppable when its manifest stats PROVE every row matches the
@@ -1182,7 +1203,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema, version,
-      options.getLong("maxsplitbytes", 128L * 1024 * 1024))
+      options.getLong("maxsplitbytes", 128L * 1024 * 1024),
+      Option(options.get("maxgenerationspertrigger")).map(_.toLong))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -1197,7 +1219,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   * optimization, never a correctness dependency. */
 private[sources] class ManifestScanBuilder(path: String, full: StructType,
     version: Option[Long] = None,
-    maxSplitBytes: Long = 128L * 1024 * 1024)
+    maxSplitBytes: Long = 128L * 1024 * 1024,
+    maxGensPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1213,7 +1236,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new ManifestScan(path, full, required, pushed, version, maxSplitBytes)
+    new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
+      maxGensPerTrigger)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1394,10 +1418,18 @@ private[sources] object ManifestStats {
 private[sources] class ManifestScan(path: String, full: StructType,
     required: StructType, pushed: Array[sources.Filter] = Array.empty,
     version: Option[Long] = None,
-    maxSplitBytes: Long = 128L * 1024 * 1024)
+    maxSplitBytes: Long = 128L * 1024 * 1024,
+    maxGensPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty, "cannot stream a versionAsOf read")
+    new ManifestMicroBatchStream(path, full, required, pushed, maxSplitBytes,
+      maxGensPerTrigger)
+  }
 
   /** Entries surviving file skipping — with SEGMENT-level skipping
     * first (the manifest-list idea): each segment reference's summary
@@ -1420,12 +1452,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
     segEntries ++ ManifestSink.parseEntries(txt).filter(keep)
   }
 
-  /** Data-file size from the MANIFEST (recorded at write time) — the
-    * plan must not pay O(files) filesystem round-trips per query on an
-    * object store. Pre-`bytes` manifests (-1) fall back to a stat. */
-  private def fileSize(f: StagedFile): Long =
-    if (f.bytes >= 0) f.bytes
-    else try Files.size(Paths.get(path, f.name)) catch { case _: Exception => 0L }
+  private def fileSize(f: StagedFile): Long = ManifestSink.fileSize(path, f)
 
   /** One partition per `maxSplitBytes` byte range, not per file — a
     * 10 GB NDJSON file must fan out across the cluster, not serialize
@@ -1434,16 +1461,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * byte 0 discards through the first newline and may finish one line
     * past its end), so any split size yields the same rows exactly. */
   override def planInputPartitions(): Array[InputPartition] =
-    survivingEntries.flatMap { f =>
-      val p = Paths.get(path, f.name)
-      val size = fileSize(f)
-      if (size <= maxSplitBytes)
-        Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue): InputPartition)
-      else
-        (0L until size by maxSplitBytes).map(s =>
-          ManifestFilePartition(p.toString, s,
-            math.min(s + maxSplitBytes, size)): InputPartition)
-    }.toArray
+    survivingEntries.flatMap(f =>
+      ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)
@@ -1469,6 +1488,89 @@ private[sources] class ManifestScan(path: String, full: StructType,
 
 private[sources] final case class ManifestFilePartition(file: String,
     start: Long, end: Long) extends InputPartition
+
+private[sources] final case class GenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+/** The manifest table as a STREAMING SOURCE (the Delta/Iceberg
+  * "streaming table" idea): the offset is the manifest GENERATION, and
+  * each micro-batch reads exactly the data files that appeared between
+  * the committed generation and the latest one — incremental
+  * consumption of an append-only table, the shape a 100 TB ingest
+  * pipeline tails its bronze tables with.
+  *
+  * Determinism contract: a batch (s, e] replays exactly iff both
+  * generations still resolve — write the table with `retainHistory` so
+  * intermediate generations survive until `expireSnapshots`. (A
+  * one-shot AvailableNow drain of a quiet table needs no history: its
+  * single batch is (0, current].) Non-append changes under a live
+  * tail — compaction, DELETE, truncate, epoch replays — would make
+  * "new file names" mean re-delivered rows, so a generation diff that
+  * RETIRES a file fails loudly instead of silently duplicating. */
+private[sources] class ManifestMicroBatchStream(path: String,
+    full: StructType, required: StructType,
+    pushed: Array[sources.Filter], maxSplitBytes: Long,
+    maxGensPerTrigger: Option[Long] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // AvailableNow contract: pin the drain target at query start so a
+  // table growing mid-run doesn't keep the trigger alive.
+  @volatile private var drainTo: Long = -1L
+  override def prepareForTriggerAvailableNow(): Unit =
+    drainTo = ManifestSink.committedGeneration(path)
+
+  override def initialOffset(): Offset = GenOffset(0L)
+  override def latestOffset(): Offset = GenOffset(
+    if (drainTo >= 0) drainTo else ManifestSink.committedGeneration(path))
+  // Admission control: maxGenerationsPerTrigger bounds how far one
+  // micro-batch advances — a tail restarted against a long backlog
+  // catches up in bounded batches instead of one giant read (and under
+  // AvailableNow, drains in several real increments).
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val target = latestOffset().asInstanceOf[GenOffset].gen
+    val s = start.asInstanceOf[GenOffset].gen
+    GenOffset(maxGensPerTrigger.fold(target)(m => math.min(target, s + m)))
+  }
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** Generation 0 is the empty table by definition (no manifest yet). */
+  private def entriesAt(gen: Long): Seq[StagedFile] =
+    if (gen == 0L) Nil
+    else ManifestSink.committedEntriesAt(path, Some(gen))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GenOffset].gen
+    val e = end.asInstanceOf[GenOffset].gen
+    if (e <= s) return Array.empty
+    val before = entriesAt(s).map(_.name).toSet
+    val after = entriesAt(e)
+    val retired = before -- after.map(_.name).toSet
+    if (retired.nonEmpty)
+      throw new IllegalStateException(
+        s"generations $s -> $e of $path retired files " +
+          s"${retired.mkString(", ")} (compaction, DELETE, truncate, or an " +
+          "epoch replay ran under this streaming read); a streamed table " +
+          "must stay append-only while tailed — pause maintenance or " +
+          "restart the stream from the current generation")
+    // File skipping applies per batch: a predicate-pruned tail never
+    // plans (never fetches) files its filters exclude.
+    after.filterNot(f => before.contains(f.name))
+      .filter(f => pushed.forall(fl => ManifestStats.mayMatch(full, f, fl)))
+      .flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(required)
+}
 
 private[sources] class ManifestReaderFactory(required: StructType)
     extends PartitionReaderFactory {

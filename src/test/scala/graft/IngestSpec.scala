@@ -686,6 +686,43 @@ class IngestSpec extends SparkSpec {
     assert(rows.toMap.get(500L).contains("doc-0500"))
   }
 
+  test("ManifestSink streaming source: generation offsets tail appends exactly once") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_manifest_tail").toString
+    val sch = StructType(Seq(StructField("id", LongType)))
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("append").save()
+    append(0, 100)
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+      .writeStream.format("memory").queryName("mst_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mst_tail").count() == 100)
+      // Appends land incrementally: the next batch reads ONLY the new
+      // files — no re-delivery of generation 1's rows.
+      append(100, 150)
+      append(150, 160)
+      q.processAllAvailable()
+      val ids = spark.table("mst_tail").select("id").as[Long].collect()
+      assert(ids.length == 160 && ids.toSet == (0L until 160L).toSet,
+        "tail must deliver every appended row exactly once")
+      // A non-append change under the tail (compaction retires files)
+      // must fail LOUDLY, not silently re-deliver merged rows.
+      graft.sources.ManifestSink.compact(dir, targetRows = 1000L)
+      append(160, 170)
+      val err = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(err).exists(_.getMessage != null), err.toString)
+    } finally q.stop()
+  }
+
   test("GraftCatalog SQL surface: DDL, INSERT, pruned SELECT, time travel, metadata DELETE") {
     val wh = Files.createTempDirectory("graft_catalog").toString
     spark.conf.set("spark.sql.catalog.g10", "graft.sources.GraftCatalog")
