@@ -87,7 +87,8 @@ class GraftCatalog extends TableCatalog {
     * the table properties (TBLPROPERTIES — `retainHistory` etc. become
     * write-option defaults). */
   private def writeMeta(dir: Path, schema: StructType,
-      partCols: Seq[String], props: Map[String, String]): Unit = {
+      partCols: Seq[String], props: Map[String, String],
+      overwrite: Boolean = false): Unit = {
     val json = schema.json + "\n" +
       partCols.map(c => "\"" + NdjsonCodec.escape(c) + "\"")
         .mkString("[", ",", "]") + "\n" +
@@ -96,8 +97,11 @@ class GraftCatalog extends TableCatalog {
       }.mkString("{", ",", "}") + "\n"
     val tmp = Files.createTempFile(dir, "._table", ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    if (overwrite) // ALTER: atomic swap of the metadata file
+      Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     // Create-exclusive publish: two racing CREATEs cannot both win.
-    try Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE)
+    else try Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
@@ -185,9 +189,51 @@ class GraftCatalog extends TableCatalog {
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema lives in _table.json")
+  /** Schema evolution, NDJSON-native: columns are looked up BY NAME at
+    * read time and a missing key reads as null, so ADD (nullable)
+    * COLUMNS needs no data rewrite — old files serve nulls; DROP
+    * narrows the read schema — old files' extra keys are parsed past
+    * and discarded. RENAME is rejected: it would silently null out
+    * every pre-rename file's column (name-keyed payloads have no
+    * field ids — the Iceberg feature this format trades away). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!Files.exists(metaPath(dir)))
+      throw new NoSuchTableException(Seq(name()) ++
+        ident.namespace().toSeq :+ ident.name())
+    var (schema, partCols, props) = readMeta(dir)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "nested column adds are not supported (payload rows are flat)")
+        val col = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(col), s"column '$col' exists")
+        require(add.isNullable,
+          s"added column '$col' must be nullable: files written before " +
+            "the ALTER read it as null")
+        require(NdjsonCodec.supported(add.dataType()),
+          s"added column '$col' has unsupported type ${add.dataType()}")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          col, add.dataType()))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested deletes unsupported")
+        val col = del.fieldNames()(0)
+        require(schema.fieldNames.contains(col), s"no column '$col'")
+        require(!partCols.contains(col),
+          s"cannot drop partition column '$col'")
+        schema = StructType(schema.fields.filterNot(_.name == col))
+      case set: TableChange.SetProperty =>
+        props = props + (set.property().toLowerCase -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property().toLowerCase
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER: $other (rename/retype would silently " +
+            "orphan name-keyed payload data)")
+    }
+    writeMeta(dir, schema, partCols, props, overwrite = true)
+    new ManifestTable(dir.toString, schema, None, partCols, props)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -774,6 +774,38 @@ class IngestSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN g10").collect().isEmpty)
   }
 
+  test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME refuses") {
+    val wh = Files.createTempDirectory("graft_catalog_evo").toString
+    spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gevo.base", wh)
+    spark.sql("CREATE TABLE gevo.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gevo.t SELECT id, concat('v', id) FROM range(5)")
+    // ADD COLUMNS: no data rewrite — pre-ALTER files read the new
+    // column as null; post-ALTER inserts carry it.
+    spark.sql("ALTER TABLE gevo.t ADD COLUMNS (score DOUBLE)")
+    spark.sql(
+      "INSERT INTO gevo.t SELECT id, concat('v', id), id * 1.5 FROM range(5, 8)")
+    val rows = spark.sql("SELECT id, score FROM gevo.t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(rows.size == 8)
+    assert((0L to 4L).forall(rows(_).isEmpty), "old files must read null")
+    assert(rows(6L).contains(9.0))
+    // Null-count pruning composes with evolution: IS NOT NULL cannot
+    // prune old files (their entries predate the column — unknown).
+    assert(spark.sql("SELECT count(*) FROM gevo.t WHERE score IS NOT NULL")
+      .head.getLong(0) == 3)
+    // DROP narrows the schema; the data files keep the extra key.
+    spark.sql("ALTER TABLE gevo.t DROP COLUMN v")
+    assert(spark.table("gevo.t").columns.toSeq == Seq("id", "score"))
+    assert(spark.sql("SELECT sum(id) FROM gevo.t").head.getLong(0) == 28)
+    // RENAME would silently null out name-keyed payloads — refused.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gevo.t RENAME COLUMN score TO s2")
+    }
+    spark.sql("DROP TABLE gevo.t")
+  }
+
   test("ManifestSink time travel: retained generations read back; expiry collects them") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
