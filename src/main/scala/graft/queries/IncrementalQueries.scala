@@ -949,6 +949,64 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
     },
 
+    // Copy-on-write MERGE (Delta-MERGE shape on the manifest
+    // committer): the corpus lands range-partitioned by doc_id, a CDC
+    // batch updates every 5th document (text suffixed, n_chars bumped)
+    // and inserts brand-new ones; ManifestOps.mergeInto plans the
+    // affected files FROM MANIFEST STATS (only key-overlapping files
+    // are read or rewritten — IngestSpec pins 1 of 4), anti-joins the
+    // untouched rows, and swaps rewrites for originals in ONE manifest
+    // generation. The oracle computes the post-merge state relationally
+    // (non-updated ∪ updated ∪ inserted): a row lost in the rewrite,
+    // doubled across the swap, or merged against stale keys breaks the
+    // per-lang counts and hashes.
+    QuerySpec(
+      "a20_manifest_merge_upsert",
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '~v2', lang, source, n_chars + 3
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'inserted doc ' || doc_id, 'xx',
+        |    source, 13 + length(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("a20", dir).toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      val updates = docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit("~v2")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .unionByName(docs.where(col("doc_id") % 7 === 0).select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("inserted doc "), col("doc_id")).as("text"),
+          lit("xx").as("lang"), col("source"),
+          (lit(13) + length(col("doc_id").cast("string"))
+            .cast("long")).as("n_chars")))
+      graft.sources.ManifestOps.mergeInto(s, out, updates, "doc_id")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // The manifest table as a STREAMING SOURCE (generation offsets —
     // the Delta/Iceberg "streaming table" idea): the corpus lands in
     // THREE retained commits, and the tail drains them under

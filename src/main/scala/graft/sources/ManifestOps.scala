@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, In, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+
+/** Table-level operations composed FROM the committer's primitives —
+  * the copy-on-write recipes a real table format ships (Delta MERGE,
+  * Iceberg copy-on-write), expressed as: plan the affected file set
+  * from manifest stats, read ONLY those files (`fileSubset`), rewrite,
+  * and atomically swap old for new in one manifest commit
+  * (`replaceFiles`). Everything data-sized runs as Spark jobs;
+  * everything manifest-sized stays driver-side metadata work. */
+object ManifestOps {
+
+  /** How many distinct update keys we are willing to hold on the driver
+    * to plan the affected-file set EXACTLY (an `In` test per file).
+    * Beyond it, planning falls back to the keys' min/max range — files
+    * inside the range but holding no actual key rewrite unnecessarily
+    * (correct, just extra I/O), the classic exactness/driver-memory
+    * trade. */
+  val ExactKeyPlanningLimit: Int = 100000
+
+  /** Copy-on-write MERGE (upsert by `key`): rows of `updates` replace
+    * same-key rows of the table; new keys append.
+    *
+    *  1. PLAN: manifest stats pick the files whose `key` bounds may
+    *     contain an update key — O(manifest) driver work, zero data
+    *     I/O. Files out of range are never read or rewritten (with
+    *     key-sorted/partitioned layout that is almost all of them).
+    *  2. REWRITE: only the affected files are read (`fileSubset`);
+    *     their non-updated rows union the updates — one anti-join on
+    *     `key` (Spark broadcasts the usually-small update key set).
+    *  3. SWAP: one commit publishes the rewritten files and retires
+    *     the affected ones (`replaceFiles`) in the same manifest
+    *     generation — readers see the old state or the new one, never
+    *     both or neither. A concurrent commit that already replaced an
+    *     affected file fails the swap loudly (optimistic concurrency).
+    *
+    * `updates` must carry the full table schema and at most one row per
+    * key (dedupe upstream — e.g. q197's CDC argmax). Returns the number
+    * of files rewritten. */
+  def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, writeOptions: Map[String, String] = Map.empty): Int = {
+    val schema: StructType = updates.schema
+    require(schema.fieldNames.contains(key), s"updates lack key column '$key'")
+
+    // --- 1. Plan the affected file set from manifest stats.
+    val entries = ManifestSink.committedEntries(dir)
+    val keyDs = updates.select(key).na.drop().distinct()
+    val keys = keyDs.limit(ExactKeyPlanningLimit + 1).collect().map(_.get(0))
+    val affected =
+      if (keys.isEmpty) Seq.empty[StagedFile]
+      else if (keys.length <= ExactKeyPlanningLimit) {
+        val in: Filter = In(key, keys.map(_.asInstanceOf[Any]))
+        entries.filter(e => ManifestStats.mayMatch(schema, e, in))
+      } else {
+        val r = updates.selectExpr(s"min(`$key`)", s"max(`$key`)").head
+        entries.filter(e =>
+          ManifestStats.mayMatch(schema, e, GreaterThanOrEqual(key, r.get(0))) &&
+            ManifestStats.mayMatch(schema, e, LessThanOrEqual(key, r.get(1))))
+      }
+
+    // --- 2. Rewrite: untouched rows of affected files + all updates.
+    val merged =
+      if (affected.isEmpty) updates
+      else {
+        val current = spark.read.format("graft.sources.ManifestSink")
+          .schema(schema).option("path", dir)
+          .option("fileSubset", affected.map(_.name).mkString(","))
+          .load()
+        current.join(keyDs, Seq(key), "left_anti").unionByName(updates)
+      }
+
+    // --- 3. One atomic swap: publish rewrites, retire originals.
+    val w = merged.write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append")
+    writeOptions.foreach { case (k, v) => w.option(k, v) }
+    if (affected.nonEmpty)
+      w.option("replaceFiles", affected.map(_.name).mkString(","))
+    w.save()
+    affected.size
+  }
+}

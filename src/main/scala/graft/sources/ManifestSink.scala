@@ -1185,6 +1185,13 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // EXACT partition pruner. Columns come from the write option (the
     // path-based `.save()` route) or the table definition (catalog /
     // `partitionBy` transforms); the option wins when both are set.
+    // replaceFiles (internal, mergeInto's write half): this commit
+    // RETIRES the named committed files in the same manifest swap that
+    // publishes its own — the copy-on-write contract (read subset,
+    // rewrite, atomically swap old for new).
+    val replaceFiles = Option(info.options().get("replacefiles"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val partCols = Option(info.options().get("partitionby"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(tablePartCols)
@@ -1198,13 +1205,16 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     }
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
-      maxSegments = maxSegments, partCols = partCols)
+      maxSegments = maxSegments, partCols = partCols,
+      replaceFiles = replaceFiles)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema, version,
       options.getLong("maxsplitbytes", 128L * 1024 * 1024),
-      Option(options.get("maxgenerationspertrigger")).map(_.toLong))
+      Option(options.get("maxgenerationspertrigger")).map(_.toLong),
+      Option(options.get("filesubset"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -1220,7 +1230,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
 private[sources] class ManifestScanBuilder(path: String, full: StructType,
     version: Option[Long] = None,
     maxSplitBytes: Long = 128L * 1024 * 1024,
-    maxGensPerTrigger: Option[Long] = None)
+    maxGensPerTrigger: Option[Long] = None,
+    fileSubset: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1237,7 +1248,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
-      maxGensPerTrigger)
+      maxGensPerTrigger, fileSubset)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1419,7 +1430,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     required: StructType, pushed: Array[sources.Filter] = Array.empty,
     version: Option[Long] = None,
     maxSplitBytes: Long = 128L * 1024 * 1024,
-    maxGensPerTrigger: Option[Long] = None)
+    maxGensPerTrigger: Option[Long] = None,
+    fileSubset: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1441,11 +1453,17 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * entry-level skipping then re-tests every entry, so segment
     * skipping is a pure optimization on top. */
   private def survivingEntries: Seq[StagedFile] = {
-    def keep(e: StagedFile): Boolean =
+    def boundsKeep(e: StagedFile): Boolean =
       pushed.forall(f => ManifestStats.mayMatch(full, e, f))
+    // fileSubset (internal, mergeInto's read half): restrict the scan
+    // to named committed files — the copy-on-write rewrite reads ONLY
+    // the files it will replace. Applies to ENTRIES; a segment summary
+    // is named after its segment, so only bounds prune at that level.
+    def keep(e: StagedFile): Boolean =
+      fileSubset.forall(_.contains(e.name)) && boundsKeep(e)
     val txt = ManifestSink.manifestTextAt(path, version)
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
-      if (r.summary.exists(s => !keep(s))) Nil
+      if (r.summary.exists(s => !boundsKeep(s))) Nil
       else ManifestSink.parseEntries(
         ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
     }
@@ -1665,16 +1683,17 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     autoCompactRows: Long = 0L,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    replaceFiles: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
-      autoCompactRows, maxSegments, partCols)
+      autoCompactRows, maxSegments, partCols, replaceFiles)
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
-      maxSegments, partCols)
+      maxSegments, partCols, replaceFiles)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
@@ -1827,7 +1846,8 @@ private[sources] object StagedFileSet {
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    replaceFiles: Set[String] = Set.empty)
     extends BatchWrite {
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
@@ -1857,9 +1877,20 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         ManifestSink.parseEntries(ManifestSink.segmentTextStrict(path, r.name)))
       val inline = ManifestSink.parseEntries(txt)
       val priorAll = segEntries ++ inline
+      // Copy-on-write retirement: every file this commit replaces must
+      // still be committed — a file that vanished means a concurrent
+      // rewrite won the race, and silently proceeding would resurrect
+      // or double its rows. Fail loudly (optimistic concurrency).
+      val missing = replaceFiles -- priorAll.map(_.name).toSet
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"replaceFiles names ${missing.mkString(", ")} are no longer " +
+            s"committed in $path — a concurrent commit replaced them; " +
+            "re-plan the merge against the current generation")
+      val retireNames = winnerNames ++ replaceFiles
       val prior =
         if (truncate) Seq.empty
-        else priorAll.filterNot(f => winnerNames.contains(f.name))
+        else priorAll.filterNot(f => retireNames.contains(f.name))
       winners.foreach { f =>
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -1867,18 +1898,24 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // O(delta) append when no carried segment needs an entry removed
       // and the segment count stays under the collapse bound; otherwise
       // a full single-segment rewrite (truncate, a name collision inside
-      // a segment, or the every-MaxSegments-th merge).
-      val segTouched = segEntries.exists(e => winnerNames.contains(e.name))
+      // a segment, the every-MaxSegments-th merge, or a copy-on-write
+      // replacement buried in a segment).
+      val segTouched = segEntries.exists(e => retireNames.contains(e.name))
       if (!truncate && !segTouched &&
           segRefs.size < maxSegments) {
         ManifestSink.publishDelta(dir, segRefs,
-          inline.filterNot(f => winnerNames.contains(f.name)),
+          inline.filterNot(f => retireNames.contains(f.name)),
           winners.toSeq, generation + 1, queryId, retain)
       } else {
         ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
           queryId, retain)
         ManifestSink.sweepSegments(dir)
       }
+      // Replaced files leave the directory AFTER the swap (idempotent
+      // GC) — unless retained history still references them.
+      if (!retain && !ManifestSink.hasRetainedGenerations(path))
+        (replaceFiles -- winnerNames)
+          .foreach(n => Files.deleteIfExists(dir.resolve(n)))
       if (truncate && !retain) {
         // Truncate semantics: prior commits' files leave the directory —
         // but only AFTER the manifest swap stopped referencing them

@@ -774,6 +774,53 @@ class IngestSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN g10").collect().isEmpty)
   }
 
+  test("ManifestOps.mergeInto: copy-on-write upsert rewrites only key-overlapping files") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_merge").toString
+    // Range-partitioned layout: 4 files with disjoint id ranges.
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("old-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val before = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert(before.size == 4)
+    // Updates touch ids 100-119 (one file's range) plus a brand-new key.
+    val updates = spark.range(100, 120).select(col("id"),
+        concat(lit("new-"), col("id")).as("v"))
+      .unionByName(Seq((5000L, "new-5000")).toDF("id", "v"))
+    val rewritten = graft.sources.ManifestOps.mergeInto(
+      spark, dir, updates, "id")
+    assert(rewritten == 1, s"stats must plan exactly 1 affected file")
+    val after = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert((before -- after).size == 1, "only the affected file retires")
+    assert((before intersect after).size == 3, "untouched files carry over")
+    // Content: updated keys new, untouched keys old, insert present.
+    val sch = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val rows = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 1001)
+    assert(rows(110L) == "new-110" && rows(99L) == "old-99" &&
+      rows(120L) == "old-120" && rows(5000L) == "new-5000")
+    // Optimistic concurrency: a replaceFiles commit naming a file that
+    // is no longer committed fails loudly (a racing merge won).
+    val gone = (before -- after).head
+    val err = intercept[Exception] {
+      Seq((1L, "x")).toDF("id", "v")
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("replaceFiles", gone)
+        .mode("append").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("no longer committed")), err.toString)
+    assert(graft.sources.ManifestSink.committedRowCount(dir) == 1001,
+      "failed swap must leave the table unchanged")
+  }
+
   test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME refuses") {
     val wh = Files.createTempDirectory("graft_catalog_evo").toString
     spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
