@@ -1007,6 +1007,42 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // OPTIMIZE/cluster (Delta's OPTIMIZE ZORDER shape): the corpus
+    // lands hash-shuffled — every file's doc_id bounds span the whole
+    // domain, so nothing prunes — then ManifestOps.cluster rewrites it
+    // range-sorted by doc_id in ONE atomic overwrite commit, and the
+    // same range predicate now plans only the overlapping files
+    // (IngestSpec pins 4 → 1 on a point lookup). The oracle replays the
+    // predicate against the source table: a row lost, doubled, or
+    // mis-sorted across the rewrite breaks counts and hashes.
+    QuerySpec(
+      "a21_manifest_cluster",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE doc_id >= 100 AND doc_id < 300
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("a21", dir).toString
+      Tables.documents(s, dir).repartition(8)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.ManifestOps.cluster(s, out, schema,
+        Seq(col("doc_id")), numFiles = 4)
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .where(col("doc_id") >= 100 && col("doc_id") < 300)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // The manifest table as a STREAMING SOURCE (generation offsets —
     // the Delta/Iceberg "streaming table" idea): the corpus lands in
     // THREE retained commits, and the tail drains them under

@@ -81,4 +81,32 @@ object ManifestOps {
     w.save()
     affected.size
   }
+
+  /** OPTIMIZE/cluster (Delta's `OPTIMIZE ZORDER BY` shape): rewrite the
+    * table range-partitioned and sorted by `sortCols` into `numFiles`
+    * files, in ONE atomic overwrite commit. Sorting is what makes the
+    * per-file min/max bounds TIGHT — after clustering by a column,
+    * point/range predicates on it prune to O(1) files instead of
+    * scanning a random layout where every file's bounds span the whole
+    * domain. For multi-column locality pass one interleaved z-value
+    * expression (q84's `zorderKey`) as the sort column and the payload
+    * columns still get per-file bounds from the writer. The read and
+    * the rewrite run in the same Spark job: scan tasks see the current
+    * committed files throughout; the swap retires them only at commit.
+    * Driver-side compaction (`ManifestSink.compact`) merges small files
+    * WITHOUT a Spark job but preserves row order; cluster is the
+    * data-moving complement that re-sorts. */
+  def cluster(spark: SparkSession, dir: String, schema: StructType,
+      sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int,
+      writeOptions: Map[String, String] = Map.empty): Unit = {
+    require(sortCols.nonEmpty && numFiles > 0)
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .schema(schema).option("path", dir).load()
+    val w = table.repartitionByRange(numFiles, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite")
+    writeOptions.foreach { case (k, v) => w.option(k, v) }
+    w.save()
+  }
 }

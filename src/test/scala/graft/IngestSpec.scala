@@ -821,6 +821,36 @@ class IngestSpec extends SparkSpec {
       "failed swap must leave the table unchanged")
   }
 
+  test("ManifestOps.cluster: sorted rewrite turns full scans into 1-file point lookups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_cluster").toString
+    // RANDOM layout: hash repartition spreads every id range across all
+    // files, so every file's bounds span the whole domain.
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("doc-"), col("id")).as("t"))
+      .repartition(4)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val sch = StructType(Seq(StructField("id", LongType), StructField("t", StringType)))
+    def table = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    assert(filePartitions(table.where(col("id") === 500L)) == 4,
+      "random layout: a point lookup cannot prune")
+    graft.sources.ManifestOps.cluster(spark, dir, sch, Seq(col("id")), 4)
+    assert(graft.sources.ManifestSink.committedFiles(dir).size == 4)
+    assert(filePartitions(table.where(col("id") === 500L)) == 1,
+      "clustered layout: tight bounds prune to one file")
+    // The rewrite moved every row exactly once.
+    val rows = table.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.length == 1000 && rows.toMap.get(500L).contains("doc-500"))
+  }
+
   test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME refuses") {
     val wh = Files.createTempDirectory("graft_catalog_evo").toString
     spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
