@@ -1568,22 +1568,51 @@ private[sources] class ManifestMicroBatchStream(path: String,
     val s = start.asInstanceOf[GenOffset].gen
     val e = end.asInstanceOf[GenOffset].gen
     if (e <= s) return Array.empty
-    val before = entriesAt(s).map(_.name).toSet
-    val after = entriesAt(e)
-    val retired = before -- after.map(_.name).toSet
-    if (retired.nonEmpty)
-      throw new IllegalStateException(
-        s"generations $s -> $e of $path retired files " +
-          s"${retired.mkString(", ")} (compaction, DELETE, truncate, or an " +
-          "epoch replay ran under this streaming read); a streamed table " +
-          "must stay append-only while tailed — pause maintenance or " +
-          "restart the stream from the current generation")
-    // File skipping applies per batch: a predicate-pruned tail never
-    // plans (never fetches) files its filters exclude.
-    after.filterNot(f => before.contains(f.name))
-      .filter(f => pushed.forall(fl => ManifestStats.mayMatch(full, f, fl)))
-      .flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes))
-      .toArray
+    val keep = (f: StagedFile) =>
+      pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
+    val eTxt = ManifestSink.manifestTextAt(path,
+      if (e == ManifestSink.committedGeneration(path)) None else Some(e))
+    val fresh: Seq[StagedFile] =
+      if (s == 0L) ManifestSink.resolveEntries(path, eTxt).filter(keep)
+      else {
+        val sTxt = ManifestSink.manifestTextAt(path, Some(s))
+        val sRefs = ManifestSink.segmentRefsFull(sTxt).map(_.name).toSet
+        val sInline = ManifestSink.parseEntries(sTxt)
+        val eRefs = ManifestSink.segmentRefsFull(eTxt)
+        if (sInline.isEmpty && sRefs.subsetOf(eRefs.map(_.name).toSet)) {
+          // FAST PATH (steady-state appends): segments are immutable
+          // and every start-generation segment is still referenced, so
+          // no committed file can have retired — the delta is exactly
+          // the NEW segments (+ any new inline entries). Planning cost
+          // is O(delta + #segments), never O(table): carried segments
+          // are not even read (their summaries still prune).
+          val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
+          val segDelta = newSegs.flatMap { r =>
+            if (r.summary.exists(su => !keep(su))) Nil
+            else ManifestSink.parseEntries(
+              ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
+          }
+          segDelta ++ ManifestSink.parseEntries(eTxt).filter(keep)
+        } else {
+          // SLOW PATH (a collapse/migration/rewrite happened): full
+          // name-level diff, which is also where retirement — a
+          // non-append change under the tail — is detected and refused.
+          val before = ManifestSink.resolveEntries(path, sTxt)
+            .map(_.name).toSet
+          val after = ManifestSink.resolveEntries(path, eTxt)
+          val retired = before -- after.map(_.name).toSet
+          if (retired.nonEmpty)
+            throw new IllegalStateException(
+              s"generations $s -> $e of $path retired files " +
+                s"${retired.mkString(", ")} (compaction, DELETE, truncate, " +
+                "or an epoch replay ran under this streaming read); a " +
+                "streamed table must stay append-only while tailed — pause " +
+                "maintenance or restart the stream from the current " +
+                "generation")
+          after.filterNot(f => before.contains(f.name)).filter(keep)
+        }
+      }
+    fresh.flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

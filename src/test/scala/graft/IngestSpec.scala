@@ -705,13 +705,31 @@ class IngestSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("mst_tail").count() == 100)
       // Appends land incrementally: the next batch reads ONLY the new
-      // files — no re-delivery of generation 1's rows.
+      // files — no re-delivery of generation 1's rows. Hard proof that
+      // planning is O(delta): generation 1's SEGMENT file is deleted
+      // from disk before the tail's next batch plans — the fast-path
+      // generation diff must plan from the NEW segments alone, never
+      // re-reading carried ones (a batch scan of the same table would
+      // throw here).
       append(100, 150)
       append(150, 160)
+      def segNames: Seq[String] = {
+        val it = Files.list(java.nio.file.Paths.get(dir)).iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next().getFileName.toString
+          if (f.startsWith("seg-g") && f.endsWith(".json")) b += f
+        }
+        b.result()
+      }
+      val seg1Name = segNames.min // lowest generation = the carried one
+      val seg1Bytes = Files.readAllBytes(java.nio.file.Paths.get(dir, seg1Name))
+      Files.delete(java.nio.file.Paths.get(dir, seg1Name))
       q.processAllAvailable()
       val ids = spark.table("mst_tail").select("id").as[Long].collect()
       assert(ids.length == 160 && ids.toSet == (0L until 160L).toSet,
         "tail must deliver every appended row exactly once")
+      Files.write(java.nio.file.Paths.get(dir, seg1Name), seg1Bytes)
       // A non-append change under the tail (compaction retires files)
       // must fail LOUDLY, not silently re-deliver merged rows.
       graft.sources.ManifestSink.compact(dir, targetRows = 1000L)
