@@ -330,6 +330,75 @@ object ScaleProbe {
     }
   }
 
+  /** Tail-planning anchor (`probe = tail`): a table accretes 200
+    * retained generations (one tiny file each), then the streaming
+    * source drains it under `maxGenerationsPerTrigger=1` — 200 real
+    * micro-batches, batch k planning against k prior generations. The
+    * round-10 fast path diffs POINTERS and reads only new segments, so
+    * per-batch wall must stay FLAT in k; the pre-fast-path planner
+    * resolved full entry lists at both generations (O(table) per batch,
+    * linear growth that compounds to O(G²) over a drain). Reported:
+    * mean batch wall over the first and last quartiles of the drain,
+    * plus the O(table) cost of one full manifest resolve for scale. */
+  private def tailProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    val gens = 200
+    val root = java.nio.file.Files.createTempDirectory("graft_tail_probe")
+    val dir = root.resolve("table").toString
+    (1 to gens).foreach { g =>
+      spark.range(g * 10L, g * 10L + 5).selectExpr("id", "id * 2 AS v")
+        .coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("append").save()
+    }
+    val fullResolveT0 = System.nanoTime()
+    val nFiles = graft.sources.ManifestSink.committedFiles(dir).size
+    val fullResolveMs = (System.nanoTime() - fullResolveT0) / 1e6
+    val batchWalls = collection.mutable.ArrayBuffer[Double]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) batchWalls.synchronized {
+          batchWalls += e.progress.durationMs.get("triggerExecution").toDouble
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val t0 = System.nanoTime()
+      val q = spark.readStream.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir)
+        .option("maxGenerationsPerTrigger", "1").load()
+        .writeStream.format("memory").queryName("tail_probe")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val n = spark.table("tail_probe").count()
+      require(n == gens.toLong * 5, s"tail probe lost rows: $n of ${gens * 5}")
+      val walls = batchWalls.synchronized { batchWalls.toVector }
+      val quarter = math.max(walls.size / 4, 1)
+      def mean(xs: Seq[Double]): Double = xs.sum / math.max(xs.size, 1)
+      println(s"""{"probe":"tail_planning","generations":$gens,""" +
+        s""""files":$nFiles,"batches":${walls.size},""" +
+        f""""mean_first_quartile_ms":${mean(walls.take(quarter))}%.1f,""" +
+        f""""mean_last_quartile_ms":${mean(walls.takeRight(quarter))}%.1f,""" +
+        f""""full_resolve_ms":$fullResolveMs%.1f,""" +
+        f""""drain_wall_s":$wall%.1f,"rows":$n}""")
+    } finally spark.streams.removeListener(listener)
+  }
+
   /** Iterative-graph anchor (`probe = graph`): the q94 PageRank kernel
     * (10 driver-controlled rounds under the loop discipline — AQE and
     * broadcast off, fixed width, lineage re-rooting) on the q94-shaped
@@ -390,6 +459,11 @@ object ScaleProbe {
     }
     if (probe == "manifest") {
       manifestProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "tail") {
+      tailProbes(spark, base, factors)
       spark.stop()
       return
     }
