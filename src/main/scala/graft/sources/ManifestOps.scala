@@ -109,4 +109,50 @@ object ManifestOps {
     writeOptions.foreach { case (k, v) => w.option(k, v) }
     w.save()
   }
+
+  /** VACUUM (Delta's shape): delete data files and staging directories
+    * nothing references — the garbage crashed jobs leave behind (a
+    * commit that died between staging and publish, an abort that never
+    * ran). Conservative on both axes: a file survives if ANY reachable
+    * manifest references it (the current generation plus every retained
+    * one, resolved leniently — an unreadable retained generation keeps
+    * its unknown references by keeping everything aged younger), and
+    * regardless of references if it is younger than `olderThanMs` — the
+    * age guard that protects a commit IN FLIGHT between its file moves
+    * and its manifest swap (the whole sequence runs under the publish
+    * lock, which vacuum also holds, so the guard is belt-and-braces the
+    * way Delta's retention check is). Returns (data files deleted,
+    * staging dirs deleted). */
+  def vacuum(dir: String, olderThanMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
+    import java.nio.file.{Files, Paths}
+    val dirPath = Paths.get(dir)
+    ManifestSink.withPublishLock(dirPath) {
+      val referenced = ManifestSink.allReachableFileNames(dir)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      var dataGone = 0
+      var stagingGone = 0
+      val ls = Files.list(dirPath)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          val dataShaped = n.endsWith(".ndjson") &&
+            (n.startsWith("part-") || n.startsWith("compact-"))
+          val old = Files.getLastModifiedTime(p).toMillis < cutoff
+          if (dataShaped && old && !referenced.contains(n)) {
+            Files.deleteIfExists(p)
+            dataGone += 1
+          } else if (n.startsWith(".staging-") && Files.isDirectory(p) && old) {
+            val walk = Files.walk(p)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+            stagingGone += 1
+          }
+        }
+      } finally ls.close()
+      (dataGone, stagingGone)
+    }
+  }
 }

@@ -639,6 +639,27 @@ object ManifestSink {
         ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size)))
   }
 
+  /** Every data-file name ANY reachable manifest references: the
+    * current generation (strict — an unreadable live table is an error,
+    * not a GC opportunity) plus every retained generation (lenient — a
+    * compact-invalidated retained gen was already unreadable for time
+    * travel; treating its references as empty loses nothing live).
+    * The vacuum keep-set. */
+  private[sources] def allReachableFileNames(dir: String): Set[String] = {
+    val retained = collection.mutable.ArrayBuffer[Long]()
+    val ls = Files.list(Paths.get(dir))
+    try ls.iterator().asScala().foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("manifest-g") && n.endsWith(".json"))
+        retained += n.stripPrefix("manifest-g").stripSuffix(".json").toLong
+    } finally ls.close()
+    val old = retained.flatMap { g =>
+      try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
+      catch { case _: java.io.UncheckedIOException => Seq.empty }
+    }
+    (committedEntries(dir) ++ old).map(_.name).toSet
+  }
+
   /** Does the table keep snapshot history (any retained generation
     * manifest on disk)? Operations that retire files (DELETE) defer
     * their data-file GC to expireSnapshots when it does. */

@@ -741,6 +741,49 @@ class IngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ManifestSink streaming partitionBy: per-tuple epoch files, deterministic names") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_part")
+    val dir = root.resolve("table").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "cat")
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .option("partitionBy", "cat")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b")))
+      q.processAllAvailable()
+      mem.addData((40L until 60L).map(i => (i, "a")))
+      q.processAllAvailable()
+      val files = graft.sources.ManifestSink.committedFiles(dir)
+      // Epoch 0 wrote per-(partition, tuple) files for 'a' and 'b';
+      // epoch 1 only 'a' — every name carries the epoch and a tuple
+      // digest, so a replay would regenerate identical names.
+      assert(files.forall(_.startsWith("part-e")), files.toString)
+      val sch = StructType(Seq(StructField("id", LongType),
+        StructField("cat", StringType)))
+      val table = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir).load()
+      assert(table.count() == 60)
+      // Partition pruning holds on the streamed layout: cat = 'b'
+      // exists only in epoch-0 files whose bounds pin cat to 'b'.
+      def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            s.partitions.size
+        }.sum
+      val bFiles = filePartitions(table.where(col("cat") === "b"))
+      assert(bFiles < files.size && bFiles >= 1,
+        s"expected pruning: $bFiles of ${files.size}")
+      assert(table.where(col("cat") === "b").count() == 20)
+    } finally q.stop()
+  }
+
   test("GraftCatalog SQL surface: DDL, INSERT, pruned SELECT, time travel, metadata DELETE") {
     val wh = Files.createTempDirectory("graft_catalog").toString
     spark.conf.set("spark.sql.catalog.g10", "graft.sources.GraftCatalog")

@@ -872,6 +872,55 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(ManifestSink.committedFiles(dir).isEmpty)
   }
 
+  test("vacuum deletes aged orphans only; references and young files survive") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    def put(name: String, ageMs: Long): Unit = {
+      val p = Paths.get(dir, name)
+      Files.write(p, "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - ageMs))
+    }
+    // A committed file (referenced), an aged orphan (crashed commit's
+    // moved-but-never-published file), a YOUNG orphan (in-flight), and
+    // an aged crashed staging dir.
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-q1"))
+    Files.write(staging.resolve("part-live.ndjson"),
+      "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+    // retain=true: generation 1's manifest copy is what must keep the
+    // retired file reachable after the truncate below.
+    new ManifestBatchWrite(dir, schema, "q1", truncate = false, retain = true)
+      .commit(Array(StagedFile("part-live.ndjson", 1L)))
+    put("part-orphan-old.ndjson", ageMs = 100000L)
+    put("part-orphan-young.ndjson", ageMs = 0L)
+    val crashed = Files.createDirectories(Paths.get(dir, ".staging-dead"))
+    Files.write(crashed.resolve("part-x.ndjson.a3"),
+      "{\"id\":9}\n".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(crashed, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 100000L))
+    val (data, stg) = ManifestOps.vacuum(dir, olderThanMs = 50000L)
+    assert(data == 1 && stg == 1, s"($data, $stg)")
+    assert(Files.exists(Paths.get(dir, "part-live.ndjson")),
+      "referenced file must survive")
+    assert(Files.exists(Paths.get(dir, "part-orphan-young.ndjson")),
+      "young file must survive (in-flight commit guard)")
+    assert(!Files.exists(Paths.get(dir, "part-orphan-old.ndjson")))
+    assert(!Files.exists(crashed))
+    assert(ManifestSink.committedRowCount(dir) == 1L, "table intact")
+    // Retained generations hold their references: overwrite with
+    // retention, then vacuum must keep the RETIRED file too.
+    val staging2 = Files.createDirectories(Paths.get(dir, ".staging-q2"))
+    Files.write(staging2.resolve("part-gen2.ndjson"),
+      "{\"id\":2}\n".getBytes(StandardCharsets.UTF_8))
+    new ManifestBatchWrite(dir, schema, "q2", truncate = true, retain = true)
+      .commit(Array(StagedFile("part-gen2.ndjson", 1L)))
+    val oldLive = Paths.get(dir, "part-live.ndjson")
+    Files.setLastModifiedTime(oldLive, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 100000L))
+    val (data2, _) = ManifestOps.vacuum(dir, olderThanMs = 50000L)
+    assert(data2 == 0 && Files.exists(oldLive),
+      "a file a retained generation references must survive vacuum")
+  }
+
   test("time travel resolves segmented generations; expire sweeps their segments") {
     // Retained generation manifests are pointer COPIES referencing
     // immutable segments — versionAsOf must resolve through them, and
