@@ -1083,6 +1083,56 @@ object IncrementalQueries {
       graft.streaming.Streams.runToTable(agg, "st28_mem", "complete")
     },
 
+    // MEDALLION pipeline end-to-end (bronze → silver, both manifest
+    // tables): bronze accretes in three retained commits; a streaming
+    // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —
+    // each commit its own micro-batch), applies the silver filter, and
+    // lands in a second manifest table through the epoch-idempotent
+    // streaming sink; the batch scan of SILVER is the spec result. One
+    // oracle covers the whole chain — batch write → incremental read →
+    // transform → streaming write → batch read — so a row dropped,
+    // re-delivered, or mis-framed at ANY hop breaks the hash.
+    QuerySpec(
+      "st29_medallion_pipeline",
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_c
+        |FROM events WHERE floor(value * 100 + 0.5) >= 25
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val base = freshDir("st29", dir)
+      val bronze = base.resolve("bronze").toString
+      val silver = base.resolve("silver").toString
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+      (0 to 2).foreach { k =>
+        ev.where(col("event_id") % 3 === k).coalesce(2)
+          .write.format("graft.sources.ManifestSink")
+          .option("path", bronze).option("retainHistory", "true")
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("val_c", LongType)))
+      val q = s.readStream.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", bronze)
+        .option("maxGenerationsPerTrigger", "1").load()
+        .where(col("val_c") >= 25)
+        .writeStream.format("graft.sources.ManifestSink")
+        .option("path", silver)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", silver).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
+    },
+
     // STREAMING LSH bucket index — the state an incremental near-dup
     // pipeline (dd13's daily-crawl shape) maintains continuously: each
     // arriving document's portable MinHash signature splits into band

@@ -2184,6 +2184,15 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
 
   override def write(record: InternalRow): Unit = {
     val key = tupleKey(record)
+    if (!children.contains(key) &&
+        children.size >= PartitionedNdjsonDataWriter.MaxOpenTuples)
+      throw new IllegalStateException(
+        s"task $partitionId holds ${children.size} open partition tuples " +
+          s"(cap ${PartitionedNdjsonDataWriter.MaxOpenTuples}) — the " +
+          "partitionBy column is too high-cardinality for a partition " +
+          "layout, or the input is not clustered by it: repartition by " +
+          "the partition columns before writing (Hive's " +
+          "hive.exec.max.dynamic.partitions discipline)")
     children.getOrElseUpdate(key,
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         epochId, suffix = "-p" + digest(key))).write(record)
@@ -2195,4 +2204,13 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
 
   override def abort(): Unit = children.values.foreach(_.abort())
   override def close(): Unit = children.values.foreach(_.close())
+}
+
+private[sources] object PartitionedNdjsonDataWriter {
+  /** Cap on concurrently open per-tuple files in ONE task — each holds
+    * a buffer and a file handle, so an unclustered high-cardinality
+    * partition column would exhaust memory/handles silently; failing
+    * loudly with the repartition advice is the Hive
+    * `max.dynamic.partitions.pernode` discipline. */
+  val MaxOpenTuples: Int = 1000
 }
