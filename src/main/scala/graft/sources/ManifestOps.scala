@@ -51,14 +51,20 @@ object ManifestOps {
     val keys = keyDs.limit(ExactKeyPlanningLimit + 1).collect().map(_.get(0))
     val affected =
       if (keys.isEmpty) Seq.empty[StagedFile]
-      else if (keys.length <= ExactKeyPlanningLimit) {
-        val in: Filter = In(key, keys.map(_.asInstanceOf[Any]))
-        entries.filter(e => ManifestStats.mayMatch(schema, e, in))
-      } else {
+      else {
         val r = updates.selectExpr(s"min(`$key`)", s"max(`$key`)").head
-        entries.filter(e =>
+        def inRange(e: StagedFile): Boolean =
           ManifestStats.mayMatch(schema, e, GreaterThanOrEqual(key, r.get(0))) &&
-            ManifestStats.mayMatch(schema, e, LessThanOrEqual(key, r.get(1))))
+            ManifestStats.mayMatch(schema, e, LessThanOrEqual(key, r.get(1)))
+        if (keys.length <= ExactKeyPlanningLimit) {
+          // Range precheck first: the exact In test is O(keys) per
+          // file, so files outside the update keys' global range —
+          // with sorted/partitioned layout, almost all of them — must
+          // never pay it.
+          val in: Filter = In(key, keys.map(_.asInstanceOf[Any]))
+          entries.filter(e =>
+            inRange(e) && ManifestStats.mayMatch(schema, e, in))
+        } else entries.filter(inRange)
       }
 
     // --- 2. Rewrite: untouched rows of affected files + all updates.
