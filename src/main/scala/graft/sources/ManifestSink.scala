@@ -639,6 +639,77 @@ object ManifestSink {
         ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size)))
   }
 
+  /** One commit's provenance row — `history(dir)`'s DESCRIBE HISTORY
+    * shape. Pre-provenance manifests read tag "" and ts 0. */
+  final case class CommitInfo(generation: Long, tag: String, ts: Long,
+      current: Boolean)
+
+  /** Depth-1 scalar value of `"key":` in a manifest JSON text,
+    * string-aware (braces/brackets/colons inside string literals are
+    * data, never structure). Strings return unescaped; numbers return
+    * their raw token. */
+  private def topLevelValue(txt: String, key: String): Option[String] = {
+    var i = 0; var depth = 0
+    def readStr(): String = {
+      val sb = new java.lang.StringBuilder
+      i += 1
+      var esc = false
+      while (i < txt.length && (esc || txt.charAt(i) != '"')) {
+        if (esc) { sb.append(txt.charAt(i)); esc = false }
+        else if (txt.charAt(i) == '\\') esc = true
+        else sb.append(txt.charAt(i))
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    def ws(): Unit = while (i < txt.length && txt.charAt(i) <= ' ') i += 1
+    while (i < txt.length) {
+      txt.charAt(i) match {
+        case '"' =>
+          val s = readStr()
+          if (depth == 1 && s == key) {
+            ws()
+            if (i < txt.length && txt.charAt(i) == ':') {
+              i += 1; ws()
+              if (i < txt.length && txt.charAt(i) == '"') return Some(readStr())
+              val start = i
+              while (i < txt.length && "-.0123456789eE".indexOf(txt.charAt(i)) >= 0) i += 1
+              return Some(txt.substring(start, i)).filter(_.nonEmpty)
+            }
+          }
+        case '{' => depth += 1; i += 1
+        case '}' => depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Commit history (Delta's DESCRIBE HISTORY): one row per resolvable
+    * generation — every retained copy plus the current pointer — newest
+    * first, each with the committing tag (query/epoch id, or the
+    * operation: "compact", "delete") and wall-clock stamp. Tables
+    * written without retainHistory show the current commit only. */
+  def history(dir: String): Seq[CommitInfo] = {
+    def info(txt: String, current: Boolean): Option[CommitInfo] =
+      topLevelValue(txt, "generation").map(_.toLong).map { g =>
+        CommitInfo(g, topLevelValue(txt, "tag").getOrElse(""),
+          topLevelValue(txt, "ts").map(_.toLong).getOrElse(0L), current)
+      }
+    val currentGen = committedGeneration(dir)
+    val retained = collection.mutable.ArrayBuffer[CommitInfo]()
+    val ls = Files.list(Paths.get(dir))
+    try ls.iterator().asScala().foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("manifest-g") && n.endsWith(".json"))
+        info(manifestText(dir, n), current = false).foreach(retained += _)
+    } finally ls.close()
+    val cur = info(manifestText(dir, ManifestName), current = true)
+    (retained.filterNot(c => c.generation == currentGen).toSeq ++ cur)
+      .sortBy(-_.generation)
+  }
+
   /** Every data-file name ANY reachable manifest references: the
     * current generation (strict — an unreadable live table is an error,
     * not a GC opportunity) plus every retained generation (lenient — a
@@ -716,7 +787,13 @@ object ManifestSink {
       case SegmentRef(_, Some(sum)) => renderEntry(sum)
       case SegmentRef(n, None) => "\"" + n + "\""
     }.mkString("[", ",", "]")
-    val json = s"""{"generation":$generation,"segments":$segs}"""
+    // Commit PROVENANCE rides the pointer: the tag (query/epoch id or
+    // the operation name — "compact", "delete") and a wall-clock stamp,
+    // Delta's DESCRIBE HISTORY columns. Retained generation copies keep
+    // them, so `history(dir)` reads the audit trail back.
+    val json = s"""{"generation":$generation,""" +
+      s""""tag":"${NdjsonCodec.escape(tag)}",""" +
+      s""""ts":${System.currentTimeMillis()},"segments":$segs}"""
     // Snapshot retention (time travel): the generation-numbered copy is
     // written BEFORE the pointer swap — a crash between the two leaves
     // a dangling gen file (harmless; replaced on retry), never a
@@ -1374,6 +1451,8 @@ private[sources] object ManifestStats {
       case GreaterThanOrEqual(c, v) => !cmpHi(c, v).exists(_ < 0)
       case LessThan(c, v) => !cmpLo(c, v).exists(_ >= 0)
       case LessThanOrEqual(c, v) => !cmpLo(c, v).exists(_ > 0)
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
       case In(c, vs) =>
         vs.isEmpty || vs.exists(v => mayMatch(full, entry, EqualTo(c, v)))
       // Null-count pruning (needs recorded counts; unknown → keep).
@@ -1434,6 +1513,10 @@ private[sources] object ManifestStats {
       case LessThan(c, v) => noNulls(c) && noNan(c) && cmpHi(c, v).exists(_ < 0)
       case LessThanOrEqual(c, v) =>
         noNulls(c) && noNan(c) && cmpHi(c, v).exists(_ <= 0)
+      // TRUNCATE arrives as DELETE WHERE AlwaysTrue — every row of
+      // every file trivially matches.
+      case _: AlwaysTrue => true
+      case _: AlwaysFalse => false
       case In(c, vs) => vs.exists(v => mustMatch(full, entry, EqualTo(c, v)))
       case IsNull(c) => entry.nullCounts.get(c).contains(entry.rows)
       case IsNotNull(c) => noNulls(c)

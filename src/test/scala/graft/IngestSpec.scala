@@ -828,9 +828,11 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage != null)
     assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 100,
       "refused DELETE must not change the table")
-    // Rename + drop round out the DDL surface.
+    // Rename, truncate, drop round out the DDL surface.
     spark.sql("ALTER TABLE g10.docs RENAME TO docs2")
     assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 100)
+    spark.sql("TRUNCATE TABLE g10.docs2")
+    assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 0)
     spark.sql("DROP TABLE g10.docs2")
     assert(spark.sql("SHOW TABLES IN g10").collect().isEmpty)
   }

@@ -872,6 +872,36 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(ManifestSink.committedFiles(dir).isEmpty)
   }
 
+  test("history reads commit provenance: generation, tag, timestamp, newest first") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    def commit(q: String, name: String, retain: Boolean): Unit = {
+      val staging = Files.createDirectories(Paths.get(dir, s".staging-$q"))
+      Files.write(staging.resolve(name),
+        "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+      new ManifestBatchWrite(dir, schema, q, truncate = false, retain = retain)
+        .commit(Array(StagedFile(name, 1L)))
+    }
+    val t0 = System.currentTimeMillis()
+    commit("q-first", "part-00000-1.ndjson", retain = true)
+    commit("q \"quoted{brace\"", "part-00000-2.ndjson", retain = true)
+    ManifestSink.compact(dir, targetRows = 10L)
+    val h = ManifestSink.history(dir)
+    assert(h.map(_.generation) == Seq(3L, 2L, 1L), h.toString)
+    assert(h.map(_.tag) == Seq("compact", "q \"quoted{brace\"", "q-first"),
+      "tags survive escaping round trip: " + h)
+    assert(h.head.current && h.tail.forall(!_.current))
+    assert(h.forall(c => c.ts >= t0 && c.ts <= System.currentTimeMillis()))
+    // A non-retained table still reports its current commit.
+    val dir2 = Files.createTempDirectory("graft_manifest_unit").toString
+    val staging2 = Files.createDirectories(Paths.get(dir2, ".staging-z"))
+    Files.write(staging2.resolve("part-00000-1.ndjson"),
+      "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
+    new ManifestBatchWrite(dir2, schema, "z", truncate = false)
+      .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
+    val h2 = ManifestSink.history(dir2)
+    assert(h2.map(c => (c.generation, c.tag, c.current)) == Seq((1L, "z", true)))
+  }
+
   test("vacuum deletes aged orphans only; references and young files survive") {
     val dir = Files.createTempDirectory("graft_manifest_unit").toString
     def put(name: String, ageMs: Long): Unit = {
