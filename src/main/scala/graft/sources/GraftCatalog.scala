@@ -147,6 +147,25 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `t$history` / `t$files` expose the
+    // format's own bookkeeping relationally (see [[MetadataTables]]).
+    Seq(MetadataTables.HistorySuffix -> MetadataTables.historySchema,
+        MetadataTables.FilesSuffix -> MetadataTables.filesSchema)
+      .foreach { case (suffix, metaSchema) =>
+        if (ident.name().endsWith(suffix)) {
+          val baseIdent = Identifier.of(ident.namespace(),
+            ident.name().stripSuffix(suffix))
+          val dir = dirOf(baseIdent)
+          if (!Files.exists(metaPath(dir)))
+            throw new NoSuchTableException(Seq(name()) ++
+              ident.namespace().toSeq :+ ident.name())
+          val d = dir.toString
+          return new MetadataTable(s"${name()}.${ident.name()}", metaSchema,
+            if (suffix == MetadataTables.HistorySuffix)
+              () => MetadataTables.historyRows(d)
+            else () => MetadataTables.filesRows(d))
+        }
+      }
     val dir = dirOf(ident)
     if (!Files.exists(metaPath(dir)))
       throw new NoSuchTableException(Seq(name()) ++

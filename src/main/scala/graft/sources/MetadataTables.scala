@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES over a manifest table: suffixing the
+  * table name exposes the format's own bookkeeping relationally —
+  *
+  *   - ``SELECT * FROM cat.`t$history` `` — one row per resolvable
+  *     generation (generation, tag, committed_at, is_current): the
+  *     DESCRIBE HISTORY audit trail;
+  *   - ``SELECT * FROM cat.`t$files` `` — one row per committed data
+  *     file (name, rows, bytes, per-column bound/null-count summary):
+  *     what file skipping and metadata DELETE actually reason over,
+  *     queryable when debugging why a file did or didn't prune.
+  *
+  * Both are driver-computed [[LocalScan]]s: the data IS driver-side
+  * metadata (O(files), the same rows every plan already resolves), so
+  * shipping it through executors would add cost, not parallelism. */
+private[sources] object MetadataTables {
+  val HistorySuffix = "$history"
+  val FilesSuffix = "$files"
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("generation", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("stats", StringType, nullable = false)))
+
+  def historyRows(dir: String): Array[InternalRow] =
+    ManifestSink.history(dir).map { c =>
+      new GenericInternalRow(Array[Any](c.generation,
+        UTF8String.fromString(c.tag), c.ts * 1000L, c.current))
+    }.toArray
+
+  def filesRows(dir: String): Array[InternalRow] =
+    ManifestSink.committedEntries(dir).map { e =>
+      val stats = (e.stats.map(s =>
+        s"${s.col}: [${s.min}, ${s.max}]" +
+          (if (s.hasNan) " +NaN" else "")) ++
+        e.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
+          s"nulls.$c: $n"
+        }).mkString("; ")
+      new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
+        e.rows, e.bytes, UTF8String.fromString(stats)))
+    }.toArray
+}
+
+/** A read-only driver-local table serving precomputed metadata rows. */
+private[sources] class MetadataTable(tableName: String,
+    metaSchema: StructType, compute: () => Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = metaSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        // Computed at SCAN build (query planning), not table resolution:
+        // the rows reflect the table at query time.
+        private val data = compute()
+        override def rows(): Array[InternalRow] = data
+        override def readSchema(): StructType = metaSchema
+      }
+    }
+}

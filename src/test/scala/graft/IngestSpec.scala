@@ -828,6 +828,24 @@ class IngestSpec extends SparkSpec {
     assert(err.getMessage != null)
     assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 100,
       "refused DELETE must not change the table")
+    // Metadata tables (the Iceberg t$history / t$files idea): the
+    // format's bookkeeping is itself queryable SQL.
+    val hist = spark.sql(
+      "SELECT generation, tag, is_current FROM g10.`docs$history` ORDER BY generation")
+      .collect()
+    assert(hist.length >= 3, hist.mkString(","))
+    assert(hist.last.getBoolean(2) && hist.init.forall(!_.getBoolean(2)))
+    assert(hist.map(_.getString(1)).contains("delete"),
+      "the DELETE commit's tag must appear in history")
+    val files = spark.sql(
+      "SELECT name, rows, bytes, stats FROM g10.`docs$files`").collect()
+    assert(files.nonEmpty && files.forall(_.getLong(2) > 0))
+    assert(files.forall(r => r.getString(3).contains("lang: ") &&
+      r.getString(3).contains("nulls.lang: 0")),
+      s"per-file bounds and null counts must surface: ${files.head}")
+    assert(files.forall(!_.getString(3).contains("lang: [\"de\"")),
+      "no de partition may survive the DELETE")
+
     // Rename, truncate, drop round out the DDL surface.
     spark.sql("ALTER TABLE g10.docs RENAME TO docs2")
     assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 100)
