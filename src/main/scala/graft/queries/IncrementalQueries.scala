@@ -1133,6 +1133,66 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
     },
 
+    // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
+    // lands in two retained commits, a copy-on-write MERGE rewrites the
+    // key-overlapping files, and the CDF tail (`readChangeFeed=true`)
+    // streams every transition — base rows as inserts, the rewritten
+    // files' rows as delete+insert pairs with `_change_type` filled at
+    // plan time. The spec REPLAYS the feed (per-row insert-minus-delete
+    // count > 0 = live) and aggregates the reconstruction; the oracle
+    // computes the post-merge state relationally — if the feed missed a
+    // delete, doubled an insert, or mis-labeled a transition, the
+    // reconstruction diverges from the true final table.
+    QuerySpec(
+      "st30_stream_change_feed",
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '~u', lang, source, n_chars + 2
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("st30", dir).toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      (0 to 1).foreach { k =>
+        docs.where(col("doc_id") % 2 === k)
+          .repartitionByRange(2, col("doc_id"))
+          .write.format("graft.sources.ManifestSink")
+          .option("path", out).option("retainHistory", "true")
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      val updates = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit("~u")))
+        .withColumn("n_chars", col("n_chars") + 2)
+      graft.sources.ManifestOps.mergeInto(s, out, updates, "doc_id",
+        writeOptions = Map("retainHistory" -> "true"))
+      val cdfSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType),
+        StructField("_change_type", StringType)))
+      val feed = graft.streaming.Streams.runToTable(
+        s.readStream.format("graft.sources.ManifestSink")
+          .schema(cdfSchema).option("path", out)
+          .option("readChangeFeed", "true").load(),
+        "st30_mem", "append")
+      feed.groupBy("doc_id", "text", "lang", "source", "n_chars")
+        .agg(sum(when(col("_change_type") === "insert", 1)
+          .otherwise(-1)).as("net"))
+        .where(col("net") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // STREAMING LSH bucket index — the state an incremental near-dup
     // pipeline (dd13's daily-crawl shape) maintains continuously: each
     // arriving document's portable MinHash signature splits into band

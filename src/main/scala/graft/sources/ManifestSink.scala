@@ -1312,7 +1312,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       options.getLong("maxsplitbytes", 128L * 1024 * 1024),
       Option(options.get("maxgenerationspertrigger")).map(_.toLong),
       Option(options.get("filesubset"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
+      options.getBoolean("readchangefeed", false))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -1329,7 +1330,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     version: Option[Long] = None,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     maxGensPerTrigger: Option[Long] = None,
-    fileSubset: Option[Set[String]] = None)
+    fileSubset: Option[Set[String]] = None,
+    changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1346,7 +1348,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
-      maxGensPerTrigger, fileSubset)
+      maxGensPerTrigger, fileSubset, changeFeed)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1535,7 +1537,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     version: Option[Long] = None,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     maxGensPerTrigger: Option[Long] = None,
-    fileSubset: Option[Set[String]] = None)
+    fileSubset: Option[Set[String]] = None,
+    changeFeed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -1544,7 +1547,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(version.isEmpty, "cannot stream a versionAsOf read")
     new ManifestMicroBatchStream(path, full, required, pushed, maxSplitBytes,
-      maxGensPerTrigger)
+      maxGensPerTrigger, changeFeed)
   }
 
   /** Entries surviving file skipping — with SEGMENT-level skipping
@@ -1609,7 +1612,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
 }
 
 private[sources] final case class ManifestFilePartition(file: String,
-    start: Long, end: Long) extends InputPartition
+    start: Long, end: Long,
+    constants: Map[String, String] = Map.empty) extends InputPartition
 
 private[sources] final case class GenOffset(gen: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1634,7 +1638,8 @@ private[sources] final case class GenOffset(gen: Long)
 private[sources] class ManifestMicroBatchStream(path: String,
     full: StructType, required: StructType,
     pushed: Array[sources.Filter], maxSplitBytes: Long,
-    maxGensPerTrigger: Option[Long] = None)
+    maxGensPerTrigger: Option[Long] = None,
+    changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -1668,55 +1673,81 @@ private[sources] class ManifestMicroBatchStream(path: String,
     if (gen == 0L) Nil
     else ManifestSink.committedEntriesAt(path, Some(gen))
 
+  /** Change-feed marker column: every CDF row carries
+    * `_change_type` = "insert" | "delete", filled at PLAN time as a
+    * partition constant (data files never store it). */
+  private val ChangeType = "_change_type"
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GenOffset].gen
     val e = end.asInstanceOf[GenOffset].gen
     if (e <= s) return Array.empty
     val keep = (f: StagedFile) =>
       pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
+    def plan(fs: Seq[StagedFile], change: String): Seq[InputPartition] =
+      fs.flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes)).map {
+        case p: ManifestFilePartition if changeFeed =>
+          p.copy(constants = Map(ChangeType -> change))
+        case p => p
+      }
     val eTxt = ManifestSink.manifestTextAt(path,
       if (e == ManifestSink.committedGeneration(path)) None else Some(e))
-    val fresh: Seq[StagedFile] =
-      if (s == 0L) ManifestSink.resolveEntries(path, eTxt).filter(keep)
-      else {
-        val sTxt = ManifestSink.manifestTextAt(path, Some(s))
-        val sRefs = ManifestSink.segmentRefsFull(sTxt).map(_.name).toSet
-        val sInline = ManifestSink.parseEntries(sTxt)
-        val eRefs = ManifestSink.segmentRefsFull(eTxt)
-        if (sInline.isEmpty && sRefs.subsetOf(eRefs.map(_.name).toSet)) {
-          // FAST PATH (steady-state appends): segments are immutable
-          // and every start-generation segment is still referenced, so
-          // no committed file can have retired — the delta is exactly
-          // the NEW segments (+ any new inline entries). Planning cost
-          // is O(delta + #segments), never O(table): carried segments
-          // are not even read (their summaries still prune).
-          val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
-          val segDelta = newSegs.flatMap { r =>
-            if (r.summary.exists(su => !keep(su))) Nil
-            else ManifestSink.parseEntries(
-              ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
-          }
-          segDelta ++ ManifestSink.parseEntries(eTxt).filter(keep)
-        } else {
-          // SLOW PATH (a collapse/migration/rewrite happened): full
-          // name-level diff, which is also where retirement — a
-          // non-append change under the tail — is detected and refused.
-          val before = ManifestSink.resolveEntries(path, sTxt)
-            .map(_.name).toSet
-          val after = ManifestSink.resolveEntries(path, eTxt)
-          val retired = before -- after.map(_.name).toSet
-          if (retired.nonEmpty)
-            throw new IllegalStateException(
-              s"generations $s -> $e of $path retired files " +
-                s"${retired.mkString(", ")} (compaction, DELETE, truncate, " +
-                "or an epoch replay ran under this streaming read); a " +
-                "streamed table must stay append-only while tailed — pause " +
-                "maintenance or restart the stream from the current " +
-                "generation")
-          after.filterNot(f => before.contains(f.name)).filter(keep)
-        }
+    if (s == 0L)
+      return plan(ManifestSink.resolveEntries(path, eTxt).filter(keep),
+        "insert").toArray
+    val sTxt = ManifestSink.manifestTextAt(path, Some(s))
+    val sRefs = ManifestSink.segmentRefsFull(sTxt).map(_.name).toSet
+    val sInline = ManifestSink.parseEntries(sTxt)
+    val eRefs = ManifestSink.segmentRefsFull(eTxt)
+    if (sInline.isEmpty && sRefs.subsetOf(eRefs.map(_.name).toSet)) {
+      // FAST PATH (steady-state appends): segments are immutable
+      // and every start-generation segment is still referenced, so
+      // no committed file can have retired — the delta is exactly
+      // the NEW segments (+ any new inline entries). Planning cost
+      // is O(delta + #segments), never O(table): carried segments
+      // are not even read (their summaries still prune).
+      val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
+      val segDelta = newSegs.flatMap { r =>
+        if (r.summary.exists(su => !keep(su))) Nil
+        else ManifestSink.parseEntries(
+          ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
       }
-    fresh.flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
+      plan(segDelta ++ ManifestSink.parseEntries(eTxt).filter(keep),
+        "insert").toArray
+    } else {
+      // SLOW PATH (a collapse/migration/rewrite happened): full
+      // name-level diff, which is also where retirement — a
+      // non-append change under the tail — surfaces. A plain tail
+      // refuses it; a CHANGE FEED read (`readChangeFeed=true`, retained
+      // tables — retired files stay on disk for exactly the retention
+      // window) represents it: retired files' rows re-emit with
+      // `_change_type` = "delete", added files' with "insert" — a MERGE
+      // rewrite becomes delete+insert pairs, Delta-CDF style. A purely
+      // PHYSICAL rewrite (every added file is compaction output and row
+      // counts balance) emits nothing: no logical change happened —
+      // Delta's dataChange=false idea, detected structurally.
+      val beforeEntries = ManifestSink.resolveEntries(path, sTxt)
+      val before = beforeEntries.map(_.name).toSet
+      val after = ManifestSink.resolveEntries(path, eTxt)
+      val retired = beforeEntries.filterNot(f =>
+        after.exists(_.name == f.name))
+      val added = after.filterNot(f => before.contains(f.name))
+      if (retired.isEmpty) plan(added.filter(keep), "insert").toArray
+      else if (!changeFeed)
+        throw new IllegalStateException(
+          s"generations $s -> $e of $path retired files " +
+            s"${retired.map(_.name).mkString(", ")} (compaction, DELETE, " +
+            "truncate, or an epoch replay ran under this streaming read); " +
+            "a streamed table must stay append-only while tailed — pause " +
+            "maintenance, restart the stream from the current generation, " +
+            "or read with readChangeFeed=true to consume the changes")
+      else if (added.forall(_.name.startsWith("compact-")) &&
+          added.map(_.rows).sum == retired.map(_.rows).sum && added.nonEmpty)
+        Array.empty // pure compaction: physical rewrite, no logical change
+      else
+        (plan(retired.filter(keep), "delete") ++
+          plan(added.filter(keep), "insert")).toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1727,7 +1758,7 @@ private[sources] class ManifestReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
-    new NdjsonPartitionReader(p.file, p.start, p.end, required)
+    new NdjsonPartitionReader(p.file, p.start, p.end, required, p.constants)
   }
 }
 
@@ -1742,7 +1773,9 @@ private[sources] class ManifestReaderFactory(required: StructType)
   * single byte that cannot occur inside a UTF-8 multi-byte sequence,
   * so byte-wise framing is encoding-safe. */
 private[sources] class NdjsonPartitionReader(file: String, start: Long,
-    end: Long, required: StructType) extends PartitionReader[InternalRow] {
+    end: Long, required: StructType,
+    constants: Map[String, String] = Map.empty)
+    extends PartitionReader[InternalRow] {
   private val in = new java.io.BufferedInputStream(
     try Files.newInputStream(Paths.get(file))
     catch {
@@ -1773,6 +1806,11 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   private val convs: Array[NdjsonCodec.JsonVal => Any] =
     required.fields.map(f => NdjsonCodec.converter(f.dataType))
   private val names: Array[String] = required.fields.map(_.name)
+  // Partition-constant columns (the change-feed's _change_type):
+  // filled per row from the PLAN, not the payload — the data files
+  // do not carry them.
+  private val consts: Array[Any] = required.fields.map(f =>
+    constants.get(f.name).map(UTF8String.fromString).orNull)
   private var current: InternalRow = _
 
   /** One raw line (newline excluded, trailing \r tolerated), advancing
@@ -1799,7 +1837,9 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
         val vals = new Array[Any](names.length)
         var i = 0
         while (i < names.length) {
-          vals(i) = convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
+          vals(i) =
+            if (consts(i) != null) consts(i)
+            else convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
           i += 1
         }
         current = new GenericInternalRow(vals)

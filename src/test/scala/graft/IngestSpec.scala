@@ -784,6 +784,77 @@ class IngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ManifestSink change feed: deletes and rewrites stream as _change_type rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_cdf").toString
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("append").save()
+    append(0, 50)
+    append(50, 100)
+    val cdfSchema = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("_change_type", StringType)))
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .schema(cdfSchema).option("path", dir)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdf_feed")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def feed = spark.table("cdf_feed")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(feed.length == 100 && feed.forall(_._3 == "insert"))
+      // A copy-on-write MERGE rewrites file 1 (ids 0-49): the feed gets
+      // its 50 rows back as deletes plus 51 rows (50 kept + 1 updated
+      // value + nothing new... ids 0-49 rewritten with id 7 changed) as
+      // inserts.
+      val updates = Seq((7L, 777L)).toDF("id", "v")
+      graft.sources.ManifestOps.mergeInto(spark, dir, updates, "id",
+        writeOptions = Map("retainHistory" -> "true"))
+      q.processAllAvailable()
+      val afterMerge = feed
+      val deletes = afterMerge.filter(_._3 == "delete")
+      assert(deletes.length == 50 && deletes.forall(_._1 < 50),
+        s"the rewritten file's rows must re-emit as deletes: ${deletes.length}")
+      assert(afterMerge.count(_._3 == "insert") == 150,
+        "the rewrite's output lands as inserts")
+      assert(afterMerge.exists(r => r == ((7L, 777L, "insert"))))
+      // Net state reconstruction — the CDF contract: per (id, v),
+      // insert count minus delete count (a row inserted, deleted by a
+      // rewrite, and re-inserted nets to one) equals the table.
+      val net = afterMerge.groupBy(r => (r._1, r._2)).collect {
+        case (row, occ)
+            if occ.count(_._3 == "insert") > occ.count(_._3 == "delete") =>
+          row
+      }.toSet
+      val sch = StructType(cdfSchema.fields.dropRight(1))
+      val table = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir).load()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(net == table,
+        "replaying the feed must reconstruct the table")
+      // A metadata DELETE streams as pure deletes.
+      val preCount = feed.length
+      new graft.sources.ManifestSink()
+        .getTable(sch, Array.empty, java.util.Map.of("path", dir))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsDelete]
+        .deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.GreaterThanOrEqual("id", 50L)))
+      q.processAllAvailable()
+      val afterDelete = feed
+      assert(afterDelete.length == preCount + 50)
+      assert(afterDelete.count(r => r._3 == "delete" && r._1 >= 50) == 50)
+      // Pure compaction is a PHYSICAL rewrite: the feed stays silent.
+      graft.sources.ManifestSink.compact(dir, targetRows = 1000L)
+      q.processAllAvailable()
+      assert(feed.length == afterDelete.length,
+        "compaction must not emit logical changes")
+    } finally q.stop()
+  }
+
   test("GraftCatalog SQL surface: DDL, INSERT, pruned SELECT, time travel, metadata DELETE") {
     val wh = Files.createTempDirectory("graft_catalog").toString
     spark.conf.set("spark.sql.catalog.g10", "graft.sources.GraftCatalog")
