@@ -1133,6 +1133,57 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("val_c")).as("sum_c"))
     },
 
+    // STORAGE-PARTITIONED JOIN (the Iceberg SPJ story): documents and a
+    // per-language dimension land as TWO manifest tables partitioned by
+    // lang — every file provably single-language (min == max bounds,
+    // zero null counts), so both scans report KeyGroupedPartitioning
+    // and the equi-join runs WITHOUT a shuffle on either side
+    // (IngestSpec pins the plan: no Exchange hashpartitioning). The
+    // oracle replays the join relationally — a row matched to the wrong
+    // partition's dimension or dropped by the grouping breaks the
+    // hashes.
+    QuerySpec(
+      "a22_storage_partitioned_join",
+      """WITH dims AS (
+        |  SELECT lang, count(*)::BIGINT AS lang_docs FROM documents GROUP BY 1)
+        |SELECT d.lang, m.lang_docs, count(*)::BIGINT AS n,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN dims m ON d.lang = m.lang
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("a22", dir)
+      val facts = out.resolve("facts").toString
+      val dims = out.resolve("dims").toString
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.repartition(col("lang"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", facts).option("partitionBy", "lang")
+        .mode("overwrite").save()
+      docs.groupBy("lang").agg(count(lit(1)).as("lang_docs"))
+        .repartition(col("lang"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dims).option("partitionBy", "lang")
+        .mode("overwrite").save()
+      val factsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val dimsSchema = StructType(Seq(
+        StructField("lang", StringType), StructField("lang_docs", LongType)))
+      // The path-based reader has no catalog partition declaration, so
+      // the partition columns ride a read option via getTable's
+      // transforms — exercised here through the catalog-free route.
+      val f = s.read.format("graft.sources.ManifestSink")
+        .schema(factsSchema).option("path", facts)
+        .option("partitionBy", "lang").load()
+      val m = s.read.format("graft.sources.ManifestSink")
+        .schema(dimsSchema).option("path", dims)
+        .option("partitionBy", "lang").load()
+      f.join(m, "lang")
+        .groupBy("lang", "lang_docs")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

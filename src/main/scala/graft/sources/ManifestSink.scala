@@ -1313,7 +1313,16 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       Option(options.get("maxgenerationspertrigger")).map(_.toLong),
       Option(options.get("filesubset"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
-      options.getBoolean("readchangefeed", false))
+      options.getBoolean("readchangefeed", false),
+      // Catalog tables declare partition columns in metadata; the
+      // path-based reader takes them as a read option (same spelling
+      // as the write side) — wrong declarations cannot corrupt: a file
+      // that fails to PROVE its single tuple downgrades the scan to
+      // unknown partitioning.
+      if (tablePartCols.nonEmpty) tablePartCols
+      else Option(options.get("partitionby"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -1331,7 +1340,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     maxGensPerTrigger: Option[Long] = None,
     fileSubset: Option[Set[String]] = None,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    partCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1348,7 +1358,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
-      maxGensPerTrigger, fileSubset, changeFeed)
+      maxGensPerTrigger, fileSubset, changeFeed, partCols)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1538,8 +1548,10 @@ private[sources] class ManifestScan(path: String, full: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     maxGensPerTrigger: Option[Long] = None,
     fileSubset: Option[Set[String]] = None,
-    changeFeed: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    changeFeed: Boolean = false,
+    partCols: Seq[String] = Nil)
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -1579,15 +1591,77 @@ private[sources] class ManifestScan(path: String, full: StructType,
 
   private def fileSize(f: StagedFile): Long = ManifestSink.fileSize(path, f)
 
+  /** STORAGE-PARTITIONED JOIN support: when the table declares
+    * partition columns and EVERY surviving file provably holds exactly
+    * one partition tuple — rendered min == max (truncation makes them
+    * differ, so equality means exact), no NaN, a recorded ZERO null
+    * count — each file's tuple is its partition KEY, and the scan
+    * reports `KeyGroupedPartitioning` so Spark co-locates equi-joins of
+    * two same-partitioned tables WITHOUT a shuffle (the Iceberg SPJ
+    * story; enable `spark.sql.sources.v2.bucketing.enabled`). Any file
+    * that cannot prove its tuple makes the whole scan report unknown —
+    * a wrong key would silently corrupt the join, an unknown one only
+    * costs a shuffle. */
+  private lazy val keyedEntries: Option[Seq[(StagedFile, InternalRow, String)]] =
+    if (partCols.isEmpty) None
+    else {
+      val fields = partCols.map(c => full.fields.find(_.name == c))
+      if (fields.exists(_.isEmpty)) None
+      else {
+        val keyed = survivingEntries.map { e =>
+          val vals = fields.map(_.get).map { fld =>
+            e.stats.find(_.col == fld.name) match {
+              case Some(st) if st.min == st.max && !st.hasNan &&
+                  e.nullCounts.get(fld.name).contains(0L) =>
+                Some(st.min -> NdjsonCodec.converter(fld.dataType)(
+                  NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v")))
+              case _ => None
+            }
+          }
+          if (vals.exists(_.isEmpty)) None
+          else Some((e,
+            new GenericInternalRow(vals.map(_.get._2).toArray[Any]): InternalRow,
+            vals.map(_.get._1).mkString("")))
+        }
+        if (keyed.exists(_.isEmpty)) None else Some(keyed.map(_.get))
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
+    keyedEntries match {
+      case Some(keyed) if keyed.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partCols.map(c => Expressions.identity(c): Expression).toArray,
+          keyed.map(_._3).distinct.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+  }
+
   /** One partition per `maxSplitBytes` byte range, not per file — a
     * 10 GB NDJSON file must fan out across the cluster, not serialize
     * into one task. Ranges use the Hadoop line-split contract (a record
     * belongs to the split containing its first byte; a reader past
     * byte 0 discards through the first newline and may finish one line
-    * past its end), so any split size yields the same rows exactly. */
+    * past its end), so any split size yields the same rows exactly.
+    * Key-grouped scans attach each split's partition tuple (splits of
+    * one file share its key; Spark groups same-key partitions). */
   override def planInputPartitions(): Array[InputPartition] =
-    survivingEntries.flatMap(f =>
-      ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
+    keyedEntries match {
+      case Some(keyed) =>
+        keyed.flatMap { case (f, key, _) =>
+          ManifestSink.splitFile(path, f, maxSplitBytes).map {
+            case p: ManifestFilePartition =>
+              KeyedManifestFilePartition(p.file, p.start, p.end, key): InputPartition
+            case p => p
+          }
+        }.toArray
+      case None =>
+        survivingEntries.flatMap(f =>
+          ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)
@@ -1614,6 +1688,15 @@ private[sources] class ManifestScan(path: String, full: StructType,
 private[sources] final case class ManifestFilePartition(file: String,
     start: Long, end: Long,
     constants: Map[String, String] = Map.empty) extends InputPartition
+
+/** A file partition that KNOWS its partition-tuple value — what lets
+  * Spark group co-partitioned scans for storage-partitioned joins. */
+private[sources] final case class KeyedManifestFilePartition(file: String,
+    start: Long, end: Long, key: InternalRow)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 private[sources] final case class GenOffset(gen: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1756,10 +1839,13 @@ private[sources] class ManifestMicroBatchStream(path: String,
 
 private[sources] class ManifestReaderFactory(required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ManifestFilePartition]
-    new NdjsonPartitionReader(p.file, p.start, p.end, required, p.constants)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: ManifestFilePartition =>
+        new NdjsonPartitionReader(p.file, p.start, p.end, required, p.constants)
+      case p: KeyedManifestFilePartition =>
+        new NdjsonPartitionReader(p.file, p.start, p.end, required)
+    }
 }
 
 /** Executor-side NDJSON reader for one byte range of a committed file:

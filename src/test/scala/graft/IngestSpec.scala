@@ -784,6 +784,43 @@ class IngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("storage-partitioned join: co-partitioned manifest tables join shuffle-free") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_spj").toString
+    spark.conf.set("spark.sql.catalog.gspj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gspj.base", wh)
+    spark.sql("CREATE TABLE gspj.facts (k INT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE gspj.dims (k INT, name STRING) PARTITIONED BY (k)")
+    spark.sql("""INSERT INTO gspj.facts
+      SELECT CAST(id % 8 AS INT), id FROM range(800)
+      DISTRIBUTE BY CAST(id % 8 AS INT)""")
+    spark.sql("""INSERT INTO gspj.dims
+      SELECT CAST(id AS INT), concat('n', id) FROM range(8)
+      DISTRIBUTE BY CAST(id AS INT)""")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = spark.sql(
+        """SELECT f.k, count(*) AS n, sum(f.v) AS sv
+          |FROM gspj.facts f JOIN gspj.dims d ON f.k = d.k
+          |GROUP BY f.k""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      // Both scans report KeyGroupedPartitioning over k, so the join's
+      // required distribution is already satisfied: NO shuffle on
+      // either join side (the aggregate reuses the same clustering).
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected a storage-partitioned (shuffle-free) join:\n$plan")
+      val rows = joined.collect()
+      assert(rows.length == 8)
+      assert(rows.map(_.getLong(1)).forall(_ == 100),
+        "every k must join its 100 fact rows exactly once")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
+
   test("ManifestSink change feed: deletes and rewrites stream as _change_type rows") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
