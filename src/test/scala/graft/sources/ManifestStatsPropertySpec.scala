@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based SAFETY proofs for the stats machinery, against the
+  * REAL pipeline: random rows go through the actual
+  * [[NdjsonDataWriter]] (bounds, truncation, NaN flags, null counts),
+  * the resulting entry round-trips through the manifest codec
+  * ([[ManifestSink.renderEntry]] → [[ManifestSink.parseEntryObj]]),
+  * and the two pruning verdicts are checked against a brute-force
+  * evaluator with Spark comparison semantics (NaN above everything,
+  * NaN = NaN, null never satisfies a comparison):
+  *
+  *   - `!mayMatch` ⇒ NO row matches (a skipped file loses no rows);
+  *   - `mustMatch` ⇒ EVERY row matches (a metadata-DELETEd file held
+  *     no survivor — the direction where a false positive DESTROYS
+  *     data).
+  *
+  * Conservatism in the other directions is allowed by construction and
+  * not asserted. */
+object ManifestStatsProps extends Properties("ManifestStats") {
+
+  // The delete-soundness direction guards against data destruction —
+  // buy extra trials (each is one tiny local file write).
+  override def overrideParameters(
+      p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(400)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("x", DoubleType),
+    StructField("s", StringType)))
+
+  private case class Row3(id: Option[Long], x: Option[Double],
+      s: Option[String])
+
+  // Small domains make boundary collisions (lit == min == max) likely.
+  private val idGen: Gen[Option[Long]] =
+    Gen.frequency(5 -> Gen.choose(-3L, 3L).map(Some(_)), 1 -> Gen.const(None))
+  private val xGen: Gen[Option[Double]] = Gen.frequency(
+    5 -> Gen.oneOf(-2.5, -0.0, 0.0, 1.5, 2.5).map(Some(_)),
+    1 -> Gen.const(Some(Double.NaN)),
+    1 -> Gen.oneOf(Double.PositiveInfinity, Double.NegativeInfinity).map(Some(_)),
+    1 -> Gen.const(None))
+  private val strGen: Gen[Option[String]] = Gen.frequency(
+    5 -> Gen.oneOf("", "a", "ab", "b", "{", "}", "\"q\"", "é世",
+      "😀", "a" * 63, "a" * 64, "a" * 70, "zჿFF").map(Some(_)),
+    1 -> Gen.const(None))
+  private val rowGen: Gen[Row3] =
+    for (i <- idGen; x <- xGen; s <- strGen) yield Row3(i, x, s)
+
+  private val litId: Gen[Long] = Gen.choose(-4L, 4L)
+  private val litX: Gen[Double] =
+    Gen.oneOf(-2.5, 0.0, 1.5, 2.5, Double.NaN, Double.PositiveInfinity)
+  private val litS: Gen[String] =
+    Gen.oneOf("", "a", "ab", "b", "{", "a" * 64, "a" * 70, "😀")
+
+  private def leafGen: Gen[Filter] = {
+    def cmp[A](c: String, lit: Gen[A]): Gen[Filter] = for {
+      v <- lit
+      f <- Gen.oneOf[Any => Filter](EqualTo(c, _), GreaterThan(c, _),
+        GreaterThanOrEqual(c, _), LessThan(c, _), LessThanOrEqual(c, _))
+    } yield f(v)
+    Gen.oneOf(
+      cmp("id", litId), cmp("x", litX), cmp("s", litS),
+      Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, litId).map(vs => In("id", vs.map(_.asInstanceOf[Any]).toArray))),
+      Gen.oneOf("id", "x", "s").map(IsNull(_)),
+      Gen.oneOf("id", "x", "s").map(IsNotNull(_)))
+  }
+
+  private def filterGen(depth: Int): Gen[Filter] =
+    if (depth <= 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      1 -> (for (a <- filterGen(depth - 1); b <- filterGen(depth - 1)) yield And(a, b)),
+      1 -> (for (a <- filterGen(depth - 1); b <- filterGen(depth - 1)) yield Or(a, b)),
+      1 -> filterGen(depth - 1).map(Not(_)))
+
+  /** Spark comparison semantics, brute force: null operand → false;
+    * NaN equals NaN and sits above every other double; strings compare
+    * in UTF8String binary order. */
+  private def cmpVals(col: String, row: Row3, lit: Any): Option[Int] =
+    col match {
+      case "id" => row.id.map(v => java.lang.Long.compare(v, lit.asInstanceOf[Long]))
+      case "x" => row.x.map { v =>
+        java.lang.Double.compare(v, lit.asInstanceOf[Double])
+      }
+      case "s" => row.s.map(v => UTF8String.fromString(v)
+        .compareTo(UTF8String.fromString(lit.asInstanceOf[String])))
+    }
+
+  private def isNull(col: String, row: Row3): Boolean = col match {
+    case "id" => row.id.isEmpty
+    case "x" => row.x.isEmpty
+    case "s" => row.s.isEmpty
+  }
+
+  private def evalRow(f: Filter, row: Row3): Boolean = f match {
+    case EqualTo(c, v) => cmpVals(c, row, v).contains(0)
+    case GreaterThan(c, v) => cmpVals(c, row, v).exists(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmpVals(c, row, v).exists(_ >= 0)
+    case LessThan(c, v) => cmpVals(c, row, v).exists(_ < 0)
+    case LessThanOrEqual(c, v) => cmpVals(c, row, v).exists(_ <= 0)
+    case In(c, vs) => vs.exists(v => cmpVals(c, row, v).contains(0))
+    case IsNull(c) => isNull(c, row)
+    case IsNotNull(c) => !isNull(c, row)
+    case And(a, b) => evalRow(a, row) && evalRow(b, row)
+    case Or(a, b) => evalRow(a, row) || evalRow(b, row)
+    case Not(a) => !evalRow(a, row)
+    case _ => false
+  }
+
+  /** Rows → a REAL manifest entry: written through the actual writer,
+    * then round-tripped through render/parse (the persistence path). */
+  private def entryOf(rows: Seq[Row3]): StagedFile = {
+    val dir = Files.createTempDirectory("graft_stats_prop")
+    Files.createDirectories(dir.resolve(".staging-p"))
+    val w = new NdjsonDataWriter(dir.toString, "p", schema, 0, 0L)
+    rows.foreach { r =>
+      w.write(new GenericInternalRow(Array[Any](
+        r.id.map(Long.box).orNull,
+        r.x.map(Double.box).orNull,
+        r.s.map(UTF8String.fromString).orNull)))
+    }
+    val staged = w.commit().asInstanceOf[StagedFile]
+    val back = ManifestSink.parseEntryObj(ManifestSink.renderEntry(staged))
+    assert(back.isDefined, s"entry must re-parse: ${ManifestSink.renderEntry(staged)}")
+    back.get
+  }
+
+  property("skip soundness: !mayMatch => no row matches; " +
+    "delete soundness: mustMatch => every row matches") =
+    forAll(Gen.nonEmptyListOf(rowGen), filterGen(2)) { (rows, f) =>
+      val e = entryOf(rows)
+      val matches = rows.map(evalRow(f, _))
+      val may = ManifestStats.mayMatch(schema, e, f)
+      val must = ManifestStats.mustMatch(schema, e, f)
+      val skipSound = may || !matches.exists(identity)
+      val deleteSound = !must || matches.forall(identity)
+      val dual = !must || may
+      skipSound && deleteSound && dual
+    }
+
+  property("entry round trip preserves rows, bytes, null counts, stats") =
+    forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val dir = Files.createTempDirectory("graft_stats_prop")
+      Files.createDirectories(dir.resolve(".staging-p"))
+      val w = new NdjsonDataWriter(dir.toString, "p", schema, 0, 0L)
+      rows.foreach { r =>
+        w.write(new GenericInternalRow(Array[Any](
+          r.id.map(Long.box).orNull,
+          r.x.map(Double.box).orNull,
+          r.s.map(UTF8String.fromString).orNull)))
+      }
+      val staged = w.commit().asInstanceOf[StagedFile]
+      val back = ManifestSink.parseEntryObj(
+        ManifestSink.renderEntry(staged)).get
+      // The parser orders stats by column name; the writer by schema
+      // position — identity up to that ordering.
+      back.copy(stats = back.stats.sortBy(_.col)) ==
+        staged.copy(stats = staged.stats.sortBy(_.col))
+    }
+}
