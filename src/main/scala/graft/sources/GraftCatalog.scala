@@ -147,10 +147,12 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    // Iceberg-style metadata tables: `t$history` / `t$files` expose the
-    // format's own bookkeeping relationally (see [[MetadataTables]]).
+    // Iceberg-style metadata tables: `t$history` / `t$files` /
+    // `t$partitions` expose the format's own bookkeeping relationally
+    // (see [[MetadataTables]]).
     Seq(MetadataTables.HistorySuffix -> MetadataTables.historySchema,
-        MetadataTables.FilesSuffix -> MetadataTables.filesSchema)
+        MetadataTables.FilesSuffix -> MetadataTables.filesSchema,
+        MetadataTables.PartitionsSuffix -> MetadataTables.partitionsSchema)
       .foreach { case (suffix, metaSchema) =>
         if (ident.name().endsWith(suffix)) {
           val baseIdent = Identifier.of(ident.namespace(),
@@ -160,10 +162,18 @@ class GraftCatalog extends TableCatalog {
             throw new NoSuchTableException(Seq(name()) ++
               ident.namespace().toSeq :+ ident.name())
           val d = dir.toString
+          val compute: () => Array[org.apache.spark.sql.catalyst.InternalRow] =
+            suffix match {
+              case MetadataTables.HistorySuffix =>
+                () => MetadataTables.historyRows(d)
+              case MetadataTables.FilesSuffix =>
+                () => MetadataTables.filesRows(d)
+              case _ =>
+                val partCols = readMeta(dir)._2
+                () => MetadataTables.partitionsRows(d, partCols)
+            }
           return new MetadataTable(s"${name()}.${ident.name()}", metaSchema,
-            if (suffix == MetadataTables.HistorySuffix)
-              () => MetadataTables.historyRows(d)
-            else () => MetadataTables.filesRows(d))
+            compute)
         }
       }
     val dir = dirOf(ident)
@@ -184,6 +194,28 @@ class GraftCatalog extends TableCatalog {
     val (schema, partCols, props) = readMeta(dir)
     new ManifestTable(dir.toString, schema, Some(version.toLong), partCols,
       props)
+  }
+
+  /** `TIMESTAMP AS OF t` time travel: resolve the newest commit at or
+    * before `t` (Spark hands micros since epoch) from the provenance
+    * stamps the pointer carries, then read that generation. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (!Files.exists(metaPath(dir)))
+      throw new NoSuchTableException(Seq(name()) ++
+        ident.namespace().toSeq :+ ident.name())
+    val commits = ManifestSink.history(dir.toString)
+    val at = commits.filter(c => c.ts * 1000L <= timestampMicros)
+      .sortBy(_.generation).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no commit of ${ident.name()} at or before timestamp " +
+            s"${timestampMicros}us — earliest retained is " +
+            commits.sortBy(_.generation).headOption
+              .map(c => s"generation ${c.generation} at ${c.ts}ms")
+              .getOrElse("<none>")))
+    val (schema, partCols, props) = readMeta(dir)
+    new ManifestTable(dir.toString, schema,
+      if (at.current) None else Some(at.generation), partCols, props)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -46,6 +46,32 @@ private[sources] object MetadataTables {
         UTF8String.fromString(c.tag), c.ts * 1000L, c.current))
     }.toArray
 
+  val PartitionsSuffix = "$partitions"
+
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("files", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
+  /** Per-partition-tuple rollup (files/rows/bytes), from the same
+    * min == max proof the pruner and SPJ use; files that cannot prove a
+    * single tuple land under `<unaligned>` — visible, not hidden, since
+    * they are exactly the files that defeat partition-level operations. */
+  def partitionsRows(dir: String, partCols: Seq[String]): Array[InternalRow] =
+    ManifestSink.committedEntries(dir).groupBy { e =>
+      val vals = partCols.map(c => e.stats.find(_.col == c) match {
+        case Some(st) if st.min == st.max && !st.hasNan => Some(st.min)
+        case _ => None
+      })
+      if (partCols.isEmpty || vals.exists(_.isEmpty)) "<unaligned>"
+      else partCols.zip(vals.map(_.get)).map { case (c, v) => s"$c=$v" }
+        .mkString(", ")
+    }.toSeq.sortBy(_._1).map { case (part, es) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(part),
+        es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum))
+    }.toArray
+
   def filesRows(dir: String): Array[InternalRow] =
     ManifestSink.committedEntries(dir).map { e =>
       val stats = (e.stats.map(s =>

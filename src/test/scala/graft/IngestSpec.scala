@@ -904,9 +904,24 @@ class IngestSpec extends SparkSpec {
     spark.sql("""INSERT INTO g10.docs
       SELECT id, CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END,
              concat('d', id) FROM range(100)""")
+    Thread.sleep(25)
+    val betweenInserts = System.currentTimeMillis()
+    Thread.sleep(25)
     spark.sql("""INSERT INTO g10.docs
       SELECT /*+ REPARTITION(1) */ id, 'fr', concat('d', id)
       FROM range(100, 150)""")
+    // TIMESTAMP AS OF resolves through the pointer's commit stamps: a
+    // moment between the inserts reads generation 1 only.
+    assert(spark.sql(
+      s"""SELECT count(*) FROM g10.docs
+         |TIMESTAMP AS OF timestamp_millis(${betweenInserts}L)""".stripMargin)
+      .head.getLong(0) == 100)
+    // t$partitions: the per-tuple rollup over proven single-tuple files.
+    val parts = spark.sql(
+      "SELECT partition, files, rows FROM g10.`docs$partitions`")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(parts("""lang="fr"""") == ((1L, 50L)), parts.toString)
+    assert(parts("""lang="en"""")._2 == 50L && parts("""lang="de"""")._2 == 50L)
     assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 150)
     // Partition pruning reaches SQL reads: lang = 'fr' plans 1 file.
     def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
@@ -1008,6 +1023,47 @@ class IngestSpec extends SparkSpec {
       c.getMessage.contains("no longer committed")), err.toString)
     assert(graft.sources.ManifestSink.committedRowCount(dir) == 1001,
       "failed swap must leave the table unchanged")
+  }
+
+  test("mergeInto preserves a partitioned layout; pruning stays exact after the rewrite") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_merge_part").toString
+    spark.range(0, 300)
+      .select(col("id"), (col("id") % 3).cast("int").as("bucket"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartition(col("bucket"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("partitionBy", "bucket")
+      .mode("append").save()
+    // Merge planning is keyed on `id`, whose range every bucket file
+    // spans (the layout is partitioned by bucket, not id) — so all 3
+    // files rewrite; what partitionBy in writeOptions buys is that the
+    // REWRITTEN layout is still per-tuple files with exact pruning.
+    val updates = Seq((1L, 1, "V1"), (4L, 1, "V4"), (301L, 1, "V301"))
+      .toDF("id", "bucket", "v")
+    val rewritten = graft.sources.ManifestOps.mergeInto(spark, dir, updates,
+      "id", writeOptions = Map("partitionBy" -> "bucket"))
+    assert(rewritten == 3)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("bucket", IntegerType), StructField("v", StringType)))
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    // Every post-merge file is still single-tuple: equality pruning on
+    // the partition column stays EXACT (the bucket-2 scan plans only
+    // bucket-2 files, strictly fewer than the table's).
+    val total = graft.sources.ManifestSink.committedFiles(dir).size
+    val b2 = filePartitions(table.where(col("bucket") === 2))
+    assert(b2 < total && b2 >= 1, s"$b2 of $total")
+    assert(table.where(col("bucket") === 2).count() == 100)
+    val rows = table.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.size == 301 && rows(1L) == "V1" && rows(4L) == "V4" &&
+      rows(301L) == "V301" && rows(7L) == "v7")
   }
 
   test("ManifestOps.cluster: sorted rewrite turns full scans into 1-file point lookups") {
