@@ -1184,6 +1184,48 @@ object IncrementalQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
     },
 
+    // BUCKET-partitioned tables (bucket(n, col) transforms — the
+    // Iceberg bucket layout): the corpus is written with
+    // partitionBy=bucket(4,doc_id), each file carrying its EXPLICIT
+    // bucket id in the manifest (a hash bucket is not derivable from
+    // column bounds), so point/IN lookups plan only the matching
+    // bucket's files and two same-bucketed tables storage-partition
+    // join (both plan-pinned in IngestSpec). The oracle replays the
+    // full aggregate AND an IN-subset against the source: a row routed
+    // to the wrong bucket or a bucket wrongly pruned breaks either arm.
+    QuerySpec(
+      "a23_bucketed_tables",
+      """SELECT * FROM (
+        |  SELECT 'all' AS arm, lang, count(*)::BIGINT AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'point', lang, count(*)::BIGINT,
+        |    CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE doc_id IN (3, 17, 42, 77) GROUP BY 2)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = freshDir("a23", dir).toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).option("partitionBy", "bucket(4,doc_id)")
+        .mode("overwrite").save()
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      def read = s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out)
+        .option("partitionBy", "bucket(4,doc_id)").load()
+      read.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .select(lit("all").as("arm"), col("lang"), col("n"), col("sum_chars"))
+        .unionAll(read.where(col("doc_id").isin(3L, 17L, 42L, 77L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .select(lit("point").as("arm"), col("lang"), col("n"),
+            col("sum_chars")))
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

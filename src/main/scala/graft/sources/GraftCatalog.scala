@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * written once at CREATE (create-exclusive: concurrent CREATE of the
   * same name fails loudly) and never rewritten.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var base: Path = _
 
@@ -218,15 +219,36 @@ class GraftCatalog extends TableCatalog {
       if (at.current) None else Some(at.generation), partCols, props)
   }
 
+  /** The V2 functions this catalog serves — `bucket`, which is what
+    * lets Spark RESOLVE a reported `bucket(n, col)` transform and run
+    * storage-partitioned joins over bucketed tables (the Iceberg
+    * SystemFunctions pattern). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+      ident)
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"GraftCatalog supports identity partitioning only, got $t")
-      t.references()(0).fieldNames().mkString(".")
+    val partCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references()(0).fieldNames().mkString(".")
+      case t if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: $t"))
+        s"bucket($n,${t.references()(0).fieldNames().mkString(".")})"
+      case t => throw new IllegalArgumentException(
+        s"GraftCatalog supports identity and bucket partitioning, got $t")
     }
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the table schema"))
+    partCols.map(PartSpec.parse).foreach(sp =>
+      require(schema.fieldNames.contains(sp.col),
+        s"partition column '${sp.col}' is not in the table schema"))
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     // Keep user TBLPROPERTIES; drop Spark's internal bookkeeping keys.

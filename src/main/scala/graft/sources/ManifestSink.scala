@@ -119,11 +119,19 @@ class ManifestSink extends TableProvider {
     require(path != null, "ManifestSink requires a 'path' option")
     val version = Option(opts.get("versionasof")).map(_.toLong)
     // `df.write.partitionBy(...)` / catalog `PARTITIONED BY` arrive as
-    // identity transforms; only those are meaningful for this format.
-    val partCols = partitioning.toSeq.map { t =>
-      require(t.name == "identity",
-        s"ManifestSink supports identity partition transforms only, got $t")
-      t.references()(0).fieldNames().mkString(".")
+    // transforms; identity and bucket are meaningful for this format.
+    val partCols = partitioning.toSeq.map {
+      case t if t.name == "identity" =>
+        t.references()(0).fieldNames().mkString(".")
+      case t if t.name == "bucket" =>
+        val n = t.arguments().collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value().toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform without a bucket count: $t"))
+        s"bucket($n,${t.references()(0).fieldNames().mkString(".")})"
+      case t => throw new IllegalArgumentException(
+        s"ManifestSink supports identity and bucket partition transforms, got $t")
     }
     new ManifestTable(path, schema, version, partCols)
   }
@@ -384,7 +392,10 @@ object ManifestSink {
             case (k, NdjsonCodec.JsonTok(v)) if k.startsWith("nulls.") =>
               k.drop(6) -> v.toLong
           }.toMap
-          Some(StagedFile(n, rows, stats, bytes, nulls))
+          val parts = m.collect {
+            case (k, v) if k.startsWith("part.") => k.drop(5) -> rendered(v)
+          }.toMap
+          Some(StagedFile(n, rows, stats, bytes, nulls, parts))
         case _ => None
       }
     }
@@ -612,8 +623,14 @@ object ManifestSink {
     val nulls = f.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
       s""""nulls.$c":$n"""
     }
+    // Explicit partition-tuple values (transform-partitioned writes —
+    // a bucket id is not derivable from column bounds). The part NAME
+    // may contain parens/commas; escape like any key.
+    val parts = f.partValues.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"part." + NdjsonCodec.escape(k) + "\":" + v
+    }
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls).mkString("{", ",", "}")
+      stats ++ nulls ++ parts).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -1291,15 +1308,19 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     val partCols = Option(info.options().get("partitionby"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(PartSpec.splitList)
       .getOrElse(tablePartCols)
-    partCols.foreach { c =>
-      val fld = info.schema().fields.find(_.name == c)
+    PartSpec.parseAll(partCols).foreach { sp =>
+      val fld = info.schema().fields.find(_.name == sp.col)
       require(fld.isDefined,
-        s"partitionBy column '$c' is not in the written schema")
-      require(NdjsonCodec.statOrdering(fld.get.dataType).isDefined,
-        s"partitionBy column '$c' (${fld.get.dataType}) is not orderable — " +
-          "partition pruning needs min/max bounds")
+        s"partitionBy column '${sp.col}' is not in the written schema")
+      sp match {
+        case _: IdentityPart =>
+          require(NdjsonCodec.statOrdering(fld.get.dataType).isDefined,
+            s"partitionBy column '${sp.col}' (${fld.get.dataType}) is not " +
+              "orderable — partition pruning needs min/max bounds")
+        case _: BucketPart => // any supported type hashes
+      }
     }
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
@@ -1321,8 +1342,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       // unknown partitioning.
       if (tablePartCols.nonEmpty) tablePartCols
       else Option(options.get("partitionby"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil))
+        .map(PartSpec.splitList).getOrElse(Nil))
 }
 
 /** Read side: committed files ONLY — the manifest is the read barrier.
@@ -1571,6 +1591,42 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * Summary-less references (legacy pointers) are always read;
     * entry-level skipping then re-tests every entry, so segment
     * skipping is a pure optimization on top. */
+  /** Bucket pruning: an equality/IN literal on a bucket-partitioned
+    * column keeps only the files whose recorded bucket id matches the
+    * literal's hash — the point-lookup win a bucketed layout exists
+    * for (bounds can't help: every bucket file spans the domain).
+    * Conservative everywhere else: unknown types, missing recorded
+    * ids, non-equality shapes all keep the file. */
+  private def bucketKeep(e: StagedFile, f: sources.Filter): Boolean = {
+    def toCatalyst(dt: DataType, v: Any): Option[Any] = (dt, v) match {
+      case (LongType, n: Number) => Some(n.longValue())
+      case (IntegerType, n: Number) => Some(n.intValue())
+      case (StringType, s: String) => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+    def litMatches(c: String, v: Any): Boolean =
+      PartSpec.parseAll(partCols).collectFirst {
+        case bp @ BucketPart(n, col) if col == c => (n, bp.name)
+      } match {
+        case Some((n, name)) =>
+          (e.partValues.get(name).flatMap(r => scala.util.Try(r.toInt).toOption),
+            full.fields.find(_.name == c)) match {
+            case (Some(b), Some(fld)) =>
+              toCatalyst(fld.dataType, v)
+                .forall(cv => GraftBucket.bucket(n, cv, fld.dataType) == b)
+            case _ => true
+          }
+        case None => true
+      }
+    f match {
+      case sources.EqualTo(c, v) => litMatches(c, v)
+      case sources.In(c, vs) => vs.isEmpty || vs.exists(v => litMatches(c, v))
+      case sources.And(a, b) => bucketKeep(e, a) && bucketKeep(e, b)
+      case sources.Or(a, b) => bucketKeep(e, a) || bucketKeep(e, b)
+      case _ => true
+    }
+  }
+
   private def survivingEntries: Seq[StagedFile] = {
     def boundsKeep(e: StagedFile): Boolean =
       pushed.forall(f => ManifestStats.mayMatch(full, e, f))
@@ -1579,7 +1635,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     // the files it will replace. Applies to ENTRIES; a segment summary
     // is named after its segment, so only bounds prune at that level.
     def keep(e: StagedFile): Boolean =
-      fileSubset.forall(_.contains(e.name)) && boundsKeep(e)
+      fileSubset.forall(_.contains(e.name)) && boundsKeep(e) &&
+        pushed.forall(f => bucketKeep(e, f))
     val txt = ManifestSink.manifestTextAt(path, version)
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
       if (r.summary.exists(s => !boundsKeep(s))) Nil
@@ -1602,26 +1659,43 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * that cannot prove its tuple makes the whole scan report unknown —
     * a wrong key would silently corrupt the join, an unknown one only
     * costs a shuffle. */
+  private lazy val partSpecs: Seq[PartSpec] = PartSpec.parseAll(partCols)
+
   private lazy val keyedEntries: Option[Seq[(StagedFile, InternalRow, String)]] =
-    if (partCols.isEmpty) None
+    if (partSpecs.isEmpty) None
     else {
-      val fields = partCols.map(c => full.fields.find(_.name == c))
+      val fields = partSpecs.map(sp => full.fields.find(_.name == sp.col))
       if (fields.exists(_.isEmpty)) None
       else {
         val keyed = survivingEntries.map { e =>
-          val vals = fields.map(_.get).map { fld =>
-            e.stats.find(_.col == fld.name) match {
-              case Some(st) if st.min == st.max && !st.hasNan &&
-                  e.nullCounts.get(fld.name).contains(0L) =>
-                Some(st.min -> NdjsonCodec.converter(fld.dataType)(
-                  NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v")))
+          val vals = partSpecs.zip(fields.map(_.get)).map { case (sp, fld) =>
+            (e.partValues.get(sp.name), sp) match {
+              // Explicit recorded tuple value (transform-partitioned
+              // writes record them; a bucket id exists ONLY here).
+              case (Some(raw), _: BucketPart) =>
+                scala.util.Try(raw.toInt).toOption.map(b => raw -> (b: Any))
+              case (Some(raw), _: IdentityPart) if raw != "null" =>
+                scala.util.Try(NdjsonCodec.converter(fld.dataType)(
+                  NdjsonCodec.parseLine(s"""{"v":$raw}""")("v"))).toOption
+                  .map(v => raw -> v)
+              // Legacy identity entries: prove the single value from
+              // exact bounds (truncation breaks equality, so rendered
+              // min == max means exact).
+              case (None, _: IdentityPart) =>
+                e.stats.find(_.col == fld.name) match {
+                  case Some(st) if st.min == st.max && !st.hasNan &&
+                      e.nullCounts.get(fld.name).contains(0L) =>
+                    Some(st.min -> NdjsonCodec.converter(fld.dataType)(
+                      NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v")))
+                  case _ => None
+                }
               case _ => None
             }
           }
           if (vals.exists(_.isEmpty)) None
           else Some((e,
             new GenericInternalRow(vals.map(_.get._2).toArray[Any]): InternalRow,
-            vals.map(_.get._1).mkString("")))
+            vals.map(_.get._1).mkString("\u0000")))
         }
         if (keyed.exists(_.isEmpty)) None else Some(keyed.map(_.get))
       }
@@ -1633,7 +1707,10 @@ private[sources] class ManifestScan(path: String, full: StructType,
     keyedEntries match {
       case Some(keyed) if keyed.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          partCols.map(c => Expressions.identity(c): Expression).toArray,
+          partSpecs.map {
+            case IdentityPart(c) => Expressions.identity(c): Expression
+            case BucketPart(n, c) => Expressions.bucket(n, c): Expression
+          }.toArray,
           keyed.map(_._3).distinct.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -2085,7 +2162,8 @@ private[sources] final case class ColStat(col: String, min: String,
   * deletes. */
 private[sources] final case class StagedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Nil, bytes: Long = -1L,
-    nullCounts: Map[String, Long] = Map.empty) extends WriterCommitMessage
+    nullCounts: Map[String, Long] = Map.empty,
+    partValues: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A partitioned task commits SEVERAL staged files (one per partition
   * tuple it saw) in one message. */
@@ -2365,25 +2443,40 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
     queryId: String, schema: StructType, partCols: Seq[String],
     partitionId: Int, taskId: Long, epochId: Option[Long] = None)
     extends DataWriter[InternalRow] {
-  private val idx: Array[Int] = partCols.map(schema.fieldIndex).toArray
+  private val specs: Array[PartSpec] = PartSpec.parseAll(partCols).toArray
+  private val idx: Array[Int] = specs.map(sp => schema.fieldIndex(sp.col))
   private val renderers: Array[Any => String] =
     idx.map(i => NdjsonCodec.renderer(schema.fields(i).dataType))
   private val children =
     collection.mutable.LinkedHashMap[String, NdjsonDataWriter]()
+  // Partition-tuple values (rendered JSON literals / bucket ids) per
+  // child — recorded EXPLICITLY on each entry: identity values are
+  // re-derivable from min == max bounds, bucket ids are not.
+  private val childParts =
+    collection.mutable.HashMap[String, Map[String, String]]()
 
-  private def tupleKey(r: InternalRow): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var j = 0
-    while (j < idx.length) {
-      // Separator is unambiguous: rendered values are JSON literals
-      // (strings quoted and escaped), so a raw space never splits one.
-      if (j > 0) sb.append(' ')
-      if (r.isNullAt(idx(j))) sb.append("null")
-      else sb.append(renderers(j)(r.get(idx(j), schema.fields(idx(j)).dataType)))
-      j += 1
+  /** One spec's rendered value for this row: the column's JSON literal
+    * for identity, the hash bucket id for bucket transforms. */
+  private def partValue(j: Int, r: InternalRow): String = {
+    val i = idx(j)
+    val dt = schema.fields(i).dataType
+    specs(j) match {
+      case _: IdentityPart =>
+        if (r.isNullAt(i)) "null" else renderers(j)(r.get(i, dt))
+      case BucketPart(n, _) =>
+        GraftBucket.bucket(n,
+          if (r.isNullAt(i)) null else r.get(i, dt), dt).toString
     }
-    sb.toString
   }
+
+  private def tupleValues(r: InternalRow): Array[String] =
+    Array.tabulate(specs.length)(j => partValue(j, r))
+
+  private def tupleKey(vals: Array[String]): String =
+    // Separator is unambiguous: rendered values are JSON literals
+    // (strings quoted and escaped) or bare ints; a raw space never
+    // splits one.
+    vals.mkString(" ")
 
   private def digest(key: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
@@ -2392,7 +2485,8 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
   }
 
   override def write(record: InternalRow): Unit = {
-    val key = tupleKey(record)
+    val vals = tupleValues(record)
+    val key = tupleKey(vals)
     if (!children.contains(key) &&
         children.size >= PartitionedNdjsonDataWriter.MaxOpenTuples)
       throw new IllegalStateException(
@@ -2402,14 +2496,17 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
           "layout, or the input is not clustered by it: repartition by " +
           "the partition columns before writing (Hive's " +
           "hive.exec.max.dynamic.partitions discipline)")
-    children.getOrElseUpdate(key,
+    children.getOrElseUpdate(key, {
+      childParts(key) = specs.map(_.name).zip(vals).toMap
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        epochId, suffix = "-p" + digest(key))).write(record)
+        epochId, suffix = "-p" + digest(key))
+    }).write(record)
   }
 
   override def commit(): WriterCommitMessage =
-    StagedFileSet(children.values.map(
-      _.commit().asInstanceOf[StagedFile]).toSeq)
+    StagedFileSet(children.map { case (key, w) =>
+      w.commit().asInstanceOf[StagedFile].copy(partValues = childParts(key))
+    }.toSeq)
 
   override def abort(): Unit = children.values.foreach(_.abort())
   override def close(): Unit = children.values.foreach(_.close())

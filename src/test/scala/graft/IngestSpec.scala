@@ -821,6 +821,53 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("bucket partitioning: high-cardinality keys join shuffle-free; point lookups prune") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_bucket_spj").toString
+    spark.conf.set("spark.sql.catalog.gbkt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbkt.base", wh)
+    // bucket(4, id): identity would explode into a file per key — the
+    // bucketed layout is how big-big joins co-locate.
+    spark.sql("""CREATE TABLE gbkt.facts (id BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""CREATE TABLE gbkt.dims (id BIGINT, name STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""INSERT INTO gbkt.facts
+      SELECT /*+ REPARTITION(2) */ id, id * 10 FROM range(400)""")
+    spark.sql("""INSERT INTO gbkt.dims
+      SELECT /*+ REPARTITION(2) */ id, concat('n', id) FROM range(400)""")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = spark.sql(
+        """SELECT f.id, f.v, d.name
+          |FROM gbkt.facts f JOIN gbkt.dims d ON f.id = d.id""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed tables must storage-partition join:\n$plan")
+      val rows = joined.collect()
+      assert(rows.length == 400)
+      assert(rows.forall(r => r.getString(2) == "n" + r.getLong(0) &&
+        r.getLong(1) == r.getLong(0) * 10))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    // Bucket pruning: a point lookup hashes the literal and plans only
+    // the matching bucket's files (1 of 4 buckets x 2 insert tasks).
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    val total = filePartitions(spark.table("gbkt.facts"))
+    val point = spark.sql("SELECT * FROM gbkt.facts WHERE id = 123")
+    assert(filePartitions(point) * 2 <= total,
+      s"bucket pruning must cut the plan: ${filePartitions(point)} of $total")
+    assert(point.count() == 1)
+  }
+
   test("ManifestSink change feed: deletes and rewrites stream as _change_type rows") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
