@@ -148,6 +148,49 @@ object ManifestStatsProps extends Properties("ManifestStats") {
       skipSound && deleteSound && dual
     }
 
+  property("bucket + bounds pruning loses no row through the real write/scan path") =
+    forAll(Gen.nonEmptyListOf(rowGen), litId) { (rows, lit) =>
+      // Rows land through the REAL partitioned writer (bucket(3, id) —
+      // explicit bucket ids in the manifest) and the REAL batch commit;
+      // the scan then plans with an id-equality pushed filter. A bucket
+      // or bounds prune that drops a qualifying file is UNRECOVERABLE
+      // (residual filters only see planned partitions), so every row
+      // matching the literal must be served by some planned partition.
+      val dir = Files.createTempDirectory("graft_bucket_prop")
+      Files.createDirectories(dir.resolve(".staging-b"))
+      val w = new PartitionedNdjsonDataWriter(dir.toString, "b", schema,
+        Seq("bucket(3,id)"), 0, 0L)
+      rows.foreach { r =>
+        w.write(new GenericInternalRow(Array[Any](
+          r.id.map(Long.box).orNull,
+          r.x.map(Double.box).orNull,
+          r.s.map(UTF8String.fromString).orNull)))
+      }
+      new ManifestBatchWrite(dir.toString, schema, "b", truncate = false)
+        .commit(Array(w.commit()))
+      val sb = new ManifestScanBuilder(dir.toString, schema,
+        partCols = Seq("bucket(3,id)"))
+      sb.pushFilters(Array[Filter](EqualTo("id", lit)))
+      val planned = sb.build().asInstanceOf[ManifestScan]
+        .planInputPartitions()
+      val got = planned.flatMap { p =>
+        val (file, start, end) = p match {
+          case mp: ManifestFilePartition => (mp.file, mp.start, mp.end)
+          case kp: KeyedManifestFilePartition => (kp.file, kp.start, kp.end)
+        }
+        val r = new NdjsonPartitionReader(file, start, end, schema)
+        val out = collection.mutable.ArrayBuffer[Option[Long]]()
+        while (r.next()) {
+          val row = r.get()
+          out += (if (row.isNullAt(0)) None else Some(row.getLong(0)))
+        }
+        r.close()
+        out
+      }
+      val expect = rows.count(_.id.contains(lit))
+      got.count(_.contains(lit)) == expect
+    }
+
   property("entry round trip preserves rows, bytes, null counts, stats") =
     forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
       val dir = Files.createTempDirectory("graft_stats_prop")
