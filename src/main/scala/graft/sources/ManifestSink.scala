@@ -643,6 +643,87 @@ object ManifestSink {
     if (f.bytes >= 0) f.bytes
     else try Files.size(Paths.get(dir, f.name)) catch { case _: Exception => 0L }
 
+  /** Change-feed marker column: every CDF row carries
+    * `_change_type` = "insert" | "delete", filled at PLAN time as a
+    * partition constant (data files never store it). */
+  private[sources] val ChangeTypeColumn = "_change_type"
+
+  /** The generation-diff planner shared by the STREAMING source (one
+    * micro-batch = one diff) and BATCH change-feed reads
+    * (startingVersion/endingVersion — Delta's table_changes shape).
+    * Plans exactly the files that changed in (s, e]: appends via the
+    * O(delta) pointer diff (carried segments never re-read), and in
+    * change-feed mode retirements re-emit as "delete" partitions while
+    * pure compactions emit nothing. Without changeFeed, a retirement
+    * fails loudly — an append-only consumer must not silently see
+    * re-delivered rows. */
+  private[sources] def planGenerationDiff(path: String, full: StructType,
+      pushed: Array[sources.Filter], maxSplitBytes: Long,
+      s: Long, e: Long, changeFeed: Boolean): Array[InputPartition] = {
+    if (e <= s) return Array.empty
+    val keep = (f: StagedFile) =>
+      pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
+    def plan(fs: Seq[StagedFile], change: String): Seq[InputPartition] =
+      fs.flatMap(f => splitFile(path, f, maxSplitBytes)).map {
+        case p: ManifestFilePartition if changeFeed =>
+          p.copy(constants = Map(ChangeTypeColumn -> change))
+        case p => p
+      }
+    val eTxt = manifestTextAt(path,
+      if (e == committedGeneration(path)) None else Some(e))
+    if (s == 0L)
+      return plan(resolveEntries(path, eTxt).filter(keep), "insert").toArray
+    val sTxt = manifestTextAt(path, Some(s))
+    val sRefs = segmentRefsFull(sTxt).map(_.name).toSet
+    val sInline = parseEntries(sTxt)
+    val eRefs = segmentRefsFull(eTxt)
+    if (sInline.isEmpty && sRefs.subsetOf(eRefs.map(_.name).toSet)) {
+      // FAST PATH (steady-state appends): segments are immutable and
+      // every start-generation segment is still referenced, so no
+      // committed file can have retired — the delta is exactly the NEW
+      // segments (+ any new inline entries). Planning cost is
+      // O(delta + #segments), never O(table): carried segments are not
+      // even read (their summaries still prune).
+      val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
+      val segDelta = newSegs.flatMap { r =>
+        if (r.summary.exists(su => !keep(su))) Nil
+        else parseEntries(segmentTextStrict(path, r.name)).filter(keep)
+      }
+      plan(segDelta ++ parseEntries(eTxt).filter(keep), "insert").toArray
+    } else {
+      // SLOW PATH (a collapse/migration/rewrite happened): full
+      // name-level diff, which is also where retirement — a non-append
+      // change — surfaces. A plain tail refuses it; a CHANGE FEED read
+      // (retained tables — retired files stay on disk for exactly the
+      // retention window) represents it: retired files' rows re-emit
+      // with `_change_type` = "delete", added files' with "insert" — a
+      // MERGE rewrite becomes delete+insert pairs, Delta-CDF style. A
+      // purely PHYSICAL rewrite (every added file is compaction output
+      // and row counts balance) emits nothing: no logical change
+      // happened — Delta's dataChange=false idea, detected structurally.
+      val beforeEntries = resolveEntries(path, sTxt)
+      val before = beforeEntries.map(_.name).toSet
+      val after = resolveEntries(path, eTxt)
+      val retired = beforeEntries.filterNot(f => after.exists(_.name == f.name))
+      val added = after.filterNot(f => before.contains(f.name))
+      if (retired.isEmpty) plan(added.filter(keep), "insert").toArray
+      else if (!changeFeed)
+        throw new IllegalStateException(
+          s"generations $s -> $e of $path retired files " +
+            s"${retired.map(_.name).mkString(", ")} (compaction, DELETE, " +
+            "truncate, or an epoch replay ran under this streaming read); " +
+            "a streamed table must stay append-only while tailed — pause " +
+            "maintenance, restart the stream from the current generation, " +
+            "or read with readChangeFeed=true to consume the changes")
+      else if (added.forall(_.name.startsWith("compact-")) &&
+          added.map(_.rows).sum == retired.map(_.rows).sum && added.nonEmpty)
+        Array.empty // pure compaction: physical rewrite, no logical change
+      else
+        (plan(retired.filter(keep), "delete") ++
+          plan(added.filter(keep), "insert")).toArray
+    }
+  }
+
   /** Byte-range partitions for one committed file (Hadoop line-split
     * contract) — shared by the batch scan and the streaming source. */
   private[sources] def splitFile(dir: String, f: StagedFile,
@@ -1335,6 +1416,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       Option(options.get("filesubset"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet),
       options.getBoolean("readchangefeed", false),
+      Option(options.get("startingversion")).map(_.toLong),
+      Option(options.get("endingversion")).map(_.toLong),
       // Catalog tables declare partition columns in metadata; the
       // path-based reader takes them as a read option (same spelling
       // as the write side) — wrong declarations cannot corrupt: a file
@@ -1361,6 +1444,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     maxGensPerTrigger: Option[Long] = None,
     fileSubset: Option[Set[String]] = None,
     changeFeed: Boolean = false,
+    startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -1378,7 +1463,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
-      maxGensPerTrigger, fileSubset, changeFeed, partCols)
+      maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
+      endingVersion, partCols)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1569,6 +1655,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     maxGensPerTrigger: Option[Long] = None,
     fileSubset: Option[Set[String]] = None,
     changeFeed: Boolean = false,
+    startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1705,6 +1793,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.{Expression, Expressions}
     keyedEntries match {
+      case _ if startingVersion.isDefined =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
       case Some(keyed) if keyed.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           partSpecs.map {
@@ -1725,7 +1815,19 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * past its end), so any split size yields the same rows exactly.
     * Key-grouped scans attach each split's partition tuple (splits of
     * one file share its key; Spark groups same-key partitions). */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // BATCH change-feed (Delta's table_changes shape): startingVersion
+    // (exclusive) .. endingVersion (inclusive, default current) replays
+    // the generation diff as _change_type rows — audit a window of
+    // history without running a stream. Retained generations bound the
+    // window, exactly like the streaming feed.
+    if (startingVersion.isDefined) {
+      require(version.isEmpty, "versionAsOf and startingVersion conflict")
+      return ManifestSink.planGenerationDiff(path, full, pushed,
+        maxSplitBytes, startingVersion.get,
+        endingVersion.getOrElse(ManifestSink.committedGeneration(path)),
+        changeFeed)
+    }
     keyedEntries match {
       case Some(keyed) =>
         keyed.flatMap { case (f, key, _) =>
@@ -1739,6 +1841,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
         survivingEntries.flatMap(f =>
           ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)
@@ -1828,87 +1931,10 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** Generation 0 is the empty table by definition (no manifest yet). */
-  private def entriesAt(gen: Long): Seq[StagedFile] =
-    if (gen == 0L) Nil
-    else ManifestSink.committedEntriesAt(path, Some(gen))
-
-  /** Change-feed marker column: every CDF row carries
-    * `_change_type` = "insert" | "delete", filled at PLAN time as a
-    * partition constant (data files never store it). */
-  private val ChangeType = "_change_type"
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GenOffset].gen
-    val e = end.asInstanceOf[GenOffset].gen
-    if (e <= s) return Array.empty
-    val keep = (f: StagedFile) =>
-      pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
-    def plan(fs: Seq[StagedFile], change: String): Seq[InputPartition] =
-      fs.flatMap(f => ManifestSink.splitFile(path, f, maxSplitBytes)).map {
-        case p: ManifestFilePartition if changeFeed =>
-          p.copy(constants = Map(ChangeType -> change))
-        case p => p
-      }
-    val eTxt = ManifestSink.manifestTextAt(path,
-      if (e == ManifestSink.committedGeneration(path)) None else Some(e))
-    if (s == 0L)
-      return plan(ManifestSink.resolveEntries(path, eTxt).filter(keep),
-        "insert").toArray
-    val sTxt = ManifestSink.manifestTextAt(path, Some(s))
-    val sRefs = ManifestSink.segmentRefsFull(sTxt).map(_.name).toSet
-    val sInline = ManifestSink.parseEntries(sTxt)
-    val eRefs = ManifestSink.segmentRefsFull(eTxt)
-    if (sInline.isEmpty && sRefs.subsetOf(eRefs.map(_.name).toSet)) {
-      // FAST PATH (steady-state appends): segments are immutable
-      // and every start-generation segment is still referenced, so
-      // no committed file can have retired — the delta is exactly
-      // the NEW segments (+ any new inline entries). Planning cost
-      // is O(delta + #segments), never O(table): carried segments
-      // are not even read (their summaries still prune).
-      val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
-      val segDelta = newSegs.flatMap { r =>
-        if (r.summary.exists(su => !keep(su))) Nil
-        else ManifestSink.parseEntries(
-          ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
-      }
-      plan(segDelta ++ ManifestSink.parseEntries(eTxt).filter(keep),
-        "insert").toArray
-    } else {
-      // SLOW PATH (a collapse/migration/rewrite happened): full
-      // name-level diff, which is also where retirement — a
-      // non-append change under the tail — surfaces. A plain tail
-      // refuses it; a CHANGE FEED read (`readChangeFeed=true`, retained
-      // tables — retired files stay on disk for exactly the retention
-      // window) represents it: retired files' rows re-emit with
-      // `_change_type` = "delete", added files' with "insert" — a MERGE
-      // rewrite becomes delete+insert pairs, Delta-CDF style. A purely
-      // PHYSICAL rewrite (every added file is compaction output and row
-      // counts balance) emits nothing: no logical change happened —
-      // Delta's dataChange=false idea, detected structurally.
-      val beforeEntries = ManifestSink.resolveEntries(path, sTxt)
-      val before = beforeEntries.map(_.name).toSet
-      val after = ManifestSink.resolveEntries(path, eTxt)
-      val retired = beforeEntries.filterNot(f =>
-        after.exists(_.name == f.name))
-      val added = after.filterNot(f => before.contains(f.name))
-      if (retired.isEmpty) plan(added.filter(keep), "insert").toArray
-      else if (!changeFeed)
-        throw new IllegalStateException(
-          s"generations $s -> $e of $path retired files " +
-            s"${retired.map(_.name).mkString(", ")} (compaction, DELETE, " +
-            "truncate, or an epoch replay ran under this streaming read); " +
-            "a streamed table must stay append-only while tailed — pause " +
-            "maintenance, restart the stream from the current generation, " +
-            "or read with readChangeFeed=true to consume the changes")
-      else if (added.forall(_.name.startsWith("compact-")) &&
-          added.map(_.rows).sum == retired.map(_.rows).sum && added.nonEmpty)
-        Array.empty // pure compaction: physical rewrite, no logical change
-      else
-        (plan(retired.filter(keep), "delete") ++
-          plan(added.filter(keep), "insert")).toArray
-    }
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    ManifestSink.planGenerationDiff(path, full, pushed, maxSplitBytes,
+      start.asInstanceOf[GenOffset].gen, end.asInstanceOf[GenOffset].gen,
+      changeFeed)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required)

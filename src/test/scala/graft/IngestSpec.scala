@@ -936,6 +936,28 @@ class IngestSpec extends SparkSpec {
       q.processAllAvailable()
       assert(feed.length == afterDelete.length,
         "compaction must not emit logical changes")
+      // BATCH change-feed (Delta's table_changes): replay the window
+      // since generation 2 without a stream — applying the net diff to
+      // the retained generation-2 snapshot must reproduce the table.
+      val sch2 = StructType(cdfSchema.fields.dropRight(1))
+      val base = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch2).option("path", dir).option("versionAsOf", "2").load()
+        .collect().map(r => (r.getLong(0), r.getLong(1), "insert"))
+      val changes = spark.read.format("graft.sources.ManifestSink")
+        .schema(cdfSchema).option("path", dir)
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val netWindow = (base ++ changes).groupBy(r => (r._1, r._2)).collect {
+        case (row, occ)
+            if occ.count(_._3 == "insert") > occ.count(_._3 == "delete") =>
+          row
+      }.toSet
+      val current = spark.read.format("graft.sources.ManifestSink")
+        .schema(sch2).option("path", dir).load()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(netWindow == current,
+        "snapshot + batch change window must reproduce the table")
     } finally q.stop()
   }
 
