@@ -34,8 +34,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the name→directory mapping plus schema persistence — every
   * transactional guarantee stays in the manifest committer, where a
   * catalog outage cannot corrupt it. Metadata file `_table.json` is
-  * written once at CREATE (create-exclusive: concurrent CREATE of the
-  * same name fails loudly) and never rewritten.
+  * created exclusively (concurrent CREATE of the same name fails
+  * loudly) and rewritten only by ALTER TABLE, via atomic swap.
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
