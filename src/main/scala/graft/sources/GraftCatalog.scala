@@ -292,7 +292,12 @@ class GraftCatalog extends TableCatalog
         require(del.fieldNames().length == 1, "nested deletes unsupported")
         val col = del.fieldNames()(0)
         require(schema.fieldNames.contains(col), s"no column '$col'")
-        require(!partCols.contains(col),
+        // Parse the specs: a bucket partition is persisted as
+        // "bucket(n,col)", so a raw contains() check would let the
+        // SOURCE column of a bucket spec be dropped — leaving the
+        // partition spec referencing a nonexistent column and failing
+        // every subsequent INSERT.
+        require(!PartSpec.parseAll(partCols).exists(_.col == col),
           s"cannot drop partition column '$col'")
         schema = StructType(schema.fields.filterNot(_.name == col))
       case set: TableChange.SetProperty =>

@@ -139,7 +139,7 @@ class ManifestSink extends TableProvider {
 
 object ManifestSink {
   val ManifestName = "manifest.json"
-  private val LockName = ".manifest.lock"
+  private[sources] val LockName = ".manifest.lock"
 
   /** Default bound on manifest SEGMENTS before an append commit
     * collapses them into one (Iceberg's `min-count-to-merge` trade):
@@ -436,6 +436,13 @@ object ManifestSink {
     * file work; minutes of hold time means the holder died). */
   private[sources] val DefaultLockLeaseMs: Long = 15L * 60 * 1000
 
+  /** Intra-JVM monitor per canonical table directory: the whole
+    * acquire-or-break sequence below runs under it, so two committers
+    * in ONE process can never interleave their staleness checks — the
+    * only interleaving a local filesystem cannot itself exclude. */
+  private val publishMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Serialize the manifest's read-compose-swap critical section:
     * create-exclusive lock file carrying an OWNER TOKEN, released in
     * `finally` only if the token still matches (we never delete a lock
@@ -443,12 +450,23 @@ object ManifestSink {
     * committer FAILS (loudly) rather than silently dropping the first
     * one's entries in a last-rename-wins race — UNLESS the existing
     * lock is older than `leaseMs`, in which case it is treated as the
-    * debris of a crashed committer and reclaimed: we re-read the lock
-    * to confirm the same dead owner still holds it and re-check that
-    * the manifest generation did not advance while we looked (a live
-    * committer would have published), then delete-and-recreate. The
-    * create after the break is still create-exclusive, so two
-    * breakers racing resolve to exactly one winner. */
+    * debris of a crashed committer and reclaimed. The reclaim is
+    * race-hardened on three levels:
+    *
+    *   1. in-process, the entire acquire/break sequence holds a
+    *      per-directory JVM monitor, so two local threads can never
+    *      interleave their staleness checks (the Delta local-LogStore
+    *      posture);
+    *   2. cross-process, the break is an ATOMIC RENAME of the stale
+    *      lock to a breaker-unique debris name — of N racing breakers
+    *      exactly one move succeeds and the losers throw; a loser can
+    *      never delete the winner's freshly created lock the way an
+    *      unguarded deleteIfExists could;
+    *   3. the renamed debris is VERIFIED to still carry the measured
+    *      dead owner's token — if a live committer re-locked between
+    *      the check and the move, the debris holds the WRONG token and
+    *      is put back via create-link (atomic, never replaces) before
+    *      standing down. */
   private[sources] def withPublishLock[T](dir: Path,
       leaseMs: Long = DefaultLockLeaseMs)(body: => T): T = {
     Files.createDirectories(dir)
@@ -463,36 +481,95 @@ object ManifestSink {
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!tryAcquire()) {
-      val age =
-        try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
-        catch { case _: java.io.IOException => -1L } // vanished: retry below
-      val holder = readLock()
-      val genBefore = committedGeneration(dir.toString)
-      if (age >= 0 && age <= leaseMs)
-        throw new IllegalStateException(
-          s"concurrent committer detected on $dir: $LockName exists and is " +
-            s"within its ${leaseMs}ms lease. The manifest publish is " +
-            "single-writer per directory; if no other job is committing " +
-            "here, wait for the lease to lapse (the lock is then reclaimed " +
-            "automatically) or delete the file to recover immediately.")
-      // Lease lapsed (or the lock vanished between attempts): break it,
-      // but only while the SAME dead owner holds it and no publish
-      // progressed — any movement means a live committer.
-      if (readLock() != holder || committedGeneration(dir.toString) != genBefore)
-        throw new IllegalStateException(
-          s"lock activity detected on $dir while reclaiming a stale " +
-            s"$LockName — another committer is live; not breaking the lock.")
-      Files.deleteIfExists(lock)
-      if (!tryAcquire())
-        throw new IllegalStateException(
-          s"lost the reacquire race on $dir after breaking a stale " +
-            s"$LockName — another committer won; retry this commit.")
+    def concurrentFailure(): Nothing =
+      throw new IllegalStateException(
+        s"concurrent committer detected on $dir: $LockName exists and is " +
+          s"within its ${leaseMs}ms lease. The manifest publish is " +
+          "single-writer per directory; if no other job is committing " +
+          "here, wait for the lease to lapse (the lock is then reclaimed " +
+          "automatically) or delete the file to recover immediately.")
+    val monitor = publishMonitors.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      if (!tryAcquire()) {
+        val age =
+          try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
+          catch { case _: java.io.IOException => -1L } // vanished below
+        val holder = readLock()
+        val genBefore = committedGeneration(dir.toString)
+        if (age < 0 || holder.isEmpty) {
+          // The lock vanished between attempts — its holder released;
+          // take the normal acquire path once more.
+          if (!tryAcquire()) concurrentFailure()
+        } else if (age <= leaseMs) {
+          concurrentFailure()
+        } else {
+          // Lease lapsed: break the stale lock, but only while the SAME
+          // dead owner holds it and no publish progressed — any
+          // movement means a live committer.
+          if (readLock() != holder ||
+              committedGeneration(dir.toString) != genBefore)
+            throw new IllegalStateException(
+              s"lock activity detected on $dir while reclaiming a stale " +
+                s"$LockName — another committer is live; not breaking the lock.")
+          // Break by ATOMIC RENAME to a breaker-unique debris name: the
+          // stale lock path exists exactly once, so of N racing
+          // breakers exactly one move succeeds — a loser can never
+          // delete the winner's freshly created lock the way an
+          // unguarded deleteIfExists could.
+          val debris = dir.resolve(s"$LockName.broken-$token")
+          try Files.move(lock, debris,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.io.IOException =>
+              throw new IllegalStateException(
+                s"lost the reclaim race on $dir: the stale $LockName was " +
+                  "already broken by another committer; retry this commit.")
+          }
+          // Verify the debris IS the stale acquisition we measured
+          // (owner tokens are unique per acquire). A different token
+          // means a cross-process committer re-locked in the window
+          // between the staleness check and the move: restore its lock
+          // with an atomic create-link (which fails rather than
+          // replaces if yet another committer acquired meanwhile) and
+          // stand down.
+          val got =
+            try Some(new String(Files.readAllBytes(debris), StandardCharsets.UTF_8))
+            catch { case _: java.io.IOException => None }
+          if (got != holder) {
+            try {
+              Files.createLink(lock, debris)
+              Files.deleteIfExists(debris)
+            } catch { case _: java.io.IOException => () }
+            throw new IllegalStateException(
+              s"lock activity detected on $dir while breaking a stale " +
+                s"$LockName — a live committer re-locked; its lock was restored.")
+          }
+          Files.deleteIfExists(debris)
+          if (!tryAcquire())
+            throw new IllegalStateException(
+              s"lost the reacquire race on $dir after breaking a stale " +
+                s"$LockName — another committer won; retry this commit.")
+        }
+      }
     }
     try body finally {
       if (readLock().contains(token)) Files.deleteIfExists(lock)
     }
   }
+
+  /** Refresh the publish lock's mtime so a LIVE holder inside a long
+    * critical section — compaction merges data files in O(data) time
+    * under the lock — is never mistaken for a crashed one: the lease
+    * check reads the lock's age, and without refreshes a slow holder
+    * past `leaseMs` looks identical to a dead one (the generation
+    * re-check cannot distinguish slow-unpublished from crashed). Call
+    * it between units of long work; failures are ignored — a missed
+    * heartbeat only narrows the safety margin back to the lease. */
+  private[sources] def heartbeatLock(dir: Path): Unit =
+    try Files.setLastModifiedTime(dir.resolve(LockName),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis))
+    catch { case _: java.io.IOException => () }
 
   /** Compaction — the small-files answer (a streaming sink at one file
     * per (epoch, partition) accretes thousands of tiny files whose
@@ -544,6 +621,10 @@ object ManifestSink {
       if (merge.isEmpty) return 0
       val generation = committedGeneration(dir)
       val merged = merge.zipWithIndex.map { case (group, k) =>
+        // Per-bin heartbeat: each merged bin is a bounded unit of work,
+        // so the lock's age never exceeds one bin's copy time and the
+        // lease-based reclaim cannot break a live compactor.
+        heartbeatLock(dirPath)
         val name = f"compact-g${generation + 1}%06d-$k%04d.ndjson"
         val tmp = dirPath.resolve(s".$name.tmp")
         val out = Files.newOutputStream(tmp)
@@ -1638,7 +1719,15 @@ private[sources] object ManifestStats {
       case In(c, vs) => vs.exists(v => mustMatch(full, entry, EqualTo(c, v)))
       case IsNull(c) => entry.nullCounts.get(c).contains(entry.rows)
       case IsNotNull(c) => noNulls(c)
-      case Not(a) => !mayMatch(full, entry, a)
+      // Three-valued NOT: a NULL operand row satisfies neither `a` nor
+      // NOT `a` (NOT(NULL) is NULL, not TRUE), so !mayMatch(a) — which
+      // only proves no row makes `a` TRUE — cannot alone prove every
+      // row makes NOT `a` TRUE. Additionally require a RECORDED zero
+      // null count on every column `a` references (Iceberg's strict
+      // evaluator makes the same demand); without it, a metadata-only
+      // DELETE WHERE c <> v would silently destroy the NULL rows,
+      // which the delete must keep.
+      case Not(a) => a.references.forall(noNulls) && !mayMatch(full, entry, a)
       case And(a, b) =>
         mustMatch(full, entry, a) && mustMatch(full, entry, b)
       case Or(a, b) =>

@@ -54,23 +54,35 @@ private[sources] object MetadataTables {
     StructField("rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false)))
 
-  /** Per-partition-tuple rollup (files/rows/bytes), from the same
-    * min == max proof the pruner and SPJ use; files that cannot prove a
-    * single tuple land under `<unaligned>` — visible, not hidden, since
-    * they are exactly the files that defeat partition-level operations. */
-  def partitionsRows(dir: String, partCols: Seq[String]): Array[InternalRow] =
+  /** Per-partition-tuple rollup (files/rows/bytes). Tuples come from
+    * the entries' RECORDED partition values first (what the
+    * partitioned writer stamps — a bucket id is never derivable from
+    * column bounds, and truncated string stats defeat any bounds
+    * proof); legacy entries without recorded values fall back to the
+    * identity min == max stat proof the pruner uses. Files that
+    * resolve no tuple either way land under `<unaligned>` — visible,
+    * not hidden, since they are exactly the files that defeat
+    * partition-level operations. */
+  def partitionsRows(dir: String, partCols: Seq[String]): Array[InternalRow] = {
+    val specs = PartSpec.parseAll(partCols)
     ManifestSink.committedEntries(dir).groupBy { e =>
-      val vals = partCols.map(c => e.stats.find(_.col == c) match {
-        case Some(st) if st.min == st.max && !st.hasNan => Some(st.min)
-        case _ => None
-      })
-      if (partCols.isEmpty || vals.exists(_.isEmpty)) "<unaligned>"
-      else partCols.zip(vals.map(_.get)).map { case (c, v) => s"$c=$v" }
+      val vals = specs.map { sp =>
+        e.partValues.get(sp.name).orElse(sp match {
+          case _: IdentityPart => e.stats.find(_.col == sp.col) match {
+            case Some(st) if st.min == st.max && !st.hasNan => Some(st.min)
+            case _ => None
+          }
+          case _: BucketPart => None
+        })
+      }
+      if (specs.isEmpty || vals.exists(_.isEmpty)) "<unaligned>"
+      else specs.zip(vals.map(_.get)).map { case (sp, v) => s"${sp.name}=$v" }
         .mkString(", ")
     }.toSeq.sortBy(_._1).map { case (part, es) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(part),
         es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum))
     }.toArray
+  }
 
   def filesRows(dir: String): Array[InternalRow] =
     ManifestSink.committedEntries(dir).map { e =>

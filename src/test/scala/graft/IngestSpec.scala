@@ -866,6 +866,30 @@ class IngestSpec extends SparkSpec {
     assert(filePartitions(point) * 2 <= total,
       s"bucket pruning must cut the plan: ${filePartitions(point)} of $total")
     assert(point.count() == 1)
+    // t$partitions resolves bucket tuples from the entries' RECORDED
+    // partition values — bucket ids are never derivable from column
+    // bounds, so the bounds-proof fallback alone would report every
+    // file as <unaligned>.
+    val parts = spark.sql(
+      "SELECT partition, files, rows FROM gbkt.`facts$partitions`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.forall(_._1.startsWith("bucket(4,id)=")),
+      s"bucketed files must report their bucket tuple: ${parts.mkString(", ")}")
+    assert(parts.map(_._3).sum == 400 && parts.length == 4 &&
+      parts.map(_._2).sum == 8,
+      s"4 bucket tuples rolling up 2 files each: ${parts.mkString(", ")}")
+    // DROP COLUMN must protect a bucket spec's SOURCE column — the spec
+    // is persisted as "bucket(4,id)", so a raw name comparison would
+    // let `id` drop and leave the partition spec dangling (every later
+    // INSERT fails "partitionBy column not in written schema").
+    val dropErr = intercept[Exception] {
+      spark.sql("ALTER TABLE gbkt.facts DROP COLUMN id")
+    }
+    assert(dropErr.getMessage.contains("partition column"),
+      s"wrong refusal: ${dropErr.getMessage}")
+    spark.sql("INSERT INTO gbkt.facts VALUES (1000, 10000)")
+    assert(spark.sql("SELECT count(*) FROM gbkt.facts").head.getLong(0) == 401,
+      "table must stay writable after the refused DROP")
   }
 
   test("ManifestSink change feed: deletes and rewrites stream as _change_type rows") {

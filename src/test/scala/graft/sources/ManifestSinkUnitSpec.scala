@@ -978,4 +978,96 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       ManifestSink.committedEntriesAt(dir, Some(1L))
     }
   }
+
+  test("mustMatch NOT honors three-valued nulls: NULL rows survive DELETE WHERE c <> v") {
+    import org.apache.spark.sql.sources._
+    // File bounds exclude v=5 entirely, but 2 of 10 rows are NULL in id.
+    // SQL: NOT(id = 5) is UNKNOWN for a NULL id — those rows do NOT
+    // match the delete predicate and must survive, so the stats may NOT
+    // prove all-match (a metadata-only drop would destroy them).
+    val withNulls = StagedFile("f", 10L, Seq(ColStat("id", "10", "20")),
+      nullCounts = Map("id" -> 2L))
+    assert(!ManifestStats.mustMatch(schema, withNulls, Not(EqualTo("id", 5L))),
+      "file with NULLs must not prove all-match for NOT(id = 5)")
+    assert(!ManifestStats.mustMatch(schema, withNulls,
+      Not(GreaterThan("id", 100L))), "same for NOT(id > 100)")
+    // With a RECORDED zero null count the proof goes through again —
+    // the fix must not cost the legitimate metadata-only fast path.
+    val noNulls = withNulls.copy(nullCounts = Map("id" -> 0L))
+    assert(ManifestStats.mustMatch(schema, noNulls, Not(EqualTo("id", 5L))))
+    assert(ManifestStats.mustMatch(schema, noNulls, Not(GreaterThan("id", 100L))))
+    // UNKNOWN null counts (legacy entry) stay conservative: no proof.
+    val unknown = withNulls.copy(nullCounts = Map.empty)
+    assert(!ManifestStats.mustMatch(schema, unknown, Not(EqualTo("id", 5L))))
+  }
+
+  test("stale-lock reclaim is atomic: racing breakers admit exactly one committer at a time") {
+    val dir = Files.createTempDirectory("graft_manifest_unit")
+    val lock = dir.resolve(ManifestSink.LockName)
+    // A crashed committer's debris: a lock far older than any lease.
+    Files.write(lock, "dead-owner".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(0L))
+    // N threads race to break the same stale lock. The invariant the
+    // rename-based break provides: the critical section is NEVER
+    // concurrently occupied (the old deleteIfExists break let a late
+    // loser delete the winner's fresh lock, admitting a second
+    // committer mid-section). Losers fail loudly — also acceptable.
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entered = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try ManifestSink.withPublishLock(dir, leaseMs = 1000L) {
+          entered.incrementAndGet()
+          val now = inside.incrementAndGet()
+          maxInside.updateAndGet(m => math.max(m, now))
+          Thread.sleep(30)
+          inside.decrementAndGet()
+        } catch { case _: IllegalStateException => () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(30000))
+    assert(entered.get() >= 1, "someone must reclaim the stale lock")
+    assert(maxInside.get() == 1,
+      s"critical section concurrently occupied by ${maxInside.get()} committers")
+    assert(!Files.exists(lock), "lock leaked after the section")
+    // No debris files linger either.
+    val ls = Files.list(dir)
+    try {
+      val leftover = ls.iterator()
+      val names = collection.mutable.ArrayBuffer[String]()
+      while (leftover.hasNext) names += leftover.next().getFileName.toString
+      assert(!names.exists(_.startsWith(ManifestSink.LockName)),
+        s"lock debris left behind: $names")
+    } finally ls.close()
+  }
+
+  test("compaction heartbeats the lock so a live holder outlasts the lease") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val dirPath = Paths.get(dir)
+    (1 to 4).foreach { i =>
+      Files.write(Paths.get(dir, s"part-0000$i-$i.ndjson"),
+        s"""{"id":$i}\n""".getBytes(StandardCharsets.UTF_8))
+    }
+    ManifestSink.withPublishLock(dirPath) {
+      ManifestSink.publishManifest(dirPath, (1 to 4).map(i =>
+        StagedFile(s"part-0000$i-$i.ndjson", 1L)), 1L, "t")
+    }
+    ManifestSink.withPublishLock(dirPath) {
+      // Age the lock as if the holder had been working past the lease;
+      // the per-bin heartbeat inside compactLocked must refresh it so
+      // a concurrent committer's staleness check keeps failing loudly
+      // instead of reclaiming a LIVE holder's lock.
+      val lock = dirPath.resolve(ManifestSink.LockName)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(0L))
+      assert(ManifestSink.compactLocked(dirPath, targetRows = 2L) == 4)
+      val age = System.currentTimeMillis -
+        Files.getLastModifiedTime(lock).toMillis
+      assert(age < 60000L,
+        s"lock mtime not refreshed during compaction (age ${age}ms)")
+    }
+    assert(ManifestSink.committedRowCount(dir) == 4L)
+  }
 }

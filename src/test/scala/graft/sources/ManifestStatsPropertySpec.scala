@@ -102,20 +102,39 @@ object ManifestStatsProps extends Properties("ManifestStats") {
     case "s" => row.s.isEmpty
   }
 
-  private def evalRow(f: Filter, row: Row3): Boolean = f match {
-    case EqualTo(c, v) => cmpVals(c, row, v).contains(0)
-    case GreaterThan(c, v) => cmpVals(c, row, v).exists(_ > 0)
-    case GreaterThanOrEqual(c, v) => cmpVals(c, row, v).exists(_ >= 0)
-    case LessThan(c, v) => cmpVals(c, row, v).exists(_ < 0)
-    case LessThanOrEqual(c, v) => cmpVals(c, row, v).exists(_ <= 0)
-    case In(c, vs) => vs.exists(v => cmpVals(c, row, v).contains(0))
-    case IsNull(c) => isNull(c, row)
-    case IsNotNull(c) => !isNull(c, row)
-    case And(a, b) => evalRow(a, row) && evalRow(b, row)
-    case Or(a, b) => evalRow(a, row) || evalRow(b, row)
-    case Not(a) => !evalRow(a, row)
-    case _ => false
+  /** SQL three-valued (Kleene) evaluation: a NULL comparison operand
+    * yields UNKNOWN (None), which NOT preserves as UNKNOWN — the row
+    * "matches" a filter only when it evaluates to definite TRUE. A
+    * two-valued NOT here would claim NULL rows match NOT(c = v) and
+    * mask exactly the metadata-DELETE null-destruction bug this
+    * property exists to catch. */
+  private def eval3(f: Filter, row: Row3): Option[Boolean] = f match {
+    case EqualTo(c, v) => cmpVals(c, row, v).map(_ == 0)
+    case GreaterThan(c, v) => cmpVals(c, row, v).map(_ > 0)
+    case GreaterThanOrEqual(c, v) => cmpVals(c, row, v).map(_ >= 0)
+    case LessThan(c, v) => cmpVals(c, row, v).map(_ < 0)
+    case LessThanOrEqual(c, v) => cmpVals(c, row, v).map(_ <= 0)
+    case In(c, vs) =>
+      if (isNull(c, row)) None
+      else Some(vs.exists(v => cmpVals(c, row, v).contains(0)))
+    case IsNull(c) => Some(isNull(c, row))
+    case IsNotNull(c) => Some(!isNull(c, row))
+    case And(a, b) => (eval3(a, row), eval3(b, row)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(a, b) => (eval3(a, row), eval3(b, row)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(a) => eval3(a, row).map(!_)
+    case _ => Some(false)
   }
+
+  private def evalRow(f: Filter, row: Row3): Boolean =
+    eval3(f, row).contains(true)
 
   /** Rows → a REAL manifest entry: written through the actual writer,
     * then round-tripped through render/parse (the persistence path). */
