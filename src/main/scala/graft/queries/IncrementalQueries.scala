@@ -1226,6 +1226,153 @@ object IncrementalQueries {
             col("sum_chars")))
     },
 
+    // SQL MERGE INTO through SupportsRowLevelOperations (the Delta/
+    // Iceberg front door): the corpus lands as a range-partitioned
+    // catalog table, a CDC source table carries updates (every 5th doc)
+    // and inserts (new ids), and `MERGE INTO ... WHEN MATCHED ... WHEN
+    // NOT MATCHED` runs through Spark's group-based copy-on-write
+    // rewrite — the ON condition references source values, so nothing
+    // is statically pushable and the RUNTIME group filter (a
+    // `_file`-projecting subquery) must narrow the rewrite to the
+    // key-overlapping files (IngestSpec pins 1-of-4 at file level).
+    // The oracle replays the merge relationally: a row lost in the
+    // rewrite, doubled across the swap, or merged against stale keys
+    // breaks the per-lang counts and content hashes.
+    QuerySpec(
+      "a24_sql_merge_into",
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '~m', lang, source, n_chars + 2
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'merged doc ' || doc_id, 'xx',
+        |    source, 11 + length(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a24", dir)
+      val cat = "graft_a24"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a24_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a24_src")
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit("~m")))
+        .withColumn("n_chars", col("n_chars") + 2)
+        .unionByName(docs.where(col("doc_id") % 9 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("merged doc "), col("doc_id")).as("text"),
+          lit("xx").as("lang"), col("source"),
+          (lit(11) + length(col("doc_id").cast("string"))
+            .cast("long")).as("n_chars")))
+        .createOrReplaceTempView("a24_updates")
+      s.sql(s"""MERGE INTO $cat.docs t USING a24_updates u
+        ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET
+          text = u.text, lang = u.lang, source = u.source,
+          n_chars = u.n_chars
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
+    // SQL UPDATE through the same group-based rewrite: the predicate
+    // is a doc_id range the manifest stats CAN push, so the scan plans
+    // only the files whose bounds overlap — the rest of the table is
+    // never read or rewritten. The oracle applies the SET relationally
+    // over the whole corpus; an update leaking outside the predicate,
+    // missing inside it, or dropping untouched rows in the rewritten
+    // files breaks the hashes.
+    QuerySpec(
+      "a25_sql_update_rewrite",
+      """WITH updated AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 100 AND doc_id < 200
+        |         THEN text || '~upd' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id >= 100 AND doc_id < 200
+        |         THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM updated GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a25", dir)
+      val cat = "graft_a25"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a25_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a25_src")
+      s.sql(s"""UPDATE $cat.docs
+        SET text = concat(text, '~upd'), n_chars = n_chars + 5
+        WHERE doc_id >= 100 AND doc_id < 200""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
+    // SQL DELETE needing a DATA REWRITE (the partial-overlap case the
+    // metadata-only path refuses): `doc_id % 3 = 0 AND lang = 'en'` —
+    // the lang half prunes statically, the modulo half cannot, so the
+    // runtime group filter finds the files actually holding matching
+    // rows and only they rewrite (survivor rows carried over). The
+    // oracle selects the complement; a surviving matched row, a lost
+    // survivor, or a whole file wrongly dropped breaks the hashes.
+    QuerySpec(
+      "a26_sql_delete_rewrite",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 0 AND lang = 'en')
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a26", dir)
+      val cat = "graft_a26"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a26_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a26_src")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 3 = 0 AND lang = 'en'")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

@@ -39,9 +39,49 @@ object ManifestOps {
     *
     * `updates` must carry the full table schema and at most one row per
     * key (dedupe upstream — e.g. q197's CDC argmax). Returns the number
-    * of files rewritten. */
+    * of files rewritten.
+    *
+    * OPTIMISTIC-CONCURRENCY RETRY (the Iceberg/Delta commit loop): a
+    * merge that loses a race — its swap names a file a concurrent
+    * commit already replaced, or the publish lock is held at swap
+    * time — re-plans the ENTIRE operation against the new current
+    * generation and tries again, up to `maxRetries` times. Re-running
+    * is correct because MERGE is an idempotent upsert over its own
+    * keys: the re-plan reads the winner's committed state, so disjoint
+    * concurrent merges all land and overlapping ones serialize to
+    * last-writer-wins per key. Only after exhausting retries does the
+    * conflict surface. */
   def mergeInto(spark: SparkSession, dir: String, updates: DataFrame,
-      key: String, writeOptions: Map[String, String] = Map.empty): Int = {
+      key: String, writeOptions: Map[String, String] = Map.empty,
+      maxRetries: Int = 3): Int = {
+    def isConflict(t: Throwable): Boolean =
+      if (t == null) false
+      else if (t.getMessage != null &&
+        (t.getMessage.contains("no longer committed") ||
+          t.getMessage.contains("concurrent committer") ||
+          t.getMessage.contains("lost the reacquire race") ||
+          t.getMessage.contains("lost the reclaim race") ||
+          // The read half of losing a CoW race: the winner's commit
+          // deleted a replaced file while our rewrite was still
+          // scanning it.
+          t.getMessage.contains("vanished between planning and reading"))) true
+      else isConflict(t.getCause)
+    var attempt = 0
+    while (true) {
+      try return mergeOnce(spark, dir, updates, key, writeOptions)
+      catch {
+        case e: Exception if isConflict(e) && attempt < maxRetries =>
+          attempt += 1
+          // Brief jittered backoff: the winner's swap is milliseconds;
+          // an immediate retry would mostly re-collide on the lock.
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeOnce(spark: SparkSession, dir: String, updates: DataFrame,
+      key: String, writeOptions: Map[String, String]): Int = {
     val schema: StructType = updates.schema
     require(schema.fieldNames.contains(key), s"updates lack key column '$key'")
 

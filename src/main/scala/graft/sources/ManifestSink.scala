@@ -141,6 +141,13 @@ object ManifestSink {
   val ManifestName = "manifest.json"
   private[sources] val LockName = ".manifest.lock"
 
+  /** Metadata column naming the committed data file a row lives in
+    * (Iceberg's `_file`): what row-level operations group by — a
+    * "group" in the copy-on-write rewrite IS a file — and what the
+    * runtime group filter joins on. Served by the reader as a
+    * partition constant; never stored in the payload. */
+  private[sources] val FileColumn = "_file"
+
   /** Default bound on manifest SEGMENTS before an append commit
     * collapses them into one (Iceberg's `min-count-to-merge` trade):
     * append commits write O(delta) bytes, and every `MaxSegments`-th
@@ -1375,9 +1382,43 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     version: Option[Long] = None, tablePartCols: Seq[String] = Nil,
     tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = tableSchema
+
+  /** `_file` (Iceberg's spelling): the committed data file a row lives
+    * in, served as a plan-time constant per partition. Queryable in
+    * its own right (`SELECT _file, count(*) ... GROUP BY _file` is the
+    * debugging view of file skipping) and the join key of row-level
+    * runtime group filtering. Shadowed by a real payload column of the
+    * same name, per the metadata-column contract. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(ManifestSink.FileColumn)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestSink.FileColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "name of the committed data file holding the row"
+    })
+
+  /** SQL row-level DML (`DELETE` needing a rewrite, `UPDATE`,
+    * `MERGE INTO`) through the group-based copy-on-write machinery —
+    * see [[GraftRowLevelOperation]]. Metadata-only DELETEs still take
+    * the [[SupportsDelete]] fast path (Spark's
+    * OptimizeMetadataOnlyDeleteFromTable asks [[canDeleteWhere]]
+    * first). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot ${info.command()} a versionAsOf/timestampAsOf read of $path")
+    () => new GraftRowLevelOperation(path, tableSchema, tablePartCols,
+      tableProps, info.command())
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
@@ -1487,7 +1528,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
-      replaceFiles = replaceFiles)
+      replaceFiles = () => replaceFiles)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1527,7 +1568,8 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     changeFeed: Boolean = false,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    rowLevel: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1545,7 +1587,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
       maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
-      endingVersion, partCols)
+      endingVersion, partCols, rowLevel)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1746,11 +1788,57 @@ private[sources] class ManifestScan(path: String, full: StructType,
     changeFeed: Boolean = false,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    rowLevel: Option[GraftRowLevelOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME group filtering for row-level operations (Iceberg's
+    * copy-on-write shape): Spark evaluates the command condition in a
+    * subquery projecting `_file` over a regular scan of the table,
+    * then hands the matching file names here as an IN predicate — the
+    * rewrite touches exactly the files holding matching rows even
+    * when the condition is not statically pushable (a MERGE keyed on
+    * source values prunes nothing at plan time, everything here).
+    * Conservative: an unrecognized predicate shape filters nothing. */
+  @volatile private var runtimeFileSubset: Option[Set[String]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rowLevel.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        ManifestSink.FileColumn))
+    else Array.empty
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().sameElements(Array(ManifestSink.FileColumn))
+        case _ => false
+      }
+    def names(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+        : Option[Set[String]] = p.name() match {
+      case "IN" if p.children().nonEmpty && isFileRef(p.children()(0)) =>
+        Some(p.children().drop(1).collect {
+          case l: Literal[_] => String.valueOf(l.value())
+        }.toSet)
+      case "=" if p.children().length == 2 && isFileRef(p.children()(0)) =>
+        p.children()(1) match {
+          case l: Literal[_] => Some(Set(String.valueOf(l.value())))
+          case _ => None
+        }
+      case _ => None
+    }
+    val sets = predicates.flatMap(names)
+    if (sets.nonEmpty) runtimeFileSubset = Some(sets.reduce(_ intersect _))
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1812,7 +1900,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     // the files it will replace. Applies to ENTRIES; a segment summary
     // is named after its segment, so only bounds prune at that level.
     def keep(e: StagedFile): Boolean =
-      fileSubset.forall(_.contains(e.name)) && boundsKeep(e) &&
+      fileSubset.forall(_.contains(e.name)) &&
+        runtimeFileSubset.forall(_.contains(e.name)) && boundsKeep(e) &&
         pushed.forall(f => bucketKeep(e, f))
     val txt = ManifestSink.manifestTextAt(path, version)
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
@@ -1917,6 +2006,10 @@ private[sources] class ManifestScan(path: String, full: StructType,
         endingVersion.getOrElse(ManifestSink.committedGeneration(path)),
         changeFeed)
     }
+    // Row-level operations replace exactly the files they read: record
+    // the planned set (post static pruning AND runtime group filter —
+    // this plans again after filter()) for the write side to retire.
+    rowLevel.foreach(_.recordScanned(survivingEntries.map(_.name).toSet))
     keyedEntries match {
       case Some(keyed) =>
         keyed.flatMap { case (f, key, _) =>
@@ -1933,7 +2026,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required)
+    new ManifestReaderFactory(required,
+      serveFileColumn = !full.fieldNames.contains(ManifestSink.FileColumn))
 
   /** Exact numRows from the manifest (free — counted at write time),
     * AFTER file skipping; bytes from the surviving files, scaled by the
@@ -2029,14 +2123,27 @@ private[sources] class ManifestMicroBatchStream(path: String,
     new ManifestReaderFactory(required)
 }
 
-private[sources] class ManifestReaderFactory(required: StructType)
+private[sources] class ManifestReaderFactory(required: StructType,
+    serveFileColumn: Boolean = false)
     extends PartitionReaderFactory {
+  // `_file` is a PLAN-derived constant like the change feed's
+  // `_change_type`: each partition knows its file, so the metadata
+  // column costs nothing per row. Only injected when the table schema
+  // doesn't shadow the name with a real payload column.
+  private def consts(file: String,
+      base: Map[String, String]): Map[String, String] =
+    if (serveFileColumn)
+      base + (ManifestSink.FileColumn ->
+        Paths.get(file).getFileName.toString)
+    else base
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: ManifestFilePartition =>
-        new NdjsonPartitionReader(p.file, p.start, p.end, required, p.constants)
+        new NdjsonPartitionReader(p.file, p.start, p.end, required,
+          consts(p.file, p.constants))
       case p: KeyedManifestFilePartition =>
-        new NdjsonPartitionReader(p.file, p.start, p.end, required)
+        new NdjsonPartitionReader(p.file, p.start, p.end, required,
+          consts(p.file, Map.empty))
     }
 }
 
@@ -2135,7 +2242,10 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     autoCompactRows: Long = 0L,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
     partCols: Seq[String] = Nil,
-    replaceFiles: Set[String] = Set.empty)
+    // Thunked: a row-level operation's replaced-file set is known only
+    // after its scan executed (runtime group filtering narrows it), so
+    // the committer resolves it at COMMIT time, not builder time.
+    replaceFiles: () => Set[String] = () => Set.empty)
     extends WriteBuilder with SupportsTruncate {
 
   override def truncate(): WriteBuilder =
@@ -2299,8 +2409,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
     partCols: Seq[String] = Nil,
-    replaceFiles: Set[String] = Set.empty)
+    replaceFilesFn: () => Set[String] = () => Set.empty)
     extends BatchWrite {
+  // Direct-construction convenience (tests, internal callers).
+  def this(path: String, schema: StructType, queryId: String,
+      truncate: Boolean, retain: Boolean, maxSegments: Int,
+      partCols: Seq[String], replaceFiles: Set[String]) =
+    this(path, schema, queryId, truncate, retain, maxSegments, partCols,
+      () => replaceFiles)
+
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -2315,6 +2432,14 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     val winners = StagedFileSet.all(messages)
+    val replaceFiles = replaceFilesFn()
+    // A no-op commit (nothing written, nothing replaced, not a
+    // truncate) publishes no generation: an UPDATE matching zero rows
+    // must not pollute history or the change feed.
+    if (winners.isEmpty && replaceFiles.isEmpty && !truncate) {
+      cleanupStaging()
+      return
+    }
     ManifestSink.withPublishLock(dir) {
       val generation = ManifestSink.committedGeneration(path)
       // Prior entries come from the manifest (self-describing — no

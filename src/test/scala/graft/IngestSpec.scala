@@ -1036,14 +1036,17 @@ class IngestSpec extends SparkSpec {
     // Retention: the pre-delete snapshot still reads the deleted rows.
     assert(spark.sql("SELECT count(*) FROM g10.docs VERSION AS OF 2")
       .head.getLong(0) == 150)
-    // A partial-overlap DELETE (stats cannot prove all-match) refuses
-    // loudly instead of rewriting data or deleting too little.
-    val err = intercept[Exception] {
-      spark.sql("DELETE FROM g10.docs WHERE id < 10")
-    }
-    assert(err.getMessage != null)
-    assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 100,
-      "refused DELETE must not change the table")
+    // A partial-overlap DELETE (stats cannot prove all-match) falls
+    // back to the group-based copy-on-write REWRITE: the matching rows
+    // go, the rest of the touched files rewrite, untouched partitions
+    // stay. (Until round 11 this refused; SupportsRowLevelOperations
+    // upgraded it to the form lakehouse users actually write.)
+    spark.sql("DELETE FROM g10.docs WHERE id < 10")
+    // 50 en (even ids 0..98) + 50 fr (100..149); ids 0,2,4,6,8 leave.
+    assert(spark.sql("SELECT count(*) FROM g10.docs").head.getLong(0) == 95,
+      "partial-overlap DELETE must rewrite and drop exactly 5 rows")
+    assert(spark.sql("SELECT count(*) FROM g10.docs WHERE id < 10")
+      .head.getLong(0) == 0)
     // Metadata tables (the Iceberg t$history / t$files idea): the
     // format's bookkeeping is itself queryable SQL.
     val hist = spark.sql(
@@ -1064,11 +1067,84 @@ class IngestSpec extends SparkSpec {
 
     // Rename, truncate, drop round out the DDL surface.
     spark.sql("ALTER TABLE g10.docs RENAME TO docs2")
-    assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 95)
     spark.sql("TRUNCATE TABLE g10.docs2")
     assert(spark.sql("SELECT count(*) FROM g10.docs2").head.getLong(0) == 0)
     spark.sql("DROP TABLE g10.docs2")
     assert(spark.sql("SHOW TABLES IN g10").collect().isEmpty)
+  }
+
+  test("SQL row-level DML: MERGE/UPDATE/DELETE rewrite only the affected files") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_rowlevel").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.base", wh)
+    spark.sql("CREATE TABLE gdml.t (id BIGINT, v STRING)")
+    // Range-partitioned layout: 4 files with disjoint id ranges, so
+    // "only the affected file rewrites" is provable by file-set diff.
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("old-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .writeTo("gdml.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val before = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert(before.size == 4)
+
+    // UPDATE with a pushable predicate: manifest stats prune the scan
+    // to the ONE file whose bounds overlap; only it rewrites.
+    spark.sql("UPDATE gdml.t SET v = concat('upd-', id) " +
+      "WHERE id >= 100 AND id <= 119")
+    val afterU = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert((before -- afterU).size == 1,
+      s"exactly one file must retire, got ${(before -- afterU).size}")
+    assert((before intersect afterU).size == 3, "untouched files carry over")
+    val rowsU = spark.sql("SELECT id, v FROM gdml.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rowsU.size == 1000)
+    assert(rowsU(110L) == "upd-110" && rowsU(99L) == "old-99" &&
+      rowsU(120L) == "old-120")
+
+    // MERGE keyed on SOURCE values: nothing is statically pushable
+    // (the ON condition references the source table), so the runtime
+    // group filter must narrow the rewrite — a `_file`-projecting
+    // subquery finds the matching groups and only they retire. At
+    // 100 TB this is the difference between rewriting 2 files and
+    // rewriting the table.
+    spark.sql("CREATE TABLE gdml.src (id BIGINT, v STRING)")
+    spark.sql(
+      "INSERT INTO gdml.src VALUES (500, 'm-500'), (501, 'm-501'), (5000, 'm-5000')")
+    val beforeM = graft.sources.ManifestSink.committedFiles(dir).toSet
+    spark.sql("""MERGE INTO gdml.t t USING gdml.src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val afterM = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert((beforeM -- afterM).size == 1,
+      s"runtime group filtering must retire only the file holding ids " +
+        s"500-501, got ${(beforeM -- afterM).size} of ${beforeM.size}")
+    val rowsM = spark.sql("SELECT id, v FROM gdml.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rowsM.size == 1001)
+    assert(rowsM(500L) == "m-500" && rowsM(501L) == "m-501" &&
+      rowsM(5000L) == "m-5000" && rowsM(499L) == "old-499" &&
+      rowsM(110L) == "upd-110")
+
+    // Partial-overlap DELETE: copy-on-write of the one touched file.
+    val beforeD = graft.sources.ManifestSink.committedFiles(dir).toSet
+    spark.sql("DELETE FROM gdml.t WHERE id >= 990 AND id <= 994")
+    val afterD = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert((beforeD -- afterD).size == 1)
+    assert(spark.sql("SELECT count(*) FROM gdml.t").head.getLong(0) == 996)
+    assert(spark.sql("SELECT count(*) FROM gdml.t WHERE id BETWEEN 990 AND 994")
+      .head.getLong(0) == 0)
+
+    // The `_file` metadata column is also a first-class debugging
+    // surface: rows group by the physical file they live in.
+    val fileGroups = spark.sql(
+      "SELECT _file, count(*) AS n FROM gdml.t GROUP BY _file").collect()
+    assert(fileGroups.map(_.getLong(1)).sum == 996)
+    assert(fileGroups.forall(_.getString(0).endsWith(".ndjson")))
+    spark.sql("DROP TABLE gdml.t")
+    spark.sql("DROP TABLE gdml.src")
   }
 
   test("ManifestOps.mergeInto: copy-on-write upsert rewrites only key-overlapping files") {
@@ -1116,6 +1192,51 @@ class IngestSpec extends SparkSpec {
       c.getMessage.contains("no longer committed")), err.toString)
     assert(graft.sources.ManifestSink.committedRowCount(dir) == 1001,
       "failed swap must leave the table unchanged")
+  }
+
+  test("mergeInto optimistic retry: racing merges with overlapping files both commit") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_merge_race").toString
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("old-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val genBefore = graft.sources.ManifestSink.committedGeneration(dir)
+    // Two merges whose KEY SETS are disjoint but whose affected FILE is
+    // the same (both ranges live in the first range-partitioned file):
+    // the loser's swap names a file the winner just replaced — it must
+    // re-plan against the winner's generation and commit cleanly,
+    // PRESERVING the winner's updates (the Iceberg/Delta commit loop).
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def merger(lo: Long, hi: Long, tag: String): Thread = new Thread(() => {
+      try {
+        start.await()
+        val upd = spark.range(lo, hi).select(col("id"),
+          concat(lit(s"$tag-"), col("id")).as("v"))
+        graft.sources.ManifestOps.mergeInto(spark, dir, upd, "id")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val ts = Seq(merger(10, 20, "a"), merger(20, 30, "b"))
+    ts.foreach(_.start())
+    start.countDown()
+    ts.foreach(_.join(120000))
+    assert(errs.isEmpty,
+      s"racing merges must both commit via retry: ${errs.toArray.mkString("; ")}")
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val rows = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 1000, "no row lost or doubled across the race")
+    assert(rows(15L) == "a-15" && rows(25L) == "b-25" && rows(35L) == "old-35",
+      s"both merges' updates must survive: ${rows(15L)}, ${rows(25L)}")
+    assert(graft.sources.ManifestSink.committedGeneration(dir) == genBefore + 2,
+      "exactly two commits must publish (the failed swap publishes nothing)")
   }
 
   test("mergeInto preserves a partitioned layout; pruning stays exact after the rewrite") {
