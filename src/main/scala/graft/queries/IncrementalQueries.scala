@@ -1373,6 +1373,48 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // MERGE-ON-READ DELETE (deletion vectors, the Iceberg positional-
+    // delete / Delta-DV shape): the table opts in via TBLPROPERTIES
+    // ('deletionVectors'='true'), so a partial-overlap SQL DELETE
+    // writes a tiny sidecar of deleted (file, byte-offset) positions
+    // instead of rewriting files — IngestSpec pins the data files
+    // byte-identical. Two overlapping deletes exercise the cumulative
+    // vector merge; every later scan applies the final vector. Oracle:
+    // the complement of both predicates — merge-on-read and
+    // copy-on-write must be observationally equivalent.
+    QuerySpec(
+      "a27_deletion_vectors",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents
+        |WHERE NOT (doc_id % 3 = 0 AND lang = 'en')
+        |  AND NOT (doc_id % 7 = 2 AND n_chars > 100)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a27", dir)
+      val cat = "graft_a27"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a27_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a27_src")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 3 = 0 AND lang = 'en'")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 7 = 2 AND n_chars > 100")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

@@ -148,6 +148,80 @@ object ManifestSink {
     * partition constant; never stored in the payload. */
   private[sources] val FileColumn = "_file"
 
+  /** Metadata column: byte offset of the row's FIRST byte within its
+    * committed file (Iceberg's `_pos` in byte- rather than ordinal-
+    * space — byte offsets survive split reads, where a range reader
+    * never knows its starting row ordinal but always knows its byte
+    * position). `(_file, _pos)` is a stable row identity, which is
+    * exactly what a positional deletion vector records. */
+  private[sources] val PosColumn = "_pos"
+
+  /** All on-disk names an entry owns: its data file plus its deletion-
+    * vector sidecar, if any — every GC / reachability walk must treat
+    * them as one unit or expiring a snapshot strands (or worse,
+    * deletes early) the sidecar its reads depend on. */
+  private[sources] def ownedNames(e: StagedFile): Seq[String] =
+    e.name +: e.dv.toSeq
+
+  /** Deletion-vector sidecar format: one decimal byte offset per line,
+    * ascending — trivially mergeable, human-debuggable, and line-framed
+    * like everything else in this format. Sidecars are IMMUTABLE: a
+    * further delete on the same file writes a NEW cumulative sidecar
+    * (named by the committing generation) and retires the old one, so
+    * retained snapshots keep reading the vector they were committed
+    * with. */
+  private[sources] def dvSidecarName(dataFile: String, gen: Long): String =
+    f"$dataFile%s.dv-g$gen%06d"
+
+  private[sources] def readDvOffsets(dir: String, sidecar: String): Array[Long] = {
+    val p = Paths.get(dir, sidecar)
+    val lines = Files.readAllLines(p, StandardCharsets.UTF_8)
+    val out = new Array[Long](lines.size)
+    var i = 0
+    val it = lines.iterator()
+    while (it.hasNext) {
+      val l = it.next().trim
+      if (l.nonEmpty) { out(i) = l.toLong; i += 1 }
+    }
+    if (i == out.length) out else java.util.Arrays.copyOf(out, i)
+  }
+
+  /** Temp + atomic move, like every other file this format publishes:
+    * a crash mid-write leaves no half-sidecar a manifest could name. */
+  private[sources] def writeDvSidecar(dir: Path, name: String,
+      offsets: Array[Long]): Unit = {
+    val tmp = dir.resolve(s".$name.tmp")
+    val sb = new java.lang.StringBuilder(offsets.length * 12)
+    offsets.foreach { o => sb.append(o); sb.append('\n') }
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Stream-copy a line-framed file, dropping the lines whose first-
+    * byte offsets appear in `dead` (sorted ascending) — how compaction
+    * materializes a deletion vector without parsing a single record. */
+  private[sources] def copyLiveLines(src: Path, dead: Array[Long],
+      out: java.io.OutputStream): Unit = {
+    val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
+    try {
+      var offset = 0L
+      var b = in.read()
+      while (b != -1) {
+        val keep = java.util.Arrays.binarySearch(dead, offset) < 0
+        // Copy (or swallow) one line including its newline.
+        var c = b
+        while (c != -1 && c != '\n') {
+          if (keep) out.write(c)
+          offset += 1
+          c = in.read()
+        }
+        if (c == '\n') { if (keep) out.write(c); offset += 1 }
+        b = in.read()
+      }
+    } finally in.close()
+  }
+
   /** Default bound on manifest SEGMENTS before an append commit
     * collapses them into one (Iceberg's `min-count-to-merge` trade):
     * append commits write O(delta) bytes, and every `MaxSegments`-th
@@ -402,7 +476,15 @@ object ManifestSink {
           val parts = m.collect {
             case (k, v) if k.startsWith("part.") => k.drop(5) -> rendered(v)
           }.toMap
-          Some(StagedFile(n, rows, stats, bytes, nulls, parts))
+          val dv = m.get("dv") match {
+            case Some(NdjsonCodec.JsonStr(d)) => Some(d)
+            case _ => None
+          }
+          val dvRows = m.get("dvRows") match {
+            case Some(NdjsonCodec.JsonTok(r)) if dv.isDefined => r.toLong
+            case _ => 0L
+          }
+          Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows))
         case _ => None
       }
     }
@@ -425,7 +507,7 @@ object ManifestSink {
     committedEntries(dir).map(_.name)
 
   def committedRowCount(dir: String): Long =
-    committedEntries(dir).map(_.rows).sum
+    committedEntries(dir).map(_.liveRows).sum
 
   /** Monotonic commit counter carried in the manifest — pre-generation
     * manifests read as 0. Lost updates (a bug the lock exists to
@@ -636,20 +718,33 @@ object ManifestSink {
         val tmp = dirPath.resolve(s".$name.tmp")
         val out = Files.newOutputStream(tmp)
         try group.foreach { f =>
-          Files.copy(dirPath.resolve(f.name), out)
+          f.dv match {
+            // Compaction MATERIALIZES deletion vectors: the merged
+            // output carries live lines only, so the vector (and its
+            // sidecar) retires with the file it annotated — the
+            // merge-on-read debt is paid exactly once, here.
+            case Some(d) =>
+              copyLiveLines(dirPath.resolve(f.name),
+                readDvOffsets(dir, d), out)
+            case None => Files.copy(dirPath.resolve(f.name), out)
+          }
         } finally out.close()
         // Into place BEFORE the swap: invisible until the manifest
         // names it, orphaned if we crash here (GC'd by a later compact).
         Files.move(tmp, dirPath.resolve(name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        StagedFile(name, group.map(_.rows).sum,
+        // Live rows: materialization dropped the deleted lines. Merged
+        // bounds/null counts may overstate (they described the physical
+        // rows) — conservative in the sound direction for every proof.
+        StagedFile(name, group.map(_.liveRows).sum,
           mergeStats(group.map(_.stats).toSeq),
           Files.size(dirPath.resolve(name)),
           mergeNullCounts(group.toSeq))
       }
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
-      merge.flatten.foreach(f => Files.deleteIfExists(dirPath.resolve(f.name)))
+      merge.flatten.flatMap(ownedNames)
+        .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
       // Compaction collapsed every prior segment into one fresh one —
       // sweep the retired segments (and any crash orphans) now.
       sweepSegments(dirPath)
@@ -717,8 +812,14 @@ object ManifestSink {
     val parts = f.partValues.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"part." + NdjsonCodec.escape(k) + "\":" + v
     }
+    // Deletion vector: the sidecar's name and how many physical rows
+    // it deletes — `rows` stays the PHYSICAL line count the stat
+    // proofs reason over; live = rows - dvRows.
+    val dv = f.dv.toSeq.flatMap(d =>
+      Seq("\"dv\":\"" + NdjsonCodec.escape(d) + "\"",
+        s""""dvRows":${f.dvRows}"""))
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls ++ parts).mkString("{", ",", "}")
+      stats ++ nulls ++ parts ++ dv).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -794,21 +895,40 @@ object ManifestSink {
       val after = resolveEntries(path, eTxt)
       val retired = beforeEntries.filterNot(f => after.exists(_.name == f.name))
       val added = after.filterNot(f => before.contains(f.name))
-      if (retired.isEmpty) plan(added.filter(keep), "insert").toArray
+      // MERGE-ON-READ deletes: a file carried across the window whose
+      // deletion vector grew. The logical change is exactly the rows
+      // the new vector deletes beyond the old one — emitted by reading
+      // the file in `emitOnly new / except old` mode.
+      val dvGrew = after.flatMap(a =>
+        beforeEntries.find(b => b.name == a.name && b.dv != a.dv &&
+          a.dv.isDefined).map(b => (a, b)))
+      if (retired.isEmpty && dvGrew.isEmpty)
+        plan(added.filter(keep), "insert").toArray
       else if (!changeFeed)
         throw new IllegalStateException(
-          s"generations $s -> $e of $path retired files " +
-            s"${retired.map(_.name).mkString(", ")} (compaction, DELETE, " +
-            "truncate, or an epoch replay ran under this streaming read); " +
-            "a streamed table must stay append-only while tailed — pause " +
-            "maintenance, restart the stream from the current generation, " +
-            "or read with readChangeFeed=true to consume the changes")
-      else if (added.forall(_.name.startsWith("compact-")) &&
-          added.map(_.rows).sum == retired.map(_.rows).sum && added.nonEmpty)
+          s"generations $s -> $e of $path retired files or rows " +
+            s"(${(retired.map(_.name) ++ dvGrew.map(_._1.name)).mkString(", ")}" +
+            ") — compaction, DELETE, truncate, or an epoch replay ran " +
+            "under this streaming read; a streamed table must stay " +
+            "append-only while tailed — pause maintenance, restart the " +
+            "stream from the current generation, or read with " +
+            "readChangeFeed=true to consume the changes")
+      else if (dvGrew.isEmpty && added.forall(_.name.startsWith("compact-")) &&
+          added.map(_.rows).sum == retired.map(_.liveRows).sum && added.nonEmpty)
         Array.empty // pure compaction: physical rewrite, no logical change
-      else
-        (plan(retired.filter(keep), "delete") ++
+      else {
+        val dvDeletes: Seq[InputPartition] = dvGrew.flatMap { case (a, b) =>
+          if (!keep(a)) Nil
+          else splitFile(path, a, maxSplitBytes).map {
+            case p: ManifestFilePartition =>
+              p.copy(constants = Map(ChangeTypeColumn -> "delete"),
+                dv = DvSpec(emitOnly = a.dv, emitExcept = b.dv)): InputPartition
+            case p => p
+          }
+        }
+        (plan(retired.filter(keep), "delete") ++ dvDeletes ++
           plan(added.filter(keep), "insert")).toArray
+      }
     }
   }
 
@@ -818,11 +938,16 @@ object ManifestSink {
       maxSplitBytes: Long): Seq[InputPartition] = {
     val p = Paths.get(dir, f.name)
     val size = fileSize(dir, f)
+    // Every read of a DV'd file — batch scan, streaming tail, CDF
+    // insert replay — skips its deleted offsets; each split loads the
+    // (small) sidecar independently.
+    val dv = DvSpec(skip = f.dv)
     if (size <= maxSplitBytes)
-      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue))
+      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv))
     else
       (0L until size by maxSplitBytes).map(s =>
-        ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size)))
+        ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size),
+          dv = dv))
   }
 
   /** One commit's provenance row — `history(dir)`'s DESCRIBE HISTORY
@@ -914,7 +1039,7 @@ object ManifestSink {
       try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
       catch { case _: java.io.UncheckedIOException => Seq.empty }
     }
-    (committedEntries(dir) ++ old).map(_.name).toSet
+    (committedEntries(dir) ++ old).flatMap(ownedNames).toSet
   }
 
   /** Does the table keep snapshot history (any retained generation
@@ -1108,10 +1233,10 @@ object ManifestSink {
         try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
         catch { case _: java.io.UncheckedIOException => Seq.empty }
       val referenced = (keep.map(entriesOf) :+
-        committedEntries(dir)).flatten.map(_.name).toSet
+        committedEntries(dir)).flatten.flatMap(ownedNames).toSet
       val doomed = drop
         .flatMap(entriesOf)
-        .map(_.name).distinct
+        .flatMap(ownedNames).distinct
         .filterNot(referenced.contains)
       doomed.foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
       drop.foreach(g =>
@@ -1395,15 +1520,31 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     * runtime group filtering. Shadowed by a real payload column of the
     * same name, per the metadata-column contract. */
   override def metadataColumns()
-      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (tableSchema.fieldNames.contains(ManifestSink.FileColumn)) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = ManifestSink.FileColumn
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "name of the committed data file holding the row"
-    })
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val file =
+      if (tableSchema.fieldNames.contains(ManifestSink.FileColumn)) Nil
+      else Seq(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestSink.FileColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "name of the committed data file holding the row"
+      })
+    // `_pos` completes the (_file, _pos) row identity — the rowId of
+    // the merge-on-read DELETE, and independently queryable (the
+    // debugging view of deletion vectors). Byte offsets, not ordinals:
+    // they survive split reads.
+    val pos =
+      if (tableSchema.fieldNames.contains(ManifestSink.PosColumn)) Nil
+      else Seq(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = ManifestSink.PosColumn
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "byte offset of the row's first byte within its data file"
+      })
+    (file ++ pos).toArray
+  }
 
   /** SQL row-level DML (`DELETE` needing a rewrite, `UPDATE`,
     * `MERGE INTO`) through the group-based copy-on-write machinery —
@@ -1416,8 +1557,19 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(version.isEmpty,
       s"cannot ${info.command()} a versionAsOf/timestampAsOf read of $path")
-    () => new GraftRowLevelOperation(path, tableSchema, tablePartCols,
-      tableProps, info.command())
+    // Tables that opt in (`deletionvectors=true`) take the MERGE-ON-READ
+    // path for DELETE: a positional delete writes a tiny sidecar of row
+    // offsets instead of rewriting whole files — at 100 TB, a 1-row
+    // DELETE must not copy a 1 GB file. UPDATE/MERGE stay copy-on-write
+    // (their rewrite produces the new rows anyway). Whole-file deletes
+    // still take the metadata-only SupportsDelete fast path first.
+    val dvs = tableProps.get("deletionvectors").exists(_.toBoolean)
+    () =>
+      if (dvs && info.command() ==
+          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
+        new GraftPositionDeltaOperation(path, tableSchema, tableProps)
+      else new GraftRowLevelOperation(path, tableSchema, tablePartCols,
+        tableProps, info.command())
   }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -1466,7 +1618,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
         ManifestSink.publishManifest(dir, kept, gen + 1, "delete", retain)
         ManifestSink.sweepSegments(dir)
         if (!retain)
-          dropped.foreach(e => Files.deleteIfExists(dir.resolve(e.name)))
+          dropped.flatMap(ManifestSink.ownedNames)
+            .foreach(n => Files.deleteIfExists(dir.resolve(n)))
       }
     }
   }
@@ -2015,7 +2168,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
         keyed.flatMap { case (f, key, _) =>
           ManifestSink.splitFile(path, f, maxSplitBytes).map {
             case p: ManifestFilePartition =>
-              KeyedManifestFilePartition(p.file, p.start, p.end, key): InputPartition
+              KeyedManifestFilePartition(p.file, p.start, p.end, key,
+                p.dv): InputPartition
             case p => p
           }
         }.toArray
@@ -2027,7 +2181,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required,
-      serveFileColumn = !full.fieldNames.contains(ManifestSink.FileColumn))
+      serveFileColumn = !full.fieldNames.contains(ManifestSink.FileColumn),
+      servePos = !full.fieldNames.contains(ManifestSink.PosColumn))
 
   /** Exact numRows from the manifest (free — counted at write time),
     * AFTER file skipping; bytes from the surviving files, scaled by the
@@ -2035,7 +2190,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * width. */
   override def estimateStatistics(): Statistics = {
     val entries = survivingEntries
-    val rows = entries.map(_.rows).sum
+    val rows = entries.map(_.liveRows).sum
     val onDisk = entries.map(fileSize).sum
     val frac =
       if (full.fields.isEmpty) 1.0
@@ -2048,14 +2203,30 @@ private[sources] class ManifestScan(path: String, full: StructType,
   }
 }
 
+/** How a partition's reader applies deletion vectors. `skip` is the
+  * steady state: suppress rows whose first-byte offset appears in the
+  * named sidecar (live-row reads of a DV'd file). `emitOnly` inverts
+  * it for the CHANGE FEED: emit ONLY the rows a new vector deletes —
+  * offsets in `emitOnly` minus those in `emitExcept` (the prior
+  * vector, when the file already carried one) — which is exactly the
+  * `_change_type = delete` delta of a merge-on-read DELETE. Sidecar
+  * names resolve against the data file's directory. */
+private[sources] final case class DvSpec(skip: Option[String] = None,
+    emitOnly: Option[String] = None, emitExcept: Option[String] = None) {
+  def isEmpty: Boolean = skip.isEmpty && emitOnly.isEmpty
+}
+private[sources] object DvSpec { val Empty: DvSpec = DvSpec() }
+
 private[sources] final case class ManifestFilePartition(file: String,
     start: Long, end: Long,
-    constants: Map[String, String] = Map.empty) extends InputPartition
+    constants: Map[String, String] = Map.empty,
+    dv: DvSpec = DvSpec.Empty) extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
 private[sources] final case class KeyedManifestFilePartition(file: String,
-    start: Long, end: Long, key: InternalRow)
+    start: Long, end: Long, key: InternalRow,
+    dv: DvSpec = DvSpec.Empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -2124,7 +2295,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
 }
 
 private[sources] class ManifestReaderFactory(required: StructType,
-    serveFileColumn: Boolean = false)
+    serveFileColumn: Boolean = false, servePos: Boolean = false)
     extends PartitionReaderFactory {
   // `_file` is a PLAN-derived constant like the change feed's
   // `_change_type`: each partition knows its file, so the metadata
@@ -2140,10 +2311,10 @@ private[sources] class ManifestReaderFactory(required: StructType,
     partition match {
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, p.constants))
+          consts(p.file, p.constants), p.dv, servePos)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, Map.empty))
+          consts(p.file, Map.empty), p.dv, servePos)
     }
 }
 
@@ -2159,8 +2330,34 @@ private[sources] class ManifestReaderFactory(required: StructType,
   * so byte-wise framing is encoding-safe. */
 private[sources] class NdjsonPartitionReader(file: String, start: Long,
     end: Long, required: StructType,
-    constants: Map[String, String] = Map.empty)
+    constants: Map[String, String] = Map.empty,
+    dv: DvSpec = DvSpec.Empty, servePos: Boolean = false)
     extends PartitionReader[InternalRow] {
+  // Deletion-vector offsets, loaded once per split (sidecars are
+  // small — a DV exists precisely because the delete was too small to
+  // justify rewriting the file). Sorted ascending by the writer, so
+  // membership is a binary search, zero boxing.
+  private val dvDir: String = Paths.get(file).getParent.toString
+  private def offsetsOf(name: String): Array[Long] =
+    ManifestSink.readDvOffsets(dvDir, name)
+  private val skipOffsets: Array[Long] =
+    dv.skip.filter(_ => dv.emitOnly.isEmpty).map(offsetsOf).orNull
+  // Change-feed delta emission: rows deleted by the NEW vector that
+  // the prior vector (if any) had not already deleted.
+  private val onlyOffsets: Array[Long] = dv.emitOnly.map { n =>
+    val now = offsetsOf(n)
+    dv.emitExcept match {
+      case None => now
+      case Some(prev) =>
+        val old = offsetsOf(prev)
+        now.filter(o => java.util.Arrays.binarySearch(old, o) < 0)
+    }
+  }.orNull
+  private def dvKeep(lineStart: Long): Boolean =
+    if (onlyOffsets != null)
+      java.util.Arrays.binarySearch(onlyOffsets, lineStart) >= 0
+    else skipOffsets == null ||
+      java.util.Arrays.binarySearch(skipOffsets, lineStart) < 0
   private val in = new java.io.BufferedInputStream(
     try Files.newInputStream(Paths.get(file))
     catch {
@@ -2196,6 +2393,11 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   // do not carry them.
   private val consts: Array[Any] = required.fields.map(f =>
     constants.get(f.name).map(UTF8String.fromString).orNull)
+  // `_pos` is per-ROW plan-derived metadata (unlike the per-partition
+  // constants): the byte offset of the record's first byte — the row
+  // half of the (_file, _pos) identity positional deletes record.
+  private val posIdx: Int =
+    if (servePos) required.fieldNames.indexOf(ManifestSink.PosColumn) else -1
   private var current: InternalRow = _
 
   /** One raw line (newline excluded, trailing \r tolerated), advancing
@@ -2214,16 +2416,18 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     current = null
     while (current == null) {
       if (pos > end) return false // next record's first byte is past the range
+      val lineStart = pos
       val raw = readRawLine()
       if (raw == null) return false
-      if (raw.nonEmpty) {
+      if (raw.nonEmpty && dvKeep(lineStart)) {
         val parsed = NdjsonCodec.parseLine(
           new String(raw, StandardCharsets.UTF_8))
         val vals = new Array[Any](names.length)
         var i = 0
         while (i < names.length) {
           vals(i) =
-            if (consts(i) != null) consts(i)
+            if (i == posIdx) lineStart
+            else if (consts(i) != null) consts(i)
             else convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
           i += 1
         }
@@ -2388,7 +2592,20 @@ private[sources] final case class ColStat(col: String, min: String,
 private[sources] final case class StagedFile(name: String, rows: Long,
     stats: Seq[ColStat] = Nil, bytes: Long = -1L,
     nullCounts: Map[String, Long] = Map.empty,
-    partValues: Map[String, String] = Map.empty) extends WriterCommitMessage
+    partValues: Map[String, String] = Map.empty,
+    // DELETION VECTOR (merge-on-read, the Iceberg positional-delete /
+    // Delta-DV idea): `dv` names a sidecar file of byte offsets whose
+    // rows are logically deleted — the DATA FILE IS NEVER REWRITTEN
+    // for a small delete; scans skip the offsets, compaction
+    // materializes them. `rows` stays the PHYSICAL line count (what
+    // the stat proofs reason over — live rows are a subset, so every
+    // bounds/null proof over physical rows is sound for live rows);
+    // `dvRows` is how many of them the vector deletes, so live = rows
+    // - dvRows everywhere a logical count matters.
+    dv: Option[String] = None, dvRows: Long = 0L)
+    extends WriterCommitMessage {
+  def liveRows: Long = rows - dvRows
+}
 
 /** A partitioned task commits SEVERAL staged files (one per partition
   * tuple it saw) in one message. */
@@ -2489,9 +2706,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         ManifestSink.sweepSegments(dir)
       }
       // Replaced files leave the directory AFTER the swap (idempotent
-      // GC) — unless retained history still references them.
+      // GC) — unless retained history still references them. A retired
+      // entry's deletion-vector sidecar goes with its data file.
       if (!retain && !ManifestSink.hasRetainedGenerations(path))
-        (replaceFiles -- winnerNames)
+        priorAll.filter(e => replaceFiles.contains(e.name) &&
+            !winnerNames.contains(e.name))
+          .flatMap(ManifestSink.ownedNames)
           .foreach(n => Files.deleteIfExists(dir.resolve(n)))
       if (truncate && !retain) {
         // Truncate semantics: prior commits' files leave the directory —
@@ -2500,7 +2720,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         // A prior name a winner just replaced in place must survive.
         // In retention mode the retired files stay (older generations
         // still reference them) until expireSnapshots collects them.
-        priorAll.map(_.name).filterNot(winnerNames.contains)
+        priorAll.filterNot(e => winnerNames.contains(e.name))
+          .flatMap(ManifestSink.ownedNames)
           .foreach(n => Files.deleteIfExists(dir.resolve(n)))
       }
     }

@@ -74,3 +74,176 @@ private[sources] class GraftRowLevelOperation(path: String,
           "the affected file set — cannot determine which files to retire")))
   }
 }
+
+/** POSITION-DELTA (merge-on-read) DELETE over a manifest table — the
+  * Iceberg positional-delete / Delta deletion-vector idea: instead of
+  * rewriting every file the predicate touches (copy-on-write, O(file
+  * bytes) per touched file), the operation records the (_file, _pos)
+  * identities of the matched rows and commits a tiny SIDECAR of
+  * deleted byte offsets per file. The data files are never rewritten;
+  * scans apply the vector (offset binary search per row) and
+  * compaction materializes it later. At 100 TB this is the difference
+  * between a 1-row DELETE costing a few KB and costing a full file
+  * copy.
+  *
+  * Spark's `RewriteDeleteFromTable` sees [[SupportsDelta]] and plans a
+  * `WriteDelta`: the scan reads only predicate-matched rows (file
+  * skipping still prunes whole files first), projects this operation's
+  * `rowId()` columns, and hands each matched row to
+  * [[PositionDeltaWriter.delete]]. Metadata-only whole-file deletes
+  * still take the `SupportsDelete` fast path before any of this plans.
+  * Enabled per table via `deletionvectors=true` (TBLPROPERTIES). */
+private[sources] class GraftPositionDeltaOperation(path: String,
+    tableSchema: StructType, props: Map[String, String])
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = Command.DELETE
+  override def description(): String =
+    s"graft merge-on-read (deletion vector) DELETE on $path"
+
+  /** Row identity = (file, byte offset) — both plan-derived metadata
+    * columns, zero payload cost. */
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ManifestSink.FileColumn),
+    Expressions.column(ManifestSink.PosColumn))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ManifestScanBuilder(path, tableSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new DvDeltaWrite(path,
+          retain = props.get("retainhistory").exists(_.toBoolean))
+    }
+}
+
+private[sources] class DvDeltaWrite(path: String, retain: Boolean)
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new DvDeltaBatchWrite(path, retain)
+}
+
+/** Task-side commit message: the byte offsets each task deleted, per
+  * data file. Small by construction — a delete big enough to make this
+  * large should have been a copy-on-write rewrite (or a metadata-only
+  * whole-file delete, which never reaches this path). */
+private[sources] final case class DvDeletes(deletes: Map[String, Array[Long]])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class DvDeltaBatchWrite(path: String, retain: Boolean)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import java.nio.file.{Files, Paths}
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DeltaWriter[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        new PositionDeltaWriter
+    }
+
+  /** Driver-side publish, single-writer under the table lock: per
+    * touched file, merge the new offsets into the file's existing
+    * vector (sidecars are IMMUTABLE and cumulative — a retained
+    * snapshot keeps reading the vector it was committed with), write
+    * the new sidecar, swap the manifest. A file whose every physical
+    * row is now deleted drops out of the manifest entirely — the
+    * vector never outgrows its file. */
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val all = collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
+    messages.foreach {
+      case DvDeletes(m) => m.foreach { case (f, offs) =>
+        all.getOrElseUpdate(f, collection.mutable.ArrayBuffer[Long]()) ++= offs
+      }
+      case _ => ()
+    }
+    if (all.isEmpty) return // DELETE matched zero rows: no generation
+    val dir = Paths.get(path)
+    ManifestSink.withPublishLock(dir) {
+      val entries = ManifestSink.committedEntries(path)
+      val byName = entries.map(e => e.name -> e).toMap
+      val missing = all.keySet.filterNot(byName.contains)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"DELETE planned rows in files ${missing.mkString(", ")} that are " +
+            s"no longer committed in $path — a concurrent commit replaced " +
+            "them; re-run the DELETE against the current generation")
+      val gen = ManifestSink.committedGeneration(path)
+      val keepHistory = retain || ManifestSink.hasRetainedGenerations(path)
+      val retiredSidecars = collection.mutable.ArrayBuffer[String]()
+      val deadFiles = collection.mutable.ArrayBuffer[String]()
+      val updated = entries.flatMap { e =>
+        all.get(e.name) match {
+          case None => Some(e)
+          case Some(offs) =>
+            val prior = e.dv.map(d =>
+              ManifestSink.readDvOffsets(path, d)).getOrElse(Array.empty[Long])
+            val merged = (prior ++ offs).distinct.sorted
+            require(merged.length <= e.rows,
+              s"deletion vector for ${e.name} names ${merged.length} offsets " +
+                s"but the file has only ${e.rows} rows — row identity drifted")
+            e.dv.foreach(retiredSidecars += _)
+            if (merged.length == e.rows) {
+              // Every physical row deleted: the entry (and its file)
+              // retires outright — a metadata delete, discovered late.
+              deadFiles += e.name
+              None
+            } else {
+              val sidecar = ManifestSink.dvSidecarName(e.name, gen + 1)
+              ManifestSink.writeDvSidecar(dir, sidecar, merged)
+              Some(e.copy(dv = Some(sidecar), dvRows = merged.length))
+            }
+        }
+      }
+      ManifestSink.publishManifest(dir, updated, gen + 1, "delete", retain)
+      ManifestSink.sweepSegments(dir)
+      if (!keepHistory) {
+        deadFiles.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+        retiredSidecars.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      }
+    }
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+}
+
+/** Executor-side collector: nothing touches disk until the driver
+  * commits — an aborted task leaves zero trace by construction. */
+private[sources] class PositionDeltaWriter
+    extends org.apache.spark.sql.connector.write.DeltaWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+  private val deletes =
+    collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
+
+  override def delete(metadata: org.apache.spark.sql.catalyst.InternalRow,
+      id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    deletes.getOrElseUpdate(file,
+      collection.mutable.ArrayBuffer[Long]()) += pos
+  }
+
+  override def update(metadata: org.apache.spark.sql.catalyst.InternalRow,
+      id: org.apache.spark.sql.catalyst.InternalRow,
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "position-delta operation handles DELETE only (UPDATE is copy-on-write)")
+
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "position-delta operation handles DELETE only (MERGE is copy-on-write)")
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage =
+    DvDeletes(deletes.view.mapValues(_.toArray).toMap)
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

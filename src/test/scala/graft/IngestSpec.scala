@@ -1147,6 +1147,166 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdml.src")
   }
 
+  test("deletion vectors: merge-on-read DELETE never rewrites data files") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_dv").toString
+    spark.conf.set("spark.sql.catalog.gdv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.base", wh)
+    spark.sql("""CREATE TABLE gdv.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("v-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .writeTo("gdv.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t")
+    def dataFiles = graft.sources.ManifestSink.committedFiles(dir.toString).toSet
+    def sidecars = {
+      val ls = Files.list(dir)
+      try {
+        val it = ls.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.contains(".dv-g")) b += n
+        }
+        b.result()
+      } finally ls.close()
+    }
+    val before = dataFiles
+    assert(before.size == 4)
+    val bytesBefore = before.map(n =>
+      n -> Files.readAllBytes(dir.resolve(n)).toSeq).toMap
+
+    // The headline pin: a 5-row DELETE writes a sidecar, not a rewrite —
+    // every data file is BYTE-IDENTICAL afterwards.
+    spark.sql("DELETE FROM gdv.t WHERE id >= 100 AND id <= 104")
+    assert(dataFiles == before, "merge-on-read must not retire data files")
+    before.foreach(n => assert(
+      Files.readAllBytes(dir.resolve(n)).toSeq == bytesBefore(n),
+      s"data file $n must be byte-identical after a DV delete"))
+    assert(sidecars.size == 1, s"one touched file -> one sidecar: $sidecars")
+    assert(spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0) == 995)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdv.t WHERE id BETWEEN 100 AND 104")
+      .head.getLong(0) == 0)
+
+    // Second DELETE on the same file: vectors are cumulative and
+    // immutable — a NEW sidecar replaces the old (unreferenced, so GC'd
+    // on an unretained table), and both deletes stay applied.
+    spark.sql("DELETE FROM gdv.t WHERE id >= 105 AND id <= 106")
+    assert(dataFiles == before)
+    assert(sidecars.size == 1, s"old sidecar must retire: $sidecars")
+    assert(spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0) == 993)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdv.t WHERE id BETWEEN 100 AND 106")
+      .head.getLong(0) == 0)
+
+    // Split reads apply the vector too (byte offsets survive splits).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val split = spark.read.format("graft.sources.ManifestSink")
+      .schema(schema).option("path", dir.toString)
+      .option("maxSplitBytes", "512").load()
+    assert(split.count() == 993)
+
+    // `_pos` is a queryable metadata column (the debugging surface of
+    // row identity); (_file, _pos) is unique.
+    val ids = spark.sql("SELECT _file, _pos FROM gdv.t").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(ids.length == 993 && ids.distinct.length == 993)
+
+    // A non-prunable predicate that covers every remaining row of one
+    // file grows the vector to the whole file: the entry (data file AND
+    // sidecar) must retire outright — a vector never outgrows its file.
+    val f0 = spark.sql(
+      "SELECT _file FROM gdv.t WHERE id = 0").head.getString(0)
+    val hi = spark.sql(
+      s"SELECT max(id) FROM gdv.t WHERE _file = '$f0'").head.getLong(0)
+    spark.sql(s"DELETE FROM gdv.t WHERE id <= $hi AND v LIKE 'v-%'")
+    assert(!dataFiles.contains(f0), "fully-deleted file must leave the manifest")
+    assert(!Files.exists(dir.resolve(f0)), "its data file is GC'd")
+    assert(spark.sql(s"SELECT count(*) FROM gdv.t WHERE id <= $hi")
+      .head.getLong(0) == 0)
+
+    // Compaction MATERIALIZES vectors: sidecars disappear, results hold.
+    spark.sql("DELETE FROM gdv.t WHERE id >= 500 AND id <= 501")
+    assert(sidecars.nonEmpty)
+    val preCompact = spark.sql("SELECT id, v FROM gdv.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    graft.sources.ManifestSink.compact(dir.toString, targetRows = 10000L)
+    assert(sidecars.isEmpty, "compaction must retire materialized sidecars")
+    val postCompact = spark.sql("SELECT id, v FROM gdv.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(postCompact == preCompact)
+    spark.sql("DROP TABLE gdv.t")
+  }
+
+  test("deletion vectors: change feed emits DV deltas; time travel reads old vectors") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_dvcdf").toString
+    spark.conf.set("spark.sql.catalog.gdvc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvc.base", wh)
+    spark.sql("""CREATE TABLE gdvc.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .writeTo("gdvc.t").append() // generation 1
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    spark.sql("DELETE FROM gdvc.t WHERE id >= 10 AND id <= 14") // gen 2
+    spark.sql("DELETE FROM gdvc.t WHERE id >= 15 AND id <= 16") // gen 3
+
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    val cdfSch = StructType(sch.fields :+
+      StructField("_change_type", StringType))
+    // Batch change feed over the SECOND delete only: exactly the two
+    // newly-deleted rows, as deletes — the DV delta, not the whole
+    // vector, and none of the file's live rows.
+    val w23 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSch).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .load().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(w23.toSet == Set((15L, 30L, "delete"), (16L, 32L, "delete")),
+      s"DV delta must emit exactly the new deletes: ${w23.mkString(", ")}")
+    // Window covering both deletes: the full vector as deletes.
+    val w13 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSch).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load().collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(w13.length == 7 && w13.forall(_._2 == "delete"))
+    assert(w13.map(_._1).sorted.toSeq == (10L to 16L))
+
+    // A plain (non-CDF) stream tailing the table must refuse a DV
+    // delete loudly — rows silently vanishing mid-tail would corrupt
+    // an append-only consumer.
+    val refused = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir)
+        .option("startingVersion", "1").option("endingVersion", "3")
+        .load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(refused).exists(_.contains("append-only")),
+      s"plain tail must refuse DV deletes: ${messages(refused)}")
+
+    // Time travel reads the vector AS OF the version: gen 1 pre-delete,
+    // gen 2 after the first delete only.
+    def at(v: Int): Set[Long] = spark.read
+      .format("graft.sources.ManifestSink").schema(sch)
+      .option("path", dir).option("versionAsOf", v.toString).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(at(1) == (0L until 100L).toSet)
+    assert(at(2) == (0L until 100L).toSet -- (10L to 14L))
+    assert(at(3) == (0L until 100L).toSet -- (10L to 16L))
+    spark.sql("DROP TABLE gdvc.t")
+  }
+
   test("ManifestOps.mergeInto: copy-on-write upsert rewrites only key-overlapping files") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
