@@ -10,6 +10,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JVM warm-up at the smallest SF: EVERY query runs once at

@@ -1415,6 +1415,56 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // `table_changes` TVF — the SQL front door to the batch change
+    // feed (the startingVersion/endingVersion read options, injected as
+    // a session table-valued function via SparkSessionExtensions, the
+    // Delta spelling): corpus lands (gen 1), a merge-on-read DELETE
+    // writes a deletion vector (gen 2), late rows append (gen 3), and
+    // plain SQL replays the (1, current] window — deleted rows as
+    // `_change_type='delete'` (the DV delta, emitted without re-reading
+    // live rows), appended rows as 'insert'. Oracle recomputes both
+    // legs from the predicates.
+    QuerySpec(
+      "a28_sql_table_changes",
+      """WITH changes AS (
+        |  SELECT 'delete' AS _change_type, lang, n_chars, text
+        |  FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT 'insert', 'xx', length('late doc ' || doc_id),
+        |    'late doc ' || doc_id
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT _change_type, lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM changes GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a28", dir)
+      val cat = "graft_a28"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a28_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a28_src") // gen 1
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 11 = 3") // gen 2 (DV)
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id + 3000000, concat('late doc ', doc_id), 'xx',
+          source, length(concat('late doc ', doc_id))
+        FROM a28_src WHERE doc_id % 13 = 0""") // gen 3
+      s.sql(s"""SELECT _change_type, lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM table_changes('$cat.docs', 1)
+        GROUP BY _change_type, lang""")
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

@@ -114,38 +114,8 @@ class GraftCatalog extends TableCatalog
   private def dirToIdentParts(dir: Path): Seq[String] =
     base.relativize(dir).iterator().asScalaSeq.map(_.toString)
 
-  private def readMeta(dir: Path): (StructType, Seq[String], Map[String, String]) = {
-    val lines = new String(Files.readAllBytes(metaPath(dir)),
-      StandardCharsets.UTF_8).split("\n")
-    val schema = DataType.fromJson(lines(0)).asInstanceOf[StructType]
-    val props =
-      if (lines.length < 3) Map.empty[String, String]
-      else NdjsonCodec.parseLine(lines(2)).collect {
-        case (k, NdjsonCodec.JsonStr(v)) => k -> v
-      }.toMap
-    (schema, parseStringArray(lines(1)), props)
-  }
-
-  private def parseStringArray(txt: String): Seq[String] = {
-    val out = collection.mutable.ArrayBuffer[String]()
-    var i = 0
-    while (i < txt.length) {
-      if (txt.charAt(i) == '"') {
-        val sb = new java.lang.StringBuilder
-        i += 1
-        var esc = false
-        while (i < txt.length && (esc || txt.charAt(i) != '"')) {
-          if (esc) { sb.append(txt.charAt(i)); esc = false }
-          else if (txt.charAt(i) == '\\') esc = true
-          else sb.append(txt.charAt(i))
-          i += 1
-        }
-        out += sb.toString
-      }
-      i += 1
-    }
-    out.toSeq
-  }
+  private def readMeta(dir: Path): (StructType, Seq[String], Map[String, String]) =
+    GraftCatalog.readMeta(dir)
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: `t$history` / `t$files` /
@@ -343,5 +313,47 @@ class GraftCatalog extends TableCatalog
       while (it.hasNext) b += it.next()
       b.toSeq
     }
+  }
+}
+
+/** Static table-metadata readers — shared by the catalog instance and
+  * catalog-less front doors (the `table_changes` TVF resolves a
+  * `cat.ns.table` string straight to its directory without holding a
+  * catalog object). */
+private[sources] object GraftCatalog {
+  private[sources] def metaPath(dir: Path): Path = dir.resolve("_table.json")
+
+  private[sources] def readMeta(dir: Path)
+      : (StructType, Seq[String], Map[String, String]) = {
+    val lines = new String(Files.readAllBytes(metaPath(dir)),
+      StandardCharsets.UTF_8).split("\n")
+    val schema = DataType.fromJson(lines(0)).asInstanceOf[StructType]
+    val props =
+      if (lines.length < 3) Map.empty[String, String]
+      else NdjsonCodec.parseLine(lines(2)).collect {
+        case (k, NdjsonCodec.JsonStr(v)) => k -> v
+      }.toMap
+    (schema, parseStringArray(lines(1)), props)
+  }
+
+  private def parseStringArray(txt: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < txt.length) {
+      if (txt.charAt(i) == '"') {
+        val sb = new java.lang.StringBuilder
+        i += 1
+        var esc = false
+        while (i < txt.length && (esc || txt.charAt(i) != '"')) {
+          if (esc) { sb.append(txt.charAt(i)); esc = false }
+          else if (txt.charAt(i) == '\\') esc = true
+          else sb.append(txt.charAt(i))
+          i += 1
+        }
+        out += sb.toString
+      }
+      i += 1
+    }
+    out.toSeq
   }
 }

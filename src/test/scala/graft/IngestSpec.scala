@@ -1307,6 +1307,47 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvc.t")
   }
 
+  test("table_changes TVF: path mode matches the DataFrame change-feed route") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_tvf").toString
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id", "id * 3 AS v").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("append").save()
+    append(0, 40)  // gen 1
+    append(40, 70) // gen 2
+    append(70, 90) // gen 3
+    // Path-mode TVF (schema inferred): window (1, 3].
+    val tvf = spark.sql(
+      s"SELECT id, v, _change_type FROM table_changes('$dir', 1, 3)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cdfSch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("_change_type", StringType)))
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSch).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load().collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(tvf.toSet == df.toSet && tvf.length == 50)
+    assert(tvf.forall(_._3 == "insert") && tvf.forall(t => t._1 >= 40))
+    // Default end = current generation.
+    assert(spark.sql(s"SELECT count(*) FROM table_changes('$dir', 0)")
+      .head.getLong(0) == 90)
+    // File skipping still applies through the TVF (a regular DSv2
+    // relation underneath): a pushed range outside gen-3 bounds prunes.
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', 2) WHERE id < 50")
+      .head.getLong(0) == 0)
+    // Argument validation fails loudly at analysis.
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$dir', 3, 1)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nonexistent.tbl', 0)").collect()
+    }
+  }
+
   test("ManifestOps.mergeInto: copy-on-write upsert rewrites only key-overlapping files") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

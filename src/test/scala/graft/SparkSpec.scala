@@ -23,6 +23,7 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
