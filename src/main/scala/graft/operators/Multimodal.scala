@@ -153,4 +153,101 @@ object Multimodal {
   def mediaFeatureTable(documents: DataFrame): DataFrame =
     decodeFeatures(attachFakeMedia(documents)).toDF()
       .select(col("doc_id"), col("n_bytes"), col("checksum"), col("features"))
+
+  // ---------------------------------------------------------------------
+  // REAL image codec lane (`javax.imageio` — the pure-JVM codec this
+  // container DOES ship). Unlike the stub above, these stages decode
+  // actual compressed PNG bytes back to pixels; the payloads are
+  // deterministic synthetic images whose pixel values are a closed form
+  // of doc_id, so every extracted feature is integer-exact and
+  // SQL-replayable by the oracle WITHOUT the oracle ever decoding.
+  // ---------------------------------------------------------------------
+
+  // Codecs must not touch a display server on executors.
+  locally { System.setProperty("java.awt.headless", "true") }
+
+  /** Deterministic synthetic PNG for doc `d`: size (8 + d%5) × (6 + d%4),
+    * pixel (x, y) = (r, g, b) = (d%200 + x, d%150 + y, d%97) — the
+    * gradients stay under 256 by construction (199+11, 149+8), so no
+    * channel ever wraps and the per-image channel sums have closed
+    * forms: Σr = h·(w·rb + w(w−1)/2), Σg = w·(h·gb + h(h−1)/2),
+    * Σb = w·h·bb. */
+  def syntheticPng(docId: Long): Array[Byte] = {
+    val w = (8 + (docId % 5)).toInt
+    val h = (6 + (docId % 4)).toInt
+    val rb = (docId % 200).toInt
+    val gb = (docId % 150).toInt
+    val bb = (docId % 97).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, ((rb + x) << 16) | ((gb + y) << 8) | bb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Documents → (doc_id, media) with a REAL PNG payload per row.
+    * Executor-side generation (mapPartitions, like any decode stage) —
+    * the driver never materializes a single image. */
+  def attachPngMedia(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "media")
+  }
+
+  /** Per-image features from a REAL decode: dimensions + exact per-
+    * channel pixel sums. */
+  final case class ImageFeatures(doc_id: Long, width: Long, height: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decode PNG payloads with `javax.imageio` and extract pixel-exact
+    * features. Same scale shape as [[decodeFeatures]]: repartition by id
+    * before the CPU-heavy decode, `mapPartitions` so codec state
+    * initializes once per partition, payload dropped at the boundary. */
+  def decodeImageFeatures(media: DataFrame): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .repartition(parts, col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xFF
+              sg += (rgb >> 8) & 0xFF
+              sb += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }
+  }
+
+  /** Encode → decode → extract, end to end over the documents table. */
+  def imageFeatureTable(documents: DataFrame): DataFrame =
+    decodeImageFeatures(attachPngMedia(documents)).toDF()
 }

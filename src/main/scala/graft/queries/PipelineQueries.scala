@@ -706,6 +706,32 @@ object PipelineQueries {
         feats.where(col("doc_id") < 3), "doc_id", "features", k = 3)
     },
 
+    // REAL image decode (`javax.imageio`, the pure-JVM PNG codec this
+    // container ships — the one multimodal lane with no stub anywhere):
+    // each doc gets a deterministic synthetic PNG whose pixels are a
+    // closed form of doc_id (r = d%200 + x, g = d%150 + y, b = d%97,
+    // size (8 + d%5) × (6 + d%4); gradients bounded under 256 so no
+    // channel wraps), encoded on executors, decoded BACK from the
+    // compressed bytes, and reduced to pixel-exact per-channel sums.
+    // The oracle never decodes — it recomputes the closed forms
+    // (Σr = h·(w·rb + w(w−1)/2) etc.), so a codec that misreads a
+    // single pixel anywhere in the corpus breaks the hash.
+    QuerySpec(
+      "mm10_imageio_decode",
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+        |    doc_id % 200 AS rb, doc_id % 150 AS gb, doc_id % 97 AS bb
+        |  FROM documents)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(h * (w * rb + w * (w - 1) / 2) AS BIGINT) AS sum_r,
+        |  CAST(w * (h * gb + h * (h - 1) / 2) AS BIGINT) AS sum_g,
+        |  CAST(w * h * bb AS BIGINT) AS sum_b
+        |FROM g""".stripMargin) { (s, dir) =>
+      Multimodal.imageFeatureTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+    },
+
     // Decode + feature extraction through the mapPartitions stub (real
     // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
     // payload checksum is a mod-2^63 byte fold the oracle replays over

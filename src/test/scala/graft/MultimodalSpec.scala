@@ -37,6 +37,41 @@ class MultimodalSpec extends SparkSpec {
     assert(again(3L) == feats(3L)._1)
   }
 
+  test("imageio lane: real PNG bytes decode back to the closed-form pixels") {
+    // The payload must be a REAL PNG (magic header + actual compression),
+    // not a stub: ImageIO must parse it and every pixel must match the
+    // generator's closed form.
+    val png = Multimodal.syntheticPng(7L)
+    assert(png.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A),
+      "payload must carry the PNG signature")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == (8 + 7 % 5) && img.getHeight == (6 + 7 % 4))
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == 7 % 200 + x)
+      assert(((rgb >> 8) & 0xFF) == 7 % 150 + y)
+      assert((rgb & 0xFF) == 7 % 97)
+    }
+    // End-to-end through Spark: encode on executors, decode on
+    // executors, features match the closed forms for every doc.
+    val ids = Seq(0L, 1L, 3L, 97L, 199L, 200L, 1234567L)
+    val feats = Multimodal.imageFeatureTable(
+        ids.map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(feats.size == ids.size)
+    ids.foreach { d =>
+      val (w, h) = (8 + d % 5, 6 + d % 4)
+      val (rb, gb, bb) = (d % 200, d % 150, d % 97)
+      assert(feats(d) == ((w, h,
+        h * (w * rb + w * (w - 1) / 2),
+        w * (h * gb + h * (h - 1) / 2),
+        w * h * bb)), s"doc $d features diverge from the closed form")
+    }
+  }
+
   test("frameSample keeps every stride-th byte") {
     val sampled = Multimodal.attachFakeMedia(docs)
       .where(col("doc_id") === 0)
