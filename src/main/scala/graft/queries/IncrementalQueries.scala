@@ -1465,6 +1465,91 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // The round-10/11 table-format features COMPOSED across their
+    // matrix: bronze is a BUCKETED catalog table with retained history
+    // and deletion vectors; it takes two INSERT commits plus a
+    // merge-on-read DELETE; a STREAMING CHANGE-FEED tail (one
+    // generation per micro-batch) CDC-applies every transition into a
+    // bucketed SILVER table — inserts through the copy-on-write upsert
+    // (`ManifestOps.mergeInto`), deletes through silver's own
+    // deletion-vector SQL DELETE (the DV machinery IS the scalable
+    // CDC-delete apply: offsets, not rewrites) — and the spec result
+    // joins silver against a same-bucketed dims table (the SPJ layout;
+    // the no-Exchange plan pin lives in IngestSpec, correctness here).
+    // One oracle covers the whole chain: batch writes → DV delete →
+    // CDF delta emission → per-batch upsert/delete apply → bucketed
+    // join — a row lost, doubled, or mis-labeled at ANY hop breaks it.
+    QuerySpec(
+      "st31_medallion_bucketed_cdf",
+      """WITH silver AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE n_chars >= 20 AND NOT (doc_id % 7 = 3)),
+        |dims AS (SELECT doc_id, source FROM documents)
+        |SELECT s.lang, d.source, count(*)::BIGINT AS n,
+        |  CAST(sum(s.n_chars) AS BIGINT) AS sum_chars
+        |FROM silver s JOIN dims d ON s.doc_id = d.doc_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val base = freshDir("st31", dir)
+      val cat = "graft_st31"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      Seq("bronze", "silver", "dims").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS $cat.$t"))
+      s.sql(s"""CREATE TABLE $cat.bronze (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) PARTITIONED BY (bucket(4, doc_id))
+        TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+      s.sql(s"""CREATE TABLE $cat.silver (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) PARTITIONED BY (bucket(4, doc_id))
+        TBLPROPERTIES ('deletionVectors'='true')""")
+      s.sql(s"""CREATE TABLE $cat.dims (doc_id BIGINT, source STRING)
+        PARTITIONED BY (bucket(4, doc_id))""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      docs.createOrReplaceTempView("st31_src")
+      s.sql(s"INSERT INTO $cat.dims SELECT doc_id, source FROM st31_src")
+      s.sql(s"""INSERT INTO $cat.bronze SELECT doc_id, lang, n_chars
+        FROM st31_src WHERE doc_id % 2 = 0""") // gen 1
+      s.sql(s"""INSERT INTO $cat.bronze SELECT doc_id, lang, n_chars
+        FROM st31_src WHERE doc_id % 2 = 1""") // gen 2
+      s.sql(s"DELETE FROM $cat.bronze WHERE doc_id % 7 = 3") // gen 3: DV
+      val bronzeDir = base.resolve("bronze").toString
+      val silverDir = base.resolve("silver").toString
+      val feedSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_change_type", StringType)))
+      val q = s.readStream.format("graft.sources.ManifestSink")
+        .schema(feedSchema).option("path", bronzeDir)
+        .option("readChangeFeed", "true")
+        .option("maxGenerationsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ins = batch.where(col("_change_type") === "insert" &&
+              col("n_chars") >= 20).drop("_change_type")
+          if (!ins.isEmpty)
+            graft.sources.ManifestOps.mergeInto(batch.sparkSession,
+              silverDir, ins, "doc_id",
+              writeOptions = Map("partitionBy" -> "bucket(4,doc_id)"))
+          // CDC delete-apply through silver's deletion vectors: a
+          // handful of offsets per touched file, never a rewrite.
+          val dels = batch.where(col("_change_type") === "delete")
+            .select("doc_id").distinct().collect().map(_.getLong(0))
+          if (dels.nonEmpty)
+            batch.sparkSession.sql(s"DELETE FROM $cat.silver " +
+              s"WHERE doc_id IN (${dels.mkString(",")})")
+          ()
+        }
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.sql(s"""SELECT s.lang, d.source, count(*) AS n,
+        sum(s.n_chars) AS sum_chars
+        FROM $cat.silver s JOIN $cat.dims d ON s.doc_id = d.doc_id
+        GROUP BY s.lang, d.source""")
+    },
+
     // CHANGE DATA FEED (Delta-CDF on the manifest source): the corpus
     // lands in two retained commits, a copy-on-write MERGE rewrites the
     // key-overlapping files, and the CDF tail (`readChangeFeed=true`)

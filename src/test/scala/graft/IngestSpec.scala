@@ -892,6 +892,44 @@ class IngestSpec extends SparkSpec {
       "table must stay writable after the refused DROP")
   }
 
+  test("deletion vectors × bucketed layout: DV'd files still storage-partition join") {
+    val wh = Files.createTempDirectory("graft_dv_spj").toString
+    spark.conf.set("spark.sql.catalog.gsil", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsil.base", wh)
+    spark.sql("""CREATE TABLE gsil.silver (id BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, id))
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.sql("""CREATE TABLE gsil.dims (id BIGINT, name STRING)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("INSERT INTO gsil.silver SELECT id, id * 10 FROM range(400)")
+    spark.sql("INSERT INTO gsil.dims SELECT id, concat('n', id) FROM range(400)")
+    // Merge-on-read delete: the bucketed files keep their recorded
+    // partition tuples (the entry is COPIED, never rewritten), so the
+    // SPJ proof must survive the vector.
+    spark.sql("DELETE FROM gsil.silver WHERE id % 5 = 2")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = spark.sql(
+        """SELECT s.id, s.v, d.name
+          |FROM gsil.silver s JOIN gsil.dims d ON s.id = d.id""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"DV'd bucketed tables must keep storage-partition joining:\n$plan")
+      val rows = joined.collect()
+      assert(rows.length == 320, s"400 minus the 80 vectored: ${rows.length}")
+      assert(rows.forall(r => r.getLong(0) % 5 != 2 &&
+        r.getLong(1) == r.getLong(0) * 10 &&
+        r.getString(2) == "n" + r.getLong(0)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+    spark.sql("DROP TABLE gsil.silver")
+    spark.sql("DROP TABLE gsil.dims")
+  }
+
   test("ManifestSink change feed: deletes and rewrites stream as _change_type rows") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
