@@ -1465,6 +1465,50 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // MERGE-ON-READ UPDATE (the position-delta twin of a25's
+    // copy-on-write UPDATE): on a deletion-vector table, `UPDATE`
+    // vector-deletes the matched rows' old positions and appends ONLY
+    // the replacement rows — a non-prunable modulo predicate touches
+    // every file, which copy-on-write would rewrite whole and this
+    // path leaves byte-identical (IngestSpec-pinned). Same oracle
+    // discipline as a25: the SET replayed relationally over the corpus.
+    QuerySpec(
+      "a29_sql_update_dv",
+      """WITH updated AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 1 THEN text || '~dv' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 6 = 1 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM updated GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a29", dir)
+      val cat = "graft_a29"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a29_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a29_src")
+      s.sql(s"""UPDATE $cat.docs
+        SET text = concat(text, '~dv'), n_chars = n_chars + 3
+        WHERE doc_id % 6 = 1""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // The round-10/11 table-format features COMPOSED across their
     // matrix: bronze is a BUCKETED catalog table with retained history
     // and deletion vectors; it takes two INSERT commits plus a

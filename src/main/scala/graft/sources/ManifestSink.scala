@@ -1558,16 +1558,20 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     require(version.isEmpty,
       s"cannot ${info.command()} a versionAsOf/timestampAsOf read of $path")
     // Tables that opt in (`deletionvectors=true`) take the MERGE-ON-READ
-    // path for DELETE: a positional delete writes a tiny sidecar of row
-    // offsets instead of rewriting whole files — at 100 TB, a 1-row
-    // DELETE must not copy a 1 GB file. UPDATE/MERGE stay copy-on-write
-    // (their rewrite produces the new rows anyway). Whole-file deletes
-    // still take the metadata-only SupportsDelete fast path first.
+    // path for DELETE and UPDATE: a positional delete writes a tiny
+    // sidecar of row offsets instead of rewriting whole files — at
+    // 100 TB, a 1-row DELETE must not copy a 1 GB file — and UPDATE
+    // vector-deletes the old positions while appending only the
+    // replacement rows. MERGE stays copy-on-write (its NOT-MATCHED arm
+    // needs whole-group semantics). Whole-file deletes still take the
+    // metadata-only SupportsDelete fast path first.
     val dvs = tableProps.get("deletionvectors").exists(_.toBoolean)
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     () =>
-      if (dvs && info.command() ==
-          org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE)
-        new GraftPositionDeltaOperation(path, tableSchema, tableProps)
+      if (dvs && (info.command() == Command.DELETE ||
+          info.command() == Command.UPDATE))
+        new GraftPositionDeltaOperation(path, tableSchema, tablePartCols,
+          tableProps, info.command())
       else new GraftRowLevelOperation(path, tableSchema, tablePartCols,
         tableProps, info.command())
   }

@@ -94,12 +94,13 @@ private[sources] class GraftRowLevelOperation(path: String,
   * still take the `SupportsDelete` fast path before any of this plans.
   * Enabled per table via `deletionvectors=true` (TBLPROPERTIES). */
 private[sources] class GraftPositionDeltaOperation(path: String,
-    tableSchema: StructType, props: Map[String, String])
+    tableSchema: StructType, partCols: Seq[String],
+    props: Map[String, String], cmd: Command)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
 
-  override def command(): Command = Command.DELETE
+  override def command(): Command = cmd
   override def description(): String =
-    s"graft merge-on-read (deletion vector) DELETE on $path"
+    s"graft merge-on-read (deletion vector) $cmd on $path"
 
   /** Row identity = (file, byte offset) — both plan-derived metadata
     * columns, zero payload cost. */
@@ -108,62 +109,81 @@ private[sources] class GraftPositionDeltaOperation(path: String,
     Expressions.column(ManifestSink.PosColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, tableSchema)
+    new ManifestScanBuilder(path, tableSchema, partCols = partCols)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
-        new DvDeltaWrite(path,
+        new DvDeltaWrite(path, info.schema(), info.queryId(), partCols,
           retain = props.get("retainhistory").exists(_.toBoolean))
     }
 }
 
-private[sources] class DvDeltaWrite(path: String, retain: Boolean)
+private[sources] class DvDeltaWrite(path: String, schema: StructType,
+    queryId: String, partCols: Seq[String], retain: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new DvDeltaBatchWrite(path, retain)
+    new DvDeltaBatchWrite(path, schema, queryId, partCols, retain)
 }
 
-/** Task-side commit message: the byte offsets each task deleted, per
-  * data file. Small by construction — a delete big enough to make this
-  * large should have been a copy-on-write rewrite (or a metadata-only
-  * whole-file delete, which never reaches this path). */
-private[sources] final case class DvDeletes(deletes: Map[String, Array[Long]])
+/** Task-side commit message: the byte offsets this task deleted per
+  * data file, plus the files it STAGED for replacement rows (UPDATE =
+  * vector-delete the old position + append the new row; DELETE stages
+  * nothing). The offset map is small by construction — a delete big
+  * enough to make it large should have been a copy-on-write rewrite
+  * (or a metadata-only whole-file delete, which never reaches this
+  * path). */
+private[sources] final case class DvDelta(deletes: Map[String, Array[Long]],
+    staged: Seq[StagedFile])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class DvDeltaBatchWrite(path: String, retain: Boolean)
+private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
+    queryId: String, partCols: Seq[String], retain: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import java.nio.file.{Files, Paths}
 
+  private def staging = Paths.get(path, s".staging-$queryId")
+
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
-      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    Files.createDirectories(staging)
+    val inserts = new ManifestWriterFactory(path, queryId, schema, partCols)
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[
             org.apache.spark.sql.catalyst.InternalRow] =
-        new PositionDeltaWriter
+        new PositionDeltaWriter(() => inserts.createWriter(partitionId, taskId))
     }
+  }
 
   /** Driver-side publish, single-writer under the table lock: per
     * touched file, merge the new offsets into the file's existing
     * vector (sidecars are IMMUTABLE and cumulative — a retained
     * snapshot keeps reading the vector it was committed with), write
-    * the new sidecar, swap the manifest. A file whose every physical
-    * row is now deleted drops out of the manifest entirely — the
-    * vector never outgrows its file. */
+    * the new sidecar, move any staged replacement-row files into place
+    * (UPDATE's inserts), and swap the manifest ONCE — readers see the
+    * vectors and the new rows atomically or not at all. A file whose
+    * every physical row is now deleted drops out of the manifest
+    * entirely — the vector never outgrows its file. */
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val all = collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
+    val winners = collection.mutable.ArrayBuffer[StagedFile]()
     messages.foreach {
-      case DvDeletes(m) => m.foreach { case (f, offs) =>
-        all.getOrElseUpdate(f, collection.mutable.ArrayBuffer[Long]()) ++= offs
-      }
+      case DvDelta(m, staged) =>
+        m.foreach { case (f, offs) =>
+          all.getOrElseUpdate(f, collection.mutable.ArrayBuffer[Long]()) ++= offs
+        }
+        winners ++= staged
       case _ => ()
     }
-    if (all.isEmpty) return // DELETE matched zero rows: no generation
+    if (all.isEmpty && winners.isEmpty) {
+      cleanupStaging() // matched zero rows: no generation, no feed noise
+      return
+    }
     val dir = Paths.get(path)
     ManifestSink.withPublishLock(dir) {
       val entries = ManifestSink.committedEntries(path)
@@ -171,9 +191,9 @@ private[sources] class DvDeltaBatchWrite(path: String, retain: Boolean)
       val missing = all.keySet.filterNot(byName.contains)
       if (missing.nonEmpty)
         throw new IllegalStateException(
-          s"DELETE planned rows in files ${missing.mkString(", ")} that are " +
-            s"no longer committed in $path — a concurrent commit replaced " +
-            "them; re-run the DELETE against the current generation")
+          s"row-level write planned rows in files ${missing.mkString(", ")} " +
+            s"that are no longer committed in $path — a concurrent commit " +
+            "replaced them; re-run against the current generation")
       val gen = ManifestSink.committedGeneration(path)
       val keepHistory = retain || ManifestSink.hasRetainedGenerations(path)
       val retiredSidecars = collection.mutable.ArrayBuffer[String]()
@@ -201,26 +221,52 @@ private[sources] class DvDeltaBatchWrite(path: String, retain: Boolean)
             }
         }
       }
-      ManifestSink.publishManifest(dir, updated, gen + 1, "delete", retain)
+      // UPDATE's replacement rows: into place BEFORE the swap, exactly
+      // like the batch committer — invisible until the manifest names
+      // them, orphaned (staging-swept) on a crash.
+      winners.foreach { f =>
+        Files.move(staging.resolve(f.name), dir.resolve(f.name),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      ManifestSink.publishManifest(dir, updated ++ winners, gen + 1,
+        if (winners.isEmpty) "delete" else "update", retain)
       ManifestSink.sweepSegments(dir)
       if (!keepHistory) {
         deadFiles.foreach(n => Files.deleteIfExists(dir.resolve(n)))
         retiredSidecars.foreach(n => Files.deleteIfExists(dir.resolve(n)))
       }
     }
+    cleanupStaging()
   }
 
   override def abort(messages: Array[
-      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = ()
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+    cleanupStaging()
+
+  private def cleanupStaging(): Unit =
+    if (Files.exists(staging)) {
+      val ls = Files.list(staging)
+      try ls.forEach(p => Files.deleteIfExists(p)) finally ls.close()
+      Files.deleteIfExists(staging)
+    }
 }
 
-/** Executor-side collector: nothing touches disk until the driver
-  * commits — an aborted task leaves zero trace by construction. */
-private[sources] class PositionDeltaWriter
+/** Executor-side collector: deleted row identities accumulate in
+  * memory; UPDATE's replacement rows stream through a lazily-created
+  * STAGED NDJSON writer (the same task writer every batch write uses —
+  * attempt-unique names, stats, partition routing), so nothing becomes
+  * visible until the driver's single manifest swap and an aborted task
+  * leaves only staging files the committer sweeps. */
+private[sources] class PositionDeltaWriter(
+    newInsertWriter: () => org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow])
     extends org.apache.spark.sql.connector.write.DeltaWriter[
       org.apache.spark.sql.catalyst.InternalRow] {
   private val deletes =
     collection.mutable.HashMap[String, collection.mutable.ArrayBuffer[Long]]()
+  private var inserts: org.apache.spark.sql.connector.write.DataWriter[
+    org.apache.spark.sql.catalyst.InternalRow] = _
 
   override def delete(metadata: org.apache.spark.sql.catalyst.InternalRow,
       id: org.apache.spark.sql.catalyst.InternalRow): Unit = {
@@ -230,20 +276,33 @@ private[sources] class PositionDeltaWriter
       collection.mutable.ArrayBuffer[Long]()) += pos
   }
 
+  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    if (inserts == null) inserts = newInsertWriter()
+    inserts.write(row)
+  }
+
+  /** Merge-on-read UPDATE: vector-delete the old position, append the
+    * new row — the file holding the old row is never rewritten. */
   override def update(metadata: org.apache.spark.sql.catalyst.InternalRow,
       id: org.apache.spark.sql.catalyst.InternalRow,
-      row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "position-delta operation handles DELETE only (UPDATE is copy-on-write)")
-
-  override def insert(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "position-delta operation handles DELETE only (MERGE is copy-on-write)")
+      row: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
 
   override def commit()
-      : org.apache.spark.sql.connector.write.WriterCommitMessage =
-    DvDeletes(deletes.view.mapValues(_.toArray).toMap)
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val staged: Seq[StagedFile] =
+      if (inserts == null) Nil
+      else inserts.commit() match {
+        case f: StagedFile => Seq(f)
+        case StagedFileSet(fs) => fs
+        case other => throw new IllegalStateException(
+          s"unexpected insert-writer commit message: $other")
+      }
+    DvDelta(deletes.view.mapValues(_.toArray).toMap, staged)
+  }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit = if (inserts != null) inserts.abort()
+  override def close(): Unit = if (inserts != null) inserts.close()
 }

@@ -1281,6 +1281,55 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdv.t")
   }
 
+  test("deletion vectors: merge-on-read UPDATE appends replacements, never rewrites") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_dvu").toString
+    spark.conf.set("spark.sql.catalog.gdvu", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvu.base", wh)
+    spark.sql("""CREATE TABLE gdvu.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("old-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id"))
+      .writeTo("gdvu.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t")
+    val before = graft.sources.ManifestSink.committedFiles(dir.toString).toSet
+    assert(before.size == 4)
+    val bytesBefore = before.map(n =>
+      n -> Files.readAllBytes(dir.resolve(n)).toSeq).toMap
+
+    // Non-prunable predicate touching all 4 files: copy-on-write would
+    // rewrite the whole table; merge-on-read vector-deletes 10 old
+    // positions and appends ONE commit's worth of replacement rows.
+    spark.sql("UPDATE gdvu.t SET v = concat('upd-', id) WHERE id % 100 = 7")
+    val after = graft.sources.ManifestSink.committedFiles(dir.toString).toSet
+    assert(before.subsetOf(after),
+      s"originals must survive an MoR update: ${before -- after} vanished")
+    before.foreach(n => assert(
+      Files.readAllBytes(dir.resolve(n)).toSeq == bytesBefore(n),
+      s"data file $n must be byte-identical after a DV update"))
+    assert((after -- before).nonEmpty, "replacement rows land in new files")
+    val rows = spark.sql("SELECT id, v FROM gdvu.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 1000)
+    assert(rows(107L) == "upd-107" && rows(907L) == "upd-907" &&
+      rows(106L) == "old-106")
+
+    // Updating an already-updated row: the old version lives in a NEW
+    // file now; its position vector-deletes there, the rest holds.
+    spark.sql("UPDATE gdvu.t SET v = 'twice' WHERE id = 107")
+    val rows2 = spark.sql("SELECT id, v FROM gdvu.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2.size == 1000 && rows2(107L) == "twice" &&
+      rows2(207L) == "upd-207" && rows2(106L) == "old-106")
+    // Zero-match UPDATE publishes no generation (no feed noise).
+    val genBefore = graft.sources.ManifestSink.committedGeneration(dir.toString)
+    spark.sql("UPDATE gdvu.t SET v = 'never' WHERE id = -5")
+    assert(graft.sources.ManifestSink.committedGeneration(dir.toString) ==
+      genBefore, "a no-op UPDATE must not publish a generation")
+    spark.sql("DROP TABLE gdvu.t")
+  }
+
   test("deletion vectors: change feed emits DV deltas; time travel reads old vectors") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
