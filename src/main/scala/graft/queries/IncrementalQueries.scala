@@ -1439,7 +1439,11 @@ object IncrementalQueries {
         |    AS text_hash
         |FROM changes GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       val wh = freshDir("a28", dir)
-      val cat = "graft_a28"
+      // Catalog instances are CACHED BY NAME per session (a reused name
+      // with a re-set base conf keeps the OLD base) — this spec resolves
+      // the table both through the catalog AND through the conf-reading
+      // TVF, so the name must be unique per warehouse dir.
+      val cat = "graft_a28_" + (wh.toString.hashCode & 0x7fffffff)
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
       s.sql(s"DROP TABLE IF EXISTS $cat.docs")
@@ -1535,7 +1539,10 @@ object IncrementalQueries {
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types._
       val base = freshDir("st31", dir)
-      val cat = "graft_st31"
+      // Unique per warehouse dir — see a28: this spec mixes catalog-name
+      // SQL (CREATE/INSERT/DELETE) with path-based writes (mergeInto),
+      // and a stale cached catalog base would silently split them.
+      val cat = "graft_st31_" + (base.toString.hashCode & 0x7fffffff)
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
       Seq("bronze", "silver", "dims").foreach(t =>
