@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Seeded randomized end-to-end fuzz of the deletion-vector machinery
+  * against an in-memory model: random interleavings of appends, SQL
+  * DELETEs (point-set and range — exercising both the metadata-only
+  * and the position-delta routes), merge-on-read UPDATEs, and
+  * compaction (vector materialization) must leave the table exactly
+  * equal to a HashMap replaying the same operations. Reads re-verify
+  * under an adversarially small split size so vector application is
+  * also checked across split boundaries. Fixed seeds keep failures
+  * reproducible. */
+class DeletionVectorFuzzSpec extends SparkSpec {
+
+  private def runScenario(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val wh = Files.createTempDirectory(s"graft_dvfuzz_$seed").toString
+    val cat = s"gdvf$seed"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    val model = collection.mutable.HashMap[Long, Long]()
+    var nextId = 0L
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+
+    def check(tag: String): Unit = {
+      val got = spark.sql(s"SELECT id, v FROM $cat.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == got.map(_._1).distinct.length,
+        s"[seed=$seed $tag] duplicate ids surfaced")
+      assert(got.toMap == model.toMap,
+        s"[seed=$seed $tag] table diverged from model: " +
+          s"extra=${(got.toMap -- model.keys).take(5)} " +
+          s"missing=${(model.toMap -- got.map(_._1)).take(5)}")
+      // Same rows under a tiny split size: vectors must apply
+      // identically across split boundaries (byte-offset identity).
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val split = spark.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", dir)
+        .option("maxSplitBytes", (64 + rnd.nextInt(256)).toString).load()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(split == model.toMap, s"[seed=$seed $tag] split read diverged")
+    }
+
+    (0 until 8).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append a fresh batch (always possible)
+          val n = 20 + rnd.nextInt(60)
+          val rows = (0 until n).map { _ =>
+            val id = nextId; nextId += 1
+            val v = rnd.nextLong() & 0xFFFFFFL
+            model(id) = v
+            (id, v)
+          }
+          import spark.implicits._
+          rows.toDF("id", "v")
+            .repartition(1 + rnd.nextInt(3))
+            .writeTo(s"$cat.t").append()
+        case 2 if model.nonEmpty => // point-set DELETE (delta route)
+          val ids = rnd.shuffle(model.keys.toSeq)
+            .take(1 + rnd.nextInt(8)) ++ Seq(nextId + 999) // plus a miss
+          spark.sql(
+            s"DELETE FROM $cat.t WHERE id IN (${ids.mkString(",")})")
+          ids.foreach(model.remove)
+        case 3 if model.nonEmpty => // range DELETE (may go metadata-only)
+          val keys = model.keys.toSeq.sorted
+          val lo = keys(rnd.nextInt(keys.length))
+          val hi = lo + rnd.nextInt(30)
+          spark.sql(s"DELETE FROM $cat.t WHERE id >= $lo AND id <= $hi")
+          keys.filter(k => k >= lo && k <= hi).foreach(model.remove)
+        case 4 if model.nonEmpty => // merge-on-read UPDATE
+          val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(6))
+          spark.sql(s"UPDATE $cat.t SET v = v * 2 + 1 " +
+            s"WHERE id IN (${ids.mkString(",")})")
+          ids.foreach(id => model(id) = model(id) * 2 + 1)
+        case _ => // table empty and op needs rows: compact instead
+          graft.sources.ManifestSink.compact(dir, targetRows = 200L)
+      }
+      if (rnd.nextInt(3) == 0) // interleave vector materialization
+        graft.sources.ManifestSink.compact(dir, targetRows = 500L)
+      check(s"step=$step")
+    }
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
+  (0L to 3L).foreach { seed =>
+    test(s"DV fuzz: random DML/compaction sequence matches the model (seed=$seed)") {
+      runScenario(seed)
+    }
+  }
+}
