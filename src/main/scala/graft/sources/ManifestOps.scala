@@ -185,8 +185,13 @@ object ManifestOps {
           val n = p.getFileName.toString
           val dataShaped = n.endsWith(".ndjson") &&
             (n.startsWith("part-") || n.startsWith("compact-"))
+          // Deletion-vector sidecars orphan the same ways data files do
+          // (a crashed DV commit, a retired vector under retention later
+          // expired); reachability covers them (ownedNames), so the same
+          // age-guarded sweep applies.
+          val dvShaped = n.contains(".ndjson.dv-g")
           val old = Files.getLastModifiedTime(p).toMillis < cutoff
-          if (dataShaped && old && !referenced.contains(n)) {
+          if ((dataShaped || dvShaped) && old && !referenced.contains(n)) {
             Files.deleteIfExists(p)
             dataGone += 1
           } else if (n.startsWith(".staging-") && Files.isDirectory(p) && old) {

@@ -927,15 +927,38 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       "{\"id\":9}\n".getBytes(StandardCharsets.UTF_8))
     Files.setLastModifiedTime(crashed, java.nio.file.attribute.FileTime
       .fromMillis(System.currentTimeMillis() - 100000L))
+    // Deletion-vector sidecars orphan the same ways data files do: an
+    // aged orphan sweeps; a REFERENCED one survives regardless of age;
+    // a young orphan survives on the in-flight guard.
+    val staging15 = Files.createDirectories(Paths.get(dir, ".staging-q15"))
+    Files.write(staging15.resolve("part-dv.ndjson"),
+      "{\"id\":5}\n{\"id\":6}\n".getBytes(StandardCharsets.UTF_8))
+    ManifestSink.writeDvSidecar(Paths.get(dir),
+      "part-dv.ndjson.dv-g000002", Array(0L))
+    new ManifestBatchWrite(dir, schema, "q15", truncate = false, retain = true)
+      .commit(Array(StagedFile("part-dv.ndjson", 2L,
+        dv = Some("part-dv.ndjson.dv-g000002"), dvRows = 1L)))
+    Files.setLastModifiedTime(Paths.get(dir, "part-dv.ndjson.dv-g000002"),
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 100000L))
+    put("part-zz.ndjson.dv-g000009", ageMs = 100000L) // aged orphan sidecar
+    put("part-yy.ndjson.dv-g000010", ageMs = 0L) // young orphan sidecar
     val (data, stg) = ManifestOps.vacuum(dir, olderThanMs = 50000L)
-    assert(data == 1 && stg == 1, s"($data, $stg)")
+    assert(data == 2 && stg == 1, s"($data, $stg)")
     assert(Files.exists(Paths.get(dir, "part-live.ndjson")),
       "referenced file must survive")
     assert(Files.exists(Paths.get(dir, "part-orphan-young.ndjson")),
       "young file must survive (in-flight commit guard)")
     assert(!Files.exists(Paths.get(dir, "part-orphan-old.ndjson")))
+    assert(Files.exists(Paths.get(dir, "part-dv.ndjson.dv-g000002")),
+      "a sidecar the manifest references must survive vacuum")
+    assert(Files.exists(Paths.get(dir, "part-yy.ndjson.dv-g000010")),
+      "young orphan sidecar survives the in-flight guard")
+    assert(!Files.exists(Paths.get(dir, "part-zz.ndjson.dv-g000009")),
+      "aged orphan sidecar must sweep")
+    assert(ManifestSink.committedRowCount(dir) == 2L,
+      "live rows: part-live's 1 + part-dv's (2 physical - 1 vectored)")
     assert(!Files.exists(crashed))
-    assert(ManifestSink.committedRowCount(dir) == 1L, "table intact")
     // Retained generations hold their references: overwrite with
     // retention, then vacuum must keep the RETIRED file too.
     val staging2 = Files.createDirectories(Paths.get(dir, ".staging-q2"))
