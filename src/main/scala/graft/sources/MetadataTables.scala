@@ -38,7 +38,12 @@ private[sources] object MetadataTables {
     StructField("name", StringType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("bytes", LongType, nullable = false),
-    StructField("stats", StringType, nullable = false)))
+    StructField("stats", StringType, nullable = false),
+    // Merge-on-read state: rows minus the deletion vector's count, and
+    // the sidecar name (null when the file carries no vector) — the
+    // debugging view of "why does count(*) differ from t$files.rows".
+    StructField("live_rows", LongType, nullable = false),
+    StructField("dv", StringType, nullable = true)))
 
   def historyRows(dir: String): Array[InternalRow] =
     ManifestSink.history(dir).map { c =>
@@ -93,7 +98,8 @@ private[sources] object MetadataTables {
           s"nulls.$c: $n"
         }).mkString("; ")
       new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
-        e.rows, e.bytes, UTF8String.fromString(stats)))
+        e.rows, e.bytes, UTF8String.fromString(stats),
+        e.liveRows, e.dv.map(UTF8String.fromString).orNull))
     }.toArray
 }
 

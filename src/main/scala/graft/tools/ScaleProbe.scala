@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * the keyspace.
   *
   * Usage: runMain graft.tools.ScaleProbe [baseDir] [factors-csv] [probe]
-  *        (probe: dd8 | sketch | bloom | graph | stream | manifest,
+  *        (probe: dd8 | sketch | bloom | graph | stream | manifest | dv,
   *         default dd8)
   */
 object ScaleProbe {
@@ -423,6 +423,66 @@ object ScaleProbe {
     }
   }
 
+  /** Deletion-vector anchor (`probe = dv`): the same K-row scattered
+    * SQL DELETE against two otherwise-identical tables — one with
+    * deletion vectors, one copy-on-write — at growing corpus factors.
+    * The design claim made measurable: the DV path's bytes WRITTEN are
+    * O(K) and FLAT in corpus size (a sidecar of K offsets + a manifest
+    * swap), while copy-on-write rewrites every touched file, so its
+    * bytes written grow linearly with file size. */
+  private def dvProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.{Files, Paths}
+    def dirFiles(d: java.nio.file.Path): Map[String, Long] = {
+      val ls = Files.list(d)
+      try {
+        val b = Map.newBuilder[String, Long]
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p))
+            b += (p.getFileName.toString -> Files.size(p))
+        }
+        b.result()
+      } finally ls.close()
+    }
+    factors.foreach { f =>
+      val n = 200000L * f
+      val wh = Files.createTempDirectory(s"graft_dvprobe_$f")
+      val cat = s"gdvp$f"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      Seq("true", "false").foreach { dvs =>
+        val t = if (dvs == "true") "mor" else "cow"
+        spark.sql(s"""CREATE TABLE $cat.$t (id BIGINT, v STRING)
+          TBLPROPERTIES ('deletionVectors'='$dvs')""")
+        spark.range(n).selectExpr("id",
+            "concat('payload-', id, '-', repeat('x', 40)) AS v")
+          .repartition(8)
+          .writeTo(s"$cat.$t").append()
+        val dir = wh.resolve(t)
+        val before = dirFiles(dir)
+        // 16 ids scattered across every file: nothing prunable, the
+        // CoW path must rewrite all 8 files, the DV path 16 offsets.
+        val ids = (0 until 16).map(i => i * (n / 16) + 7)
+        val t0 = System.nanoTime()
+        spark.sql(
+          s"DELETE FROM $cat.$t WHERE id IN (${ids.mkString(",")})")
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val after = dirFiles(dir)
+        val written = after.collect {
+          case (name, sz) if !before.contains(name) => sz
+        }.sum
+        val tableBytes = before.values.sum
+        val count = spark.sql(s"SELECT count(*) FROM $cat.$t")
+          .head.getLong(0)
+        require(count == n - 16, s"$t lost rows: $count")
+        println(s"""{"probe":"dv_delete","mode":"$t","factor":$f,""" +
+          s""""rows":$n,"table_bytes":$tableBytes,""" +
+          f""""delete_wall_ms":$wallMs%.0f,"bytes_written":$written}""")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = (if (args.length > 1) args(1) else "1,3,10")
@@ -454,6 +514,11 @@ object ScaleProbe {
     }
     if (probe == "stream") {
       streamProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "dv") {
+      dvProbes(spark, factors)
       spark.stop()
       return
     }

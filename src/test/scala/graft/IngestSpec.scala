@@ -1271,6 +1271,21 @@ class IngestSpec extends SparkSpec {
     // Compaction MATERIALIZES vectors: sidecars disappear, results hold.
     spark.sql("DELETE FROM gdv.t WHERE id >= 500 AND id <= 501")
     assert(sidecars.nonEmpty)
+    // t$files exposes the merge-on-read state: physical vs live rows
+    // and the sidecar name — the "why does count(*) differ from rows"
+    // debugging view.
+    val fmeta = spark.sql(
+      "SELECT name, rows, live_rows, dv FROM gdv.`t$files`").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3))))
+    assert(fmeta.map(_._3).sum ==
+      spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0),
+      "live_rows must sum to the table count")
+    assert(fmeta.exists(f => f._4.isDefined && f._3 < f._2),
+      s"a vectored file must report its sidecar and reduced live rows: " +
+        fmeta.mkString(", "))
+    assert(fmeta.filter(_._4.isEmpty).forall(f => f._2 == f._3),
+      "unvectored files report live_rows == rows")
     val preCompact = spark.sql("SELECT id, v FROM gdv.t").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     graft.sources.ManifestSink.compact(dir.toString, targetRows = 10000L)
