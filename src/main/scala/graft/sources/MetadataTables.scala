@@ -84,8 +84,10 @@ private[sources] object MetadataTables {
       else specs.zip(vals.map(_.get)).map { case (sp, v) => s"${sp.name}=$v" }
         .mkString(", ")
     }.toSeq.sortBy(_._1).map { case (part, es) =>
+      // LIVE rows (physical minus deletion-vectored): the rollup a
+      // partition-level operation actually acts on.
       new GenericInternalRow(Array[Any](UTF8String.fromString(part),
-        es.size.toLong, es.map(_.rows).sum, es.map(_.bytes).sum))
+        es.size.toLong, es.map(_.liveRows).sum, es.map(_.bytes).sum))
     }.toArray
   }
 

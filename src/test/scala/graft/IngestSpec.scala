@@ -1406,6 +1406,28 @@ class IngestSpec extends SparkSpec {
     assert(at(1) == (0L until 100L).toSet)
     assert(at(2) == (0L until 100L).toSet -- (10L to 14L))
     assert(at(3) == (0L until 100L).toSet -- (10L to 16L))
+
+    // Snapshot expiry releases superseded sidecars with their
+    // generations: retention is why the gen-2 vector stayed on disk;
+    // after keepLast=1 only the current vector remains and current
+    // reads are untouched.
+    def sidecarsOnDisk = {
+      val ls = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = ls.iterator(); val b = Set.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.contains(".dv-g")) b += n
+        }
+        b.result()
+      } finally ls.close()
+    }
+    assert(sidecarsOnDisk.size == 2,
+      s"retention must keep the superseded vector: $sidecarsOnDisk")
+    graft.sources.ManifestSink.expireSnapshots(dir, keepLast = 1)
+    assert(sidecarsOnDisk.size == 1,
+      s"expiry must release the superseded vector: $sidecarsOnDisk")
+    assert(spark.sql("SELECT count(*) FROM gdvc.t").head.getLong(0) == 93)
     spark.sql("DROP TABLE gdvc.t")
   }
 
