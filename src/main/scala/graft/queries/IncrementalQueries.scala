@@ -1469,6 +1469,56 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // DYNAMIC PARTITION OVERWRITE (Hive's INSERT OVERWRITE with
+    // partitionOverwriteMode=dynamic, through the V2 OVERWRITE_DYNAMIC
+    // capability): the commit retires exactly the prior files whose
+    // partition tuple appears among the written files' tuples — the
+    // daily-rerun discipline at 100 TB (replace the day, carry every
+    // other partition untouched; IngestSpec pins untouched files carry
+    // over by name). The 'en' partition is replaced with a TRANSFORMED,
+    // row-count-changing payload; the oracle rebuilds the final table
+    // relationally.
+    QuerySpec(
+      "a30_insert_overwrite_dynamic",
+      """WITH final AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE lang <> 'en'
+        |  UNION ALL
+        |  SELECT doc_id, upper(text), 'en', source, n_chars + 1
+        |  FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM final GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a30", dir)
+      val cat = "graft_a30"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        PARTITIONED BY (lang)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .createOrReplaceTempView("a30_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a30_src")
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        s.sql(s"""INSERT OVERWRITE $cat.docs
+          SELECT doc_id, upper(text), 'en', source, n_chars + 1
+          FROM a30_src WHERE lang = 'en' AND doc_id % 2 = 0""")
+      } finally
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // MERGE-ON-READ UPDATE (the position-delta twin of a25's
     // copy-on-write UPDATE): on a deletion-vector table, `UPDATE`
     // vector-deletes the matched rows' old positions and appends ONLY

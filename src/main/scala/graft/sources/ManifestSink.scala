@@ -1578,7 +1578,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_DYNAMIC)
 
   /** Metadata-only DELETE (the Iceberg/Delta fast path): a file is
     * droppable when its manifest stats PROVE every row matches the
@@ -2453,16 +2453,34 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     // Thunked: a row-level operation's replaced-file set is known only
     // after its scan executed (runtime group filtering narrows it), so
     // the committer resolves it at COMMIT time, not builder time.
-    replaceFiles: () => Set[String] = () => Set.empty)
-    extends WriteBuilder with SupportsTruncate {
+    replaceFiles: () => Set[String] = () => Set.empty,
+    dynamicOverwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles)
 
+  /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
+    * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
+    * replaceWhere-by-written-partitions shape): the commit retires
+    * exactly the prior files whose partition tuple appears among the
+    * written files' tuples — untouched partitions carry over. Only
+    * meaningful on a partitioned table; refuse up front otherwise
+    * (silently degrading to truncate would destroy data). */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite of $path needs a partitioned table " +
+        "(declare PARTITIONED BY / the partitionBy write option)")
+    new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
+      autoCompactRows, maxSegments, partCols, replaceFiles,
+      dynamicOverwrite = true)
+  }
+
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
-      maxSegments, partCols, replaceFiles)
+      maxSegments, partCols, replaceFiles, dynamicOverwrite)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
@@ -2630,7 +2648,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
     partCols: Seq[String] = Nil,
-    replaceFilesFn: () => Set[String] = () => Set.empty)
+    replaceFilesFn: () => Set[String] = () => Set.empty,
+    dynamicOverwrite: Boolean = false)
     extends BatchWrite {
   // Direct-construction convenience (tests, internal callers).
   def this(path: String, schema: StructType, queryId: String,
@@ -2685,7 +2704,48 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
           s"replaceFiles names ${missing.mkString(", ")} are no longer " +
             s"committed in $path — a concurrent commit replaced them; " +
             "re-plan the merge against the current generation")
-      val retireNames = winnerNames ++ replaceFiles
+      // DYNAMIC PARTITION OVERWRITE: retire exactly the prior files
+      // whose partition tuple appears among the written files' tuples.
+      // Tuples come from recorded partValues (what the partitioned
+      // writer stamps), falling back to the exact min == max identity
+      // proof for legacy entries. A prior file that resolves NO tuple
+      // cannot be classified — keeping it could resurrect overwritten
+      // rows — so the commit refuses loudly rather than guess.
+      val dynRetire: Set[String] =
+        if (!dynamicOverwrite) Set.empty
+        else {
+          val specs = PartSpec.parseAll(partCols)
+          def tupleOf(e: StagedFile): Option[Seq[String]] = {
+            val vals = specs.map { sp =>
+              e.partValues.get(sp.name).orElse(sp match {
+                case _: IdentityPart => e.stats.find(_.col == sp.col) match {
+                  case Some(st) if st.min == st.max && !st.hasNan &&
+                      e.nullCounts.get(sp.col).contains(0L) => Some(st.min)
+                  case _ => None
+                }
+                case _: BucketPart => None
+              })
+            }
+            if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+          }
+          val written = winners.flatMap(tupleOf).toSet
+          require(winners.forall(w => tupleOf(w).isDefined),
+            "dynamic overwrite: a written file failed to prove its " +
+              "partition tuple — partitioned writers must record tuples")
+          val (unresolved, resolved) =
+            priorAll.partition(e => tupleOf(e).isEmpty)
+          val doomed = resolved
+            .filter(e => written.contains(tupleOf(e).get)).map(_.name).toSet
+          if (written.nonEmpty && unresolved.nonEmpty)
+            throw new IllegalStateException(
+              s"dynamic partition overwrite of $path cannot classify " +
+                s"${unresolved.map(_.name).mkString(", ")} (no recorded or " +
+                "provable partition tuple) — keeping them could resurrect " +
+                "overwritten rows; cluster/rewrite the table to a " +
+                "partition-aligned layout first")
+          doomed
+        }
+      val retireNames = winnerNames ++ replaceFiles ++ dynRetire
       val prior =
         if (truncate) Seq.empty
         else priorAll.filterNot(f => retireNames.contains(f.name))
@@ -2713,7 +2773,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // GC) — unless retained history still references them. A retired
       // entry's deletion-vector sidecar goes with its data file.
       if (!retain && !ManifestSink.hasRetainedGenerations(path))
-        priorAll.filter(e => replaceFiles.contains(e.name) &&
+        priorAll.filter(e => (replaceFiles.contains(e.name) ||
+              dynRetire.contains(e.name)) &&
             !winnerNames.contains(e.name))
           .flatMap(ManifestSink.ownedNames)
           .foreach(n => Files.deleteIfExists(dir.resolve(n)))

@@ -1345,6 +1345,89 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvu.t")
   }
 
+  test("manifest tables: dynamic partition overwrite replaces only written partitions") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_dynovr").toString
+    spark.conf.set("spark.sql.catalog.gdyn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdyn.base", wh)
+    spark.sql("""CREATE TABLE gdyn.t (id BIGINT, lang STRING, v BIGINT)
+      PARTITIONED BY (lang)""")
+    spark.sql("""INSERT INTO gdyn.t
+      SELECT id, CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de'
+        ELSE 'fr' END, id * 10 FROM range(300)""")
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val before = graft.sources.ManifestSink.committedFiles(dir).toSet
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Overwrite ONLY 'en' (new values); 'de'/'fr' files must carry
+      // over untouched.
+      spark.sql("""INSERT OVERWRITE gdyn.t
+        SELECT id, 'en', id * 100 FROM range(0, 300, 3)""")
+    } finally spark.conf.set(
+      "spark.sql.sources.partitionOverwriteMode", prevMode)
+    val after = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert((before intersect after).nonEmpty,
+      "untouched partitions' files must carry over")
+    val rows = spark.sql("SELECT id, lang, v FROM gdyn.t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == 300)
+    assert(rows.filter(_._2 == "en").forall(r => r._3 == r._1 * 100),
+      "'en' partition fully replaced with new values")
+    assert(rows.filter(_._2 != "en").forall(r => r._3 == r._1 * 10),
+      "'de'/'fr' partitions untouched")
+    // Static mode (the default) still truncates the whole table.
+    spark.sql("INSERT OVERWRITE gdyn.t SELECT 1L, 'xx', 1L")
+    assert(spark.sql("SELECT count(*) FROM gdyn.t").head.getLong(0) == 1)
+    // Unpartitioned tables refuse dynamic overwrite up front.
+    spark.sql("CREATE TABLE gdyn.u (id BIGINT, v BIGINT)")
+    val err = intercept[Exception] {
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql("INSERT OVERWRITE gdyn.u SELECT 1L, 2L")
+      } finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    assert(err.getMessage != null)
+    spark.sql("DROP TABLE gdyn.t")
+    spark.sql("DROP TABLE gdyn.u")
+  }
+
+  test("deletion vectors: racing DELETEs serialize under the publish lock") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_dvrace").toString
+    spark.conf.set("spark.sql.catalog.gdvr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvr.base", wh)
+    spark.sql("""CREATE TABLE gdvr.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.range(0, 2000).selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(4, col("id")).writeTo("gdvr.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    // Two concurrent position-delta DELETEs over overlapping FILES
+    // (disjoint rows): the second committer must merge its offsets onto
+    // the first's freshly-published vector, not clobber it — the
+    // re-read happens under the publish lock.
+    val setA = (0 until 10).map(i => i * 200 + 3)     // one per file region
+    val setB = (0 until 10).map(i => i * 200 + 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(spark.sql(
+      s"DELETE FROM gdvr.t WHERE id IN (${setA.mkString(",")})"))
+    val fb = Future(spark.sql(
+      s"DELETE FROM gdvr.t WHERE id IN (${setB.mkString(",")})"))
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    assert(spark.sql("SELECT count(*) FROM gdvr.t").head.getLong(0) == 1980,
+      "both racing deletes must land")
+    val gone = (setA ++ setB).map(_.toLong).toSet
+    val ids = spark.sql("SELECT id FROM gdvr.t").collect()
+      .map(_.getLong(0)).toSet
+    assert(gone.forall(!ids.contains(_)), "every deleted id stays deleted")
+    assert(ids.size == 1980)
+    spark.sql("DROP TABLE gdvr.t")
+  }
+
   test("deletion vectors: change feed emits DV deltas; time travel reads old vectors") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
