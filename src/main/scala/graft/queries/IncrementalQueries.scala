@@ -1469,6 +1469,63 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // Tri-clause MERGE — the full CDC MIRROR shape (make target equal
+    // source): WHEN MATCHED → update, WHEN NOT MATCHED → insert, WHEN
+    // NOT MATCHED BY SOURCE → delete, all through the same group-based
+    // copy-on-write rewrite (Spark's RewriteMergeIntoTable plans the
+    // three-way FULL OUTER between groups and source). The oracle
+    // rebuilds the post-merge table from the clause predicates: a
+    // survivor the BY SOURCE delete missed, a lost update, or a doubled
+    // insert breaks the hashes.
+    QuerySpec(
+      "a31_merge_mirror",
+      """WITH final AS (
+        |  SELECT doc_id, text || '~m' AS text, lang, source,
+        |    n_chars + 2 AS n_chars
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, 'nmbs doc ' || doc_id, 'zz', source,
+        |    9 + length(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 9 = 2)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM final GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a31", dir)
+      val cat = "graft_a31"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a31_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a31_src")
+      docs.where(col("doc_id") % 4 === 1)
+        .unionByName(docs.where(col("doc_id") % 9 === 2).select(
+          (col("doc_id") + 5000000L).as("doc_id"),
+          concat(lit("nmbs doc "), col("doc_id")).as("text"),
+          lit("zz").as("lang"), col("source"),
+          (lit(9) + length(col("doc_id").cast("string"))
+            .cast("long")).as("n_chars")))
+        .createOrReplaceTempView("a31_mirror")
+      s.sql(s"""MERGE INTO $cat.docs t USING a31_mirror u
+        ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET
+          text = concat(t.text, '~m'), n_chars = t.n_chars + 2
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // DYNAMIC PARTITION OVERWRITE (Hive's INSERT OVERWRITE with
     // partitionOverwriteMode=dynamic, through the V2 OVERWRITE_DYNAMIC
     // capability): the commit retires exactly the prior files whose

@@ -1345,6 +1345,32 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvu.t")
   }
 
+  test("GraftCatalog CTAS/RTAS: CREATE TABLE AS SELECT lands as a manifest table") {
+    val wh = Files.createTempDirectory("graft_ctas").toString
+    spark.conf.set("spark.sql.catalog.gcts", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcts.base", wh)
+    spark.sql("""CREATE TABLE gcts.t AS
+      SELECT id, id * 2 AS v, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+      FROM range(100)""")
+    assert(spark.sql("SELECT count(*) FROM gcts.t").head.getLong(0) == 100)
+    assert(spark.sql("SELECT sum(v) FROM gcts.t").head.getLong(0) == 9900)
+    // The created table is a full manifest table: DML works on it.
+    spark.sql("DELETE FROM gcts.t WHERE g = 'a'")
+    assert(spark.sql("SELECT count(*) FROM gcts.t").head.getLong(0) == 50)
+    // Partitioned CTAS records the partition columns in table metadata.
+    spark.sql("""CREATE TABLE gcts.p PARTITIONED BY (g) AS
+      SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+      FROM range(50)""")
+    val parts = spark.sql("SELECT partition FROM gcts.`p$partitions`")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("g=\"a\"", "g=\"b\""),
+      s"partitioned CTAS must land partition-aligned: $parts")
+    // REPLACE TABLE AS SELECT swaps content atomically.
+    spark.sql("CREATE OR REPLACE TABLE gcts.t AS SELECT id FROM range(7)")
+    assert(spark.sql("SELECT count(*) FROM gcts.t").head.getLong(0) == 7)
+    Seq("t", "p").foreach(t => spark.sql(s"DROP TABLE gcts.$t"))
+  }
+
   test("manifest tables: dynamic partition overwrite replaces only written partitions") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dynovr").toString
