@@ -1469,6 +1469,67 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // MERGE-ON-READ MERGE — a24's exact upsert semantics on a
+    // deletion-vector table (Spark's WriteDelta plan instead of the
+    // group-based rewrite): matched updates vector-delete the old
+    // positions and append replacements, not-matched rows append, no
+    // data file is ever rewritten (IngestSpec pins byte-identical).
+    // Same oracle as a24 — copy-on-write and merge-on-read MERGE must
+    // be observationally equivalent.
+    QuerySpec(
+      "a32_sql_merge_dv",
+      """WITH merged AS (
+        |  SELECT doc_id, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || '~m', lang, source, n_chars + 2
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'merged doc ' || doc_id, 'xx',
+        |    source, 11 + length(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 9 = 0)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a32", dir)
+      val cat = "graft_a32"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true')""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.repartitionByRange(4, col("doc_id"))
+        .createOrReplaceTempView("a32_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a32_src")
+      docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit("~m")))
+        .withColumn("n_chars", col("n_chars") + 2)
+        .unionByName(docs.where(col("doc_id") % 9 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("merged doc "), col("doc_id")).as("text"),
+          lit("xx").as("lang"), col("source"),
+          (lit(11) + length(col("doc_id").cast("string"))
+            .cast("long")).as("n_chars")))
+        .createOrReplaceTempView("a32_updates")
+      s.sql(s"""MERGE INTO $cat.docs t USING a32_updates u
+        ON t.doc_id = u.doc_id
+        WHEN MATCHED THEN UPDATE SET
+          text = u.text, lang = u.lang, source = u.source,
+          n_chars = u.n_chars
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // Tri-clause MERGE — the full CDC MIRROR shape (make target equal
     // source): WHEN MATCHED → update, WHEN NOT MATCHED → insert, WHEN
     // NOT MATCHED BY SOURCE → delete, all through the same group-based

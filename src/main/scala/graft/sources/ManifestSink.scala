@@ -1560,16 +1560,18 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // Tables that opt in (`deletionvectors=true`) take the MERGE-ON-READ
     // path for DELETE and UPDATE: a positional delete writes a tiny
     // sidecar of row offsets instead of rewriting whole files — at
-    // 100 TB, a 1-row DELETE must not copy a 1 GB file — and UPDATE
+    // 100 TB, a 1-row DELETE must not copy a 1 GB file — UPDATE
     // vector-deletes the old positions while appending only the
-    // replacement rows. MERGE stays copy-on-write (its NOT-MATCHED arm
-    // needs whole-group semantics). Whole-file deletes still take the
+    // replacement rows, and MERGE is the same per clause (matched
+    // update = delete+insert, matched delete = offsets, not-matched
+    // insert = plain append). Whole-file deletes still take the
     // metadata-only SupportsDelete fast path first.
     val dvs = tableProps.get("deletionvectors").exists(_.toBoolean)
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
     () =>
       if (dvs && (info.command() == Command.DELETE ||
-          info.command() == Command.UPDATE))
+          info.command() == Command.UPDATE ||
+          info.command() == Command.MERGE))
         new GraftPositionDeltaOperation(path, tableSchema, tablePartCols,
           tableProps, info.command())
       else new GraftRowLevelOperation(path, tableSchema, tablePartCols,
@@ -1726,7 +1728,11 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil,
-    rowLevel: Option[GraftRowLevelOperation] = None)
+    rowLevel: Option[GraftRowLevelOperation] = None,
+    // Expose the `_file` runtime-filter attribute WITHOUT group
+    // recording — the delta-based (deletion-vector) operations want
+    // runtime file pruning but retire nothing wholesale.
+    fileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -1744,7 +1750,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
   override def build(): Scan =
     new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
       maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
-      endingVersion, partCols, rowLevel)
+      endingVersion, partCols, rowLevel, fileFilter)
 }
 
 /** File-skipping decision logic: can a file whose column bounds are
@@ -1946,7 +1952,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil,
-    rowLevel: Option[GraftRowLevelOperation] = None)
+    rowLevel: Option[GraftRowLevelOperation] = None,
+    fileFilter: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1965,7 +1972,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (rowLevel.isDefined)
+    if (rowLevel.isDefined || fileFilter)
       Array(org.apache.spark.sql.connector.expressions.Expressions.column(
         ManifestSink.FileColumn))
     else Array.empty

@@ -109,7 +109,8 @@ private[sources] class GraftPositionDeltaOperation(path: String,
     Expressions.column(ManifestSink.PosColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, tableSchema, partCols = partCols)
+    new ManifestScanBuilder(path, tableSchema, partCols = partCols,
+      fileFilter = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =

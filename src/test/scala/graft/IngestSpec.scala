@@ -1420,6 +1420,46 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdyn.u")
   }
 
+  test("deletion vectors: merge-on-read MERGE upserts without rewriting files") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_dvm").toString
+    spark.conf.set("spark.sql.catalog.gdvm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvm.base", wh)
+    spark.sql("""CREATE TABLE gdvm.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.range(0, 1000).select(col("id"),
+        concat(lit("old-"), col("id")).as("v"))
+      .repartitionByRange(4, col("id")).writeTo("gdvm.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t")
+    val before = graft.sources.ManifestSink.committedFiles(dir.toString).toSet
+    val bytesBefore = before.map(n =>
+      n -> Files.readAllBytes(dir.resolve(n)).toSeq).toMap
+    spark.sql("CREATE TABLE gdvm.src (id BIGINT, v STRING)")
+    spark.sql("""INSERT INTO gdvm.src VALUES
+      (10, 'm-10'), (11, 'm-11'), (666, 'kill'), (5000, 'm-5000')""")
+    // All three MERGE clauses through the position-delta path: matched
+    // update = vector-delete + append, matched delete = offsets only,
+    // not-matched insert = plain append. No data file rewrites.
+    spark.sql("""MERGE INTO gdvm.t t USING gdvm.src s ON t.id = s.id
+      WHEN MATCHED AND s.v = 'kill' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val after = graft.sources.ManifestSink.committedFiles(dir.toString).toSet
+    assert(before.subsetOf(after),
+      s"MoR merge must not retire data files: ${before -- after} vanished")
+    before.foreach(n => assert(
+      Files.readAllBytes(dir.resolve(n)).toSeq == bytesBefore(n),
+      s"data file $n must be byte-identical after a MoR merge"))
+    val rows = spark.sql("SELECT id, v FROM gdvm.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 1000, s"999 survivors + 1 insert: ${rows.size}")
+    assert(rows(10L) == "m-10" && rows(11L) == "m-11" &&
+      rows(5000L) == "m-5000" && !rows.contains(666L) &&
+      rows(9L) == "old-9")
+    spark.sql("DROP TABLE gdvm.t")
+    spark.sql("DROP TABLE gdvm.src")
+  }
+
   test("deletion vectors: racing DELETEs serialize under the publish lock") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dvrace").toString
