@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * loudly) and rewritten only by ALTER TABLE, via atomic swap.
   */
 class GraftCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = _
   private var base: Path = _
 
@@ -305,6 +306,132 @@ class GraftCatalog extends TableCatalog
         newIdent.namespace().toSeq :+ newIdent.name())
     Files.createDirectories(to.getParent)
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ----- SupportsNamespaces: a namespace IS a directory under base,
+  // marked by `_namespace.json` (its properties, one JSON line) so an
+  // explicitly created empty schema is distinguishable from filesystem
+  // debris. Directories holding tables count as namespaces too —
+  // tables created with an implicit namespace predate the marker.
+
+  private def nsDir(namespace: Array[String]): Path = {
+    namespace.foreach(part =>
+      require(!part.contains("/") && !part.contains("\\") && part != ".." &&
+        part.nonEmpty, s"invalid namespace part: '$part'"))
+    namespace.foldLeft(base)(_.resolve(_))
+  }
+  private def nsMarker(dir: Path): Path = dir.resolve("_namespace.json")
+  private def isNamespaceDir(p: Path): Boolean =
+    Files.isDirectory(p) && !Files.exists(metaPath(p))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || isNamespaceDir(nsDir(namespace))
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(namespace)
+    if (!isNamespaceDir(dir) && namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(name()) ++ namespace.toSeq)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val ls = Files.list(dir)
+    try ls.iterator().asScalaSeq
+      .filter(p => isNamespaceDir(p) &&
+        !p.getFileName.toString.startsWith("."))
+      .map(p => namespace :+ p.getFileName.toString).toArray
+    finally ls.close()
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    val dir = nsDir(namespace)
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(name()) ++ namespace.toSeq)
+    val out = new util.HashMap[String, String]()
+    if (Files.exists(nsMarker(dir)))
+      NdjsonCodec.parseLine(new String(Files.readAllBytes(nsMarker(dir)),
+        StandardCharsets.UTF_8).trim).foreach {
+        case (k, NdjsonCodec.JsonStr(v)) => out.put(k, v)
+        case _ => ()
+      }
+    out
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val dir = nsDir(namespace)
+    if (namespaceExists(namespace) && Files.exists(nsMarker(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException((Seq(name()) ++ namespace.toSeq).toArray)
+    Files.createDirectories(dir)
+    writeNsMarker(dir, {
+      val b = collection.mutable.Map[String, String]()
+      val it = metadata.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); b(e.getKey) = e.getValue }
+      (b -- Seq("owner", "location", "comment")).toMap ++
+        (if (b.contains("comment")) Map("comment" -> b("comment")) else Map())
+    })
+  }
+
+  private def writeNsMarker(dir: Path, props: Map[String, String]): Unit = {
+    val json = props.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(v) + "\""
+    }.mkString("{", ",", "}") + "\n"
+    val tmp = Files.createTempFile(dir, "._namespace", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, nsMarker(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit = {
+    import org.apache.spark.sql.connector.catalog.NamespaceChange
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(name()) ++ namespace.toSeq)
+    val dir = nsDir(namespace)
+    var props = {
+      val m = loadNamespaceMetadata(namespace)
+      val b = collection.mutable.Map[String, String]()
+      val it = m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); b(e.getKey) = e.getValue }
+      b
+    }
+    changes.foreach {
+      case set: NamespaceChange.SetProperty =>
+        props(set.property()) = set.value()
+      case rm: NamespaceChange.RemoveProperty => props -= rm.property()
+      case other => throw new UnsupportedOperationException(
+        s"namespace change $other")
+    }
+    writeNsMarker(dir, props.toMap)
+  }
+
+  /** Non-cascade DROP refuses a namespace still holding tables or
+    * child namespaces; cascade removes the whole subtree (every table
+    * in it included — the blast radius the keyword opts into). */
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = nsDir(namespace)
+    val hasChildren = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScalaSeq.exists(p =>
+        Files.isDirectory(p) || Files.exists(metaPath(p)))
+      finally ls.close()
+    }
+    if (hasChildren && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty — " +
+          "use DROP NAMESPACE ... CASCADE")
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    true
   }
 
   private implicit final class JIterSeq[A](private val it: java.util.Iterator[A]) {

@@ -51,7 +51,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     }
 
     (0 until 8).foreach { step =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(6) match {
         case 0 | 1 => // append a fresh batch (always possible)
           val n = 20 + rnd.nextInt(60)
           val rows = (0 until n).map { _ =>
@@ -81,6 +81,27 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           spark.sql(s"UPDATE $cat.t SET v = v * 2 + 1 " +
             s"WHERE id IN (${ids.mkString(",")})")
           ids.foreach(id => model(id) = model(id) * 2 + 1)
+        case 5 if model.nonEmpty => // merge-on-read MERGE (upsert + kill)
+          val upd = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(4))
+          val kill = rnd.shuffle((model.keySet -- upd).toSeq)
+            .take(rnd.nextInt(3))
+          val ins = (0 until 1 + rnd.nextInt(3)).map { _ =>
+            val id = nextId; nextId += 1
+            (id, rnd.nextLong() & 0xFFFFFFL)
+          }
+          import spark.implicits._
+          (upd.map(id => (id, model(id) + 17L, "u")) ++
+            kill.map(id => (id, 0L, "k")) ++
+            ins.map { case (id, v) => (id, v, "i") })
+            .toDF("id", "nv", "op").createOrReplaceTempView(s"fz_src_$seed")
+          spark.sql(s"""MERGE INTO $cat.t t USING fz_src_$seed s
+            ON t.id = s.id
+            WHEN MATCHED AND s.op = 'k' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET v = s.nv
+            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+          upd.foreach(id => model(id) = model(id) + 17L)
+          kill.foreach(model.remove)
+          ins.foreach { case (id, v) => model(id) = v }
         case _ => // table empty and op needs rows: compact instead
           graft.sources.ManifestSink.compact(dir, targetRows = 200L)
       }

@@ -1345,6 +1345,34 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvu.t")
   }
 
+  test("GraftCatalog namespaces: CREATE/SHOW/ALTER/DROP SCHEMA round-trip") {
+    val wh = Files.createTempDirectory("graft_ns").toString
+    spark.conf.set("spark.sql.catalog.gns", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gns.base", wh)
+    spark.sql("CREATE NAMESPACE gns.raw COMMENT 'bronze layer'")
+    spark.sql("CREATE NAMESPACE gns.curated")
+    val names = spark.sql("SHOW NAMESPACES IN gns")
+      .collect().map(_.getString(0)).toSet
+    assert(names == Set("raw", "curated"), s"got $names")
+    // Tables land inside a declared namespace and list under it.
+    spark.sql("CREATE TABLE gns.raw.docs (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gns.raw.docs VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SHOW TABLES IN gns.raw").collect()
+      .map(_.getString(1)).toSet == Set("docs"))
+    assert(spark.sql("SELECT count(*) FROM gns.raw.docs").head.getLong(0) == 2)
+    // Namespace properties round-trip through ALTER.
+    spark.sql("ALTER NAMESPACE gns.curated SET PROPERTIES ('owner_team'='data')")
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED gns.curated")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.exists(_._2.contains("owner_team")) ||
+      desc.values.exists(_.contains("data")), s"got $desc")
+    // Empty namespace drops plainly; a populated one needs CASCADE.
+    spark.sql("DROP NAMESPACE gns.curated")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gns.raw") }
+    spark.sql("DROP NAMESPACE gns.raw CASCADE")
+    assert(spark.sql("SHOW NAMESPACES IN gns").collect().isEmpty)
+  }
+
   test("GraftCatalog CTAS/RTAS: CREATE TABLE AS SELECT lands as a manifest table") {
     val wh = Files.createTempDirectory("graft_ctas").toString
     spark.conf.set("spark.sql.catalog.gcts", "graft.sources.GraftCatalog")
