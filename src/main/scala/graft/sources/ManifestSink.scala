@@ -1684,10 +1684,14 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
         case _: BucketPart => // any supported type hashes
       }
     }
+    val distribute = Option(info.options().get("distributionmode"))
+      .orElse(tableProps.get("distributionmode"))
+      .exists(_.equalsIgnoreCase("hash"))
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
-      replaceFiles = () => replaceFiles)
+      replaceFiles = () => replaceFiles,
+      distributeByPartition = distribute)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2461,13 +2465,46 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     // after its scan executed (runtime group filtering narrows it), so
     // the committer resolves it at COMMIT time, not builder time.
     replaceFiles: () => Set[String] = () => Set.empty,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    distributeByPartition: Boolean = false)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
+  /** `distributionMode=hash` (Iceberg's spelling, as a table property
+    * or write option): the WRITE declares a required clustering by the
+    * partition transforms, so Spark shuffles rows to co-locate each
+    * partition tuple in one task BEFORE the write — one file per tuple
+    * instead of one per (task × tuple), killing the small-files
+    * footgun at the plan level instead of documenting it. Off by
+    * default: unclustered writes stay shuffle-free. */
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val specs = PartSpec.parseAll(partCols)
+    if (!distributeByPartition || specs.isEmpty)
+      return super.build()
+    new org.apache.spark.sql.connector.write.Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      override def toBatch: BatchWrite = buildForBatch()
+      override def toStreaming: StreamingWrite = buildForStreaming()
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          specs.map {
+            case IdentityPart(c) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c): org.apache.spark.sql.connector.expressions.Expression
+            case BucketPart(n, c) =>
+              org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+          }.toArray)
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+    }
+  }
+
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
-      autoCompactRows, maxSegments, partCols, replaceFiles)
+      autoCompactRows, maxSegments, partCols, replaceFiles,
+      distributeByPartition = distributeByPartition)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -2482,7 +2519,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
         "(declare PARTITIONED BY / the partitionBy write option)")
     new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
-      dynamicOverwrite = true)
+      dynamicOverwrite = true, distributeByPartition = distributeByPartition)
   }
 
   override def buildForBatch(): BatchWrite =

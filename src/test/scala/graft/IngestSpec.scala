@@ -1373,6 +1373,37 @@ class IngestSpec extends SparkSpec {
     assert(spark.sql("SHOW NAMESPACES IN gns").collect().isEmpty)
   }
 
+  test("distributionMode=hash clusters writes by partition tuple: one file each") {
+    val wh = Files.createTempDirectory("graft_dist").toString
+    spark.conf.set("spark.sql.catalog.gdist", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdist.base", wh)
+    // Without the property: one file per (task x bucket) — the
+    // documented small-files footgun.
+    spark.sql("""CREATE TABLE gdist.plain (id BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, id))""")
+    spark.sql("""INSERT INTO gdist.plain
+      SELECT /*+ REPARTITION(4) */ id, id FROM range(400)""")
+    val plainFiles = graft.sources.ManifestSink
+      .committedFiles(java.nio.file.Paths.get(wh, "plain").toString).size
+    assert(plainFiles > 4, s"unclustered write fans out: $plainFiles files")
+    // With it: the WRITE declares a required clustering by the bucket
+    // transform, Spark shuffles rows to co-locate tuples, and each
+    // bucket lands as ONE file regardless of upstream parallelism.
+    spark.sql("""CREATE TABLE gdist.hash (id BIGINT, v BIGINT)
+      PARTITIONED BY (bucket(4, id))
+      TBLPROPERTIES ('distributionMode'='hash')""")
+    spark.sql("""INSERT INTO gdist.hash
+      SELECT /*+ REPARTITION(4) */ id, id FROM range(400)""")
+    val hashFiles = graft.sources.ManifestSink
+      .committedFiles(java.nio.file.Paths.get(wh, "hash").toString).size
+    assert(hashFiles == 4, s"clustered write: one file per bucket, got $hashFiles")
+    assert(spark.sql("SELECT count(*) FROM gdist.hash").head.getLong(0) == 400)
+    assert(spark.sql(
+      "SELECT count(DISTINCT id) FROM gdist.hash").head.getLong(0) == 400)
+    spark.sql("DROP TABLE gdist.plain")
+    spark.sql("DROP TABLE gdist.hash")
+  }
+
   test("GraftCatalog CTAS/RTAS: CREATE TABLE AS SELECT lands as a manifest table") {
     val wh = Files.createTempDirectory("graft_ctas").toString
     spark.conf.set("spark.sql.catalog.gcts", "graft.sources.GraftCatalog")
