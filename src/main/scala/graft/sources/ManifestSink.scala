@@ -2060,6 +2060,14 @@ private[sources] class ManifestScan(path: String, full: StructType,
     }
   }
 
+  // Observability counters (SQL UI custom metrics): entries EXAMINED
+  // during planning (inline + read-segment entries; wholesale-skipped
+  // segments' entries are exactly the ones never counted because never
+  // read) vs entries PLANNED. Set during planning, reported by
+  // reportDriverMetrics after planInputPartitions.
+  @volatile private var examinedEntries = 0L
+  @volatile private var plannedEntries = 0L
+
   private def survivingEntries: Seq[StagedFile] = {
     def boundsKeep(e: StagedFile): Boolean =
       pushed.forall(f => ManifestStats.mayMatch(full, e, f))
@@ -2072,12 +2080,22 @@ private[sources] class ManifestScan(path: String, full: StructType,
         runtimeFileSubset.forall(_.contains(e.name)) && boundsKeep(e) &&
         pushed.forall(f => bucketKeep(e, f))
     val txt = ManifestSink.manifestTextAt(path, version)
+    var examined = 0L
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
       if (r.summary.exists(s => !boundsKeep(s))) Nil
-      else ManifestSink.parseEntries(
-        ManifestSink.segmentTextStrict(path, r.name)).filter(keep)
+      else {
+        val es = ManifestSink.parseEntries(
+          ManifestSink.segmentTextStrict(path, r.name))
+        examined += es.size
+        es.filter(keep)
+      }
     }
-    segEntries ++ ManifestSink.parseEntries(txt).filter(keep)
+    val inline = ManifestSink.parseEntries(txt)
+    examined += inline.size
+    val out = segEntries ++ inline.filter(keep)
+    examinedEntries = examined
+    plannedEntries = out.size
+    out
   }
 
   private def fileSize(f: StagedFile): Long = ManifestSink.fileSize(path, f)
@@ -2203,6 +2221,17 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * AFTER file skipping; bytes from the surviving files, scaled by the
     * projected column fraction so a pruned scan advertises its true
     * width. */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FilesReadMetric, new FilesSkippedMetric,
+      new DvRowsSkippedMetric)
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TaskMetric("filesRead", plannedEntries),
+      TaskMetric("filesSkipped",
+        math.max(examinedEntries - plannedEntries, 0L)))
+
   override def estimateStatistics(): Statistics = {
     val entries = survivingEntries
     val rows = entries.map(_.liveRows).sum
@@ -2309,6 +2338,32 @@ private[sources] class ManifestMicroBatchStream(path: String,
     new ManifestReaderFactory(required)
 }
 
+/** Scan observability (Spark SQL UI custom metrics): what file
+  * skipping and deletion vectors actually did to this query — the
+  * numbers a 100 TB operator reads before anything else. */
+private[sources] final class FilesSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesSkipped"
+  override def description(): String =
+    "committed files pruned by manifest stats (never opened)"
+}
+private[sources] final class FilesReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "filesRead"
+  override def description(): String = "committed files planned for read"
+}
+private[sources] final class DvRowsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "dvRowsSkipped"
+  override def description(): String =
+    "rows suppressed by deletion vectors at read time"
+}
+private[sources] final case class TaskMetric(metricName: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 private[sources] class ManifestReaderFactory(required: StructType,
     serveFileColumn: Boolean = false, servePos: Boolean = false)
     extends PartitionReaderFactory {
@@ -2368,11 +2423,19 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
         now.filter(o => java.util.Arrays.binarySearch(old, o) < 0)
     }
   }.orNull
+  private var dvSkipped = 0L
   private def dvKeep(lineStart: Long): Boolean =
     if (onlyOffsets != null)
       java.util.Arrays.binarySearch(onlyOffsets, lineStart) >= 0
-    else skipOffsets == null ||
-      java.util.Arrays.binarySearch(skipOffsets, lineStart) < 0
+    else if (skipOffsets != null &&
+        java.util.Arrays.binarySearch(skipOffsets, lineStart) >= 0) {
+      dvSkipped += 1
+      false
+    } else true
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(TaskMetric("dvRowsSkipped", dvSkipped))
   private val in = new java.io.BufferedInputStream(
     try Files.newInputStream(Paths.get(file))
     catch {

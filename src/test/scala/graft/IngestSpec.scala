@@ -1479,6 +1479,30 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdyn.u")
   }
 
+  test("scan custom metrics: filesRead/filesSkipped/dvRowsSkipped surface in the plan") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_metrics").toString
+    spark.conf.set("spark.sql.catalog.gmet", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmet.base", wh)
+    spark.sql("""CREATE TABLE gmet.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(4, col("id")).writeTo("gmet.t").append()
+    spark.sql("DELETE FROM gmet.t WHERE id >= 100 AND id <= 104")
+    // A pruned scan: bounds prove 3 of 4 files irrelevant; the read
+    // file's vector suppresses the 5 deleted rows.
+    val q = spark.sql("SELECT id FROM gmet.t WHERE id BETWEEN 0 AND 249")
+    assert(q.collect().length == 245)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.metrics("filesRead").value == 1, scan.metrics("filesRead"))
+    assert(scan.metrics("filesSkipped").value == 3, scan.metrics("filesSkipped"))
+    assert(scan.metrics("dvRowsSkipped").value == 5,
+      scan.metrics("dvRowsSkipped"))
+    spark.sql("DROP TABLE gmet.t")
+  }
+
   test("deletion vectors: merge-on-read MERGE upserts without rewriting files") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dvm").toString
