@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
-    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = _
   private var base: Path = _
 
@@ -307,6 +308,20 @@ class GraftCatalog extends TableCatalog
     Files.createDirectories(to.getParent)
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
   }
+
+  // ----- ProcedureCatalog: table maintenance through SQL `CALL`
+  // (`CALL cat.system.compact(...)` — see [[GraftProcedures]]).
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.all(base).getOrElse(ident.name(),
+      throw new RuntimeException(
+        s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+          s"is not defined; available: ${GraftProcedures.all(base).keys.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.all(base).keys
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ----- SupportsNamespaces: a namespace IS a directory under base,
   // marked by `_namespace.json` (its properties, one JSON line) so an

@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** The table-maintenance SQL front door — Spark 4's native procedure
+  * API (`ProcedureCatalog` + the `CALL` statement), the Iceberg
+  * `CALL catalog.system.rewrite_data_files(...)` shape:
+  *
+  * {{{
+  * CALL cat.system.compact('db.t', 100000)
+  * CALL cat.system.expire_snapshots('db.t', 3)
+  * CALL cat.system.vacuum('db.t')              -- 7-day default age
+  * SHOW PROCEDURES IN cat.system
+  * }}}
+  *
+  * Each procedure resolves the dotted table name inside THIS catalog's
+  * base directory, runs the corresponding `ManifestSink`/`ManifestOps`
+  * maintenance operation at CALL EXECUTION (never at analysis — an
+  * EXPLAIN must not compact anything, which is why these are
+  * procedures and not table-valued functions), and returns its counts
+  * as a one-row result. */
+private[sources] object GraftProcedures {
+
+  private def longParam(n: String, comment: String): ProcedureParameter =
+    ProcedureParameter.in(n, LongType).comment(comment).build()
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("dotted table name inside this catalog, e.g. 'db.t'").build()
+
+  private def result(schema: StructType, vals: Array[Any])
+      : java.util.Iterator[Scan] =
+    java.util.List.of(new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(new GenericInternalRow(vals))
+      override def readSchema(): StructType = schema
+    }: Scan).iterator()
+
+  /** `(catalog base, dotted name) -> table directory`, refusing names
+    * that resolve no manifest table. */
+  private def dirOf(base: Path, table: String): String = {
+    val parts = table.split("\\.").toSeq
+    parts.foreach(p => require(!p.contains("/") && !p.contains("\\") &&
+      p != ".." && p.nonEmpty, s"invalid table name part: '$p'"))
+    val dir = parts.foldLeft(base)(_.resolve(_))
+    require(Files.exists(GraftCatalog.metaPath(dir)),
+      s"no table '$table' under $base")
+    dir.toString
+  }
+
+  def all(base: Path): Map[String, UnboundProcedure] = Map(
+    "compact" -> new UnboundProcedure {
+      override def name(): String = "compact"
+      override def description(): String =
+        "bin-pack files below target_rows into fewer files (one atomic swap); " +
+          "materializes deletion vectors of the files it merges"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "compact"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, longParam("target_rows",
+              "files with fewer rows than this are merge candidates"))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val merged = ManifestSink.compact(dir, input.getLong(1))
+            result(StructType(Seq(
+              StructField("merged_files", IntegerType, nullable = false))),
+              Array[Any](merged))
+          }
+        }
+    },
+    "expire_snapshots" -> new UnboundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String =
+        "drop retained generations beyond keep_last and GC files only they reference"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "expire_snapshots"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam,
+              longParam("keep_last", "how many newest generations to keep"))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val (files, gens) =
+              ManifestSink.expireSnapshots(dir, input.getLong(1).toInt)
+            result(StructType(Seq(
+              StructField("data_files_deleted", IntegerType, nullable = false),
+              StructField("generations_dropped", IntegerType, nullable = false))),
+              Array[Any](files, gens))
+          }
+        }
+    },
+    "vacuum" -> new UnboundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String =
+        "age-guarded GC of unreferenced data files, DV sidecars, and crashed staging dirs"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "vacuum"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("older_than_ms", LongType)
+              .defaultValue(String.valueOf(7L * 24 * 3600 * 1000))
+              .comment("only files older than this are collected").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val (data, staging) = ManifestOps.vacuum(dir, input.getLong(1))
+            result(StructType(Seq(
+              StructField("data_files_deleted", IntegerType, nullable = false),
+              StructField("staging_dirs_deleted", IntegerType, nullable = false))),
+              Array[Any](data, staging))
+          }
+        }
+    })
+}

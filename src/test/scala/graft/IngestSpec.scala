@@ -1345,6 +1345,37 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvu.t")
   }
 
+  test("CALL procedures: compact / expire_snapshots / vacuum through SQL") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_call").toString
+    spark.conf.set("spark.sql.catalog.gcall", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcall.base", wh)
+    spark.sql("""CREATE TABLE gcall.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+    (0 until 4).foreach(k =>
+      spark.sql(s"INSERT INTO gcall.t SELECT id, id FROM range(${k * 50}, ${k * 50 + 50})"))
+    spark.sql("DELETE FROM gcall.t WHERE id % 10 = 3") // DV sidecar
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val filesBefore = graft.sources.ManifestSink.committedFiles(dir).size
+    // compact: bin-packs the 4 small files and materializes the vector.
+    val merged = spark.sql("CALL gcall.system.compact('t', 100000)")
+      .head.getInt(0)
+    assert(merged == filesBefore, s"all $filesBefore files merge: $merged")
+    assert(spark.sql("SELECT count(*) FROM gcall.t").head.getLong(0) == 180)
+    // expire_snapshots: drop all but the newest generation.
+    val exp = spark.sql("CALL gcall.system.expire_snapshots('t', 1)").head
+    assert(exp.getInt(1) >= 4, s"generations dropped: ${exp.getInt(1)}")
+    // vacuum with a zero age floor sweeps nothing live.
+    val vac = spark.sql("CALL gcall.system.vacuum('t', 0)").head
+    assert(vac.getInt(0) == 0, "vacuum must not collect referenced files")
+    assert(spark.sql("SELECT count(*) FROM gcall.t").head.getLong(0) == 180)
+    // Discovery: SHOW PROCEDURES lists the maintenance surface.
+    val names = spark.sql("SHOW PROCEDURES IN gcall.system")
+      .collect().map(r => r.getString(r.length - 1)).toSet
+    assert(names == Set("compact", "expire_snapshots", "vacuum"), s"$names")
+    spark.sql("DROP TABLE gcall.t")
+  }
+
   test("GraftCatalog namespaces: CREATE/SHOW/ALTER/DROP SCHEMA round-trip") {
     val wh = Files.createTempDirectory("graft_ns").toString
     spark.conf.set("spark.sql.catalog.gns", "graft.sources.GraftCatalog")
