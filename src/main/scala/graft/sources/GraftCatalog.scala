@@ -313,11 +313,14 @@ class GraftCatalog extends TableCatalog
   // (`CALL cat.system.compact(...)` — see [[GraftProcedures]]).
 
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    GraftProcedures.all(base).getOrElse(ident.name(),
-      throw new RuntimeException(
-        s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-          s"is not defined; available: ${GraftProcedures.all(base).keys.mkString(", ")}"))
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    def undefined = throw new RuntimeException(
+      s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+        "is not defined; available: " +
+        GraftProcedures.all(base).keys.map(n => s"system.$n").mkString(", "))
+    if (!ident.namespace().sameElements(Array("system"))) undefined
+    GraftProcedures.all(base).getOrElse(ident.name(), undefined)
+  }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.all(base).keys
