@@ -1293,6 +1293,20 @@ class IngestSpec extends SparkSpec {
     val postCompact = spark.sql("SELECT id, v FROM gdv.t").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(postCompact == preCompact)
+
+    // Subquery predicates route through the same position-delta plan —
+    // the CDC-apply shape (DELETE WHERE key IN (SELECT ...)) with no
+    // key collection on the driver and still no file rewrite.
+    val preSub = dataFiles
+    val preCount = spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0)
+    val victims = spark.sql("SELECT id FROM gdv.t ORDER BY id DESC LIMIT 3")
+      .collect().map(_.getLong(0))
+    spark.range(0, 3).selectExpr(s"id + ${victims.min} AS did")
+      .createOrReplaceTempView("gdv_kill")
+    spark.sql("DELETE FROM gdv.t WHERE id IN (SELECT did FROM gdv_kill)")
+    assert(dataFiles == preSub, "subquery DELETE stays merge-on-read")
+    assert(spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0) ==
+      preCount - 3)
     spark.sql("DROP TABLE gdv.t")
   }
 
