@@ -250,4 +250,91 @@ object Multimodal {
   /** Encode → decode → extract, end to end over the documents table. */
   def imageFeatureTable(documents: DataFrame): DataFrame =
     decodeImageFeatures(attachPngMedia(documents)).toDF()
+
+  // ---------------------------------------------------------------------
+  // REAL audio codec lane (`javax.sound.sampled` — WAV container IO is
+  // pure JVM and headless-safe): same discipline as the PNG lane —
+  // deterministic synthetic PCM whose samples are a closed form of
+  // doc_id, encoded into a real RIFF/WAVE container on executors,
+  // decoded BACK from the container bytes, reduced to integer-exact
+  // sample statistics the oracle recomputes without decoding.
+  // ---------------------------------------------------------------------
+
+  /** Synthetic 16-bit mono PCM WAV for doc `d`: n = 64 + d%32 samples
+    * of the integer sawtooth s(i) = (i·k mod 2a) − a with amplitude
+    * a = d%1000 + 1 and step k = d%7 + 1 — bounded well inside 16-bit
+    * range, every sample an exact integer on both engines. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val n = (64 + docId % 32).toInt
+    val a = (docId % 1000).toInt + 1
+    val k = (docId % 7).toInt + 1
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (i * k) % (2 * a) - a
+      pcm(2 * i) = (s & 0xFF).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+      true /* signed */, false /* little-endian */)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-clip features from a REAL WAV decode: frame count plus exact
+    * integer sample sum and energy (sum of squares). */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long,
+      sum_s: Long, sum_sq: Long)
+
+  /** Decode WAV payloads with `javax.sound.sampled` and extract
+    * sample-exact statistics — the audio twin of
+    * [[decodeImageFeatures]], same repartition-before-decode and
+    * iterator-per-partition shape. */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    media
+      .select(col("doc_id").cast("long"), col("media"))
+      .repartition(parts, col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"doc $id: expected 16-bit mono PCM, got $fmt")
+            val raw = ais.readAllBytes()
+            val n = raw.length / 2
+            var sum = 0L; var sq = 0L
+            var i = 0
+            while (i < n) {
+              val s: Int =
+                ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort.toInt
+              sum += s
+              sq += s.toLong * s
+              i += 1
+            }
+            AudioFeatures(id, n.toLong, sum, sq)
+          } finally ais.close()
+        }
+      }
+  }
+
+  /** Encode → decode → extract over the documents table (audio). */
+  def audioFeatureTable(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    decodeAudioFeatures(
+      documents.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map(id => (id, syntheticWav(id))))
+        .toDF("doc_id", "media")).toDF()
+  }
 }

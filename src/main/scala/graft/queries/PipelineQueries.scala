@@ -732,6 +732,32 @@ object PipelineQueries {
           col("sum_r"), col("sum_g"), col("sum_b"))
     },
 
+    // REAL audio decode (`javax.sound.sampled` WAV container IO — the
+    // audio twin of mm10, no stub anywhere): per doc a deterministic
+    // 16-bit mono PCM sawtooth (s(i) = (i·k mod 2a) − a, a = d%1000+1,
+    // k = d%7+1, n = 64 + d%32 samples) is encoded into a real
+    // RIFF/WAVE container on executors, decoded BACK from the container
+    // bytes, and reduced to integer-exact sample sum and energy. The
+    // oracle recomputes the closed forms over an explicit sample list —
+    // one mis-decoded sample anywhere breaks the hash.
+    QuerySpec(
+      "mm11_wav_decode",
+      """WITH g AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    doc_id % 1000 + 1 AS a, doc_id % 7 + 1 AS k
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n), i -> (i * k) % (2 * a) - a) AS smp
+        |  FROM g)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(smp) AS BIGINT) AS sum_s,
+        |  CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq
+        |FROM s""".stripMargin) { (s, dir) =>
+      Multimodal.audioFeatureTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_samples"), col("sum_s"), col("sum_sq"))
+    },
+
     // Decode + feature extraction through the mapPartitions stub (real
     // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
     // payload checksum is a mod-2^63 byte fold the oracle replays over

@@ -72,6 +72,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wav lane: real RIFF/WAVE bytes decode back to the closed-form samples") {
+    val wav = Multimodal.syntheticWav(13L)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "payload must carry the RIFF/WAVE container signature")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val raw = ais.readAllBytes()
+    val n = (64 + 13 % 32).toInt
+    assert(raw.length == n * 2)
+    val (a, k) = (13 % 1000 + 1, 13 % 7 + 1)
+    (0 until n).foreach { i =>
+      val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xFF)).toShort.toInt
+      assert(s == (i * k) % (2 * a) - a, s"sample $i diverges")
+    }
+    // End-to-end through Spark for a spread of ids.
+    val ids = Seq(0L, 1L, 999L, 1000L, 31L, 7654321L)
+    val feats = Multimodal.audioFeatureTable(
+        ids.map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    ids.foreach { d =>
+      val nn = (64 + d % 32).toInt
+      val (aa, kk) = ((d % 1000 + 1).toInt, (d % 7 + 1).toInt)
+      val smp = (0 until nn).map(i => (i * kk) % (2 * aa) - aa)
+      assert(feats(d) == ((nn.toLong, smp.map(_.toLong).sum,
+        smp.map(x => x.toLong * x).sum)), s"doc $d features diverge")
+    }
+  }
+
   test("frameSample keeps every stride-th byte") {
     val sampled = Multimodal.attachFakeMedia(docs)
       .where(col("doc_id") === 0)
