@@ -479,6 +479,31 @@ object ScaleProbe {
         println(s"""{"probe":"dv_delete","mode":"$t","factor":$f,""" +
           s""""rows":$n,"table_bytes":$tableBytes,""" +
           f""""delete_wall_ms":$wallMs%.0f,"bytes_written":$written}""")
+
+        // Same comparison for UPDATE: merge-on-read appends only the 16
+        // replacement rows (+ sidecar); copy-on-write rewrites every
+        // touched file in full.
+        val tu = s"${t}u"
+        spark.sql(s"""CREATE TABLE $cat.$tu (id BIGINT, v STRING)
+          TBLPROPERTIES ('deletionVectors'='$dvs')""")
+        spark.range(n).selectExpr("id",
+            "concat('payload-', id, '-', repeat('x', 40)) AS v")
+          .repartition(8)
+          .writeTo(s"$cat.$tu").append()
+        val dirU = wh.resolve(tu)
+        val beforeU = dirFiles(dirU)
+        val t1 = System.nanoTime()
+        spark.sql(s"UPDATE $cat.$tu SET v = concat(v, '!') " +
+          s"WHERE id IN (${ids.mkString(",")})")
+        val wallU = (System.nanoTime() - t1) / 1e6
+        val writtenU = dirFiles(dirU).collect {
+          case (name, sz) if !beforeU.contains(name) => sz
+        }.sum
+        require(spark.sql(s"SELECT count(*) FROM $cat.$tu")
+          .head.getLong(0) == n, s"$tu lost rows")
+        println(s"""{"probe":"dv_update","mode":"$t","factor":$f,""" +
+          s""""rows":$n,"table_bytes":${beforeU.values.sum},""" +
+          f""""update_wall_ms":$wallU%.0f,"bytes_written":$writtenU}""")
       }
     }
   }
