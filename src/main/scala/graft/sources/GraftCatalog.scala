@@ -125,7 +125,8 @@ class GraftCatalog extends TableCatalog
     // (see [[MetadataTables]]).
     Seq(MetadataTables.HistorySuffix -> MetadataTables.historySchema,
         MetadataTables.FilesSuffix -> MetadataTables.filesSchema,
-        MetadataTables.PartitionsSuffix -> MetadataTables.partitionsSchema)
+        MetadataTables.PartitionsSuffix -> MetadataTables.partitionsSchema,
+        MetadataTables.TagsSuffix -> MetadataTables.tagsSchema)
       .foreach { case (suffix, metaSchema) =>
         if (ident.name().endsWith(suffix)) {
           val baseIdent = Identifier.of(ident.namespace(),
@@ -141,6 +142,8 @@ class GraftCatalog extends TableCatalog
                 () => MetadataTables.historyRows(d)
               case MetadataTables.FilesSuffix =>
                 () => MetadataTables.filesRows(d)
+              case MetadataTables.TagsSuffix =>
+                () => MetadataTables.tagsRows(d)
               case _ =>
                 val partCols = readMeta(dir)._2
                 () => MetadataTables.partitionsRows(d, partCols)
@@ -157,16 +160,24 @@ class GraftCatalog extends TableCatalog
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
 
-  /** `VERSION AS OF v` time travel — resolves a RETAINED generation of
-    * the manifest (tables written with retainHistory). */
+  /** `VERSION AS OF v` time travel — a numeric version resolves a
+    * RETAINED generation of the manifest (tables written with
+    * retainHistory); a non-numeric one resolves through the table's
+    * TAGS (`VERSION AS OF 'training-v1'` — the Iceberg tag read). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!Files.exists(metaPath(dir)))
       throw new NoSuchTableException(Seq(name()) ++
         ident.namespace().toSeq :+ ident.name())
     val (schema, partCols, props) = readMeta(dir)
-    new ManifestTable(dir.toString, schema, Some(version.toLong), partCols,
-      props)
+    val gen =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else ManifestSink.readTags(dir.toString).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"table ${ident.name()} has no tag '$version'; tags: " +
+            ManifestSink.readTags(dir.toString).keys.toSeq.sorted
+              .mkString(", ")))
+    new ManifestTable(dir.toString, schema, Some(gen), partCols, props)
   }
 
   /** `TIMESTAMP AS OF t` time travel: resolve the newest commit at or

@@ -97,6 +97,54 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "create_tag" -> new UnboundProcedure {
+      override def name(): String = "create_tag"
+      override def description(): String =
+        "name a generation (default: current) as an expiry-proof tag, " +
+          "readable via VERSION AS OF '<tag>'"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "create_tag"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam,
+              ProcedureParameter.in("tag", StringType)
+                .comment("non-numeric tag name").build(),
+              ProcedureParameter.in("generation", LongType)
+                .defaultValue("-1")
+                .comment("generation to tag; -1 = current").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val gen = ManifestSink.createTag(dir,
+              input.getUTF8String(1).toString,
+              Some(input.getLong(2)).filter(_ >= 0))
+            result(StructType(Seq(
+              StructField("tagged_generation", LongType, nullable = false))),
+              Array[Any](gen))
+          }
+        }
+    },
+    "drop_tag" -> new UnboundProcedure {
+      override def name(): String = "drop_tag"
+      override def description(): String =
+        "drop a tag; its generation becomes expirable again"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "drop_tag"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("tag", StringType)
+              .comment("tag name to drop").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val existed = ManifestSink.dropTag(dir,
+              input.getUTF8String(1).toString)
+            result(StructType(Seq(
+              StructField("existed", BooleanType, nullable = false))),
+              Array[Any](existed))
+          }
+        }
+    },
     "vacuum" -> new UnboundProcedure {
       override def name(): String = "vacuum"
       override def description(): String =

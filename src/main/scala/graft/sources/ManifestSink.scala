@@ -118,6 +118,11 @@ class ManifestSink extends TableProvider {
     val path = opts.get("path")
     require(path != null, "ManifestSink requires a 'path' option")
     val version = Option(opts.get("versionasof")).map(_.toLong)
+      .orElse(Option(opts.get("tagasof")).map(t =>
+        ManifestSink.readTags(path).getOrElse(t,
+          throw new IllegalArgumentException(
+            s"$path has no tag '$t'; tags: " +
+              ManifestSink.readTags(path).keys.toSeq.sorted.mkString(", ")))))
     // `df.write.partitionBy(...)` / catalog `PARTITIONED BY` arrive as
     // transforms; identity and bucket are meaningful for this format.
     val partCols = partitioning.toSeq.map {
@@ -1203,12 +1208,84 @@ object ManifestSink {
           "option retainHistory=true, and check expireSnapshots)")
   }
 
+  // ----- TAGS (Iceberg-style named snapshots): `_tags.json` maps tag
+  // name -> generation, written via temp + atomic rename under the
+  // publish lock. A tag makes its generation EXPIRY-PROOF — a
+  // reproducible "training-set v1" pointer that survives
+  // expireSnapshots until the tag itself is dropped. Read through
+  // `VERSION AS OF 'name'` (the catalog resolves non-numeric versions
+  // against tags) or the `tagAsOf` read option.
+
+  private[sources] val TagsName = "_tags.json"
+
+  def readTags(dir: String): Map[String, Long] = {
+    val p = Paths.get(dir, TagsName)
+    if (!Files.exists(p)) return Map.empty
+    NdjsonCodec.parseLine(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8).trim).collect {
+      case (k, NdjsonCodec.JsonTok(v)) => k -> v.toLong
+    }.toMap
+  }
+
+  private def writeTags(dir: Path, tags: Map[String, Long]): Unit = {
+    val json = tags.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + NdjsonCodec.escape(k) + "\":" + v
+    }.mkString("{", ",", "}") + "\n"
+    val tmp = dir.resolve(s".$TagsName.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(TagsName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tag `generation` (default: current) with `tag`. The generation
+    * must be resolvable — the current one always is; an older one needs
+    * a retained manifest (retainHistory), or the tag would point at
+    * nothing readable. */
+  def createTag(dir: String, tag: String,
+      generation: Option[Long] = None): Long = {
+    require(tag.nonEmpty && !tag.forall(_.isDigit),
+      s"tag '$tag' must be non-empty and non-numeric (numeric versions " +
+        "resolve as generations)")
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      val current = committedGeneration(dir)
+      val gen = generation.getOrElse(current)
+      require(gen == current ||
+        Files.exists(dirPath.resolve(generationManifestName(gen))),
+        s"generation $gen of $dir is not retained — tag the current " +
+          "generation or enable retainHistory")
+      // Tagging the CURRENT generation must survive later commits and
+      // expiry even on tables that never retained history: materialize
+      // its generation manifest now (a pointer copy; segments are
+      // immutable, and tag-referenced generations are expiry-proof).
+      if (!Files.exists(dirPath.resolve(generationManifestName(gen)))) {
+        val txt = manifestText(dir, ManifestName)
+        Files.write(dirPath.resolve(generationManifestName(gen)),
+          txt.getBytes(StandardCharsets.UTF_8))
+      }
+      writeTags(dirPath, readTags(dir) + (tag -> gen))
+      gen
+    }
+  }
+
+  /** Drop `tag`; its generation becomes expirable again. Returns true
+    * when the tag existed. */
+  def dropTag(dir: String, tag: String): Boolean = {
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      val tags = readTags(dir)
+      if (!tags.contains(tag)) false
+      else { writeTags(dirPath, tags - tag); true }
+    }
+  }
+
   /** Expire retained snapshots, keeping the most recent `keepLast`
     * generations (the current pointer always survives): drops the older
     * generation manifests and deletes every data file no RETAINED
     * manifest references — the deferred GC that retention mode trades
-    * truncate-time deletion for. Returns (data files deleted, snapshot
-    * manifests dropped). */
+    * truncate-time deletion for. TAGGED generations are expiry-proof:
+    * they stay resolvable (and keep their files) until the tag drops.
+    * Returns (data files deleted, snapshot manifests dropped). */
   def expireSnapshots(dir: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val dirPath = Paths.get(dir)
@@ -1222,7 +1299,8 @@ object ManifestSink {
             .map(_.group(1).toLong)).toSeq.sorted
         finally ls.close()
       val cutoff = current - keepLast + 1
-      val (drop, keep) = gens.partition(_ < cutoff)
+      val tagged = readTags(dir).values.toSet
+      val (drop, keep) = gens.partition(g => g < cutoff && !tagged.contains(g))
       // Lenient per-generation resolve: compaction documents that it
       // invalidates retained generations whose files it merges away —
       // such a generation may reference an already-swept segment, and

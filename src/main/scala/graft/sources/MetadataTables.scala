@@ -53,6 +53,17 @@ private[sources] object MetadataTables {
 
   val PartitionsSuffix = "$partitions"
 
+  val TagsSuffix = "$tags"
+
+  val tagsSchema: StructType = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("generation", LongType, nullable = false)))
+
+  def tagsRows(dir: String): Array[InternalRow] =
+    ManifestSink.readTags(dir).toSeq.sortBy(_._1).map { case (t, g) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(t), g))
+    }.toArray
+
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
     StructField("files", LongType, nullable = false),

@@ -1386,8 +1386,52 @@ class IngestSpec extends SparkSpec {
     // Discovery: SHOW PROCEDURES lists the maintenance surface.
     val names = spark.sql("SHOW PROCEDURES IN gcall.system")
       .collect().map(r => r.getString(r.length - 1)).toSet
-    assert(names == Set("compact", "expire_snapshots", "vacuum"), s"$names")
+    assert(names == Set("compact", "expire_snapshots", "vacuum",
+      "create_tag", "drop_tag"), s"$names")
     spark.sql("DROP TABLE gcall.t")
+  }
+
+  test("tags: named snapshots survive expiry and read via VERSION AS OF") {
+    val wh = Files.createTempDirectory("graft_tags").toString
+    spark.conf.set("spark.sql.catalog.gtag", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtag.base", wh)
+    spark.sql("""CREATE TABLE gtag.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    spark.sql("INSERT INTO gtag.t SELECT id, id FROM range(100)")    // gen 1
+    spark.sql("CALL gtag.system.create_tag('t', 'training-v1')")
+    spark.sql("INSERT INTO gtag.t SELECT id, id FROM range(100, 250)") // gen 2
+    spark.sql("INSERT INTO gtag.t SELECT id, id FROM range(250, 400)") // gen 3
+    // Read through the tag name (non-numeric VERSION AS OF).
+    assert(spark.sql("SELECT count(*) FROM gtag.t VERSION AS OF 'training-v1'")
+      .head.getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) FROM gtag.t").head.getLong(0) == 400)
+    // t$tags exposes the mapping.
+    val tags = spark.sql("SELECT tag, generation FROM gtag.`t$tags`")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tags == Map("training-v1" -> 1L))
+    // Expiry keeps the TAGGED generation (and its files) while dropping
+    // the untagged ones past the keep window.
+    spark.sql("CALL gtag.system.expire_snapshots('t', 1)")
+    assert(spark.sql("SELECT count(*) FROM gtag.t VERSION AS OF 'training-v1'")
+      .head.getLong(0) == 100,
+      "a tagged generation must survive expire_snapshots")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gtag.t VERSION AS OF 2").collect()
+    }
+    // Dropping the tag releases it: the next expiry collects gen 1.
+    spark.sql("CALL gtag.system.drop_tag('t', 'training-v1')")
+    spark.sql("CALL gtag.system.expire_snapshots('t', 1)")
+    intercept[Exception] {
+      spark.sql(
+        "SELECT count(*) FROM gtag.t VERSION AS OF 'training-v1'").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM gtag.t").head.getLong(0) == 400)
+    // Unknown tags fail with the available list.
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM gtag.t VERSION AS OF 'nope'").collect()
+    }
+    assert(err.getMessage.contains("no tag"), err.getMessage)
+    spark.sql("DROP TABLE gtag.t")
   }
 
   test("GraftCatalog namespaces: CREATE/SHOW/ALTER/DROP SCHEMA round-trip") {
