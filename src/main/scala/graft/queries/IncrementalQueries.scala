@@ -1469,6 +1469,46 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // SNAPSHOT TAGS (Iceberg's named refs): gen 1 is tagged
+    // 'training-v1', later commits append and DV-delete, snapshots
+    // beyond the keep window expire — and `VERSION AS OF 'training-v1'`
+    // must still reproduce EXACTLY the tagged state (the reproducible
+    // training-set read: the tag pins both the generation manifest and
+    // its files against expiry). Oracle: the gen-1 subset, recomputed.
+    QuerySpec(
+      "a33_snapshot_tags",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE doc_id % 2 = 0
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a33", dir)
+      val cat = "graft_a33"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .createOrReplaceTempView("a33_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a33_src WHERE doc_id % 2 = 0""") // gen 1
+      s.sql(s"CALL $cat.system.create_tag('docs', 'training-v1')")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a33_src WHERE doc_id % 2 = 1""") // gen 2
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 3 = 0") // gen 3 (DV)
+      s.sql(s"CALL $cat.system.expire_snapshots('docs', 1)")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs VERSION AS OF 'training-v1' GROUP BY lang""")
+    },
+
     // MERGE-ON-READ MERGE — a24's exact upsert semantics on a
     // deletion-vector table (Spark's WriteDelta plan instead of the
     // group-based rewrite): matched updates vector-delete the old
