@@ -530,6 +530,12 @@ object ManifestSink {
     * file work; minutes of hold time means the holder died). */
   private[sources] val DefaultLockLeaseMs: Long = 15L * 60 * 1000
 
+  /** How long an acquirer polls a LIVE (in-lease) lock before the loud
+    * concurrent-committer failure — two jobs committing at once is
+    * normal (the critical section is milliseconds), a lock held for
+    * seconds is a long publish worth surfacing. */
+  private[sources] val LockAcquireWaitMs: Long = 5000L
+
   /** Intra-JVM monitor per canonical table directory: the whole
     * acquire-or-break sequence below runs under it, so two committers
     * in ONE process can never interleave their staleness checks — the
@@ -541,10 +547,13 @@ object ManifestSink {
     * create-exclusive lock file carrying an OWNER TOKEN, released in
     * `finally` only if the token still matches (we never delete a lock
     * another committer legitimately re-acquired). A second concurrent
-    * committer FAILS (loudly) rather than silently dropping the first
-    * one's entries in a last-rename-wins race — UNLESS the existing
-    * lock is older than `leaseMs`, in which case it is treated as the
-    * debris of a crashed committer and reclaimed. The reclaim is
+    * committer first WAITS briefly ([[LockAcquireWaitMs]] — two jobs
+    * committing at once is normal, the critical section is
+    * milliseconds) and only then FAILS (loudly) rather than silently
+    * dropping the first one's entries in a last-rename-wins race —
+    * UNLESS the existing lock is older than `leaseMs`, in which case
+    * it is treated as the debris of a crashed committer and
+    * reclaimed. The reclaim is
     * race-hardened on three levels:
     *
     *   1. in-process, the entire acquire/break sequence holds a
@@ -584,7 +593,13 @@ object ManifestSink {
           "automatically) or delete the file to recover immediately.")
     val monitor = publishMonitors.computeIfAbsent(
       dir.toAbsolutePath.normalize.toString, _ => new Object)
-    monitor.synchronized {
+    // BOUNDED acquire wait: the critical section is milliseconds
+    // (compaction excepted, and it heartbeats), so two jobs committing
+    // at once is normal operation, not an error — briefly poll before
+    // concluding "concurrent committer". Past the wait the loud failure
+    // stands: a lock held for seconds means a live long publish, and
+    // queueing indefinitely behind it would just hide the contention.
+    def acquireOnce(): Unit = monitor.synchronized {
       if (!tryAcquire()) {
         val age =
           try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
@@ -645,6 +660,18 @@ object ManifestSink {
               s"lost the reacquire race on $dir after breaking a stale " +
                 s"$LockName — another committer won; retry this commit.")
         }
+      }
+    }
+    val acquireDeadline = System.currentTimeMillis + LockAcquireWaitMs
+    var acquired = false
+    while (!acquired) {
+      try { acquireOnce(); acquired = true }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent committer") &&
+              System.currentTimeMillis < acquireDeadline =>
+          Thread.sleep(25L + scala.util.Random.nextInt(50))
       }
     }
     try body finally {

@@ -1632,6 +1632,48 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvm.src")
   }
 
+  test("committer stress: concurrent appends, merges, and DV deletes all land") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = Files.createTempDirectory("graft_stress").toString
+    spark.conf.set("spark.sql.catalog.gstr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gstr.base", wh)
+    spark.sql("""CREATE TABLE gstr.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    // 4 workers over DISJOINT key ranges, each interleaving an append,
+    // a MoR MERGE upsert, and a DV DELETE — with the bounded lock
+    // acquire wait, overlapping commits queue briefly instead of
+    // failing, and every worker's effects must land.
+    val workers = (0 until 4).map { t =>
+      Future {
+        val lo = t * 100000L
+        spark.range(lo, lo + 200).selectExpr("id", "id AS v")
+          .writeTo("gstr.t").append()
+        spark.range(lo + 100, lo + 300).selectExpr("id", "id * 2 AS v")
+          .createOrReplaceTempView(s"gstr_src_$t")
+        spark.sql(s"""MERGE INTO gstr.t x USING gstr_src_$t s ON x.id = s.id
+          WHEN MATCHED THEN UPDATE SET v = s.v
+          WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+        spark.sql(s"DELETE FROM gstr.t WHERE id >= $lo AND id < ${lo + 50}")
+      }
+    }
+    workers.foreach(Await.result(_, 180.seconds))
+    // Per-worker final state: ids lo+50..lo+299; v = id for lo+50..99,
+    // id*2 for lo+100..299.
+    val rows = spark.sql("SELECT id, v FROM gstr.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 4 * 250, s"expected 1000 rows, got ${rows.size}")
+    (0 until 4).foreach { t =>
+      val lo = t * 100000L
+      (50 until 100).foreach(i => assert(rows(lo + i) == lo + i))
+      (100 until 300).foreach(i => assert(rows(lo + i) == (lo + i) * 2))
+      (0 until 50).foreach(i => assert(!rows.contains(lo + i)))
+    }
+    spark.sql("DROP TABLE gstr.t")
+  }
+
   test("deletion vectors: racing DELETEs serialize under the publish lock") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dvrace").toString
