@@ -124,6 +124,37 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "restore" -> new UnboundProcedure {
+      override def name(): String = "restore"
+      override def description(): String =
+        "republish a retained/tagged generation (numeric or tag name) as " +
+          "the new current — history moves forward, the restored-from " +
+          "state stays reachable"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "restore"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("version", StringType)
+              .comment("generation number or tag name").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val v = input.getUTF8String(1).toString
+            val gen =
+              if (v.nonEmpty && v.forall(_.isDigit)) v.toLong
+              else ManifestSink.readTags(dir).getOrElse(v,
+                throw new IllegalArgumentException(
+                  s"no tag '$v'; tags: " +
+                    ManifestSink.readTags(dir).keys.toSeq.sorted
+                      .mkString(", ")))
+            val now = ManifestSink.restore(dir, gen)
+            result(StructType(Seq(
+              StructField("restored_generation", LongType, nullable = false),
+              StructField("current_generation", LongType, nullable = false))),
+              Array[Any](gen, now))
+          }
+        }
+    },
     "drop_tag" -> new UnboundProcedure {
       override def name(): String = "drop_tag"
       override def description(): String =

@@ -1295,6 +1295,39 @@ object ManifestSink {
     }
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION AS OF`): republish
+    * a retained (or tagged) generation's file set as the NEW current
+    * generation — the write-audit-publish escape hatch: tag before a
+    * risky load, validate after, restore on failure. History moves
+    * FORWARD (the bad generations stay inspectable until expiry; the
+    * change feed sees the restore as retire+add, never a rewind), and
+    * every restored file must still exist — retention or a tag is what
+    * guarantees that. Returns the new current generation. */
+  def restore(dir: String, generation: Long): Long = {
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      val current = committedGeneration(dir)
+      require(generation != current, s"generation $generation is current")
+      val entries = resolveEntries(dir,
+        manifestTextAt(dir, Some(generation))) // throws if not retained
+      entries.flatMap(ownedNames).foreach(n =>
+        require(Files.exists(dirPath.resolve(n)),
+          s"cannot restore generation $generation of $dir: $n was " +
+            "GC'd — only retained/tagged generations restore"))
+      // Keep history through a restore regardless of table mode — and
+      // materialize the pre-restore CURRENT generation's manifest if
+      // the table never retained, so the restored-FROM state stays
+      // reachable and a mistaken restore is itself restorable.
+      if (!Files.exists(dirPath.resolve(generationManifestName(current))))
+        Files.write(dirPath.resolve(generationManifestName(current)),
+          manifestText(dir, ManifestName).getBytes(StandardCharsets.UTF_8))
+      publishManifest(dirPath, entries, current + 1, "restore",
+        retain = true)
+      sweepSegments(dirPath)
+      current + 1
+    }
+  }
+
   /** Drop `tag`; its generation becomes expirable again. Returns true
     * when the tag existed. */
   def dropTag(dir: String, tag: String): Boolean = {

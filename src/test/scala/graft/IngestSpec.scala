@@ -1387,7 +1387,7 @@ class IngestSpec extends SparkSpec {
     val names = spark.sql("SHOW PROCEDURES IN gcall.system")
       .collect().map(r => r.getString(r.length - 1)).toSet
     assert(names == Set("compact", "expire_snapshots", "vacuum",
-      "create_tag", "drop_tag"), s"$names")
+      "create_tag", "drop_tag", "restore"), s"$names")
     spark.sql("DROP TABLE gcall.t")
   }
 
@@ -1432,6 +1432,37 @@ class IngestSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no tag"), err.getMessage)
     spark.sql("DROP TABLE gtag.t")
+  }
+
+  test("restore: write-audit-publish rollback to a tagged generation") {
+    val wh = Files.createTempDirectory("graft_restore").toString
+    spark.conf.set("spark.sql.catalog.grst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grst.base", wh)
+    spark.sql("""CREATE TABLE grst.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.sql("INSERT INTO grst.t SELECT id, id FROM range(100)") // gen 1
+    spark.sql("CALL grst.system.create_tag('t', 'pre-load')")
+    // The "bad load": an append AND a DV delete corrupt the table.
+    spark.sql("INSERT INTO grst.t SELECT id, -1 FROM range(100, 160)") // gen 2
+    spark.sql("DELETE FROM grst.t WHERE id % 4 = 1") // gen 3
+    assert(spark.sql("SELECT count(*) FROM grst.t").head.getLong(0) == 120)
+    // Audit failed -> restore the tag. History moves FORWARD.
+    val r = spark.sql("CALL grst.system.restore('t', 'pre-load')").head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 4, s"$r")
+    val rows = spark.sql("SELECT id, v FROM grst.t").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rows == (0L until 100L).map(i => i -> i).toMap,
+      "restore must reproduce the tagged state exactly")
+    // The restored-FROM (bad) state stays reachable: a mistaken
+    // restore is itself restorable.
+    assert(spark.sql("SELECT count(*) FROM grst.t VERSION AS OF 3")
+      .head.getLong(0) == 120)
+    spark.sql("CALL grst.system.restore('t', '3')")
+    assert(spark.sql("SELECT count(*) FROM grst.t").head.getLong(0) == 120)
+    // The table stays fully writable after restores.
+    spark.sql("INSERT INTO grst.t VALUES (999, 999)")
+    assert(spark.sql("SELECT count(*) FROM grst.t").head.getLong(0) == 121)
+    spark.sql("DROP TABLE grst.t")
   }
 
   test("GraftCatalog namespaces: CREATE/SHOW/ALTER/DROP SCHEMA round-trip") {
