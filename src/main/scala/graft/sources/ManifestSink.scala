@@ -703,10 +703,10 @@ object ManifestSink {
     * strings lexically; a mixed or unparsable column drops its stat,
     * which only costs pruning, never correctness). Readers see the old
     * file set or the new one, never a mix; retired originals are
-    * deleted AFTER the swap (idempotent GC). NOTE: compaction rewrites
-    * the CURRENT snapshot only — retained time-travel generations that
-    * reference merged-away files become invalid, the expire-snapshots
-    * trade every table format makes.
+    * deleted AFTER the swap (idempotent GC) — UNLESS retained
+    * generations exist, in which case they stay on disk until
+    * expireSnapshots/vacuum collects them, so compaction never
+    * invalidates time travel or tagged snapshots.
     *
     * Returns the number of small files merged away. */
   def compact(dir: String, targetRows: Long): Int = {
@@ -775,8 +775,15 @@ object ManifestSink {
       }
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
-      merge.flatten.flatMap(ownedNames)
-        .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
+      // Retired originals leave the directory ONLY when no retained
+      // generation (or tag) can still reference them — on retained
+      // tables the merged-away files stay until expireSnapshots/vacuum
+      // collects them, so compaction no longer invalidates time travel
+      // or tagged snapshots (round-11 fix; the old behavior deleted
+      // unconditionally and documented the breakage as a trade).
+      if (!hasRetainedGenerations(dir))
+        merge.flatten.flatMap(ownedNames)
+          .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
       // Compaction collapsed every prior segment into one fresh one —
       // sweep the retired segments (and any crash orphans) now.
       sweepSegments(dirPath)
@@ -1361,12 +1368,14 @@ object ManifestSink {
       val cutoff = current - keepLast + 1
       val tagged = readTags(dir).values.toSet
       val (drop, keep) = gens.partition(g => g < cutoff && !tagged.contains(g))
-      // Lenient per-generation resolve: compaction documents that it
-      // invalidates retained generations whose files it merges away —
-      // such a generation may reference an already-swept segment, and
-      // expire must still be able to CLEAN IT UP, not wedge on it. An
-      // unreadable generation was already unreadable for time travel,
-      // so treating its references as empty loses nothing live.
+      // Lenient per-generation resolve: PRE-round-11 compaction deleted
+      // merged-away files unconditionally (invalidating retained
+      // generations); such a legacy generation may reference an
+      // already-swept segment, and expire must still be able to CLEAN
+      // IT UP, not wedge on it. An unreadable generation was already
+      // unreadable for time travel, so treating its references as
+      // empty loses nothing live. (Current compaction defers its GC on
+      // retained tables, so new generations stay valid.)
       def entriesOf(g: Long): Seq[StagedFile] =
         try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
         catch { case _: java.io.UncheckedIOException => Seq.empty }

@@ -1465,6 +1465,36 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE grst.t")
   }
 
+  test("compaction preserves tagged snapshots: originals stay until expiry") {
+    val wh = Files.createTempDirectory("graft_tagcompact").toString
+    spark.conf.set("spark.sql.catalog.gtc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtc.base", wh)
+    spark.sql("""CREATE TABLE gtc.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    (0 until 3).foreach(k => spark.sql(
+      s"INSERT INTO gtc.t SELECT id, id FROM range(${k * 10}, ${k * 10 + 10})"))
+    spark.sql("CALL gtc.system.create_tag('t', 'v2')") // gen 3 state, 30 rows
+    spark.sql("INSERT INTO gtc.t SELECT id, id FROM range(30, 40)") // gen 4
+    // Compaction merges everything — but the tagged snapshot's files
+    // must SURVIVE (deferred GC on retained tables), so the tag keeps
+    // reading exactly its state.
+    assert(spark.sql("CALL gtc.system.compact('t', 1000)").head.getInt(0) >= 4)
+    assert(spark.sql("SELECT count(*) FROM gtc.t").head.getLong(0) == 40)
+    assert(spark.sql("SELECT count(*) FROM gtc.t VERSION AS OF 'v2'")
+      .head.getLong(0) == 30,
+      "compaction must not invalidate a tagged snapshot")
+    // Expiry keeps the tag; dropping it releases the originals.
+    spark.sql("CALL gtc.system.expire_snapshots('t', 1)")
+    assert(spark.sql("SELECT count(*) FROM gtc.t VERSION AS OF 'v2'")
+      .head.getLong(0) == 30)
+    spark.sql("CALL gtc.system.drop_tag('t', 'v2')")
+    val (gone, _) = graft.sources.ManifestSink.expireSnapshots(
+      java.nio.file.Paths.get(wh, "t").toString, keepLast = 1)
+    assert(gone >= 3, s"dropped tag releases the merged-away originals: $gone")
+    assert(spark.sql("SELECT count(*) FROM gtc.t").head.getLong(0) == 40)
+    spark.sql("DROP TABLE gtc.t")
+  }
+
   test("GraftCatalog namespaces: CREATE/SHOW/ALTER/DROP SCHEMA round-trip") {
     val wh = Files.createTempDirectory("graft_ns").toString
     spark.conf.set("spark.sql.catalog.gns", "graft.sources.GraftCatalog")
