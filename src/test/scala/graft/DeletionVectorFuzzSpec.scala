@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** Seeded randomized end-to-end fuzz of the deletion-vector machinery
   * against an in-memory model: random interleavings of appends, SQL
   * DELETEs (point-set and range — exercising both the metadata-only
-  * and the position-delta routes), merge-on-read UPDATEs, and
+  * and the position-delta routes), merge-on-read UPDATEs and MERGEs,
+  * snapshot tags + RESTOREs (the model keeps per-tag copies), and
   * compaction (vector materialization) must leave the table exactly
   * equal to a HashMap replaying the same operations. Reads re-verify
   * under an adversarially small split size so vector application is
@@ -24,6 +25,9 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
       TBLPROPERTIES ('deletionVectors'='true')""")
     val model = collection.mutable.HashMap[Long, Long]()
+    // Tagged snapshots: tag name -> the model AS OF the tag, for
+    // replaying a random RESTORE later in the sequence.
+    val snapshots = collection.mutable.HashMap[String, Map[Long, Long]]()
     var nextId = 0L
     val dir = java.nio.file.Paths.get(wh, "t").toString
 
@@ -51,7 +55,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     }
 
     (0 until 8).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append a fresh batch (always possible)
           val n = 20 + rnd.nextInt(60)
           val rows = (0 until n).map { _ =>
@@ -102,7 +106,16 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           upd.foreach(id => model(id) = model(id) + 17L)
           kill.foreach(model.remove)
           ins.foreach { case (id, v) => model(id) = v }
-        case _ => // table empty and op needs rows: compact instead
+        case 6 if model.nonEmpty => // tag the current state
+          val tag = s"fz${seed}s$step"
+          spark.sql(s"CALL $cat.system.create_tag('t', '$tag')")
+          snapshots(tag) = model.toMap
+        case 7 if snapshots.nonEmpty => // restore a random tagged state
+          val tag = rnd.shuffle(snapshots.keys.toSeq).head
+          spark.sql(s"CALL $cat.system.restore('t', '$tag')")
+          model.clear()
+          model ++= snapshots(tag)
+        case _ => // op needs state it lacks: compact instead
           graft.sources.ManifestSink.compact(dir, targetRows = 200L)
       }
       if (rnd.nextInt(3) == 0) // interleave vector materialization
