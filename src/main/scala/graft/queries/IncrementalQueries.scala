@@ -1509,6 +1509,68 @@ object IncrementalQueries {
         FROM $cat.docs VERSION AS OF 'training-v1' GROUP BY lang""")
     },
 
+    // BRANCHES + WRITE-AUDIT-PUBLISH (Iceberg's writable refs): the
+    // corpus lands on main, a branch forks it (hard-linked files, own
+    // manifest), the branch takes an append AND a copy-on-write upsert
+    // in ISOLATION (main is provably untouched until publish), and
+    // fast_forward publishes the branch's file set as main's next
+    // generation in one swap. Oracle: the post-publish state rebuilt
+    // relationally — a branch write leaking early, lost at publish, or
+    // doubled across the hard links breaks the hashes.
+    QuerySpec(
+      "a34_branch_wap",
+      """WITH published AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 8 = 2 THEN text || '~b' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 8 = 2 THEN n_chars + 2 ELSE n_chars END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, 'branch doc ' || doc_id, 'bb', source,
+        |    11 + length(CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 11 = 5)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM published GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a34", dir)
+      val cat = "graft_a34"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.createOrReplaceTempView("a34_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a34_src")
+      s.sql(s"CALL $cat.system.create_branch('docs', 'wap')")
+      val bdir = wh.resolve("docs").resolve("_branch_wap").toString
+      // Branch-isolated writes: an upsert (every 8th doc marked) and an
+      // append of new docs.
+      graft.sources.ManifestOps.mergeInto(s, bdir,
+        docs.where(col("doc_id") % 8 === 2)
+          .withColumn("text", concat(col("text"), lit("~b")))
+          .withColumn("n_chars", col("n_chars") + 2), "doc_id")
+      docs.where(col("doc_id") % 11 === 5).select(
+          (col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("branch doc "), col("doc_id")).as("text"),
+          lit("bb").as("lang"), col("source"),
+          (lit(11) + length(col("doc_id").cast("string"))
+            .cast("long")).as("n_chars"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", wh.resolve("docs").toString)
+        .option("branch", "wap").mode("append").save()
+      s.sql(s"CALL $cat.system.fast_forward('docs', 'wap')")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // MERGE-ON-READ MERGE — a24's exact upsert semantics on a
     // deletion-vector table (Spark's WriteDelta plan instead of the
     // group-based rewrite): matched updates vector-delete the old

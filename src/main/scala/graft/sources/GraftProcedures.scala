@@ -124,6 +124,70 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "create_branch" -> new UnboundProcedure {
+      override def name(): String = "create_branch"
+      override def description(): String =
+        "fork the current state into a writable branch (hard-linked files, " +
+          "own manifest); read/write it via the branch=<name> option"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "create_branch"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("branch", StringType)
+              .comment("branch name").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            ManifestOps.createBranch(dir, input.getUTF8String(1).toString)
+            result(StructType(Seq(
+              StructField("created", BooleanType, nullable = false))),
+              Array[Any](true))
+          }
+        }
+    },
+    "fast_forward" -> new UnboundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String =
+        "publish a branch's file set as the parent's next generation " +
+          "(refused if the parent advanced since the fork)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "fast_forward"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("branch", StringType)
+              .comment("branch name").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val gen = ManifestOps.fastForward(dir,
+              input.getUTF8String(1).toString)
+            result(StructType(Seq(
+              StructField("current_generation", LongType, nullable = false))),
+              Array[Any](gen))
+          }
+        }
+    },
+    "drop_branch" -> new UnboundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String =
+        "delete a branch and its unpublished work"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "drop_branch"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("branch", StringType)
+              .comment("branch name").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val existed = ManifestOps.dropBranch(dir,
+              input.getUTF8String(1).toString)
+            result(StructType(Seq(
+              StructField("existed", BooleanType, nullable = false))),
+              Array[Any](existed))
+          }
+        }
+    },
     "restore" -> new UnboundProcedure {
       override def name(): String = "restore"
       override def description(): String =

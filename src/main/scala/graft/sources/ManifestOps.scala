@@ -206,4 +206,113 @@ object ManifestOps {
       (dataGone, stagingGone)
     }
   }
+
+  // ----- BRANCHES (Iceberg-style writable refs, the write-audit-publish
+  // fork): a branch is a SIBLING DIRECTORY (`<table>/_branch_<name>`)
+  // whose data files are HARD LINKS to the parent's — data files are
+  // immutable, so the link shares bytes the way Iceberg branches share
+  // files by path — plus its own manifest, lock, and generation
+  // counter. Every operation the format supports (appends, merges,
+  // deletion vectors, compaction) runs UNCHANGED against the branch
+  // directory; the parent never sees any of it until FAST-FORWARD
+  // publishes the branch's file set as the parent's next generation in
+  // one atomic swap (refused loudly if the parent advanced since the
+  // fork — recreate the branch to rebase). Branch dirs are invisible to
+  // scans (manifests name files, never directories) and to the GC
+  // sweeps (they only match data/segment/sidecar name shapes).
+
+  private[sources] def branchPath(dir: String, name: String): java.nio.file.Path = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_'),
+      s"invalid branch name '$name'")
+    java.nio.file.Paths.get(dir, s"_branch_$name")
+  }
+
+  /** Fork the CURRENT state into a new branch directory. */
+  def createBranch(dir: String, name: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dirPath = Paths.get(dir)
+    ManifestSink.withPublishLock(dirPath) {
+      val bdir = branchPath(dir, name)
+      require(!Files.exists(bdir), s"branch '$name' already exists on $dir")
+      Files.createDirectories(bdir)
+      val entries = ManifestSink.committedEntries(dir)
+      // Hard-link every committed data file + DV sidecar: zero-copy
+      // sharing of immutable bytes.
+      entries.flatMap(ManifestSink.ownedNames).distinct.foreach { n =>
+        Files.createLink(bdir.resolve(n), dirPath.resolve(n))
+      }
+      val base = ManifestSink.committedGeneration(dir)
+      // The branch starts at its OWN generation 'base' with the same
+      // entries (full single-segment manifest — segment files are
+      // branch-local, so no name collisions with the parent's).
+      ManifestSink.publishManifest(bdir, entries, base, "branch")
+      Files.write(bdir.resolve("_branch.json"),
+        s"""{"base":$base}\n""".getBytes("UTF-8"))
+    }
+  }
+
+  private def branchBase(bdir: java.nio.file.Path): Long = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      bdir.resolve("_branch.json")), "UTF-8")
+    NdjsonCodec.parseLine(txt.trim)("base") match {
+      case NdjsonCodec.JsonTok(v) => v.toLong
+      case other => throw new IllegalStateException(s"bad branch meta: $other")
+    }
+  }
+
+  /** Publish the branch's current file set as the parent's next
+    * generation — ONE atomic swap, refused loudly if the parent
+    * advanced past the branch's fork point (optimistic concurrency at
+    * ref granularity). Returns the parent's new generation. */
+  def fastForward(dir: String, name: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val dirPath = Paths.get(dir)
+    val bdir = branchPath(dir, name)
+    require(Files.exists(bdir.resolve("_branch.json")),
+      s"no branch '$name' on $dir")
+    ManifestSink.withPublishLock(dirPath) {
+      val current = ManifestSink.committedGeneration(dir)
+      val base = branchBase(bdir)
+      require(current == base,
+        s"cannot fast-forward branch '$name' of $dir: the parent advanced " +
+          s"from generation $base to $current since the fork — recreate " +
+          "the branch from the current state to rebase")
+      val branchEntries = ManifestSink.committedEntries(bdir.toString)
+      val mainEntries = ManifestSink.committedEntries(dir)
+      val mainNames = mainEntries.flatMap(ManifestSink.ownedNames).toSet
+      // New branch files (appends, merge rewrites, DV sidecars) link
+      // into the parent BEFORE the swap — invisible until the manifest
+      // names them.
+      branchEntries.flatMap(ManifestSink.ownedNames).distinct
+        .filterNot(mainNames.contains).foreach { n =>
+          if (!Files.exists(dirPath.resolve(n)))
+            Files.createLink(dirPath.resolve(n), bdir.resolve(n))
+        }
+      val retain = ManifestSink.hasRetainedGenerations(dir)
+      ManifestSink.publishManifest(dirPath, branchEntries, current + 1,
+        "fastforward", retain)
+      ManifestSink.sweepSegments(dirPath)
+      // Parent files the branch dropped (deletes/compaction on the
+      // branch) retire like any other swap — deferred under retention.
+      if (!retain) {
+        val kept = branchEntries.flatMap(ManifestSink.ownedNames).toSet
+        mainNames.filterNot(kept.contains)
+          .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
+      }
+      current + 1
+    }
+  }
+
+  /** Delete a branch directory (its unpublished work included). */
+  def dropBranch(dir: String, name: String): Boolean = {
+    import java.nio.file.Files
+    val bdir = branchPath(dir, name)
+    if (!Files.exists(bdir)) return false
+    val walk = Files.walk(bdir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    true
+  }
 }

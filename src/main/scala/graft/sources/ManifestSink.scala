@@ -74,8 +74,10 @@ class ManifestSink extends TableProvider {
     * whose sampled values are `1.5`-free infers long) — callers that
     * round-trip typed data supply `.schema(...)` and skip this. */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = options.get("path")
-    if (path == null) return new StructType()
+    val main = options.get("path")
+    if (main == null) return new StructType()
+    val path = Option(options.get("branch"))
+      .map(b => ManifestOps.branchPath(main, b).toString).getOrElse(main)
     val entries = ManifestSink.committedEntries(path)
     if (entries.isEmpty) return new StructType()
     val first = Paths.get(path, entries.head.name)
@@ -115,8 +117,14 @@ class ManifestSink extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val path = opts.get("path")
-    require(path != null, "ManifestSink requires a 'path' option")
+    val mainPath = opts.get("path")
+    require(mainPath != null, "ManifestSink requires a 'path' option")
+    // branch=<name> redirects the WHOLE table (reads, writes, DML,
+    // streaming) at the branch's directory — every operation the
+    // format supports runs unchanged against the fork.
+    val path = Option(opts.get("branch"))
+      .map(b => ManifestOps.branchPath(mainPath, b).toString)
+      .getOrElse(mainPath)
     val version = Option(opts.get("versionasof")).map(_.toLong)
       .orElse(Option(opts.get("tagasof")).map(t =>
         ManifestSink.readTags(path).getOrElse(t,

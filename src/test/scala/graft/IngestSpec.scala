@@ -1387,7 +1387,8 @@ class IngestSpec extends SparkSpec {
     val names = spark.sql("SHOW PROCEDURES IN gcall.system")
       .collect().map(r => r.getString(r.length - 1)).toSet
     assert(names == Set("compact", "expire_snapshots", "vacuum",
-      "create_tag", "drop_tag", "restore"), s"$names")
+      "create_tag", "drop_tag", "restore",
+      "create_branch", "fast_forward", "drop_branch"), s"$names")
     spark.sql("DROP TABLE gcall.t")
   }
 
@@ -1432,6 +1433,52 @@ class IngestSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("no tag"), err.getMessage)
     spark.sql("DROP TABLE gtag.t")
+  }
+
+  test("branches: isolated writes, atomic fast-forward, loud divergence") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_branch").toString
+    spark.conf.set("spark.sql.catalog.gbr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbr.base", wh)
+    spark.sql("CREATE TABLE gbr.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbr.t SELECT id, id FROM range(100)") // gen 1
+    spark.sql("CALL gbr.system.create_branch('t', 'audit')")
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    // Write to the BRANCH: an append plus a copy-on-write upsert — the
+    // parent must see none of it.
+    spark.range(100, 150).selectExpr("id", "id AS v")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("branch", "audit").mode("append").save()
+    graft.sources.ManifestOps.mergeInto(spark, s"$dir/_branch_audit",
+      spark.range(0, 10).selectExpr("id", "id * 100 AS v"), "id")
+    assert(spark.sql("SELECT count(*) FROM gbr.t").head.getLong(0) == 100,
+      "parent must not see branch writes")
+    assert(spark.sql("SELECT sum(v) FROM gbr.t WHERE id < 10")
+      .head.getLong(0) == 45, "parent values untouched")
+    val branch = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).option("branch", "audit").load()
+    assert(branch.count() == 150)
+    // Audit passed: fast-forward publishes the branch state atomically.
+    spark.sql("CALL gbr.system.fast_forward('t', 'audit')")
+    val rows = spark.sql("SELECT id, v FROM gbr.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size == 150)
+    assert(rows(5L) == 500 && rows(50L) == 50 && rows(120L) == 120)
+    spark.sql("CALL gbr.system.drop_branch('t', 'audit')")
+    // Divergence: the parent advances after the fork -> refuse loudly.
+    spark.sql("CALL gbr.system.create_branch('t', 'stale')")
+    spark.sql("INSERT INTO gbr.t VALUES (999, 999)")
+    val err = intercept[Exception] {
+      spark.sql("CALL gbr.system.fast_forward('t', 'stale')").collect()
+    }
+    assert(err.getMessage != null && (err.getMessage.contains("advanced") ||
+      (err.getCause != null && err.getCause.getMessage.contains("advanced"))),
+      s"wrong refusal: ${err.getMessage}")
+    spark.sql("CALL gbr.system.drop_branch('t', 'stale')")
+    assert(spark.sql("SELECT count(*) FROM gbr.t").head.getLong(0) == 151)
+    spark.sql("DROP TABLE gbr.t")
   }
 
   test("restore: write-audit-publish rollback to a tagged generation") {
