@@ -163,21 +163,30 @@ class GraftCatalog extends TableCatalog
   /** `VERSION AS OF v` time travel — a numeric version resolves a
     * RETAINED generation of the manifest (tables written with
     * retainHistory); a non-numeric one resolves through the table's
-    * TAGS (`VERSION AS OF 'training-v1'` — the Iceberg tag read). */
+    * TAGS first and then its BRANCHES (the Iceberg shared ref
+    * namespace: `VERSION AS OF 'training-v1'` reads a pinned snapshot,
+    * `VERSION AS OF 'audit'` reads a branch's CURRENT state). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!Files.exists(metaPath(dir)))
       throw new NoSuchTableException(Seq(name()) ++
         ident.namespace().toSeq :+ ident.name())
     val (schema, partCols, props) = readMeta(dir)
-    val gen =
-      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-      else ManifestSink.readTags(dir.toString).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"table ${ident.name()} has no tag '$version'; tags: " +
+    if (version.nonEmpty && version.forall(_.isDigit))
+      return new ManifestTable(dir.toString, schema, Some(version.toLong),
+        partCols, props)
+    ManifestSink.readTags(dir.toString).get(version) match {
+      case Some(gen) =>
+        new ManifestTable(dir.toString, schema, Some(gen), partCols, props)
+      case None =>
+        val bdir = ManifestOps.branchPath(dir.toString, version)
+        if (Files.exists(bdir.resolve("_branch.json")))
+          new ManifestTable(bdir.toString, schema, None, partCols, props)
+        else throw new IllegalArgumentException(
+          s"table ${ident.name()} has no tag or branch '$version'; tags: " +
             ManifestSink.readTags(dir.toString).keys.toSeq.sorted
-              .mkString(", ")))
-    new ManifestTable(dir.toString, schema, Some(gen), partCols, props)
+              .mkString(", "))
+    }
   }
 
   /** `TIMESTAMP AS OF t` time travel: resolve the newest commit at or

@@ -1460,6 +1460,10 @@ class IngestSpec extends SparkSpec {
     val branch = spark.read.format("graft.sources.ManifestSink")
       .schema(sch).option("path", dir).option("branch", "audit").load()
     assert(branch.count() == 150)
+    // SQL reads the branch's CURRENT state through the shared ref
+    // namespace (the Iceberg spelling).
+    assert(spark.sql("SELECT count(*) FROM gbr.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 150)
     // Audit passed: fast-forward publishes the branch state atomically.
     spark.sql("CALL gbr.system.fast_forward('t', 'audit')")
     val rows = spark.sql("SELECT id, v FROM gbr.t").collect()
