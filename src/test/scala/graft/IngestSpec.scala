@@ -1485,6 +1485,39 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gbr.t")
   }
 
+  test("branches compose with streaming: a tail follows the branch, not main") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_brstream").toString
+    spark.conf.set("spark.sql.catalog.gbs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbs.base", wh)
+    spark.sql("CREATE TABLE gbs.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gbs.t SELECT id, id FROM range(30)")
+    spark.sql("CALL gbs.system.create_branch('t', 'dev')")
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    // Branch-only append; main also advances (divergence is fine for a
+    // READER — only fast-forward cares).
+    spark.range(30, 50).selectExpr("id", "id AS v")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).option("branch", "dev").mode("append").save()
+    spark.sql("INSERT INTO gbs.t SELECT id, -id FROM range(100, 110)")
+    // The branch tail sees the fork's content + branch appends — none
+    // of main's post-fork rows.
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).option("branch", "dev").load()
+      .writeStream.format("memory").queryName("br_tail")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("br_tail").collect().map(_.getLong(0)).toSet
+      assert(ids == (0L until 50L).toSet,
+        s"branch tail must see fork + branch appends only: ${ids.size}")
+    } finally q.stop()
+    spark.sql("CALL gbs.system.drop_branch('t', 'dev')")
+    spark.sql("DROP TABLE gbs.t")
+  }
+
   test("restore: write-audit-publish rollback to a tagged generation") {
     val wh = Files.createTempDirectory("graft_restore").toString
     spark.conf.set("spark.sql.catalog.grst", "graft.sources.GraftCatalog")
