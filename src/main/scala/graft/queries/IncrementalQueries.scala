@@ -1469,6 +1469,32 @@ object IncrementalQueries {
         GROUP BY _change_type, lang""")
     },
 
+    // ORC round-trip (the second columnar format Spark ships natively):
+    // the corpus lands as partitioned ORC, reads back through the ORC
+    // reader with predicate pushdown + partition pruning, and the
+    // aggregate must match the parquet-derived oracle exactly — format
+    // portability of the exact-integer discipline, plus the escape
+    // hatch a real lakehouse needs when upstream systems emit ORC.
+    QuerySpec(
+      "a35_orc_roundtrip",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE n_chars >= 10
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val out = freshDir("a35", dir).resolve("docs_orc").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.partitionBy("lang").mode("overwrite").orc(out)
+      s.read.orc(out)
+        .where(col("n_chars") >= 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // SNAPSHOT TAGS (Iceberg's named refs): gen 1 is tagged
     // 'training-v1', later commits append and DV-delete, snapshots
     // beyond the keep window expire — and `VERSION AS OF 'training-v1'`
