@@ -58,6 +58,7 @@ object ManifestOps {
       if (t == null) false
       else if (t.getMessage != null &&
         (t.getMessage.contains("no longer committed") ||
+          t.getMessage.contains("deletion vector changed") ||
           t.getMessage.contains("concurrent committer") ||
           t.getMessage.contains("lost the reacquire race") ||
           t.getMessage.contains("lost the reclaim race") ||
@@ -123,7 +124,12 @@ object ManifestOps {
       .option("path", dir).mode("append")
     writeOptions.foreach { case (k, v) => w.option(k, v) }
     if (affected.nonEmpty)
-      w.option("replaceFiles", affected.map(_.name).mkString(","))
+      // `name=dvSidecar` pins the deletion vector the plan read: a
+      // concurrent merge-on-read delete between plan and swap fails
+      // the commit loudly (and the retry loop re-plans) instead of
+      // silently resurrecting the concurrently deleted rows.
+      w.option("replaceFiles", affected.map(e =>
+        e.name + e.dv.map("=" + _).getOrElse("")).mkString(","))
     w.save()
     affected.size
   }

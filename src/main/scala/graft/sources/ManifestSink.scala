@@ -654,10 +654,36 @@ object ManifestSink {
             try Some(new String(Files.readAllBytes(debris), StandardCharsets.UTF_8))
             catch { case _: java.io.IOException => None }
           if (got != holder) {
-            try {
-              Files.createLink(lock, debris)
-              Files.deleteIfExists(debris)
-            } catch { case _: java.io.IOException => () }
+            // Restore the live committer's lock before standing down —
+            // and VERIFY it is back: a swallowed restore failure would
+            // leave the live committer finishing its critical section
+            // unlocked (a third committer could then acquire
+            // concurrently). Preference order: hard link (atomic,
+            // never replaces a newer lock), then ATOMIC_MOVE of the
+            // debris back (filesystems without hard links), then a
+            // CREATE_NEW rewrite of the debris content. If the lock
+            // path EXISTS after any step — ours or a newer
+            // committer's — the directory is locked again and standing
+            // down is safe.
+            def restoreAttempt(step: => Unit): Boolean = {
+              try step catch { case _: Exception => () }
+              Files.exists(lock)
+            }
+            val restored =
+              restoreAttempt { Files.createLink(lock, debris) } ||
+              restoreAttempt { Files.move(debris, lock,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE) } ||
+              restoreAttempt { got.foreach(h => Files.write(lock,
+                h.getBytes(StandardCharsets.UTF_8),
+                java.nio.file.StandardOpenOption.CREATE_NEW)) }
+            try Files.deleteIfExists(debris)
+            catch { case _: java.io.IOException => () }
+            if (!restored)
+              throw new IllegalStateException(
+                s"broke a freshly re-acquired $LockName on $dir and could " +
+                  "not restore it (link, move, and rewrite all failed) — " +
+                  "the live committer is running unlocked; re-create " +
+                  s"$LockName manually or quiesce committers before retrying.")
             throw new IllegalStateException(
               s"lock activity detected on $dir while breaking a stale " +
                 s"$LockName — a live committer re-locked; its lock was restored.")
@@ -774,12 +800,20 @@ object ManifestSink {
         Files.move(tmp, dirPath.resolve(name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         // Live rows: materialization dropped the deleted lines. Merged
-        // bounds/null counts may overstate (they described the physical
-        // rows) — conservative in the sound direction for every proof.
+        // BOUNDS may overstate (they described the physical rows) —
+        // sound for min/max pruning: the physical range is a superset
+        // of the live range. NULL COUNTS are different: the proofs
+        // pair `nulls.c` with the entry's row total, and this entry's
+        // total is LIVE rows while the members' counts are PHYSICAL —
+        // if a group member carried a deletion vector the pairing is
+        // incoherent (physical nulls == live rows would wrongly prove
+        // all-null / prune IsNotNull). Drop the counts for such groups
+        // so null proofs stand down; DV-free groups keep the exact sum.
         StagedFile(name, group.map(_.liveRows).sum,
           mergeStats(group.map(_.stats).toSeq),
           Files.size(dirPath.resolve(name)),
-          mergeNullCounts(group.toSeq))
+          if (group.exists(_.dv.isDefined)) Map.empty[String, Long]
+          else mergeNullCounts(group.toSeq))
       }
       val next = big ++ keepSingles.flatten ++ merged
       publishManifest(dirPath, next, generation + 1, "compact")
@@ -942,38 +976,55 @@ object ManifestSink {
       val after = resolveEntries(path, eTxt)
       val retired = beforeEntries.filterNot(f => after.exists(_.name == f.name))
       val added = after.filterNot(f => before.contains(f.name))
-      // MERGE-ON-READ deletes: a file carried across the window whose
-      // deletion vector grew. The logical change is exactly the rows
-      // the new vector deletes beyond the old one — emitted by reading
-      // the file in `emitOnly new / except old` mode.
-      val dvGrew = after.flatMap(a =>
-        beforeEntries.find(b => b.name == a.name && b.dv != a.dv &&
-          a.dv.isDefined).map(b => (a, b)))
-      if (retired.isEmpty && dvGrew.isEmpty)
+      // MERGE-ON-READ row changes: a file carried across the window
+      // whose deletion vector CHANGED. Two directions, planned
+      // symmetrically so neither needs a driver-side offset read:
+      //  - rows in the NEW vector but not the old were deleted in the
+      //    window (`emitOnly new / except old` → "delete");
+      //  - rows in the OLD vector but not the new were RESURRECTED —
+      //    a RESTORE republished an older entry under the same name
+      //    with a smaller (or absent) vector (`emitOnly old / except
+      //    new` → "insert"). Without this leg a CDC consumer that
+      //    applied the delete window would diverge permanently.
+      // A direction whose source vector is absent plans nothing (no
+      // offsets to emit); a planned direction with an empty offset
+      // difference reads zero rows — correctness never depends on
+      // classifying growth vs shrinkage up front.
+      val dvChanged = after.flatMap(a =>
+        beforeEntries.find(b => b.name == a.name && b.dv != a.dv)
+          .map(b => (a, b)))
+      if (retired.isEmpty && dvChanged.isEmpty)
         plan(added.filter(keep), "insert").toArray
       else if (!changeFeed)
         throw new IllegalStateException(
           s"generations $s -> $e of $path retired files or rows " +
-            s"(${(retired.map(_.name) ++ dvGrew.map(_._1.name)).mkString(", ")}" +
-            ") — compaction, DELETE, truncate, or an epoch replay ran " +
-            "under this streaming read; a streamed table must stay " +
-            "append-only while tailed — pause maintenance, restart the " +
-            "stream from the current generation, or read with " +
-            "readChangeFeed=true to consume the changes")
-      else if (dvGrew.isEmpty && added.forall(_.name.startsWith("compact-")) &&
+            s"(${(retired.map(_.name) ++ dvChanged.map(_._1.name)).mkString(", ")}" +
+            ") — compaction, DELETE, truncate, restore, or an epoch " +
+            "replay ran under this streaming read; a streamed table " +
+            "must stay append-only while tailed — pause maintenance, " +
+            "restart the stream from the current generation, or read " +
+            "with readChangeFeed=true to consume the changes")
+      else if (dvChanged.isEmpty && added.forall(_.name.startsWith("compact-")) &&
           added.map(_.rows).sum == retired.map(_.liveRows).sum && added.nonEmpty)
         Array.empty // pure compaction: physical rewrite, no logical change
       else {
-        val dvDeletes: Seq[InputPartition] = dvGrew.flatMap { case (a, b) =>
+        val dvRowChanges: Seq[InputPartition] = dvChanged.flatMap { case (a, b) =>
           if (!keep(a)) Nil
-          else splitFile(path, a, maxSplitBytes).map {
-            case p: ManifestFilePartition =>
-              p.copy(constants = Map(ChangeTypeColumn -> "delete"),
-                dv = DvSpec(emitOnly = a.dv, emitExcept = b.dv)): InputPartition
-            case p => p
+          else {
+            def leg(src: Option[String], except: Option[String],
+                change: String): Seq[InputPartition] =
+              if (src.isEmpty) Nil
+              else splitFile(path, a, maxSplitBytes).map {
+                case p: ManifestFilePartition =>
+                  p.copy(constants = Map(ChangeTypeColumn -> change),
+                    dv = DvSpec(emitOnly = src, emitExcept = except))
+                    : InputPartition
+                case p => p
+              }
+            leg(a.dv, b.dv, "delete") ++ leg(b.dv, a.dv, "insert")
           }
         }
-        (plan(retired.filter(keep), "delete") ++ dvDeletes ++
+        (plan(retired.filter(keep), "delete") ++ dvRowChanges ++
           plan(added.filter(keep), "insert")).toArray
       }
     }
@@ -1322,24 +1373,31 @@ object ManifestSink {
     val dirPath = Paths.get(dir)
     withPublishLock(dirPath) {
       val current = committedGeneration(dir)
-      require(generation != current, s"generation $generation is current")
-      val entries = resolveEntries(dir,
-        manifestTextAt(dir, Some(generation))) // throws if not retained
-      entries.flatMap(ownedNames).foreach(n =>
-        require(Files.exists(dirPath.resolve(n)),
-          s"cannot restore generation $generation of $dir: $n was " +
-            "GC'd — only retained/tagged generations restore"))
-      // Keep history through a restore regardless of table mode — and
-      // materialize the pre-restore CURRENT generation's manifest if
-      // the table never retained, so the restored-FROM state stays
-      // reachable and a mistaken restore is itself restorable.
-      if (!Files.exists(dirPath.resolve(generationManifestName(current))))
-        Files.write(dirPath.resolve(generationManifestName(current)),
-          manifestText(dir, ManifestName).getBytes(StandardCharsets.UTF_8))
-      publishManifest(dirPath, entries, current + 1, "restore",
-        retain = true)
-      sweepSegments(dirPath)
-      current + 1
+      // Restore-to-current is a successful NO-OP (Delta's RESTORE
+      // semantics): `CALL system.restore` of a tag created at the
+      // current generation must not fail loudly — the table already IS
+      // the requested state, and publishing a fresh generation for it
+      // would only pollute history and the change feed.
+      if (generation == current) current
+      else {
+        val entries = resolveEntries(dir,
+          manifestTextAt(dir, Some(generation))) // throws if not retained
+        entries.flatMap(ownedNames).foreach(n =>
+          require(Files.exists(dirPath.resolve(n)),
+            s"cannot restore generation $generation of $dir: $n was " +
+              "GC'd — only retained/tagged generations restore"))
+        // Keep history through a restore regardless of table mode — and
+        // materialize the pre-restore CURRENT generation's manifest if
+        // the table never retained, so the restored-FROM state stays
+        // reachable and a mistaken restore is itself restorable.
+        if (!Files.exists(dirPath.resolve(generationManifestName(current))))
+          Files.write(dirPath.resolve(generationManifestName(current)),
+            manifestText(dir, ManifestName).getBytes(StandardCharsets.UTF_8))
+        publishManifest(dirPath, entries, current + 1, "restore",
+          retain = true)
+        sweepSegments(dirPath)
+        current + 1
+      }
     }
   }
 
@@ -1820,10 +1878,19 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // replaceFiles (internal, mergeInto's write half): this commit
     // RETIRES the named committed files in the same manifest swap that
     // publishes its own — the copy-on-write contract (read subset,
-    // rewrite, atomically swap old for new).
-    val replaceFiles = Option(info.options().get("replacefiles"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
+    // rewrite, atomically swap old for new). Each token is `name` or
+    // `name=dvSidecar` — the deletion vector the PLANNER saw; the
+    // commit fails loudly if a file's vector changed since (a
+    // concurrent merge-on-read delete the rewrite did not read).
+    val replaceFiles: Map[String, Option[String]] =
+      Option(info.options().get("replacefiles"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { tok =>
+          tok.split("=", 2) match {
+            case Array(n, d) => n -> Some(d)
+            case arr => arr(0) -> None
+          }
+        }.toMap)
+        .getOrElse(Map.empty[String, Option[String]])
     val partCols = Option(info.options().get("partitionby"))
       .map(PartSpec.splitList)
       .getOrElse(tablePartCols)
@@ -1887,10 +1954,11 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil,
-    rowLevel: Option[GraftRowLevelOperation] = None,
-    // Expose the `_file` runtime-filter attribute WITHOUT group
-    // recording — the delta-based (deletion-vector) operations want
-    // runtime file pruning but retire nothing wholesale.
+    rowLevel: Option[ScanRecorder] = None,
+    // Expose the `_file` runtime-filter attribute — the delta-based
+    // (deletion-vector) operations want runtime file pruning; they
+    // record the scanned set too, but only for conflict validation,
+    // never as a wholesale retire set.
     fileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -2111,7 +2179,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
     startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil,
-    rowLevel: Option[GraftRowLevelOperation] = None,
+    rowLevel: Option[ScanRecorder] = None,
     fileFilter: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2350,7 +2418,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
     // Row-level operations replace exactly the files they read: record
     // the planned set (post static pruning AND runtime group filter —
     // this plans again after filter()) for the write side to retire.
-    rowLevel.foreach(_.recordScanned(survivingEntries.map(_.name).toSet))
+    rowLevel.foreach(_.recordScanned(survivingEntries))
     keyedEntries match {
       case Some(keyed) =>
         keyed.flatMap { case (f, key, _) =>
@@ -2682,7 +2750,11 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     // Thunked: a row-level operation's replaced-file set is known only
     // after its scan executed (runtime group filtering narrows it), so
     // the committer resolves it at COMMIT time, not builder time.
-    replaceFiles: () => Set[String] = () => Set.empty,
+    // Name → deletion-vector sidecar AT SCAN TIME: the commit verifies
+    // each named file still carries exactly that vector (drift = a
+    // concurrent merge-on-read delete this rewrite never read).
+    replaceFiles: () => Map[String, Option[String]] =
+      () => Map.empty[String, Option[String]],
     dynamicOverwrite: Boolean = false,
     distributeByPartition: Boolean = false)
     extends WriteBuilder with SupportsTruncate
@@ -2910,7 +2982,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, truncate: Boolean, retain: Boolean = false,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
     partCols: Seq[String] = Nil,
-    replaceFilesFn: () => Set[String] = () => Set.empty,
+    replaceFilesFn: () => Map[String, Option[String]] =
+      () => Map.empty[String, Option[String]],
     dynamicOverwrite: Boolean = false)
     extends BatchWrite {
   // Direct-construction convenience (tests, internal callers).
@@ -2918,7 +2991,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       truncate: Boolean, retain: Boolean, maxSegments: Int,
       partCols: Seq[String], replaceFiles: Set[String]) =
     this(path, schema, queryId, truncate, retain, maxSegments, partCols,
-      () => replaceFiles)
+      () => replaceFiles.iterator.map(_ -> (None: Option[String])).toMap)
 
   private def staging: Path = Paths.get(path, s".staging-$queryId")
 
@@ -2960,12 +3033,30 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // still be committed — a file that vanished means a concurrent
       // rewrite won the race, and silently proceeding would resurrect
       // or double its rows. Fail loudly (optimistic concurrency).
-      val missing = replaceFiles -- priorAll.map(_.name).toSet
+      val missing = replaceFiles.keySet -- priorAll.map(_.name).toSet
       if (missing.nonEmpty)
         throw new IllegalStateException(
           s"replaceFiles names ${missing.mkString(", ")} are no longer " +
             s"committed in $path — a concurrent commit replaced them; " +
             "re-plan the merge against the current generation")
+      // DV-drift check (same optimistic-concurrency bar as above): a
+      // replaced file still committed by NAME whose deletion vector
+      // changed since the planner read it means a concurrent
+      // merge-on-read delete landed rows this rewrite never saw —
+      // retiring the file now would resurrect them. Fail loudly;
+      // mergeInto's retry loop re-plans against the new vector.
+      locally {
+        val priorByName = priorAll.iterator.map(e => e.name -> e.dv).toMap
+        val drifted = replaceFiles.toSeq.sortBy(_._1).collect {
+          case (n, dvAtScan) if priorByName.get(n).exists(_ != dvAtScan) => n
+        }
+        if (drifted.nonEmpty)
+          throw new IllegalStateException(
+            s"deletion vector changed on ${drifted.mkString(", ")} since " +
+              s"this rewrite planned against $path — a concurrent " +
+              "merge-on-read commit deleted rows in the replaced files; " +
+              "re-plan the merge against the current generation")
+      }
       // DYNAMIC PARTITION OVERWRITE: retire exactly the prior files
       // whose partition tuple appears among the written files' tuples.
       // Tuples come from recorded partValues (what the partitioned
@@ -3007,7 +3098,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
                 "partition-aligned layout first")
           doomed
         }
-      val retireNames = winnerNames ++ replaceFiles ++ dynRetire
+      val retireNames = winnerNames ++ replaceFiles.keySet ++ dynRetire
       val prior =
         if (truncate) Seq.empty
         else priorAll.filterNot(f => retireNames.contains(f.name))

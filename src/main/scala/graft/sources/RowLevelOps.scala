@@ -33,19 +33,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * never the table. A concurrent commit that retires a scanned file
   * first fails the swap loudly (optimistic concurrency — see
   * [[ManifestBatchWrite.commit]]'s replaceFiles validation). */
+/** Scan→write handshake for row-level operations: the scan's plan
+  * records WHAT IT READ (file names AND each file's deletion-vector
+  * sidecar at scan time), and the write validates at commit time that
+  * none of it moved underneath — the optimistic-concurrency snapshot.
+  * Comparing the dv too is what makes two concurrent merge-on-read
+  * commits on the same rows CONFLICT instead of silently merging
+  * offsets (duplicate replacement rows), and makes a copy-on-write
+  * rewrite racing a DV delete fail loudly instead of resurrecting the
+  * concurrently deleted rows. */
+private[sources] trait ScanRecorder {
+  def recordScanned(entries: Seq[StagedFile]): Unit
+}
+
 private[sources] class GraftRowLevelOperation(path: String,
     tableSchema: StructType, partCols: Seq[String],
-    props: Map[String, String], cmd: Command) extends RowLevelOperation {
+    props: Map[String, String], cmd: Command)
+    extends RowLevelOperation with ScanRecorder {
 
-  /** The groups (file names) the configured scan actually planned —
-    * recorded at plan time, AFTER static pruning and runtime group
-    * filtering ([[ManifestScan.planInputPartitions]]), consumed by the
-    * write at commit time as the retire set. None until the scan
-    * plans: a write that somehow commits first fails loudly rather
-    * than guessing (replacing too few files would resurrect rows). */
-  @volatile private var planned: Option[Set[String]] = None
-  private[sources] def recordScanned(files: Set[String]): Unit =
-    planned = Some(files)
+  /** The groups the configured scan actually planned — file name →
+    * deletion-vector sidecar at scan time, recorded AFTER static
+    * pruning and runtime group filtering
+    * ([[ManifestScan.planInputPartitions]]), consumed by the write at
+    * commit time as the retire set (names) and the conflict-check
+    * snapshot (dvs). None until the scan plans: a write that somehow
+    * commits first fails loudly rather than guessing (replacing too
+    * few files would resurrect rows). */
+  @volatile private var planned: Option[Map[String, Option[String]]] = None
+  override def recordScanned(entries: Seq[StagedFile]): Unit =
+    planned = Some(entries.map(e => e.name -> e.dv).toMap)
 
   override def command(): Command = cmd
   override def description(): String = s"graft copy-on-write $cmd on $path"
@@ -96,7 +112,17 @@ private[sources] class GraftRowLevelOperation(path: String,
 private[sources] class GraftPositionDeltaOperation(path: String,
     tableSchema: StructType, partCols: Seq[String],
     props: Map[String, String], cmd: Command)
-    extends org.apache.spark.sql.connector.write.SupportsDelta {
+    extends org.apache.spark.sql.connector.write.SupportsDelta
+    with ScanRecorder {
+
+  /** Scan-time snapshot (file → dv sidecar) for the commit's conflict
+    * check: a touched file whose vector CHANGED since the scan means a
+    * concurrent merge-on-read commit deleted rows we also planned
+    * over — merging the offsets silently would duplicate UPDATE's
+    * replacement rows, so the commit must fail loudly instead. */
+  @volatile private var scanned: Option[Map[String, Option[String]]] = None
+  override def recordScanned(entries: Seq[StagedFile]): Unit =
+    scanned = Some(entries.map(e => e.name -> e.dv).toMap)
 
   override def command(): Command = cmd
   override def description(): String =
@@ -110,23 +136,27 @@ private[sources] class GraftPositionDeltaOperation(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(path, tableSchema, partCols = partCols,
-      fileFilter = true)
+      rowLevel = Some(this), fileFilter = true)
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new DvDeltaWrite(path, info.schema(), info.queryId(), partCols,
-          retain = props.get("retainhistory").exists(_.toBoolean))
+          retain = props.get("retainhistory").exists(_.toBoolean),
+          scannedDvs = () => scanned.getOrElse(throw new IllegalStateException(
+            s"merge-on-read $cmd write on $path committed before its scan " +
+              "planned — cannot validate the deletion-vector snapshot")))
     }
 }
 
 private[sources] class DvDeltaWrite(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String], retain: Boolean)
+    queryId: String, partCols: Seq[String], retain: Boolean,
+    scannedDvs: () => Map[String, Option[String]])
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new DvDeltaBatchWrite(path, schema, queryId, partCols, retain)
+    new DvDeltaBatchWrite(path, schema, queryId, partCols, retain, scannedDvs)
 }
 
 /** Task-side commit message: the byte offsets this task deleted per
@@ -141,7 +171,8 @@ private[sources] final case class DvDelta(deletes: Map[String, Array[Long]],
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
-    queryId: String, partCols: Seq[String], retain: Boolean)
+    queryId: String, partCols: Seq[String], retain: Boolean,
+    scannedDvs: () => Map[String, Option[String]])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import java.nio.file.{Files, Paths}
 
@@ -195,6 +226,30 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
           s"row-level write planned rows in files ${missing.mkString(", ")} " +
             s"that are no longer committed in $path — a concurrent commit " +
             "replaced them; re-run against the current generation")
+      // DV-drift conflict check — ISOLATION BY OPERATION SHAPE:
+      //  - A delta carrying REPLACEMENT ROWS (UPDATE / MERGE) validates
+      //    strictly: a touched file whose vector changed since the scan
+      //    means a concurrent row-level commit deleted/updated rows we
+      //    also planned over — merging offsets silently would append
+      //    BOTH commits' replacement rows (duplicate keys). Fail loudly
+      //    like the CoW replaceFiles validation; callers retry against
+      //    the new state (serializable over the touched files).
+      //  - A PURE DELETE (no staged inserts) tolerates drift: position
+      //    deletes are idempotent and commute — the merge under the
+      //    publish lock unions the offset sets, so racing disjoint
+      //    DELETEs all land (snapshot isolation, the Delta/Iceberg
+      //    concurrent-delete behavior).
+      if (winners.nonEmpty) {
+        val atScan = scannedDvs()
+        val drifted = all.keySet.toSeq.sorted.filter(f =>
+          !atScan.get(f).contains(byName(f).dv))
+        if (drifted.nonEmpty)
+          throw new IllegalStateException(
+            s"deletion vector changed on ${drifted.mkString(", ")} since " +
+              s"this row-level operation scanned $path — a concurrent " +
+              "merge-on-read commit deleted rows in the same files; re-run " +
+              "against the current generation")
+      }
       val gen = ManifestSink.committedGeneration(path)
       val keepHistory = retain || ManifestSink.hasRetainedGenerations(path)
       val retiredSidecars = collection.mutable.ArrayBuffer[String]()

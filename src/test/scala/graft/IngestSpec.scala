@@ -1939,6 +1939,64 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gdvc.t")
   }
 
+  test("change feed represents restore: resurrected DV rows re-emit as inserts") {
+    import org.apache.spark.sql.types._
+    val wh = Files.createTempDirectory("graft_dvrestore_cdf").toString
+    spark.conf.set("spark.sql.catalog.gdvrs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gdvrs.base", wh)
+    spark.sql("""CREATE TABLE gdvrs.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+    spark.range(0, 20).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .writeTo("gdvrs.t").append()                       // gen 1, one file
+    spark.sql("DELETE FROM gdvrs.t WHERE id IN (3, 4)")  // gen 2: DV grows
+    spark.sql("CALL gdvrs.system.restore('t', '1')")     // gen 3: DV SHRINKS
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    val cdfSch = StructType(sch.fields :+
+      StructField("_change_type", StringType))
+    // The restore republished the SAME file name with the vector gone:
+    // rows 3 and 4 came back to life. A CDC consumer that applied the
+    // gen-2 deletes would diverge permanently unless the feed emits the
+    // resurrection — as inserts, read straight from the old vector's
+    // offset difference (no driver-side classification).
+    val w23 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSch).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .load().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(w23.toSet == Set((3L, 6L, "insert"), (4L, 8L, "insert")),
+      s"restore must re-emit resurrected rows as inserts: ${w23.mkString(", ")}")
+    // The feed is an ENDPOINT diff (generation s vs generation e), so
+    // the full window nets to zero: gen 3 republished gen 1's exact
+    // state, and — like a pure compaction — a no-net-change window
+    // emits nothing. Per-event granularity is available by reading
+    // (1,2] then (2,3]; both windows' net effects compose to this.
+    val w13 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSch).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load().collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(w13.isEmpty,
+      s"net-zero window must emit nothing: ${w13.mkString(", ")}")
+    // A plain (append-only) incremental read must REFUSE the shrink
+    // loudly — rows silently reappearing is as corrupting as rows
+    // silently vanishing.
+    val refused = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir)
+        .option("startingVersion", "2").option("endingVersion", "3")
+        .load().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(refused).exists(_.contains("append-only")),
+      s"plain tail must refuse DV shrinkage: ${messages(refused)}")
+    assert(spark.sql("SELECT count(*) FROM gdvrs.t").head.getLong(0) == 20)
+    spark.sql("DROP TABLE gdvrs.t")
+  }
+
   test("table_changes TVF: path mode matches the DataFrame change-feed route") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_tvf").toString

@@ -1093,4 +1093,170 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     }
     assert(ManifestSink.committedRowCount(dir) == 4L)
   }
+
+  // --- Optimistic-concurrency DV-drift validation (round-12): a
+  // row-level commit whose touched files' deletion vectors changed
+  // since its scan must CONFLICT, not silently merge — two concurrent
+  // merge-on-read UPDATEs would otherwise both append replacement rows
+  // for the same keys, and a CoW rewrite racing a DV delete would
+  // resurrect the concurrently deleted rows.
+
+  private def seedFourRows(dir: String, name: String): Unit = {
+    val dirPath = Paths.get(dir)
+    Files.write(dirPath.resolve(name),
+      "{\"id\":1}\n{\"id\":2}\n{\"id\":3}\n{\"id\":4}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    ManifestSink.withPublishLock(dirPath) {
+      ManifestSink.publishManifest(dirPath, Seq(StagedFile(name, 4L)), 1L,
+        "seed")
+    }
+  }
+
+  /** Simulate the concurrent merge-on-read DELETE landing between a
+    * rewrite's plan and its swap: the entry keeps its NAME but gains a
+    * vector. */
+  private def growVector(dir: String, name: String,
+      offsets: Array[Long]): String = {
+    val dirPath = Paths.get(dir)
+    val gen = ManifestSink.committedGeneration(dir)
+    val sidecar = ManifestSink.dvSidecarName(name, gen + 1)
+    ManifestSink.withPublishLock(dirPath) {
+      ManifestSink.writeDvSidecar(dirPath, sidecar, offsets)
+      val updated = ManifestSink.committedEntries(dir).map {
+        case e if e.name == name =>
+          e.copy(dv = Some(sidecar), dvRows = offsets.length.toLong)
+        case e => e
+      }
+      ManifestSink.publishManifest(dirPath, updated, gen + 1, "dv-delete")
+    }
+    sidecar
+  }
+
+  test("CoW commit conflicts when a replaced file's deletion vector drifted since plan") {
+    val dir = Files.createTempDirectory("graft_dvdrift_cow").toString
+    val name = "part-a.ndjson"
+    seedFourRows(dir, name)
+    // The rewrite PLANNED against the vector-less entry...
+    val planned = Map(name -> (None: Option[String]))
+    // ...then a concurrent DV delete landed on the same file name.
+    val sidecar = growVector(dir, name, Array(0L))
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qd"))
+    Files.write(staging.resolve("part-rw.ndjson"),
+      "{\"id\":9}\n".getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      new ManifestBatchWrite(dir, schema, "qd", truncate = false,
+        replaceFilesFn = () => planned)
+        .commit(Array(StagedFile("part-rw.ndjson", 1L)))
+    }
+    assert(e.getMessage.contains("deletion vector changed"), e.getMessage)
+    // The conflict left the table untouched (old entry, old vector).
+    assert(ManifestSink.committedFiles(dir) == Seq(name))
+    assert(ManifestSink.committedEntries(dir).head.dv.contains(sidecar))
+    // Re-planned against the CURRENT vector, the same swap goes through.
+    new ManifestBatchWrite(dir, schema, "qd", truncate = false,
+      replaceFilesFn = () => Map(name -> Some(sidecar)))
+      .commit(Array(StagedFile("part-rw.ndjson", 1L)))
+    assert(ManifestSink.committedFiles(dir) == Seq("part-rw.ndjson"))
+  }
+
+  test("position-delta commit: UPDATE-shaped drift conflicts; pure-DELETE drift merges") {
+    val dir = Files.createTempDirectory("graft_dvdrift_delta").toString
+    val name = "part-a.ndjson"
+    seedFourRows(dir, name)
+    // The delta scan read the vector-less file; a concurrent DV delete
+    // then landed on the same file name.
+    val scannedAtPlan = Map(name -> (None: Option[String]))
+    val sidecar = growVector(dir, name, Array(0L))
+    // An UPDATE/MERGE-shaped delta (staged replacement rows) must
+    // CONFLICT: merging offsets silently would append both commits'
+    // replacement rows for the same keys (duplicates).
+    val e = intercept[IllegalStateException] {
+      new DvDeltaBatchWrite(dir, schema, "qx", Nil, retain = false,
+        scannedDvs = () => scannedAtPlan)
+        .commit(Array(DvDelta(Map(name -> Array(9L)),
+          Seq(StagedFile("part-up.ndjson", 1L)))))
+    }
+    assert(e.getMessage.contains("deletion vector changed"), e.getMessage)
+    assert(ManifestSink.committedEntries(dir).head.dvRows == 1L,
+      "failed commit must not have merged its offsets")
+    // A PURE DELETE with the same stale snapshot merges instead:
+    // position deletes are idempotent and commute (snapshot isolation —
+    // racing disjoint DELETEs all land; pinned by the racing-DELETEs
+    // IngestSpec test at the SQL layer).
+    new DvDeltaBatchWrite(dir, schema, "qy", Nil, retain = false,
+      scannedDvs = () => scannedAtPlan)
+      .commit(Array(DvDelta(Map(name -> Array(9L)), Nil)))
+    val entry = ManifestSink.committedEntries(dir).head
+    assert(entry.dvRows == 2L, s"offsets must merge: $entry")
+    assert(entry.dv.exists(_ != sidecar), "a new sidecar generation")
+    // And an UPDATE-shaped delta whose snapshot IS current commits.
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qz"))
+    Files.write(staging.resolve("part-up.ndjson"),
+      "{\"id\":9}\n".getBytes(StandardCharsets.UTF_8))
+    new DvDeltaBatchWrite(dir, schema, "qz", Nil, retain = false,
+      scannedDvs = () => Map(name -> ManifestSink.committedEntries(dir).head.dv))
+      .commit(Array(DvDelta(Map(name -> Array(18L)),
+        Seq(StagedFile("part-up.ndjson", 1L)))))
+    val entries = ManifestSink.committedEntries(dir)
+    assert(entries.map(_.name).sorted == Seq(name, "part-up.ndjson"))
+    assert(entries.find(_.name == name).get.dvRows == 3L)
+  }
+
+  test("compaction drops merged null counts when a member carries a deletion vector") {
+    val dir = Files.createTempDirectory("graft_dvcompact_nulls").toString
+    val dirPath = Paths.get(dir)
+    // f1: 3 physical rows, one null v — and a vector deleting row 0.
+    // f2: 2 rows, no nulls, no vector.
+    val l1 = Seq("{\"id\":1,\"v\":null}", "{\"id\":2,\"v\":5}", "{\"id\":3,\"v\":6}")
+    val l2 = Seq("{\"id\":4,\"v\":7}", "{\"id\":5,\"v\":8}")
+    Files.write(dirPath.resolve("part-f1.ndjson"),
+      (l1.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(dirPath.resolve("part-f2.ndjson"),
+      (l2.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    val dv1 = "part-f1.ndjson.dv-g000001"
+    ManifestSink.withPublishLock(dirPath) {
+      ManifestSink.writeDvSidecar(dirPath, dv1, Array(0L))
+      ManifestSink.publishManifest(dirPath, Seq(
+        StagedFile("part-f1.ndjson", 3L, nullCounts = Map("id" -> 0L, "v" -> 1L),
+          dv = Some(dv1), dvRows = 1L),
+        StagedFile("part-f2.ndjson", 2L, nullCounts = Map("id" -> 0L, "v" -> 0L))),
+        1L, "seed")
+    }
+    assert(ManifestSink.compact(dir, targetRows = 100L) == 2)
+    val merged = ManifestSink.committedEntries(dir)
+    assert(merged.size == 1 && merged.head.rows == 4L,
+      s"live rows only after materialization: $merged")
+    // Physical null counts paired with a LIVE row total would let
+    // mustMatch(IsNull) / mayMatch(IsNotNull) reason incoherently —
+    // the counts must stand down entirely for DV'd groups.
+    assert(merged.head.nullCounts.isEmpty,
+      s"null counts must drop when a member carried a DV: ${merged.head}")
+
+    // Control: a DV-free group keeps the exact summed counts.
+    val dir2 = Files.createTempDirectory("graft_compact_nulls").toString
+    val dir2Path = Paths.get(dir2)
+    Files.write(dir2Path.resolve("part-f1.ndjson"),
+      (l1.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(dir2Path.resolve("part-f2.ndjson"),
+      (l2.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    ManifestSink.withPublishLock(dir2Path) {
+      ManifestSink.publishManifest(dir2Path, Seq(
+        StagedFile("part-f1.ndjson", 3L, nullCounts = Map("id" -> 0L, "v" -> 1L)),
+        StagedFile("part-f2.ndjson", 2L, nullCounts = Map("id" -> 0L, "v" -> 0L))),
+        1L, "seed")
+    }
+    assert(ManifestSink.compact(dir2, targetRows = 100L) == 2)
+    assert(ManifestSink.committedEntries(dir2).head.nullCounts ==
+      Map("id" -> 0L, "v" -> 1L))
+  }
+
+  test("restore to the current generation is a successful no-op") {
+    val dir = Files.createTempDirectory("graft_restore_noop").toString
+    seedFourRows(dir, "part-a.ndjson")
+    // Delta's RESTORE semantics: the table already IS the requested
+    // state — return the current generation, publish nothing.
+    assert(ManifestSink.restore(dir, 1L) == 1L)
+    assert(ManifestSink.committedGeneration(dir) == 1L)
+    assert(ManifestSink.committedFiles(dir) == Seq("part-a.ndjson"))
+  }
 }
