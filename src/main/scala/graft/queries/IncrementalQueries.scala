@@ -1495,6 +1495,54 @@ object IncrementalQueries {
             .cast("long")).as("text_hash"))
     },
 
+    // PARTITION-SPEC EVOLUTION (Iceberg's ALTER ... PARTITION FIELD):
+    // era 1 of the corpus lands under identity(lang), the spec evolves
+    // to bucket(4,doc_id) — METADATA ONLY, zero file rewrites — and
+    // era 2 lands under the new spec. The final read spans both eras
+    // with a language filter: era-1 files prune via their min == max
+    // lang bounds, era-2 files via their recorded bucket ids on doc_id
+    // point-lookups (pinned in IngestSpec; at 100 TB this is the
+    // difference between evolving a table's layout and rewriting it
+    // wholesale). The oracle replays the same predicate against the
+    // source table, so a row mis-routed at write, lost in the
+    // evolution, or double-read across eras breaks counts and hashes.
+    QuerySpec(
+      "a36_partition_evolution",
+      """SELECT lang, source, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a36", dir)
+      val cat = "graft_a36_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, source STRING, n_chars BIGINT)
+        PARTITIONED BY (lang)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .createOrReplaceTempView("a36_src")
+      // Era 1 (identity(lang)): clustered by the partition column.
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT /*+ REPARTITION(lang) */ * FROM a36_src
+        WHERE doc_id % 2 = 0""")
+      s.sql(s"CALL $cat.system.replace_partition_spec('docs', 'bucket(4,doc_id)')")
+      // Era 2 (bucket(4,doc_id)): the writer routes rows per bucket.
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT /*+ COALESCE(2) */ * FROM a36_src
+        WHERE doc_id % 2 = 1""")
+      s.sql(s"""SELECT lang, source, count(*) AS n,
+        sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.docs WHERE lang IN ('en', 'zh')
+        GROUP BY lang, source""")
+    },
+
     // SNAPSHOT TAGS (Iceberg's named refs): gen 1 is tagged
     // 'training-v1', later commits append and DV-delete, snapshots
     // beyond the keep window expire — and `VERSION AS OF 'training-v1'`

@@ -488,6 +488,46 @@ class GraftCatalog extends TableCatalog
 private[sources] object GraftCatalog {
   private[sources] def metaPath(dir: Path): Path = dir.resolve("_table.json")
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `ALTER TABLE ... ADD/REPLACE
+    * PARTITION FIELD` idea, surfaced as `CALL system.*_partition_field`
+    * procedures): swap the table's partition spec METADATA in place —
+    * zero data movement. Files written before the evolution keep the
+    * tuple values they recorded under the OLD spec; pruning consults
+    * each file's OWN recorded spec keys ([[ManifestScan]] bucket
+    * pruning parses `part.*` keys per file), so both eras keep pruning
+    * under the spec they were written with, and only writes AFTER the
+    * evolution route and record under the new spec. The alternative —
+    * rewriting a 100 TB table because its partitioning needs a bucket
+    * dimension — is exactly what spec evolution exists to avoid.
+    * Returns the previous spec. */
+  private[sources] def replacePartitionSpec(dir: Path,
+      partCols: Seq[String]): Seq[String] = {
+    val (schema, old, props) = readMeta(dir)
+    PartSpec.parseAll(partCols).foreach { sp =>
+      val fld = schema.fields.find(_.name == sp.col)
+      require(fld.isDefined,
+        s"partition column '${sp.col}' is not in the table schema")
+      sp match {
+        case _: IdentityPart =>
+          require(NdjsonCodec.statOrdering(fld.get.dataType).isDefined,
+            s"partition column '${sp.col}' (${fld.get.dataType}) is not " +
+              "orderable — partition pruning needs min/max bounds")
+        case _: BucketPart => () // any supported type hashes
+      }
+    }
+    val json = schema.json + "\n" +
+      partCols.map(c => "\"" + NdjsonCodec.escape(c) + "\"")
+        .mkString("[", ",", "]") + "\n" +
+      props.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(v) + "\""
+      }.mkString("{", ",", "}") + "\n"
+    val tmp = Files.createTempFile(dir, "._table", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    old
+  }
+
   private[sources] def readMeta(dir: Path)
       : (StructType, Seq[String], Map[String, String]) = {
     val lines = new String(Files.readAllBytes(metaPath(dir)),

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -32,6 +32,15 @@ private[sources] object GraftProcedures {
   private def tableParam: ProcedureParameter =
     ProcedureParameter.in("table", StringType)
       .comment("dotted table name inside this catalog, e.g. 'db.t'").build()
+
+  private def specResult(old: Seq[String], next: Seq[String])
+      : java.util.Iterator[Scan] =
+    result(StructType(Seq(
+      StructField("old_spec", StringType, nullable = false),
+      StructField("new_spec", StringType, nullable = false))),
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(old.mkString(",")),
+        org.apache.spark.unsafe.types.UTF8String.fromString(next.mkString(","))))
 
   private def result(schema: StructType, vals: Array[Any])
       : java.util.Iterator[Scan] =
@@ -237,6 +246,77 @@ private[sources] object GraftProcedures {
             result(StructType(Seq(
               StructField("existed", BooleanType, nullable = false))),
               Array[Any](existed))
+          }
+        }
+    },
+    "add_partition_field" -> new UnboundProcedure {
+      override def name(): String = "add_partition_field"
+      override def description(): String =
+        "partition-spec evolution: append a field (e.g. 'bucket(4,doc_id)') " +
+          "to the table's partition spec — metadata only, no file rewrites; " +
+          "old files keep pruning under the spec they recorded"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "add_partition_field"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("field", StringType)
+              .comment("'col' (identity) or 'bucket(n,col)'").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val field = PartSpec.parse(input.getUTF8String(1).toString).name
+            val current = GraftCatalog.readMeta(Paths.get(dir))._2
+            require(!current.map(PartSpec.parse(_).name).contains(field),
+              s"partition field '$field' already in spec " +
+                current.mkString("(", ", ", ")"))
+            val old = GraftCatalog.replacePartitionSpec(Paths.get(dir),
+              current :+ field)
+            specResult(old, current :+ field)
+          }
+        }
+    },
+    "drop_partition_field" -> new UnboundProcedure {
+      override def name(): String = "drop_partition_field"
+      override def description(): String =
+        "partition-spec evolution: remove a field from the table's partition " +
+          "spec — metadata only; existing files keep their recorded tuples"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "drop_partition_field"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("field", StringType)
+              .comment("'col' (identity) or 'bucket(n,col)'").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val field = PartSpec.parse(input.getUTF8String(1).toString).name
+            val current = GraftCatalog.readMeta(Paths.get(dir))._2
+            require(current.map(PartSpec.parse(_).name).contains(field),
+              s"partition field '$field' not in spec " +
+                current.mkString("(", ", ", ")"))
+            val next = current.filterNot(PartSpec.parse(_).name == field)
+            val old = GraftCatalog.replacePartitionSpec(Paths.get(dir), next)
+            specResult(old, next)
+          }
+        }
+    },
+    "replace_partition_spec" -> new UnboundProcedure {
+      override def name(): String = "replace_partition_spec"
+      override def description(): String =
+        "partition-spec evolution: replace the whole spec (comma list; '' = " +
+          "unpartitioned) — metadata only, no file rewrites"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "replace_partition_spec"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam, ProcedureParameter.in("spec", StringType)
+              .comment("e.g. 'lang' or 'day,bucket(64,user_id)' or ''").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val next = PartSpec.splitList(input.getUTF8String(1).toString)
+            val old = GraftCatalog.replacePartitionSpec(Paths.get(dir), next)
+            specResult(old, next)
           }
         }
     },

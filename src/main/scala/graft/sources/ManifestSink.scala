@@ -2260,20 +2260,30 @@ private[sources] class ManifestScan(path: String, full: StructType,
       case (StringType, s: String) => Some(UTF8String.fromString(s))
       case _ => None
     }
-    def litMatches(c: String, v: Any): Boolean =
-      PartSpec.parseAll(partCols).collectFirst {
-        case bp @ BucketPart(n, col) if col == c => (n, bp.name)
-      } match {
-        case Some((n, name)) =>
-          (e.partValues.get(name).flatMap(r => scala.util.Try(r.toInt).toOption),
+    def litMatches(c: String, v: Any): Boolean = {
+      // PARTITION-SPEC EVOLUTION: bucket specs that can prove anything
+      // about THIS file are the table's CURRENT spec plus every spec
+      // the file itself recorded a tuple value under — the partValues
+      // keys literally encode the spec each file was written with
+      // ("bucket(4,doc_id)"), so after an evolution each era keeps
+      // pruning under its OWN spec: old files via their old bucket
+      // (or identity bounds), new files via the new one. A spec with
+      // no recorded value on this file proves nothing (conservative
+      // keep); a recorded value that excludes the literal prunes.
+      val specs = (PartSpec.parseAll(partCols) ++
+        PartSpec.parseAll(e.partValues.keys.toSeq)).distinct
+      specs.forall {
+        case bp @ BucketPart(n, col) if col == c =>
+          (e.partValues.get(bp.name).flatMap(r => scala.util.Try(r.toInt).toOption),
             full.fields.find(_.name == c)) match {
             case (Some(b), Some(fld)) =>
               toCatalyst(fld.dataType, v)
                 .forall(cv => GraftBucket.bucket(n, cv, fld.dataType) == b)
             case _ => true
           }
-        case None => true
+        case _ => true
       }
+    }
     f match {
       case sources.EqualTo(c, v) => litMatches(c, v)
       case sources.In(c, vs) => vs.isEmpty || vs.exists(v => litMatches(c, v))

@@ -1737,6 +1737,78 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gmet.t")
   }
 
+  test("partition-spec evolution: each era prunes under its own spec; no rewrites") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_pse").toString
+    spark.conf.set("spark.sql.catalog.gpse", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpse.base", wh)
+    spark.sql("CREATE TABLE gpse.t (id BIGINT, lang STRING) PARTITIONED BY (lang)")
+    // ERA 1 under identity(lang): 3 files, one per language, each
+    // spanning the full id range (so id predicates cannot prune them
+    // by bounds — isolates the spec-based pruning below).
+    spark.range(0, 300)
+      .selectExpr("id", "CASE id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang")
+      .repartition(col("lang")).writeTo("gpse.t").append()
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val era1 = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert(era1.size == 3, s"one file per language: $era1")
+    // EVOLVE: identity(lang) -> bucket(4,id). Metadata only.
+    val r = spark.sql(
+      "CALL gpse.system.replace_partition_spec('t', 'bucket(4,id)')").head
+    assert(r.getString(0) == "lang" && r.getString(1) == "bucket(4,id)", s"$r")
+    // ERA 2 under bucket(4,id): one task -> one file per bucket, each
+    // spanning ids 300..599 with interleaved langs.
+    spark.range(300, 600)
+      .selectExpr("id", "CASE id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang")
+      .coalesce(1).writeTo("gpse.t").append()
+    val all = graft.sources.ManifestSink.committedFiles(dir).toSet
+    assert(era1.subsetOf(all), "evolution must never rewrite old files")
+    assert((all -- era1).size == 4, s"era 2 = one file per bucket: ${all -- era1}")
+
+    def scanMetrics(sql: String): (Long, Long, Long) = {
+      val q = spark.sql(sql)
+      val n = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.get
+      (n, scan.metrics("filesRead").value, scan.metrics("filesSkipped").value)
+    }
+    // OLD-ERA pruning survives the evolution: lang equality keeps one
+    // era-1 file (min == max bounds) and skips the other two; era-2
+    // files interleave langs, so their bounds keep them (conservative).
+    val (nLang, readLang, skipLang) =
+      scanMetrics("SELECT id FROM gpse.t WHERE lang = 'en'")
+    assert(nLang == 200, s"100 era-1 + 100 era-2 en rows: $nLang")
+    assert(skipLang == 2 && readLang == 5, s"read $readLang skip $skipLang")
+    // NEW-ERA pruning under the new spec: a point id in era 2 prunes
+    // era-1 files by bounds AND 3 of the 4 era-2 files by bucket id.
+    val (nId, readId, skipId) =
+      scanMetrics("SELECT lang FROM gpse.t WHERE id = 442")
+    // (era-1 files vanish at SEGMENT level — their segment's summary
+    // bounds exclude the id — so only era-2's 4 files reach entry
+    // pruning, where the bucket id skips 3.)
+    assert(nId == 1 && readId == 1 && skipId >= 3,
+      s"read $readId skip $skipId")
+    // A SECOND evolution (bucket(4,id) -> bucket(8,id)) must not break
+    // era-2 pruning: each file prunes under the spec IT recorded, not
+    // the table's current one.
+    spark.sql("CALL gpse.system.replace_partition_spec('t', 'bucket(8,id)')")
+    val (nId2, readId2, skipId2) =
+      scanMetrics("SELECT lang FROM gpse.t WHERE id = 442")
+    assert(nId2 == 1 && readId2 == 1 && skipId2 >= 3,
+      s"era-2 files must keep pruning under bucket(4,id): " +
+        s"read $readId2 skip $skipId2")
+    // add/drop field variants compose with the same metadata.
+    val added = spark.sql(
+      "CALL gpse.system.add_partition_field('t', 'lang')").head
+    assert(added.getString(1) == "bucket(8,id),lang", s"$added")
+    val dropped = spark.sql(
+      "CALL gpse.system.drop_partition_field('t', 'bucket(8,id)')").head
+    assert(dropped.getString(1) == "lang", s"$dropped")
+    assert(spark.sql("SELECT count(*) FROM gpse.t").head.getLong(0) == 600)
+    spark.sql("DROP TABLE gpse.t")
+  }
+
   test("deletion vectors: merge-on-read MERGE upserts without rewriting files") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dvm").toString
