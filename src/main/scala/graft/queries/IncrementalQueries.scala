@@ -1543,6 +1543,141 @@ object IncrementalQueries {
         GROUP BY lang, source""")
     },
 
+    // EQUALITY DELETES (Iceberg's equality-delete files — the
+    // streaming-CDC delete shape): the corpus lands, a tombstone batch
+    // commits as a small KEY FILE with ZERO target scan (O(tombstones),
+    // pinned in IngestSpec by hiding the data files during the commit),
+    // and a later re-insert of some tombstoned keys SURVIVES (the
+    // per-file commit-seq rule — the CDC upsert semantics). The final
+    // read applies the tombstones at scan time; the oracle replays
+    // delete-then-reinsert relationally, so a key wrongly deleted,
+    // wrongly surviving, or a re-insert wrongly suppressed breaks the
+    // per-language counts and content hashes.
+    QuerySpec(
+      "a37_equality_deletes",
+      """WITH survivors AS (
+        |  SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id, 're: ' || text AS text, lang, n_chars + 4 AS n_chars
+        |  FROM documents WHERE doc_id % 33 = 3
+        |)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM survivors GROUP BY 1""".stripMargin) { (s, dir) =>
+      val out = freshDir("a37", dir).resolve("docs").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("overwrite").save() // gen 1
+      // The CDC tombstone burst: keys only, no table scan.
+      graft.sources.ManifestOps.equalityDelete(out,
+        Tables.documents(s, dir).where(col("doc_id") % 11 === 3)
+          .select(col("doc_id")))                      // gen 2
+      // The CDC re-insert: a subset of the tombstoned keys comes back
+      // with new content — must survive (its commit seq is newer).
+      Tables.documents(s, dir).where(col("doc_id") % 33 === 3)
+        .select(col("doc_id"), concat(lit("re: "), col("text")).as("text"),
+          col("lang"), (col("n_chars") + 4).as("n_chars"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", out).mode("append").save()     // gen 3
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", out).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
+    // CATALOG VIEWS (the V2 ViewCatalog + the session-extension wiring
+    // OSS Spark lacks): a view DEFINITION persists in the catalog
+    // (`_view.json`), and the read substitutes the re-parsed SQL —
+    // late-bound, so rows appended AFTER CREATE VIEW are visible
+    // through it (pinned here: the view is created after era 1, read
+    // after era 2, and the oracle covers BOTH eras). Views compose
+    // with views (the second view reads the first).
+    QuerySpec(
+      "a38_catalog_views",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents WHERE n_chars >= 30 AND lang <> 'de'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a38", dir)
+      val cat = "graft_a38_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, n_chars BIGINT)""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a38_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a38_src WHERE doc_id % 2 = 0""") // era 1
+      s.sql(s"DROP VIEW IF EXISTS $cat.longdocs")
+      s.sql(s"DROP VIEW IF EXISTS $cat.longdocs_nonde")
+      s.sql(s"""CREATE VIEW $cat.longdocs AS
+        SELECT doc_id, text, lang, n_chars FROM $cat.docs
+        WHERE n_chars >= 30""")
+      // View over view: the reader substitutes both definitions.
+      s.sql(s"""CREATE VIEW $cat.longdocs_nonde AS
+        SELECT * FROM $cat.longdocs WHERE lang <> 'de'""")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a38_src WHERE doc_id % 2 = 1""") // era 2, post-CREATE
+      s.sql(s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+        sum(cast(conv(substr(md5(cast(text AS BINARY)), 1, 8), 16, 10)
+          AS BIGINT)) AS text_hash
+        FROM $cat.longdocs_nonde GROUP BY lang""")
+    },
+
+    // INCREMENTAL MATERIALIZED VIEW (the IVM algebra q176/q88 prove,
+    // promoted to a catalog object): the MV table is a LOG OF PARTIALS
+    // (sum_p, cnt_p per group) and the catalog VIEW folds them —
+    // sum/count are monoids, so the fold equals the full recompute
+    // EXACTLY regardless of refresh granularity. REFRESH reads only
+    // the base table's generation delta (O(delta), pinned in
+    // IngestSpec by hiding the pre-delta files) and appends one
+    // partial batch. The oracle recomputes from scratch — a delta
+    // double-counted, missed, or mis-grouped breaks the exact
+    // integer sums.
+    QuerySpec(
+      "a39_incremental_mv",
+      """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_v,
+        |  count(n_chars)::BIGINT AS cnt_v,
+        |  CAST(sum(n_chars) // count(n_chars) AS BIGINT) AS avg_v
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a39", dir)
+      val cat = "graft_a39_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('retainHistory'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a39_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a39_src WHERE doc_id % 3 = 0""") // gen 1
+      graft.sources.MaterializedViews.createAvg(s, cat, "lang_stats",
+        "docs", "docs_mv", "lang", "n_chars")
+      // Two more base commits, two refreshes — each folds one delta.
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a39_src WHERE doc_id % 3 = 1""") // gen 2
+      graft.sources.MaterializedViews.refresh(s, cat, "docs_mv")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a39_src WHERE doc_id % 3 = 2""") // gen 3
+      graft.sources.MaterializedViews.refresh(s, cat, "docs_mv")
+      s.sql(s"SELECT lang, sum_v, cnt_v, avg_v FROM $cat.lang_stats")
+    },
+
     // SNAPSHOT TAGS (Iceberg's named refs): gen 1 is tagged
     // 'training-v1', later commits append and DV-delete, snapshots
     // beyond the keep window expire — and `VERSION AS OF 'training-v1'`
@@ -1929,13 +2064,14 @@ object IncrementalQueries {
             graft.sources.ManifestOps.mergeInto(batch.sparkSession,
               silverDir, ins, "doc_id",
               writeOptions = Map("partitionBy" -> "bucket(4,doc_id)"))
-          // CDC delete-apply through silver's deletion vectors: a
-          // handful of offsets per touched file, never a rewrite.
-          val dels = batch.where(col("_change_type") === "delete")
-            .select("doc_id").distinct().collect().map(_.getLong(0))
-          if (dels.nonEmpty)
-            batch.sparkSession.sql(s"DELETE FROM $cat.silver " +
-              s"WHERE doc_id IN (${dels.mkString(",")})")
+          // CDC delete-apply through an EQUALITY DELETE: the tombstone
+          // keys stream straight into a key file — O(tombstones), no
+          // silver scan, no driver-side key materialization (the old
+          // form collect()ed keys into a SQL IN string, which a bulk
+          // delete generation would have grown without bound).
+          graft.sources.ManifestOps.equalityDelete(silverDir,
+            batch.where(col("_change_type") === "delete")
+              .select("doc_id").distinct())
           ()
         }
         .option("checkpointLocation", base.resolve("ckpt").toString)

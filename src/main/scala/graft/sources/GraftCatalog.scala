@@ -40,7 +40,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var base: Path = _
 
@@ -329,6 +330,170 @@ class GraftCatalog extends TableCatalog
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  // ----- ViewCatalog (Spark 4's V2 view API): `CREATE VIEW cat.v AS
+  // SELECT ...` persists the DEFINITION (SQL text + resolution context
+  // + inferred schema) as `_view.json` in the view's own directory —
+  // the catalog object production lakehouses keep next to their
+  // tables. Spark re-parses the stored SQL against the stored
+  // catalog/namespace context at read, so a view over graft tables
+  // sees their CURRENT state (time travel, DVs, equality deletes all
+  // compose for free — the view is late-bound, never a data copy).
+  // Materialized views build ON TOP of this: an MV is a view whose
+  // finalize query reads a maintained partial-aggregate TABLE (see
+  // [[MaterializedViews]]).
+
+  private def viewMarker(dir: Path): Path = dir.resolve("_view.json")
+
+  private final case class GraftView(viewName: String, sql: String,
+      cat: String, ns: Array[String], viewSchema: StructType,
+      queryCols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Map[String, String])
+      extends org.apache.spark.sql.connector.catalog.View {
+    override def name(): String = viewName
+    override def query(): String = sql
+    override def currentCatalog(): String = cat
+    override def currentNamespace(): Array[String] = ns
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = queryCols
+    override def columnAliases(): Array[String] = aliases
+    override def columnComments(): Array[String] = comments
+    override def properties(): util.Map[String, String] = {
+      val m = new util.HashMap[String, String]()
+      props.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+  }
+
+  /** `_view.json` layout: 7 lines — schema JSON, a flat object
+    * (sql/catalog/name), then four string arrays (namespace, query
+    * column names, aliases, comments), then a flat properties object.
+    * Same NDJSON-escape discipline as `_table.json`. */
+  private def writeView(dir: Path, v: GraftView, overwrite: Boolean,
+      ident: Identifier): Unit = {
+    def arr(xs: Array[String]): String =
+      xs.map(x => "\"" + NdjsonCodec.escape(if (x == null) "" else x) + "\"")
+        .mkString("[", ",", "]")
+    val obj = Seq("sql" -> v.sql, "catalog" -> v.cat, "name" -> v.viewName)
+      .map { case (k, x) =>
+        "\"" + k + "\":\"" + NdjsonCodec.escape(x) + "\"" }.mkString("{", ",", "}")
+    val propsLine = v.props.toSeq.sortBy(_._1).map { case (k, x) =>
+      "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(x) + "\""
+    }.mkString("{", ",", "}")
+    val json = Seq(v.viewSchema.json, obj, arr(v.ns), arr(v.queryCols),
+      arr(v.aliases), arr(v.comments), propsLine).mkString("", "\n", "\n")
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, "._view", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    if (overwrite)
+      Files.move(tmp, viewMarker(dir), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    else try Files.move(tmp, viewMarker(dir), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
+    }
+  }
+
+  private def readView(dir: Path, ident: Identifier): GraftView = {
+    if (!Files.exists(viewMarker(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident)
+    val lines = new String(Files.readAllBytes(viewMarker(dir)),
+      StandardCharsets.UTF_8).split("\n")
+    val schema = DataType.fromJson(lines(0)).asInstanceOf[StructType]
+    val obj = NdjsonCodec.parseLine(lines(1)).collect {
+      case (k, NdjsonCodec.JsonStr(v)) => k -> v
+    }.toMap
+    def arr(i: Int): Array[String] =
+      if (lines.length <= i) Array.empty
+      else GraftCatalog.parseStringArray(lines(i)).toArray
+    val props =
+      if (lines.length < 7) Map.empty[String, String]
+      else NdjsonCodec.parseLine(lines(6)).collect {
+        case (k, NdjsonCodec.JsonStr(v)) => k -> v
+      }.toMap
+    GraftView(obj.getOrElse("name", ident.name()), obj("sql"),
+      obj.getOrElse("catalog", name()), arr(2), schema, arr(3), arr(4),
+      arr(5), props)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val nsDir = namespace.foldLeft(base)(_.resolve(_))
+    if (!Files.isDirectory(nsDir)) return Array.empty
+    val ls = Files.list(nsDir)
+    try ls.iterator().asScalaSeq
+      .filter(p => Files.exists(viewMarker(p)))
+      .map(p => Identifier.of(namespace.toArray, p.getFileName.toString))
+      .toArray
+    finally ls.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.exists(viewMarker(dirOf(ident)))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    readView(dirOf(ident), ident)
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val props = {
+      val b = collection.mutable.Map[String, String]()
+      val it = info.properties().entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); b(e.getKey) = e.getValue }
+      b.toMap
+    }
+    val v = GraftView(ident.name(), info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(), props)
+    writeView(dirOf(ident), v, overwrite = false, ident)
+    v
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = dirOf(ident)
+    var v = readView(dir, ident)
+    changes.foreach {
+      case set: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+        v = v.copy(props = v.props + (set.property() -> set.value()))
+      case rm: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+        v = v.copy(props = v.props - rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER VIEW change: $other")
+    }
+    writeView(dir, v, overwrite = true, ident)
+    v
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!Files.exists(viewMarker(dir))) return false
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+    finally walk.close()
+    true
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (!Files.exists(viewMarker(from)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        oldIdent)
+    val to = dirOf(newIdent)
+    if (Files.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    Files.createDirectories(to.getParent)
+    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   // ----- ProcedureCatalog: table maintenance through SQL `CALL`
   // (`CALL cat.system.compact(...)` — see [[GraftProcedures]]).
 
@@ -360,7 +525,8 @@ class GraftCatalog extends TableCatalog
   }
   private def nsMarker(dir: Path): Path = dir.resolve("_namespace.json")
   private def isNamespaceDir(p: Path): Boolean =
-    Files.isDirectory(p) && !Files.exists(metaPath(p))
+    Files.isDirectory(p) && !Files.exists(metaPath(p)) &&
+      !Files.exists(p.resolve("_view.json"))
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || isNamespaceDir(nsDir(namespace))
@@ -515,6 +681,21 @@ private[sources] object GraftCatalog {
         case _: BucketPart => () // any supported type hashes
       }
     }
+    overwriteMeta(dir, schema, partCols, props)
+    old
+  }
+
+  /** Merge properties into a table's metadata (atomic swap) — the
+    * programmatic twin of `ALTER TABLE SET TBLPROPERTIES`, used by
+    * materialized-view refresh bookkeeping. */
+  private[sources] def setTableProperties(dir: Path,
+      kv: Map[String, String]): Unit = {
+    val (schema, partCols, props) = readMeta(dir)
+    overwriteMeta(dir, schema, partCols, props ++ kv)
+  }
+
+  private[sources] def overwriteMeta(dir: Path, schema: StructType,
+      partCols: Seq[String], props: Map[String, String]): Unit = {
     val json = schema.json + "\n" +
       partCols.map(c => "\"" + NdjsonCodec.escape(c) + "\"")
         .mkString("[", ",", "]") + "\n" +
@@ -525,7 +706,6 @@ private[sources] object GraftCatalog {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, metaPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    old
   }
 
   private[sources] def readMeta(dir: Path)
@@ -541,7 +721,7 @@ private[sources] object GraftCatalog {
     (schema, parseStringArray(lines(1)), props)
   }
 
-  private def parseStringArray(txt: String): Seq[String] = {
+  private[sources] def parseStringArray(txt: String): Seq[String] = {
     val out = collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < txt.length) {

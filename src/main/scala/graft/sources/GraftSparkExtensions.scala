@@ -40,6 +40,14 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftSparkExtensions].getName,
         "table_changes"),
       (args: Seq[Expression]) => GraftSparkExtensions.tableChanges(args)))
+    // SQL views over graft catalogs (see [[GraftViews]]): the parser
+    // wrapper routes view DDL to the V2 ViewCatalog before the
+    // analyzer's "catalog does not support views" rejection; the
+    // resolution rule substitutes stored definitions on read.
+    ext.injectParser((session, delegate) =>
+      new GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      GraftViews.GraftViewSubstitution(session))
   }
 }
 

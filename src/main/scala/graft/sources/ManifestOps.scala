@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, In, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
@@ -132,6 +134,90 @@ object ManifestOps {
         e.name + e.dv.map("=" + _).getOrElse("")).mkString(","))
     w.save()
     affected.size
+  }
+
+  /** EQUALITY DELETE — the streaming-CDC delete shape (Iceberg's
+    * equality-delete files, which Flink CDC writes): commit a small
+    * NDJSON file of KEY TUPLES that is applied at READ time to every
+    * data file committed BEFORE it (the per-entry `seq` rule), so a
+    * tombstone burst costs O(tombstones) — no target scan, no
+    * (_file,_pos) lookup, no file rewrites. Contrast the two existing
+    * delete shapes: copy-on-write rewrites O(file bytes) per touched
+    * file; positional deletion vectors write O(KB) sidecars but must
+    * first SCAN to find the matched rows' positions. At 100 TB a CDC
+    * pipeline cannot scan the target per micro-batch — this is the
+    * shape that keeps the delete write proportional to the delete.
+    *
+    * `keys` carries ONLY the key columns (its schema names them); rows
+    * stream driver-side via toLocalIterator — O(tombstones) bytes,
+    * constant memory, and the table's data files are never opened
+    * (IngestSpec pins this by hiding them during the commit). Reads
+    * drop matching-key rows (`eqRowsSkipped` metric); a later
+    * re-insert of a deleted key survives (its file's seq is newer);
+    * compaction materializes applicable deletes and retires tombstone
+    * files no remaining data file predates.
+    *
+    * Returns the number of key tuples committed (0 = no-op, no
+    * generation published). */
+  def equalityDelete(dir: String, keys: DataFrame,
+      retain: Boolean = false): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    keys.schema.fields.foreach(f => require(NdjsonCodec.supported(f.dataType),
+      s"equality-delete key column ${f.name}: ${f.dataType} unsupported"))
+    val cols = keys.schema.fieldNames.toSeq
+    require(cols.nonEmpty, "equality delete needs at least one key column")
+    require(cols.forall(c => !c.contains(",")),
+      "equality-delete key column names must not contain commas")
+    val renderers = keys.schema.fields.map(f =>
+      NdjsonCodec.renderer(f.dataType))
+    val dirPath = Paths.get(dir)
+    ManifestSink.withPublishLock(dirPath) {
+      val gen = ManifestSink.committedGeneration(dir)
+      val name = f"eqdel-g${gen + 1}%06d-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".ndjson"
+      val tmp = dirPath.resolve(s".$name.tmp")
+      val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      var n = 0L
+      try {
+        // Internal rows stream one partition at a time — the SAME typed
+        // renderers the data writer uses, so key literals compare
+        // byte-identical at read. copy() on the executor: UnsafeRow
+        // buffers are REUSED per partition, and toLocalIterator
+        // materializes a partition at a time — without the copy every
+        // key in a partition would alias the last row.
+        val it = keys.queryExecution.toRdd.map(_.copy()).toLocalIterator
+        while (it.hasNext) {
+          val r = it.next()
+          val sb = new java.lang.StringBuilder(64)
+          sb.append('{')
+          var i = 0
+          while (i < cols.length) {
+            if (i > 0) sb.append(',')
+            sb.append('"').append(NdjsonCodec.escape(cols(i))).append("\":")
+            sb.append(if (r.isNullAt(i)) "null"
+              else renderers(i)(r.get(i, keys.schema.fields(i).dataType)))
+            i += 1
+          }
+          sb.append('}')
+          out.write(sb.toString); out.newLine()
+          n += 1
+        }
+      } finally out.close()
+      if (n == 0L) { Files.deleteIfExists(tmp); 0L }
+      else {
+        Files.move(tmp, dirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        val txt = ManifestSink.manifestText(dir, ManifestSink.ManifestName)
+        val existing = ManifestSink.parseEqDeletes(txt)
+        // O(delta) publish: carry segments and inline entries untouched;
+        // only the pointer's eqdeletes array grows.
+        ManifestSink.publishDelta(dirPath, ManifestSink.segmentRefsFull(txt),
+          ManifestSink.parseEntries(txt), Nil, gen + 1, "eqdelete",
+          retain || ManifestSink.hasRetainedGenerations(dir),
+          eqDeletes = Some(existing :+
+            ManifestSink.EqDelete(name, cols, n, gen + 1)))
+        n
+      }
+    }
   }
 
   /** OPTIMIZE/cluster (Delta's `OPTIMIZE ZORDER BY` shape): rewrite the

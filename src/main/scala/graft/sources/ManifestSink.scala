@@ -235,6 +235,72 @@ object ManifestSink {
     } finally in.close()
   }
 
+  /** Canonical composite key of one row's equality-delete columns —
+    * NDJSON-literal form, type-tagged so `"1"` (string) never collides
+    * with `1` (number). Both sides of the membership test — the
+    * tombstone file's rows and the data file's rows — were rendered by
+    * the SAME typed NDJSON writer, so identical values produce
+    * identical literals. */
+  private[sources] def eqKeyOf(m: collection.Map[String, NdjsonCodec.JsonVal],
+      cols: Seq[String]): String =
+    cols.map { c =>
+      val seg = m.get(c) match {
+        case Some(NdjsonCodec.JsonStr(s)) => "s:" + s
+        case Some(NdjsonCodec.JsonTok(t)) => "t:" + t
+        case _ => "n"
+      }
+      // Length-prefixed join: prefix-free, so no value content can
+      // fake a column boundary.
+      seg.length.toString + ":" + seg
+    }.mkString(",")
+
+  /** Load an equality-delete file's key set (small by contract: a
+    * tombstone batch, never a data file). */
+  private[sources] def eqKeySet(dir: String, name: String,
+      cols: Seq[String]): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    Files.readAllLines(Paths.get(dir, name), StandardCharsets.UTF_8)
+      .forEach { ln =>
+        if (ln.nonEmpty) set.add(eqKeyOf(NdjsonCodec.parseLine(ln), cols))
+      }
+    set
+  }
+
+  /** Stream-copy live lines applying BOTH delete shapes: positional
+    * offsets (`dead`, sorted) and equality-key filters — how compaction
+    * materializes a file's pending deletes exactly once. Returns the
+    * number of lines written (exact live count for the merged entry). */
+  private[sources] def copyLiveLinesFiltered(src: Path, dead: Array[Long],
+      eqFilters: Seq[(Seq[String], java.util.HashSet[String])],
+      out: java.io.OutputStream): Long = {
+    val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
+    var kept = 0L
+    try {
+      var offset = 0L
+      var b = in.read()
+      while (b != -1) {
+        val posLive = java.util.Arrays.binarySearch(dead, offset) < 0
+        val buf = new java.io.ByteArrayOutputStream(128)
+        var c = b
+        while (c != -1 && c != '\n') { buf.write(c); offset += 1; c = in.read() }
+        if (c == '\n') offset += 1
+        val line = buf.toByteArray
+        val keep = posLive && (eqFilters.isEmpty || {
+          val parsed = NdjsonCodec.parseLine(
+            new String(line, StandardCharsets.UTF_8))
+          !eqFilters.exists { case (cols, keys) =>
+            keys.contains(eqKeyOf(parsed, cols))
+          }
+        })
+        if (keep && line.nonEmpty) {
+          out.write(line); out.write('\n'); kept += 1
+        }
+        b = in.read()
+      }
+    } finally in.close()
+    kept
+  }
+
   /** Default bound on manifest SEGMENTS before an append commit
     * collapses them into one (Iceberg's `min-count-to-merge` trade):
     * append commits write O(delta) bytes, and every `MaxSegments`-th
@@ -259,6 +325,52 @@ object ManifestSink {
     * `"files"` array, no `"segments"`) stay fully readable. */
   private[sources] def committedEntries(dir: String): Seq[StagedFile] =
     resolveEntries(dir, manifestText(dir, ManifestName))
+
+  /** EQUALITY DELETE (Iceberg's equality-delete files — the streaming-
+    * CDC delete shape): a small NDJSON file of KEY TUPLES, recorded in
+    * the pointer's `eqdeletes` array, applied at READ time — "delete
+    * where user_id IN (file)" as data. The write is O(tombstones) with
+    * ZERO target scan (positional DVs must first scan to find
+    * (_file,_pos); a CDC tombstone burst cannot afford that).
+    * `seq` is the generation the delete committed at; it applies to
+    * exactly the data files whose own `seq` (stamped at commit,
+    * legacy = 0) is SMALLER — so a same-batch or later upsert's
+    * re-inserted rows survive their own key's tombstone (Iceberg's
+    * data-sequence-number rule). Compaction materializes applicable
+    * deletes into merged files and retires entries no remaining file
+    * predates. `cols` is comma-join-encoded (flat key columns only). */
+  private[sources] final case class EqDelete(name: String, cols: Seq[String],
+      rows: Long, seq: Long)
+
+  private[sources] def renderEqDelete(d: EqDelete): String =
+    "{\"name\":\"" + NdjsonCodec.escape(d.name) + "\",\"cols\":\"" +
+      NdjsonCodec.escape(d.cols.mkString(",")) + "\",\"rows\":" + d.rows +
+      ",\"seq\":" + d.seq + "}"
+
+  /** Parse the pointer's `eqdeletes` array (absent on pre-eq manifests
+    * and segment files). */
+  private[sources] def parseEqDeletes(txt: String): Seq[EqDelete] =
+    arrayText(txt, "eqdeletes") match {
+      case None => Nil
+      case Some(raw) =>
+        entryObjects(s"""{"x":[$raw]}""").flatMap { obj =>
+          val m = NdjsonCodec.parseLine(obj)
+          (m.get("name"), m.get("cols"), m.get("rows"), m.get("seq")) match {
+            case (Some(NdjsonCodec.JsonStr(n)), Some(NdjsonCodec.JsonStr(c)),
+                Some(NdjsonCodec.JsonTok(r)), Some(NdjsonCodec.JsonTok(s))) =>
+              Some(EqDelete(n, c.split(",").toSeq, r.toLong, s.toLong))
+            case _ => None
+          }
+        }
+    }
+
+  private[sources] def committedEqDeletes(dir: String): Seq[EqDelete] =
+    parseEqDeletes(manifestText(dir, ManifestName))
+
+  /** Pending equality-delete tombstone file names (public: tests and
+    * operational tooling inspect the merge-on-read debt). */
+  def committedEqDeleteNames(dir: String): Seq[String] =
+    committedEqDeletes(dir).map(_.name)
 
   /** Entries of a pointer-or-legacy manifest text: segment-referenced
     * entries first (list order), then any inline `files` entries.
@@ -497,7 +609,12 @@ object ManifestSink {
             case Some(NdjsonCodec.JsonTok(r)) if dv.isDefined => r.toLong
             case _ => 0L
           }
-          Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows))
+          val seq = m.get("seq") match {
+            case Some(NdjsonCodec.JsonTok(s)) => s.toLong
+            case _ => 0L
+          }
+          Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
+            seq))
         case _ => None
       }
     }
@@ -760,6 +877,14 @@ object ManifestSink {
     val dir = dirPath.toString
     locally {
       val entries = committedEntries(dir)
+      val eqDeletes = committedEqDeletes(dir)
+      // Equality-delete key sets load lazily, once per delete file —
+      // they are tombstone batches (small by contract), and only the
+      // deletes some merged member actually predates are read.
+      val eqSets = collection.mutable.HashMap[String, java.util.HashSet[String]]()
+      def filtersFor(e: StagedFile): Seq[(Seq[String], java.util.HashSet[String])] =
+        eqDeletes.filter(_.seq > e.seq).map(d =>
+          d.cols -> eqSets.getOrElseUpdate(d.name, eqKeySet(dir, d.name, d.cols)))
       val (small, big) = entries.partition(e =>
         e.rows < targetRows && !exclude(e.name))
       if (small.size < 2) return 0
@@ -783,49 +908,69 @@ object ManifestSink {
         val name = f"compact-g${generation + 1}%06d-$k%04d.ndjson"
         val tmp = dirPath.resolve(s".$name.tmp")
         val out = Files.newOutputStream(tmp)
+        var liveWritten = 0L
+        var eqApplied = false
         try group.foreach { f =>
-          f.dv match {
-            // Compaction MATERIALIZES deletion vectors: the merged
-            // output carries live lines only, so the vector (and its
-            // sidecar) retires with the file it annotated — the
-            // merge-on-read debt is paid exactly once, here.
-            case Some(d) =>
-              copyLiveLines(dirPath.resolve(f.name),
-                readDvOffsets(dir, d), out)
-            case None => Files.copy(dirPath.resolve(f.name), out)
+          val eqFilters = filtersFor(f)
+          if (eqFilters.nonEmpty) eqApplied = true
+          (f.dv, eqFilters.isEmpty) match {
+            // Compaction MATERIALIZES both delete shapes: positional
+            // vectors AND applicable equality deletes — the merged
+            // output carries live lines only, so the sidecars retire
+            // with the files they annotated and the merge-on-read
+            // debt is paid exactly once, here.
+            case (None, true) =>
+              Files.copy(dirPath.resolve(f.name), out)
+              liveWritten += f.rows
+            case (dv, _) =>
+              liveWritten += copyLiveLinesFiltered(dirPath.resolve(f.name),
+                dv.map(d => readDvOffsets(dir, d)).getOrElse(Array.empty[Long]),
+                eqFilters, out)
           }
         } finally out.close()
         // Into place BEFORE the swap: invisible until the manifest
         // names it, orphaned if we crash here (GC'd by a later compact).
         Files.move(tmp, dirPath.resolve(name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        // Live rows: materialization dropped the deleted lines. Merged
-        // BOUNDS may overstate (they described the physical rows) —
-        // sound for min/max pruning: the physical range is a superset
-        // of the live range. NULL COUNTS are different: the proofs
-        // pair `nulls.c` with the entry's row total, and this entry's
-        // total is LIVE rows while the members' counts are PHYSICAL —
-        // if a group member carried a deletion vector the pairing is
-        // incoherent (physical nulls == live rows would wrongly prove
-        // all-null / prune IsNotNull). Drop the counts for such groups
-        // so null proofs stand down; DV-free groups keep the exact sum.
-        StagedFile(name, group.map(_.liveRows).sum,
+        // Live rows: materialization counted exactly what it wrote.
+        // Merged BOUNDS may overstate (they described the physical
+        // rows) — sound for min/max pruning: the physical range is a
+        // superset of the live range. NULL COUNTS are different: the
+        // proofs pair `nulls.c` with the entry's row total, and this
+        // entry's total is LIVE rows while the members' counts are
+        // PHYSICAL — if a group member carried a deletion vector (or
+        // had equality deletes applied) the pairing is incoherent
+        // (physical nulls == live rows would wrongly prove all-null /
+        // prune IsNotNull). Drop the counts for such groups so null
+        // proofs stand down; delete-free groups keep the exact sum.
+        // seq = the NEW generation: applicable equality deletes were
+        // just materialized, so none may re-apply to the merged file.
+        StagedFile(name, liveWritten,
           mergeStats(group.map(_.stats).toSeq),
           Files.size(dirPath.resolve(name)),
-          if (group.exists(_.dv.isDefined)) Map.empty[String, Long]
-          else mergeNullCounts(group.toSeq))
+          if (group.exists(_.dv.isDefined) || eqApplied) Map.empty[String, Long]
+          else mergeNullCounts(group.toSeq),
+          seq = generation + 1)
       }
       val next = big ++ keepSingles.flatten ++ merged
-      publishManifest(dirPath, next, generation + 1, "compact")
+      // An equality delete whose every predating file was just merged
+      // away (materialized) retires with them; one any remaining file
+      // still predates stays pending.
+      val (staleEq, liveEq) =
+        eqDeletes.partition(d => !next.exists(_.seq < d.seq))
+      publishManifest(dirPath, next, generation + 1, "compact",
+        eqDeletes = Some(liveEq))
       // Retired originals leave the directory ONLY when no retained
       // generation (or tag) can still reference them — on retained
       // tables the merged-away files stay until expireSnapshots/vacuum
       // collects them, so compaction no longer invalidates time travel
       // or tagged snapshots (round-11 fix; the old behavior deleted
       // unconditionally and documented the breakage as a trade).
-      if (!hasRetainedGenerations(dir))
+      if (!hasRetainedGenerations(dir)) {
         merge.flatten.flatMap(ownedNames)
           .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
+        staleEq.foreach(d => Files.deleteIfExists(dirPath.resolve(d.name)))
+      }
       // Compaction collapsed every prior segment into one fresh one —
       // sweep the retired segments (and any crash orphans) now.
       sweepSegments(dirPath)
@@ -899,8 +1044,11 @@ object ManifestSink {
     val dv = f.dv.toSeq.flatMap(d =>
       Seq("\"dv\":\"" + NdjsonCodec.escape(d) + "\"",
         s""""dvRows":${f.dvRows}"""))
+    // Commit sequence (generation the file was committed at, legacy 0):
+    // what equality deletes test applicability against.
+    val seq = if (f.seq > 0) Seq(s""""seq":${f.seq}""") else Nil
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls ++ parts ++ dv).mkString("{", ",", "}")
+      stats ++ nulls ++ parts ++ dv ++ seq).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -933,17 +1081,43 @@ object ManifestSink {
     if (e <= s) return Array.empty
     val keep = (f: StagedFile) =>
       pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
+    val eTxt = manifestTextAt(path,
+      if (e == committedGeneration(path)) None else Some(e))
+    // Equality deletes AS OF the window end ride every planned file
+    // (applicable by the seq rule) so a snapshot batch and replayed
+    // retirements serve live rows only. A window in which the delete
+    // SET ITSELF changed is refused below.
+    val eqsE = parseEqDeletes(eTxt)
     def plan(fs: Seq[StagedFile], change: String): Seq[InputPartition] =
-      fs.flatMap(f => splitFile(path, f, maxSplitBytes)).map {
+      fs.flatMap(f => splitFile(path, f, maxSplitBytes,
+        eqsE.filter(_.seq > f.seq).map(d => EqRef(d.name, d.cols)))).map {
         case p: ManifestFilePartition if changeFeed =>
           p.copy(constants = Map(ChangeTypeColumn -> change))
         case p => p
       }
-    val eTxt = manifestTextAt(path,
-      if (e == committedGeneration(path)) None else Some(e))
     if (s == 0L)
       return plan(resolveEntries(path, eTxt).filter(keep), "insert").toArray
     val sTxt = manifestTextAt(path, Some(s))
+    // An equality-delete commit inside the window removes rows without
+    // touching any file entry — invisible to the name-level diff, and
+    // not representable as full change rows either (the tombstone file
+    // carries key columns only). Refuse loudly in BOTH modes: an
+    // append-only tail must not silently re-see deleted rows, and a
+    // change-feed consumer should read the CDC source directly or wait
+    // for compaction to materialize the delete into file rewrites.
+    locally {
+      val sEq = parseEqDeletes(sTxt).map(_.name).toSet
+      val eEq = eqsE.map(_.name).toSet
+      if (sEq != eEq)
+        throw new IllegalStateException(
+          s"generations $s -> $e of $path changed the equality-delete set " +
+            s"(${(sEq diff eEq).toSeq.sorted.mkString(", ")}" +
+            s"${(eEq diff sEq).toSeq.sorted.mkString(", ")}) — equality " +
+            "deletes are applied at read, not representable in an " +
+            "incremental window; restart the read from the current " +
+            "generation, consume the CDC source directly, or compact " +
+            "first to materialize them")
+    }
     val sRefs = segmentRefsFull(sTxt).map(_.name).toSet
     val sInline = parseEntries(sTxt)
     val eRefs = segmentRefsFull(eTxt)
@@ -1033,19 +1207,23 @@ object ManifestSink {
   /** Byte-range partitions for one committed file (Hadoop line-split
     * contract) — shared by the batch scan and the streaming source. */
   private[sources] def splitFile(dir: String, f: StagedFile,
-      maxSplitBytes: Long): Seq[InputPartition] = {
+      maxSplitBytes: Long, eq: Seq[EqRef] = Nil): Seq[InputPartition] = {
     val p = Paths.get(dir, f.name)
     val size = fileSize(dir, f)
     // Every read of a DV'd file — batch scan, streaming tail, CDF
     // insert replay — skips its deleted offsets; each split loads the
-    // (small) sidecar independently.
+    // (small) sidecar independently. Equality-delete refs ride the
+    // partition the same way: each split loads the (small) tombstone
+    // files that apply to THIS data file (delete.seq > file.seq) and
+    // drops matching-key rows at read.
     val dv = DvSpec(skip = f.dv)
     if (size <= maxSplitBytes)
-      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv))
+      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv,
+        eq = eq))
     else
       (0L until size by maxSplitBytes).map(s =>
         ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size),
-          dv = dv))
+          dv = dv, eq = eq))
   }
 
   /** One commit's provenance row — `history(dir)`'s DESCRIBE HISTORY
@@ -1133,11 +1311,17 @@ object ManifestSink {
       if (n.startsWith("manifest-g") && n.endsWith(".json"))
         retained += n.stripPrefix("manifest-g").stripSuffix(".json").toLong
     } finally ls.close()
+    val texts = manifestText(dir, ManifestName) +:
+      retained.toSeq.map(g => manifestText(dir, generationManifestName(g)))
     val old = retained.flatMap { g =>
       try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
       catch { case _: java.io.UncheckedIOException => Seq.empty }
     }
-    (committedEntries(dir) ++ old).flatMap(ownedNames).toSet
+    // Equality-delete tombstone files referenced by ANY manifest (the
+    // current pointer or a retained generation) are reachable too —
+    // vacuum must never GC a live tombstone.
+    (committedEntries(dir) ++ old).flatMap(ownedNames).toSet ++
+      texts.flatMap(t => parseEqDeletes(t).map(_.name))
   }
 
   /** Does the table keep snapshot history (any retained generation
@@ -1191,18 +1375,28 @@ object ManifestSink {
     * never O(entries). Callers delete retired data files and sweep
     * retired segments only AFTER this returns. */
   private[sources] def writePointer(dir: Path, segments: Seq[SegmentRef],
-      generation: Long, tag: String, retain: Boolean): Unit = {
+      generation: Long, tag: String, retain: Boolean,
+      // None = CARRY the current pointer's equality deletes forward
+      // unchanged (the safe default for commits that don't touch
+      // them); Some(list) replaces — the eq-delete commit appends,
+      // compaction prunes, truncate clears, restore rewinds.
+      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
     val segs = segments.map {
       case SegmentRef(_, Some(sum)) => renderEntry(sum)
       case SegmentRef(n, None) => "\"" + n + "\""
     }.mkString("[", ",", "]")
+    val eqs = eqDeletes.getOrElse(
+      parseEqDeletes(manifestText(dir.toString, ManifestName)))
+    val eqTxt =
+      if (eqs.isEmpty) ""
+      else s""","eqdeletes":${eqs.map(renderEqDelete).mkString("[", ",", "]")}"""
     // Commit PROVENANCE rides the pointer: the tag (query/epoch id or
     // the operation name — "compact", "delete") and a wall-clock stamp,
     // Delta's DESCRIBE HISTORY columns. Retained generation copies keep
     // them, so `history(dir)` reads the audit trail back.
     val json = s"""{"generation":$generation,""" +
       s""""tag":"${NdjsonCodec.escape(tag)}",""" +
-      s""""ts":${System.currentTimeMillis()},"segments":$segs}"""
+      s""""ts":${System.currentTimeMillis()},"segments":$segs$eqTxt}"""
     // Snapshot retention (time travel): the generation-numbered copy is
     // written BEFORE the pointer swap — a crash between the two leaves
     // a dangling gen file (harmless; replaced on retry), never a
@@ -1222,7 +1416,8 @@ object ManifestSink {
     * every `MaxSegments`-th append). Callers holding the lock sweep
     * retired segments afterwards via [[sweepSegments]]. */
   private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
-      generation: Long, tag: String, retain: Boolean = false): Unit = {
+      generation: Long, tag: String, retain: Boolean = false,
+      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
     val segs =
       if (entries.isEmpty) Nil
       else {
@@ -1230,7 +1425,7 @@ object ManifestSink {
         writeSegment(dir, sn, entries)
         Seq(SegmentRef(sn, Some(summarize(sn, entries))))
       }
-    writePointer(dir, segs, generation, tag, retain)
+    writePointer(dir, segs, generation, tag, retain, eqDeletes)
   }
 
   /** APPEND publish, the O(delta) path: prior segments are carried BY
@@ -1239,7 +1434,8 @@ object ManifestSink {
     * own segment. Total bytes written: O(delta + #segments). */
   private[sources] def publishDelta(dir: Path, carrySegments: Seq[SegmentRef],
       migrated: Seq[StagedFile], delta: Seq[StagedFile],
-      generation: Long, tag: String, retain: Boolean): Unit = {
+      generation: Long, tag: String, retain: Boolean,
+      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
     val mig =
       if (migrated.isEmpty) Nil
       else {
@@ -1254,7 +1450,8 @@ object ManifestSink {
         writeSegment(dir, sn, delta)
         Seq(SegmentRef(sn, Some(summarize(sn, delta))))
       }
-    writePointer(dir, carrySegments ++ mig ++ dseg, generation, tag, retain)
+    writePointer(dir, carrySegments ++ mig ++ dseg, generation, tag, retain,
+      eqDeletes)
   }
 
   /** GC segment files no manifest references — the current pointer and
@@ -1380,9 +1577,10 @@ object ManifestSink {
       // would only pollute history and the change feed.
       if (generation == current) current
       else {
-        val entries = resolveEntries(dir,
-          manifestTextAt(dir, Some(generation))) // throws if not retained
-        entries.flatMap(ownedNames).foreach(n =>
+        val txt = manifestTextAt(dir, Some(generation)) // throws if not retained
+        val entries = resolveEntries(dir, txt)
+        val eqs = parseEqDeletes(txt)
+        (entries.flatMap(ownedNames) ++ eqs.map(_.name)).foreach(n =>
           require(Files.exists(dirPath.resolve(n)),
             s"cannot restore generation $generation of $dir: $n was " +
               "GC'd — only retained/tagged generations restore"))
@@ -1394,7 +1592,7 @@ object ManifestSink {
           Files.write(dirPath.resolve(generationManifestName(current)),
             manifestText(dir, ManifestName).getBytes(StandardCharsets.UTF_8))
         publishManifest(dirPath, entries, current + 1, "restore",
-          retain = true)
+          retain = true, eqDeletes = Some(eqs))
         sweepSegments(dirPath)
         current + 1
       }
@@ -2429,19 +2627,27 @@ private[sources] class ManifestScan(path: String, full: StructType,
     // the planned set (post static pruning AND runtime group filter —
     // this plans again after filter()) for the write side to retire.
     rowLevel.foreach(_.recordScanned(survivingEntries))
+    // Equality deletes AS OF this scan's generation: each data file
+    // gets exactly the tombstone files newer than its own commit seq
+    // (Iceberg's sequence rule — a later re-insert of a deleted key
+    // survives).
+    val eqs = ManifestSink.parseEqDeletes(
+      ManifestSink.manifestTextAt(path, version))
+    def eqFor(f: StagedFile): Seq[EqRef] =
+      eqs.filter(_.seq > f.seq).map(d => EqRef(d.name, d.cols))
     keyedEntries match {
       case Some(keyed) =>
         keyed.flatMap { case (f, key, _) =>
-          ManifestSink.splitFile(path, f, maxSplitBytes).map {
+          ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f)).map {
             case p: ManifestFilePartition =>
               KeyedManifestFilePartition(p.file, p.start, p.end, key,
-                p.dv): InputPartition
+                p.dv, p.eq): InputPartition
             case p => p
           }
         }.toArray
       case None =>
         survivingEntries.flatMap(f =>
-          ManifestSink.splitFile(path, f, maxSplitBytes)).toArray
+          ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f))).toArray
     }
   }
 
@@ -2457,7 +2663,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new FilesReadMetric, new FilesSkippedMetric,
-      new DvRowsSkippedMetric)
+      new DvRowsSkippedMetric, new EqRowsSkippedMetric)
 
   override def reportDriverMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -2494,16 +2700,24 @@ private[sources] final case class DvSpec(skip: Option[String] = None,
 }
 private[sources] object DvSpec { val Empty: DvSpec = DvSpec() }
 
+/** One equality-delete file applicable to a partition's data file:
+  * the tombstone file's name (resolved against the data file's
+  * directory) and its key columns. The reader loads the key set once
+  * per split and drops data rows whose key tuple is in it. */
+private[sources] final case class EqRef(file: String, cols: Seq[String])
+
 private[sources] final case class ManifestFilePartition(file: String,
     start: Long, end: Long,
     constants: Map[String, String] = Map.empty,
-    dv: DvSpec = DvSpec.Empty) extends InputPartition
+    dv: DvSpec = DvSpec.Empty,
+    eq: Seq[EqRef] = Nil) extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
 private[sources] final case class KeyedManifestFilePartition(file: String,
     start: Long, end: Long, key: InternalRow,
-    dv: DvSpec = DvSpec.Empty)
+    dv: DvSpec = DvSpec.Empty,
+    eq: Seq[EqRef] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -2591,6 +2805,12 @@ private[sources] final class DvRowsSkippedMetric
   override def description(): String =
     "rows suppressed by deletion vectors at read time"
 }
+private[sources] final class EqRowsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "eqRowsSkipped"
+  override def description(): String =
+    "rows suppressed by equality-delete key files at read time"
+}
 private[sources] final case class TaskMetric(metricName: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
   override def name(): String = metricName
@@ -2614,10 +2834,10 @@ private[sources] class ManifestReaderFactory(required: StructType,
     partition match {
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, p.constants), p.dv, servePos)
+          consts(p.file, p.constants), p.dv, servePos, p.eq)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, Map.empty), p.dv, servePos)
+          consts(p.file, Map.empty), p.dv, servePos, p.eq)
     }
 }
 
@@ -2634,13 +2854,30 @@ private[sources] class ManifestReaderFactory(required: StructType,
 private[sources] class NdjsonPartitionReader(file: String, start: Long,
     end: Long, required: StructType,
     constants: Map[String, String] = Map.empty,
-    dv: DvSpec = DvSpec.Empty, servePos: Boolean = false)
+    dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
+    eq: Seq[EqRef] = Nil)
     extends PartitionReader[InternalRow] {
   // Deletion-vector offsets, loaded once per split (sidecars are
   // small — a DV exists precisely because the delete was too small to
   // justify rewriting the file). Sorted ascending by the writer, so
   // membership is a binary search, zero boxing.
   private val dvDir: String = Paths.get(file).getParent.toString
+  // Equality-delete key sets, loaded once per split (tombstone batches
+  // are small by contract — a big delete should be a copy-on-write
+  // rewrite). The membership test runs on the PARSED line, before
+  // projection, so key columns need not be in the read schema.
+  private val eqFilters: Seq[(Seq[String], java.util.HashSet[String])] =
+    eq.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols))
+  private var eqSkipped = 0L
+  private def eqKeep(parsed: collection.Map[String, NdjsonCodec.JsonVal])
+      : Boolean =
+    eqFilters.isEmpty || {
+      val dead = eqFilters.exists { case (cols, keys) =>
+        keys.contains(ManifestSink.eqKeyOf(parsed, cols))
+      }
+      if (dead) eqSkipped += 1
+      !dead
+    }
   private def offsetsOf(name: String): Array[Long] =
     ManifestSink.readDvOffsets(dvDir, name)
   private val skipOffsets: Array[Long] =
@@ -2668,7 +2905,8 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
 
   override def currentMetricsValues()
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-    Array(TaskMetric("dvRowsSkipped", dvSkipped))
+    Array(TaskMetric("dvRowsSkipped", dvSkipped),
+      TaskMetric("eqRowsSkipped", eqSkipped))
   private val in = new java.io.BufferedInputStream(
     try Files.newInputStream(Paths.get(file))
     catch {
@@ -2733,16 +2971,18 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
       if (raw.nonEmpty && dvKeep(lineStart)) {
         val parsed = NdjsonCodec.parseLine(
           new String(raw, StandardCharsets.UTF_8))
-        val vals = new Array[Any](names.length)
-        var i = 0
-        while (i < names.length) {
-          vals(i) =
-            if (i == posIdx) lineStart
-            else if (consts(i) != null) consts(i)
-            else convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
-          i += 1
+        if (eqKeep(parsed)) {
+          val vals = new Array[Any](names.length)
+          var i = 0
+          while (i < names.length) {
+            vals(i) =
+              if (i == posIdx) lineStart
+              else if (consts(i) != null) consts(i)
+              else convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
         }
-        current = new GenericInternalRow(vals)
       }
     }
     true
@@ -2884,12 +3124,13 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       // retire — possibly buried inside carried segments) or the
       // every-MaxSegments-th commit collapses to one segment instead.
       val segStale = segEntries.exists(_.name.startsWith(epochPrefix))
+      val stamped = winners.map(_.copy(seq = generation + 1)).toSeq
       if (!segStale && segRefs.size < maxSegments) {
         ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(_.name.startsWith(epochPrefix)),
-          winners.toSeq, generation + 1, s"$queryId.$epochId", retain)
+          stamped, generation + 1, s"$queryId.$epochId", retain)
       } else {
-        ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
+        ManifestSink.publishManifest(dir, prior ++ stamped, generation + 1,
           s"$queryId.$epochId", retain)
         ManifestSink.sweepSegments(dir)
       }
@@ -2968,7 +3209,13 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // bounds/null proof over physical rows is sound for live rows);
     // `dvRows` is how many of them the vector deletes, so live = rows
     // - dvRows everywhere a logical count matters.
-    dv: Option[String] = None, dvRows: Long = 0L)
+    dv: Option[String] = None, dvRows: Long = 0L,
+    // Commit SEQUENCE: the generation this file was committed at
+    // (stamped by the committers; 0 = legacy/unknown). Equality
+    // deletes apply to exactly the files whose seq is smaller than
+    // the delete's own — Iceberg's data-sequence-number rule, which is
+    // what lets a CDC upsert's re-insert survive its key's tombstone.
+    seq: Long = 0L)
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
 }
@@ -3034,6 +3281,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // entry only, not both.
       val winnerNames = winners.map(_.name).toSet
       val txt = ManifestSink.manifestText(path, ManifestSink.ManifestName)
+      val priorEqDeletes = ManifestSink.parseEqDeletes(txt)
       val segRefs = ManifestSink.segmentRefsFull(txt)
       val segEntries = segRefs.flatMap(r =>
         ManifestSink.parseEntries(ManifestSink.segmentTextStrict(path, r.name)))
@@ -3122,14 +3370,21 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // a segment, the every-MaxSegments-th merge, or a copy-on-write
       // replacement buried in a segment).
       val segTouched = segEntries.exists(e => retireNames.contains(e.name))
+      // Commit-sequence stamp: the manifest entry records WHICH
+      // generation committed the file, so equality deletes (older seq)
+      // never apply to rows appended after them.
+      val stamped = winners.map(_.copy(seq = generation + 1)).toSeq
       if (!truncate && !segTouched &&
           segRefs.size < maxSegments) {
         ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(f => retireNames.contains(f.name)),
-          winners.toSeq, generation + 1, queryId, retain)
+          stamped, generation + 1, queryId, retain)
       } else {
-        ManifestSink.publishManifest(dir, prior ++ winners, generation + 1,
-          queryId, retain)
+        // TRUNCATE clears pending equality deletes with the rows they
+        // applied to; every other collapse carries them forward.
+        ManifestSink.publishManifest(dir, prior ++ stamped, generation + 1,
+          queryId, retain,
+          eqDeletes = if (truncate) Some(Nil) else None)
         ManifestSink.sweepSegments(dir)
       }
       // Replaced files leave the directory AFTER the swap (idempotent
@@ -3151,6 +3406,9 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         priorAll.filterNot(e => winnerNames.contains(e.name))
           .flatMap(ManifestSink.ownedNames)
           .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+        // Cleared equality-delete files go with the rows they covered.
+        if (!ManifestSink.hasRetainedGenerations(path))
+          priorEqDeletes.foreach(d => Files.deleteIfExists(dir.resolve(d.name)))
       }
     }
     cleanupStaging()

@@ -285,7 +285,8 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-      ManifestSink.publishManifest(dir, updated ++ winners, gen + 1,
+      ManifestSink.publishManifest(dir,
+        updated ++ winners.map(_.copy(seq = gen + 1)), gen + 1,
         if (winners.isEmpty) "delete" else "update", retain)
       ManifestSink.sweepSegments(dir)
       if (!keepHistory) {

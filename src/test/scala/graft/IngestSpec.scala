@@ -1388,7 +1388,9 @@ class IngestSpec extends SparkSpec {
       .collect().map(r => r.getString(r.length - 1)).toSet
     assert(names == Set("compact", "expire_snapshots", "vacuum",
       "create_tag", "drop_tag", "restore",
-      "create_branch", "fast_forward", "drop_branch"), s"$names")
+      "create_branch", "fast_forward", "drop_branch",
+      "add_partition_field", "drop_partition_field",
+      "replace_partition_spec"), s"$names")
     spark.sql("DROP TABLE gcall.t")
   }
 
@@ -1807,6 +1809,206 @@ class IngestSpec extends SparkSpec {
     assert(dropped.getString(1) == "lang", s"$dropped")
     assert(spark.sql("SELECT count(*) FROM gpse.t").head.getLong(0) == 600)
     spark.sql("DROP TABLE gpse.t")
+  }
+
+  test("equality deletes: O(tombstones) commit with no target scan; seq rule; compaction materializes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_eqdel").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+      .repartitionByRange(2, col("id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save() // gen 1, 2 files
+    val dataFiles = graft.sources.ManifestSink.committedFiles(dir)
+    assert(dataFiles.size == 2)
+    // NO-SCAN PIN: hide every data file during the delete commit — an
+    // implementation that scanned the target to find matches would
+    // throw; the equality-delete write must touch only the keys.
+    val dirPath = java.nio.file.Paths.get(dir)
+    dataFiles.foreach(n => Files.move(dirPath.resolve(n),
+      dirPath.resolve(n + ".hidden")))
+    val n = graft.sources.ManifestOps.equalityDelete(dir,
+      spark.range(0, 100).filter("id = 3 OR id = 7").select(col("id"))) // gen 2
+    assert(n == 2)
+    dataFiles.foreach(n => Files.move(dirPath.resolve(n + ".hidden"),
+      dirPath.resolve(n)))
+    def readIds(): Set[Long] = spark.read
+      .format("graft.sources.ManifestSink").schema(sch)
+      .option("path", dir).load().collect().map(_.getLong(0)).toSet
+    assert(readIds() == (0L until 100L).toSet -- Set(3L, 7L))
+    // eqRowsSkipped metric surfaces what the tombstones suppressed.
+    val q = spark.read.format("graft.sources.ManifestSink").schema(sch)
+      .option("path", dir).load()
+    assert(q.collect().length == 98)
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.metrics("eqRowsSkipped").value == 2,
+      scan.metrics("eqRowsSkipped"))
+    // SEQ RULE (the CDC upsert shape): a LATER re-insert of a deleted
+    // key survives its key's tombstone — the new file's commit seq is
+    // newer than the delete's.
+    spark.range(3, 4).selectExpr("id", "id * 1000 AS v")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save() // gen 3
+    assert(readIds() == (0L until 100L).toSet - 7L)
+    assert(spark.read.format("graft.sources.ManifestSink").schema(sch)
+      .option("path", dir).load().where("id = 3").head.getLong(1) == 3000L,
+      "the re-inserted row, not the tombstoned one")
+    // A second tombstone batch stacks.
+    assert(graft.sources.ManifestOps.equalityDelete(dir,
+      spark.range(50, 52).toDF("id")) == 2) // gen 4
+    assert(readIds() == (0L until 100L).toSet -- Set(7L, 50L, 51L))
+    assert(graft.sources.ManifestSink.committedEqDeleteNames(dir).size == 2)
+    // COMPACTION materializes the applicable tombstones exactly once:
+    // merged files carry live rows only, every tombstone retires (no
+    // remaining file predates them), and the read is unchanged.
+    val before = readIds()
+    assert(graft.sources.ManifestSink.compact(dir, targetRows = 100000L) >= 2)
+    assert(graft.sources.ManifestSink.committedEqDeleteNames(dir).isEmpty,
+      "materialized tombstones must retire")
+    assert(readIds() == before)
+    assert(graft.sources.ManifestSink.committedRowCount(dir) == 97L,
+      "merged entries count exact live rows")
+    // The tombstone FILES left the directory with their entries.
+    val ls = Files.list(dirPath)
+    val leftover = try {
+      val it = ls.iterator(); val b = Seq.newBuilder[String]
+      while (it.hasNext) { val nm = it.next().getFileName.toString
+        if (nm.startsWith("eqdel-")) b += nm }
+      b.result()
+    } finally ls.close()
+    assert(leftover.isEmpty, s"$leftover")
+  }
+
+  test("equality deletes: incremental windows that cross a tombstone commit refuse loudly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_eqdel_stream").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    def append(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id", "id AS v").coalesce(1)
+        .write.format("graft.sources.ManifestSink")
+        .option("path", dir).option("retainHistory", "true")
+        .mode("append").save()
+    append(0, 10) // gen 1
+    graft.sources.ManifestOps.equalityDelete(dir,
+      spark.range(2, 4).toDF("id"), retain = true) // gen 2
+    append(10, 20) // gen 3
+    // Window (1, 3] crosses the tombstone commit: refuse in BOTH modes
+    // (the delete is applied at read, not representable incrementally).
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    Seq(false, true).foreach { cdf =>
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.ManifestSink")
+          .schema(if (cdf) StructType(sch.fields :+
+            StructField("_change_type", StringType)) else sch)
+          .option("path", dir)
+          .option("readChangeFeed", cdf.toString)
+          .option("startingVersion", "1").option("endingVersion", "3")
+          .load().collect()
+      }
+      assert(messages(e).exists(_.contains("equality-delete set")),
+        s"cdf=$cdf: ${messages(e)}")
+    }
+    // A window PAST the tombstone commit streams normally (new files
+    // are never affected by older tombstones), and a FULL snapshot
+    // batch (startingVersion 0-equivalent: plain read) applies them.
+    val w23 = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir)
+      .option("startingVersion", "2").option("endingVersion", "3")
+      .load().collect().map(_.getLong(0)).toSet
+    assert(w23 == (10L until 20L).toSet)
+    val full = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(full == (0L until 20L).toSet -- Set(2L, 3L))
+  }
+
+  test("catalog views: CREATE/SELECT/SHOW/RENAME/DROP through the V2 ViewCatalog") {
+    val wh = Files.createTempDirectory("graft_views").toString
+    spark.conf.set("spark.sql.catalog.gvw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvw.base", wh)
+    spark.sql("CREATE TABLE gvw.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gvw.t SELECT id, id * 2 FROM range(100)")
+    // The view persists the DEFINITION (late-bound): rows appended
+    // after CREATE VIEW are visible through it.
+    spark.sql("CREATE VIEW gvw.evens AS SELECT id, v FROM gvw.t WHERE id % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM gvw.evens").head.getLong(0) == 50)
+    spark.sql("INSERT INTO gvw.t SELECT id, id * 2 FROM range(100, 120)")
+    assert(spark.sql("SELECT count(*) FROM gvw.evens").head.getLong(0) == 60,
+      "views are late-bound, never a data copy")
+    // Catalog listing + marker hygiene: a view is not a table and not
+    // a namespace.
+    val views = spark.sql("SHOW VIEWS IN gvw").collect().map(_.getString(1))
+    assert(views.contains("evens"), views.mkString(", "))
+    val tables = spark.sql("SHOW TABLES IN gvw").collect().map(_.getString(1))
+    assert(!tables.contains("evens") || tables.contains("t"),
+      tables.mkString(", "))
+    assert(spark.sql("SHOW NAMESPACES IN gvw").collect()
+      .forall(r => r.getString(0) != "evens"), "a view dir is not a namespace")
+    // Rename + drop round-trip.
+    spark.sql("ALTER VIEW gvw.evens RENAME TO gvw.evens2")
+    assert(spark.sql("SELECT count(*) FROM gvw.evens2").head.getLong(0) == 60)
+    spark.sql("DROP VIEW gvw.evens2")
+    val gone = intercept[Exception] { spark.sql("SELECT * FROM gvw.evens2") }
+    assert(gone.getMessage != null)
+    spark.sql("DROP TABLE gvw.t")
+  }
+
+  test("incremental MV: refresh folds ONLY the base delta; fold equals full recompute") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_mv").toString
+    spark.conf.set("spark.sql.catalog.gmv", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.base", wh)
+    spark.sql("""CREATE TABLE gmv.base (g STRING, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    spark.sql("""INSERT INTO gmv.base
+      SELECT CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END, id
+      FROM range(300)""") // gen 1
+    graft.sources.MaterializedViews.createAvg(spark, "gmv", "stats",
+      "base", "base_mv", "g", "v")
+    def viewRows(): Map[String, (Long, Long, Long)] =
+      spark.sql("SELECT g, sum_v, cnt_v, avg_v FROM gmv.stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    def truth(): Map[String, (Long, Long, Long)] =
+      spark.sql("""SELECT g, sum(v), count(v), sum(v) DIV count(v)
+        FROM gmv.base GROUP BY g""").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    assert(viewRows() == truth())
+    // Append a delta, then PIN the O(delta) refresh: hide every era-1
+    // base file — a refresh that read anything but the delta would
+    // throw.
+    val baseDir = java.nio.file.Paths.get(wh, "base")
+    val era1 = graft.sources.ManifestSink.committedFiles(baseDir.toString)
+    spark.sql("""INSERT INTO gmv.base
+      SELECT CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END, id * 7
+      FROM range(1000, 1200)""") // gen 2
+    era1.foreach(n => Files.move(baseDir.resolve(n),
+      baseDir.resolve(n + ".hidden")))
+    val (from, to) = graft.sources.MaterializedViews.refresh(
+      spark, "gmv", "base_mv")
+    assert(from == 1L && to == 2L, s"$from -> $to")
+    era1.foreach(n => Files.move(baseDir.resolve(n + ".hidden"),
+      baseDir.resolve(n)))
+    assert(viewRows() == truth(), "fold of partials == full recompute")
+    // Idempotent when fresh: no generation published, no delta planned.
+    assert(graft.sources.MaterializedViews.refresh(spark, "gmv", "base_mv")
+      == ((2L, 2L)))
+    // The partial log has one batch per refresh; compaction keeps it
+    // bounded without changing the fold.
+    graft.sources.ManifestSink.compact(
+      java.nio.file.Paths.get(wh, "base_mv").toString, 100000L)
+    assert(viewRows() == truth())
+    spark.sql("DROP VIEW gmv.stats")
+    spark.sql("DROP TABLE gmv.base_mv")
+    spark.sql("DROP TABLE gmv.base")
   }
 
   test("deletion vectors: merge-on-read MERGE upserts without rewriting files") {

@@ -60,7 +60,8 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       .commit(Array(StagedFile(name, 1L)))
 
     val entries = ManifestSink.committedEntries(dir)
-    assert(entries == Seq(StagedFile(name, 1L)),
+    // seq = the committing generation (equality-delete applicability).
+    assert(entries == Seq(StagedFile(name, 1L, seq = 1L)),
       s"manifest should hold exactly the replacing entry, got $entries")
     assert(ManifestSink.committedRowCount(dir) == 1L)
   }
@@ -303,7 +304,7 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       .commit(1L, Array(StagedFile(e1a, 2L)))
 
     assert(ManifestSink.committedEntries(dir).sortBy(_.name) ==
-      Seq(StagedFile(e0, 1L), StagedFile(e1a, 2L)),
+      Seq(StagedFile(e0, 1L), StagedFile(e1a, 2L, seq = 1L)),
       "replayed epoch must hold exactly its replay's files")
     assert(!Files.exists(Paths.get(dir, e1b)),
       "first attempt's extra partition file must be deleted")
@@ -713,7 +714,8 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     Files.write(staging.resolve(e1a),
       "{\"id\":1}\n{\"id\":2}\n".getBytes(StandardCharsets.UTF_8))
     sw.commit(1L, Array(StagedFile(e1a, 2L)))
-    assert(ManifestSink.committedEntries(dir) == Seq(StagedFile(e1a, 2L)),
+    assert(ManifestSink.committedEntries(dir) ==
+      Seq(StagedFile(e1a, 2L, seq = 2L)),
       s"stale segment entries must be retired: ${ManifestSink.committedEntries(dir)}")
     assert(!Files.exists(Paths.get(dir, e1b)),
       "first attempt's extra file must be deleted")
