@@ -60,7 +60,12 @@ object Ranks {
     *
     * The result is a fresh `LogicalRDD` root: each consumer re-runs the
     * rank pipeline, so callers that fan out (e.g. [[Graph.nodeIds]])
-    * should stage the result.
+    * should stage the result. CHAINED calls must stage EVERY layer:
+    * each unstaged level doubles the upstream execution count
+    * (zipWithIndex's offset count job is one consumer, the downstream
+    * read is another), so N chained unstaged ranks re-run the source
+    * 2^N times — q158's three RFM dimensions stage `cust` and each
+    * layer via `Dedup.stage` for exactly this reason.
     *
     * @param sort    total order (include a unique tie-break key)
     * @param buckets range-slice count; defaults to

@@ -1229,23 +1229,32 @@ object Exp2Queries {
         |  CAST(ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS BIGINT)
         |    AS m_score
         |FROM cust""".stripMargin) { (s, dir) =>
-      import graft.operators.Ranks
+      import graft.operators.{Dedup, Ranks}
       val day = to_date(col("o_orderdate"))
       val maxd = Tables.orders(s, dir).agg(max(day).as("m"))
-      val cust = Tables.orders(s, dir).crossJoin(broadcast(maxd))
-        .groupBy("o_custkey")
-        .agg(datediff(max(col("m")), max(day)).cast("long").as("recency_days"),
-          count(lit(1)).as("frequency"),
-          sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+      // STAGED between rank layers: each globalRowNumber output is a
+      // fresh LogicalRDD whose consumers re-run its whole upstream
+      // (zipWithIndex's offset count job included), so three CHAINED
+      // unstaged calls re-execute the orders aggregate 2^3 times.
+      // Staging cust and each layer makes every pipeline segment run
+      // exactly once — same oracle hash, linear work.
+      val cust = Dedup.stage(
+        Tables.orders(s, dir).crossJoin(broadcast(maxd))
+          .groupBy("o_custkey")
+          .agg(datediff(max(col("m")), max(day)).cast("long")
+            .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("monetary_c")))
       // Each ntile(5) = closed-form bucket from an EXACT global rank;
       // ranks come from the range-partitioned Ranks helper, so no
       // dimension ever funnels through a single-task sort (the oracle's
       // three global ntile windows are the semantic spec only).
       val tot = cust.agg(count(lit(1)).as("__n"))
-      val r1 = Ranks.globalRowNumber(cust, "__rr",
-        Seq(col("recency_days").desc, col("o_custkey")))
-      val r2 = Ranks.globalRowNumber(r1, "__rf",
-        Seq(col("frequency"), col("o_custkey")))
+      val r1 = Dedup.stage(Ranks.globalRowNumber(cust, "__rr",
+        Seq(col("recency_days").desc, col("o_custkey"))))
+      val r2 = Dedup.stage(Ranks.globalRowNumber(r1, "__rf",
+        Seq(col("frequency"), col("o_custkey"))))
       val r3 = Ranks.globalRowNumber(r2, "__rm",
         Seq(col("monetary_c"), col("o_custkey")))
       r3.crossJoin(broadcast(tot)).select(col("o_custkey"),
