@@ -1678,6 +1678,51 @@ object IncrementalQueries {
       s.sql(s"SELECT lang, sum_v, cnt_v, avg_v FROM $cat.lang_stats")
     },
 
+    // CROSS-TABLE ATOMIC COMMIT (the reference's O4 — one transaction
+    // across N tables — on the manifest format): both tables land a
+    // base era normally, then ONE transaction stages the remaining
+    // corpus into both (`txnStage` writes are invisible) and
+    // `GraftTxn.commitAll` flips them at a single journal-create
+    // commit point. The union read covers both tables and both eras;
+    // the oracle is the whole corpus — a txn member missing, torn, or
+    // double-committed breaks the per-language counts and hashes.
+    QuerySpec(
+      "a40_cross_table_commit",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = freshDir("a40", dir)
+      val (ta, tb) = (base.resolve("ta").toString, base.resolve("tb").toString)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      def write(df: org.apache.spark.sql.DataFrame, dst: String,
+          txn: Option[String]): Unit = {
+        val w = df.write.format("graft.sources.ManifestSink")
+          .option("path", dst).mode("append")
+        txn.fold(w)(id => w.option(graft.sources.GraftTxn.StageOptionKey, id))
+          .save()
+      }
+      write(docs.where(col("doc_id") % 4 === 0), ta, None) // era 1
+      write(docs.where(col("doc_id") % 4 === 1), tb, None)
+      val id = graft.sources.GraftTxn.newId()
+      write(docs.where(col("doc_id") % 4 === 2), ta, Some(id)) // staged
+      write(docs.where(col("doc_id") % 4 === 3), tb, Some(id))
+      graft.sources.GraftTxn.commitAll(
+        base.resolve("_txns").toString, Seq(ta, tb), id)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      def read(dst: String) = s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", dst).load()
+      read(ta).unionAll(read(tb)).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+    },
+
     // SNAPSHOT TAGS (Iceberg's named refs): gen 1 is tagged
     // 'training-v1', later commits append and DV-delete, snapshots
     // beyond the keep window expire — and `VERSION AS OF 'training-v1'`

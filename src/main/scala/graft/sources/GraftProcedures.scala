@@ -63,6 +63,39 @@ private[sources] object GraftProcedures {
   }
 
   def all(base: Path): Map[String, UnboundProcedure] = Map(
+    "commit_all" -> new UnboundProcedure {
+      override def name(): String = "commit_all"
+      override def description(): String =
+        "make every txnStage-staged write across the named tables " +
+          "visible at ONE commit point (all-or-nothing; see GraftTxn)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "commit_all"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(
+              ProcedureParameter.in("txn", StringType)
+                .comment("transaction id the writes were staged with " +
+                  "(.option(\"txnStage\", id))").build(),
+              ProcedureParameter.in("tables", StringType)
+                .comment("comma-separated dotted table names inside " +
+                  "this catalog, e.g. 'db.users,db.addresses'").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val id = input.getUTF8String(0).toString
+            val dirs = input.getUTF8String(1).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+              .map(t => dirOf(base, t))
+            val committed = GraftTxn.commitAll(
+              base.resolve("_txns").toString, dirs, id)
+            result(StructType(Seq(
+              StructField("tables_committed", IntegerType, nullable = false),
+              StructField("generations", StringType, nullable = false))),
+              Array[Any](committed.size,
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  committed.map(_._2).mkString(","))))
+          }
+        }
+    },
     "compact" -> new UnboundProcedure {
       override def name(): String = "compact"
       override def description(): String =

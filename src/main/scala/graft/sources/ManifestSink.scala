@@ -154,6 +154,84 @@ object ManifestSink {
   val ManifestName = "manifest.json"
   private[sources] val LockName = ".manifest.lock"
 
+  /** CROSS-TABLE TRANSACTION metadata (see [[GraftTxn]]): a write with
+    * the `txnStage=<id>` option publishes its pointer to
+    * [[txnStagedPointerName]] instead of [[ManifestName]] (invisible —
+    * nothing changed for readers), and `GraftTxn.commitAll` later makes
+    * EVERY staged table visible at one commit point: it drops a
+    * [[TxnMarkerName]] file in each table dir, then atomically creates
+    * ONE shared journal file — the commit point — then swaps the
+    * pointers. A reader that finds a marker whose journal exists serves
+    * the staged pointer (virtual roll-forward — no torn cross-table
+    * state is ever observable); a writer acquiring the publish lock
+    * completes or aborts the pending swap physically first. */
+  private[sources] val TxnMarkerName = "_txn_pending.json"
+  private[sources] def txnStagedPointerName(id: String): String =
+    s"_manifest.txn-$id.json"
+
+  /** Serve the pending-transaction state of a table dir, if any:
+    * Some(stagedText) when a committed-journal txn's pointer swap has
+    * not physically happened yet — the reader-side roll-forward.
+    * None = no marker, an aborted txn (journal never created), or a
+    * swap that already completed (staged file gone). */
+  private[sources] def pendingTxnText(dir: String): Option[String] = {
+    val marker = Paths.get(dir, TxnMarkerName)
+    if (!Files.exists(marker)) return None
+    try {
+      val m = NdjsonCodec.parseLine(
+        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8))
+      for {
+        NdjsonCodec.JsonStr(staged) <- m.get("staged")
+        NdjsonCodec.JsonStr(journal) <- m.get("journal")
+        if Files.exists(Paths.get(journal))
+        sp = Paths.get(dir, staged)
+        if Files.exists(sp)
+      } yield new String(Files.readAllBytes(sp), StandardCharsets.UTF_8)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Physically complete (journal exists) or abort (journal missing —
+    * the txn never reached its commit point) a pending cross-table
+    * transaction on `dir`. Runs at publish-lock acquisition, so every
+    * committer builds on the resolved state and a later normal commit
+    * can never be clobbered by a stale staged swap. Idempotent. */
+  private[sources] def resolvePendingTxn(dir: Path): Unit = {
+    val marker = dir.resolve(TxnMarkerName)
+    if (!Files.exists(marker)) return
+    val m =
+      try NdjsonCodec.parseLine(
+        new String(Files.readAllBytes(marker), StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => return }
+    (m.get("staged"), m.get("journal")) match {
+      case (Some(NdjsonCodec.JsonStr(staged)),
+          Some(NdjsonCodec.JsonStr(journal))) =>
+        val sp = dir.resolve(staged)
+        if (Files.exists(Paths.get(journal))) {
+          // Roll FORWARD: the txn committed; finish this table's swap.
+          if (Files.exists(sp)) {
+            val txt = new String(Files.readAllBytes(sp),
+              StandardCharsets.UTF_8)
+            if (txt.contains("\"txnRetain\":true"))
+              "\"generation\":(\\d+)".r.findFirstMatchIn(txt).foreach(g =>
+                Files.write(dir.resolve(
+                  generationManifestName(g.group(1).toLong)),
+                  txt.getBytes(StandardCharsets.UTF_8)))
+            Files.move(sp, dir.resolve(ManifestName),
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+          }
+          Files.deleteIfExists(marker)
+        } else {
+          // Roll BACK: no journal means the txn died before its commit
+          // point — discard the staged pointer (its data files become
+          // orphans; compaction/vacuum collect them).
+          Files.deleteIfExists(sp)
+          Files.deleteIfExists(marker)
+        }
+      case _ => Files.deleteIfExists(marker) // unparseable: inert debris
+    }
+  }
+
   /** Metadata column naming the committed data file a row lives in
     * (Iceberg's `_file`): what row-level operations group by — a
     * "group" in the copy-on-write rewrite IS a file — and what the
@@ -461,6 +539,16 @@ object ManifestSink {
     segmentRefsFull(txt).map(_.name)
 
   private[sources] def manifestText(dir: String, name: String): String = {
+    // Reader-side virtual roll-forward: a committed cross-table txn
+    // whose pointer swap has not physically happened yet (see
+    // [[GraftTxn]]) already IS the table's current state — serving the
+    // old pointer here would tear the transaction's all-or-nothing
+    // visibility. One marker stat per resolution; tables never touched
+    // by a txn pay exactly that stat.
+    if (name == ManifestName) {
+      val pending = pendingTxnText(dir)
+      if (pending.isDefined) return pending.get
+    }
     val m = Paths.get(dir, name)
     if (!Files.exists(m)) return ""
     new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
@@ -643,9 +731,10 @@ object ManifestSink {
     * manifests read as 0. Lost updates (a bug the lock exists to
     * prevent) would show as a non-monotonic or repeated generation. */
   def committedGeneration(dir: String): Long = {
-    val m = Paths.get(dir, ManifestName)
-    if (!Files.exists(m)) return 0L
-    val txt = new String(Files.readAllBytes(m), StandardCharsets.UTF_8)
+    // Via manifestText so a committed-but-unswapped cross-table txn's
+    // generation is visible (same roll-forward readers get).
+    val txt = manifestText(dir, ManifestName)
+    if (txt.isEmpty) return 0L
     "\"generation\":(\\d+)".r.findFirstMatchIn(txt)
       .map(_.group(1).toLong).getOrElse(0L)
   }
@@ -825,7 +914,16 @@ object ManifestSink {
           Thread.sleep(25L + scala.util.Random.nextInt(50))
       }
     }
-    try body finally {
+    try {
+      // A pending cross-table txn (its committer died mid-swap, or
+      // before its commit point) resolves HERE, under the lock, before
+      // any commit logic runs: every committer builds on the resolved
+      // state, so a stale staged swap can never clobber a newer commit.
+      // GraftTxn.commitAll writes its own markers AFTER this point
+      // (inside the body), so a txn never resolves itself.
+      resolvePendingTxn(dir)
+      body
+    } finally {
       if (readLock().contains(token)) Files.deleteIfExists(lock)
     }
   }
@@ -1380,7 +1478,14 @@ object ManifestSink {
       // unchanged (the safe default for commits that don't touch
       // them); Some(list) replaces — the eq-delete commit appends,
       // compaction prunes, truncate clears, restore rewinds.
-      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
+      eqDeletes: Option[Seq[EqDelete]] = None,
+      // Some(name) = CROSS-TABLE TXN STAGING: write the pointer json to
+      // `name` instead of the live pointer (invisible until
+      // GraftTxn.commitAll swaps it); the retained-generation copy is
+      // DEFERRED to swap time (a dangling gen copy naming staged files
+      // would leak into time travel if the txn aborted) — the json
+      // records `txnRetain` so the swap knows to write it.
+      stageAs: Option[String] = None): Unit = {
     val segs = segments.map {
       case SegmentRef(_, Some(sum)) => renderEntry(sum)
       case SegmentRef(n, None) => "\"" + n + "\""
@@ -1390,24 +1495,28 @@ object ManifestSink {
     val eqTxt =
       if (eqs.isEmpty) ""
       else s""","eqdeletes":${eqs.map(renderEqDelete).mkString("[", ",", "]")}"""
+    val retainTxt = if (retain && stageAs.isDefined) ""","txnRetain":true"""
+      else ""
     // Commit PROVENANCE rides the pointer: the tag (query/epoch id or
     // the operation name — "compact", "delete") and a wall-clock stamp,
     // Delta's DESCRIBE HISTORY columns. Retained generation copies keep
     // them, so `history(dir)` reads the audit trail back.
     val json = s"""{"generation":$generation,""" +
       s""""tag":"${NdjsonCodec.escape(tag)}",""" +
-      s""""ts":${System.currentTimeMillis()},"segments":$segs$eqTxt}"""
+      s""""ts":${System.currentTimeMillis()},"segments":$segs$eqTxt""" +
+      s"""$retainTxt}"""
     // Snapshot retention (time travel): the generation-numbered copy is
     // written BEFORE the pointer swap — a crash between the two leaves
     // a dangling gen file (harmless; replaced on retry), never a
     // current pointer whose snapshot is missing. Segments are immutable,
     // so the copy stays resolvable until expireSnapshots drops it.
-    if (retain)
+    if (retain && stageAs.isEmpty)
       Files.write(dir.resolve(generationManifestName(generation)),
         json.getBytes(StandardCharsets.UTF_8))
-    val tmp = dir.resolve(s".$ManifestName.$tag.tmp")
+    val target = stageAs.getOrElse(ManifestName)
+    val tmp = dir.resolve(s".$target.$tag.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(ManifestName),
+    Files.move(tmp, dir.resolve(target),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -1417,7 +1526,8 @@ object ManifestSink {
     * retired segments afterwards via [[sweepSegments]]. */
   private[sources] def publishManifest(dir: Path, entries: Seq[StagedFile],
       generation: Long, tag: String, retain: Boolean = false,
-      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
+      eqDeletes: Option[Seq[EqDelete]] = None,
+      stageAs: Option[String] = None): Unit = {
     val segs =
       if (entries.isEmpty) Nil
       else {
@@ -1425,7 +1535,7 @@ object ManifestSink {
         writeSegment(dir, sn, entries)
         Seq(SegmentRef(sn, Some(summarize(sn, entries))))
       }
-    writePointer(dir, segs, generation, tag, retain, eqDeletes)
+    writePointer(dir, segs, generation, tag, retain, eqDeletes, stageAs)
   }
 
   /** APPEND publish, the O(delta) path: prior segments are carried BY
@@ -1435,7 +1545,8 @@ object ManifestSink {
   private[sources] def publishDelta(dir: Path, carrySegments: Seq[SegmentRef],
       migrated: Seq[StagedFile], delta: Seq[StagedFile],
       generation: Long, tag: String, retain: Boolean,
-      eqDeletes: Option[Seq[EqDelete]] = None): Unit = {
+      eqDeletes: Option[Seq[EqDelete]] = None,
+      stageAs: Option[String] = None): Unit = {
     val mig =
       if (migrated.isEmpty) Nil
       else {
@@ -1451,7 +1562,7 @@ object ManifestSink {
         Seq(SegmentRef(sn, Some(summarize(sn, delta))))
       }
     writePointer(dir, carrySegments ++ mig ++ dseg, generation, tag, retain,
-      eqDeletes)
+      eqDeletes, stageAs)
   }
 
   /** GC segment files no manifest references — the current pointer and
@@ -2111,7 +2222,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
       replaceFiles = () => replaceFiles,
-      distributeByPartition = distribute)
+      distributeByPartition = distribute,
+      txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -3006,7 +3118,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     replaceFiles: () => Map[String, Option[String]] =
       () => Map.empty[String, Option[String]],
     dynamicOverwrite: Boolean = false,
-    distributeByPartition: Boolean = false)
+    distributeByPartition: Boolean = false,
+    txnStage: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -3044,7 +3157,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
-      distributeByPartition = distributeByPartition)
+      distributeByPartition = distributeByPartition, txnStage = txnStage)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -3059,12 +3172,13 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
         "(declare PARTITIONED BY / the partitionBy write option)")
     new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
-      dynamicOverwrite = true, distributeByPartition = distributeByPartition)
+      dynamicOverwrite = true, distributeByPartition = distributeByPartition,
+      txnStage = txnStage)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
-      maxSegments, partCols, replaceFiles, dynamicOverwrite)
+      maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
@@ -3241,7 +3355,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     partCols: Seq[String] = Nil,
     replaceFilesFn: () => Map[String, Option[String]] =
       () => Map.empty[String, Option[String]],
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    // Some(id) = stage this commit into cross-table transaction `id`
+    // (write option `txnStage`): the pointer lands at
+    // [[ManifestSink.txnStagedPointerName]] — invisible — until
+    // [[GraftTxn.commitAll]] swaps every member table at one commit
+    // point. Plain appends only (no truncate / CoW / dynamic
+    // overwrite): deferred-visibility destructive ops would need their
+    // file GC deferred past the swap, which nothing here schedules.
+    txnStage: Option[String] = None)
     extends BatchWrite {
   // Direct-construction convenience (tests, internal callers).
   def this(path: String, schema: StructType, queryId: String,
@@ -3265,6 +3387,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     val dir = Paths.get(path)
     val winners = StagedFileSet.all(messages)
     val replaceFiles = replaceFilesFn()
+    require(txnStage.isEmpty ||
+        (!truncate && replaceFiles.isEmpty && !dynamicOverwrite),
+      s"txnStage=${txnStage.getOrElse("")}: cross-table transactions " +
+        "stage plain appends only — truncate, copy-on-write replacement " +
+        "and dynamic partition overwrite retire committed files, and " +
+        "their GC cannot be deferred past the transaction's swap")
     // A no-op commit (nothing written, nothing replaced, not a
     // truncate) publishes no generation: an UPDATE matching zero rows
     // must not pollute history or the change feed.
@@ -3374,18 +3502,33 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       // generation committed the file, so equality deletes (older seq)
       // never apply to rows appended after them.
       val stamped = winners.map(_.copy(seq = generation + 1)).toSeq
+      // Txn staging: a winner whose name collides with a committed
+      // file would be REPLACED IN PLACE by the move above — mutating
+      // live table state before the transaction's commit point. Task
+      // file names are attempt-unique per queryId so this cannot
+      // happen in practice; refuse loudly if it ever does.
+      txnStage.foreach { id =>
+        val collide = winnerNames.intersect(priorAll.map(_.name).toSet)
+        require(collide.isEmpty,
+          s"txnStage=$id: staged file names ${collide.mkString(", ")} " +
+            s"collide with committed files of $path")
+      }
+      val stageAs = txnStage.map(ManifestSink.txnStagedPointerName)
       if (!truncate && !segTouched &&
           segRefs.size < maxSegments) {
         ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(f => retireNames.contains(f.name)),
-          stamped, generation + 1, queryId, retain)
+          stamped, generation + 1, queryId, retain, stageAs = stageAs)
       } else {
         // TRUNCATE clears pending equality deletes with the rows they
         // applied to; every other collapse carries them forward.
         ManifestSink.publishManifest(dir, prior ++ stamped, generation + 1,
           queryId, retain,
-          eqDeletes = if (truncate) Some(Nil) else None)
-        ManifestSink.sweepSegments(dir)
+          eqDeletes = if (truncate) Some(Nil) else None,
+          stageAs = stageAs)
+        // A staged collapse must NOT sweep: the live pointer still
+        // references the old segments until the txn's swap.
+        if (txnStage.isEmpty) ManifestSink.sweepSegments(dir)
       }
       // Replaced files leave the directory AFTER the swap (idempotent
       // GC) — unless retained history still references them. A retired

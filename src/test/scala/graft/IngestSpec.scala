@@ -1390,7 +1390,7 @@ class IngestSpec extends SparkSpec {
       "create_tag", "drop_tag", "restore",
       "create_branch", "fast_forward", "drop_branch",
       "add_partition_field", "drop_partition_field",
-      "replace_partition_spec"), s"$names")
+      "replace_partition_spec", "commit_all"), s"$names")
     spark.sql("DROP TABLE gcall.t")
   }
 
