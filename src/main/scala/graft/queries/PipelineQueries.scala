@@ -758,6 +758,59 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_samples"), col("sum_s"), col("sum_sq"))
     },
 
+    // REAL multi-frame decode (animated GIF via `javax.imageio` —
+    // mm10's recipe extended to the VIDEO shape): per doc a
+    // deterministic synthetic animation (n = 3 + d%4 grayscale frames,
+    // frame f's pixels a closed form of (d, f) — see
+    // Multimodal.syntheticGif) is encoded as a real multi-frame GIF on
+    // executors, decoded BACK frame by frame, and reduced to per-frame
+    // exact pixel sums; frame SAMPLING (every 2nd decoded frame) and
+    // SCENE-CUT detection (consecutive-frame distance > 10·w·h, i.e. a
+    // mean per-pixel jump > 10) then run over the decoded sequence as
+    // in-row HOFs — mm3/mm6's semantics re-based from the byte-stride
+    // stub onto real decoded frames. The oracle recomputes every
+    // closed form without decoding: one mis-read pixel in any frame
+    // anywhere breaks the hash.
+    QuerySpec(
+      "mm12_gif_scene_cut",
+      """WITH g AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS n, 8 + doc_id % 3 AS w,
+        |    6 + doc_id % 2 AS h, doc_id % 100 AS base, doc_id % 9 + 1 AS k
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, w, h,
+        |    list_transform(range(0, n), f ->
+        |      w * h * (base + (f * f * k) % 50)
+        |        + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)) AS sums
+        |  FROM g),
+        |c AS (
+        |  SELECT doc_id, n, sums,
+        |    list_filter(range(1, n),
+        |      f -> abs(sums[f + 1] - sums[f]) > 10 * w * h) AS cuts
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(sums) AS BIGINT) AS sum_all,
+        |  CAST(list_sum(list_transform(range(0, (n + 1) // 2),
+        |    i -> sums[2 * i + 1])) AS BIGINT) AS sum_sampled,
+        |  len(cuts)::BIGINT AS n_cuts,
+        |  CAST(coalesce(list_min(cuts), 0) AS BIGINT) AS first_cut
+        |FROM c""".stripMargin) { (s, dir) =>
+      val frames = Multimodal.gifFrameTable(Tables.documents(s, dir))
+      val thr = lit(10L) * col("width") * col("height")
+      frames
+        .select(col("doc_id"), col("n_frames"), col("frame_sums"),
+          filter(sequence(lit(1L), col("n_frames") - 1),
+            f => abs(element_at(col("frame_sums"), (f + 1).cast("int"))
+              - element_at(col("frame_sums"), f.cast("int"))) > thr)
+            .as("cuts"))
+        .select(col("doc_id"), col("n_frames"),
+          aggregate(col("frame_sums"), lit(0L), _ + _).as("sum_all"),
+          aggregate(filter(col("frame_sums"),
+            (_, i) => i % 2 === 0), lit(0L), _ + _).as("sum_sampled"),
+          size(col("cuts")).cast("long").as("n_cuts"),
+          coalesce(array_min(col("cuts")), lit(0L)).as("first_cut"))
+    },
+
     // Decode + feature extraction through the mapPartitions stub (real
     // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
     // payload checksum is a mod-2^63 byte fold the oracle replays over

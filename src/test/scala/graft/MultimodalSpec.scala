@@ -130,4 +130,46 @@ class MultimodalSpec extends SparkSpec {
       .as[Seq[Array[Byte]]].head()
     assert(sampled.isEmpty)
   }
+
+  test("gif lane: every frame of the real multi-frame decode is pixel-exact") {
+    // PER-FRAME ROUND-TRIP PIN: encode the synthetic animation, decode
+    // it back with the JDK reader, and compare every pixel of every
+    // frame against the closed form — the bit-exactness claim the
+    // mm12 oracle relies on, checked at pixel granularity (the spec's
+    // sums could mask compensating errors; this cannot).
+    (0L until 24L).foreach { d =>
+      val gif = Multimodal.syntheticGif(d)
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(gif)))
+      val n = reader.getNumImages(true)
+      assert(n == (3 + d % 4).toInt, s"doc $d: frame count")
+      val (w, h) = ((8 + d % 3).toInt, (6 + d % 2).toInt)
+      val (base, k) = ((d % 100).toInt, (d % 9).toInt + 1)
+      (0 until n).foreach { f =>
+        val img = reader.read(f)
+        assert(img.getWidth == w && img.getHeight == h,
+          s"doc $d frame $f: ${img.getWidth}x${img.getHeight}")
+        val vf = base + (f * f * k) % 50
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            val got = img.getRGB(x, y) & 0xFF
+            assert(got == vf + x + y,
+              s"doc $d frame $f pixel ($x,$y): got $got, want ${vf + x + y}")
+          }
+        }
+      }
+      reader.dispose()
+    }
+    // And the table-level decode agrees with the closed-form sums.
+    val row = Multimodal.gifFrameTable(docs.where(col("doc_id") === 3))
+      .head()
+    val (w3, h3) = (8 + 3 % 3, 6 + 3 % 2)
+    val expect = (0 until (3 + 3 % 4)).map { f =>
+      w3.toLong * h3 * (3 % 100 + (f * f * (3 % 9 + 1)) % 50) +
+        h3.toLong * (w3 * (w3 - 1) / 2) + w3.toLong * (h3 * (h3 - 1) / 2)
+    }
+    assert(row.getSeq[Long](row.fieldIndex("frame_sums")).toSeq == expect)
+  }
 }
