@@ -43,7 +43,17 @@ private[sources] object MetadataTables {
     // the sidecar name (null when the file carries no vector) — the
     // debugging view of "why does count(*) differ from t$files.rows".
     StructField("live_rows", LongType, nullable = false),
-    StructField("dv", StringType, nullable = true)))
+    StructField("dv", StringType, nullable = true),
+    // Consolidation metrics (round 12): how many rows the vector
+    // deletes and the sidecar's on-disk bytes — what "is it time to
+    // CALL system.compact and materialize this debt" reads, per file
+    // (dv_rows/rows is the vector density; dv_bytes the sidecar I/O
+    // every scan of this file re-pays).
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("dv_bytes", LongType, nullable = false),
+    // Commit sequence (the generation that committed the file) —
+    // what equality-delete applicability is decided against.
+    StructField("seq", LongType, nullable = false)))
 
   def historyRows(dir: String): Array[InternalRow] =
     ManifestSink.history(dir).map { c =>
@@ -110,9 +120,16 @@ private[sources] object MetadataTables {
         e.nullCounts.toSeq.sortBy(_._1).map { case (c, n) =>
           s"nulls.$c: $n"
         }).mkString("; ")
+      // Sidecar bytes via one stat (driver-side, only for DV'd files
+      // — the same O(files) loop already building these rows).
+      val dvBytes = e.dv.map { d =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(dir, d))
+        catch { case _: java.io.IOException => 0L }
+      }.getOrElse(0L)
       new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
         e.rows, e.bytes, UTF8String.fromString(stats),
-        e.liveRows, e.dv.map(UTF8String.fromString).orNull))
+        e.liveRows, e.dv.map(UTF8String.fromString).orNull,
+        e.dvRows, dvBytes, e.seq))
     }.toArray
 }
 

@@ -505,6 +505,48 @@ object ScaleProbe {
           s""""rows":$n,"table_bytes":${beforeU.values.sum},""" +
           f""""update_wall_ms":$wallU%.0f,"bytes_written":$writtenU}""")
       }
+
+      // READ AMPLIFICATION at increasing vector density: every scan of
+      // a DV'd file re-pays the sidecar load + a binary search per
+      // row. Measure a full-scan aggregate at 0% (clean), ~1%, ~10%
+      // and 50% deleted, reading dv_rows/dv_bytes back through the
+      // t$files metadata table — the "when to CALL system.compact and
+      // materialize the debt" curve, measured instead of guessed.
+      locally {
+        val t = "ramp"
+        spark.sql(s"""CREATE TABLE $cat.$t (id BIGINT, v STRING)
+          TBLPROPERTIES ('deletionVectors'='true')""")
+        spark.range(n).selectExpr("id",
+            "concat('payload-', id, '-', repeat('x', 40)) AS v")
+          .repartition(8)
+          .writeTo(s"$cat.$t").append()
+        def scanMs(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(s"SELECT sum(length(v)), count(*) FROM $cat.$t")
+            .collect()
+          (System.nanoTime() - t0) / 1e6
+        }
+        var deleted = 0L
+        // Moduli nest (100 ⊂ 10 ⊂ 2), so cumulative density is exactly
+        // 1%, 10%, 50%; re-deleting an already-vectored row is a no-op
+        // (it is invisible to the delete's scan).
+        Seq(0L, 100L, 10L, 2L).foreach { mod =>
+          if (mod > 0L) {
+            spark.sql(s"DELETE FROM $cat.$t WHERE id % $mod = 0")
+            deleted = spark.sql(
+              s"""SELECT sum(dv_rows) FROM $cat.`$t$$files`""")
+              .head.getLong(0)
+          }
+          val dvBytes = spark.sql(
+            s"""SELECT coalesce(sum(dv_bytes), 0) FROM $cat.`$t$$files`""")
+            .head.getLong(0)
+          // Best-of-2: one scan timing is scheduling-noise-bound.
+          val wall = math.min(scanMs(), scanMs())
+          println(s"""{"probe":"dv_read_amp","factor":$f,"rows":$n,""" +
+            s""""dv_rows":$deleted,"dv_bytes":$dvBytes,""" +
+            f""""scan_wall_ms":$wall%.0f}""")
+        }
+      }
     }
   }
 

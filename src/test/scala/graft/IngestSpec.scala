@@ -1275,9 +1275,10 @@ class IngestSpec extends SparkSpec {
     // and the sidecar name — the "why does count(*) differ from rows"
     // debugging view.
     val fmeta = spark.sql(
-      "SELECT name, rows, live_rows, dv FROM gdv.`t$files`").collect()
+      "SELECT name, rows, live_rows, dv, dv_rows, dv_bytes, seq " +
+        "FROM gdv.`t$files`").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        Option(r.getString(3))))
+        Option(r.getString(3)), r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(fmeta.map(_._3).sum ==
       spark.sql("SELECT count(*) FROM gdv.t").head.getLong(0),
       "live_rows must sum to the table count")
@@ -1286,6 +1287,17 @@ class IngestSpec extends SparkSpec {
         fmeta.mkString(", "))
     assert(fmeta.filter(_._4.isEmpty).forall(f => f._2 == f._3),
       "unvectored files report live_rows == rows")
+    // Consolidation metrics: dv_rows reconciles physical vs live
+    // exactly, and a sidecar's on-disk bytes are visible (the
+    // when-to-compact signal); vector-free files report 0/0.
+    fmeta.foreach { f =>
+      assert(f._5 == f._2 - f._3, s"dv_rows must equal rows - live: $f")
+      if (f._4.isDefined) assert(f._6 > 0L, s"sidecar bytes visible: $f")
+      else assert(f._5 == 0L && f._6 == 0L, s"no vector, no debt: $f")
+      assert(f._7 >= 0L)
+    }
+    assert(fmeta.exists(_._7 > 0L),
+      "commit sequence stamps must surface in t$files")
     val preCompact = spark.sql("SELECT id, v FROM gdv.t").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     graft.sources.ManifestSink.compact(dir.toString, targetRows = 10000L)
