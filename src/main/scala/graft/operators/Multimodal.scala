@@ -456,4 +456,63 @@ object Multimodal {
         .mapPartitions(_.map(id => (id, syntheticGif(id))))
         .toDF("doc_id", "media")).toDF()
   }
+
+  /** Per-image TILE features from a REAL decode (mm7's tile-extraction
+    * semantics re-based from the byte-stride stub onto the PNG codec):
+    * the decoded image cuts into a grid of `tile`×`tile` patches (edge
+    * tiles clipped), each reduced to exact per-channel sums, and the
+    * row carries a POSITION-WEIGHTED checksum over the grid —
+    * Σ (ti+1)·(tj+1)·(sum_r + 2·sum_g + 3·sum_b) — so a tiling error
+    * (wrong grid shape, swapped tiles, mis-clipped edges) changes the
+    * output even when the whole-image totals are untouched. */
+  final case class TileFeatures(doc_id: Long, n_tiles: Long,
+      tile_checksum: Long, max_tile_r: Long)
+
+  def tileFeatureTable(documents: DataFrame, tile: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    documents.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticPng(id))))
+      .toDF("doc_id", "media")
+      .repartition(parts, col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          require(img != null, s"doc $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val (ntx, nty) = ((w + tile - 1) / tile, (h + tile - 1) / tile)
+          var checksum = 0L
+          var maxR = 0L
+          var tj = 0
+          while (tj < nty) {
+            var ti = 0
+            while (ti < ntx) {
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = tj * tile
+              val yEnd = math.min(y + tile, h)
+              while (y < yEnd) {
+                var x = ti * tile
+                val xEnd = math.min(x + tile, w)
+                while (x < xEnd) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xFF
+                  sg += (rgb >> 8) & 0xFF
+                  sb += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              checksum += (ti + 1L) * (tj + 1L) * (sr + 2 * sg + 3 * sb)
+              if (sr > maxR) maxR = sr
+              ti += 1
+            }
+            tj += 1
+          }
+          TileFeatures(id, ntx.toLong * nty, checksum, maxR)
+        }
+      }.toDF()
+  }
 }

@@ -1678,6 +1678,102 @@ object IncrementalQueries {
       s.sql(s"SELECT lang, sum_v, cnt_v, avg_v FROM $cat.lang_stats")
     },
 
+    // AGGREGATE PUSHDOWN (SupportsPushDownAggregates): count(*) /
+    // count(c) / min(c) / max(c) with no WHERE answer from MANIFEST
+    // STATS — zero data bytes read (IngestSpec pins this by HIDING
+    // every data file during the query). count(*) stays exact under
+    // deletion vectors (live = rows − dvRows); the table here takes a
+    // DV delete first so the pushed count proves that path. The oracle
+    // replays the delete relationally; any stand-down condition
+    // (filters, eq-deletes, NaN, strings) falls back to the normal
+    // scan — also exercised here by a filtered twin column.
+    QuerySpec(
+      "a42_agg_pushdown",
+      """WITH live AS (
+        |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 <> 2
+        |)
+        |SELECT count(*)::BIGINT AS n_rows,
+        |  (SELECT count(*)::BIGINT FROM documents) AS n_before,
+        |  (SELECT CAST(min(doc_id) AS BIGINT) FROM documents) AS min_id,
+        |  (SELECT CAST(max(n_chars) AS BIGINT) FROM documents) AS max_chars,
+        |  (SELECT count(n_chars)::BIGINT FROM documents) AS n_chars_cnt,
+        |  (SELECT count(*)::BIGINT FROM documents WHERE doc_id < 100)
+        |    AS n_filtered
+        |FROM live""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val base = freshDir("a42", dir)
+      val plain = base.resolve("plain").toString
+      val mor = base.resolve("mor").toString
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("n_chars", LongType)))
+      // Plain table: min/max/count(col) push (no vectors anywhere).
+      docs.repartitionByRange(4, col("doc_id"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", plain).mode("overwrite").save()
+      // MoR table: a DV delete, then count(*) pushes over liveRows.
+      val cat = "graft_a42_" + (base.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.mor")
+      s.sql(s"""CREATE TABLE $cat.mor (doc_id BIGINT, n_chars BIGINT)
+        TBLPROPERTIES ('deletionVectors'='true')""")
+      docs.createOrReplaceTempView("a42_src")
+      s.sql(s"INSERT INTO $cat.mor SELECT * FROM a42_src")
+      s.sql(s"DELETE FROM $cat.mor WHERE doc_id % 7 = 2")
+      def rd(p: String) = s.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", p).load()
+      rd(mor).agg(count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(rd(plain).agg(count(lit(1)).as("n_before"))))
+        .crossJoin(broadcast(rd(plain).agg(min(col("doc_id")).as("min_id"))))
+        .crossJoin(broadcast(
+          rd(plain).agg(max(col("n_chars")).as("max_chars"))))
+        .crossJoin(broadcast(
+          rd(plain).agg(count(col("n_chars")).as("n_chars_cnt"))))
+        .crossJoin(broadcast(rd(plain).where(col("doc_id") < 100)
+          .agg(count(lit(1)).as("n_filtered")))) // stand-down path
+    },
+
+    // TOP-K INCREMENTAL MV (the second MV shape — q138's top-k algebra
+    // promoted to a catalog object): the MV table is the per-(group,
+    // key) COUNT log (counts are monoids, so folding refresh batches is
+    // exact), and the view ranks the folded counts and cuts at k AT
+    // READ — which is what keeps a key that drops out of (or re-enters)
+    // the top k correct across refreshes. Refresh is O(delta); the
+    // oracle recomputes the top-3 from scratch over the full corpus, so
+    // a count mis-folded or a rank boundary mis-cut breaks the rows.
+    QuerySpec(
+      "a41_topk_mv",
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, lang, cnt,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY cnt DESC, lang) AS rnk
+        |  FROM c)
+        |SELECT source, lang, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a41", dir)
+      val cat = "graft_a41_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, source STRING,
+        lang STRING) TBLPROPERTIES ('retainHistory'='true')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang"))
+        .createOrReplaceTempView("a41_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a41_src WHERE doc_id % 3 = 0")
+      graft.sources.MaterializedViews.createTopK(s, cat, "top_langs",
+        "docs", "docs_topk_mv", "source", "lang", 3)
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a41_src WHERE doc_id % 3 = 1")
+      graft.sources.MaterializedViews.refresh(s, cat, "docs_topk_mv")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a41_src WHERE doc_id % 3 = 2")
+      graft.sources.MaterializedViews.refresh(s, cat, "docs_topk_mv")
+      s.sql(s"SELECT source, lang, cnt, rnk FROM $cat.top_langs")
+    },
+
     // CROSS-TABLE ATOMIC COMMIT (the reference's O4 — one transaction
     // across N tables — on the manifest format): both tables land a
     // base era normally, then ONE transaction stages the remaining

@@ -811,6 +811,51 @@ object PipelineQueries {
           coalesce(array_min(col("cuts")), lit(0L)).as("first_cut"))
     },
 
+    // TILE EXTRACTION on the real PNG codec (mm7's patch semantics,
+    // stub retired): the mm10 synthetic image decodes back and cuts
+    // into a 4x4-pixel grid (edges clipped), each tile reduced to
+    // exact channel sums, the row carrying a POSITION-WEIGHTED
+    // checksum over the grid — so a wrong grid shape, swapped tiles,
+    // or mis-clipped edges change the answer even when whole-image
+    // totals are untouched. The oracle recomputes every tile's sums
+    // from the gradient closed forms with a nested list comprehension
+    // — never decoding a byte.
+    QuerySpec(
+      "mm13_png_tiles",
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+        |    doc_id % 200 AS rb, doc_id % 150 AS gb, doc_id % 97 AS bb,
+        |    (8 + doc_id % 5 + 3) // 4 AS ntx,
+        |    (6 + doc_id % 4 + 3) // 4 AS nty
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, ntx * nty AS n_tiles,
+        |    flatten(list_transform(range(0, ntx), i ->
+        |      list_transform(range(0, nty), j -> {
+        |        'wt': (i + 1) * (j + 1),
+        |        'sr': (least(4*j+4, h) - 4*j)
+        |          * ((least(4*i+4, w) - 4*i) * (rb + 4*i)
+        |            + (least(4*i+4, w) - 4*i)
+        |              * ((least(4*i+4, w) - 4*i) - 1) // 2),
+        |        'sg': (least(4*i+4, w) - 4*i)
+        |          * ((least(4*j+4, h) - 4*j) * (gb + 4*j)
+        |            + (least(4*j+4, h) - 4*j)
+        |              * ((least(4*j+4, h) - 4*j) - 1) // 2),
+        |        'sb': (least(4*i+4, w) - 4*i) * (least(4*j+4, h) - 4*j) * bb
+        |      }))) AS tiles
+        |  FROM g)
+        |SELECT doc_id, CAST(n_tiles AS BIGINT) AS n_tiles,
+        |  CAST(list_sum(list_transform(tiles,
+        |    t -> t.wt * (t.sr + 2 * t.sg + 3 * t.sb))) AS BIGINT)
+        |    AS tile_checksum,
+        |  CAST(list_max(list_transform(tiles, t -> t.sr)) AS BIGINT)
+        |    AS max_tile_r
+        |FROM s""".stripMargin) { (s, dir) =>
+      Multimodal.tileFeatureTable(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tiles"), col("tile_checksum"),
+          col("max_tile_r"))
+    },
+
     // Decode + feature extraction through the mapPartitions stub (real
     // plumbing, stubbed codec — see Multimodal.decodeFeatures). The
     // payload checksum is a mod-2^63 byte fold the oracle replays over

@@ -2271,9 +2271,11 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     // never as a wholesale retire set.
     fileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -2284,10 +2286,135 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan =
-    new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
-      maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
-      endingVersion, partCols, rowLevel, fileFilter)
+  // ----- AGGREGATE PUSHDOWN: `SELECT count(*) / count(c) / min(c) /
+  // max(c) FROM t` answered from MANIFEST STATS — zero data bytes
+  // read. At 100 TB this turns a full-corpus row count into one
+  // driver-side metadata fold (the same entries every plan already
+  // resolves). Strictly sound-or-stand-down: any condition that makes
+  // a stat inexact (a deletion vector that might hold the extremum or
+  // hide a null, a pending equality delete, truncated string bounds,
+  // NaN, a missing per-file stat, incremental/CDF reads, row-level
+  // operation scans) refuses the pushdown and the normal scan runs.
+  // Spark only attempts this when NO filter remains post-scan, and
+  // this source keeps every filter residual (pruning is may-match,
+  // never exact), so a WHERE clause always takes the normal path.
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || changeFeed || startingVersion.isDefined ||
+        endingVersion.isDefined || fileSubset.isDefined ||
+        rowLevel.isDefined || fileFilter ||
+        maxGensPerTrigger.isDefined) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    val txt = try ManifestSink.manifestTextAt(path, version)
+      catch { case _: Exception => return None }
+    // A pending equality delete is applied at read — every live count
+    // and bound is unknowable without reading the data. Stand down.
+    if (ManifestSink.parseEqDeletes(txt).nonEmpty) return None
+    val entries = ManifestSink.resolveEntries(path, txt)
+    val anyDv = entries.exists(_.dv.isDefined)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 =>
+        Some(f.fieldNames()(0))
+      case _ => None
+    }
+    // Exact-bound column types: integral values round-trip their stat
+    // tokens losslessly; float/double bounds are exact unless NaN was
+    // seen (NaN poisons min/max ordering). Strings are TRUNCATED
+    // parquet-style (sound for pruning, wrong for min/max); date/time
+    // and everything else stand down until proven exact.
+    def minMaxValue(col: String, wantMin: Boolean): Option[(DataType, Any)] = {
+      val dt = full.fields.find(_.name == col).map(_.dataType).getOrElse(
+        return None)
+      if (anyDv) return None // a deleted row may BE the extremum
+      if (entries.isEmpty) return Some((dt, null))
+      val bounds = entries.map { e =>
+        e.stats.find(_.col == col) match {
+          case Some(st) if !st.hasNan => Some(if (wantMin) st.min else st.max)
+          case _ => None
+        }
+      }
+      if (bounds.exists(_.isEmpty)) return None // a file without the stat
+      val vals: Seq[Any] = dt match {
+        case ByteType => bounds.map(b => b.get.toByte)
+        case ShortType => bounds.map(b => b.get.toShort)
+        case IntegerType => bounds.map(b => b.get.toInt)
+        case LongType => bounds.map(b => b.get.toLong)
+        case FloatType => bounds.map(b => b.get.toFloat)
+        case DoubleType => bounds.map(b => b.get.toDouble)
+        case _ => return None
+      }
+      val ord = dt match {
+        case ByteType => Ordering.Byte.asInstanceOf[Ordering[Any]]
+        case ShortType => Ordering.Short.asInstanceOf[Ordering[Any]]
+        case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
+        case LongType => Ordering.Long.asInstanceOf[Ordering[Any]]
+        case FloatType =>
+          Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
+        case DoubleType =>
+          Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
+        case _ => return None
+      }
+      Some((dt, if (wantMin) vals.min(ord) else vals.max(ord)))
+    }
+    val resolved: Seq[Option[(DataType, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          // live = rows − dvRows: exact even under deletion vectors.
+          Some((LongType, entries.map(_.liveRows).sum): (DataType, Any))
+        case c: Count if !c.isDistinct =>
+          colName(c.column()).flatMap { col =>
+            if (!full.fields.exists(_.name == col)) None
+            // Physical null counts pair with PHYSICAL rows: a vector
+            // may have deleted null or non-null rows — unknowable.
+            else if (anyDv) None
+            else if (entries.forall(_.nullCounts.contains(col)))
+              Some((LongType,
+                entries.map(e => e.rows - e.nullCounts(col)).sum)
+                : (DataType, Any))
+            else None
+          }
+        case m: Min => colName(m.column()).flatMap(minMaxValue(_, true))
+        case m: Max => colName(m.column()).flatMap(minMaxValue(_, false))
+        case _ => None // Sum/Avg/distinct/UDAF: not provable from stats
+      }
+    if (resolved.exists(_.isEmpty)) return None
+    val fields = resolved.zipWithIndex.map { case (r, i) =>
+      StructField(s"agg_$i", r.get._1, nullable = true)
+    }
+    Some((StructType(fields),
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        resolved.map(_.get._2).toArray)))
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row)) =>
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"GraftManifestAggPushdown($path)"
+      }
+    case None =>
+      new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
+        maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
+        endingVersion, partCols, rowLevel, fileFilter)
+  }
 }
 
 /** File-skipping decision logic: can a file whose column bounds are

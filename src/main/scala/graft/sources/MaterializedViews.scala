@@ -70,16 +70,49 @@ object MaterializedViews {
       FROM $cat.$mvTable GROUP BY `$groupCol`""")
   }
 
+  /** Create the TOP-K MV: the per-(group, key) COUNT log plus a view
+    * ranking the folded counts and keeping rank <= k. Count is a
+    * monoid, so the fold is exact at any refresh granularity; the rank
+    * is computed AT READ over the folded counts — which is what makes
+    * a key that drops out of (or re-enters) the top k always correct:
+    * the MV maintains the full count table (O(distinct keys), the
+    * standard IVM answer for top-k — a pruned log could never bring a
+    * key back), and only the view applies the k cut. Tie-break on the
+    * key keeps the cut total-ordered (engine-identical). */
+  def createTopK(spark: SparkSession, cat: String, view: String,
+      baseTable: String, mvTable: String, groupCol: String,
+      keyCol: String, k: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $cat.$mvTable")
+    spark.sql(s"""CREATE TABLE $cat.$mvTable AS
+      SELECT `$groupCol`, `$keyCol`, count(*) AS cnt_p
+      FROM $cat.$baseTable GROUP BY `$groupCol`, `$keyCol`""")
+    val baseDir = dirFor(spark, cat, baseTable)
+    GraftCatalog.setTableProperties(dirFor(spark, cat, mvTable), Map(
+      "mv.kind" -> "topk",
+      "mv.base" -> baseDir.toString,
+      "mv.group" -> groupCol,
+      "mv.key" -> keyCol,
+      "mv.gen" -> ManifestSink.committedGeneration(baseDir.toString).toString))
+    spark.sql(s"DROP VIEW IF EXISTS $cat.$view")
+    spark.sql(s"""CREATE VIEW $cat.$view AS
+      SELECT `$groupCol`, `$keyCol`, cnt, rnk FROM (
+        SELECT `$groupCol`, `$keyCol`, sum(cnt_p) AS cnt,
+          row_number() OVER (PARTITION BY `$groupCol`
+            ORDER BY sum(cnt_p) DESC, `$keyCol`) AS rnk
+        FROM $cat.$mvTable GROUP BY `$groupCol`, `$keyCol`)
+      WHERE rnk <= $k""")
+  }
+
   /** Fold the base table's generation delta into the MV. Returns
     * (fromGeneration, toGeneration) — equal when already fresh (no
-    * commit published, no delta read planned). */
+    * commit published, no delta read planned). Dispatches on the MV's
+    * recorded kind (avg partials vs top-k count log). */
   def refresh(spark: SparkSession, cat: String, mvTable: String)
       : (Long, Long) = {
     val mvDir = dirFor(spark, cat, mvTable)
     val (_, _, props) = GraftCatalog.readMeta(mvDir)
     val baseDir = props("mv.base")
     val groupCol = props("mv.group")
-    val valueCol = props("mv.value")
     val last = props("mv.gen").toLong
     val cur = ManifestSink.committedGeneration(baseDir)
     if (cur == last) return (last, last)
@@ -91,9 +124,17 @@ object MaterializedViews {
       .option("startingVersion", last.toString)
       .option("endingVersion", cur.toString)
       .load()
-    delta.groupBy(col(groupCol))
-      .agg(sum(col(valueCol)).as("sum_p"), count(col(valueCol)).as("cnt_p"))
-      .write.format("graft.sources.ManifestSink")
+    val partial = props.getOrElse("mv.kind", "avg") match {
+      case "topk" =>
+        delta.groupBy(col(groupCol), col(props("mv.key")))
+          .agg(count(lit(1)).as("cnt_p"))
+      case _ =>
+        val valueCol = props("mv.value")
+        delta.groupBy(col(groupCol))
+          .agg(sum(col(valueCol)).as("sum_p"),
+            count(col(valueCol)).as("cnt_p"))
+    }
+    partial.write.format("graft.sources.ManifestSink")
       .option("path", mvDir.toString).mode("append").save()
     GraftCatalog.setTableProperties(mvDir, Map("mv.gen" -> cur.toString))
     (last, cur)

@@ -2023,6 +2023,98 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gmv.base")
   }
 
+  test("aggregate pushdown: count/min/max answer from the manifest with ZERO data read") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_aggpush").toString
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    spark.range(0, 1000).selectExpr("id",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 3 END AS v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    def rd() = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+    // THE PIN: hide every data file — a pushed aggregate never opens
+    // one; an implementation that scanned would throw.
+    val dirPath = java.nio.file.Paths.get(dir)
+    val dataFiles = graft.sources.ManifestSink.committedFiles(dir)
+    dataFiles.foreach(n => Files.move(dirPath.resolve(n),
+      dirPath.resolve(n + ".hidden")))
+    val row = rd().agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+      min(col("id")).as("mn"), max(col("v")).as("mx")).head
+    assert(row.getLong(0) == 1000L)
+    assert(row.getLong(1) == 900L, "count(v): rows minus recorded nulls")
+    assert(row.getLong(2) == 0L)
+    assert(row.getLong(3) == 999L * 3)
+    // Stand-down paths MUST read data: with files hidden they throw.
+    intercept[Exception] { rd().where(col("id") < 10)
+      .agg(count(lit(1))).collect() } // any filter
+    intercept[Exception] { rd().agg(sum(col("v"))).collect() } // sum
+    dataFiles.foreach(n => Files.move(dirPath.resolve(n + ".hidden"),
+      dirPath.resolve(n)))
+    // Unhidden: the stand-down paths agree with the pushed answers.
+    assert(rd().agg(sum(lit(1))).head.getLong(0) == 1000L)
+    // DV table: count(*) pushes over liveRows; min/max stand down
+    // (a deleted row might be the extremum).
+    val wh = Files.createTempDirectory("graft_aggpush_dv")
+    val cat = "gap_" + (wh.toString.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('deletionVectors'='true')""")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id FROM range(100)")
+    spark.sql(s"DELETE FROM $cat.t WHERE id = 99 OR id = 0")
+    val tdir = wh.resolve("t")
+    val tFiles = graft.sources.ManifestSink.committedFiles(tdir.toString)
+    tFiles.foreach(n => Files.move(tdir.resolve(n),
+      tdir.resolve(n + ".hidden")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 98L,
+      "count(*) under deletion vectors pushes over live rows")
+    intercept[Exception] {
+      spark.sql(s"SELECT max(id) FROM $cat.t").collect()
+    } // max must stand down: the deleted 99 WAS the recorded bound
+    tFiles.foreach(n => Files.move(tdir.resolve(n + ".hidden"),
+      tdir.resolve(n)))
+    assert(spark.sql(s"SELECT max(id) FROM $cat.t").head.getLong(0) == 98L)
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
+  test("top-k MV: rank cut at read — a key below the cut re-enters when a delta lifts it") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_topkmv").toString
+    spark.conf.set("spark.sql.catalog.gtk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtk.base", wh)
+    spark.sql("""CREATE TABLE gtk.base (g STRING, k STRING)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    // Era 1: counts a=5, b=3, c=2, d=1 — top-2 is {a, b}.
+    spark.sql("""INSERT INTO gtk.base
+      SELECT 'x', k FROM (VALUES ('a'),('a'),('a'),('a'),('a'),
+        ('b'),('b'),('b'), ('c'),('c'), ('d')) AS t(k)""")
+    graft.sources.MaterializedViews.createTopK(spark, "gtk", "topk",
+      "base", "base_mv", "g", "k", 2)
+    def top(): Seq[(String, Long, Long)] =
+      spark.sql("SELECT k, cnt, rnk FROM gtk.topk ORDER BY rnk").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.get(2).asInstanceOf[Number].longValue)).toSeq
+    assert(top() == Seq(("a", 5L, 1L), ("b", 3L, 2L)))
+    // Era 2: +6 d's — d (below the cut, but NEVER dropped from the
+    // count log) must re-enter at rank 1; the cut happens at read.
+    spark.sql("""INSERT INTO gtk.base
+      SELECT 'x', 'd' FROM range(6)""")
+    val (from, to) =
+      graft.sources.MaterializedViews.refresh(spark, "gtk", "base_mv")
+    assert(from == 1L && to == 2L)
+    assert(top() == Seq(("d", 7L, 1L), ("a", 5L, 2L)))
+    // The MV is a LOG: two partial batches per touched key fold exactly.
+    assert(spark.sql("SELECT count(*) FROM gtk.base_mv").head.getLong(0) == 5L,
+      "4 era-1 keys + 1 era-2 partial batch row")
+    spark.sql("DROP VIEW gtk.topk")
+    spark.sql("DROP TABLE gtk.base_mv")
+    spark.sql("DROP TABLE gtk.base")
+  }
+
   test("deletion vectors: merge-on-read MERGE upserts without rewriting files") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_dvm").toString

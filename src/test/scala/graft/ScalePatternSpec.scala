@@ -455,7 +455,9 @@ class ScalePatternSpec extends SparkSpec {
     // the fix is the Ranks global-prefix-minus-offset recipe (q209, tx14).
     val lowCardAllowed = Map(
       "q70_stats_extended" -> "returnflag x distinct-quantity grid (~250 rows)",
-      "q89_share_of_total" -> "nation x region aggregate (25 rows)")
+      "q89_share_of_total" -> "nation x region aggregate (25 rows)",
+      "a41_topk_mv" -> ("top-k view ranks the FOLDED count table — " +
+        "O(distinct (group, key)) rows, never the base table"))
     val findings = graft.tools.PlanLint.lint(spark, "/root/testdata/sf0.001")
     val bad = findings.filter {
       case f if f.kind == "global-window" => !allowed.contains(f.query)
