@@ -55,7 +55,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     }
 
     (0 until 8).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // append a fresh batch (always possible)
           val n = 20 + rnd.nextInt(60)
           val rows = (0 until n).map { _ =>
@@ -115,6 +115,35 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           spark.sql(s"CALL $cat.system.restore('t', '$tag')")
           model.clear()
           model ++= snapshots(tag)
+        case 8 if model.nonEmpty => // EQUALITY DELETE (applied at read)
+          import spark.implicits._
+          val ids = rnd.shuffle(model.keys.toSeq)
+            .take(1 + rnd.nextInt(6)) ++ Seq(nextId + 777) // plus a miss
+          graft.sources.ManifestOps.equalityDelete(dir,
+            ids.toDF("id"))
+          ids.foreach(model.remove)
+        case 9 => // cross-table-txn machinery on ONE table: staged
+          // append invisible until commitAll's journal commit point.
+          import spark.implicits._
+          val id0 = nextId
+          val rows = (0 until 5 + rnd.nextInt(10)).map { _ =>
+            val id = nextId; nextId += 1
+            (id, rnd.nextLong() & 0xFFFFFFL)
+          }
+          val txn = graft.sources.GraftTxn.newId()
+          rows.toDF("id", "v").write
+            .format("graft.sources.ManifestSink")
+            .option("path", dir)
+            .option(graft.sources.GraftTxn.StageOptionKey, txn)
+            .mode("append").save()
+          // Staged rows must NOT be visible yet.
+          assert(spark.sql(
+            s"SELECT count(*) FROM $cat.t WHERE id >= $id0")
+            .head.getLong(0) == 0L,
+            s"[seed=$seed step=$step] staged txn rows leaked")
+          graft.sources.GraftTxn.commitAll(
+            java.nio.file.Paths.get(wh, "_txns").toString, Seq(dir), txn)
+          rows.foreach { case (id, v) => model(id) = v }
         case _ => // op needs state it lacks: compact instead
           graft.sources.ManifestSink.compact(dir, targetRows = 200L)
       }
