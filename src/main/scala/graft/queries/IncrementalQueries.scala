@@ -1678,6 +1678,63 @@ object IncrementalQueries {
       s.sql(s"SELECT lang, sum_v, cnt_v, avg_v FROM $cat.lang_stats")
     },
 
+    // SORTED SCANS (SupportsReportOrdering): tables written with a
+    // declared `sortby` stamp the physical order on every manifest
+    // entry, the scan reports it back, and a sort-merge join over
+    // co-partitioned tables plans with NO exchange AND NO sort (the
+    // IngestSpec pin asserts the plan; this spec oracles the RESULT of
+    // exactly that plan — the rows a zero-shuffle zero-sort join
+    // produces must hash-match the relational join). Eagerly
+    // materialized inside the spec so the SPJ/no-broadcast confs
+    // restore before the next spec runs.
+    QuerySpec(
+      "a43_sorted_merge_join",
+      """WITH a AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        |), b AS (
+        |  SELECT lang, count(*) AS lang_total FROM documents GROUP BY lang
+        |)
+        |SELECT a.lang, count(*)::BIGINT AS n,
+        |  CAST(sum(a.n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(max(b.lang_total) AS BIGINT) AS lang_total
+        |FROM a JOIN b ON a.lang = b.lang
+        |GROUP BY a.lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a43", dir)
+      val cat = "graft_a43_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.facts (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) PARTITIONED BY (lang)
+        TBLPROPERTIES ('sortby'='lang')""")
+      s.sql(s"""CREATE TABLE $cat.dims (lang STRING, lang_total BIGINT)
+        PARTITIONED BY (lang) TBLPROPERTIES ('sortby'='lang')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView("a43_src")
+      s.sql(s"""INSERT INTO $cat.facts
+        SELECT doc_id, lang, n_chars FROM a43_src WHERE doc_id % 3 = 0
+        DISTRIBUTE BY lang""")
+      s.sql(s"""INSERT INTO $cat.dims
+        SELECT lang, count(*) FROM a43_src GROUP BY lang
+        DISTRIBUTE BY lang""")
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val out = s.sql(s"""SELECT f.lang, count(*) AS n,
+            sum(f.n_chars) AS sum_chars, max(d.lang_total) AS lang_total
+          FROM $cat.facts f JOIN $cat.dims d ON f.lang = d.lang
+          GROUP BY f.lang""")
+        // Materialize NOW, under the SPJ confs, so the zero-shuffle
+        // zero-sort plan is what actually produced the checked rows.
+        val rows = out.collect().toSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    },
+
     // AGGREGATE PUSHDOWN (SupportsPushDownAggregates): count(*) /
     // count(c) / min(c) / max(c) with no WHERE answer from MANIFEST
     // STATS — zero data bytes read (IngestSpec pins this by HIDING

@@ -96,6 +96,42 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "cluster" -> new UnboundProcedure {
+      override def name(): String = "cluster"
+      override def description(): String =
+        "rewrite the table range-partitioned and sorted by the given " +
+          "columns (one atomic overwrite); tightens per-file bounds for " +
+          "pruning and stamps the sort so scans report it " +
+          "(SupportsReportOrdering)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "cluster"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam,
+              ProcedureParameter.in("sort_cols", StringType)
+                .comment("comma-separated column names to sort by").build(),
+              longParam("target_files",
+                "number of range-partitioned output files"))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val cols = input.getUTF8String(1).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            val n = input.getLong(2).toInt
+            val (schema, _, _) =
+              GraftCatalog.readMeta(java.nio.file.Paths.get(dir))
+            cols.foreach(c => require(schema.fields.exists(_.name == c),
+              s"cluster: column '$c' is not in the table schema"))
+            val spark = org.apache.spark.sql.SparkSession.active
+            ManifestOps.cluster(spark, dir, schema,
+              cols.map(org.apache.spark.sql.functions.col), n,
+              sortByNames = cols)
+            result(StructType(Seq(
+              StructField("files_written", IntegerType, nullable = false))),
+              Array[Any](ManifestSink.committedFiles(dir).size))
+          }
+        }
+    },
     "compact" -> new UnboundProcedure {
       override def name(): String = "compact"
       override def description(): String =

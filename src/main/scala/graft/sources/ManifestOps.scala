@@ -236,7 +236,14 @@ object ManifestOps {
     * data-moving complement that re-sorts. */
   def cluster(spark: SparkSession, dir: String, schema: StructType,
       sortCols: Seq[org.apache.spark.sql.Column], numFiles: Int,
-      writeOptions: Map[String, String] = Map.empty): Unit = {
+      writeOptions: Map[String, String] = Map.empty,
+      // Plain ascending column names of `sortCols` (when that is what
+      // they are): stamps `sorted` on the rewritten files, so scans
+      // report the order back (SupportsReportOrdering) and sort-merge
+      // consumers skip their sorts. Leave empty for expression sorts
+      // (z-order keys) — the bounds tighten either way, only the
+      // ordering CLAIM needs plain columns.
+      sortByNames: Seq[String] = Nil): Unit = {
     require(sortCols.nonEmpty && numFiles > 0)
     val table = spark.read.format("graft.sources.ManifestSink")
       .schema(schema).option("path", dir).load()
@@ -244,6 +251,9 @@ object ManifestOps {
       .sortWithinPartitions(sortCols: _*)
       .write.format("graft.sources.ManifestSink")
       .option("path", dir).mode("overwrite")
+    // The child is already sorted, so the declared write ordering adds
+    // no extra sort — it only makes the writer stamp the entries.
+    if (sortByNames.nonEmpty) w.option("sortBy", sortByNames.mkString(","))
     writeOptions.foreach { case (k, v) => w.option(k, v) }
     w.save()
   }

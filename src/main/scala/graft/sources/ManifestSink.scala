@@ -701,8 +701,13 @@ object ManifestSink {
             case Some(NdjsonCodec.JsonTok(s)) => s.toLong
             case _ => 0L
           }
+          val sorted = m.get("sorted") match {
+            case Some(NdjsonCodec.JsonStr(s)) if s.nonEmpty =>
+              s.split(",").toSeq
+            case _ => Nil
+          }
           Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
-            seq))
+            seq, sorted))
         case _ => None
       }
     }
@@ -1145,8 +1150,12 @@ object ManifestSink {
     // Commit sequence (generation the file was committed at, legacy 0):
     // what equality deletes test applicability against.
     val seq = if (f.seq > 0) Seq(s""""seq":${f.seq}""") else Nil
+    val sorted = if (f.sorted.isEmpty) Nil
+      else Seq("\"sorted\":\"" +
+        NdjsonCodec.escape(f.sorted.mkString(",")) + "\"")
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls ++ parts ++ dv ++ seq).mkString("{", ",", "}")
+      stats ++ nulls ++ parts ++ dv ++ seq ++ sorted)
+      .mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -2218,12 +2227,24 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     val distribute = Option(info.options().get("distributionmode"))
       .orElse(tableProps.get("distributionmode"))
       .exists(_.equalsIgnoreCase("hash"))
+    // `sortBy` (write option or table property, comma list): the write
+    // declares a required per-task ASC NULLS FIRST ordering, so every
+    // written file is physically sorted and stamps `sorted` in its
+    // manifest entry — which is what lets scans report the order back
+    // (SupportsReportOrdering) and a sort-merge join skip its sorts.
+    val sortBy = Option(info.options().get("sortby"))
+      .orElse(tableProps.get("sortby"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    sortBy.foreach(c => require(info.schema().fields.exists(_.name == c),
+      s"sortBy column '$c' is not in the written schema"))
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
       replaceFiles = () => replaceFiles,
       distributeByPartition = distribute,
-      txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty))
+      txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty),
+      sortBy = sortBy)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2275,7 +2296,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -2312,13 +2333,12 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 
   private def computeAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
+      : Option[(StructType, Array[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (pushed.nonEmpty || changeFeed || startingVersion.isDefined ||
         endingVersion.isDefined || fileSubset.isDefined ||
         rowLevel.isDefined || fileFilter ||
         maxGensPerTrigger.isDefined) return None
-    if (agg.groupByExpressions().nonEmpty) return None
     val txt = try ManifestSink.manifestTextAt(path, version)
       catch { case _: Exception => return None }
     // A pending equality delete is applied at read — every live count
@@ -2326,6 +2346,50 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     if (ManifestSink.parseEqDeletes(txt).nonEmpty) return None
     val entries = ManifestSink.resolveEntries(path, txt)
     val anyDv = entries.exists(_.dv.isDefined)
+    // GROUP BY pushdown: allowed only over IDENTITY partition columns
+    // where EVERY file proves its single tuple value (recorded
+    // partValues, or the exact min == max + zero-nulls stat proof) —
+    // then files group exactly by tuple and each group aggregates like
+    // the global case. `SELECT lang, count(*) ... GROUP BY lang` on a
+    // lang-partitioned corpus becomes one metadata fold.
+    val groupCols: Seq[String] = agg.groupByExpressions().toSeq.map {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+          if f.fieldNames().length == 1 => f.fieldNames()(0)
+      case _ => return None
+    }
+    val identityParts = PartSpec.parseAll(partCols).collect {
+      case IdentityPart(c) => c
+    }.toSet
+    if (!groupCols.forall(identityParts.contains)) return None
+    def tupleValue(e: StagedFile, c: String): Option[(String, Any)] = {
+      val fld = full.fields.find(_.name == c).getOrElse(return None)
+      e.partValues.get(c) match {
+        case Some(raw) if raw != "null" =>
+          scala.util.Try(NdjsonCodec.converter(fld.dataType)(
+            NdjsonCodec.parseLine(s"""{"v":$raw}""")("v"))).toOption
+            .map(v => raw -> v)
+        case _ => e.stats.find(_.col == c) match {
+          case Some(st) if st.min == st.max && !st.hasNan &&
+              e.nullCounts.get(c).contains(0L) =>
+            scala.util.Try(NdjsonCodec.converter(fld.dataType)(
+              NdjsonCodec.parseLine(s"""{"v":${st.min}}""")("v"))).toOption
+              .map(v => st.min -> v)
+          case _ => None
+        }
+      }
+    }
+    val grouped: Seq[(Seq[Any], Seq[StagedFile])] =
+      if (groupCols.isEmpty) Seq((Nil, entries))
+      else {
+        val keyed = entries.map { e =>
+          val vals = groupCols.map(c => tupleValue(e, c))
+          if (vals.exists(_.isEmpty)) return None // unprovable tuple
+          (vals.map(_.get._1).mkString(" "),
+            vals.map(_.get._2), e)
+        }
+        keyed.groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (_, g) => (g.head._2, g.map(_._3)) }
+      }
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
@@ -2338,12 +2402,13 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     // seen (NaN poisons min/max ordering). Strings are TRUNCATED
     // parquet-style (sound for pruning, wrong for min/max); date/time
     // and everything else stand down until proven exact.
-    def minMaxValue(col: String, wantMin: Boolean): Option[(DataType, Any)] = {
+    def minMaxValue(ge: Seq[StagedFile], col: String,
+        wantMin: Boolean): Option[(DataType, Any)] = {
       val dt = full.fields.find(_.name == col).map(_.dataType).getOrElse(
         return None)
-      if (anyDv) return None // a deleted row may BE the extremum
-      if (entries.isEmpty) return Some((dt, null))
-      val bounds = entries.map { e =>
+      if (ge.exists(_.dv.isDefined)) return None // deleted row may BE the extremum
+      if (ge.isEmpty) return Some((dt, null))
+      val bounds = ge.map { e =>
         e.stats.find(_.col == col) match {
           case Some(st) if !st.hasNan => Some(if (wantMin) st.min else st.max)
           case _ => None
@@ -2372,40 +2437,68 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
       }
       Some((dt, if (wantMin) vals.min(ord) else vals.max(ord)))
     }
-    val resolved: Seq[Option[(DataType, Any)]] =
-      agg.aggregateExpressions().toSeq.map {
-        case _: CountStar =>
-          // live = rows − dvRows: exact even under deletion vectors.
-          Some((LongType, entries.map(_.liveRows).sum): (DataType, Any))
-        case c: Count if !c.isDistinct =>
-          colName(c.column()).flatMap { col =>
-            if (!full.fields.exists(_.name == col)) None
-            // Physical null counts pair with PHYSICAL rows: a vector
-            // may have deleted null or non-null rows — unknowable.
-            else if (anyDv) None
-            else if (entries.forall(_.nullCounts.contains(col)))
-              Some((LongType,
-                entries.map(e => e.rows - e.nullCounts(col)).sum)
-                : (DataType, Any))
-            else None
-          }
-        case m: Min => colName(m.column()).flatMap(minMaxValue(_, true))
-        case m: Max => colName(m.column()).flatMap(minMaxValue(_, false))
-        case _ => None // Sum/Avg/distinct/UDAF: not provable from stats
-      }
-    if (resolved.exists(_.isEmpty)) return None
-    val fields = resolved.zipWithIndex.map { case (r, i) =>
-      StructField(s"agg_$i", r.get._1, nullable = true)
+    // One group's aggregate values — the global case is the single
+    // group with no key.
+    def aggValues(ge: Seq[StagedFile]): Option[Seq[(DataType, Any)]] = {
+      val dvInGroup = ge.exists(_.dv.isDefined)
+      val resolved: Seq[Option[(DataType, Any)]] =
+        agg.aggregateExpressions().toSeq.map {
+          case _: CountStar =>
+            // live = rows − dvRows: exact even under deletion vectors.
+            Some((LongType, ge.map(_.liveRows).sum): (DataType, Any))
+          case c: Count if !c.isDistinct =>
+            colName(c.column()).flatMap { col =>
+              if (!full.fields.exists(_.name == col)) None
+              // Physical null counts pair with PHYSICAL rows: a vector
+              // may have deleted null or non-null rows — unknowable.
+              else if (dvInGroup) None
+              else if (ge.forall(_.nullCounts.contains(col)))
+                Some((LongType,
+                  ge.map(e => e.rows - e.nullCounts(col)).sum)
+                  : (DataType, Any))
+              else None
+            }
+          case m: Min =>
+            colName(m.column()).flatMap(minMaxValue(ge, _, true))
+          case m: Max =>
+            colName(m.column()).flatMap(minMaxValue(ge, _, false))
+          case _ => None // Sum/Avg/distinct/UDAF: not provable from stats
+        }
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
     }
-    Some((StructType(fields),
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        resolved.map(_.get._2).toArray)))
+    val perGroup: Seq[(Seq[Any], Seq[(DataType, Any)])] =
+      grouped.map { case (key, ge) =>
+        aggValues(ge) match {
+          case Some(vals) => (key, vals)
+          case None => return None
+        }
+      }
+    // Contract: the scan's output lists group-by columns FIRST, then
+    // the aggregate columns, one row per group.
+    val groupFields = groupCols.map(c =>
+      full.fields.find(_.name == c).get.copy(nullable = true))
+    val aggFields =
+      (if (perGroup.nonEmpty) perGroup.head._2
+       else aggValues(Nil).getOrElse(return None))
+        .zipWithIndex.map { case ((dt, _), i) =>
+          StructField(s"agg_$i", dt, nullable = true)
+        }
+    val rows: Array[InternalRow] =
+      if (groupCols.isEmpty && perGroup.isEmpty)
+        // Global aggregate over an empty table still yields one row.
+        Array(new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(aggValues(Nil).get.map(_._2).toArray))
+      else perGroup.map { case (key, vals) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          (key ++ vals.map(_._2)).toArray): InternalRow
+      }.toArray
+    Some((StructType(groupFields ++ aggFields), rows))
   }
 
   override def build(): Scan = aggResult match {
-    case Some((schema, row)) =>
+    case Some((schema, aggRows)) =>
       new org.apache.spark.sql.connector.read.LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = aggRows
         override def readSchema(): StructType = schema
         override def description(): String =
           s"GraftManifestAggPushdown($path)"
@@ -2620,9 +2713,48 @@ private[sources] class ManifestScan(path: String, full: StructType,
     fileFilter: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** SORTED SCANS (SupportsReportOrdering): when every planned file is
+    * stamped with the SAME physical sort (a `sortBy` write or a
+    * `cluster` rewrite), report it — a downstream sort-merge join (or
+    * sort-based aggregate) then skips its per-partition sorts
+    * entirely; composed with the key-grouped partitioning report this
+    * is the zero-shuffle AND zero-sort join. Sound-or-stand-down:
+    *  - every byte-range split of a sorted file is itself sorted, and
+    *    deletion vectors / equality deletes only DROP rows, so neither
+    *    breaks the claim;
+    *  - a KEY-GROUPED scan may CONCATENATE same-key partitions into
+    *    one task, so ordering is only claimed when each key resolves
+    *    to a single split (one file, unsplit) — the post-cluster /
+    *    hash-distributed shape;
+    *  - incremental/CDF replays, runtime-filtered row-level scans and
+    *    pruned-away ordering columns stand down. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    if (changeFeed || startingVersion.isDefined) return Array.empty
+    val entries = survivingEntries
+    if (entries.isEmpty) return Array.empty
+    val sorted = entries.head.sorted
+    if (sorted.isEmpty || !entries.forall(_.sorted == sorted))
+      return Array.empty
+    if (!sorted.forall(c => required.fieldNames.contains(c)))
+      return Array.empty
+    keyedEntries match {
+      case Some(keyed) =>
+        val oneSplitPerKey =
+          keyed.groupBy(_._3).forall(_._2.size == 1) &&
+            entries.forall(e => fileSize(e) <= maxSplitBytes)
+        if (!oneSplitPerKey) return Array.empty
+      case None => () // standalone splits: each is sorted on its own
+    }
+    sorted.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+  }
 
   /** RUNTIME group filtering for row-level operations (Iceberg's
     * copy-on-write shape): Spark evaluates the command condition in a
@@ -3246,7 +3378,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       () => Map.empty[String, Option[String]],
     dynamicOverwrite: Boolean = false,
     distributeByPartition: Boolean = false,
-    txnStage: Option[String] = None)
+    txnStage: Option[String] = None,
+    sortBy: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -3259,7 +3392,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     * default: unclustered writes stay shuffle-free. */
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val specs = PartSpec.parseAll(partCols)
-    if (!distributeByPartition || specs.isEmpty)
+    val needDist = distributeByPartition && specs.nonEmpty
+    if (!needDist && sortBy.isEmpty)
       return super.build()
     new org.apache.spark.sql.connector.write.Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
@@ -3267,24 +3401,37 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       override def toStreaming: StreamingWrite = buildForStreaming()
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          specs.map {
+        if (!needDist)
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+        else org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(specs.map {
             case IdentityPart(c) =>
               org.apache.spark.sql.connector.expressions.Expressions
                 .identity(c): org.apache.spark.sql.connector.expressions.Expression
             case BucketPart(n, c) =>
               org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
           }.toArray)
+      // The declared sort is what stamps `sorted` on the written
+      // entries: Spark sorts each task's rows before the writer sees
+      // them, so every file (and every per-tuple file a partitioned
+      // task splits into — a subsequence of a sorted stream is sorted)
+      // is physically in this order.
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        sortBy.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.sort(
+            org.apache.spark.sql.connector.expressions.Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        ).toArray
     }
   }
 
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
-      distributeByPartition = distributeByPartition, txnStage = txnStage)
+      distributeByPartition = distributeByPartition, txnStage = txnStage,
+      sortBy = sortBy)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -3300,12 +3447,13 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       dynamicOverwrite = true, distributeByPartition = distributeByPartition,
-      txnStage = txnStage)
+      txnStage = txnStage, sortBy = sortBy)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
-      maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage)
+      maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
+      sortBy)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
@@ -3456,7 +3604,15 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // deletes apply to exactly the files whose seq is smaller than
     // the delete's own — Iceberg's data-sequence-number rule, which is
     // what lets a CDC upsert's re-insert survive its key's tombstone.
-    seq: Long = 0L)
+    seq: Long = 0L,
+    // SORT ORDER the file's rows are physically in (ascending,
+    // nulls-first — Spark's default sort), stamped by writes that
+    // declared a `sortBy` ordering. What lets the scan report
+    // SupportsReportOrdering and a downstream sort-merge join skip its
+    // per-partition sorts. Deletion vectors and equality deletes only
+    // DROP rows, so they never invalidate it; compaction CONCATENATES,
+    // so merged entries drop it.
+    sorted: Seq[String] = Nil)
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
 }
@@ -3490,7 +3646,10 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // point. Plain appends only (no truncate / CoW / dynamic
     // overwrite): deferred-visibility destructive ops would need their
     // file GC deferred past the swap, which nothing here schedules.
-    txnStage: Option[String] = None)
+    txnStage: Option[String] = None,
+    // Declared write ordering (the Write already REQUIRED the sort, so
+    // task rows arrive in it): stamped as `sorted` on written entries.
+    sortBy: Seq[String] = Nil)
     extends BatchWrite {
   // Direct-construction convenience (tests, internal callers).
   def this(path: String, schema: StructType, queryId: String,
@@ -3503,7 +3662,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new ManifestWriterFactory(path, queryId, schema, partCols)
+    new ManifestWriterFactory(path, queryId, schema, partCols, sortBy)
   }
 
   /** Driver-side publish: exactly the winner attempts move into place;
@@ -3697,13 +3856,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class ManifestWriterFactory(path: String, queryId: String,
-    schema: StructType, partCols: Seq[String] = Nil) extends DataWriterFactory {
+    schema: StructType, partCols: Seq[String] = Nil,
+    sortBy: Seq[String] = Nil) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
-      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId)
+      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
+        sortedCols = sortBy)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
-        partitionId, taskId)
+        partitionId, taskId, sortedCols = sortBy)
 }
 
 /** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
@@ -3716,7 +3877,8 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
   * only ever delete its own staged bytes, never the winner's. */
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
-    epochId: Option[Long] = None, suffix: String = "")
+    epochId: Option[Long] = None, suffix: String = "",
+    sortedCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   // `suffix` distinguishes a partitioned task's per-tuple files. It is a
   // pure function of the partition VALUES, so streaming names stay
@@ -3828,7 +3990,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     // wrote) so the scan never has to ask the filesystem at plan time.
     StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
       schema.fields.indices.map(i =>
-        schema.fields(i).name -> nullCounts(i)).toMap)
+        schema.fields(i).name -> nullCounts(i)).toMap,
+      sorted = sortedCols)
   }
 
   override def abort(): Unit = {
@@ -3858,7 +4021,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   */
 private[sources] class PartitionedNdjsonDataWriter(path: String,
     queryId: String, schema: StructType, partCols: Seq[String],
-    partitionId: Int, taskId: Long, epochId: Option[Long] = None)
+    partitionId: Int, taskId: Long, epochId: Option[Long] = None,
+    sortedCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   private val specs: Array[PartSpec] = PartSpec.parseAll(partCols).toArray
   private val idx: Array[Int] = specs.map(sp => schema.fieldIndex(sp.col))
@@ -3915,8 +4079,10 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
           "hive.exec.max.dynamic.partitions discipline)")
     children.getOrElseUpdate(key, {
       childParts(key) = specs.map(_.name).zip(vals).toMap
+      // A per-tuple child sees a SUBSEQUENCE of the task's sorted
+      // stream — still sorted, so the stamp carries through.
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        epochId, suffix = "-p" + digest(key))
+        epochId, suffix = "-p" + digest(key), sortedCols = sortedCols)
     }).write(record)
   }
 

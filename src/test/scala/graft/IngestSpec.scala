@@ -821,6 +821,69 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("sorted scans: SPJ + reported ordering = a join with no exchange AND no sort") {
+    val wh = Files.createTempDirectory("graft_sorted").toString
+    spark.conf.set("spark.sql.catalog.gso", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gso.base", wh)
+    // 'sortby' declares the write ordering; the writer stamps `sorted`
+    // on every file, and the scan reports it back.
+    spark.sql("""CREATE TABLE gso.a (k INT, v BIGINT) PARTITIONED BY (k)
+      TBLPROPERTIES ('sortby'='k')""")
+    spark.sql("""CREATE TABLE gso.b (k INT, w BIGINT) PARTITIONED BY (k)
+      TBLPROPERTIES ('sortby'='k')""")
+    spark.sql("""INSERT INTO gso.a
+      SELECT CAST(id % 8 AS INT), id FROM range(400)
+      DISTRIBUTE BY CAST(id % 8 AS INT)""")
+    spark.sql("""INSERT INTO gso.b
+      SELECT CAST(id % 8 AS INT), id * 10 FROM range(80)
+      DISTRIBUTE BY CAST(id % 8 AS INT)""")
+    // Unsorted control: same layout, no declared ordering.
+    spark.sql("CREATE TABLE gso.c (k INT, w BIGINT) PARTITIONED BY (k)")
+    spark.sql("""INSERT INTO gso.c
+      SELECT CAST(id % 8 AS INT), id * 10 FROM range(80)
+      DISTRIBUTE BY CAST(id % 8 AS INT)""")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val j = spark.sql(
+        "SELECT a.k, a.v, b.w FROM gso.a a JOIN gso.b b ON a.k = b.k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ must stay shuffle-free:\n$plan")
+      // THE PIN: both scans report [k ASC], so EnsureRequirements
+      // inserts NO per-partition sorts under the merge join.
+      assert(!plan.contains("- Sort ["),
+        s"reported ordering must elide the join sorts:\n$plan")
+      assert(j.count() == 400L * 80 / 8, "50 a-rows x 10 b-rows per key")
+      // Stand-down control: the unsorted side forces a sort back in.
+      val jc = spark.sql(
+        "SELECT a.k, a.v, c.w FROM gso.a a JOIN gso.c c ON a.k = c.k")
+      val planC = jc.queryExecution.executedPlan.toString
+      if (planC.contains("SortMergeJoin"))
+        assert(planC.contains("- Sort ["),
+          s"an unsorted table cannot claim ordering:\n$planC")
+      // Compaction CONCATENATES: merged entries drop the stamp, and
+      // the scan stands down (sound, never wrong).
+      graft.sources.ManifestSink.compact(
+        java.nio.file.Paths.get(wh, "b").toString, targetRows = 1000000L)
+      val j2 = spark.sql(
+        "SELECT a.k, a.v, b.w FROM gso.a a JOIN gso.b b ON a.k = b.k")
+      val plan2 = j2.queryExecution.executedPlan.toString
+      if (plan2.contains("SortMergeJoin"))
+        assert(plan2.contains("- Sort ["),
+          s"post-compaction entries must not claim ordering:\n$plan2")
+      assert(j2.count() == 400L * 80 / 8)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+    Seq("a", "b", "c").foreach(t => spark.sql(s"DROP TABLE gso.$t"))
+  }
+
   test("bucket partitioning: high-cardinality keys join shuffle-free; point lookups prune") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_bucket_spj").toString
@@ -1402,7 +1465,16 @@ class IngestSpec extends SparkSpec {
       "create_tag", "drop_tag", "restore",
       "create_branch", "fast_forward", "drop_branch",
       "add_partition_field", "drop_partition_field",
-      "replace_partition_spec", "commit_all"), s"$names")
+      "replace_partition_spec", "commit_all", "cluster"), s"$names")
+    // CALL cluster: one atomic sorted rewrite; rows survive, bounds
+    // tighten (a point predicate now prunes to one file), and the
+    // rewritten files are stamped sorted (the SupportsReportOrdering
+    // feed — plan-level assertions live in the sorted-scans test).
+    val before = spark.sql("SELECT count(*) FROM gcall.t").head.getLong(0)
+    val cl = spark.sql("CALL gcall.system.cluster('t', 'id', 4)").head
+    assert(cl.getInt(0) == 4, s"files_written: $cl")
+    assert(spark.sql("SELECT count(*) FROM gcall.t").head.getLong(0)
+      == before)
     spark.sql("DROP TABLE gcall.t")
   }
 
@@ -2079,6 +2151,31 @@ class IngestSpec extends SparkSpec {
       tdir.resolve(n)))
     assert(spark.sql(s"SELECT max(id) FROM $cat.t").head.getLong(0) == 98L)
     spark.sql(s"DROP TABLE $cat.t")
+    // GROUP BY an identity partition column: per-group counts and
+    // bounds come from each file's proven tuple — still zero data read.
+    spark.sql(s"""CREATE TABLE $cat.p (k STRING, v BIGINT)
+      PARTITIONED BY (k)""")
+    spark.sql(s"""INSERT INTO $cat.p
+      SELECT CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END, id
+      FROM range(90) DISTRIBUTE BY id % 3""")
+    val pdir = wh.resolve("p")
+    val pFiles = graft.sources.ManifestSink.committedFiles(pdir.toString)
+    pFiles.foreach(n => Files.move(pdir.resolve(n),
+      pdir.resolve(n + ".hidden")))
+    val groups = spark.sql(
+      s"SELECT k, count(*), min(v), max(v) FROM $cat.p GROUP BY k")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(groups == Map("a" -> ((30L, 0L, 87L)), "b" -> ((30L, 1L, 88L)),
+      "c" -> ((30L, 2L, 89L))), s"$groups")
+    // Stand-down: grouping by a NON-partition column must read data.
+    intercept[Exception] {
+      spark.sql(s"SELECT v % 2, count(*) FROM $cat.p GROUP BY v % 2")
+        .collect()
+    }
+    pFiles.foreach(n => Files.move(pdir.resolve(n + ".hidden"),
+      pdir.resolve(n)))
+    spark.sql(s"DROP TABLE $cat.p")
   }
 
   test("top-k MV: rank cut at read — a key below the cut re-enters when a delta lifts it") {
