@@ -379,6 +379,87 @@ object ManifestSink {
     kept
   }
 
+  /** Live lines of one file (positional offsets + equality filters
+    * applied), materialized — the SORTED-MERGE compaction path needs
+    * random access for the key sort; bin-packed groups are bounded by
+    * `targetRows`, so the whole group fits comfortably in driver
+    * memory (the concat path stays streaming). */
+  private[sources] def collectLiveLines(src: Path, dead: Array[Long],
+      eqFilters: Seq[(Seq[String], java.util.HashSet[String])])
+      : Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
+    try {
+      var offset = 0L
+      var b = in.read()
+      while (b != -1) {
+        val posLive = java.util.Arrays.binarySearch(dead, offset) < 0
+        val buf = new java.io.ByteArrayOutputStream(128)
+        var c = b
+        while (c != -1 && c != '\n') { buf.write(c); offset += 1; c = in.read() }
+        if (c == '\n') offset += 1
+        val line = buf.toByteArray
+        val keep = posLive && line.nonEmpty && (eqFilters.isEmpty || {
+          val parsed = NdjsonCodec.parseLine(
+            new String(line, StandardCharsets.UTF_8))
+          !eqFilters.exists { case (cols, keys) =>
+            keys.contains(eqKeyOf(parsed, cols))
+          }
+        })
+        if (keep) out += line
+        b = in.read()
+      }
+    } finally in.close()
+    out.result()
+  }
+
+  /** One line's sort-key tuple for the given columns, in Spark's
+    * ascending-nulls-first order: null sorts first, numeric tokens
+    * compare as exact decimals, strings as UTF-8 bytes (UTF8String —
+    * Spark's own binary string order, NOT java.lang.String's UTF-16
+    * order, which diverges above the BMP). The typed writer never
+    * mixes token kinds within one column, so the number-before-string
+    * rank is only a tiebreak that cannot fire on real data. */
+  private[sources] def lineSortKey(line: Array[Byte], cols: Seq[String])
+      : Seq[(Int, Any)] = {
+    val m = NdjsonCodec.parseLine(new String(line, StandardCharsets.UTF_8))
+    cols.map { c =>
+      m.get(c) match {
+        case None | Some(NdjsonCodec.JsonNull) => (0, null)
+        case Some(NdjsonCodec.JsonTok(t)) =>
+          try (1, new java.math.BigDecimal(t): Any)
+          catch { case _: NumberFormatException =>
+            (2, org.apache.spark.unsafe.types.UTF8String.fromString(t): Any) }
+        case Some(NdjsonCodec.JsonStr(s)) =>
+          (2, org.apache.spark.unsafe.types.UTF8String.fromString(s): Any)
+      }
+    }
+  }
+
+  private[sources] val lineKeyOrdering: Ordering[Seq[(Int, Any)]] =
+    new Ordering[Seq[(Int, Any)]] {
+      def compare(a: Seq[(Int, Any)], b: Seq[(Int, Any)]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val ((ra, va), (rb, vb)) = (a(i), b(i))
+          val c =
+            if (ra != rb) Integer.compare(ra, rb)
+            else (va, vb) match {
+              case (null, null) => 0
+              case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+                x.compareTo(y)
+              case (x: org.apache.spark.unsafe.types.UTF8String,
+                  y: org.apache.spark.unsafe.types.UTF8String) =>
+                x.compareTo(y)
+              case _ => 0
+            }
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+
   /** Default bound on manifest SEGMENTS before an append commit
     * collapses them into one (Iceberg's `min-count-to-merge` trade):
     * append commits write O(delta) bytes, and every `MaxSegments`-th
@@ -1013,22 +1094,50 @@ object ManifestSink {
         val out = Files.newOutputStream(tmp)
         var liveWritten = 0L
         var eqApplied = false
-        try group.foreach { f =>
-          val eqFilters = filtersFor(f)
-          if (eqFilters.nonEmpty) eqApplied = true
-          (f.dv, eqFilters.isEmpty) match {
-            // Compaction MATERIALIZES both delete shapes: positional
-            // vectors AND applicable equality deletes — the merged
-            // output carries live lines only, so the sidecars retire
-            // with the files they annotated and the merge-on-read
-            // debt is paid exactly once, here.
-            case (None, true) =>
-              Files.copy(dirPath.resolve(f.name), out)
-              liveWritten += f.rows
-            case (dv, _) =>
-              liveWritten += copyLiveLinesFiltered(dirPath.resolve(f.name),
-                dv.map(d => readDvOffsets(dir, d)).getOrElse(Array.empty[Long]),
-                eqFilters, out)
+        // SORTED MERGE: when every group member carries the SAME sort
+        // stamp, merge by key instead of concatenating — the output
+        // stays physically sorted and the stamp SURVIVES compaction,
+        // so sort-free merge joins keep working through maintenance.
+        // Deletion vectors and equality filters only drop rows, so
+        // they compose (filtered sorted inputs merge sorted). Mixed or
+        // absent stamps take the streaming concat path and drop the
+        // claim (sound, never wrong).
+        val stamps = group.map(_.sorted).distinct
+        val mergeSorted = stamps.size == 1 && stamps.head.nonEmpty
+        try {
+          if (mergeSorted) {
+            val lines = group.flatMap { f =>
+              val eqFilters = filtersFor(f)
+              if (eqFilters.nonEmpty) eqApplied = true
+              collectLiveLines(dirPath.resolve(f.name),
+                f.dv.map(d => readDvOffsets(dir, d))
+                  .getOrElse(Array.empty[Long]), eqFilters)
+            }
+            // Stable sort of concatenated pre-sorted runs == the k-way
+            // merge (equal keys keep their run order).
+            lines.map(l => (lineSortKey(l, stamps.head), l))
+              .sortBy(_._1)(lineKeyOrdering)
+              .foreach { case (_, l) =>
+                out.write(l); out.write('\n'); liveWritten += 1
+              }
+          } else group.foreach { f =>
+            val eqFilters = filtersFor(f)
+            if (eqFilters.nonEmpty) eqApplied = true
+            (f.dv, eqFilters.isEmpty) match {
+              // Compaction MATERIALIZES both delete shapes: positional
+              // vectors AND applicable equality deletes — the merged
+              // output carries live lines only, so the sidecars retire
+              // with the files they annotated and the merge-on-read
+              // debt is paid exactly once, here.
+              case (None, true) =>
+                Files.copy(dirPath.resolve(f.name), out)
+                liveWritten += f.rows
+              case (dv, _) =>
+                liveWritten += copyLiveLinesFiltered(dirPath.resolve(f.name),
+                  dv.map(d => readDvOffsets(dir, d))
+                    .getOrElse(Array.empty[Long]),
+                  eqFilters, out)
+            }
           }
         } finally out.close()
         // Into place BEFORE the swap: invisible until the manifest
@@ -1053,7 +1162,8 @@ object ManifestSink {
           Files.size(dirPath.resolve(name)),
           if (group.exists(_.dv.isDefined) || eqApplied) Map.empty[String, Long]
           else mergeNullCounts(group.toSeq),
-          seq = generation + 1)
+          seq = generation + 1,
+          sorted = if (mergeSorted) stamps.head else Nil)
       }
       val next = big ++ keepSingles.flatten ++ merged
       // An equality delete whose every predating file was just merged

@@ -865,8 +865,12 @@ class IngestSpec extends SparkSpec {
       if (planC.contains("SortMergeJoin"))
         assert(planC.contains("- Sort ["),
           s"an unsorted table cannot claim ordering:\n$planC")
-      // Compaction CONCATENATES: merged entries drop the stamp, and
-      // the scan stands down (sound, never wrong).
+      // Compacting b into ONE file: the sorted MERGE keeps the order
+      // stamp (SortedCompactionSpec pins that), but the single file
+      // spans every k, so the PARTITION tuple is no longer provable —
+      // SPJ degrades to a shuffled join, and a shuffle's output is
+      // unordered, so the sort comes back with it. Conservative on
+      // both axes; rows unchanged.
       graft.sources.ManifestSink.compact(
         java.nio.file.Paths.get(wh, "b").toString, targetRows = 1000000L)
       val j2 = spark.sql(
@@ -874,7 +878,7 @@ class IngestSpec extends SparkSpec {
       val plan2 = j2.queryExecution.executedPlan.toString
       if (plan2.contains("SortMergeJoin"))
         assert(plan2.contains("- Sort ["),
-          s"post-compaction entries must not claim ordering:\n$plan2")
+          s"a shuffled join cannot reuse the scan order:\n$plan2")
       assert(j2.count() == 400L * 80 / 8)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
