@@ -506,6 +506,36 @@ object ScaleProbe {
           f""""update_wall_ms":$wallU%.0f,"bytes_written":$writtenU}""")
       }
 
+      // THE THIRD DELETE SHAPE, measured: the same 16-id scattered
+      // delete as an EQUALITY DELETE — O(tombstones) write with zero
+      // target scan, against MoR's scan-then-sidecar and CoW's full
+      // rewrites above.
+      locally {
+        val t = "eqd"
+        spark.sql(s"CREATE TABLE $cat.$t (id BIGINT, v STRING)")
+        spark.range(n).selectExpr("id",
+            "concat('payload-', id, '-', repeat('x', 40)) AS v")
+          .repartition(8)
+          .writeTo(s"$cat.$t").append()
+        val dir = wh.resolve(t)
+        val before = dirFiles(dir)
+        val ids = (0 until 16).map(i => i * (n / 16) + 7)
+        import spark.implicits._
+        val t0 = System.nanoTime()
+        graft.sources.ManifestOps.equalityDelete(dir.toString,
+          ids.toDF("id"))
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val written = dirFiles(dir).collect {
+          case (name, sz) if !before.contains(name) => sz
+        }.sum
+        val count = spark.sql(s"SELECT count(*) FROM $cat.$t")
+          .head.getLong(0)
+        require(count == n - 16, s"$t lost rows: $count")
+        println(s"""{"probe":"dv_delete","mode":"eqdelete","factor":$f,""" +
+          s""""rows":$n,"table_bytes":${before.values.sum},""" +
+          f""""delete_wall_ms":$wallMs%.0f,"bytes_written":$written}""")
+      }
+
       // READ AMPLIFICATION at increasing vector density: every scan of
       // a DV'd file re-pays the sidecar load + a binary search per
       // row. Measure a full-scan aggregate at 0% (clean), ~1%, ~10%
