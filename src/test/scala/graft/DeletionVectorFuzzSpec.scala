@@ -154,7 +154,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.t")
   }
 
-  (0L to 5L).foreach { seed =>
+  (0L to 7L).foreach { seed =>
     test(s"DV fuzz: random DML/compaction sequence matches the model (seed=$seed)") {
       runScenario(seed)
     }
