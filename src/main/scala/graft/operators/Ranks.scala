@@ -130,7 +130,11 @@ object Ranks {
     * total, as for the siblings. */
   def prefixSums(df: DataFrame, sort: Seq[Column],
       values: Seq[(Column, String)], buckets: Int = 0): DataFrame = {
-    val bucketed = rangeBucket(df, sort, buckets)
+    // Staged: the bucketed frame is consumed TWICE (the per-slice
+    // totals and the per-slice window) — unstaged, the caller's whole
+    // upstream (often a tokenize/fan-out pipeline) re-executes for
+    // each consumer.
+    val bucketed = Dedup.stage(rangeBucket(df, sort, buckets))
     val btotAggs = values.zipWithIndex.map { case ((v, _), i) =>
       sum(v).as(s"__bt$i") }
     val btot = Dedup.stage(

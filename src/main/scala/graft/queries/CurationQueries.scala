@@ -475,11 +475,14 @@ object CurationQueries {
          |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
          |  CAST(min(doc_id) AS BIGINT) AS first_doc
          |FROM c GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      import graft.operators.Ranks
-      val toks = Tables.fanOut(
+      import graft.operators.{Dedup, Ranks}
+      // Staged: consumed by BOTH the global prefix sum and the
+      // per-source totals — unstaged, the regex tokenization (the
+      // expensive stage) runs once per consumer.
+      val toks = Dedup.stage(Tables.fanOut(
           Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")))
         .select(col("source"), col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok")))
       val summed = Ranks.prefixSums(toks,
         Seq(col("source"), col("doc_id")), Seq((col("n_tok"), "gcum")))
       val totals = toks.groupBy("source").agg(sum(col("n_tok")).as("stot"))
