@@ -413,12 +413,41 @@ object Multimodal {
       .select(col("doc_id").cast("long"), col("media"))
       .repartition(parts, col("doc_id"))
       .mapPartitions { rows =>
+        // In-memory streams only: ImageIO's default file cache would
+        // spill one temp file per payload, freed only on close() —
+        // which the per-payload close below does, but skipping the
+        // cache removes the disk round-trip entirely.
+        javax.imageio.ImageIO.setUseCache(false)
         val reader =
           javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-        rows.map { r =>
-          val id = r.getLong(0)
-          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+        // Each payload gets its own ImageInputStream; the PREVIOUS
+        // one closes when the next row arrives (and the last at
+        // iterator end, where the reader disposes too) — without this
+        // every row leaked a stream (and, with the file cache, a temp
+        // file) for the executor's lifetime.
+        var openStream: javax.imageio.stream.ImageInputStream = null
+        def closeCurrent(): Unit = {
+          if (openStream != null) {
+            try openStream.close()
+            catch { case _: java.io.IOException => () }
+            openStream = null
+          }
+        }
+        new Iterator[(Long, Array[Byte])] {
+          override def hasNext: Boolean = {
+            val more = rows.hasNext
+            if (!more) { closeCurrent(); reader.dispose() }
+            more
+          }
+          override def next(): (Long, Array[Byte]) = {
+            val r = rows.next()
+            (r.getLong(0), r.getAs[Array[Byte]](1))
+          }
+        }.map { case (id, payload) =>
+          closeCurrent()
+          openStream = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          reader.setInput(openStream)
           val n = reader.getNumImages(true)
           require(n > 0, s"doc $id: payload is not a decodable GIF")
           var w = 0L

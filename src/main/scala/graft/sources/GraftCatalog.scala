@@ -450,6 +450,12 @@ class GraftCatalog extends TableCatalog
     val v = GraftView(ident.name(), info.sql(), info.currentCatalog(),
       info.currentNamespace(), info.schema(), info.queryColumnNames(),
       info.columnAliases(), info.columnComments(), props)
+    // A view must never claim a TABLE's directory: the substitution
+    // rule would shadow the table, and a later DROP VIEW sweep would
+    // take the table's data files and history with it. Refuse up front.
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        Seq(name()) ++ ident.namespace().toSeq :+ ident.name())
     writeView(dirOf(ident), v, overwrite = false, ident)
     v
   }
@@ -471,27 +477,42 @@ class GraftCatalog extends TableCatalog
     v
   }
 
+  /** DROP VIEW deletes the view's METADATA, never a data directory: the
+    * marker file goes, and the directory itself only if nothing else
+    * lives in it. A directory that also holds `_table.json` (a view
+    * marker landed in a table dir — pre-guard debris, or a manual
+    * write) keeps every byte except the marker; recursively sweeping it
+    * would silently destroy the table. */
   override def dropView(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!Files.exists(viewMarker(dir))) return false
-    val walk = Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    finally walk.close()
+    Files.deleteIfExists(viewMarker(dir))
+    // Remove the now-empty shell dir; any remaining content (a table's
+    // files, user debris) means the delete must stop at the marker.
+    try Files.deleteIfExists(dir)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     true
   }
 
+  /** Rename moves the view MARKER only — never the directory, whose
+    * other contents (a coexisting table's data) must stay put. The
+    * target may not be an existing table or view. */
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = dirOf(oldIdent)
     if (!Files.exists(viewMarker(from)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
         oldIdent)
     val to = dirOf(newIdent)
-    if (Files.exists(to))
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(
+        Seq(name()) ++ newIdent.namespace().toSeq :+ newIdent.name())
+    if (Files.exists(viewMarker(to)))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(newIdent)
-    Files.createDirectories(to.getParent)
-    Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(to)
+    Files.move(viewMarker(from), viewMarker(to), StandardCopyOption.ATOMIC_MOVE)
+    try Files.deleteIfExists(from)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
   // ----- ProcedureCatalog: table maintenance through SQL `CALL`

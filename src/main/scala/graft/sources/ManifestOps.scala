@@ -168,6 +168,30 @@ object ManifestOps {
     require(cols.nonEmpty, "equality delete needs at least one key column")
     require(cols.forall(c => !c.contains(",")),
       "equality-delete key column names must not contain commas")
+    // Key columns must EXIST in the table schema WITH THE SAME TYPE:
+    // the read-side membership test compares rendered NDJSON literals,
+    // so a misspelled column (eqKeyOf reads missing keys as null) or a
+    // type whose literal differs (DOUBLE '3.0' vs BIGINT '3') would
+    // commit a tombstone that silently deletes nothing. Catalog tables
+    // persist their schema in _table.json; path-based tables have none
+    // to check against (the caller supplied the read schema all along).
+    locally {
+      val meta = java.nio.file.Paths.get(dir, "_table.json")
+      if (java.nio.file.Files.exists(meta)) {
+        val tableSchema = GraftCatalog.readMeta(java.nio.file.Paths.get(dir))._1
+        keys.schema.fields.foreach { f =>
+          val tf = tableSchema.fields.find(_.name == f.name).getOrElse(
+            throw new IllegalArgumentException(
+              s"equality-delete key column '${f.name}' is not in the " +
+                s"table schema of $dir (columns: " +
+                s"${tableSchema.fieldNames.mkString(", ")})"))
+          require(tf.dataType == f.dataType,
+            s"equality-delete key column '${f.name}' is ${f.dataType} but " +
+              s"the table column is ${tf.dataType} — their rendered " +
+              "literals would never match, silently deleting nothing")
+        }
+      }
+    }
     val renderers = keys.schema.fields.map(f =>
       NdjsonCodec.renderer(f.dataType))
     val dirPath = Paths.get(dir)

@@ -1522,22 +1522,39 @@ object ManifestSink {
     * The vacuum keep-set. */
   private[sources] def allReachableFileNames(dir: String): Set[String] = {
     val retained = collection.mutable.ArrayBuffer[Long]()
+    val stagedTxn = collection.mutable.ArrayBuffer[String]()
     val ls = Files.list(Paths.get(dir))
     try ls.iterator().asScala().foreach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("manifest-g") && n.endsWith(".json"))
         retained += n.stripPrefix("manifest-g").stripSuffix(".json").toLong
+      // A staged cross-table txn pointer ([[GraftTxn]]) references data
+      // files/segments/eqdeletes that are NOT yet in any live manifest
+      // but become the table's state at the txn's commit point —
+      // vacuuming them would let commitAll publish a manifest over
+      // deleted data (committed data loss). Pending-or-aborted is
+      // unknowable here (the journal lives elsewhere); keep both — an
+      // aborted txn's staged pointer is removed at the next publish-
+      // lock acquisition and its files become collectable then.
+      else if (n.startsWith("_manifest.txn-") && n.endsWith(".json"))
+        stagedTxn += n
     } finally ls.close()
+    val stagedTexts = stagedTxn.toSeq.map(n => manifestText(dir, n))
     val texts = manifestText(dir, ManifestName) +:
-      retained.toSeq.map(g => manifestText(dir, generationManifestName(g)))
+      (retained.toSeq.map(g => manifestText(dir, generationManifestName(g))) ++
+        stagedTexts)
     val old = retained.flatMap { g =>
       try resolveEntries(dir, manifestText(dir, generationManifestName(g)))
       catch { case _: java.io.UncheckedIOException => Seq.empty }
     }
+    val staged = stagedTexts.flatMap { t =>
+      try resolveEntries(dir, t)
+      catch { case _: Exception => Seq.empty }
+    }
     // Equality-delete tombstone files referenced by ANY manifest (the
-    // current pointer or a retained generation) are reachable too —
-    // vacuum must never GC a live tombstone.
-    (committedEntries(dir) ++ old).flatMap(ownedNames).toSet ++
+    // current pointer, a retained generation, or a staged txn pointer)
+    // are reachable too — vacuum must never GC a live tombstone.
+    (committedEntries(dir) ++ old ++ staged).flatMap(ownedNames).toSet ++
       texts.flatMap(t => parseEqDeletes(t).map(_.name))
   }
 
@@ -1692,7 +1709,11 @@ object ManifestSink {
     * paths, never per append. Returns files deleted. */
   private[sources] def sweepSegments(dir: Path): Int = {
     val refs = collection.mutable.Set[String]()
-    val manifestRe = "manifest(-g\\d+)?\\.json".r
+    // Staged cross-table txn pointers (_manifest.txn-*.json) count as
+    // manifests here: their segments become live at the txn's commit
+    // point, so a collapse commit racing a pending txn must not sweep
+    // them out from under it.
+    val manifestRe = "(_?manifest([-.][-a-zA-Z0-9]+)?)\\.json".r
     val ls = Files.list(dir)
     val (segs, manifests) =
       try {

@@ -2048,6 +2048,77 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP TABLE gvw.t")
   }
 
+  test("view/table collision safety: CREATE VIEW refuses a table's name; DROP VIEW never touches table data") {
+    val wh = Files.createTempDirectory("graft_viewsafe").toString
+    val cat = "gvs_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10)")
+    // CREATE VIEW with an existing TABLE's name must refuse — before
+    // the guard it wrote _view.json into the table dir (shadowing the
+    // table) and a later DROP VIEW recursively deleted the whole dir:
+    // data files, manifests, history, silently.
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE VIEW $cat.t AS SELECT 1 AS one")
+    }
+    assert(e.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 10)
+    // Even with marker debris in the table dir (a pre-guard artifact or
+    // manual write), DROP VIEW removes ONLY the marker: the table's
+    // data and metadata survive.
+    val tdir = java.nio.file.Paths.get(wh, "t")
+    Files.write(tdir.resolve("_view.json"),
+      "debris\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.sql(s"DROP VIEW IF EXISTS $cat.t")
+    assert(!Files.exists(tdir.resolve("_view.json")), "marker removed")
+    assert(Files.exists(tdir.resolve("_table.json")), "table meta intact")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 10,
+      "table data intact after DROP VIEW")
+    // RENAME VIEW onto a table's name refuses; renaming a real view
+    // moves the marker only.
+    spark.sql(s"CREATE VIEW $cat.v AS SELECT id FROM $cat.t WHERE id < 5")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER VIEW $cat.v RENAME TO $cat.t")
+    }
+    assert(e2.getMessage != null)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 10)
+    spark.sql(s"ALTER VIEW $cat.v RENAME TO $cat.v2")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.v2").head.getLong(0) == 5)
+    spark.sql(s"DROP VIEW $cat.v2")
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
+  test("equality deletes: key columns must exist in the table schema with matching types") {
+    val wh = Files.createTempDirectory("graft_eqval").toString
+    val cat = "gev_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 2 FROM range(10)")
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    // Misspelled key column: eqKeyOf would read the missing key as null
+    // on every data row — a tombstone that silently deletes nothing.
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.ManifestOps.equalityDelete(dir,
+        spark.range(3, 4).toDF("idd"))
+    }
+    assert(e1.getMessage.contains("idd"), e1.getMessage)
+    // Type mismatch: DOUBLE renders '3.0', BIGINT column rows render
+    // '3' — literals never match, again deleting nothing.
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.ManifestOps.equalityDelete(dir,
+        spark.range(3, 4).selectExpr("CAST(id AS DOUBLE) AS id"))
+    }
+    assert(e2.getMessage.contains("DoubleType") ||
+      e2.getMessage.contains("double"), e2.getMessage)
+    // The matching-type delete still works, and the table is intact.
+    assert(graft.sources.ManifestOps.equalityDelete(dir,
+      spark.range(3, 4).toDF("id")) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 9)
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
   test("incremental MV: refresh folds ONLY the base delta; fold equals full recompute") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_mv").toString

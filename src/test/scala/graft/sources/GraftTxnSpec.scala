@@ -157,6 +157,33 @@ class GraftTxnSpec extends graft.SparkSpec {
       (0L until 10L).toSet ++ (200L until 210L) ++ Set(70L, 71L))
   }
 
+  test("txn: vacuum keeps a pending transaction's staged files — commitAll still lands") {
+    val (txns, t1, t2) = mkTables("vacuum")
+    val id = GraftTxn.newId()
+    stage(t1, id, 100, 110)
+    stage(t2, id, 200, 210)
+    // The hostile sweep: olderThanMs=0 drops the age guard entirely, so
+    // ONLY reachability protects the staged (not-yet-live) data files.
+    // Before the fix this deleted them and commitAll published a
+    // manifest over missing data — committed data loss.
+    ManifestOps.vacuum(t1, olderThanMs = 0L)
+    ManifestOps.vacuum(t2, olderThanMs = 0L)
+    GraftTxn.commitAll(txns, Seq(t1, t2), id)
+    assert(ids(t1) == (0L until 10L).toSet ++ (100L until 110L))
+    assert(ids(t2) == (0L until 10L).toSet ++ (200L until 210L))
+    // And vacuum AFTER an abort does collect: stage again, abort (stale
+    // staged pointer resolves away at the next lock acquisition), then
+    // the files became unreachable garbage.
+    val id2 = GraftTxn.newId()
+    stage(t1, id2, 300, 310)
+    val stagedPointer = GraftTxn.stagedPointer(t1, id2)
+    assert(Files.exists(stagedPointer))
+    Files.delete(stagedPointer) // the txn dies; pointer discarded
+    val (gone, _) = ManifestOps.vacuum(t1, olderThanMs = 0L)
+    assert(gone >= 1, s"aborted txn's staged data files should collect, got $gone")
+    assert(ids(t1) == (0L until 10L).toSet ++ (100L until 110L))
+  }
+
   test("txn: CALL cat.system.commit_all drives the same protocol through SQL") {
     val wh = Files.createTempDirectory("graft_txn_call")
     val cat = "gtxn_" + (wh.toString.hashCode & 0x7fffffff)
