@@ -1831,6 +1831,97 @@ object IncrementalQueries {
       s.sql(s"SELECT source, lang, cnt, rnk FROM $cat.top_langs")
     },
 
+    // MIN/MAX INCREMENTAL MV (the third MV shape): min/max are monoids
+    // UNDER APPEND-ONLY, so the partial log folds exactly — and the
+    // refresh machinery already enforces append-only (the plain
+    // incremental delta read fails loudly on retirements, DV changes,
+    // or equality-delete commits — the a42-style sound-or-stand-down
+    // posture). The O(delta) claim is PINNED INSIDE the spec: every
+    // pre-delta base file is hidden during the second refresh — a
+    // refresh that read anything but the delta would throw. Oracle
+    // recomputes min/max from scratch over the full corpus.
+    QuerySpec(
+      "a44_minmax_mv",
+      """SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_v,
+        |  CAST(max(n_chars) AS BIGINT) AS max_v
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a44", dir)
+      val cat = "graft_a44_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('retainHistory'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a44_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a44_src WHERE doc_id % 3 = 0""") // gen 1
+      graft.sources.MaterializedViews.createMinMax(s, cat, "lang_range",
+        "docs", "docs_mm_mv", "lang", "n_chars")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a44_src WHERE doc_id % 3 = 1""") // gen 2
+      graft.sources.MaterializedViews.refresh(s, cat, "docs_mm_mv")
+      val baseDir = wh.resolve("docs")
+      val preDelta = graft.sources.ManifestSink.committedFiles(
+        baseDir.toString)
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a44_src WHERE doc_id % 3 = 2""") // gen 3
+      // THE O(delta) PIN: refresh with every pre-gen-3 file hidden.
+      import java.nio.file.Files
+      preDelta.foreach(n => Files.move(baseDir.resolve(n),
+        baseDir.resolve(n + ".hidden")))
+      try graft.sources.MaterializedViews.refresh(s, cat, "docs_mm_mv")
+      finally preDelta.foreach(n => Files.move(baseDir.resolve(n + ".hidden"),
+        baseDir.resolve(n)))
+      s.sql(s"SELECT lang, min_v, max_v FROM $cat.lang_range")
+    },
+
+    // STAR-JOIN INCREMENTAL MV (the fourth MV shape — fact ⋈ dim,
+    // aggregated by a dim attribute): partials key by the fact's DIM
+    // FK (the one key appends always fold on) and the view joins the
+    // dim AT READ — the dim side is late-bound, so a dim attribute
+    // update needs NO partial invalidation; the fold-then-join equals
+    // join-then-fold because the join is N:1 on the dim key. Refresh
+    // is the plain O(delta) fact fold. Oracle: the relational
+    // join-group-aggregate over the full corpus — a mis-keyed partial
+    // or a double-folded delta breaks the exact integer sums.
+    QuerySpec(
+      "a45_join_mv",
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_v,
+        |  count(o_orderkey)::BIGINT AS cnt_v,
+        |  CAST(sum(o_orderkey) // count(o_orderkey) AS BIGINT) AS avg_v
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a45", dir)
+      val cat = "graft_a45_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.fact_orders")
+      s.sql(s"""CREATE TABLE $cat.fact_orders (o_orderkey BIGINT,
+        o_custkey BIGINT) TBLPROPERTIES ('retainHistory'='true')""")
+      s.sql(s"DROP TABLE IF EXISTS $cat.dim_customer")
+      s.sql(s"CREATE TABLE $cat.dim_customer (c_custkey BIGINT, c_nationkey BIGINT)")
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("a45_fact")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").cast("long"))
+        .toDF("c_custkey", "c_nationkey")
+        .createOrReplaceTempView("a45_dim")
+      s.sql(s"INSERT INTO $cat.dim_customer SELECT * FROM a45_dim")
+      s.sql(s"""INSERT INTO $cat.fact_orders
+        SELECT * FROM a45_fact WHERE o_orderkey % 2 = 0""") // gen 1
+      graft.sources.MaterializedViews.createJoinAgg(s, cat, "nation_rev",
+        "fact_orders", "dim_customer", "orders_by_cust_mv",
+        "o_custkey", "c_custkey", "c_nationkey", "o_orderkey")
+      s.sql(s"""INSERT INTO $cat.fact_orders
+        SELECT * FROM a45_fact WHERE o_orderkey % 2 = 1""") // gen 2
+      graft.sources.MaterializedViews.refresh(s, cat, "orders_by_cust_mv")
+      s.sql(s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        sum_v, cnt_v, avg_v FROM $cat.nation_rev""")
+    },
+
     // CROSS-TABLE ATOMIC COMMIT (the reference's O4 — one transaction
     // across N tables — on the manifest format): both tables land a
     // base era normally, then ONE transaction stages the remaining

@@ -389,6 +389,30 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "refresh_mv" -> new UnboundProcedure {
+      override def name(): String = "refresh_mv"
+      override def description(): String =
+        "fold the base table's generation delta into a materialized " +
+          "view's partial log (O(delta), exactly-once; see MaterializedViews)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "refresh_mv"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(ProcedureParameter.in("mv_table", StringType)
+              .comment("dotted name of the MV's PARTIAL table (the one " +
+                "createAvg/createTopK maintains), e.g. 'db.base_mv'").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val spark = org.apache.spark.sql.SparkSession.active
+            val (from, to) = MaterializedViews.refreshDir(spark, Paths.get(dir))
+            result(StructType(Seq(
+              StructField("from_generation", LongType, nullable = false),
+              StructField("to_generation", LongType, nullable = false))),
+              Array[Any](from, to))
+          }
+        }
+    },
     "vacuum" -> new UnboundProcedure {
       override def name(): String = "vacuum"
       override def description(): String =

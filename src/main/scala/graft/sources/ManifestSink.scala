@@ -871,9 +871,30 @@ object ManifestSink {
     *      is put back via create-link (atomic, never replaces) before
     *      standing down. */
   private[sources] def withPublishLock[T](dir: Path,
-      leaseMs: Long = DefaultLockLeaseMs)(body: => T): T = {
+      leaseMs: Long = DefaultLockLeaseMs)(body: => T): T =
+    withFileLock(dir, LockName, leaseMs) {
+      // A pending cross-table txn (its committer died mid-swap, or
+      // before its commit point) resolves HERE, under the lock, before
+      // any commit logic runs: every committer builds on the resolved
+      // state, so a stale staged swap can never clobber a newer commit.
+      // GraftTxn.commitAll writes its own markers AFTER this point
+      // (inside the body), so a txn never resolves itself.
+      resolvePendingTxn(dir)
+      body
+    }
+
+  /** The same create-exclusive + lease-reclaim file lock, generalized
+    * over the lock FILE NAME — what lets a coarser critical section
+    * (materialized-view refresh: read watermark → fold delta → append →
+    * advance watermark) hold ITS OWN lock while the inner manifest
+    * commit still takes the publish lock normally (different files, no
+    * self-deadlock). `acquireWaitMs` widens the polite wait for
+    * sections that legitimately run longer than a manifest swap. */
+  private[sources] def withFileLock[T](dir: Path, lockName: String,
+      leaseMs: Long = DefaultLockLeaseMs,
+      acquireWaitMs: Long = LockAcquireWaitMs)(body: => T): T = {
     Files.createDirectories(dir)
-    val lock = dir.resolve(LockName)
+    val lock = dir.resolve(lockName)
     val token = java.util.UUID.randomUUID().toString
     def readLock(): Option[String] =
       try Some(new String(Files.readAllBytes(lock), StandardCharsets.UTF_8))
@@ -886,13 +907,13 @@ object ManifestSink {
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     def concurrentFailure(): Nothing =
       throw new IllegalStateException(
-        s"concurrent committer detected on $dir: $LockName exists and is " +
+        s"concurrent committer detected on $dir: $lockName exists and is " +
           s"within its ${leaseMs}ms lease. The manifest publish is " +
           "single-writer per directory; if no other job is committing " +
           "here, wait for the lease to lapse (the lock is then reclaimed " +
           "automatically) or delete the file to recover immediately.")
     val monitor = publishMonitors.computeIfAbsent(
-      dir.toAbsolutePath.normalize.toString, _ => new Object)
+      dir.toAbsolutePath.normalize.toString + "#" + lockName, _ => new Object)
     // BOUNDED acquire wait: the critical section is milliseconds
     // (compaction excepted, and it heartbeats), so two jobs committing
     // at once is normal operation, not an error — briefly poll before
@@ -920,19 +941,19 @@ object ManifestSink {
               committedGeneration(dir.toString) != genBefore)
             throw new IllegalStateException(
               s"lock activity detected on $dir while reclaiming a stale " +
-                s"$LockName — another committer is live; not breaking the lock.")
+                s"$lockName — another committer is live; not breaking the lock.")
           // Break by ATOMIC RENAME to a breaker-unique debris name: the
           // stale lock path exists exactly once, so of N racing
           // breakers exactly one move succeeds — a loser can never
           // delete the winner's freshly created lock the way an
           // unguarded deleteIfExists could.
-          val debris = dir.resolve(s"$LockName.broken-$token")
+          val debris = dir.resolve(s"$lockName.broken-$token")
           try Files.move(lock, debris,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
             case _: java.io.IOException =>
               throw new IllegalStateException(
-                s"lost the reclaim race on $dir: the stale $LockName was " +
+                s"lost the reclaim race on $dir: the stale $lockName was " +
                   "already broken by another committer; retry this commit.")
           }
           // Verify the debris IS the stale acquisition we measured
@@ -972,23 +993,23 @@ object ManifestSink {
             catch { case _: java.io.IOException => () }
             if (!restored)
               throw new IllegalStateException(
-                s"broke a freshly re-acquired $LockName on $dir and could " +
+                s"broke a freshly re-acquired $lockName on $dir and could " +
                   "not restore it (link, move, and rewrite all failed) — " +
                   "the live committer is running unlocked; re-create " +
-                  s"$LockName manually or quiesce committers before retrying.")
+                  s"$lockName manually or quiesce committers before retrying.")
             throw new IllegalStateException(
               s"lock activity detected on $dir while breaking a stale " +
-                s"$LockName — a live committer re-locked; its lock was restored.")
+                s"$lockName — a live committer re-locked; its lock was restored.")
           }
           Files.deleteIfExists(debris)
           if (!tryAcquire())
             throw new IllegalStateException(
               s"lost the reacquire race on $dir after breaking a stale " +
-                s"$LockName — another committer won; retry this commit.")
+                s"$lockName — another committer won; retry this commit.")
         }
       }
     }
-    val acquireDeadline = System.currentTimeMillis + LockAcquireWaitMs
+    val acquireDeadline = System.currentTimeMillis + acquireWaitMs
     var acquired = false
     while (!acquired) {
       try { acquireOnce(); acquired = true }
@@ -1000,16 +1021,8 @@ object ManifestSink {
           Thread.sleep(25L + scala.util.Random.nextInt(50))
       }
     }
-    try {
-      // A pending cross-table txn (its committer died mid-swap, or
-      // before its commit point) resolves HERE, under the lock, before
-      // any commit logic runs: every committer builds on the resolved
-      // state, so a stale staged swap can never clobber a newer commit.
-      // GraftTxn.commitAll writes its own markers AFTER this point
-      // (inside the body), so a txn never resolves itself.
-      resolvePendingTxn(dir)
-      body
-    } finally {
+    try body
+    finally {
       if (readLock().contains(token)) Files.deleteIfExists(lock)
     }
   }
@@ -2375,7 +2388,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       replaceFiles = () => replaceFiles,
       distributeByPartition = distribute,
       txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty),
-      sortBy = sortBy)
+      sortBy = sortBy,
+      commitTag = Option(info.options().get("committag")).filter(_.nonEmpty))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -3510,7 +3524,13 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     dynamicOverwrite: Boolean = false,
     distributeByPartition: Boolean = false,
     txnStage: Option[String] = None,
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil,
+    // Overrides the commit's provenance tag (the pointer's `tag` field,
+    // default: Spark's write queryId). What lets a caller make a
+    // commit SELF-DESCRIBING in history — materialized-view refresh
+    // stamps its folded delta range here, so a crashed refresh is
+    // recoverable from the MV's own commit log.
+    commitTag: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -3562,7 +3582,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       distributeByPartition = distributeByPartition, txnStage = txnStage,
-      sortBy = sortBy)
+      sortBy = sortBy, commitTag = commitTag)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -3578,13 +3598,13 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       dynamicOverwrite = true, distributeByPartition = distributeByPartition,
-      txnStage = txnStage, sortBy = sortBy)
+      txnStage = txnStage, sortBy = sortBy, commitTag = commitTag)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
-      sortBy)
+      sortBy, commitTag)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
@@ -3780,8 +3800,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     txnStage: Option[String] = None,
     // Declared write ordering (the Write already REQUIRED the sort, so
     // task rows arrive in it): stamped as `sorted` on written entries.
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil,
+    // Commit provenance-tag override (write option `commitTag`) — see
+    // [[ManifestWriteBuilder]].
+    commitTag: Option[String] = None)
     extends BatchWrite {
+  private val publishTag: String = commitTag.getOrElse(queryId)
   // Direct-construction convenience (tests, internal callers).
   def this(path: String, schema: StructType, queryId: String,
       truncate: Boolean, retain: Boolean, maxSegments: Int,
@@ -3935,12 +3959,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
           segRefs.size < maxSegments) {
         ManifestSink.publishDelta(dir, segRefs,
           inline.filterNot(f => retireNames.contains(f.name)),
-          stamped, generation + 1, queryId, retain, stageAs = stageAs)
+          stamped, generation + 1, publishTag, retain, stageAs = stageAs)
       } else {
         // TRUNCATE clears pending equality deletes with the rows they
         // applied to; every other collapse carries them forward.
         ManifestSink.publishManifest(dir, prior ++ stamped, generation + 1,
-          queryId, retain,
+          publishTag, retain,
           eqDeletes = if (truncate) Some(Nil) else None,
           stageAs = stageAs)
         // A staged collapse must NOT sweep: the live pointer still

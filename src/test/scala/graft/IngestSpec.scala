@@ -1469,7 +1469,8 @@ class IngestSpec extends SparkSpec {
       "create_tag", "drop_tag", "restore",
       "create_branch", "fast_forward", "drop_branch",
       "add_partition_field", "drop_partition_field",
-      "replace_partition_spec", "commit_all", "cluster"), s"$names")
+      "replace_partition_spec", "commit_all", "cluster",
+      "refresh_mv"), s"$names")
     // CALL cluster: one atomic sorted rewrite; rows survive, bounds
     // tighten (a point predicate now prunes to one file), and the
     // rewritten files are stamped sorted (the SupportsReportOrdering
@@ -2168,6 +2169,127 @@ class IngestSpec extends SparkSpec {
     spark.sql("DROP VIEW gmv.stats")
     spark.sql("DROP TABLE gmv.base_mv")
     spark.sql("DROP TABLE gmv.base")
+  }
+
+  test("MV refresh exactly-once: a crash between append and watermark swap never double-counts") {
+    val wh = Files.createTempDirectory("graft_mvcrash").toString
+    val cat = "gmvc_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.base (g STRING, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 2 WHEN 0 THEN 'x' ELSE 'y' END, id FROM range(100)""")
+    graft.sources.MaterializedViews.createAvg(spark, cat, "stats",
+      "base", "base_mv", "g", "v")
+    def viewRows(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT g, sum_v, cnt_v FROM $cat.stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def truth(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT g, sum(v), count(v) FROM $cat.base GROUP BY g")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Delta lands; the refresh dies AT THE CRASH SITE: partial batch
+    // appended, mv.gen property never advanced.
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 2 WHEN 0 THEN 'x' ELSE 'y' END, id * 3
+      FROM range(500, 700)""") // base gen 2
+    val boom = intercept[IllegalStateException] {
+      graft.sources.MaterializedViews.refresh(spark, cat, "base_mv",
+        crashAfterAppend = true)
+    }
+    assert(boom.getMessage.contains("simulated crash"), boom.getMessage)
+    val mvDir = java.nio.file.Paths.get(wh, "base_mv")
+    def mvGenProp(): String = {
+      val txt = new String(Files.readAllBytes(mvDir.resolve("_table.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      "\"mv.gen\":\"(\\d+)\"".r.findFirstMatchIn(txt).get.group(1)
+    }
+    assert(mvGenProp() == "1",
+      s"property must be stale after the crash: ${mvGenProp()}")
+    // The append itself landed, so the fold is ALREADY exact...
+    assert(viewRows() == truth(), "partial landed; fold exact")
+    // ...and the REPLAYED refresh recovers the watermark from its own
+    // commit tag: it folds NOTHING twice (from == to == 2) and heals
+    // the property. Before the fix this re-appended the gen-2 delta
+    // and silently double-counted.
+    val (from, to) = graft.sources.MaterializedViews.refresh(
+      spark, cat, "base_mv")
+    assert((from, to) == ((2L, 2L)), s"replay must no-op: $from -> $to")
+    assert(mvGenProp() == "2", "replay heals the stale property")
+    assert(viewRows() == truth(), "each base row folded exactly once")
+    // Life goes on: a further delta refreshes normally.
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 2 WHEN 0 THEN 'x' ELSE 'y' END, id * 5
+      FROM range(900, 950)""") // base gen 3
+    assert(graft.sources.MaterializedViews.refresh(spark, cat, "base_mv")
+      == ((2L, 3L)))
+    assert(viewRows() == truth())
+    spark.sql(s"DROP VIEW $cat.stats")
+    spark.sql(s"DROP TABLE $cat.base_mv")
+    spark.sql(s"DROP TABLE $cat.base")
+  }
+
+  test("MV refresh exactly-once: concurrent refreshes serialize; one folds, the other no-ops") {
+    val wh = Files.createTempDirectory("graft_mvrace").toString
+    val cat = "gmvr_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.base (g STRING, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END, id
+      FROM range(200)""")
+    graft.sources.MaterializedViews.createTopK(spark, cat, "hot",
+      "base", "cnt_mv", "g", "v", 3)
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END, id
+      FROM range(1000, 1300)""") // the contested delta
+    // Two refreshes race: the second serializes behind the refresh
+    // lock, re-reads the watermark inside it, and no-ops. Before the
+    // fix both planned the same (1, 2] delta and both appended —
+    // double-counting every group.
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try results.add(graft.sources.MaterializedViews.refresh(
+          spark, cat, "cnt_mv"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"refresh must not fail under contention: ${errs.peek()}")
+    val rs = results.iterator()
+    val all = collection.mutable.ArrayBuffer[(Long, Long)]()
+    while (rs.hasNext) all += rs.next()
+    assert(all.toSet == Set((1L, 2L), (2L, 2L)),
+      s"one folds, one no-ops: $all")
+    val folded = spark.sql(
+      s"SELECT g, sum(cnt_p) AS cnt FROM $cat.cnt_mv GROUP BY g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = spark.sql(
+      s"SELECT g, count(*) FROM $cat.base GROUP BY g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == expect, "each base row counted exactly once")
+    // SQL front door parity: the next delta refreshes via CALL and
+    // lands the identical watermark advance the Scala route would.
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT 'a', id FROM range(2000, 2050)""") // base gen 3
+    val row = spark.sql(s"CALL $cat.system.refresh_mv('cnt_mv')").head
+    assert((row.getLong(0), row.getLong(1)) == ((2L, 3L)), s"$row")
+    val folded2 = spark.sql(
+      s"SELECT g, sum(cnt_p) AS cnt FROM $cat.cnt_mv GROUP BY g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect2 = spark.sql(
+      s"SELECT g, count(*) FROM $cat.base GROUP BY g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded2 == expect2, "SQL refresh ≡ Scala refresh")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.hot").head.getLong(0) <= 9,
+      "top-k view holds at most k rows per group")
+    spark.sql(s"DROP VIEW $cat.hot")
+    spark.sql(s"DROP TABLE $cat.cnt_mv")
+    spark.sql(s"DROP TABLE $cat.base")
   }
 
   test("aggregate pushdown: count/min/max answer from the manifest with ZERO data read") {
