@@ -1922,6 +1922,65 @@ object IncrementalQueries {
         sum_v, cnt_v, avg_v FROM $cat.nation_rev""")
     },
 
+    // TEMPORAL/DECIMAL AGGREGATE PUSHDOWN (a42 extended to the types
+    // whose stat tokens round-trip exactly): DATE/TIMESTAMP render as
+    // fixed-length ISO strings and DECIMAL as plain decimal tokens —
+    // all far below the stat-truncation cap — so their min/max fold
+    // from manifest stats with ZERO data bytes, like the integrals.
+    // `min(ship_date)` over a 100 TB table is a metadata answer. The
+    // pin is INSIDE the spec: every data file is hidden while the
+    // aggregates run (collected under the hiding — an implementation
+    // that scanned would throw); the oracle recomputes relationally.
+    QuerySpec(
+      "a46_temporal_agg_pushdown",
+      """SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS min_day,
+        |  CAST(max(CAST(o_orderdate AS DATE)) AS DATE) AS max_day,
+        |  min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts,
+        |  min(CAST(concat(o_orderkey, '.25') AS DECIMAL(18,2))) AS min_dec,
+        |  max(CAST(concat(o_orderkey, '.25') AS DECIMAL(18,2))) AS max_dec
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val t = freshDir("a46", dir).resolve("t").toString
+      val src = Tables.orders(s, dir).selectExpr(
+        "CAST(o_orderdate AS DATE) AS day",
+        // Parquet may carry NTZ; the payload codec speaks TimestampType
+        // (session UTC, so the instant equals the naive reading).
+        "CAST(o_orderdate AS TIMESTAMP) AS ts",
+        "CAST(concat(o_orderkey, '.25') AS DECIMAL(18,2)) AS dec")
+      src.repartitionByRange(4, col("day"))
+        .write.format("graft.sources.ManifestSink")
+        .option("path", t).mode("overwrite").save()
+      val rd = s.read.format("graft.sources.ManifestSink")
+        .schema(src.schema).option("path", t).load()
+      // THE PIN: hide every data file; the six aggregates must answer
+      // from manifest stats alone (LocalScan — zero opens).
+      import java.nio.file.Files
+      val tPath = java.nio.file.Paths.get(t)
+      val dataFiles = graft.sources.ManifestSink.committedFiles(t)
+      dataFiles.foreach(n => Files.move(tPath.resolve(n),
+        tPath.resolve(n + ".hidden")))
+      val rows =
+        try rd.agg(min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+            min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+            min(col("dec")).as("min_dec"), max(col("dec")).as("max_dec"))
+          .collect().toSeq
+        finally dataFiles.foreach(n => Files.move(tPath.resolve(n + ".hidden"),
+          tPath.resolve(n)))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("min_day",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("max_day",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("min_ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("max_ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("min_dec",
+            org.apache.spark.sql.types.DecimalType(18, 2)),
+          org.apache.spark.sql.types.StructField("max_dec",
+            org.apache.spark.sql.types.DecimalType(18, 2)))))
+    },
+
     // CROSS-TABLE ATOMIC COMMIT (the reference's O4 — one transaction
     // across N tables — on the manifest format): both tables land a
     // base era normally, then ONE transaction stages the remaining

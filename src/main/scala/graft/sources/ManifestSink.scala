@@ -2105,7 +2105,193 @@ private[sources] object NdjsonCodec {
   /** Parse one flat NDJSON object (the writer's output shape) into
     * key → value. Handles the full string-escape set including \\uXXXX;
     * rejects nested objects/arrays — the writer never emits them. */
-  def parseLine(line: String): collection.Map[String, JsonVal] = {
+  def parseLine(line: String): collection.Map[String, JsonVal] =
+    parseLineSelect(line, null)
+
+  /** BYTE-LEVEL projection-aware parse — the scan hot path. Works
+    * directly on the raw UTF-8 line: every structural byte (quote,
+    * brace, colon, comma, backslash) is ASCII, and UTF-8 multi-byte
+    * sequences never contain ASCII bytes, so tokenizing bytes is
+    * encoding-safe WITHOUT decoding the line to a String first. That
+    * decode was the hidden O(row width) tax on every narrow
+    * projection: with it gone, a 2-of-22-column scan allocates and
+    * decodes only the two needed values (plus equality-delete keys) —
+    * the reader's CPU tracks the projection, not the row.
+    *
+    * `needed` maps key byte-sequences to their canonical column-name
+    * strings (build once per reader via [[neededKeyBytes]]); keys not
+    * in it are skipped structurally, matched keys reuse the canonical
+    * string (zero per-row key allocation on the happy path). */
+  def parseBytesSelect(line: Array[Byte],
+      needed: NeededKeys): collection.Map[String, JsonVal] = {
+    val m = collection.mutable.LinkedHashMap[String, JsonVal]()
+    var i = 0
+    val n = line.length
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"bad NDJSON at byte $i ($msg): " +
+        new String(line, java.nio.charset.StandardCharsets.UTF_8))
+    def ws(): Unit = while (i < n && (line(i) & 0xFF) <= ' ') i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= n || line(i) != c.toByte) fail(s"expected '$c'")
+      i += 1
+    }
+    // Scan a string body from AFTER its opening quote to its closing
+    // quote; returns (start, endExclusive, sawEscape) with `i` past the
+    // closing quote.
+    def scanStr(): (Int, Int, Boolean) = {
+      val start = i
+      var esc = false
+      while (i < n && line(i) != '"') {
+        if (line(i) == '\\') {
+          esc = true
+          i += 1
+          if (i >= n) fail("truncated escape")
+        }
+        i += 1
+      }
+      if (i >= n) fail("unterminated string")
+      val end = i
+      i += 1
+      (start, end, esc)
+    }
+    def decode(start: Int, end: Int, esc: Boolean): String = {
+      val s = new String(line, start, end - start,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (esc) unescape(s) else s
+    }
+    expect('{')
+    ws()
+    if (i < n && line(i) == '}') return m
+    var done = false
+    while (!done) {
+      expect('"')
+      val (ks, ke, kesc) = scanStr()
+      // Canonical-string key lookup over raw bytes — no decode, no
+      // allocation when the key is skipped (the wide-row common case).
+      val canon =
+        if (kesc) {
+          val k = decode(ks, ke, kesc)
+          if (needed == null) k else needed.canonical(k)
+        } else if (needed == null) decode(ks, ke, esc = false)
+        else needed.canonical(line, ks, ke - ks)
+      expect(':')
+      ws()
+      if (i >= n) fail("truncated value")
+      if (canon != null) {
+        val v = line(i).toChar match {
+          case '"' =>
+            i += 1
+            val (vs, ve, vesc) = scanStr()
+            JsonStr(decode(vs, ve, vesc))
+          case '{' | '[' =>
+            fail("nested values are not part of the payload contract")
+          case _ =>
+            val s0 = i
+            while (i < n && line(i) != ',' && line(i) != '}') i += 1
+            var e0 = i
+            while (e0 > s0 && (line(e0 - 1) & 0xFF) <= ' ') e0 -= 1
+            if (e0 - s0 == 4 && line(s0) == 'n' && line(s0 + 1) == 'u' &&
+                line(s0 + 2) == 'l' && line(s0 + 3) == 'l') JsonNull
+            else JsonTok(new String(line, s0, e0 - s0,
+              java.nio.charset.StandardCharsets.UTF_8))
+        }
+        m(canon) = v
+      } else line(i).toChar match {
+        case '"' => i += 1; scanStr()
+        case '{' | '[' =>
+          fail("nested values are not part of the payload contract")
+        case _ => while (i < n && line(i) != ',' && line(i) != '}') i += 1
+      }
+      ws()
+      if (i >= n) fail("truncated object")
+      line(i).toChar match {
+        case ',' => i += 1
+        case '}' => i += 1; done = true
+        case _ => fail("expected ',' or '}'")
+      }
+    }
+    m
+  }
+
+  /** Unescape a JSON string body (quotes stripped, escapes intact). */
+  private[sources] def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\') {
+        i += 1
+        if (i >= s.length) throw new IllegalArgumentException(
+          s"truncated escape in: $s")
+        s.charAt(i) match {
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/' => sb.append('/')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 't' => sb.append('\t')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' =>
+            if (i + 4 >= s.length) throw new IllegalArgumentException(
+              s"truncated \\u escape in: $s")
+            sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+            i += 4
+          case o => throw new IllegalArgumentException(s"bad escape \\$o")
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Needed-key byte index for [[parseBytesSelect]]: canonical column
+    * names pre-encoded to UTF-8, looked up by raw byte region so the
+    * per-row key walk allocates nothing. Linear probe over a small
+    * array — read schemas are narrow (that is the point), and a length
+    * pre-check rejects most misses in one compare. */
+  final class NeededKeys(names: Seq[String]) {
+    private val canon: Array[String] = names.distinct.toArray
+    private val bytes: Array[Array[Byte]] =
+      canon.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    /** Canonical name for the raw key bytes, or null (skip). */
+    def canonical(line: Array[Byte], off: Int, len: Int): String = {
+      var j = 0
+      while (j < bytes.length) {
+        val b = bytes(j)
+        if (b.length == len) {
+          var k = 0
+          while (k < len && b(k) == line(off + k)) k += 1
+          if (k == len) return canon(j)
+        }
+        j += 1
+      }
+      null
+    }
+    /** Decoded-key variant (escaped keys — the rare path). */
+    def canonical(key: String): String = {
+      var j = 0
+      while (j < canon.length) {
+        if (canon(j) == key) return canon(j)
+        j += 1
+      }
+      null
+    }
+  }
+
+  /** PROJECTION-AWARE parse: materialize ONLY the keys in `needed`
+    * (null = all — [[parseLine]]'s shape). Unneeded values are SKIPPED
+    * structurally — a string value scans to its closing quote with
+    * escape tracking but builds nothing; a token scans to the next
+    * delimiter — so a 2-column projection over a wide-row corpus pays
+    * O(line bytes) for the scan but O(projected bytes) for the
+    * expensive part (StringBuilder/unescape/boxing). At 100 TB this is
+    * the difference between the reader CPU tracking the PROJECTION and
+    * tracking the full row width. Key strings still parse (membership
+    * needs them) — keys are short identifiers; values dominate. */
+  def parseLineSelect(line: String,
+      needed: java.util.Set[String]): collection.Map[String, JsonVal] = {
     val m = collection.mutable.LinkedHashMap[String, JsonVal]()
     var i = 0
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
@@ -2146,6 +2332,21 @@ private[sources] object NdjsonCodec {
       i += 1
       sb.toString
     }
+    // Skip a string value WITHOUT materializing: same escape-state walk,
+    // no StringBuilder, no unescape. A skipped \uXXXX needs no decode —
+    // only the quote state matters.
+    def skipStr(): Unit = {
+      expect('"')
+      while (i < line.length && line.charAt(i) != '"') {
+        if (line.charAt(i) == '\\') {
+          i += 1
+          if (i >= line.length) fail("truncated escape")
+        }
+        i += 1
+      }
+      if (i >= line.length) fail("unterminated string")
+      i += 1
+    }
     expect('{')
     ws()
     if (i < line.length && line.charAt(i) == '}') return m
@@ -2155,17 +2356,26 @@ private[sources] object NdjsonCodec {
       expect(':')
       ws()
       if (i >= line.length) fail("truncated value")
-      val v = line.charAt(i) match {
-        case '"' => JsonStr(str())
+      val keep = needed == null || needed.contains(k)
+      if (keep) {
+        val v = line.charAt(i) match {
+          case '"' => JsonStr(str())
+          case '{' | '[' => fail("nested values are not part of the payload contract")
+          case _ =>
+            val s0 = i
+            while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}')
+              i += 1
+            val raw = line.substring(s0, i).trim
+            if (raw == "null") JsonNull else JsonTok(raw)
+        }
+        m(k) = v
+      } else line.charAt(i) match {
+        case '"' => skipStr()
         case '{' | '[' => fail("nested values are not part of the payload contract")
         case _ =>
-          val s0 = i
           while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}')
             i += 1
-          val raw = line.substring(s0, i).trim
-          if (raw == "null") JsonNull else JsonTok(raw)
       }
-      m(k) = v
       ws()
       if (i >= line.length) fail("truncated object")
       line.charAt(i) match {
@@ -2544,9 +2754,14 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     }
     // Exact-bound column types: integral values round-trip their stat
     // tokens losslessly; float/double bounds are exact unless NaN was
-    // seen (NaN poisons min/max ordering). Strings are TRUNCATED
-    // parquet-style (sound for pruning, wrong for min/max); date/time
-    // and everything else stand down until proven exact.
+    // seen (NaN poisons min/max ordering); DATE/TIMESTAMP render as
+    // fixed-length ISO strings and DECIMAL as plain decimal tokens —
+    // all far below the 64-codepoint stat cap, so their recorded
+    // bounds are the exact extremes, not truncations, and
+    // `min(ship_date)` over a 100 TB table is a metadata fold too.
+    // Free-form STRINGS are the one string-rendered type that DOES
+    // truncate (sound for pruning, wrong for min/max) — they stand
+    // down, as does anything else unproven.
     def minMaxValue(ge: Seq[StagedFile], col: String,
         wantMin: Boolean): Option[(DataType, Any)] = {
       val dt = full.fields.find(_.name == col).map(_.dataType).getOrElse(
@@ -2560,6 +2775,13 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
         }
       }
       if (bounds.exists(_.isEmpty)) return None // a file without the stat
+      // Temporal/decimal bounds re-enter through the SAME typed
+      // converter the row reader uses, so the folded extremum is
+      // byte-identical to what a full scan would compute.
+      def viaConverter(b: String): Option[Any] =
+        scala.util.Try(NdjsonCodec.converter(dt)(
+          NdjsonCodec.parseLine(s"""{"v":$b}""")("v"))).toOption
+          .filter(_ != null)
       val vals: Seq[Any] = dt match {
         case ByteType => bounds.map(b => b.get.toByte)
         case ShortType => bounds.map(b => b.get.toShort)
@@ -2567,9 +2789,13 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
         case LongType => bounds.map(b => b.get.toLong)
         case FloatType => bounds.map(b => b.get.toFloat)
         case DoubleType => bounds.map(b => b.get.toDouble)
+        case DateType | TimestampType | _: DecimalType =>
+          val parsed = bounds.map(b => viaConverter(b.get))
+          if (parsed.exists(_.isEmpty)) return None // unparsable token
+          parsed.map(_.get)
         case _ => return None
       }
-      val ord = dt match {
+      val ord: Ordering[Any] = dt match {
         case ByteType => Ordering.Byte.asInstanceOf[Ordering[Any]]
         case ShortType => Ordering.Short.asInstanceOf[Ordering[Any]]
         case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
@@ -2578,6 +2804,13 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
           Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
         case DoubleType =>
           Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
+        // Catalyst domains: Date = Int epoch days, Timestamp = Long
+        // micros, Decimal = org.apache.spark.sql.types.Decimal.
+        case DateType => Ordering.Int.asInstanceOf[Ordering[Any]]
+        case TimestampType => Ordering.Long.asInstanceOf[Ordering[Any]]
+        case _: DecimalType =>
+          Ordering.by((v: Any) =>
+            v.asInstanceOf[org.apache.spark.sql.types.Decimal])
         case _ => return None
       }
       Some((dt, if (wantMin) vals.min(ord) else vals.max(ord)))
@@ -3226,7 +3459,13 @@ private[sources] final case class ManifestFilePartition(file: String,
     start: Long, end: Long,
     constants: Map[String, String] = Map.empty,
     dv: DvSpec = DvSpec.Empty,
-    eq: Seq[EqRef] = Nil) extends InputPartition
+    eq: Seq[EqRef] = Nil,
+    // CHANGE-FEED tombstone legs: when non-empty, the reader EMITS ONLY
+    // rows matching at least one of these key sets (after the normal
+    // `eq` drop filters) — how an equality-delete commit's affected
+    // rows re-emit as `_change_type='delete'` without the tombstone
+    // ever storing full rows.
+    eqEmit: Seq[EqRef] = Nil) extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
@@ -3350,7 +3589,7 @@ private[sources] class ManifestReaderFactory(required: StructType,
     partition match {
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, p.constants), p.dv, servePos, p.eq)
+          consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq)
@@ -3371,7 +3610,7 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     end: Long, required: StructType,
     constants: Map[String, String] = Map.empty,
     dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
-    eq: Seq[EqRef] = Nil)
+    eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil)
     extends PartitionReader[InternalRow] {
   // Deletion-vector offsets, loaded once per split (sidecars are
   // small — a DV exists precisely because the delete was too small to
@@ -3384,16 +3623,22 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   // projection, so key columns need not be in the read schema.
   private val eqFilters: Seq[(Seq[String], java.util.HashSet[String])] =
     eq.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols))
+  // Change-feed emit sets: when non-empty, ONLY rows matching at least
+  // one of them pass (after the drop filters) — the tombstone's
+  // affected rows, reconstructed from the data files it applied to.
+  private val eqEmitFilters: Seq[(Seq[String], java.util.HashSet[String])] =
+    eqEmit.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols))
   private var eqSkipped = 0L
   private def eqKeep(parsed: collection.Map[String, NdjsonCodec.JsonVal])
-      : Boolean =
-    eqFilters.isEmpty || {
-      val dead = eqFilters.exists { case (cols, keys) =>
-        keys.contains(ManifestSink.eqKeyOf(parsed, cols))
-      }
-      if (dead) eqSkipped += 1
-      !dead
+      : Boolean = {
+    val dead = eqFilters.nonEmpty && eqFilters.exists { case (cols, keys) =>
+      keys.contains(ManifestSink.eqKeyOf(parsed, cols))
     }
+    if (dead) { eqSkipped += 1; false }
+    else eqEmitFilters.isEmpty || eqEmitFilters.exists { case (cols, keys) =>
+      keys.contains(ManifestSink.eqKeyOf(parsed, cols))
+    }
+  }
   private def offsetsOf(name: String): Array[Long] =
     ManifestSink.readDvOffsets(dvDir, name)
   private val skipOffsets: Array[Long] =
@@ -3439,6 +3684,26 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
             "compaction while long scans are in flight.", e)
     }, 1 << 16)
   private var pos = 0L
+  // Bulk-buffered line framing: newline search runs over a 64 KB block
+  // with a tight byte loop and lines copy out in one arraycopy — the
+  // per-byte InputStream.read() virtual-call tax (two calls per payload
+  // byte, which dominated scan CPU before parse work even started) is
+  // gone. `pos` tracking is unchanged: byte offsets stay the row
+  // identity deletion vectors record.
+  private val rdBuf = new Array[Byte](1 << 16)
+  private var rdLen = 0
+  private var rdPos = 0
+  private var rdEof = false
+  private def ensureBuf(): Boolean = {
+    if (rdPos < rdLen) return true
+    if (rdEof) return false
+    rdLen = in.read(rdBuf)
+    rdPos = 0
+    if (rdLen <= 0) { rdEof = true; rdLen = 0; return false }
+    true
+  }
+  private val lineOut = new java.io.ByteArrayOutputStream(256)
+
   locally {
     var n = start
     while (n > 0) {
@@ -3463,18 +3728,52 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   // half of the (_file, _pos) identity positional deletes record.
   private val posIdx: Int =
     if (servePos) required.fieldNames.indexOf(ManifestSink.PosColumn) else -1
+  // PROJECTION-AWARE parse set: only the payload keys this read actually
+  // consumes — the pruned columns (plan-constant and _pos slots serve
+  // from the plan, never the payload) PLUS every equality-delete key
+  // column (the membership test runs pre-projection, so tombstones
+  // apply even when their keys are unprojected). Everything else is
+  // structurally skipped by the tokenizer: on a wide-row corpus with a
+  // narrow projection the reader CPU tracks the projection, not the
+  // row width.
+  private val neededKeys: NdjsonCodec.NeededKeys = {
+    val b = collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < names.length) {
+      if (i != posIdx && consts(i) == null) b += names(i)
+      i += 1
+    }
+    eq.foreach(r => r.cols.foreach(c => b += c))
+    eqEmit.foreach(r => r.cols.foreach(c => b += c))
+    new NdjsonCodec.NeededKeys(b.toSeq)
+  }
   private var current: InternalRow = _
 
   /** One raw line (newline excluded, trailing \r tolerated), advancing
     * `pos` past the terminator; null at EOF with no bytes read. */
   private def readRawLine(): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(128)
-    var b = in.read()
-    if (b == -1) return null
-    while (b != -1 && b != '\n') { buf.write(b); pos += 1; b = in.read() }
-    if (b == '\n') pos += 1
-    val arr = buf.toByteArray
-    if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.dropRight(1) else arr
+    if (!ensureBuf()) return null
+    lineOut.reset()
+    var done = false
+    while (!done) {
+      if (!ensureBuf()) done = true // EOF terminates the final line
+      else {
+        var j = rdPos
+        while (j < rdLen && rdBuf(j) != '\n') j += 1
+        lineOut.write(rdBuf, rdPos, j - rdPos)
+        pos += j - rdPos
+        rdPos = j
+        if (j < rdLen) { // newline found
+          pos += 1
+          rdPos = j + 1
+          done = true
+        }
+      }
+    }
+    val arr = lineOut.toByteArray
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r')
+      java.util.Arrays.copyOf(arr, arr.length - 1)
+    else arr
   }
 
   override def next(): Boolean = {
@@ -3485,8 +3784,9 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
       val raw = readRawLine()
       if (raw == null) return false
       if (raw.nonEmpty && dvKeep(lineStart)) {
-        val parsed = NdjsonCodec.parseLine(
-          new String(raw, StandardCharsets.UTF_8))
+        // Byte-level selective parse: the line is never decoded to a
+        // String — only the needed values are.
+        val parsed = NdjsonCodec.parseBytesSelect(raw, neededKeys)
         if (eqKeep(parsed)) {
           val vals = new Array[Any](names.length)
           var i = 0

@@ -580,6 +580,47 @@ object ScaleProbe {
     }
   }
 
+  /** Projection-CPU anchor (`probe = projscan`): one WIDE manifest
+    * table (2 narrow keys + 20 fat string payload columns), scanned
+    * twice — full width vs a 2-column projection. The claim made
+    * measurable: the reader's projection-aware tokenizer makes the
+    * narrow scan's CPU track the PROJECTION, not the row width
+    * (before, `parseLine` materialized every field of every line, so
+    * both scans cost the same). At 100 TB the narrow scan IS the
+    * common scan — quality filters, joins on keys, count-bys — and a
+    * full-width parse tax on it is the corpus-scan bottleneck. */
+  private def projScanProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 100000L * f
+      val dir = Files.createTempDirectory(s"graft_projscan_$f").toString
+      val wideCols = (0 until 20).map(j =>
+        s"concat('w$j-', id, '-', repeat('x', 60)) AS w$j")
+      val wide = spark.range(n).selectExpr(
+        Seq("id", "id % 97 AS k") ++ wideCols: _*)
+      wide.repartition(8).write.format("graft.sources.ManifestSink")
+        .option("path", dir).mode("overwrite").save()
+      def rd() = spark.read.format("graft.sources.ManifestSink")
+        .schema(wide.schema).option("path", dir).load()
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      // Full width: every payload column consumed (sum of lengths).
+      def full(): Unit = rd().selectExpr(
+        "sum(" + (0 until 20).map(j => s"length(w$j)").mkString("+") + ")",
+        "count(*)").collect()
+      // Narrow: 2 of 22 columns; the reader must SKIP the fat 20.
+      def narrow(): Unit =
+        rd().groupBy(col("k")).agg(sum(col("id"))).collect()
+      val fullMs = math.min(ms(full()), ms(full()))
+      val narrowMs = math.min(ms(narrow()), ms(narrow()))
+      println(s"""{"probe":"projscan","factor":$f,"rows":$n,""" +
+        s""""columns":22,"projected":2,""" +
+        f""""full_scan_ms":$fullMs%.0f,"narrow_scan_ms":$narrowMs%.0f,""" +
+        f""""narrow_over_full":${narrowMs / fullMs}%.2f}""")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors = (if (args.length > 1) args(1) else "1,3,10")
@@ -616,6 +657,11 @@ object ScaleProbe {
     }
     if (probe == "dv") {
       dvProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "projscan") {
+      projScanProbes(spark, factors)
       spark.stop()
       return
     }

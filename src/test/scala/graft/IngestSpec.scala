@@ -1927,6 +1927,17 @@ class IngestSpec extends SparkSpec {
       .format("graft.sources.ManifestSink").schema(sch)
       .option("path", dir).load().collect().map(_.getLong(0)).toSet
     assert(readIds() == (0L until 100L).toSet -- Set(3L, 7L))
+    // UNPROJECTED-KEY PIN: the projection-aware reader must still parse
+    // the tombstone's key columns when the query never selects them —
+    // a v-only aggregate (and a count(*) with an EMPTY read schema)
+    // both honor the id-keyed deletes.
+    locally {
+      val vOnly = spark.read.format("graft.sources.ManifestSink").schema(sch)
+        .option("path", dir).load().select("v")
+      assert(vOnly.count() == 98, "eq keys must apply when unprojected")
+      assert(vOnly.agg(sum(col("v"))).head.getLong(0) ==
+        (0L until 100L).filterNot(Set(3L, 7L)).map(_ * 2).sum)
+    }
     // eqRowsSkipped metric surfaces what the tombstones suppressed.
     val q = spark.read.format("graft.sources.ManifestSink").schema(sch)
       .option("path", dir).load()
@@ -2373,6 +2384,43 @@ class IngestSpec extends SparkSpec {
     pFiles.foreach(n => Files.move(pdir.resolve(n + ".hidden"),
       pdir.resolve(n)))
     spark.sql(s"DROP TABLE $cat.p")
+    // DATE/TIMESTAMP/DECIMAL min-max push too (their stat tokens are
+    // exact — ISO strings / plain decimals, never truncated); a
+    // free-form STRING min still stands down (truncated bounds), and a
+    // column with no stats anywhere (all-null file) stands down.
+    spark.sql(s"""CREATE TABLE $cat.tt (day DATE, ts TIMESTAMP,
+      d DECIMAL(10,2), s STRING, nn BIGINT)""")
+    spark.sql(s"""INSERT INTO $cat.tt
+      SELECT DATE'2024-01-01' + CAST(id AS INT),
+        TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id),
+        CAST(concat(id, '.75') AS DECIMAL(10,2)),
+        repeat('z', 100 + CAST(id AS INT)), NULL
+      FROM range(50)""")
+    val ttdir = wh.resolve("tt")
+    val ttFiles = graft.sources.ManifestSink.committedFiles(ttdir.toString)
+    ttFiles.foreach(n => Files.move(ttdir.resolve(n),
+      ttdir.resolve(n + ".hidden")))
+    val trow = spark.sql(s"""SELECT min(day), max(day), min(ts), max(ts),
+      min(d), max(d) FROM $cat.tt""").head
+    assert(trow.getDate(0).toString == "2024-01-01" &&
+      trow.getDate(1).toString == "2024-02-19", s"$trow")
+    assert(trow.getTimestamp(2).toInstant.toString.startsWith("2024-01-01T00:00:00") &&
+      trow.getTimestamp(3).toInstant.toString.startsWith("2024-01-01T00:00:49"),
+      s"$trow")
+    assert(trow.getDecimal(4).toPlainString == "0.75" &&
+      trow.getDecimal(5).toPlainString == "49.75", s"$trow")
+    // Truncated-string and missing-stat stand-downs must scan → throw.
+    intercept[Exception] {
+      spark.sql(s"SELECT min(s) FROM $cat.tt").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT min(nn) FROM $cat.tt").collect()
+    }
+    ttFiles.foreach(n => Files.move(ttdir.resolve(n + ".hidden"),
+      ttdir.resolve(n)))
+    assert(spark.sql(s"SELECT min(s) FROM $cat.tt").head.getString(0)
+      .startsWith("zzz"))
+    spark.sql(s"DROP TABLE $cat.tt")
   }
 
   test("top-k MV: rank cut at read — a key below the cut re-enters when a delta lifts it") {

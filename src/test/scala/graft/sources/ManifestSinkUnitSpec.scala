@@ -99,6 +99,64 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       Array[Byte](0, 1, -2, 127)))
   }
 
+  test("parseLineSelect materializes only needed keys; skipped values keep structure honest") {
+    // Hostile skipped values: escaped quotes, backslashes, braces,
+    // commas and colons inside strings, \uXXXX, a null, numbers —
+    // none may derail the tokenizer or leak into the result.
+    val line = """{"id":42,"junk1":"a\"b\\c{,}:","junk2":"\t\\u-free","n":null,""" +
+      """"w":"yyy","k":-3.5,"text":"keep \"this\" one"}"""
+    val needed = new java.util.HashSet[java.lang.String]()
+    needed.add("id"); needed.add("text"); needed.add("n")
+    val sel = NdjsonCodec.parseLineSelect(line, needed)
+    assert(sel.keySet == Set("id", "text", "n"), sel.keySet)
+    assert(sel("id") == NdjsonCodec.JsonTok("42"))
+    assert(sel("text") == NdjsonCodec.JsonStr("keep \"this\" one"))
+    assert(sel("n") == NdjsonCodec.JsonNull)
+    // Agreement: on the needed keys, the selective parse IS the full
+    // parse; with needed = null it degenerates to parseLine exactly.
+    val full = NdjsonCodec.parseLine(line)
+    needed.forEach(k => assert(sel(k) == full(k), k))
+    assert(NdjsonCodec.parseLineSelect(line, null) == full)
+    // Empty needed set: pure structural walk, still validates framing.
+    assert(NdjsonCodec.parseLineSelect(line,
+      new java.util.HashSet[java.lang.String]()).isEmpty)
+    // Malformed input still fails loudly even when every field is skipped.
+    intercept[IllegalArgumentException] {
+      NdjsonCodec.parseLineSelect("""{"a":"unterminated}""",
+        new java.util.HashSet[java.lang.String]())
+    }
+  }
+
+  test("parseBytesSelect: byte-level parse agrees with parseLine, UTF-8 and escapes intact") {
+    val line = """{"id":7,"t\u00e9xt":"caf\u00e9 \"x\" \\ done","wide":"\u4e2d\u6587 payload {,}:","k":-2.25,"z":null}"""
+      .replace("\\u00e9", "\u00e9").replace("\\u4e2d", "\u4e2d")
+      .replace("\\u6587", "\u6587")
+    val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // needed = all keys: byte path must agree with the char path exactly
+    // (multi-byte keys and values included).
+    val full = NdjsonCodec.parseLine(line)
+    val allKeys = new NdjsonCodec.NeededKeys(full.keys.toSeq)
+    assert(NdjsonCodec.parseBytesSelect(bytes, allKeys) == full)
+    assert(NdjsonCodec.parseBytesSelect(bytes, null) == full)
+    // Narrow projection: the wide multi-byte value is skipped at the
+    // BYTE level (never decoded); needed values come out canonical.
+    val narrow = new NdjsonCodec.NeededKeys(Seq("id", "k", "z"))
+    val sel = NdjsonCodec.parseBytesSelect(bytes, narrow)
+    assert(sel.keySet == Set("id", "k", "z"), sel.keySet)
+    assert(sel("id") == NdjsonCodec.JsonTok("7"))
+    assert(sel("k") == NdjsonCodec.JsonTok("-2.25"))
+    assert(sel("z") == NdjsonCodec.JsonNull)
+    // Structure violations still fail loudly on the byte path.
+    intercept[IllegalArgumentException] {
+      NdjsonCodec.parseBytesSelect(
+        """{"a":{"nested":1}}""".getBytes("UTF-8"), null)
+    }
+    intercept[IllegalArgumentException] {
+      NdjsonCodec.parseBytesSelect(
+        """{"a":"unterminated}""".getBytes("UTF-8"), narrow)
+    }
+  }
+
   test("streaming: a losing concurrent attempt cannot clobber the winner's staged bytes") {
     // Speculation / zombie retry: two attempts of the SAME (epoch,
     // partition). Staging is attempt-unique; the deterministic epoch
