@@ -1922,6 +1922,127 @@ object IncrementalQueries {
         sum_v, cnt_v, avg_v FROM $cat.nation_rev""")
     },
 
+    // STREAMING SORT STAMPING (a43's sorted scans reaching the
+    // medallion): the facts table is written BY A STREAM — the epoch
+    // writer verifies and stamps `sorted` on its per-tuple files, so a
+    // streamed-in silver table joins SORT-FREE exactly like a
+    // batch-written one (IngestSpec pins the plan: SMJ, zero exchange,
+    // zero sort; this spec oracles the RESULT of that plan). Before
+    // this, every medallion silver join re-paid the SMJ sort forever.
+    QuerySpec(
+      "a48_stream_sorted_join",
+      """WITH f AS (
+        |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+        |  FROM events
+        |), d AS (
+        |  SELECT event_type, count(*) AS total FROM events GROUP BY 1
+        |)
+        |SELECT f.event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(f.val_c) AS BIGINT) AS sum_c,
+        |  CAST(max(d.total) AS BIGINT) AS total
+        |FROM f JOIN d ON f.event_type = d.event_type
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val base = freshDir("a48", dir)
+      val cat = "graft_a48_" + (base.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"""CREATE TABLE $cat.facts (event_type STRING, val_c BIGINT)
+        PARTITIONED BY (event_type) TBLPROPERTIES ('sortby'='event_type')""")
+      s.sql(s"""CREATE TABLE $cat.dims (event_type STRING, total BIGINT)
+        PARTITIONED BY (event_type) TBLPROPERTIES ('sortby'='event_type')""")
+      // Facts arrive BY STREAM (AvailableNow drain); one task per epoch
+      // keeps one file per partition tuple, each stamped sorted.
+      val q = graft.streaming.Streams.eventsStream(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("val_c"))
+        .coalesce(1)
+        .writeStream
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.facts")
+      q.awaitTermination()
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total"))
+        .createOrReplaceTempView("a48_dims")
+      s.sql(s"""INSERT INTO $cat.dims SELECT * FROM a48_dims
+        DISTRIBUTE BY event_type""")
+      val prevB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        val out = s.sql(s"""SELECT f.event_type, count(*) AS n,
+            sum(f.val_c) AS sum_c, max(d.total) AS total
+          FROM $cat.facts f JOIN $cat.dims d
+            ON f.event_type = d.event_type
+          GROUP BY f.event_type""")
+        // Materialize under the SPJ confs — the zero-shuffle zero-sort
+        // plan is what produced the checked rows.
+        val rows = out.collect().toSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    },
+
+    // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
+    // tombstone commit): a change-feed window CROSSING an equality-
+    // delete commit re-emits the tombstone's affected rows — FULL
+    // payload, reconstructed by applying the key set to the files it
+    // predates, exactly like the normal read's membership test — as
+    // `_change_type='delete'` (plain append-only tails still refuse).
+    // The spec is the REPLAY proof, oracled end to end: state(1) +
+    // window changes must reconstruct the final table exactly, so a
+    // missed delete, a resurrected row, or a double-emitted insert
+    // breaks the per-language sums against the relational oracle.
+    QuerySpec(
+      "a47_eqdelete_change_feed",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE (doc_id % 2 = 0 AND doc_id % 10 <> 0) OR doc_id % 2 = 1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val wh = freshDir("a47", dir)
+      val cat = "graft_a47_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"DROP TABLE IF EXISTS $cat.docs")
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('retainHistory'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a47_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a47_src WHERE doc_id % 2 = 0""") // gen 1
+      val docsDir = wh.resolve("docs").toString
+      graft.sources.ManifestOps.equalityDelete(docsDir,
+        s.sql("SELECT doc_id FROM a47_src WHERE doc_id % 10 = 0"),
+        retain = true) // gen 2 — the tombstone commit
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT * FROM a47_src WHERE doc_id % 2 = 1""") // gen 3
+      val sch = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val changes = s.read.format("graft.sources.ManifestSink")
+        .schema(StructType(sch.fields :+
+          StructField("_change_type", StringType)))
+        .option("path", docsDir).option("readChangeFeed", "true")
+        .option("startingVersion", "1").option("endingVersion", "3")
+        .load()
+      // REPLAY: state(1) − window deletes + window inserts == state(3).
+      val state1 = s.sql(s"SELECT * FROM $cat.docs VERSION AS OF 1")
+      val replayed = state1
+        .join(changes.where(col("_change_type") === "delete")
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(changes.where(col("_change_type") === "insert")
+          .drop("_change_type"))
+      replayed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    },
+
     // TEMPORAL/DECIMAL AGGREGATE PUSHDOWN (a42 extended to the types
     // whose stat tokens round-trip exactly): DATE/TIMESTAMP render as
     // fixed-length ISO strings and DECIMAL as plain decimal tokens —

@@ -1329,24 +1329,59 @@ object ManifestSink {
       return plan(resolveEntries(path, eTxt).filter(keep), "insert").toArray
     val sTxt = manifestTextAt(path, Some(s))
     // An equality-delete commit inside the window removes rows without
-    // touching any file entry — invisible to the name-level diff, and
-    // not representable as full change rows either (the tombstone file
-    // carries key columns only). Refuse loudly in BOTH modes: an
-    // append-only tail must not silently re-see deleted rows, and a
-    // change-feed consumer should read the CDC source directly or wait
-    // for compaction to materialize the delete into file rewrites.
-    locally {
-      val sEq = parseEqDeletes(sTxt).map(_.name).toSet
-      val eEq = eqsE.map(_.name).toSet
-      if (sEq != eEq)
+    // touching any file entry — invisible to the name-level diff. A
+    // plain APPEND-ONLY tail still refuses loudly (it must not
+    // silently re-see deleted rows), but a CHANGE-FEED read REPRESENTS
+    // it: the tombstone's affected rows are reconstructed by applying
+    // its key set to the files it predates — the same membership test
+    // the normal read runs, inverted into EMIT-ONLY legs — and re-emit
+    // as `_change_type='delete'`. A tombstone REMOVED in the window
+    // (a RESTORE rewound past its commit) symmetrically re-emits its
+    // resurrected rows as "insert" against the END state's predating
+    // files; a removal via compaction-materialization plans nothing
+    // here (the compacted files' seq postdates the tombstone) and the
+    // retired/added file diff below represents it as delete+insert
+    // pairs instead.
+    val sEqs = parseEqDeletes(sTxt)
+    val eqLegs: Seq[InputPartition] = locally {
+      val sNames = sEqs.map(_.name).toSet
+      val eNames = eqsE.map(_.name).toSet
+      if (sNames == eNames) Nil
+      else if (!changeFeed)
         throw new IllegalStateException(
           s"generations $s -> $e of $path changed the equality-delete set " +
-            s"(${(sEq diff eEq).toSeq.sorted.mkString(", ")}" +
-            s"${(eEq diff sEq).toSeq.sorted.mkString(", ")}) — equality " +
+            s"(${(sNames diff eNames).toSeq.sorted.mkString(", ")}" +
+            s"${(eNames diff sNames).toSeq.sorted.mkString(", ")}) — equality " +
             "deletes are applied at read, not representable in an " +
-            "incremental window; restart the read from the current " +
-            "generation, consume the CDC source directly, or compact " +
-            "first to materialize them")
+            "append-only incremental window; restart the read from the " +
+            "current generation, read with readChangeFeed=true to consume " +
+            "the deletes as change rows, or compact first to materialize them")
+      else {
+        val added = eqsE.filterNot(d => sNames.contains(d.name))
+        val removed = sEqs.filterNot(d => eNames.contains(d.name))
+        // One leg per AFFECTED FILE, not per tombstone: a row matching
+        // two window tombstones must emit once (the reader ORs the
+        // emit sets). Drop filters = the state's OWN applicable
+        // tombstones, so rows already dead before the window never
+        // re-emit as freshly deleted.
+        def legs(entries: Seq[StagedFile], applicable: Seq[EqDelete],
+            emits: Seq[EqDelete], change: String): Seq[InputPartition] =
+          entries.filter(keep).flatMap { f =>
+            val emitSet = emits.filter(_.seq > f.seq)
+            if (emitSet.isEmpty) Nil
+            else splitFile(path, f, maxSplitBytes,
+                applicable.filter(_.seq > f.seq)
+                  .map(d => EqRef(d.name, d.cols))).map {
+              case p: ManifestFilePartition =>
+                p.copy(constants = Map(ChangeTypeColumn -> change),
+                  eqEmit = emitSet.map(d => EqRef(d.name, d.cols)))
+                  : InputPartition
+              case p => p
+            }
+          }
+        legs(resolveEntries(path, sTxt), sEqs, added, "delete") ++
+          legs(resolveEntries(path, eTxt), eqsE, removed, "insert")
+      }
     }
     val sRefs = segmentRefsFull(sTxt).map(_.name).toSet
     val sInline = parseEntries(sTxt)
@@ -1363,7 +1398,8 @@ object ManifestSink {
         if (r.summary.exists(su => !keep(su))) Nil
         else parseEntries(segmentTextStrict(path, r.name)).filter(keep)
       }
-      plan(segDelta ++ parseEntries(eTxt).filter(keep), "insert").toArray
+      (eqLegs ++ plan(segDelta ++ parseEntries(eTxt).filter(keep),
+        "insert")).toArray
     } else {
       // SLOW PATH (a collapse/migration/rewrite happened): full
       // name-level diff, which is also where retirement — a non-append
@@ -1398,7 +1434,7 @@ object ManifestSink {
         beforeEntries.find(b => b.name == a.name && b.dv != a.dv)
           .map(b => (a, b)))
       if (retired.isEmpty && dvChanged.isEmpty)
-        plan(added.filter(keep), "insert").toArray
+        (eqLegs ++ plan(added.filter(keep), "insert")).toArray
       else if (!changeFeed)
         throw new IllegalStateException(
           s"generations $s -> $e of $path retired files or rows " +
@@ -1409,7 +1445,8 @@ object ManifestSink {
             "restart the stream from the current generation, or read " +
             "with readChangeFeed=true to consume the changes")
       else if (dvChanged.isEmpty && added.forall(_.name.startsWith("compact-")) &&
-          added.map(_.rows).sum == retired.map(_.liveRows).sum && added.nonEmpty)
+          added.map(_.rows).sum == retired.map(_.liveRows).sum &&
+          added.nonEmpty && eqLegs.isEmpty)
         Array.empty // pure compaction: physical rewrite, no logical change
       else {
         val dvRowChanges: Seq[InputPartition] = dvChanged.flatMap { case (a, b) =>
@@ -1428,7 +1465,7 @@ object ManifestSink {
             leg(a.dv, b.dv, "delete") ++ leg(b.dv, a.dv, "insert")
           }
         }
-        (plan(retired.filter(keep), "delete") ++ dvRowChanges ++
+        (eqLegs ++ plan(retired.filter(keep), "delete") ++ dvRowChanges ++
           plan(added.filter(keep), "insert")).toArray
       }
     }
@@ -3908,7 +3945,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
-      maxSegments, partCols)
+      maxSegments, partCols, sortBy)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -3923,13 +3960,22 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
 private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     queryId: String, retain: Boolean = false, autoCompactRows: Long = 0L,
     maxSegments: Int = ManifestSink.DefaultMaxSegments,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil,
+    // Declared per-task sort (write option / table property `sortBy`):
+    // the Write wrapper REQUIRED the ordering, Spark's micro-batch
+    // write honors RequiresDistributionAndOrdering, and the writers
+    // additionally VERIFY row order before stamping — so a streamed-in
+    // silver table claims `sorted` exactly like a batch-written one
+    // and its downstream merge joins plan sort-free. Epoch replays
+    // regenerate the same rows in the same order: same stamp.
+    sortBy: Seq[String] = Nil)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path, s".staging-$queryId"))
-    new ManifestStreamingWriterFactory(path, queryId, schema, partCols)
+    new ManifestStreamingWriterFactory(path, queryId, schema, partCols,
+      sortBy)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4004,16 +4050,17 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
 }
 
 private[sources] class ManifestStreamingWriterFactory(path: String,
-    queryId: String, schema: StructType, partCols: Seq[String] = Nil)
+    queryId: String, schema: StructType, partCols: Seq[String] = Nil,
+    sortBy: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        Some(epochId))
+        Some(epochId), sortedCols = sortBy)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
-        partitionId, taskId, Some(epochId))
+        partitionId, taskId, Some(epochId), sortedCols = sortBy)
 }
 
 /** Per-file column bounds, parquet-footer style: `min`/`max` are the
@@ -4374,7 +4421,53 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // a file matches a predicate (metadata-only DELETE) — needs them.
   private val nullCounts = new Array[Long](schema.fields.length)
 
+  // SORT-STAMP VERIFICATION: the declared `sortBy` ordering is REQUIRED
+  // of Spark by the Write, but the stamp is load-bearing (a sort-merge
+  // join TRUSTS it and skips its sorts), so the writer independently
+  // verifies each row against its predecessor — ascending, nulls
+  // first, NaN last, the exact order Spark's sort produces — and a
+  // violation silently DROPS the stamp (sound: the scan then claims
+  // nothing) rather than committing a lie. Streaming epochs take the
+  // same path, which is what lets stream-written silver tables claim
+  // ordering at all.
+  private val sortIdx: Array[Int] =
+    sortedCols.map(c => schema.fieldIndex(c)).toArray
+  private val sortOrds: Array[Ordering[Any]] =
+    sortIdx.map(i => NdjsonCodec.statOrdering(schema.fields(i).dataType).orNull)
+  private var sortValid = sortIdx.nonEmpty && sortOrds.forall(_ != null)
+  private var prevSortKey: Array[Any] = null
+  private def checkSorted(record: InternalRow): Unit = {
+    val cur = new Array[Any](sortIdx.length)
+    var j = 0
+    while (j < sortIdx.length) {
+      cur(j) =
+        if (record.isNullAt(sortIdx(j))) null
+        else record.get(sortIdx(j), schema.fields(sortIdx(j)).dataType) match {
+          case u: UTF8String => u.clone() // buffers are reused across rows
+          case other => other
+        }
+      j += 1
+    }
+    if (prevSortKey != null) {
+      var k = 0
+      var decided = false
+      while (k < cur.length && !decided) {
+        val a = prevSortKey(k); val b = cur(k)
+        val c =
+          if (a == null && b == null) 0
+          else if (a == null) -1 // nulls first
+          else if (b == null) 1
+          else sortOrds(k).compare(a, b)
+        if (c < 0) decided = true
+        else if (c > 0) { sortValid = false; decided = true }
+        else k += 1
+      }
+    }
+    prevSortKey = cur
+  }
+
   override def write(record: InternalRow): Unit = {
+    if (sortValid) checkSorted(record)
     val sb = new java.lang.StringBuilder(64)
     sb.append('{')
     var i = 0
@@ -4446,7 +4539,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap,
-      sorted = sortedCols)
+      sorted = if (sortValid) sortedCols else Nil)
   }
 
   override def abort(): Unit = {

@@ -888,6 +888,78 @@ class IngestSpec extends SparkSpec {
     Seq("a", "b", "c").foreach(t => spark.sql(s"DROP TABLE gso.$t"))
   }
 
+  test("streaming sortBy: epoch-written files stamp sorted; the silver join plans with no sort") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = Files.createTempDirectory("graft_stream_sorted").toString
+    val cat = "gsst_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.a (k INT, v BIGINT) PARTITIONED BY (k)
+      TBLPROPERTIES ('sortby'='k')""")
+    spark.sql(s"""CREATE TABLE $cat.b (k INT, w BIGINT) PARTITIONED BY (k)
+      TBLPROPERTIES ('sortby'='k')""")
+    // STREAM into a: the epoch writer verifies and stamps `sorted` on
+    // its per-tuple files — a streamed-in silver table claims ordering
+    // exactly like a batch-written one.
+    val mem = MemoryStream[(Int, Long)]
+    val q = mem.toDF().toDF("k", "v").coalesce(1)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Paths.get(wh, "ckpt").toString)
+      .outputMode("append").toTable(s"$cat.a")
+    mem.addData((0 until 400).map(i => (i % 8, i.toLong)))
+    q.processAllAvailable()
+    q.stop()
+    spark.sql(s"""INSERT INTO $cat.b
+      SELECT CAST(id % 8 AS INT), id * 10 FROM range(80)
+      DISTRIBUTE BY CAST(id % 8 AS INT)""")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.a").head.getLong(0) == 400)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      val j = spark.sql(
+        s"SELECT a.k, a.v, b.w FROM $cat.a a JOIN $cat.b b ON a.k = b.k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"stream-written + batch-written pair must SPJ:\n$plan")
+      // THE PIN: the STREAMED table's scan reports [k ASC] too, so the
+      // merge join plans with zero sorts on either side.
+      assert(!plan.contains("- Sort ["),
+        s"epoch-stamped ordering must elide the join sorts:\n$plan")
+      assert(j.count() == 400L * 80 / 8)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+    }
+    // The stamp is VERIFIED, not declared: a table whose stream delivers
+    // out-of-order rows within a file drops the claim (sound) — v is
+    // unsorted here and sortby='v' cannot be verified per-tuple-file.
+    spark.sql(s"""CREATE TABLE $cat.c (k INT, v BIGINT)
+      TBLPROPERTIES ('sortby'='v')""")
+    val mem2 = MemoryStream[(Int, Long)]
+    val q2 = mem2.toDF().toDF("k", "v").coalesce(1)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Paths.get(wh, "ckpt2").toString)
+      .outputMode("append").toTable(s"$cat.c")
+    mem2.addData(Seq((1, 5L), (1, 3L), (1, 9L), (1, 1L)))
+    q2.processAllAvailable()
+    q2.stop()
+    // Order may or may not hold depending on Spark's streaming sort
+    // support — the invariant is the stamp NEVER LIES: if claimed, the
+    // file is sorted. Read rows per file and cross-check.
+    val rows = spark.sql(s"SELECT v FROM $cat.c").collect().map(_.getLong(0))
+    assert(rows.sorted.sameElements(Array(1L, 3L, 5L, 9L)))
+    Seq("a", "b", "c").foreach(t => spark.sql(s"DROP TABLE $cat.$t"))
+  }
+
   test("bucket partitioning: high-cardinality keys join shuffle-free; point lookups prune") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_bucket_spj").toString
@@ -1983,7 +2055,7 @@ class IngestSpec extends SparkSpec {
     assert(leftover.isEmpty, s"$leftover")
   }
 
-  test("equality deletes: incremental windows that cross a tombstone commit refuse loudly") {
+  test("equality deletes: plain tails refuse a tombstone window; the change feed EMITS it") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft_eqdel_stream").toString
@@ -1998,23 +2070,77 @@ class IngestSpec extends SparkSpec {
     graft.sources.ManifestOps.equalityDelete(dir,
       spark.range(2, 4).toDF("id"), retain = true) // gen 2
     append(10, 20) // gen 3
-    // Window (1, 3] crosses the tombstone commit: refuse in BOTH modes
-    // (the delete is applied at read, not representable incrementally).
+    // Window (1, 3] crosses the tombstone commit: a plain append-only
+    // tail refuses loudly (it cannot represent a delete)...
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    Seq(false, true).foreach { cdf =>
-      val e = intercept[Exception] {
-        spark.read.format("graft.sources.ManifestSink")
-          .schema(if (cdf) StructType(sch.fields :+
-            StructField("_change_type", StringType)) else sch)
-          .option("path", dir)
-          .option("readChangeFeed", cdf.toString)
-          .option("startingVersion", "1").option("endingVersion", "3")
-          .load().collect()
-      }
-      assert(messages(e).exists(_.contains("equality-delete set")),
-        s"cdf=$cdf: ${messages(e)}")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .schema(sch).option("path", dir)
+        .option("startingVersion", "1").option("endingVersion", "3")
+        .load().collect()
     }
+    assert(messages(e).exists(_.contains("equality-delete set")),
+      s"${messages(e)}")
+    // ...but the CHANGE FEED represents it: the tombstone's affected
+    // rows (reconstructed from the predating files, full payload) emit
+    // as _change_type='delete', the appended files as 'insert'.
+    val cdfSchema = StructType(sch.fields :+
+      StructField("_change_type", StringType))
+    val changes = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSchema).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "3")
+      .load().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val deletes = changes.filter(_._3 == "delete")
+    val inserts = changes.filter(_._3 == "insert")
+    assert(deletes.toSet == Set((2L, 2L, "delete"), (3L, 3L, "delete")),
+      s"tombstone rows with FULL payload: ${deletes.mkString(", ")}")
+    assert(inserts.map(_._1).toSet == (10L until 20L).toSet,
+      s"${inserts.mkString(", ")}")
+    // REPLAY reconstructs the table: state(1) + window changes == state(3).
+    val state1 = (0L until 10L).toSet
+    val replayed = state1 -- deletes.map(_._1) ++ inserts.map(_._1)
+    val state3 = spark.read.format("graft.sources.ManifestSink")
+      .schema(sch).option("path", dir).load()
+      .collect().map(_.getLong(0)).toSet
+    assert(replayed == state3, s"replay drifted: $replayed vs $state3")
+    // A second tombstone AFTER a matching re-insert: the delete legs
+    // honor the seq rule — only rows the tombstone actually applied to
+    // emit (id=5 from gen 1; the gen-3 re-appended 15 predates gen 4's
+    // tombstone too, so both emit; a LATER append of 5 would not).
+    graft.sources.ManifestOps.equalityDelete(dir,
+      spark.range(0, 20).filter("id = 5 OR id = 15").toDF("id"),
+      retain = true) // gen 4
+    val w34 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSchema).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "3").option("endingVersion", "4")
+      .load().collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(w34.toSet == Set((5L, "delete"), (15L, "delete")), s"${w34.mkString(", ")}")
+    // NET semantics across a wider window (2,4]: id 15 was inserted AND
+    // tombstoned INSIDE the window — it was not visible at the start
+    // and is not visible at the end, so the feed carries NO event for
+    // it (the insert leg's end-state tombstones suppress it; the
+    // delete leg only covers files in the START state). Already-dead
+    // rows (2/3) never re-emit either.
+    val w24 = spark.read.format("graft.sources.ManifestSink")
+      .schema(cdfSchema).option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").option("endingVersion", "4")
+      .load().collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(w24.filter(_._2 == "delete").toSet == Set((5L, "delete")),
+      s"${w24.mkString(", ")}")
+    assert(w24.filter(_._2 == "insert").map(_._1).toSet ==
+      (10L until 20L).toSet - 15L, s"${w24.mkString(", ")}")
+    // Replay of (2,4] from state(2) reconstructs state(4) exactly.
+    val state2 = (0L until 10L).toSet -- Set(2L, 3L)
+    val state4 = (0L until 20L).toSet -- Set(2L, 3L, 5L, 15L)
+    assert(state2 -- w24.filter(_._2 == "delete").map(_._1) ++
+      w24.filter(_._2 == "insert").map(_._1) == state4)
     // A window PAST the tombstone commit streams normally (new files
     // are never affected by older tombstones), and a FULL snapshot
     // batch (startingVersion 0-equivalent: plain read) applies them.
@@ -2026,7 +2152,7 @@ class IngestSpec extends SparkSpec {
     val full = spark.read.format("graft.sources.ManifestSink")
       .schema(sch).option("path", dir).load()
       .collect().map(_.getLong(0)).toSet
-    assert(full == (0L until 20L).toSet -- Set(2L, 3L))
+    assert(full == (0L until 20L).toSet -- Set(2L, 3L, 5L, 15L))
   }
 
   test("catalog views: CREATE/SELECT/SHOW/RENAME/DROP through the V2 ViewCatalog") {
