@@ -332,15 +332,46 @@ object ManifestSink {
       seg.length.toString + ":" + seg
     }.mkString(",")
 
+  /** Executor-level soft cache of parsed equality-delete key sets,
+    * keyed by (path, key columns) and guarded by the file's mtime
+    * (tombstone files are written once via atomic move — the guard
+    * only matters for same-name rewrites in tests). Without it a
+    * 1000-split scan re-reads and re-parses every applicable tombstone
+    * file once PER SPLIT — O(splits × tombstone files) I/O; with it,
+    * once per executor. Soft references let the JVM reclaim the sets
+    * under memory pressure (they reload on demand); the sets are
+    * immutable after construction, so sharing across reader threads is
+    * safe. The freshness stat (one getLastModifiedTime per split) is
+    * metadata-cheap — the content read+parse was the cost. */
+  private val eqKeySetCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, java.lang.ref.SoftReference[java.util.HashSet[String]])]()
+
+  /** Diagnostic: how many PHYSICAL loads (cache misses) ran in this
+    * JVM — what the ScaleProbe eqsplit lane measures flat. Public to
+    * `graft` so the probe can read it; not a user API. */
+  private[graft] val eqKeySetLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Load an equality-delete file's key set (small by contract: a
-    * tombstone batch, never a data file). */
+    * tombstone batch, never a data file), through the executor cache. */
   private[sources] def eqKeySet(dir: String, name: String,
       cols: Seq[String]): java.util.HashSet[String] = {
+    val p = Paths.get(dir, name)
+    val mtime = Files.getLastModifiedTime(p).toMillis
+    val key = p.toAbsolutePath.normalize.toString + "#" + cols.mkString(",")
+    val cached = eqKeySetCache.get(key)
+    if (cached != null && cached._1 == mtime) {
+      val v = cached._2.get()
+      if (v != null) return v
+    }
+    eqKeySetLoads.incrementAndGet()
     val set = new java.util.HashSet[String]()
-    Files.readAllLines(Paths.get(dir, name), StandardCharsets.UTF_8)
+    Files.readAllLines(p, StandardCharsets.UTF_8)
       .forEach { ln =>
         if (ln.nonEmpty) set.add(eqKeyOf(NdjsonCodec.parseLine(ln), cols))
       }
+    eqKeySetCache.put(key,
+      (mtime, new java.lang.ref.SoftReference(set)))
     set
   }
 

@@ -99,6 +99,34 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       Array[Byte](0, 1, -2, 127)))
   }
 
+  test("eqKeySet: tombstone key sets cache per JVM; mtime change invalidates") {
+    val dir = Files.createTempDirectory("graft_eqcache")
+    val f = dir.resolve("eqdel-g000002-test.ndjson")
+    Files.write(f, "{\"id\":1}\n{\"id\":2}\n".getBytes(StandardCharsets.UTF_8))
+    val a = ManifestSink.eqKeySet(dir.toString, f.getFileName.toString, Seq("id"))
+    val loadsAfterFirst = ManifestSink.eqKeySetLoads.get()
+    val b = ManifestSink.eqKeySet(dir.toString, f.getFileName.toString, Seq("id"))
+    // Same INSTANCE, zero physical re-loads: a 1000-split scan pays the
+    // read+parse once per executor, not once per split.
+    assert(b eq a, "second lookup must hit the cache")
+    assert(ManifestSink.eqKeySetLoads.get() == loadsAfterFirst)
+    assert(a.contains(ManifestSink.eqKeyOf(
+      NdjsonCodec.parseLine("{\"id\":2}"), Seq("id"))))
+    // Different KEY COLUMNS = different cache entry (key sets are
+    // column-tuple-specific), not a stale hit.
+    val other = ManifestSink.eqKeySet(dir.toString, f.getFileName.toString,
+      Seq("id", "v"))
+    assert(!(other eq a))
+    // A rewrite with a new mtime invalidates: fresh content is served.
+    Files.write(f, "{\"id\":3}\n".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() + 5000))
+    val c = ManifestSink.eqKeySet(dir.toString, f.getFileName.toString, Seq("id"))
+    assert(!(c eq a) && c.size == 1)
+    assert(c.contains(ManifestSink.eqKeyOf(
+      NdjsonCodec.parseLine("{\"id\":3}"), Seq("id"))))
+  }
+
   test("parseLineSelect materializes only needed keys; skipped values keep structure honest") {
     // Hostile skipped values: escaped quotes, backslashes, braces,
     // commas and colons inside strings, \uXXXX, a null, numbers —

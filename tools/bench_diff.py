@@ -2,6 +2,7 @@
 """Diff a bench artifact against the clean per-query reference.
 
 Usage: python3 tools/bench_diff.py BENCH_rN.json [--update]
+       python3 tools/bench_diff.py --age BENCH_rA.json BENCH_rB.json ...
 
 Separates ambient drift from real regressions without re-deriving it
 from round-over-round history:
@@ -16,12 +17,22 @@ from round-over-round history:
     (per-query min — a faster clean run tightens the reference, a slow
     contaminated one never loosens it).
 
-The artifact may be a full bench_last.json line or a driver-captured
-tail fragment ({"tail": "..."}).
+STALENESS RULE (--age, over >= AGE_K historical artifacts in round
+order): a reference that is a one-off lucky-window minimum flags every
+honest run forever (tx14's 0.33s, q209's 0.74s). A reference ages out
+when AGE_K consecutive artifacts each measured the query CLEAN (its
+timing window did not probe hot) and still could not get within 1.5x —
+it is then REPLACED by the median of those clean observations, with
+provenance recorded under baseline["aged"] (old value, observations,
+artifacts). Minima stay minima for every reference that any recent
+clean run can still reach.
 """
 import json
 import re
+import statistics
 import sys
+
+AGE_K = 3
 
 
 def query_map(path):
@@ -51,9 +62,55 @@ def hot_windows(extra):
     return {q for q, p in probes.items() if p > 1.3 * floor}, floor
 
 
+def age_refs(base_path, artifacts):
+    """Apply the staleness rule over historical artifacts (round order)."""
+    with open(base_path) as f:
+        base = json.load(f)
+    ref = base["queries"]
+    if len(artifacts) < AGE_K:
+        sys.exit(f"--age needs at least {AGE_K} artifacts (got {len(artifacts)})")
+    runs = []
+    for a in artifacts:
+        got, extra = query_map(a)
+        hot, _ = hot_windows(extra)
+        runs.append((a, got, hot))
+    aged = base.setdefault("aged", {})
+    replaced = []
+    for name, r in sorted(ref.items()):
+        # The trailing AGE_K artifacts that measured this query at all.
+        tail = [(a, got[name], name in hot)
+                for a, got, hot in runs if name in got][-AGE_K:]
+        if len(tail) < AGE_K:
+            continue
+        # Consecutive CLEAN misses only: a hot-window measurement says
+        # nothing either way and breaks the streak.
+        if all((not h) and t > 1.5 * r for a, t, h in tail):
+            new = round(statistics.median(t for _, t, _ in tail), 3)
+            aged[name] = {
+                "was": r,
+                "observations": [round(t, 3) for _, t, _ in tail],
+                "artifacts": [a for a, _, _ in tail],
+            }
+            ref[name] = new
+            replaced.append((name, r, new))
+    if replaced:
+        base["queries"] = dict(sorted(ref.items()))
+        with open(base_path, "w") as f:
+            json.dump(base, f, indent=1)
+        print(f"{len(replaced)} stale references aged out "
+              f"({AGE_K} consecutive clean misses at >1.5x):")
+        for name, old, new in replaced:
+            print(f"  {name:40s} {old:6.3f}s -> {new:6.3f}s")
+    else:
+        print("no stale references (every ref reachable by a recent clean run)")
+
+
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
+    if sys.argv[1] == "--age":
+        age_refs("tools/bench_baseline.json", sys.argv[2:])
+        return
     artifact = sys.argv[1]
     update = "--update" in sys.argv[2:]
     base_path = "tools/bench_baseline.json"
