@@ -32,7 +32,7 @@ import org.apache.spark.sql.types.{BooleanType, StringType}
   * table see that table's current generation. */
 object GraftViews {
 
-  private def isGraftCatalog(spark: SparkSession, name: String): Boolean =
+  private[sources] def isGraftCatalog(spark: SparkSession, name: String): Boolean =
     spark.conf.getOption(s"spark.sql.catalog.$name")
       .contains(classOf[GraftCatalog].getName)
 
@@ -188,15 +188,147 @@ private[sources] final case class RenameGraftViewCommand(parts: Seq[String],
   }
 }
 
+/** `CREATE MATERIALIZED VIEW cat.v AS <agg query>` — the SQL front
+  * door to [[MaterializedViews]], intercepted at the TEXT level
+  * (Spark's grammar has no MATERIALIZED VIEW statement to rewrite).
+  * The body must be one of the self-maintainable aggregate shapes the
+  * IVM machinery folds exactly:
+  *
+  *   - `SELECT g, avg(v) FROM cat.base GROUP BY g` → the avg kind
+  *     (partials `(g, sum_p, cnt_p)`, view adds `sum_v/cnt_v/avg_v`);
+  *   - `SELECT g, min(v), max(v) FROM cat.base GROUP BY g` → the
+  *     min/max kind (append-only monoids).
+  *
+  * The partial-log table lands at `<view>__mv` (the convention DROP
+  * MATERIALIZED VIEW uses to find it); refresh through
+  * `CALL cat.system.refresh_mv('<view>__mv')` or the Scala API —
+  * exactly-once either way. Anything outside the recognized shapes
+  * fails loudly with the supported grammar (no silent fallback to a
+  * plain view — a "materialized" view that recomputes would lie). */
+private[sources] final case class CreateGraftMaterializedViewCommand(
+    parts: Seq[String], bodyText: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val cat = parts.head
+    val viewName = parts.drop(1).mkString(".")
+    val mvTable = viewName + "__mv"
+    def unsupported(why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW supports exactly " +
+          "'SELECT g, avg(v) FROM cat.ns.base GROUP BY g' or " +
+          "'SELECT g, min(v), max(v) FROM cat.ns.base GROUP BY g' " +
+          s"(self-maintainable aggregate shapes) — $why")
+    def attrName(e: Any): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        Some(a.nameParts.head)
+      case al: Alias => attrName(al.child)
+      case ua: UnresolvedAlias => attrName(ua.child)
+      case _ => None
+    }
+    def fn(e: Any): Option[(String, String)] = e match {
+      case al: Alias => fn(al.child)
+      case ua: UnresolvedAlias => fn(ua.child)
+      case f: UnresolvedFunction if f.nameParts.length == 1 &&
+          f.arguments.length == 1 =>
+        attrName(f.arguments.head)
+          .map(col => f.nameParts.head.toLowerCase -> col)
+      case _ => None
+    }
+    spark.sessionState.sqlParser.parsePlan(bodyText) match {
+      case agg: Aggregate if agg.groupingExpressions.length == 1 =>
+        val aggs = agg.aggregateExpressions
+        val groupCol = attrName(agg.groupingExpressions.head).getOrElse(
+          unsupported("the GROUP BY key must be a plain column"))
+        val baseTable = agg.child match {
+          case r: UnresolvedRelation
+              if r.multipartIdentifier.length >= 2 &&
+                r.multipartIdentifier.head == cat =>
+            r.multipartIdentifier.tail.mkString(".")
+          case _ => unsupported(
+            s"the FROM clause must name a table in catalog '$cat' " +
+              "by qualified name")
+        }
+        aggs.filterNot(e => attrName(e).contains(groupCol)).map(fn) match {
+          case Seq(Some(("avg", v))) =>
+            MaterializedViews.createAvg(spark, cat, viewName, baseTable,
+              mvTable, groupCol, v)
+          case Seq(Some(("min", v1)), Some(("max", v2))) if v1 == v2 =>
+            MaterializedViews.createMinMax(spark, cat, viewName, baseTable,
+              mvTable, groupCol, v1)
+          case other => unsupported(
+            s"unrecognized aggregate list: ${other.mkString(", ")}")
+        }
+      case _ => unsupported("the body is not a single GROUP BY aggregate")
+    }
+    Nil
+  }
+}
+
+/** `DROP MATERIALIZED VIEW cat.v [IF EXISTS]`: drops the finalizing
+  * view AND its `<view>__mv` partial-log table (the CMV convention). */
+private[sources] final case class DropGraftMaterializedViewCommand(
+    parts: Seq[String], ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = spark.sessionState.catalogManager.catalog(parts.head)
+      .asInstanceOf[ViewCatalog]
+    val ident = Identifier.of(parts.drop(1).dropRight(1).toArray, parts.last)
+    val existed = cat.dropView(ident)
+    if (!existed && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
+        ident)
+    spark.sql(s"DROP TABLE IF EXISTS " +
+      s"${parts.head}.${parts.drop(1).mkString(".")}__mv")
+    Nil
+  }
+}
+
 /** The delegating parser that applies [[GraftViews.rewrite]] to every
   * parsed statement. */
 private[sources] final class GraftViewParser(spark: SparkSession,
     delegate: ParserInterface) extends ParserInterface {
+  // MATERIALIZED VIEW DDL never reaches the delegate: Spark's grammar
+  // has no such statement, so it is recognized from the SQL TEXT here.
+  // The identifier grammar is deliberately narrow (dotted bare/backtick
+  // parts); everything else about the body is parsed by Spark itself.
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.`]+)\s+AS\s+(.+)""".r
+  private val DropMv =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*""".r
+
+  private def identParts(txt: String): Seq[String] =
+    delegate.parseMultipartIdentifier(txt)
+
+  // Some(cmd) when the text is MATERIALIZED VIEW DDL; checked in BOTH
+  // parse entry points (Spark 4's `spark.sql` routes through
+  // parsePlanWithParameters, not parsePlan).
+  private def materializedViewDdl(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case CreateMv(ident, body) =>
+        val parts = identParts(ident)
+        require(parts.length >= 2 &&
+          GraftViews.isGraftCatalog(spark, parts.head),
+          s"CREATE MATERIALIZED VIEW needs a graft-catalog-qualified " +
+            s"name, got '$ident'")
+        Some(CreateGraftMaterializedViewCommand(parts, body))
+      case DropMv(ifExists, ident) =>
+        val parts = identParts(ident)
+        require(parts.length >= 2 &&
+          GraftViews.isGraftCatalog(spark, parts.head),
+          s"DROP MATERIALIZED VIEW needs a graft-catalog-qualified " +
+            s"name, got '$ident'")
+        Some(DropGraftMaterializedViewCommand(parts, ifExists != null))
+      case _ => None
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftViews.rewrite(spark, delegate.parsePlan(sqlText))
+    materializedViewDdl(sqlText).getOrElse(
+      GraftViews.rewrite(spark, delegate.parsePlan(sqlText)))
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    GraftViews.rewrite(spark, delegate.parsePlanWithParameters(sqlText, ctx))
+    materializedViewDdl(sqlText).getOrElse(
+      GraftViews.rewrite(spark, delegate.parsePlanWithParameters(sqlText, ctx)))
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String) =

@@ -2429,6 +2429,58 @@ class IngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.base")
   }
 
+  test("CREATE/DROP MATERIALIZED VIEW: SQL front door routes to the IVM machinery") {
+    val wh = Files.createTempDirectory("graft_cmv").toString
+    val cat = "gcmv_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.base (g STRING, v BIGINT)
+      TBLPROPERTIES ('retainHistory'='true')""")
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 2 WHEN 0 THEN 'x' ELSE 'y' END, id FROM range(100)""")
+    // AVG shape → the avg kind (partials at <view>__mv).
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.stats AS
+      SELECT g, avg(v) FROM $cat.base GROUP BY g""")
+    def truthAvg(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT g, sum(v), count(v) FROM $cat.base GROUP BY g")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    def mvAvg(): Map[String, (Long, Long)] =
+      spark.sql(s"SELECT g, sum_v, cnt_v FROM $cat.stats").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(mvAvg() == truthAvg())
+    // O(delta) refresh through the SQL front doors end to end.
+    spark.sql(s"""INSERT INTO $cat.base
+      SELECT CASE id % 2 WHEN 0 THEN 'x' ELSE 'y' END, id * 3
+      FROM range(500, 600)""")
+    val r = spark.sql(s"CALL $cat.system.refresh_mv('stats__mv')").head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)), s"$r")
+    assert(mvAvg() == truthAvg(), "CMV refresh folds exactly once")
+    // MIN/MAX shape → the minmax kind.
+    spark.sql(s"""CREATE MATERIALIZED VIEW $cat.vrange AS
+      SELECT g, min(v), max(v) FROM $cat.base GROUP BY g""")
+    val mm = spark.sql(s"SELECT g, min_v, max_v FROM $cat.vrange").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    val mmTruth = spark.sql(
+      s"SELECT g, min(v), max(v) FROM $cat.base GROUP BY g").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(mm == mmTruth)
+    // Unsupported shapes fail LOUDLY — never a silent plain view.
+    val bad = intercept[Exception] {
+      spark.sql(s"""CREATE MATERIALIZED VIEW $cat.nope AS
+        SELECT g, sum(v) / 2 FROM $cat.base GROUP BY g""")
+    }
+    assert(bad.getMessage.contains("self-maintainable"), bad.getMessage)
+    // DROP MATERIALIZED VIEW removes BOTH halves by convention.
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.stats")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.stats").collect() }
+    assert(!spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).contains("stats__mv"), "partial table dropped")
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS $cat.stats") // idempotent
+    spark.sql(s"DROP MATERIALIZED VIEW $cat.vrange")
+    spark.sql(s"DROP TABLE $cat.base")
+  }
+
   test("aggregate pushdown: count/min/max answer from the manifest with ZERO data read") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

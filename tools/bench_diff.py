@@ -22,10 +22,10 @@ order): a reference that is a one-off lucky-window minimum flags every
 honest run forever (tx14's 0.33s, q209's 0.74s). A reference ages out
 when AGE_K consecutive artifacts each measured the query CLEAN (its
 timing window did not probe hot) and still could not get within 1.5x —
-it is then REPLACED by the median of those clean observations, with
-provenance recorded under baseline["aged"] (old value, observations,
-artifacts). Minima stay minima for every reference that any recent
-clean run can still reach.
+— it is then REPLACED by the median
+of those clean observations, with provenance recorded under
+baseline["aged"] (old value, observations, artifacts). Minima stay
+minima for every reference that any recent clean run can still reach.
 """
 import json
 import re
@@ -77,19 +77,26 @@ def age_refs(base_path, artifacts):
     aged = base.setdefault("aged", {})
     replaced = []
     for name, r in sorted(ref.items()):
-        # The trailing AGE_K artifacts that measured this query at all.
-        tail = [(a, got[name], name in hot)
-                for a, got, hot in runs if name in got][-AGE_K:]
+        # The trailing AGE_K CLEAN-WINDOW measurements: a hot-window
+        # timing says nothing about the plan either way, so it neither
+        # counts toward the streak nor breaks it (the rule is "K
+        # consecutive clean-window runs can't get within 1.5x").
+        tail = [(a, got[name])
+                for a, got, hot in runs
+                if name in got and name not in hot][-AGE_K:]
         if len(tail) < AGE_K:
             continue
-        # Consecutive CLEAN misses only: a hot-window measurement says
-        # nothing either way and breaks the streak.
-        if all((not h) and t > 1.5 * r for a, t, h in tail):
-            new = round(statistics.median(t for _, t, _ in tail), 3)
+        # Pure 1.5x (no absolute floor): aging a tiny query's
+        # noise-inflated ref is harmless — the FLAG rule's own +0.5s
+        # floor keeps regression sensitivity unchanged either way —
+        # while an absolute floor here would block exactly the
+        # lucky-window refs this rule exists to retire.
+        if all(t > 1.5 * r for a, t in tail):
+            new = round(statistics.median(t for _, t in tail), 3)
             aged[name] = {
                 "was": r,
-                "observations": [round(t, 3) for _, t, _ in tail],
-                "artifacts": [a for a, _, _ in tail],
+                "observations": [round(t, 3) for _, t in tail],
+                "artifacts": [a for a, _ in tail],
             }
             ref[name] = new
             replaced.append((name, r, new))
