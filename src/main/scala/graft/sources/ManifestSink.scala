@@ -4426,8 +4426,56 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   private val stagedName =
     if (epochId.isDefined) s"$name.a$taskId" else name
   private val file = staging.resolve(stagedName)
-  private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8)
+  // BYTE-LEVEL output (the writer-side twin of the reader's
+  // parseBytesSelect): rows render straight to a buffered byte stream —
+  // string payloads escape from their UTF8String BYTES (clean runs
+  // bulk-copied, multi-byte sequences pass through untouched), so the
+  // ingest hot path never materializes a per-row java String or pays
+  // the per-char encoder. Key prefixes pre-encode once per writer.
+  private val out = new java.io.BufferedOutputStream(
+    Files.newOutputStream(file), 1 << 16)
   private var rows = 0L
+  private val keyPrefix: Array[Array[Byte]] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      ((if (i == 0) "{\"" else ",\"") + f.name + "\":")
+        .getBytes(StandardCharsets.UTF_8)
+    }.toArray
+  private val NullBytes = "null".getBytes(StandardCharsets.UTF_8)
+  private val HexDigits = "0123456789abcdef".getBytes(StandardCharsets.UTF_8)
+  private val EscU00 = "\\u00".getBytes(StandardCharsets.UTF_8)
+
+  /** Stream one UTF8String's bytes JSON-escaped — bit-identical to
+    * [[NdjsonCodec.escape]] (quote/backslash/\n/\r/\t named, every
+    * other control byte as \u00XX; bytes >= 0x80 are UTF-8
+    * continuation/lead bytes and pass through raw). Clean runs copy in
+    * one bulk write. */
+  private def writeEscaped(u: UTF8String): Unit = {
+    val bytes = u.getBytes
+    val n = bytes.length
+    var s = 0
+    var j = 0
+    while (j < n) {
+      val b = bytes(j)
+      if (b == '"' || b == '\\' || (b >= 0 && b < 0x20)) {
+        if (j > s) out.write(bytes, s, j - s)
+        out.write('\\')
+        b match {
+          case '"' => out.write('"')
+          case '\\' => out.write('\\')
+          case '\n' => out.write('n')
+          case '\r' => out.write('r')
+          case '\t' => out.write('t')
+          case _ =>
+            out.write(EscU00, 1, 3) // "u00"
+            out.write(HexDigits((b >> 4) & 0xF))
+            out.write(HexDigits(b & 0xF))
+        }
+        s = j + 1
+      }
+      j += 1
+    }
+    if (n > s) out.write(bytes, s, n - s)
+  }
 
   // One renderer per field, resolved from the DataType up front — never
   // a toString fallback (unsupported types were rejected at the write
@@ -4497,18 +4545,25 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     prevSortKey = cur
   }
 
+  // True for the fields whose values take the byte-escape fast path.
+  private val isStringField: Array[Boolean] =
+    schema.fields.map(_.dataType == StringType)
+
   override def write(record: InternalRow): Unit = {
     if (sortValid) checkSorted(record)
-    val sb = new java.lang.StringBuilder(64)
-    sb.append('{')
+    if (schema.fields.isEmpty) out.write('{') // zero-column degenerate row
     var i = 0
     while (i < schema.fields.length) {
-      if (i > 0) sb.append(',')
-      sb.append('"').append(schema.fields(i).name).append("\":")
-      if (record.isNullAt(i)) { sb.append("null"); nullCounts(i) += 1 }
+      out.write(keyPrefix(i))
+      if (record.isNullAt(i)) { out.write(NullBytes); nullCounts(i) += 1 }
       else {
         val v = record.get(i, schema.fields(i).dataType)
-        sb.append(renderers(i)(v))
+        if (isStringField(i)) {
+          out.write('"')
+          writeEscaped(v.asInstanceOf[UTF8String])
+          out.write('"')
+        } else
+          out.write(renderers(i)(v).getBytes(StandardCharsets.UTF_8))
         val cmp = comparators(i)
         if (NdjsonCodec.isNaN(v)) nanSeen(i) = true
         if (cmp != null && !NdjsonCodec.isNaN(v)) {
@@ -4525,9 +4580,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       }
       i += 1
     }
-    sb.append('}')
-    out.write(sb.toString)
-    out.write("\n")
+    out.write('}')
+    out.write('\n')
     rows += 1
   }
 

@@ -636,6 +636,40 @@ object ScaleProbe {
     }
   }
 
+  /** Write-CPU anchor (`probe = writebench`): wall time to write the
+    * projscan-shaped wide frame (2 keys + 20 fat strings) through the
+    * manifest committer — the ingest hot path. Byte-level rendering
+    * (UTF8String bytes escaped straight to the output buffer, no
+    * per-row java String materialization) vs the old
+    * StringBuilder-then-BufferedWriter path is what this lane
+    * measures across rounds. */
+  private def writeBenchProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 100000L * f
+      val wideCols = (0 until 20).map(j =>
+        s"concat('w$j-', id, '-', repeat('x', 60)) AS w$j")
+      val wide = spark.range(n).selectExpr(
+        Seq("id", "id % 97 AS k") ++ wideCols: _*)
+        .repartition(8).cache()
+      wide.count() // materialize the input OUTSIDE the timing (cached)
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      val walls = (0 until 2).map { _ =>
+        val dir = Files.createTempDirectory(s"graft_writebench_$f").toString
+        ms {
+          wide.write.format("graft.sources.ManifestSink")
+            .option("path", dir).mode("overwrite").save()
+        }
+      }
+      println(s"""{"probe":"writebench","factor":$f,"rows":$n,""" +
+        s""""columns":22,""" +
+        f""""write_wall_ms":${walls.min}%.0f}""")
+      wide.unpersist()
+    }
+  }
+
   /** Projection-CPU anchor (`probe = projscan`): one WIDE manifest
     * table (2 narrow keys + 20 fat string payload columns), scanned
     * twice — full width vs a 2-column projection. The claim made
@@ -713,6 +747,11 @@ object ScaleProbe {
     }
     if (probe == "dv") {
       dvProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "writebench") {
+      writeBenchProbes(spark, factors)
       spark.stop()
       return
     }

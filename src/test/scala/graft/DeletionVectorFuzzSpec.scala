@@ -22,12 +22,21 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     val cat = s"gdvf$seed"
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    // retainHistory: the change-feed REPLAY invariant below needs every
+    // window endpoint resolvable.
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
-      TBLPROPERTIES ('deletionVectors'='true')""")
+      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
     val model = collection.mutable.HashMap[Long, Long]()
     // Tagged snapshots: tag name -> the model AS OF the tag, for
     // replaying a random RESTORE later in the sequence.
     val snapshots = collection.mutable.HashMap[String, Map[Long, Long]]()
+    // Per-generation model snapshots for the CHANGE-FEED REPLAY
+    // invariant: from ANY recorded generation g, state(g) + the CDF
+    // window (g, current] must reconstruct the CURRENT model exactly —
+    // one property covering DV deltas, retire/add re-emission, pure
+    // compaction no-ops, restores, and the round-13 equality-delete
+    // emit legs, under every random interleaving.
+    val genModels = collection.mutable.HashMap[Long, Map[Long, Long]]()
     var nextId = 0L
     val dir = java.nio.file.Paths.get(wh, "t").toString
 
@@ -120,7 +129,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           val ids = rnd.shuffle(model.keys.toSeq)
             .take(1 + rnd.nextInt(6)) ++ Seq(nextId + 777) // plus a miss
           graft.sources.ManifestOps.equalityDelete(dir,
-            ids.toDF("id"))
+            ids.toDF("id"), retain = true)
           ids.foreach(model.remove)
         case 9 => // cross-table-txn machinery on ONE table: staged
           // append invisible until commitAll's journal commit point.
@@ -150,6 +159,40 @@ class DeletionVectorFuzzSpec extends SparkSpec {
       if (rnd.nextInt(3) == 0) // interleave vector materialization
         graft.sources.ManifestSink.compact(dir, targetRows = 500L)
       check(s"step=$step")
+
+      // CHANGE-FEED REPLAY INVARIANT: record this generation's model,
+      // then replay a random earlier window and demand it reconstructs
+      // the present. Replay semantics: apply the window's deletes, then
+      // its inserts (an update's delete+insert pair lands the new value).
+      val cur = graft.sources.ManifestSink.committedGeneration(dir)
+      genModels(cur) = model.toMap
+      val resolvable = genModels.keys.filter(g => g < cur &&
+        (g == 0L || Files.exists(
+          java.nio.file.Paths.get(dir, f"manifest-g$g%06d.json")))).toSeq
+      if (resolvable.nonEmpty && rnd.nextInt(2) == 0) {
+        val g = resolvable(rnd.nextInt(resolvable.length))
+        val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+        val changes = spark.read.format("graft.sources.ManifestSink")
+          .schema(cdfSchema).option("path", dir)
+          .option("readChangeFeed", "true")
+          .option("startingVersion", g.toString)
+          .option("endingVersion", cur.toString)
+          .load().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        val replayed = genModels(g) --
+          changes.collect { case (id, _, "delete") => id } ++
+          changes.collect { case (id, v, "insert") => id -> v }
+        assert(replayed == model.toMap,
+          s"[seed=$seed step=$step] CDF replay ($g, $cur] diverged: " +
+            s"extra=${(replayed -- model.keys).take(5)} " +
+            s"missing=${(model.toMap -- replayed.keys).take(5)}")
+      }
     }
     spark.sql(s"DROP TABLE $cat.t")
   }
