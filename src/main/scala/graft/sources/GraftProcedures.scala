@@ -136,17 +136,49 @@ private[sources] object GraftProcedures {
       override def name(): String = "compact"
       override def description(): String =
         "bin-pack files below target_rows into fewer files (one atomic swap); " +
-          "materializes deletion vectors of the files it merges"
+          "materializes deletion vectors of the files it merges; optional " +
+          "partition scope 'k=v[,k2=v2]' restricts to one partition — at " +
+          "100 TB maintenance runs on the hot partition, not the table"
       override def bind(inputType: StructType): BoundProcedure =
         new BoundProcedure {
           override def name(): String = "compact"
           override def parameters(): Array[ProcedureParameter] =
             Array(tableParam, longParam("target_rows",
-              "files with fewer rows than this are merge candidates"))
+              "files with fewer rows than this are merge candidates"),
+              ProcedureParameter.in("scope", StringType)
+                .defaultValue("''")
+                .comment("'' = whole table; 'lang=en' / 'day=2024-01-01' " +
+                  "/ 'bucket(8,id)=3' = only files recorded in that " +
+                  "partition").build())
           override def isDeterministic: Boolean = false
           override def call(input: InternalRow): java.util.Iterator[Scan] = {
             val dir = dirOf(base, input.getUTF8String(0).toString)
-            val merged = ManifestSink.compact(dir, input.getLong(1))
+            val scopeTxt =
+              if (input.isNullAt(2)) "" else input.getUTF8String(2).toString
+            val merged =
+              if (scopeTxt.trim.isEmpty)
+                ManifestSink.compact(dir, input.getLong(1))
+              else {
+                // User values arrive unquoted; recorded part.* literals
+                // are typed JSON — match either the raw token (numbers,
+                // bucket ids) or the string rendering.
+                val scope = scopeTxt.split(",").map(_.trim)
+                  .filter(_.nonEmpty).map { kv =>
+                    val eq = kv.lastIndexOf('=')
+                    require(eq > 0, s"scope entry '$kv' is not k=v")
+                    kv.substring(0, eq).trim -> kv.substring(eq + 1).trim
+                  }.toMap
+                val matched = collection.mutable.Map[String, String]()
+                val entries = ManifestSink.committedEntries(dir)
+                scope.foreach { case (k, v) =>
+                  val quoted = "\"" + NdjsonCodec.escape(v) + "\""
+                  val hit = entries.flatMap(_.partValues.get(k)).distinct
+                    .find(rec => rec == v || rec == quoted)
+                  matched(k) = hit.getOrElse(v)
+                }
+                ManifestSink.compactPartition(dir, input.getLong(1),
+                  matched.toMap)
+              }
             result(StructType(Seq(
               StructField("merged_files", IntegerType, nullable = false))),
               Array[Any](merged))

@@ -1093,6 +1093,25 @@ object ManifestSink {
     withPublishLock(dirPath) { compactLocked(dirPath, targetRows) }
   }
 
+  /** PARTITION-SCOPED compaction (Iceberg's
+    * `rewrite_data_files(where => ...)` shape): only files whose
+    * RECORDED partition tuple matches every `k -> v` in `scope` (the
+    * rendered literal / bucket id, exactly as `part.*` keys store
+    * them) are merge candidates — at 100 TB, maintenance runs on the
+    * one hot partition (today's date, one language), not the table.
+    * Conservative: a file with NO recorded value for a scoped key is
+    * out of scope (never merged under a claim it can't prove). */
+  def compactPartition(dir: String, targetRows: Long,
+      scope: Map[String, String]): Int = {
+    val dirPath = Paths.get(dir)
+    withPublishLock(dirPath) {
+      compactLocked(dirPath, targetRows,
+        exclude = _ => false,
+        inScope = e => scope.forall { case (k, v) =>
+          e.partValues.get(k).contains(v) })
+    }
+  }
+
   /** Compaction core, caller already holding the publish lock — the
     * streaming sink auto-compacts INSIDE its epoch-commit critical
     * section (one lock acquisition, no self-deadlock). `exclude` keeps
@@ -1101,7 +1120,10 @@ object ManifestSink {
     * sink commit and checkpoint advance) still finds its own
     * epoch-named entries to retire. */
   private[sources] def compactLocked(dirPath: Path, targetRows: Long,
-      exclude: String => Boolean = _ => false): Int = {
+      exclude: String => Boolean = _ => false,
+      // Partition scope: only in-scope entries are merge candidates;
+      // everything else carries over untouched.
+      inScope: StagedFile => Boolean = _ => true): Int = {
     val dir = dirPath.toString
     locally {
       val entries = committedEntries(dir)
@@ -1114,7 +1136,7 @@ object ManifestSink {
         eqDeletes.filter(_.seq > e.seq).map(d =>
           d.cols -> eqSets.getOrElseUpdate(d.name, eqKeySet(dir, d.name, d.cols)))
       val (small, big) = entries.partition(e =>
-        e.rows < targetRows && !exclude(e.name))
+        e.rows < targetRows && !exclude(e.name) && inScope(e))
       if (small.size < 2) return 0
       // First-fit bin packing over name-sorted small files: determinism
       // over optimality (the wins come from merging at all).
@@ -1201,11 +1223,18 @@ object ManifestSink {
         // proofs stand down; delete-free groups keep the exact sum.
         // seq = the NEW generation: applicable equality deletes were
         // just materialized, so none may re-apply to the merged file.
+        // Partition tuple: preserved iff every group member recorded
+        // the SAME tuple (scoped compaction merges within a partition,
+        // so this is the common case) — a mixed or absent tuple drops,
+        // which only costs pruning, never correctness.
+        val tuples = group.map(_.partValues).distinct
         StagedFile(name, liveWritten,
           mergeStats(group.map(_.stats).toSeq),
           Files.size(dirPath.resolve(name)),
           if (group.exists(_.dv.isDefined) || eqApplied) Map.empty[String, Long]
           else mergeNullCounts(group.toSeq),
+          partValues = if (tuples.size == 1) tuples.head
+            else Map.empty[String, String],
           seq = generation + 1,
           sorted = if (mergeSorted) stamps.head else Nil)
       }

@@ -2429,6 +2429,51 @@ class IngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.base")
   }
 
+  test("partition-scoped compaction: only the scoped partition's files merge; tuples survive") {
+    val wh = Files.createTempDirectory("graft_pscompact").toString
+    val cat = "gpsc_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (lang STRING, id BIGINT)
+      PARTITIONED BY (lang)""")
+    // 3 commits x 2 langs = 6 small files (one per tuple per insert).
+    (0 until 3).foreach { b =>
+      spark.sql(s"""INSERT INTO $cat.t
+        SELECT CASE id % 2 WHEN 0 THEN 'en' ELSE 'de' END, id + ${b * 100}
+        FROM range(40) DISTRIBUTE BY id % 2""")
+    }
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    assert(graft.sources.ManifestSink.committedFiles(dir).size == 6)
+    // Scope to lang=en: exactly the 3 'en' files merge into one; the
+    // 'de' partition is untouched (at 100 TB you compact the hot
+    // partition, not the table).
+    val merged = spark.sql(
+      s"CALL $cat.system.compact('t', 100000, 'lang=en')").head.getInt(0)
+    assert(merged == 3, s"merged=$merged")
+    val after = graft.sources.ManifestSink.committedFiles(dir)
+    assert(after.size == 4, s"3 en -> 1 plus 3 de: $after")
+    assert(after.count(_.startsWith("compact-")) == 1)
+    // Rows intact; the merged entry KEEPS its uniform partition tuple,
+    // so partition pruning still proves lang=en without opening files.
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 120)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE lang = 'en'")
+      .head.getLong(0) == 60)
+    def filePartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+    assert(filePartitions(
+      spark.sql(s"SELECT * FROM $cat.t WHERE lang = 'en'")) == 1,
+      "the merged en file keeps its recorded tuple: 1 of 4 planned")
+    // Unscoped compaction still merges the remainder (the en compact
+    // file is itself below target, so it re-merges too).
+    assert(spark.sql(s"CALL $cat.system.compact('t', 100000)")
+      .head.getInt(0) >= 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 120)
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
   test("CREATE/DROP MATERIALIZED VIEW: SQL front door routes to the IVM machinery") {
     val wh = Files.createTempDirectory("graft_cmv").toString
     val cat = "gcmv_" + (wh.hashCode & 0x7fffffff)
