@@ -1986,6 +1986,76 @@ object IncrementalQueries {
       }
     },
 
+    // BLOOM-INDEX FILE SKIPPING ([[BloomIndex]]): per-file bloom
+    // sidecars over a declared column prune =/IN point lookups that
+    // min/max bounds cannot — hash-distributed ids interleave, so
+    // every file's [min, max] spans the domain and only the bloom can
+    // prove a key absent. This spec oracles the RESULT of exactly
+    // that bloom-pruned plan; BloomIndexSpec pins the files-read
+    // metric (1 of N for a single key, 0 for a miss), the unindexed
+    // negative control, and sidecar vacuum-reachability.
+    QuerySpec(
+      "a49_bloom_point_lookup",
+      """SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE doc_id IN (3, 57, 4001, 999999123)""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a49", dir)
+      val cat = "graft_a49_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('bloomcolumns'='doc_id')""")
+      // Hash-distribute by doc_id: 8 files of interleaved ids, each
+      // carrying a bloom sidecar over doc_id.
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).repartition(8, col("doc_id"))
+        .createOrReplaceTempView("a49_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a49_src")
+      s.sql(s"""SELECT count(*) AS n, sum(n_chars) AS sum_chars,
+          sum(doc_id) AS sum_ids
+        FROM $cat.docs WHERE doc_id IN (3, 57, 4001, 999999123)""")
+    },
+
+    // DYNAMIC FILE PRUNING (DSv2 runtime filtering beyond row-level
+    // ops): the fact scan reports its partition/bloom columns as
+    // runtime-filterable, Spark plants a DPP subquery on the fact-dim
+    // join, and the dim's surviving keys prune fact FILES at
+    // execution time — the dim filter here is on a NON-join column
+    // (total parity), so no static predicate ever reaches the fact
+    // table. The oracle checks the result of exactly that
+    // runtime-pruned plan; BloomIndexSpec pins runtimeFilters + the
+    // files-read metric.
+    QuerySpec(
+      "a50_runtime_file_pruning",
+      """WITH d AS (
+        |  SELECT lang, count(*) AS total FROM documents GROUP BY lang
+        |)
+        |SELECT f.lang, count(*)::BIGINT AS n,
+        |  CAST(sum(f.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents f JOIN d ON f.lang = d.lang
+        |WHERE d.total % 2 = 1
+        |GROUP BY f.lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a50", dir)
+      val cat = "graft_a50_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.facts (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) PARTITIONED BY (lang)""")
+      s.sql(s"CREATE TABLE $cat.dims (lang STRING, total BIGINT)")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView("a50_src")
+      s.sql(s"""INSERT INTO $cat.facts SELECT * FROM a50_src
+        DISTRIBUTE BY lang""")
+      s.sql(s"""INSERT INTO $cat.dims
+        SELECT lang, count(*) FROM a50_src GROUP BY lang""")
+      s.sql(s"""SELECT f.lang, count(*) AS n, sum(f.n_chars) AS sum_chars
+        FROM $cat.facts f JOIN $cat.dims d ON f.lang = d.lang
+        WHERE d.total % 2 = 1
+        GROUP BY f.lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

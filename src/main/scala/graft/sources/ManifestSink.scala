@@ -252,7 +252,19 @@ object ManifestSink {
     * them as one unit or expiring a snapshot strands (or worse,
     * deletes early) the sidecar its reads depend on. */
   private[sources] def ownedNames(e: StagedFile): Seq[String] =
-    e.name +: e.dv.toSeq
+    e.name +: (e.dv.toSeq ++ e.bloomName.toSeq)
+
+  /** The table's bloom-indexed columns restricted to what a given
+    * write schema can actually index — the DML/rewrite paths use this
+    * (silently conservative) instead of the main write path's loud
+    * validation: a row-level rewrite must not start failing because a
+    * later ALTER TABLE made the property stale. */
+  private[sources] def bloomColsOf(props: Map[String, String],
+      schema: StructType): Seq[String] =
+    props.get("bloomcolumns").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(c => schema.fields.exists(f =>
+        f.name == c && BloomIndex.supported(f.dataType)))
 
   /** Deletion-vector sidecar format: one decimal byte offset per line,
     * ascending — trivially mergeable, human-debuggable, and line-framed
@@ -818,8 +830,13 @@ object ManifestSink {
               s.split(",").toSeq
             case _ => Nil
           }
+          val bloomCols = m.get("bloomcols") match {
+            case Some(NdjsonCodec.JsonStr(s)) if s.nonEmpty =>
+              s.split(",").toSeq
+            case _ => Nil
+          }
           Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
-            seq, sorted))
+            seq, sorted, bloomCols))
         case _ => None
       }
     }
@@ -1336,8 +1353,13 @@ object ManifestSink {
     val sorted = if (f.sorted.isEmpty) Nil
       else Seq("\"sorted\":\"" +
         NdjsonCodec.escape(f.sorted.mkString(",")) + "\"")
+    // Bloom-indexed columns (the sidecar name is derived from the data
+    // file's own name, so only the column list rides the manifest).
+    val bloom = if (f.bloomCols.isEmpty) Nil
+      else Seq("\"bloomcols\":\"" +
+        NdjsonCodec.escape(f.bloomCols.mkString(",")) + "\"")
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls ++ parts ++ dv ++ seq ++ sorted)
+      stats ++ nulls ++ parts ++ dv ++ seq ++ sorted ++ bloom)
       .mkString("{", ",", "}")
   }
 
@@ -2689,6 +2711,24 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .getOrElse(Nil)
     sortBy.foreach(c => require(info.schema().fields.exists(_.name == c),
       s"sortBy column '$c' is not in the written schema"))
+    // `bloomColumns` (write option or table property, comma list):
+    // every written file carries a bloom sidecar over these columns,
+    // so point lookups skip files whose index proves the value absent
+    // (see [[BloomIndex]]). Validated loudly here — a typo'd column
+    // would otherwise silently index nothing forever.
+    val bloomCols = Option(info.options().get("bloomcolumns"))
+      .orElse(tableProps.get("bloomcolumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    bloomCols.foreach { c =>
+      val fld = info.schema().fields.find(_.name == c)
+      require(fld.isDefined,
+        s"bloomColumns column '$c' is not in the written schema")
+      require(BloomIndex.supported(fld.get.dataType),
+        s"bloomColumns column '$c' (${fld.get.dataType}) is not " +
+          "bloom-indexable — integral, string, date and timestamp only " +
+          "(float/double/decimal equality is not a point-lookup shape)")
+    }
     new ManifestWriteBuilder(path, info.schema(), info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
@@ -2696,7 +2736,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       distributeByPartition = distribute,
       txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty),
       sortBy = sortBy,
-      commitTag = Option(info.options().get("committag")).filter(_.nonEmpty))
+      commitTag = Option(info.options().get("committag")).filter(_.nonEmpty),
+      bloomCols = bloomCols)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -2836,7 +2877,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
         val keyed = entries.map { e =>
           val vals = groupCols.map(c => tupleValue(e, c))
           if (vals.exists(_.isEmpty)) return None // unprovable tuple
-          (vals.map(_.get._1).mkString(" "),
+          (vals.map(_.get._1).mkString("\u0000"),
             vals.map(_.get._2), e)
         }
         keyed.groupBy(_._1).toSeq.sortBy(_._1)
@@ -3241,12 +3282,37 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * Conservative: an unrecognized predicate shape filters nothing. */
   @volatile private var runtimeFileSubset: Option[Set[String]] = None
 
+  /** Columns bloom-indexed on at least one committed entry of the
+    * scanned snapshot — these are runtime-prunable even when min/max
+    * bounds are useless (interleaved high-cardinality values). */
+  private lazy val bloomedCols: Seq[String] =
+    try ManifestSink.resolveEntries(path,
+        ManifestSink.manifestTextAt(path, version))
+      .flatMap(_.bloomCols).distinct
+    catch { case _: Exception => Nil }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (rowLevel.isDefined || fileFilter)
       Array(org.apache.spark.sql.connector.expressions.Expressions.column(
         ManifestSink.FileColumn))
-    else Array.empty
+    else if (changeFeed || startingVersion.isDefined) Array.empty
+    else
+      // DYNAMIC FILE PRUNING (the DSv2 dynamic-partition-pruning
+      // shape): report the columns whose runtime IN-sets this scan can
+      // actually prune on — partition-transform sources (identity
+      // bounds / bucket ids) and bloom-indexed columns. Spark's
+      // PartitionPruning rule then plants a DPP subquery on a
+      // fact-dim join keyed by one of these, and [[filter]] receives
+      // the dim side's surviving keys at runtime — a selective dim
+      // filter prunes fact FILES no static predicate could. At 100 TB
+      // this is the difference between scanning a full fact table and
+      // opening only the joined partitions.
+      (partSpecs.map(_.col) ++ bloomedCols).distinct
+        .filter(c => full.fieldNames.contains(c))
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions
+          .column(c): org.apache.spark.sql.connector.expressions.NamedReference)
+        .toArray
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
@@ -3273,6 +3339,82 @@ private[sources] class ManifestScan(path: String, full: StructType,
     }
     val sets = predicates.flatMap(names)
     if (sets.nonEmpty) runtimeFileSubset = Some(sets.reduce(_ intersect _))
+    // Runtime DATA filters (dynamic file pruning): an =/IN on a
+    // reported data column re-enters the SAME planning stack the
+    // static pushdown uses — bounds (mayMatch), bucket ids, blooms —
+    // so every pruning proof the format knows is applied to the
+    // runtime key set too. Unrecognized shapes filter nothing.
+    val dataFs = predicates.flatMap(toV1Runtime)
+    if (dataFs.nonEmpty) runtimeDataFilters = dataFs
+  }
+
+  @volatile private var runtimeDataFilters: Array[sources.Filter] =
+    Array.empty
+
+  /** Catalyst-domain literal (what connector [[Literal]]s carry) to
+    * the external/Java domain `sources.Filter` values use; None =
+    * un-convertible, drop the filter (conservative). */
+  private def catalystToExternal(dt: DataType, v: Any): Option[Any] =
+    if (v == null) None
+    else dt match {
+      case StringType => Some(String.valueOf(v))
+      case DateType => v match {
+        case d: java.lang.Integer =>
+          Some(java.time.LocalDate.ofEpochDay(d.longValue))
+        case _ => None
+      }
+      case TimestampType => v match {
+        case t: java.lang.Long => Some(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(t.longValue, 1000000L),
+          Math.floorMod(t.longValue, 1000000L) * 1000L))
+        case _ => None
+      }
+      case _: DecimalType => v match {
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+        case _ => None
+      }
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => v match {
+        case n: Number => Some(n)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def toV1Runtime(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 &&
+          r.fieldNames()(0) != ManifestSink.FileColumn =>
+        full.fields.find(_.name == r.fieldNames()(0)).map(_.name)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty =>
+        colOf(p.children()(0)).flatMap { c =>
+          val dt = full.fields.find(_.name == c).get.dataType
+          val vs = p.children().drop(1).map {
+            case l: Literal[_] => catalystToExternal(dt, l.value())
+            case _ => None
+          }
+          if (vs.isEmpty || vs.exists(_.isEmpty)) None
+          else Some(sources.In(c, vs.map(_.get)))
+        }
+      case "=" if p.children().length == 2 =>
+        for {
+          c <- colOf(p.children()(0))
+          l <- p.children()(1) match {
+            case l: Literal[_] => Some(l)
+            case _ => None
+          }
+          v <- catalystToExternal(
+            full.fields.find(_.name == c).get.dataType, l.value())
+        } yield sources.EqualTo(c, v)
+      case _ => None
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -3345,9 +3487,42 @@ private[sources] class ManifestScan(path: String, full: StructType,
   @volatile private var examinedEntries = 0L
   @volatile private var plannedEntries = 0L
 
+  /** Bloom-index file skipping: an =/IN literal on an indexed column
+    * whose per-file bloom proves the value absent drops the file —
+    * the point-lookup win on columns whose values interleave across
+    * files (bounds keep everything, the bloom does not). The sidecar
+    * is loaded lazily (only for entries that survived every cheaper
+    * proof AND only when the filter actually touches an indexed
+    * column) through [[BloomIndex.load]]'s driver soft cache.
+    * Conservative everywhere else: unindexed column, missing sidecar,
+    * un-normalizable literal, non-equality shapes all keep the file.
+    * Sound under merge-on-read: DVs and equality deletes only DROP
+    * rows, so absent-from-physical implies absent-from-live. */
+  private def bloomKeep(e: StagedFile, f: sources.Filter): Boolean = {
+    if (e.bloomCols.isEmpty) return true
+    lazy val blooms = BloomIndex.load(path, e.name)
+    def litAbsent(c: String, v: Any): Boolean =
+      e.bloomCols.contains(c) && {
+        full.fields.find(_.name == c).map(_.dataType).exists(dt =>
+          BloomIndex.supported(dt) &&
+            BloomIndex.hashPairExternal(dt, v).exists(h =>
+              blooms.get(c).exists(b => !b.mightContain(h))))
+      }
+    f match {
+      case sources.EqualTo(c, v) => !litAbsent(c, v)
+      case sources.In(c, vs) => vs.isEmpty || vs.exists(v => !litAbsent(c, v))
+      case sources.And(a, b) => bloomKeep(e, a) && bloomKeep(e, b)
+      case sources.Or(a, b) => bloomKeep(e, a) || bloomKeep(e, b)
+      case _ => true
+    }
+  }
+
   private def survivingEntries: Seq[StagedFile] = {
+    // Static pushdown plus whatever runtime key sets [[filter]]
+    // delivered — both prune through the same proofs.
+    val activeFilters: Array[sources.Filter] = pushed ++ runtimeDataFilters
     def boundsKeep(e: StagedFile): Boolean =
-      pushed.forall(f => ManifestStats.mayMatch(full, e, f))
+      activeFilters.forall(f => ManifestStats.mayMatch(full, e, f))
     // fileSubset (internal, mergeInto's read half): restrict the scan
     // to named committed files — the copy-on-write rewrite reads ONLY
     // the files it will replace. Applies to ENTRIES; a segment summary
@@ -3355,7 +3530,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
     def keep(e: StagedFile): Boolean =
       fileSubset.forall(_.contains(e.name)) &&
         runtimeFileSubset.forall(_.contains(e.name)) && boundsKeep(e) &&
-        pushed.forall(f => bucketKeep(e, f))
+        activeFilters.forall(f => bucketKeep(e, f) && bloomKeep(e, f))
     val txt = ManifestSink.manifestTextAt(path, version)
     var examined = 0L
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
@@ -3483,14 +3658,23 @@ private[sources] class ManifestScan(path: String, full: StructType,
       eqs.filter(_.seq > f.seq).map(d => EqRef(d.name, d.cols))
     keyedEntries match {
       case Some(keyed) =>
-        keyed.flatMap { case (f, key, _) =>
-          ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f)).map {
-            case p: ManifestFilePartition =>
-              KeyedManifestFilePartition(p.file, p.start, p.end, key,
-                p.dv, p.eq): InputPartition
-            case p => p
-          }
-        }.toArray
+        // Runtime filters (row-level group filtering, dynamic file
+        // pruning) arrive AFTER outputPartitioning forced this lazy
+        // val — a replan must re-intersect with the CURRENT surviving
+        // set, or a key-grouped scan would silently ignore them and
+        // (on the row-level path) read files the rewrite never
+        // retires. Spark tolerates dropped keys: missing partition
+        // values plan as empty partitions.
+        val live = survivingEntries.map(_.name).toSet
+        keyed.filter { case (f, _, _) => live.contains(f.name) }
+          .flatMap { case (f, key, _) =>
+            ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f)).map {
+              case p: ManifestFilePartition =>
+                KeyedManifestFilePartition(p.file, p.start, p.end, key,
+                  p.dv, p.eq): InputPartition
+              case p => p
+            }
+          }.toArray
       case None =>
         survivingEntries.flatMap(f =>
           ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f))).toArray
@@ -3927,7 +4111,10 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     // commit SELF-DESCRIBING in history — materialized-view refresh
     // stamps its folded delta range here, so a crashed refresh is
     // recoverable from the MV's own commit log.
-    commitTag: Option[String] = None)
+    commitTag: Option[String] = None,
+    // Columns to bloom-index on every written file (table property /
+    // write option `bloomColumns`) — see [[BloomIndex]].
+    bloomCols: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -3979,7 +4166,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       distributeByPartition = distributeByPartition, txnStage = txnStage,
-      sortBy = sortBy, commitTag = commitTag)
+      sortBy = sortBy, commitTag = commitTag, bloomCols = bloomCols)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -3995,17 +4182,18 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = false, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       dynamicOverwrite = true, distributeByPartition = distributeByPartition,
-      txnStage = txnStage, sortBy = sortBy, commitTag = commitTag)
+      txnStage = txnStage, sortBy = sortBy, commitTag = commitTag,
+      bloomCols = bloomCols)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
-      sortBy, commitTag)
+      sortBy, commitTag, bloomCols)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
-      maxSegments, partCols, sortBy)
+      maxSegments, partCols, sortBy, bloomCols)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -4028,14 +4216,14 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     // silver table claims `sorted` exactly like a batch-written one
     // and its downstream merge joins plan sort-free. Epoch replays
     // regenerate the same rows in the same order: same stamp.
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path, s".staging-$queryId"))
     new ManifestStreamingWriterFactory(path, queryId, schema, partCols,
-      sortBy)
+      sortBy, bloomCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4060,6 +4248,11 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
         .partition(_.name.startsWith(epochPrefix))
       val winnerNames = winners.map(_.name).toSet
       winners.foreach { f =>
+        // Bloom sidecar rides its data file's publish (a staged DV
+        // never exists on these paths — vectors commit elsewhere).
+        f.bloomName.foreach(n => Files.move(staging.resolve(n),
+          dir.resolve(n), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING))
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
@@ -4088,7 +4281,8 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
       // deletion defers to expireSnapshots.
       if (!retain)
         stale.filterNot(f => winnerNames.contains(f.name))
-          .foreach(f => Files.deleteIfExists(dir.resolve(f.name)))
+          .foreach(f => ManifestSink.ownedNames(f)
+            .foreach(n => Files.deleteIfExists(dir.resolve(n))))
       // Bound the manifest: without this, a long-running stream
       // accretes one entry per (epoch × partition) forever and the
       // wholesale manifest rewrite above grows without limit. Inside
@@ -4105,22 +4299,24 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     val staging = Paths.get(path, s".staging-$queryId")
     StagedFileSet.all(messages.filter(_ != null)).foreach { f =>
       Files.deleteIfExists(staging.resolve(f.name))
+      f.bloomName.foreach(n => Files.deleteIfExists(staging.resolve(n)))
     }
   }
 }
 
 private[sources] class ManifestStreamingWriterFactory(path: String,
     queryId: String, schema: StructType, partCols: Seq[String] = Nil,
-    sortBy: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        Some(epochId), sortedCols = sortBy)
+        Some(epochId), sortedCols = sortBy, bloomCols = bloomCols)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
-        partitionId, taskId, Some(epochId), sortedCols = sortBy)
+        partitionId, taskId, Some(epochId), sortedCols = sortBy,
+        bloomCols = bloomCols)
 }
 
 /** Per-file column bounds, parquet-footer style: `min`/`max` are the
@@ -4170,9 +4366,18 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // per-partition sorts. Deletion vectors and equality deletes only
     // DROP rows, so they never invalidate it; compaction CONCATENATES,
     // so merged entries drop it.
-    sorted: Seq[String] = Nil)
+    sorted: Seq[String] = Nil,
+    // Columns indexed by the file's bloom SIDECAR (`<name>.bloom` —
+    // see [[BloomIndex]]): recorded here so planning knows, without a
+    // filesystem probe per candidate file, whether a point-lookup
+    // filter is worth a sidecar read. Empty = no index, no skipping.
+    // DVs/equality deletes only DROP rows so they never invalidate a
+    // bloom; compaction concatenates into new files and drops it.
+    bloomCols: Seq[String] = Nil)
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
+  def bloomName: Option[String] =
+    if (bloomCols.isEmpty) None else Some(BloomIndex.sidecarName(name))
 }
 
 /** A partitioned task commits SEVERAL staged files (one per partition
@@ -4210,7 +4415,9 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     sortBy: Seq[String] = Nil,
     // Commit provenance-tag override (write option `commitTag`) — see
     // [[ManifestWriteBuilder]].
-    commitTag: Option[String] = None)
+    commitTag: Option[String] = None,
+    // Bloom-indexed columns for written files — see [[BloomIndex]].
+    bloomCols: Seq[String] = Nil)
     extends BatchWrite {
   private val publishTag: String = commitTag.getOrElse(queryId)
   // Direct-construction convenience (tests, internal callers).
@@ -4224,7 +4431,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(staging)
-    new ManifestWriterFactory(path, queryId, schema, partCols, sortBy)
+    new ManifestWriterFactory(path, queryId, schema, partCols, sortBy,
+      bloomCols)
   }
 
   /** Driver-side publish: exactly the winner attempts move into place;
@@ -4337,6 +4545,11 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         if (truncate) Seq.empty
         else priorAll.filterNot(f => retireNames.contains(f.name))
       winners.foreach { f =>
+        // Bloom sidecar rides its data file's publish (a staged DV
+        // never exists on this path — vectors commit elsewhere).
+        f.bloomName.foreach(n => Files.move(staging.resolve(n),
+          dir.resolve(n), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING))
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       }
@@ -4419,14 +4632,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 
 private[sources] class ManifestWriterFactory(path: String, queryId: String,
     schema: StructType, partCols: Seq[String] = Nil,
-    sortBy: Seq[String] = Nil) extends DataWriterFactory {
+    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        sortedCols = sortBy)
+        sortedCols = sortBy, bloomCols = bloomCols)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
-        partitionId, taskId, sortedCols = sortBy)
+        partitionId, taskId, sortedCols = sortBy, bloomCols = bloomCols)
 }
 
 /** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
@@ -4440,7 +4654,7 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
     epochId: Option[Long] = None, suffix: String = "",
-    sortedCols: Seq[String] = Nil)
+    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   // `suffix` distinguishes a partitioned task's per-tuple files. It is a
   // pure function of the partition VALUES, so streaming names stay
@@ -4578,6 +4792,33 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   private val isStringField: Array[Boolean] =
     schema.fields.map(_.dataType == StringType)
 
+  // BLOOM INDEX buffers (see [[BloomIndex]]): one growable array of
+  // packed hash pairs per configured, supported column — the filter is
+  // sized exactly at commit (m from the real key count), so the write
+  // path buffers 8 bytes per non-null value instead of guessing a
+  // size. A column that exceeds [[BloomIndex.MaxKeys]] stands down
+  // (buffer freed, no index) — a saturated bloom skips nothing and
+  // still costs planning a sidecar read.
+  private final class HashBuf {
+    var a: Array[Long] = new Array[Long](1024)
+    var n = 0
+    var alive = true
+    def add(h: Long): Unit =
+      if (alive) {
+        if (n == BloomIndex.MaxKeys) { alive = false; a = null }
+        else {
+          if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+          a(n) = h
+          n += 1
+        }
+      }
+  }
+  private val bloomIdx: Array[Int] = bloomCols
+    .flatMap(c => schema.fields.zipWithIndex.collect {
+      case (f, i) if f.name == c && BloomIndex.supported(f.dataType) => i
+    }).toArray
+  private val bloomBufs: Array[HashBuf] = bloomIdx.map(_ => new HashBuf)
+
   override def write(record: InternalRow): Unit = {
     if (sortValid) checkSorted(record)
     if (schema.fields.isEmpty) out.write('{') // zero-column degenerate row
@@ -4611,6 +4852,16 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     }
     out.write('}')
     out.write('\n')
+    var b = 0
+    while (b < bloomIdx.length) {
+      val i = bloomIdx(b)
+      if (!record.isNullAt(i))
+        // Hash immediately — the UTF8String is a view into a buffer
+        // Spark reuses across rows, so nothing here may retain it.
+        bloomBufs(b).add(BloomIndex.hashPair(schema.fields(i).dataType,
+          record.get(i, schema.fields(i).dataType)))
+      b += 1
+    }
     rows += 1
   }
 
@@ -4648,12 +4899,31 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
             hasNan = nanSeen(i)))
       }
     }
+    // Bloom sidecar: built at commit from the buffered hash pairs (m
+    // sized from the real key count), staged attempt-unique, then
+    // atomically claimed under the data file's canonical sidecar name
+    // — the same zombie-attempt discipline as the data file itself.
+    val builtBlooms = bloomIdx.indices.flatMap { b =>
+      val buf = bloomBufs(b)
+      if (!buf.alive || buf.n == 0) None
+      else BloomIndex.build(buf.a, buf.n)
+        .map(schema.fields(bloomIdx(b)).name -> _)
+    }
+    if (builtBlooms.nonEmpty) {
+      val attempt = staging.resolve(
+        BloomIndex.sidecarName(stagedName) + s".a$taskId")
+      Files.write(attempt, BloomIndex.renderSidecar(builtBlooms)
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(attempt, staging.resolve(BloomIndex.sidecarName(name)),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     // Size recorded here (one executor-local stat of a file we just
     // wrote) so the scan never has to ask the filesystem at plan time.
     StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap,
-      sorted = if (sortValid) sortedCols else Nil)
+      sorted = if (sortValid) sortedCols else Nil,
+      bloomCols = builtBlooms.map(_._1))
   }
 
   override def abort(): Unit = {
@@ -4661,6 +4931,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     // Only this attempt's staged bytes — never the deterministic name a
     // winning attempt may already have claimed.
     Files.deleteIfExists(file)
+    Files.deleteIfExists(staging.resolve(
+      BloomIndex.sidecarName(stagedName) + s".a$taskId"))
   }
 
   override def close(): Unit = ()
@@ -4684,7 +4956,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
 private[sources] class PartitionedNdjsonDataWriter(path: String,
     queryId: String, schema: StructType, partCols: Seq[String],
     partitionId: Int, taskId: Long, epochId: Option[Long] = None,
-    sortedCols: Seq[String] = Nil)
+    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
   private val specs: Array[PartSpec] = PartSpec.parseAll(partCols).toArray
   private val idx: Array[Int] = specs.map(sp => schema.fieldIndex(sp.col))
@@ -4744,7 +5016,8 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
       // A per-tuple child sees a SUBSEQUENCE of the task's sorted
       // stream — still sorted, so the stamp carries through.
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        epochId, suffix = "-p" + digest(key), sortedCols = sortedCols)
+        epochId, suffix = "-p" + digest(key), sortedCols = sortedCols,
+        bloomCols = bloomCols)
     }).write(record)
   }
 

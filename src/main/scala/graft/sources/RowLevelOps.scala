@@ -87,7 +87,10 @@ private[sources] class GraftRowLevelOperation(path: String,
       partCols = partCols,
       replaceFiles = () => planned.getOrElse(throw new IllegalStateException(
         s"row-level $cmd write on $path committed before its scan planned " +
-          "the affected file set — cannot determine which files to retire")))
+          "the affected file set — cannot determine which files to retire")),
+      // Rewritten files keep the table's bloom indexing — a point
+      // lookup must stay prunable across UPDATE/MERGE churn.
+      bloomCols = ManifestSink.bloomColsOf(props, info.schema()))
   }
 }
 
@@ -143,6 +146,7 @@ private[sources] class GraftPositionDeltaOperation(path: String,
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new DvDeltaWrite(path, info.schema(), info.queryId(), partCols,
+          bloomCols = ManifestSink.bloomColsOf(props, info.schema()),
           retain = props.get("retainhistory").exists(_.toBoolean),
           scannedDvs = () => scanned.getOrElse(throw new IllegalStateException(
             s"merge-on-read $cmd write on $path committed before its scan " +
@@ -152,11 +156,13 @@ private[sources] class GraftPositionDeltaOperation(path: String,
 
 private[sources] class DvDeltaWrite(path: String, schema: StructType,
     queryId: String, partCols: Seq[String], retain: Boolean,
-    scannedDvs: () => Map[String, Option[String]])
+    scannedDvs: () => Map[String, Option[String]],
+    bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite =
-    new DvDeltaBatchWrite(path, schema, queryId, partCols, retain, scannedDvs)
+    new DvDeltaBatchWrite(path, schema, queryId, partCols, retain,
+      scannedDvs, bloomCols)
 }
 
 /** Task-side commit message: the byte offsets this task deleted per
@@ -172,7 +178,8 @@ private[sources] final case class DvDelta(deletes: Map[String, Array[Long]],
 
 private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
     queryId: String, partCols: Seq[String], retain: Boolean,
-    scannedDvs: () => Map[String, Option[String]])
+    scannedDvs: () => Map[String, Option[String]],
+    bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import java.nio.file.{Files, Paths}
 
@@ -182,7 +189,8 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     Files.createDirectories(staging)
-    val inserts = new ManifestWriterFactory(path, queryId, schema, partCols)
+    val inserts = new ManifestWriterFactory(path, queryId, schema, partCols,
+      bloomCols = bloomCols)
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[
@@ -281,6 +289,9 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
       // like the batch committer — invisible until the manifest names
       // them, orphaned (staging-swept) on a crash.
       winners.foreach { f =>
+        f.bloomName.foreach(n => Files.move(staging.resolve(n),
+          dir.resolve(n), java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
         Files.move(staging.resolve(f.name), dir.resolve(f.name),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
