@@ -2056,6 +2056,41 @@ object IncrementalQueries {
         GROUP BY f.lang""")
     },
 
+    // SCHEMA EVOLUTION WITHOUT REWRITE ([[SchemaEvolution]]): half the
+    // corpus is written under VINTAGE column names and an INT width,
+    // then the columns are RENAMED and WIDENED (metadata-only — zero
+    // data bytes rewritten), and the other half lands under the new
+    // schema. The aggregate must fold BOTH vintages identically to one
+    // table that never evolved: payload keys resolve through the
+    // rename log, stat tokens re-parse under the wider type.
+    // SchemaEvolutionSpec pins the machinery (stats pruning, bloom,
+    // eqdeletes, sort stamps, partition pruning across a rename).
+    QuerySpec(
+      "a51_rename_widen",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a51", dir)
+      val cat = "graft_a51_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"CREATE TABLE $cat.docs (id BIGINT, lng STRING, sz INT)")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", "lang", "CAST(n_chars AS INT) AS n_chars")
+        .createOrReplaceTempView("a51_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a51_src WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $cat.docs RENAME COLUMN id TO doc_id")
+      s.sql(s"ALTER TABLE $cat.docs RENAME COLUMN lng TO lang")
+      s.sql(s"ALTER TABLE $cat.docs ALTER COLUMN sz TYPE BIGINT")
+      s.sql(s"ALTER TABLE $cat.docs RENAME COLUMN sz TO n_chars")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a51_src WHERE doc_id % 2 = 1")
+      s.sql(s"""SELECT lang, count(*) AS n,
+          sum(doc_id) AS sum_ids, sum(n_chars) AS sum_chars
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -259,9 +259,14 @@ class GraftCatalog extends TableCatalog
     * read time and a missing key reads as null, so ADD (nullable)
     * COLUMNS needs no data rewrite — old files serve nulls; DROP
     * narrows the read schema — old files' extra keys are parsed past
-    * and discarded. RENAME is rejected: it would silently null out
-    * every pre-rename file's column (name-keyed payloads have no
-    * field ids — the Iceberg feature this format trades away). */
+    * and discarded. RENAME appends to the table's rename log
+    * ([[SchemaEvolution]]): old files keep their vintage payload keys
+    * and every name-keyed read path resolves through the log, so the
+    * rename is metadata-only even against a million committed files.
+    * Type changes accept WIDENING upcasts only (int-family, float →
+    * double): text payloads and stat tokens re-parse exactly under the
+    * wider type; bucket-source columns refuse (bucket hashing is
+    * width-sensitive). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (!Files.exists(metaPath(dir)))
@@ -274,6 +279,13 @@ class GraftCatalog extends TableCatalog
           "nested column adds are not supported (payload rows are flat)")
         val col = add.fieldNames()(0)
         require(!schema.fieldNames.contains(col), s"column '$col' exists")
+        // A name any rename step ever used is RETIRED: files written
+        // under it still carry its payload key, which would leak into
+        // the new column.
+        require(!SchemaEvolution.logNames(
+            SchemaEvolution.parseLog(props)).contains(col),
+          s"column name '$col' was used by an earlier RENAME and is " +
+            "retired (pre-rename files still carry it); pick a fresh name")
         require(add.isNullable,
           s"added column '$col' must be nullable: files written before " +
             "the ALTER read it as null")
@@ -293,14 +305,66 @@ class GraftCatalog extends TableCatalog
         require(!PartSpec.parseAll(partCols).exists(_.col == col),
           s"cannot drop partition column '$col'")
         schema = StructType(schema.fields.filterNot(_.name == col))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "nested renames unsupported")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from), s"no column '$from'")
+        require(!schema.fieldNames.contains(to), s"column '$to' exists")
+        val log = SchemaEvolution.parseLog(props)
+        require(!SchemaEvolution.logNames(log).contains(to),
+          s"column name '$to' was used by an earlier RENAME and is " +
+            "retired (pre-rename files still carry it); pick a fresh name")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        // Partition specs and the bloom-column declaration follow the
+        // rename; per-file metadata (manifest entries, sidecars, key
+        // files) stays vintage on disk and normalizes at read.
+        val step = Map(from -> to)
+        partCols = partCols.map(SchemaEvolution.renameSpec(_, step))
+        props.get("bloomcolumns").foreach { bc =>
+          props = props + ("bloomcolumns" -> bc.split(",").map(_.trim)
+            .map(c => if (c == from) to else c).mkString(","))
+        }
+        props = props +
+          (SchemaEvolution.PropKey -> SchemaEvolution.renderLog(log :+ (from -> to)))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "nested type changes unsupported")
+        val col = upd.fieldNames()(0)
+        val fld = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no column '$col'"))
+        val to = upd.newDataType()
+        require(SchemaEvolution.canWiden(fld.dataType, to),
+          s"only widening type changes are supported " +
+            s"(${fld.dataType.simpleString} -> ${to.simpleString} is not): " +
+            "text payloads re-parse exactly under a wider type; anything " +
+            "else would need a data rewrite")
+        // Bucket hashing is WIDTH-SENSITIVE (Murmur3 over the Catalyst
+        // value): widening a bucket-source column would split one
+        // logical key across two bucket ids, corrupting bucket pruning
+        // and storage-partitioned joins on pre-widen files.
+        require(!PartSpec.parseAll(partCols).exists {
+          case BucketPart(_, c) => c == col
+          case _ => false
+        }, s"cannot widen bucket-source column '$col': bucket hashes are " +
+          "width-sensitive, pre-widen files would stop matching their buckets")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == col) f.copy(dataType = to) else f))
       case set: TableChange.SetProperty =>
+        require(set.property().toLowerCase != SchemaEvolution.PropKey,
+          s"'${SchemaEvolution.PropKey}' is maintained by ALTER TABLE " +
+            "RENAME COLUMN and cannot be set directly")
         props = props + (set.property().toLowerCase -> set.value())
       case rm: TableChange.RemoveProperty =>
+        require(rm.property().toLowerCase != SchemaEvolution.PropKey,
+          s"'${SchemaEvolution.PropKey}' is maintained by ALTER TABLE " +
+            "RENAME COLUMN and cannot be unset (pre-rename files resolve " +
+            "through it)")
         props = props - rm.property().toLowerCase
       case other =>
         throw new UnsupportedOperationException(
-          s"unsupported ALTER: $other (rename/retype would silently " +
-            "orphan name-keyed payload data)")
+          s"unsupported ALTER: $other (non-widening retypes would " +
+            "silently orphan name-keyed payload data)")
     }
     writeMeta(dir, schema, partCols, props, overwrite = true)
     new ManifestTable(dir.toString, schema, None, partCols, props)

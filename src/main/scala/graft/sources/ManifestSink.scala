@@ -332,9 +332,16 @@ object ManifestSink {
     * the SAME typed NDJSON writer, so identical values produce
     * identical literals. */
   private[sources] def eqKeyOf(m: collection.Map[String, NdjsonCodec.JsonVal],
-      cols: Seq[String]): String =
+      cols: Seq[String],
+      // current column name -> historic payload-key candidates
+      // ([[SchemaEvolution.aliases]]): lines written before a RENAME
+      // carry the old key, and at most one candidate appears per line
+      // (retired names are never re-added).
+      aliases: Map[String, Seq[String]] = Map.empty): String =
     cols.map { c =>
-      val seg = m.get(c) match {
+      val v = m.get(c).orElse(
+        aliases.getOrElse(c, Nil).iterator.flatMap(m.get(_)).nextOption())
+      val seg = v match {
         case Some(NdjsonCodec.JsonStr(s)) => "s:" + s
         case Some(NdjsonCodec.JsonTok(t)) => "t:" + t
         case _ => "n"
@@ -367,10 +374,17 @@ object ManifestSink {
   /** Load an equality-delete file's key set (small by contract: a
     * tombstone batch, never a data file), through the executor cache. */
   private[sources] def eqKeySet(dir: String, name: String,
-      cols: Seq[String]): java.util.HashSet[String] = {
+      cols: Seq[String],
+      aliases: Map[String, Seq[String]] = Map.empty)
+      : java.util.HashSet[String] = {
     val p = Paths.get(dir, name)
     val mtime = Files.getLastModifiedTime(p).toMillis
-    val key = p.toAbsolutePath.normalize.toString + "#" + cols.mkString(",")
+    // The alias sets participate in the parse (a tombstone file written
+    // before a RENAME carries vintage keys), so they key the cache too:
+    // a post-rename scan must not serve a pre-rename parse.
+    val akey = cols.flatMap(c => aliases.getOrElse(c, Nil)).mkString("|")
+    val key = p.toAbsolutePath.normalize.toString + "#" + cols.mkString(",") +
+      "#" + akey
     val cached = eqKeySetCache.get(key)
     if (cached != null && cached._1 == mtime) {
       val v = cached._2.get()
@@ -380,7 +394,8 @@ object ManifestSink {
     val set = new java.util.HashSet[String]()
     Files.readAllLines(p, StandardCharsets.UTF_8)
       .forEach { ln =>
-        if (ln.nonEmpty) set.add(eqKeyOf(NdjsonCodec.parseLine(ln), cols))
+        if (ln.nonEmpty)
+          set.add(eqKeyOf(NdjsonCodec.parseLine(ln), cols, aliases))
       }
     eqKeySetCache.put(key,
       (mtime, new java.lang.ref.SoftReference(set)))
@@ -393,7 +408,8 @@ object ManifestSink {
     * number of lines written (exact live count for the merged entry). */
   private[sources] def copyLiveLinesFiltered(src: Path, dead: Array[Long],
       eqFilters: Seq[(Seq[String], java.util.HashSet[String])],
-      out: java.io.OutputStream): Long = {
+      out: java.io.OutputStream,
+      aliases: Map[String, Seq[String]] = Map.empty): Long = {
     val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
     var kept = 0L
     try {
@@ -410,7 +426,7 @@ object ManifestSink {
           val parsed = NdjsonCodec.parseLine(
             new String(line, StandardCharsets.UTF_8))
           !eqFilters.exists { case (cols, keys) =>
-            keys.contains(eqKeyOf(parsed, cols))
+            keys.contains(eqKeyOf(parsed, cols, aliases))
           }
         })
         if (keep && line.nonEmpty) {
@@ -428,7 +444,8 @@ object ManifestSink {
     * `targetRows`, so the whole group fits comfortably in driver
     * memory (the concat path stays streaming). */
   private[sources] def collectLiveLines(src: Path, dead: Array[Long],
-      eqFilters: Seq[(Seq[String], java.util.HashSet[String])])
+      eqFilters: Seq[(Seq[String], java.util.HashSet[String])],
+      aliases: Map[String, Seq[String]] = Map.empty)
       : Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
     val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
@@ -446,7 +463,7 @@ object ManifestSink {
           val parsed = NdjsonCodec.parseLine(
             new String(line, StandardCharsets.UTF_8))
           !eqFilters.exists { case (cols, keys) =>
-            keys.contains(eqKeyOf(parsed, cols))
+            keys.contains(eqKeyOf(parsed, cols, aliases))
           }
         })
         if (keep) out += line
@@ -463,11 +480,13 @@ object ManifestSink {
     * order, which diverges above the BMP). The typed writer never
     * mixes token kinds within one column, so the number-before-string
     * rank is only a tiebreak that cannot fire on real data. */
-  private[sources] def lineSortKey(line: Array[Byte], cols: Seq[String])
+  private[sources] def lineSortKey(line: Array[Byte], cols: Seq[String],
+      aliases: Map[String, Seq[String]] = Map.empty)
       : Seq[(Int, Any)] = {
     val m = NdjsonCodec.parseLine(new String(line, StandardCharsets.UTF_8))
     cols.map { c =>
-      m.get(c) match {
+      m.get(c).orElse(
+          aliases.getOrElse(c, Nil).iterator.flatMap(m.get(_)).nextOption()) match {
         case None | Some(NdjsonCodec.JsonNull) => (0, null)
         case Some(NdjsonCodec.JsonTok(t)) =>
           try (1, new java.math.BigDecimal(t): Any)
@@ -566,8 +585,11 @@ object ManifestSink {
         }
     }
 
-  private[sources] def committedEqDeletes(dir: String): Seq[EqDelete] =
+  private[sources] def committedEqDeletes(dir: String): Seq[EqDelete] = {
+    val cur = SchemaEvolution.currentNamesAt(dir)
     parseEqDeletes(manifestText(dir, ManifestName))
+      .map(SchemaEvolution.normalizeEqDelete(_, cur))
+  }
 
   /** Pending equality-delete tombstone file names (public: tests and
     * operational tooling inspect the merge-on-read debt). */
@@ -581,9 +603,18 @@ object ManifestSink {
     * data-invisibility class as the round-9 brace bug; an absent
     * pointer is an empty table, an absent referenced segment is
     * corruption or a concurrent-GC race and must be loud). */
-  private[sources] def resolveEntries(dir: String, txt: String): Seq[StagedFile] =
-    segmentRefsFull(txt).flatMap(r =>
+  private[sources] def resolveEntries(dir: String, txt: String): Seq[StagedFile] = {
+    val raw = segmentRefsFull(txt).flatMap(r =>
       parseEntries(segmentTextStrict(dir, r.name))) ++ parseEntries(txt)
+    // Normalize name-keyed metadata to CURRENT column names (see
+    // [[SchemaEvolution]]) — this one chokepoint makes bounds pruning,
+    // metadata-only DELETE, aggregate pushdown, SPJ tuples and sort
+    // stamps rename-transparent, including against pre-rename
+    // manifests reached by time travel. Identity-fast when the table
+    // never renamed.
+    val cur = SchemaEvolution.currentNamesAt(dir)
+    if (cur.isEmpty) raw else raw.map(SchemaEvolution.normalizeEntry(_, cur))
+  }
 
   private[sources] def segmentTextStrict(dir: String, name: String): String = {
     val p = Paths.get(dir, name)
@@ -1145,13 +1176,17 @@ object ManifestSink {
     locally {
       val entries = committedEntries(dir)
       val eqDeletes = committedEqDeletes(dir)
+      // Post-rename reads resolve vintage payload keys (data lines AND
+      // tombstone key files keep the names they were written under).
+      val aliases = SchemaEvolution.aliasesAt(dir)
       // Equality-delete key sets load lazily, once per delete file —
       // they are tombstone batches (small by contract), and only the
       // deletes some merged member actually predates are read.
       val eqSets = collection.mutable.HashMap[String, java.util.HashSet[String]]()
       def filtersFor(e: StagedFile): Seq[(Seq[String], java.util.HashSet[String])] =
         eqDeletes.filter(_.seq > e.seq).map(d =>
-          d.cols -> eqSets.getOrElseUpdate(d.name, eqKeySet(dir, d.name, d.cols)))
+          d.cols -> eqSets.getOrElseUpdate(d.name,
+            eqKeySet(dir, d.name, d.cols, aliases)))
       val (small, big) = entries.partition(e =>
         e.rows < targetRows && !exclude(e.name) && inScope(e))
       if (small.size < 2) return 0
@@ -1194,11 +1229,11 @@ object ManifestSink {
               if (eqFilters.nonEmpty) eqApplied = true
               collectLiveLines(dirPath.resolve(f.name),
                 f.dv.map(d => readDvOffsets(dir, d))
-                  .getOrElse(Array.empty[Long]), eqFilters)
+                  .getOrElse(Array.empty[Long]), eqFilters, aliases)
             }
             // Stable sort of concatenated pre-sorted runs == the k-way
             // merge (equal keys keep their run order).
-            lines.map(l => (lineSortKey(l, stamps.head), l))
+            lines.map(l => (lineSortKey(l, stamps.head, aliases), l))
               .sortBy(_._1)(lineKeyOrdering)
               .foreach { case (_, l) =>
                 out.write(l); out.write('\n'); liveWritten += 1
@@ -1219,7 +1254,7 @@ object ManifestSink {
                 liveWritten += copyLiveLinesFiltered(dirPath.resolve(f.name),
                   dv.map(d => readDvOffsets(dir, d))
                     .getOrElse(Array.empty[Long]),
-                  eqFilters, out)
+                  eqFilters, out, aliases)
             }
           }
         } finally out.close()
@@ -1391,6 +1426,11 @@ object ManifestSink {
       pushed: Array[sources.Filter], maxSplitBytes: Long,
       s: Long, e: Long, changeFeed: Boolean): Array[InputPartition] = {
     if (e <= s) return Array.empty
+    // Old-window manifests carry vintage column names — normalize to
+    // current so the pushed-filter proofs and eqdelete key columns
+    // resolve (see [[SchemaEvolution]]).
+    val ren = SchemaEvolution.currentNamesAt(path)
+    val norm = (f: StagedFile) => SchemaEvolution.normalizeEntry(f, ren)
     val keep = (f: StagedFile) =>
       pushed.forall(fl => ManifestStats.mayMatch(full, f, fl))
     val eTxt = manifestTextAt(path,
@@ -1399,7 +1439,7 @@ object ManifestSink {
     // (applicable by the seq rule) so a snapshot batch and replayed
     // retirements serve live rows only. A window in which the delete
     // SET ITSELF changed is refused below.
-    val eqsE = parseEqDeletes(eTxt)
+    val eqsE = parseEqDeletes(eTxt).map(SchemaEvolution.normalizeEqDelete(_, ren))
     def plan(fs: Seq[StagedFile], change: String): Seq[InputPartition] =
       fs.flatMap(f => splitFile(path, f, maxSplitBytes,
         eqsE.filter(_.seq > f.seq).map(d => EqRef(d.name, d.cols)))).map {
@@ -1424,7 +1464,7 @@ object ManifestSink {
     // here (the compacted files' seq postdates the tombstone) and the
     // retired/added file diff below represents it as delete+insert
     // pairs instead.
-    val sEqs = parseEqDeletes(sTxt)
+    val sEqs = parseEqDeletes(sTxt).map(SchemaEvolution.normalizeEqDelete(_, ren))
     val eqLegs: Seq[InputPartition] = locally {
       val sNames = sEqs.map(_.name).toSet
       val eNames = eqsE.map(_.name).toSet
@@ -1477,10 +1517,10 @@ object ManifestSink {
       // even read (their summaries still prune).
       val newSegs = eRefs.filterNot(r => sRefs.contains(r.name))
       val segDelta = newSegs.flatMap { r =>
-        if (r.summary.exists(su => !keep(su))) Nil
-        else parseEntries(segmentTextStrict(path, r.name)).filter(keep)
+        if (r.summary.exists(su => !keep(norm(su)))) Nil
+        else parseEntries(segmentTextStrict(path, r.name)).map(norm).filter(keep)
       }
-      (eqLegs ++ plan(segDelta ++ parseEntries(eTxt).filter(keep),
+      (eqLegs ++ plan(segDelta ++ parseEntries(eTxt).map(norm).filter(keep),
         "insert")).toArray
     } else {
       // SLOW PATH (a collapse/migration/rewrite happened): full
@@ -3282,6 +3322,14 @@ private[sources] class ManifestScan(path: String, full: StructType,
     * Conservative: an unrecognized predicate shape filters nothing. */
   @volatile private var runtimeFileSubset: Option[Set[String]] = None
 
+  /** vintage → current column names and current → vintage candidates
+    * of the table's rename log ([[SchemaEvolution]]) — resolved once
+    * per scan, identity-empty for never-renamed tables. */
+  private lazy val renameMap: Map[String, String] =
+    SchemaEvolution.currentNamesAt(path)
+  private lazy val aliasCands: Map[String, Seq[String]] =
+    SchemaEvolution.aliases(renameMap)
+
   /** Columns bloom-indexed on at least one committed entry of the
     * scanned snapshot — these are runtime-prunable even when min/max
     * bounds are useless (interleaved high-cardinality values). */
@@ -3503,10 +3551,16 @@ private[sources] class ManifestScan(path: String, full: StructType,
     lazy val blooms = BloomIndex.load(path, e.name)
     def litAbsent(c: String, v: Any): Boolean =
       e.bloomCols.contains(c) && {
+        // Sidecars written before a RENAME record the vintage column
+        // name — resolve through the alias candidates. Hashing is
+        // width-normalized, so a post-WIDEN literal still matches a
+        // pre-widen sidecar.
         full.fields.find(_.name == c).map(_.dataType).exists(dt =>
           BloomIndex.supported(dt) &&
             BloomIndex.hashPairExternal(dt, v).exists(h =>
-              blooms.get(c).exists(b => !b.mightContain(h))))
+              (c +: aliasCands.getOrElse(c, Nil)).iterator
+                .flatMap(blooms.get(_)).nextOption()
+                .exists(b => !b.mightContain(h))))
       }
     f match {
       case sources.EqualTo(c, v) => !litAbsent(c, v)
@@ -3534,15 +3588,18 @@ private[sources] class ManifestScan(path: String, full: StructType,
     val txt = ManifestSink.manifestTextAt(path, version)
     var examined = 0L
     val segEntries = ManifestSink.segmentRefsFull(txt).flatMap { r =>
-      if (r.summary.exists(s => !boundsKeep(s))) Nil
+      if (r.summary.exists(s =>
+          !boundsKeep(SchemaEvolution.normalizeEntry(s, renameMap)))) Nil
       else {
         val es = ManifestSink.parseEntries(
           ManifestSink.segmentTextStrict(path, r.name))
+          .map(SchemaEvolution.normalizeEntry(_, renameMap))
         examined += es.size
         es.filter(keep)
       }
     }
     val inline = ManifestSink.parseEntries(txt)
+      .map(SchemaEvolution.normalizeEntry(_, renameMap))
     examined += inline.size
     val out = segEntries ++ inline.filter(keep)
     examinedEntries = examined
@@ -3684,7 +3741,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required,
       serveFileColumn = !full.fieldNames.contains(ManifestSink.FileColumn),
-      servePos = !full.fieldNames.contains(ManifestSink.PosColumn))
+      servePos = !full.fieldNames.contains(ManifestSink.PosColumn),
+      aliases = aliasCands)
 
   /** Exact numRows from the manifest (free — counted at write time),
     * AFTER file skipping; bytes from the surviving files, scaled by the
@@ -3818,7 +3876,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
       changeFeed)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(required)
+    new ManifestReaderFactory(required,
+      aliases = SchemaEvolution.aliasesAt(path))
 }
 
 /** Scan observability (Spark SQL UI custom metrics): what file
@@ -3854,7 +3913,12 @@ private[sources] final case class TaskMetric(metricName: String, v: Long)
 }
 
 private[sources] class ManifestReaderFactory(required: StructType,
-    serveFileColumn: Boolean = false, servePos: Boolean = false)
+    serveFileColumn: Boolean = false, servePos: Boolean = false,
+    // current column name -> historic payload-key candidates
+    // ([[SchemaEvolution]]): pre-rename data files keep their vintage
+    // keys, so the reader looks each projected column up under every
+    // name it ever had. Empty (the common case) costs nothing.
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   // `_file` is a PLAN-derived constant like the change feed's
   // `_change_type`: each partition knows its file, so the metadata
@@ -3870,10 +3934,12 @@ private[sources] class ManifestReaderFactory(required: StructType,
     partition match {
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit)
+          consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
+          aliases)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
-          consts(p.file, Map.empty), p.dv, servePos, p.eq)
+          consts(p.file, Map.empty), p.dv, servePos, p.eq,
+          aliases = aliases)
     }
 }
 
@@ -3891,7 +3957,8 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     end: Long, required: StructType,
     constants: Map[String, String] = Map.empty,
     dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
-    eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil)
+    eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   // Deletion-vector offsets, loaded once per split (sidecars are
   // small — a DV exists precisely because the delete was too small to
@@ -3903,21 +3970,22 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   // rewrite). The membership test runs on the PARSED line, before
   // projection, so key columns need not be in the read schema.
   private val eqFilters: Seq[(Seq[String], java.util.HashSet[String])] =
-    eq.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols))
+    eq.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols, aliases))
   // Change-feed emit sets: when non-empty, ONLY rows matching at least
   // one of them pass (after the drop filters) — the tombstone's
   // affected rows, reconstructed from the data files it applied to.
   private val eqEmitFilters: Seq[(Seq[String], java.util.HashSet[String])] =
-    eqEmit.map(r => r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols))
+    eqEmit.map(r =>
+      r.cols -> ManifestSink.eqKeySet(dvDir, r.file, r.cols, aliases))
   private var eqSkipped = 0L
   private def eqKeep(parsed: collection.Map[String, NdjsonCodec.JsonVal])
       : Boolean = {
     val dead = eqFilters.nonEmpty && eqFilters.exists { case (cols, keys) =>
-      keys.contains(ManifestSink.eqKeyOf(parsed, cols))
+      keys.contains(ManifestSink.eqKeyOf(parsed, cols, aliases))
     }
     if (dead) { eqSkipped += 1; false }
     else eqEmitFilters.isEmpty || eqEmitFilters.exists { case (cols, keys) =>
-      keys.contains(ManifestSink.eqKeyOf(parsed, cols))
+      keys.contains(ManifestSink.eqKeyOf(parsed, cols, aliases))
     }
   }
   private def offsetsOf(name: String): Array[Long] =
@@ -4017,15 +4085,25 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   // structurally skipped by the tokenizer: on a wide-row corpus with a
   // narrow projection the reader CPU tracks the projection, not the
   // row width.
+  // Historic payload-key candidates per projected column (current name
+  // first). Pre-rename lines carry a vintage key; at most one
+  // candidate appears per line (retired names are never re-added), so
+  // first-present wins unambiguously — including inside compacted
+  // files that CONCATENATE lines of mixed vintages.
+  private val cands: Array[Array[String]] =
+    names.map(n => (n +: aliases.getOrElse(n, Nil)).toArray)
   private val neededKeys: NdjsonCodec.NeededKeys = {
     val b = collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < names.length) {
-      if (i != posIdx && consts(i) == null) b += names(i)
+      if (i != posIdx && consts(i) == null) b ++= cands(i)
       i += 1
     }
-    eq.foreach(r => r.cols.foreach(c => b += c))
-    eqEmit.foreach(r => r.cols.foreach(c => b += c))
+    def withAliases(c: String): Unit = {
+      b += c; b ++= aliases.getOrElse(c, Nil)
+    }
+    eq.foreach(r => r.cols.foreach(withAliases))
+    eqEmit.foreach(r => r.cols.foreach(withAliases))
     new NdjsonCodec.NeededKeys(b.toSeq)
   }
   private var current: InternalRow = _
@@ -4075,7 +4153,18 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
             vals(i) =
               if (i == posIdx) lineStart
               else if (consts(i) != null) consts(i)
-              else convs(i)(parsed.getOrElse(names(i), NdjsonCodec.JsonNull))
+              else {
+                val cs = cands(i)
+                var v: NdjsonCodec.JsonVal = null
+                var j = 0
+                while (v == null && j < cs.length) {
+                  parsed.get(cs(j)) match {
+                    case Some(g) => v = g
+                    case None => j += 1
+                  }
+                }
+                convs(i)(if (v == null) NdjsonCodec.JsonNull else v)
+              }
             i += 1
           }
           current = new GenericInternalRow(vals)

@@ -3144,7 +3144,7 @@ class IngestSpec extends SparkSpec {
     assert(rows.length == 1000 && rows.toMap.get(500L).contains("doc-500"))
   }
 
-  test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME refuses") {
+  test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME maps old payloads") {
     val wh = Files.createTempDirectory("graft_catalog_evo").toString
     spark.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gevo.base", wh)
@@ -3169,10 +3169,12 @@ class IngestSpec extends SparkSpec {
     spark.sql("ALTER TABLE gevo.t DROP COLUMN v")
     assert(spark.table("gevo.t").columns.toSeq == Seq("id", "score"))
     assert(spark.sql("SELECT sum(id) FROM gevo.t").head.getLong(0) == 28)
-    // RENAME would silently null out name-keyed payloads — refused.
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gevo.t RENAME COLUMN score TO s2")
-    }
+    // RENAME is metadata-only: the rename log maps the old payload key
+    // (SchemaEvolutionSpec pins the full machinery).
+    spark.sql("ALTER TABLE gevo.t RENAME COLUMN score TO s2")
+    assert(spark.table("gevo.t").columns.toSeq == Seq("id", "s2"))
+    assert(spark.sql("SELECT count(*) FROM gevo.t WHERE s2 IS NOT NULL")
+      .head.getLong(0) == 3)
     spark.sql("DROP TABLE gevo.t")
   }
 
