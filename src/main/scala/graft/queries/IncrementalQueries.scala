@@ -2091,6 +2091,98 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // SUB-FILE BLOCK PRUNING ([[StagedFile.blocks]] — the parquet
+    // row-group / Iceberg split-offsets idea): one SORTED multi-block
+    // file; a range predicate plans only the byte ranges whose
+    // per-block bounds may match, instead of the whole file. At 100 TB
+    // this is the difference between a point lookup reading one 16 MB
+    // block of a 1 GB file and reading the file. The oracle checks the
+    // RESULT of exactly that block-pruned plan; BlockStatsSpec pins
+    // the planned-partition count, boundary exactness, the DV/eqdelete
+    // composition, and the row-level-rewrite safety rule.
+    QuerySpec(
+      "a52_block_pruning",
+      """SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 180""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a52", dir)
+      val cat = "graft_a52_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('blockbytes'='4096')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")).orderBy(col("doc_id")).coalesce(1)
+        .createOrReplaceTempView("a52_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a52_src")
+      s.sql(s"""SELECT count(*) AS n, sum(doc_id) AS sum_ids,
+          sum(n_chars) AS sum_chars
+        FROM $cat.docs WHERE doc_id >= 100 AND doc_id < 180""")
+    },
+
+    // COLUMN DEFAULT VALUES (Iceberg v3 initial-defaults): half the
+    // corpus is written BEFORE a `grade` column exists; ADD COLUMN ...
+    // DEFAULT 2 is metadata-only (no rewrite) and pre-ADD rows read
+    // the initial default — absent payload key, never a rewritten
+    // byte — while the second half lands with explicit grades. The
+    // oracle reproduces the default with a CASE over the same split.
+    // DefaultValuesSpec pins CURRENT vs EXISTS default semantics,
+    // compaction/DV/rename composition, and the eqdelete refusal.
+    QuerySpec(
+      "a53_column_defaults",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 2
+        |               ELSE doc_id % 5 END) AS BIGINT) AS sum_grades
+        |FROM documents
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a53", dir)
+      val cat = "graft_a53_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING)")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .createOrReplaceTempView("a53_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id, lang FROM a53_src WHERE doc_id % 2 = 0""")
+      s.sql(s"ALTER TABLE $cat.docs ADD COLUMN grade BIGINT DEFAULT 2")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id, lang, doc_id % 5 FROM a53_src WHERE doc_id % 2 = 1""")
+      s.sql(s"""SELECT lang, count(*) AS n, sum(grade) AS sum_grades
+        FROM $cat.docs GROUP BY lang""")
+    },
+
+    // COMPRESSED DATA FILES (`codec`='gzip'): the corpus round-trips
+    // through gzip'd NDJSON — at 100 TB text deflates 5-10x, so this
+    // is the storage/scan-I/O lever — with row-level DELETEs applying
+    // INSIDE compressed files via logical (uncompressed) offsets and
+    // compaction concatenating gzip members. The oracle reproduces the
+    // delete with a WHERE; CodecSpec pins the byte-level facts (magic
+    // bytes, compressed size, DV/eqdelete/transcode/sort/stream
+    // composition).
+    QuerySpec(
+      "a54_gzip_codec",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 3
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a54", dir)
+      val cat = "graft_a54_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('codec'='gzip',
+        'deletionvectors'='true')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView("a54_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a54_src")
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 10 = 3")
+      s.sql(s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -57,6 +57,20 @@ class GraftCatalog extends TableCatalog
 
   override def name(): String = catalogName
 
+  /** COLUMN DEFAULT VALUES (Iceberg v3's initial-defaults): declaring
+    * the capability makes Spark's analysis encode `DEFAULT` clauses
+    * into StructField metadata (CURRENT_DEFAULT fills future INSERTs
+    * that omit the column; EXISTS_DEFAULT is what rows written BEFORE
+    * the column existed read back). The schema JSON round-trips the
+    * metadata, and the NDJSON reader serves EXISTS_DEFAULT for ABSENT
+    * payload keys — unambiguous because the writer always renders
+    * every schema key, so absence means "file predates the column",
+    * never "value was null". */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   private def dirOf(ident: Identifier): Path = {
     // Path traversal guard: identifiers are directory names, never paths.
     (ident.namespace() :+ ident.name()).foreach(part =>
@@ -251,6 +265,7 @@ class GraftCatalog extends TableCatalog
       while (it.hasNext) { val e = it.next(); b(e.getKey.toLowerCase) = e.getValue }
       b.toMap -- Seq("provider", "owner", "location", "external", "comment")
     }
+    ManifestSink.codecOf(props) // validate loudly at CREATE, not at write
     writeMeta(dir, schema, partCols, props)
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
@@ -286,13 +301,29 @@ class GraftCatalog extends TableCatalog
             SchemaEvolution.parseLog(props)).contains(col),
           s"column name '$col' was used by an earlier RENAME and is " +
             "retired (pre-rename files still carry it); pick a fresh name")
-        require(add.isNullable,
-          s"added column '$col' must be nullable: files written before " +
-            "the ALTER read it as null")
+        require(add.isNullable || add.defaultValue() != null,
+          s"added column '$col' must be nullable or carry a DEFAULT: " +
+            "files written before the ALTER read it as null/default")
         require(NdjsonCodec.supported(add.dataType()),
           s"added column '$col' has unsupported type ${add.dataType()}")
-        schema = schema.add(org.apache.spark.sql.types.StructField(
-          col, add.dataType()))
+        // A DEFAULT clause encodes into the field's CURRENT_DEFAULT /
+        // EXISTS_DEFAULT metadata (the SUPPORT_COLUMN_DEFAULT_VALUE
+        // contract): CURRENT fills future INSERTs that omit the
+        // column, EXISTS is what pre-ADD rows read back — rendered
+        // from the FOLDED literal, so it is a constant forever even if
+        // the current default later changes.
+        val fld = org.apache.spark.sql.types.StructField(
+          col, add.dataType(), add.isNullable)
+        schema = schema.add(Option(add.defaultValue()).fold(fld) { dv =>
+          val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+            dv.getValue.value(), dv.getValue.dataType())
+          val rd = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+          fld.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              Option(dv.getSql).filter(_.nonEmpty).getOrElse(lit.sql))
+            .putString(rd.EXISTS_DEFAULT_COLUMN_METADATA_KEY, lit.sql)
+            .build())
+        })
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested deletes unsupported")
         val col = del.fieldNames()(0)
@@ -350,10 +381,36 @@ class GraftCatalog extends TableCatalog
           "width-sensitive, pre-widen files would stop matching their buckets")
         schema = StructType(schema.fields.map(f =>
           if (f.name == col) f.copy(dataType = to) else f))
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        // Changes CURRENT_DEFAULT only (future INSERTs that omit the
+        // column); EXISTS_DEFAULT — what pre-ADD rows read — is
+        // immutable once set, so history never rewrites itself.
+        require(upd.fieldNames().length == 1, "nested defaults unsupported")
+        val col = upd.fieldNames()(0)
+        require(schema.fieldNames.contains(col), s"no column '$col'")
+        val rd = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        val sql = Option(upd.newCurrentDefault()).map(_.getSql)
+          .orElse(Option(upd.newDefaultValue())).filter(s => s != null && s.nonEmpty)
+        schema = StructType(schema.fields.map { f =>
+          if (f.name != col) f
+          else {
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            sql match {
+              case Some(s) =>
+                mb.putString(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY, s)
+              case None => // DROP DEFAULT
+                mb.remove(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY)
+            }
+            f.copy(metadata = mb.build())
+          }
+        })
       case set: TableChange.SetProperty =>
         require(set.property().toLowerCase != SchemaEvolution.PropKey,
           s"'${SchemaEvolution.PropKey}' is maintained by ALTER TABLE " +
             "RENAME COLUMN and cannot be set directly")
+        if (set.property().toLowerCase == "codec")
+          ManifestSink.codecOf(Map("codec" -> set.value()))
         props = props + (set.property().toLowerCase -> set.value())
       case rm: TableChange.RemoveProperty =>
         require(rm.property().toLowerCase != SchemaEvolution.PropKey,

@@ -189,6 +189,15 @@ object ManifestOps {
             s"equality-delete key column '${f.name}' is ${f.dataType} but " +
               s"the table column is ${tf.dataType} — their rendered " +
               "literals would never match, silently deleting nothing")
+          // The read-side membership test compares PAYLOAD tokens; a
+          // pre-ADD row's absent key reads as its EXISTS_DEFAULT in
+          // queries but tokenizes as null here — a tombstone keyed on
+          // the default value would silently miss those rows.
+          require(!tf.metadata.contains(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY),
+            s"equality-delete key column '${f.name}' carries an initial " +
+              "DEFAULT — rows written before the column existed have no " +
+              "payload key to match; delete by a stable key column instead")
         }
       }
     }

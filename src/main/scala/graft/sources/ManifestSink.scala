@@ -266,6 +266,78 @@ object ManifestSink {
       .filter(c => schema.fields.exists(f =>
         f.name == c && BloomIndex.supported(f.dataType)))
 
+  /** Sub-file block-stat granularity in bytes (table property
+    * `blockbytes`; 0 disables). Writers close a stats block at the
+    * first line boundary past this many bytes — see
+    * [[StagedFile.blocks]]. */
+  private[sources] val DefaultBlockBytes: Long = 16L * 1024 * 1024
+  /** Entry-size backstop: past this many closed blocks the final block
+    * swallows the file's remainder (a 100 GB file must not ride
+    * thousands of bound sets in one manifest entry). */
+  private[sources] val MaxBlocksPerFile = 512
+
+  /** Data-file compression codec (table property `codec`: `none` |
+    * `gzip`). At 100 TB the corpus is storage- and scan-I/O-bound and
+    * NDJSON text deflates 5-10x, so the wrap points are chosen to keep
+    * every LOGICAL byte offset (deletion vectors, `_pos`, row
+    * identity) counted on the UNCOMPRESSED stream: the writer counts
+    * above its gzip layer, the reader counts below its gunzip layer,
+    * and the two always agree. Compressed files are never
+    * byte-range-split (no seeking into a deflate stream) — file sizing
+    * via partitioning/auto-compaction is the parallelism knob, the
+    * same discipline as gzip'd text on any engine. Gzip members
+    * CONCATENATE (multi-member streams), so concat compaction still
+    * streams raw bytes. */
+  private[sources] def codecOf(props: Map[String, String]): String =
+    props.get("codec").map(_.trim.toLowerCase).filter(_ != "none")
+      .map { c =>
+        require(c == "gzip", s"unsupported codec '$c' (none | gzip)")
+        c
+      }.getOrElse("")
+
+  private val codecCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, String)]()
+
+  /** The table's configured codec, read (mtime-cached) from
+    * `_table.json` on whichever JVM is writing; path-only tables write
+    * plain. */
+  private[sources] def codecAt(dir: String): String = {
+    val p = Paths.get(dir, "_table.json")
+    try {
+      if (!Files.exists(p)) return ""
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      val hit = codecCache.get(dir)
+      if (hit != null && hit._1 == mtime) return hit._2
+      val out = codecOf(GraftCatalog.readMeta(Paths.get(dir))._3)
+      codecCache.put(dir, (mtime, out))
+      out
+    } catch { case _: Exception => "" }
+  }
+
+  private val blockBytesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long)]()
+
+  /** The table's configured block granularity, read (mtime-cached) from
+    * `_table.json` on whichever JVM is writing; path-only tables (no
+    * metadata file) use the default. */
+  private[sources] def blockBytesAt(dir: String): Long = {
+    val p = Paths.get(dir, "_table.json")
+    try {
+      if (!Files.exists(p)) return DefaultBlockBytes
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      val hit = blockBytesCache.get(dir)
+      if (hit != null && hit._1 == mtime) return hit._2
+      val props = GraftCatalog.readMeta(Paths.get(dir))._3
+      val out = props.get("blockbytes").map(_.trim.toLong) match {
+        case Some(v) if v <= 0 => 0L // disabled
+        case Some(v) => math.max(v, 1024L) // floor: pathological tiny blocks
+        case None => DefaultBlockBytes
+      }
+      blockBytesCache.put(dir, (mtime, out))
+      out
+    } catch { case _: Exception => DefaultBlockBytes }
+  }
+
   /** Deletion-vector sidecar format: one decimal byte offset per line,
     * ascending — trivially mergeable, human-debuggable, and line-framed
     * like everything else in this format. Sidecars are IMMUTABLE: a
@@ -409,8 +481,14 @@ object ManifestSink {
   private[sources] def copyLiveLinesFiltered(src: Path, dead: Array[Long],
       eqFilters: Seq[(Seq[String], java.util.HashSet[String])],
       out: java.io.OutputStream,
-      aliases: Map[String, Seq[String]] = Map.empty): Long = {
-    val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
+      aliases: Map[String, Seq[String]] = Map.empty,
+      srcCodec: String = ""): Long = {
+    val in = new java.io.BufferedInputStream({
+      val raw = Files.newInputStream(src)
+      // Decompress below the offset counter: DV offsets are logical.
+      if (srcCodec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    }, 1 << 16)
     var kept = 0L
     try {
       var offset = 0L
@@ -445,10 +523,15 @@ object ManifestSink {
     * memory (the concat path stays streaming). */
   private[sources] def collectLiveLines(src: Path, dead: Array[Long],
       eqFilters: Seq[(Seq[String], java.util.HashSet[String])],
-      aliases: Map[String, Seq[String]] = Map.empty)
+      aliases: Map[String, Seq[String]] = Map.empty,
+      srcCodec: String = "")
       : Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
-    val in = new java.io.BufferedInputStream(Files.newInputStream(src), 1 << 16)
+    val in = new java.io.BufferedInputStream({
+      val raw = Files.newInputStream(src)
+      if (srcCodec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else raw
+    }, 1 << 16)
     try {
       var offset = 0L
       var b = in.read()
@@ -595,6 +678,11 @@ object ManifestSink {
     * operational tooling inspect the merge-on-read debt). */
   def committedEqDeleteNames(dir: String): Seq[String] =
     committedEqDeletes(dir).map(_.name)
+
+  /** Sub-file stat blocks per committed file (public: tooling inspects
+    * block-pruning coverage — see [[StagedFile.blocks]]). */
+  def committedBlockCounts(dir: String): Map[String, Int] =
+    committedEntries(dir).map(e => e.name -> e.blocks.size).toMap
 
   /** Entries of a pointer-or-legacy manifest text: segment-referenced
     * entries first (list order), then any inline `files` entries.
@@ -866,8 +954,39 @@ object ManifestSink {
               s.split(",").toSeq
             case _ => Nil
           }
+          // Sub-file block stats: `blk.<i>.<kind>[.<col>]` flat keys,
+          // grouped by index. Malformed frames drop ALL blocks —
+          // conservative (no sub-file pruning), never wrong.
+          val blkKeys = m.iterator.filter(_._1.startsWith("blk.")).toSeq
+          val blocks: Seq[BlockStat] =
+            if (blkKeys.isEmpty) Nil
+            else try {
+              blkKeys.groupBy(_._1.split('.')(1).toInt).toSeq.sortBy(_._1)
+                .map { case (_, kvs) =>
+                  val km = kvs.map { case (k, v) =>
+                    k.split('.').drop(2).mkString(".") -> v
+                  }.toMap
+                  def tok(k: String): String = km(k) match {
+                    case NdjsonCodec.JsonTok(t) => t
+                    case _ => throw new NumberFormatException(k)
+                  }
+                  val nans = km.keys.filter(_.startsWith("nan.")).map(_.drop(4)).toSet
+                  val bMins = km.collect { case (k, v) if k.startsWith("min.") =>
+                    k.drop(4) -> rendered(v) }
+                  val bMaxs = km.collect { case (k, v) if k.startsWith("max.") =>
+                    k.drop(4) -> rendered(v) }
+                  BlockStat(tok("s").toLong, tok("e").toLong, tok("r").toLong,
+                    bMins.toSeq.sortBy(_._1).flatMap { case (c, lo) =>
+                      bMaxs.get(c).map(hi => ColStat(c, lo, hi, nans.contains(c)))
+                    })
+                }
+            } catch { case _: Exception => Nil }
+          val codec = m.get("codec") match {
+            case Some(NdjsonCodec.JsonStr(c)) => c
+            case _ => ""
+          }
           Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
-            seq, sorted, bloomCols))
+            seq, sorted, bloomCols, blocks, codec))
         case _ => None
       }
     }
@@ -1223,38 +1342,55 @@ object ManifestSink {
         val stamps = group.map(_.sorted).distinct
         val mergeSorted = stamps.size == 1 && stamps.head.nonEmpty
         try {
+          val outCodec = codecAt(dir)
+          // Re-rendered members write through a fresh codec layer per
+          // member; `finish()` seals the gzip member without closing
+          // the shared file stream — members concatenate (multi-member
+          // gzip), exactly like the raw-copy fast path.
+          def withSink(body: java.io.OutputStream => Unit): Unit =
+            if (outCodec == "gzip") {
+              val g = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+              body(g); g.finish()
+            } else body(out)
           if (mergeSorted) {
             val lines = group.flatMap { f =>
               val eqFilters = filtersFor(f)
               if (eqFilters.nonEmpty) eqApplied = true
               collectLiveLines(dirPath.resolve(f.name),
                 f.dv.map(d => readDvOffsets(dir, d))
-                  .getOrElse(Array.empty[Long]), eqFilters, aliases)
+                  .getOrElse(Array.empty[Long]), eqFilters, aliases, f.codec)
             }
             // Stable sort of concatenated pre-sorted runs == the k-way
             // merge (equal keys keep their run order).
-            lines.map(l => (lineSortKey(l, stamps.head, aliases), l))
-              .sortBy(_._1)(lineKeyOrdering)
-              .foreach { case (_, l) =>
-                out.write(l); out.write('\n'); liveWritten += 1
-              }
+            withSink { sink =>
+              lines.map(l => (lineSortKey(l, stamps.head, aliases), l))
+                .sortBy(_._1)(lineKeyOrdering)
+                .foreach { case (_, l) =>
+                  sink.write(l); sink.write('\n'); liveWritten += 1
+                }
+            }
           } else group.foreach { f =>
             val eqFilters = filtersFor(f)
             if (eqFilters.nonEmpty) eqApplied = true
-            (f.dv, eqFilters.isEmpty) match {
+            (f.dv, eqFilters.isEmpty && f.codec == outCodec) match {
               // Compaction MATERIALIZES both delete shapes: positional
               // vectors AND applicable equality deletes — the merged
               // output carries live lines only, so the sidecars retire
               // with the files they annotated and the merge-on-read
-              // debt is paid exactly once, here.
+              // debt is paid exactly once, here. Raw byte concat is
+              // valid only codec-to-same-codec (gzip members chain);
+              // a codec mismatch transcodes line-by-line instead.
               case (None, true) =>
                 Files.copy(dirPath.resolve(f.name), out)
                 liveWritten += f.rows
               case (dv, _) =>
-                liveWritten += copyLiveLinesFiltered(dirPath.resolve(f.name),
-                  dv.map(d => readDvOffsets(dir, d))
-                    .getOrElse(Array.empty[Long]),
-                  eqFilters, out, aliases)
+                withSink { sink =>
+                  liveWritten += copyLiveLinesFiltered(
+                    dirPath.resolve(f.name),
+                    dv.map(d => readDvOffsets(dir, d))
+                      .getOrElse(Array.empty[Long]),
+                    eqFilters, sink, aliases, f.codec)
+                }
             }
           }
         } finally out.close()
@@ -1288,7 +1424,8 @@ object ManifestSink {
           partValues = if (tuples.size == 1) tuples.head
             else Map.empty[String, String],
           seq = generation + 1,
-          sorted = if (mergeSorted) stamps.head else Nil)
+          sorted = if (mergeSorted) stamps.head else Nil,
+          codec = codecAt(dir))
       }
       val next = big ++ keepSingles.flatten ++ merged
       // An equality delete whose every predating file was just merged
@@ -1393,9 +1530,23 @@ object ManifestSink {
     val bloom = if (f.bloomCols.isEmpty) Nil
       else Seq("\"bloomcols\":\"" +
         NdjsonCodec.escape(f.bloomCols.mkString(",")) + "\"")
+    // Sub-file block stats, flat-keyed like everything else in an
+    // entry: `blk.<i>.s/e/r` frame the byte range and row count,
+    // `blk.<i>.min/max/nan.<col>` carry the block's bounds in the same
+    // rendered-literal form as the file-level stats.
+    val blocks = f.blocks.zipWithIndex.flatMap { case (b, i) =>
+      Seq(s""""blk.$i.s":${b.start}""", s""""blk.$i.e":${b.end}""",
+        s""""blk.$i.r":${b.rows}""") ++
+        b.stats.flatMap(s =>
+          Seq(s""""blk.$i.min.${s.col}":${s.min}""",
+            s""""blk.$i.max.${s.col}":${s.max}""") ++
+            (if (s.hasNan) Seq(s""""blk.$i.nan.${s.col}":true""") else Nil))
+    }
+    val codec = if (f.codec.isEmpty) Nil
+      else Seq("\"codec\":\"" + NdjsonCodec.escape(f.codec) + "\"")
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
-      stats ++ nulls ++ parts ++ dv ++ seq ++ sorted ++ bloom)
-      .mkString("{", ",", "}")
+      stats ++ nulls ++ parts ++ dv ++ seq ++ sorted ++ bloom ++ codec ++
+      blocks).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -1594,9 +1745,22 @@ object ManifestSink {
   }
 
   /** Byte-range partitions for one committed file (Hadoop line-split
-    * contract) — shared by the batch scan and the streaming source. */
+    * contract) — shared by the batch scan and the streaming source.
+    *
+    * `pruning` (the plain batch scan passes it; row-level and
+    * key-grouped scans must NOT — a copy-on-write rewrite reads every
+    * row of the files it replaces, and a key-grouped sorted claim
+    * assumes one split per key): when the entry carries sub-file
+    * BLOCK stats, byte ranges whose bounds prove no filter match are
+    * never planned — the parquet row-group skip, at manifest level.
+    * Block boundaries sit at line starts; planning a kept block as
+    * `(start-1, end-1]` rides the existing line-split contract
+    * unchanged (the reader discards the single '\n' byte at start-1
+    * and emits exactly the block's lines). */
   private[sources] def splitFile(dir: String, f: StagedFile,
-      maxSplitBytes: Long, eq: Seq[EqRef] = Nil): Seq[InputPartition] = {
+      maxSplitBytes: Long, eq: Seq[EqRef] = Nil,
+      pruning: Option[(StructType, Array[sources.Filter])] = None)
+      : Seq[InputPartition] = {
     val p = Paths.get(dir, f.name)
     val size = fileSize(dir, f)
     // Every read of a DV'd file — batch scan, streaming tail, CDF
@@ -1606,13 +1770,48 @@ object ManifestSink {
     // files that apply to THIS data file (delete.seq > file.seq) and
     // drops matching-key rows at read.
     val dv = DvSpec(skip = f.dv)
-    if (size <= maxSplitBytes)
-      Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv,
-        eq = eq))
-    else
-      (0L until size by maxSplitBytes).map(s =>
-        ManifestFilePartition(p.toString, s, math.min(s + maxSplitBytes, size),
-          dv = dv, eq = eq))
+    // A compressed file is one unsplittable stream: single partition,
+    // no byte ranges, no block pruning (nothing to seek to).
+    if (f.codec.nonEmpty)
+      return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
+        dv = dv, eq = eq, codec = f.codec))
+    val kept: Option[Seq[(Long, Long)]] = pruning match {
+      case Some((full, filters)) if f.blocks.size >= 2 && filters.nonEmpty =>
+        // A pseudo-entry per block: its bounds, NO null counts and a
+        // zero row total, so IS NULL / IS NOT NULL proofs stand down
+        // (blocks don't track nulls) and only bounds prune.
+        val surviving = f.blocks.filter { b =>
+          val pseudo = StagedFile(f.name, 0L, b.stats)
+          filters.forall(fl => ManifestStats.mayMatch(full, pseudo, fl))
+        }
+        if (surviving.size == f.blocks.size) None // nothing pruned: legacy path
+        else Some(surviving.foldLeft(List.empty[(Long, Long)]) {
+          // Coalesce adjacent survivors into maximal ranges.
+          case ((s, e) :: tail, b) if b.start == e => (s, b.end) :: tail
+          case (acc, b) => (b.start, b.end) :: acc
+        }.reverse)
+      case _ => None
+    }
+    kept match {
+      case Some(ranges) =>
+        ranges.flatMap { case (s, e) =>
+          // Emit lines with first byte in [s, e) == (s-1, e-1] under
+          // the reader's (start, end] contract; interior chunk
+          // boundaries behave exactly like legacy splits.
+          val start0 = if (s == 0) 0L else s - 1
+          (start0 until (e - 1) by maxSplitBytes).map(cs =>
+            ManifestFilePartition(p.toString, cs,
+              math.min(cs + maxSplitBytes, e - 1), dv = dv, eq = eq))
+        }
+      case None =>
+        if (size <= maxSplitBytes)
+          Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv,
+            eq = eq))
+        else
+          (0L until size by maxSplitBytes).map(s =>
+            ManifestFilePartition(p.toString, s,
+              math.min(s + maxSplitBytes, size), dv = dv, eq = eq))
+    }
   }
 
   /** One commit's provenance row — `history(dir)`'s DESCRIBE HISTORY
@@ -3728,13 +3927,26 @@ private[sources] class ManifestScan(path: String, full: StructType,
             ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f)).map {
               case p: ManifestFilePartition =>
                 KeyedManifestFilePartition(p.file, p.start, p.end, key,
-                  p.dv, p.eq): InputPartition
+                  p.dv, p.eq, p.codec): InputPartition
               case p => p
             }
           }.toArray
       case None =>
+        // SUB-FILE block pruning rides only the PLAIN batch scan:
+        //  - a row-level (copy-on-write) scan reads EVERY row of the
+        //    files it replaces — pruning a block would silently drop
+        //    its rows from the rewrite;
+        //  - fileSubset is the mergeInto read half (same rewrite);
+        //  - the key-grouped branch above claims per-key ordering that
+        //    assumes one split per key.
+        val pruning =
+          if (rowLevel.isEmpty && fileSubset.isEmpty && !fileFilter &&
+              runtimeFileSubset.isEmpty)
+            Some((full, pushed ++ runtimeDataFilters))
+          else None
         survivingEntries.flatMap(f =>
-          ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f))).toArray
+          ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f),
+            pruning)).toArray
     }
   }
 
@@ -3804,14 +4016,18 @@ private[sources] final case class ManifestFilePartition(file: String,
     // `eq` drop filters) — how an equality-delete commit's affected
     // rows re-emit as `_change_type='delete'` without the tombstone
     // ever storing full rows.
-    eqEmit: Seq[EqRef] = Nil) extends InputPartition
+    eqEmit: Seq[EqRef] = Nil,
+    // Compression codec of the file's bytes ("" = plain) — the reader
+    // wraps its input accordingly; offsets stay uncompressed-domain.
+    codec: String = "") extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
 private[sources] final case class KeyedManifestFilePartition(file: String,
     start: Long, end: Long, key: InternalRow,
     dv: DvSpec = DvSpec.Empty,
-    eq: Seq[EqRef] = Nil)
+    eq: Seq[EqRef] = Nil,
+    codec: String = "")
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -3935,11 +4151,11 @@ private[sources] class ManifestReaderFactory(required: StructType,
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
-          aliases)
+          aliases, p.codec)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq,
-          aliases = aliases)
+          aliases = aliases, codec = p.codec)
     }
 }
 
@@ -3958,7 +4174,8 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     constants: Map[String, String] = Map.empty,
     dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
     eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    codec: String = "")
     extends PartitionReader[InternalRow] {
   // Deletion-vector offsets, loaded once per split (sidecars are
   // small — a DV exists precisely because the delete was too small to
@@ -4017,21 +4234,29 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
       : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array(TaskMetric("dvRowsSkipped", dvSkipped),
       TaskMetric("eqRowsSkipped", eqSkipped))
-  private val in = new java.io.BufferedInputStream(
-    try Files.newInputStream(Paths.get(file))
-    catch {
-      case e: java.nio.file.NoSuchFileException =>
-        // The read/GC race, surfaced honestly: compact/truncate/
-        // expireSnapshots delete retired files right after their
-        // manifest swap, so a scan planned against the PREVIOUS
-        // snapshot can reach an executor after its file is gone.
-        throw new IllegalStateException(
-          s"committed file $file vanished between planning and reading — " +
-            "a concurrent compact/truncate/expireSnapshots retired the " +
-            "snapshot this scan planned against. Re-run the query (it " +
-            "will plan against the current manifest), or pause " +
-            "compaction while long scans are in flight.", e)
-    }, 1 << 16)
+  private val in = new java.io.BufferedInputStream({
+    val raw =
+      try Files.newInputStream(Paths.get(file))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          // The read/GC race, surfaced honestly: compact/truncate/
+          // expireSnapshots delete retired files right after their
+          // manifest swap, so a scan planned against the PREVIOUS
+          // snapshot can reach an executor after its file is gone.
+          throw new IllegalStateException(
+            s"committed file $file vanished between planning and reading — " +
+              "a concurrent compact/truncate/expireSnapshots retired the " +
+              "snapshot this scan planned against. Re-run the query (it " +
+              "will plan against the current manifest), or pause " +
+              "compaction while long scans are in flight.", e)
+      }
+    // Gunzip BELOW the line framer, so `pos` — the offsets deletion
+    // vectors and `_pos` live in — counts UNCOMPRESSED bytes, exactly
+    // like the writer's counter above its gzip layer. Multi-member
+    // streams (concat compaction output) decode transparently.
+    if (codec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else raw
+  }, 1 << 16)
   private var pos = 0L
   // Bulk-buffered line framing: newline search runs over a 64 KB block
   // with a tight byte loop and lines copy out in one arraycopy — the
@@ -4067,6 +4292,15 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   private val convs: Array[NdjsonCodec.JsonVal => Any] =
     required.fields.map(f => NdjsonCodec.converter(f.dataType))
   private val names: Array[String] = required.fields.map(_.name)
+  // EXISTS_DEFAULT values (Catalyst domain) per projected column: what
+  // a row written BEFORE the column existed reads back. Served only
+  // for ABSENT payload keys — the writer renders every schema key, so
+  // an explicit null stays null. Null array slots mean "no default"
+  // (plain null), so the serve below is branch-free.
+  private val existsDefaults: Array[Any] =
+    try org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .existenceDefaultValues(required)
+    catch { case _: Exception => new Array[Any](required.fields.length) }
   // Partition-constant columns (the change-feed's _change_type):
   // filled per row from the PLAN, not the payload — the data files
   // do not carry them.
@@ -4163,7 +4397,10 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
                     case None => j += 1
                   }
                 }
-                convs(i)(if (v == null) NdjsonCodec.JsonNull else v)
+                // Absent key = the file predates the column: serve its
+                // EXISTS_DEFAULT (null when none). An explicit payload
+                // null converts to null as before.
+                if (v == null) existsDefaults(i) else convs(i)(v)
               }
             i += 1
           }
@@ -4421,6 +4658,13 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
 private[sources] final case class ColStat(col: String, min: String,
     max: String, hasNan: Boolean = false)
 
+/** One sub-file block's byte range `[start, end)` (both at line
+  * boundaries), row count, and column bounds — see
+  * [[StagedFile.blocks]]. No null counts: block-level IS NULL proofs
+  * stand down conservatively. */
+private[sources] final case class BlockStat(start: Long, end: Long,
+    rows: Long, stats: Seq[ColStat])
+
 /** `bytes` is the data file's on-disk size recorded at write time (-1
   * for entries from pre-round-10 manifests — planning then falls back
   * to a filesystem stat). `nullCounts` records per-column null counts
@@ -4462,7 +4706,22 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // filter is worth a sidecar read. Empty = no index, no skipping.
     // DVs/equality deletes only DROP rows so they never invalidate a
     // bloom; compaction concatenates into new files and drops it.
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    // SUB-FILE block stats (the parquet row-group / Iceberg split-
+    // offsets idea): column bounds per ~blockBytes byte range, recorded
+    // at LINE boundaries by the writer. Planning prunes whole byte
+    // ranges of a big file against pushed filters — on a sorted 1 GB
+    // file a point lookup reads one block, not the file. Only present
+    // when the file closed >= 2 blocks; DVs/equality deletes only DROP
+    // rows (bounds stay sound); compaction concatenates into new files
+    // and drops them (offsets shift).
+    blocks: Seq[BlockStat] = Nil,
+    // Compression codec of the data file's BYTES ("" = plain NDJSON,
+    // "gzip"). Recorded per FILE so a table whose `codec` property
+    // changes mid-life keeps every committed file readable. Compressed
+    // files plan as one unsplit partition; all logical offsets (DVs,
+    // `_pos`) live in the uncompressed domain.
+    codec: String = "")
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
   def bloomName: Option[String] =
@@ -4732,6 +4991,25 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
         partitionId, taskId, sortedCols = sortBy, bloomCols = bloomCols)
 }
 
+/** Byte counter over the buffered file stream — what gives the writer
+  * its line-boundary byte offsets for sub-file block stats without a
+  * flush or a stat. Counts LOGICAL bytes (this layer sits above the
+  * buffer), so `count` is always the exact file offset of the next
+  * byte. */
+private[sources] final class CountingOutputStream(under: java.io.OutputStream)
+    extends java.io.OutputStream {
+  var count = 0L
+  override def write(b: Int): Unit = { under.write(b); count += 1 }
+  override def write(b: Array[Byte]): Unit = {
+    under.write(b, 0, b.length); count += b.length
+  }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    under.write(b, off, len); count += len
+  }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = under.close()
+}
+
 /** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
   * attempt uniqueness is what lets speculative/retried duplicates coexist
   * until winners are picked. Batch names carry (partition, task) and are
@@ -4764,8 +5042,17 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // bulk-copied, multi-byte sequences pass through untouched), so the
   // ingest hot path never materializes a per-row java String or pays
   // the per-char encoder. Key prefixes pre-encode once per writer.
-  private val out = new java.io.BufferedOutputStream(
-    Files.newOutputStream(file), 1 << 16)
+  // Codec wrap sits BELOW the byte counter, so `out.count` is always
+  // the LOGICAL (uncompressed) offset — the domain deletion vectors,
+  // `_pos` and block boundaries live in on both the write and read
+  // side.
+  private val codec: String = ManifestSink.codecAt(path)
+  private val out = new CountingOutputStream({
+    val raw = new java.io.BufferedOutputStream(
+      Files.newOutputStream(file), 1 << 16)
+    if (codec == "gzip") new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+    else raw
+  })
   private var rows = 0L
   private val keyPrefix: Array[Array[Byte]] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -4820,6 +5107,9 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // bound (a [NaN, NaN] range would prune every filter).
   private val comparators: Array[Ordering[Any]] =
     schema.fields.map(f => NdjsonCodec.statOrdering(f.dataType).orNull)
+  // `mins`/`maxs`/`nanSeen` track the CURRENT sub-file BLOCK (see
+  // [[StagedFile.blocks]]); file-level bounds fold in at each block
+  // close, so the per-row cost is identical to file-only tracking.
   private val mins = new Array[Any](schema.fields.length)
   private val maxs = new Array[Any](schema.fields.length)
   // NaN presence per float/double column: NaN never enters the bounds
@@ -4827,6 +5117,47 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // every filter), but its PRESENCE must be recorded so the scan knows
   // the recorded max is not an upper bound for this file.
   private val nanSeen = new Array[Boolean](schema.fields.length)
+  private val fileMins = new Array[Any](schema.fields.length)
+  private val fileMaxs = new Array[Any](schema.fields.length)
+  private val fileNan = new Array[Boolean](schema.fields.length)
+  // Block byte-ranges need seekable files; compressed files plan as
+  // one partition, so recording blocks would be dead weight.
+  private val blockBytes: Long =
+    if (codec.nonEmpty) 0L else ManifestSink.blockBytesAt(path)
+  private var blockStart = 0L
+  private var blockRows = 0L
+  private val closedBlocks = collection.mutable.ArrayBuffer[
+    (Long, Long, Long, Array[Any], Array[Any], Array[Boolean])]()
+
+  private def foldBlockIntoFile(): Unit = {
+    var i = 0
+    while (i < schema.fields.length) {
+      val cmp = comparators(i)
+      if (cmp != null) {
+        if (mins(i) != null &&
+            (fileMins(i) == null || cmp.lt(mins(i), fileMins(i))))
+          fileMins(i) = mins(i)
+        if (maxs(i) != null &&
+            (fileMaxs(i) == null || cmp.gt(maxs(i), fileMaxs(i))))
+          fileMaxs(i) = maxs(i)
+      }
+      if (nanSeen(i)) fileNan(i) = true
+      i += 1
+    }
+  }
+
+  /** Seal the current block at `endOffset` (a line boundary): snapshot
+    * its bounds, fold them into the file bounds, reset accumulators. */
+  private def closeBlock(endOffset: Long): Unit = {
+    closedBlocks += ((blockStart, endOffset, blockRows,
+      mins.clone(), maxs.clone(), nanSeen.clone()))
+    foldBlockIntoFile()
+    java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(nanSeen, false)
+    blockStart = endOffset
+    blockRows = 0L
+  }
   // Per-column null counts (Iceberg's null_value_counts): bounds ignore
   // nulls, so pruning IS NULL / IS NOT NULL — and PROVING every row of
   // a file matches a predicate (metadata-only DELETE) — needs them.
@@ -4941,6 +5272,12 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     }
     out.write('}')
     out.write('\n')
+    blockRows += 1
+    // Block boundary at the first line end past the granularity. The
+    // count cap leaves headroom for the trailing block commit() seals.
+    if (blockBytes > 0 && out.count - blockStart >= blockBytes &&
+        closedBlocks.size < ManifestSink.MaxBlocksPerFile - 1)
+      closeBlock(out.count)
     var b = 0
     while (b < bloomIdx.length) {
       val i = bloomIdx(b)
@@ -4954,6 +5291,31 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     rows += 1
   }
 
+  /** Render one bounds snapshot to stat tokens. String bounds truncate
+    * parquet-style so an extreme megabyte document never rides in the
+    * manifest: min takes a plain prefix (always a valid lower bound),
+    * max takes a prefix with its last codepoint incremented (valid
+    * upper bound), or drops the whole stat if no finite bound exists
+    * at this length. All-null/all-NaN columns carry no bounds. */
+  private def statsOf(mn: Array[Any], mx: Array[Any],
+      nan: Array[Boolean]): Seq[ColStat] =
+    schema.fields.indices.flatMap { i =>
+      if (mn(i) == null) None
+      else schema.fields(i).dataType match {
+        case StringType =>
+          val lo = NdjsonCodec.truncLower(mn(i).asInstanceOf[UTF8String].toString)
+          NdjsonCodec.truncUpper(mx(i).asInstanceOf[UTF8String].toString)
+            .map { hi =>
+              ColStat(schema.fields(i).name,
+                "\"" + NdjsonCodec.escape(lo) + "\"",
+                "\"" + NdjsonCodec.escape(hi) + "\"")
+            }
+        case _ =>
+          Some(ColStat(schema.fields(i).name,
+            renderers(i)(mn(i)), renderers(i)(mx(i)), hasNan = nan(i)))
+      }
+    }
+
   override def commit(): WriterCommitMessage = {
     out.close()
     val finalStaged = if (epochId.isDefined) {
@@ -4966,28 +5328,18 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       dst
     } else file
-    val stats = schema.fields.indices.flatMap { i =>
-      if (mins(i) == null) None // all-null/all-NaN: no bounds, no pruning
-      else schema.fields(i).dataType match {
-        case StringType =>
-          // Truncate parquet-style so an extreme megabyte document
-          // never rides in the manifest: min takes a plain prefix
-          // (always a valid lower bound), max takes a prefix with its
-          // last codepoint incremented (valid upper bound), or drops
-          // the whole stat if no finite bound exists at this length.
-          val lo = NdjsonCodec.truncLower(mins(i).asInstanceOf[UTF8String].toString)
-          NdjsonCodec.truncUpper(maxs(i).asInstanceOf[UTF8String].toString)
-            .map { hi =>
-              ColStat(schema.fields(i).name,
-                "\"" + NdjsonCodec.escape(lo) + "\"",
-                "\"" + NdjsonCodec.escape(hi) + "\"")
-            }
-        case _ =>
-          Some(ColStat(schema.fields(i).name,
-            renderers(i)(mins(i)), renderers(i)(maxs(i)),
-            hasNan = nanSeen(i)))
+    // Seal the trailing block (only files that already closed one
+    // record blocks at all — a single-block file's bounds ARE its
+    // file-level stats), then fold whatever is open into the file
+    // bounds.
+    if (closedBlocks.nonEmpty && blockRows > 0) closeBlock(out.count)
+    else foldBlockIntoFile()
+    val stats = statsOf(fileMins, fileMaxs, fileNan)
+    val blocks: Seq[BlockStat] =
+      if (closedBlocks.size < 2) Nil
+      else closedBlocks.toSeq.map { case (s, e, r, mn, mx, nan) =>
+        BlockStat(s, e, r, statsOf(mn, mx, nan))
       }
-    }
     // Bloom sidecar: built at commit from the buffered hash pairs (m
     // sized from the real key count), staged attempt-unique, then
     // atomically claimed under the data file's canonical sidecar name
@@ -5012,7 +5364,9 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap,
       sorted = if (sortValid) sortedCols else Nil,
-      bloomCols = builtBlooms.map(_._1))
+      bloomCols = builtBlooms.map(_._1),
+      blocks = blocks,
+      codec = codec)
   }
 
   override def abort(): Unit = {

@@ -146,7 +146,9 @@ private[sources] object SchemaEvolution {
       nullCounts = e.nullCounts.map { case (k, v) => (cur.getOrElse(k, k), v) },
       partValues = e.partValues.map { case (k, v) => (renameSpec(k, cur), v) },
       sorted = e.sorted.map(c => cur.getOrElse(c, c)),
-      bloomCols = e.bloomCols.map(c => cur.getOrElse(c, c)))
+      bloomCols = e.bloomCols.map(c => cur.getOrElse(c, c)),
+      blocks = e.blocks.map(b => b.copy(stats = b.stats.map(s =>
+        cur.get(s.col).fold(s)(n => s.copy(col = n))))))
 
   def normalizeEqDelete(d: ManifestSink.EqDelete,
       cur: Map[String, String]): ManifestSink.EqDelete =

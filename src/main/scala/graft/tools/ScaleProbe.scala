@@ -636,6 +636,63 @@ object ScaleProbe {
     }
   }
 
+  /** Sub-file pruning anchor (`probe = blockprune`): one SORTED
+    * single-file table per factor, point/range lookups with block
+    * stats enabled (1 MB granularity) vs disabled. The claim made
+    * measurable: planned BYTES track the predicate's selectivity, not
+    * the file size, so point-lookup wall stays flat as the file grows
+    * — the parquet row-group skip, reproduced at manifest level. At
+    * 100 TB (1 GB files, 16 MB blocks) this is a 64x scan-byte cut on
+    * every range-selective query over sorted/clustered tables. */
+  private def blockPruneProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 200000L * f
+      val wh = Files.createTempDirectory(s"graft_blockprune_$f").toString
+      // Catalog plugins cache per NAME in the session — a fresh
+      // warehouse needs a fresh catalog name per run.
+      val cat = s"gbp_${f}_${wh.hashCode & 0x7fffffff}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+      def mkTable(name: String, blockBytes: Long): Unit = {
+        spark.sql(s"""CREATE TABLE $cat.$name (id BIGINT, v STRING)
+          TBLPROPERTIES ('blockbytes'='$blockBytes')""")
+        spark.range(n)
+          .selectExpr("id", "concat('payload-', id, '-', repeat('x', 80)) AS v")
+          .orderBy("id").coalesce(1).writeTo(s"$cat.$name").append()
+      }
+      mkTable("blk", 1L << 20)
+      mkTable("flat", 0L)
+      val blocks = graft.sources.ManifestSink
+        .committedBlockCounts(s"$wh/blk").values.sum
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      def point(t: String): Double = {
+        val mid = n / 2
+        // best-of-3: isolate plan+scan cost from JIT/page-cache noise
+        (0 until 3).map(_ => ms {
+          val r = spark.sql(
+            s"SELECT v FROM $cat.$t WHERE id = $mid").collect()
+          require(r.length == 1)
+        }).min
+      }
+      def range(t: String): Double = (0 until 3).map(_ => ms {
+        val r = spark.sql(s"SELECT count(*) FROM $cat.$t " +
+          s"WHERE id >= ${n / 2} AND id < ${n / 2 + 1000}").head().getLong(0)
+        require(r == 1000L)
+      }).min
+      println(s"""{"probe":"blockprune","factor":$f,"rows":$n,""" +
+        s""""blocks":$blocks,""" +
+        f""""point_blocked_ms":${point("blk")}%.0f,""" +
+        f""""point_flat_ms":${point("flat")}%.0f,""" +
+        f""""range_blocked_ms":${range("blk")}%.0f,""" +
+        f""""range_flat_ms":${range("flat")}%.0f}""")
+      spark.sql(s"DROP TABLE $cat.blk")
+      spark.sql(s"DROP TABLE $cat.flat")
+    }
+  }
+
   /** Write-CPU anchor (`probe = writebench`): wall time to write the
     * projscan-shaped wide frame (2 keys + 20 fat strings) through the
     * manifest committer — the ingest hot path. Byte-level rendering
@@ -762,6 +819,11 @@ object ScaleProbe {
     }
     if (probe == "projscan") {
       projScanProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "blockprune") {
+      blockPruneProbes(spark, factors)
       spark.stop()
       return
     }

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Data-file compression (`codec` table property): gzip'd NDJSON with
+  * logical-offset row identity — DVs, `_pos`, equality deletes,
+  * compaction (raw gzip-member concat AND transcode), sorted merges,
+  * time travel and codec flips mid-life all compose. */
+class CodecSpec extends AnyFunSuite with SparkSpec {
+
+  private def catalog(name: String): String = {
+    val wh = Files.createTempDirectory(s"graft_$name").toString
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.base", wh)
+    wh
+  }
+
+  private def gzipped(dir: String, name: String): Boolean = {
+    val in = Files.newInputStream(Paths.get(dir, name))
+    try {
+      val a = in.read(); val b = in.read()
+      a == 0x1f && b == 0x8b
+    } finally in.close()
+  }
+
+  test("gzip round trip: bytes shrink, rows and filters read back exactly") {
+    val wh = catalog("gcz1")
+    spark.sql("""CREATE TABLE gcz1.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='gzip')""")
+    spark.range(0, 20000)
+      .selectExpr("id", "concat('payload-', id, '-', repeat('ab', 40)) AS v")
+      .coalesce(1).writeTo("gcz1.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.codec == "gzip" && gzipped(s"$wh/t", e.name))
+    // Repetitive text deflates hard; the entry records COMPRESSED size.
+    assert(e.bytes < 2L * 1024 * 1024 / 4, s"bytes=${e.bytes}")
+    assert(spark.sql("SELECT count(*), sum(id) FROM gcz1.t").head() ==
+      org.apache.spark.sql.Row(20000L, (0L until 20000L).sum))
+    assert(spark.sql("SELECT v FROM gcz1.t WHERE id = 777").head().getString(0)
+      .startsWith("payload-777-"))
+    // Stats pruning still works (bounds are codec-independent).
+    spark.range(20000, 40000)
+      .selectExpr("id", "concat('x', id) AS v").coalesce(1)
+      .writeTo("gcz1.t").append()
+    val q = spark.sql("SELECT count(*) FROM gcz1.t WHERE id >= 30000")
+    assert(q.head().getLong(0) == 10000L)
+    spark.sql("DROP TABLE gcz1.t")
+  }
+
+  test("logical-offset row identity: DVs and equality deletes apply " +
+      "inside compressed files; compaction materializes both") {
+    val wh = catalog("gcz2")
+    spark.sql("""CREATE TABLE gcz2.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='gzip', 'deletionvectors'='true')""")
+    spark.range(0, 5000).selectExpr("id", "concat('v', id) AS v")
+      .coalesce(1).writeTo("gcz2.t").append()
+    spark.sql("DELETE FROM gcz2.t WHERE id IN (17, 4017)") // DV (positional)
+    import spark.implicits._
+    ManifestOps.equalityDelete(s"$wh/t", Seq(23L, 4023L).toDF("id"))
+    def survivors(): Set[Long] = spark.sql("SELECT id FROM gcz2.t")
+      .collect().map(_.getLong(0)).toSet
+    val expect = (0L until 5000L).toSet -- Set(17L, 4017L, 23L, 4023L)
+    assert(survivors() == expect)
+    // UPDATE through the merge-on-read DV path on a compressed file.
+    spark.sql("UPDATE gcz2.t SET v = 'patched' WHERE id = 100")
+    assert(spark.sql("SELECT v FROM gcz2.t WHERE id = 100").head()
+      .getString(0) == "patched")
+    // Compaction: gzip members transcode/concat; deletes materialize.
+    spark.sql("CALL gcz2.system.compact('t', 1000000)")
+    val entries = ManifestSink.committedEntries(s"$wh/t")
+    assert(entries.size == 1 && entries.head.codec == "gzip" &&
+      gzipped(s"$wh/t", entries.head.name))
+    assert(survivors() == expect)
+    assert(ManifestSink.committedEqDeleteNames(s"$wh/t").isEmpty)
+    spark.sql("DROP TABLE gcz2.t")
+  }
+
+  test("codec flip mid-life: mixed files coexist; compaction converges " +
+      "to the current codec") {
+    val wh = catalog("gcz3")
+    spark.sql("CREATE TABLE gcz3.t (id BIGINT, v STRING)")
+    spark.range(0, 1000).selectExpr("id", "concat('a', id) AS v")
+      .coalesce(1).writeTo("gcz3.t").append() // plain
+    spark.sql("ALTER TABLE gcz3.t SET TBLPROPERTIES ('codec'='gzip')")
+    spark.range(1000, 2000).selectExpr("id", "concat('b', id) AS v")
+      .coalesce(1).writeTo("gcz3.t").append() // gzip
+    val codecs = ManifestSink.committedEntries(s"$wh/t").map(_.codec).sorted
+    assert(codecs == Seq("", "gzip"), codecs.toString)
+    assert(spark.sql("SELECT count(*), sum(id) FROM gcz3.t").head() ==
+      org.apache.spark.sql.Row(2000L, (0L until 2000L).sum))
+    // Compaction transcodes the plain member into the table's codec.
+    spark.sql("CALL gcz3.system.compact('t', 1000000)")
+    val merged = ManifestSink.committedEntries(s"$wh/t")
+    assert(merged.size == 1 && merged.head.codec == "gzip" &&
+      gzipped(s"$wh/t", merged.head.name))
+    assert(spark.sql("SELECT count(*), sum(id) FROM gcz3.t").head() ==
+      org.apache.spark.sql.Row(2000L, (0L until 2000L).sum))
+    // Unknown codecs refuse loudly at the catalog boundary.
+    intercept[Exception](spark.sql(
+      "ALTER TABLE gcz3.t SET TBLPROPERTIES ('codec'='zstd')"))
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gcz3.bad (id BIGINT) TBLPROPERTIES ('codec'='lz4')"))
+    spark.sql("DROP TABLE gcz3.t")
+  }
+
+  test("sorted-merge compaction on compressed sorted files keeps the stamp") {
+    val wh = catalog("gcz4")
+    spark.sql("""CREATE TABLE gcz4.t (ts BIGINT, v BIGINT)
+      TBLPROPERTIES ('codec'='gzip')""")
+    spark.range(0, 500).selectExpr("id * 2 AS ts", "id AS v")
+      .coalesce(1).sortWithinPartitions("ts")
+      .writeTo("gcz4.t").option("sortBy", "ts").append()
+    spark.range(0, 500).selectExpr("id * 2 + 1 AS ts", "id AS v")
+      .coalesce(1).sortWithinPartitions("ts")
+      .writeTo("gcz4.t").option("sortBy", "ts").append()
+    spark.sql("CALL gcz4.system.compact('t', 1000000)")
+    val e = ManifestSink.committedEntries(s"$wh/t")
+    assert(e.size == 1 && e.head.sorted == Seq("ts") && e.head.codec == "gzip")
+    val got = spark.sql("SELECT ts FROM gcz4.t").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == (0L until 1000L), "merged compressed file lost sort order")
+    spark.sql("DROP TABLE gcz4.t")
+  }
+
+  test("streaming epoch writes honor the codec") {
+    val wh = catalog("gcz5")
+    spark.sql("""CREATE TABLE gcz5.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='gzip')""")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Long]
+    src.addData(0L until 100L: _*)
+    val q = src.toDF().selectExpr("value AS id", "concat('s', value) AS v")
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/t")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gcz5_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val entries = ManifestSink.committedEntries(s"$wh/t")
+    assert(entries.nonEmpty && entries.forall(_.codec == "gzip"),
+      entries.map(e => e.name -> e.codec).toString)
+    assert(spark.sql("SELECT count(*) FROM gcz5.t").head().getLong(0) == 100L)
+    spark.sql("DROP TABLE gcz5.t")
+  }
+}
