@@ -1717,10 +1717,19 @@ object ManifestSink {
             "must stay append-only while tailed — pause maintenance, " +
             "restart the stream from the current generation, or read " +
             "with readChangeFeed=true to consume the changes")
-      else if (dvChanged.isEmpty && added.forall(_.name.startsWith("compact-")) &&
+      else if (dvChanged.isEmpty &&
+          added.forall(f => f.name.startsWith("compact-") && f.dv.isEmpty) &&
           added.map(_.rows).sum == retired.map(_.liveRows).sum &&
           added.nonEmpty && eqLegs.isEmpty)
-        Array.empty // pure compaction: physical rewrite, no logical change
+        // Pure compaction: physical rewrite, no logical change. The
+        // dv.isEmpty guard is load-bearing: a deletion vector landing
+        // on the freshly-compacted file LATER IN THE SAME WINDOW is a
+        // logical delete the row-count equality cannot see (`rows` is
+        // physical) — it must fall through to the generic diff, whose
+        // retired-delete + live-insert legs represent it exactly
+        // (fuzz-caught: compact at g+1, DV delete at g+2, window
+        // (g, g+2] silently dropped the deletes).
+        Array.empty
       else {
         val dvRowChanges: Seq[InputPartition] = dvChanged.flatMap { case (a, b) =>
           if (!keep(a)) Nil

@@ -53,7 +53,15 @@ private[sources] object MetadataTables {
     StructField("dv_bytes", LongType, nullable = false),
     // Commit sequence (the generation that committed the file) —
     // what equality-delete applicability is decided against.
-    StructField("seq", LongType, nullable = false)))
+    StructField("seq", LongType, nullable = false),
+    // Round-13 layout facts: compression codec ("" = plain), declared
+    // sort order (comma list, "" = unsorted), bloom-indexed columns,
+    // and sub-file stat-block count (0 = file-level bounds only) —
+    // what "will this query prune/skip/sort-free here" reads per file.
+    StructField("codec", StringType, nullable = false),
+    StructField("sorted", StringType, nullable = false),
+    StructField("bloom_cols", StringType, nullable = false),
+    StructField("blocks", LongType, nullable = false)))
 
   def historyRows(dir: String): Array[InternalRow] =
     ManifestSink.history(dir).map { c =>
@@ -129,7 +137,11 @@ private[sources] object MetadataTables {
       new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
         e.rows, e.bytes, UTF8String.fromString(stats),
         e.liveRows, e.dv.map(UTF8String.fromString).orNull,
-        e.dvRows, dvBytes, e.seq))
+        e.dvRows, dvBytes, e.seq,
+        UTF8String.fromString(e.codec),
+        UTF8String.fromString(e.sorted.mkString(",")),
+        UTF8String.fromString(e.bloomCols.mkString(",")),
+        e.blocks.size.toLong))
     }.toArray
 }
 

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * against an in-memory model: random interleavings of appends, SQL
   * DELETEs (point-set and range — exercising both the metadata-only
   * and the position-delta routes), merge-on-read UPDATEs and MERGEs,
-  * snapshot tags + RESTOREs (the model keeps per-tag copies), and
+  * snapshot tags + RESTOREs (the model keeps per-tag copies),
+  * equality deletes, staged cross-table-txn appends, column RENAMEs
+  * (fresh name each time; every vintage keeps resolving), CODEC flips
+  * (plain and gzip'd files interleave; compaction transcodes), and
   * compaction (vector materialization) must leave the table exactly
   * equal to a HashMap replaying the same operations. Reads re-verify
   * under an adversarially small split size so vector application is
@@ -27,6 +30,13 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
       TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
     val model = collection.mutable.HashMap[Long, Long]()
+    // The value column's CURRENT name: random RENAMEs (round 13) give
+    // it a fresh name mid-sequence — every later op, split read and
+    // CDF replay must keep resolving rows written under EVERY vintage.
+    var vName = "v"
+    // The table's current codec: random flips (round 13) interleave
+    // plain and gzip'd files in one table; compaction transcodes.
+    var codec = ""
     // Tagged snapshots: tag name -> the model AS OF the tag, for
     // replaying a random RESTORE later in the sequence.
     val snapshots = collection.mutable.HashMap[String, Map[Long, Long]]()
@@ -41,7 +51,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     val dir = java.nio.file.Paths.get(wh, "t").toString
 
     def check(tag: String): Unit = {
-      val got = spark.sql(s"SELECT id, v FROM $cat.t").collect()
+      val got = spark.sql(s"SELECT id, $vName FROM $cat.t").collect()
         .map(r => r.getLong(0) -> r.getLong(1))
       assert(got.length == got.map(_._1).distinct.length,
         s"[seed=$seed $tag] duplicate ids surfaced")
@@ -54,7 +64,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StructField(vName,
           org.apache.spark.sql.types.LongType)))
       val split = spark.read.format("graft.sources.ManifestSink")
         .schema(schema).option("path", dir)
@@ -64,7 +74,11 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     }
 
     (0 until 8).foreach { step =>
-      rnd.nextInt(10) match {
+      val opCase = rnd.nextInt(12)
+      if (sys.env.contains("GRAFT_FUZZ_TRACE"))
+        println(s"[fz] seed=$seed step=$step case=$opCase gen=" +
+          graft.sources.ManifestSink.committedGeneration(dir))
+      opCase match {
         case 0 | 1 => // append a fresh batch (always possible)
           val n = 20 + rnd.nextInt(60)
           val rows = (0 until n).map { _ =>
@@ -74,7 +88,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
             (id, v)
           }
           import spark.implicits._
-          rows.toDF("id", "v")
+          rows.toDF("id", vName)
             .repartition(1 + rnd.nextInt(3))
             .writeTo(s"$cat.t").append()
         case 2 if model.nonEmpty => // point-set DELETE (delta route)
@@ -91,7 +105,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           keys.filter(k => k >= lo && k <= hi).foreach(model.remove)
         case 4 if model.nonEmpty => // merge-on-read UPDATE
           val ids = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(6))
-          spark.sql(s"UPDATE $cat.t SET v = v * 2 + 1 " +
+          spark.sql(s"UPDATE $cat.t SET $vName = $vName * 2 + 1 " +
             s"WHERE id IN (${ids.mkString(",")})")
           ids.foreach(id => model(id) = model(id) * 2 + 1)
         case 5 if model.nonEmpty => // merge-on-read MERGE (upsert + kill)
@@ -110,8 +124,8 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           spark.sql(s"""MERGE INTO $cat.t t USING fz_src_$seed s
             ON t.id = s.id
             WHEN MATCHED AND s.op = 'k' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET v = s.nv
-            WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)""")
+            WHEN MATCHED THEN UPDATE SET $vName = s.nv
+            WHEN NOT MATCHED THEN INSERT (id, $vName) VALUES (s.id, s.nv)""")
           upd.foreach(id => model(id) = model(id) + 17L)
           kill.foreach(model.remove)
           ins.foreach { case (id, v) => model(id) = v }
@@ -140,7 +154,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
             (id, rnd.nextLong() & 0xFFFFFFL)
           }
           val txn = graft.sources.GraftTxn.newId()
-          rows.toDF("id", "v").write
+          rows.toDF("id", vName).write
             .format("graft.sources.ManifestSink")
             .option("path", dir)
             .option(graft.sources.GraftTxn.StageOptionKey, txn)
@@ -153,6 +167,19 @@ class DeletionVectorFuzzSpec extends SparkSpec {
           graft.sources.GraftTxn.commitAll(
             java.nio.file.Paths.get(wh, "_txns").toString, Seq(dir), txn)
           rows.foreach { case (id, v) => model(id) = v }
+        case 10 => // CODEC FLIP (round 13): later appends write the new
+          // codec; mixed files coexist and compaction transcodes — the
+          // model is codec-blind by construction.
+          codec = if (codec == "gzip") "none" else "gzip"
+          spark.sql(
+            s"ALTER TABLE $cat.t SET TBLPROPERTIES ('codec'='$codec')")
+        case 11 => // RENAME the value column (round 13): a fresh name
+          // each time (renamed-away names are permanently retired) —
+          // every row written under ANY vintage must keep resolving,
+          // through eqdeletes, DVs, compaction, restores and CDF.
+          val nn = s"v${step}_$seed"
+          spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN $vName TO $nn")
+          vName = nn
         case _ => // op needs state it lacks: compact instead
           graft.sources.ManifestSink.compact(dir, targetRows = 200L)
       }
@@ -174,7 +201,7 @@ class DeletionVectorFuzzSpec extends SparkSpec {
         val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",
             org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StructField(vName,
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType)))
