@@ -277,23 +277,47 @@ object ManifestSink {
   private[sources] val MaxBlocksPerFile = 512
 
   /** Data-file compression codec (table property `codec`: `none` |
-    * `gzip`). At 100 TB the corpus is storage- and scan-I/O-bound and
-    * NDJSON text deflates 5-10x, so the wrap points are chosen to keep
-    * every LOGICAL byte offset (deletion vectors, `_pos`, row
-    * identity) counted on the UNCOMPRESSED stream: the writer counts
-    * above its gzip layer, the reader counts below its gunzip layer,
-    * and the two always agree. Compressed files are never
-    * byte-range-split (no seeking into a deflate stream) — file sizing
-    * via partitioning/auto-compaction is the parallelism knob, the
-    * same discipline as gzip'd text on any engine. Gzip members
-    * CONCATENATE (multi-member streams), so concat compaction still
-    * streams raw bytes. */
+    * `gzip` | `zstd`). At 100 TB the corpus is storage- and
+    * scan-I/O-bound and NDJSON text deflates 5-10x, so the wrap points
+    * are chosen to keep every LOGICAL byte offset (deletion vectors,
+    * `_pos`, row identity) counted on the UNCOMPRESSED stream: the
+    * writer counts above its compression layer, the reader counts
+    * below its decompression layer, and the two always agree.
+    * Compressed files are never byte-range-split (no seeking into a
+    * compressed stream) — file sizing via partitioning/auto-compaction
+    * is the parallelism knob, the same discipline as compressed text
+    * on any engine. Gzip members and zstd frames both CONCATENATE, so
+    * concat compaction still streams raw bytes codec-to-same-codec.
+    * zstd rides the zstd-jni Spark itself ships (faster and tighter
+    * than gzip — the production default for new tables). */
   private[sources] def codecOf(props: Map[String, String]): String =
     props.get("codec").map(_.trim.toLowerCase).filter(_ != "none")
       .map { c =>
-        require(c == "gzip", s"unsupported codec '$c' (none | gzip)")
+        require(c == "gzip" || c == "zstd",
+          s"unsupported codec '$c' (none | gzip | zstd)")
         c
       }.getOrElse("")
+
+  /** Decompression wrap for one data file's raw stream ("" = pass
+    * through). zstd reads CONTINUOUS (multi-frame) — concat-compacted
+    * files are frame sequences. */
+  private[sources] def wrapRead(raw: java.io.InputStream,
+      codec: String): java.io.InputStream = codec match {
+    case "gzip" => new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    case "zstd" =>
+      val z = new com.github.luben.zstd.ZstdInputStream(raw)
+      z.setContinuous(true)
+      z
+    case _ => raw
+  }
+
+  /** Compression wrap for a whole data file ("" = pass through). */
+  private[sources] def wrapWrite(raw: java.io.OutputStream,
+      codec: String): java.io.OutputStream = codec match {
+    case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+    case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+    case _ => raw
+  }
 
   private val codecCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, String)]()
@@ -483,12 +507,9 @@ object ManifestSink {
       out: java.io.OutputStream,
       aliases: Map[String, Seq[String]] = Map.empty,
       srcCodec: String = ""): Long = {
-    val in = new java.io.BufferedInputStream({
-      val raw = Files.newInputStream(src)
-      // Decompress below the offset counter: DV offsets are logical.
-      if (srcCodec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
-      else raw
-    }, 1 << 16)
+    // Decompress below the offset counter: DV offsets are logical.
+    val in = new java.io.BufferedInputStream(
+      wrapRead(Files.newInputStream(src), srcCodec), 1 << 16)
     var kept = 0L
     try {
       var offset = 0L
@@ -527,11 +548,8 @@ object ManifestSink {
       srcCodec: String = "")
       : Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
-    val in = new java.io.BufferedInputStream({
-      val raw = Files.newInputStream(src)
-      if (srcCodec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
-      else raw
-    }, 1 << 16)
+    val in = new java.io.BufferedInputStream(
+      wrapRead(Files.newInputStream(src), srcCodec), 1 << 16)
     try {
       var offset = 0L
       var b = in.read()
@@ -1344,14 +1362,26 @@ object ManifestSink {
         try {
           val outCodec = codecAt(dir)
           // Re-rendered members write through a fresh codec layer per
-          // member; `finish()` seals the gzip member without closing
-          // the shared file stream — members concatenate (multi-member
-          // gzip), exactly like the raw-copy fast path.
+          // member, sealed WITHOUT closing the shared file stream —
+          // members/frames concatenate, exactly like the raw-copy fast
+          // path (gzip: `finish()`; zstd: close through a close shield).
           def withSink(body: java.io.OutputStream => Unit): Unit =
-            if (outCodec == "gzip") {
-              val g = new java.util.zip.GZIPOutputStream(out, 1 << 16)
-              body(g); g.finish()
-            } else body(out)
+            outCodec match {
+              case "gzip" =>
+                val g = new java.util.zip.GZIPOutputStream(out, 1 << 16)
+                body(g); g.finish()
+              case "zstd" =>
+                val z = new com.github.luben.zstd.ZstdOutputStream(
+                  new java.io.FilterOutputStream(out) {
+                    // Bulk write must NOT fall back to the per-byte
+                    // FilterOutputStream loop.
+                    override def write(b: Array[Byte], off: Int,
+                        len: Int): Unit = out.write(b, off, len)
+                    override def close(): Unit = out.flush() // shield
+                  })
+                body(z); z.close()
+              case _ => body(out)
+            }
           if (mergeSorted) {
             val lines = group.flatMap { f =>
               val eqFilters = filtersFor(f)
@@ -4259,12 +4289,12 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
               "will plan against the current manifest), or pause " +
               "compaction while long scans are in flight.", e)
       }
-    // Gunzip BELOW the line framer, so `pos` — the offsets deletion
+    // Decompress BELOW the line framer, so `pos` — the offsets deletion
     // vectors and `_pos` live in — counts UNCOMPRESSED bytes, exactly
-    // like the writer's counter above its gzip layer. Multi-member
-    // streams (concat compaction output) decode transparently.
-    if (codec == "gzip") new java.util.zip.GZIPInputStream(raw, 1 << 16)
-    else raw
+    // like the writer's counter above its compression layer.
+    // Multi-member/multi-frame streams (concat compaction output)
+    // decode transparently.
+    ManifestSink.wrapRead(raw, codec)
   }, 1 << 16)
   private var pos = 0L
   // Bulk-buffered line framing: newline search runs over a 64 KB block
@@ -5056,12 +5086,9 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // `_pos` and block boundaries live in on both the write and read
   // side.
   private val codec: String = ManifestSink.codecAt(path)
-  private val out = new CountingOutputStream({
-    val raw = new java.io.BufferedOutputStream(
-      Files.newOutputStream(file), 1 << 16)
-    if (codec == "gzip") new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-    else raw
-  })
+  private val out = new CountingOutputStream(ManifestSink.wrapWrite(
+    new java.io.BufferedOutputStream(Files.newOutputStream(file), 1 << 16),
+    codec))
   private var rows = 0L
   private val keyPrefix: Array[Array[Byte]] =
     schema.fields.zipWithIndex.map { case (f, i) =>

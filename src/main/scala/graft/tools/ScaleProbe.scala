@@ -693,6 +693,61 @@ object ScaleProbe {
     }
   }
 
+  /** Compression anchor (`probe = codecbench`): the projscan-shaped
+    * wide frame written at each codec — on-disk bytes, write wall, and
+    * full-scan wall. The claim made measurable: zstd/gzip cut the
+    * corpus's storage and scan I/O several-fold for bounded CPU — at
+    * 100 TB the scan is I/O-bound and the cut is the win; on a local
+    * page cache the decompress CPU shows as scan-wall overhead, which
+    * is the honest lower bound of the trade. */
+  private def codecBenchProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 100000L * f
+      val wideCols = (0 until 20).map(j =>
+        s"concat('w$j-', id, '-', repeat('x', 60)) AS w$j")
+      val wide = spark.range(n).selectExpr(
+        Seq("id", "id % 97 AS k") ++ wideCols: _*)
+        .repartition(8).cache()
+      wide.count()
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      val results = Seq("none", "gzip", "zstd").map { codec =>
+        val wh = Files.createTempDirectory(s"graft_codecbench_$f").toString
+        val cat = s"gcb_${f}_${codec}_${wh.hashCode & 0x7fffffff}"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+        spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, k BIGINT,
+          ${(0 until 20).map(j => s"w$j STRING").mkString(", ")})
+          TBLPROPERTIES ('codec'='$codec')""")
+        val wWall = ms(wide.writeTo(s"$cat.t").append())
+        var bytes = 0L
+        val walk = Files.walk(java.nio.file.Paths.get(wh, "t"))
+        try {
+          val it = walk.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".ndjson"))
+              bytes += Files.size(p)
+          }
+        } finally walk.close()
+        val sWall = (0 until 2).map(_ => ms {
+          require(spark.sql(s"SELECT count(*) FROM $cat.t WHERE k = 13")
+            .head().getLong(0) > 0)
+        }).min
+        spark.sql(s"DROP TABLE $cat.t")
+        (codec, bytes, wWall, sWall)
+      }
+      results.foreach { case (codec, bytes, w, sc) =>
+        println(s"""{"probe":"codecbench","factor":$f,"rows":$n,""" +
+          s""""codec":"$codec","data_bytes":$bytes,""" +
+          f""""write_wall_ms":$w%.0f,"scan_wall_ms":$sc%.0f}""")
+      }
+      wide.unpersist()
+    }
+  }
+
   /** Write-CPU anchor (`probe = writebench`): wall time to write the
     * projscan-shaped wide frame (2 keys + 20 fat strings) through the
     * manifest committer — the ingest hot path. Byte-level rendering
@@ -824,6 +879,11 @@ object ScaleProbe {
     }
     if (probe == "blockprune") {
       blockPruneProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "codecbench") {
+      codecBenchProbes(spark, factors)
       spark.stop()
       return
     }

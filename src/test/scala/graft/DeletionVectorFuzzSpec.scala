@@ -170,7 +170,11 @@ class DeletionVectorFuzzSpec extends SparkSpec {
         case 10 => // CODEC FLIP (round 13): later appends write the new
           // codec; mixed files coexist and compaction transcodes — the
           // model is codec-blind by construction.
-          codec = if (codec == "gzip") "none" else "gzip"
+          codec = codec match {
+            case "" | "none" => "gzip"
+            case "gzip" => "zstd"
+            case _ => "none"
+          }
           spark.sql(
             s"ALTER TABLE $cat.t SET TBLPROPERTIES ('codec'='$codec')")
         case 11 => // RENAME the value column (round 13): a fresh name

@@ -19,13 +19,14 @@ class CodecSpec extends AnyFunSuite with SparkSpec {
     wh
   }
 
-  private def gzipped(dir: String, name: String): Boolean = {
+  private def magic(dir: String, name: String, bytes: Int*): Boolean = {
     val in = Files.newInputStream(Paths.get(dir, name))
-    try {
-      val a = in.read(); val b = in.read()
-      a == 0x1f && b == 0x8b
-    } finally in.close()
+    try bytes.forall(b => in.read() == b) finally in.close()
   }
+  private def gzipped(dir: String, name: String): Boolean =
+    magic(dir, name, 0x1f, 0x8b)
+  private def zstdded(dir: String, name: String): Boolean =
+    magic(dir, name, 0x28, 0xb5, 0x2f, 0xfd)
 
   test("gzip round trip: bytes shrink, rows and filters read back exactly") {
     val wh = catalog("gcz1")
@@ -101,7 +102,7 @@ class CodecSpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.sql.Row(2000L, (0L until 2000L).sum))
     // Unknown codecs refuse loudly at the catalog boundary.
     intercept[Exception](spark.sql(
-      "ALTER TABLE gcz3.t SET TBLPROPERTIES ('codec'='zstd')"))
+      "ALTER TABLE gcz3.t SET TBLPROPERTIES ('codec'='brotli')"))
     intercept[Exception](spark.sql(
       "CREATE TABLE gcz3.bad (id BIGINT) TBLPROPERTIES ('codec'='lz4')"))
     spark.sql("DROP TABLE gcz3.t")
@@ -124,6 +125,48 @@ class CodecSpec extends AnyFunSuite with SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(got == (0L until 1000L), "merged compressed file lost sort order")
     spark.sql("DROP TABLE gcz4.t")
+  }
+
+  test("zstd: round trip, deletes inside frames, gzip->zstd transcode " +
+      "compaction, multi-frame concat") {
+    val wh = catalog("gcz6")
+    spark.sql("""CREATE TABLE gcz6.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='gzip', 'deletionvectors'='true')""")
+    spark.range(0, 2000).selectExpr("id", "concat('g', id) AS v")
+      .coalesce(1).writeTo("gcz6.t").append() // gzip era
+    spark.sql("ALTER TABLE gcz6.t SET TBLPROPERTIES ('codec'='zstd')")
+    spark.range(2000, 4000).selectExpr("id", "concat('z', id) AS v")
+      .coalesce(1).writeTo("gcz6.t").append() // zstd era
+    val eras = ManifestSink.committedEntries(s"$wh/t")
+      .map(e => e.codec -> (e.codec match {
+        case "gzip" => gzipped(s"$wh/t", e.name)
+        case "zstd" => zstdded(s"$wh/t", e.name)
+        case _ => false
+      })).toMap
+    assert(eras == Map("gzip" -> true, "zstd" -> true), eras.toString)
+    spark.sql("DELETE FROM gcz6.t WHERE id IN (7, 2007)") // DV in both eras
+    import spark.implicits._
+    ManifestOps.equalityDelete(s"$wh/t", Seq(11L, 2011L).toDF("id"))
+    val expect = (0L until 4000L).toSet -- Set(7L, 2007L, 11L, 2011L)
+    def survivors(): Set[Long] = spark.sql("SELECT id FROM gcz6.t")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors() == expect)
+    // Compaction transcodes the gzip member into zstd and concats —
+    // the merged file is a valid multi-frame zstd stream.
+    spark.sql("CALL gcz6.system.compact('t', 1000000)")
+    val merged = ManifestSink.committedEntries(s"$wh/t")
+    assert(merged.size == 1 && merged.head.codec == "zstd" &&
+      zstdded(s"$wh/t", merged.head.name))
+    assert(survivors() == expect)
+    // A second zstd append then a re-compaction exercises the raw
+    // frame-concat fast path (zstd-to-zstd, no deletes pending).
+    spark.range(4000, 5000).selectExpr("id", "concat('y', id) AS v")
+      .coalesce(1).writeTo("gcz6.t").append()
+    spark.sql("CALL gcz6.system.compact('t', 1000000)")
+    assert(spark.sql("SELECT count(*), sum(id) FROM gcz6.t").head() ==
+      org.apache.spark.sql.Row(expect.size + 1000L,
+        expect.sum + (4000L until 5000L).sum))
+    spark.sql("DROP TABLE gcz6.t")
   }
 
   test("streaming epoch writes honor the codec") {
