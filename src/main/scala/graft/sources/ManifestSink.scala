@@ -4017,10 +4017,87 @@ private[sources] class ManifestScan(path: String, full: StructType,
     val frac =
       if (full.fields.isEmpty) 1.0
       else math.max(required.fields.length.toDouble / full.fields.length, 0.05)
+    // COLUMN-LEVEL statistics for the cost-based optimizer: min/max
+    // fold across the entries' recorded bounds (Catalyst-domain values
+    // via the same typed converter the row reader uses — valid OUTER
+    // bounds even under deletion vectors, which only drop rows), and
+    // null counts sum when every entry records one AND no merge-on-read
+    // state could have dropped a null (the agg-pushdown posture —
+    // estimates here feed join selectivity, but there is no reason to
+    // hand the CBO a number known to be wrong). A column any entry
+    // lacks bounds for reports nothing; NaN presence voids the max
+    // (Spark orders NaN above everything).
+    // LAZY: the fold is O(entries x columns) with a token parse per
+    // bound — only a CBO-enabled session asking for columnStats()
+    // should ever pay it at plan time.
+    lazy val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      val anyMor = entries.exists(_.dv.isDefined) ||
+        (try ManifestSink.parseEqDeletes(
+            ManifestSink.manifestTextAt(path, version)).nonEmpty
+         catch { case _: Exception => true })
+      full.fields.foreach { fld =>
+        val ord = NdjsonCodec.statOrdering(fld.dataType).orNull
+        val conv = NdjsonCodec.converter(fld.dataType)
+        def parse(tok: String): Option[Any] =
+          scala.util.Try(conv(NdjsonCodec.parseLine(s"""{"v":$tok}""")("v")))
+            .toOption
+        // Per entry: Some(Some(lo, hi, nan)) = contributes bounds,
+        // Some(None) = provably all-null (skippable), None = unknown
+        // (a stat-less entry with rows that COULD hold values — the
+        // whole column stands down).
+        val per: Seq[Option[Option[(Any, Any, Boolean)]]] = entries.map { e =>
+          e.stats.find(_.col == fld.name) match {
+            case Some(s) =>
+              (parse(s.min), parse(s.max)) match {
+                case (Some(lo), Some(hi)) => Some(Some((lo, hi, s.hasNan)))
+                case _ => None
+              }
+            case None if e.nullCounts.get(fld.name).contains(e.rows) =>
+              Some(None)
+            case None => None
+          }
+        }
+        val bounds =
+          if (ord == null || entries.isEmpty || per.exists(_.isEmpty)) None
+          else {
+            val vals = per.flatten.flatten
+            if (vals.isEmpty) None
+            else Some((vals.map(_._1).min(ord), vals.map(_._2).max(ord),
+              vals.exists(_._3)))
+          }
+        val nullCnt =
+          if (anyMor || entries.isEmpty ||
+              !entries.forall(_.nullCounts.contains(fld.name))) None
+          else Some(entries.map(_.nullCounts(fld.name)).sum)
+        if (bounds.isDefined || nullCnt.isDefined)
+          m.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(fld.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                bounds.fold(java.util.Optional.empty[Object]())(b =>
+                  java.util.Optional.of(b._1.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                bounds.filter(!_._3).fold(java.util.Optional.empty[Object]())(
+                  b => java.util.Optional.of(b._2.asInstanceOf[Object]))
+              override def nullCount(): OptionalLong =
+                nullCnt.fold(OptionalLong.empty())(OptionalLong.of)
+            })
+      }
+      m
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         OptionalLong.of(math.max((onDisk * frac).toLong, 1L))
       override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 }
