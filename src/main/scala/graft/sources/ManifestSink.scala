@@ -664,6 +664,52 @@ object ManifestSink {
   private[sources] final case class EqDelete(name: String, cols: Seq[String],
       rows: Long, seq: Long)
 
+  /** KMV sketch size (k smallest distinct hashes per indexed column). */
+  private[sources] val KmvK = 64
+
+  /** KMV fold: union the minima, keep the k smallest distinct. */
+  private[sources] def mergeKmv(sketches: Seq[Map[String, Seq[Long]]])
+      : Map[String, Seq[Long]] =
+    if (sketches.isEmpty) Map.empty
+    else sketches.flatMap(_.keys).distinct.flatMap { c =>
+      // A member file LACKING the sketch makes the union unknowable.
+      if (!sketches.forall(_.contains(c))) None
+      else Some(c -> sketches.flatMap(_(c)).distinct
+        .sorted(UnsignedLongOrdering).take(KmvK))
+    }.toMap
+
+  private[sources] object UnsignedLongOrdering extends Ordering[Long] {
+    def compare(a: Long, b: Long): Int =
+      java.lang.Long.compareUnsigned(a, b)
+  }
+
+  /** NDV estimate from a merged KMV sketch over the 64-bit hash space:
+    * exact when fewer than k distinct hashes were ever seen, else the
+    * standard (k-1)/kth-minimum-fraction estimator. */
+  private[sources] def kmvEstimate(minima: Seq[Long]): Long =
+    if (minima.size < KmvK) minima.size.toLong
+    else {
+      val kth = minima.max(UnsignedLongOrdering)
+      // fraction of the unsigned 64-bit space at/below kth: a negative
+      // long is its two's-complement value plus 2^64 in the unsigned
+      // domain (NOT a 2^63 shift — that would be signed order).
+      val u = if (kth >= 0) kth.toDouble else kth.toDouble + math.pow(2, 64)
+      val frac = u / math.pow(2, 64)
+      math.max(math.round((KmvK - 1) / math.max(frac, 1e-18)), KmvK.toLong)
+    }
+
+  private[sources] def renderKmv(minima: Seq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(minima.size * 8)
+    minima.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[sources] def parseKmv(b64: String): Seq[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    (0 until bytes.length / 8).map(_ => bb.getLong)
+  }
+
   private[sources] def renderEqDelete(d: EqDelete): String =
     "{\"name\":\"" + NdjsonCodec.escape(d.name) + "\",\"cols\":\"" +
       NdjsonCodec.escape(d.cols.mkString(",")) + "\",\"rows\":" + d.rows +
@@ -1003,8 +1049,13 @@ object ManifestSink {
             case Some(NdjsonCodec.JsonStr(c)) => c
             case _ => ""
           }
+          val kmv = m.collect {
+            case (k, NdjsonCodec.JsonStr(b64)) if k.startsWith("kmv.") =>
+              try Some(k.drop(4) -> parseKmv(b64))
+              catch { case _: Exception => None }
+          }.flatten.toMap
           Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
-            seq, sorted, bloomCols, blocks, codec))
+            seq, sorted, bloomCols, blocks, codec, kmv))
         case _ => None
       }
     }
@@ -1455,7 +1506,12 @@ object ManifestSink {
             else Map.empty[String, String],
           seq = generation + 1,
           sorted = if (mergeSorted) stamps.head else Nil,
-          codec = codecAt(dir))
+          codec = codecAt(dir),
+          // KMV unions are exact sketch algebra; like the merged
+          // BOUNDS they may overstate once deletes materialized
+          // (they described the physical rows) — sound for an
+          // ESTIMATE, and a column any member lacks drops out.
+          kmv = mergeKmv(group.map(_.kmv).toSeq))
       }
       val next = big ++ keepSingles.flatten ++ merged
       // An equality delete whose every predating file was just merged
@@ -1574,9 +1630,12 @@ object ManifestSink {
     }
     val codec = if (f.codec.isEmpty) Nil
       else Seq("\"codec\":\"" + NdjsonCodec.escape(f.codec) + "\"")
+    val kmv = f.kmv.toSeq.sortBy(_._1).map { case (c, minima) =>
+      s""""kmv.$c":"${renderKmv(minima)}""""
+    }
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
       stats ++ nulls ++ parts ++ dv ++ seq ++ sorted ++ bloom ++ codec ++
-      blocks).mkString("{", ",", "}")
+      kmv ++ blocks).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -4040,6 +4099,11 @@ private[sources] class ManifestScan(path: String, full: StructType,
         (try ManifestSink.parseEqDeletes(
             ManifestSink.manifestTextAt(path, version)).nonEmpty
          catch { case _: Exception => true })
+      // Table-level NDV per bloom column: the per-file KMV sketches
+      // union exactly; the estimate may overstate under merge-on-read
+      // deletes (physical values), which is the safe direction for a
+      // join-cardinality estimate.
+      val mergedKmv = ManifestSink.mergeKmv(entries.map(_.kmv))
       full.fields.foreach { fld =>
         val ord = NdjsonCodec.statOrdering(fld.dataType).orNull
         val conv = NdjsonCodec.converter(fld.dataType)
@@ -4074,7 +4138,9 @@ private[sources] class ManifestScan(path: String, full: StructType,
           if (anyMor || entries.isEmpty ||
               !entries.forall(_.nullCounts.contains(fld.name))) None
           else Some(entries.map(_.nullCounts(fld.name)).sum)
-        if (bounds.isDefined || nullCnt.isDefined)
+        val distinct = mergedKmv.get(fld.name)
+          .map(ManifestSink.kmvEstimate)
+        if (bounds.isDefined || nullCnt.isDefined || distinct.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions
               .column(fld.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -4086,6 +4152,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
                   b => java.util.Optional.of(b._2.asInstanceOf[Object]))
               override def nullCount(): OptionalLong =
                 nullCnt.fold(OptionalLong.empty())(OptionalLong.of)
+              override def distinctCount(): OptionalLong =
+                distinct.fold(OptionalLong.empty())(OptionalLong.of)
             })
       }
       m
@@ -4837,7 +4905,15 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // changes mid-life keeps every committed file readable. Compressed
     // files plan as one unsplit partition; all logical offsets (DVs,
     // `_pos`) live in the uncompressed domain.
-    codec: String = "")
+    codec: String = "",
+    // KMV DISTINCT-COUNT sketches per bloom-indexed column: the k
+    // smallest DISTINCT 64-bit hashes of the file's values (k = 64,
+    // ~600 B/col — derived free from the bloom hash buffer at commit).
+    // k-minimum-values MERGE by union-then-retake-k, so the scan folds
+    // them into a table-level NDV estimate for the optimizer's
+    // columnStats.distinctCount — the join-cardinality input CBO
+    // actually wants, on exactly the declared join-key columns.
+    kmv: Map[String, Seq[Long]] = Map.empty)
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
   def bloomName: Option[String] =
@@ -5463,6 +5539,15 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       else BloomIndex.build(buf.a, buf.n)
         .map(schema.fields(bloomIdx(b)).name -> _)
     }
+    // KMV distinct-count sketch per bloom column — free off the same
+    // hash buffer: k smallest DISTINCT packed hashes, unsigned order.
+    val kmvSketches: Map[String, Seq[Long]] = bloomIdx.indices.flatMap { b =>
+      val buf = bloomBufs(b)
+      if (!buf.alive || buf.n == 0) None
+      else Some(schema.fields(bloomIdx(b)).name ->
+        buf.a.take(buf.n).toSeq.distinct
+          .sorted(ManifestSink.UnsignedLongOrdering).take(ManifestSink.KmvK))
+    }.toMap
     if (builtBlooms.nonEmpty) {
       val attempt = staging.resolve(
         BloomIndex.sidecarName(stagedName) + s".a$taskId")
@@ -5479,7 +5564,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       sorted = if (sortValid) sortedCols else Nil,
       bloomCols = builtBlooms.map(_._1),
       blocks = blocks,
-      codec = codec)
+      codec = codec,
+      kmv = kmvSketches)
   }
 
   override def abort(): Unit = {

@@ -148,7 +148,8 @@ private[sources] object SchemaEvolution {
       sorted = e.sorted.map(c => cur.getOrElse(c, c)),
       bloomCols = e.bloomCols.map(c => cur.getOrElse(c, c)),
       blocks = e.blocks.map(b => b.copy(stats = b.stats.map(s =>
-        cur.get(s.col).fold(s)(n => s.copy(col = n))))))
+        cur.get(s.col).fold(s)(n => s.copy(col = n))))),
+      kmv = e.kmv.map { case (k, v) => (cur.getOrElse(k, k), v) })
 
   def normalizeEqDelete(d: ManifestSink.EqDelete,
       cur: Map[String, String]): ManifestSink.EqDelete =

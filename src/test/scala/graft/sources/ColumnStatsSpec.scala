@@ -59,6 +59,37 @@ class ColumnStatsSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE gcs1.t")
   }
 
+  test("KMV distinct counts: exact below k, ~accurate above, merged " +
+      "across files, only on bloom-indexed columns") {
+    val wh = Files.createTempDirectory("graft_colstats3").toString
+    spark.conf.set("spark.sql.catalog.gcs3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcs3.base", wh)
+    spark.sql("""CREATE TABLE gcs3.t (id BIGINT, k BIGINT, v BIGINT)
+      TBLPROPERTIES ('bloomcolumns'='id,k')""")
+    // Two files; `id` has 20k distincts split across them (overlap
+    // 5k), `k` has 40 distincts, `v` is not indexed (no sketch).
+    spark.range(0, 15000).selectExpr("id", "id % 40 AS k", "id AS v")
+      .coalesce(1).writeTo("gcs3.t").append()
+    spark.range(10000, 25000).selectExpr("id", "id % 40 AS k", "id AS v")
+      .coalesce(1).writeTo("gcs3.t").append()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("k", LongType), StructField("v", LongType)))
+    val scan = new ManifestScanBuilder(s"$wh/t", schema).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val cs = scala.jdk.CollectionConverters.MapHasAsScala(
+      scan.estimateStatistics().columnStats()).asScala.map {
+        case (ref, c) => ref.fieldNames()(0) ->
+          (if (c.distinctCount().isPresent)
+            Some(c.distinctCount().getAsLong) else None)
+      }.toMap
+    assert(cs("k").contains(40L), cs("k").toString) // below k=64: exact
+    val idNdv = cs("id").get
+    assert(math.abs(idNdv - 25000L) < 25000 * 0.3,
+      s"NDV estimate off: $idNdv vs 25000") // KMV k=64 => ~12% rel. error
+    assert(cs("v").isEmpty, "unindexed column must carry no NDV")
+    spark.sql("DROP TABLE gcs3.t")
+  }
+
   test("merge-on-read state silences null counts but keeps outer bounds") {
     val wh = Files.createTempDirectory("graft_colstats2").toString
     spark.conf.set("spark.sql.catalog.gcs2", "graft.sources.GraftCatalog")
