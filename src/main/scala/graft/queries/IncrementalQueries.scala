@@ -2183,6 +2183,44 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // WRITE-SIDE SCHEMA EVOLUTION (mergeSchema appends — the
+    // reference's everyday hazard: `dags/users_etl.py:143` derives its
+    // columns from whatever keys the first payload row carries, so a
+    // crawl pipeline's upstream schema DRIFTS weekly). A table with
+    // TBLPROPERTIES('mergeschema'='true') declares ACCEPT_ANY_SCHEMA
+    // and the connector re-resolves every write: half the corpus lands
+    // BEFORE the n_chars column exists, the other half arrives carrying
+    // it via a PLAIN append — no ALTER — and the schema evolves inside
+    // the same commit (pre-evolution rows read null: the a53 absent-key
+    // machinery). The aggregate must match the oracle's CASE over the
+    // same split; MergeSchemaSpec pins the resolution/refusal matrix.
+    QuerySpec(
+      "a55_mergeschema_append",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a55", dir)
+      val cat = "graft_a55_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING)
+        TBLPROPERTIES ('mergeschema'='true')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView("a55_src")
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id, lang FROM a55_src WHERE doc_id % 2 = 0""")
+      // The drifted upstream: same pipeline, one more column — a plain
+      // append, no ALTER TABLE anywhere.
+      s.sql(s"""INSERT INTO $cat.docs
+        SELECT doc_id, lang, n_chars FROM a55_src WHERE doc_id % 2 = 1""")
+      s.sql(s"""SELECT lang, count(*) AS n, sum(doc_id) AS sum_ids,
+          sum(n_chars) AS sum_chars
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -146,7 +146,13 @@ class ManifestSink extends TableProvider {
       case t => throw new IllegalArgumentException(
         s"ManifestSink supports identity and bucket partition transforms, got $t")
     }
-    new ManifestTable(path, schema, version, partCols)
+    // The ONLY write option that must behave like a table property on a
+    // path table: `mergeschema` flips the ACCEPT_ANY_SCHEMA capability,
+    // which Spark's ANALYZER consults — by the time newWriteBuilder
+    // runs, the schema either was or was not validated.
+    val props = Option(opts.get("mergeschema"))
+      .map(v => Map("mergeschema" -> v)).getOrElse(Map.empty[String, String])
+    new ManifestTable(path, schema, version, partCols, props)
   }
 }
 
@@ -1042,7 +1048,10 @@ object ManifestSink {
                   BlockStat(tok("s").toLong, tok("e").toLong, tok("r").toLong,
                     bMins.toSeq.sortBy(_._1).flatMap { case (c, lo) =>
                       bMaxs.get(c).map(hi => ColStat(c, lo, hi, nans.contains(c)))
-                    })
+                    },
+                    physStart = km.get("p").collect {
+                      case NdjsonCodec.JsonTok(t) => t.toLong
+                    }.getOrElse(-1L))
                 }
             } catch { case _: Exception => Nil }
           val codec = m.get("codec") match {
@@ -1623,6 +1632,7 @@ object ManifestSink {
     val blocks = f.blocks.zipWithIndex.flatMap { case (b, i) =>
       Seq(s""""blk.$i.s":${b.start}""", s""""blk.$i.e":${b.end}""",
         s""""blk.$i.r":${b.rows}""") ++
+        (if (b.physStart >= 0) Seq(s""""blk.$i.p":${b.physStart}""") else Nil) ++
         b.stats.flatMap(s =>
           Seq(s""""blk.$i.min.${s.col}":${s.min}""",
             s""""blk.$i.max.${s.col}":${s.max}""") ++
@@ -2918,10 +2928,23 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       else new GraftRowLevelOperation(path, tableSchema, tablePartCols,
         tableProps, info.command())
   }
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_DYNAMIC)
+  /** `mergeschema=true` (TBLPROPERTIES on catalog tables, write option
+    * on path tables) additionally declares ACCEPT_ANY_SCHEMA: Spark's
+    * analyzer stands down from output-column validation for this table
+    * and the connector takes over ([[SchemaEvolution.resolveWrite]]) —
+    * re-validating what the analyzer would have, and evolving the
+    * table's schema in the same commit when the written DataFrame adds
+    * or widens columns. Off by default: non-evolving tables keep
+    * Spark's full analysis-time validation and implicit casts. */
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps =
+      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE, TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_DYNAMIC)
+    if (tableProps.get("mergeschema").exists(_.toBoolean))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   /** Metadata-only DELETE (the Iceberg/Delta fast path): a file is
     * droppable when its manifest stats PROVE every row matches the
@@ -2972,10 +2995,26 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // Connector-side output resolution (see [[SchemaEvolution.resolveWrite]]).
+    // For a table WITHOUT `mergeschema` this is an identity pass — Spark's
+    // analyzer already matched the query to the table schema. For an
+    // ACCEPT_ANY_SCHEMA table the analyzer stood down, so this is where
+    // names resolve (by-name, or positionally for the INSERT VALUES
+    // shape), token-compatible types are accepted, and additions/widens
+    // are planned for the commit to apply atomically with the data.
+    val mergeAllowed = tableProps.get("mergeschema").exists(_.toBoolean) ||
+      info.options().getBoolean("mergeschema", false)
+    val tablePartColsParsed = PartSpec.parseAll(tablePartCols)
+    val resolution = SchemaEvolution.resolveWrite(info.schema(), tableSchema,
+      SchemaEvolution.logNames(SchemaEvolution.parseLog(tableProps)),
+      mergeAllowed,
+      tablePartColsParsed.collect { case BucketPart(_, c) => c }.toSet,
+      name())
+    val writeSchema = resolution.writeSchema
     // Fail BEFORE any task launches on a schema the payload format
-    // cannot carry faithfully — a toString fallback would silently
-    // corrupt nested/unsupported values instead.
-    val bad = info.schema().fields.filterNot(f => NdjsonCodec.supported(f.dataType))
+    // cannot carry faithfully (post-resolution: matched NullType columns
+    // have adopted their table type by now).
+    val bad = writeSchema.fields.filterNot(f => NdjsonCodec.supported(f.dataType))
     require(bad.isEmpty,
       s"ManifestSink NDJSON payload supports flat primitive/temporal/binary " +
         s"columns only; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
@@ -3023,7 +3062,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .map(PartSpec.splitList)
       .getOrElse(tablePartCols)
     PartSpec.parseAll(partCols).foreach { sp =>
-      val fld = info.schema().fields.find(_.name == sp.col)
+      val fld = writeSchema.fields.find(_.name == sp.col)
       require(fld.isDefined,
         s"partitionBy column '${sp.col}' is not in the written schema")
       sp match {
@@ -3046,7 +3085,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .orElse(tableProps.get("sortby"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    sortBy.foreach(c => require(info.schema().fields.exists(_.name == c),
+    sortBy.foreach(c => require(writeSchema.fields.exists(_.name == c),
       s"sortBy column '$c' is not in the written schema"))
     // `bloomColumns` (write option or table property, comma list):
     // every written file carries a bloom sidecar over these columns,
@@ -3058,7 +3097,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     bloomCols.foreach { c =>
-      val fld = info.schema().fields.find(_.name == c)
+      val fld = writeSchema.fields.find(_.name == c)
       require(fld.isDefined,
         s"bloomColumns column '$c' is not in the written schema")
       require(BloomIndex.supported(fld.get.dataType),
@@ -3066,7 +3105,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
           "bloom-indexable — integral, string, date and timestamp only " +
           "(float/double/decimal equality is not a point-lookup shape)")
     }
-    new ManifestWriteBuilder(path, info.schema(), info.queryId(),
+    new ManifestWriteBuilder(path, writeSchema, info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
       maxSegments = maxSegments, partCols = partCols,
       replaceFiles = () => replaceFiles,
@@ -3074,7 +3113,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       txnStage = Option(info.options().get("txnstage")).filter(_.nonEmpty),
       sortBy = sortBy,
       commitTag = Option(info.options().get("committag")).filter(_.nonEmpty),
-      bloomCols = bloomCols)
+      bloomCols = bloomCols,
+      newCols = resolution.newCols, widens = resolution.widens)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -4624,7 +4664,11 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     commitTag: Option[String] = None,
     // Columns to bloom-index on every written file (table property /
     // write option `bloomColumns`) — see [[BloomIndex]].
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    // mergeSchema evolution planned at analysis, applied by the commit
+    // under the publish lock ([[SchemaEvolution.evolveMetaAtCommit]]).
+    newCols: Seq[StructField] = Nil,
+    widens: Map[String, DataType] = Map.empty)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -4676,7 +4720,8 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     new ManifestWriteBuilder(path, schema, queryId, truncate = true, retain,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       distributeByPartition = distributeByPartition, txnStage = txnStage,
-      sortBy = sortBy, commitTag = commitTag, bloomCols = bloomCols)
+      sortBy = sortBy, commitTag = commitTag, bloomCols = bloomCols,
+      newCols = newCols, widens = widens)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -4693,17 +4738,17 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       dynamicOverwrite = true, distributeByPartition = distributeByPartition,
       txnStage = txnStage, sortBy = sortBy, commitTag = commitTag,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols, newCols = newCols, widens = widens)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
-      sortBy, commitTag, bloomCols)
+      sortBy, commitTag, bloomCols, newCols, widens)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
-      maxSegments, partCols, sortBy, bloomCols)
+      maxSegments, partCols, sortBy, bloomCols, newCols, widens)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -4726,7 +4771,11 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     // silver table claims `sorted` exactly like a batch-written one
     // and its downstream merge joins plan sort-free. Epoch replays
     // regenerate the same rows in the same order: same stamp.
-    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+    // mergeSchema evolution, applied by the FIRST epoch commit
+    // (idempotent — later epochs find it already in the schema).
+    newCols: Seq[StructField] = Nil,
+    widens: Map[String, DataType] = Map.empty)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -4741,6 +4790,7 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     val staging = Paths.get(path, s".staging-$queryId")
     val winners = StagedFileSet.all(messages)
     ManifestSink.withPublishLock(dir) {
+      SchemaEvolution.evolveMetaAtCommit(dir, newCols, widens)
       // Manifest composition keyed by EPOCH: a replayed epoch (failure
       // between sink commit and checkpoint advance) retires ALL of its
       // first attempt's entries, not just name collisions — a replay
@@ -4845,9 +4895,17 @@ private[sources] final case class ColStat(col: String, min: String,
 /** One sub-file block's byte range `[start, end)` (both at line
   * boundaries), row count, and column bounds — see
   * [[StagedFile.blocks]]. No null counts: block-level IS NULL proofs
-  * stand down conservatively. */
+  * stand down conservatively.
+  *
+  * `physStart` (compressed files only, -1 otherwise): the COMPRESSED
+  * byte offset where this block's gzip member / zstd frame begins.
+  * Writers seal the codec stream at every block boundary, so each
+  * block is independently decodable from its physStart — which is
+  * what gives compressed files back BOTH split reads and block-range
+  * pruning (`start`/`end` stay logical/uncompressed: the domain row
+  * identity, DVs and `_pos` live in). */
 private[sources] final case class BlockStat(start: Long, end: Long,
-    rows: Long, stats: Seq[ColStat])
+    rows: Long, stats: Seq[ColStat], physStart: Long = -1L)
 
 /** `bytes` is the data file's on-disk size recorded at write time (-1
   * for entries from pre-round-10 manifests — planning then falls back
@@ -4957,7 +5015,11 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // [[ManifestWriteBuilder]].
     commitTag: Option[String] = None,
     // Bloom-indexed columns for written files — see [[BloomIndex]].
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    // mergeSchema evolution to apply at commit (under the publish lock,
+    // before the manifest swap — same commit point as the data).
+    newCols: Seq[StructField] = Nil,
+    widens: Map[String, DataType] = Map.empty)
     extends BatchWrite {
   private val publishTag: String = commitTag.getOrElse(queryId)
   // Direct-construction convenience (tests, internal callers).
@@ -4997,6 +5059,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       return
     }
     ManifestSink.withPublishLock(dir) {
+      // mergeSchema: the evolved schema lands inside the same lock-held
+      // critical section as the manifest swap — a reader sees either the
+      // old schema without the new data or the new schema with it, and
+      // the one interruptible gap (meta swapped, manifest not) leaves
+      // only an extra all-null nullable column.
+      SchemaEvolution.evolveMetaAtCommit(dir, newCols, widens)
       val generation = ManifestSink.committedGeneration(path)
       // Prior entries come from the manifest (self-describing — no
       // re-count) and are keyed OUT by winner name: if an append's task

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.types._
 
@@ -154,4 +154,229 @@ private[sources] object SchemaEvolution {
   def normalizeEqDelete(d: ManifestSink.EqDelete,
       cur: Map[String, String]): ManifestSink.EqDelete =
     if (cur.isEmpty) d else d.copy(cols = d.cols.map(c => cur.getOrElse(c, c)))
+
+  // --------------------------------------------------------------------
+  // WRITE-SIDE schema evolution (mergeSchema appends).
+  //
+  // A table with TBLPROPERTIES('mergeschema'='true') declares
+  // `ACCEPT_ANY_SCHEMA`, which tells Spark's analyzer to SKIP its own
+  // output-column resolution (`V2WriteCommand.outputResolved` short-
+  // circuits on `skipSchemaResolution`) — so the connector must
+  // re-validate everything the analyzer would have, and may then do
+  // what the analyzer never could: accept a DataFrame that ADDS columns
+  // (the table schema evolves in the same commit; pre-evolution files
+  // read the new column as null — the a53 absent-key machinery) or
+  // WIDENS a column (the a51 text-token re-parse argument).
+  //
+  // Resolution rules, in order:
+  //  1. BY NAME when any query column names a table column (exact match
+  //     first, unique case-insensitive second — resolved to the table's
+  //     spelling). Unmatched QUERY columns are NEW columns (added
+  //     nullable at commit; retired rename-log names refuse). Unmatched
+  //     TABLE columns are simply absent from the written payloads and
+  //     read back as null / EXISTS_DEFAULT — refused only when that
+  //     would lie (non-nullable without a default, or a CURRENT default
+  //     that differs from what absent keys read back).
+  //  2. POSITIONAL when NO query column names any table column and the
+  //     arities match — the `INSERT INTO t VALUES (...)` shape, whose
+  //     synthesized col1/col2 attribute names reach the connector
+  //     verbatim once the analyzer stands down. Fields are renamed to
+  //     the table's columns in position order; positional writes never
+  //     evolve the schema.
+  //  3. Anything else refuses loudly with both shapes in the message.
+  //
+  // Type rule per matched column: the payload is TEXT, so the token the
+  // QUERY's type renders must re-parse exactly under the TABLE's read
+  // type ([[tokenCompatible]] — identity, integral upcasts, integral →
+  // float/double, float → double). A query type WIDER than the table's
+  // widens the table column at commit (mergeSchema only; bucket-source
+  // columns refuse exactly like ALTER COLUMN TYPE). Everything else is
+  // a loud error — ACCEPT_ANY_SCHEMA disables Spark's implicit casts,
+  // and silently coercing here would hide real mistakes.
+  // --------------------------------------------------------------------
+
+  /** What a write resolved to: the schema the task writers use (QUERY
+    * field order and types — rows arrive in query shape — under TABLE
+    * column names), plus the evolution the commit must apply. */
+  case class WriteResolution(writeSchema: StructType,
+      newCols: Seq[StructField], widens: Map[String, DataType])
+
+  /** Token-level read compatibility: a value rendered by `from`'s
+    * writer re-parses EXACTLY under `to`'s reader. Strictly the lossless
+    * directions — integral tokens under a wider integral or a float/
+    * double reader, float tokens under double. (long → double admits
+    * the usual 2^53 SQL-widening caveat; it is the cast Spark itself
+    * inserts for the same write.) */
+  def tokenCompatible(from: DataType, to: DataType): Boolean =
+    from == to || canWiden(from, to) || ((from, to) match {
+      case (ByteType | ShortType | IntegerType | LongType,
+            FloatType | DoubleType) => true
+      case _ => false
+    })
+
+  def resolveWrite(query: StructType, table: StructType,
+      retired: Set[String], mergeAllowed: Boolean, bucketSources: Set[String],
+      tableName: String): WriteResolution = {
+    // Empty table schema = first write to a path table: adopt the query
+    // schema wholesale (there is no persisted schema to evolve).
+    if (table.isEmpty || table == query)
+      return WriteResolution(query, Nil, Map.empty)
+    val byExact = table.fields.map(f => f.name -> f).toMap
+    val byLower = table.fields.groupBy(_.name.toLowerCase)
+    def target(n: String): Option[StructField] =
+      byExact.get(n).orElse(byLower.get(n.toLowerCase) match {
+        case Some(Array(f)) => Some(f)
+        case _ => None
+      })
+    val anyMatch = query.fields.exists(f => target(f.name).isDefined)
+    def typeErr(q: StructField, t: StructField): Nothing =
+      throw new IllegalArgumentException(
+        s"cannot write $tableName: column '${t.name}' is ${t.dataType.simpleString} " +
+          s"but the query writes ${q.dataType.simpleString} — no lossless " +
+          "text-token mapping exists; cast explicitly")
+    if (!anyMatch && query.length == table.length) {
+      // POSITIONAL (INSERT VALUES): table names, query types, no evolution.
+      val widens = collection.mutable.LinkedHashMap[String, DataType]()
+      val fields = query.fields.zip(table.fields).map { case (q, t) =>
+        val qt = if (q.dataType == NullType) t.dataType else q.dataType
+        if (!tokenCompatible(qt, t.dataType)) {
+          if (mergeAllowed && canWiden(t.dataType, qt)) widens += t.name -> qt
+          else typeErr(q.copy(dataType = qt), t)
+        }
+        q.copy(name = t.name, dataType = qt)
+      }
+      checkWidens(widens.toMap, bucketSources, tableName)
+      return WriteResolution(StructType(fields), Nil, widens.toMap)
+    }
+    if (!anyMatch)
+      throw new IllegalArgumentException(
+        s"cannot write $tableName: no query column matches any table column " +
+          s"and the arities differ (query ${query.length}: " +
+          s"${query.fieldNames.mkString(", ")}; table ${table.length}: " +
+          s"${table.fieldNames.mkString(", ")}) — alias the query's columns " +
+          "to the table's names")
+    // BY NAME.
+    val widens = collection.mutable.LinkedHashMap[String, DataType]()
+    val newCols = collection.mutable.ArrayBuffer[StructField]()
+    val fields = query.fields.map { f =>
+      target(f.name) match {
+        case Some(t) =>
+          val qt = if (f.dataType == NullType) t.dataType else f.dataType
+          if (!tokenCompatible(qt, t.dataType)) {
+            if (mergeAllowed && canWiden(t.dataType, qt)) widens += t.name -> qt
+            else typeErr(f.copy(dataType = qt), t)
+          }
+          f.copy(name = t.name, dataType = qt)
+        case None =>
+          if (!mergeAllowed)
+            throw new IllegalArgumentException(
+              s"cannot write $tableName: query column '${f.name}' does not " +
+                "exist in the table (set TBLPROPERTIES('mergeschema'='true') " +
+                "to evolve the schema on write, or ALTER TABLE ADD COLUMN)")
+          require(!retired.contains(f.name),
+            s"cannot add column '${f.name}' to $tableName: the name was used " +
+              "by an earlier RENAME and is retired (pre-rename files still " +
+              "carry it); alias the query column to a fresh name")
+          require(f.dataType != NullType,
+            s"cannot add column '${f.name}' to $tableName as untyped NULL — " +
+              "cast the literal to the intended type")
+          require(NdjsonCodec.supported(f.dataType),
+            s"cannot add column '${f.name}' to $tableName: unsupported type " +
+              f.dataType.simpleString)
+          // Added nullable regardless of the query's nullability: every
+          // pre-evolution file reads it as null.
+          newCols += StructField(f.name, f.dataType, nullable = true)
+          f
+      }
+    }
+    // Table columns the query omits: absent payload keys read back as
+    // null / EXISTS_DEFAULT — refuse when that contradicts the schema.
+    val written = fields.map(_.name).toSet
+    table.fields.filterNot(t => written.contains(t.name)).foreach { t =>
+      val rd = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      val exists = if (t.metadata.contains(rd.EXISTS_DEFAULT_COLUMN_METADATA_KEY))
+        Some(t.metadata.getString(rd.EXISTS_DEFAULT_COLUMN_METADATA_KEY)) else None
+      val current = if (t.metadata.contains(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+        Some(t.metadata.getString(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY)) else None
+      require(t.nullable || exists.isDefined,
+        s"cannot write $tableName: non-nullable column '${t.name}' is " +
+          "missing from the query and has no default")
+      // An absent key reads EXISTS_DEFAULT (or null); if the column's
+      // CURRENT default VALUE differs, omitting it would silently write
+      // the wrong default into new rows. Compared as folded literals —
+      // the two metadata keys render the same value through different
+      // SQL ("2" vs "2L"); unparseable/unfoldable defaults refuse
+      // conservatively.
+      def folded(sqlOpt: Option[String]): Any = sqlOpt.map { s =>
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(s), t.dataType).eval(null)
+      }.orNull
+      val same = try folded(current) == folded(exists)
+        catch { case _: Exception => false }
+      require(current.isEmpty || same,
+        s"cannot write $tableName: column '${t.name}' has a CURRENT " +
+          s"default (${current.get}) that absent payload keys would not " +
+          "read back — supply the column explicitly")
+    }
+    checkWidens(widens.toMap, bucketSources, tableName)
+    WriteResolution(StructType(fields), newCols.toSeq, widens.toMap)
+  }
+
+  private def checkWidens(widens: Map[String, DataType],
+      bucketSources: Set[String], tableName: String): Unit =
+    widens.keys.find(bucketSources.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"cannot widen bucket-source column '$c' of $tableName on write: " +
+          "bucket hashes are width-sensitive, pre-widen files would stop " +
+          "matching their buckets — cast the query column down instead"))
+
+  /** Apply a write's schema evolution to the table's catalog metadata,
+    * called by the committer UNDER THE PUBLISH LOCK so the schema and
+    * the data land at the same commit point. Idempotent and
+    * re-validated against the CURRENT metadata: a concurrent commit may
+    * have already added the same column (same name + compatible type =
+    * skip; conflicting type = loud abort before any manifest swap).
+    * Path tables (no `_table.json`) have no persisted schema — no-op.
+    * Crash AFTER the meta swap but BEFORE the manifest publish leaves
+    * only an extra nullable column every committed row reads as null —
+    * additive evolution is harmless to interrupt. */
+  def evolveMetaAtCommit(dir: Path, newCols: Seq[StructField],
+      widens: Map[String, DataType]): Unit = {
+    if (newCols.isEmpty && widens.isEmpty) return
+    if (!Files.exists(dir.resolve("_table.json"))) return
+    val (schema0, partCols, props) = GraftCatalog.readMeta(dir)
+    var schema = schema0
+    val retired = logNames(parseLog(props))
+    var changed = false
+    widens.foreach { case (c, to) =>
+      schema.fields.find(_.name == c) match {
+        case Some(f) if f.dataType == to => // already widened concurrently
+        case Some(f) if canWiden(f.dataType, to) =>
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == c) x.copy(dataType = to) else x))
+          changed = true
+        case Some(f) if tokenCompatible(to, f.dataType) => // already wider
+        case Some(f) => throw new IllegalStateException(
+          s"commit-time widen of '$c' to ${to.simpleString} conflicts with " +
+            s"the table's current ${f.dataType.simpleString} (concurrent ALTER)")
+        case None => throw new IllegalStateException(
+          s"commit-time widen of '$c': column vanished (concurrent ALTER)")
+      }
+    }
+    newCols.foreach { f =>
+      schema.fields.find(_.name == f.name) match {
+        case Some(ex) if tokenCompatible(f.dataType, ex.dataType) => // landed already
+        case Some(ex) => throw new IllegalStateException(
+          s"commit-time add of '${f.name}' ${f.dataType.simpleString} " +
+            s"conflicts with a concurrently added ${ex.dataType.simpleString}")
+        case None =>
+          require(!retired.contains(f.name),
+            s"cannot add column '${f.name}': retired by an earlier RENAME")
+          schema = schema.add(f)
+          changed = true
+      }
+    }
+    if (changed) GraftCatalog.overwriteMeta(dir, schema, partCols, props)
+  }
 }

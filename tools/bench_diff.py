@@ -42,9 +42,23 @@ def query_map(path):
     extra = {k: d.get(k) for k in keys if k in d}
     if "queries" in d and isinstance(d["queries"], dict):
         return {k: float(v) for k, v in d["queries"].items()}, extra
-    pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', d.get("tail", ""))
-    skip = {"sf", "n", "value"}
-    return {k: float(v) for k, v in pairs if k not in skip}, extra
+    # Tail fallback: ONLY the region after the '"queries":{' marker is a
+    # per-query seconds map. A truncated driver artifact (BENCH_rN.json
+    # keeps the LAST 2000 chars) whose tail starts inside probe_by_query
+    # would otherwise serve per-query PROBE MILLISECONDS as seconds —
+    # this is exactly how the r10-r12 aged history got 50-second
+    # "observations" for sub-second queries. Refuse instead of guessing;
+    # the committed BENCH_rN_full.json artifacts carry the real map.
+    tail = d.get("tail", "")
+    marker = tail.find('"queries":{')
+    if marker < 0:
+        sys.exit(f"{path}: no complete queries map (truncated tail without "
+                 'a "queries":{ region) — use the BENCH_rN_full.json '
+                 "artifact for per-query numbers")
+    region = tail[marker + len('"queries":{'):]
+    region = region[:region.find("}")] if "}" in region else region
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":([0-9.eE+-]+)', region)
+    return {k: float(v) for k, v in pairs}, extra
 
 
 def hot_windows(extra):
