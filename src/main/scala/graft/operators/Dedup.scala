@@ -364,19 +364,23 @@ object Dedup {
       maxIter: Int = 60): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = pairs.sparkSession
-    // Materialize the directed pairs BEFORE the symmetric union: the
-    // union's two branches would otherwise each recompute the caller's
-    // pair pipeline (for near-dup input that is the quadratic similarity
-    // join — measured as the dominant cost of dd7).
-    val directed = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .persist(lvl)
-    val edges = directed
-      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetric edges in ONE pass: each pair row emits BOTH directions
+    // atomically via explode — no union of two reads of a shared
+    // persisted child, so the caller's pair pipeline (for near-dup
+    // input, the quadratic similarity join) is scanned exactly once AND
+    // a half-symmetric edge set is structurally impossible (a
+    // full-registry Verify run once produced singleton "clusters" whose
+    // shape was exactly a lost union branch; with explode the two
+    // directions cannot exist without each other).
+    val edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(lvl)
-    val edgeCount = edges.count() // also materializes both caches
-    directed.unpersist(blocking = false)
+    val edgeCount = edges.count()
     // Empty pair list → no clusters (and the loop's NULL-sum convergence
     // probe would NPE on zero rows).
     if (edgeCount == 0) {

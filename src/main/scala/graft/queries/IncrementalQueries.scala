@@ -2221,6 +2221,55 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // SEEKABLE COMPRESSED FILES (round-14: compression no longer
+    // forfeits the format's two best I/O features). The writer seals a
+    // zstd frame at every `blockbytes` boundary and records each
+    // block's physical frame offset, so ONE compressed sorted file
+    // prunes to a single frame on a point/range lookup (a52's flat
+    // lookup wall, now under 5-43x smaller bytes) AND fans out across
+    // tasks on a full scan (a15's split reads) — logical offsets, row
+    // identity and DVs intact. The spec forces sub-block splits AND a
+    // block-pruned range read over the same single compressed file; the
+    // oracle must match under both plans. CodecSpec pins the byte-level
+    // facts (frame boundaries, member headers, partition counts, DV
+    // composition).
+    QuerySpec(
+      "a56_seekable_codec",
+      """SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id >= 200 AND doc_id < 320) OR doc_id % 7 = 3""".stripMargin) {
+      (s, dir) =>
+      val wh = freshDir("a56", dir)
+      val cat = "graft_a56_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('codec'='zstd', 'blockbytes'='4096')""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")).orderBy(col("doc_id")).coalesce(1)
+        .createOrReplaceTempView("a56_src")
+      s.sql(s"INSERT INTO $cat.docs SELECT * FROM a56_src")
+      val sch = s.table(s"$cat.docs").schema
+      // Block-pruned leg: range lookup inside the sorted compressed
+      // file plans only the surviving frames.
+      val pruned = s.sql(s"""SELECT doc_id, n_chars FROM $cat.docs
+        WHERE doc_id >= 200 AND doc_id < 320""")
+      // Split leg: the SAME file read with forced sub-block splits —
+      // every frame decodes independently from its recorded offset.
+      val split = s.read.format("graft.sources.ManifestSink").schema(sch)
+        .option("path", wh.resolve("docs").toString)
+        .option("maxsplitbytes", "2048").load()
+        .where(col("doc_id") % 7 === 3 &&
+          !(col("doc_id") >= 200 && col("doc_id") < 320))
+        .select(col("doc_id"), col("n_chars"))
+      pruned.unionAll(split).agg(
+        count(lit(1)).as("n"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -1867,7 +1867,11 @@ object ManifestSink {
     * and emits exactly the block's lines). */
   private[sources] def splitFile(dir: String, f: StagedFile,
       maxSplitBytes: Long, eq: Seq[EqRef] = Nil,
-      pruning: Option[(StructType, Array[sources.Filter])] = None)
+      pruning: Option[(StructType, Array[sources.Filter])] = None,
+      // Key-grouped scans pass false: their ordering claim assumes one
+      // split per compressed file (fileSize-based for plain files), so
+      // block-granular splitting must not fan a keyed file out.
+      blockSplit: Boolean = true)
       : Seq[InputPartition] = {
     val p = Paths.get(dir, f.name)
     val size = fileSize(dir, f)
@@ -1878,11 +1882,43 @@ object ManifestSink {
     // files that apply to THIS data file (delete.seq > file.seq) and
     // drops matching-key rows at read.
     val dv = DvSpec(skip = f.dv)
-    // A compressed file is one unsplittable stream: single partition,
-    // no byte ranges, no block pruning (nothing to seek to).
-    if (f.codec.nonEmpty)
-      return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
-        dv = dv, eq = eq, codec = f.codec))
+    if (f.codec.nonEmpty) {
+      // SEEKABLE COMPRESSED FILES: when every block records the
+      // physical offset its gzip member / zstd frame begins at (the
+      // writer seals the codec stream at block boundaries), the file
+      // prunes AND splits like a plain one — each planned range starts
+      // at a frame boundary and spans whole blocks, logical offsets
+      // intact (row identity, DVs, `_pos` unchanged). Legacy compressed
+      // files (no frame-aligned blocks) stay one unsplittable stream.
+      val seekable = blockSplit && f.blocks.size >= 2 &&
+        f.blocks.forall(_.physStart >= 0)
+      if (!seekable)
+        return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
+          dv = dv, eq = eq, codec = f.codec))
+      val surviving = pruning match {
+        case Some((full, filters)) if filters.nonEmpty =>
+          f.blocks.filter { b =>
+            val pseudo = StagedFile(f.name, 0L, b.stats)
+            filters.forall(fl => ManifestStats.mayMatch(full, pseudo, fl))
+          }
+        case _ => f.blocks
+      }
+      // Greedy grouping of CONSECUTIVE survivors into ~maxSplitBytes
+      // LOGICAL chunks — decompressed bytes drive task cost, and a
+      // pruning gap forces a new group (new seek point).
+      val groups = surviving.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((ps, ls, le) :: tail, b)
+            if b.start == le && le - ls < maxSplitBytes =>
+          (ps, ls, b.end) :: tail
+        case (acc, b) => (b.physStart, b.start, b.end) :: acc
+      }.reverse
+      // Lines with first byte in [ls, le) == reader range (ls, le-1]
+      // with pos pre-set to ls — frame-aligned, no partial-line discard.
+      return groups.map { case (ps, ls, le) =>
+        ManifestFilePartition(p.toString, ls, le - 1, dv = dv, eq = eq,
+          codec = f.codec, physStart = ps)
+      }
+    }
     val kept: Option[Seq[(Long, Long)]] = pruning match {
       case Some((full, filters)) if f.blocks.size >= 2 && filters.nonEmpty =>
         // A pseudo-entry per block: its bounds, NO null counts and a
@@ -4062,7 +4098,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
         val live = survivingEntries.map(_.name).toSet
         keyed.filter { case (f, _, _) => live.contains(f.name) }
           .flatMap { case (f, key, _) =>
-            ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f)).map {
+            ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f),
+              blockSplit = false).map {
               case p: ManifestFilePartition =>
                 KeyedManifestFilePartition(p.file, p.start, p.end, key,
                   p.dv, p.eq, p.codec): InputPartition
@@ -4243,7 +4280,11 @@ private[sources] final case class ManifestFilePartition(file: String,
     eqEmit: Seq[EqRef] = Nil,
     // Compression codec of the file's bytes ("" = plain) — the reader
     // wraps its input accordingly; offsets stay uncompressed-domain.
-    codec: String = "") extends InputPartition
+    codec: String = "",
+    // Frame-aligned range read of a compressed file: the PHYSICAL byte
+    // offset the range's first frame begins at (-1 = read from byte 0).
+    // start/end stay logical.
+    physStart: Long = -1L) extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
@@ -4375,7 +4416,7 @@ private[sources] class ManifestReaderFactory(required: StructType,
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
-          aliases, p.codec)
+          aliases, p.codec, p.physStart)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq,
@@ -4399,7 +4440,11 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
     eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil,
     aliases: Map[String, Seq[String]] = Map.empty,
-    codec: String = "")
+    codec: String = "",
+    // >= 0: frame-aligned range read of a compressed file — seek the
+    // RAW stream here, decode from the frame boundary, and start `pos`
+    // at `start` (an exact line boundary: no partial-line discard).
+    physStart: Long = -1L)
     extends PartitionReader[InternalRow] {
   // Deletion-vector offsets, loaded once per split (sidecars are
   // small — a DV exists precisely because the delete was too small to
@@ -4474,6 +4519,18 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
               "will plan against the current manifest), or pause " +
               "compaction while long scans are in flight.", e)
       }
+    // Frame-aligned range read: seek the RAW (compressed) stream to the
+    // frame boundary before the codec wrap — decoding starts cleanly at
+    // a gzip member / zstd frame header.
+    if (physStart > 0) {
+      var n = physStart
+      while (n > 0) {
+        val k = raw.skip(n)
+        if (k > 0) n -= k
+        else if (raw.read() == -1) n = 0
+        else n -= 1
+      }
+    }
     // Decompress BELOW the line framer, so `pos` — the offsets deletion
     // vectors and `_pos` live in — counts UNCOMPRESSED bytes, exactly
     // like the writer's counter above its compression layer.
@@ -4503,14 +4560,17 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
   private val lineOut = new java.io.ByteArrayOutputStream(256)
 
   locally {
-    var n = start
-    while (n > 0) {
-      val k = in.skip(n)
-      if (k > 0) { n -= k; pos += k }
-      else if (in.read() == -1) n = 0
-      else { n -= 1; pos += 1 }
+    if (physStart >= 0) pos = start // frame-aligned: starts AT a line
+    else {
+      var n = start
+      while (n > 0) {
+        val k = in.skip(n)
+        if (k > 0) { n -= k; pos += k }
+        else if (in.read() == -1) n = 0
+        else { n -= 1; pos += 1 }
+      }
+      if (start > 0) readRawLine() // partial record: the previous range's
     }
-    if (start > 0) readRawLine() // partial record: the previous range's
   }
 
   private val convs: Array[NdjsonCodec.JsonVal => Any] =
@@ -5307,9 +5367,46 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // `_pos` and block boundaries live in on both the write and read
   // side.
   private val codec: String = ManifestSink.codecAt(path)
-  private val out = new CountingOutputStream(ManifestSink.wrapWrite(
-    new java.io.BufferedOutputStream(Files.newOutputStream(file), 1 << 16),
-    codec))
+  // PHYSICAL (compressed) byte counter, directly above the buffered file
+  // stream: frame/member boundaries land at phys.count after each seal —
+  // what block entries record as `physStart` so range reads can seek.
+  // Plain files skip the extra layer entirely.
+  private val phys: CountingOutputStream =
+    if (codec.isEmpty) null
+    else new CountingOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(file), 1 << 16))
+  // Codec layer, REPLACEABLE: sealing at a block boundary makes every
+  // block independently decodable from its frame start. gzip streams
+  // cannot restart a member, so sealing finishes the current one and
+  // the NEXT member opens lazily on the next write (a file ending right
+  // at a boundary gets no empty trailing member); zstd seals frames in
+  // place (closeFrameOnFlush: flush() writes the frame epilogue, the
+  // next write opens a new frame).
+  private var codecLayer: java.io.OutputStream = codec match {
+    case "gzip" => new java.util.zip.GZIPOutputStream(phys, 1 << 16)
+    case "zstd" =>
+      val z = new com.github.luben.zstd.ZstdOutputStream(phys)
+      z.setCloseFrameOnFlush(true)
+      z
+    case _ => null
+  }
+  private val out = new CountingOutputStream(
+    if (phys == null)
+      new java.io.BufferedOutputStream(Files.newOutputStream(file), 1 << 16)
+    else new java.io.OutputStream {
+      private def layer: java.io.OutputStream = {
+        if (codecLayer == null) // gzip member sealed: open the next
+          codecLayer = new java.util.zip.GZIPOutputStream(phys, 1 << 16)
+        codecLayer
+      }
+      override def write(b: Int): Unit = layer.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        layer.write(b, off, len)
+      override def flush(): Unit =
+        if (codecLayer != null) codecLayer.flush()
+      override def close(): Unit = // either way phys closes underneath
+        if (codecLayer != null) codecLayer.close() else phys.close()
+    })
   private var rows = 0L
   private val keyPrefix: Array[Array[Byte]] =
     schema.fields.zipWithIndex.map { case (f, i) =>
@@ -5377,14 +5474,35 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   private val fileMins = new Array[Any](schema.fields.length)
   private val fileMaxs = new Array[Any](schema.fields.length)
   private val fileNan = new Array[Boolean](schema.fields.length)
-  // Block byte-ranges need seekable files; compressed files plan as
-  // one partition, so recording blocks would be dead weight.
-  private val blockBytes: Long =
-    if (codec.nonEmpty) 0L else ManifestSink.blockBytesAt(path)
+  // Blocks apply to compressed files too: the writer SEALS the codec
+  // frame at every boundary (see `sealFrame`), so each block decodes
+  // independently from its recorded physical offset — compression no
+  // longer forfeits split reads or block-range pruning. blockBytes
+  // measures LOGICAL bytes; at the default 16 MB granularity the
+  // per-frame ratio cost is negligible.
+  private val blockBytes: Long = ManifestSink.blockBytesAt(path)
   private var blockStart = 0L
   private var blockRows = 0L
+  // Physical offset where the CURRENT block's frame begins (compressed
+  // writers only; plain blocks record -1 — their logical offsets ARE
+  // file offsets).
+  private var frameStartPhys = 0L
   private val closedBlocks = collection.mutable.ArrayBuffer[
-    (Long, Long, Long, Array[Any], Array[Any], Array[Boolean])]()
+    (Long, Long, Long, Array[Any], Array[Any], Array[Boolean], Long)]()
+
+  /** End the current compression frame at the underlying stream and
+    * position `frameStartPhys` at the next frame's first byte. */
+  private def sealFrame(): Unit =
+    if (phys != null) codecLayer match {
+      case null => () // gzip member already sealed, nothing buffered
+      case g: java.util.zip.GZIPOutputStream =>
+        g.finish() // completes the member without closing phys
+        frameStartPhys = phys.count
+        codecLayer = null // next write opens the next member lazily
+      case z =>
+        z.flush() // closeFrameOnFlush: frame epilogue + downstream flush
+        frameStartPhys = phys.count
+    }
 
   private def foldBlockIntoFile(): Unit = {
     var i = 0
@@ -5404,10 +5522,15 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   }
 
   /** Seal the current block at `endOffset` (a line boundary): snapshot
-    * its bounds, fold them into the file bounds, reset accumulators. */
-  private def closeBlock(endOffset: Long): Unit = {
+    * its bounds, fold them into the file bounds, reset accumulators.
+    * `seal = false` for the trailing block at commit — the stream's own
+    * close finishes the final frame, so re-opening a layer there would
+    * only append an empty member. */
+  private def closeBlock(endOffset: Long, seal: Boolean = true): Unit = {
+    val ps = if (phys == null) -1L else frameStartPhys
+    if (seal) sealFrame()
     closedBlocks += ((blockStart, endOffset, blockRows,
-      mins.clone(), maxs.clone(), nanSeen.clone()))
+      mins.clone(), maxs.clone(), nanSeen.clone(), ps))
     foldBlockIntoFile()
     java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
@@ -5589,13 +5712,14 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     // record blocks at all — a single-block file's bounds ARE its
     // file-level stats), then fold whatever is open into the file
     // bounds.
-    if (closedBlocks.nonEmpty && blockRows > 0) closeBlock(out.count)
+    if (closedBlocks.nonEmpty && blockRows > 0)
+      closeBlock(out.count, seal = false)
     else foldBlockIntoFile()
     val stats = statsOf(fileMins, fileMaxs, fileNan)
     val blocks: Seq[BlockStat] =
       if (closedBlocks.size < 2) Nil
-      else closedBlocks.toSeq.map { case (s, e, r, mn, mx, nan) =>
-        BlockStat(s, e, r, statsOf(mn, mx, nan))
+      else closedBlocks.toSeq.map { case (s, e, r, mn, mx, nan, ps) =>
+        BlockStat(s, e, r, statsOf(mn, mx, nan), ps)
       }
     // Bloom sidecar: built at commit from the buffered hash pairs (m
     // sized from the real key count), staged attempt-unique, then

@@ -693,6 +693,59 @@ object ScaleProbe {
     }
   }
 
+  /** Seekable-compression anchor (`probe = seekzstd`): ONE sorted zstd
+    * file at factor x rows with frame-aligned blocks (the writer seals
+    * a frame at every blockbytes boundary and records its physical
+    * offset). Two claims made measurable, both features compression
+    * used to forfeit: (a) the point-lookup wall stays FLAT as the file
+    * grows — block pruning now seeks INSIDE the compressed file — and
+    * (b) a full scan of the single file fans out across tasks
+    * (frame-parallel split reads) instead of serializing into one
+    * decompress stream. */
+  private def seekZstdProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 200000L * f
+      val wh = Files.createTempDirectory(s"graft_seekzstd_$f").toString
+      val cat = s"gsz_${f}_${wh.hashCode & 0x7fffffff}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v STRING)
+        TBLPROPERTIES ('codec'='zstd', 'blockbytes'='${1L << 20}')""")
+      spark.range(n)
+        .selectExpr("id", "concat('payload-', id, '-', repeat('x', 80)) AS v")
+        .orderBy("id").coalesce(1).writeTo(s"$cat.t").append()
+      val (dataFile, blockCount) = graft.sources.ManifestSink
+        .committedBlockCounts(s"$wh/t").head
+      val dataBytes = Files.size(java.nio.file.Paths.get(s"$wh/t", dataFile))
+      val sch = spark.table(s"$cat.t").schema
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      def reader(split: Long) =
+        spark.read.format("graft.sources.ManifestSink").schema(sch)
+          .option("path", s"$wh/t").option("maxsplitbytes", split.toString)
+          .load()
+      def scan(split: Long): Double = (0 until 2).map(_ => ms {
+        require(reader(split).selectExpr("sum(id)").head().getLong(0) ==
+          n * (n - 1) / 2)
+      }).min
+      val point = (0 until 3).map(_ => ms {
+        require(spark.sql(s"SELECT v FROM $cat.t WHERE id = ${n / 2}")
+          .collect().length == 1)
+      }).min
+      val parallelParts = reader(1L << 20).rdd.getNumPartitions
+      val single = scan(1L << 40) // one frame group = one task
+      val par = scan(1L << 20)    // one task per ~1 MB logical frame group
+      println(s"""{"probe":"seekzstd","factor":$f,"rows":$n,""" +
+        s""""blocks":$blockCount,"data_bytes":$dataBytes,""" +
+        f""""point_ms":$point%.0f,"scan_single_ms":$single%.0f,""" +
+        f""""scan_parallel_ms":$par%.0f,""" +
+        s""""parallel_partitions":$parallelParts}""")
+      spark.sql(s"DROP TABLE $cat.t")
+    }
+  }
+
   /** Compression anchor (`probe = codecbench`): the projscan-shaped
     * wide frame written at each codec — on-disk bytes, write wall, and
     * full-scan wall. The claim made measurable: zstd/gzip cut the
@@ -884,6 +937,11 @@ object ScaleProbe {
     }
     if (probe == "codecbench") {
       codecBenchProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "seekzstd") {
+      seekZstdProbes(spark, factors)
       spark.stop()
       return
     }

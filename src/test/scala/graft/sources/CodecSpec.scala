@@ -169,6 +169,111 @@ class CodecSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE gcz6.t")
   }
 
+  // ---------- seekable compressed files (frame-aligned blocks) ----------
+
+  private def readOpt(wh: String, cat: String, split: Long) = {
+    val sch = spark.table(s"$cat.t").schema
+    spark.read.format("graft.sources.ManifestSink").schema(sch)
+      .option("path", s"$wh/t").option("maxsplitbytes", split.toString).load()
+  }
+
+  test("zstd seekable: frame-aligned blocks give back split reads — " +
+      "any split size, same rows") {
+    val wh = catalog("gcz7")
+    spark.sql("""CREATE TABLE gcz7.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='zstd', 'blockbytes'='4096')""")
+    spark.range(0, 8000)
+      .selectExpr("id", "concat('payload-', id, '-', repeat('xy', 20)) AS v")
+      .orderBy("id").coalesce(1).writeTo("gcz7.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.codec == "zstd" && e.blocks.size >= 2, s"blocks=${e.blocks.size}")
+    assert(e.blocks.forall(_.physStart >= 0))
+    assert(e.blocks.head.physStart == 0)
+    // Physical offsets strictly increase and stay inside the file.
+    val phys = e.blocks.map(_.physStart)
+    assert(phys == phys.sorted && phys.distinct == phys)
+    assert(phys.last < Files.size(Paths.get(s"$wh/t", e.name)))
+    val expect = spark.sql("SELECT count(*), sum(id), sum(length(v)) FROM gcz7.t").head()
+    // Sweep split sizes across frame boundaries: one unsplit read, the
+    // block granularity, sub-block, and a giant split — identical rows.
+    for (split <- Seq(1024L, 4096L, 16384L, 1L << 30)) {
+      val df = readOpt(wh, "gcz7", split)
+      val got = df.selectExpr("count(*)", "sum(id)", "sum(length(v))").head()
+      assert(got == expect, s"split=$split: $got != $expect")
+    }
+    // Small splits actually fan out (one partition per block group).
+    assert(readOpt(wh, "gcz7", 4096L).rdd.getNumPartitions >= 2)
+    spark.sql("DROP TABLE gcz7.t")
+  }
+
+  test("gzip seekable: member-per-block files split and decode from " +
+      "member boundaries") {
+    val wh = catalog("gcz8")
+    spark.sql("""CREATE TABLE gcz8.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='gzip', 'blockbytes'='4096')""")
+    spark.range(0, 6000).selectExpr("id", "concat('g', id, repeat('q', 30)) AS v")
+      .orderBy("id").coalesce(1).writeTo("gcz8.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.codec == "gzip" && e.blocks.size >= 2 &&
+      e.blocks.forall(_.physStart >= 0))
+    // Every recorded physStart sits on a gzip member header (1f 8b).
+    val bytes = Files.readAllBytes(Paths.get(s"$wh/t", e.name))
+    e.blocks.foreach { b =>
+      assert((bytes(b.physStart.toInt) & 0xff) == 0x1f &&
+        (bytes(b.physStart.toInt + 1) & 0xff) == 0x8b,
+        s"physStart ${b.physStart} is not a member boundary")
+    }
+    val expect = spark.sql("SELECT count(*), sum(id) FROM gcz8.t").head()
+    for (split <- Seq(2048L, 8192L, 1L << 30))
+      assert(readOpt(wh, "gcz8", split)
+        .selectExpr("count(*)", "sum(id)").head() == expect, s"split=$split")
+    assert(readOpt(wh, "gcz8", 2048L).rdd.getNumPartitions >= 2)
+    spark.sql("DROP TABLE gcz8.t")
+  }
+
+  test("compressed block pruning: a point lookup in a sorted zstd file " +
+      "plans one block group, not the file") {
+    val wh = catalog("gcz9")
+    spark.sql("""CREATE TABLE gcz9.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='zstd', 'blockbytes'='4096')""")
+    spark.range(0, 8000).selectExpr("id", "concat('p', id, repeat('w', 30)) AS v")
+      .orderBy("id").coalesce(1).writeTo("gcz9.t").append()
+    val blocks = ManifestSink.committedEntries(s"$wh/t").head.blocks
+    assert(blocks.size >= 3)
+    // Point lookup: exactly one planned partition (the surviving block).
+    val q = spark.sql("SELECT v FROM gcz9.t WHERE id = 6100")
+    assert(q.rdd.getNumPartitions == 1)
+    assert(q.head().getString(0).startsWith("p6100"))
+    // Range crossing one boundary: fewer partitions than blocks, result exact.
+    val r = spark.sql(
+      "SELECT count(*), sum(id) FROM gcz9.t WHERE id >= 1000 AND id < 1200")
+    assert(r.head() == org.apache.spark.sql.Row(200L, (1000L until 1200L).sum))
+    spark.sql("DROP TABLE gcz9.t")
+  }
+
+  test("row identity survives frame-aligned range reads: DVs and " +
+      "equality deletes inside a multi-frame zstd file") {
+    val wh = catalog("gcz10")
+    spark.sql("""CREATE TABLE gcz10.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='zstd', 'blockbytes'='4096',
+      'deletionvectors'='true')""")
+    spark.range(0, 6000).selectExpr("id", "concat('r', id, repeat('e', 30)) AS v")
+      .orderBy("id").coalesce(1).writeTo("gcz10.t").append()
+    assert(ManifestSink.committedEntries(s"$wh/t").head.blocks.size >= 2)
+    spark.sql("DELETE FROM gcz10.t WHERE id IN (5, 3005, 5995)") // DV offsets
+    import spark.implicits._
+    ManifestOps.equalityDelete(s"$wh/t", Seq(9L, 3009L).toDF("id"))
+    val expect = (0L until 6000L).toSet -- Set(5L, 3005L, 5995L, 9L, 3009L)
+    // Sub-block splits: every range read must apply the same vectors
+    // against the same logical offsets.
+    for (split <- Seq(2048L, 1L << 30)) {
+      val got = readOpt(wh, "gcz10", split).select("id").collect()
+        .map(_.getLong(0)).toSet
+      assert(got == expect, s"split=$split lost row identity")
+    }
+    spark.sql("DROP TABLE gcz10.t")
+  }
+
   test("streaming epoch writes honor the codec") {
     val wh = catalog("gcz5")
     spark.sql("""CREATE TABLE gcz5.t (id BIGINT, v STRING)
