@@ -689,6 +689,80 @@ object ManifestSink {
       java.lang.Long.compareUnsigned(a, b)
   }
 
+  /** Numeric projection of a column's CATALYST stat values for
+    * histogram building — the types Catalyst's own histograms cover
+    * (numeric, date, timestamp). None = no histogram for this type. */
+  private[sources] def statDouble(dt: DataType): Option[Any => Double] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType =>
+        Some(v => v.asInstanceOf[Number].doubleValue)
+      case FloatType | DoubleType =>
+        Some(v => v.asInstanceOf[Number].doubleValue)
+      case _: DecimalType =>
+        Some(v => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+      case _ => None
+    }
+
+  /** EQUI-HEIGHT HISTOGRAM from the manifest's existing (lo, hi, rows)
+    * bound triples — per sub-file BLOCK when recorded, per file
+    * otherwise — so the CBO gets a VALUE DISTRIBUTION without any new
+    * write-path machinery. Density model: each triple spreads its rows
+    * uniformly over [lo, hi] (a point mass at lo == hi); boundaries are
+    * solved on the summed CDF by bisection so every bin holds ~equal
+    * mass. On a sorted table the triples are disjoint and the histogram
+    * is essentially exact; on interleaved layouts it degrades gracefully
+    * toward uniform — never below what min/max alone said. Per-bin NDV
+    * apportions the column's (KMV) distinct count by bin width — the
+    * uniform-distincts assumption applied PER BIN instead of globally.
+    * Returns (height, bins); None when the shape carries no signal
+    * (no rows, a single point, or one triple — that IS uniform). */
+  private[sources] def equiHeightHistogram(
+      triples: Seq[(Double, Double, Long)], ndv: Long,
+      binCount: Int = 32): Option[(Double, Seq[(Double, Double, Long)])] = {
+    val total = triples.map(_._3).sum
+    if (triples.size < 2 || total <= 0 || ndv <= 0) return None
+    val gLo = triples.map(_._1).min
+    val gHi = triples.map(_._2).max
+    if (!(gHi > gLo) || gLo.isNaN || gHi.isNaN ||
+        gLo.isInfinite || gHi.isInfinite) return None
+    def cdf(x: Double): Double = {
+      var s = 0.0
+      triples.foreach { case (lo, hi, r) =>
+        s += (if (x <= lo) 0.0
+          else if (x >= hi || hi == lo) r.toDouble
+          else r * (x - lo) / (hi - lo))
+      }
+      s
+    }
+    val b = math.min(binCount, triples.size)
+    val height = total.toDouble / b
+    val edges = new Array[Double](b + 1)
+    edges(0) = gLo
+    edges(b) = gHi
+    var j = 1
+    while (j < b) {
+      val target = height * j
+      var lo = edges(j - 1)
+      var hi = gHi
+      var i = 0
+      while (i < 48) {
+        val mid = lo / 2 + hi / 2
+        if (cdf(mid) < target) lo = mid else hi = mid
+        i += 1
+      }
+      edges(j) = hi
+      j += 1
+    }
+    val widthAll = gHi - gLo
+    val bins = (0 until b).map { i =>
+      val w = math.max(edges(i + 1) - edges(i), 0.0)
+      (edges(i), edges(i + 1),
+        math.max(1L, math.round(ndv * w / widthAll)))
+    }
+    Some((height, bins))
+  }
+
   /** NDV estimate from a merged KMV sketch over the 64-bit hash space:
     * exact when fewer than k distinct hashes were ever seen, else the
     * standard (k-1)/kth-minimum-fraction estimator. */
@@ -4217,6 +4291,34 @@ private[sources] class ManifestScan(path: String, full: StructType,
           else Some(entries.map(_.nullCounts(fld.name)).sum)
         val distinct = mergedKmv.get(fld.name)
           .map(ManifestSink.kmvEstimate)
+        // EQUI-HEIGHT HISTOGRAM (round 14): a value DISTRIBUTION built
+        // from the bound triples the manifest already records — blocks
+        // when present (finer density), files otherwise — so skewed
+        // predicates stop being priced under the uniform assumption.
+        // Served only when full bounds and an NDV exist (the same
+        // stand-down posture as everything else here), never under NaN.
+        val histo: Option[(Double, Seq[(Double, Double, Long)])] =
+          for {
+            _ <- bounds.filter(!_._3) // every entry bounded, no NaN
+            nd <- distinct
+            dbl <- ManifestSink.statDouble(fld.dataType)
+            h <- {
+              def triple(stats: Seq[ColStat], rows: Long) =
+                stats.find(_.col == fld.name).flatMap(s =>
+                  for { lo <- parse(s.min); hi <- parse(s.max) }
+                    yield (dbl(lo), dbl(hi), rows))
+              val blockTotal = entries.map(_.blocks.size).sum
+              val triples = entries.flatMap { e =>
+                val fromBlocks =
+                  if (e.blocks.size < 2 || blockTotal > 4096) Nil
+                  else e.blocks.flatMap(b => triple(b.stats, b.rows))
+                if (fromBlocks.size == e.blocks.size && fromBlocks.nonEmpty)
+                  fromBlocks
+                else triple(e.stats, e.liveRows).toSeq
+              }
+              ManifestSink.equiHeightHistogram(triples, nd)
+            }
+          } yield h
         if (bounds.isDefined || nullCnt.isDefined || distinct.isDefined)
           m.put(org.apache.spark.sql.connector.expressions.Expressions
               .column(fld.name),
@@ -4231,6 +4333,26 @@ private[sources] class ManifestScan(path: String, full: StructType,
                 nullCnt.fold(OptionalLong.empty())(OptionalLong.of)
               override def distinctCount(): OptionalLong =
                 distinct.fold(OptionalLong.empty())(OptionalLong.of)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                histo.fold(java.util.Optional.empty[
+                    org.apache.spark.sql.connector.read.colstats.Histogram]()) {
+                  case (h, bs) =>
+                    val binArr = bs.map { case (l, u, nd) =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = l
+                        override def hi(): Double = u
+                        override def ndv(): Long = nd
+                      }
+                    }.toArray
+                    java.util.Optional.of(
+                      new org.apache.spark.sql.connector.read.colstats.Histogram {
+                        override def height(): Double = h
+                        override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                          binArr
+                      })
+                }
             })
       }
       m

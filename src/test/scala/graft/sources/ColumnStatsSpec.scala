@@ -90,6 +90,136 @@ class ColumnStatsSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE gcs3.t")
   }
 
+  test("CBO consumes the V2 column stats: the filtered dim's estimate " +
+      "shrinks by ndv and flips the join to broadcast") {
+    val wh = Files.createTempDirectory("graft_cbo").toString
+    spark.conf.set("spark.sql.catalog.gcbo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcbo.base", wh)
+    spark.sql("""CREATE TABLE gcbo.dim (k BIGINT, grp BIGINT, pad STRING)
+      TBLPROPERTIES ('bloomcolumns'='k,grp')""")
+    // 200k x ~220B rows: the UNFILTERED dim is ~20 MB — far above the
+    // 1 MB broadcast threshold set below. grp has 1000 distincts, so
+    // `grp = 7` keeps ~200 rows (~40 KB) — far below it. Only an
+    // optimizer that actually READS the reported distinctCount can tell
+    // the difference at plan time.
+    spark.range(200000)
+      .selectExpr("id AS k", "id % 1000 AS grp", "repeat('x', 200) AS pad")
+      .coalesce(2).writeTo("gcbo.dim").append()
+    spark.sql("CREATE TABLE gcbo.fact (k BIGINT, v BIGINT)")
+    spark.range(400000).selectExpr("id % 200000 AS k", "id AS v")
+      .coalesce(2).writeTo("gcbo.fact").append()
+    def joinNodes(cbo: Boolean): String = {
+      Seq("spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.planStats.enabled" -> cbo.toString,
+        // AQE off: the pin is about the STATIC decision the stats
+        // enable (AQE could rescue the plan at runtime from observed
+        // sizes, which is not what this test is about).
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> (1L << 20).toString)
+        .foreach { case (k, v) => spark.conf.set(k, v) }
+      try spark.sql("""SELECT count(*) FROM gcbo.fact f
+          JOIN gcbo.dim d ON f.k = d.k WHERE d.grp = 7""")
+        .queryExecution.executedPlan.toString
+      finally Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+        "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+        .foreach(spark.conf.unset)
+    }
+    val off = joinNodes(cbo = false)
+    val on = joinNodes(cbo = true)
+    // Without column stats the filter does not shrink the estimate:
+    // the dim stays over-threshold and the join sorts-and-merges.
+    assert(off.contains("SortMergeJoin") && !off.contains("BroadcastHashJoin"),
+      s"expected SMJ without CBO:\n$off")
+    // With CBO + the scan's distinctCount, FilterEstimation prices
+    // `grp = 7` at rows/ndv and the dim broadcasts.
+    assert(on.contains("BroadcastHashJoin"), s"expected BHJ with CBO:\n$on")
+    // The logical side: attributeStats actually carry the scan's stats.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val st = spark.table("gcbo.dim").queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(200000)))
+      val byName = st.attributeStats.map { case (a, cs) => a.name -> cs }
+      // KMV NDV on the bloom-indexed columns (grp: 1000 exact below...
+      // k=64 sketch => estimate; both must be present and sane).
+      assert(byName("grp").distinctCount.exists(n =>
+        (n - 1000).abs <= 300), byName("grp").toString)
+      assert(byName("k").distinctCount.exists(n =>
+        (n - BigInt(200000)).abs < BigInt(60000)), byName("k").toString)
+      assert(byName("k").min.contains(0L) && byName("k").max.contains(199999L))
+      assert(byName("pad").distinctCount.isEmpty) // unindexed: no NDV
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.planStats.enabled")
+    }
+    spark.sql("DROP TABLE gcbo.dim")
+    spark.sql("DROP TABLE gcbo.fact")
+  }
+
+  test("equiHeightHistogram: boundaries monotone, mass balanced, " +
+      "ndv apportioned, degenerate shapes stand down") {
+    val eh = ManifestSink.equiHeightHistogram _
+    // Skew: 90% of rows in [0,10), 10% in [10,1000).
+    val triples = Seq((0.0, 10.0, 9000L), (10.0, 1000.0, 1000L))
+    val (h, bins) = eh(triples, 1000L, 10).get
+    assert(h == 5000.0 && bins.size == 2) // binCount capped at triples.size
+    assert(bins.head._1 == 0.0 && bins.last._2 == 1000.0)
+    assert(bins.sliding(2).forall { case Seq(a, b) => a._2 == b._1 })
+    // The 50% boundary sits in the dense head, far left of the
+    // uniform midpoint 500.
+    assert(bins.head._2 < 20.0, s"boundary ${bins.head._2}")
+    assert(bins.forall(_._3 >= 1L))
+    // Degenerate: single triple, zero rows, a point = None.
+    assert(eh(Seq((0.0, 10.0, 100L)), 10L, 32).isEmpty)
+    assert(eh(Seq((0.0, 10.0, 0L), (1.0, 2.0, 0L)), 10L, 32).isEmpty)
+    assert(eh(Seq((5.0, 5.0, 10L), (5.0, 5.0, 10L)), 1L, 32).isEmpty)
+  }
+
+  test("histogram corrects a skewed range estimate the uniform " +
+      "assumption gets >=10x wrong") {
+    val wh = Files.createTempDirectory("graft_hist").toString
+    spark.conf.set("spark.sql.catalog.ghist", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ghist.base", wh)
+    // Heavy head: 99k rows with v < 100; a 1k-row tail stretching to
+    // 10100. Sorted single file with small blocks -> the manifest's
+    // block bounds capture the density.
+    def mk(name: String, props: String): Unit = {
+      spark.sql(s"CREATE TABLE ghist.$name (id BIGINT, v BIGINT) $props")
+      spark.range(100000).selectExpr("id",
+        "CASE WHEN id < 99000 THEN id % 100 " +
+          "ELSE (id - 99000) * 10 + 100 END AS v")
+        .orderBy("v").coalesce(1).writeTo(s"ghist.$name").append()
+    }
+    mk("skew", "TBLPROPERTIES ('bloomcolumns'='v', 'blockbytes'='16384')")
+    mk("plain", "") // no NDV sketch -> no histogram: the uniform control
+    Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.planStats.enabled" -> "true")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def estimate(t: String): BigInt =
+        spark.sql(s"SELECT * FROM ghist.$t WHERE v > 5000")
+          .queryExecution.optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+      val hist = spark.table("ghist.skew").queryExecution
+        .optimizedPlan.stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "v" => cs.histogram
+        }.flatten
+      assert(hist.isDefined, "histogram must reach Catalyst attributeStats")
+      assert(hist.get.bins.length > 8)
+      val uniform = estimate("plain")
+      val histEst = estimate("skew")
+      val truth = 510L // rows with v > 5000
+      assert(uniform > truth * 10,
+        s"control must be badly wrong for the test to mean anything: $uniform")
+      assert(histEst >= 0 && histEst * 10 <= uniform,
+        s"histogram estimate $histEst not >=10x closer than uniform $uniform")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.planStats.enabled")
+    }
+    spark.sql("DROP TABLE ghist.skew")
+    spark.sql("DROP TABLE ghist.plain")
+  }
+
   test("merge-on-read state silences null counts but keeps outer bounds") {
     val wh = Files.createTempDirectory("graft_colstats2").toString
     spark.conf.set("spark.sql.catalog.gcs2", "graft.sources.GraftCatalog")
