@@ -2270,6 +2270,44 @@ object IncrementalQueries {
         sum(col("n_chars")).cast("long").as("sum_chars"))
     },
 
+    // NESTED STRUCT PAYLOADS (round-14): the reference's natural
+    // payload IS nested user JSON (`dags/users_etl.py:100-111`,
+    // user→address→geo), which the manifest codec previously refused at
+    // write-builder time — raw-zone storage required pre-flattening.
+    // Struct columns now render as nested JSON objects and round-trip
+    // exactly; the spec lands the corpus under the reference's shape,
+    // projects nested LEAVES back out (nested schema pruning reaches
+    // the scan — NestedPayloadSpec pins the pruned read schema), and
+    // aggregates them against the flat oracle. Stats/pruning stay
+    // top-level-scalar; nested fields are opaque to the planner.
+    QuerySpec(
+      "a57_nested_payloads",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars % 7) AS BIGINT) AS sum_grade
+        |FROM documents
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a57", dir)
+      val cat = "graft_a57_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.users (doc_id BIGINT,
+        profile STRUCT<lang: STRING,
+          address: STRUCT<n_chars: BIGINT, grade: BIGINT>>)""")
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")).createOrReplaceTempView("a57_src")
+      s.sql(s"""INSERT INTO $cat.users
+        SELECT doc_id, named_struct('lang', lang,
+          'address', named_struct('n_chars', n_chars, 'grade', n_chars % 7))
+        FROM a57_src""")
+      s.sql(s"""SELECT profile.lang AS lang, count(*) AS n,
+          sum(doc_id) AS sum_ids,
+          sum(profile.address.n_chars) AS sum_chars,
+          sum(profile.address.grade) AS sum_grade
+        FROM $cat.users GROUP BY profile.lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

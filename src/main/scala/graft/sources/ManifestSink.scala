@@ -81,32 +81,50 @@ class ManifestSink extends TableProvider {
     val entries = ManifestSink.committedEntries(path)
     if (entries.isEmpty) return new StructType()
     val first = Paths.get(path, entries.head.name)
-    val in = Files.newBufferedReader(first, StandardCharsets.UTF_8)
+    // Decompress per the entry's recorded codec — inference must see
+    // payload text, not frame bytes.
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      ManifestSink.wrapRead(Files.newInputStream(first), entries.head.codec),
+      StandardCharsets.UTF_8))
     val lines =
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).take(100).toVector
       finally in.close()
     // First-appearance key order; value None = only nulls seen so far.
+    // Recursive so nested objects infer as StructType (arrays have no
+    // reader type and infer conservatively as StringType-typed raw —
+    // supplying .schema() is the typed route either way).
+    def inferOne(v: NdjsonCodec.JsonVal): Option[DataType] = v match {
+      case NdjsonCodec.JsonNull => None
+      case NdjsonCodec.JsonTok(raw) =>
+        Some(if (raw == "true" || raw == "false") BooleanType
+        else if (raw.forall(c => c.isDigit || c == '-')) LongType
+        else DoubleType)
+      case NdjsonCodec.JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '{' =>
+        val inner = collection.mutable.LinkedHashMap[String, Option[DataType]]()
+        NdjsonCodec.parseLine(raw).foreach { case (k, nv) =>
+          merge(inner, k, inferOne(nv))
+        }
+        Some(StructType(inner.toSeq.map { case (k, t) =>
+          StructField(k, t.getOrElse(StringType))
+        }))
+      case _ => Some(StringType)
+    }
+    def merge(into: collection.mutable.LinkedHashMap[String, Option[DataType]],
+        k: String, t: Option[DataType]): Unit =
+      (into.get(k), t) match {
+        case (None, _) | (Some(None), _) => into(k) = t
+        case (Some(Some(prev)), Some(nt)) if nt != prev =>
+          into(k) = Some((prev, nt) match {
+            case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+            case _ => StringType
+          })
+        case _ =>
+      }
     val seen = collection.mutable.LinkedHashMap[String, Option[DataType]]()
     lines.foreach { line =>
       NdjsonCodec.parseLine(line).foreach { case (k, v) =>
-        val t: Option[DataType] = v match {
-          case NdjsonCodec.JsonNull => None
-          case NdjsonCodec.JsonTok(raw) =>
-            Some(if (raw == "true" || raw == "false") BooleanType
-            else if (raw.forall(c => c.isDigit || c == '-')) LongType
-            else DoubleType)
-          case _ => Some(StringType)
-        }
-        (seen.get(k), t) match {
-          case (None, _) | (Some(None), _) => seen(k) = t
-          case (Some(Some(prev)), Some(nt)) if nt != prev =>
-            seen(k) = Some((prev, nt) match {
-              case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-              case _ => StringType
-            })
-          case _ =>
-        }
+        merge(seen, k, inferOne(v))
       }
     }
     StructType(seen.toSeq.map { case (k, t) =>
@@ -446,6 +464,9 @@ object ManifestSink {
       val seg = v match {
         case Some(NdjsonCodec.JsonStr(s)) => "s:" + s
         case Some(NdjsonCodec.JsonTok(t)) => "t:" + t
+        // A struct key column: both sides rendered by the same typed
+        // writer, so the raw text is canonical per value.
+        case Some(NdjsonCodec.JsonRaw(r)) => "r:" + r
         case _ => "n"
       }
       // Length-prefixed join: prefix-free, so no value content can
@@ -2518,12 +2539,23 @@ private[sources] object NdjsonCodec {
   final case class JsonStr(value: String) extends JsonVal
   /** Unquoted literal: number, boolean, or a non-finite double token. */
   final case class JsonTok(raw: String) extends JsonVal
+  /** A NESTED value (object or array), carried as its raw JSON text —
+    * struct columns round-trip through it ([[converter]] re-parses the
+    * raw recursively), and unprojected nested values never reach it
+    * (the tokenizers skip them structurally). */
+  final case class JsonRaw(raw: String) extends JsonVal
 
   def supported(dt: DataType): Boolean = dt match {
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
          LongType | FloatType | DoubleType | DateType | TimestampType |
          BinaryType => true
     case _: DecimalType => true
+    // Nested STRUCTS render as nested JSON objects (the reference's
+    // natural payload is nested user JSON — users_etl.py:100-111).
+    // Stats/pruning/bloom/partitioning stay top-level-scalar-only:
+    // statOrdering(struct) = None, so nothing downstream ever claims a
+    // bound over one. Arrays/maps stay unsupported (no renderer).
+    case st: StructType => st.fields.forall(f => supported(f.dataType))
     case _ => false
   }
 
@@ -2569,6 +2601,25 @@ private[sources] object NdjsonCodec {
     case BinaryType => v =>
       "\"" + java.util.Base64.getEncoder.encodeToString(
         v.asInstanceOf[Array[Byte]]) + "\""
+    case st: StructType =>
+      // Nested object, field-recursive. The value is an InternalRow
+      // (the writer extracts with the declared struct type); null
+      // fields render explicitly so the nested shape is stable.
+      val fieldRs: Array[Any => String] = st.fields.map(f => renderer(f.dataType))
+      v => {
+        val row = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        var i = 0
+        while (i < st.fields.length) {
+          if (i > 0) sb.append(',')
+          sb.append('"').append(escape(st.fields(i).name)).append("\":")
+          if (row.isNullAt(i)) sb.append("null")
+          else sb.append(fieldRs(i)(row.get(i, st.fields(i).dataType)))
+          i += 1
+        }
+        sb.append('}').toString
+      }
     case other => throw new UnsupportedOperationException(
       s"ManifestSink NDJSON payload does not support type $other")
   }
@@ -2602,6 +2653,29 @@ private[sources] object NdjsonCodec {
       case BinaryType => { case JsonStr(s) =>
           java.util.Base64.getDecoder.decode(s)
         case v => badShape(dt, v) }
+      case st: StructType =>
+        // Re-parse the captured raw object and project the struct's
+        // fields — which may be a PRUNED subset of what the payload
+        // carries (nested schema pruning hands the reader exactly the
+        // leaves the query touches): absent nested keys read null, the
+        // same absent-key contract as top-level columns.
+        val fieldCs: Array[JsonVal => Any] = st.fields.map(f => converter(f.dataType))
+        val structConv: JsonVal => Any = {
+          case JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '{' =>
+            val nested = parseLineSelect(raw, null)
+            val vals = new Array[Any](st.fields.length)
+            var i = 0
+            while (i < st.fields.length) {
+              vals(i) = nested.get(st.fields(i).name) match {
+                case Some(v) => fieldCs(i)(v)
+                case None => null
+              }
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          case v => badShape(dt, v)
+        }
+        structConv
       case other => throw new UnsupportedOperationException(
         s"ManifestSink NDJSON payload does not support type $other")
     }
@@ -2678,9 +2752,10 @@ private[sources] object NdjsonCodec {
     throw new IllegalArgumentException(
       s"NDJSON value $v does not match expected type $dt")
 
-  /** Parse one flat NDJSON object (the writer's output shape) into
+  /** Parse one NDJSON object (the writer's output shape) into
     * key → value. Handles the full string-escape set including \\uXXXX;
-    * rejects nested objects/arrays — the writer never emits them. */
+    * nested objects/arrays come back as [[JsonRaw]] (struct columns —
+    * their converter re-parses the raw recursively). */
   def parseLine(line: String): collection.Map[String, JsonVal] =
     parseLineSelect(line, null)
 
@@ -2736,6 +2811,25 @@ private[sources] object NdjsonCodec {
         java.nio.charset.StandardCharsets.UTF_8)
       if (esc) unescape(s) else s
     }
+    // Walk one NESTED value (object/array) from its opening byte to
+    // just past its closing one — string-aware (structural bytes inside
+    // string literals are data). Used to capture a projected struct's
+    // raw text and to skip unprojected nested values structurally.
+    def scanNested(): Unit = {
+      var depth = 0
+      var first = true
+      while ((depth > 0 || first) && i < n) {
+        first = false
+        val c = line(i)
+        if (c == '"') { i += 1; scanStr() }
+        else {
+          if (c == '{' || c == '[') depth += 1
+          else if (c == '}' || c == ']') depth -= 1
+          i += 1
+        }
+      }
+      if (depth != 0) fail("unterminated nested value")
+    }
     expect('{')
     ws()
     if (i < n && line(i) == '}') return m
@@ -2761,7 +2855,10 @@ private[sources] object NdjsonCodec {
             val (vs, ve, vesc) = scanStr()
             JsonStr(decode(vs, ve, vesc))
           case '{' | '[' =>
-            fail("nested values are not part of the payload contract")
+            val s0 = i
+            scanNested()
+            JsonRaw(new String(line, s0, i - s0,
+              java.nio.charset.StandardCharsets.UTF_8))
           case _ =>
             val s0 = i
             while (i < n && line(i) != ',' && line(i) != '}') i += 1
@@ -2775,8 +2872,7 @@ private[sources] object NdjsonCodec {
         m(canon) = v
       } else line(i).toChar match {
         case '"' => i += 1; scanStr()
-        case '{' | '[' =>
-          fail("nested values are not part of the payload contract")
+        case '{' | '[' => scanNested() // structural skip, zero alloc
         case _ => while (i < n && line(i) != ',' && line(i) != '}') i += 1
       }
       ws()
@@ -2923,6 +3019,23 @@ private[sources] object NdjsonCodec {
       if (i >= line.length) fail("unterminated string")
       i += 1
     }
+    // Walk one nested value (object/array), string-aware — the String
+    // twin of parseBytesSelect's scanNested.
+    def scanNested(): Unit = {
+      var depth = 0
+      var first = true
+      while ((depth > 0 || first) && i < line.length) {
+        first = false
+        val c = line.charAt(i)
+        if (c == '"') skipStr()
+        else {
+          if (c == '{' || c == '[') depth += 1
+          else if (c == '}' || c == ']') depth -= 1
+          i += 1
+        }
+      }
+      if (depth != 0) fail("unterminated nested value")
+    }
     expect('{')
     ws()
     if (i < line.length && line.charAt(i) == '}') return m
@@ -2936,7 +3049,10 @@ private[sources] object NdjsonCodec {
       if (keep) {
         val v = line.charAt(i) match {
           case '"' => JsonStr(str())
-          case '{' | '[' => fail("nested values are not part of the payload contract")
+          case '{' | '[' =>
+            val s0 = i
+            scanNested()
+            JsonRaw(line.substring(s0, i))
           case _ =>
             val s0 = i
             while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}')
@@ -2947,7 +3063,7 @@ private[sources] object NdjsonCodec {
         m(k) = v
       } else line.charAt(i) match {
         case '"' => skipStr()
-        case '{' | '[' => fail("nested values are not part of the payload contract")
+        case '{' | '[' => scanNested() // structural skip
         case _ =>
           while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}')
             i += 1
@@ -3126,8 +3242,9 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // have adopted their table type by now).
     val bad = writeSchema.fields.filterNot(f => NdjsonCodec.supported(f.dataType))
     require(bad.isEmpty,
-      s"ManifestSink NDJSON payload supports flat primitive/temporal/binary " +
-        s"columns only; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType}").mkString(", ")}")
+      s"ManifestSink NDJSON payload supports primitive/temporal/binary and " +
+        s"nested STRUCT columns (not arrays/maps); unsupported: " +
+        bad.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
     // retainHistory=true keeps every generation's manifest (and, under
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.

@@ -211,6 +211,23 @@ private[sources] object SchemaEvolution {
     from == to || canWiden(from, to) || ((from, to) match {
       case (ByteType | ShortType | IntegerType | LongType,
             FloatType | DoubleType) => true
+      // Structs compare field-wise, IGNORING nullability/metadata (a
+      // query's struct literal routinely differs from the table's in
+      // nested nullability) — names must match, leaf types must be
+      // token-compatible in the same direction.
+      case (a: StructType, b: StructType) =>
+        a.length == b.length && a.fields.zip(b.fields).forall {
+          case (x, y) => x.name == y.name &&
+            tokenCompatible(x.dataType, y.dataType)
+        }
+      // Arrays/maps: same-shape comparison so an equal-typed column
+      // resolves here and fails later at the payload-support check with
+      // the actionable "not arrays/maps" message (not a bogus cast hint).
+      case (a: ArrayType, b: ArrayType) =>
+        tokenCompatible(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        tokenCompatible(a.keyType, b.keyType) &&
+          tokenCompatible(a.valueType, b.valueType)
       case _ => false
     })
 

@@ -27,8 +27,13 @@ class DeletionVectorFuzzSpec extends SparkSpec {
     spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
     // retainHistory: the change-feed REPLAY invariant below needs every
     // window endpoint resolvable.
+    // blockbytes=512: every file — plain AND compressed — closes
+    // multiple stat blocks, so the adversarial-split reads below run
+    // the round-14 frame-aligned seekable-codec path (physical frame
+    // seeks + logical-offset row identity) under every DML interleaving.
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
-      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true')""")
+      TBLPROPERTIES ('deletionVectors'='true', 'retainHistory'='true',
+      'blockbytes'='512')""")
     val model = collection.mutable.HashMap[Long, Long]()
     // The value column's CURRENT name: random RENAMEs (round 13) give
     // it a fresh name mid-sequence — every later op, split read and

@@ -174,14 +174,27 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(sel("id") == NdjsonCodec.JsonTok("7"))
     assert(sel("k") == NdjsonCodec.JsonTok("-2.25"))
     assert(sel("z") == NdjsonCodec.JsonNull)
+    // Nested values (round 14): captured as raw text when projected,
+    // skipped structurally when not — commas/braces inside nested
+    // strings are data, never structure.
+    val nested =
+      """{"a":{"x":"b} , r{","y":[1,2]},"id":5}""".getBytes("UTF-8")
+    val nsel = NdjsonCodec.parseBytesSelect(nested, null)
+    assert(nsel("a") == NdjsonCodec.JsonRaw("""{"x":"b} , r{","y":[1,2]}"""))
+    assert(nsel("id") == NdjsonCodec.JsonTok("5"))
+    val nskip = NdjsonCodec.parseBytesSelect(nested,
+      new NdjsonCodec.NeededKeys(Seq("id")))
+    assert(nskip.keySet == Set("id") && nskip("id") == NdjsonCodec.JsonTok("5"))
+    // The String tokenizer agrees byte-for-byte.
+    assert(NdjsonCodec.parseLine(new String(nested, "UTF-8")) == nsel)
     // Structure violations still fail loudly on the byte path.
     intercept[IllegalArgumentException] {
       NdjsonCodec.parseBytesSelect(
-        """{"a":{"nested":1}}""".getBytes("UTF-8"), null)
+        """{"a":"unterminated}""".getBytes("UTF-8"), narrow)
     }
     intercept[IllegalArgumentException] {
       NdjsonCodec.parseBytesSelect(
-        """{"a":"unterminated}""".getBytes("UTF-8"), narrow)
+        """{"a":{"never":"closed"}""".getBytes("UTF-8"), null)
     }
   }
 

@@ -1,0 +1,138 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** Nested STRUCT payloads in the manifest format: struct columns render
+  * as nested JSON objects (the reference's natural payload IS nested
+  * user JSON — `dags/users_etl.py:100-111` user→address→geo), round-trip
+  * exactly, prune to the projected nested leaves, and compose with the
+  * row-identity machinery. Stats/pruning/bloom stay top-level-scalar
+  * (statOrdering(struct) = None — nothing ever claims a bound over a
+  * struct); arrays/maps refuse loudly at the write builder. */
+class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
+
+  private var n = 0
+  private def catalog(): (String, String) = {
+    n += 1
+    val cat = s"gnp$n"
+    val wh = Files.createTempDirectory(s"graft_$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    (cat, wh)
+  }
+
+  test("user→address→geo round trip: values, nulls at every level, escaping") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.users (id BIGINT,
+      address STRUCT<street: STRING, geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>)""")
+    spark.sql(s"""INSERT INTO $cat.users VALUES
+      (1, named_struct('street', 'a "quoted"\nstreet',
+          'geo', named_struct('lat', 1.5, 'lng', -2.25))),
+      (2, named_struct('street', CAST(NULL AS STRING),
+          'geo', CAST(NULL AS STRUCT<lat: DOUBLE, lng: DOUBLE>))),
+      (3, CAST(NULL AS STRUCT<street: STRING,
+          geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>))""")
+    val rows = spark.sql(s"""SELECT id, address.street AS st,
+        address.geo.lat AS lat FROM $cat.users ORDER BY id""").collect()
+    assert(rows(0).getString(1) == "a \"quoted\"\nstreet" &&
+      rows(0).getDouble(2) == 1.5)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+    // The payload really is a nested JSON object, one line per row.
+    val txt = Files.list(java.nio.file.Paths.get(wh, "users")).toArray
+      .map(_.toString).filter(_.contains("part-"))
+      .map(p => new String(Files.readAllBytes(java.nio.file.Paths.get(p))))
+      .mkString("\n")
+    assert(txt.contains("\"geo\":{\"lat\":1.5,\"lng\":-2.25}"), txt.take(400))
+  }
+
+  test("nested schema pruning reaches the scan: one projected leaf " +
+      "reads a one-leaf struct") {
+    val (cat, _) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>)""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('name', concat('u', id),
+        'geo', named_struct('lat', id * 1.0, 'lng', id * -1.0))
+      FROM range(100)""")
+    val q = spark.sql(s"SELECT sum(u.geo.lat) AS s FROM $cat.t")
+    val read = q.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan.readSchema()
+    }.get
+    // The scan's read schema carries ONLY the projected nested leaf.
+    assert(read.catalogString == "struct<u:struct<geo:struct<lat:double>>>",
+      read.catalogString)
+    assert(q.head().getDouble(0) == (0 until 100).map(_.toDouble).sum)
+    // And a pruned read still serves the right values per row.
+    assert(spark.sql(s"SELECT u.geo.lng FROM $cat.t WHERE id = 7")
+      .head().getDouble(0) == -7.0)
+  }
+
+  test("row identity with structs: DVs and equality deletes inside " +
+      "nested payloads; compaction carries the raw lines") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, score: BIGINT>)
+      TBLPROPERTIES ('deletionvectors'='true')""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('name', concat('n', id), 'score', id * 2)
+      FROM range(1000)""")
+    spark.sql(s"DELETE FROM $cat.t WHERE id IN (5, 500)")
+    import spark.implicits._
+    ManifestOps.equalityDelete(s"$wh/t", Seq(7L, 700L).toDF("id"))
+    val expect = (0L until 1000L).toSet -- Set(5L, 500L, 7L, 700L)
+    def ids(): Set[Long] = spark.sql(s"SELECT id FROM $cat.t").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids() == expect)
+    assert(spark.sql(s"SELECT u.score FROM $cat.t WHERE id = 999")
+      .head().getLong(0) == 1998L)
+    spark.sql(s"CALL $cat.system.compact('t', 1000000)")
+    assert(ids() == expect)
+    assert(spark.sql(s"SELECT CAST(sum(u.score) AS BIGINT) FROM $cat.t")
+      .head().getLong(0) == expect.map(_ * 2).sum)
+  }
+
+  test("structs compose with codecs and schema inference") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, lat: DOUBLE>) TBLPROPERTIES ('codec'='zstd')""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('name', concat('z', id), 'lat', id * 0.5)
+      FROM range(500)""")
+    assert(spark.sql(s"SELECT sum(u.lat) FROM $cat.t").head().getDouble(0)
+      == (0 until 500).map(_ * 0.5).sum)
+    // Schema-less read infers the nested struct from the payload shape.
+    val inferred = spark.read.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/t").load()
+    assert(inferred.schema("u").dataType.isInstanceOf[StructType])
+    assert(inferred.selectExpr("sum(u.lat)").head().getDouble(0)
+      == (0 until 500).map(_ * 0.5).sum)
+  }
+
+  test("stats stay top-level-scalar; arrays refuse loudly") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, score: BIGINT>)""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('name', concat('n', id), 'score', id)
+      FROM range(100)""")
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.stats.map(_.col) == Seq("id")) // no bounds claimed over u
+    assert(e.nullCounts.get("u").contains(0L)) // top-level nulls still count
+    // Arrays have no renderer: loud refusal at the write builder.
+    val ex = intercept[Exception] {
+      spark.range(1).selectExpr("id", "array(1, 2) AS a").write
+        .format("graft.sources.ManifestSink")
+        .option("path", Files.createTempDirectory("gnp_arr").toString)
+        .mode("append").save()
+    }
+    assert(ex.getMessage.contains("unsupported") ||
+      ex.getMessage.contains("not arrays"))
+  }
+}
