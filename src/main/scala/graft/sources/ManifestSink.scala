@@ -1504,6 +1504,20 @@ object ManifestSink {
         val out = Files.newOutputStream(tmp)
         var liveWritten = 0L
         var eqApplied = false
+        // BLOCK CARRY (round 14): the raw-concat fast path copies lines
+        // byte-exactly, so members' sub-file block stats stay valid with
+        // SHIFTED offsets — logical by the running uncompressed size,
+        // physical (compressed frames) by the running on-disk size. The
+        // compacted file keeps block pruning and frame-parallel splits —
+        // compaction is precisely how files get big enough to need them.
+        // Any member that re-renders (DV/eqdelete materialization,
+        // transcode, sorted merge) drops the whole group's carry: its
+        // offsets are no longer knowable. A compressed member without
+        // frame-aligned blocks has an UNKNOWN logical size — same drop.
+        val carried = collection.mutable.ArrayBuffer[BlockStat]()
+        var carryOk = true
+        var carryLog = 0L
+        var carryPhys = 0L
         // SORTED MERGE: when every group member carries the SAME sort
         // stamp, merge by key instead of concatenating — the output
         // stays physically sorted and the stamp SURVIVES compaction,
@@ -1568,7 +1582,32 @@ object ManifestSink {
               case (None, true) =>
                 Files.copy(dirPath.resolve(f.name), out)
                 liveWritten += f.rows
+                if (carryOk) {
+                  val onDisk = fileSize(dir, f)
+                  if (outCodec.isEmpty) {
+                    // Plain: logical == physical bytes; a block-less
+                    // member contributes ONE synthetic block spanning
+                    // itself (its file-level stats are its bounds).
+                    val bs =
+                      if (f.blocks.size >= 2) f.blocks
+                      else Seq(BlockStat(0L, onDisk, f.rows, f.stats))
+                    carried ++= bs.map(b => b.copy(
+                      start = b.start + carryLog, end = b.end + carryLog,
+                      physStart = -1L))
+                    carryLog += onDisk
+                  } else if (f.blocks.size >= 2 &&
+                      f.blocks.forall(_.physStart >= 0)) {
+                    // Compressed: frame-aligned blocks cover the whole
+                    // file, so the last block's end IS the logical size.
+                    carried ++= f.blocks.map(b => b.copy(
+                      start = b.start + carryLog, end = b.end + carryLog,
+                      physStart = b.physStart + carryPhys))
+                    carryLog += f.blocks.last.end
+                    carryPhys += onDisk
+                  } else carryOk = false
+                }
               case (dv, _) =>
+                carryOk = false // re-rendered: offsets no longer knowable
                 withSink { sink =>
                   liveWritten += copyLiveLinesFiltered(
                     dirPath.resolve(f.name),
@@ -1611,6 +1650,12 @@ object ManifestSink {
           seq = generation + 1,
           sorted = if (mergeSorted) stamps.head else Nil,
           codec = codecAt(dir),
+          // Carried blocks (raw-concat groups only): sub-file pruning
+          // and frame-parallel splits survive compaction. The writer's
+          // per-file cap backstops entry size; an over-cap carry drops
+          // (absence disables, never corrupts).
+          blocks = if (!mergeSorted && carryOk && carried.size >= 2 &&
+              carried.size <= MaxBlocksPerFile) carried.toSeq else Nil,
           // KMV unions are exact sketch algebra; like the merged
           // BOUNDS they may overstate once deletes materialized
           // (they described the physical rows) — sound for an
@@ -3230,9 +3275,23 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // are planned for the commit to apply atomically with the data.
     val mergeAllowed = tableProps.get("mergeschema").exists(_.toBoolean) ||
       info.options().getBoolean("mergeschema", false)
+    // PATH-routed writes (df.write / writeStream with a path option) see
+    // the QUERY's schema as external table metadata, so an evolving
+    // write must resolve against the PERSISTED schema instead — the
+    // catalog metadata at the directory, when one exists (a streaming
+    // sink pointed at a catalog table's directory evolves it exactly
+    // like an INSERT; a pure path table has nothing to evolve).
+    val (resolveAgainst, resolveProps) =
+      if (!mergeAllowed) (tableSchema, tableProps)
+      else try {
+        if (Files.exists(Paths.get(path, "_table.json"))) {
+          val (s, _, p) = GraftCatalog.readMeta(Paths.get(path))
+          (s, p)
+        } else (tableSchema, tableProps)
+      } catch { case _: Exception => (tableSchema, tableProps) }
     val tablePartColsParsed = PartSpec.parseAll(tablePartCols)
-    val resolution = SchemaEvolution.resolveWrite(info.schema(), tableSchema,
-      SchemaEvolution.logNames(SchemaEvolution.parseLog(tableProps)),
+    val resolution = SchemaEvolution.resolveWrite(info.schema(), resolveAgainst,
+      SchemaEvolution.logNames(SchemaEvolution.parseLog(resolveProps)),
       mergeAllowed,
       tablePartColsParsed.collect { case BucketPart(_, c) => c }.toSet,
       name())
@@ -5254,8 +5313,10 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // ranges of a big file against pushed filters — on a sorted 1 GB
     // file a point lookup reads one block, not the file. Only present
     // when the file closed >= 2 blocks; DVs/equality deletes only DROP
-    // rows (bounds stay sound); compaction concatenates into new files
-    // and drops them (offsets shift).
+    // rows (bounds stay sound); RAW-CONCAT compaction CARRIES members'
+    // blocks with shifted offsets (byte-exact copy keeps them valid);
+    // re-rendering paths (delete materialization, transcode, sorted
+    // merge) drop them.
     blocks: Seq[BlockStat] = Nil,
     // Compression codec of the data file's BYTES ("" = plain NDJSON,
     // "gzip"). Recorded per FILE so a table whose `codec` property

@@ -154,6 +154,76 @@ class BlockStatsSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE gbs4.t")
   }
 
+  test("raw-concat compaction CARRIES blocks with shifted offsets — " +
+      "plain and zstd; re-rendering drops them") {
+    // Plain: four sorted small files merge into one; the compacted
+    // entry keeps per-member (and per-block) bounds, so a point lookup
+    // still prunes INSIDE the merged file.
+    val wh = catalog("gbs6")
+    spark.sql("""CREATE TABLE gbs6.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('blockbytes'='4096')""")
+    (0 until 4).foreach(k =>
+      spark.range(k * 4000, (k + 1) * 4000)
+        .selectExpr("id", "concat('p', id, repeat('x', 20)) AS v")
+        .orderBy("id").coalesce(1).writeTo("gbs6.t").append())
+    spark.sql("CALL gbs6.system.compact('t', 1000000)")
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(ManifestSink.committedEntries(s"$wh/t").size == 1)
+    assert(e.blocks.size >= 8, s"carried blocks: ${e.blocks.size}")
+    // Offsets are contiguous, line-aligned, covering the whole file.
+    assert(e.blocks.head.start == 0L)
+    assert(e.blocks.sliding(2).forall {
+      case Seq(a, b) => a.end == b.start; case _ => true })
+    assert(e.blocks.last.end == e.bytes) // plain: logical == physical
+    // Point lookup after compaction: one planned block group.
+    val q = spark.sql("SELECT v FROM gbs6.t WHERE id = 9001")
+    assert(q.rdd.getNumPartitions == 1)
+    assert(q.head().getString(0).startsWith("p9001"))
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM gbs6.t")
+      .head().getLong(0) == (0L until 16000L).sum)
+    spark.sql("DROP TABLE gbs6.t")
+
+    // zstd: carried blocks keep BOTH domains (logical + frame offsets);
+    // the merged file still splits and prunes.
+    val wh2 = catalog("gbs7")
+    spark.sql("""CREATE TABLE gbs7.t (id BIGINT, v STRING)
+      TBLPROPERTIES ('codec'='zstd', 'blockbytes'='4096')""")
+    (0 until 3).foreach(k =>
+      spark.range(k * 4000, (k + 1) * 4000)
+        .selectExpr("id", "concat('z', id, repeat('y', 20)) AS v")
+        .orderBy("id").coalesce(1).writeTo("gbs7.t").append())
+    spark.sql("CALL gbs7.system.compact('t', 1000000)")
+    val z = ManifestSink.committedEntries(s"$wh2/t").head
+    assert(z.codec == "zstd" && z.blocks.size >= 6)
+    assert(z.blocks.forall(_.physStart >= 0))
+    assert(z.blocks.map(_.physStart) == z.blocks.map(_.physStart).sorted)
+    assert(z.blocks.last.physStart < z.bytes)
+    val zq = spark.sql("SELECT v FROM gbs7.t WHERE id = 8500")
+    assert(zq.rdd.getNumPartitions == 1)
+    assert(zq.head().getString(0).startsWith("z8500"))
+    // Sub-block split read of the compacted file: rows exact.
+    val sch = spark.table("gbs7.t").schema
+    assert(spark.read.format("graft.sources.ManifestSink").schema(sch)
+      .option("path", s"$wh2/t").option("maxsplitbytes", "2048").load()
+      .selectExpr("CAST(sum(id) AS BIGINT)").head().getLong(0)
+      == (0L until 12000L).sum)
+    spark.sql("DROP TABLE gbs7.t")
+
+    // Re-rendering path (DV materialization): the carry must DROP.
+    val wh3 = catalog("gbs8")
+    spark.sql("""CREATE TABLE gbs8.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('blockbytes'='2048', 'deletionvectors'='true')""")
+    (0 until 2).foreach(k =>
+      spark.range(k * 4000, (k + 1) * 4000).selectExpr("id", "id AS v")
+        .orderBy("id").coalesce(1).writeTo("gbs8.t").append())
+    spark.sql("DELETE FROM gbs8.t WHERE id IN (5, 4005)")
+    spark.sql("CALL gbs8.system.compact('t', 1000000)")
+    val d = ManifestSink.committedEntries(s"$wh3/t").head
+    assert(d.blocks.isEmpty, "re-rendered compaction must not carry blocks")
+    assert(spark.sql("SELECT count(*) FROM gbs8.t").head().getLong(0) == 7998L)
+    spark.sql("DROP TABLE gbs8.t")
+  }
+
   test("blockbytes=0 disables block recording") {
     val wh = catalog("gbs5")
     spark.sql("""CREATE TABLE gbs5.t (id BIGINT, v STRING)

@@ -282,6 +282,35 @@ class MergeSchemaSpec extends AnyFunSuite with SparkSpec {
     assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 7L)
   }
 
+  test("streaming epoch writes evolve too: a drifted stream adds the column") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, lang STRING)
+      TBLPROPERTIES ('mergeschema'='true')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'en')")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Long]
+    src.addData(2L, 3L)
+    // The drifted upstream arrives THROUGH the stream: one more column,
+    // no ALTER — the first epoch commit evolves the table metadata
+    // inside its publish-lock critical section.
+    val q = src.toDF()
+      .selectExpr("value AS id", "'fr' AS lang", "value * 10 AS grade")
+      .writeStream.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/t").option("mergeschema", "true")
+      .option("checkpointLocation",
+        Files.createTempDirectory("gms_st_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table(s"$cat.t").schema.fieldNames.toSeq ==
+      Seq("id", "lang", "grade"))
+    val rows = spark.sql(s"SELECT id, grade FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, -1L), (2L, 20L), (3L, 30L)))
+  }
+
   test("oracle parity: evolved table hash-matches a never-evolved control") {
     val (cat, _) = catalog()
     import spark.implicits._
