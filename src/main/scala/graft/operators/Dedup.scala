@@ -565,8 +565,14 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // Large-star: min over each node's closed symmetric neighborhood;
       // every undirected edge (a, b), b > a contributes (b → m(a)).
-      val sym = edges.union(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
+      // Both directions emit atomically from ONE pass over the persisted
+      // edges (same discipline as connectedComponents' edge build): one
+      // scan instead of two, and a half-symmetric round is structurally
+      // impossible.
+      val sym = edges.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       val mins = sym.groupBy(col("src").as("u"))
         .agg(min(col("dst")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
