@@ -1069,6 +1069,7 @@ object ManifestSink {
           def rendered(v: NdjsonCodec.JsonVal): String = v match {
             case NdjsonCodec.JsonStr(s) => "\"" + NdjsonCodec.escape(s) + "\""
             case NdjsonCodec.JsonTok(raw) => raw
+            case NdjsonCodec.JsonRaw(raw) => raw // never a stat, defensive
             case NdjsonCodec.JsonNull => "null"
           }
           // Data-file size recorded at write time (round-10): planning
@@ -3696,6 +3697,31 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
 private[sources] object ManifestStats {
   import sources._
 
+  /** Resolve a pushed filter's attribute name against the table schema
+    * — a TOP-LEVEL column by exact name first (a literal dot in a real
+    * column name always wins), else a DOTTED NESTED-LEAF path walked
+    * segment by segment through struct fields (Spark pushes nested-leaf
+    * predicates as `EqualTo("u.geo.lat", v)` through the V1 Filter API;
+    * writers record matching leaf bounds under the same spelling). */
+  private[sources] def fieldAt(full: StructType, path: String)
+      : Option[StructField] =
+    full.fields.find(_.name == path).orElse {
+      val segs = path.split('.')
+      if (segs.length < 2) None
+      else {
+        var cur = full.fields.find(_.name == segs.head)
+        var i = 1
+        while (i < segs.length && cur.isDefined) {
+          cur = cur.get.dataType match {
+            case st: StructType => st.fields.find(_.name == segs(i))
+            case _ => None
+          }
+          i += 1
+        }
+        cur
+      }
+    }
+
   def prunable(f: Filter): Boolean = f match {
     case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
          _: LessThan | _: LessThanOrEqual | _: In |
@@ -3765,7 +3791,7 @@ private[sources] object ManifestStats {
 
   def mayMatch(full: StructType, entry: StagedFile, f: Filter): Boolean = {
     def bounds(c: String): Option[(Any, Any, DataType)] = for {
-      fld <- full.fields.find(_.name == c)
+      fld <- fieldAt(full, c)
       st <- entry.stats.find(_.col == c)
     } yield {
       val conv = NdjsonCodec.converter(fld.dataType)
@@ -3820,7 +3846,7 @@ private[sources] object ManifestStats {
     * requires a RECORDED zero null count. */
   def mustMatch(full: StructType, entry: StagedFile, f: Filter): Boolean = {
     def bounds(c: String): Option[(Any, Any, DataType)] = for {
-      fld <- full.fields.find(_.name == c)
+      fld <- fieldAt(full, c)
       st <- entry.stats.find(_.col == c)
     } yield {
       val conv = NdjsonCodec.converter(fld.dataType)
@@ -3879,7 +3905,8 @@ private[sources] object ManifestStats {
 }
 
 private[sources] class ManifestScan(path: String, full: StructType,
-    required: StructType, pushed: Array[sources.Filter] = Array.empty,
+    required: StructType,
+    private[sources] val pushed: Array[sources.Filter] = Array.empty,
     version: Option[Long] = None,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     maxGensPerTrigger: Option[Long] = None,
@@ -5774,6 +5801,86 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   private val fileMins = new Array[Any](schema.fields.length)
   private val fileMaxs = new Array[Any](schema.fields.length)
   private val fileNan = new Array[Boolean](schema.fields.length)
+
+  // NESTED-LEAF bounds (round 14): Spark pushes nested-leaf predicates
+  // as dotted-name V1 filters ("u.geo.lat"), so the writer records
+  // min/max under the same spelling for every orderable struct leaf —
+  // file-level only (blocks stay top-level), null counts untracked
+  // (IsNull proofs stand down on absence, never lie). Zero cost for
+  // struct-free schemas (the leaf list is empty).
+  private final case class LeafRef(top: Int, topSize: Int, path: String,
+      steps: Array[(Int, Int)], leafIdx: Int, leafType: DataType)
+  private val leafCols: Array[LeafRef] = schema.fields.zipWithIndex.flatMap {
+    case (f, i) => f.dataType match {
+      case st: StructType =>
+        def walk(cur: StructType, prefix: String,
+            steps: List[(Int, Int)]): Seq[LeafRef] =
+          cur.fields.zipWithIndex.flatMap { case (sf, j) =>
+            sf.dataType match {
+              case inner: StructType =>
+                walk(inner, prefix + sf.name + ".", steps :+ (j -> inner.size))
+              case lt if NdjsonCodec.statOrdering(lt).isDefined =>
+                Seq(LeafRef(i, st.size, prefix + sf.name, steps.toArray, j, lt))
+              case _ => Nil
+            }
+          }
+        walk(st, f.name + ".", Nil)
+      case _ => Nil
+    }
+  }.toArray
+  private val leafCmp: Array[Ordering[Any]] =
+    leafCols.map(l => NdjsonCodec.statOrdering(l.leafType).orNull)
+  private val leafRender: Array[Any => String] =
+    leafCols.map(l => NdjsonCodec.renderer(l.leafType))
+  private val leafFileMins = new Array[Any](leafCols.length)
+  private val leafFileMaxs = new Array[Any](leafCols.length)
+  private val leafFileNan = new Array[Boolean](leafCols.length)
+
+  private def trackLeaves(record: InternalRow): Unit = {
+    var lc = 0
+    while (lc < leafCols.length) {
+      val l = leafCols(lc)
+      if (!record.isNullAt(l.top)) {
+        var cur: InternalRow = record.getStruct(l.top, l.topSize)
+        var k = 0
+        while (k < l.steps.length && cur != null) {
+          val (si, ssize) = l.steps(k)
+          cur = if (cur.isNullAt(si)) null else cur.getStruct(si, ssize)
+          k += 1
+        }
+        if (cur != null && !cur.isNullAt(l.leafIdx)) {
+          val v = cur.get(l.leafIdx, l.leafType)
+          if (NdjsonCodec.isNaN(v)) leafFileNan(lc) = true
+          else if (leafCmp(lc) != null) {
+            def owned: Any = v match {
+              case s: UTF8String => s.clone() // reused buffer, see above
+              case other => other
+            }
+            if (leafFileMins(lc) == null || leafCmp(lc).lt(v, leafFileMins(lc)))
+              leafFileMins(lc) = owned
+            if (leafFileMaxs(lc) == null || leafCmp(lc).gt(v, leafFileMaxs(lc)))
+              leafFileMaxs(lc) = owned
+          }
+        }
+      }
+      lc += 1
+    }
+  }
+
+  /** One column's bound tokens (the statsOf rendering rules, single
+    * column) — shared by the nested-leaf stats. */
+  private def statTokens(name: String, dt: DataType, render: Any => String,
+      mn: Any, mx: Any, nan: Boolean): Option[ColStat] =
+    if (mn == null) None
+    else dt match {
+      case StringType =>
+        val lo = NdjsonCodec.truncLower(mn.asInstanceOf[UTF8String].toString)
+        NdjsonCodec.truncUpper(mx.asInstanceOf[UTF8String].toString).map { hi =>
+          ColStat(name, "\"" + NdjsonCodec.escape(lo) + "\"",
+            "\"" + NdjsonCodec.escape(hi) + "\"")
+        }
+      case _ => Some(ColStat(name, render(mn), render(mx), hasNan = nan))
+    }
   // Blocks apply to compressed files too: the writer SEALS the codec
   // frame at every boundary (see `sealFrame`), so each block decodes
   // independently from its recorded physical offset — compression no
@@ -5968,6 +6075,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
           record.get(i, schema.fields(i).dataType)))
       b += 1
     }
+    if (leafCols.length > 0) trackLeaves(record)
     rows += 1
   }
 
@@ -6015,7 +6123,10 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     if (closedBlocks.nonEmpty && blockRows > 0)
       closeBlock(out.count, seal = false)
     else foldBlockIntoFile()
-    val stats = statsOf(fileMins, fileMaxs, fileNan)
+    val stats = statsOf(fileMins, fileMaxs, fileNan) ++
+      leafCols.indices.flatMap(lc =>
+        statTokens(leafCols(lc).path, leafCols(lc).leafType, leafRender(lc),
+          leafFileMins(lc), leafFileMaxs(lc), leafFileNan(lc)))
     val blocks: Seq[BlockStat] =
       if (closedBlocks.size < 2) Nil
       else closedBlocks.toSeq.map { case (s, e, r, mn, mx, nan, ps) =>

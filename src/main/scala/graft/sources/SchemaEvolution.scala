@@ -139,10 +139,23 @@ private[sources] object SchemaEvolution {
     * plan-time normalization that makes every stats/partition/sort/
     * bloom proof rename-transparent. Identity-fast when the table
     * never renamed. */
+  /** Current name of a stat column, dotted nested-leaf paths included:
+    * renaming a top-level struct column renames the PREFIX of every
+    * leaf stat recorded under it ("u.geo.lat" follows u → profile). */
+  private def renameStatCol(c: String, cur: Map[String, String]): String =
+    cur.getOrElse(c, {
+      val dot = c.indexOf('.')
+      if (dot < 0) c
+      else cur.get(c.substring(0, dot)).fold(c)(_ + c.substring(dot))
+    })
+
   def normalizeEntry(e: StagedFile, cur: Map[String, String]): StagedFile =
     if (cur.isEmpty) e
     else e.copy(
-      stats = e.stats.map(s => cur.get(s.col).fold(s)(n => s.copy(col = n))),
+      stats = e.stats.map { s =>
+        val n = renameStatCol(s.col, cur)
+        if (n == s.col) s else s.copy(col = n)
+      },
       nullCounts = e.nullCounts.map { case (k, v) => (cur.getOrElse(k, k), v) },
       partValues = e.partValues.map { case (k, v) => (renameSpec(k, cur), v) },
       sorted = e.sorted.map(c => cur.getOrElse(c, c)),

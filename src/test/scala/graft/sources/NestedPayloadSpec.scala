@@ -115,6 +115,45 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
       == (0 until 500).map(_ * 0.5).sum)
   }
 
+  test("nested-leaf bounds prune files: a u.geo.lat predicate skips " +
+      "the file whose leaf range excludes it") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE, lng: DOUBLE>>)""")
+    // Two files with DISJOINT leaf ranges (lat 0-99 vs 1000-1099).
+    Seq(0L, 1000L).foreach(base =>
+      spark.range(base, base + 100).selectExpr("id",
+          """named_struct('name', concat('n', id),
+            'geo', named_struct('lat', id * 1.0, 'lng', -id * 1.0)) AS u""")
+        .coalesce(1).writeTo(s"$cat.t").append())
+    val entries = ManifestSink.committedEntries(s"$wh/t")
+    assert(entries.size == 2)
+    // The writer recorded dotted leaf bounds alongside top-level stats.
+    val leafStats = entries.flatMap(_.stats).filter(_.col.contains("."))
+    assert(leafStats.map(_.col).toSet ==
+      Set("u.name", "u.geo.lat", "u.geo.lng"), leafStats.map(_.col).toSet)
+    val lat0 = entries.map(e =>
+      e.stats.find(_.col == "u.geo.lat").get).minBy(_.min.toDouble)
+    assert(lat0.min == "0.0" && lat0.max == "99.0", lat0.toString)
+    // Pruning: the nested predicate plans ONE file of two.
+    val q = spark.sql(s"SELECT id FROM $cat.t WHERE u.geo.lat >= 1050.0")
+    assert(q.rdd.getNumPartitions == 1, "leaf bounds must prune a file")
+    assert(q.collect().map(_.getLong(0)).toSet == (1050L until 1100L).toSet)
+    // RENAME of the struct column: old entries' leaf stats normalize to
+    // the new prefix and keep pruning.
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN u TO profile")
+    val q2 = spark.sql(
+      s"SELECT id FROM $cat.t WHERE profile.geo.lat >= 1050.0")
+    assert(q2.rdd.getNumPartitions == 1, "leaf pruning must survive rename")
+    assert(q2.collect().length == 50)
+    // Row-level DML keyed on a LEAF: mustMatch stands down (leaf null
+    // counts are untracked), so the delete takes the copy-on-write
+    // rewrite — and must land exactly.
+    spark.sql(s"DELETE FROM $cat.t WHERE profile.geo.lat >= 1000.0")
+    assert(spark.sql(s"SELECT count(*), CAST(sum(id) AS BIGINT) FROM $cat.t")
+      .head() == org.apache.spark.sql.Row(100L, (0L until 100L).sum))
+  }
+
   test("stats stay top-level-scalar; arrays refuse loudly") {
     val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
@@ -123,8 +162,12 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
       named_struct('name', concat('n', id), 'score', id)
       FROM range(100)""")
     val e = ManifestSink.committedEntries(s"$wh/t").head
-    assert(e.stats.map(_.col) == Seq("id")) // no bounds claimed over u
+    // No bound is ever claimed over the struct ITSELF; its orderable
+    // LEAVES record dotted-path bounds (u.name, u.score).
+    assert(e.stats.map(_.col).toSet == Set("id", "u.name", "u.score"),
+      e.stats.map(_.col).toString)
     assert(e.nullCounts.get("u").contains(0L)) // top-level nulls still count
+    assert(!e.nullCounts.contains("u.score")) // leaf nulls untracked
     // Arrays have no renderer: loud refusal at the write builder.
     val ex = intercept[Exception] {
       spark.range(1).selectExpr("id", "array(1, 2) AS a").write
