@@ -3549,9 +3549,11 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
       }
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
-      case f: org.apache.spark.sql.connector.expressions.NamedReference
-          if f.fieldNames().length == 1 =>
-        Some(f.fieldNames()(0))
+      // Multi-segment references are nested struct leaves, spelled the
+      // way the writer records leaf stats ("u.geo.lat") — min/max fold
+      // from those bounds exactly like top-level columns.
+      case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+        Some(f.fieldNames().mkString("."))
       case _ => None
     }
     // Exact-bound column types: integral values round-trip their stat
@@ -3566,7 +3568,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     // down, as does anything else unproven.
     def minMaxValue(ge: Seq[StagedFile], col: String,
         wantMin: Boolean): Option[(DataType, Any)] = {
-      val dt = full.fields.find(_.name == col).map(_.dataType).getOrElse(
+      val dt = ManifestStats.fieldAt(full, col).map(_.dataType).getOrElse(
         return None)
       if (ge.exists(_.dv.isDefined)) return None // deleted row may BE the extremum
       if (ge.isEmpty) return Some((dt, null))

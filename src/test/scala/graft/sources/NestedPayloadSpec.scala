@@ -154,6 +154,28 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
       .head() == org.apache.spark.sql.Row(100L, (0L until 100L).sum))
   }
 
+  test("aggregate pushdown reaches nested leaves: min/max(u.geo.lat) " +
+      "folds from leaf stats, zero data bytes") {
+    val (cat, _) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE>>)""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('name', concat('n', id),
+        'geo', named_struct('lat', id * 1.0)) FROM range(100)""")
+    val q = spark.sql(
+      s"SELECT min(u.geo.lat) AS lo, max(u.geo.lat) AS hi FROM $cat.t")
+    // Answered from the manifest's leaf bounds: the plan is a local
+    // scan of the folded values — no file is ever opened.
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      q.queryExecution.executedPlan.toString)
+    assert(q.head() == org.apache.spark.sql.Row(0.0, 99.0))
+    // Stand-down case: STRING leaves truncate their bounds, so their
+    // min/max must take the normal scan — and still be right.
+    val s = spark.sql(s"SELECT max(u.name) AS m FROM $cat.t")
+    assert(!s.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(s.head().getString(0) == "n99")
+  }
+
   test("stats stay top-level-scalar; arrays refuse loudly") {
     val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
