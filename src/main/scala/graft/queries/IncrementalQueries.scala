@@ -2308,6 +2308,51 @@ object IncrementalQueries {
         FROM $cat.users GROUP BY profile.lang""")
     },
 
+    // NESTED-LEAF STATISTICS (round-14, the follow-on to a57): the
+    // writer records min/max bounds for every orderable struct LEAF
+    // under its dotted path, Spark pushes nested-leaf predicates and
+    // aggregates to the connector, and both consume those bounds — a
+    // range filter on profile.address.n_chars prunes files whose leaf
+    // range excludes it, and min/max of the leaf folds from metadata
+    // with ZERO data bytes (NestedPayloadSpec pins the LocalTableScan
+    // plan and the skipped-file count). The oracle checks the result
+    // of exactly those plans: one leaf-pruned filtered leg crossed
+    // with one metadata-folded min/max leg.
+    QuerySpec(
+      "a58_nested_leaf_stats",
+      """SELECT
+        |  (SELECT count(*)::BIGINT FROM documents
+        |     WHERE n_chars >= 500 AND n_chars < 900) AS n_mid,
+        |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM documents
+        |     WHERE n_chars >= 500 AND n_chars < 900) AS sum_mid,
+        |  (SELECT CAST(min(n_chars) AS BIGINT) FROM documents) AS lo,
+        |  (SELECT CAST(max(n_chars) AS BIGINT) FROM documents) AS hi""".stripMargin) {
+      (s, dir) =>
+      val wh = freshDir("a58", dir)
+      val cat = "graft_a58_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.users (doc_id BIGINT,
+        profile STRUCT<lang: STRING, address: STRUCT<n_chars: BIGINT>>)""")
+      // Range-partitioned by the LEAF so files carry disjoint leaf
+      // bounds — the shape file skipping needs.
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("n_chars"))
+        .selectExpr("doc_id",
+          "named_struct('lang', lang, 'address', " +
+            "named_struct('n_chars', n_chars)) AS profile")
+        .writeTo(s"$cat.users").append()
+      val mid = s.sql(s"""SELECT count(*) AS n_mid,
+          sum(doc_id) AS sum_mid
+        FROM $cat.users
+        WHERE profile.address.n_chars >= 500
+          AND profile.address.n_chars < 900""")
+      val ext = s.sql(s"""SELECT min(profile.address.n_chars) AS lo,
+          max(profile.address.n_chars) AS hi FROM $cat.users""")
+      mid.crossJoin(ext)
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL
