@@ -5807,9 +5807,9 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // NESTED-LEAF bounds (round 14): Spark pushes nested-leaf predicates
   // as dotted-name V1 filters ("u.geo.lat"), so the writer records
   // min/max under the same spelling for every orderable struct leaf —
-  // file-level only (blocks stay top-level), null counts untracked
-  // (IsNull proofs stand down on absence, never lie). Zero cost for
-  // struct-free schemas (the leaf list is empty).
+  // at FILE and BLOCK granularity, like top-level columns; null counts
+  // untracked (IsNull proofs stand down on absence, never lie). Zero
+  // cost for struct-free schemas (the leaf list is empty).
   private final case class LeafRef(top: Int, topSize: Int, path: String,
       steps: Array[(Int, Int)], leafIdx: Int, leafType: DataType)
   private val leafCols: Array[LeafRef] = schema.fields.zipWithIndex.flatMap {
@@ -5834,6 +5834,12 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     leafCols.map(l => NdjsonCodec.statOrdering(l.leafType).orNull)
   private val leafRender: Array[Any => String] =
     leafCols.map(l => NdjsonCodec.renderer(l.leafType))
+  // Leaf bounds track the CURRENT BLOCK like the top-level arrays do;
+  // file-level leaf bounds fold in at each block close, so a sorted-by-
+  // leaf corpus block-prunes on leaf predicates too.
+  private val leafMins = new Array[Any](leafCols.length)
+  private val leafMaxs = new Array[Any](leafCols.length)
+  private val leafNan = new Array[Boolean](leafCols.length)
   private val leafFileMins = new Array[Any](leafCols.length)
   private val leafFileMaxs = new Array[Any](leafCols.length)
   private val leafFileNan = new Array[Boolean](leafCols.length)
@@ -5852,16 +5858,16 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
         }
         if (cur != null && !cur.isNullAt(l.leafIdx)) {
           val v = cur.get(l.leafIdx, l.leafType)
-          if (NdjsonCodec.isNaN(v)) leafFileNan(lc) = true
+          if (NdjsonCodec.isNaN(v)) leafNan(lc) = true
           else if (leafCmp(lc) != null) {
             def owned: Any = v match {
               case s: UTF8String => s.clone() // reused buffer, see above
               case other => other
             }
-            if (leafFileMins(lc) == null || leafCmp(lc).lt(v, leafFileMins(lc)))
-              leafFileMins(lc) = owned
-            if (leafFileMaxs(lc) == null || leafCmp(lc).gt(v, leafFileMaxs(lc)))
-              leafFileMaxs(lc) = owned
+            if (leafMins(lc) == null || leafCmp(lc).lt(v, leafMins(lc)))
+              leafMins(lc) = owned
+            if (leafMaxs(lc) == null || leafCmp(lc).gt(v, leafMaxs(lc)))
+              leafMaxs(lc) = owned
           }
         }
       }
@@ -5897,7 +5903,8 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // file offsets).
   private var frameStartPhys = 0L
   private val closedBlocks = collection.mutable.ArrayBuffer[
-    (Long, Long, Long, Array[Any], Array[Any], Array[Boolean], Long)]()
+    (Long, Long, Long, Array[Any], Array[Any], Array[Boolean], Long,
+      Array[Any], Array[Any], Array[Boolean])]()
 
   /** End the current compression frame at the underlying stream and
     * position `frameStartPhys` at the next frame's first byte. */
@@ -5928,6 +5935,20 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       if (nanSeen(i)) fileNan(i) = true
       i += 1
     }
+    var lc = 0
+    while (lc < leafCols.length) {
+      val cmp = leafCmp(lc)
+      if (cmp != null) {
+        if (leafMins(lc) != null &&
+            (leafFileMins(lc) == null || cmp.lt(leafMins(lc), leafFileMins(lc))))
+          leafFileMins(lc) = leafMins(lc)
+        if (leafMaxs(lc) != null &&
+            (leafFileMaxs(lc) == null || cmp.gt(leafMaxs(lc), leafFileMaxs(lc))))
+          leafFileMaxs(lc) = leafMaxs(lc)
+      }
+      if (leafNan(lc)) leafFileNan(lc) = true
+      lc += 1
+    }
   }
 
   /** Seal the current block at `endOffset` (a line boundary): snapshot
@@ -5939,11 +5960,15 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     val ps = if (phys == null) -1L else frameStartPhys
     if (seal) sealFrame()
     closedBlocks += ((blockStart, endOffset, blockRows,
-      mins.clone(), maxs.clone(), nanSeen.clone(), ps))
+      mins.clone(), maxs.clone(), nanSeen.clone(), ps,
+      leafMins.clone(), leafMaxs.clone(), leafNan.clone()))
     foldBlockIntoFile()
     java.util.Arrays.fill(mins.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(maxs.asInstanceOf[Array[AnyRef]], null)
     java.util.Arrays.fill(nanSeen, false)
+    java.util.Arrays.fill(leafMins.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(leafMaxs.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(leafNan, false)
     blockStart = endOffset
     blockRows = 0L
   }
@@ -6125,14 +6150,19 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     if (closedBlocks.nonEmpty && blockRows > 0)
       closeBlock(out.count, seal = false)
     else foldBlockIntoFile()
-    val stats = statsOf(fileMins, fileMaxs, fileNan) ++
+    def leafStatsOf(lmn: Array[Any], lmx: Array[Any],
+        lnan: Array[Boolean]): Seq[ColStat] =
       leafCols.indices.flatMap(lc =>
         statTokens(leafCols(lc).path, leafCols(lc).leafType, leafRender(lc),
-          leafFileMins(lc), leafFileMaxs(lc), leafFileNan(lc)))
+          lmn(lc), lmx(lc), lnan(lc)))
+    val stats = statsOf(fileMins, fileMaxs, fileNan) ++
+      leafStatsOf(leafFileMins, leafFileMaxs, leafFileNan)
     val blocks: Seq[BlockStat] =
       if (closedBlocks.size < 2) Nil
-      else closedBlocks.toSeq.map { case (s, e, r, mn, mx, nan, ps) =>
-        BlockStat(s, e, r, statsOf(mn, mx, nan), ps)
+      else closedBlocks.toSeq.map {
+        case (s, e, r, mn, mx, nan, ps, lmn, lmx, lnan) =>
+          BlockStat(s, e, r,
+            statsOf(mn, mx, nan) ++ leafStatsOf(lmn, lmx, lnan), ps)
       }
     // Bloom sidecar: built at commit from the buffered hash pairs (m
     // sized from the real key count), staged attempt-unique, then

@@ -154,6 +154,25 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
       .head() == org.apache.spark.sql.Row(100L, (0L until 100L).sum))
   }
 
+  test("block-level leaf bounds: a leaf point lookup in ONE sorted file " +
+      "plans one block, not the file") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE>>)
+      TBLPROPERTIES ('blockbytes'='4096')""")
+    spark.range(8000).selectExpr("id",
+        """named_struct('name', concat('n', id, repeat('q', 30)),
+          'geo', named_struct('lat', id * 1.0)) AS u""")
+      .orderBy("id").coalesce(1).writeTo(s"$cat.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.blocks.size >= 3)
+    // Every block carries the leaf's dotted-path bounds.
+    assert(e.blocks.forall(_.stats.exists(_.col == "u.geo.lat")))
+    val q = spark.sql(s"SELECT u.name FROM $cat.t WHERE u.geo.lat = 6100.0")
+    assert(q.rdd.getNumPartitions == 1, "leaf block pruning must engage")
+    assert(q.head().getString(0).startsWith("n6100"))
+  }
+
   test("aggregate pushdown reaches nested leaves: min/max(u.geo.lat) " +
       "folds from leaf stats, zero data bytes") {
     val (cat, _) = catalog()
