@@ -185,7 +185,11 @@ object ManifestOps {
               s"equality-delete key column '${f.name}' is not in the " +
                 s"table schema of $dir (columns: " +
                 s"${tableSchema.fieldNames.mkString(", ")})"))
-          require(tf.dataType == f.dataType,
+          // catalogString: same type IGNORING NULLABILITY — rendered
+          // literals don't depend on it, and a struct key built from
+          // literals routinely differs from the table in nested
+          // nullability.
+          require(tf.dataType.catalogString == f.dataType.catalogString,
             s"equality-delete key column '${f.name}' is ${f.dataType} but " +
               s"the table column is ${tf.dataType} — their rendered " +
               "literals would never match, silently deleting nothing")

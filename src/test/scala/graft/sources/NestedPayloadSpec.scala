@@ -195,6 +195,28 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
     assert(s.head().getString(0) == "n99")
   }
 
+  test("equality delete keyed on a STRUCT column: rendered raw text is " +
+      "the canonical key") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      k STRUCT<a: BIGINT, b: STRING>)""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('a', id % 10, 'b', concat('x', id % 10)) FROM range(100)""")
+    import org.apache.spark.sql.functions._
+    // Tombstone the composite struct key (a=3, b='x3'): both sides were
+    // rendered by the same typed writer, so the raw text matches.
+    ManifestOps.equalityDelete(s"$wh/t",
+      spark.range(1).select(
+        struct(lit(3L).as("a"), lit("x3").as("b")).as("k")))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 90L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE k.a = 3")
+      .head().getLong(0) == 0L)
+    // Compaction materializes the struct-keyed tombstone exactly once.
+    spark.sql(s"CALL $cat.system.compact('t', 1000000)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 90L)
+    assert(ManifestSink.committedEqDeleteNames(s"$wh/t").isEmpty)
+  }
+
   test("stats stay top-level-scalar; arrays refuse loudly") {
     val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
