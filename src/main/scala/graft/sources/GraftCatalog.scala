@@ -355,7 +355,11 @@ class GraftCatalog extends TableCatalog
         partCols = partCols.map(SchemaEvolution.renameSpec(_, step))
         props.get("bloomcolumns").foreach { bc =>
           props = props + ("bloomcolumns" -> bc.split(",").map(_.trim)
-            .map(c => if (c == from) to else c).mkString(","))
+            .map(c =>
+              if (c == from) to
+              // dotted nested-leaf index under the renamed struct
+              else if (c.startsWith(from + ".")) to + c.drop(from.length)
+              else c).mkString(","))
         }
         props = props +
           (SchemaEvolution.PropKey -> SchemaEvolution.renderLog(log :+ (from -> to)))

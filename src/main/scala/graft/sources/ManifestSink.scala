@@ -287,8 +287,8 @@ object ManifestSink {
       schema: StructType): Seq[String] =
     props.get("bloomcolumns").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-      .filter(c => schema.fields.exists(f =>
-        f.name == c && BloomIndex.supported(f.dataType)))
+      .filter(c => ManifestStats.fieldAt(schema, c)
+        .exists(f => BloomIndex.supported(f.dataType)))
 
   /** Sub-file block-stat granularity in bytes (table property
     * `blockbytes`; 0 disables). Writers close a stats block at the
@@ -3384,9 +3384,11 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
     bloomCols.foreach { c =>
-      val fld = writeSchema.fields.find(_.name == c)
+      // Top-level column or dotted nested-leaf path — both index.
+      val fld = ManifestStats.fieldAt(writeSchema, c)
       require(fld.isDefined,
-        s"bloomColumns column '$c' is not in the written schema")
+        s"bloomColumns column '$c' is not in the written schema " +
+          "(top-level name or dotted struct-leaf path)")
       require(BloomIndex.supported(fld.get.dataType),
         s"bloomColumns column '$c' (${fld.get.dataType}) is not " +
           "bloom-indexable — integral, string, date and timestamp only " +
@@ -4206,13 +4208,21 @@ private[sources] class ManifestScan(path: String, full: StructType,
         // Sidecars written before a RENAME record the vintage column
         // name — resolve through the alias candidates. Hashing is
         // width-normalized, so a post-WIDEN literal still matches a
-        // pre-widen sidecar.
-        full.fields.find(_.name == c).map(_.dataType).exists(dt =>
+        // pre-widen sidecar. fieldAt: nested-leaf indexes resolve their
+        // dotted path.
+        ManifestStats.fieldAt(full, c).map(_.dataType).exists(dt =>
           BloomIndex.supported(dt) &&
-            BloomIndex.hashPairExternal(dt, v).exists(h =>
-              (c +: aliasCands.getOrElse(c, Nil)).iterator
-                .flatMap(blooms.get(_)).nextOption()
-                .exists(b => !b.mightContain(h))))
+            BloomIndex.hashPairExternal(dt, v).exists { h =>
+              // Dotted leaf names also resolve their TOP segment's
+              // vintage spellings (prefix rename rule).
+              val dot = c.indexOf('.')
+              val cands = (c +: aliasCands.getOrElse(c, Nil)).iterator ++
+                (if (dot < 0) Iterator.empty
+                 else aliasCands.getOrElse(c.substring(0, dot), Nil)
+                   .iterator.map(_ + c.substring(dot)))
+              cands.flatMap(blooms.get(_)).nextOption()
+                .exists(b => !b.mightContain(h))
+            })
       }
     f match {
       case sources.EqualTo(c, v) => !litAbsent(c, v)
@@ -6047,11 +6057,20 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
         }
       }
   }
-  private val bloomIdx: Array[Int] = bloomCols
-    .flatMap(c => schema.fields.zipWithIndex.collect {
-      case (f, i) if f.name == c && BloomIndex.supported(f.dataType) => i
-    }).toArray
-  private val bloomBufs: Array[HashBuf] = bloomIdx.map(_ => new HashBuf)
+  // Bloom targets: a top-level field index, or a nested LEAF (dotted
+  // path) resolved through the same flattened refs the stat tracker
+  // uses — a point lookup on "u.geo.id" skips files exactly like one
+  // on a top-level id.
+  private val bloomTargets: Array[(String, DataType, Either[Int, LeafRef])] =
+    bloomCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && BloomIndex.supported(f.dataType) =>
+          (c, f.dataType, Left(i): Either[Int, LeafRef])
+      }.orElse(leafCols.find(l =>
+          l.path == c && BloomIndex.supported(l.leafType))
+        .map(l => (c, l.leafType, Right(l): Either[Int, LeafRef])))
+    }.toArray
+  private val bloomBufs: Array[HashBuf] = bloomTargets.map(_ => new HashBuf)
 
   override def write(record: InternalRow): Unit = {
     if (sortValid) checkSorted(record)
@@ -6093,13 +6112,27 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
         closedBlocks.size < ManifestSink.MaxBlocksPerFile - 1)
       closeBlock(out.count)
     var b = 0
-    while (b < bloomIdx.length) {
-      val i = bloomIdx(b)
-      if (!record.isNullAt(i))
-        // Hash immediately — the UTF8String is a view into a buffer
-        // Spark reuses across rows, so nothing here may retain it.
-        bloomBufs(b).add(BloomIndex.hashPair(schema.fields(i).dataType,
-          record.get(i, schema.fields(i).dataType)))
+    while (b < bloomTargets.length) {
+      val (_, dt, tgt) = bloomTargets(b)
+      tgt match {
+        case Left(i) =>
+          if (!record.isNullAt(i))
+            // Hash immediately — the UTF8String is a view into a buffer
+            // Spark reuses across rows, so nothing here may retain it.
+            bloomBufs(b).add(BloomIndex.hashPair(dt, record.get(i, dt)))
+        case Right(l) =>
+          if (!record.isNullAt(l.top)) {
+            var cur: InternalRow = record.getStruct(l.top, l.topSize)
+            var k = 0
+            while (k < l.steps.length && cur != null) {
+              val (si, ssize) = l.steps(k)
+              cur = if (cur.isNullAt(si)) null else cur.getStruct(si, ssize)
+              k += 1
+            }
+            if (cur != null && !cur.isNullAt(l.leafIdx))
+              bloomBufs(b).add(BloomIndex.hashPair(dt, cur.get(l.leafIdx, dt)))
+          }
+      }
       b += 1
     }
     if (leafCols.length > 0) trackLeaves(record)
@@ -6168,18 +6201,17 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     // sized from the real key count), staged attempt-unique, then
     // atomically claimed under the data file's canonical sidecar name
     // — the same zombie-attempt discipline as the data file itself.
-    val builtBlooms = bloomIdx.indices.flatMap { b =>
+    val builtBlooms = bloomTargets.indices.flatMap { b =>
       val buf = bloomBufs(b)
       if (!buf.alive || buf.n == 0) None
-      else BloomIndex.build(buf.a, buf.n)
-        .map(schema.fields(bloomIdx(b)).name -> _)
+      else BloomIndex.build(buf.a, buf.n).map(bloomTargets(b)._1 -> _)
     }
     // KMV distinct-count sketch per bloom column — free off the same
     // hash buffer: k smallest DISTINCT packed hashes, unsigned order.
-    val kmvSketches: Map[String, Seq[Long]] = bloomIdx.indices.flatMap { b =>
+    val kmvSketches: Map[String, Seq[Long]] = bloomTargets.indices.flatMap { b =>
       val buf = bloomBufs(b)
       if (!buf.alive || buf.n == 0) None
-      else Some(schema.fields(bloomIdx(b)).name ->
+      else Some(bloomTargets(b)._1 ->
         buf.a.take(buf.n).toSeq.distinct
           .sorted(ManifestSink.UnsignedLongOrdering).take(ManifestSink.KmvK))
     }.toMap

@@ -159,10 +159,14 @@ private[sources] object SchemaEvolution {
       nullCounts = e.nullCounts.map { case (k, v) => (cur.getOrElse(k, k), v) },
       partValues = e.partValues.map { case (k, v) => (renameSpec(k, cur), v) },
       sorted = e.sorted.map(c => cur.getOrElse(c, c)),
-      bloomCols = e.bloomCols.map(c => cur.getOrElse(c, c)),
-      blocks = e.blocks.map(b => b.copy(stats = b.stats.map(s =>
-        cur.get(s.col).fold(s)(n => s.copy(col = n))))),
-      kmv = e.kmv.map { case (k, v) => (cur.getOrElse(k, k), v) })
+      // Dotted nested-leaf names (bloom/kmv/stat keys) follow a rename
+      // of their TOP struct column via the prefix rule.
+      bloomCols = e.bloomCols.map(renameStatCol(_, cur)),
+      blocks = e.blocks.map(b => b.copy(stats = b.stats.map { s =>
+        val n = renameStatCol(s.col, cur)
+        if (n == s.col) s else s.copy(col = n)
+      })),
+      kmv = e.kmv.map { case (k, v) => (renameStatCol(k, cur), v) })
 
   def normalizeEqDelete(d: ManifestSink.EqDelete,
       cur: Map[String, String]): ManifestSink.EqDelete =

@@ -195,6 +195,46 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
     assert(s.head().getString(0) == "n99")
   }
 
+  test("bloom index on a nested LEAF: point lookups skip files whose " +
+      "sidecar proves the leaf value absent — through a struct rename") {
+    val (cat, wh) = catalog()
+    // Leaf ids INTERLEAVE across files (hash-distributed), so bounds
+    // keep everything — only the leaf bloom can skip.
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<docid: BIGINT>>)
+      TBLPROPERTIES ('bloomcolumns'='u.geo.docid')""")
+    spark.range(8000).selectExpr("id",
+        "named_struct('name', concat('n', id), " +
+          "'geo', named_struct('docid', id)) AS u")
+      .repartition(8, org.apache.spark.sql.functions.col("id"))
+      .writeTo(s"$cat.t").append()
+    val entries = ManifestSink.committedEntries(s"$wh/t")
+    assert(entries.size == 8)
+    assert(entries.forall(_.bloomCols == Seq("u.geo.docid")))
+    // Leaf KMV rides the same buffer: distinct-count sketch per file.
+    assert(entries.forall(_.kmv.contains("u.geo.docid")))
+    def planned(sql: String): Int = spark.sql(sql).rdd.getNumPartitions
+    // A present value lives in exactly one file; an absent one in none.
+    assert(planned(s"SELECT u.name FROM $cat.t WHERE u.geo.docid = 4321") == 1)
+    assert(spark.sql(s"SELECT u.name FROM $cat.t WHERE u.geo.docid = 4321")
+      .head().getString(0) == "n4321")
+    assert(planned(
+      s"SELECT u.name FROM $cat.t WHERE u.geo.docid = 999999") == 0)
+    // Struct RENAME: entries' dotted bloom names normalize by prefix,
+    // the property follows, and pre-rename sidecars resolve through the
+    // vintage spelling — the lookup still plans one file.
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN u TO profile")
+    assert(planned(
+      s"SELECT profile.name FROM $cat.t WHERE profile.geo.docid = 4321") == 1)
+    // And new writes keep indexing under the new spelling.
+    spark.range(8000, 8100).selectExpr("id",
+        "named_struct('name', concat('n', id), " +
+          "'geo', named_struct('docid', id)) AS profile")
+      .coalesce(1).writeTo(s"$cat.t").append()
+    assert(planned(
+      s"SELECT profile.name FROM $cat.t WHERE profile.geo.docid = 8050") == 1)
+  }
+
   test("equality delete keyed on a STRUCT column: rendered raw text is " +
       "the canonical key") {
     val (cat, wh) = catalog()
