@@ -2353,6 +2353,42 @@ object IncrementalQueries {
       mid.crossJoin(ext)
     },
 
+    // NESTED-LEAF BLOOM LOOKUP (round-14, a49's shape one level down):
+    // the corpus lands under the reference's nested-user shape with a
+    // bloom index on the dotted leaf path profile.doc_id — leaf ids are
+    // hash-distributed across 8 files, so every file's [min,max] spans
+    // the domain and ONLY the per-file leaf bloom can skip. The oracle
+    // checks the result of exactly that bloom-pruned plan (plus a miss
+    // probe that plans zero files); NestedPayloadSpec pins the planned
+    // partition counts and the rename interplay.
+    QuerySpec(
+      "a59_nested_bloom_lookup",
+      """SELECT count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE doc_id IN (11, 47, 2089, 777777777)""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a59", dir)
+      val cat = "graft_a59_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.users (row_id BIGINT,
+        profile STRUCT<doc_id: BIGINT, lang: STRING, n_chars: BIGINT>)
+        TBLPROPERTIES ('bloomcolumns'='profile.doc_id')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8, col("doc_id"))
+        .selectExpr("doc_id AS row_id",
+          "named_struct('doc_id', doc_id, 'lang', lang, " +
+            "'n_chars', n_chars) AS profile")
+        .writeTo(s"$cat.users").append()
+      s.sql(s"""SELECT count(*) AS n,
+          sum(profile.n_chars) AS sum_chars,
+          sum(profile.doc_id) AS sum_ids
+        FROM $cat.users
+        WHERE profile.doc_id IN (11, 47, 2089, 777777777)""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL
