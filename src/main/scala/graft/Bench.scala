@@ -162,12 +162,30 @@ object Bench {
       s"\"" + k + "\":" + math.round(p * 10) / 10.0
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // SLOW map (round-15): the archived driver artifact keeps only the
+    // LAST ~2000 chars of this line, which can never hold the full
+    // 380+-query map — so a driver-run regression could never be
+    // per-query adjudicated from the driver's own artifact. The tail
+    // therefore carries the queries that MATTER for adjudication: every
+    // query over its reference threshold, as name:[time, ref, probe]
+    // (probe = that query's window calibration — hot window vs real
+    // regression is readable straight off the artifact). Bounded by the
+    // outlier count (typically <10); the full map still lands in
+    // bench_last.json.
+    val slowJson = results.flatMap { case (name, t) =>
+      reference.get(name).collect {
+        case ref if t > math.max(1.5 * ref, ref + 0.5) =>
+          val p = probeByQuery.get(name).map(v => math.round(v * 10) / 10.0)
+            .getOrElse(-1.0)
+          s"\"" + name + s"\":[$t,$ref,$p]"
+      }
+    }.take(40).mkString("{", ",", "}")
     // Headline fields LAST: the harness archives only the tail of this
     // line, and per-query maps grow left of wherever the total sits —
-    // tail-side placement keeps "value"/"failed" recoverable at any
-    // registry size. The full line also lands in bench_last.json so the
-    // complete per-query map survives regardless of capture size.
-    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_by_query":$probesJson,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
+    // tail-side placement keeps "slow"/"value"/"failed" recoverable at
+    // any registry size. The full line also lands in bench_last.json so
+    // the complete per-query map survives regardless of capture size.
+    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_by_query":$probesJson,"slow":$slowJson,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
     // FULL runs own bench_last.json; targeted prefix runs land in
     // bench_last_partial.json — a 3-query local iteration must never
     // clobber the round's only complete per-query artifact (the r13

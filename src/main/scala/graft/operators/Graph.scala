@@ -378,70 +378,95 @@ object Graph {
   /** BFS hop distances from `source` over the undirected graph, up to
     * `maxHops` rounds: `(node, hops)` for every node reached (the source
     * itself at 0). Frontier-expansion loop — each round joins the
-    * current frontier against the adjacency list, anti-joins the
-    * visited set, and stops early when the frontier empties, so the
-    * number of jobs is min(diameter, maxHops), not maxHops.
+    * current frontier against the adjacency list, drops already-visited
+    * nodes, and stops early (at batch granularity) when the frontier
+    * empties.
     *
-    * Scale: per-round work is |frontier ⋈ adj| — the standard
-    * distributed BFS; visited/frontier persist round-over-round with
-    * LogicalRDD re-rooting (the visited set is referenced by both the
-    * anti-join and the union, so each round's result is materialized
-    * once, not recomputed per branch). The DuckDB oracle (q99) replays
-    * the same distances by vector relaxation in a recursive CTE, which
-    * reaches the identical fixed point regardless of round count. */
+    * This is the one driver-iterative loop kept on the RDD API, and
+    * deliberately so (the documented `mapPartitions`-tier exception):
+    * a DataFrame round costs a full Catalyst analyze/optimize/plan pass
+    * per `.rdd` re-root — profiled at HALF the query's wall time at
+    * bench scale — and the re-root discards `outputPartitioning`, so no
+    * DataFrame formulation can pin the adjacency list's partitioning
+    * across rounds. With raw RDDs the loop is zero-compile and
+    * co-partitioned end to end on one `HashPartitioner(node)`:
+    *   - `adj ⋈ frontier` is a NARROW join (both sides pre-hashed;
+    *     `filter` preserves the partitioner, so every round's frontier
+    *     arrives already placed);
+    *   - the round's ONE shuffle is the `reduceByKey` min-merge of
+    *     `visited ++ candidates` — which doubles as lineage truncation
+    *     (a shuffle boundary every round; a narrow subtract/union shape
+    *     was measured 3x slower from diamond recompute), vs three
+    *     shuffles for the DataFrame join/distinct/anti-join shape;
+    *   - the frontier is the min-merge's newly-stamped rows
+    *     (`hop == round`), a narrow filter, never a second shuffle.
+    * Rounds chain lazily, `batch` per reachability probe; reached-set
+    * growth doubles as the emptiness probe. Scale: the min-merge
+    * re-shuffles the visited set each round (the SSSP relaxation
+    * trade: linear lineage beats frontier-only traffic — the
+    * anti-join variant pays the same set as a shuffled join side); the
+    * adjacency list never re-shuffles after its one-time `partitionBy`.
+    * The DuckDB oracle (q99) replays the same distances by vector
+    * relaxation in a recursive CTE, which reaches the identical fixed
+    * point regardless of round count. */
   def shortestHops(edges: DataFrame, source: Long, maxHops: Int = 12): DataFrame = {
     val spark = edges.sparkSession
     val lvl = StorageLevel.MEMORY_AND_DISK
     val adj = symmetric(edges).persist(lvl)
     Dedup.pendingCaches.add(adj)
     val edgeCount = adj.count()
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var dist = spark.range(1)
-          .select(lit(source).as("node"), lit(0L).as("hops")).persist(lvl)
-        Dedup.pendingCaches.add(dist)
-        var frontier = dist
-        var h = 0L
-        var more = true
-        while (more && h < maxHops) {
-          h += 1
-          val nextPlan = adj
-            .join(frontier.select(col("node").as("u")), "u")
-            .select(col("v").as("node")).distinct()
-            .join(dist, Seq("node"), "left_anti")
-            .select(col("node"), lit(h).as("hops"))
-          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-            .persist(lvl)
-          Dedup.pendingCaches.add(next)
-          more = next.count() > 0
-          if (more) {
-            // No eager count on `grown`: both parents are persisted and
-            // materialized, so its first consumer (next round's
-            // anti-join) assembles it from cache — an extra action per
-            // round here was pure scheduling overhead (~12 jobs/run).
-            // The old dist stays persisted until `grown` replaces it in
-            // the round after (registered for release either way).
-            val grown = spark
-              .createDataFrame(dist.union(next).rdd, dist.schema).persist(lvl)
-            Dedup.pendingCaches.add(grown)
-            frontier = next
-            dist = grown
-          }
-        }
-        dist
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val rddPins = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    val adjR = adj.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(lvl)
+    rddPins += adjR
+    var visited = spark.sparkContext
+      .parallelize(Seq((source, 0L)), 1).partitionBy(part).persist(lvl)
+    rddPins += visited
+    var frontier: org.apache.spark.rdd.RDD[(Long, Long)] = visited
+    var visitedRows = 1L
+    var h = 0
+    var more = true
+    val batch = 6
+    while (more && h < maxHops) {
+      val steps = math.min(batch, maxHops - h)
+      var planVisited = visited
+      var planFrontier = frontier
+      for (i <- 1 to steps) {
+        val hop = (h + i).toLong
+        // Narrow join (frontier keeps the reduceByKey partitioner, adj
+        // was partitionBy'd once); the round's ONE shuffle is the
+        // min-merge below, which also truncates lineage at a shuffle
+        // boundary every round — no narrow diamond, no recompute chain.
+        val cand = adjR.join(planFrontier)
+          .map { case (_, (v, _)) => (v, hop) }
+        planVisited = (planVisited ++ cand)
+          .reduceByKey(part, (a, b) => math.min(a, b))
+        // filter preserves the partitioner, so next round's join stays
+        // narrow; a node is IN the frontier iff this round first
+        // reached it (its min hop equals this round's stamp).
+        planFrontier = planVisited.filter(_._2 == hop)
       }
+      val grown = planVisited.persist(lvl)
+      rddPins += grown
+      val n = grown.count()
+      visited = grown
+      frontier = planFrontier
+      more = n > visitedRows
+      visitedRows = n
+      h += steps
     }
+    // Hand back a DataFrame over the final visited set. The loop's RDD
+    // persists are released here (they are invisible to releaseCaches):
+    // consumers re-assemble the result from the loop's shuffle files —
+    // narrow recompute, no round re-runs.
+    import spark.implicits._
+    val out = visited.toDF("node", "hops")
+    rddPins.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** `iterations` rounds of UNNORMALIZED HITS over directed `edges`

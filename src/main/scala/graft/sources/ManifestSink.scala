@@ -2676,7 +2676,13 @@ private[sources] object NdjsonCodec {
   def converter(dt: DataType): JsonVal => Any = {
     val conv: JsonVal => Any = dt match {
       case StringType => { case JsonStr(s) => UTF8String.fromString(s)
-        case v => badShape(dt, v) }
+        // StringType is also inference's CONSERVATIVE spelling: foreign
+        // files (this writer refuses arrays) and type-conflicted
+        // columns infer as StringType, so the converter must accept
+        // the raw JSON text of arrays/objects and bare tokens rather
+        // than failing at read what inference accepted at plan time.
+        case JsonRaw(r) => UTF8String.fromString(r)
+        case JsonTok(r) => UTF8String.fromString(r) }
       case BooleanType => { case JsonTok(r) => r.toBoolean
         case v => badShape(dt, v) }
       case ByteType => { case JsonTok(r) => r.toByte; case v => badShape(dt, v) }
@@ -3305,6 +3311,15 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       s"ManifestSink NDJSON payload supports primitive/temporal/binary and " +
         s"nested STRUCT columns (not arrays/maps); unsupported: " +
         bad.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
+    // Nested-leaf stats/kmv/bloom entries are keyed by the DOTTED
+    // spelling ('a.b'), sharing the manifest key space with top-level
+    // column names — a literal top-level column named "a.b" alongside a
+    // struct leaf a.b would consult one column's bounds for the other.
+    // Refuse the ambiguity before any task launches.
+    val dotted = writeSchema.fields.filter(_.name.contains("."))
+    require(dotted.isEmpty,
+      s"ManifestSink column names may not contain '.' (reserved for " +
+        s"nested-leaf stat paths): " + dotted.map(_.name).mkString(", "))
     // retainHistory=true keeps every generation's manifest (and, under
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.
@@ -6106,6 +6121,14 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     out.write('}')
     out.write('\n')
     blockRows += 1
+    // Leaf bounds MUST accumulate before the block-close check below,
+    // exactly like the top-level min/max tracked during rendering: the
+    // record that trips the boundary is byte-wise INSIDE the block
+    // being closed, so its leaf extrema belong to that block's
+    // snapshot. Tracking after closeBlock would leak a block-local
+    // extremum into the next block and let leaf block pruning skip a
+    // block that contains matching rows.
+    if (leafCols.length > 0) trackLeaves(record)
     // Block boundary at the first line end past the granularity. The
     // count cap leaves headroom for the trailing block commit() seals.
     if (blockBytes > 0 && out.count - blockStart >= blockBytes &&
@@ -6135,7 +6158,6 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       }
       b += 1
     }
-    if (leafCols.length > 0) trackLeaves(record)
     rows += 1
   }
 

@@ -323,6 +323,19 @@ private[sources] object SchemaEvolution {
           f
       }
     }
+    // Two query columns must not resolve to the SAME table column
+    // ('A' exact-miss + case-insensitive hit alongside 'a'): both would
+    // be renamed to the table spelling, the writer would emit duplicate
+    // payload keys, and the reader's last-wins parse would silently
+    // drop one value. Spark's analyzer rejects this shape; under
+    // ACCEPT_ANY_SCHEMA this connector is the only validator.
+    query.fields.map(_.name).zip(fields.map(_.name))
+      .groupBy(_._2).foreach { case (resolved, pairs) =>
+        require(pairs.length == 1,
+          s"cannot write $tableName: query columns " +
+            pairs.map(p => s"'${p._1}'").mkString(", ") +
+            s" all resolve to table column '$resolved'")
+      }
     // Table columns the query omits: absent payload keys read back as
     // null / EXISTS_DEFAULT — refuse when that contradicts the schema.
     val written = fields.map(_.name).toSet

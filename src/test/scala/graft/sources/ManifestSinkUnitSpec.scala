@@ -97,6 +97,14 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       rt(BinaryType, Array[Byte](0, 1, -2, 127)).asInstanceOf[Array[Byte]],
       Array[Byte](0, 1, -2, 127)))
+    // StringType is also inference's CONSERVATIVE spelling: foreign
+    // files can carry arrays or type-conflicted values that infer as
+    // StringType, and the converter must surface their raw JSON text
+    // (not fail at read what inference accepted at plan time).
+    val sConv = NdjsonCodec.converter(StringType)
+    assert(sConv(NdjsonCodec.parseLine("""{"v":[1,2,3]}""")("v")).toString
+      == "[1,2,3]")
+    assert(sConv(NdjsonCodec.parseLine("""{"v":42}""")("v")).toString == "42")
   }
 
   test("eqKeySet: tombstone key sets cache per JVM; mtime change invalidates") {

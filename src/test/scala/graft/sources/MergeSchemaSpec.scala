@@ -105,6 +105,15 @@ class MergeSchemaSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       resolve(StructType(Seq(StructField("doc_id", LongType),
         StructField("mystery", NullType)))))
+    // TWO query columns resolving to the SAME table column ('DOC_ID'
+    // case-insensitive alongside 'doc_id') -> refused: both would render
+    // the same payload key and the reader's last-wins parse would
+    // silently drop one value.
+    val e4 = intercept[IllegalArgumentException](
+      resolve(StructType(Seq(StructField("doc_id", LongType),
+        StructField("DOC_ID", LongType), StructField("lang", StringType)))))
+    assert(e4.getMessage.contains("resolve to table column 'doc_id'") &&
+      e4.getMessage.contains("'DOC_ID'"), e4.getMessage)
   }
 
   // ---------- end-to-end: the acceptance paths ----------

@@ -173,6 +173,43 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
     assert(q.head().getString(0).startsWith("n6100"))
   }
 
+  test("block-boundary record's leaf extremum belongs to the CLOSED " +
+      "block: leaf pruning cannot skip the block holding the row") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE>>)
+      TBLPROPERTIES ('blockbytes'='4096')""")
+    spark.range(8000).selectExpr("id",
+        """named_struct('name', concat('n', id, repeat('q', 30)),
+          'geo', named_struct('lat', id * 1.0)) AS u""")
+      .orderBy("id").coalesce(1).writeTo(s"$cat.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t").head
+    assert(e.blocks.size >= 3)
+    // Rows ascend, so each block's LAST row — the record whose bytes
+    // tripped the boundary — is its leaf max. That record is byte-wise
+    // inside the block being closed; its bound must be in THAT block's
+    // snapshot, not the next one's (leaf tracking after closeBlock
+    // shifted it, letting pruning skip the block that holds the row).
+    var firstRow = 0L
+    e.blocks.foreach { b =>
+      val st = b.stats.find(_.col == "u.geo.lat").get
+      assert(st.min.toDouble == firstRow.toDouble, s"row $firstRow: $st")
+      assert(st.max.toDouble == (firstRow + b.rows - 1).toDouble,
+        s"boundary record leaked out of its block: row $firstRow, $st")
+      firstRow += b.rows
+    }
+    // And the end-to-end proof: a point lookup on every block's
+    // boundary value must find its row (the buggy ordering pruned the
+    // only block containing it → silent empty result).
+    e.blocks.scanLeft(0L)(_ + _.rows).tail.dropRight(1).foreach { cum =>
+      val r = cum - 1
+      val q = spark.sql(s"SELECT u.name FROM $cat.t WHERE u.geo.lat = $r.0")
+      assert(q.rdd.getNumPartitions == 1)
+      assert(q.collect().map(_.getString(0)).toSeq ==
+        Seq(s"n$r" + "q" * 30), s"boundary row $r lost to mis-pruning")
+    }
+  }
+
   test("aggregate pushdown reaches nested leaves: min/max(u.geo.lat) " +
       "folds from leaf stats, zero data bytes") {
     val (cat, _) = catalog()
@@ -280,5 +317,15 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("unsupported") ||
       ex.getMessage.contains("not arrays"))
+    // Dotted TOP-LEVEL names share the manifest stat key space with
+    // nested-leaf paths ('u.score') — refused at the builder so a
+    // literal "a.b" column can never consult a leaf's bounds.
+    val ex2 = intercept[Exception] {
+      spark.range(1).selectExpr("id", "id AS `a.b`").write
+        .format("graft.sources.ManifestSink")
+        .option("path", Files.createTempDirectory("gnp_dot").toString)
+        .mode("append").save()
+    }
+    assert(ex2.getMessage.contains("may not contain '.'"), ex2.getMessage)
   }
 }

@@ -52,6 +52,31 @@ def query_map(path):
     tail = d.get("tail", "")
     marker = tail.find('"queries":{')
     if marker < 0:
+        # Round-15 artifacts place a bounded "slow" map in the tail:
+        # every query over its reference threshold as name:[t, ref,
+        # probe_ms]. That is exactly the adjudication set — a truncated
+        # driver artifact can still name its own regressions. probes
+        # feed hot_windows via a synthetic probe_by_query.
+        sm = tail.find('"slow":{')
+        if sm >= 0:
+            region = tail[sm + len('"slow":{'):]
+            region = region[:region.find("}")] if "}" in region else region
+            trips = re.findall(
+                r'"([A-Za-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),'
+                r'([0-9.eE+-]+)\]', region)
+            if trips:
+                extra.setdefault("probe_by_query",
+                                 {k: float(p) for k, _, _, p in trips})
+                pm = re.search(r'"probe_ms":\[([0-9.eE+-]+),([0-9.eE+-]+)\]',
+                               tail)
+                if pm:
+                    extra.setdefault(
+                        "probe_ms", [float(pm.group(1)), float(pm.group(2))])
+                extra["slow_only"] = True
+                print(f"{path}: truncated tail — adjudicating from its "
+                      f"'slow' map ({len(trips)} over-threshold queries; "
+                      "full map only in BENCH_rN_full.json)")
+                return {k: float(t) for k, t, _, _ in trips}, extra
         sys.exit(f"{path}: no complete queries map (truncated tail without "
                  'a "queries":{ region) — use the BENCH_rN_full.json '
                  "artifact for per-query numbers")
