@@ -2389,6 +2389,49 @@ object IncrementalQueries {
         WHERE profile.doc_id IN (11, 47, 2089, 777777777)""")
     },
 
+    // ARRAY/MAP PAYLOADS (round-15): the corpus's own column shapes —
+    // embeddings are ARRAY<FLOAT> (the embeddings table, TESTDATA.md),
+    // token lists and tag maps ride beside them — previously refused at
+    // the write builder (a57 landed structs only). Arrays render as
+    // JSON arrays and maps as scalar-keyed JSON objects; the spec
+    // lands the embeddings table VERBATIM (float elements round-trip
+    // through shortest-representation rendering) plus a tag map, then
+    // checks per-row element access, per-row dimension, an exact
+    // integer checksum folded over every element (floor-quantized, so
+    // one corrupted element anywhere breaks the hash), and map lookup —
+    // all against DuckDB reading the original parquet. Stats/pruning
+    // stay scalar (ArrayMapPayloadSpec pins bounds-never-claimed, DV/
+    // codec/time-travel interplay, and inference).
+    QuerySpec(
+      "a60_array_map_payloads",
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CASE WHEN embedding IS NULL THEN NULL
+        |    ELSE CAST(coalesce(list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))), 0)
+        |      AS BIGINT) END AS qsum,
+        |  CAST(label AS BIGINT) AS lbl
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a60", dir)
+      val cat = "graft_a60_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.emb (vec_id BIGINT,
+        embedding ARRAY<FLOAT>, tags MAP<STRING, BIGINT>)""")
+      Tables.embeddings(s, dir).createOrReplaceTempView("a60_src")
+      s.sql(s"""INSERT INTO $cat.emb
+        SELECT vec_id, embedding,
+          map('label', CAST(label AS BIGINT),
+              'dim', CAST(size(embedding) AS BIGINT))
+        FROM a60_src""")
+      s.sql(s"""SELECT vec_id, CAST(size(embedding) AS BIGINT) AS dim,
+          CAST(try_element_at(embedding, 1) AS DOUBLE) AS e0,
+          aggregate(embedding, 0L, (acc, x) ->
+            acc + CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qsum,
+          try_element_at(tags, 'label') AS lbl
+        FROM $cat.emb""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

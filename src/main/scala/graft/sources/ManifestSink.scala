@@ -80,20 +80,34 @@ class ManifestSink extends TableProvider {
       .map(b => ManifestOps.branchPath(main, b).toString).getOrElse(main)
     val entries = ManifestSink.committedEntries(path)
     if (entries.isEmpty) return new StructType()
-    val first = Paths.get(path, entries.head.name)
-    // Decompress per the entry's recorded codec — inference must see
+    // Sample up to 100 lines ACROSS entries (a multi-task write of a
+    // small frame routinely commits empty files first — sampling only
+    // the head entry inferred an empty schema for a non-empty table).
+    // Decompress per each entry's recorded codec — inference must see
     // payload text, not frame bytes.
-    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
-      ManifestSink.wrapRead(Files.newInputStream(first), entries.head.codec),
-      StandardCharsets.UTF_8))
-    val lines =
+    val lines = entries.iterator.flatMap { entry =>
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        ManifestSink.wrapRead(
+          Files.newInputStream(Paths.get(path, entry.name)), entry.codec),
+        StandardCharsets.UTF_8))
       try Iterator.continually(in.readLine()).takeWhile(_ != null)
         .filter(_.nonEmpty).take(100).toVector
       finally in.close()
+    }.take(100).toVector
     // First-appearance key order; value None = only nulls seen so far.
-    // Recursive so nested objects infer as StructType (arrays have no
-    // reader type and infer conservatively as StringType-typed raw —
-    // supplying .schema() is the typed route either way).
+    // Recursive so nested objects infer as StructType and arrays as
+    // ArrayType of their merged element type (heterogeneous elements
+    // widen to STRING spellings; an always-empty array defers like a
+    // null and falls back to StringType-typed raw — supplying
+    // .schema() is the typed route either way). Maps infer as structs
+    // (JSON cannot distinguish them); declare MapType via the schema.
+    def widen(a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else (a, b) match {
+        case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+        case (ArrayType(x, _), ArrayType(y, _)) => ArrayType(widen(x, y))
+        case _ => StringType
+      }
     def inferOne(v: NdjsonCodec.JsonVal): Option[DataType] = v match {
       case NdjsonCodec.JsonNull => None
       case NdjsonCodec.JsonTok(raw) =>
@@ -108,6 +122,9 @@ class ManifestSink extends TableProvider {
         Some(StructType(inner.toSeq.map { case (k, t) =>
           StructField(k, t.getOrElse(StringType))
         }))
+      case NdjsonCodec.JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '[' =>
+        NdjsonCodec.parseArray(raw).flatMap(inferOne)
+          .reduceOption(widen).map(ArrayType(_))
       case _ => Some(StringType)
     }
     def merge(into: collection.mutable.LinkedHashMap[String, Option[DataType]],
@@ -115,10 +132,7 @@ class ManifestSink extends TableProvider {
       (into.get(k), t) match {
         case (None, _) | (Some(None), _) => into(k) = t
         case (Some(Some(prev)), Some(nt)) if nt != prev =>
-          into(k) = Some((prev, nt) match {
-            case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
-            case _ => StringType
-          })
+          into(k) = Some(widen(prev, nt))
         case _ =>
       }
     val seen = collection.mutable.LinkedHashMap[String, Option[DataType]]()
@@ -2598,11 +2612,23 @@ private[sources] object NdjsonCodec {
     case _: DecimalType => true
     // Nested STRUCTS render as nested JSON objects (the reference's
     // natural payload is nested user JSON — users_etl.py:100-111).
-    // Stats/pruning/bloom/partitioning stay top-level-scalar-only:
-    // statOrdering(struct) = None, so nothing downstream ever claims a
-    // bound over one. Arrays/maps stay unsupported (no renderer).
+    // ARRAYS render as JSON arrays and MAPS as JSON objects whose keys
+    // are the rendered key values as strings (round 15 — a training
+    // corpus's natural columns ARE token lists, embeddings, and tag
+    // maps; see the embeddings table, TESTDATA.md). Stats/pruning/
+    // bloom/partitioning stay scalar-only: statOrdering(nested) = None,
+    // so nothing downstream ever claims a bound over one.
     case st: StructType => st.fields.forall(f => supported(f.dataType))
+    case at: ArrayType => supported(at.elementType)
+    case mt: MapType => keySupported(mt.keyType) && supported(mt.valueType)
     case _ => false
+  }
+
+  /** Map KEYS must render as unambiguous JSON object keys (strings):
+    * every scalar payload type qualifies; nested keys do not. */
+  def keySupported(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType => false
+    case other => supported(other)
   }
 
   /** Full JSON string escape — backslash, quote, and EVERY control
@@ -2666,8 +2692,85 @@ private[sources] object NdjsonCodec {
         }
         sb.append('}').toString
       }
+    case at: ArrayType =>
+      // JSON array, element-recursive over Catalyst ArrayData; null
+      // elements render explicitly (containsNull round-trips).
+      val er = renderer(at.elementType)
+      v => {
+        val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('[')
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          if (arr.isNullAt(i)) sb.append("null")
+          else sb.append(er(arr.get(i, at.elementType)))
+          i += 1
+        }
+        sb.append(']').toString
+      }
+    case mt: MapType =>
+      // JSON object: keys are the rendered key values AS STRINGS (a
+      // long key 42 renders "42"), values recurse. Catalyst map keys
+      // are never null; null VALUES render explicitly.
+      val kr = keyRenderer(mt.keyType)
+      val vr = renderer(mt.valueType)
+      v => {
+        val map = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = map.keyArray()
+        val vs = map.valueArray()
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        var i = 0
+        val n = map.numElements()
+        while (i < n) {
+          if (i > 0) sb.append(',')
+          sb.append(kr(ks.get(i, mt.keyType))).append(':')
+          if (vs.isNullAt(i)) sb.append("null")
+          else sb.append(vr(vs.get(i, mt.valueType)))
+          i += 1
+        }
+        sb.append('}').toString
+      }
     case other => throw new UnsupportedOperationException(
       s"ManifestSink NDJSON payload does not support type $other")
+  }
+
+  /** Renderer for a MAP KEY: the key value as a quoted JSON string —
+    * string keys escape, scalar keys quote their token/string spelling
+    * (the exact text [[keyConverter]] re-parses). */
+  def keyRenderer(dt: DataType): Any => String = dt match {
+    case StringType => v => "\"" + escape(v.toString) + "\""
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType => v => "\"" + v.toString + "\""
+    case _: DecimalType => v =>
+      "\"" + v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.toPlainString + "\""
+    // Date/Timestamp/Binary already render as quoted strings.
+    case DateType | TimestampType | BinaryType => renderer(dt)
+    case other => throw new UnsupportedOperationException(
+      s"ManifestSink map keys do not support type $other")
+  }
+
+  /** Inverse of [[keyRenderer]]: decoded key string → Catalyst value. */
+  def keyConverter(dt: DataType): String => Any = dt match {
+    case StringType => s => UTF8String.fromString(s)
+    case BooleanType => _.toBoolean
+    case ByteType => _.toByte
+    case ShortType => _.toShort
+    case IntegerType => _.toInt
+    case LongType => _.toLong
+    case FloatType => _.toFloat
+    case DoubleType => _.toDouble
+    case d: DecimalType => s =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+    case DateType => s => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case TimestampType => s => java.time.temporal.ChronoUnit.MICROS
+      .between(java.time.Instant.EPOCH, java.time.Instant.parse(s))
+    case BinaryType => s => java.util.Base64.getDecoder.decode(s)
+    case other => throw new UnsupportedOperationException(
+      s"ManifestSink map keys do not support type $other")
   }
 
   /** Converter from a parsed [[JsonVal]] back to the Catalyst internal
@@ -2676,11 +2779,11 @@ private[sources] object NdjsonCodec {
   def converter(dt: DataType): JsonVal => Any = {
     val conv: JsonVal => Any = dt match {
       case StringType => { case JsonStr(s) => UTF8String.fromString(s)
-        // StringType is also inference's CONSERVATIVE spelling: foreign
-        // files (this writer refuses arrays) and type-conflicted
-        // columns infer as StringType, so the converter must accept
-        // the raw JSON text of arrays/objects and bare tokens rather
-        // than failing at read what inference accepted at plan time.
+        // StringType is also inference's CONSERVATIVE spelling:
+        // heterogeneous arrays and type-conflicted columns infer as
+        // StringType, so the converter must accept the raw JSON text
+        // of arrays/objects and bare tokens rather than failing at
+        // read what inference accepted at plan time.
         case JsonRaw(r) => UTF8String.fromString(r)
         case JsonTok(r) => UTF8String.fromString(r) }
       case BooleanType => { case JsonTok(r) => r.toBoolean
@@ -2728,6 +2831,40 @@ private[sources] object NdjsonCodec {
           case v => badShape(dt, v)
         }
         structConv
+      case at: ArrayType =>
+        val ec = converter(at.elementType)
+        val arrConv: JsonVal => Any = {
+          case JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '[' =>
+            val elems = parseArray(raw)
+            val out = new Array[Any](elems.length)
+            var i = 0
+            while (i < elems.length) { out(i) = ec(elems(i)); i += 1 }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+          case v => badShape(dt, v)
+        }
+        arrConv
+      case mt: MapType =>
+        // Re-parse the captured raw object; keys re-parse under the
+        // declared key type, values recurse. Writer-rendered maps have
+        // unique keys; parseLine's last-wins merge matches JSON readers
+        // for foreign files.
+        val kc = keyConverter(mt.keyType)
+        val vc = converter(mt.valueType)
+        val mapConv: JsonVal => Any = {
+          case JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '{' =>
+            val entries = parseLineSelect(raw, null)
+            val ks = new Array[Any](entries.size)
+            val vs = new Array[Any](entries.size)
+            var i = 0
+            entries.foreach { case (k, v) =>
+              ks(i) = kc(k); vs(i) = vc(v); i += 1
+            }
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(ks),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(vs))
+          case v => badShape(dt, v)
+        }
+        mapConv
       case other => throw new UnsupportedOperationException(
         s"ManifestSink NDJSON payload does not support type $other")
     }
@@ -2810,6 +2947,106 @@ private[sources] object NdjsonCodec {
     * their converter re-parses the raw recursively). */
   def parseLine(line: String): collection.Map[String, JsonVal] =
     parseLineSelect(line, null)
+
+  /** Parse one JSON ARRAY (a captured [[JsonRaw]] starting with '[')
+    * into its element [[JsonVal]]s — the array-column converter's front
+    * half. Nested objects/arrays come back as [[JsonRaw]] for their own
+    * element converters; escape handling matches [[parseLineSelect]]. */
+  def parseArray(line: String): Vector[JsonVal] = {
+    val out = Vector.newBuilder[JsonVal]
+    var i = 0
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"bad JSON array at offset $i ($msg): $line")
+    def ws(): Unit = while (i < line.length && line.charAt(i) <= ' ') i += 1
+    def str(): String = {
+      i += 1 // opening quote (caller checked)
+      val sb = new java.lang.StringBuilder
+      while (i < line.length && line.charAt(i) != '"') {
+        val c = line.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= line.length) fail("truncated escape")
+          line.charAt(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
+            case 't' => sb.append('\t')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 4 >= line.length) fail("truncated \\u escape")
+              sb.append(Integer.parseInt(line.substring(i + 1, i + 5), 16).toChar)
+              i += 4
+            case o => fail(s"bad escape \\$o")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      if (i >= line.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def skipStr(): Unit = {
+      i += 1
+      while (i < line.length && line.charAt(i) != '"') {
+        if (line.charAt(i) == '\\') {
+          i += 1
+          if (i >= line.length) fail("truncated escape")
+        }
+        i += 1
+      }
+      if (i >= line.length) fail("unterminated string")
+      i += 1
+    }
+    def scanNested(): Unit = {
+      var depth = 0
+      var first = true
+      while ((depth > 0 || first) && i < line.length) {
+        first = false
+        val c = line.charAt(i)
+        if (c == '"') skipStr()
+        else {
+          if (c == '{' || c == '[') depth += 1
+          else if (c == '}' || c == ']') depth -= 1
+          i += 1
+        }
+      }
+      if (depth != 0) fail("unterminated nested value")
+    }
+    ws()
+    if (i >= line.length || line.charAt(i) != '[') fail("expected '['")
+    i += 1
+    ws()
+    if (i < line.length && line.charAt(i) == ']') return out.result()
+    var done = false
+    while (!done) {
+      ws()
+      if (i >= line.length) fail("truncated array")
+      out += (line.charAt(i) match {
+        case '"' => JsonStr(str())
+        case '{' | '[' =>
+          val s0 = i
+          scanNested()
+          JsonRaw(line.substring(s0, i))
+        case _ =>
+          val s0 = i
+          while (i < line.length && line.charAt(i) != ',' &&
+              line.charAt(i) != ']') i += 1
+          val raw = line.substring(s0, i).trim
+          if (raw == "null") JsonNull else JsonTok(raw)
+      })
+      ws()
+      if (i >= line.length) fail("truncated array")
+      line.charAt(i) match {
+        case ',' => i += 1
+        case ']' => i += 1; done = true
+        case _ => fail("expected ',' or ']'")
+      }
+    }
+    out.result()
+  }
 
   /** BYTE-LEVEL projection-aware parse — the scan hot path. Works
     * directly on the raw UTF-8 line: every structural byte (quote,
@@ -3308,8 +3545,8 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     // have adopted their table type by now).
     val bad = writeSchema.fields.filterNot(f => NdjsonCodec.supported(f.dataType))
     require(bad.isEmpty,
-      s"ManifestSink NDJSON payload supports primitive/temporal/binary and " +
-        s"nested STRUCT columns (not arrays/maps); unsupported: " +
+      s"ManifestSink NDJSON payload supports primitive/temporal/binary, " +
+        s"STRUCT, ARRAY, and MAP (scalar-keyed) columns; unsupported: " +
         bad.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
     // Nested-leaf stats/kmv/bloom entries are keyed by the DOTTED
     // spelling ('a.b'), sharing the manifest key space with top-level

@@ -237,9 +237,9 @@ private[sources] object SchemaEvolution {
           case (x, y) => x.name == y.name &&
             tokenCompatible(x.dataType, y.dataType)
         }
-      // Arrays/maps: same-shape comparison so an equal-typed column
-      // resolves here and fails later at the payload-support check with
-      // the actionable "not arrays/maps" message (not a bogus cast hint).
+      // Arrays/maps: element/key/value-wise in the same lossless
+      // directions (the payload renders elements with the same token
+      // rules as top-level scalars).
       case (a: ArrayType, b: ArrayType) =>
         tokenCompatible(a.elementType, b.elementType)
       case (a: MapType, b: MapType) =>
