@@ -294,7 +294,7 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
     assert(ManifestSink.committedEqDeleteNames(s"$wh/t").isEmpty)
   }
 
-  test("stats stay top-level-scalar; arrays refuse loudly") {
+  test("stats stay top-level-scalar; nested map keys refuse loudly") {
     val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
       u STRUCT<name: STRING, score: BIGINT>)""")
@@ -308,15 +308,16 @@ class NestedPayloadSpec extends AnyFunSuite with SparkSpec {
       e.stats.map(_.col).toString)
     assert(e.nullCounts.get("u").contains(0L)) // top-level nulls still count
     assert(!e.nullCounts.contains("u.score")) // leaf nulls untracked
-    // Arrays have no renderer: loud refusal at the write builder.
+    // Arrays/maps round-trip since round 15 (ArrayMapPayloadSpec); the
+    // remaining refusal is a NESTED map key, which has no unambiguous
+    // JSON object-key spelling — loud at the write builder.
     val ex = intercept[Exception] {
-      spark.range(1).selectExpr("id", "array(1, 2) AS a").write
+      spark.range(1).selectExpr("id", "map(array(id), 'x') AS m").write
         .format("graft.sources.ManifestSink")
         .option("path", Files.createTempDirectory("gnp_arr").toString)
         .mode("append").save()
     }
-    assert(ex.getMessage.contains("unsupported") ||
-      ex.getMessage.contains("not arrays"))
+    assert(ex.getMessage.contains("unsupported"), ex.getMessage)
     // Dotted TOP-LEVEL names share the manifest stat key space with
     // nested-leaf paths ('u.score') — refused at the builder so a
     // literal "a.b" column can never consult a leaf's bounds.
