@@ -2432,6 +2432,42 @@ object IncrementalQueries {
         FROM $cat.emb""")
     },
 
+    // COLUMNAR PAYLOAD LANE (round-15): data files inside the same
+    // manifest/committer machinery may be PARQUET
+    // (TBLPROPERTIES filekind=parquet) — the 100 TB scan-I/O answer the
+    // NDJSON kind's projection-aware tokenizer cannot give (CPU tracks
+    // the projection, but I/O still reads full rows). The spec lands
+    // the corpus in a parquet-kind table, row-level DELETEs through the
+    // ordinal-keyed deletion-vector path, and aggregates the survivors
+    // — so the oracle checks commit atomicity, the vectorized read,
+    // projection, DV semantics on ordinals, and manifest stats in one
+    // pass. ParquetLaneSpec pins file skipping, metadata aggregates,
+    // evolution, equality deletes, mixed-kind tables, and the scope
+    // refusals; SCALE.md's parquetlane probe carries the scan-I/O
+    // delta vs zstd-NDJSON on the wide frame.
+    QuerySpec(
+      "a61_parquet_lane",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE doc_id % 10 <> 3
+        |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a61", dir)
+      val cat = "graft_a61_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('filekind'='parquet')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.docs").append()
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 10 = 3")
+      s.sql(s"""SELECT lang, count(*) AS n,
+          sum(n_chars) AS sum_chars, sum(doc_id) AS sum_ids
+        FROM $cat.docs GROUP BY lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -376,6 +376,27 @@ object ManifestSink {
     } catch { case _: Exception => "" }
   }
 
+  private val filekindCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, String)]()
+
+  /** The table's configured data-file kind ("" = ndjson, "parquet" =
+    * the columnar lane), read (mtime-cached) from `_table.json` on
+    * whichever JVM is writing; path-only tables write NDJSON. */
+  private[sources] def filekindAt(dir: String): String = {
+    val p = Paths.get(dir, "_table.json")
+    try {
+      if (!Files.exists(p)) return ""
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      val hit = filekindCache.get(dir)
+      if (hit != null && hit._1 == mtime) return hit._2
+      val out = GraftCatalog.readMeta(Paths.get(dir))._3
+        .get("filekind").map(_.trim.toLowerCase).filter(_ == "parquet")
+        .getOrElse("")
+      filekindCache.put(dir, (mtime, out))
+      out
+    } catch { case _: Exception => "" }
+  }
+
   private val blockBytesCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long)]()
 
@@ -1495,7 +1516,12 @@ object ManifestSink {
           d.cols -> eqSets.getOrElseUpdate(d.name,
             eqKeySet(dir, d.name, d.cols, aliases)))
       val (small, big) = entries.partition(e =>
-        e.rows < targetRows && !exclude(e.name) && inScope(e))
+        e.rows < targetRows && !exclude(e.name) && inScope(e) &&
+          // Parquet-kind entries never merge on this path: the fast
+          // path concatenates raw NDJSON bytes, and parquet files do
+          // not concatenate. They carry over untouched (a parquet
+          // rewrite-compactor is the lane's follow-on).
+          !GraftParquet.isParquet(e.name))
       if (small.size < 2) return 0
       // First-fit bin packing over name-sorted small files: determinism
       // over optimality (the wins come from merging at all).
@@ -2037,6 +2063,14 @@ object ManifestSink {
     // files that apply to THIS data file (delete.seq > file.seq) and
     // drops matching-key rows at read.
     val dv = DvSpec(skip = f.dv)
+    // PARQUET-kind entries (self-describing by extension): one
+    // partition per file — sub-file parallelism and intra-file pruning
+    // are the vectorized parquet reader's own row-group machinery, and
+    // byte-range/line framing does not apply. DVs/equality deletes ride
+    // the partition exactly as for NDJSON (ordinal-keyed).
+    if (GraftParquet.isParquet(f.name))
+      return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
+        dv = dv, eq = eq))
     if (f.codec.nonEmpty) {
       // SEEKABLE COMPRESSED FILES: when every block records the
       // physical offset its gzip member / zstd frame begins at (the
@@ -3557,6 +3591,12 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     require(dotted.isEmpty,
       s"ManifestSink column names may not contain '.' (reserved for " +
         s"nested-leaf stat paths): " + dotted.map(_.name).mkString(", "))
+    // Columnar-lane scope (first cut): batch, non-partitioned writes.
+    val parquetKind = tableProps.get("filekind")
+      .exists(_.trim.equalsIgnoreCase("parquet"))
+    require(!parquetKind || tablePartCols.isEmpty,
+      "filekind=parquet does not support partitioned writes yet — " +
+        "drop PARTITIONED BY or use the NDJSON kind")
     // retainHistory=true keeps every generation's manifest (and, under
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.
@@ -5002,10 +5042,18 @@ private[sources] class ManifestReaderFactory(required: StructType,
     else base
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
+      case p: ManifestFilePartition if GraftParquet.isParquet(p.file) =>
+        new ParquetPartitionReader(p.file, required,
+          consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
+          aliases)
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
           aliases, p.codec, p.physStart)
+      case p: KeyedManifestFilePartition if GraftParquet.isParquet(p.file) =>
+        new ParquetPartitionReader(p.file, required,
+          consts(p.file, Map.empty), p.dv, servePos, p.eq,
+          aliases = aliases)
       case p: KeyedManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq,
@@ -5395,9 +5443,13 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
       sortBy, commitTag, bloomCols, newCols, widens)
 
-  override def buildForStreaming(): StreamingWrite =
+  override def buildForStreaming(): StreamingWrite = {
+    require(ManifestSink.filekindAt(path) != "parquet",
+      "filekind=parquet does not support streaming epoch writes yet — " +
+        "stream into an NDJSON-kind table")
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
       maxSegments, partCols, sortBy, bloomCols, newCols, widens)
+  }
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -5894,7 +5946,12 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
     sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (partCols.isEmpty)
+    // The columnar lane (filekind=parquet, resolved from the table
+    // metadata like the codec): batch, non-partitioned writes only —
+    // the builder refuses the other combinations loudly.
+    if (partCols.isEmpty && ManifestSink.filekindAt(path) == "parquet")
+      new ParquetDataWriter(path, queryId, schema, partitionId, taskId)
+    else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         sortedCols = sortBy, bloomCols = bloomCols)
     else

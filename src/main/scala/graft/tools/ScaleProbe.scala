@@ -801,6 +801,127 @@ object ScaleProbe {
     }
   }
 
+  /** Columnar-lane anchor (`probe = parquetlane`): the projscan-shaped
+    * wide frame (2 key columns + 20 fat strings) written as zstd-NDJSON
+    * vs the parquet kind (zstd), then scanned at three projections —
+    * narrow (one key column), one-fat-column, and full width. The claim
+    * made measurable: the NDJSON lane's tokenizer bounds the CPU of a
+    * narrow projection but its I/O still reads full rows; the parquet
+    * kind's columnar layout makes scan I/O (here: decode work, since
+    * the local page cache hides disk) track the projection. At 100 TB
+    * the narrow-scan delta IS the scan cost of the corpus. */
+  private def parquetLaneProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 100000L * f
+      val wideCols = (0 until 20).map(j =>
+        s"concat('w$j-', id, '-', repeat('x', 60)) AS w$j")
+      val wide = spark.range(n).selectExpr(
+        Seq("id", "id % 97 AS k") ++ wideCols: _*)
+        .repartition(8).cache()
+      wide.count()
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      val results = Seq("ndjson-zstd" -> "'codec'='zstd'",
+        "parquet-zstd" -> "'filekind'='parquet', 'codec'='zstd'").map {
+        case (label, props) =>
+          val wh = Files.createTempDirectory(s"graft_pql_$f").toString
+          val cat = s"gpl_${f}_${wh.hashCode & 0x7fffffff}"
+          spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+          spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+          spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, k BIGINT,
+            ${(0 until 20).map(j => s"w$j STRING").mkString(", ")})
+            TBLPROPERTIES ($props)""")
+          val wWall = ms(wide.writeTo(s"$cat.t").append())
+          var bytes = 0L
+          val walk = Files.walk(java.nio.file.Paths.get(wh, "t"))
+          try {
+            val it = walk.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val nm = p.getFileName.toString
+              if (nm.endsWith(".ndjson") || nm.endsWith(".parquet"))
+                bytes += Files.size(p)
+            }
+          } finally walk.close()
+          def best(q: String): Double =
+            (0 until 2).map(_ => ms {
+              require(spark.sql(q).head().getLong(0) > 0)
+            }).min
+          val narrow = best(s"SELECT count(*) FROM $cat.t WHERE k = 13")
+          val oneFat = best(
+            s"SELECT CAST(sum(length(w7)) AS BIGINT) FROM $cat.t")
+          val full = best("SELECT count(*) FROM (SELECT " +
+            (0 until 20).map(j => s"length(w$j)").mkString(" + ") +
+            s" AS tot FROM $cat.t) WHERE tot > 0")
+          spark.sql(s"DROP TABLE $cat.t")
+          (label, bytes, wWall, narrow, oneFat, full)
+      }
+      results.foreach { case (label, bytes, w, narrow, oneFat, full) =>
+        println(s"""{"probe":"parquetlane","factor":$f,"rows":$n,""" +
+          s""""kind":"$label","data_bytes":$bytes,""" +
+          f""""write_wall_ms":$w%.0f,"narrow_scan_ms":$narrow%.0f,""" +
+          f""""one_fat_col_ms":$oneFat%.0f,"full_scan_ms":$full%.0f}""")
+      }
+      wide.unpersist()
+    }
+    // REAL-TEXT frame (the documents corpus): one fat text column
+    // beside narrow metadata — the training-corpus shape. Bytes tell
+    // the compression story on real prose (the synthetic frame's
+    // repeated padding flatters whole-row compression); the narrow
+    // scan tells the projection-I/O story.
+    locally {
+      val docs = Tables.documents(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .repartition(8).cache()
+      val n = docs.count()
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      val results = Seq("ndjson-zstd" -> "'codec'='zstd'",
+        "parquet-zstd" -> "'filekind'='parquet', 'codec'='zstd'").map {
+        case (label, props) =>
+          val wh = Files.createTempDirectory("graft_pqld").toString
+          val cat = s"gpld_${wh.hashCode & 0x7fffffff}"
+          spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+          spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+          spark.sql(s"""CREATE TABLE $cat.t (doc_id BIGINT, lang STRING,
+            n_chars BIGINT, text STRING) TBLPROPERTIES ($props)""")
+          val wWall = ms(docs.writeTo(s"$cat.t").append())
+          var bytes = 0L
+          val walk = Files.walk(java.nio.file.Paths.get(wh, "t"))
+          try {
+            val it = walk.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val nm = p.getFileName.toString
+              if (nm.endsWith(".ndjson") || nm.endsWith(".parquet"))
+                bytes += Files.size(p)
+            }
+          } finally walk.close()
+          def best(q: String): Double =
+            (0 until 2).map(_ => ms {
+              require(spark.sql(q).head().getLong(0) > 0)
+            }).min
+          val narrow = best(
+            s"SELECT CAST(sum(n_chars) AS BIGINT) FROM $cat.t WHERE lang = 'en'")
+          val fat = best(
+            s"SELECT CAST(sum(length(text)) AS BIGINT) FROM $cat.t")
+          spark.sql(s"DROP TABLE $cat.t")
+          (label, bytes, wWall, narrow, fat)
+      }
+      results.foreach { case (label, bytes, w, narrow, fat) =>
+        println(s"""{"probe":"parquetlane","frame":"documents","rows":$n,""" +
+          s""""kind":"$label","data_bytes":$bytes,""" +
+          f""""write_wall_ms":$w%.0f,"narrow_scan_ms":$narrow%.0f,""" +
+          f""""text_scan_ms":$fat%.0f}""")
+      }
+      docs.unpersist()
+    }
+  }
+
   /** Write-CPU anchor (`probe = writebench`): wall time to write the
     * projscan-shaped wide frame (2 keys + 20 fat strings) through the
     * manifest committer — the ingest hot path. Byte-level rendering
@@ -937,6 +1058,11 @@ object ScaleProbe {
     }
     if (probe == "codecbench") {
       codecBenchProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "parquetlane") {
+      parquetLaneProbes(spark, factors)
       spark.stop()
       return
     }

@@ -1,0 +1,178 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** The COLUMNAR PAYLOAD LANE (`filekind='parquet'`): parquet data files
+  * inside the same manifest/committer machinery — committed atomically,
+  * pruned by the same manifest stats, deleted via ordinal-keyed DVs and
+  * equality deletes, evolving schemas like the NDJSON kind, coexisting
+  * with NDJSON files in one table. See GraftParquet.scala. */
+class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
+
+  private var n = 0
+  private def catalog(): (String, String) = {
+    n += 1
+    val cat = s"gpq$n"
+    val wh = Files.createTempDirectory(s"graft_$cat").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    (cat, wh)
+  }
+
+  test("round trip through the committer: payload files are parquet, " +
+      "manifest carries stats/nulls, all types survive") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, s STRING, d DOUBLE,
+      ts TIMESTAMP, day DATE, bin BINARY, vec ARRAY<DOUBLE>,
+      u STRUCT<a: BIGINT, b: STRING>)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    spark.sql("""SELECT CAST(1 AS BIGINT) AS id, 'x "q"\ny' AS s,
+        1.5D AS d, TIMESTAMP'2024-03-01 10:00:00' AS ts,
+        DATE'2024-03-01' AS day, X'0102' AS bin,
+        array(1.0D, 2.0D) AS vec, named_struct('a', 7L, 'b', 'bb') AS u
+      UNION ALL
+      SELECT 2L, NULL, CAST('NaN' AS DOUBLE), NULL, NULL, NULL, NULL,
+        NULL""").coalesce(1).writeTo(s"$cat.t").append()
+    val e = ManifestSink.committedEntries(s"$wh/t")
+    assert(e.size == 1 && e.forall(_.name.endsWith(".parquet")), e.map(_.name))
+    assert(e.map(_.rows).sum == 2)
+    // Manifest stats recorded for orderable top-level columns; NaN
+    // flagged on d; null counts tracked.
+    val all = e.flatMap(_.stats)
+    assert(all.exists(s => s.col == "id" && s.min == "1" && s.max == "2"),
+      all.toString)
+    assert(all.find(_.col == "d").exists(s => s.hasNan && s.min == "1.5"))
+    assert(e.flatMap(_.nullCounts.get("s")).sum == 1)
+    val r = spark.sql(s"SELECT * FROM $cat.t ORDER BY id").collect()
+    assert(r(0).getString(1) == "x \"q\"\ny")
+    assert(r(0).getAs[java.sql.Date](4).toString == "2024-03-01")
+    assert(r(0).getSeq[Double](6) == Seq(1.0, 2.0))
+    assert(r(0).getStruct(7) == Row(7L, "bb"))
+    assert(r(1).isNullAt(1) && r(1).getDouble(2).isNaN && r(1).isNullAt(7))
+  }
+
+  test("manifest stats prune parquet files from the plan; metadata " +
+      "min/max folds with zero data bytes") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    Seq(0L, 1000L).foreach(base =>
+      spark.range(base, base + 100)
+        .selectExpr("id", "id * 2 AS v").coalesce(1)
+        .writeTo(s"$cat.t").append())
+    assert(ManifestSink.committedEntries(s"$wh/t").size == 2)
+    val q = spark.sql(s"SELECT v FROM $cat.t WHERE id >= 1050")
+    assert(q.rdd.getNumPartitions == 1, "file skipping must prune one file")
+    assert(q.collect().map(_.getLong(0)).sum == (1050L until 1100L).map(_ * 2).sum)
+    // Metadata-only aggregate from manifest bounds.
+    val agg = spark.sql(s"SELECT min(id) AS lo, max(id) AS hi FROM $cat.t")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.head() == Row(0L, 1099L))
+    // COUNT(*) needs no parquet columns: zero-column metadata path.
+    assert(spark.table(s"$cat.t").count() == 200L)
+  }
+
+  test("row-level DML: DELETE via ordinal-keyed deletion vectors, " +
+      "UPDATE, time travel, equality deletes") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('filekind'='parquet', 'retainhistory'='true')""")
+    spark.range(100).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    spark.sql(s"DELETE FROM $cat.t WHERE id % 10 = 3")
+    assert(spark.table(s"$cat.t").count() == 90)
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == (0L until 100L).filter(_ % 10 != 3).sum)
+    // The delete took the DV path (file not rewritten) when small.
+    val e = ManifestSink.committedEntries(s"$wh/t")
+    assert(e.exists(_.dv.isDefined) ||
+      e.forall(_.name.endsWith(".parquet")), e.toString)
+    spark.sql(s"UPDATE $cat.t SET v = v * 10 WHERE id = 50")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 50").head()
+      .getLong(0) == 500L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 1")
+      .head().getLong(0) == 100L)
+    // Equality delete (tombstone commit) applies to parquet files.
+    ManifestOps.equalityDelete(s"$wh/t",
+      spark.range(1).selectExpr("CAST(7 AS BIGINT) AS id"))
+    assert(spark.table(s"$cat.t").count() == 89)
+    assert(!spark.sql(s"SELECT * FROM $cat.t WHERE id = 7").collect()
+      .exists(_ => true))
+  }
+
+  test("schema evolution: added column reads null/default, widen " +
+      "INT->BIGINT upcasts at read, rename resolves old footers") {
+    val (cat, _) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id INT, v INT)
+      TBLPROPERTIES ('filekind'='parquet', 'mergeschema'='true')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 20)")
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra STRING")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN id TO doc_id")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, CAST(30 AS BIGINT), 'e3')")
+    val r = spark.sql(
+      s"SELECT doc_id, v, extra FROM $cat.t ORDER BY doc_id").collect()
+    assert(r.map(x => (x.getInt(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSeq ==
+      Seq((1, 10L, null), (2, 20L, null), (3, 30L, "e3")))
+    // Predicate on the renamed, widened columns still prunes/filters.
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE v >= 20").head()
+      .getLong(0) == 2L)
+  }
+
+  test("kinds coexist in one table: NDJSON files written before the " +
+      "property flip and parquet files after scan as one table") {
+    val (cat, wh) = catalog()
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v BIGINT)")
+    spark.range(50).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('filekind'='parquet')")
+    spark.range(50, 100).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    val kinds = ManifestSink.committedEntries(s"$wh/t")
+      .map(e => e.name.endsWith(".parquet")).toSet
+    assert(kinds == Set(true, false), "both kinds expected")
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == (0L until 100L).sum)
+    // Compaction leaves parquet entries untouched (raw concat is
+    // NDJSON-only), and the table still reads correctly after it.
+    ManifestSink.compact(s"$wh/t", 1000L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 100L)
+  }
+
+  test("scope refusals: partitioned and streaming writes refuse loudly") {
+    val (cat, wh) = catalog()
+    val ex = intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.p (id BIGINT, lang STRING)
+        PARTITIONED BY (lang) TBLPROPERTIES ('filekind'='parquet')""")
+      spark.sql(s"INSERT INTO $cat.p VALUES (1, 'en')")
+    }
+    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    spark.sql(s"""CREATE TABLE $cat.s (id BIGINT)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    val ex2 = intercept[Exception] {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Long]
+      ms.addData(1L)
+      val q = ms.toDF().selectExpr("value AS id").writeStream
+        .format("graft.sources.ManifestSink")
+        .option("path", s"$wh/s")
+        .option("checkpointLocation",
+          Files.createTempDirectory("gpq_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(30000)
+      q.stop()
+    }
+    assert(ex2.getMessage != null)
+  }
+}
