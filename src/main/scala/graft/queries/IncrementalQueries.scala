@@ -2468,6 +2468,55 @@ object IncrementalQueries {
         FROM $cat.docs GROUP BY lang""")
     },
 
+    // LEAF-KEYED EQUALITY DELETES (round-15): a CDC stream keyed on a
+    // NESTED id — the corpus lands under the reference's nested-user
+    // shape, a tombstone batch keyed on the dotted leaf path
+    // `profile.doc_id` retracts a key set, and a LATER commit
+    // re-inserts some of those keys (the Iceberg sequence rule: a
+    // tombstone applies only to files committed before it, so the
+    // re-inserts survive). The read-side membership extracts the leaf
+    // from the captured struct raw with the same rendered-literal
+    // contract as top-level keys; IngestSpec pins the validation
+    // matrix (unknown path / leaf-type mismatch refuse) and the
+    // rename interplay, ParquetLaneSpec the columnar-kind extraction.
+    QuerySpec(
+      "a62_leaf_eqdelete",
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 97 <> 13
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars FROM documents
+        |  WHERE doc_id IN (13, 110, 207)
+        |)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM survivors GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a62", dir)
+      val cat = "graft_a62_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.users (row_id BIGINT,
+        profile STRUCT<doc_id: BIGINT, lang: STRING, n_chars: BIGINT>)""")
+      Tables.documents(s, dir)
+        .selectExpr("doc_id AS row_id",
+          "named_struct('doc_id', doc_id, 'lang', lang, " +
+            "'n_chars', n_chars) AS profile")
+        .writeTo(s"$cat.users").append()
+      Tables.documents(s, dir).createOrReplaceTempView("a62_src")
+      graft.sources.ManifestOps.equalityDelete(s"$wh/users",
+        Tables.documents(s, dir).where(col("doc_id") % 97 === 13)
+          .selectExpr("doc_id AS `profile.doc_id`"))
+      s.sql(s"""INSERT INTO $cat.users
+        SELECT doc_id, named_struct('doc_id', doc_id, 'lang', 'xx',
+          'n_chars', n_chars)
+        FROM a62_src WHERE doc_id IN (13, 110, 207)""")
+      s.sql(s"""SELECT profile.lang AS lang, count(*) AS n,
+          sum(profile.n_chars) AS sum_chars,
+          sum(profile.doc_id) AS sum_ids
+        FROM $cat.users GROUP BY profile.lang""")
+    },
+
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a
     // tombstone commit): a change-feed window CROSSING an equality-
     // delete commit re-emits the tombstone's affected rows — FULL

@@ -103,17 +103,25 @@ private[sources] object GraftParquet {
       case (LongType, DoubleType) => v => v.asInstanceOf[Long].toDouble
       case (FloatType, DoubleType) => v => v.asInstanceOf[Float].toDouble
       case (a: StructType, b: StructType) =>
-        val fieldP = a.fields.zip(b.fields).map { case (x, y) =>
-          promote(x.dataType, y.dataType)
+        // By-NAME projection, not positional: the required struct is
+        // routinely a PRUNED subset of the file's (nested schema
+        // pruning hands the reader only the touched leaves), and
+        // evolution can add nested fields the file predates (absent →
+        // null). Each kept field promotes recursively.
+        val plan: Array[(Int, Any => Any)] = b.fields.map { bf =>
+          val j = a.fieldNames.indexOf(bf.name)
+          if (j < 0) (-1, null)
+          else (j, promote(a.fields(j).dataType, bf.dataType))
         }
         v => {
           val row = v.asInstanceOf[InternalRow]
-          val out = new Array[Any](a.length)
+          val out = new Array[Any](b.length)
           var i = 0
-          while (i < a.length) {
+          while (i < b.length) {
+            val (j, p) = plan(i)
             out(i) =
-              if (row.isNullAt(i)) null
-              else fieldP(i)(row.get(i, a.fields(i).dataType))
+              if (j < 0 || row.isNullAt(j)) null
+              else p(row.get(j, a.fields(j).dataType))
             i += 1
           }
           new GenericInternalRow(out)
@@ -370,7 +378,9 @@ private[sources] class ParquetPartitionReader(file: String,
       i += 1
     }
     (eq ++ eqEmit).foreach(_.cols.foreach { c =>
-      val s = spellingOf(c)
+      // Dotted keys read their HEAD struct (the leaf extracts from it).
+      val dot = c.indexOf('.')
+      val s = spellingOf(if (dot > 0) c.substring(0, dot) else c)
       if (s != null) want += s
     })
     want.toArray
@@ -392,17 +402,53 @@ private[sources] class ParquetPartitionReader(file: String,
       required.fields(i).dataType)
   }.toArray
 
-  private case class EqCol(idx: Int, toJson: Any => NdjsonCodec.JsonVal)
+  /** One equality key column's extraction plan: `idx` into the read
+    * projection (-1 = absent from this file → null key segment), then
+    * `steps` of (field ordinal, struct size) for a dotted LEAF path
+    * ending at `leafIdx`/`leafType` (empty steps + leafIdx -1 = the
+    * top-level value itself). */
+  private case class EqCol(idx: Int, steps: Array[(Int, Int)],
+      leafIdx: Int, leafType: DataType, toJson: Any => NdjsonCodec.JsonVal)
   private def eqCols(cols: Seq[String]): Seq[(String, EqCol)] =
     cols.map { c =>
-      val s = spellingOf(c)
-      if (s == null) c -> EqCol(-1, null)
-      else {
-        val fi = readIdx(s)
-        // Render under the FILE's own type: tombstone key text was
-        // rendered from the live table rows at delete time, and both
-        // kinds' writers render the same value to the same token.
-        c -> EqCol(fi, GraftParquet.toJsonVal(readTypes(fi)))
+      val dot = c.indexOf('.')
+      if (dot < 0) {
+        val s = spellingOf(c)
+        if (s == null) c -> EqCol(-1, Array.empty, -1, NullType, null)
+        else {
+          val fi = readIdx(s)
+          // Render under the FILE's own type: tombstone key text was
+          // rendered from the live table rows at delete time, and both
+          // kinds' writers render the same value to the same token.
+          c -> EqCol(fi, Array.empty, -1, readTypes(fi),
+            GraftParquet.toJsonVal(readTypes(fi)))
+        }
+      } else {
+        // Dotted LEAF key: resolve the head through the rename
+        // candidates, then walk the file's own struct shape.
+        val hs = spellingOf(c.substring(0, dot))
+        val segs = c.split('.').drop(1)
+        if (hs == null) c -> EqCol(-1, Array.empty, -1, NullType, null)
+        else try {
+          val fi = readIdx(hs)
+          // (ordinal into the current struct, size of the struct AT
+          // that ordinal) per intermediate segment; the last segment
+          // is the leaf.
+          var walkT: StructType = readTypes(fi).asInstanceOf[StructType]
+          val walk = collection.mutable.ArrayBuffer[(Int, Int)]()
+          segs.dropRight(1).foreach { seg =>
+            val j = walkT.fieldIndex(seg)
+            val inner = walkT.fields(j).dataType.asInstanceOf[StructType]
+            walk += (j -> inner.size)
+            walkT = inner
+          }
+          val li = walkT.fieldIndex(segs.last)
+          c -> EqCol(fi, walk.toArray, li, walkT.fields(li).dataType,
+            GraftParquet.toJsonVal(walkT.fields(li).dataType))
+        } catch {
+          // Path absent / non-struct in THIS file's vintage: null key.
+          case _: Exception => c -> EqCol(-1, Array.empty, -1, NullType, null)
+        }
       }
     }
   private val eqColMap: Map[String, EqCol] =
@@ -412,8 +458,23 @@ private[sources] class ParquetPartitionReader(file: String,
     if (eqFilters.isEmpty && eqEmitFilters.isEmpty) return true
     val m = collection.mutable.HashMap[String, NdjsonCodec.JsonVal]()
     eqColMap.foreach { case (c, ec) =>
-      if (ec.idx >= 0 && !row.isNullAt(ec.idx))
-        m(c) = ec.toJson(row.get(ec.idx, readTypes(ec.idx)))
+      if (ec.idx >= 0 && !row.isNullAt(ec.idx)) {
+        if (ec.leafIdx < 0)
+          m(c) = ec.toJson(row.get(ec.idx, readTypes(ec.idx)))
+        else {
+          // Walk to the leaf; a null anywhere on the path = null key.
+          var cur: InternalRow = row.getStruct(ec.idx,
+            readTypes(ec.idx).asInstanceOf[StructType].size)
+          var k = 0
+          while (k < ec.steps.length && cur != null) {
+            val (si, ssize) = ec.steps(k)
+            cur = if (cur.isNullAt(si)) null else cur.getStruct(si, ssize)
+            k += 1
+          }
+          if (cur != null && !cur.isNullAt(ec.leafIdx))
+            m(c) = ec.toJson(cur.get(ec.leafIdx, ec.leafType))
+        }
+      }
     }
     val dead = eqFilters.nonEmpty && eqFilters.exists { case (cols, keys) =>
       keys.contains(ManifestSink.eqKeyOf(m, cols))

@@ -180,10 +180,15 @@ object ManifestOps {
       if (java.nio.file.Files.exists(meta)) {
         val tableSchema = GraftCatalog.readMeta(java.nio.file.Paths.get(dir))._1
         keys.schema.fields.foreach { f =>
-          val tf = tableSchema.fields.find(_.name == f.name).getOrElse(
+          // Key names resolve as top-level columns OR dotted nested-leaf
+          // paths (round 15 — a CDC stream keyed on a nested id): the
+          // read-side membership extracts the leaf from the captured
+          // struct raw, so the same rendered-literal contract holds.
+          val tf = ManifestStats.fieldAt(tableSchema, f.name).getOrElse(
             throw new IllegalArgumentException(
               s"equality-delete key column '${f.name}' is not in the " +
-                s"table schema of $dir (columns: " +
+                s"table schema of $dir (top-level name or dotted " +
+                s"struct-leaf path; columns: " +
                 s"${tableSchema.fieldNames.mkString(", ")})"))
           // catalogString: same type IGNORING NULLABILITY — rendered
           // literals don't depend on it, and a struct key built from

@@ -486,6 +486,39 @@ object ManifestSink {
     * tombstone file's rows and the data file's rows — were rendered by
     * the SAME typed NDJSON writer, so identical values produce
     * identical literals. */
+  /** Candidate PAYLOAD spellings of a top-level name under renames, in
+    * both directions: the recorded spelling itself, its historic keys
+    * (a current name against pre-rename lines), and any current name
+    * whose history contains it (a historic spelling — e.g. a tombstone
+    * recorded before the rename — against post-rename lines). At most
+    * one candidate appears per line. */
+  private def nameCandidates(name: String,
+      aliases: Map[String, Seq[String]]): Seq[String] =
+    (name +: aliases.getOrElse(name, Nil)) ++
+      aliases.collect { case (cur, hist) if hist.contains(name) => cur }
+
+  /** LEAF value of a dotted path from a parsed line: resolve the head
+    * through the rename candidates, then re-parse captured nested raws
+    * segment by segment (the struct converter's walk, value-only). */
+  private[sources] def leafJsonVal(
+      m: collection.Map[String, NdjsonCodec.JsonVal], path: String,
+      aliases: Map[String, Seq[String]]): Option[NdjsonCodec.JsonVal] = {
+    val segs = path.split('.')
+    if (segs.length < 2) return None
+    var cur: Option[NdjsonCodec.JsonVal] =
+      nameCandidates(segs.head, aliases).iterator.flatMap(m.get).nextOption()
+    var i = 1
+    while (i < segs.length && cur.isDefined) {
+      cur = cur.get match {
+        case NdjsonCodec.JsonRaw(raw) if raw.nonEmpty && raw.charAt(0) == '{' =>
+          NdjsonCodec.parseLine(raw).get(segs(i))
+        case _ => None
+      }
+      i += 1
+    }
+    cur
+  }
+
   private[sources] def eqKeyOf(m: collection.Map[String, NdjsonCodec.JsonVal],
       cols: Seq[String],
       // current column name -> historic payload-key candidates
@@ -496,6 +529,12 @@ object ManifestSink {
     cols.map { c =>
       val v = m.get(c).orElse(
         aliases.getOrElse(c, Nil).iterator.flatMap(m.get(_)).nextOption())
+        // Dotted key = a nested LEAF (round 15 — a CDC stream keyed on
+        // a nested id): extract through the captured raw structs. The
+        // tombstone file's own lines carry the dotted spelling as a
+        // literal top-level key (the write builder refuses dots in
+        // DATA column names, so the spelling is unambiguous).
+        .orElse(if (c.indexOf('.') > 0) leafJsonVal(m, c, aliases) else None)
       val seg = v match {
         case Some(NdjsonCodec.JsonStr(s)) => "s:" + s
         case Some(NdjsonCodec.JsonTok(t)) => "t:" + t
@@ -5256,6 +5295,18 @@ private[sources] class NdjsonPartitionReader(file: String, start: Long,
     }
     def withAliases(c: String): Unit = {
       b += c; b ++= aliases.getOrElse(c, Nil)
+      // Dotted (nested-leaf) key: the leaf lives inside the HEAD
+      // struct's captured raw — the parse must materialize the head
+      // (under any rename spelling), or the tokenizer would skip the
+      // struct and the membership test would read every leaf as null.
+      val dot = c.indexOf('.')
+      if (dot > 0) {
+        val head = c.substring(0, dot)
+        b += head; b ++= aliases.getOrElse(head, Nil)
+        aliases.foreach { case (cur, hist) =>
+          if (hist.contains(head)) b += cur
+        }
+      }
     }
     eq.foreach(r => r.cols.foreach(withAliases))
     eqEmit.foreach(r => r.cols.foreach(withAliases))

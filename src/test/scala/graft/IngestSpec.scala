@@ -2257,6 +2257,62 @@ class IngestSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $cat.t")
   }
 
+  test("equality deletes keyed on a nested LEAF: dotted path resolves, " +
+      "delete -> re-insert seq semantics, rename interplay") {
+    val wh = Files.createTempDirectory("graft_eqleaf").toString
+    val cat = "gel_" + (wh.hashCode & 0x7fffffff)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (row_id BIGINT,
+      profile STRUCT<doc_id: BIGINT, lang: STRING>)""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('doc_id', id + 100, 'lang',
+        CASE WHEN id % 2 = 0 THEN 'en' ELSE 'fr' END) FROM range(10)""")
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    // Validation: unknown leaf path and leaf-type mismatch refuse.
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.ManifestOps.equalityDelete(dir,
+        spark.range(1).selectExpr("id AS `profile.nope`"))
+    }
+    assert(e1.getMessage.contains("profile.nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.ManifestOps.equalityDelete(dir,
+        spark.range(1).selectExpr("CAST(103 AS DOUBLE) AS `profile.doc_id`"))
+    }
+    assert(e2.getMessage.contains("double") ||
+      e2.getMessage.contains("Double"), e2.getMessage)
+    // The dotted-key tombstone drops exactly the matching-leaf rows.
+    assert(graft.sources.ManifestOps.equalityDelete(dir,
+      spark.createDataFrame(Seq(Tuple1(103L), Tuple1(105L)))
+        .toDF("profile.doc_id")) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 8)
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE profile.doc_id = 103").head
+      .getLong(0) == 0)
+    // SEQ semantics: a LATER re-insert of a deleted leaf id survives
+    // (the tombstone applies only to files committed before it).
+    spark.sql(s"""INSERT INTO $cat.t VALUES
+      (3, named_struct('doc_id', 103L, 'lang', 'de'))""")
+    val back = spark.sql(
+      s"SELECT profile.lang FROM $cat.t WHERE profile.doc_id = 103").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("de"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 9)
+    // Composite top-level + leaf key.
+    assert(graft.sources.ManifestOps.equalityDelete(dir,
+      spark.sql("SELECT CAST(4 AS BIGINT) AS row_id, " +
+        "CAST(104 AS BIGINT) AS `profile.doc_id`")) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 8)
+    // RENAME of the head struct after the tombstone: pre-rename data
+    // lines carry the old head key — the leaf extraction resolves both
+    // spellings, so old tombstones keep applying and new scans agree.
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN profile TO person")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head.getLong(0) == 8)
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE person.doc_id = 105").head
+      .getLong(0) == 0)
+    spark.sql(s"DROP TABLE $cat.t")
+  }
+
   test("incremental MV: refresh folds ONLY the base delta; fold equals full recompute") {
     import org.apache.spark.sql.functions._
     val wh = Files.createTempDirectory("graft_mv").toString

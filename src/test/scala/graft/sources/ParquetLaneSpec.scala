@@ -147,6 +147,29 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 100L)
   }
 
+  test("leaf-keyed equality delete on the parquet kind: dotted path " +
+      "extracts from the vectorized row, seq semantics hold") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (row_id BIGINT,
+      profile STRUCT<doc_id: BIGINT, lang: STRING>)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      named_struct('doc_id', id + 100, 'lang', 'en') FROM range(10)""")
+    ManifestOps.equalityDelete(s"$wh/t",
+      spark.createDataFrame(Seq(Tuple1(103L), Tuple1(107L)))
+        .toDF("profile.doc_id"))
+    assert(spark.table(s"$cat.t").count() == 8)
+    assert(spark.sql(
+        s"SELECT count(*) FROM $cat.t WHERE profile.doc_id IN (103, 107)")
+      .head().getLong(0) == 0)
+    // Later re-insert survives the earlier tombstone.
+    spark.sql(s"""INSERT INTO $cat.t VALUES
+      (3, named_struct('doc_id', 103L, 'lang', 'de'))""")
+    assert(spark.sql(
+        s"SELECT profile.lang FROM $cat.t WHERE profile.doc_id = 103")
+      .collect().map(_.getString(0)).toSeq == Seq("de"))
+  }
+
   test("scope refusals: partitioned and streaming writes refuse loudly") {
     val (cat, wh) = catalog()
     val ex = intercept[Exception] {
