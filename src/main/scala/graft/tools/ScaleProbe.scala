@@ -922,6 +922,49 @@ object ScaleProbe {
     }
   }
 
+  /** Frame-sealing ratio anchor (`probe = zdict`, round-15 candidate
+    * (a)): block sealing makes every `blockbytes` frame compress
+    * independently, so small frames lose the cross-frame redundancy a
+    * single stream exploits — the gap is what per-file shared zstd
+    * dictionaries would claw back. Measured on the REAL documents
+    * corpus (one row per text) at several granularities vs the
+    * unsealed single stream; the decision rule in SCALE.md keys off
+    * the default granularity's gap. */
+  private def zdictProbes(spark: SparkSession, base: String): Unit = {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, base)
+      .select(col("doc_id"), col("text")).coalesce(1).cache()
+    val n = docs.count()
+    // 16 MB = the writer's default granularity.
+    val granularities = Seq(0L, 4096L, 16384L, 65536L, 1048576L,
+      16L * 1024 * 1024)
+    granularities.foreach { g =>
+      val wh = Files.createTempDirectory("graft_zdict").toString
+      val cat = s"gzd_${wh.hashCode & 0x7fffffff}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+      spark.sql(s"""CREATE TABLE $cat.t (doc_id BIGINT, text STRING)
+        TBLPROPERTIES ('codec'='zstd', 'blockbytes'='$g')""")
+      docs.writeTo(s"$cat.t").append()
+      var bytes = 0L
+      val walk = Files.walk(java.nio.file.Paths.get(wh, "t"))
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".ndjson"))
+            bytes += Files.size(p)
+        }
+      } finally walk.close()
+      // Block count via a pruning-observable proxy is overkill here;
+      // frame count tracks logical bytes / blockbytes.
+      spark.sql(s"DROP TABLE $cat.t")
+      println(s"""{"probe":"zdict","rows":$n,"blockbytes":$g,""" +
+        s""""zstd_bytes":$bytes}""")
+    }
+    docs.unpersist()
+  }
+
   /** Write-CPU anchor (`probe = writebench`): wall time to write the
     * projscan-shaped wide frame (2 keys + 20 fat strings) through the
     * manifest committer — the ingest hot path. Byte-level rendering
@@ -1063,6 +1106,11 @@ object ScaleProbe {
     }
     if (probe == "parquetlane") {
       parquetLaneProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "zdict") {
+      zdictProbes(spark, base)
       spark.stop()
       return
     }
