@@ -156,6 +156,85 @@ class ColumnStatsSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE gcbo.fact")
   }
 
+  test("CBO join REORDER attributes to distinctCount: equal-size dims, " +
+      "only the filter columns' NDV differs, the cheap dim joins first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    val wh = Files.createTempDirectory("graft_cboreorder").toString
+    spark.conf.set("spark.sql.catalog.gcbr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcbr.base", wh)
+    // CONTROL: dima and dimb are row-for-row the same size and width —
+    // identical rowCount (50k), identical byte size, identical key
+    // column. The ONLY statistical difference is the filter column's
+    // NDV: dima.sel has 10000 distincts (an equality keeps ~5 rows),
+    // dimb.sel has 2 (an equality keeps ~25k rows). Any plan change
+    // between the two runs is therefore attributable to the scan's
+    // reported distinctCount, not to rowCount or sizeInBytes.
+    spark.sql("""CREATE TABLE gcbr.dima (k BIGINT, sel BIGINT)
+      TBLPROPERTIES ('bloomcolumns'='k,sel')""")
+    spark.sql("""CREATE TABLE gcbr.dimb (k BIGINT, sel BIGINT)
+      TBLPROPERTIES ('bloomcolumns'='k,sel')""")
+    // sel values share one text WIDTH (10000..10001 vs 10000..19999) so
+    // the rendered payloads are byte-identical in size — the control
+    // below would otherwise be off by the token length difference.
+    spark.range(50000).selectExpr("id AS k", "10000 + id % 10000 AS sel")
+      .coalesce(2).writeTo("gcbr.dima").append()
+    spark.range(50000).selectExpr("id AS k", "10000 + id % 2 AS sel")
+      .coalesce(2).writeTo("gcbr.dimb").append()
+    spark.sql("""CREATE TABLE gcbr.fact (ka BIGINT, kb BIGINT)
+      TBLPROPERTIES ('bloomcolumns'='ka,kb')""")
+    spark.range(200000).selectExpr("id % 50000 AS ka", "id % 50000 AS kb")
+      .coalesce(2).writeTo("gcbr.fact").append()
+    // The query JOINS THE EXPENSIVE DIM FIRST as written. The heuristic
+    // ReorderJoin keeps conditioned joins in written order, so without
+    // CBO the innermost join is fact x dimb; CostBasedJoinReorder can
+    // only flip it by PRICING the filtered dims — rows/ndv — off the
+    // connector's column statistics.
+    def innermostDim(cbo: Boolean): String = {
+      Seq("spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.planStats.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString,
+        "spark.sql.adaptive.enabled" -> "false")
+        .foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val plan = spark.sql("""SELECT count(*) FROM gcbr.fact f
+            JOIN gcbr.dimb b ON f.kb = b.k
+            JOIN gcbr.dima a ON f.ka = a.k
+            WHERE b.sel = 10001 AND a.sel = 10007""")
+          .queryExecution.optimizedPlan
+        def hasJoin(p: LogicalPlan): Boolean =
+          p.collectFirst { case j: Join => j }.isDefined
+        val innermost = plan.collect { case j: Join => j }
+          .find(j => !hasJoin(j.left) && !hasJoin(j.right))
+          .getOrElse(fail("no innermost join in\n" + plan.toString))
+        val leaves = innermost.collectLeaves().map(_.toString).mkString
+        if (leaves.contains("dima")) "dima"
+        else if (leaves.contains("dimb")) "dimb"
+        else fail(s"no dim in innermost join leaves:\n$leaves")
+      } finally Seq("spark.sql.cbo.enabled", "spark.sql.cbo.planStats.enabled",
+        "spark.sql.cbo.joinReorder.enabled", "spark.sql.adaptive.enabled")
+        .foreach(spark.conf.unset)
+    }
+    assert(innermostDim(cbo = false) == "dimb",
+      "heuristic baseline must keep the written (expensive-first) order")
+    assert(innermostDim(cbo = true) == "dima",
+      "CBO + the scan's distinctCount must join the ndv-cheap dim first")
+    // The control really holds: same rowCount, same (close) byte size.
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.planStats.enabled", "true")
+    try {
+      val sa = spark.table("gcbr.dima").queryExecution.optimizedPlan.stats
+      val sb = spark.table("gcbr.dimb").queryExecution.optimizedPlan.stats
+      assert(sa.rowCount == sb.rowCount)
+      val (ba, bb) = (sa.sizeInBytes.toDouble, sb.sizeInBytes.toDouble)
+      assert((ba - bb).abs / math.max(ba, bb) < 0.05,
+        s"dim byte sizes must match: $ba vs $bb")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.planStats.enabled")
+    }
+    Seq("dima", "dimb", "fact").foreach(t => spark.sql(s"DROP TABLE gcbr.$t"))
+  }
+
   test("equiHeightHistogram: boundaries monotone, mass balanced, " +
       "ndv apportioned, degenerate shapes stand down") {
     val eh = ManifestSink.equiHeightHistogram _
