@@ -39,10 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * optimization): nested-leaf stats, bloom/KMV sidecars, sub-file
   * block stats and the sort stamp are not written for parquet files in
   * this lane's first cut; scan-level pruning inside a file is the
-  * vectorized parquet reader's own row-group machinery. Streaming
-  * epoch writes and partitioned writes stay NDJSON (refused at the
-  * builder for now). Raw-concat compaction skips parquet entries
-  * (parquet files do not concatenate).
+  * vectorized parquet reader's own row-group machinery. Raw-concat
+  * compaction skips parquet entries (parquet files do not
+  * concatenate); partitioned writes route per-tuple parquet children
+  * through the same tuple router, and streaming epoch writes stage
+  * attempt-unique and claim epoch-deterministic names at task commit
+  * (both round-15 second half).
   *
   * Why this lane exists at 100 TB: NDJSON (+zstd, + the projection-
   * aware byte tokenizer) bounds the CPU of a narrow projection, but
@@ -199,11 +201,22 @@ private[sources] final class RowParquetWriterBuilder(
   * (so file skipping, metadata aggregates, and the CBO see parquet
   * files exactly like NDJSON ones). */
 private[sources] class ParquetDataWriter(path: String, queryId: String,
-    schema: StructType, partitionId: Int, taskId: Long)
+    schema: StructType, partitionId: Int, taskId: Long,
+    epochId: Option[Long] = None, suffix: String = "")
     extends DataWriter[InternalRow] {
-  private val name = f"part-$partitionId%05d-$taskId.parquet"
+  // Same naming contract as the NDJSON writer: batch names are
+  // attempt-unique via taskId; streaming names are epoch-deterministic
+  // when PUBLISHED (epoch replays replace their own files), so the
+  // writer stages under an attempt-unique name and claims the
+  // deterministic one at task commit.
+  private val name = epochId match {
+    case Some(e) => f"part-e$e%05d-$partitionId%05d$suffix.parquet"
+    case None => f"part-$partitionId%05d-$taskId$suffix.parquet"
+  }
   private val staging = Paths.get(path, s".staging-$queryId")
-  private val file = staging.resolve(name)
+  private val stagedName =
+    if (epochId.isDefined) s"$name.a$taskId" else name
+  private val file = staging.resolve(stagedName)
 
   private val writer: ParquetWriter[InternalRow] = {
     val conf = GraftParquet.writeConf(schema)
@@ -258,6 +271,16 @@ private[sources] class ParquetDataWriter(path: String, queryId: String,
 
   override def commit(): WriterCommitMessage = {
     writer.close()
+    val finalStaged = if (epochId.isDefined) {
+      // Claim the deterministic epoch name (see the NDJSON twin): task
+      // commit is the point Spark picked this attempt; a zombie's
+      // staged file lives under ITS attempt-unique name.
+      val dst = staging.resolve(name)
+      Files.move(file, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst
+    } else file
     val stats = schema.fields.indices.flatMap { i =>
       if (mins(i) == null) None
       else schema.fields(i).dataType match {
@@ -271,7 +294,7 @@ private[sources] class ParquetDataWriter(path: String, queryId: String,
           renderers(i)(mins(i)), renderers(i)(maxs(i)), hasNan = nanSeen(i)))
       }
     }
-    StagedFile(name, rows, stats, Files.size(file),
+    StagedFile(name, rows, stats, Files.size(finalStaged),
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap)
   }

@@ -3630,12 +3630,6 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     require(dotted.isEmpty,
       s"ManifestSink column names may not contain '.' (reserved for " +
         s"nested-leaf stat paths): " + dotted.map(_.name).mkString(", "))
-    // Columnar-lane scope (first cut): batch, non-partitioned writes.
-    val parquetKind = tableProps.get("filekind")
-      .exists(_.trim.equalsIgnoreCase("parquet"))
-    require(!parquetKind || tablePartCols.isEmpty,
-      "filekind=parquet does not support partitioned writes yet — " +
-        "drop PARTITIONED BY or use the NDJSON kind")
     // retainHistory=true keeps every generation's manifest (and, under
     // truncate, the retired data files) for versionAsOf reads, until
     // expireSnapshots collects them — Iceberg's snapshot model, lite.
@@ -5494,13 +5488,9 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
       sortBy, commitTag, bloomCols, newCols, widens)
 
-  override def buildForStreaming(): StreamingWrite = {
-    require(ManifestSink.filekindAt(path) != "parquet",
-      "filekind=parquet does not support streaming epoch writes yet — " +
-        "stream into an NDJSON-kind table")
+  override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
       maxSegments, partCols, sortBy, bloomCols, newCols, widens)
-  }
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -5621,14 +5611,19 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
     sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    if (partCols.isEmpty)
+      epochId: Long): DataWriter[InternalRow] = {
+    val parquetKind = ManifestSink.filekindAt(path) == "parquet"
+    if (partCols.isEmpty && parquetKind)
+      new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
+        Some(epochId))
+    else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         Some(epochId), sortedCols = sortBy, bloomCols = bloomCols)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
         partitionId, taskId, Some(epochId), sortedCols = sortBy,
-        bloomCols = bloomCols)
+        bloomCols = bloomCols, parquetKind = parquetKind)
+  }
 }
 
 /** Per-file column bounds, parquet-footer style: `min`/`max` are the
@@ -5996,18 +5991,21 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
     schema: StructType, partCols: Seq[String] = Nil,
     sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // The columnar lane (filekind=parquet, resolved from the table
-    // metadata like the codec): batch, non-partitioned writes only —
-    // the builder refuses the other combinations loudly.
-    if (partCols.isEmpty && ManifestSink.filekindAt(path) == "parquet")
+    // metadata like the codec) routes both the plain and the
+    // partitioned shape to parquet children.
+    val parquetKind = ManifestSink.filekindAt(path) == "parquet"
+    if (partCols.isEmpty && parquetKind)
       new ParquetDataWriter(path, queryId, schema, partitionId, taskId)
     else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         sortedCols = sortBy, bloomCols = bloomCols)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
-        partitionId, taskId, sortedCols = sortBy, bloomCols = bloomCols)
+        partitionId, taskId, sortedCols = sortBy, bloomCols = bloomCols,
+        parquetKind = parquetKind)
+  }
 }
 
 /** Byte counter over the buffered file stream — what gives the writer
@@ -6632,14 +6630,17 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
 private[sources] class PartitionedNdjsonDataWriter(path: String,
     queryId: String, schema: StructType, partCols: Seq[String],
     partitionId: Int, taskId: Long, epochId: Option[Long] = None,
-    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+    // Columnar lane: children are parquet writers (same routing, same
+    // per-tuple manifest discipline; the child kind is the only delta).
+    parquetKind: Boolean = false)
     extends DataWriter[InternalRow] {
   private val specs: Array[PartSpec] = PartSpec.parseAll(partCols).toArray
   private val idx: Array[Int] = specs.map(sp => schema.fieldIndex(sp.col))
   private val renderers: Array[Any => String] =
     idx.map(i => NdjsonCodec.renderer(schema.fields(i).dataType))
   private val children =
-    collection.mutable.LinkedHashMap[String, NdjsonDataWriter]()
+    collection.mutable.LinkedHashMap[String, DataWriter[InternalRow]]()
   // Partition-tuple values (rendered JSON literals / bucket ids) per
   // child — recorded EXPLICITLY on each entry: identity values are
   // re-derivable from min == max bounds, bucket ids are not.
@@ -6691,9 +6692,13 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
       childParts(key) = specs.map(_.name).zip(vals).toMap
       // A per-tuple child sees a SUBSEQUENCE of the task's sorted
       // stream — still sorted, so the stamp carries through.
-      new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        epochId, suffix = "-p" + digest(key), sortedCols = sortedCols,
-        bloomCols = bloomCols)
+      if (parquetKind)
+        new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
+          epochId, suffix = "-p" + digest(key))
+      else
+        new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
+          epochId, suffix = "-p" + digest(key), sortedCols = sortedCols,
+          bloomCols = bloomCols)
     }).write(record)
   }
 

@@ -170,32 +170,54 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("de"))
   }
 
-  test("scope refusals: partitioned and streaming writes refuse loudly") {
+  test("partitioned parquet writes: per-tuple parquet files, exact " +
+      "partition pruning off recorded partValues") {
     val (cat, wh) = catalog()
-    val ex = intercept[Exception] {
-      spark.sql(s"""CREATE TABLE $cat.p (id BIGINT, lang STRING)
-        PARTITIONED BY (lang) TBLPROPERTIES ('filekind'='parquet')""")
-      spark.sql(s"INSERT INTO $cat.p VALUES (1, 'en')")
-    }
-    assert(ex.getMessage.contains("partitioned"), ex.getMessage)
+    spark.sql(s"""CREATE TABLE $cat.p (id BIGINT, lang STRING)
+      PARTITIONED BY (lang) TBLPROPERTIES ('filekind'='parquet')""")
+    spark.range(90).selectExpr("id",
+        "CASE id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang")
+      .repartition(org.apache.spark.sql.functions.col("lang"))
+      .writeTo(s"$cat.p").append()
+    val e = ManifestSink.committedEntries(s"$wh/p")
+    assert(e.forall(_.name.endsWith(".parquet")), e.map(_.name))
+    assert(e.forall(_.partValues.contains("lang")), e.toString)
+    // One partition tuple per file; the 'en' scan plans only en files.
+    val q = spark.sql(s"SELECT CAST(sum(id) AS BIGINT) FROM $cat.p WHERE lang = 'en'")
+    val enFiles = e.count(_.partValues("lang") == "\"en\"")
+    assert(q.rdd.getNumPartitions == enFiles,
+      s"partition pruning must plan only the en files ($enFiles of ${e.size})")
+    assert(q.head().getLong(0) == (0L until 90L).filter(_ % 3 == 0).sum)
+  }
+
+  test("streaming epoch writes land parquet files with epoch-" +
+      "deterministic names; the table reads across epochs") {
+    val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.s (id BIGINT)
       TBLPROPERTIES ('filekind'='parquet')""")
-    val ex2 = intercept[Exception] {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      import spark.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-      val ms = MemoryStream[Long]
-      ms.addData(1L)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val ck = Files.createTempDirectory("gpq_ck").toString
+    def runOnce(): Unit = {
       val q = ms.toDF().selectExpr("value AS id").writeStream
         .format("graft.sources.ManifestSink")
         .option("path", s"$wh/s")
-        .option("checkpointLocation",
-          Files.createTempDirectory("gpq_ck").toString)
+        .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(30000)
+      q.awaitTermination(60000)
       q.stop()
     }
-    assert(ex2.getMessage != null)
+    ms.addData(1L, 2L, 3L)
+    runOnce()
+    ms.addData(4L, 5L)
+    runOnce()
+    val e = ManifestSink.committedEntries(s"$wh/s")
+    assert(e.forall(f => f.name.startsWith("part-e") &&
+      f.name.endsWith(".parquet")), e.map(_.name))
+    assert(spark.sql(s"SELECT CAST(sum(id) AS BIGINT) FROM $cat.s")
+      .head().getLong(0) == 15L)
   }
 }
