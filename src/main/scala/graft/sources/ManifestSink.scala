@@ -5615,7 +5615,7 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
     val parquetKind = ManifestSink.filekindAt(path) == "parquet"
     if (partCols.isEmpty && parquetKind)
       new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
-        Some(epochId))
+        Some(epochId), bloomCols = bloomCols)
     else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         Some(epochId), sortedCols = sortBy, bloomCols = bloomCols)
@@ -5997,7 +5997,8 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
     // partitioned shape to parquet children.
     val parquetKind = ManifestSink.filekindAt(path) == "parquet"
     if (partCols.isEmpty && parquetKind)
-      new ParquetDataWriter(path, queryId, schema, partitionId, taskId)
+      new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
+        bloomCols = bloomCols)
     else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
         sortedCols = sortBy, bloomCols = bloomCols)
@@ -6025,6 +6026,87 @@ private[sources] final class CountingOutputStream(under: java.io.OutputStream)
   }
   override def flush(): Unit = under.flush()
   override def close(): Unit = under.close()
+}
+
+/** A flattened nested-leaf reference: top-level field ordinal and
+  * size, dotted path, intermediate (ordinal, struct size) steps, and
+  * the leaf ordinal/type — the shared walk behind nested-leaf stats
+  * and dotted bloom targets in BOTH data-file writer kinds. */
+private[sources] final case class LeafRef(top: Int, topSize: Int,
+    path: String, steps: Array[(Int, Int)], leafIdx: Int,
+    leafType: DataType)
+
+private[sources] object LeafRef {
+  /** Every orderable struct leaf of `schema`, dotted-path flattened.
+    * Zero cost for struct-free schemas (the list is empty). */
+  def refsOf(schema: StructType): Array[LeafRef] =
+    schema.fields.zipWithIndex.flatMap {
+      case (f, i) => f.dataType match {
+        case st: StructType =>
+          def walk(cur: StructType, prefix: String,
+              steps: List[(Int, Int)]): Seq[LeafRef] =
+            cur.fields.zipWithIndex.flatMap { case (sf, j) =>
+              sf.dataType match {
+                case inner: StructType =>
+                  walk(inner, prefix + sf.name + ".",
+                    steps :+ (j -> inner.size))
+                case lt if NdjsonCodec.statOrdering(lt).isDefined =>
+                  Seq(LeafRef(i, st.size, prefix + sf.name,
+                    steps.toArray, j, lt))
+                case _ => Nil
+              }
+            }
+          walk(st, f.name + ".", Nil)
+        case _ => Nil
+      }
+    }.toArray
+
+  /** Resolve `bloomCols` spellings to hashing targets: a top-level
+    * field ordinal or a nested LEAF ref — a point lookup on "u.geo.id"
+    * skips files exactly like one on a top-level id. */
+  def bloomTargetsOf(schema: StructType, leafCols: Array[LeafRef],
+      bloomCols: Seq[String]): Array[(String, DataType, Either[Int, LeafRef])] =
+    bloomCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && BloomIndex.supported(f.dataType) =>
+          (c, f.dataType, Left(i): Either[Int, LeafRef])
+      }.orElse(leafCols.find(l =>
+          l.path == c && BloomIndex.supported(l.leafType))
+        .map(l => (c, l.leafType, Right(l): Either[Int, LeafRef])))
+    }.toArray
+
+  /** Extract the leaf value of `l` from a row, null when any step of
+    * the path is null. */
+  def leafValue(l: LeafRef, record: InternalRow): Any = {
+    if (record.isNullAt(l.top)) return null
+    var cur: InternalRow = record.getStruct(l.top, l.topSize)
+    var k = 0
+    while (k < l.steps.length && cur != null) {
+      val (si, ssize) = l.steps(k)
+      cur = if (cur.isNullAt(si)) null else cur.getStruct(si, ssize)
+      k += 1
+    }
+    if (cur == null || cur.isNullAt(l.leafIdx)) null
+    else cur.get(l.leafIdx, l.leafType)
+  }
+}
+
+/** Growable buffer of bloom key hashes, capped at
+  * [[BloomIndex.MaxKeys]] (past the cap the sidecar is not built —
+  * `alive` false drops the claim, never lies). */
+private[sources] final class HashBuf {
+  var a: Array[Long] = new Array[Long](1024)
+  var n = 0
+  var alive = true
+  def add(h: Long): Unit =
+    if (alive) {
+      if (n == BloomIndex.MaxKeys) { alive = false; a = null }
+      else {
+        if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+        a(n) = h
+        n += 1
+      }
+    }
 }
 
 /** Executor-side writer: NDJSON rows into an ATTEMPT-UNIQUE staged file —
@@ -6178,26 +6260,7 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // at FILE and BLOCK granularity, like top-level columns; null counts
   // untracked (IsNull proofs stand down on absence, never lie). Zero
   // cost for struct-free schemas (the leaf list is empty).
-  private final case class LeafRef(top: Int, topSize: Int, path: String,
-      steps: Array[(Int, Int)], leafIdx: Int, leafType: DataType)
-  private val leafCols: Array[LeafRef] = schema.fields.zipWithIndex.flatMap {
-    case (f, i) => f.dataType match {
-      case st: StructType =>
-        def walk(cur: StructType, prefix: String,
-            steps: List[(Int, Int)]): Seq[LeafRef] =
-          cur.fields.zipWithIndex.flatMap { case (sf, j) =>
-            sf.dataType match {
-              case inner: StructType =>
-                walk(inner, prefix + sf.name + ".", steps :+ (j -> inner.size))
-              case lt if NdjsonCodec.statOrdering(lt).isDefined =>
-                Seq(LeafRef(i, st.size, prefix + sf.name, steps.toArray, j, lt))
-              case _ => Nil
-            }
-          }
-        walk(st, f.name + ".", Nil)
-      case _ => Nil
-    }
-  }.toArray
+  private val leafCols: Array[LeafRef] = LeafRef.refsOf(schema)
   private val leafCmp: Array[Ordering[Any]] =
     leafCols.map(l => NdjsonCodec.statOrdering(l.leafType).orNull)
   private val leafRender: Array[Any => String] =
@@ -6401,33 +6464,12 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
   // size. A column that exceeds [[BloomIndex.MaxKeys]] stands down
   // (buffer freed, no index) — a saturated bloom skips nothing and
   // still costs planning a sidecar read.
-  private final class HashBuf {
-    var a: Array[Long] = new Array[Long](1024)
-    var n = 0
-    var alive = true
-    def add(h: Long): Unit =
-      if (alive) {
-        if (n == BloomIndex.MaxKeys) { alive = false; a = null }
-        else {
-          if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-          a(n) = h
-          n += 1
-        }
-      }
-  }
   // Bloom targets: a top-level field index, or a nested LEAF (dotted
   // path) resolved through the same flattened refs the stat tracker
   // uses — a point lookup on "u.geo.id" skips files exactly like one
   // on a top-level id.
   private val bloomTargets: Array[(String, DataType, Either[Int, LeafRef])] =
-    bloomCols.flatMap { c =>
-      schema.fields.zipWithIndex.collectFirst {
-        case (f, i) if f.name == c && BloomIndex.supported(f.dataType) =>
-          (c, f.dataType, Left(i): Either[Int, LeafRef])
-      }.orElse(leafCols.find(l =>
-          l.path == c && BloomIndex.supported(l.leafType))
-        .map(l => (c, l.leafType, Right(l): Either[Int, LeafRef])))
-    }.toArray
+    LeafRef.bloomTargetsOf(schema, leafCols, bloomCols)
   private val bloomBufs: Array[HashBuf] = bloomTargets.map(_ => new HashBuf)
 
   override def write(record: InternalRow): Unit = {
@@ -6694,7 +6736,7 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
       // stream — still sorted, so the stamp carries through.
       if (parquetKind)
         new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
-          epochId, suffix = "-p" + digest(key))
+          epochId, suffix = "-p" + digest(key), bloomCols = bloomCols)
       else
         new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
           epochId, suffix = "-p" + digest(key), sortedCols = sortedCols,

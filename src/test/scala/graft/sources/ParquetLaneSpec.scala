@@ -170,6 +170,43 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("de"))
   }
 
+  test("nested-leaf stats and bloom sidecars on parquet entries: leaf " +
+      "predicates prune files, leaf min/max folds, point lookups skip") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (row_id BIGINT,
+      u STRUCT<name: STRING, geo: STRUCT<lat: DOUBLE>>)
+      TBLPROPERTIES ('filekind'='parquet', 'bloomcolumns'='u.name')""")
+    // Two files with DISJOINT leaf ranges; names hash-distribute so
+    // only the bloom can skip on a name point lookup.
+    Seq(0L, 1000L).foreach(base =>
+      spark.range(base, base + 100).selectExpr("id AS row_id",
+          """named_struct('name', concat('n', id),
+            'geo', named_struct('lat', id * 1.0)) AS u""")
+        .coalesce(1).writeTo(s"$cat.t").append())
+    val e = ManifestSink.committedEntries(s"$wh/t")
+    assert(e.size == 2 && e.forall(_.name.endsWith(".parquet")))
+    // Dotted leaf bounds recorded per file; bloom sidecars built.
+    assert(e.forall(_.stats.exists(_.col == "u.geo.lat")), e.toString)
+    assert(e.forall(_.bloomCols == Seq("u.name")), e.toString)
+    // Leaf range predicate prunes one file of two.
+    val q = spark.sql(s"SELECT row_id FROM $cat.t WHERE u.geo.lat >= 1050.0")
+    assert(q.rdd.getNumPartitions == 1, "leaf bounds must prune a file")
+    assert(q.collect().map(_.getLong(0)).toSet == (1050L until 1100L).toSet)
+    // Leaf metadata aggregate folds from manifest bounds, zero bytes.
+    val agg = spark.sql(
+      s"SELECT min(u.geo.lat) AS lo, max(u.geo.lat) AS hi FROM $cat.t")
+    assert(agg.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      agg.queryExecution.executedPlan.toString)
+    assert(agg.head() == Row(0.0, 1099.0))
+    // Leaf bloom point lookup plans ONE file (ranges don't help: the
+    // string name domain spans both); a miss plans zero.
+    val hit = spark.sql(s"SELECT row_id FROM $cat.t WHERE u.name = 'n1060'")
+    assert(hit.rdd.getNumPartitions == 1, "leaf bloom must skip a file")
+    assert(hit.head().getLong(0) == 1060L)
+    val miss = spark.sql(s"SELECT row_id FROM $cat.t WHERE u.name = 'zzz'")
+    assert(miss.rdd.getNumPartitions == 0, "bloom miss must plan no files")
+  }
+
   test("partitioned parquet writes: per-tuple parquet files, exact " +
       "partition pruning off recorded partValues") {
     val (cat, wh) = catalog()
