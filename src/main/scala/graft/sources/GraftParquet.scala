@@ -44,8 +44,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * stands down (sound — absence of a claim only disables an
   * optimization): sub-file block stats and the sort stamp; scan-level
   * pruning inside a file is the vectorized parquet reader's own
-  * row-group machinery. Raw-concat compaction skips parquet entries
-  * (parquet files do not concatenate).
+  * row-group machinery. Compaction merges small DELETE-FREE parquet
+  * entries by row-group append ([[compactGroups]] — no decode,
+  * schema-homogeneous bins); DV'd or tombstoned entries carry over
+  * untouched until a CoW rewrite clears them.
   *
   * Why this lane exists at 100 TB: NDJSON (+zstd, + the projection-
   * aware byte tokenizer) bounds the CPU of a narrow projection, but
@@ -163,6 +165,63 @@ private[sources] object GraftParquet {
       case other => throw new UnsupportedOperationException(
         s"parquet lane cannot promote $from to $to")
     }
+
+  /** Bin-pack and MERGE small parquet entries by ROW-GROUP APPEND
+    * (parquet-hadoop's `appendFile`): member row groups copy into the
+    * output verbatim — no decode, no re-encode, I/O-bound like the
+    * NDJSON raw concat. Bins are homogeneous in FOOTER SCHEMA
+    * (mixed-vintage files keep their physical schemas); the first
+    * member's key-value metadata (Spark's row-schema stamp) carries to
+    * the output. Callers guarantee members are delete-free. Returns
+    * (group, outputFileName) per merged bin; output files land in the
+    * directory via atomic move, invisible until the manifest names
+    * them (crash orphans GC later). */
+  def compactGroups(dirPath: java.nio.file.Path, smalls: Seq[StagedFile],
+      targetRows: Long, generation: Long, heartbeat: () => Unit)
+      : Seq[(Seq[StagedFile], String)] = {
+    if (smalls.size < 2) return Nil
+    val conf = new Configuration()
+    def inputFile(n: String): HadoopInputFile = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(dirPath.resolve(n).toUri), conf)
+    // Footer schema (and its key-value metadata) per member.
+    val footers = smalls.map { e =>
+      val r = ParquetFileReader.open(inputFile(e.name))
+      try e.name -> r.getFooter.getFileMetaData
+      finally r.close()
+    }.toMap
+    val bySchema = smalls.groupBy(e => footers(e.name).getSchema.toString)
+    val bins = collection.mutable.ArrayBuffer[
+      (Seq[StagedFile], org.apache.parquet.hadoop.metadata.FileMetaData)]()
+    bySchema.toSeq.sortBy(_._1).foreach { case (_, group) =>
+      val cur = collection.mutable.ArrayBuffer[StagedFile]()
+      group.sortBy(_.name).foreach { e =>
+        if (cur.nonEmpty && cur.map(_.rows).sum + e.rows > targetRows) {
+          if (cur.size >= 2) bins += ((cur.toSeq, footers(cur.head.name)))
+          cur.clear()
+        }
+        cur += e
+      }
+      if (cur.size >= 2) bins += ((cur.toSeq, footers(cur.head.name)))
+    }
+    bins.toSeq.zipWithIndex.map { case ((group, meta), k) =>
+      heartbeat()
+      val name = f"compact-g$generation%06d-pq$k%04d.parquet"
+      val tmp = dirPath.resolve(s".$name.tmp")
+      val w = new ParquetFileWriter(
+        HadoopOutputFile.fromPath(
+          new org.apache.hadoop.fs.Path(tmp.toUri), conf),
+        meta.getSchema, ParquetFileWriter.Mode.OVERWRITE,
+        ParquetWriter.DEFAULT_BLOCK_SIZE,
+        ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+      w.start()
+      group.foreach(e => w.appendFile(inputFile(e.name)))
+      w.end(meta.getKeyValueMetaData)
+      Files.move(tmp, dirPath.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      group -> name
+    }
+  }
 
   /** The Catalyst value of `dt` as the [[NdjsonCodec.JsonVal]] the
     * NDJSON parse of the SAME value would produce — what makes

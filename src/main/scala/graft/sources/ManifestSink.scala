@@ -1554,14 +1554,18 @@ object ManifestSink {
         eqDeletes.filter(_.seq > e.seq).map(d =>
           d.cols -> eqSets.getOrElseUpdate(d.name,
             eqKeySet(dir, d.name, d.cols, aliases)))
-      val (small, big) = entries.partition(e =>
+      val (smallAll, big) = entries.partition(e =>
         e.rows < targetRows && !exclude(e.name) && inScope(e) &&
-          // Parquet-kind entries never merge on this path: the fast
-          // path concatenates raw NDJSON bytes, and parquet files do
-          // not concatenate. They carry over untouched (a parquet
-          // rewrite-compactor is the lane's follow-on).
-          !GraftParquet.isParquet(e.name))
-      if (small.size < 2) return 0
+          // Parquet-kind candidates must be DELETE-FREE: the row-group
+          // append below copies rows verbatim (no decode), so a DV or
+          // an applicable tombstone cannot be materialized — such
+          // entries carry over untouched until their deletes compact
+          // away by other means (CoW rewrite).
+          (!GraftParquet.isParquet(e.name) ||
+            (e.dv.isEmpty && filtersFor(e).isEmpty)))
+      val (smallPq, small) = smallAll.partition(e =>
+        GraftParquet.isParquet(e.name))
+      if (small.size < 2 && smallPq.size < 2) return 0
       // First-fit bin packing over name-sorted small files: determinism
       // over optimality (the wins come from merging at all).
       val bins = collection.mutable.ArrayBuffer[collection.mutable.ArrayBuffer[StagedFile]]()
@@ -1572,7 +1576,6 @@ object ManifestSink {
         }
       }
       val (merge, keepSingles) = bins.partition(_.size >= 2)
-      if (merge.isEmpty) return 0
       val generation = committedGeneration(dir)
       val merged = merge.zipWithIndex.map { case (group, k) =>
         // Per-bin heartbeat: each merged bin is a bounded unit of work,
@@ -1742,7 +1745,32 @@ object ManifestSink {
           // ESTIMATE, and a column any member lacks drops out.
           kmv = mergeKmv(group.map(_.kmv).toSeq))
       }
-      val next = big ++ keepSingles.flatten ++ merged
+      // PARQUET bins: row-group APPEND (parquet-hadoop's appendFile) —
+      // member row groups copy into the merged file without decode, so
+      // the merge is I/O-bound like the NDJSON raw concat. Bins are
+      // homogeneous in FOOTER SCHEMA (mixed-vintage files keep their
+      // own physical schemas; appending across them would lie), and
+      // members are delete-free by candidacy, so rows/stats/null
+      // counts/KMV fold exactly. Bloom sidecars drop (absence only
+      // disables skipping); blocks/sort stamps never existed for the
+      // kind.
+      val pqGroups = GraftParquet.compactGroups(dirPath, smallPq,
+        targetRows, generation + 1, () => heartbeatLock(dirPath))
+      val mergedPq = pqGroups.map { case (group, outName) =>
+          val tuples = group.map(_.partValues).distinct
+          StagedFile(outName, group.map(_.rows).sum,
+            mergeStats(group.map(_.stats).toSeq),
+            Files.size(dirPath.resolve(outName)),
+            mergeNullCounts(group.toSeq),
+            partValues = if (tuples.size == 1) tuples.head
+              else Map.empty[String, String],
+            seq = generation + 1,
+            kmv = mergeKmv(group.map(_.kmv).toSeq))
+      }
+      val pqMergedMembers = pqGroups.flatMap(_._1.map(_.name)).toSet
+      val pqSingles = smallPq.filterNot(e => pqMergedMembers.contains(e.name))
+      if (merge.isEmpty && mergedPq.isEmpty) return 0
+      val next = big ++ keepSingles.flatten ++ merged ++ pqSingles ++ mergedPq
       // An equality delete whose every predating file was just merged
       // away (materialized) retires with them; one any remaining file
       // still predates stays pending.
@@ -1757,14 +1785,15 @@ object ManifestSink {
       // or tagged snapshots (round-11 fix; the old behavior deleted
       // unconditionally and documented the breakage as a trade).
       if (!hasRetainedGenerations(dir)) {
-        merge.flatten.flatMap(ownedNames)
+        (merge.flatten ++ smallPq.filter(e =>
+            pqMergedMembers.contains(e.name))).flatMap(ownedNames)
           .foreach(n => Files.deleteIfExists(dirPath.resolve(n)))
         staleEq.foreach(d => Files.deleteIfExists(dirPath.resolve(d.name)))
       }
       // Compaction collapsed every prior segment into one fresh one —
       // sweep the retired segments (and any crash orphans) now.
       sweepSegments(dirPath)
-      merge.map(_.size).sum
+      merge.map(_.size).sum + pqMergedMembers.size
     }
   }
 

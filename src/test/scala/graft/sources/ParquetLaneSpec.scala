@@ -83,17 +83,18 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
       "UPDATE, time travel, equality deletes") {
     val (cat, wh) = catalog()
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
-      TBLPROPERTIES ('filekind'='parquet', 'retainhistory'='true')""")
+      TBLPROPERTIES ('filekind'='parquet', 'retainhistory'='true',
+        'deletionvectors'='true')""")
     spark.range(100).selectExpr("id", "id AS v").coalesce(1)
       .writeTo(s"$cat.t").append()
     spark.sql(s"DELETE FROM $cat.t WHERE id % 10 = 3")
     assert(spark.table(s"$cat.t").count() == 90)
     assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
       .getLong(0) == (0L until 100L).filter(_ % 10 != 3).sum)
-    // The delete took the DV path (file not rewritten) when small.
+    // The delete took the DV path: the parquet file is NOT rewritten,
+    // the vector records ROW ORDINALS (this kind's _pos domain).
     val e = ManifestSink.committedEntries(s"$wh/t")
-    assert(e.exists(_.dv.isDefined) ||
-      e.forall(_.name.endsWith(".parquet")), e.toString)
+    assert(e.exists(_.dv.isDefined), e.toString)
     spark.sql(s"UPDATE $cat.t SET v = v * 10 WHERE id = 50")
     assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 50").head()
       .getLong(0) == 500L)
@@ -168,6 +169,41 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(
         s"SELECT profile.lang FROM $cat.t WHERE profile.doc_id = 103")
       .collect().map(_.getString(0)).toSeq == Seq("de"))
+  }
+
+  test("parquet compaction: row-group append merges small delete-free " +
+      "files; DV'd and schema-mismatched entries carry over untouched") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('filekind'='parquet', 'deletionvectors'='true')""")
+    (0 until 4).foreach(i =>
+      spark.range(i * 25L, i * 25L + 25).selectExpr("id", "id AS v")
+        .coalesce(1).writeTo(s"$cat.t").append())
+    assert(ManifestSink.committedEntries(s"$wh/t").size == 4)
+    val nMerged = ManifestSink.compact(s"$wh/t", 1000L)
+    assert(nMerged == 4, s"all four small parquet files must merge: $nMerged")
+    val e = ManifestSink.committedEntries(s"$wh/t")
+    assert(e.size == 1 && e.head.name.endsWith(".parquet"), e.map(_.name))
+    assert(e.head.rows == 100L)
+    // Stats folded across members; null counts exact (delete-free).
+    assert(e.head.stats.exists(s => s.col == "id" && s.min == "0" &&
+      s.max == "99"), e.head.stats.toString)
+    assert(e.head.nullCounts.get("id").contains(0L))
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == (0L until 100L).sum)
+    // A DV'd parquet entry is NOT a merge candidate: it carries over.
+    spark.sql(s"DELETE FROM $cat.t WHERE id % 10 = 7") // DV on the merged file
+    spark.range(100, 125).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    spark.range(125, 150).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    val n2 = ManifestSink.compact(s"$wh/t", 1000L)
+    assert(n2 == 2, s"only the two new delete-free files merge: $n2")
+    val e2 = ManifestSink.committedEntries(s"$wh/t")
+    assert(e2.size == 2 && e2.exists(_.dv.isDefined), e2.toString)
+    assert(spark.table(s"$cat.t").count() == 140L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE id = 7").head()
+      .getLong(0) == 0L, "the DV must survive compaction untouched")
   }
 
   test("nested-leaf stats and bloom sidecars on parquet entries: leaf " +
