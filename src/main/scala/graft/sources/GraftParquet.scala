@@ -40,10 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * entries through the same shared [[LeafRef]] walk (leaf predicates
   * prune files, leaf min/max folds from metadata, leaf point lookups
   * skip on the sidecar, the KMV NDV feeds the CBO), and partitioned /
-  * streaming epoch writes route to parquet children. What still
-  * stands down (sound — absence of a claim only disables an
-  * optimization): sub-file block stats and the sort stamp; scan-level
-  * pruning inside a file is the vectorized parquet reader's own
+  * streaming epoch writes route to parquet children. Byte-range SPLITS fan one
+  * parquet file across tasks (parquet's midpoint rule assigns each
+  * row group to exactly the split holding its midpoint; each split
+  * derives its ordinal BASE from the footer so `_pos`/DVs stay exact),
+  * with an explicit `blockbytes` property sizing the row groups.
+  * What still stands down (sound — absence of a claim only disables
+  * an optimization): sub-file block-stat PRUNING and the sort stamp;
+  * intra-file pruning is the vectorized parquet reader's own
   * row-group machinery. Compaction merges small DELETE-FREE parquet
   * entries by row-group append ([[compactGroups]] — no decode,
   * schema-homogeneous bins); DV'd or tombstoned entries carry over
@@ -57,6 +61,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * which is the difference that matters on a 1000-executor scan. */
 private[sources] object GraftParquet {
   def isParquet(name: String): Boolean = name.endsWith(".parquet")
+
+  /** A parquet file's Spark schema from its own footer (schema
+    * inference for path-routed reads of parquet-kind directories). */
+  def footerSchema(file: String): StructType = {
+    val in = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(file).toUri),
+      new Configuration()))
+    try new ParquetToSparkSchemaConverter()
+      .convert(in.getFooter.getFileMetaData.getSchema)
+    finally in.close()
+  }
+
+  /** The table's EXPLICIT blockbytes property (None when unset — the
+    * NDJSON default must not shrink parquet's 128 MB row groups). */
+  def explicitBlockBytes(dir: String): Option[Long] =
+    try {
+      if (!Files.exists(Paths.get(dir, "_table.json"))) None
+      else GraftCatalog.readMeta(Paths.get(dir))._3
+        .get("blockbytes").map(_.trim.toLong).filter(_ > 0)
+    } catch { case _: Exception => None }
 
   /** Writer-side Hadoop conf: Spark's own row→parquet WriteSupport,
     * non-legacy layout, micros timestamps (the exact physical types the
@@ -281,13 +305,20 @@ private[sources] class ParquetDataWriter(path: String, queryId: String,
 
   private val writer: ParquetWriter[InternalRow] = {
     val conf = GraftParquet.writeConf(schema)
-    new RowParquetWriterBuilder(HadoopOutputFile.fromPath(
+    val b = new RowParquetWriterBuilder(HadoopOutputFile.fromPath(
         new org.apache.hadoop.fs.Path(file.toUri), conf))
       .withConf(conf)
       .withCompressionCodec(
         GraftParquet.codecNameOf(ManifestSink.codecAt(path)))
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-      .build()
+    // An EXPLICIT blockbytes property sizes the parquet ROW GROUPS —
+    // the kind's sub-file granularity, exactly as it sizes the NDJSON
+    // kind's sealed blocks (byte-range splits fan row groups across
+    // tasks; smaller groups = finer split granularity). Unset keeps
+    // parquet's default (128 MB row groups).
+    GraftParquet.explicitBlockBytes(path)
+      .foreach(v => b.withRowGroupSize(math.max(v, 64L * 1024)))
+    b.build()
   }
 
   // Top-level bounds/null tracking — the same semantics as the NDJSON
@@ -458,7 +489,12 @@ private[sources] class ParquetPartitionReader(file: String,
     constants: Map[String, String] = Map.empty,
     dv: DvSpec = DvSpec.Empty, servePos: Boolean = false,
     eq: Seq[EqRef] = Nil, eqEmit: Seq[EqRef] = Nil,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // Byte range of this split ([0, Long.MaxValue) = the whole file):
+    // parquet's midpoint rule assigns each row group to exactly the
+    // one range containing its midpoint, and the ordinal base below
+    // keeps `_pos`/DVs exact under splitting.
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
   private val dvDir: String = Paths.get(file).getParent.toString
   private val eqFilters: Seq[(Seq[String], java.util.HashSet[String])] =
@@ -495,15 +531,29 @@ private[sources] class ParquetPartitionReader(file: String,
     Array(TaskMetric("dvRowsSkipped", dvSkipped),
       TaskMetric("eqRowsSkipped", eqSkipped))
 
-  // ---- footer: physical schema + row count ------------------------
-  private val (fileStruct: StructType, totalRows: Long) = {
+  // ---- footer: physical schema + this range's rows/ordinal base ---
+  private val ranged = !(start == 0L && end == Long.MaxValue)
+  private val (fileStruct: StructType, rangeRows: Long, ordinalBase: Long) = {
     val in = ParquetFileReader.open(
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(
         Paths.get(file).toUri), new Configuration()))
     try {
       val md = in.getFooter.getFileMetaData
       val conv = new ParquetToSparkSchemaConverter()
-      (conv.convert(md.getSchema), in.getRecordCount)
+      val st = conv.convert(md.getSchema)
+      if (!ranged) (st, in.getRecordCount, 0L)
+      else {
+        // The SAME midpoint rule the parquet range filter applies:
+        // a row group belongs to the range holding its midpoint.
+        var base = 0L
+        var rows = 0L
+        in.getFooter.getBlocks.asScala.foreach { b =>
+          val mid = b.getStartingPos + b.getCompressedSize / 2
+          if (mid < start) base += b.getRowCount
+          else if (mid < end) rows += b.getRowCount
+        }
+        (st, rows, base)
+      }
     } finally in.close()
   }
   private val filePresent: Set[String] = fileStruct.fieldNames.toSet
@@ -648,14 +698,42 @@ private[sources] class ParquetPartitionReader(file: String,
   // ---- vectorized reader (or the zero-column metadata path) --------
   private val vectorized: VectorizedParquetRecordReader =
     if (readCols.isEmpty) null
-    else {
+    else if (!ranged) {
       val r = new VectorizedParquetRecordReader(false, 4096)
       r.initialize(file, readCols.toList.asJava)
       r
+    } else {
+      // RANGED split: the Hadoop FileSplit route — the reader's own
+      // range filter selects this split's row groups by the midpoint
+      // rule (matching the ordinal base above). The conf carries the
+      // requested schema in the FILE's own types; absent-column/
+      // widening/rename handling stays in build() exactly as for the
+      // whole-file route.
+      val conf = new Configuration()
+      conf.set("parquet.read.support.class",
+        classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+      val reqStruct = StructType(readCols.map(c =>
+        StructField(c, fileStruct(c).dataType)))
+      conf.set(org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, reqStruct.json)
+      conf.set("spark.sql.parquet.binaryAsString", "false")
+      conf.set("spark.sql.parquet.int96AsTimestamp", "false")
+      conf.set("spark.sql.caseSensitive", "false")
+      conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+      conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+      conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+      val split = new org.apache.hadoop.mapred.FileSplit(
+        new org.apache.hadoop.fs.Path(Paths.get(file).toUri),
+        start, end - start, Array.empty[String])
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+      val r = new VectorizedParquetRecordReader(false, 4096)
+      r.initialize(split, ctx)
+      r
     }
-  private var zeroColsLeft: Long = if (readCols.isEmpty) totalRows else 0L
+  private var zeroColsLeft: Long = if (readCols.isEmpty) rangeRows else 0L
 
-  private var ordinal = -1L
+  private var ordinal = ordinalBase - 1L
   private var current: InternalRow = _
 
   private def build(row: InternalRow): InternalRow = {

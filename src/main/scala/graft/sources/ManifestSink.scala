@@ -78,8 +78,20 @@ class ManifestSink extends TableProvider {
     if (main == null) return new StructType()
     val path = Option(options.get("branch"))
       .map(b => ManifestOps.branchPath(main, b).toString).getOrElse(main)
+    // A catalog-managed directory persists its schema — path-routed
+    // reads of such tables use it verbatim (exact types, no sampling;
+    // also the only authority for parquet-kind tables).
+    try {
+      if (Files.exists(Paths.get(path, "_table.json")))
+        return GraftCatalog.readMeta(Paths.get(path))._1
+    } catch { case _: Exception => () }
     val entries = ManifestSink.committedEntries(path)
     if (entries.isEmpty) return new StructType()
+    // Parquet-kind entries carry their schema in their own footer.
+    entries.find(e => GraftParquet.isParquet(e.name)).foreach { e =>
+      return GraftParquet.footerSchema(
+        Paths.get(path, e.name).toString)
+    }
     // Sample up to 100 lines ACROSS entries (a multi-task write of a
     // small frame routinely commits empty files first — sampling only
     // the head entry inferred an empty schema for a non-empty table).
@@ -2131,14 +2143,23 @@ object ManifestSink {
     // files that apply to THIS data file (delete.seq > file.seq) and
     // drops matching-key rows at read.
     val dv = DvSpec(skip = f.dv)
-    // PARQUET-kind entries (self-describing by extension): one
-    // partition per file — sub-file parallelism and intra-file pruning
-    // are the vectorized parquet reader's own row-group machinery, and
-    // byte-range/line framing does not apply. DVs/equality deletes ride
-    // the partition exactly as for NDJSON (ordinal-keyed).
-    if (GraftParquet.isParquet(f.name))
-      return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
-        dv = dv, eq = eq))
+    // PARQUET-kind entries (self-describing by extension): BYTE-RANGE
+    // splits, like plain files — parquet's own midpoint rule assigns
+    // each row group to exactly the one split containing its midpoint,
+    // so any byte partitioning yields every row exactly once, and a
+    // 1 GB file fans out across tasks instead of reading single-stream.
+    // The reader derives each split's ordinal BASE from the footer
+    // (row groups before the range), so ordinal-keyed DVs and `_pos`
+    // stay exact under splitting. Key-grouped scans (blockSplit=false)
+    // stay one split per file for their per-key ordering claim.
+    if (GraftParquet.isParquet(f.name)) {
+      if (!blockSplit || size <= maxSplitBytes)
+        return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
+          dv = dv, eq = eq))
+      return (0L until size by maxSplitBytes).map(s =>
+        ManifestFilePartition(p.toString, s,
+          math.min(s + maxSplitBytes, size), dv = dv, eq = eq))
+    }
     if (f.codec.nonEmpty) {
       // SEEKABLE COMPRESSED FILES: when every block records the
       // physical offset its gzip member / zstd frame begins at (the
@@ -5107,7 +5128,8 @@ private[sources] class ManifestReaderFactory(required: StructType,
       case p: ManifestFilePartition if GraftParquet.isParquet(p.file) =>
         new ParquetPartitionReader(p.file, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
-          aliases)
+          aliases, start = p.start,
+          end = if (p.end == Long.MaxValue) Long.MaxValue else p.end)
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,

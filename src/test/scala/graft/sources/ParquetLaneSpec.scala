@@ -171,6 +171,34 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("de"))
   }
 
+  test("byte-range splits: one parquet file fans out across tasks by " +
+      "the midpoint rule; ordinal-keyed DVs stay exact under splitting") {
+    val (cat, wh) = catalog()
+    // blockbytes sizes the ROW GROUPS, so the single file has many
+    // seek points; the read option then plans multiple byte ranges.
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('filekind'='parquet', 'blockbytes'='65536',
+        'deletionvectors'='true')""")
+    spark.range(300000).selectExpr("id", "id AS v").coalesce(1)
+      .writeTo(s"$cat.t").append()
+    assert(ManifestSink.committedEntries(s"$wh/t").size == 1)
+    spark.sql(s"DELETE FROM $cat.t WHERE id % 1000 = 7") // DV, 300 rows
+    def ranged = spark.read.format("graft.sources.ManifestSink")
+      .option("path", s"$wh/t").option("maxsplitbytes", 128 * 1024).load()
+    val parts = ranged.rdd.getNumPartitions
+    assert(parts > 3, s"expected multiple byte-range splits, got $parts")
+    // Every row exactly once (midpoint rule), DV ordinals exact in
+    // every split (a wrong ordinal base would resurrect or over-delete
+    // rows in later splits).
+    assert(ranged.count() == 300000L - 300L)
+    val expect = (0L until 300000L).filter(_ % 1000 != 7).sum
+    assert(ranged.selectExpr("CAST(sum(v) AS BIGINT)").head().getLong(0)
+      == expect)
+    // The whole-file route agrees.
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == expect)
+  }
+
   test("parquet compaction: row-group append merges small delete-free " +
       "files; DV'd and schema-mismatched entries carry over untouched") {
     val (cat, wh) = catalog()
