@@ -965,6 +965,50 @@ object ScaleProbe {
     docs.unpersist()
   }
 
+  /** Parquet split anchor (`probe = pqsplit`): ONE parquet file
+    * (blockbytes=1 MB row groups), scanned single-split vs byte-range
+    * fan-out — the seekzstd probe's columnar twin. The claim made
+    * measurable: a big parquet data file decodes task-parallel via the
+    * midpoint rule instead of single-stream. */
+  private def pqSplitProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 200000L * f
+      val wh = Files.createTempDirectory("graft_pqsplit").toString
+      val cat = s"gps_${wh.hashCode & 0x7fffffff}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, pad STRING)
+        TBLPROPERTIES ('filekind'='parquet', 'blockbytes'='1048576')""")
+      spark.range(n).selectExpr("id",
+          "concat('p-', id, '-', repeat('ab', 40)) AS pad")
+        .coalesce(1).writeTo(s"$cat.t").append()
+      val size = java.nio.file.Files.walk(java.nio.file.Paths.get(wh, "t"))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+        .map(pp => java.nio.file.Files.size(java.nio.file.Paths.get(pp))).sum
+      def ms(body: => Unit): Double = {
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+      }
+      def scan(splitBytes: Long): (Double, Int) = {
+        val df = spark.read.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/t")
+          .option("maxsplitbytes", splitBytes.toString).load()
+        val parts = df.rdd.getNumPartitions
+        val wall = (0 until 2).map(_ => ms {
+          require(df.selectExpr("sum(length(pad))").head().getLong(0) > 0)
+        }).min
+        (wall, parts)
+      }
+      val (single, p1) = scan(Long.MaxValue / 4)
+      val (par, pN) = scan(4L * 1024 * 1024)
+      spark.sql(s"DROP TABLE $cat.t")
+      println(s"""{"probe":"pqsplit","factor":$f,"rows":$n,""" +
+        s""""data_bytes":$size,"single_parts":$p1,""" +
+        f""""scan_single_ms":$single%.0f,"parallel_parts":$pN,""" +
+        f""""scan_parallel_ms":$par%.0f}""")
+    }
+  }
+
   /** Write-CPU anchor (`probe = writebench`): wall time to write the
     * projscan-shaped wide frame (2 keys + 20 fat strings) through the
     * manifest committer — the ingest hot path. Byte-level rendering
@@ -1111,6 +1155,11 @@ object ScaleProbe {
     }
     if (probe == "zdict") {
       zdictProbes(spark, base)
+      spark.stop()
+      return
+    }
+    if (probe == "pqsplit") {
+      pqSplitProbes(spark, factors)
       spark.stop()
       return
     }
