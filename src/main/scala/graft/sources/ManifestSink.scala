@@ -1572,9 +1572,10 @@ object ManifestSink {
           // append below copies rows verbatim (no decode), so a DV or
           // an applicable tombstone cannot be materialized — such
           // entries carry over untouched until their deletes compact
-          // away by other means (CoW rewrite).
+          // away by other means (CoW rewrite). Existence check only —
+          // candidacy must not force tombstone key-set loads.
           (!GraftParquet.isParquet(e.name) ||
-            (e.dv.isEmpty && filtersFor(e).isEmpty)))
+            (e.dv.isEmpty && !eqDeletes.exists(_.seq > e.seq))))
       val (smallPq, small) = smallAll.partition(e =>
         GraftParquet.isParquet(e.name))
       if (small.size < 2 && smallPq.size < 2) return 0

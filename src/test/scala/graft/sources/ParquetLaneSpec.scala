@@ -179,7 +179,9 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
       TBLPROPERTIES ('filekind'='parquet', 'blockbytes'='65536',
         'deletionvectors'='true')""")
-    spark.range(300000).selectExpr("id", "id AS v").coalesce(1)
+    // v = 3*id + 1: distinct per-column sums, so a swapped column
+    // index in the ranged reader's projection mapping cannot cancel.
+    spark.range(300000).selectExpr("id", "id * 3 + 1 AS v").coalesce(1)
       .writeTo(s"$cat.t").append()
     assert(ManifestSink.committedEntries(s"$wh/t").size == 1)
     spark.sql(s"DELETE FROM $cat.t WHERE id % 1000 = 7") // DV, 300 rows
@@ -191,12 +193,15 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
     // every split (a wrong ordinal base would resurrect or over-delete
     // rows in later splits).
     assert(ranged.count() == 300000L - 300L)
-    val expect = (0L until 300000L).filter(_ % 1000 != 7).sum
-    assert(ranged.selectExpr("CAST(sum(v) AS BIGINT)").head().getLong(0)
-      == expect)
+    val ids = (0L until 300000L).filter(_ % 1000 != 7)
+    val expectId = ids.sum
+    val expectV = ids.map(i => i * 3 + 1).sum
+    val sums = ranged.selectExpr("CAST(sum(id) AS BIGINT)",
+      "CAST(sum(v) AS BIGINT)").head()
+    assert(sums.getLong(0) == expectId && sums.getLong(1) == expectV)
     // The whole-file route agrees.
     assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
-      .getLong(0) == expect)
+      .getLong(0) == expectV)
   }
 
   test("parquet compaction: row-group append merges small delete-free " +
