@@ -315,64 +315,57 @@ object Graph {
       .persist(lvl)
     Dedup.pendingCaches.add(e)
     val edgeCount = e.count()
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var dist = spark.range(1)
-          .select(lit(source).as("node"), lit(0L).as("dist")).persist(lvl)
-        Dedup.pendingCaches.add(dist)
-        var sig = (1L, 0L)
-        var converged = false
-        var iter = 0
-        // Relaxation rounds are BATCHED: several rounds chain lazily
-        // into ONE job per convergence probe — the loop's cost is
-        // driver-side (action scheduling), not data. Each lazy round is
-        // still re-rooted via `.rdd` (the PageRank recipe) so the plan
-        // tree stays one round deep even though the round output feeds
-        // BOTH the join and the union: the round ends in a shuffle, and
-        // both consumers read the same shuffle files rather than
-        // recomputing the branch.
-        val roundsPerProbe = 6
-        while (!converged && iter < maxIter) {
-          var plan = dist.toDF()
-          val steps = math.min(roundsPerProbe, maxIter - iter)
-          for (_ <- 1 to steps) {
-            val relaxed = e
-              .join(plan.select(col("node").as("src"), col("dist")), "src")
-              .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-            val roundPlan = plan.union(relaxed)
-              .groupBy("node").agg(min(col("dist")).as("dist"))
-            plan = spark.createDataFrame(roundPlan.rdd, roundPlan.schema)
-          }
-          val next = plan.persist(lvl)
-          Dedup.pendingCaches.add(next)
-          val row = next.agg(count(lit(1)), sum(col("dist"))).head()
-          val nextSig = (row.getLong(0), row.getLong(1))
-          dist.unpersist(blocking = false)
-          dist = next
-          // Unchanged across a whole batch ⇒ the batch's rounds were all
-          // no-ops ⇒ fixpoint (distances are monotone non-increasing and
-          // the reached set monotone non-decreasing).
-          converged = nextSig == sig
-          sig = nextSig
-          iter += steps
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"sssp did not converge within $maxIter rounds")
-        dist
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // The [[shortestHops]] recipe, weighted: a DataFrame round pays a
+    // full Catalyst compile per `.rdd` re-root (profiled at half the
+    // loop's wall at bench scale), so the relaxation runs on RDDs —
+    // co-partitioned on one HashPartitioner(node), the edge list never
+    // re-shuffles, and each round's ONE shuffle is the min-merge that
+    // also truncates lineage. Convergence probes every `batch` rounds
+    // via the (count, sum) signature in a single aggregate action;
+    // distances are monotone non-increasing and the reached set
+    // monotone non-decreasing, so an unchanged signature across a
+    // whole batch is a fixpoint.
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val rddPins = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    val edgesR = e.rdd.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .partitionBy(part).persist(lvl)
+    rddPins += edgesR
+    var dist = spark.sparkContext
+      .parallelize(Seq((source, 0L)), 1).partitionBy(part).persist(lvl)
+    rddPins += dist
+    var sig = (0L, 0L)
+    var converged = false
+    var iter = 0
+    val batch = 6
+    while (!converged && iter < maxIter) {
+      val steps = math.min(batch, maxIter - iter)
+      var plan = dist
+      for (_ <- 1 to steps) {
+        val relaxed = edgesR.join(plan)                  // narrow
+          .map { case (_, ((dst, w), d)) => (dst, d + w) }
+        plan = (plan ++ relaxed)
+          .reduceByKey(part, (a, b) => math.min(a, b))   // the round's shuffle
       }
+      val grown = plan.persist(lvl)
+      rddPins += grown
+      val nextSig = grown.aggregate((0L, 0L))(
+        (acc, kv) => (acc._1 + 1L, acc._2 + kv._2),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      dist = grown
+      converged = nextSig == sig
+      sig = nextSig
+      iter += steps
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"sssp did not converge within $maxIter rounds")
+    import spark.implicits._
+    val out = dist.toDF("node", "dist")
+    rddPins.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** BFS hop distances from `source` over the undirected graph, up to
