@@ -172,20 +172,30 @@ object Bench {
     // regression is readable straight off the artifact). Bounded by the
     // outlier count (typically <10); the full map still lands in
     // bench_last.json.
-    val slowJson = results.flatMap { case (name, t) =>
+    // Values rounded to ms: r15's full-precision doubles (11+ chars
+    // each) overflowed the driver's 2000-char tail mid-map on a
+    // 40-flag drift run; at ~46 chars/entry the full 40-entry bound
+    // now fits with room for the headline fields.
+    val slowEntries = results.flatMap { case (name, t) =>
       reference.get(name).collect {
         case ref if t > math.max(1.5 * ref, ref + 0.5) =>
           val p = probeByQuery.get(name).map(v => math.round(v * 10) / 10.0)
             .getOrElse(-1.0)
-          s"\"" + name + s"\":[$t,$ref,$p]"
+          val t3 = math.round(t * 1000) / 1000.0
+          s"\"" + name + s"\":[$t3,$ref,$p]"
       }
-    }.take(40).mkString("{", ",", "}")
+    }
+    val slowJson = slowEntries.take(40).mkString("{", ",", "}")
+    // Total over-threshold count: emitted AFTER the map (the archived
+    // tail keeps the LAST chars) so a consumer can detect when the
+    // bounded map is itself incomplete (slow_n > entries carried).
+    val slowN = slowEntries.size
     // Headline fields LAST: the harness archives only the tail of this
     // line, and per-query maps grow left of wherever the total sits —
     // tail-side placement keeps "slow"/"value"/"failed" recoverable at
     // any registry size. The full line also lands in bench_last.json so
     // the complete per-query map survives regardless of capture size.
-    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_by_query":$probesJson,"slow":$slowJson,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
+    val line = s"""{"queries":$qs,"reruns":$rerunsJson,"probe_by_query":$probesJson,"slow":$slowJson,"slow_n":$slowN,"probe_ms":[$probeStart,$probeEnd],"sf":"$sfDir","n":${results.size},"failed":$failedJson,"metric":"total","unit":"sec","value":$total}"""
     // FULL runs own bench_last.json; targeted prefix runs land in
     // bench_last_partial.json — a 3-query local iteration must never
     // clobber the round's only complete per-query artifact (the r13

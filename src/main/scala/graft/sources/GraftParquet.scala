@@ -259,8 +259,13 @@ private[sources] object GraftParquet {
         java.time.temporal.ChronoUnit.MICROS).toString)
     case BinaryType => v => NdjsonCodec.JsonStr(
       java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
-    case st: StructType =>
-      val r = NdjsonCodec.renderer(st)
+    // Composite key columns: the NDJSON parse of '{'/'['-prefixed
+    // values yields JsonRaw, so the parquet side must too — a JsonTok
+    // here would render as a "t:" key segment against the NDJSON
+    // side's "r:" and every composite-keyed equality delete would
+    // silently match nothing in parquet files.
+    case ct @ (_: StructType | _: ArrayType | _: MapType) =>
+      val r = NdjsonCodec.renderer(ct)
       v => NdjsonCodec.JsonRaw(r(v))
     case other =>
       val r = NdjsonCodec.renderer(other)

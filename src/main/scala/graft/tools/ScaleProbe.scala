@@ -983,9 +983,11 @@ object ScaleProbe {
       spark.range(n).selectExpr("id",
           "concat('p-', id, '-', repeat('ab', 40)) AS pad")
         .coalesce(1).writeTo(s"$cat.t").append()
-      val size = java.nio.file.Files.walk(java.nio.file.Paths.get(wh, "t"))
-        .toArray.map(_.toString).filter(_.endsWith(".parquet"))
-        .map(pp => java.nio.file.Files.size(java.nio.file.Paths.get(pp))).sum
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh, "t"))
+      val size =
+        try walk.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+          .map(pp => java.nio.file.Files.size(java.nio.file.Paths.get(pp))).sum
+        finally walk.close()
       def ms(body: => Unit): Double = {
         val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
       }

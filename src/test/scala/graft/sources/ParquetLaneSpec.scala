@@ -171,6 +171,40 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("de"))
   }
 
+  test("array/map-keyed equality delete hits parquet files: the key " +
+      "text matches the NDJSON parse of the same value (JsonRaw, not " +
+      "JsonTok) so deletes land on both kinds of one table") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, tags ARRAY<STRING>,
+      attrs MAP<STRING, BIGINT>)""")
+    // First half lands as NDJSON, second half as parquet: the delete
+    // key text must agree across both renderings.
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      array(concat('t', CAST(id % 5 AS STRING))),
+      map('g', id % 5) FROM range(10)""")
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('filekind'='parquet')")
+    spark.sql(s"""INSERT INTO $cat.t SELECT id,
+      array(concat('t', CAST(id % 5 AS STRING))),
+      map('g', id % 5) FROM range(10, 20)""")
+    val kinds = ManifestSink.committedEntries(s"$wh/t")
+      .map(_.name.endsWith(".parquet")).toSet
+    assert(kinds == Set(true, false), "both kinds expected")
+    // Array-keyed tombstone: ids with id % 5 == 3 carry tags=['t3'] —
+    // two NDJSON rows (3, 8) and two parquet rows (13, 18).
+    ManifestOps.equalityDelete(s"$wh/t",
+      spark.sql("SELECT array('t3') AS tags"))
+    assert(spark.table(s"$cat.t").count() == 16)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t " +
+      "WHERE array_contains(tags, 't3')").head().getLong(0) == 0)
+    // Map-keyed tombstone removes the id % 5 == 1 stratum on both kinds.
+    ManifestOps.equalityDelete(s"$wh/t",
+      spark.sql("SELECT map('g', CAST(1 AS BIGINT)) AS attrs"))
+    assert(spark.table(s"$cat.t").count() == 12)
+    assert(spark.sql(s"SELECT CAST(sum(id) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == (0L until 20L)
+        .filter(i => i % 5 != 3 && i % 5 != 1).sum)
+  }
+
   test("byte-range splits: one parquet file fans out across tasks by " +
       "the midpoint rule; ordinal-keyed DVs stay exact under splitting") {
     val (cat, wh) = catalog()

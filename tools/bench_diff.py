@@ -64,19 +64,30 @@ def query_map(path):
             trips = re.findall(
                 r'"([A-Za-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),'
                 r'([0-9.eE+-]+)\]', region)
-            if trips:
-                extra.setdefault("probe_by_query",
-                                 {k: float(p) for k, _, _, p in trips})
-                pm = re.search(r'"probe_ms":\[([0-9.eE+-]+),([0-9.eE+-]+)\]',
-                               tail)
-                if pm:
-                    extra.setdefault(
-                        "probe_ms", [float(pm.group(1)), float(pm.group(2))])
-                extra["slow_only"] = True
-                print(f"{path}: truncated tail — adjudicating from its "
-                      f"'slow' map ({len(trips)} over-threshold queries; "
-                      "full map only in BENCH_rN_full.json)")
-                return {k: float(t) for k, t, _, _ in trips}, extra
+            # An EMPTY slow map is a CLEAN run — adjudicate "no
+            # regressions", don't refuse the artifact (the map was
+            # added precisely to rescue truncated tails, and a clean
+            # one is the best possible outcome).
+            extra.setdefault("probe_by_query",
+                             {k: float(p) for k, _, _, p in trips})
+            pm = re.search(r'"probe_ms":\[([0-9.eE+-]+),([0-9.eE+-]+)\]',
+                           tail)
+            if pm:
+                extra.setdefault(
+                    "probe_ms", [float(pm.group(1)), float(pm.group(2))])
+            extra["slow_only"] = True
+            # slow_n = total over-threshold count Bench measured; if it
+            # exceeds what the bounded map carries, the map itself was
+            # truncated and the missing names are unadjudicable here.
+            sn = re.search(r'"slow_n":(\d+)', tail)
+            if sn and int(sn.group(1)) > len(trips):
+                print(f"{path}: WARNING — slow map carries {len(trips)} "
+                      f"of {sn.group(1)} over-threshold queries; the "
+                      "rest are only in BENCH_rN_full.json")
+            print(f"{path}: truncated tail — adjudicating from its "
+                  f"'slow' map ({len(trips)} over-threshold queries; "
+                  "full map only in BENCH_rN_full.json)")
+            return {k: float(t) for k, t, _, _ in trips}, extra
         sys.exit(f"{path}: no complete queries map (truncated tail without "
                  'a "queries":{ region) — use the BENCH_rN_full.json '
                  "artifact for per-query numbers")
