@@ -1083,6 +1083,67 @@ object IncrementalQueries {
       graft.streaming.Streams.runToTable(agg, "st28_mem", "complete")
     },
 
+    // STREAMING READS FROM THE PARQUET KIND (round-16): the st28
+    // generation-offset tail run against `filekind='parquet'` children
+    // CARRYING ROW-LEVEL DELETES — the read leg the round-15 epoch
+    // writes left unexercised. The corpus's doc_id%3==0 third lands as
+    // parquet (gen 1), a DV DELETE kills its %10==7 rows (gen 2, file
+    // NOT rewritten — ordinal-keyed vector), an equality delete
+    // tombstones its %97==13 keys (gen 3), then two more thirds append
+    // (gens 4, 5). The tail drains under maxGenerationsPerTrigger=3:
+    // the first micro-batch reads the parquet children WITH the vector
+    // and tombstone applied (rows landing after the deletes keep their
+    // matching ids — DVs and the seq rule are per-file, which the
+    // oracle mirrors), the next two are real (gen, gen+1] diffs. A
+    // vector ignored by the vectorized reader, a tombstone skipped on
+    // a parquet child, or a mis-planned window breaks counts/hashes.
+    QuerySpec(
+      "st32_stream_parquet_source",
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  WHERE doc_id % 3 = 0 AND doc_id % 10 <> 7 AND doc_id % 97 <> 13
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  WHERE doc_id % 3 <> 0
+        |)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+        |    AS text_hash
+        |FROM survivors GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val wh = freshDir("st32", dir)
+      val cat = "graft_st32_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
+        lang STRING, n_chars BIGINT)
+        TBLPROPERTIES ('filekind'='parquet', 'retainHistory'='true')""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      docs.where(col("doc_id") % 3 === 0).coalesce(1)
+        .writeTo(s"$cat.docs").append() // gen 1, parquet
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id % 10 = 7") // gen 2, DV
+      graft.sources.ManifestOps.equalityDelete(s"$wh/docs",
+        docs.where(col("doc_id") % 97 === 13).select(col("doc_id")),
+        retain = true) // gen 3, tombstone
+      (1 to 2).foreach { k =>
+        docs.where(col("doc_id") % 3 === k).coalesce(1)
+          .writeTo(s"$cat.docs").append() // gens 4, 5
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      val agg = s.readStream.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", s"$wh/docs")
+        .option("maxGenerationsPerTrigger", "3").load()
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("text_hash"))
+      graft.streaming.Streams.runToTable(agg, "st32_mem", "complete")
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —
@@ -2515,6 +2576,47 @@ object IncrementalQueries {
           sum(profile.n_chars) AS sum_chars,
           sum(profile.doc_id) AS sum_ids
         FROM $cat.users GROUP BY profile.lang""")
+    },
+
+    // MULTI-WRITER OPTIMISTIC COMMITS (round-16): two concurrent
+    // backfills append DISJOINT halves of the corpus to ONE table from
+    // racing threads — the daily-partition backfill shape. Append
+    // commits compose against whatever manifest they find under the
+    // publish lock (the re-read is the optimistic re-validate; appends
+    // always validate clean) and queue up to the holder's lease, so
+    // BOTH land whatever the interleaving; a dropped or doubled commit
+    // breaks the per-language counts/sums against the oracle, which
+    // simply aggregates the whole corpus. ConcurrentCommitSpec pins
+    // the lock-queueing, CoW-conflict, and 8-writer fuzz matrix.
+    QuerySpec(
+      "a63_concurrent_appends",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a63", dir)
+      val cat = "graft_a63_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT)""")
+      val src = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val halves = Seq(0L, 1L).map { h =>
+        Future {
+          gate.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          src.where(col("doc_id") % 2 === h).writeTo(s"$cat.docs").append()
+        }
+      }
+      gate.countDown()
+      halves.foreach(Await.result(_, scala.concurrent.duration.Duration(
+        300, "s")))
+      s.sql(s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+          sum(doc_id) AS sum_ids
+        FROM $cat.docs GROUP BY lang""")
     },
 
     // EQUALITY-DELETE CHANGE FEED (the CDC consumer's view of a

@@ -213,7 +213,11 @@ object ManifestOps {
     val renderers = keys.schema.fields.map(f =>
       NdjsonCodec.renderer(f.dataType))
     val dirPath = Paths.get(dir)
-    ManifestSink.withPublishLock(dirPath) {
+    // A tombstone commit is an append (it applies to files already
+    // committed when it lands, whatever those turn out to be) — queue
+    // behind a live holder like any append.
+    ManifestSink.withPublishLock(dirPath,
+        acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
       val gen = ManifestSink.committedGeneration(dir)
       val name = f"eqdel-g${gen + 1}%06d-" +
         java.util.UUID.randomUUID().toString.take(8) + ".ndjson"

@@ -1294,6 +1294,25 @@ object ManifestSink {
     * seconds is a long publish worth surfacing. */
   private[sources] val LockAcquireWaitMs: Long = 5000L
 
+  /** Acquire wait for CONFLICT-FREE commits — plain appends, tombstone
+    * (equality-delete) appends, streaming epoch appends. These compose
+    * against whatever manifest they find once inside the lock, so no
+    * concurrent commit can invalidate their plan: the re-read under
+    * the lock IS the optimistic re-validate, and an append always
+    * validates clean. They therefore QUEUE politely behind a live
+    * holder — compaction legitimately holds the lock for O(data) time
+    * and heartbeats it — up to the holder's lease (past which the
+    * stale-lock reclaim takes over), instead of failing at the short
+    * [[LockAcquireWaitMs]] the way conflict-DETECTING commits
+    * (copy-on-write replacement, dynamic partition overwrite) must:
+    * their file-level plans go stale while they wait, so surfacing
+    * the contention early beats queueing on a doomed commit. This is
+    * Iceberg's optimistic commit protocol with the create-exclusive
+    * lock standing in for the metadata-pointer CAS: two daily-
+    * partition backfills landing disjoint files both commit, in
+    * either order. */
+  private[sources] val AppendAcquireWaitMs: Long = DefaultLockLeaseMs
+
   /** Intra-JVM monitor per canonical table directory: the whole
     * acquire-or-break sequence below runs under it, so two committers
     * in ONE process can never interleave their staleness checks — the
@@ -1329,8 +1348,9 @@ object ManifestSink {
     *      is put back via create-link (atomic, never replaces) before
     *      standing down. */
   private[sources] def withPublishLock[T](dir: Path,
-      leaseMs: Long = DefaultLockLeaseMs)(body: => T): T =
-    withFileLock(dir, LockName, leaseMs) {
+      leaseMs: Long = DefaultLockLeaseMs,
+      acquireWaitMs: Long = LockAcquireWaitMs)(body: => T): T =
+    withFileLock(dir, LockName, leaseMs, acquireWaitMs) {
       // A pending cross-table txn (its committer died mid-swap, or
       // before its commit point) resolves HERE, under the lock, before
       // any commit logic runs: every committer builds on the resolved
@@ -5583,7 +5603,10 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     val dir = Paths.get(path)
     val staging = Paths.get(path, s".staging-$queryId")
     val winners = StagedFileSet.all(messages)
-    ManifestSink.withPublishLock(dir) {
+    // Epoch commits are appends (replays retire only their OWN prior
+    // attempt's entries) — queue behind a live holder like any append.
+    ManifestSink.withPublishLock(dir,
+        acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
       SchemaEvolution.evolveMetaAtCommit(dir, newCols, widens)
       // Manifest composition keyed by EPOCH: a replayed epoch (failure
       // between sink commit and checkpoint advance) retires ALL of its
@@ -5859,7 +5882,18 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       cleanupStaging()
       return
     }
-    ManifestSink.withPublishLock(dir) {
+    // Plain appends are conflict-free (they compose against whatever
+    // manifest they find under the lock), so they queue up to the
+    // holder's lease rather than failing at the short wait — two
+    // concurrent backfills both land. Conflict-detecting shapes
+    // (truncate, CoW replacement, dynamic overwrite) keep the short
+    // wait: their plans go stale while queued, so contention should
+    // surface early.
+    val appendOnly = !truncate && replaceFiles.isEmpty && !dynamicOverwrite
+    val acquireWait =
+      if (appendOnly) ManifestSink.AppendAcquireWaitMs
+      else ManifestSink.LockAcquireWaitMs
+    ManifestSink.withPublishLock(dir, acquireWaitMs = acquireWait) {
       // mergeSchema: the evolved schema lands inside the same lock-held
       // critical section as the manifest swap — a reader sees either the
       // old schema without the new data or the new schema with it, and

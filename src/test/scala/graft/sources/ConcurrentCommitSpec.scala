@@ -1,0 +1,166 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Multi-writer commits: append commits are OPTIMISTIC — they compose
+  * against whatever manifest they find once inside the publish lock
+  * (the re-read under the lock is the re-validate, and an append
+  * always validates clean), so concurrent appenders QUEUE up to the
+  * holder's lease instead of failing at the short wait. Conflict-
+  * DETECTING commits (copy-on-write replacement) keep the loud
+  * precise failure: their file-level plans go stale while queued.
+  * In the sources package to drive ManifestBatchWrite and the lock
+  * directly. */
+class ConcurrentCommitSpec extends graft.SparkSpec {
+
+  private val pool = ExecutionContext.fromExecutorService(
+    java.util.concurrent.Executors.newCachedThreadPool())
+
+  private def append(dir: String, from: Long, until: Long): Unit =
+    spark.range(from, until).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+
+  test("two concurrent appends both land: disjoint backfills commit " +
+      "in either order, one generation each, no torn manifest") {
+    val dir = Files.createTempDirectory("graft_ccommit").toString
+    val start = new CountDownLatch(1)
+    val fs = Seq((0L, 500L), (500L, 1000L)).map { case (a, b) =>
+      Future {
+        start.await(10, TimeUnit.SECONDS)
+        append(dir, a, b)
+      }(pool)
+    }
+    start.countDown()
+    fs.foreach(Await.result(_, 120.seconds))
+    assert(ManifestSink.committedGeneration(dir) == 2L)
+    val entries = ManifestSink.committedEntries(dir)
+    assert(entries.size == 2 && entries.map(_.rows).sum == 1000L)
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load()
+    assert(df.count() == 1000L)
+    assert(df.selectExpr("CAST(sum(v) AS BIGINT)").head().getLong(0) ==
+      (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("an append queues past the short wait behind a live lock holder " +
+      "instead of failing (the pre-round-16 behavior)") {
+    val dir = Files.createTempDirectory("graft_cqueue").toString
+    append(dir, 0L, 10L)
+    val dirPath = Paths.get(dir)
+    val holderIn = new CountDownLatch(1)
+    val holdMs = ManifestSink.LockAcquireWaitMs + 2000L
+    val holder = Future {
+      ManifestSink.withPublishLock(dirPath) {
+        holderIn.countDown()
+        Thread.sleep(holdMs)
+      }
+    }(pool)
+    assert(holderIn.await(10, TimeUnit.SECONDS), "holder never locked")
+    val t0 = System.nanoTime()
+    append(dir, 10L, 20L) // would throw "concurrent committer" before
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    Await.result(holder, 60.seconds)
+    assert(waitedMs > ManifestSink.LockAcquireWaitMs.toDouble,
+      s"append landed in ${waitedMs}ms — it cannot have queued behind " +
+        s"the ${holdMs}ms holder")
+    assert(ManifestSink.committedGeneration(dir) == 2L)
+    assert(spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load().count() == 20L)
+  }
+
+  test("conflicting copy-on-write replacement still fails loudly and " +
+      "precisely while a concurrent append sails through") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft_ccow").toString
+    append(dir, 0L, 100L)
+    val victim = ManifestSink.committedEntries(dir).head.name
+    // A concurrent commit retires the victim (truncate rewrites the
+    // table), then the planned-earlier CoW replacement must refuse.
+    spark.range(100L, 200L).selectExpr("id", "id * 2 AS v").coalesce(1)
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite").save()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val bw = new ManifestBatchWrite(dir, schema, "cow-test",
+      truncate = false, retain = false,
+      maxSegments = ManifestSink.DefaultMaxSegments,
+      partCols = Nil, replaceFiles = Set(victim))
+    val e = intercept[IllegalStateException] {
+      bw.commit(Array.empty)
+    }
+    assert(e.getMessage.contains(victim) &&
+      e.getMessage.contains("no longer committed"), e.getMessage)
+    // The table is untouched by the refused commit.
+    assert(spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load().count() == 100L)
+  }
+
+  test("fuzz: 8 racing appenders x 5 commits each — every commit lands, " +
+      "generations are dense, the manifest never tears") {
+    val dir = Files.createTempDirectory("graft_cfuzz").toString
+    val writers = 8
+    val rounds = 5
+    val rowsEach = 50L
+    val start = new CountDownLatch(1)
+    val fs = (0 until writers).map { w =>
+      Future {
+        start.await(10, TimeUnit.SECONDS)
+        (0 until rounds).foreach { r =>
+          val base = (w * rounds + r) * rowsEach
+          append(dir, base, base + rowsEach)
+        }
+      }(pool)
+    }
+    start.countDown()
+    fs.foreach(Await.result(_, 300.seconds))
+    val total = writers * rounds * rowsEach
+    assert(ManifestSink.committedGeneration(dir) == (writers * rounds).toLong)
+    val entries = ManifestSink.committedEntries(dir)
+    assert(entries.size == writers * rounds &&
+      entries.map(_.rows).sum == total)
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load()
+    assert(df.count() == total)
+    // Every id exactly once: a dropped commit or a doubled entry breaks
+    // the distinct count or the sum.
+    assert(df.select("id").distinct().count() == total)
+    assert(df.selectExpr("CAST(sum(id) AS BIGINT)").head().getLong(0) ==
+      (0L until total).sum)
+  }
+
+  test("concurrent equality-delete tombstones and appends interleave: " +
+      "every commit lands, deletes apply only to files they postdate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ceqdel").toString
+    append(dir, 0L, 1000L)
+    val start = new CountDownLatch(1)
+    val appender = Future {
+      start.await(10, TimeUnit.SECONDS)
+      (0 until 4).foreach { r =>
+        append(dir, 1000L + r * 100L, 1000L + (r + 1) * 100L)
+      }
+    }(pool)
+    val deleter = Future {
+      start.await(10, TimeUnit.SECONDS)
+      (0 until 4).foreach { r =>
+        // Keys from the INITIAL file only: whatever interleaving wins,
+        // these tombstones postdate the file carrying the keys.
+        ManifestOps.equalityDelete(dir,
+          Seq.range(r * 50L, (r + 1) * 50L).toDF("id"))
+      }
+    }(pool)
+    start.countDown()
+    Await.result(appender, 120.seconds)
+    Await.result(deleter, 120.seconds)
+    assert(ManifestSink.committedGeneration(dir) == 9L)
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load()
+    assert(df.count() == 1400L - 200L)
+    assert(df.where("id < 200").count() == 0L)
+  }
+}
