@@ -1083,6 +1083,77 @@ object IncrementalQueries {
       graft.streaming.Streams.runToTable(agg, "st28_mem", "complete")
     },
 
+    // PARQUET-KIND COMPOSE CAPSTONE (round-16): every columnar-lane
+    // feature on ONE table, because each is individually proven and
+    // the composition is where ordinal bookkeeping breaks. Quarters A
+    // and B land with leaf-bloom sidecars (gens 1-2), a DV DELETE
+    // kills their %10==3 rows by ordinal (gen 3, files not
+    // rewritten), a leaf-keyed tombstone retracts their %97==13 keys
+    // (gen 4), quarters C and D plus an 'xx' re-insert of the
+    // tombstoned keys land AFTER the tombstone (gens 5-7 — the seq
+    // rule keeps them; they are also the delete-free compaction
+    // candidates), row-group-append compaction merges those three
+    // small files while the DV'd tombstone-carrying A/B entries carry
+    // over untouched (gen 8), and the final scan reads through
+    // 8 KB BYTE-RANGE SPLITS, so the compacted multi-row-group file
+    // fans out and every split re-derives its ordinal base from the
+    // footer. A wrong ordinal base, a resurrected DV'd row, a
+    // tombstone skipped or over-applied, or a compaction row drop
+    // breaks the per-language counts/sums against the oracle.
+    QuerySpec(
+      "a64_parquet_compose",
+      """WITH survivors AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 4 IN (0, 1) AND doc_id % 10 <> 3
+        |    AND doc_id % 97 <> 13
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 4 IN (2, 3)
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, n_chars FROM documents
+        |  WHERE doc_id % 4 IN (0, 1) AND doc_id % 97 = 13
+        |)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM survivors GROUP BY lang""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val wh = freshDir("a64", dir)
+      val cat = "graft_a64_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (row_id BIGINT,
+        profile STRUCT<doc_id: BIGINT, lang: STRING, n_chars: BIGINT>)
+        TBLPROPERTIES ('filekind'='parquet', 'deletionvectors'='true',
+          'bloomcolumns'='profile.doc_id')""")
+      val docs = Tables.documents(s, dir).selectExpr("doc_id AS row_id",
+        "named_struct('doc_id', doc_id, 'lang', lang, 'n_chars', " +
+          "n_chars) AS profile")
+      Seq(0, 1).foreach(q => docs.where(col("row_id") % 4 === q)
+        .coalesce(1).writeTo(s"$cat.docs").append()) // gens 1-2
+      s.sql(s"DELETE FROM $cat.docs WHERE row_id % 10 = 3") // gen 3, DVs
+      graft.sources.ManifestOps.equalityDelete(s"$wh/docs",
+        docs.where(col("row_id") % 97 === 13)
+          .selectExpr("row_id AS `profile.doc_id`")) // gen 4, tombstone
+      Seq(2, 3).foreach(q => docs.where(col("row_id") % 4 === q)
+        .coalesce(1).writeTo(s"$cat.docs").append()) // gens 5-6
+      docs.where(col("row_id") % 4 < 2 && col("row_id") % 97 === 13)
+        .selectExpr("row_id", "named_struct('doc_id', profile.doc_id, " +
+          "'lang', 'xx', 'n_chars', profile.n_chars) AS profile")
+        .coalesce(1).writeTo(s"$cat.docs").append() // gen 7, re-insert
+      graft.sources.ManifestSink.compact(s"$wh/docs", 10L * 1000 * 1000)
+      val schema = StructType(Seq(StructField("row_id", LongType),
+        StructField("profile", StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType))))))
+      s.read.format("graft.sources.ManifestSink").schema(schema)
+        .option("path", s"$wh/docs").option("maxsplitbytes", "8192").load()
+        .groupBy(col("profile.lang").as("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("profile.n_chars")).as("sum_chars"),
+          sum(col("profile.doc_id")).as("sum_ids"))
+    },
+
     // STREAMING READS FROM THE PARQUET KIND (round-16): the st28
     // generation-offset tail run against `filekind='parquet'` children
     // CARRYING ROW-LEVEL DELETES — the read leg the round-15 epoch
@@ -1118,7 +1189,8 @@ object IncrementalQueries {
       s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
       s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, text STRING,
         lang STRING, n_chars BIGINT)
-        TBLPROPERTIES ('filekind'='parquet', 'retainHistory'='true')""")
+        TBLPROPERTIES ('filekind'='parquet', 'retainHistory'='true',
+          'deletionvectors'='true')""")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
       docs.where(col("doc_id") % 3 === 0).coalesce(1)

@@ -205,6 +205,56 @@ class ParquetLaneSpec extends AnyFunSuite with SparkSpec {
         .filter(i => i % 5 != 3 && i % 5 != 1).sum)
   }
 
+  test("compose capstone: splits + ordinal DVs + leaf blooms + " +
+      "eqdeletes + compaction on ONE parquet table return bit-identical " +
+      "rows before and after compaction, at any split size") {
+    val (cat, wh) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      u STRUCT<k: BIGINT, s: STRING>)
+      TBLPROPERTIES ('filekind'='parquet', 'bloomcolumns'='u.k',
+        'deletionvectors'='true')""")
+    def insert(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).selectExpr("id",
+          "named_struct('k', id * 7, 's', concat('v', id)) AS u")
+        .coalesce(1).writeTo(s"$cat.t").append()
+    insert(0, 400); insert(400, 800)            // gens 1-2
+    spark.sql(s"DELETE FROM $cat.t WHERE id % 10 = 3") // gen 3: DVs
+    import spark.implicits._
+    ManifestOps.equalityDelete(s"$wh/t",
+      Seq(7L, 777L, 2345L).map(_ * 7).toDF("u.k")) // gen 4: leaf keys
+    insert(800, 1000); insert(1000, 1200); insert(1200, 1400) // gens 5-7
+    val before = spark.table(s"$cat.t").orderBy("id").collect()
+    // Pre-compaction sanity: DVs exist, blooms recorded, deletes landed.
+    val pre = ManifestSink.committedEntries(s"$wh/t")
+    assert(pre.count(_.dv.isDefined) == 2, pre.map(e => e.name -> e.dv))
+    assert(pre.forall(_.bloomCols == Seq("u.k")))
+    assert(!before.exists(r => Set(7L, 777L).contains(r.getLong(0))))
+    assert(before.exists(r => r.getLong(0) == 1173L)) // %97 irrelevant here
+    // Compaction merges exactly the three delete-free post-tombstone
+    // files; the DV'd tombstone-predating pair carries over untouched.
+    assert(ManifestSink.compact(s"$wh/t", 10L * 1000 * 1000) == 3)
+    val post = ManifestSink.committedEntries(s"$wh/t")
+    assert(post.size == 3, post.map(_.name))
+    assert(post.count(_.dv.isDefined) == 2)
+    assert(post.count(_.name.startsWith("compact-")) == 1)
+    // Bit-identical read-back across split granularities: the merged
+    // file holds one row group per member, so an 8 KB split cap fans
+    // it out and each split re-derives its ordinal base; DV'd files
+    // split too, ordinals staying exact.
+    val schema = spark.table(s"$cat.t").schema
+    Seq(8192L, 1L << 20).foreach { cap =>
+      val got = spark.read.format("graft.sources.ManifestSink")
+        .schema(schema).option("path", s"$wh/t")
+        .option("maxsplitbytes", cap.toString).load()
+      if (cap == 8192L)
+        assert(got.rdd.getNumPartitions > post.size,
+          s"expected split fan-out at cap=$cap, got " +
+            s"${got.rdd.getNumPartitions} partitions for ${post.size} files")
+      assert(got.orderBy("id").collect().toSeq == before.toSeq,
+        s"rows diverged at maxsplitbytes=$cap")
+    }
+  }
+
   test("byte-range splits: one parquet file fans out across tasks by " +
       "the midpoint rule; ordinal-keyed DVs stay exact under splitting") {
     val (cat, wh) = catalog()
