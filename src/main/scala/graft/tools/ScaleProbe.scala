@@ -922,6 +922,56 @@ object ScaleProbe {
     }
   }
 
+  /** Parquet-kind FACTOR anchor (`probe = pqscale`, round-16): the
+    * parquetlane probe measured warm-scan RATIOS at one size; this one
+    * holds the file-size distribution fixed and grows the FILE COUNT
+    * with the factor — the dimension a 100 TB table actually grows
+    * along — recording wall / shuffle / peak-task-mem for (a) a
+    * split-planned aggregate scan, (b) row-group-append compaction,
+    * and (c) the same scan over the compacted multi-row-group files.
+    * The claims made measurable: scan wall tracks bytes (linear in f)
+    * while PEAK TASK MEMORY stays FLAT (the 4 MB split cap bounds any
+    * one task regardless of table size), split fan-out grows with
+    * bytes (planned partitions reported), and compaction wall is
+    * linear in the bytes it merges. */
+  private def pqScaleProbes(spark: SparkSession, factors: Seq[Int]): Unit = {
+    import java.nio.file.Files
+    factors.foreach { f =>
+      val n = 200000L * f
+      val files = 4 * f // fixed per-file size; file count grows with f
+      val wh = Files.createTempDirectory(s"graft_pqscale_$f").toString
+      val cat = s"gpsc_${f}_${wh.hashCode & 0x7fffffff}"
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, k BIGINT, pad STRING)
+        TBLPROPERTIES ('filekind'='parquet', 'blockbytes'='1048576')""")
+      spark.range(n).selectExpr("id", "id % 97 AS k",
+          "concat('p-', id, '-', repeat('ab', 60)) AS pad")
+        .repartition(files).writeTo(s"$cat.t").append()
+      def planned(): Int = spark.read
+        .format("graft.sources.ManifestSink").option("path", s"$wh/t")
+        .option("maxsplitbytes", (4L * 1024 * 1024).toString).load()
+        .rdd.getNumPartitions
+      def scan(): Long = {
+        val df = spark.read.format("graft.sources.ManifestSink")
+          .option("path", s"$wh/t")
+          .option("maxsplitbytes", (4L * 1024 * 1024).toString).load()
+        df.groupBy(col("k") % 8).agg(sum(length(col("pad"))).as("b"))
+          .agg(sum(col("b"))).head().getLong(0)
+      }
+      scan() // warm the page cache / codegen so factors compare cleanly
+      println(s"""{"probe":"pqscale_plan","factor":$f,"rows":$n,""" +
+        s""""files":$files,"splits":${planned()}}""")
+      runProbe(spark, "pqscale_scan", f, n) { scan() }
+      runProbe(spark, "pqscale_compact", f, n) {
+        graft.sources.ManifestSink.compact(s"$wh/t", 10L * 1000 * 1000).toLong
+      }
+      println(s"""{"probe":"pqscale_plan_compacted","factor":$f,""" +
+        s""""rows":$n,"splits":${planned()}}""")
+      runProbe(spark, "pqscale_scan_compacted", f, n) { scan() }
+    }
+  }
+
   /** Frame-sealing ratio anchor (`probe = zdict`, round-15 candidate
     * (a)): block sealing makes every `blockbytes` frame compress
     * independently, so small frames lose the cross-frame redundancy a
@@ -1152,6 +1202,11 @@ object ScaleProbe {
     }
     if (probe == "parquetlane") {
       parquetLaneProbes(spark, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "pqscale") {
+      pqScaleProbes(spark, factors)
       spark.stop()
       return
     }

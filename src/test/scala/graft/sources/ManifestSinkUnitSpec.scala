@@ -234,25 +234,43 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       .map(e => (e.name, e.rows)) == Seq((msg.name, 1L)))
   }
 
-  test("publish is single-writer: a held lock fails the second committer loudly") {
+  test("publish lock (round-16 contract): a held lock fails a TRUNCATE " +
+      "committer loudly at the short wait; an APPEND queues past it " +
+      "and lands once the holder releases") {
     val dir = Files.createTempDirectory("graft_manifest_unit").toString
     val staging = Files.createDirectories(Paths.get(dir, ".staging-q6"))
     Files.write(staging.resolve("part-00000-1.ndjson"),
       "{\"id\":1}\n".getBytes(StandardCharsets.UTF_8))
-    Files.createFile(Paths.get(dir, ".manifest.lock")) // a committer mid-publish
+    val lock = Paths.get(dir, ".manifest.lock")
+    Files.createFile(lock) // a committer mid-publish
+    // Conflict-detecting shape: surfaces the contention at the short
+    // wait — its plan would go stale queueing behind a long holder.
     val ex = intercept[IllegalStateException] {
-      new ManifestBatchWrite(dir, schema, "q6", truncate = false)
+      new ManifestBatchWrite(dir, schema, "q6", truncate = true)
         .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
     }
     assert(ex.getMessage.contains("concurrent committer"),
       s"wrong failure: ${ex.getMessage}")
-    // Recovery path: remove the lock, the commit goes through, and the
-    // lock is released afterwards.
-    Files.delete(Paths.get(dir, ".manifest.lock"))
+    // Append shape: composes against whatever manifest it finds under
+    // the lock, so it QUEUES (up to the holder's lease) — release the
+    // lock from a helper thread past the short wait and the commit
+    // must land rather than throw (the pre-round-16 behavior).
+    val releaseMs = ManifestSink.LockAcquireWaitMs + 1500L
+    val releaser = new Thread(() => {
+      Thread.sleep(releaseMs)
+      Files.delete(lock)
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
     new ManifestBatchWrite(dir, schema, "q6", truncate = false)
       .commit(Array(StagedFile("part-00000-1.ndjson", 1L)))
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    releaser.join()
+    assert(waitedMs > ManifestSink.LockAcquireWaitMs.toDouble,
+      s"append landed in ${waitedMs}ms — it cannot have queued behind " +
+        "the held lock")
     assert(ManifestSink.committedRowCount(dir) == 1L)
-    assert(!Files.exists(Paths.get(dir, ".manifest.lock")), "lock leaked")
+    assert(!Files.exists(lock), "lock leaked")
   }
 
   test("per-file column bounds ride the manifest and compose across commits") {
