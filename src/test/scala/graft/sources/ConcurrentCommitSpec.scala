@@ -73,6 +73,66 @@ class ConcurrentCommitSpec extends graft.SparkSpec {
       .option("path", dir).load().count() == 20L)
   }
 
+  test("a queued waiter never reclaims a HEARTBEATING holder (the " +
+      "compaction interplay): lease refreshes extend the wait even " +
+      "when the waiter's lease is shorter than the hold") {
+    val dir = Files.createTempDirectory("graft_chb").toString
+    val dirPath = Paths.get(dir)
+    val holderIn = new CountDownLatch(1)
+    val holdMs = 3500L
+    @volatile var holderDoneAt = 0L
+    val holder = Future {
+      ManifestSink.withPublishLock(dirPath) {
+        holderIn.countDown()
+        // Compaction's posture: a long critical section that refreshes
+        // the lock's mtime between units of work.
+        val until = System.currentTimeMillis + holdMs
+        while (System.currentTimeMillis < until) {
+          Thread.sleep(250L)
+          ManifestSink.heartbeatLock(dirPath)
+        }
+        holderDoneAt = System.currentTimeMillis
+      }
+    }(pool)
+    assert(holderIn.await(10, TimeUnit.SECONDS), "holder never locked")
+    // Waiter's lease (1s) is far shorter than the hold (3.5s): only
+    // the heartbeats keep the lock looking LIVE — without them the
+    // waiter would judge it stale at ~1s and break it mid-section.
+    @volatile var waiterRanAt = 0L
+    ManifestSink.withPublishLock(dirPath, leaseMs = 1000L,
+        acquireWaitMs = 30000L) {
+      waiterRanAt = System.currentTimeMillis
+    }
+    Await.result(holder, 60.seconds)
+    assert(holderDoneAt > 0 && waiterRanAt >= holderDoneAt,
+      s"waiter entered at $waiterRanAt before the live holder finished " +
+        s"at $holderDoneAt — the heartbeated lock was broken in-flight")
+  }
+
+  test("concurrent appends land on the parquet kind too: the queueing " +
+      "commit path is payload-kind-agnostic") {
+    val wh = Files.createTempDirectory("graft_cpq").toString
+    val cat = s"gcc_${wh.hashCode & 0x7fffffff}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v BIGINT)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    val start = new CountDownLatch(1)
+    val fs = Seq((0L, 500L), (500L, 1000L)).map { case (a, b) =>
+      Future {
+        start.await(10, TimeUnit.SECONDS)
+        spark.range(a, b).selectExpr("id", "id * 2 AS v").coalesce(1)
+          .writeTo(s"$cat.t").append()
+      }(pool)
+    }
+    start.countDown()
+    fs.foreach(Await.result(_, 120.seconds))
+    val entries = ManifestSink.committedEntries(s"$wh/t")
+    assert(entries.size == 2 && entries.forall(_.name.endsWith(".parquet")))
+    assert(spark.sql(s"SELECT CAST(sum(v) AS BIGINT) FROM $cat.t").head()
+      .getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
   test("conflicting copy-on-write replacement still fails loudly and " +
       "precisely while a concurrent append sails through") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
