@@ -176,15 +176,17 @@ object Bench {
     // each) overflowed the driver's 2000-char tail mid-map on a
     // 40-flag drift run; at ~46 chars/entry the full 40-entry bound
     // now fits with room for the headline fields.
+    // Severity-first (worst t/ref leads): if the 40-entry bound ever
+    // truncates, it drops the mildest flags, never the worst regression.
     val slowEntries = results.flatMap { case (name, t) =>
       reference.get(name).collect {
         case ref if t > math.max(1.5 * ref, ref + 0.5) =>
           val p = probeByQuery.get(name).map(v => math.round(v * 10) / 10.0)
             .getOrElse(-1.0)
           val t3 = math.round(t * 1000) / 1000.0
-          s"\"" + name + s"\":[$t3,$ref,$p]"
+          (t / ref, s"\"" + name + s"\":[$t3,$ref,$p]")
       }
-    }
+    }.sortBy(-_._1).map(_._2)
     val slowJson = slowEntries.take(40).mkString("{", ",", "}")
     // Total over-threshold count: emitted AFTER the map (the archived
     // tail keeps the LAST chars) so a consumer can detect when the

@@ -213,44 +213,53 @@ object ManifestOps {
     val renderers = keys.schema.fields.map(f =>
       NdjsonCodec.renderer(f.dataType))
     val dirPath = Paths.get(dir)
+    // The KEY JOB runs BEFORE the lock: materializing the tombstone
+    // bytes is a full Spark job (toLocalIterator over `keys`), and a
+    // long one under a mtime-frozen lock would eventually look stale
+    // to a queued committer — the lock must bracket only the
+    // milliseconds of name/move/swap work. The tombstone's semantics
+    // don't depend on when the keys were computed: its seq is stamped
+    // from the generation read under the lock, and it applies to
+    // whatever files turn out to predate it.
+    val tmp = dirPath.resolve(
+      s".eqdel-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    var n = 0L
+    try {
+      // Internal rows stream one partition at a time — the SAME typed
+      // renderers the data writer uses, so key literals compare
+      // byte-identical at read. copy() on the executor: UnsafeRow
+      // buffers are REUSED per partition, and toLocalIterator
+      // materializes a partition at a time — without the copy every
+      // key in a partition would alias the last row.
+      val it = keys.queryExecution.toRdd.map(_.copy()).toLocalIterator
+      while (it.hasNext) {
+        val r = it.next()
+        val sb = new java.lang.StringBuilder(64)
+        sb.append('{')
+        var i = 0
+        while (i < cols.length) {
+          if (i > 0) sb.append(',')
+          sb.append('"').append(NdjsonCodec.escape(cols(i))).append("\":")
+          sb.append(if (r.isNullAt(i)) "null"
+            else renderers(i)(r.get(i, keys.schema.fields(i).dataType)))
+          i += 1
+        }
+        sb.append('}')
+        out.write(sb.toString); out.newLine()
+        n += 1
+      }
+    } finally out.close()
+    if (n == 0L) { Files.deleteIfExists(tmp); return 0L }
     // A tombstone commit is an append (it applies to files already
     // committed when it lands, whatever those turn out to be) — queue
     // behind a live holder like any append.
-    ManifestSink.withPublishLock(dirPath,
+    try ManifestSink.withPublishLock(dirPath,
         acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
       val gen = ManifestSink.committedGeneration(dir)
       val name = f"eqdel-g${gen + 1}%06d-" +
         java.util.UUID.randomUUID().toString.take(8) + ".ndjson"
-      val tmp = dirPath.resolve(s".$name.tmp")
-      val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-      var n = 0L
-      try {
-        // Internal rows stream one partition at a time — the SAME typed
-        // renderers the data writer uses, so key literals compare
-        // byte-identical at read. copy() on the executor: UnsafeRow
-        // buffers are REUSED per partition, and toLocalIterator
-        // materializes a partition at a time — without the copy every
-        // key in a partition would alias the last row.
-        val it = keys.queryExecution.toRdd.map(_.copy()).toLocalIterator
-        while (it.hasNext) {
-          val r = it.next()
-          val sb = new java.lang.StringBuilder(64)
-          sb.append('{')
-          var i = 0
-          while (i < cols.length) {
-            if (i > 0) sb.append(',')
-            sb.append('"').append(NdjsonCodec.escape(cols(i))).append("\":")
-            sb.append(if (r.isNullAt(i)) "null"
-              else renderers(i)(r.get(i, keys.schema.fields(i).dataType)))
-            i += 1
-          }
-          sb.append('}')
-          out.write(sb.toString); out.newLine()
-          n += 1
-        }
-      } finally out.close()
-      if (n == 0L) { Files.deleteIfExists(tmp); 0L }
-      else {
+      locally {
         Files.move(tmp, dirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
         val txt = ManifestSink.manifestText(dir, ManifestSink.ManifestName)
         val existing = ManifestSink.parseEqDeletes(txt)
@@ -263,7 +272,7 @@ object ManifestOps {
             ManifestSink.EqDelete(name, cols, n, gen + 1)))
         n
       }
-    }
+    } finally Files.deleteIfExists(tmp) // no-op when moved into place
   }
 
   /** OPTIMIZE/cluster (Delta's `OPTIMIZE ZORDER BY` shape): rewrite the

@@ -1404,7 +1404,6 @@ object ManifestSink {
           try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.io.IOException => -1L } // vanished below
         val holder = readLock()
-        val genBefore = committedGeneration(dir.toString)
         if (age < 0 || holder.isEmpty) {
           // The lock vanished between attempts — its holder released;
           // take the normal acquire path once more.
@@ -1412,6 +1411,11 @@ object ManifestSink {
         } else if (age <= leaseMs) {
           concurrentFailure()
         } else {
+          // Pointer read deferred to the (rare) stale branch: a queued
+          // committer polls this method for up to its whole wait, and
+          // parsing the manifest pointer on every iteration would be
+          // thousands of discarded reads on the common live-holder path.
+          val genBefore = committedGeneration(dir.toString)
           // Lease lapsed: break the stale lock, but only while the SAME
           // dead owner holds it and no publish progressed — any
           // movement means a live committer.
@@ -1487,15 +1491,45 @@ object ManifestSink {
         }
       }
     }
-    val acquireDeadline = System.currentTimeMillis + acquireWaitMs
+    // TRANSIENT losses retry alongside the polite wait: a reclaim /
+    // reacquire race lost to another committer, or a live holder
+    // re-locking mid-break, all mean "someone else is making progress
+    // — poll again"; only exhausting the deadline surfaces the
+    // contention. Without this, a queued append that waited out a
+    // crashed compactor's lease could lose the reclaim race to its
+    // sibling backfill and fail a commit the round-16 contract says
+    // must land.
+    def transient(e: IllegalStateException): Boolean = {
+      val m = e.getMessage
+      m != null && (m.contains("concurrent committer") ||
+        m.contains("lost the reclaim race") ||
+        m.contains("lost the reacquire race") ||
+        m.contains("lock activity detected"))
+    }
+    var acquireDeadline = System.currentTimeMillis + acquireWaitMs
+    // A heartbeating holder EXTENDS a queueing caller's deadline: the
+    // advancing mtime proves live progress (compaction refreshing
+    // between bins), and failing a polite queuer behind a live 20-min
+    // compaction would re-create exactly the contention failure the
+    // queue exists to remove. Short-wait (conflict-detecting) callers
+    // keep their fixed deadline — their plans go stale while queued,
+    // so early surfacing stays correct for them.
+    val extendOnHeartbeat = acquireWaitMs > LockAcquireWaitMs
+    var lastMtime = -1L
     var acquired = false
     while (!acquired) {
       try { acquireOnce(); acquired = true }
       catch {
         case e: IllegalStateException
-            if e.getMessage != null &&
-              e.getMessage.contains("concurrent committer") &&
-              System.currentTimeMillis < acquireDeadline =>
+            if transient(e) && System.currentTimeMillis < acquireDeadline =>
+          if (extendOnHeartbeat) {
+            val mt =
+              try Files.getLastModifiedTime(lock).toMillis
+              catch { case _: java.io.IOException => -1L }
+            if (mt > 0 && lastMtime > 0 && mt != lastMtime)
+              acquireDeadline = System.currentTimeMillis + acquireWaitMs
+            if (mt > 0) lastMtime = mt
+          }
           Thread.sleep(25L + scala.util.Random.nextInt(50))
       }
     }

@@ -95,11 +95,13 @@ class ConcurrentCommitSpec extends graft.SparkSpec {
       }
     }(pool)
     assert(holderIn.await(10, TimeUnit.SECONDS), "holder never locked")
-    // Waiter's lease (1s) is far shorter than the hold (3.5s): only
-    // the heartbeats keep the lock looking LIVE — without them the
-    // waiter would judge it stale at ~1s and break it mid-section.
+    // Waiter's lease (2.5s) is shorter than the hold (3.5s) but an
+    // order of magnitude above the 250ms heartbeat cadence (scheduler
+    // margin — a single overshot sleep must not make the live lock
+    // look stale): only the heartbeats keep it LIVE; without them the
+    // waiter would judge it stale and break it mid-section.
     @volatile var waiterRanAt = 0L
-    ManifestSink.withPublishLock(dirPath, leaseMs = 1000L,
+    ManifestSink.withPublishLock(dirPath, leaseMs = 2500L,
         acquireWaitMs = 30000L) {
       waiterRanAt = System.currentTimeMillis
     }

@@ -120,10 +120,12 @@ def age_refs(base_path, artifacts):
     if len(artifacts) < AGE_K:
         sys.exit(f"--age needs at least {AGE_K} artifacts (got {len(artifacts)})")
     runs = []
+    extras = {}
     for a in artifacts:
         got, extra = query_map(a)
         hot, _ = hot_windows(extra)
         runs.append((a, got, hot))
+        extras[a] = extra
     aged = base.setdefault("aged", {})
     replaced = []
     for name, r in sorted(ref.items()):
@@ -131,9 +133,17 @@ def age_refs(base_path, artifacts):
         # timing says nothing about the plan either way, so it neither
         # counts toward the streak nor breaks it (the rule is "K
         # consecutive clean-window runs can't get within 1.5x").
-        tail = [(a, got[name])
+        # SLOW-ONLY artifacts (truncated driver tails adjudicated from
+        # their bounded slow map) carry only over-threshold queries:
+        # a query ABSENT from one was measured CLEAN that run — it
+        # must count as a sub-1.5x observation that BREAKS the streak,
+        # not be skipped as missing (skipping would age a ref whose
+        # reachability a slow-only run just proved).
+        tail = [(a, got[name] if name in got else r)
                 for a, got, hot in runs
-                if name in got and name not in hot][-AGE_K:]
+                if (name in got or
+                    (extras[a].get("slow_only") and name not in hot))
+                and name not in hot][-AGE_K:]
         if len(tail) < AGE_K:
             continue
         # Pure 1.5x (no absolute floor): aging a tiny query's
