@@ -195,6 +195,38 @@ class ConcurrentCommitSpec extends graft.SparkSpec {
       (0L until total).sum)
   }
 
+  test("concurrent mergeInto upserts racing on the SAME file both land " +
+      "through the optimistic retry loop (the loser re-plans against " +
+      "the winner's generation)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_cmerge").toString
+    // One file holds all keys, so both merges plan the SAME replaceFiles
+    // set and the loser MUST hit the no-longer-committed conflict and
+    // re-plan — the contested path, not the disjoint-files easy case.
+    spark.range(0, 100).selectExpr("id", "CAST(0 AS BIGINT) AS v")
+      .coalesce(1).write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val start = new CountDownLatch(1)
+    val fs = Seq((0L, 50L, 111L), (50L, 100L, 222L)).map { case (lo, hi, tag) =>
+      Future {
+        start.await(10, TimeUnit.SECONDS)
+        ManifestOps.mergeInto(spark, dir,
+          spark.range(lo, hi).selectExpr("id", s"CAST($tag AS BIGINT) AS v"),
+          "id", maxRetries = 8)
+      }(pool)
+    }
+    start.countDown()
+    fs.foreach(Await.result(_, 120.seconds))
+    val df = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load()
+    assert(df.count() == 100L)
+    // Disjoint key halves: BOTH merges' rows must survive whatever the
+    // commit order — a lost update would leave v=0 rows behind.
+    assert(df.where("v = 0").count() == 0L)
+    assert(df.where("id < 50 AND v <> 111").count() == 0L)
+    assert(df.where("id >= 50 AND v <> 222").count() == 0L)
+  }
+
   test("concurrent equality-delete tombstones and appends interleave: " +
       "every commit lands, deletes apply only to files they postdate") {
     import spark.implicits._
