@@ -64,6 +64,7 @@ object ManifestOps {
           t.getMessage.contains("concurrent committer") ||
           t.getMessage.contains("lost the reacquire race") ||
           t.getMessage.contains("lost the reclaim race") ||
+          t.getMessage.contains("lock activity detected") ||
           // The read half of losing a CoW race: the winner's commit
           // deleted a replaced file while our rewrite was still
           // scanning it.
@@ -221,58 +222,88 @@ object ManifestOps {
     // don't depend on when the keys were computed: its seq is stamped
     // from the generation read under the lock, and it applies to
     // whatever files turn out to predate it.
-    val tmp = dirPath.resolve(
-      s".eqdel-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-    var n = 0L
-    try {
-      // Internal rows stream one partition at a time — the SAME typed
-      // renderers the data writer uses, so key literals compare
-      // byte-identical at read. copy() on the executor: UnsafeRow
-      // buffers are REUSED per partition, and toLocalIterator
-      // materializes a partition at a time — without the copy every
-      // key in a partition would alias the last row.
-      val it = keys.queryExecution.toRdd.map(_.copy()).toLocalIterator
-      while (it.hasNext) {
-        val r = it.next()
-        val sb = new java.lang.StringBuilder(64)
-        sb.append('{')
-        var i = 0
-        while (i < cols.length) {
-          if (i > 0) sb.append(',')
-          sb.append('"').append(NdjsonCodec.escape(cols(i))).append("\":")
-          sb.append(if (r.isNullAt(i)) "null"
-            else renderers(i)(r.get(i, keys.schema.fields(i).dataType)))
-          i += 1
-        }
-        sb.append('}')
-        out.write(sb.toString); out.newLine()
-        n += 1
+    // The key job no longer runs lock-serialized against maintenance:
+    // a `keys` plan reading the TARGET table can race a concurrent
+    // compaction's post-swap deletes ("vanished between planning and
+    // reading") — a transient the locked era couldn't see. Re-running
+    // is correct (the tombstone applies to whatever files predate its
+    // commit); bound the retries like mergeInto does.
+    var attempt = 0
+    while (true) {
+      // CREATE_NEW: two concurrent tombstone writers drawing the same
+      // 8-hex scratch name must fail loudly, not silently interleave
+      // their key lines into one file (the lock no longer serializes
+      // this phase).
+      val tmp = dirPath.resolve(
+        s".eqdel-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      var n = 0L
+      try {
+        try {
+          // Internal rows stream one partition at a time — the SAME typed
+          // renderers the data writer uses, so key literals compare
+          // byte-identical at read. copy() on the executor: UnsafeRow
+          // buffers are REUSED per partition, and toLocalIterator
+          // materializes a partition at a time — without the copy every
+          // key in a partition would alias the last row.
+          val it = keys.queryExecution.toRdd.map(_.copy()).toLocalIterator
+          while (it.hasNext) {
+            val r = it.next()
+            val sb = new java.lang.StringBuilder(64)
+            sb.append('{')
+            var i = 0
+            while (i < cols.length) {
+              if (i > 0) sb.append(',')
+              sb.append('"').append(NdjsonCodec.escape(cols(i))).append("\":")
+              sb.append(if (r.isNullAt(i)) "null"
+                else renderers(i)(r.get(i, keys.schema.fields(i).dataType)))
+              i += 1
+            }
+            sb.append('}')
+            out.write(sb.toString); out.newLine()
+            n += 1
+          }
+        } finally out.close()
+        if (n == 0L) { Files.deleteIfExists(tmp); return 0L }
+        // A tombstone commit is an append (it applies to files already
+        // committed when it lands, whatever those turn out to be) —
+        // queue behind a live holder like any append.
+        return try ManifestSink.withPublishLock(dirPath,
+            acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
+          val gen = ManifestSink.committedGeneration(dir)
+          val name = f"eqdel-g${gen + 1}%06d-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".ndjson"
+          Files.move(tmp, dirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          val txt = ManifestSink.manifestText(dir, ManifestSink.ManifestName)
+          val existing = ManifestSink.parseEqDeletes(txt)
+          // O(delta) publish: carry segments and inline entries untouched;
+          // only the pointer's eqdeletes array grows.
+          ManifestSink.publishDelta(dirPath, ManifestSink.segmentRefsFull(txt),
+            ManifestSink.parseEntries(txt), Nil, gen + 1, "eqdelete",
+            retain || ManifestSink.hasRetainedGenerations(dir),
+            eqDeletes = Some(existing :+
+              ManifestSink.EqDelete(name, cols, n, gen + 1)))
+          n
+        } finally Files.deleteIfExists(tmp) // no-op when moved into place
+      } catch {
+        // Scratch must not leak on ANY failure — the key job is a full
+        // Spark computation and can die routinely; vacuum's .eqdel-*.tmp
+        // sweep is only the backstop for process death.
+        case e: Exception =>
+          Files.deleteIfExists(tmp)
+          val transientScan = {
+            def m(t: Throwable): Boolean = t != null && ((t.getMessage != null &&
+              t.getMessage.contains("vanished between planning and reading")) ||
+              m(t.getCause))
+            m(e)
+          }
+          if (!transientScan || attempt >= 3) throw e
+          attempt += 1
+          Thread.sleep(50L + scala.util.Random.nextInt(150))
       }
-    } finally out.close()
-    if (n == 0L) { Files.deleteIfExists(tmp); return 0L }
-    // A tombstone commit is an append (it applies to files already
-    // committed when it lands, whatever those turn out to be) — queue
-    // behind a live holder like any append.
-    try ManifestSink.withPublishLock(dirPath,
-        acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
-      val gen = ManifestSink.committedGeneration(dir)
-      val name = f"eqdel-g${gen + 1}%06d-" +
-        java.util.UUID.randomUUID().toString.take(8) + ".ndjson"
-      locally {
-        Files.move(tmp, dirPath.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        val txt = ManifestSink.manifestText(dir, ManifestSink.ManifestName)
-        val existing = ManifestSink.parseEqDeletes(txt)
-        // O(delta) publish: carry segments and inline entries untouched;
-        // only the pointer's eqdeletes array grows.
-        ManifestSink.publishDelta(dirPath, ManifestSink.segmentRefsFull(txt),
-          ManifestSink.parseEntries(txt), Nil, gen + 1, "eqdelete",
-          retain || ManifestSink.hasRetainedGenerations(dir),
-          eqDeletes = Some(existing :+
-            ManifestSink.EqDelete(name, cols, n, gen + 1)))
-        n
-      }
-    } finally Files.deleteIfExists(tmp) // no-op when moved into place
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** OPTIMIZE/cluster (Delta's `OPTIMIZE ZORDER BY` shape): rewrite the
@@ -335,22 +366,40 @@ object ManifestOps {
       var dataGone = 0
       var stagingGone = 0
       val ls = Files.list(dirPath)
+      var seen = 0
       try {
         val it = ls.iterator()
         while (it.hasNext) {
           val p = it.next()
           val n = p.getFileName.toString
-          val dataShaped = n.endsWith(".ndjson") &&
+          // BOTH payload kinds orphan the same ways: a crash between
+          // staging moves and the manifest swap strands part-*.parquet
+          // exactly like part-*.ndjson (the parquet lane predates
+          // nothing here — a filter keyed on .ndjson alone would let
+          // parquet orphans accumulate unboundedly).
+          val dataShaped = (n.endsWith(".ndjson") || n.endsWith(".parquet")) &&
             (n.startsWith("part-") || n.startsWith("compact-"))
-          // Deletion-vector sidecars orphan the same ways data files do
-          // (a crashed DV commit, a retired vector under retention later
-          // expired); reachability covers them (ownedNames), so the same
-          // age-guarded sweep applies.
-          val dvShaped = n.contains(".ndjson.dv-g")
+          // Sidecars orphan the same ways data files do (a crashed DV
+          // or bloom commit, a retired vector under retention later
+          // expired); reachability covers them (ownedNames + eqdeletes
+          // arrays), so the same age-guarded sweep applies. `.dv-g`
+          // matches both kinds' vectors; eqdel tombstones orphan when
+          // a crash lands between their ATOMIC_MOVE and publishDelta.
+          val dvShaped = n.contains(".dv-g")
+          val bloomShaped = n.endsWith(".bloom")
+          val eqdelShaped = n.startsWith("eqdel-g") && n.endsWith(".ndjson")
+          // Pre-lock tombstone scratch (round 16): written before the
+          // publish lock, leaked if the key job dies mid-stream — never
+          // referenced by anything, so age alone gates it.
+          val eqTmpShaped = n.startsWith(".eqdel-") && n.endsWith(".tmp")
           val old = Files.getLastModifiedTime(p).toMillis < cutoff
-          if ((dataShaped || dvShaped) && old && !referenced.contains(n)) {
+          if ((dataShaped || dvShaped || bloomShaped || eqdelShaped) &&
+              old && !referenced.contains(n)) {
             Files.deleteIfExists(p)
             dataGone += 1
+          } else if (eqTmpShaped && old) {
+            Files.deleteIfExists(p)
+            stagingGone += 1
           } else if (n.startsWith(".staging-") && Files.isDirectory(p) && old) {
             val walk = Files.walk(p)
             try walk.sorted(java.util.Comparator.reverseOrder())
@@ -358,6 +407,12 @@ object ManifestOps {
             finally walk.close()
             stagingGone += 1
           }
+          // A big directory sweep can outlast the lease; heartbeat so
+          // queued committers never judge the live vacuum stale and
+          // reclaim the lock mid-sweep (the round-16 queueing makes
+          // waiters persist long enough to reach that moment).
+          seen += 1
+          if (seen % 512 == 0) ManifestSink.heartbeatLock(dirPath)
         }
       } finally ls.close()
       (dataGone, stagingGone)
@@ -443,8 +498,19 @@ object ManifestOps {
       // names them.
       branchEntries.flatMap(ManifestSink.ownedNames).distinct
         .filterNot(mainNames.contains).foreach { n =>
-          if (!Files.exists(dirPath.resolve(n)))
+          if (!Files.exists(dirPath.resolve(n))) {
             Files.createLink(dirPath.resolve(n), bdir.resolve(n))
+            // Hard links inherit the inode's branch-era mtime, which
+            // can already exceed vacuum's olderThanMs age guard the
+            // moment the link lands. Stamp "now" (shared with the
+            // branch file — harmless: a newer mtime only delays GC,
+            // never admits it) so freshly published files always get
+            // the guard's full grace window.
+            try Files.setLastModifiedTime(dirPath.resolve(n),
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis))
+            catch { case _: java.io.IOException => () }
+          }
         }
       val retain = ManifestSink.hasRetainedGenerations(dir)
       ManifestSink.publishManifest(dirPath, branchEntries, current + 1,

@@ -1400,10 +1400,22 @@ object ManifestSink {
     // queueing indefinitely behind it would just hide the contention.
     def acquireOnce(): Unit = monitor.synchronized {
       if (!tryAcquire()) {
+        // TOKEN-BRACKETED age read: (token, mtime, token) — only when
+        // both token reads agree does the mtime describe THAT lock
+        // incarnation (tokens are unique per acquire, so equality rules
+        // out a swap between the reads). Reading age first and token
+        // second would let a sibling's complete reclaim (old lock →
+        // debris, new lock created) land in between, pairing the OLD
+        // incarnation's stale age with the NEW live holder's token —
+        // the stale branch would then break a freshly acquired lock
+        // and admit two committers at once.
+        val holderPre = readLock()
         val age =
           try System.currentTimeMillis - Files.getLastModifiedTime(lock).toMillis
           catch { case _: java.io.IOException => -1L } // vanished below
         val holder = readLock()
+        if (holderPre != holder)
+          concurrentFailure() // lock turned over mid-read: live activity
         if (age < 0 || holder.isEmpty) {
           // The lock vanished between attempts — its holder released;
           // take the normal acquire path once more.
@@ -1529,6 +1541,16 @@ object ManifestSink {
             if (mt > 0 && lastMtime > 0 && mt != lastMtime)
               acquireDeadline = System.currentTimeMillis + acquireWaitMs
             if (mt > 0) lastMtime = mt
+            // A lost reclaim/reacquire race is PROGRESS (a sibling
+            // just took the lock for its milliseconds of commit work),
+            // but it often lands within one poll interval of the lease
+            // lapse — exactly when the heartbeat-extended deadline is
+            // about to expire. Grant the queueing caller a short grace
+            // so the scramble's loser retries once the winner's swap
+            // completes, instead of failing inside its polite wait.
+            if (!e.getMessage.contains("concurrent committer"))
+              acquireDeadline = math.max(acquireDeadline,
+                System.currentTimeMillis + LockAcquireWaitMs)
           }
           Thread.sleep(25L + scala.util.Random.nextInt(50))
       }
@@ -1620,8 +1642,28 @@ object ManifestSink {
         eqDeletes.filter(_.seq > e.seq).map(d =>
           d.cols -> eqSets.getOrElseUpdate(d.name,
             eqKeySet(dir, d.name, d.cols, aliases)))
+      // The LATEST streaming epoch is replay-protected: the sink's
+      // replay idempotence retires stale attempts BY NAME PREFIX
+      // (part-eNNNNN-), so an external compaction merging those
+      // entries into compact-* names between a sink commit and its
+      // checkpoint advance would make the replay find nothing to
+      // retire and double-count the epoch. Only the max epoch can
+      // ever replay (Structured Streaming starts epoch k+1 only after
+      // k's checkpoint commit), so excluding it alone keeps external
+      // maintenance safe on actively-tailed tables at zero cost to
+      // the backlog (the in-commit autoCompact path already excludes
+      // its own epoch the same way).
+      val epochRe = "part-e(\\d+)-.*".r
+      val latestEpoch: Option[String] = entries.flatMap(e =>
+        e.name match {
+          case epochRe(num) => Some((num.toLong, num))
+          case _ => None
+        }).maxByOption(_._1).map(_._2) // numeric max, digit string as written
+      val replayProtected = (name: String) =>
+        latestEpoch.exists(num => name.startsWith(s"part-e$num-"))
       val (smallAll, big) = entries.partition(e =>
         e.rows < targetRows && !exclude(e.name) && inScope(e) &&
+          !replayProtected(e.name) &&
           // Parquet-kind candidates must be DELETE-FREE: the row-group
           // append below copies rows verbatim (no decode), so a DV or
           // an applicable tombstone cannot be materialized — such

@@ -705,6 +705,39 @@ class ManifestSinkUnitSpec extends AnyFunSuite {
       s"merged bounds: ${compactEntry.stats}")
   }
 
+  test("EXTERNAL compaction never merges the latest epoch's files: a " +
+      "sink commit awaiting its checkpoint must keep its epoch-named " +
+      "entries for replay retirement") {
+    val dir = Files.createTempDirectory("graft_manifest_unit").toString
+    val staging = Files.createDirectories(Paths.get(dir, ".staging-qe"))
+    val sink = new ManifestStreamingWrite(dir, schema, "qe", retain = false)
+    (1 to 3).foreach { e =>
+      val n = f"part-e$e%05d-00000.ndjson"
+      Files.write(staging.resolve(n),
+        s"""{"id":$e}\n""".getBytes(StandardCharsets.UTF_8))
+      sink.commit(e.toLong, Array(StagedFile(n, 1L,
+        Seq(ColStat("id", e.toString, e.toString)))))
+    }
+    // Maintenance compaction between epoch 3's sink commit and its
+    // checkpoint advance: epochs 1-2 merge, epoch 3 must carry over
+    // epoch-named — a replay of epoch 3 retires entries BY PREFIX and
+    // would otherwise double-count its rows beside the compact file.
+    assert(ManifestSink.compact(dir, 1000L) == 2)
+    val entries = ManifestSink.committedEntries(dir)
+    assert(entries.exists(_.name == "part-e00003-00000.ndjson"),
+      s"latest epoch merged away: ${entries.map(_.name)}")
+    // The replay proof: re-commit epoch 3 (one replacement attempt
+    // file); rows must stay exactly 1..3 — no double count.
+    val n3 = "part-e00003-11111.ndjson"
+    Files.write(staging.resolve(n3),
+      """{"id":3}""".stripMargin.concat("\n")
+        .getBytes(StandardCharsets.UTF_8))
+    sink.commit(3L, Array(StagedFile(n3, 1L,
+      Seq(ColStat("id", "3", "3")))))
+    assert(ManifestSink.committedRowCount(dir) == 3L,
+      "epoch-3 replay double-counted rows")
+  }
+
   test("inferSchema samples past leading nulls and widens long|double") {
     val dir = Files.createTempDirectory("graft_manifest_unit").toString
     Files.write(Paths.get(dir, "part-s.ndjson"),
