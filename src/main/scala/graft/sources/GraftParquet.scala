@@ -99,8 +99,11 @@ private[sources] object GraftParquet {
     c.set("spark.sql.parquet.int96AsTimestamp", "false")
     c.set("spark.sql.caseSensitive", "false")
     c.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    c.set("spark.sql.legacy.parquet.int96RebaseModeInWrite", "CORRECTED")
-    c.set("spark.sql.legacy.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    // Rebase modes intentionally NOT set here: Spark 4's
+    // ParquetWriteSupport reads them from the thread-local SQLConf
+    // (not this Hadoop conf), whose default is already CORRECTED —
+    // Hadoop-conf keys for them would be dead config implying control
+    // this path doesn't have.
     c
   }
 
@@ -217,15 +220,21 @@ private[sources] object GraftParquet {
     val bins = collection.mutable.ArrayBuffer[
       (Seq[StagedFile], org.apache.parquet.hadoop.metadata.FileMetaData)]()
     bySchema.toSeq.sortBy(_._1).foreach { case (_, group) =>
-      val cur = collection.mutable.ArrayBuffer[StagedFile]()
+      // First-fit over name-sorted members — the SAME bin-packing
+      // shape as the NDJSON path (determinism over optimality). The
+      // earlier strictly-sequential variant abandoned a pairable
+      // leading singleton at every bin boundary (a(60), e(70), f(30)
+      // at target 100 left `a` a small file forever).
+      val open = collection.mutable.ArrayBuffer[
+        collection.mutable.ArrayBuffer[StagedFile]]()
       group.sortBy(_.name).foreach { e =>
-        if (cur.nonEmpty && cur.map(_.rows).sum + e.rows > targetRows) {
-          if (cur.size >= 2) bins += ((cur.toSeq, footers(cur.head.name)))
-          cur.clear()
+        open.find(b => b.map(_.rows).sum + e.rows <= targetRows) match {
+          case Some(b) => b += e
+          case None => open += collection.mutable.ArrayBuffer(e)
         }
-        cur += e
       }
-      if (cur.size >= 2) bins += ((cur.toSeq, footers(cur.head.name)))
+      open.filter(_.size >= 2).foreach(b =>
+        bins += ((b.toSeq, footers(b.head.name))))
     }
     bins.toSeq.zipWithIndex.map { case ((group, meta), k) =>
       heartbeat()
@@ -605,8 +614,13 @@ private[sources] class ParquetPartitionReader(file: String,
     readCols.map(c => fileStruct(c).dataType)
 
   // Value promotion per projected column (file physical type → table
-  // read type); equality keys promote to the TABLE key type before
-  // rendering so the key text matches the tombstones'.
+  // read type). Equality keys render under the FILE's own type (see
+  // eqCols below) — the NDJSON lane compares raw file tokens, so
+  // file-type rendering is what keeps the two kinds' key text
+  // consistent; text-CHANGING widens of key columns are excluded at
+  // the source (equalityDelete refuses float/double identifiers,
+  // Iceberg's identifier-field rule, and integral widens render
+  // identically).
   private val colIdx: Array[Int] = names.map { n =>
     val s = spellingOf(n)
     if (s == null) -1 else readIdx(s)

@@ -165,6 +165,21 @@ object ManifestOps {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     keys.schema.fields.foreach(f => require(NdjsonCodec.supported(f.dataType),
       s"equality-delete key column ${f.name}: ${f.dataType} unsupported"))
+    // Iceberg's identifier-field rule, same rationale: the membership
+    // test is RENDERED-LITERAL equality, and float/double text is
+    // width- and vintage-sensitive — a FLOAT→DOUBLE widen re-renders
+    // 0.1f as 0.10000000149…, so a tombstone keyed on the served
+    // (table-typed) value would silently miss every pre-widen file's
+    // rows. Refuse loudly; delete by a stable (integral/string/
+    // temporal) key instead.
+    keys.schema.fields.foreach(f => require(
+      f.dataType != org.apache.spark.sql.types.FloatType &&
+        f.dataType != org.apache.spark.sql.types.DoubleType,
+      s"equality-delete key column ${f.name}: ${f.dataType} cannot be " +
+        "an equality-delete identifier (rendered-literal equality is " +
+        "width-sensitive across type widens for float/double; " +
+        "Iceberg's identifier-field rule) — key on a stable column " +
+        "instead"))
     val cols = keys.schema.fieldNames.toSeq
     require(cols.nonEmpty, "equality delete needs at least one key column")
     require(cols.forall(c => !c.contains(",")),

@@ -1918,12 +1918,34 @@ object ManifestSink {
     def cmp(a: String, b: String): Option[Int] =
       (a.startsWith("\""), b.startsWith("\"")) match {
         case (true, true) =>
-          // UTF8String byte order — the SAME order the writer's stat
-          // tracking and the scan's pruning compare use, so a merged
-          // bound stays a valid bound under the order that matters.
+          // UTF8String byte order — the order the writer's stat
+          // tracking and the scan's STRING pruning compare use. One
+          // trap: TIMESTAMP bounds render as ISO instants at VARIABLE
+          // precision (Instant.toString omits zero fractions), where
+          // byte order and chronological order can DISAGREE
+          // ("…01Z" > "…01.123456Z" bytewise, earlier in time) — and
+          // timestamp pruning compares numeric micros. mergeStats is
+          // type-blind (a STRING column can hold instant-shaped text
+          // whose pruning IS byte-ordered), so when both tokens parse
+          // as instants and the two orders disagree, no single answer
+          // is valid for both possible column types: DROP the bound
+          // (costs pruning, never correctness). Agreeing orders — the
+          // common same-precision case — merge normally.
           for {
             x <- asStr(a); y <- asStr(b)
-          } yield UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+            sc = UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+            ok <- {
+              val chrono =
+                try Some(java.time.Instant.parse(x)
+                  .compareTo(java.time.Instant.parse(y)))
+                catch { case _: Exception => None }
+              chrono match {
+                case Some(cc) if Integer.signum(cc) != Integer.signum(sc) =>
+                  None // orders disagree: no bound valid for both types
+                case _ => Some(sc)
+              }
+            }
+          } yield ok
         case (false, false) =>
           try Some(new java.math.BigDecimal(a)
             .compareTo(new java.math.BigDecimal(b)))
@@ -5226,7 +5248,9 @@ private[sources] class ManifestReaderFactory(required: StructType,
         new ParquetPartitionReader(p.file, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
           aliases, start = p.start,
-          end = if (p.end == Long.MaxValue) Long.MaxValue else p.end)
+          // Planner and reader agree on half-open [start, end) byte
+          // ranges for the parquet kind — passed through unchanged.
+          end = p.end)
       case p: ManifestFilePartition =>
         new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
