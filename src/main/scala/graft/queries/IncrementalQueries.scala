@@ -1216,6 +1216,52 @@ object IncrementalQueries {
       graft.streaming.Streams.runToTable(agg, "st32_mem", "complete")
     },
 
+    // LIMIT / TOP-N PUSHDOWN (round-16): `ORDER BY k LIMIT n` plans
+    // only the files that may hold a top-n row — the coverage-cutoff
+    // file pruning behind SupportsPushDownTopN (HeadPushdownSpec pins
+    // the planned-partition counts; a 5-row limit over 8 files plans
+    // 1). Here the semantics are proven END TO END against the oracle,
+    // composed with a deletion vector: the corpus lands
+    // range-partitioned by doc_id (the time/id-sorted layout a 100 TB
+    // table has), a merge-on-read DELETE kills doc_id < 50, and both
+    // sort directions take their top 20 — the ascending leg's answer
+    // sits entirely inside the DV'd boundary file, so a plan that
+    // trusted physical bounds over liveRows, or dropped the vector on
+    // the pruned read, returns deleted rows and breaks the hash.
+    // Pushdown is PARTIAL by contract (Spark re-sorts the planned
+    // superset), so pruning can never cost correctness — this spec
+    // exists to catch a coverage bug that plans too FEW files.
+    QuerySpec(
+      "a65_topn_pushdown",
+      """WITH live AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 50
+        |), asc20 AS (
+        |  SELECT * FROM live ORDER BY doc_id LIMIT 20
+        |), desc20 AS (
+        |  SELECT * FROM live ORDER BY doc_id DESC LIMIT 20
+        |)
+        |SELECT 'asc' AS leg, doc_id, lang, n_chars FROM asc20
+        |UNION ALL
+        |SELECT 'desc' AS leg, doc_id, lang, n_chars FROM desc20""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a65", dir)
+      val cat = "graft_a65_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING,
+        n_chars BIGINT) TBLPROPERTIES ('deletionvectors'='true')""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("doc_id"))
+        .writeTo(s"$cat.docs").append()
+      s.sql(s"DELETE FROM $cat.docs WHERE doc_id < 50") // DV, file 1
+      val t = s.sql(s"SELECT doc_id, lang, n_chars FROM $cat.docs")
+      def leg(name: String, sorted: org.apache.spark.sql.DataFrame) =
+        sorted.limit(20).select(lit(name).as("leg"), col("doc_id"),
+          col("lang"), col("n_chars"))
+      leg("asc", t.orderBy(col("doc_id")))
+        .unionAll(leg("desc", t.orderBy(col("doc_id").desc)))
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

@@ -3946,10 +3946,63 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     fileFilter: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
   private var aggResult: Option[(StructType, Array[InternalRow])] = None
+  private var headLimit: Option[Int] = None
+  private var topNSpec: Option[(String, Boolean, Int)] = None
+
+  // ----- LIMIT / TOP-N PUSHDOWN: plan only the file PREFIX that covers
+  // the asked-for rows. Always PARTIAL (Spark keeps its own
+  // Sort/Limit — the scan only ever returns a provable superset), so
+  // correctness never depends on the pruning. Spark attempts these
+  // only when no post-scan filter remains, and this source keeps every
+  // filter residual, so a WHERE always takes the normal path; the
+  // remaining special scans (CDF, row-level, keyed/partitioned,
+  // incremental) stand down here. At 100 TB this is the difference
+  // between `ORDER BY ts LIMIT 100` planning one file of a
+  // time-sorted table and planning the table.
+  private def headEligible: Boolean =
+    !changeFeed && startingVersion.isEmpty && endingVersion.isEmpty &&
+      fileSubset.isEmpty && rowLevel.isEmpty && !fileFilter &&
+      maxGensPerTrigger.isEmpty && partCols.isEmpty
+
+  override def pushLimit(limit: Int): Boolean =
+    if (!headEligible || limit <= 0) false
+    else { headLimit = Some(limit); true }
+
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (!headEligible || limit <= 0 || orders.isEmpty) return false
+    orders.head.expression() match {
+      // Pruning is on the PRIMARY sort key only (lexicographic order:
+      // any row whose first key is strictly above the coverage cutoff
+      // cannot be in the top N); Spark re-sorts the planned superset
+      // on the full key list. Only exact-bound stat types can prove
+      // the cutoff — strings truncate, everything else stands down.
+      case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+        val col = r.fieldNames().mkString(".")
+        val exact = ManifestStats.fieldAt(full, col).map(_.dataType).exists {
+          case ByteType | ShortType | IntegerType | LongType | FloatType |
+              DoubleType | DateType | TimestampType | _: DecimalType => true
+          case _ => false
+        }
+        if (!exact) false
+        else {
+          import org.apache.spark.sql.connector.expressions.SortDirection
+          topNSpec = Some((col,
+            orders.head.direction() == SortDirection.DESCENDING, limit))
+          true
+        }
+      case _ => false
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -4184,7 +4237,7 @@ private[sources] class ManifestScanBuilder(path: String, full: StructType,
     case None =>
       new ManifestScan(path, full, required, pushed, version, maxSplitBytes,
         maxGensPerTrigger, fileSubset, changeFeed, startingVersion,
-        endingVersion, partCols, rowLevel, fileFilter)
+        endingVersion, partCols, rowLevel, fileFilter, headLimit, topNSpec)
   }
 }
 
@@ -4414,7 +4467,9 @@ private[sources] class ManifestScan(path: String, full: StructType,
     endingVersion: Option[Long] = None,
     partCols: Seq[String] = Nil,
     rowLevel: Option[ScanRecorder] = None,
-    fileFilter: Boolean = false)
+    fileFilter: Boolean = false,
+    headLimit: Option[Int] = None,
+    topNSpec: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -4902,10 +4957,113 @@ private[sources] class ManifestScan(path: String, full: StructType,
               runtimeFileSubset.isEmpty)
             Some((full, pushed ++ runtimeDataFilters))
           else None
-        survivingEntries.flatMap(f =>
+        val chosen = chooseHead(survivingEntries, eqs.nonEmpty)
+        plannedEntries = chosen.size
+        chosen.flatMap(f =>
           ManifestSink.splitFile(path, f, maxSplitBytes, eqFor(f),
             pruning)).toArray
     }
+  }
+
+  /** Pushed-LIMIT / TOP-N file pruning (see [[ManifestScanBuilder]]'s
+    * pushdown contract): return the SUBSET of surviving files that
+    * provably contains a valid answer superset, or all of them when
+    * nothing is provable. Sound-or-stand-down:
+    *  - a pending EQUALITY DELETE drops rows at read, so `liveRows`
+    *    overcounts and the coverage argument breaks — stand down
+    *    (checked here, at plan time, against THIS scan's snapshot);
+    *  - runtime filters mean the scan sits under a join, not a bare
+    *    limit — stand down;
+    *  - deletion vectors are fine: `liveRows` is the exact live count
+    *    and physical bounds outer-bound the live subset. */
+  private def chooseHead(base: Seq[StagedFile], eqPending: Boolean)
+      : Seq[StagedFile] = {
+    if ((headLimit.isEmpty && topNSpec.isEmpty) || eqPending ||
+        runtimeFileSubset.isDefined || runtimeDataFilters.nonEmpty)
+      return base
+    topNSpec match {
+      case Some((col, desc, n)) =>
+        topNCandidates(base, col, desc, n).getOrElse(base)
+      case None =>
+        // Unordered LIMIT: ANY n live rows are a correct answer —
+        // plan the manifest-order file prefix covering n.
+        val n = headLimit.get
+        var acc = 0L
+        val b = Seq.newBuilder[StagedFile]
+        val it = base.iterator
+        while (acc < n && it.hasNext) {
+          val e = it.next(); b += e; acc += e.liveRows
+        }
+        b.result()
+    }
+  }
+
+  /** Files that may hold a top-`n` row on `col`. Coverage argument
+    * (no non-overlap assumption needed): sort files by max bound
+    * ascending (min descending for DESC), accumulate `liveRows` to
+    * `n` — every accumulated row is `<=` the cutoff V (the last
+    * file's max), so at least n live rows are `<= V` and the true
+    * top-n all are too; keep exactly the files whose min is `<= V`
+    * (a file with min `> V` cannot hold any). Requires every file to
+    * prove: a recorded ZERO null count on `col` (a null sorts
+    * first/last — positionally unprovable from bounds), a no-NaN
+    * stat, and exact-typed parseable bounds. Any gap → None. */
+  private def topNCandidates(base: Seq[StagedFile], col: String,
+      desc: Boolean, n: Int): Option[Seq[StagedFile]] = {
+    val dt = ManifestStats.fieldAt(full, col).map(_.dataType)
+      .getOrElse(return None)
+    def parse(tok: String): Option[Any] = dt match {
+      case ByteType => scala.util.Try(tok.toByte: Any).toOption
+      case ShortType => scala.util.Try(tok.toShort: Any).toOption
+      case IntegerType => scala.util.Try(tok.toInt: Any).toOption
+      case LongType => scala.util.Try(tok.toLong: Any).toOption
+      case FloatType => scala.util.Try(tok.toFloat: Any).toOption
+      case DoubleType => scala.util.Try(tok.toDouble: Any).toOption
+      case DateType | TimestampType | _: DecimalType =>
+        scala.util.Try(NdjsonCodec.converter(dt)(
+          NdjsonCodec.parseLine(s"""{"v":$tok}""")("v"))).toOption
+          .filter(_ != null)
+      case _ => None // strings truncate; bounds are prefixes, not values
+    }
+    val ord: Ordering[Any] = dt match {
+      case ByteType => Ordering.Byte.asInstanceOf[Ordering[Any]]
+      case ShortType => Ordering.Short.asInstanceOf[Ordering[Any]]
+      case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
+      case LongType => Ordering.Long.asInstanceOf[Ordering[Any]]
+      case FloatType =>
+        Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
+      case DoubleType =>
+        Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
+      case DateType => Ordering.Int.asInstanceOf[Ordering[Any]]
+      case TimestampType => Ordering.Long.asInstanceOf[Ordering[Any]]
+      case _: DecimalType =>
+        Ordering.by((v: Any) =>
+          v.asInstanceOf[org.apache.spark.sql.types.Decimal])
+      case _ => return None
+    }
+    val bounds: Seq[(StagedFile, Any, Any)] = base.map { e =>
+      (for {
+        _ <- e.nullCounts.get(col).filter(_ == 0L)
+        st <- e.stats.find(_.col == col).filter(!_.hasNan)
+        mn <- parse(st.min)
+        mx <- parse(st.max)
+      } yield (e, mn, mx)).getOrElse(return None)
+    }
+    var acc = 0L
+    var cut: Option[Any] = None
+    val it = (if (desc) bounds.sortBy(_._2)(ord.reverse)
+              else bounds.sortBy(_._3)(ord)).iterator
+    while (acc < n && it.hasNext) {
+      val (e, mn, mx) = it.next()
+      acc += e.liveRows
+      cut = Some(if (desc) mn else mx)
+    }
+    if (acc < n) return Some(base) // table smaller than the limit
+    val v = cut.get
+    Some(bounds.collect {
+      case (e, mn, _) if !desc && ord.lteq(mn, v) => e
+      case (e, _, mx) if desc && ord.gteq(mx, v) => e
+    })
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
