@@ -118,6 +118,25 @@ class HeadPushdownSpec extends AnyFunSuite with SparkSpec {
     assert(plannedParts(q) <= 2, "post-DV top-3 needs at most files 1-2")
   }
 
+  test("parquet-kind files prune the same way (stats are kind-agnostic)") {
+    val wh = Files.createTempDirectory("graft_hp_pq").toString
+    val cat = "graft_hp_pq"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, v DOUBLE, s STRING)
+      TBLPROPERTIES ('filekind'='parquet')""")
+    docs(2000).repartitionByRange(4, col("id"))
+      .createOrReplaceTempView("hp_pq_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM hp_pq_src")
+    val q = spark.sql(s"SELECT id FROM $cat.t ORDER BY id DESC LIMIT 3")
+    assert(ids(q) == Seq(1999L, 1998L, 1997L))
+    assert(plannedParts(q) == 1,
+      "parquet-kind top-3 descending lives in the last file of 4")
+    val lim = spark.sql(s"SELECT id FROM $cat.t LIMIT 5")
+    assert(lim.count() == 5)
+    assert(plannedParts(lim) == 1)
+  }
+
   test("pending equality delete stands down (liveRows overcounts)") {
     val out = table("hp_eq", docs(400), 4, range = true)
     ManifestOps.equalityDelete(out, spark.range(0, 2).toDF("id"))
