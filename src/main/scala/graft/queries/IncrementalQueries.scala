@@ -1262,6 +1262,55 @@ object IncrementalQueries {
         .unionAll(leg("desc", t.orderBy(col("doc_id").desc)))
     },
 
+    // ATOMIC CTAS / RTAS (round-16, StagingTableCatalog on
+    // GraftCatalog): without staging, Spark executes REPLACE TABLE AS
+    // SELECT as drop-then-create — a crash mid-rebuild LOSES the
+    // table, which a nightly 100 TB corpus rebuild cannot risk. Here
+    // the full lifecycle runs against the oracle: CTAS lands the
+    // corpus (atomic directory rename — the table appears complete or
+    // not at all), a sabotaged RTAS (raise_error mid-write) fails and
+    // MUST leave the CTAS state byte-identically readable (the 'pre'
+    // leg — the deferred publish means the old manifest was never
+    // touched), then the real RTAS swaps in the filtered rebuild as
+    // one truncate-commit (the 'post' leg). StagingCatalogSpec pins
+    // the failure shapes and staging-residue cleanup filesystem-wise.
+    QuerySpec(
+      "a66_atomic_rtas",
+      """SELECT 'pre' AS leg, lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'post' AS leg, lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 50 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a66", dir)
+      val cat = "graft_a66_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a66_src")
+      s.sql(s"CREATE TABLE $cat.corpus AS SELECT * FROM a66_src")
+      // Sabotaged rebuild: the write job dies mid-flight; the staged
+      // commit is aborted and the live table must be untouched.
+      try s.sql(s"""REPLACE TABLE $cat.corpus AS
+        SELECT doc_id, CAST(raise_error('rebuild crash') AS STRING) AS lang, n_chars
+        FROM a66_src""")
+      catch { case _: Exception => () }
+      // Materialized EAGERLY: the leg must read the table BEFORE the
+      // replace below lands (DataFrames are lazy — an unexecuted plan
+      // would re-resolve the post-RTAS manifest at dump time).
+      val preQ = s.sql(s"""SELECT 'pre' AS leg, lang, count(*) AS n,
+        sum(n_chars) AS sum_chars FROM $cat.corpus GROUP BY 1, 2""")
+      val pre = s.createDataFrame(
+        java.util.Arrays.asList(preQ.collect(): _*), preQ.schema)
+      s.sql(s"""REPLACE TABLE $cat.corpus AS
+        SELECT doc_id, lang, n_chars FROM a66_src WHERE n_chars >= 50""")
+      val post = s.sql(s"""SELECT 'post' AS leg, lang, count(*) AS n,
+        sum(n_chars) AS sum_chars FROM $cat.corpus GROUP BY 1, 2""")
+      pre.unionAll(post)
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

@@ -41,7 +41,8 @@ class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog
     with org.apache.spark.sql.connector.catalog.SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var base: Path = _
 
@@ -90,7 +91,10 @@ class GraftCatalog extends TableCatalog
       val out = collection.mutable.ArrayBuffer[Identifier]()
       while (it.hasNext) {
         val p = it.next()
-        if (Files.exists(metaPath(p)))
+        // Staged CTAS directories carry their meta for one instant
+        // before the commit rename — never list them as tables.
+        if (Files.exists(metaPath(p)) &&
+            !p.getFileName.toString.contains("._staged_"))
           out += Identifier.of(namespace, p.getFileName.toString)
       }
       out.toArray
@@ -239,8 +243,8 @@ class GraftCatalog extends TableCatalog
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
       ident)
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  private def parseTransforms(schema: StructType,
+      partitions: Array[Transform]): Seq[String] = {
     val partCols = partitions.toSeq.map {
       case t if t.name == "identity" => t.references()(0).fieldNames().mkString(".")
       case t if t.name == "bucket" =>
@@ -256,15 +260,23 @@ class GraftCatalog extends TableCatalog
     partCols.map(PartSpec.parse).foreach(sp =>
       require(schema.fieldNames.contains(sp.col),
         s"partition column '${sp.col}' is not in the table schema"))
+    partCols
+  }
+
+  /** Keep user TBLPROPERTIES; drop Spark's internal bookkeeping keys. */
+  private def cleanProps(properties: util.Map[String, String]): Map[String, String] = {
+    val it = properties.entrySet().iterator()
+    val b = collection.mutable.Map[String, String]()
+    while (it.hasNext) { val e = it.next(); b(e.getKey.toLowerCase) = e.getValue }
+    b.toMap -- Seq("provider", "owner", "location", "external", "comment")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partCols = parseTransforms(schema, partitions)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
-    // Keep user TBLPROPERTIES; drop Spark's internal bookkeeping keys.
-    val props = {
-      val it = properties.entrySet().iterator()
-      val b = collection.mutable.Map[String, String]()
-      while (it.hasNext) { val e = it.next(); b(e.getKey.toLowerCase) = e.getValue }
-      b.toMap -- Seq("provider", "owner", "location", "external", "comment")
-    }
+    val props = cleanProps(properties)
     ManifestSink.codecOf(props) // validate loudly at CREATE, not at write
     writeMeta(dir, schema, partCols, props)
     new ManifestTable(dir.toString, schema, None, partCols, props)
@@ -453,6 +465,215 @@ class GraftCatalog extends TableCatalog
         newIdent.namespace().toSeq :+ newIdent.name())
     Files.createDirectories(to.getParent)
     Files.move(from, to, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ----- StagingTableCatalog: ATOMIC CTAS / RTAS. Without this
+  // capability Spark executes `REPLACE TABLE t AS SELECT` as
+  // drop-then-create-then-write — a crash mid-query leaves the table
+  // GONE, which a 100 TB nightly rebuild cannot risk. With it:
+  //
+  //  - CTAS stages into a hidden sibling directory
+  //    (`.<name>._staged_<nonce>`, invisible to listTables/loadTable —
+  //    no `_table.json` until commit) and commits by writing the meta
+  //    file THEN one atomic directory rename: the table appears
+  //    complete, data and all, in a single filesystem commit point;
+  //    a racing plain CREATE makes the rename fail loudly
+  //    (create-exclusive), never merge.
+  //  - RTAS stages into the LIVE directory through the normal
+  //    two-phase writer but DEFERS the manifest publish: the inner
+  //    BatchWrite.commit stashes its commit messages, and
+  //    commitStagedChanges replays them as a TRUNCATE commit (one
+  //    atomic manifest swap retiring every old file — the same swap
+  //    INSERT OVERWRITE trusts), then swaps `_table.json` for
+  //    schema/partitioning/property changes. The old table stays
+  //    fully readable until that swap; a crash at ANY earlier point
+  //    leaves it untouched (staged task files are orphans for vacuum).
+  //    The one non-atomic seam — manifest swapped, meta not — only
+  //    exists when the RTAS CHANGES the schema, lasts two adjacent
+  //    atomic renames, and resolves to the documented absent-key /
+  //    stand-down read semantics; re-running the RTAS repairs it.
+  private def stagedName(ident: Identifier): Path =
+    dirOf(ident).getParent.resolve(
+      s".${ident.name()}._staged_" +
+        java.util.UUID.randomUUID().toString.take(8))
+
+  private def identSeq(ident: Identifier): Seq[String] =
+    Seq(name()) ++ ident.namespace().toSeq :+ ident.name()
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val partCols = parseTransforms(schema, partitions)
+    val props = cleanProps(properties)
+    ManifestSink.codecOf(props)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(identSeq(ident))
+    val finalDir = dirOf(ident)
+    Files.createDirectories(finalDir.getParent)
+    val staging = stagedName(ident)
+    Files.createDirectories(staging)
+    new StagedCreate(staging, finalDir, identSeq(ident), schema, partCols,
+      props)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val partCols = parseTransforms(schema, partitions)
+    val props = cleanProps(properties)
+    ManifestSink.codecOf(props)
+    if (!tableExists(ident))
+      throw new NoSuchTableException(identSeq(ident))
+    new StagedReplace(dirOf(ident), identSeq(ident), schema, partCols, props)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+
+  /** Staged CTAS target: a full [[ManifestTable]] over the hidden
+    * staging directory — the write job runs the normal two-phase
+    * committer there, invisible to every reader. Commit = meta write
+    * + ONE atomic rename into place. */
+  private class StagedCreate(staging: Path, finalDir: Path,
+      identParts: Seq[String], tblSchema: StructType,
+      partCols: Seq[String], props: Map[String, String])
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    private val inner =
+      new ManifestTable(staging.toString, tblSchema, None, partCols, props)
+    override def name(): String = identParts.mkString(".")
+    override def schema(): StructType = tblSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def properties(): util.Map[String, String] = inner.properties()
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      inner.newWriteBuilder(info)
+    override def commitStagedChanges(): Unit = {
+      writeMeta(staging, tblSchema, partCols, props)
+      try Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          deleteTree(staging)
+          throw new TableAlreadyExistsException(identParts)
+      }
+    }
+    override def abortStagedChanges(): Unit = deleteTree(staging)
+  }
+
+  /** Staged RTAS target over the LIVE directory: the write runs the
+    * normal committer (staged task files land invisibly), but the
+    * publish is stashed and replayed as a TRUNCATE commit inside
+    * [[commitStagedChanges]] — the old table is intact until that one
+    * manifest swap. A bare `REPLACE TABLE` (no AS SELECT — Spark
+    * commits the staged table without ever writing) publishes the
+    * truncate directly.
+    *
+    * Concurrency posture: the data commit is the conflict-detecting
+    * truncate shape (short lock wait, loud failure on contention), and
+    * appends landing AFTER it compose onto the replaced table — the
+    * standard replace-then-append serialization. TWO simultaneous RTAS
+    * of the SAME table can interleave their (data, meta) swaps so the
+    * survivor's data pairs with the loser's schema — a pathological
+    * op (one nightly rebuild owns a table); serialize writers or use
+    * [[GraftTxn]] if a pipeline genuinely needs racing replaces. */
+  private class StagedReplace(dir: Path, identParts: Seq[String],
+      tblSchema: StructType, partCols: Seq[String],
+      props: Map[String, String])
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+    private val inner =
+      new ManifestTable(dir.toString, tblSchema, None, partCols, props)
+    @volatile private var pending
+        : Option[(BatchWrite, Array[WriterCommitMessage])] = None
+    override def name(): String = identParts.mkString(".")
+    override def schema(): StructType = tblSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def partitioning(): Array[Transform] = inner.partitioning()
+    override def properties(): util.Map[String, String] = inner.properties()
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+      // Spark writes to a staged-replace table as if it were new and
+      // empty — the replace semantics live here: force the TRUNCATE
+      // shape so the deferred publish retires every pre-RTAS file.
+      val truncating = inner.newWriteBuilder(info) match {
+        case t: org.apache.spark.sql.connector.write.SupportsTruncate =>
+          t.truncate()
+        case other => other
+      }
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate
+          with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        // Spark plans the RTAS write as a truncate / overwrite(true) on
+        // the staged table; the inner builder is ALREADY the truncate
+        // shape, so both are identity here — anything narrower than a
+        // full overwrite is not a table replacement.
+        override def truncate(): WriteBuilder = this
+        override def overwrite(filters: Array[
+            org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+          require(filters.isEmpty || filters.forall(
+            _ == org.apache.spark.sql.sources.AlwaysTrue),
+            s"staged REPLACE overwrites the whole table; got filter " +
+              filters.mkString(", "))
+          this
+        }
+        override def build(): Write = {
+          val w = truncating.build()
+          new Write {
+            override def toBatch: BatchWrite = {
+              val bw = w.toBatch
+              new BatchWrite {
+                override def createBatchWriterFactory(p: PhysicalWriteInfo)
+                    : org.apache.spark.sql.connector.write.DataWriterFactory =
+                  bw.createBatchWriterFactory(p)
+                override def useCommitCoordinator(): Boolean =
+                  bw.useCommitCoordinator()
+                override def commit(messages: Array[WriterCommitMessage])
+                    : Unit = { pending = Some((bw, messages)) } // defer
+                override def abort(messages: Array[WriterCommitMessage])
+                    : Unit = bw.abort(messages)
+              }
+            }
+          }
+        }
+      }
+    }
+    override def commitStagedChanges(): Unit = {
+      pending match {
+        case Some((bw, messages)) => bw.commit(messages)
+        case None =>
+          // Bare REPLACE TABLE: no write job ran — publish the
+          // truncate generation itself (empty replacement).
+          new ManifestBatchWrite(dir.toString, tblSchema,
+            "rtas-" + java.util.UUID.randomUUID().toString.take(8),
+            truncate = true,
+            retain = props.get("retainhistory").exists(_.toBoolean),
+            ManifestSink.DefaultMaxSegments, partCols, Set.empty[String])
+            .commit(Array.empty)
+      }
+      writeMeta(dir, tblSchema, partCols, props, overwrite = true)
+    }
+    override def abortStagedChanges(): Unit = {
+      pending.foreach { case (bw, messages) => bw.abort(messages) }
+      pending = None
+    }
   }
 
   // ----- ViewCatalog (Spark 4's V2 view API): `CREATE VIEW cat.v AS
