@@ -91,11 +91,15 @@ class GraftCatalog extends TableCatalog
       val out = collection.mutable.ArrayBuffer[Identifier]()
       while (it.hasNext) {
         val p = it.next()
-        // Staged CTAS directories carry their meta for one instant
-        // before the commit rename — never list them as tables.
+        // Staged CTAS directories (dot-prefixed `.{name}._staged_*`)
+        // carry their meta for one instant before the commit rename —
+        // never list them as tables. The dot prefix keeps the filter
+        // from hiding a real table whose NAME merely contains the
+        // marker substring.
+        val fn = p.getFileName.toString
         if (Files.exists(metaPath(p)) &&
-            !p.getFileName.toString.contains("._staged_"))
-          out += Identifier.of(namespace, p.getFileName.toString)
+            !(fn.startsWith(".") && fn.contains("._staged_")))
+          out += Identifier.of(namespace, fn)
       }
       out.toArray
     } finally ls.close()
@@ -446,11 +450,7 @@ class GraftCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
     if (!Files.exists(metaPath(dir))) return false
-    // Delete contents bottom-up, then the directory itself.
-    val walk = Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    finally walk.close()
+    deleteTree(dir) // contents bottom-up, then the directory itself
     true
   }
 
@@ -497,6 +497,32 @@ class GraftCatalog extends TableCatalog
       s".${ident.name()}._staged_" +
         java.util.UUID.randomUUID().toString.take(8))
 
+  /** A crashed CTAS driver never reaches abortStagedChanges, leaving
+    * its hidden staged directory (and the full staged dataset) on
+    * disk where no table-scoped vacuum can see it. Every new staging
+    * operation in a namespace reclaims siblings older than the TTL —
+    * far beyond any live write's span, so an in-flight staged CTAS is
+    * never swept from under its own commit. */
+  private val StagedDirTtlMs = 24L * 3600 * 1000
+
+  private def sweepStaleStaged(nsDir: Path): Unit = {
+    if (!Files.isDirectory(nsDir)) return
+    val cutoff = System.currentTimeMillis() - StagedDirTtlMs
+    val ls = Files.list(nsDir)
+    try {
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith(".") && n.contains("._staged_") &&
+            Files.isDirectory(p) &&
+            scala.util.Try(Files.getLastModifiedTime(p).toMillis)
+              .toOption.exists(_ < cutoff))
+          scala.util.Try(deleteTree(p)) // best-effort GC, never fail a DDL
+      }
+    } finally ls.close()
+  }
+
   private def identSeq(ident: Identifier): Seq[String] =
     Seq(name()) ++ ident.namespace().toSeq :+ ident.name()
 
@@ -510,6 +536,7 @@ class GraftCatalog extends TableCatalog
       throw new TableAlreadyExistsException(identSeq(ident))
     val finalDir = dirOf(ident)
     Files.createDirectories(finalDir.getParent)
+    sweepStaleStaged(finalDir.getParent)
     val staging = stagedName(ident)
     Files.createDirectories(staging)
     new StagedCreate(staging, finalDir, identSeq(ident), schema, partCols,
@@ -616,7 +643,10 @@ class GraftCatalog extends TableCatalog
       val truncating = inner.newWriteBuilder(info) match {
         case t: org.apache.spark.sql.connector.write.SupportsTruncate =>
           t.truncate()
-        case other => other
+        case other => throw new IllegalStateException(
+          "staged REPLACE needs a truncate-capable write builder (a " +
+            s"non-truncating $other would silently APPEND the rebuild " +
+            "onto the old rows)")
       }
       new WriteBuilder
           with org.apache.spark.sql.connector.write.SupportsTruncate
@@ -998,10 +1028,7 @@ class GraftCatalog extends TableCatalog
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty — " +
           "use DROP NAMESPACE ... CASCADE")
-    val walk = Files.walk(dir)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.deleteIfExists(p))
-    finally walk.close()
+    deleteTree(dir)
     true
   }
 

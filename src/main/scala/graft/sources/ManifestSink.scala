@@ -5012,35 +5012,22 @@ private[sources] class ManifestScan(path: String, full: StructType,
       desc: Boolean, n: Int): Option[Seq[StagedFile]] = {
     val dt = ManifestStats.fieldAt(full, col).map(_.dataType)
       .getOrElse(return None)
-    def parse(tok: String): Option[Any] = dt match {
-      case ByteType => scala.util.Try(tok.toByte: Any).toOption
-      case ShortType => scala.util.Try(tok.toShort: Any).toOption
-      case IntegerType => scala.util.Try(tok.toInt: Any).toOption
-      case LongType => scala.util.Try(tok.toLong: Any).toOption
-      case FloatType => scala.util.Try(tok.toFloat: Any).toOption
-      case DoubleType => scala.util.Try(tok.toDouble: Any).toOption
-      case DateType | TimestampType | _: DecimalType =>
-        scala.util.Try(NdjsonCodec.converter(dt)(
-          NdjsonCodec.parseLine(s"""{"v":$tok}""")("v"))).toOption
-          .filter(_ != null)
-      case _ => None // strings truncate; bounds are prefixes, not values
-    }
-    val ord: Ordering[Any] = dt match {
-      case ByteType => Ordering.Byte.asInstanceOf[Ordering[Any]]
-      case ShortType => Ordering.Short.asInstanceOf[Ordering[Any]]
-      case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
-      case LongType => Ordering.Long.asInstanceOf[Ordering[Any]]
-      case FloatType =>
-        Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
-      case DoubleType =>
-        Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
-      case DateType => Ordering.Int.asInstanceOf[Ordering[Any]]
-      case TimestampType => Ordering.Long.asInstanceOf[Ordering[Any]]
-      case _: DecimalType =>
-        Ordering.by((v: Any) =>
-          v.asInstanceOf[org.apache.spark.sql.types.Decimal])
+    // Exact-bound types only: strings truncate at StatLen (bounds are
+    // prefixes, not values) and everything else is unproven. Bounds
+    // re-enter through the SAME typed converter the row reader uses
+    // and compare under the SAME ordering the writer minted them with
+    // ([[NdjsonCodec.statOrdering]]) — no second dispatch to drift.
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | DateType | TimestampType | _: DecimalType => ()
       case _ => return None
     }
+    def parse(tok: String): Option[Any] =
+      scala.util.Try(NdjsonCodec.converter(dt)(
+        NdjsonCodec.parseLine(s"""{"v":$tok}""")("v"))).toOption
+        .filter(_ != null)
+    val ord: Ordering[Any] = NdjsonCodec.statOrdering(dt).getOrElse(
+      return None)
     val bounds: Seq[(StagedFile, Any, Any)] = base.map { e =>
       (for {
         _ <- e.nullCounts.get(col).filter(_ == 0L)

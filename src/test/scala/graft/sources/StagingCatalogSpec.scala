@@ -117,6 +117,36 @@ class StagingCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(props.get("retainhistory").contains("true"))
   }
 
+  test("crashed-CTAS staging residue is reclaimed by the next staging op") {
+    val (cat, wh) = freshCat("sweep")
+    // Simulate a driver that died mid-CTAS: a staged dir with data,
+    // older than the TTL (abortStagedChanges never ran).
+    val stale = Paths.get(wh, ".dead._staged_deadbeef")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-0.ndjson"), "x".getBytes)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    // A YOUNG staged dir (an in-flight CTAS) must survive the sweep.
+    val live = Paths.get(wh, ".alive._staged_cafebabe")
+    Files.createDirectories(live)
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT id FROM range(0, 4)")
+    assert(!Files.exists(stale), "stale staged dir must be GC'd")
+    assert(Files.exists(live), "fresh staged dir must NOT be swept")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 4)
+  }
+
+  test("a real table whose NAME contains the staged marker still lists") {
+    val (cat, _) = freshCat("marker")
+    spark.sql(s"CREATE TABLE $cat.`a._staged_b` AS SELECT id FROM range(0, 2)")
+    val names = spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSeq
+    assert(names.contains("a._staged_b"),
+      "the staged-dir filter must only hide dot-prefixed staging dirs")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`a._staged_b`")
+      .head().getLong(0) == 2)
+  }
+
   test("CTAS into an existing name fails loudly, target untouched") {
     val (cat, wh) = freshCat("race")
     spark.sql(s"CREATE TABLE $cat.t AS SELECT id FROM range(0, 3)")
