@@ -1311,6 +1311,42 @@ object IncrementalQueries {
       pre.unionAll(post)
     },
 
+    // ENFORCED CHECK CONSTRAINTS (round-16, the ANSI constraint API on
+    // GraftCatalog): the table declares CHECK (n_chars >= 50) at
+    // CREATE; the conforming corpus slice lands, then an INSERT of the
+    // FULL corpus — which contains violating rows — must fail as a
+    // whole (Spark's analyzer plants the validation in the write plan;
+    // the two-phase committer publishes nothing for a failed job, so
+    // even the batch's VALID rows stay out). The aggregate over the
+    // surviving table proves both halves against the oracle: a
+    // constraint silently not enforced doubles the counts and admits
+    // n_chars < 50; a leaked partial batch breaks the sums.
+    // ConstraintSpec pins ALTER ADD/DROP, existing-row validation, and
+    // informational PK/FK round-trips.
+    QuerySpec(
+      "a67_check_constraints",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE n_chars >= 50 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a67", dir)
+      val cat = "graft_a67_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.corpus (doc_id BIGINT, lang STRING,
+        n_chars BIGINT, CONSTRAINT min_len CHECK (n_chars >= 50))""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a67_src")
+      s.sql(s"""INSERT INTO $cat.corpus
+        SELECT * FROM a67_src WHERE n_chars >= 50""")
+      // The full corpus contains violating rows: the whole batch must
+      // fail, landing zero rows (else counts double / sums admit <50).
+      try s.sql(s"INSERT INTO $cat.corpus SELECT * FROM a67_src")
+      catch { case _: Exception => () }
+      s.sql(s"""SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars
+        FROM $cat.corpus GROUP BY lang""")
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

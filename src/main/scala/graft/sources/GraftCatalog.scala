@@ -69,8 +69,13 @@ class GraftCatalog extends TableCatalog
     * never "value was null". */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // ANSI table constraints (enforced CHECK + informational
+      // PK/UNIQUE/FK) — see the constraint helpers on the companion.
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def dirOf(ident: Identifier): Path = {
     // Path traversal guard: identifiers are directory names, never paths.
@@ -286,6 +291,27 @@ class GraftCatalog extends TableCatalog
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
 
+  /** The TableInfo entry point is where `CREATE TABLE (..., CONSTRAINT
+    * c CHECK (...))` arrives — constraints persist as properties in
+    * the SAME meta write as the schema (one commit point; see
+    * [[GraftCatalog.renderConstraint]]). */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val schema = info.schema()
+    val partCols = parseTransforms(schema, info.partitions())
+    val cons = info.constraints().toSeq
+    require(cons.map(_.name().toLowerCase).distinct.size == cons.size,
+      "constraint names must be unique (case-insensitive): " +
+        cons.map(_.name()).mkString(", "))
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    val props = cleanProps(info.properties()) ++
+      cons.map(GraftCatalog.renderConstraint)
+    ManifestSink.codecOf(props)
+    writeMeta(dir, schema, partCols, props)
+    new ManifestTable(dir.toString, schema, None, partCols, props)
+  }
+
   /** Schema evolution, NDJSON-native: columns are looked up BY NAME at
     * read time and a missing key reads as null, so ADD (nullable)
     * COLUMNS needs no data rewrite — old files serve nulls; DROP
@@ -438,6 +464,22 @@ class GraftCatalog extends TableCatalog
             "RENAME COLUMN and cannot be unset (pre-rename files resolve " +
             "through it)")
         props = props - rm.property().toLowerCase
+      case add: TableChange.AddConstraint =>
+        // ALTER TABLE ... ADD CONSTRAINT: for an enforced VALID check
+        // Spark has already run the validation scan over existing rows
+        // before calling here — persisting is all that remains. The
+        // validatedTableVersion is ignored: the manifest generation can
+        // advance between validation and this meta swap only via
+        // commits that Spark's own write-path enforcement also checked.
+        val (k, v) = GraftCatalog.renderConstraint(add.constraint())
+        require(!props.contains(k),
+          s"constraint '${add.constraint().name()}' already exists")
+        props = props + (k -> v)
+      case drop: TableChange.DropConstraint =>
+        val k = GraftCatalog.ConstraintPropPrefix + drop.name().toLowerCase
+        require(props.contains(k) || drop.ifExists(),
+          s"table has no constraint '${drop.name()}'")
+        props = props - k
       case other =>
         throw new UnsupportedOperationException(
           s"unsupported ALTER: $other (non-widening retypes would " +
@@ -1047,6 +1089,87 @@ class GraftCatalog extends TableCatalog
   * catalog object). */
 private[sources] object GraftCatalog {
   private[sources] def metaPath(dir: Path): Path = dir.resolve("_table.json")
+
+  // ----- ANSI TABLE CONSTRAINTS (Spark 4's connector constraint API):
+  // each constraint persists as ONE table property
+  // `graft.constraint.<lowercased name>` holding a flat JSON object of
+  // string fields — the same escape/parse machinery every other
+  // property rides, so no meta-format change and free round-tripping.
+  // Enforced CHECK constraints are applied by Spark's own analyzer on
+  // every v2 write (a violating row fails the job before any file
+  // stages); PRIMARY KEY / UNIQUE / FOREIGN KEY are informational
+  // (RELY), the planner-facing metadata a lakehouse catalog carries.
+  // Multi-part (nested) column references join their path segments
+  // with U+0000 and reference lists join with U+0001 — both escape
+  // cleanly and neither occurs in a legal column name.
+  private[sources] val ConstraintPropPrefix = "graft.constraint."
+
+  private[sources] def renderConstraint(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint)
+      : (String, String) = {
+    import org.apache.spark.sql.connector.catalog.constraints._
+    def refs(rs: Array[org.apache.spark.sql.connector.expressions.NamedReference])
+        : String = rs.map(_.fieldNames().mkString("\u0000")).mkString("\u0001")
+    val base = Seq("name" -> c.name(), "enforced" -> c.enforced().toString,
+      "rely" -> c.rely().toString, "status" -> c.validationStatus().name())
+    val fields: Seq[(String, String)] = c match {
+      case ch: Check =>
+        base ++ Seq("kind" -> "check", "sql" -> ch.predicateSql())
+      case pk: PrimaryKey =>
+        base ++ Seq("kind" -> "pk", "cols" -> refs(pk.columns()))
+      case u: Unique =>
+        base ++ Seq("kind" -> "unique", "cols" -> refs(u.columns()))
+      case fk: ForeignKey =>
+        base ++ Seq("kind" -> "fk", "cols" -> refs(fk.columns()),
+          "reftable" -> (fk.referencedTable().namespace().toSeq :+
+            fk.referencedTable().name()).mkString("\u0000"),
+          "refcols" -> refs(fk.referencedColumns()))
+      case other => throw new IllegalArgumentException(
+        s"unsupported constraint kind: $other")
+    }
+    (ConstraintPropPrefix + c.name().toLowerCase,
+      fields.map { case (k, v) =>
+        "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(v) + "\""
+      }.mkString("{", ",", "}"))
+  }
+
+  private[sources] def parseConstraint(json: String)
+      : Option[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+    val m = scala.util.Try(NdjsonCodec.parseLine(json)).getOrElse(return None)
+    def s(k: String): Option[String] =
+      m.get(k).collect { case NdjsonCodec.JsonStr(v) => v }
+    def refs(v: String): Array[NamedReference] =
+      v.split('\u0001').filter(_.nonEmpty)
+        .map(p => Expressions.column(p.split('\u0000')
+          .map(seg => "`" + seg.replace("`", "``") + "`").mkString(".")))
+    for (kind <- s("kind"); nm <- s("name")) yield {
+      val enforced = s("enforced").exists(_.toBoolean)
+      val rely = s("rely").exists(_.toBoolean)
+      val status = Constraint.ValidationStatus.valueOf(
+        s("status").getOrElse("UNVALIDATED"))
+      kind match {
+        case "check" =>
+          Constraint.check(nm).predicateSql(s("sql").getOrElse("true"))
+            .enforced(enforced).rely(rely).validationStatus(status).build()
+        case "pk" =>
+          Constraint.primaryKey(nm, refs(s("cols").getOrElse("")))
+            .enforced(enforced).rely(rely).validationStatus(status).build()
+        case "unique" =>
+          Constraint.unique(nm, refs(s("cols").getOrElse("")))
+            .enforced(enforced).rely(rely).validationStatus(status).build()
+        case "fk" =>
+          val parts = s("reftable").getOrElse("").split('\u0000')
+          Constraint.foreignKey(nm, refs(s("cols").getOrElse("")),
+            Identifier.of(parts.init, parts.last),
+            refs(s("refcols").getOrElse("")))
+            .enforced(enforced).rely(rely).validationStatus(status).build()
+        case other => throw new IllegalArgumentException(
+          s"unknown persisted constraint kind '$other'")
+      }
+    }
+  }
 
   /** PARTITION-SPEC EVOLUTION (Iceberg's `ALTER TABLE ... ADD/REPLACE
     * PARTITION FIELD` idea, surfaced as `CALL system.*_partition_field`

@@ -3703,6 +3703,19 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     caps
   }
 
+  /** ANSI table constraints, re-hydrated from their persisted
+    * properties ([[GraftCatalog.renderConstraint]]). Reporting them is
+    * what makes Spark's analyzer ENFORCE check constraints on every
+    * write to this table — a violating row fails the job before any
+    * file stages — and what DESCRIBE / SHOW CREATE TABLE render. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableProps.toSeq
+      .filter(_._1.startsWith(GraftCatalog.ConstraintPropPrefix))
+      .sortBy(_._1)
+      .flatMap(kv => GraftCatalog.parseConstraint(kv._2))
+      .toArray
+
   /** Metadata-only DELETE (the Iceberg/Delta fast path): a file is
     * droppable when its manifest stats PROVE every row matches the
     * conjunction ([[ManifestStats.mustMatch]]) and ignorable when they

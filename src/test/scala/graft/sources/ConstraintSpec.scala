@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+/** ANSI table constraints on GraftCatalog tables (Spark 4's connector
+  * constraint API): enforced CHECK constraints are applied by Spark's
+  * analyzer on every write — the table only has to persist and REPORT
+  * them — while PRIMARY KEY / UNIQUE / FOREIGN KEY are informational
+  * catalog metadata. The pins here: persistence round-trips through
+  * `_table.json` properties, a violating INSERT fails and leaves the
+  * table unchanged, ALTER ADD validates existing rows, and DROP
+  * restores unconstrained writes. */
+class ConstraintSpec extends AnyFunSuite with SparkSpec {
+
+  private def freshCat(tag: String): String = {
+    val wh = Files.createTempDirectory(s"graft_con_$tag").toString
+    val cat = s"graft_con_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    cat
+  }
+
+  test("enforced CHECK: valid rows land, violating insert fails atomically") {
+    val cat = freshCat("check")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+      CONSTRAINT n_nonneg CHECK (n >= 0))""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10), (2, 0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (3, 5), (4, -1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("n_nonneg") ||
+      e.getMessage.toLowerCase.contains("check"), e.getMessage)
+    // The failed job staged nothing: the two-phase committer never
+    // published, so even the VALID row of the violating batch is absent.
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+  }
+
+  test("constraints round-trip the catalog (loadTable reports them)") {
+    val cat = freshCat("rt")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+      CONSTRAINT n_pos CHECK (n > 0))""")
+    val table = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "t"))
+    val cons = table.constraints()
+    assert(cons.length == 1)
+    assert(cons(0).name() == "n_pos" && cons(0).enforced())
+    assert(cons(0).asInstanceOf[
+      org.apache.spark.sql.connector.catalog.constraints.Check]
+      .predicateSql().contains("n > 0"))
+  }
+
+  test("ALTER ADD CONSTRAINT validates existing rows; DROP lifts the gate") {
+    val cat = freshCat("alter")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 5), (2, -3)")
+    // Existing data violates: the ALTER itself must fail.
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT n_nonneg CHECK (n >= 0)")
+    }
+    // Clean the violating row, then the constraint lands and enforces.
+    spark.sql(s"DELETE FROM $cat.t WHERE n < 0")
+    spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT n_nonneg CHECK (n >= 0)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (3, -1)")
+    }
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT n_nonneg")
+    spark.sql(s"INSERT INTO $cat.t VALUES (3, -1)") // unconstrained again
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+  }
+
+  test("informational PRIMARY KEY and FOREIGN KEY persist and report") {
+    val cat = freshCat("pkfk")
+    spark.sql(s"""CREATE TABLE $cat.dim (id BIGINT,
+      CONSTRAINT dim_pk PRIMARY KEY (id) RELY)""")
+    spark.sql(s"""CREATE TABLE $cat.fact (fid BIGINT, dim_id BIGINT,
+      CONSTRAINT fact_fk FOREIGN KEY (dim_id) REFERENCES $cat.dim (id))""")
+    def consOf(t: String) = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, t)).constraints()
+    val pk = consOf("dim")
+    assert(pk.length == 1 && pk(0).name() == "dim_pk" && pk(0).rely())
+    assert(pk(0).asInstanceOf[
+      org.apache.spark.sql.connector.catalog.constraints.PrimaryKey]
+      .columns().map(_.fieldNames().mkString(".")).toSeq == Seq("id"))
+    val fk = consOf("fact")
+    assert(fk.length == 1 && fk(0).name() == "fact_fk")
+    val f = fk(0).asInstanceOf[
+      org.apache.spark.sql.connector.catalog.constraints.ForeignKey]
+    assert(f.columns().map(_.fieldNames().mkString(".")).toSeq == Seq("dim_id"))
+    assert(f.referencedTable().name() == "dim")
+    assert(f.referencedColumns().map(_.fieldNames().mkString(".")).toSeq ==
+      Seq("id"))
+    // Informational only: writes are not gated.
+    spark.sql(s"INSERT INTO $cat.fact VALUES (1, 999)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.fact").head().getLong(0) == 1)
+  }
+
+  test("CHECK survives ALTER of unrelated properties and renders in DESCRIBE") {
+    val cat = freshCat("desc")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, lang STRING,
+      CONSTRAINT lang_set CHECK (lang IN ('en', 'de', 'fr')))""")
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('owner_team'='data')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 'xx')")
+    }
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'en')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
+  }
+}
