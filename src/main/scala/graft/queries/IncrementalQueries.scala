@@ -1347,6 +1347,38 @@ object IncrementalQueries {
         FROM $cat.corpus GROUP BY lang""")
     },
 
+    // GENERATED ALWAYS AS columns (round-16, [[GraftGeneratedColumns]]):
+    // the table declares `feat BIGINT GENERATED ALWAYS AS
+    // (n_chars * 2 + 1)`; the corpus inserts OMITTING the column and
+    // the connector's resolution rule computes it row-by-row inside
+    // the write plan (Spark's capability is DDL-acceptance only — the
+    // connector owns the values). The stored column is then
+    // aggregated back and checked against the oracle COMPUTING THE
+    // SAME EXPRESSION from the raw corpus — a rule that failed to
+    // fire leaves nulls (sum breaks), a mis-bound reference computes
+    // garbage. GeneratedColumnsSpec pins refusal of explicit
+    // assignment and the identity-column stand-down.
+    QuerySpec(
+      "a68_generated_columns",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars * 2 + 1) AS BIGINT) AS sum_feat
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a68", dir)
+      val cat = "graft_a68_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.corpus (doc_id BIGINT, lang STRING,
+        n_chars BIGINT,
+        feat BIGINT GENERATED ALWAYS AS (n_chars * 2 + 1))""")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a68_src")
+      s.sql(s"""INSERT INTO $cat.corpus (doc_id, lang, n_chars)
+        SELECT doc_id, lang, n_chars FROM a68_src""")
+      s.sql(s"""SELECT lang, count(*) AS n, sum(feat) AS sum_feat
+        FROM $cat.corpus GROUP BY lang""")
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

@@ -75,7 +75,15 @@ class GraftCatalog extends TableCatalog
       // ANSI table constraints (enforced CHECK + informational
       // PK/UNIQUE/FK) — see the constraint helpers on the companion.
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // Generated columns: accepted at CREATE (expression persisted in
+      // the field metadata), COMPUTED on insert-shaped writes by the
+      // [[GraftGeneratedColumns]] resolution rule. Identity columns
+      // stay undeclared: unique value allocation needs commit-time
+      // watermark reconciliation, and two QUEUED concurrent appends
+      // (a63 semantics) would mint colliding ranges at analysis time.
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def dirOf(ident: Identifier): Path = {
     // Path traversal guard: identifiers are directory names, never paths.
@@ -297,7 +305,20 @@ class GraftCatalog extends TableCatalog
     * [[GraftCatalog.renderConstraint]]). */
   override def createTable(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    val schema = info.schema()
+    // GENERATED ALWAYS AS expressions arrive on the v2 Columns but are
+    // dropped by the StructType flattening — re-attach each one to its
+    // field's metadata so it persists in `_table.json` and the insert
+    // rule ([[GraftGeneratedColumns]]) can re-hydrate it at write time.
+    val genByName = info.columns().iterator
+      .flatMap(c => Option(c.generationExpression()).map(c.name() -> _))
+      .toMap
+    val schema = StructType(info.schema().fields.map { f =>
+      genByName.get(f.name).fold(f) { sql =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(GraftCatalog.GenerationExpressionKey, sql).build())
+      }
+    })
     val partCols = parseTransforms(schema, info.partitions())
     val cons = info.constraints().toSeq
     require(cons.map(_.name().toLowerCase).distinct.size == cons.size,
@@ -1103,6 +1124,13 @@ private[sources] object GraftCatalog {
   // with U+0000 and reference lists join with U+0001 — both escape
   // cleanly and neither occurs in a legal column name.
   private[sources] val ConstraintPropPrefix = "graft.constraint."
+
+  /** Spark's own field-metadata key for GENERATED ALWAYS AS expression
+    * SQL — using Spark's constant keeps DESCRIBE / SHOW CREATE TABLE
+    * rendering (which read the same key) in sync. */
+  private[sources] val GenerationExpressionKey: String =
+    org.apache.spark.sql.catalyst.util.GeneratedColumn
+      .GENERATION_EXPRESSION_METADATA_KEY
 
   private[sources] def renderConstraint(
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint)

@@ -48,6 +48,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
       new GraftViewParser(session, delegate))
     ext.injectResolutionRule(session =>
       GraftViews.GraftViewSubstitution(session))
+    // GENERATED ALWAYS AS columns: compute them on insert-shaped
+    // writes to manifest tables (see [[GraftGeneratedColumns]]).
+    ext.injectResolutionRule(session => GraftGeneratedColumns(session))
   }
 }
 
