@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.MetadataBuilder
   *    columns, which is the feature; the fill sits one Project below
   *    the aligned output attribute, so detection resolves the
   *    attribute through the query's own projection;
-  *  - NAMING the column in an insert is refused at analysis time in
-  *    every spelling, including NULL and DEFAULT (a VALUES row
-  *    materializes into the local relation before the write resolves,
-  *    so the fill is indistinguishable from data) — `GENERATED
-  *    ALWAYS`, the Postgres posture; omitting the column is the
-  *    contract;
+  *  - an EXPLICIT value is refused at analysis time (`GENERATED
+  *    ALWAYS`, the Postgres posture) — with one honest boundary: a
+  *    provable NULL-LITERAL projection (`INSERT ... SELECT 3, NULL`,
+  *    or a DataFrame `lit(null)` column — the DataFrame API's only
+  *    way to address a no-default column) is indistinguishable from
+  *    the analyzer's own omitted-column fill and COMPUTES, while a
+  *    `VALUES (3, NULL)` row materializes into the local relation and
+  *    is refused like any other data. A generated column never stores
+  *    null either way;
   *  - row-level operations (UPDATE / MERGE rewrites) are NOT touched:
   *    they re-write stored rows, and stored generated values remain
   *    exactly what the insert computed. Updating a SOURCE column does
@@ -76,27 +79,36 @@ case class GraftGeneratedColumns(session: SparkSession)
     }.isDefined
 
   /** The analyzer fills an omitted generated column (no default) with
-    * a null literal one Project below the write's aligned output —
-    * resolve the output attribute through that projection before
-    * deciding "omitted" vs "explicit". Conservative: anything that is
-    * not a provable null fill counts as explicit and errors loudly
-    * rather than being silently overwritten. */
+    * a null literal under the write's aligned output — possibly
+    * SEVERAL Projects down (`INSERT ... SELECT 3, NULL` stacks the
+    * output resolver's cast projection over the query's own). Chase
+    * the attribute through alias/cast/Project layers to its core:
+    * a null LITERAL is an omitted fill (or an explicit null-literal
+    * projection — same storable outcome, the generated value);
+    * anything else is explicit data and errors loudly rather than
+    * being silently overwritten. A `VALUES (…, NULL)` row
+    * materializes into a LocalRelation, so its core is an attribute,
+    * not a literal — refused, as pinned. */
   private def omittedFill(query: LogicalPlan, out: Attribute): Boolean = {
-    val underlying: Expression = query match {
-      case p: Project =>
-        p.projectList.collectFirst {
-          case ne if ne.exprId == out.exprId =>
-            ne match { case a: Alias => a.child; case other => other }
-        }.getOrElse(out)
-      case _ => out
+    @annotation.tailrec
+    def core(plan: LogicalPlan, e: Expression): Expression = e match {
+      case a: Alias => core(plan, a.child)
+      case c: Cast => core(plan, c.child) // cast of the fill is still null
+      case attr: Attribute => plan match {
+        case p: Project =>
+          p.projectList.find(_.exprId == attr.exprId) match {
+            case Some(al: Alias) => core(p.child, al.child)
+            case Some(_) => core(p.child, attr) // pass-through column
+            case None => attr
+          }
+        case _ => attr
+      }
+      case other => other
     }
-    underlying.foldable && underlying.deterministic &&
-      scala.util.Try(underlying.eval(null)).toOption.orNull == null &&
-      (underlying match {
-        case _: Literal => true
-        case c: Cast => c.child.isInstanceOf[Literal]
-        case _ => false
-      })
+    core(query, out) match {
+      case l: Literal => l.value == null
+      case _ => false
+    }
   }
 
   private def rewrite(w: V2WriteCommand): LogicalPlan = {

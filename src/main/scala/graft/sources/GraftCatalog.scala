@@ -288,27 +288,32 @@ class GraftCatalog extends TableCatalog
     b.toMap -- Seq("provider", "owner", "location", "external", "comment")
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  /** The one table-creation path both createTable overloads and the
+    * staged (CTAS) route share — a guard added here covers them all. */
+  private def createAt(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], props: Map[String, String]): Table = {
     val partCols = parseTransforms(schema, partitions)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
-    val props = cleanProps(properties)
     ManifestSink.codecOf(props) // validate loudly at CREATE, not at write
     writeMeta(dir, schema, partCols, props)
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
 
-  /** The TableInfo entry point is where `CREATE TABLE (..., CONSTRAINT
-    * c CHECK (...))` arrives — constraints persist as properties in
-    * the SAME meta write as the schema (one commit point; see
-    * [[GraftCatalog.renderConstraint]]). */
-  override def createTable(ident: Identifier,
-      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
-    // GENERATED ALWAYS AS expressions arrive on the v2 Columns but are
-    // dropped by the StructType flattening — re-attach each one to its
-    // field's metadata so it persists in `_table.json` and the insert
-    // rule ([[GraftGeneratedColumns]]) can re-hydrate it at write time.
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createAt(ident, schema, partitions, cleanProps(properties))
+
+  /** What the StructType flattening DROPS off a TableInfo, recovered
+    * and validated: GENERATED ALWAYS AS expressions re-attached to
+    * field metadata (so they persist in `_table.json` and
+    * [[GraftGeneratedColumns]] can re-hydrate them), and constraints
+    * rendered into properties. Every TableInfo entry point — plain
+    * CREATE, staged CTAS, staged REPLACE — must route through here or
+    * it silently creates a weaker table. */
+  private def enrichInfo(
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : (StructType, Map[String, String]) = {
     val genByName = info.columns().iterator
       .flatMap(c => Option(c.generationExpression()).map(c.name() -> _))
       .toMap
@@ -319,18 +324,21 @@ class GraftCatalog extends TableCatalog
           .putString(GraftCatalog.GenerationExpressionKey, sql).build())
       }
     })
-    val partCols = parseTransforms(schema, info.partitions())
+    GraftCatalog.validateGeneration(schema, genByName)
     val cons = info.constraints().toSeq
     require(cons.map(_.name().toLowerCase).distinct.size == cons.size,
       "constraint names must be unique (case-insensitive): " +
         cons.map(_.name()).mkString(", "))
-    val dir = dirOf(ident)
-    Files.createDirectories(dir)
-    val props = cleanProps(info.properties()) ++
-      cons.map(GraftCatalog.renderConstraint)
-    ManifestSink.codecOf(props)
-    writeMeta(dir, schema, partCols, props)
-    new ManifestTable(dir.toString, schema, None, partCols, props)
+    (schema,
+      cleanProps(info.properties()) ++ cons.map(GraftCatalog.renderConstraint))
+  }
+
+  /** The TableInfo entry point is where `CREATE TABLE (..., CONSTRAINT
+    * c CHECK (...))` and generated columns arrive. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val (schema, props) = enrichInfo(info)
+    createAt(ident, schema, info.partitions(), props)
   }
 
   /** Schema evolution, NDJSON-native: columns are looked up BY NAME at
@@ -398,6 +406,12 @@ class GraftCatalog extends TableCatalog
         // every subsequent INSERT.
         require(!PartSpec.parseAll(partCols).exists(_.col == col),
           s"cannot drop partition column '$col'")
+        // Dropping a column a CHECK predicate or another column's
+        // generation expression references would brick every later
+        // INSERT ('references unknown column') with no ALTER to fix
+        // the stored SQL — refuse while the reference stands. Dropping
+        // the GENERATED column itself is fine (the feature goes away).
+        GraftCatalog.requireUnreferenced(schema, props, col, "drop")
         schema = StructType(schema.fields.filterNot(_.name == col))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested renames unsupported")
@@ -405,6 +419,9 @@ class GraftCatalog extends TableCatalog
         val to = ren.newName()
         require(schema.fieldNames.contains(from), s"no column '$from'")
         require(!schema.fieldNames.contains(to), s"column '$to' exists")
+        // Stored constraint / generation SQL does not follow renames —
+        // refuse rather than silently orphan the reference.
+        GraftCatalog.requireUnreferenced(schema, props, from, "rename")
         val log = SchemaEvolution.parseLog(props)
         require(!SchemaEvolution.logNames(log).contains(to),
           s"column name '$to' was used by an earlier RENAME and is " +
@@ -476,6 +493,13 @@ class GraftCatalog extends TableCatalog
         require(set.property().toLowerCase != SchemaEvolution.PropKey,
           s"'${SchemaEvolution.PropKey}' is maintained by ALTER TABLE " +
             "RENAME COLUMN and cannot be set directly")
+        // A raw SET could inject a VALID-status "constraint" no
+        // existing-row validation scan ever checked — the namespace is
+        // owned by ADD/DROP CONSTRAINT (same guard the rename log has).
+        require(!set.property().toLowerCase
+            .startsWith(GraftCatalog.ConstraintPropPrefix),
+          s"'${set.property()}' is maintained by ALTER TABLE ADD " +
+            "CONSTRAINT and cannot be set directly")
         if (set.property().toLowerCase == "codec")
           ManifestSink.codecOf(Map("codec" -> set.value()))
         props = props + (set.property().toLowerCase -> set.value())
@@ -484,6 +508,10 @@ class GraftCatalog extends TableCatalog
           s"'${SchemaEvolution.PropKey}' is maintained by ALTER TABLE " +
             "RENAME COLUMN and cannot be unset (pre-rename files resolve " +
             "through it)")
+        require(!rm.property().toLowerCase
+            .startsWith(GraftCatalog.ConstraintPropPrefix),
+          s"'${rm.property()}' is maintained by ALTER TABLE DROP " +
+            "CONSTRAINT and cannot be unset directly")
         props = props - rm.property().toLowerCase
       case add: TableChange.AddConstraint =>
         // ALTER TABLE ... ADD CONSTRAINT: for an enforced VALID check
@@ -591,9 +619,48 @@ class GraftCatalog extends TableCatalog
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageCreateAt(ident, schema, partitions, cleanProps(properties))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageReplaceAt(ident, schema, partitions, cleanProps(properties))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
+  // Spark's default TableInfo → legacy delegation DROPS constraints
+  // and generation expressions — every staged entry point must enrich
+  // first, or `REPLACE TABLE t (..., CONSTRAINT c CHECK (...))`
+  // silently creates an unconstrained table.
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (schema, props) = enrichInfo(info)
+    stageCreateAt(ident, schema, info.partitions(), props)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val (schema, props) = enrichInfo(info)
+    stageReplaceAt(ident, schema, info.partitions(), props)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info)
+    else stageCreate(ident, info)
+
+  private def stageCreateAt(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], props: Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = parseTransforms(schema, partitions)
-    val props = cleanProps(properties)
     ManifestSink.codecOf(props)
     if (tableExists(ident))
       throw new TableAlreadyExistsException(identSeq(ident))
@@ -606,22 +673,15 @@ class GraftCatalog extends TableCatalog
       props)
   }
 
-  override def stageReplace(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String])
+  private def stageReplaceAt(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], props: Map[String, String])
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = parseTransforms(schema, partitions)
-    val props = cleanProps(properties)
     ManifestSink.codecOf(props)
     if (!tableExists(ident))
       throw new NoSuchTableException(identSeq(ident))
     new StagedReplace(dirOf(ident), identSeq(ident), schema, partCols, props)
   }
-
-  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String])
-      : org.apache.spark.sql.connector.catalog.StagedTable =
-    if (tableExists(ident)) stageReplace(ident, schema, partitions, properties)
-    else stageCreate(ident, schema, partitions, properties)
 
   private def deleteTree(dir: Path): Unit =
     if (Files.exists(dir)) {
@@ -1165,9 +1225,16 @@ private[sources] object GraftCatalog {
       : Option[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
     import org.apache.spark.sql.connector.catalog.constraints.Constraint
     import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-    val m = scala.util.Try(NdjsonCodec.parseLine(json)).getOrElse(return None)
+    // LOUD on corruption: a swallowed parse failure would silently
+    // disable an ENFORCED check (violating rows land with no signal).
+    val m = try NdjsonCodec.parseLine(json) catch {
+      case e: Exception => throw new IllegalStateException(
+        s"unparseable persisted constraint: $json", e)
+    }
     def s(k: String): Option[String] =
       m.get(k).collect { case NdjsonCodec.JsonStr(v) => v }
+    require(s("kind").isDefined && s("name").isDefined,
+      s"persisted constraint missing kind/name: $json")
     def refs(v: String): Array[NamedReference] =
       v.split('\u0001').filter(_.nonEmpty)
         .map(p => Expressions.column(p.split('\u0000')
@@ -1195,6 +1262,96 @@ private[sources] object GraftCatalog {
             .enforced(enforced).rely(rely).validationStatus(status).build()
         case other => throw new IllegalArgumentException(
           s"unknown persisted constraint kind '$other'")
+      }
+    }
+  }
+
+  /** CREATE-time validation of generation expressions (Delta's rule):
+    * parseable, references only existing NON-generated columns, no
+    * self-reference — an invalid expression caught here is a clear
+    * DDL error; caught at insert it is a bricked table, and a
+    * generated-to-generated reference would silently compute from the
+    * analyzer's null fill. Needs the active session's parser; DDL
+    * always has one (library-internal construction without a session
+    * skips). */
+  private[sources] def validateGeneration(schema: StructType,
+      gens: Map[String, String]): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      val resolver = s.sessionState.conf.resolver
+      gens.foreach { case (col, sql) =>
+        val parsed = try s.sessionState.sqlParser.parseExpression(sql)
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"generation expression of '$col' does not parse: $sql", e)
+        }
+        parsed.foreach {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            val head = u.nameParts.head
+            require(schema.fields.exists(f => resolver(f.name, head)),
+              s"generation expression of '$col' references unknown " +
+                s"column '$head'")
+            require(!gens.keys.exists(g => resolver(g, head)),
+              s"generation expression of '$col' cannot reference " +
+                s"generated column '$head' (it would compute from the " +
+                "null fill, not the computed value)")
+          case _ => ()
+        }
+      }
+    }
+
+  /** Refuse dropping/renaming a column any stored CHECK predicate,
+    * key-constraint column list, or generation expression references —
+    * the stored SQL does not follow schema evolution, so the reference
+    * would brick every later INSERT. Detection parses with the active
+    * session's parser; without one (or on a parse failure) a
+    * conservative identifier-token scan refuses on any match. */
+  private[sources] def requireUnreferenced(schema: StructType,
+      props: Map[String, String], col: String, verb: String): Unit = {
+    def tokenScan(sql: String): Boolean =
+      sql.split("[^A-Za-z0-9_]+").exists(_.equalsIgnoreCase(col))
+    def referencedBy(sql: String): Boolean =
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) =>
+          val resolver = s.sessionState.conf.resolver
+          scala.util.Try(s.sessionState.sqlParser.parseExpression(sql))
+            .toOption match {
+            case Some(parsed) =>
+              var hit = false
+              parsed.foreach {
+                case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                    if resolver(u.nameParts.head, col) => hit = true
+                case _ => ()
+              }
+              hit
+            case None => tokenScan(sql)
+          }
+        case None => tokenScan(sql)
+      }
+    // Other columns' generation expressions (dropping/renaming the
+    // generated column ITSELF is allowed — the feature goes with it).
+    schema.fields.filterNot(_.name == col).foreach { f =>
+      if (f.metadata.contains(GenerationExpressionKey)) {
+        val sql = f.metadata.getString(GenerationExpressionKey)
+        require(!referencedBy(sql),
+          s"cannot $verb column '$col': generated column '${f.name}' " +
+            s"computes from it ($sql) — drop the generated column first")
+      }
+    }
+    props.filter(_._1.startsWith(ConstraintPropPrefix)).foreach { case (_, v) =>
+      parseConstraint(v).foreach { c =>
+        import org.apache.spark.sql.connector.catalog.constraints._
+        val hit = c match {
+          case ch: Check => referencedBy(ch.predicateSql())
+          case pk: PrimaryKey =>
+            pk.columns().exists(_.fieldNames().head.equalsIgnoreCase(col))
+          case u: Unique =>
+            u.columns().exists(_.fieldNames().head.equalsIgnoreCase(col))
+          case fk: ForeignKey =>
+            fk.columns().exists(_.fieldNames().head.equalsIgnoreCase(col))
+          case _ => false
+        }
+        require(!hit, s"cannot $verb column '$col': constraint " +
+          s"'${c.name()}' references it — drop the constraint first")
       }
     }
   }

@@ -103,6 +103,45 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.fact").head().getLong(0) == 1)
   }
 
+  test("REPLACE TABLE carries constraints (TableInfo staging path)") {
+    val cat = freshCat("rtascon")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    spark.sql(s"""REPLACE TABLE $cat.t (id BIGINT, n BIGINT,
+      CONSTRAINT n_nonneg CHECK (n >= 0))""")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, -5)")
+    }
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
+  }
+
+  test("drop/rename of a constrained column refuses; TBLPROPERTIES namespace is guarded") {
+    val cat = freshCat("guards")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+      CONSTRAINT n_nonneg CHECK (n >= 0))""")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN n")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN n TO m")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES ('graft.constraint.n_nonneg')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('graft.constraint.x'='{}')")
+    }
+    // The enforced check must still be live after all four refusals.
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, -1)")
+    }
+    // Dropping via the front door lifts both the gate and the guard.
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT n_nonneg")
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN n TO m")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, -1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
+  }
+
   test("CHECK survives ALTER of unrelated properties and renders in DESCRIBE") {
     val cat = freshCat("desc")
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, lang STRING,

@@ -72,6 +72,55 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkSpec {
     assert(rows == Seq((10L, -10L), (11L, -11L)))
   }
 
+  test("SELECT-NULL and DataFrame lit(null) compute; REPLACE carries the expression") {
+    val cat = freshCat("paths")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      dbl BIGINT GENERATED ALWAYS AS (id * 2))""")
+    // SELECT projection null-literal: indistinguishable from the
+    // analyzer's omitted fill -- computes (documented boundary).
+    spark.sql(s"INSERT INTO $cat.t SELECT 4, NULL")
+    // The DataFrame API cannot omit a no-default column; the typed
+    // null-literal column is its addressing of a generated column.
+    import org.apache.spark.sql.functions._
+    spark.range(6, 7).toDF("id")
+      .withColumn("dbl", lit(null).cast("bigint"))
+      .writeTo(s"$cat.t").append()
+    val rows = spark.sql(s"SELECT id, dbl FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((4L, 8L), (6L, 12L)))
+    // Staged REPLACE (TableInfo path) keeps generation semantics.
+    spark.sql(s"""REPLACE TABLE $cat.t (id BIGINT,
+      tri BIGINT GENERATED ALWAYS AS (id * 3))""")
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (2)")
+    assert(spark.sql(s"SELECT tri FROM $cat.t").head().getLong(0) == 6L)
+  }
+
+  test("invalid generation expressions are refused at CREATE, not at insert") {
+    val cat = freshCat("valid")
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.bad1 (id BIGINT,
+        x BIGINT GENERATED ALWAYS AS (nosuch + 1))""")
+    }
+    intercept[Exception] {
+      spark.sql(s"""CREATE TABLE $cat.bad2 (a BIGINT,
+        b BIGINT GENERATED ALWAYS AS (a + 1),
+        c BIGINT GENERATED ALWAYS AS (b * 2))""")
+    }
+    // Dropping/renaming a SOURCE column of a generation expression is
+    // refused while the generated column stands; dropping the
+    // generated column itself releases it.
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+      dbl BIGINT GENERATED ALWAYS AS (n * 2))""")
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t DROP COLUMN n") }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN n TO m")
+    }
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN dbl")
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN n")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
+  }
+
   test("identity columns are refused loudly at CREATE") {
     val cat = freshCat("ident")
     val e = intercept[Exception] {
