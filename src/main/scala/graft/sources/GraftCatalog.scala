@@ -709,6 +709,14 @@ class GraftCatalog extends TableCatalog
       inner.capabilities()
     override def partitioning(): Array[Transform] = inner.partitioning()
     override def properties(): util.Map[String, String] = inner.properties()
+    // Spark's analyzer reads constraints() off the STAGED table when
+    // planting write-time CHECK validation — the Table default is
+    // empty, which would let a constraint-carrying staged write land
+    // unvalidated data into a table that then reports the constraint
+    // as enforced.
+    override def constraints(): Array[
+        org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      inner.constraints()
     override def newWriteBuilder(
         info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
         : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -759,6 +767,14 @@ class GraftCatalog extends TableCatalog
       inner.capabilities()
     override def partitioning(): Array[Transform] = inner.partitioning()
     override def properties(): util.Map[String, String] = inner.properties()
+    // Spark's analyzer reads constraints() off the STAGED table when
+    // planting write-time CHECK validation — the Table default is
+    // empty, which would let a constraint-carrying staged write land
+    // unvalidated data into a table that then reports the constraint
+    // as enforced.
+    override def constraints(): Array[
+        org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      inner.constraints()
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
       // Spark writes to a staged-replace table as if it were new and
       // empty — the replace semantics live here: force the TRUNCATE

@@ -142,6 +142,44 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
   }
 
+  test("staged tables report constraints (write validation sees them)") {
+    // The SQL grammar cannot spell a constraint-carrying RTAS, but the
+    // connector API can: the staged table must forward constraints()
+    // or Spark's analyzer would plant no validation on the staged
+    // write and violating data would land under an "enforced" check.
+    val cat = freshCat("staged")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT)")
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.StagingTableCatalog]
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val con = Constraint.check("n_nonneg").predicateSql("n >= 0")
+      .enforced(true).build()
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(
+        org.apache.spark.sql.connector.catalog.Column.create("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.connector.catalog.Column.create("n",
+          org.apache.spark.sql.types.LongType)))
+      .withConstraints(Array(con))
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .withPartitions(Array.empty[org.apache.spark.sql.connector.expressions.Transform])
+      .build()
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "t")
+    val staged = catalog.stageReplace(ident, info)
+    try {
+      assert(staged.constraints().map(_.name()).toSeq == Seq("n_nonneg"),
+        "staged table must forward its constraints to the analyzer")
+    } finally staged.abortStagedChanges()
+    val staged2 = catalog.stageCreateOrReplace(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty, "t2"), info)
+    try {
+      assert(staged2.constraints().map(_.name()).toSeq == Seq("n_nonneg"))
+    } finally staged2.abortStagedChanges()
+  }
+
   test("CHECK survives ALTER of unrelated properties and renders in DESCRIBE") {
     val cat = freshCat("desc")
     spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, lang STRING,
