@@ -45,6 +45,7 @@ class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var base: Path = _
+  private var stagedTtlMs: Long = 24L * 3600 * 1000
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -54,6 +55,9 @@ class GraftCatalog extends TableCatalog
       s"catalog $name needs spark.sql.catalog.$name.base = <warehouse dir>")
     base = Paths.get(b)
     Files.createDirectories(base)
+    stagedTtlMs = Option(options.get("stagedttlms")).map(_.toLong)
+      .getOrElse(24L * 3600 * 1000)
+    require(stagedTtlMs > 0, "stagedttlms must be positive")
   }
 
   override def name(): String = catalogName
@@ -358,6 +362,13 @@ class GraftCatalog extends TableCatalog
     if (!Files.exists(metaPath(dir)))
       throw new NoSuchTableException(Seq(name()) ++
         ident.namespace().toSeq :+ ident.name())
+    // The whole read-modify-swap runs under the table's publish lock
+    // (round-17): the AddConstraint version check below and the meta
+    // swap must be one atomic step against concurrent data commits —
+    // without the lock, a commit could land between the check and the
+    // swap and reopen exactly the race the check closes. Data commits
+    // hold the same lock, so both sides serialize.
+    ManifestSink.withPublishLock(dir) {
     var (schema, partCols, props) = readMeta(dir)
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -516,10 +527,24 @@ class GraftCatalog extends TableCatalog
       case add: TableChange.AddConstraint =>
         // ALTER TABLE ... ADD CONSTRAINT: for an enforced VALID check
         // Spark has already run the validation scan over existing rows
-        // before calling here — persisting is all that remains. The
-        // validatedTableVersion is ignored: the manifest generation can
-        // advance between validation and this meta swap only via
-        // commits that Spark's own write-path enforcement also checked.
+        // before calling here — but rows COMMITTED since that scan by a
+        // writer that resolved the table pre-ALTER (so its plan carries
+        // no CHECK validation) were never checked. ManifestTable
+        // reports the manifest generation as its connector version;
+        // Spark stamps the generation the validation scan read into
+        // validatedTableVersion, and this swap (lock-held, see below)
+        // refuses if the table advanced past it — re-running the ALTER
+        // re-validates against the current generation. Writers landing
+        // AFTER the swap are the commit-side check's problem
+        // ([[ManifestSink.requireNoConstraintDrift]]).
+        Option(add.validatedTableVersion()).foreach { v =>
+          val now = ManifestSink.committedGeneration(dir.toString)
+          require(v == now.toString,
+            s"constraint '${add.constraint().name()}' was validated " +
+              s"against table version $v but the table is now at $now — " +
+              "rows committed in between were never checked; re-run the " +
+              "ALTER to re-validate")
+        }
         val (k, v) = GraftCatalog.renderConstraint(add.constraint())
         require(!props.contains(k),
           s"constraint '${add.constraint().name()}' already exists")
@@ -536,6 +561,7 @@ class GraftCatalog extends TableCatalog
     }
     writeMeta(dir, schema, partCols, props, overwrite = true)
     new ManifestTable(dir.toString, schema, None, partCols, props)
+    } // withPublishLock
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -591,14 +617,18 @@ class GraftCatalog extends TableCatalog
   /** A crashed CTAS driver never reaches abortStagedChanges, leaving
     * its hidden staged directory (and the full staged dataset) on
     * disk where no table-scoped vacuum can see it. Every new staging
-    * operation in a namespace reclaims siblings older than the TTL —
-    * far beyond any live write's span, so an in-flight staged CTAS is
-    * never swept from under its own commit. */
-  private val StagedDirTtlMs = 24L * 3600 * 1000
-
+    * operation in a namespace reclaims siblings whose HEARTBEAT has
+    * gone stale: a live [[StagedCreate]] touches `_staging_heartbeat`
+    * inside its directory on a daemon timer (the dir's own top-level
+    * mtime idles while the write job fills SUBdirectories — round-17,
+    * a legitimately long staged CTAS must never be swept from under
+    * its own commit), so only a dead driver's directory ages past the
+    * TTL. The TTL is a catalog option (`stagedttlms`, default 24h)
+    * rather than a constant, for deployments whose rebuilds outlive a
+    * day or whose tests need it short. */
   private def sweepStaleStaged(nsDir: Path): Unit = {
     if (!Files.isDirectory(nsDir)) return
-    val cutoff = System.currentTimeMillis() - StagedDirTtlMs
+    val cutoff = System.currentTimeMillis() - stagedTtlMs
     val ls = Files.list(nsDir)
     try {
       val it = ls.iterator()
@@ -606,9 +636,15 @@ class GraftCatalog extends TableCatalog
         val p = it.next()
         val n = p.getFileName.toString
         if (n.startsWith(".") && n.contains("._staged_") &&
-            Files.isDirectory(p) &&
-            scala.util.Try(Files.getLastModifiedTime(p).toMillis)
-              .toOption.exists(_ < cutoff))
+            Files.isDirectory(p) && {
+              // Newest of (dir mtime, heartbeat mtime): pre-heartbeat
+              // dirs (or one whose first beat hasn't landed) still age
+              // off the directory itself.
+              val beats = Seq(p, p.resolve(GraftCatalog.HeartbeatFile))
+                .flatMap(f => scala.util.Try(
+                  Files.getLastModifiedTime(f).toMillis).toOption)
+              beats.nonEmpty && beats.max < cutoff
+            })
           scala.util.Try(deleteTree(p)) // best-effort GC, never fail a DDL
       }
     } finally ls.close()
@@ -702,6 +738,11 @@ class GraftCatalog extends TableCatalog
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
     private val inner =
       new ManifestTable(staging.toString, tblSchema, None, partCols, props)
+    // Liveness for the namespace sweep: without the beat, a staged
+    // write longer than the TTL (whose top-level dir mtime idles while
+    // tasks fill subdirectories) could be GC'd from under its own
+    // commit by any concurrent staging op.
+    private val heartbeat = GraftCatalog.startHeartbeat(staging, stagedTtlMs)
     override def name(): String = identParts.mkString(".")
     override def schema(): StructType = tblSchema
     override def capabilities(): util.Set[
@@ -722,6 +763,7 @@ class GraftCatalog extends TableCatalog
         : org.apache.spark.sql.connector.write.WriteBuilder =
       inner.newWriteBuilder(info)
     override def commitStagedChanges(): Unit = {
+      heartbeat.close() // stops the timer AND removes the beat file
       writeMeta(staging, tblSchema, partCols, props)
       try Files.move(staging, finalDir, StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -731,7 +773,10 @@ class GraftCatalog extends TableCatalog
           throw new TableAlreadyExistsException(identParts)
       }
     }
-    override def abortStagedChanges(): Unit = deleteTree(staging)
+    override def abortStagedChanges(): Unit = {
+      heartbeat.close()
+      deleteTree(staging)
+    }
   }
 
   /** Staged RTAS target over the LIVE directory: the write runs the
@@ -1187,6 +1232,39 @@ class GraftCatalog extends TableCatalog
 private[sources] object GraftCatalog {
   private[sources] def metaPath(dir: Path): Path = dir.resolve("_table.json")
 
+  /** Liveness marker inside a hidden staged-CTAS directory: touched on
+    * a daemon timer while the staging driver is alive, consulted by
+    * [[GraftCatalog.sweepStaleStaged]] instead of the dir's own idle
+    * top-level mtime. Deleted before the commit rename so it never
+    * lands inside a published table. */
+  private[sources] val HeartbeatFile = "_staging_heartbeat"
+
+  /** Touch `dir/_staging_heartbeat` every `ttlMs/8` (min 1 s) on a
+    * daemon scheduler until the returned handle is closed. Close waits
+    * briefly for an in-flight touch so the caller can delete the file
+    * without a racing re-create. */
+  private[sources] def startHeartbeat(dir: Path, ttlMs: Long)
+      : AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val t = new Thread(r, "graft-staging-heartbeat")
+             t.setDaemon(true); t })
+    val period = math.max(ttlMs / 8, 1000L)
+    val hb = dir.resolve(HeartbeatFile)
+    exec.scheduleAtFixedRate(() => scala.util.Try {
+      if (Files.exists(dir)) {
+        if (!Files.exists(hb)) Files.createFile(hb)
+        Files.setLastModifiedTime(hb,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis()))
+      }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => {
+      exec.shutdownNow()
+      exec.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      scala.util.Try(Files.deleteIfExists(hb))
+    }
+  }
+
   // ----- ANSI TABLE CONSTRAINTS (Spark 4's connector constraint API):
   // each constraint persists as ONE table property
   // `graft.constraint.<lowercased name>` holding a flat JSON object of
@@ -1236,6 +1314,24 @@ private[sources] object GraftCatalog {
         "\"" + NdjsonCodec.escape(k) + "\":\"" + NdjsonCodec.escape(v) + "\""
       }.mkString("{", ",", "}"))
   }
+
+  /** Property keys of the ENFORCED CHECK constraints in a property
+    * map — the planning-time snapshot a write's commit compares against
+    * the table's CURRENT meta to detect a constraint added after the
+    * write was analyzed (whose validation Spark therefore never
+    * planted). Keys, not SQL: renaming/re-adding under the same name
+    * with a different predicate also re-validates existing rows, so the
+    * key identity is the right granularity. */
+  private[sources] def enforcedCheckKeys(
+      props: Map[String, String]): Set[String] =
+    props.collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) &&
+          parseConstraint(v).exists {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              c.enforced()
+            case _ => false
+          } => k
+    }.toSet
 
   private[sources] def parseConstraint(json: String)
       : Option[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {

@@ -1283,6 +1283,30 @@ object ManifestSink {
       .map(_.group(1).toLong).getOrElse(0L)
   }
 
+  /** Commit-side half of the ADD CONSTRAINT race (round-17): refuse to
+    * publish rows that were analyzed BEFORE an enforced CHECK landed in
+    * the table meta — Spark plants CHECK validation into write plans at
+    * analysis, so such rows were never validated and would persist
+    * under a constraint recorded VALID. Runs under the publish lock
+    * (the ALTER's meta swap is also lock-held, so the read here is
+    * consistent). Stand-down cases: None (internal rewrites of
+    * already-validated rows) and tables with no catalog meta. */
+  private[sources] def requireNoConstraintDrift(dir: Path,
+      planned: Option[Set[String]]): Unit =
+    planned.foreach { snap =>
+      if (Files.exists(GraftCatalog.metaPath(dir))) {
+        val current = GraftCatalog.enforcedCheckKeys(
+          GraftCatalog.readMeta(dir)._3)
+        val added = current -- snap
+        if (added.nonEmpty)
+          throw new IllegalStateException(
+            s"enforced CHECK constraint(s) ${added.mkString(", ")} were " +
+              s"added to $dir after this write was planned — its rows " +
+              "carry no validation for them; re-run the write (it will " +
+              "re-resolve the table and validate)")
+      }
+    }
+
   /** A lock this old is presumed orphaned by a crashed committer and may
     * be broken (the manifest critical section is milliseconds of local
     * file work; minutes of hold time means the holder died). */
@@ -3612,7 +3636,7 @@ private[sources] object NdjsonCodec {
 }
 
 private[sources] class ManifestTable(path: String, tableSchema: StructType,
-    version: Option[Long] = None, tablePartCols: Seq[String] = Nil,
+    travelVersion: Option[Long] = None, tablePartCols: Seq[String] = Nil,
     tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -3620,6 +3644,19 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"manifest_sink($path)"
   override def schema(): StructType = tableSchema
+
+  /** The committed manifest generation, reported as the connector
+    * table version (round-17). This is what makes `ALTER TABLE … ADD
+    * CONSTRAINT` race-safe: Spark stamps the version it VALIDATED
+    * against into `TableChange.AddConstraint.validatedTableVersion`,
+    * and [[GraftCatalog.alterTable]] refuses the meta swap if the
+    * generation advanced past it — a writer that resolved the table
+    * before the constraint existed (so its write plan carries no CHECK
+    * validation) can no longer slip violating rows in between the
+    * validation scan and the swap. Time-travel reads report the pinned
+    * generation. */
+  override def version(): String =
+    travelVersion.getOrElse(ManifestSink.committedGeneration(path)).toString
 
   /** `_file` (Iceberg's spelling): the committed data file a row lives
     * in, served as a plan-time constant per partition. Queryable in
@@ -3663,7 +3700,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(version.isEmpty,
+    require(travelVersion.isEmpty,
       s"cannot ${info.command()} a versionAsOf/timestampAsOf read of $path")
     // Tables that opt in (`deletionvectors=true`) take the MERGE-ON-READ
     // path for DELETE and UPDATE: a positional delete writes a tiny
@@ -3726,13 +3763,13 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     * (partitionBy writes → min == max partition bounds) make the
     * common `DELETE WHERE part = x` always metadata-only. */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    version.isEmpty && ManifestSink.committedEntries(path).forall { e =>
+    travelVersion.isEmpty && ManifestSink.committedEntries(path).forall { e =>
       filters.forall(f => ManifestStats.mustMatch(tableSchema, e, f)) ||
         filters.exists(f => !ManifestStats.mayMatch(tableSchema, e, f))
     }
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    require(version.isEmpty, "cannot DELETE from a versionAsOf read")
+    require(travelVersion.isEmpty, "cannot DELETE from a versionAsOf read")
     val dir = Paths.get(path)
     ManifestSink.withPublishLock(dir) {
       val entries = ManifestSink.committedEntries(path)
@@ -3910,11 +3947,17 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       sortBy = sortBy,
       commitTag = Option(info.options().get("committag")).filter(_.nonEmpty),
       bloomCols = bloomCols,
-      newCols = resolution.newCols, widens = resolution.widens)
+      newCols = resolution.newCols, widens = resolution.widens,
+      // What the ANALYZER saw: this table object's constraints() (from
+      // tableProps) is exactly the set Spark planted validation for.
+      // A path-routed write into a constrained catalog directory sees
+      // none of them — truthfully Some(empty) — and its commit now
+      // fails instead of silently bypassing enforcement.
+      plannedChecks = Some(GraftCatalog.enforcedCheckKeys(tableProps)))
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(path, tableSchema, version,
+    new ManifestScanBuilder(path, tableSchema, travelVersion,
       options.getLong("maxsplitbytes", 128L * 1024 * 1024),
       Option(options.get("maxgenerationspertrigger")).map(_.toLong),
       Option(options.get("filesubset"))
@@ -5740,7 +5783,15 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
     // mergeSchema evolution planned at analysis, applied by the commit
     // under the publish lock ([[SchemaEvolution.evolveMetaAtCommit]]).
     newCols: Seq[StructField] = Nil,
-    widens: Map[String, DataType] = Map.empty)
+    widens: Map[String, DataType] = Map.empty,
+    // Some(keys) = the ENFORCED CHECK constraints this write was
+    // ANALYZED with (Spark plants their validation into the write plan
+    // at analysis); the commit fails loudly if the table's meta carries
+    // one these rows were never validated against — the other half of
+    // the ADD CONSTRAINT race (see [[ManifestTable.version]]). None =
+    // internal rewrites of already-validated rows (cluster, compact,
+    // MV refresh), which stand down.
+    plannedChecks: Option[Set[String]] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
 
@@ -5793,7 +5844,7 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       distributeByPartition = distributeByPartition, txnStage = txnStage,
       sortBy = sortBy, commitTag = commitTag, bloomCols = bloomCols,
-      newCols = newCols, widens = widens)
+      newCols = newCols, widens = widens, plannedChecks = plannedChecks)
 
   /** Dynamic partition overwrite (Hive's `INSERT OVERWRITE` with
     * `partitionOverwriteMode=dynamic`, the Iceberg/Delta
@@ -5810,17 +5861,19 @@ private[sources] class ManifestWriteBuilder(path: String, schema: StructType,
       autoCompactRows, maxSegments, partCols, replaceFiles,
       dynamicOverwrite = true, distributeByPartition = distributeByPartition,
       txnStage = txnStage, sortBy = sortBy, commitTag = commitTag,
-      bloomCols = bloomCols, newCols = newCols, widens = widens)
+      bloomCols = bloomCols, newCols = newCols, widens = widens,
+      plannedChecks = plannedChecks)
   }
 
   override def buildForBatch(): BatchWrite =
     new ManifestBatchWrite(path, schema, queryId, truncate, retain,
       maxSegments, partCols, replaceFiles, dynamicOverwrite, txnStage,
-      sortBy, commitTag, bloomCols, newCols, widens)
+      sortBy, commitTag, bloomCols, newCols, widens, plannedChecks)
 
   override def buildForStreaming(): StreamingWrite =
     new ManifestStreamingWrite(path, schema, queryId, retain, autoCompactRows,
-      maxSegments, partCols, sortBy, bloomCols, newCols, widens)
+      maxSegments, partCols, sortBy, bloomCols, newCols, widens,
+      plannedChecks)
 }
 
 /** Streaming (epoch-committed) writes: each micro-batch publishes like a
@@ -5847,7 +5900,12 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     // mergeSchema evolution, applied by the FIRST epoch commit
     // (idempotent — later epochs find it already in the schema).
     newCols: Seq[StructField] = Nil,
-    widens: Map[String, DataType] = Map.empty)
+    widens: Map[String, DataType] = Map.empty,
+    // Enforced-CHECK snapshot at analysis — see [[ManifestWriteBuilder]].
+    // Checked at EVERY epoch commit: a long-running stream planned
+    // before an ADD CONSTRAINT carries no validation for it, so its
+    // later epochs must fail loudly rather than land unvalidated rows.
+    plannedChecks: Option[Set[String]] = None)
     extends StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -5865,6 +5923,7 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
     // attempt's entries) — queue behind a live holder like any append.
     ManifestSink.withPublishLock(dir,
         acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
+      ManifestSink.requireNoConstraintDrift(dir, plannedChecks)
       SchemaEvolution.evolveMetaAtCommit(dir, newCols, widens)
       // Manifest composition keyed by EPOCH: a replayed epoch (failure
       // between sink commit and checkpoint advance) retires ALL of its
@@ -6101,7 +6160,9 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // mergeSchema evolution to apply at commit (under the publish lock,
     // before the manifest swap — same commit point as the data).
     newCols: Seq[StructField] = Nil,
-    widens: Map[String, DataType] = Map.empty)
+    widens: Map[String, DataType] = Map.empty,
+    // Enforced-CHECK snapshot at analysis — see [[ManifestWriteBuilder]].
+    plannedChecks: Option[Set[String]] = None)
     extends BatchWrite {
   private val publishTag: String = commitTag.getOrElse(queryId)
   // Direct-construction convenience (tests, internal callers).
@@ -6152,6 +6213,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       if (appendOnly) ManifestSink.AppendAcquireWaitMs
       else ManifestSink.LockAcquireWaitMs
     ManifestSink.withPublishLock(dir, acquireWaitMs = acquireWait) {
+      ManifestSink.requireNoConstraintDrift(dir, plannedChecks)
       // mergeSchema: the evolved schema lands inside the same lock-held
       // critical section as the manifest swap — a reader sees either the
       // old schema without the new data or the new schema with it, and

@@ -90,7 +90,11 @@ private[sources] class GraftRowLevelOperation(path: String,
           "the affected file set — cannot determine which files to retire")),
       // Rewritten files keep the table's bloom indexing — a point
       // lookup must stay prunable across UPDATE/MERGE churn.
-      bloomCols = ManifestSink.bloomColsOf(props, info.schema()))
+      bloomCols = ManifestSink.bloomColsOf(props, info.schema()),
+      // Row-level writes carry new row VALUES, so they validate CHECKs
+      // like inserts do — the drift check compares against what this
+      // operation's analysis actually planted.
+      plannedChecks = Some(GraftCatalog.enforcedCheckKeys(props)))
   }
 }
 
@@ -150,19 +154,23 @@ private[sources] class GraftPositionDeltaOperation(path: String,
           retain = props.get("retainhistory").exists(_.toBoolean),
           scannedDvs = () => scanned.getOrElse(throw new IllegalStateException(
             s"merge-on-read $cmd write on $path committed before its scan " +
-              "planned — cannot validate the deletion-vector snapshot")))
+              "planned — cannot validate the deletion-vector snapshot")),
+          // UPDATE/MERGE replacement rows validate CHECKs like inserts;
+          // the commit refuses if a constraint landed after analysis.
+          plannedChecks = Some(GraftCatalog.enforcedCheckKeys(props)))
     }
 }
 
 private[sources] class DvDeltaWrite(path: String, schema: StructType,
     queryId: String, partCols: Seq[String], retain: Boolean,
     scannedDvs: () => Map[String, Option[String]],
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    plannedChecks: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.write.DeltaWrite {
   override def toBatch
       : org.apache.spark.sql.connector.write.DeltaBatchWrite =
     new DvDeltaBatchWrite(path, schema, queryId, partCols, retain,
-      scannedDvs, bloomCols)
+      scannedDvs, bloomCols, plannedChecks)
 }
 
 /** Task-side commit message: the byte offsets this task deleted per
@@ -179,7 +187,8 @@ private[sources] final case class DvDelta(deletes: Map[String, Array[Long]],
 private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
     queryId: String, partCols: Seq[String], retain: Boolean,
     scannedDvs: () => Map[String, Option[String]],
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    plannedChecks: Option[Set[String]] = None)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
   import java.nio.file.{Files, Paths}
 
@@ -226,6 +235,7 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
     }
     val dir = Paths.get(path)
     ManifestSink.withPublishLock(dir) {
+      ManifestSink.requireNoConstraintDrift(dir, plannedChecks)
       val entries = ManifestSink.committedEntries(path)
       val byName = entries.map(e => e.name -> e).toMap
       val missing = all.keySet.filterNot(byName.contains)

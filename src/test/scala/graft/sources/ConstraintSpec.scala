@@ -191,4 +191,85 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"INSERT INTO $cat.t VALUES (1, 'en')")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
   }
+
+  // ----- Round-17: the ADD CONSTRAINT / concurrent-writer race, both
+  // halves. ManifestTable.version() reports the manifest generation;
+  // Spark stamps the generation its validation scan read into
+  // TableChange.AddConstraint.validatedTableVersion and alterTable
+  // refuses a stale one (ALTER side). A write PLANNED before the
+  // constraint landed carries no validation for it, so its COMMIT
+  // refuses (writer side — requireNoConstraintDrift).
+
+  test("table version is the manifest generation; stale validatedTableVersion refuses the swap") {
+    val cat = freshCat("ver")
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, n BIGINT)")
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty, "t")
+    assert(catalog.loadTable(ident).version() == "0")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 20)")
+    assert(catalog.loadTable(ident).version() == "2",
+      "each commit bumps the reported table version")
+    val con = org.apache.spark.sql.connector.catalog.constraints.Constraint
+      .check("n_nonneg").predicateSql("n >= 0").enforced(true)
+      .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+        .Constraint.ValidationStatus.VALID)
+      .build()
+    // Validated against generation 1, but the table is at 2: the row
+    // committed in between was never scanned — refuse.
+    val stale = intercept[Exception] {
+      catalog.alterTable(ident,
+        org.apache.spark.sql.connector.catalog.TableChange
+          .addConstraint(con, "1"))
+    }
+    assert(stale.getMessage.contains("validated against table version"),
+      stale.getMessage)
+    assert(catalog.loadTable(ident).constraints().isEmpty,
+      "refused constraint must not persist")
+    // Matching version: lands.
+    catalog.alterTable(ident,
+      org.apache.spark.sql.connector.catalog.TableChange
+        .addConstraint(con, "2"))
+    assert(catalog.loadTable(ident).constraints().map(_.name()).toSeq ==
+      Seq("n_nonneg"))
+    // And the SQL front door still works end-to-end (Spark supplies the
+    // version its own validation scan actually read).
+    spark.sql(s"ALTER TABLE $cat.t DROP CONSTRAINT n_nonneg")
+    spark.sql(s"ALTER TABLE $cat.t ADD CONSTRAINT n_small CHECK (n < 1000)")
+    assert(catalog.loadTable(ident).constraints().map(_.name()).toSeq ==
+      Seq("n_small"))
+  }
+
+  test("a write planned without the table's CHECK cannot publish (commit-side drift check)") {
+    val wh = Files.createTempDirectory("graft_con_drift").toString
+    val cat = "graft_con_drift"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.sql(s"CREATE TABLE $cat.t (id BIGINT, n BIGINT, " +
+      "CONSTRAINT n_nonneg CHECK (n >= 0))")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    // A PATH-routed append into the same directory resolves a table
+    // object with no catalog properties: the analyzer sees no
+    // constraints and plants no validation — before round-17 this was
+    // a silent enforcement bypass; now the commit refuses, even for
+    // rows that happen to satisfy the predicate (they were never
+    // CHECKED, which is what the constraint's VALID status asserts).
+    import spark.implicits._
+    val dir = java.nio.file.Paths.get(wh, "t").toString
+    val e = intercept[Exception] {
+      Seq((9L, -5L)).toDF("id", "n").write
+        .format("graft.sources.ManifestSink").option("path", dir)
+        .mode("append").save()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("after this write was planned"), chain(e))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1,
+      "refused write must publish nothing")
+    // The catalog route (analysis sees the constraint) still lands.
+    spark.sql(s"INSERT INTO $cat.t VALUES (2, 5)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+  }
 }

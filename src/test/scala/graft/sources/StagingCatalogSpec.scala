@@ -156,4 +156,40 @@ class StagingCatalogSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 3)
     assert(stagedDirs(wh).isEmpty)
   }
+
+  // ----- Round-17: the sweep keys on HEARTBEAT age, not the staged
+  // dir's idle top-level mtime (tasks write into SUBdirectories, so a
+  // staged CTAS outliving the TTL used to be sweepable from under its
+  // own commit), and the TTL is a catalog option (`stagedttlms`).
+
+  test("heartbeating staged dir survives the sweep past the TTL; dead one is reclaimed") {
+    val wh = Files.createTempDirectory("graft_stg_hb").toString
+    val cat = "graft_stg_hb"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    spark.conf.set(s"spark.sql.catalog.$cat.stagedttlms", "1500")
+    val old = System.currentTimeMillis() - 10000
+    // A LONG-RUNNING live CTAS: dir mtime idled past the 1.5 s TTL,
+    // but its driver's heartbeat file is fresh — must NOT be swept.
+    val live = Paths.get(wh, ".slow._staged_feedface")
+    Files.createDirectories(live)
+    Files.write(live.resolve("part-0.ndjson"), "x".getBytes)
+    Files.write(live.resolve("_staging_heartbeat"), Array.empty[Byte])
+    Files.setLastModifiedTime(live,
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    // A CRASHED CTAS: dir AND heartbeat both stale — reclaimed.
+    val dead = Paths.get(wh, ".dead._staged_0ddba11")
+    Files.createDirectories(dead)
+    Files.write(dead.resolve("_staging_heartbeat"), Array.empty[Byte])
+    for (p <- Seq(dead, dead.resolve("_staging_heartbeat")))
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(old))
+    spark.sql(s"CREATE TABLE $cat.t AS SELECT id FROM range(0, 4)")
+    assert(Files.exists(live),
+      "idle-mtime dir with a fresh heartbeat is a LIVE write — not swept")
+    assert(!Files.exists(dead), "stale heartbeat means a dead driver")
+    // The committed table carries no heartbeat residue.
+    assert(!Files.exists(Paths.get(wh, "t", "_staging_heartbeat")),
+      "heartbeat file must be removed before the commit rename")
+  }
 }

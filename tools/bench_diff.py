@@ -88,6 +88,30 @@ def query_map(path):
                   f"'slow' map ({len(trips)} over-threshold queries; "
                   "full map only in BENCH_rN_full.json)")
             return {k: float(t) for k, t, _, _ in trips}, extra
+        # Round-17: the slow map is uncapped and severity-ASCENDING, so
+        # a front-truncated tail can lose the '"slow":{' marker while
+        # the WORST flags (map end, next to slow_n) survive. Parse the
+        # bare triplets: a partial map that names the worst regressions
+        # still beats refusing the artifact.
+        trips = re.findall(
+            r'"([A-Za-z0-9_]+)":\[([0-9.eE+-]+),([0-9.eE+-]+),'
+            r'([0-9.eE+-]+)\]', tail)
+        if trips and re.search(r'"slow_n":(\d+)', tail):
+            sn = int(re.search(r'"slow_n":(\d+)', tail).group(1))
+            extra.setdefault("probe_by_query",
+                             {k: float(p) for k, _, _, p in trips})
+            pm = re.search(r'"probe_ms":\[([0-9.eE+-]+),([0-9.eE+-]+)\]',
+                           tail)
+            if pm:
+                extra.setdefault(
+                    "probe_ms", [float(pm.group(1)), float(pm.group(2))])
+            extra["slow_only"] = True
+            print(f"{path}: WARNING — marker-less partial slow map: "
+                  f"{len(trips)} of {sn} over-threshold queries survived "
+                  "tail truncation (the WORST flags — map is "
+                  "severity-ascending); the rest are only in "
+                  "BENCH_rN_full.json")
+            return {k: float(t) for k, t, _, _ in trips}, extra
         sys.exit(f"{path}: no complete queries map (truncated tail without "
                  'a "queries":{ region) — use the BENCH_rN_full.json '
                  "artifact for per-query numbers")
