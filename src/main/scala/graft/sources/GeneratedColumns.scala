@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{AppendData, LogicalPlan, OverwriteByExpression, OverwritePartitionsDynamic, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{AppendData, Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, OverwriteByExpression, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.MetadataBuilder
@@ -33,10 +33,15 @@ import org.apache.spark.sql.types.MetadataBuilder
   *    `VALUES (3, NULL)` row materializes into the local relation and
   *    is refused like any other data. A generated column never stores
   *    null either way;
-  *  - row-level operations (UPDATE / MERGE rewrites) are NOT touched:
-  *    they re-write stored rows, and stored generated values remain
-  *    exactly what the insert computed. Updating a SOURCE column does
-  *    not recompute dependents — documented, spec-pinned.
+  *  - row-level operations (round-17): UPDATE and MERGE refuse
+  *    explicit assignment of a generated column, RECOMPUTE it when an
+  *    assignment touches one of its source columns (the Delta
+  *    posture — stored values never go stale), and compute a MERGE
+  *    INSERT's omitted columns like any insert. Two interception
+  *    points cover every shape: the resolved-but-unaligned
+  *    UpdateTable/MergeIntoTable when the fixpoint exposes one, and
+  *    the rewritten ReplaceData/WriteDelta value rows as the
+  *    deterministic backstop ([[fixRowLevelQuery]]).
   *
   * The computed projection is marked in its alias metadata; the marker
   * is scanned SUBTREE-WIDE because the output resolver may stack its
@@ -55,7 +60,389 @@ case class GraftGeneratedColumns(session: SparkSession)
           w.query.output.length == w.table.output.length &&
           !applied(w.query) =>
         w.withNewQuery(rewrite(w))
+      // Row-level commands (round-17, closing the MERGE/UPDATE bypass),
+      // first chance: the window where the command is RESOLVED but not
+      // yet ALIGNED — Spark's ResolveRowLevelCommandAssignments and the
+      // ReplaceData/WriteDelta rewrite run earlier in the same
+      // Resolution batch, so this window only exists when resolution
+      // completes AFTER their position in an iteration (it usually
+      // does for UPDATE and default-filling merges; a fast-resolving
+      // merge skips straight past — the post-rewrite case below is the
+      // deterministic backstop). The rewrite here edits the USER's
+      // assignment lists and alignment carries the edits into either
+      // physical shape:
+      //  - explicit assignment to a GENERATED ALWAYS column refuses;
+      //  - an UPDATE (or MERGE UPDATE) that assigns a SOURCE column of
+      //    a generated column appends a recomputation assignment — the
+      //    dependent tracks post-update values (the Delta posture);
+      //  - a MERGE INSERT that omits the generated column appends the
+      //    computation, deps bound to the same action's values.
+      case u: UpdateTable if u.resolved && !u.aligned &&
+          relationOf(u.table).exists(genSqls(_).nonEmpty) =>
+        val rel = relationOf(u.table).get
+        val next = rewriteAssignments(u.assignments, rel, update = true)
+        if (next eq u.assignments) u else u.copy(assignments = next)
+      case m: MergeIntoTable if m.resolved && !m.aligned &&
+          relationOf(m.targetTable).exists(genSqls(_).nonEmpty) =>
+        val rel = relationOf(m.targetTable).get
+        def fix(a: MergeAction): MergeAction = a match {
+          case ua: UpdateAction =>
+            val next = rewriteAssignments(ua.assignments, rel, update = true)
+            if (next eq ua.assignments) ua else ua.copy(assignments = next)
+          case ia: InsertAction =>
+            val next = rewriteAssignments(ia.assignments, rel, update = false)
+            if (next eq ia.assignments) ia else ia.copy(assignments = next)
+          case other => other // DELETE carries no values
+        }
+        val ma = m.matchedActions.map(fix)
+        val nma = m.notMatchedActions.map(fix)
+        val nmbsa = m.notMatchedBySourceActions.map(fix)
+        if (ma == m.matchedActions && nma == m.notMatchedActions &&
+            nmbsa == m.notMatchedBySourceActions) m
+        else m.copy(matchedActions = ma, notMatchedActions = nma,
+          notMatchedBySourceActions = nmbsa)
+      // Second chance, DETERMINISTIC: the rewritten row-level plans
+      // themselves. A merge that resolved fast enough to be aligned
+      // and rewritten inside one fixpoint iteration never shows this
+      // rule its MergeIntoTable — but its ReplaceData/WriteDelta
+      // always lands here. The value surgery ([[fixRowLevelQuery]])
+      // applies the same semantics to the physical value rows: a
+      // carried-over generated column whose deps were touched
+      // recomputes, an insert's null fill computes, anything else that
+      // isn't the recomputation refuses. Values already fixed by the
+      // first-chance path compare equal and pass through.
+      case w: V2WriteCommand if rowLevelShaped(w) && w.query.resolved &&
+          relationOf(w.table).exists(genSqls(_).nonEmpty) =>
+        val rel = relationOf(w.table).get
+        val next = fixRowLevelQuery(w.query, rel)
+        if (next eq w.query) w else w.withNewQuery(next)
     }
+
+  private def rowLevelShaped(w: V2WriteCommand): Boolean = w match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.ReplaceData |
+        _: org.apache.spark.sql.catalyst.plans.logical.WriteDelta => true
+    case _ => false
+  }
+
+  private def relationOf(table: LogicalPlan): Option[DataSourceV2Relation] =
+    EliminateSubqueryAliases(table) match {
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+
+  /** Rewrite one RAW (pre-alignment) assignment list — an UPDATE's SET
+    * entries or a MERGE action's assignments, exactly what the user
+    * wrote, attribute-resolved — for the relation's generated columns:
+    *
+    *  - an EXPLICIT assignment to a generated column refuses (`GENERATED
+    *    ALWAYS`), unless its value is semantically the recomputation —
+    *    which is this rule's own earlier fixpoint pass;
+    *  - UPDATE shape: if any SOURCE column of g's expression is
+    *    assigned, APPEND `g = E` with each dep substituted by its
+    *    post-update value (its assignment if present, else the
+    *    pre-update attribute) — expressions compose over pre-update
+    *    attributes, so the result is exact. Untouched deps append
+    *    nothing: unmodified rows keep their stored values;
+    *  - INSERT shape (MERGE not-matched): g omitted APPENDS `g = E`
+    *    with deps bound to the action's assigned values; a dep the
+    *    action itself omits reads as its declared DEFAULT, or null —
+    *    the same value alignment will give the stored column.
+    *
+    * Alignment then folds the appended assignments into the aligned
+    * per-column list, and the ReplaceData (copy-on-write) or WriteDelta
+    * (deletion-vector) rewrite carries them — one fix for both physical
+    * shapes. Returns the SAME list reference when unchanged. */
+  private def rewriteAssignments(assignments: Seq[Assignment],
+      rel: DataSourceV2Relation, update: Boolean): Seq[Assignment] = {
+    val resolver = session.sessionState.conf.resolver
+    val gens = genSqls(rel)
+    def attrOf(a: Assignment): Option[Attribute] = a.key match {
+      case at: Attribute => Some(at)
+      case _ => None
+    }
+    def assignedTo(col: String): Option[Assignment] =
+      assignments.find(a => attrOf(a).exists(at => resolver(at.name, col)))
+    def relAttr(col: String): Attribute =
+      rel.output.find(at => resolver(at.name, col)).getOrElse(
+        throw new UnsupportedOperationException(
+          s"generation expression references unknown column '$col'"))
+    def depsOf(genSql: String): Seq[String] =
+      session.sessionState.sqlParser.parseExpression(genSql).collect {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          ua.nameParts.head
+      }
+    /** Post-write value of `col` under this action. */
+    def valueOf(col: String): Expression =
+      assignedTo(col).map(_.value).getOrElse {
+        if (update) relAttr(col) // unassigned column keeps its value
+        else {
+          // Omitted on insert: alignment will fill the declared
+          // DEFAULT (or null) — bind the dep to the same value so the
+          // stored generated value matches the stored dep.
+          val at = relAttr(col)
+          val fld = rel.table.schema().fields
+            .find(f => resolver(f.name, col))
+          fld.flatMap { f =>
+            val rd = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+            if (f.metadata.contains(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY))
+              Some(session.sessionState.sqlParser.parseExpression(
+                f.metadata.getString(rd.CURRENT_DEFAULT_COLUMN_METADATA_KEY)))
+            else None
+          }.getOrElse(Literal(null, at.dataType))
+        }
+      }
+    def expectedFor(target: Attribute, genSql: String): Expression = {
+      val parsed = session.sessionState.sqlParser.parseExpression(genSql)
+      val bound = parsed.transformUp {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          valueOf(ua.nameParts.head)
+      }
+      if (bound.resolved && bound.dataType == target.dataType) bound
+      else Cast(bound, target.dataType)
+    }
+    // "Is this assignment the rule's own earlier pass?" — compared
+    // MODULO CASTS: the analyzer's type coercion re-wraps the appended
+    // expression between fixpoint iterations (int literals widen, the
+    // outer cast folds), so a structural compare of cast-stripped
+    // canonical forms is the stable identity. A user assignment that
+    // happens to BE the recomputation also passes — same stored value,
+    // harmless.
+    def sameModuloCasts(a: Expression, b: Expression): Boolean = {
+      def strip(e: Expression): Expression = e.transformUp {
+        case c: Cast => c.child
+      }
+      strip(a).semanticEquals(strip(b))
+    }
+    var out = assignments
+    var changed = false
+    gens.foreach { case (g, genSql) =>
+      val target = relAttr(g)
+      val expected = expectedFor(target, genSql)
+      assignedTo(g) match {
+        case Some(a) =>
+          if (!sameModuloCasts(a.value, expected)) // ours from earlier pass?
+            throw new UnsupportedOperationException(
+              s"column '${target.name}' is GENERATED ALWAYS AS " +
+                s"($genSql) and cannot be assigned — " +
+                (if (update) "it recomputes when its source columns are " +
+                  "updated"
+                 else "omit it from the insert column list"))
+        case None =>
+          val needed =
+            if (!update) true // inserted rows always store the computation
+            else depsOf(genSql).exists(d => assignedTo(d).isDefined)
+          if (needed) {
+            out = out :+ Assignment(target, expected)
+            changed = true
+          }
+      }
+    }
+    if (changed) out else assignments
+  }
+
+  /** Deterministic backstop over the REWRITTEN row-level plans.
+    * Locates the value rows — a MergeRows' instruction outputs, or the
+    * bottom-most Project above the scan (the CoW update stacks the
+    * operation projection on top of the value projection; the value
+    * one is where `if(cond) new else old` lives) — and applies
+    * [[fixValueRow]] to each. Unknown query shapes pass through
+    * untouched (today's rewrites produce exactly these two). */
+  private def fixRowLevelQuery(query: LogicalPlan,
+      rel: DataSourceV2Relation): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.MergeRows
+    val resolver = session.sessionState.conf.resolver
+    val gens = genSqls(rel)
+    // Exit fast when every generated column is untouchable (no data
+    // columns in the shape — e.g. a merge-on-read DELETE projects only
+    // (_file, _pos)).
+    query match {
+      case mr: MergeRows =>
+        val idxOf: String => Option[Int] = c =>
+          mr.output.zipWithIndex.find(p => resolver(p._1.name, c)).map(_._2)
+        var changed = false
+        def fixInstr(i: MergeRows.Instruction): MergeRows.Instruction =
+          i match {
+            case k: MergeRows.Keep => k.context match {
+              case MergeRows.Copy | MergeRows.Delete => k // no new values
+              case _ =>
+                fixValueRow(k.output.toIndexedSeq, idxOf, rel, gens) match {
+                  case Some(next) => changed = true; k.copy(output = next)
+                  case None => k
+                }
+            }
+            case sp: MergeRows.Split =>
+              // A split emits two rows (merge-on-read update: delete +
+              // reinsert). The delete half's data columns are carried
+              // attributes, which fixValueRow leaves alone unless deps
+              // were touched there too — and recomputing an unread
+              // value is harmless; the insert half gets the real fix.
+              val a = fixValueRow(sp.output.toIndexedSeq, idxOf, rel, gens)
+              val b = fixValueRow(sp.otherOutput.toIndexedSeq, idxOf, rel,
+                gens)
+              if (a.isEmpty && b.isEmpty) sp
+              else {
+                changed = true
+                sp.copy(output = a.getOrElse(sp.output),
+                  otherOutput = b.getOrElse(sp.otherOutput))
+              }
+            case other => other
+          }
+        val m = fixInstr(_)
+        val mi = mr.matchedInstructions.map(m)
+        val nmi = mr.notMatchedInstructions.map(m)
+        val nmbsi = mr.notMatchedBySourceInstructions.map(m)
+        if (!changed) query
+        else mr.copy(matchedInstructions = mi, notMatchedInstructions = nmi,
+          notMatchedBySourceInstructions = nmbsi)
+      case p: Project =>
+        // Bottom-most Project on the spine holds the values.
+        p.child match {
+          case inner: Project =>
+            fixProjectList(inner, rel, gens) match {
+              case Some(next) => p.copy(child = next)
+              case None => query
+            }
+          case _ =>
+            fixProjectList(p, rel, gens).getOrElse(query)
+        }
+      case _ => query
+    }
+  }
+
+  /** Fix one Project's named values in place, PRESERVING every alias
+    * exprId — projections above reference them. */
+  private def fixProjectList(p: Project, rel: DataSourceV2Relation,
+      gens: Map[String, String]): Option[Project] = {
+    val resolver = session.sessionState.conf.resolver
+    val idxOf: String => Option[Int] = c =>
+      p.projectList.zipWithIndex.find(e => resolver(e._1.name, c)).map(_._2)
+    fixValueRow(p.projectList.map {
+      case a: Alias => a.child
+      case other => other
+    }.toIndexedSeq, idxOf, rel, gens).map { vals =>
+      val next = p.projectList.zip(vals).map {
+        case (a: Alias, v) if !(v eq a.child) =>
+          Alias(v, a.name)(exprId = a.exprId, qualifier = a.qualifier,
+            explicitMetadata = a.explicitMetadata,
+            nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+        case (orig: Alias, _) => orig
+        case (orig, v) if !(v eq orig) =>
+          // A bare attribute replaced by a computation needs a name.
+          Alias(v, orig.name)()
+        case (orig, _) => orig
+      }
+      p.copy(projectList = next)
+    }
+  }
+
+  /** The value surgery for ONE physical value row (a MergeRows
+    * instruction output or a Project's stripped values), positions
+    * resolved by name through `idxOf`:
+    *
+    *  - CARRY-OVER of a generated column (the expression normalizes —
+    *    trivial `if(c,x,x)` collapsed, casts stripped — to the target
+    *    relation's own attribute): recompute IFF some dep's value does
+    *    NOT normalize to its own attribute (the row changes them);
+    *    the recomputation binds deps to their FULL value expressions,
+    *    so an `if(cond) new else old` dep yields `E(new)` on updated
+    *    rows and `E(old)` = the stored value on carried rows (the
+    *    GENERATED ALWAYS invariant every insert path enforces);
+    *  - NULL literal (a merge-insert's omitted fill): compute;
+    *  - anything else must BE the recomputation (modulo casts — the
+    *    first-chance rule or an earlier pass of this one), else
+    *    refuse.
+    *
+    * Returns Some(newRow) when changed, None when untouched. A
+    * generated column or dep absent from the row (shape carries no
+    * data columns) stands down. */
+  private def fixValueRow(vals: IndexedSeq[Expression],
+      idxOf: String => Option[Int], rel: DataSourceV2Relation,
+      gens: Map[String, String]): Option[IndexedSeq[Expression]] = {
+    val resolver = session.sessionState.conf.resolver
+    def normalize(e: Expression): Expression = e.transformUp {
+      case a: Alias => a.child // alignment re-aliases nested values
+      case org.apache.spark.sql.catalyst.expressions.If(_, t, f)
+          if t.semanticEquals(f) => t
+      case c: Cast => c.child
+    }
+    def targetAttr(c: String): Option[Attribute] =
+      rel.output.find(a => resolver(a.name, c))
+    def carries(c: String, e: Expression): Boolean =
+      (normalize(e), targetAttr(c)) match {
+        case (at: Attribute, Some(t)) => at.exprId == t.exprId
+        case _ => false
+      }
+    def depsOf(genSql: String): Seq[String] =
+      session.sessionState.sqlParser.parseExpression(genSql).collect {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+          ua.nameParts.head
+      }
+    var changed = false
+    val buf = vals.toArray
+    gens.foreach { case (g, genSql) =>
+      for (pg <- idxOf(g); gAttr <- targetAttr(g)) {
+        val deps = depsOf(genSql)
+        val depPos = deps.flatMap(d => idxOf(d).map(d -> _)).toMap
+        if (depPos.size == deps.distinct.size) { // all deps present
+          val parsed = session.sessionState.sqlParser.parseExpression(genSql)
+          val bound = parsed.transformUp {
+            case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+              vals(depPos(deps.find(resolver(_, ua.nameParts.head))
+                .getOrElse(ua.nameParts.head)))
+          }
+          val expected =
+            if (bound.resolved && bound.dataType == gAttr.dataType) bound
+            else Cast(bound, gAttr.dataType)
+          // The conditional-update form `if(cond) v else <carry>`: the
+          // first-chance rule (or a user's WHERE) produces values that
+          // recompute only on matched rows. Accept v when it is the
+          // recomputation over the deps' own matched-row values.
+          def trueBranch(c: String, e: Expression): Expression =
+            normalize(e) match {
+              case org.apache.spark.sql.catalyst.expressions.If(_, t, f)
+                  if carries(c, f) => t
+              case other => other
+            }
+          lazy val expectedTrue = {
+            val b = parsed.transformUp {
+              case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                val d = deps.find(resolver(_, ua.nameParts.head))
+                  .getOrElse(ua.nameParts.head)
+                trueBranch(d, vals(depPos(d)))
+            }
+            normalize(b)
+          }
+          val x = vals(pg)
+          if (carries(g, x)) {
+            if (deps.exists(d => !carries(d, vals(depPos(d))))) {
+              buf(pg) = expected; changed = true
+            }
+          } else if (normalize(x) match {
+            case l: Literal => l.value == null
+            case _ => false
+          }) {
+            buf(pg) = expected; changed = true
+          } else {
+            val ok = normalize(x).semanticEquals(normalize(expected)) ||
+              (normalize(x) match {
+                case org.apache.spark.sql.catalyst.expressions.If(_, t, f)
+                    if carries(g, f) =>
+                  normalize(t).semanticEquals(expectedTrue)
+                case _ => false
+              })
+            if (!ok) {
+              throw new UnsupportedOperationException(
+                s"column '${gAttr.name}' is GENERATED ALWAYS AS ($genSql) " +
+                  "and cannot be assigned by UPDATE or MERGE — it " +
+                  "recomputes when its source columns change")
+            }
+          }
+        }
+      }
+    }
+    if (changed) Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(buf))
+    else None
+  }
 
   private def insertShaped(w: V2WriteCommand): Boolean = w match {
     case _: AppendData | _: OverwriteByExpression |

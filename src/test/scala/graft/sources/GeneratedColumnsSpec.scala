@@ -121,6 +121,66 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
   }
 
+  // ----- Round-17: UPDATE / MERGE semantics. Explicit assignment
+  // refuses, updating a SOURCE column recomputes the dependent (stored
+  // values never go stale), a MERGE INSERT's omitted column computes.
+  // Both physical shapes are pinned — copy-on-write and deletion-
+  // vector — because the two interception points differ (the
+  // resolved-unaligned command when the fixpoint exposes one; the
+  // rewritten ReplaceData/WriteDelta value rows as the deterministic
+  // backstop, which fast-resolving merges hit exclusively).
+
+  for (dv <- Seq(false, true))
+    test(s"row-level ops refuse/recompute/compute (deletionvectors=$dv)") {
+      val cat = freshCat(if (dv) "rldv" else "rlcow")
+      val props = if (dv) " TBLPROPERTIES ('deletionvectors'='true')" else ""
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, s STRING,
+        dbl BIGINT GENERATED ALWAYS AS (id * 2))$props""")
+      spark.sql(s"INSERT INTO $cat.t (id, s) VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"CREATE TABLE $cat.src (id BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO $cat.src VALUES (2, 'B'), (3, 'C')")
+      def rows(): Seq[(Long, Long)] =
+        spark.sql(s"SELECT id, dbl FROM $cat.t ORDER BY id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+      // Explicit assignment refuses in every row-level spelling.
+      intercept[Exception] { spark.sql(s"UPDATE $cat.t SET dbl = 42") }
+      intercept[Exception] {
+        spark.sql(s"""MERGE INTO $cat.t z USING $cat.src ON z.id = src.id
+          WHEN MATCHED THEN UPDATE SET dbl = 777""")
+      }
+      intercept[Exception] {
+        spark.sql(s"""MERGE INTO $cat.t z USING $cat.src ON z.id = src.id
+          WHEN MATCHED THEN UPDATE SET s = src.s
+          WHEN NOT MATCHED THEN INSERT (id, s, dbl) VALUES (src.id, src.s, 9)""")
+      }
+      assert(rows() == Seq((1L, 2L), (2L, 4L)), "refused ops changed nothing")
+
+      // UPDATE of a source column recomputes the dependent.
+      spark.sql(s"UPDATE $cat.t SET id = id + 10 WHERE id = 1")
+      assert(rows() == Seq((2L, 4L), (11L, 22L)))
+
+      // Mixed MERGE: matched update recomputes, not-matched insert
+      // computes the omitted column.
+      spark.sql(s"""MERGE INTO $cat.t z USING $cat.src ON z.id = src.id
+        WHEN MATCHED THEN UPDATE SET id = src.id + 100, s = src.s
+        WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, src.s)""")
+      assert(rows() == Seq((3L, 6L), (11L, 22L), (102L, 204L)))
+
+      // NOT MATCHED BY SOURCE update recomputes too.
+      spark.sql(s"""MERGE INTO $cat.t z USING $cat.src ON z.id = src.id
+        WHEN MATCHED AND src.id = 999 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = z.id + 1000""")
+      assert(rows() == Seq((3L, 6L), (1011L, 2022L), (1102L, 2204L)))
+
+      // Updating a NON-source column leaves the stored value; DELETE
+      // is untouched by the rule.
+      spark.sql(s"UPDATE $cat.t SET s = 'q' WHERE id = 3")
+      assert(rows().head == (3L, 6L))
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 3 AND s = 'q'")
+      assert(rows() == Seq((1011L, 2022L), (1102L, 2204L)))
+    }
+
   test("identity columns are refused loudly at CREATE") {
     val cat = freshCat("ident")
     val e = intercept[Exception] {
