@@ -1379,6 +1379,55 @@ object IncrementalQueries {
         FROM $cat.corpus GROUP BY lang""")
     },
 
+    // IDENTITY columns (round-17, [[graft.sources.GraftIdentity]]):
+    // `GENERATED ALWAYS AS IDENTITY` with values allocated at COMMIT
+    // time under the publish lock — writers store negative local
+    // placeholders, the commit assigns each file's absolute base
+    // against the persisted high-water mark, readers resolve through
+    // the manifest's idbase. The spec inserts the corpus in TWO
+    // single-file sorted batches (evens then odds, each coalesce(1) so
+    // minting order is doc_id order within a batch), which makes the
+    // assignment a deterministic function the oracle recomputes as
+    // row_number() over (parity, doc_id). sum(id * n_chars) pins the
+    // PER-ROW binding — a shifted, reused, or unresolved-placeholder
+    // id breaks the weighted sum, not just the range. Concurrency,
+    // refusal, truncate and compaction semantics are pinned in
+    // IdentityColumnsSpec.
+    QuerySpec(
+      "a69_identity_columns",
+      """WITH ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (ORDER BY (doc_id % 2), doc_id) AS id
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(id) AS BIGINT) AS sum_id,
+        |  CAST(max(id) AS BIGINT) AS max_id,
+        |  CAST(sum(id * n_chars) AS BIGINT) AS weighted
+        |FROM ranked GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a69", dir)
+      val cat = "graft_a69_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.corpus (
+        id BIGINT GENERATED ALWAYS AS IDENTITY,
+        doc_id BIGINT, lang STRING, n_chars BIGINT)""")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      // DataFrame appends address the identity column with lit(null) —
+      // the analyzer's own omitted-fill value, which the writer mints
+      // from. Single sorted file per batch = deterministic assignment.
+      def batch(parity: Int): Unit =
+        docs.where(col("doc_id") % 2 === parity)
+          .orderBy("doc_id").coalesce(1)
+          .select(lit(null).cast("bigint").as("id"), col("doc_id"),
+            col("lang"), col("n_chars"))
+          .writeTo(s"$cat.corpus").append()
+      batch(0); batch(1)
+      s.sql(s"""SELECT lang, count(*) AS n, sum(id) AS sum_id,
+        max(id) AS max_id, sum(id * n_chars) AS weighted
+        FROM $cat.corpus GROUP BY lang""")
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

@@ -52,14 +52,19 @@ case class GraftGeneratedColumns(session: SparkSession)
 
   private val AppliedKey = "graft.generated.applied"
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.resolveOperators {
       case w: V2WriteCommand if insertShaped(w) && w.query.resolved &&
-          w.table.isInstanceOf[DataSourceV2Relation] &&
-          genSqls(w.table.asInstanceOf[DataSourceV2Relation]).nonEmpty &&
+          w.table.isInstanceOf[DataSourceV2Relation] && {
+            val rel = w.table.asInstanceOf[DataSourceV2Relation]
+            genSqls(rel).nonEmpty || identityCol(rel).isDefined
+          } &&
           w.query.output.length == w.table.output.length &&
           !applied(w.query) =>
-        w.withNewQuery(rewrite(w))
+        rewrite(w) match {
+          case Some(q) => w.withNewQuery(q)
+          case None => w // identity-only pass: nothing to compute
+        }
       // Row-level commands (round-17, closing the MERGE/UPDATE bypass),
       // first chance: the window where the command is RESOLVED but not
       // yet ALIGNED — Spark's ResolveRowLevelCommandAssignments and the
@@ -78,12 +83,14 @@ case class GraftGeneratedColumns(session: SparkSession)
       //  - a MERGE INSERT that omits the generated column appends the
       //    computation, deps bound to the same action's values.
       case u: UpdateTable if u.resolved && !u.aligned &&
-          relationOf(u.table).exists(genSqls(_).nonEmpty) =>
+          relationOf(u.table).exists(r =>
+            genSqls(r).nonEmpty || identityCol(r).isDefined) =>
         val rel = relationOf(u.table).get
         val next = rewriteAssignments(u.assignments, rel, update = true)
         if (next eq u.assignments) u else u.copy(assignments = next)
       case m: MergeIntoTable if m.resolved && !m.aligned &&
-          relationOf(m.targetTable).exists(genSqls(_).nonEmpty) =>
+          relationOf(m.targetTable).exists(r =>
+            genSqls(r).nonEmpty || identityCol(r).isDefined) =>
         val rel = relationOf(m.targetTable).get
         def fix(a: MergeAction): MergeAction = a match {
           case ua: UpdateAction =>
@@ -112,11 +119,13 @@ case class GraftGeneratedColumns(session: SparkSession)
       // isn't the recomputation refuses. Values already fixed by the
       // first-chance path compare equal and pass through.
       case w: V2WriteCommand if rowLevelShaped(w) && w.query.resolved &&
-          relationOf(w.table).exists(genSqls(_).nonEmpty) =>
+          relationOf(w.table).exists(r =>
+            genSqls(r).nonEmpty || identityCol(r).isDefined) =>
         val rel = relationOf(w.table).get
         val next = fixRowLevelQuery(w.query, rel)
         if (next eq w.query) w else w.withNewQuery(next)
     }
+  }
 
   private def rowLevelShaped(w: V2WriteCommand): Boolean = w match {
     case _: org.apache.spark.sql.catalyst.plans.logical.ReplaceData |
@@ -129,6 +138,28 @@ case class GraftGeneratedColumns(session: SparkSession)
       case r: DataSourceV2Relation => Some(r)
       case _ => None
     }
+
+  /** The relation's IDENTITY column, if declared ([[GraftIdentity]]).
+    * Treated by this rule as a generated column with NO expression:
+    * explicit assignment refuses in every write shape, the omitted
+    * null fill passes through untouched (the WRITER mints a
+    * placeholder and the COMMIT allocates the value), and nothing
+    * recomputes. */
+  private def identityCol(rel: DataSourceV2Relation): Option[String] =
+    scala.util.Try(GraftIdentity.of(underlying(rel).schema()))
+      .toOption.flatten.map(_.col)
+
+  /** The REAL connector table behind a relation: a row-level write's
+    * relation wraps it in Spark's private[sql] RowLevelOperationTable,
+    * whose schema() path throws (it implements neither deprecated
+    * schema() nor columns() cleanly) — unwrap reflectively. */
+  private def underlying(rel: DataSourceV2Relation)
+      : org.apache.spark.sql.connector.catalog.Table = rel.table match {
+    case t if t.getClass.getName.endsWith("RowLevelOperationTable") =>
+      t.getClass.getMethod("table").invoke(t)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.Table]
+    case t => t
+  }
 
   /** Rewrite one RAW (pre-alignment) assignment list — an UPDATE's SET
     * entries or a MERGE action's assignments, exactly what the user
@@ -156,6 +187,21 @@ case class GraftGeneratedColumns(session: SparkSession)
       rel: DataSourceV2Relation, update: Boolean): Seq[Assignment] = {
     val resolver = session.sessionState.conf.resolver
     val gens = genSqls(rel)
+    // IDENTITY: any assignment refuses — values exist only through
+    // commit-time allocation; an omitted MERGE-INSERT identity needs
+    // nothing appended (the null fill is exactly what the writer
+    // mints from).
+    identityCol(rel).foreach { ic =>
+      assignments.foreach { a =>
+        a.key match {
+          case at: Attribute if resolver(at.name, ic) =>
+            throw new UnsupportedOperationException(
+              s"column '$ic' is GENERATED ALWAYS AS IDENTITY and cannot " +
+                "be assigned by UPDATE or MERGE")
+          case _ => ()
+        }
+      }
+    }
     def attrOf(a: Assignment): Option[Attribute] = a.key match {
       case at: Attribute => Some(at)
       case _ => None
@@ -180,7 +226,8 @@ case class GraftGeneratedColumns(session: SparkSession)
           // DEFAULT (or null) — bind the dep to the same value so the
           // stored generated value matches the stored dep.
           val at = relAttr(col)
-          val fld = rel.table.schema().fields
+          val fld = scala.util.Try(underlying(rel).schema()).toOption
+            .toSeq.flatMap(_.fields)
             .find(f => resolver(f.name, col))
           fld.flatMap { f =>
             val rd = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
@@ -379,6 +426,30 @@ case class GraftGeneratedColumns(session: SparkSession)
       }
     var changed = false
     val buf = vals.toArray
+    // IDENTITY backstop: carried attributes and null fills (the
+    // writer's minting input) pass; anything else was an explicit
+    // assignment that slipped past the first-chance path — refuse.
+    identityCol(rel).foreach { ic =>
+      for (pg <- idxOf(ic); gAttr <- targetAttr(ic)) {
+        val nx = normalize(vals(pg))
+        val ok = carries(ic, vals(pg)) ||
+          (nx match {
+            case l: Literal => l.value == null
+            case org.apache.spark.sql.catalyst.expressions.If(_, t, f)
+                if carries(ic, f) =>
+              normalize(t) match {
+                case l: Literal => l.value == null
+                case at: Attribute => at.exprId == gAttr.exprId
+                case _ => false
+              }
+            case _ => false
+          })
+        if (!ok)
+          throw new UnsupportedOperationException(
+            s"column '${gAttr.name}' is GENERATED ALWAYS AS IDENTITY " +
+              "and cannot be assigned by UPDATE or MERGE")
+      }
+    }
     gens.foreach { case (g, genSql) =>
       for (pg <- idxOf(g); gAttr <- targetAttr(g)) {
         val deps = depsOf(genSql)
@@ -453,7 +524,7 @@ case class GraftGeneratedColumns(session: SparkSession)
   /** Generation expressions by column name, off the table's v2
     * columns. */
   private def genSqls(rel: DataSourceV2Relation): Map[String, String] =
-    rel.table.columns().iterator
+    underlying(rel).columns().iterator
       .flatMap(c => Option(c.generationExpression()).map(c.name() -> _))
       .toMap
 
@@ -498,14 +569,28 @@ case class GraftGeneratedColumns(session: SparkSession)
     }
   }
 
-  private def rewrite(w: V2WriteCommand): LogicalPlan = {
+  private def rewrite(w: V2WriteCommand): Option[LogicalPlan] = {
     val resolver = session.sessionState.conf.resolver
-    val byName = genSqls(w.table.asInstanceOf[DataSourceV2Relation])
+    val rel = w.table.asInstanceOf[DataSourceV2Relation]
+    val byName = genSqls(rel)
+    val ident = identityCol(rel)
     val query = w.query
+    var computed = false
     val projections: Seq[NamedExpression] =
       w.table.output.zip(query.output).map { case (target, incoming) =>
         val gen = byName.keys.find(resolver(_, target.name))
-        if (gen.isEmpty) incoming
+        if (ident.exists(resolver(_, target.name))) {
+          // IDENTITY: the omitted null fill passes through UNTOUCHED —
+          // the writer mints a placeholder and the commit allocates
+          // the value. Anything else is an explicit assignment.
+          if (!omittedFill(query, incoming))
+            throw new UnsupportedOperationException(
+              s"column '${target.name}' is GENERATED ALWAYS AS IDENTITY " +
+                "and cannot be assigned — omit it from the insert " +
+                "column list (values are allocated at commit)")
+          incoming
+        }
+        else if (gen.isEmpty) incoming
         else {
           val genSql = byName(gen.get)
           if (!omittedFill(query, incoming))
@@ -524,10 +609,14 @@ case class GraftGeneratedColumns(session: SparkSession)
           val castTo =
             if (bound.resolved && bound.dataType == target.dataType) bound
             else Cast(bound, target.dataType)
+          computed = true
           Alias(castTo, target.name)(explicitMetadata = Some(
             new MetadataBuilder().putBoolean(AppliedKey, true).build()))
         }
       }
-    Project(projections, query)
+    // Wrap only when something was computed: an identity-only table's
+    // legal insert changes nothing, and re-wrapping an unchanged
+    // projection every fixpoint iteration would never converge.
+    if (computed) Some(Project(projections, query)) else None
   }
 }

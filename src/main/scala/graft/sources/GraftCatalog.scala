@@ -82,12 +82,17 @@ class GraftCatalog extends TableCatalog
         .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
       // Generated columns: accepted at CREATE (expression persisted in
       // the field metadata), COMPUTED on insert-shaped writes by the
-      // [[GraftGeneratedColumns]] resolution rule. Identity columns
-      // stay undeclared: unique value allocation needs commit-time
-      // watermark reconciliation, and two QUEUED concurrent appends
-      // (a63 semantics) would mint colliding ranges at analysis time.
+      // [[GraftGeneratedColumns]] resolution rule.
       org.apache.spark.sql.connector.catalog
-        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // IDENTITY columns (round-17, [[GraftIdentity]]): values
+      // allocated at COMMIT time under the publish lock — the design
+      // that stays collision-free under queued concurrent appends (a63
+      // semantics), where analysis-time range minting would collide.
+      // Writers store negative local placeholders; the commit assigns
+      // each file's base against the persisted high-water mark.
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def dirOf(ident: Identifier): Path = {
     // Path traversal guard: identifiers are directory names, never paths.
@@ -300,6 +305,7 @@ class GraftCatalog extends TableCatalog
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     ManifestSink.codecOf(props) // validate loudly at CREATE, not at write
+    GraftCatalog.validateIdentity(schema, partCols, props)
     writeMeta(dir, schema, partCols, props)
     new ManifestTable(dir.toString, schema, None, partCols, props)
   }
@@ -321,11 +327,24 @@ class GraftCatalog extends TableCatalog
     val genByName = info.columns().iterator
       .flatMap(c => Option(c.generationExpression()).map(c.name() -> _))
       .toMap
-    val schema = StructType(info.schema().fields.map { f =>
-      genByName.get(f.name).fold(f) { sql =>
+    val identByName = info.columns().iterator
+      .flatMap(c => Option(c.identityColumnSpec()).map(c.name() -> _))
+      .toMap
+    val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+    val schema = StructType(info.schema().fields.map { f0 =>
+      val f = genByName.get(f0.name).fold(f0) { sql =>
+        f0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f0.metadata)
+          .putString(GraftCatalog.GenerationExpressionKey, sql).build())
+      }
+      identByName.get(f.name).fold(f) { spec =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
-          .putString(GraftCatalog.GenerationExpressionKey, sql).build())
+          .putLong(ic.IDENTITY_INFO_START, spec.getStart)
+          .putLong(ic.IDENTITY_INFO_STEP, spec.getStep)
+          .putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            spec.isAllowExplicitInsert)
+          .build())
       }
     })
     GraftCatalog.validateGeneration(schema, genByName)
@@ -698,6 +717,7 @@ class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = parseTransforms(schema, partitions)
     ManifestSink.codecOf(props)
+    GraftCatalog.validateIdentity(schema, partCols, props)
     if (tableExists(ident))
       throw new TableAlreadyExistsException(identSeq(ident))
     val finalDir = dirOf(ident)
@@ -714,6 +734,7 @@ class GraftCatalog extends TableCatalog
       : org.apache.spark.sql.connector.catalog.StagedTable = {
     val partCols = parseTransforms(schema, partitions)
     ManifestSink.codecOf(props)
+    GraftCatalog.validateIdentity(schema, partCols, props)
     if (!tableExists(ident))
       throw new NoSuchTableException(identSeq(ident))
     new StagedReplace(dirOf(ident), identSeq(ident), schema, partCols, props)
@@ -1417,6 +1438,50 @@ private[sources] object GraftCatalog {
     * would brick every later INSERT. Detection parses with the active
     * session's parser; without one (or on a parse failure) a
     * conservative identifier-token scan refuses on any match. */
+  /** CREATE-time identity validation ([[GraftIdentity]] checks the
+    * spec itself — type, ALWAYS-only, start/step sign): the stored
+    * value is a PLACEHOLDER until commit, so nothing that consumes
+    * stored values at write time may involve the column — partition
+    * routing, sort stamps, bloom indexing, enforced CHECK predicates
+    * (which would vacuously pass on the pre-allocation null), and
+    * generation expressions (which would compute from null).
+    * Informational PK/UNIQUE/FK are fine — they assert, not read. */
+  private[sources] def validateIdentity(schema: StructType,
+      partCols: Seq[String], props: Map[String, String]): Unit =
+    GraftIdentity.of(schema).foreach { spec =>
+      require(!PartSpec.parseAll(partCols).exists(_.col == spec.col),
+        s"IDENTITY column '${spec.col}' cannot be a partition/bucket " +
+          "column (its stored values are placeholders until commit)")
+      Seq("sortby", "bloomcolumns").foreach { k =>
+        require(!props.get(k).exists(_.split(",").map(_.trim)
+            .exists(_.equalsIgnoreCase(spec.col))),
+          s"IDENTITY column '${spec.col}' cannot appear in '$k'")
+      }
+      schema.fields.filterNot(_.name == spec.col).foreach { f =>
+        if (f.metadata.contains(GenerationExpressionKey)) {
+          val sql = f.metadata.getString(GenerationExpressionKey)
+          require(!sql.split("[^A-Za-z0-9_]+")
+              .exists(_.equalsIgnoreCase(spec.col)),
+            s"generated column '${f.name}' cannot reference IDENTITY " +
+              s"column '${spec.col}' (values are allocated at commit, " +
+              "after generation expressions compute)")
+        }
+      }
+      props.filter(_._1.startsWith(ConstraintPropPrefix)).foreach {
+        case (_, v) => parseConstraint(v).foreach {
+          case ch: org.apache.spark.sql.connector.catalog.constraints.Check
+              if ch.enforced() =>
+            require(!ch.predicateSql().split("[^A-Za-z0-9_]+")
+                .exists(_.equalsIgnoreCase(spec.col)),
+              s"enforced CHECK '${ch.name()}' cannot reference IDENTITY " +
+                s"column '${spec.col}' — at write time the column is " +
+                "still unallocated, so the predicate would vacuously " +
+                "pass on null and never validate real values")
+          case _ => ()
+        }
+      }
+    }
+
   private[sources] def requireUnreferenced(schema: StructType,
       props: Map[String, String], col: String, verb: String): Unit = {
     def tokenScan(sql: String): Boolean =

@@ -301,8 +301,35 @@ private[sources] final class RowParquetWriterBuilder(
 private[sources] class ParquetDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
     epochId: Option[Long] = None, suffix: String = "",
-    bloomCols: Seq[String] = Nil)
+    bloomCols: Seq[String] = Nil,
+    identity: Option[GraftIdentity.Spec] = None)
     extends DataWriter[InternalRow] {
+  // IDENTITY minting — the NDJSON twin's semantics ([[GraftIdentity]],
+  // [[NdjsonDataWriter]]): null in the identity column stores the next
+  // negative local placeholder, non-null values carry through (must be
+  // non-negative). The parquet lane patches the row via a mutable copy
+  // for minted rows only (UnsafeRows are immutable); placeholders stay
+  // out of stats — carried bounds accumulate separately and the commit
+  // merges the exact minted range.
+  private val idIdx: Int =
+    identity.map(sp => schema.fieldIndex(sp.col)).getOrElse(-1)
+  private var mintedCount = 0L
+  private var idMin = Long.MaxValue
+  private var idMax = Long.MinValue
+  private var idCarried = false
+
+  private def patched(record: InternalRow, stored: Long): InternalRow = {
+    val arr = new Array[Any](schema.fields.length)
+    var i = 0
+    while (i < schema.fields.length) {
+      arr(i) =
+        if (i == idIdx) stored
+        else if (record.isNullAt(i)) null
+        else record.get(i, schema.fields(i).dataType)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+  }
   // Same naming contract as the NDJSON writer: batch names are
   // attempt-unique via taskId; streaming names are epoch-deterministic
   // when PUBLISHED (epoch replays replace their own files), so the
@@ -363,10 +390,30 @@ private[sources] class ParquetDataWriter(path: String, queryId: String,
     LeafRef.bloomTargetsOf(schema, leafCols, bloomCols)
   private val bloomBufs: Array[HashBuf] = bloomTargets.map(_ => new HashBuf)
 
-  override def write(record: InternalRow): Unit = {
+  override def write(record0: InternalRow): Unit = {
+    // Identity first: minted rows are PATCHED before anything else
+    // sees them (the parquet writer stores the placeholder; stats and
+    // null counts must treat it as the non-null carried branch does).
+    val record =
+      if (idIdx < 0) record0
+      else if (record0.isNullAt(idIdx)) {
+        val ph = GraftIdentity.encode(mintedCount); mintedCount += 1
+        patched(record0, ph)
+      } else {
+        val v = record0.getLong(idIdx)
+        require(v >= 0,
+          s"identity column '${schema.fields(idIdx).name}' received a " +
+            s"negative value $v — explicit values are not assignable and " +
+            "carried-through rows are always non-negative")
+        idCarried = true
+        if (v < idMin) idMin = v
+        if (v > idMax) idMax = v
+        record0
+      }
     var i = 0
     while (i < schema.fields.length) {
-      if (record.isNullAt(i)) nullCounts(i) += 1
+      if (i == idIdx) () // placeholder/carried: tracked above, not here
+      else if (record.isNullAt(i)) nullCounts(i) += 1
       else {
         val dt = schema.fields(i).dataType
         val v = record.get(i, dt)
@@ -472,11 +519,17 @@ private[sources] class ParquetDataWriter(path: String, queryId: String,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
+    val idStats =
+      if (idIdx >= 0 && idCarried)
+        Seq(ColStat(schema.fields(idIdx).name, idMin.toString,
+          idMax.toString))
+      else Nil
+    StagedFile(name, rows, stats.toSeq ++ idStats, Files.size(finalStaged),
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap,
       bloomCols = builtBlooms.map(_._1),
-      kmv = kmvSketches)
+      kmv = kmvSketches,
+      minted = mintedCount)
   }
 
   override def abort(): Unit = {

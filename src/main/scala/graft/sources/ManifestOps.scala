@@ -223,6 +223,14 @@ object ManifestOps {
             s"equality-delete key column '${f.name}' carries an initial " +
               "DEFAULT — rows written before the column existed have no " +
               "payload key to match; delete by a stable key column instead")
+          // Minted identity rows store NEGATIVE placeholders: a key
+          // match against the user-visible absolute value would
+          // silently delete nothing ([[GraftIdentity]]).
+          require(!GraftIdentity.of(tableSchema).exists(_.col == f.name),
+            s"equality-delete key column '${f.name}' is the table's " +
+              "IDENTITY column — minted rows store placeholders that " +
+              "never match the user-visible value; use DELETE WHERE " +
+              "(row-level), which resolves identities at read")
         }
       }
     }

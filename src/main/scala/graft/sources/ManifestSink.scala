@@ -415,6 +415,28 @@ object ManifestSink {
   /** The table's configured block granularity, read (mtime-cached) from
     * `_table.json` on whichever JVM is writing; path-only tables (no
     * metadata file) use the default. */
+  private val identityCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Option[GraftIdentity.Spec])]()
+
+  /** The table's IDENTITY spec, from `_table.json` field metadata —
+    * resolved per directory with the same mtime-keyed cache as the
+    * codec/filekind lookups (writers on executors and committers on
+    * the driver both ask). None for path tables without catalog meta —
+    * identity is a catalog-table feature. */
+  private[sources] def identityAt(dir: String): Option[GraftIdentity.Spec] = {
+    val p = Paths.get(dir, "_table.json")
+    try {
+      if (!Files.exists(p)) return None
+      val mtime = Files.getLastModifiedTime(p).toMillis
+      val hit = identityCache.get(dir)
+      if (hit != null && hit._1 == mtime) return hit._2
+      val out = GraftIdentity.of(GraftCatalog.readMeta(Paths.get(dir))._1)
+      identityCache.put(dir, (mtime, out))
+      out
+    } catch { case _: Exception => None }
+  }
+
   private[sources] def blockBytesAt(dir: String): Long = {
     val p = Paths.get(dir, "_table.json")
     try {
@@ -1245,8 +1267,16 @@ object ManifestSink {
               try Some(k.drop(4) -> parseKmv(b64))
               catch { case _: Exception => None }
           }.flatten.toMap
+          val minted = m.get("minted") match {
+            case Some(NdjsonCodec.JsonTok(t)) => t.toLong
+            case _ => 0L
+          }
+          val idbase = m.get("idbase") match {
+            case Some(NdjsonCodec.JsonTok(t)) => Some(t.toLong)
+            case _ => None
+          }
           Some(StagedFile(n, rows, stats, bytes, nulls, parts, dv, dvRows,
-            seq, sorted, bloomCols, blocks, codec, kmv))
+            seq, sorted, bloomCols, blocks, codec, kmv, minted, idbase))
         case _ => None
       }
     }
@@ -1688,6 +1718,11 @@ object ManifestSink {
       val (smallAll, big) = entries.partition(e =>
         e.rows < targetRows && !exclude(e.name) && inScope(e) &&
           !replayProtected(e.name) &&
+          // Identity-minted entries carry FILE-RELATIVE placeholders
+          // (resolved through their own idbase): concat would mix
+          // bases. They carry over untouched; a copy-on-write rewrite
+          // materializes absolute values and re-opens compaction.
+          e.idbase.isEmpty &&
           // Parquet-kind candidates must be DELETE-FREE: the row-group
           // append below copies rows verbatim (no decode), so a DV or
           // an applicable tombstone cannot be materialized — such
@@ -2047,9 +2082,15 @@ object ManifestSink {
     val kmv = f.kmv.toSeq.sortBy(_._1).map { case (c, minima) =>
       s""""kmv.$c":"${renderKmv(minima)}""""
     }
+    // Identity minting state ([[GraftIdentity]]): `minted` only rides
+    // STAGED entries (the commit consumes it and assigns `idbase`);
+    // a committed entry carries the base readers resolve through.
+    val ident =
+      (if (f.minted > 0) Seq(s""""minted":${f.minted}""") else Nil) ++
+        f.idbase.toSeq.map(b => s""""idbase":$b""")
     (Seq(s""""name":"${f.name}"""", s""""rows":${f.rows}""") ++ bytes ++
       stats ++ nulls ++ parts ++ dv ++ seq ++ sorted ++ bloom ++ codec ++
-      kmv ++ blocks).mkString("{", ",", "}")
+      kmv ++ ident ++ blocks).mkString("{", ",", "}")
   }
 
   private[sources] def generationManifestName(gen: Long): String =
@@ -2279,6 +2320,9 @@ object ManifestSink {
       : Seq[InputPartition] = {
     val p = Paths.get(dir, f.name)
     val size = fileSize(dir, f)
+    // Identity base rides every split of the file (stored placeholders
+    // are file-relative, independent of split position).
+    val idb = f.idbase.getOrElse(-1L)
     // Every read of a DV'd file — batch scan, streaming tail, CDF
     // insert replay — skips its deleted offsets; each split loads the
     // (small) sidecar independently. Equality-delete refs ride the
@@ -2298,10 +2342,10 @@ object ManifestSink {
     if (GraftParquet.isParquet(f.name)) {
       if (!blockSplit || size <= maxSplitBytes)
         return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
-          dv = dv, eq = eq))
+          dv = dv, eq = eq, idbase = idb))
       return (0L until size by maxSplitBytes).map(s =>
         ManifestFilePartition(p.toString, s,
-          math.min(s + maxSplitBytes, size), dv = dv, eq = eq))
+          math.min(s + maxSplitBytes, size), dv = dv, eq = eq, idbase = idb))
     }
     if (f.codec.nonEmpty) {
       // SEEKABLE COMPRESSED FILES: when every block records the
@@ -2315,7 +2359,7 @@ object ManifestSink {
         f.blocks.forall(_.physStart >= 0)
       if (!seekable)
         return Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue,
-          dv = dv, eq = eq, codec = f.codec))
+          dv = dv, eq = eq, codec = f.codec, idbase = idb))
       val surviving = pruning match {
         case Some((full, filters)) if filters.nonEmpty =>
           f.blocks.filter { b =>
@@ -2337,7 +2381,7 @@ object ManifestSink {
       // with pos pre-set to ls — frame-aligned, no partial-line discard.
       return groups.map { case (ps, ls, le) =>
         ManifestFilePartition(p.toString, ls, le - 1, dv = dv, eq = eq,
-          codec = f.codec, physStart = ps)
+          codec = f.codec, physStart = ps, idbase = idb)
       }
     }
     val kept: Option[Seq[(Long, Long)]] = pruning match {
@@ -2366,16 +2410,16 @@ object ManifestSink {
           val start0 = if (s == 0) 0L else s - 1
           (start0 until (e - 1) by maxSplitBytes).map(cs =>
             ManifestFilePartition(p.toString, cs,
-              math.min(cs + maxSplitBytes, e - 1), dv = dv, eq = eq))
+              math.min(cs + maxSplitBytes, e - 1), dv = dv, eq = eq, idbase = idb))
         }
       case None =>
         if (size <= maxSplitBytes)
           Seq(ManifestFilePartition(p.toString, 0L, Long.MaxValue, dv = dv,
-            eq = eq))
+            eq = eq, idbase = idb))
         else
           (0L until size by maxSplitBytes).map(s =>
             ManifestFilePartition(p.toString, s,
-              math.min(s + maxSplitBytes, size), dv = dv, eq = eq))
+              math.min(s + maxSplitBytes, size), dv = dv, eq = eq, idbase = idb))
     }
   }
 
@@ -3918,6 +3962,16 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
       .getOrElse(Nil)
     sortBy.foreach(c => require(writeSchema.fields.exists(_.name == c),
       s"sortBy column '$c' is not in the written schema"))
+    // Identity columns ([[GraftIdentity]]): stored values are
+    // placeholders until commit — nothing value-derived may consume
+    // them at write time. CREATE validates the table-property
+    // spellings; write OPTIONS are re-checked here.
+    ManifestSink.identityAt(path).foreach { sp =>
+      require(!sortBy.contains(sp.col),
+        s"IDENTITY column '${sp.col}' cannot be a sortBy column")
+      require(!PartSpec.parseAll(partCols).exists(_.col == sp.col),
+        s"IDENTITY column '${sp.col}' cannot be a partition column")
+    }
     // `bloomColumns` (write option or table property, comma list):
     // every written file carries a bloom sidecar over these columns,
     // so point lookups skip files whose index proves the value absent
@@ -3937,6 +3991,10 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
         s"bloomColumns column '$c' (${fld.get.dataType}) is not " +
           "bloom-indexable — integral, string, date and timestamp only " +
           "(float/double/decimal equality is not a point-lookup shape)")
+      require(!ManifestSink.identityAt(path).exists(_.col == c),
+        s"IDENTITY column '$c' cannot be bloom-indexed (stored minted " +
+          "values are placeholders — the index would skip files that " +
+          "contain the looked-up id)")
     }
     new ManifestWriteBuilder(path, writeSchema, info.queryId(),
       truncate = false, retain = retain, autoCompactRows = autoCompact,
@@ -4996,7 +5054,7 @@ private[sources] class ManifestScan(path: String, full: StructType,
               blockSplit = false).map {
               case p: ManifestFilePartition =>
                 KeyedManifestFilePartition(p.file, p.start, p.end, key,
-                  p.dv, p.eq, p.codec): InputPartition
+                  p.dv, p.eq, p.codec, p.idbase): InputPartition
               case p => p
             }
           }.toArray
@@ -5113,7 +5171,8 @@ private[sources] class ManifestScan(path: String, full: StructType,
     new ManifestReaderFactory(required,
       serveFileColumn = !full.fieldNames.contains(ManifestSink.FileColumn),
       servePos = !full.fieldNames.contains(ManifestSink.PosColumn),
-      aliases = aliasCands)
+      aliases = aliasCands,
+      identity = ManifestSink.identityAt(path))
 
   /** Exact numRows from the manifest (free — counted at write time),
     * AFTER file skipping; bytes from the surviving files, scaled by the
@@ -5316,7 +5375,10 @@ private[sources] final case class ManifestFilePartition(file: String,
     // Frame-aligned range read of a compressed file: the PHYSICAL byte
     // offset the range's first frame begins at (-1 = read from byte 0).
     // start/end stay logical.
-    physStart: Long = -1L) extends InputPartition
+    physStart: Long = -1L,
+    // IDENTITY base of the file's minted placeholders (-1 = none): the
+    // reader resolves stored v < 0 to idbase + (-v-1)*step.
+    idbase: Long = -1L) extends InputPartition
 
 /** A file partition that KNOWS its partition-tuple value — what lets
   * Spark group co-partitioned scans for storage-partitioned joins. */
@@ -5324,7 +5386,8 @@ private[sources] final case class KeyedManifestFilePartition(file: String,
     start: Long, end: Long, key: InternalRow,
     dv: DvSpec = DvSpec.Empty,
     eq: Seq[EqRef] = Nil,
-    codec: String = "")
+    codec: String = "",
+    idbase: Long = -1L)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = key
@@ -5390,7 +5453,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(required,
-      aliases = SchemaEvolution.aliasesAt(path))
+      aliases = SchemaEvolution.aliasesAt(path),
+      identity = ManifestSink.identityAt(path))
 }
 
 /** Scan observability (Spark SQL UI custom metrics): what file
@@ -5431,8 +5495,52 @@ private[sources] class ManifestReaderFactory(required: StructType,
     // ([[SchemaEvolution]]): pre-rename data files keep their vintage
     // keys, so the reader looks each projected column up under every
     // name it ever had. Empty (the common case) costs nothing.
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    // IDENTITY resolution ([[GraftIdentity]]): when the projected
+    // schema carries the table's identity column, stored negative
+    // placeholders resolve through the partition's idbase.
+    identity: Option[GraftIdentity.Spec] = None)
     extends PartitionReaderFactory {
+  private val idIdx: Int = identity
+    .map(sp => required.fieldNames.indexOf(sp.col)).getOrElse(-1)
+
+  /** Wrap a reader to resolve identity placeholders. Mutable rows
+    * patch in place; anything else copies the projected row (minted
+    * files only — materialized files skip the wrapper entirely). */
+  private def resolving(inner: PartitionReader[InternalRow], idbase: Long)
+      : PartitionReader[InternalRow] =
+    if (idIdx < 0 || idbase < 0) inner
+    else new PartitionReader[InternalRow] {
+      private val step = identity.get.step
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        if (r.isNullAt(idIdx)) r
+        else {
+          val v = r.getLong(idIdx)
+          if (v >= 0) r
+          else {
+            val abs = GraftIdentity.resolve(v, idbase, step)
+            r match {
+              case g: org.apache.spark.sql.catalyst.expressions.GenericInternalRow =>
+                g.update(idIdx, abs); g
+              case other =>
+                val arr = new Array[Any](required.length)
+                var i = 0
+                while (i < required.length) {
+                  arr(i) =
+                    if (i == idIdx) abs
+                    else if (other.isNullAt(i)) null
+                    else other.get(i, required.fields(i).dataType)
+                  i += 1
+                }
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(arr)
+            }
+          }
+        }
+      }
+      override def close(): Unit = inner.close()
+    }
   // `_file` is a PLAN-derived constant like the change feed's
   // `_change_type`: each partition knows its file, so the metadata
   // column costs nothing per row. Only injected when the table schema
@@ -5446,24 +5554,24 @@ private[sources] class ManifestReaderFactory(required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: ManifestFilePartition if GraftParquet.isParquet(p.file) =>
-        new ParquetPartitionReader(p.file, required,
+        resolving(new ParquetPartitionReader(p.file, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
           aliases, start = p.start,
           // Planner and reader agree on half-open [start, end) byte
           // ranges for the parquet kind — passed through unchanged.
-          end = p.end)
+          end = p.end), p.idbase)
       case p: ManifestFilePartition =>
-        new NdjsonPartitionReader(p.file, p.start, p.end, required,
+        resolving(new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, p.constants), p.dv, servePos, p.eq, p.eqEmit,
-          aliases, p.codec, p.physStart)
+          aliases, p.codec, p.physStart), p.idbase)
       case p: KeyedManifestFilePartition if GraftParquet.isParquet(p.file) =>
-        new ParquetPartitionReader(p.file, required,
+        resolving(new ParquetPartitionReader(p.file, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq,
-          aliases = aliases)
+          aliases = aliases), p.idbase)
       case p: KeyedManifestFilePartition =>
-        new NdjsonPartitionReader(p.file, p.start, p.end, required,
+        resolving(new NdjsonPartitionReader(p.file, p.start, p.end, required,
           consts(p.file, Map.empty), p.dv, servePos, p.eq,
-          aliases = aliases, codec = p.codec)
+          aliases = aliases, codec = p.codec), p.idbase)
     }
 }
 
@@ -5918,12 +6026,25 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     val staging = Paths.get(path, s".staging-$queryId")
-    val winners = StagedFileSet.all(messages)
+    val outerWinners = StagedFileSet.all(messages)
     // Epoch commits are appends (replays retire only their OWN prior
     // attempt's entries) — queue behind a live holder like any append.
     ManifestSink.withPublishLock(dir,
         acquireWaitMs = ManifestSink.AppendAcquireWaitMs) {
       ManifestSink.requireNoConstraintDrift(dir, plannedChecks)
+      // IDENTITY allocation per epoch, same lock-serialized contract as
+      // the batch commit; a replayed epoch re-allocates fresh ranges
+      // while retiring its first attempt's entries wholesale — ids stay
+      // unique, the wasted range is an identity-semantics gap.
+      val winners = ManifestSink.identityAt(path) match {
+        case Some(sp) => GraftIdentity.allocate(dir, sp, outerWinners)
+        case None =>
+          require(!outerWinners.exists(_.minted > 0),
+            s"epoch $epochId staged identity placeholders but $path " +
+              "declares no IDENTITY column — refusing to publish " +
+              "unresolvable values")
+          outerWinners
+      }
       SchemaEvolution.evolveMetaAtCommit(dir, newCols, widens)
       // Manifest composition keyed by EPOCH: a replayed epoch (failure
       // between sink commit and checkpoint advance) retires ALL of its
@@ -6005,16 +6126,20 @@ private[sources] class ManifestStreamingWriterFactory(path: String,
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val parquetKind = ManifestSink.filekindAt(path) == "parquet"
+    val identity = ManifestSink.identityAt(path)
+      .filter(sp => schema.fieldNames.contains(sp.col))
     if (partCols.isEmpty && parquetKind)
       new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
-        Some(epochId), bloomCols = bloomCols)
+        Some(epochId), bloomCols = bloomCols, identity = identity)
     else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        Some(epochId), sortedCols = sortBy, bloomCols = bloomCols)
+        Some(epochId), sortedCols = sortBy, bloomCols = bloomCols,
+        identity = identity)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
         partitionId, taskId, Some(epochId), sortedCols = sortBy,
-        bloomCols = bloomCols, parquetKind = parquetKind)
+        bloomCols = bloomCols, parquetKind = parquetKind,
+        identity = identity)
   }
 }
 
@@ -6112,7 +6237,17 @@ private[sources] final case class StagedFile(name: String, rows: Long,
     // them into a table-level NDV estimate for the optimizer's
     // columnStats.distinctCount — the join-cardinality input CBO
     // actually wants, on exactly the declared join-key columns.
-    kmv: Map[String, Seq[Long]] = Map.empty)
+    kmv: Map[String, Seq[Long]] = Map.empty,
+    // IDENTITY minting (round-17, [[GraftIdentity]]): `minted` = how
+    // many of this file's rows store negative un-allocated placeholders
+    // for the table's identity column (reported by the writer, consumed
+    // by the commit's allocation); `idbase` = the absolute value of the
+    // file's first minted row, assigned at commit under the publish
+    // lock. Readers resolve stored v < 0 to idbase + (-v-1)*step;
+    // entries with an idbase never concat-compact (their stored values
+    // are file-relative).
+    minted: Long = 0L,
+    idbase: Option[Long] = None)
     extends WriterCommitMessage {
   def liveRows: Long = rows - dvRows
   def bloomName: Option[String] =
@@ -6186,7 +6321,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     * output visible at once. Single-writer via the publish lock. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
-    val winners = StagedFileSet.all(messages)
+    val outerWinners = StagedFileSet.all(messages)
     val replaceFiles = replaceFilesFn()
     require(txnStage.isEmpty ||
         (!truncate && replaceFiles.isEmpty && !dynamicOverwrite),
@@ -6197,7 +6332,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // A no-op commit (nothing written, nothing replaced, not a
     // truncate) publishes no generation: an UPDATE matching zero rows
     // must not pollute history or the change feed.
-    if (winners.isEmpty && replaceFiles.isEmpty && !truncate) {
+    if (outerWinners.isEmpty && replaceFiles.isEmpty && !truncate) {
       cleanupStaging()
       return
     }
@@ -6214,6 +6349,20 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       else ManifestSink.LockAcquireWaitMs
     ManifestSink.withPublishLock(dir, acquireWaitMs = acquireWait) {
       ManifestSink.requireNoConstraintDrift(dir, plannedChecks)
+      // IDENTITY allocation ([[GraftIdentity]]): minted placeholders get
+      // their per-file absolute bases HERE, serialized by the same lock
+      // that orders every commit — queued concurrent appends allocate
+      // disjoint ranges by construction. Shadows `winners` so the
+      // stamped entries below carry idbase + exact identity stats.
+      val winners = ManifestSink.identityAt(path) match {
+        case Some(sp) => GraftIdentity.allocate(dir, sp, outerWinners)
+        case None =>
+          require(!outerWinners.exists(_.minted > 0),
+            s"write into $path staged identity placeholders but the " +
+              "table no longer declares an IDENTITY column — refusing " +
+              "to publish unresolvable values")
+          outerWinners
+      }
       // mergeSchema: the evolved schema lands inside the same lock-held
       // critical section as the manifest swap — a reader sees either the
       // old schema without the new data or the new schema with it, and
@@ -6402,16 +6551,20 @@ private[sources] class ManifestWriterFactory(path: String, queryId: String,
     // metadata like the codec) routes both the plain and the
     // partitioned shape to parquet children.
     val parquetKind = ManifestSink.filekindAt(path) == "parquet"
+    // Identity spec resolved from the table meta (writers only mint
+    // when the written schema actually carries the column).
+    val identity = ManifestSink.identityAt(path)
+      .filter(sp => schema.fieldNames.contains(sp.col))
     if (partCols.isEmpty && parquetKind)
       new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
-        bloomCols = bloomCols)
+        bloomCols = bloomCols, identity = identity)
     else if (partCols.isEmpty)
       new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
-        sortedCols = sortBy, bloomCols = bloomCols)
+        sortedCols = sortBy, bloomCols = bloomCols, identity = identity)
     else
       new PartitionedNdjsonDataWriter(path, queryId, schema, partCols,
         partitionId, taskId, sortedCols = sortBy, bloomCols = bloomCols,
-        parquetKind = parquetKind)
+        parquetKind = parquetKind, identity = identity)
   }
 }
 
@@ -6526,8 +6679,24 @@ private[sources] final class HashBuf {
 private[sources] class NdjsonDataWriter(path: String, queryId: String,
     schema: StructType, partitionId: Int, taskId: Long,
     epochId: Option[Long] = None, suffix: String = "",
-    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+    sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+    identity: Option[GraftIdentity.Spec] = None)
     extends DataWriter[InternalRow] {
+  // IDENTITY minting ([[GraftIdentity]]): a null arriving in the
+  // identity column stores the next NEGATIVE local placeholder (the
+  // commit allocates the file's absolute base); a non-null value is a
+  // carried-through absolute (copy-on-write rewrites) and must be
+  // non-negative. Placeholders stay OUT of the normal stat tracking —
+  // carried bounds accumulate separately and the commit merges them
+  // with the exact minted range, while block-level identity stats are
+  // dropped entirely (a block mixing carried and minted rows has no
+  // honest relative bounds).
+  private val idIdx: Int =
+    identity.map(sp => schema.fieldIndex(sp.col)).getOrElse(-1)
+  private var mintedCount = 0L
+  private var idMin = Long.MaxValue
+  private var idMax = Long.MinValue
+  private var idCarried = false
   // `suffix` distinguishes a partitioned task's per-tuple files. It is a
   // pure function of the partition VALUES, so streaming names stay
   // epoch-deterministic (replays regenerate the same names) and batch
@@ -6884,7 +7053,24 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
     var i = 0
     while (i < schema.fields.length) {
       out.write(keyPrefix(i))
-      if (record.isNullAt(i)) { out.write(NullBytes); nullCounts(i) += 1 }
+      if (i == idIdx) {
+        val stored =
+          if (record.isNullAt(i)) {
+            val p = GraftIdentity.encode(mintedCount); mintedCount += 1; p
+          } else {
+            val v = record.getLong(i)
+            require(v >= 0,
+              s"identity column '${schema.fields(i).name}' received a " +
+                s"negative value $v — explicit values are not assignable " +
+                "and carried-through rows are always non-negative")
+            idCarried = true
+            if (v < idMin) idMin = v
+            if (v > idMax) idMax = v
+            v
+          }
+        out.write(java.lang.Long.toString(stored)
+          .getBytes(StandardCharsets.UTF_8))
+      } else if (record.isNullAt(i)) { out.write(NullBytes); nullCounts(i) += 1 }
       else {
         val v = record.get(i, schema.fields(i).dataType)
         if (isStringField(i)) {
@@ -7036,16 +7222,24 @@ private[sources] class NdjsonDataWriter(path: String, queryId: String,
       Files.move(attempt, staging.resolve(BloomIndex.sidecarName(name)),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     }
+    // Identity: carried-row bounds only (the commit merges the exact
+    // minted range in); all-minted files carry no writer-side stat.
+    val idStats =
+      if (idIdx >= 0 && idCarried)
+        Seq(ColStat(schema.fields(idIdx).name, idMin.toString,
+          idMax.toString))
+      else Nil
     // Size recorded here (one executor-local stat of a file we just
     // wrote) so the scan never has to ask the filesystem at plan time.
-    StagedFile(name, rows, stats.toSeq, Files.size(finalStaged),
+    StagedFile(name, rows, stats.toSeq ++ idStats, Files.size(finalStaged),
       schema.fields.indices.map(i =>
         schema.fields(i).name -> nullCounts(i)).toMap,
       sorted = if (sortValid) sortedCols else Nil,
       bloomCols = builtBlooms.map(_._1),
       blocks = blocks,
       codec = codec,
-      kmv = kmvSketches)
+      kmv = kmvSketches,
+      minted = mintedCount)
   }
 
   override def abort(): Unit = {
@@ -7081,7 +7275,8 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
     sortedCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
     // Columnar lane: children are parquet writers (same routing, same
     // per-tuple manifest discipline; the child kind is the only delta).
-    parquetKind: Boolean = false)
+    parquetKind: Boolean = false,
+    identity: Option[GraftIdentity.Spec] = None)
     extends DataWriter[InternalRow] {
   private val specs: Array[PartSpec] = PartSpec.parseAll(partCols).toArray
   private val idx: Array[Int] = specs.map(sp => schema.fieldIndex(sp.col))
@@ -7142,11 +7337,12 @@ private[sources] class PartitionedNdjsonDataWriter(path: String,
       // stream — still sorted, so the stamp carries through.
       if (parquetKind)
         new ParquetDataWriter(path, queryId, schema, partitionId, taskId,
-          epochId, suffix = "-p" + digest(key), bloomCols = bloomCols)
+          epochId, suffix = "-p" + digest(key), bloomCols = bloomCols,
+          identity = identity)
       else
         new NdjsonDataWriter(path, queryId, schema, partitionId, taskId,
           epochId, suffix = "-p" + digest(key), sortedCols = sortedCols,
-          bloomCols = bloomCols)
+          bloomCols = bloomCols, identity = identity)
     }).write(record)
   }
 

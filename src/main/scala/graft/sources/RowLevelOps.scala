@@ -269,6 +269,21 @@ private[sources] class DvDeltaBatchWrite(path: String, schema: StructType,
               "against the current generation")
       }
       val gen = ManifestSink.committedGeneration(path)
+      // IDENTITY allocation for the delta's staged INSERT files (an
+      // UPDATE/MERGE replacement row that arrived with null identity —
+      // a merge-on-read MERGE's not-matched inserts mint exactly like
+      // a plain append; carried rows pass through absolute).
+      val allocWinners = ManifestSink.identityAt(path) match {
+        case Some(sp) =>
+          GraftIdentity.allocate(dir, sp, winners.toSeq)
+        case None =>
+          require(!winners.exists(_.minted > 0),
+            s"row-level write into $path staged identity placeholders " +
+              "but the table declares no IDENTITY column")
+          winners.toSeq
+      }
+      winners.clear()
+      winners ++= allocWinners
       val keepHistory = retain || ManifestSink.hasRetainedGenerations(path)
       val retiredSidecars = collection.mutable.ArrayBuffer[String]()
       val deadFiles = collection.mutable.ArrayBuffer[String]()

@@ -181,11 +181,21 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkSpec {
       assert(rows() == Seq((1011L, 2022L), (1102L, 2204L)))
     }
 
-  test("identity columns are refused loudly at CREATE") {
+  test("identity columns are SUPPORTED since round 17 (see IdentityColumnsSpec)") {
+    // Round-16 refused identity at CREATE (analysis-time minting would
+    // collide under queued concurrent appends); round-17 lands the
+    // commit-time allocation design instead — IdentityColumnsSpec owns
+    // the full pin suite. This spec keeps one smoke check so the two
+    // generated-column flavors are visibly coherent side by side.
     val cat = freshCat("ident")
-    val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.t (id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
-    }
-    assert(e.getMessage.toLowerCase.contains("identity"), e.getMessage)
+    spark.sql(s"""CREATE TABLE $cat.t (
+      id BIGINT GENERATED ALWAYS AS IDENTITY,
+      n BIGINT,
+      dbl BIGINT GENERATED ALWAYS AS (n * 2))""")
+    spark.sql(s"INSERT INTO $cat.t (n) VALUES (5), (6)")
+    val rows = spark.sql(s"SELECT id, n, dbl FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 5L, 10L), (2L, 6L, 12L)),
+      "identity mints and generation computes in the same insert")
   }
 }
