@@ -1428,6 +1428,134 @@ object IncrementalQueries {
         FROM $cat.corpus GROUP BY lang""")
     },
 
+    // CALL system.zorder (round-17): q182 proved the Morton math and
+    // the 2-D skip win as a query-level demo; this spec runs the REAL
+    // maintenance procedure — an atomic rewrite laying the table out by
+    // the interleaved code, whose per-file min/max boxes feed the
+    // existing file/block pruning. Output is the post-rewrite CONTENT
+    // aggregated per 16x16 cell against an oracle computed from the raw
+    // source: the atomic swap must preserve every row exactly through
+    // the layout change (file boundaries themselves are range-sampled
+    // and not oracle-stable; the skip-win ratio is pinned
+    // deterministically in IngestSpec's zorder test).
+    QuerySpec(
+      "a70_zorder_procedure",
+      """WITH pts AS (
+        |  SELECT o_orderkey, o_custkey % 256 AS x,
+        |    CAST(floor(o_totalprice) AS BIGINT) % 256 AS y
+        |  FROM orders)
+        |SELECT x // 16 AS cx, y // 16 AS cy,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM pts GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a70", dir)
+      val cat = "graft_a70_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"CREATE TABLE $cat.g (o_orderkey BIGINT, x BIGINT, y BIGINT)")
+      Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_custkey") % 256).as("x"),
+          (floor(col("o_totalprice")).cast("long") % 256).as("y"))
+        .writeTo(s"$cat.g").append()
+      s.sql(s"CALL $cat.system.zorder('g', 'x,y', 8)")
+      s.sql(s"""SELECT x div 16 AS cx, y div 16 AS cy,
+        count(*) AS n, sum(o_orderkey) AS sum_key
+        FROM $cat.g GROUP BY 1, 2""")
+    },
+
+    // MERGE INTO ... WITH SCHEMA EVOLUTION (round-17): the first thing
+    // a CDC pipeline hits when the upstream adds a field. The target
+    // loads the corpus WITHOUT n_chars; a CDC batch carrying the new
+    // column merges with the evolution clause (Spark's
+    // ResolveMergeIntoSchemaEvolution + GraftCatalog.alterTable), so
+    // matched rows update it, unmatched-batch rows insert with it, and
+    // pre-evolution rows read it back as null. The oracle recomputes
+    // the same three populations from the raw corpus; coalesce(-1)
+    // distinguishes genuine nulls from zeros in the hash.
+    QuerySpec(
+      "a71_merge_schema_evolution",
+      """WITH batch AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0),
+        |merged AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN b.doc_id IS NOT NULL THEN b.n_chars END AS n_chars
+        |  FROM documents d LEFT JOIN batch b USING (doc_id)
+        |  WHERE d.doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars FROM batch WHERE doc_id % 2 = 1)
+        |SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(coalesce(n_chars, -1)) AS BIGINT) AS sum_chars,
+        |  CAST(count(n_chars) AS BIGINT) AS with_chars
+        |FROM merged GROUP BY lang""".stripMargin) { (s, dir) =>
+      val wh = freshDir("a71", dir)
+      val cat = "graft_a71_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"CREATE TABLE $cat.corpus (doc_id BIGINT, lang STRING)")
+      val docs = Tables.documents(s, dir)
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .writeTo(s"$cat.corpus").append()
+      docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .createOrReplaceTempView("a71_batch")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.corpus c
+        USING a71_batch b ON c.doc_id = b.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""SELECT lang, count(*) AS n,
+        sum(coalesce(n_chars, -1)) AS sum_chars,
+        count(n_chars) AS with_chars
+        FROM $cat.corpus GROUP BY lang""")
+    },
+
+    // Constraints x generated columns x PARQUET kind x STREAMING
+    // (round-17): a67/a68 minted both features on the default NDJSON
+    // kind via batch writes; this is the composed variant — ONE
+    // parquet-kind table carrying an enforced CHECK and a GENERATED
+    // ALWAYS column, loaded by a STREAMING epoch sink (where the
+    // analyzer plants neither: the writer-side RowGuards enforce and
+    // compute), then hit with a violating stream whose epoch must
+    // publish NOTHING. The oracle recomputes the surviving population
+    // and the generation expression from the raw corpus.
+    QuerySpec(
+      "a72_guarded_parquet_stream",
+      """SELECT lang, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars * 2 + 1) AS BIGINT) AS sum_feat
+        |FROM documents WHERE n_chars >= 50 GROUP BY lang""".stripMargin) {
+      (s, dir) =>
+      val wh = freshDir("a72", dir)
+      val cat = "graft_a72_" + (wh.toString.hashCode & 0x7fffffff)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", wh.toString)
+      s.sql(s"""CREATE TABLE $cat.corpus (doc_id BIGINT, lang STRING,
+        n_chars BIGINT,
+        feat BIGINT GENERATED ALWAYS AS (n_chars * 2 + 1),
+        CONSTRAINT chars_min CHECK (n_chars >= 50))
+        TBLPROPERTIES ('filekind'='parquet')""")
+      // Streaming source over the documents parquet (the st32 shape):
+      // the write is a REAL epoch sink, not a batch in disguise.
+      val docSchema = Tables.documents(s, dir).schema
+      val docs = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          lit(null).cast("bigint").as("feat"))
+      def stream(df: DataFrame, ckpt: String): Unit =
+        df.writeStream
+          .option("checkpointLocation", wh.resolve(ckpt).toString)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.corpus").awaitTermination()
+      // Valid population streams in: the sink computes `feat` per row.
+      stream(docs.where(col("n_chars") >= 50), "ckpt_ok")
+      // A stream carrying violating rows: the epoch aborts and
+      // publishes nothing — counts must not move.
+      try stream(docs.where(col("n_chars") < 50), "ckpt_bad")
+      catch { case _: Exception => () }
+      s.sql(s"""SELECT lang, count(*) AS n, sum(feat) AS sum_feat
+        FROM $cat.corpus GROUP BY lang""")
+    },
+
     // MEDALLION pipeline end-to-end (bronze → silver, both manifest
     // tables): bronze accretes in three retained commits; a streaming
     // job TAILS it by generation offset (maxGenerationsPerTrigger=1 —

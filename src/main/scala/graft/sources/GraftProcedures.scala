@@ -132,6 +132,45 @@ private[sources] object GraftProcedures {
           }
         }
     },
+    "zorder" -> new UnboundProcedure {
+      override def name(): String = "zorder"
+      override def description(): String =
+        "rewrite the table laid out by the Morton interleave of 2-4 " +
+          "dimensions (one atomic overwrite); the rewritten files' " +
+          "min/max boxes make file/block skipping prune " +
+          "multi-dimensional box predicates (see ManifestOps.zorder)"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "zorder"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(tableParam,
+              ProcedureParameter.in("zorder_cols", StringType)
+                .comment("comma-separated 2-4 integral/temporal columns " +
+                  "to interleave").build(),
+              longParam("target_files",
+                "number of range-partitioned output files"),
+              ProcedureParameter.in("bits_per_dim", LongType)
+                .defaultValue("8")
+                .comment("Morton bits per dimension (2-16; 8 = 256 " +
+                  "buckets per dimension)").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val dir = dirOf(base, input.getUTF8String(0).toString)
+            val cols = input.getUTF8String(1).toString.split(",")
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            val n = input.getLong(2).toInt
+            val bits = input.getLong(3).toInt
+            val (schema, _, _) =
+              GraftCatalog.readMeta(java.nio.file.Paths.get(dir))
+            val spark = org.apache.spark.sql.SparkSession.active
+            val used = ManifestOps.zorder(spark, dir, schema, cols, n, bits)
+            result(StructType(Seq(
+              StructField("files_written", IntegerType, nullable = false),
+              StructField("bits_per_dim", IntegerType, nullable = false))),
+              Array[Any](ManifestSink.committedFiles(dir).size, used))
+          }
+        }
+    },
     "compact" -> new UnboundProcedure {
       override def name(): String = "compact"
       override def description(): String =

@@ -51,7 +51,45 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // GENERATED ALWAYS AS columns: compute them on insert-shaped
     // writes to manifest tables (see [[GraftGeneratedColumns]]).
     ext.injectResolutionRule(session => GraftGeneratedColumns(session))
+    // SQL MERGE on an ACCEPT_ANY_SCHEMA (mergeschema=true) table can
+    // never resolve: Spark's ResolveReferences RETURNS the
+    // MergeIntoTable untouched for skipSchemaResolution relations, so
+    // the user gets a cryptic unresolved-column error that suggests
+    // the very column they typed. Fail loudly with the actual cause
+    // and the alternatives instead (round-17).
+    ext.injectResolutionRule(_ => GraftMergeGuard)
   }
+}
+
+/** See the injection comment above: turns the impossible-to-diagnose
+  * unresolved-merge failure on ACCEPT_ANY_SCHEMA manifest tables into
+  * an actionable error at first sight of the command. */
+object GraftMergeGuard
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable if !m.resolved && {
+            org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+              m.targetTable) match {
+              case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+                r.table.isInstanceOf[ManifestTable] &&
+                  r.table.capabilities().contains(
+                    org.apache.spark.sql.connector.catalog.TableCapability
+                      .ACCEPT_ANY_SCHEMA)
+              case _ => false
+            }
+          } =>
+        throw new UnsupportedOperationException(
+          "SQL MERGE cannot target a mergeschema=true manifest table: " +
+            "Spark skips merge resolution for ACCEPT_ANY_SCHEMA " +
+            "relations, so the command can never analyze. Either unset " +
+            "the property (ALTER TABLE ... UNSET TBLPROPERTIES " +
+            "('mergeschema')) — MERGE WITH SCHEMA EVOLUTION covers " +
+            "source-driven column adds without it — or use " +
+            "ManifestOps.mergeInto")
+    }
 }
 
 object GraftSparkExtensions {

@@ -367,6 +367,78 @@ object ManifestOps {
     w.save()
   }
 
+  /** OPTIMIZE ZORDER (Delta's `OPTIMIZE ... ZORDER BY`, Iceberg's
+    * `rewrite_data_files(strategy => 'sort', sort_order => 'zorder(...)')`)
+    * as a real table-maintenance rewrite: normalize each dimension to a
+    * bounded bucket, interleave the bucket bits into a Morton code, and
+    * rewrite the table range-partitioned and sorted by that code (one
+    * atomic overwrite through [[cluster]]). Rows close in ANY dimension
+    * land close in the layout, so the rewritten files' min/max boxes —
+    * recorded by the ordinary writer stats — make the EXISTING
+    * file/block skipping prune multi-dimensional predicates
+    * (q182_zorder_layout proves the 2-D skip win as data; this wires
+    * the layout into the storage path).
+    *
+    * Normalization is LINEAR over each column's (min, max) — computed
+    * in one aggregate pass, O(dims) driver state. Heavily skewed
+    * dimensions degrade locality (not correctness); a rank-based
+    * normalization (Delta's range_partition_id) is the upgrade path.
+    * Orderable numeric/date/timestamp dimensions only — each must cast
+    * to BIGINT losslessly for the bit math. Returns the Morton bit
+    * width used per dimension. */
+  def zorder(spark: SparkSession, dir: String, schema: StructType,
+      zCols: Seq[String], numFiles: Int, bitsPerDim: Int = 8): Int = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"zorder interleaves 2-4 dimensions, got ${zCols.size}")
+    require(numFiles > 0 && bitsPerDim >= 2 && bitsPerDim <= 16)
+    import org.apache.spark.sql.functions._
+    zCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"zorder column '$c' is not in the table schema"))
+      val ok = f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.DateType |
+            org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }
+      require(ok,
+        s"zorder column '$c' (${f.dataType}) is not an integral/temporal " +
+          "dimension — interleaving needs exact integer bucket math")
+    }
+    val table = spark.read.format("graft.sources.ManifestSink")
+      .schema(schema).option("path", dir).load()
+    def asLong(c: String): org.apache.spark.sql.Column =
+      col(c).cast("long")
+    // One aggregate pass: per-dimension (min, max) — O(dims) driver
+    // state, never O(data).
+    val aggs = zCols.flatMap(c =>
+      Seq(min(asLong(c)).as(s"mn_$c"), max(asLong(c)).as(s"mx_$c")))
+    val r = table.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = (1L << bitsPerDim) - 1L
+    val zExpr = zCols.zipWithIndex.map { case (c, j) =>
+      val mn = Option(r.getAs[Any](s"mn_$c")).map(_.toString.toLong)
+        .getOrElse(0L)
+      val mx = Option(r.getAs[Any](s"mx_$c")).map(_.toString.toLong)
+        .getOrElse(0L)
+      val span = math.max(1L, mx - mn)
+      // bucket in [0, 2^bits): exact integer scaling, null -> bucket 0
+      // (nulls cluster together at the layout's origin corner).
+      val b = coalesce((asLong(c) - lit(mn)) * lit(buckets) / lit(span),
+        lit(0L))
+      (0 until bitsPerDim).map(i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)),
+          i * zCols.size + j): org.apache.spark.sql.Column)
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    cluster(spark, dir, schema, Seq(zExpr), numFiles)
+    bitsPerDim
+  }
+
   /** VACUUM (Delta's shape): delete data files and staging directories
     * nothing references — the garbage crashed jobs leave behind (a
     * commit that died between staging and publish, an abort that never

@@ -3781,6 +3781,21 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
         TableCapability.MICRO_BATCH_READ, TableCapability.OVERWRITE_DYNAMIC)
     if (tableProps.get("mergeschema").exists(_.toBoolean))
       caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    // MERGE INTO ... WITH SCHEMA EVOLUTION (round-17): Spark's
+    // ResolveMergeIntoSchemaEvolution consults this capability, routes
+    // the source's new/widened columns through the catalog's own
+    // alterTable (AddColumn / widening UpdateColumnType — the a51/a55
+    // machinery) and re-resolves the merge against the evolved table.
+    // Declared UNCONDITIONALLY: it activates only on the explicit
+    // `WITH SCHEMA EVOLUTION` clause, so plain writes and merges are
+    // untouched. NOTE the deliberate split from `mergeschema`:
+    // ACCEPT_ANY_SCHEMA makes Spark's ResolveReferences skip merge
+    // resolution entirely (the analyzer returns the MergeIntoTable
+    // untouched for skipSchemaResolution relations), so SQL MERGE —
+    // plain or evolving — cannot work on a mergeschema table at all;
+    // [[GraftSparkExtensions]] turns that cryptic unresolved-column
+    // failure into a loud, actionable error.
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 
@@ -6019,8 +6034,11 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path, s".staging-$queryId"))
+    // Row guards compiled ONCE at stream start, driver-side: the
+    // streaming resolution path plants neither CHECK validation nor
+    // generated-column computation (see [[RowGuards]]).
     new ManifestStreamingWriterFactory(path, queryId, schema, partCols,
-      sortBy, bloomCols)
+      sortBy, bloomCols, RowGuards.compile(path, schema))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -6121,9 +6139,23 @@ private[sources] class ManifestStreamingWrite(path: String, schema: StructType,
 
 private[sources] class ManifestStreamingWriterFactory(path: String,
     queryId: String, schema: StructType, partCols: Seq[String] = Nil,
-    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
+    sortBy: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+    guards: RowGuards = RowGuards.Empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val inner = createInner(partitionId, taskId, epochId)
+    if (guards.isEmpty) inner
+    else new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit =
+        inner.write(RowGuards.apply(guards, schema, record))
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+
+  private def createInner(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     val parquetKind = ManifestSink.filekindAt(path) == "parquet"
     val identity = ManifestSink.identityAt(path)

@@ -1537,7 +1537,7 @@ class IngestSpec extends SparkSpec {
     // Discovery: SHOW PROCEDURES lists the maintenance surface.
     val names = spark.sql("SHOW PROCEDURES IN gcall.system")
       .collect().map(r => r.getString(r.length - 1)).toSet
-    assert(names == Set("compact", "expire_snapshots", "vacuum",
+    assert(names == Set("compact", "expire_snapshots", "vacuum", "zorder",
       "create_tag", "drop_tag", "restore",
       "create_branch", "fast_forward", "drop_branch",
       "add_partition_field", "drop_partition_field",
@@ -3198,6 +3198,48 @@ class IngestSpec extends SparkSpec {
     // The rewrite moved every row exactly once.
     val rows = table.collect().map(r => r.getLong(0) -> r.getString(1))
     assert(rows.length == 1000 && rows.toMap.get(500L).contains("doc-500"))
+  }
+
+  test("CALL system.zorder: a 2-D box predicate scans fewer files than after linear cluster") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_zorder").toString
+    val cat = "graft_zord"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.base", wh)
+    // 256x256 grid, one row per (x, y) cell.
+    spark.sql(s"CREATE TABLE $cat.g (x BIGINT, y BIGINT, p BIGINT)")
+    spark.range(0, 65536).select(
+        (col("id") % 256).as("x"), (col("id") / 256).as("y"),
+        col("id").as("p"))
+      .writeTo(s"$cat.g").append()
+    def boxFiles(): Int = {
+      val df = spark.table(s"$cat.g").where(
+        col("x") >= 0 && col("x") <= 63 && col("y") >= 0 && col("y") <= 63)
+      val n = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          s.partitions.size
+      }.sum
+      assert(df.count() == 4096, "the box always holds 64x64 cells")
+      n
+    }
+    // LINEAR layout first: 64 files range-partitioned by x alone.
+    // Each file spans ~4 x-values and ALL of y, so a 64-wide x range
+    // leaves ~16 of 64 candidate files.
+    spark.sql(s"CALL $cat.system.cluster('g', 'x', 64)")
+    val linear = boxFiles()
+    assert(linear >= 12, s"linear-by-x should leave ~16 candidate files, got $linear")
+    // ZORDER: the Morton layout makes each of the 64 files a ~32x32
+    // tile, so the 64x64 box covers ~4 tiles (a few more with
+    // range-sample jitter) — well under half the linear layout's scan.
+    spark.sql(s"CALL $cat.system.zorder('g', 'x,y', 64)")
+    val z = boxFiles()
+    assert(z * 2 < linear,
+      s"zorder must scan far fewer files than linear for a 2-D box: $z vs $linear")
+    // The rewrite moved every row exactly once.
+    val chk = spark.table(s"$cat.g")
+      .agg(count(lit(1)), sum(col("p"))).head()
+    assert(chk.getLong(0) == 65536L &&
+      chk.getLong(1) == 65535L * 65536L / 2)
   }
 
   test("GraftCatalog schema evolution: ADD reads old files as null, DROP narrows, RENAME maps old payloads") {

@@ -272,4 +272,59 @@ class ConstraintSpec extends AnyFunSuite with SparkSpec {
     spark.sql(s"INSERT INTO $cat.t VALUES (2, 5)")
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
   }
+
+  // ----- Round-17: enforcement parity across payload kind and write
+  // shape. a67 minted CHECK on the default NDJSON kind via batch
+  // writes; these pin the parquet kind and the STREAMING epoch sink —
+  // where Spark's analyzer plants nothing and the writer-side
+  // [[RowGuards]] enforce instead.
+
+  test("parquet kind: violating batch publishes nothing") {
+    val cat = freshCat("pq")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+      CONSTRAINT n_nonneg CHECK (n >= 0))
+      TBLPROPERTIES ('filekind'='parquet')""")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (2, 5), (3, -1)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1,
+      "the valid row of a violating parquet batch must not land either")
+  }
+
+  for ((kind, props) <- Seq(
+      ("ndjson", ""),
+      ("parquet", " TBLPROPERTIES ('filekind'='parquet')")))
+    test(s"streaming epoch sink: a violating micro-batch publishes nothing ($kind)") {
+      val cat = freshCat(s"st$kind")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.base")
+      spark.sql(s"""CREATE TABLE $cat.t (id BIGINT, n BIGINT,
+        CONSTRAINT n_small CHECK (n < 100))$props""")
+      import spark.implicits._
+      val src = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      src.addData((1L, 5L), (2L, 500L)) // 500 violates
+      val q = src.toDF().toDF("id", "n").writeStream
+        .option("checkpointLocation", s"$wh/ckpt_$kind")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.t")
+      val e = intercept[Exception] { q.awaitTermination() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+      assert(chain(e).contains("CHECK_CONSTRAINT_VIOLATION"), chain(e))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 0,
+        "the violating epoch must publish NOTHING — not even its valid row")
+      // A clean stream into the same table lands (the guard is not a
+      // blanket refusal).
+      val src2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)](spark)
+      src2.addData((1L, 5L), (2L, 50L))
+      src2.toDF().toDF("id", "n").writeStream
+        .option("checkpointLocation", s"$wh/ckpt2_$kind")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.t").awaitTermination()
+      assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+    }
 }

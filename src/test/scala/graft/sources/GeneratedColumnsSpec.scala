@@ -181,6 +181,63 @@ class GeneratedColumnsSpec extends AnyFunSuite with SparkSpec {
       assert(rows() == Seq((1011L, 2022L), (1102L, 2204L)))
     }
 
+  // ----- Round-17: computation parity across payload kind and write
+  // shape — the parquet kind computes identically, and the STREAMING
+  // epoch sink (where the batch resolution rule never fires) computes
+  // through the writer-side [[RowGuards]]: null in = computed value
+  // stored, explicit value in = loud refusal.
+
+  test("parquet kind computes generated columns identically") {
+    val cat = freshCat("pqgen")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      dbl BIGINT GENERATED ALWAYS AS (id * 2))
+      TBLPROPERTIES ('filekind'='parquet')""")
+    spark.sql(s"INSERT INTO $cat.t (id) VALUES (5), (7)")
+    assert(spark.sql(s"SELECT sum(dbl) FROM $cat.t").head().getLong(0) == 24L)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t (id, dbl) VALUES (1, 999)")
+    }
+  }
+
+  test("streaming epoch sink computes generated columns; explicit refuses") {
+    val cat = freshCat("stgen")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.base")
+    spark.sql(s"""CREATE TABLE $cat.t (id BIGINT,
+      dbl BIGINT GENERATED ALWAYS AS (id * 2))""")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    src.addData(7L, 9L)
+    src.toDF().select(col("value").as("id"),
+        lit(null).cast("bigint").as("dbl"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.t").awaitTermination()
+    val rows = spark.sql(s"SELECT id, dbl FROM $cat.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((7L, 14L), (9L, 18L)),
+      "the sink computes from the row when the incoming value is null")
+    // Explicit values through the stream refuse — same posture as batch.
+    val src2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    src2.addData(1L)
+    val q = src2.toDF().select(col("value").as("id"),
+        lit(42L).as("dbl"))
+      .writeStream
+      .option("checkpointLocation", s"$wh/ckpt2")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.t")
+    val e = intercept[Exception] { q.awaitTermination() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("GENERATED ALWAYS"), chain(e))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 2)
+  }
+
   test("identity columns are SUPPORTED since round 17 (see IdentityColumnsSpec)") {
     // Round-16 refused identity at CREATE (analysis-time minting would
     // collide under queued concurrent appends); round-17 lands the

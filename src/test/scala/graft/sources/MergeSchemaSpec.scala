@@ -367,4 +367,72 @@ class MergeSchemaSpec extends AnyFunSuite with SparkSpec {
     val b = spark.table(s"$cat.control").orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  // ----- Round-17: MERGE INTO ... WITH SCHEMA EVOLUTION — the CDC
+  // shape where the upstream adds a field mid-stream. Spark's own
+  // ResolveMergeIntoSchemaEvolution consults the table's
+  // AUTOMATIC_SCHEMA_EVOLUTION capability, routes the source's
+  // new/widened columns through GraftCatalog.alterTable (the a51/a55
+  // machinery), and re-resolves against the evolved table. Pinned on
+  // both payload kinds plus the widen path. Deliberately DISJOINT from
+  // `mergeschema`: ACCEPT_ANY_SCHEMA makes Spark skip merge resolution
+  // entirely, so SQL MERGE on such tables fails loudly instead
+  // (GraftMergeGuard, pinned below).
+
+  for ((kind, props) <- Seq(
+      ("ndjson", ""),
+      ("parquet", " TBLPROPERTIES ('filekind'='parquet')")))
+    test(s"MERGE WITH SCHEMA EVOLUTION adds source columns ($kind kind)") {
+      val (cat, _) = catalog()
+      spark.sql(s"CREATE TABLE $cat.t (id BIGINT, v STRING)$props")
+      spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"CREATE TABLE $cat.src (id BIGINT, v STRING, extra BIGINT)")
+      spark.sql(s"INSERT INTO $cat.src VALUES (2, 'B', 20), (3, 'C', 30)")
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t z USING $cat.src
+        ON z.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      val rows = spark.sql(s"SELECT id, v, extra FROM $cat.t ORDER BY id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      // Pre-evolution row 1 reads the new column as null; matched row 2
+      // took the update; row 3 inserted with the new column.
+      assert(rows == Seq((1L, "a", -1L), (2L, "B", 20L), (3L, "C", 30L)))
+      assert(spark.table(s"$cat.t").schema.fieldNames.toSeq ==
+        Seq("id", "v", "extra"), "the schema itself must evolve")
+      // A plain MERGE (no clause) must NOT evolve: unknown columns err.
+      intercept[Exception] {
+        spark.sql(s"""MERGE INTO $cat.t z USING $cat.src ON z.id = src.id
+          WHEN MATCHED THEN UPDATE SET nope = src.extra""")
+      }
+    }
+
+  test("evolving MERGE widens INT to the source's BIGINT") {
+    val (cat, _) = catalog()
+    spark.sql(s"CREATE TABLE $cat.w (id BIGINT, n INT)")
+    spark.sql(s"INSERT INTO $cat.w VALUES (1, 5), (2, 7)")
+    spark.sql(s"CREATE TABLE $cat.wsrc (id BIGINT, n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.wsrc VALUES (1, 6000000000)")
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.w z USING $cat.wsrc
+      ON z.id = wsrc.id WHEN MATCHED THEN UPDATE SET n = wsrc.n""")
+    val rows = spark.sql(s"SELECT id, n FROM $cat.w ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 6000000000L), (2L, 7L)),
+      "pre-widen rows re-read exactly under the wider type")
+  }
+
+  test("SQL MERGE on a mergeschema table fails with the actionable guard") {
+    val (cat, _) = catalog()
+    spark.sql(s"""CREATE TABLE $cat.m (id BIGINT, v STRING)
+      TBLPROPERTIES ('mergeschema'='true')""")
+    spark.sql(s"CREATE TABLE $cat.msrc (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.msrc VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.m z USING $cat.msrc ON z.id = msrc.id
+        WHEN MATCHED THEN UPDATE SET v = msrc.v""")
+    }
+    assert(e.getMessage.contains("mergeschema=true"),
+      s"the guard must name the cause, got: ${e.getMessage.take(200)}")
+  }
 }
