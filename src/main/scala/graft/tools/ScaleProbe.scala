@@ -5,6 +5,7 @@ import graft.operators.Dedup
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** One-shot scale probe for the dedup capstone (the dd8 pipeline:
   * portable MinHash-LSH pair discovery → connected components → cluster
@@ -251,6 +252,69 @@ object ScaleProbe {
     * O(epochs²) cumulative); with it, both the manifest and the file
     * count stay bounded while the committed row count and the read-back
     * aggregate stay identical. */
+  /** `streamstate` (round-17): explain the st5/st11/st13 wall floor.
+    * ONE watermarked stream-stream join (the st5 shape) runs at event
+    * factors 1/3/10, delivered in a FIXED number of micro-batches (3),
+    * tuples globally ts-sorted so the watermark advances and evicts
+    * per batch — the steady-state shape. Recorded per factor: total
+    * wall, per-batch durations (Structured Streaming's own progress),
+    * join-state rows and bytes. If the floor is micro-batch machinery,
+    * batch_ms stays ~flat while rows grow 10x; if it is state, the
+    * durations track state_rows. Results feed the SCALE.md
+    * `streamstate` table. */
+  private def streamStateProbes(spark: SparkSession, base: String,
+      factors: Seq[Int]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseTuples = Tables.events(spark, base)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    factors.foreach { factor =>
+      // Copies shift user_id (join keys never cross copies) and
+      // event_id (identity stays unique); ts unchanged, then one global
+      // ts sort so watermarks advance monotonically across batches.
+      val tuples = (0 until factor).flatMap(i => baseTuples.map {
+        case (e, u, t) => (e + i * 100000000L, u + i * 10000000L, t)
+      }).sortBy(_._3)
+      val memL = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val memR = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val left = memL.toDF().toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .withWatermark("ts", "2 hours")
+      val right = memR.toDF().toDF("r_event_id", "r_user_id", "r_us")
+        .withColumn("r_ts", timestamp_micros(col("r_us")))
+        .withWatermark("r_ts", "2 hours")
+      val joined = left.join(right,
+        col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
+          col("r_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("event_id"), col("r_event_id"))
+      val q = joined.writeStream.format("noop").outputMode("append").start()
+      try {
+        val t0 = System.nanoTime()
+        val chunkSize = math.max(1, tuples.size / 3 + 1)
+        tuples.grouped(chunkSize).foreach { g =>
+          memL.addData(g)
+          memR.addData(g)
+          q.processAllAvailable() // one data-bearing micro-batch per chunk
+        }
+        val wallS = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.toSeq
+        val batchMs = prog.filter(_.numInputRows > 0)
+          .map(p => p.durationMs.values.asScala.map(_.longValue).sum)
+        val ops = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        println(s"""{"probe":"streamstate","factor":$factor,""" +
+          s""""rows":${tuples.size},"batches":${batchMs.size},""" +
+          s""""batch_ms":[${batchMs.mkString(",")}],""" +
+          s""""state_rows":${ops.map(_.numRowsTotal).sum},""" +
+          s""""state_bytes":${ops.map(_.memoryUsedBytes).sum},""" +
+          s""""wall_s":${math.round(wallS * 100) / 100.0}}""")
+      } finally q.stop()
+    }
+  }
+
   private def manifestProbes(spark: SparkSession, base: String,
       factors: Seq[Int]): Unit = {
     import spark.implicits._
@@ -1167,6 +1231,11 @@ object ScaleProbe {
     }
     if (probe == "stream") {
       streamProbes(spark, base, factors)
+      spark.stop()
+      return
+    }
+    if (probe == "streamstate") {
+      streamStateProbes(spark, base, factors)
       spark.stop()
       return
     }
