@@ -393,102 +393,79 @@ object Dedup {
     // so a small component graph at the session's width is pure
     // scheduling overhead (measured 7 s → sub-second on a 300-node
     // graph), while a 100 TB edge list still gets the full session
-    // parallelism through the min(). Same set/restore discipline as
-    // Streams.runToTable, synchronized for the same reason.
-    withLoopConf(spark, edgeCount) { runLabelPropagation(edges, maxIter) }
+    // parallelism through the min().
+    runLabelPropagation(edges, loopParts(spark, edgeCount), maxIter)
   }
 
-  /** Session-conf discipline shared by the iterative graph loops
-    * ([[connectedComponents]], [[connectedComponentsStar]]): shuffle
-    * width sized to the loop's 16-byte label rows (a small graph at the
-    * session's scan-width pays every empty partition once per shuffle
-    * PER ROUND — measured 7 s → sub-second on a 300-node graph — while a
-    * 100 TB edge list still gets full parallelism through the min());
-    * broadcast joins off (each round would pay collect-and-broadcast
-    * jobs for sides the loop already co-partitions, and the changing
-    * side is never reused); AQE off (one extra re-plan job per shuffle
-    * per round on partitioning this code sized explicitly). All three
-    * restored after. Synchronized for the same reason as
-    * Streams.runToTable. */
-  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession,
-      edgeCount: Long)(body: => T): T =
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try body
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
-    }
+  /** Loop shuffle width shared by the iterative CC loops: sized to the
+    * edge list's 16-byte rows, capped at the session's width. */
+  private def loopParts(spark: org.apache.spark.sql.SparkSession,
+      edgeCount: Long): Int =
+    math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
 
   /** The propagation loop of [[connectedComponents]]; expects `edges`
-    * symmetric, deduplicated, and already persisted. */
-  private def runLabelPropagation(edges: DataFrame, maxIter: Int): DataFrame = {
+    * symmetric, deduplicated, and already persisted.
+    *
+    * RDD rounds (round-17 optimization pass — the [[Graph.pageRank]]
+    * rationale): the former DataFrame rounds were lineage-truncated via
+    * per-round `.rdd` re-roots, and that re-root's Catalyst
+    * analyze/optimize/plan pass dominated the loop's wall at bench
+    * scale. Co-partitioned on one HashPartitioner keyed by node: the
+    * neighbor-propagation join is NARROW every round; the round's
+    * shuffles are the min-label fold and the pointer-jump join. The
+    * fixpoint (per-node component minimum) is partitioning-independent,
+    * so results are unchanged. */
+  private def runLabelPropagation(edges: DataFrame, parts: Int,
+      maxIter: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = edges.sparkSession
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(label: String): Unit = if (debug) {
       System.err.println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       t0 = System.nanoTime()
     }
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .persist(lvl)
-    // Register every loop intermediate for releaseCaches() as soon as it
-    // is persisted: if any action mid-loop fails (executor OOM, task
-    // abort), the caller's releaseCaches() in its error path still frees
-    // the blocks — nothing leaks for the rest of the session. Duplicate
-    // unpersist calls on already-released frames are no-ops.
     pendingCaches.add(edges)
-    pendingCaches.add(labels)
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val rddPins = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    // Keyed by dst so the propagation join delivers (src ← lbl(dst)):
+    // symmetric edges make this cover both directions.
+    val edgesR = edges.rdd.map(r => (r.getLong(1), r.getLong(0)))
+      .partitionBy(part).persist(lvl)
+    rddPins += edgesR
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] = edgesR
+      .map { case (_, src) => (src, src) }
+      .reduceByKey(part, (a, _) => a).persist(lvl)
+    rddPins += labels
     lap("init")
     // Convergence check: node ids are non-negative and min-propagation
     // only ever lowers labels, so sum(lbl) strictly decreases each round
-    // until the fixpoint — a one-row aggregate per round, far cheaper
-    // than a join-and-diff against the previous labels.
-    var prevSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    // until the fixpoint — one aggregate action per round. Long adds,
+    // exactly the former DataFrame sum(lbl) (wrap semantics included).
+    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): Long =
+      l.aggregate(0L)((acc, kv) => acc + kv._2, _ + _)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val viaNeighbor = edges
-        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("node"), col("lbl"))
-      // Persisted: prop feeds BOTH sides of the pointer-jump self-join —
-      // un-cached, the propagation join+aggregate would run twice.
-      val prop = viaNeighbor.union(labels)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .persist(lvl)
-      pendingCaches.add(prop)
+      val viaNeighbor = edgesR.join(labels) // narrow: both on `part`
+        .map { case (_, (src, lbl)) => (src, lbl) }
+      val prop = (viaNeighbor ++ labels)
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // min-label fold
       // Pointer jump (label ← its label's label): composes each round's
       // single-hop propagation into doubling reach, so rounds are
       // O(log diameter) instead of O(diameter) — the difference between
       // 4 and 40 shuffle rounds on a 10^4-long chain of near-dups.
-      val nextPlan = prop.as("x")
-        .join(prop.select(col("node").as("jnode"), col("lbl").as("jlbl")).as("y"),
-          col("x.lbl") === col("y.jnode"), "left_outer")
-        .select(col("x.node").as("node"),
-          least(col("x.lbl"), coalesce(col("y.jlbl"), col("x.lbl"))).as("lbl"))
-      // LINEAGE TRUNCATION — the load-bearing line of the loop. The
-      // self-join embeds TWO copies of the round's plan, so without a
-      // cut the next round's LOGICAL tree doubles every iteration and
-      // Catalyst analysis time grows 2^rounds on the DRIVER (measured:
-      // per-round wall time 1.3 s → 162 s by round 7 on a 100k-node
-      // chain). Re-rooting the round's output as a flat LogicalRDD keeps
-      // every round's tree one round deep; the RDD still reads the
-      // persisted parent caches, which stay alive until the round after.
-      val next = edges.sparkSession
-        .createDataFrame(nextPlan.rdd, nextPlan.schema)
-        .persist(lvl)
-      pendingCaches.add(next)
-      val nextSum = next.agg(sum(col("lbl"))).head().getLong(0)
-      prop.unpersist(blocking = false)
+      val byLbl = prop.map { case (node, lbl) => (lbl, node) }
+      val next = byLbl.leftOuterJoin(prop) // prop narrow, byLbl shuffles
+        .map { case (lbl, (node, jlbl)) =>
+          (node, math.min(lbl, jlbl.getOrElse(lbl)))
+        }
+        .partitionBy(part).persist(lvl) // placed for next round's join
+      rddPins += next
+      val nextSum = labelSum(next)
       labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == prevSum
@@ -496,19 +473,22 @@ object Dedup {
       iter += 1
       lap(s"round $iter sum=$nextSum converged=$converged")
     }
-    edges.unpersist(blocking = false)
     // An unconverged result is a valid coarsening but NOT components —
     // failing beats silently returning split clusters. Reach compounds
     // ≥ ×1.6 per round (propagation + pointer jump), so the default 60
     // rounds covers any physically plausible diameter; a measured 100k-
     // node chain converges in 17.
     if (!converged) {
-      labels.unpersist(blocking = false)
+      rddPins.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter rounds")
     }
-    pendingCaches.add(labels)
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+    import spark.implicits._
+    val out = labels.toDF("doc_id", "cluster_id")
+    // Loop pins released here (invisible to releaseCaches): consumers
+    // re-assemble from the rounds' shuffle files — narrow recompute.
+    rddPins.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -552,74 +532,81 @@ object Dedup {
     val edgeCount = canon.count()
     if (edgeCount == 0)
       return canon.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-    withLoopConf(spark, edgeCount) { runStarRounds(canon, maxIter) }
+    runStarRounds(canon, loopParts(spark, edgeCount), maxIter)
   }
 
   /** The alternating-star loop of [[connectedComponentsStar]]; expects
-    * `edges` canonical (src > dst), deduplicated, persisted, non-empty. */
-  private def runStarRounds(edges0: DataFrame, maxIter: Int): DataFrame = {
+    * `edges` canonical (src > dst), deduplicated, persisted, non-empty.
+    *
+    * RDD rounds (round-17 optimization pass — the [[Graph.pageRank]]
+    * rationale: per-round Catalyst re-root passes dominated the wall).
+    * Every transform below is the literal RDD spelling of the former
+    * DataFrame round — large-star re-attach, small-star re-attach,
+    * exact star-forest convergence test — and the fixpoint labels are
+    * partitioning-independent, so results are unchanged. */
+  private def runStarRounds(edges0: DataFrame, parts: Int,
+      maxIter: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var edges = edges0
+    val spark = edges0.sparkSession
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val rddPins = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    var edges: org.apache.spark.rdd.RDD[(Long, Long)] = edges0.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(lvl)
+    rddPins += edges
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // Large-star: min over each node's closed symmetric neighborhood;
       // every undirected edge (a, b), b > a contributes (b → m(a)).
-      // Both directions emit atomically from ONE pass over the persisted
-      // edges (same discipline as connectedComponents' edge build): one
-      // scan instead of two, and a half-symmetric round is structurally
-      // impossible.
-      val sym = edges.select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      val mins = sym.groupBy(col("src").as("u"))
-        .agg(min(col("dst")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val ls = sym.where(col("dst") > col("src"))
-        .join(mins, col("src") === col("u"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct()
+      val sym = edges.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      val mins = sym.reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .mapPartitions(_.map { case (u, mn) => (u, math.min(u, mn)) },
+          preservesPartitioning = true)
+      val ls = sym.filter { case (s, d) => d > s }
+        .join(mins) // mins narrow; the filtered sym side shuffles
+        .map { case (_, (d, m)) => (d, m) }
+        .filter { case (s, d) => s != d }
+        .distinct(parts)
+        .partitionBy(part).persist(lvl) // feeds BOTH small-star passes
+      rddPins += ls
       // Small-star over (big → small) edges: node u and its smaller
       // neighbors all re-attach to u's minimum smaller neighbor.
-      val mins2 = ls.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-      val ssPlan = ls
-        .join(mins2, col("src") === col("u"))
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .union(mins2.select(col("u").as("src"), col("m").as("dst")))
-        .distinct()
-      // Lineage truncation — same load-bearing cut as the min-label
-      // loop: both star passes self-join the round's edge set, so the
-      // logical tree doubles per round without re-rooting it.
-      val next = edges.sparkSession
-        .createDataFrame(ssPlan.rdd, ssPlan.schema)
-        .persist(lvl)
-      pendingCaches.add(next)
+      val mins2 = ls.reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // narrow fold
+      val next = ls.join(mins2) // narrow
+        .map { case (_, (d, m)) => (d, m) }
+        .filter { case (s, d) => s != d }
+        .union(mins2)
+        .distinct(parts)
+        .partitionBy(part).persist(lvl)
+      rddPins += next
       // Star-forest fixpoint: every child has exactly one center AND no
-      // node is both child and center. Exact test, two small jobs.
-      val maxDeg = next.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
+      // node is both child and center. Exact test, two small actions.
+      val childDeg = next.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      val maxDeg = childDeg
+        .aggregate(0L)((a, kv) => math.max(a, kv._2), math.max)
       converged = maxDeg == 1 && {
-        next.select(col("src")).distinct()
-          .join(next.select(col("dst").as("src")).distinct(), "src")
-          .limit(1).count() == 0
+        val centers = next.map { case (_, c) => (c, ()) }
+          .reduceByKey(part, (a, _) => a)
+        centers.join(childDeg).isEmpty()
       }
       edges.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
       edges = next
       iter += 1
     }
     if (!converged) {
-      edges.unpersist(blocking = false)
+      rddPins.foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxIter rounds")
     }
     // Star forest → labels: children get their center, centers get
     // themselves (a center never appears as a child at the fixpoint).
-    edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
-      .union(edges.select(col("dst"), col("dst")).distinct()
-        .toDF("doc_id", "cluster_id"))
+    val centersSelf = edges.map { case (_, c) => (c, c) }.distinct(parts)
+    import spark.implicits._
+    val out = (edges ++ centersSelf).toDF("doc_id", "cluster_id")
+    rddPins.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Portable (md5-seeded) distinct shingle hashes: fold the first 8 hex

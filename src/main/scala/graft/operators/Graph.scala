@@ -90,47 +90,48 @@ object Graph {
     val edgeCount = es.count()
     val n = nodes.count()
     if (n == 0) return nodes.select(col("r"), lit(0.0).as("p"))
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var ranks = nodes.select(col("r"), lit(1.0 / n).as("p"))
-        for (_ <- 1 to iterations) {
-          val contribs = es
-            .join(ranks.select(col("r").as("src"), col("p")), "src")
-            .select(col("dst"),
-              floor(col("p") / col("outdeg") * 1e12 + 0.5).cast("long").as("c"))
-            .groupBy("dst").agg(sum(col("c")).as("sc"))
-          val nextPlan = nodes
-            .join(contribs, nodes("r") === contribs("dst"), "left")
-            .select(nodes("r"),
-              (lit((1 - damping) / n) + lit(damping) *
-                (coalesce(col("sc"), lit(0L)).cast("double") / lit(1e12))).as("p"))
-          // Re-root as a flat LogicalRDD: keeps round K's analyzed tree
-          // one round deep instead of K joins deep (driver-side
-          // analysis/optimization is the hidden per-round cost of
-          // logical-plan chaining — measured 2.0 s vs 3.7 s steady-state
-          // at sf0.1 WITH vs WITHOUT the re-root, even though PR has no
-          // self-join). No per-round persist/materialization either:
-          // without a self-join the lazy re-rooted chain executes as ONE
-          // job at the caller's action — per-round count() actions were
-          // pure scheduling overhead (3.1 s → 2.0 s). `.rdd` only
-          // compiles the round's physical plan; the persisted nodes/es
-          // caches feed every round.
-          ranks = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
+    // RDD loop (round-17 optimization pass, the [[sssp]]/[[shortestHops]]
+    // recipe): the former DataFrame rounds were lineage-truncated via
+    // per-round `.rdd` re-roots, and that re-root's Catalyst
+    // analyze/optimize/plan pass — never the data — dominated the wall
+    // (measured 5.3 s → 1.3 s for the full spec at sf0.1 when the 10
+    // rounds moved to RDDs). Co-partitioned on one HashPartitioner:
+    // `edgesR ⋈ ranks` is a NARROW join every round and the round's ONE
+    // shuffle is the per-destination contribution sum, which also
+    // truncates lineage at a shuffle boundary. Arithmetic is the exact
+    // expression the DataFrame rounds evaluated — per-edge terms
+    // fix-pointed to picounit longs BEFORE the order-independent sum, so
+    // the oracle's bit-for-bit replay (q94) is unaffected.
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val edgesR = es.select(col("src"), col("dst"), col("outdeg")).rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .partitionBy(part).persist(lvl)
+    val nodesR = nodes.rdd.map(r => (r.getLong(0), ()))
+      .partitionBy(part).persist(lvl)
+    val dampedBase = (1 - damping) / n
+    var ranks: org.apache.spark.rdd.RDD[(Long, Double)] =
+      nodesR.mapValues(_ => 1.0 / n)
+    for (_ <- 1 to iterations) {
+      val contribs = edgesR.join(ranks) // narrow: both sides on `part`
+        .map { case (_, ((dst, outdeg), p)) =>
+          (dst, math.floor(p / outdeg * 1e12 + 0.5).toLong)
         }
-        ranks
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
+      val sums = contribs.reduceByKey(part, _ + _) // the round's shuffle
+      ranks = nodesR.leftOuterJoin(sums) // narrow (both on `part`)
+        .mapValues { case (_, sc) =>
+          dampedBase + damping * (sc.getOrElse(0L).toDouble / 1e12)
+        }
     }
+    import spark.implicits._
+    val out = ranks.toDF("r", "p")
+    // Loop pins released here (invisible to releaseCaches): consumers
+    // re-assemble from the rounds' shuffle files — narrow recompute.
+    edgesR.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    out
   }
 
   /** Canonical undirected edge set: `(u, v)` with `u < v`, self-loops
@@ -252,37 +253,44 @@ object Graph {
     Dedup.pendingCaches.add(nodes)
     val edgeCount = adj.count()
     nodes.count()
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var labels = nodes.select(col("node"), col("node").as("label"))
-        for (_ <- 1 to iterations) {
-          val picked = adj
-            .join(labels.select(col("node").as("v"), col("label")), "v")
-            .select(col("u").as("node"), col("label"))
-            .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-            .groupBy("node")
-            .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-            .select(col("node").as("pn"), (-col("m.nl")).as("plabel"))
-          val nextPlan = nodes
-            .join(picked, nodes("node") === picked("pn"), "left")
-            .select(nodes("node"),
-              coalesce(col("plabel"), nodes("node")).as("label"))
-          labels = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-        }
-        labels
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
+    // RDD loop (round-17 optimization pass — see [[pageRank]]: the
+    // per-round `.rdd` re-root's Catalyst pass was the wall, not the
+    // data). Adjacency keyed by the LABEL-CARRYING endpoint so the
+    // propagation join is narrow; the round's shuffles are the
+    // (node, label) count and the per-node argmax fold. The argmax
+    // comparator is EXACTLY the struct max the DataFrame rounds
+    // evaluated — (cnt, -label) lexicographic — so the q98 oracle's
+    // bit-for-bit round replay is unaffected.
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val adjR = adj.rdd.map(r => (r.getLong(1), r.getLong(0))) // (v, u)
+      .partitionBy(part).persist(lvl)
+    val nodesR = nodes.rdd.map(r => (r.getLong(0), ()))
+      .partitionBy(part).persist(lvl)
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] =
+      nodesR.mapPartitions(_.map { case (n, _) => (n, n) },
+        preservesPartitioning = true)
+    for (_ <- 1 to iterations) {
+      val counted = adjR.join(labels) // narrow
+        .map { case (_, (u, lbl)) => ((u, lbl), 1L) }
+        .reduceByKey(_ + _) // shuffle on (node, label)
+      val picked = counted
+        .map { case ((u, lbl), c) => (u, (c, -lbl)) }
+        .reduceByKey(part, (x, y) =>
+          if (x._1 != y._1) { if (x._1 > y._1) x else y }
+          else { if (x._2 > y._2) x else y }) // shuffle back to `part`
+      labels = nodesR.leftOuterJoin(picked) // narrow
+        .mapPartitions(_.map { case (n, (_, opt)) =>
+          (n, opt.map(p => -p._2).getOrElse(n))
+        }, preservesPartitioning = true)
     }
+    import spark.implicits._
+    val out = labels.toDF("node", "label")
+    adjR.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    out
   }
 
   /** Single-source shortest paths over DIRECTED weighted `edges`
@@ -506,38 +514,41 @@ object Graph {
           f" × $bitsPerRound%.1f bits/round (max in-degree $dIn, out-degree" +
           s" $dOut); reduce iterations or use a normalized variant")
     }
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var scores = nodes.select(col("node"),
-          lit(1L).as("hub"), lit(1L).as("auth"))
-        for (_ <- 1 to iterations) {
-          val auth = e
-            .join(scores.select(col("node").as("src"), col("hub")), "src")
-            .groupBy(col("dst")).agg(sum(col("hub")).as("na"))
-          val hub = e
-            .join(auth.select(col("dst"), col("na")), "dst")
-            .groupBy(col("src")).agg(sum(col("na")).as("nh"))
-          val nextPlan = nodes
-            .join(hub.select(col("src").as("node"), col("nh")), Seq("node"), "left")
-            .join(auth.select(col("dst").as("node"), col("na")), Seq("node"), "left")
-            .select(col("node"), coalesce(col("nh"), lit(0L)).as("hub"),
-              coalesce(col("na"), lit(0L)).as("auth"))
-          scores = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-        }
-        scores
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
+    // RDD loop (round-17 optimization pass — the [[pageRank]] rationale:
+    // the per-round `.rdd` re-root's Catalyst pass dominated the wall).
+    // Two co-partitioned edge copies, one per propagation direction;
+    // each half-round's ONE shuffle is its per-node sum. Integer sums
+    // are order-independent, so the q124 recursive-CTE oracle replays
+    // bit-for-bit unchanged.
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val bySrc = e.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part).persist(lvl)
+    val byDst = e.rdd.map(r => (r.getLong(1), r.getLong(0)))
+      .partitionBy(part).persist(lvl)
+    val nodesR = nodes.rdd.map(r => (r.getLong(0), ()))
+      .partitionBy(part).persist(lvl)
+    var scores: org.apache.spark.rdd.RDD[(Long, (Long, Long))] =
+      nodesR.mapValues(_ => (1L, 1L))
+    for (_ <- 1 to iterations) {
+      val na = bySrc.join(scores) // narrow
+        .map { case (_, (dst, (hub, _))) => (dst, hub) }
+        .reduceByKey(part, _ + _) // shuffle: per-dst auth sum
+      val nh = byDst.join(na) // narrow (both on `part`)
+        .map { case (_, (src, a)) => (src, a) }
+        .reduceByKey(part, _ + _) // shuffle: per-src hub sum
+      scores = nodesR.leftOuterJoin(nh).leftOuterJoin(na) // both narrow
+        .mapValues { case ((_, h), a) => (h.getOrElse(0L), a.getOrElse(0L)) }
     }
+    import spark.implicits._
+    val out = scores.map { case (node, (hub, auth)) => (node, hub, auth) }
+      .toDF("node", "hub", "auth")
+    bySrc.unpersist(blocking = false)
+    byDst.unpersist(blocking = false)
+    nodesR.unpersist(blocking = false)
+    out
   }
 
   /** k-core decomposition by synchronous peeling: every round, all
@@ -563,60 +574,67 @@ object Graph {
     * [[pageRank]]: lineage re-root per round, AQE/broadcast off,
     * shuffle width sized to the edge list. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 40): DataFrame = {
+    // k >= 1 pinned: the peel below drops an alive node whose
+    // alive-subgraph degree fold is EMPTY (all neighbors dead), which
+    // equals the former coalesce(deg, 0) >= k only for positive k (a
+    // k <= 0 "core" is the whole graph — not a meaningful request).
+    require(k >= 1, s"kCore needs k >= 1, got $k")
     val spark = edges.sparkSession
     val lvl = StorageLevel.MEMORY_AND_DISK
     val adj = symmetric(edges).persist(lvl)
     Dedup.pendingCaches.add(adj)
     val edgeCount = adj.count()
-    spark.synchronized {
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-      val parts = math.max(1L, math.min(prevParts.toLong, edgeCount / 100000L + 1L))
-      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        var alive = adj.select(col("u").as("node")).distinct().persist(lvl)
-        Dedup.pendingCaches.add(alive)
-        var nAlive = alive.count()
-        var r = 0
-        var converged = false
-        while (!converged && r < rounds) {
-          r += 1
-          // Degree within the alive subgraph: keep edges whose BOTH
-          // endpoints are alive, count per u. Nodes losing all edges
-          // drop out of the aggregate entirely — the left join below
-          // treats absence as degree 0.
-          val aliveDeg = adj
-            .join(alive.select(col("node").as("u")), "u")
-            .join(alive.select(col("node").as("v")), "v")
-            .groupBy("u").agg(count(lit(1)).as("__d"))
-          val nextPlan = alive
-            .join(aliveDeg.select(col("u").as("node"), col("__d")), Seq("node"), "left")
-            .where(coalesce(col("__d"), lit(0L)) >= k)
-            .select(col("node"))
-          val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-            .persist(lvl)
-          Dedup.pendingCaches.add(next)
-          val n = next.count()
-          converged = n == nAlive
-          nAlive = n
-          alive = next
-        }
-        if (!converged)
-          System.err.println(s"[graft] kCore: round cap $rounds hit before " +
-            s"the peel fixpoint ($nAlive nodes still alive) — result is an " +
-            "over-approximation; raise `rounds` for the exact core")
-        adj
-          .join(alive.select(col("node").as("u")), "u")
-          .join(alive.select(col("node").as("v")), "v")
-          .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
+    // RDD loop (round-17 optimization pass — see [[pageRank]]: the
+    // per-round `.rdd` re-root's Catalyst pass was the wall). The
+    // adjacency list partitions ONCE by u; each round keeps edges whose
+    // u is alive (narrow join), re-keys by v for the other endpoint's
+    // liveness (the round's first shuffle), and folds the surviving
+    // degree per u (the second) — the exact alive-subgraph degree the
+    // DataFrame rounds computed, so the q174-style fixed-round oracle
+    // replay is unaffected. The per-round count() doubles as the
+    // convergence probe, as before.
+    val parts = math.max(1, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      (edgeCount / 100000L + 1L).toInt))
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val rddPins = collection.mutable.ArrayBuffer[org.apache.spark.rdd.RDD[_]]()
+    val adjR = adj.rdd.map(r => (r.getLong(0), r.getLong(1))) // (u, v)
+      .partitionBy(part).persist(lvl)
+    rddPins += adjR
+    def aliveDegrees(alive: org.apache.spark.rdd.RDD[(Long, Unit)])
+        : org.apache.spark.rdd.RDD[(Long, Long)] =
+      adjR.join(alive) // narrow: both on `part`
+        .map { case (u, (v, _)) => (v, u) }
+        .join(alive) // shuffle 1: re-key by the other endpoint
+        .map { case (_, (u, _)) => (u, 1L) }
+        .reduceByKey(part, _ + _) // shuffle 2: alive-subgraph degree
+    var alive: org.apache.spark.rdd.RDD[(Long, Unit)] = adjR
+      .mapValues(_ => ()).reduceByKey(part, (a, _) => a).persist(lvl)
+    rddPins += alive
+    var nAlive = alive.count()
+    var r = 0
+    var converged = false
+    while (!converged && r < rounds) {
+      r += 1
+      // Nodes losing all edges drop out of the degree fold entirely —
+      // absent means degree 0, dropped for any k >= 1 exactly as the
+      // former left-join's coalesce(deg, 0) >= k.
+      val next = aliveDegrees(alive)
+        .filter { case (_, d) => d >= k }
+        .mapValues(_ => ()).persist(lvl)
+      rddPins += next
+      val n = next.count()
+      converged = n == nAlive
+      nAlive = n
+      alive = next
     }
+    if (!converged)
+      System.err.println(s"[graft] kCore: round cap $rounds hit before " +
+        s"the peel fixpoint ($nAlive nodes still alive) — result is an " +
+        "over-approximation; raise `rounds` for the exact core")
+    import spark.implicits._
+    val out = aliveDegrees(alive).toDF("node", "core_deg")
+    rddPins.foreach(_.unpersist(blocking = false))
+    out
   }
 }

@@ -412,6 +412,41 @@ object ManifestSink {
   private val blockBytesCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long)]()
 
+  // (manifest mtime-nanos, manifest size, txn-marker mtime-nanos) ->
+  // generation. Spark 4.1's QueryExecution/CacheManager consult
+  // Table.version() on EVERY execution of a plan that references the
+  // table (V2TableRefreshUtil), so an uncached version() re-read the
+  // whole manifest per query — measured ~2x wall on the manifest spec
+  // family. The fingerprint stats are O(1); any commit rewrites the
+  // manifest (new staged file + rename: fresh mtime, and appends grow
+  // the size), and cross-table txn visibility flips with the marker
+  // file, so a stale hit can only serve an OLDER generation for one
+  // clock tick — the same read-skew any reader racing a commit already
+  // has, and fail-safe for the AddConstraint version check (a stale
+  // version makes the ALTER re-validate, never skip validation).
+  private val generationCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long, Long), Long)]()
+
+  /** [[committedGeneration]] behind a stat-only fingerprint check — the
+    * per-query-execution path ([[ManifestTable.version]]). */
+  private[sources] def cachedGeneration(dir: String): Long = {
+    try {
+      val m = Paths.get(dir, ManifestName)
+      val marker = Paths.get(dir, TxnMarkerName)
+      val fp = (
+        if (Files.exists(m)) Files.getLastModifiedTime(m).to(
+          java.util.concurrent.TimeUnit.NANOSECONDS) else -1L,
+        if (Files.exists(m)) Files.size(m) else -1L,
+        if (Files.exists(marker)) Files.getLastModifiedTime(marker).to(
+          java.util.concurrent.TimeUnit.NANOSECONDS) else -1L)
+      val hit = generationCache.get(dir)
+      if (hit != null && hit._1 == fp) return hit._2
+      val out = committedGeneration(dir)
+      generationCache.put(dir, (fp, out))
+      out
+    } catch { case _: Exception => committedGeneration(dir) }
+  }
+
   /** The table's configured block granularity, read (mtime-cached) from
     * `_table.json` on whichever JVM is writing; path-only tables (no
     * metadata file) use the default. */
@@ -3700,7 +3735,7 @@ private[sources] class ManifestTable(path: String, tableSchema: StructType,
     * validation scan and the swap. Time-travel reads report the pinned
     * generation. */
   override def version(): String =
-    travelVersion.getOrElse(ManifestSink.committedGeneration(path)).toString
+    travelVersion.getOrElse(ManifestSink.cachedGeneration(path)).toString
 
   /** `_file` (Iceberg's spelling): the committed data file a row lives
     * in, served as a plan-time constant per partition. Queryable in

@@ -422,7 +422,7 @@ object Streams {
     * tiny state RocksDB is ~2× the default provider's commit cost — use
     * it for API reasons or GB-scale state, not by default). */
   def runToTableRocksDB(df: DataFrame, name: String, outputMode: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
     spark.synchronized {
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -495,8 +495,16 @@ object Streams {
     * driver-oracled specs; a production job would use the same plan with
     * a real sink and a continuous trigger). */
   def runToTable(df: DataFrame, name: String, outputMode: String,
-      statePartitions: Int = 8): DataFrame = {
+      statePartitions: Int = 4): DataFrame = {
     val spark = df.sparkSession
+    // Scale knob (round-17, guide §2: keep scale-dependent settings
+    // parameterised): state partitions default to the caller's value
+    // (sized to bench-SF state volume) and are overridable per run —
+    // a production deployment sizes this to state bytes / throughput,
+    // not to CPU count, exactly like spark.sql.shuffle.partitions for
+    // stateful queries (the count is baked into the checkpoint).
+    val wantParts = sys.env.get("GRAFT_STREAM_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(statePartitions)
     // Stateful operators create one state store per shuffle partition,
     // and each store pays commit/checkpoint I/O per micro-batch — at
     // this state size that overhead dominates (measured 6.5 s → 3.7 s on
@@ -508,7 +516,7 @@ object Streams {
     // values out of order and leave the session misconfigured.
     spark.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+      spark.conf.set("spark.sql.shuffle.partitions", wantParts)
       try {
         val q = df.writeStream
           .format("memory")
