@@ -870,7 +870,16 @@ object Dedup {
       k: Int = 8): DataFrame = {
     val tok = stage(docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
-    val sp = duplicatedSpans(tok, k)
+    dupReportFromSpans(tok, duplicatedSpans(tok, k))
+  }
+
+  /** The per-document duplication report of [[substringDedup]] over a
+    * PRECOMPUTED span table — the shared-core variant that lets a
+    * caller composing the scrub and the dup-share policy bit (tx39's
+    * funnel) pay the corpus-wide span table ONCE for both consumers
+    * (round-17 optimization pass: un-shared, the funnel tokenized the
+    * corpus and shuffled the window hashes twice). */
+  def dupReportFromSpans(tok: DataFrame, sp: DataFrame): DataFrame = {
     val n = tok.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"))
     sp.join(n, "doc_id")
@@ -930,7 +939,14 @@ object Dedup {
       k: Int = 8): DataFrame = {
     val tok = stage(docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks")))
-    val spl = duplicatedSpans(tok, k)
+    scrubFromSpans(tok, duplicatedSpans(tok, k))
+  }
+
+  /** The scrub of [[scrubSpans]] over a PRECOMPUTED span table — the
+    * shared-core twin of [[dupReportFromSpans]] (same round-17
+    * rationale: one span table, two consumers). */
+  def scrubFromSpans(tok: DataFrame, sp: DataFrame): DataFrame = {
+    val spl = sp
       .groupBy("doc_id")
       .agg(collect_list(struct(col("st"), col("en"))).as("spans"))
     val kept = expr(

@@ -160,8 +160,12 @@ object CurationQueries {
       |  FROM bps b LEFT JOIN dupbp USING (doc_id))""".stripMargin
 
   /** Spark twin of [[policyCtes]]: (doc_id, reasons) — the tx38
-    * composite bits, shared with the tx39 funnel. */
-  private def qualityReasons(s: SparkSession, dir: String): DataFrame = {
+    * composite bits, shared with the tx39 funnel. `dupBp` lets tx39
+    * hand in the (doc_id, dup_bp) report it already derives from its
+    * own staged span table instead of recomputing the corpus-wide span
+    * machinery a second time (round-17 optimization pass). */
+  private def qualityReasons(s: SparkSession, dir: String,
+      dupBp: Option[DataFrame] = None): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val staged = Dedup.stage(Tables.fanOut(docs)
       .select(col("doc_id"), col("text"),
@@ -177,8 +181,9 @@ object CurationQueries {
         col("symbol_bp"), col("alpha_bp"), col("bullet_bp"),
         col("ellipsis_bp"), col("n_stop")).as("gk"),
       TextAnalysis.langIdFromParts(col("toks"), col("cjk")).as("pl"))
-    val dup = Dedup.substringDedup(docs, "doc_id", "text", k = 8)
-      .select(col("doc_id"), col("dup_bp"))
+    val dup = dupBp.getOrElse(
+      Dedup.substringDedup(docs, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("dup_bp")))
     scored.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (when(col("gk") === 1, 0L).otherwise(1L) +
@@ -810,14 +815,23 @@ object CurationQueries {
          |FROM kept JOIN s2 ON kept.doc_id = s2.doc_id""".stripMargin) {
       (s, dir) =>
       val docs = Tables.documents(s, dir).select("doc_id", "text")
-      // (doc_id, n_tokens, kept_tokens): corpus-wide span scrub.
-      val scrub = Dedup.stage(Dedup.scrubSpans(docs, "doc_id", "text", k = 8)
+      // ONE corpus-wide span table feeding BOTH consumers (round-17
+      // optimization pass): the scrub (stage d's surviving tokens) and
+      // the policy's dup-share bit each need Dedup.duplicatedSpans, and
+      // un-shared the funnel tokenized the corpus and shuffled the
+      // window hashes twice (measured 6.3 s → ~4 s at sf0.1).
+      val tok = Dedup.stage(docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks")))
+      val sp = Dedup.stage(Dedup.duplicatedSpans(tok, 8))
+      val scrub = Dedup.stage(Dedup.scrubFromSpans(tok, sp)
         .select(col("doc_id"), col("n_tokens"), col("kept_tokens")))
+      val dupBp = Dedup.dupReportFromSpans(tok, sp)
+        .select(col("doc_id"), col("dup_bp"))
       val s1 = docs
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
         .groupBy("f").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val s2 = s1.join(qualityReasons(s, dir), "doc_id")
+      val s2 = s1.join(qualityReasons(s, dir, Some(dupBp)), "doc_id")
         .where(col("reasons") === 0).select("doc_id")
       def stageRow(name: String, ids: Option[DataFrame], tokCol: String) = {
         val base = ids.map(scrub.join(_, "doc_id")).getOrElse(scrub)

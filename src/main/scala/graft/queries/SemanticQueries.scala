@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Round-5 semantic-clustering surface: deterministic Lloyd's k-means
@@ -106,12 +106,15 @@ object SemanticQueries {
       val emb = Tables.embeddings(s, dir)
       val asg = Similarity.kmeans(emb, "vec_id", "embedding",
         k = 8, iterations = 5)
-      val l = emb.join(asg, emb("vec_id") === asg("id"))
-        .select(col("vec_id").as("id1"), col("cluster").as("c1"),
-          col("embedding").as("v1"))
-      val r = emb.join(asg, emb("vec_id") === asg("id"))
-        .select(col("vec_id").as("id2"), col("cluster").as("c2"),
-          col("embedding").as("v2"))
+      // Staged (round-17 optimization pass): both sides of the
+      // within-cluster self-join need (id, cluster, vector); un-staged,
+      // the k-distance assignment pass and the embedding join ran twice.
+      val withC = Dedup.stage(emb.join(asg, emb("vec_id") === asg("id"))
+        .select(col("vec_id"), col("cluster"), col("embedding")))
+      val l = withC.select(col("vec_id").as("id1"), col("cluster").as("c1"),
+        col("embedding").as("v1"))
+      val r = withC.select(col("vec_id").as("id2"), col("cluster").as("c2"),
+        col("embedding").as("v2"))
       l.join(r, col("id1") < col("id2") && col("c1") === col("c2"))
         .select(col("id1"), col("id2"),
           round(Similarity.cosineFast(col("v1"), col("v2")), 6).as("cs"))
