@@ -16,10 +16,13 @@ import org.apache.spark.storage.StorageLevel
   * the rank vector as a LIST (q94). Same trick as the perplexity spec:
   * fix the terms, not the total.
   *
-  * Iterative-loop discipline (measured on the CC loop, see
-  * [[Dedup.connectedComponents]]): shuffle width sized to the edge list
-  * (not the session's scan width), broadcast + AQE disabled for the
-  * loop, per-round lineage truncation via LogicalRDD re-rooting.
+  * Iterative-loop discipline (round-17: every loop here runs its
+  * rounds on co-partitioned RDDs — the [[sssp]]/[[shortestHops]]
+  * recipe — after the per-round Catalyst pass of the former
+  * LogicalRDD-re-rooted DataFrame rounds measured as the loops' wall):
+  * edge list partitioned ONCE on a HashPartitioner sized to the edge
+  * count, narrow per-round joins, the round's fold is its one shuffle
+  * and its lineage cut.
   */
 object Graph {
 
@@ -94,7 +97,7 @@ object Graph {
     // recipe): the former DataFrame rounds were lineage-truncated via
     // per-round `.rdd` re-roots, and that re-root's Catalyst
     // analyze/optimize/plan pass — never the data — dominated the wall
-    // (measured 5.3 s → 1.3 s for the full spec at sf0.1 when the 10
+    // (measured 5.3 s → 2.6 s for the full spec at sf0.1 when the 10
     // rounds moved to RDDs). Co-partitioned on one HashPartitioner:
     // `edgesR ⋈ ranks` is a NARROW join every round and the round's ONE
     // shuffle is the per-destination contribution sum, which also
@@ -310,8 +313,8 @@ object Graph {
     *
     * Scale: per-round work is one join of the edge list against the
     * distance table plus a min-aggregate — both shuffle (long, long)
-    * pairs only. Loop discipline as [[pageRank]] (lineage re-root,
-    * AQE/broadcast off, width sized to the edge list); distances persist
+    * pairs only. Loop discipline as [[pageRank]] (co-partitioned RDD
+    * rounds, width sized to the edge list); distances persist
     * round-over-round because the convergence probe is an action. */
   def sssp(edges: DataFrame, source: Long, maxIter: Int = 100): DataFrame = {
     val spark = edges.sparkSession
@@ -486,9 +489,9 @@ object Graph {
     * every round (q124). Returns `(node, hub, auth)`; zero-degree
     * sides score 0.
     *
-    * Two shuffled joins per round over `(long, long)` pairs; loop
-    * discipline as [[pageRank]] (lineage re-root, AQE/broadcast off,
-    * width sized to the edge list, no per-round action). */
+    * Two shuffled folds per round over `(long, long)` pairs; loop
+    * discipline as [[pageRank]] (co-partitioned RDD rounds, width sized
+    * to the edge list, no per-round action). */
   def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
     val spark = edges.sparkSession
     val lvl = StorageLevel.MEMORY_AND_DISK
@@ -571,8 +574,8 @@ object Graph {
     * than returned silently — the result is then a valid OVER-
     * approximation of the k-core, which oracle specs replaying the
     * same fixed round count still match exactly. Loop discipline as
-    * [[pageRank]]: lineage re-root per round, AQE/broadcast off,
-    * shuffle width sized to the edge list. */
+    * [[pageRank]]: co-partitioned RDD rounds, shuffle width sized to
+    * the edge list. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 40): DataFrame = {
     // k >= 1 pinned: the peel below drops an alive node whose
     // alive-subgraph degree fold is EMPTY (all neighbors dead), which
