@@ -59,6 +59,35 @@ object Dedup {
     def add(df: DataFrame): Unit = queueFor(df.sparkSession).add(df)
   }
 
+  // RDD twin of [[pendingCaches]] for the co-partitioned loop pins
+  // ([[Graph.pageRank]] and friends, round-18): the returned DataFrame
+  // re-assembles from the loop's final RDDs, so unpersisting them at
+  // function exit dropped the pins BEFORE the caller's action ran —
+  // locally the rounds' shuffle files cover the recompute, but a cluster
+  // with external-shuffle eviction could be forced to re-run whole
+  // rounds. Registered pins now live until the spec's action completes
+  // (released by the same [[releaseCaches]] the DataFrame stages use).
+  private val perSessionRdd = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.rdd.RDD[_]]]())
+
+  private def rddQueueFor(s: org.apache.spark.sql.SparkSession) =
+    perSessionRdd.synchronized {
+      var q = perSessionRdd.get(s)
+      if (q == null) {
+        q = new java.util.concurrent.ConcurrentLinkedQueue[
+          org.apache.spark.rdd.RDD[_]]()
+        perSessionRdd.put(s, q)
+      }
+      q
+    }
+
+  private[operators] object pendingRddCaches {
+    def add(s: org.apache.spark.sql.SparkSession,
+        rdd: org.apache.spark.rdd.RDD[_]): Unit = rddQueueFor(s).add(rdd)
+  }
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for
     * [[releaseCaches]] — the staging entry point for query code whose
     * plan feeds one subtree into several consumers (the same contract
@@ -75,10 +104,18 @@ object Dedup {
     while (d != null) { d.unpersist(blocking = false); d = q.poll() }
   }
 
+  private def drainRdd(q: java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]): Unit = {
+    var r = q.poll()
+    while (r != null) { r.unpersist(blocking = false); r = q.poll() }
+  }
+
   /** Unpersist caches registered by `spark` (this session ONLY) — safe
     * while other sessions' queries are in flight. Idempotent. */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     drain(queueFor(spark))
+    drainRdd(rddQueueFor(spark))
+  }
 
   /** Unpersist every session's registered caches. Call only where no
     * query is in flight in ANY session (Bench between its strictly
@@ -86,9 +123,15 @@ object Dedup {
     * still CORRECT (persist is an optimization; an unpersisted plan
     * recomputes), it just forces recompute churn — concurrent callers
     * should use the per-session overload instead. */
-  def releaseCaches(): Unit = perSession.synchronized {
-    val it = perSession.values().iterator()
-    while (it.hasNext) drain(it.next())
+  def releaseCaches(): Unit = {
+    perSession.synchronized {
+      val it = perSession.values().iterator()
+      while (it.hasNext) drain(it.next())
+    }
+    perSessionRdd.synchronized {
+      val it = perSessionRdd.values().iterator()
+      while (it.hasNext) drainRdd(it.next())
+    }
   }
 
   /** Exact duplicate groups by full equality of `cols`: one row per
@@ -485,9 +528,13 @@ object Dedup {
     }
     import spark.implicits._
     val out = labels.toDF("doc_id", "cluster_id")
-    // Loop pins released here (invisible to releaseCaches): consumers
-    // re-assemble from the rounds' shuffle files — narrow recompute.
-    rddPins.foreach(_.unpersist(blocking = false))
+    // Intermediate rounds release now; the final label table (what the
+    // returned lineage reads) outlives the function — released after the
+    // spec's action via [[pendingRddCaches]] (round-18: an exit-time
+    // unpersist risked round re-runs under external-shuffle eviction).
+    val keep = labels
+    rddPins.filterNot(_ eq keep).foreach(_.unpersist(blocking = false))
+    pendingRddCaches.add(spark, keep)
     out
   }
 
@@ -605,7 +652,13 @@ object Dedup {
     val centersSelf = edges.map { case (_, c) => (c, c) }.distinct(parts)
     import spark.implicits._
     val out = (edges ++ centersSelf).toDF("doc_id", "cluster_id")
-    rddPins.foreach(_.unpersist(blocking = false))
+    // Intermediate rounds release now; the final star-forest edge set
+    // (read twice by the returned lineage) outlives the function —
+    // released after the spec's action (round-18, see the min-label
+    // loop above).
+    val keep = edges
+    rddPins.filterNot(_ eq keep).foreach(_.unpersist(blocking = false))
+    pendingRddCaches.add(spark, keep)
     out
   }
 

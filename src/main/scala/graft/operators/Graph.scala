@@ -130,10 +130,14 @@ object Graph {
     }
     import spark.implicits._
     val out = ranks.toDF("r", "p")
-    // Loop pins released here (invisible to releaseCaches): consumers
-    // re-assemble from the rounds' shuffle files — narrow recompute.
-    edgesR.unpersist(blocking = false)
-    nodesR.unpersist(blocking = false)
+    // Loop pins outlive this function (round-18): this loop runs no
+    // in-loop action, so an exit-time unpersist would drop the pins
+    // before they ever materialized — the caller's action now fills
+    // them on first use and every later round reads the cache instead
+    // of the partitionBy shuffle files. Released after the spec's
+    // action by the same releaseCaches() the DataFrame stages use.
+    Dedup.pendingRddCaches.add(spark, edgesR)
+    Dedup.pendingRddCaches.add(spark, nodesR)
     out
   }
 
@@ -291,8 +295,10 @@ object Graph {
     }
     import spark.implicits._
     val out = labels.toDF("node", "label")
-    adjR.unpersist(blocking = false)
-    nodesR.unpersist(blocking = false)
+    // Deferred release (see [[pageRank]]): action-free loop, so the pins
+    // only materialize during the caller's action.
+    Dedup.pendingRddCaches.add(spark, adjR)
+    Dedup.pendingRddCaches.add(spark, nodesR)
     out
   }
 
@@ -375,7 +381,12 @@ object Graph {
         s"sssp did not converge within $maxIter rounds")
     import spark.implicits._
     val out = dist.toDF("node", "dist")
-    rddPins.foreach(_.unpersist(blocking = false))
+    // Intermediate batches release now; the final distance table (what
+    // the returned lineage reads) outlives the function — released
+    // after the spec's action (round-18, see [[kCore]]).
+    val keep = dist
+    rddPins.filterNot(_ eq keep).foreach(_.unpersist(blocking = false))
+    Dedup.pendingRddCaches.add(spark, keep)
     out
   }
 
@@ -463,13 +474,15 @@ object Graph {
       visitedRows = n
       h += steps
     }
-    // Hand back a DataFrame over the final visited set. The loop's RDD
-    // persists are released here (they are invisible to releaseCaches):
-    // consumers re-assemble the result from the loop's shuffle files —
-    // narrow recompute, no round re-runs.
+    // Hand back a DataFrame over the final visited set. Intermediate
+    // batches release now; the final visited set (what the returned
+    // lineage reads) outlives the function — released after the spec's
+    // action (round-18, see [[kCore]]).
     import spark.implicits._
     val out = visited.toDF("node", "hops")
-    rddPins.foreach(_.unpersist(blocking = false))
+    val keep = visited
+    rddPins.filterNot(_ eq keep).foreach(_.unpersist(blocking = false))
+    Dedup.pendingRddCaches.add(spark, keep)
     out
   }
 
@@ -548,9 +561,11 @@ object Graph {
     import spark.implicits._
     val out = scores.map { case (node, (hub, auth)) => (node, hub, auth) }
       .toDF("node", "hub", "auth")
-    bySrc.unpersist(blocking = false)
-    byDst.unpersist(blocking = false)
-    nodesR.unpersist(blocking = false)
+    // Deferred release (see [[pageRank]]): action-free loop, so the pins
+    // only materialize during the caller's action.
+    Dedup.pendingRddCaches.add(spark, bySrc)
+    Dedup.pendingRddCaches.add(spark, byDst)
+    Dedup.pendingRddCaches.add(spark, nodesR)
     out
   }
 
@@ -637,7 +652,16 @@ object Graph {
         "over-approximation; raise `rounds` for the exact core")
     import spark.implicits._
     val out = aliveDegrees(alive).toDF("node", "core_deg")
-    rddPins.foreach(_.unpersist(blocking = false))
+    // Intermediate rounds release now (already consumed by the in-loop
+    // probes); the pins the returned lineage READS — the adjacency list
+    // and the final alive set — outlive the function and are released
+    // after the spec's action (round-18: an exit-time unpersist risked
+    // round re-runs under external-shuffle eviction on a cluster).
+    val keep = alive
+    rddPins.filterNot(p => (p eq adjR) || (p eq keep))
+      .foreach(_.unpersist(blocking = false))
+    Dedup.pendingRddCaches.add(spark, adjR)
+    Dedup.pendingRddCaches.add(spark, keep)
     out
   }
 }

@@ -174,9 +174,13 @@ object ExtQueries {
     QuerySpec(
       "st3_stream_dedup",
       "SELECT event_id, user_id, event_type FROM events") { (s, dir) =>
+      // noDataFlush=false is output-identical here: streaming dedup
+      // emits a row exactly once, at its FIRST DATA arrival; the
+      // watermark-advance flush batch only evicts state and can emit
+      // nothing (oracle-verified).
       Streams.runToTable(
         Streams.dedupStream(Streams.eventsStream(s, dir), "1 hour"),
-        "st3_mem", "append")
+        "st3_mem", "append", noDataFlush = false)
     },
 
     // Stream-static join: the event stream enriched against the batch
@@ -205,12 +209,15 @@ object ExtQueries {
     QuerySpec(
       "st6_stream_dedup_within_watermark",
       "SELECT DISTINCT event_id, user_id FROM events") { (s, dir) =>
+      // noDataFlush=false: dropDuplicatesWithinWatermark emits each key's
+      // first DATA arrival only; the flush batch evicts expired dedup
+      // state and emits nothing (oracle-verified).
       Streams.runToTable(
         Streams.eventsStream(s, dir)
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id", "user_id")
           .select(col("event_id"), col("user_id")),
-        "st6_mem", "append")
+        "st6_mem", "append", noDataFlush = false)
     },
 
     // Stream-stream inner join with watermarks and a time-range bound
@@ -234,7 +241,11 @@ object ExtQueries {
         col("r_user_id") === col("user_id") && col("r_ts") > col("ts") &&
           col("r_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
         .select(col("event_id"), col("next_event_id"))
-      Streams.runToTable(joined, "st5_mem", "append")
+      // noDataFlush=false: an INNER stream-stream join emits a pair the
+      // moment both sides have arrived (all within the one data batch
+      // under AvailableNow); the flush batch only evicts past-watermark
+      // state and emits nothing (oracle-verified).
+      Streams.runToTable(joined, "st5_mem", "append", noDataFlush = false)
     },
 
     // Watermarked stream-stream LEFT OUTER join: every event left-joined
@@ -375,7 +386,11 @@ object ExtQueries {
           col("r_ts") <= col("ts") + expr("INTERVAL 30 MINUTES"),
         "left_semi")
         .select(col("event_id"), col("user_id"))
-      Streams.runToTable(joined, "st14_mem", "append")
+      // noDataFlush=false: a LEFT SEMI stream-stream join emits the left
+      // row at its first match, which under AvailableNow happens inside
+      // the one data batch; the flush batch only evicts state and emits
+      // nothing (unlike st11/st13's outer rows — oracle-verified).
+      Streams.runToTable(joined, "st14_mem", "append", noDataFlush = false)
     },
 
     // --- scalar-function breadth (§2.E: math / regexp / date / array /

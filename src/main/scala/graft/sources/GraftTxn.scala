@@ -146,6 +146,10 @@ object GraftTxn {
           StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
         Files.deleteIfExists(d.resolve(ManifestSink.TxnMarkerName))
+        // Same-JVM version() readers must see the swapped-in generation
+        // even when the rewrite is stat-invisible (same size + mtime
+        // tick) — the writePointer live-swap contract.
+        ManifestSink.noteCommittedGeneration(d, gen)
       }
       Files.deleteIfExists(journal)
       out = staged.map { case (d, _, _, gen) => d.toString -> gen }

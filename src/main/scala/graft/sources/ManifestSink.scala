@@ -258,19 +258,25 @@ object ManifestSink {
         val sp = dir.resolve(staged)
         if (Files.exists(Paths.get(journal))) {
           // Roll FORWARD: the txn committed; finish this table's swap.
+          var swappedGen: Option[Long] = None
           if (Files.exists(sp)) {
             val txt = new String(Files.readAllBytes(sp),
               StandardCharsets.UTF_8)
+            swappedGen = "\"generation\":(\\d+)".r.findFirstMatchIn(txt)
+              .map(_.group(1).toLong)
             if (txt.contains("\"txnRetain\":true"))
-              "\"generation\":(\\d+)".r.findFirstMatchIn(txt).foreach(g =>
-                Files.write(dir.resolve(
-                  generationManifestName(g.group(1).toLong)),
+              swappedGen.foreach(g =>
+                Files.write(dir.resolve(generationManifestName(g)),
                   txt.getBytes(StandardCharsets.UTF_8)))
             Files.move(sp, dir.resolve(ManifestName),
               StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
           }
           Files.deleteIfExists(marker)
+          // The pointer just changed underneath any cached version():
+          // record the swapped-in generation (same contract as
+          // writePointer's live-swap update).
+          swappedGen.foreach(noteCommittedGeneration(dir, _))
         } else {
           // Roll BACK: no journal means the txn died before its commit
           // point — discard the staged pointer (its data files become
@@ -427,23 +433,55 @@ object ManifestSink {
   private val generationCache = new java.util.concurrent.ConcurrentHashMap[
     String, ((Long, Long, Long), Long)]()
 
+  private def generationKey(dir: String): String =
+    try Paths.get(dir).toAbsolutePath.normalize.toString
+    catch { case _: Exception => dir }
+
+  private def generationFp(dir: String): (Long, Long, Long) = {
+    val m = Paths.get(dir, ManifestName)
+    val marker = Paths.get(dir, TxnMarkerName)
+    (if (Files.exists(m)) Files.getLastModifiedTime(m).to(
+      java.util.concurrent.TimeUnit.NANOSECONDS) else -1L,
+      if (Files.exists(m)) Files.size(m) else -1L,
+      if (Files.exists(marker)) Files.getLastModifiedTime(marker).to(
+        java.util.concurrent.TimeUnit.NANOSECONDS) else -1L)
+  }
+
+  // Never let a racing reader's re-read regress the generation recorded
+  // for an IDENTICAL fingerprint (generations are monotone per table; a
+  // dropped-and-recreated table gets a fresh fingerprint, so the
+  // different-fp branch trusts the latest stat).
+  private def generationMerge(dir: String,
+      fp: (Long, Long, Long), gen: Long): Unit =
+    generationCache.merge(dir, (fp, gen),
+      (old, nw) => if (old._1 == nw._1 && old._2 > nw._2) old else nw)
+
+  /** Commit-side cache update (the lock-held publish path): the new
+    * generation is KNOWN here, so record it directly. This closes the
+    * same-JVM read-your-writes hole a pure stat fingerprint has — a
+    * manifest rewrite that keeps the byte size and lands within one
+    * mtime clock tick is invisible to stats, and version() would keep
+    * serving the old generation to the committer itself. The stat
+    * fingerprint stays as the cross-process staleness guard. */
+  private[sources] def noteCommittedGeneration(dir: Path, gen: Long): Unit =
+    try generationMerge(generationKey(dir.toString),
+      generationFp(dir.toString), gen)
+    catch { case _: Exception => generationCache.remove(generationKey(dir.toString)) }
+
   /** [[committedGeneration]] behind a stat-only fingerprint check — the
     * per-query-execution path ([[ManifestTable.version]]). */
   private[sources] def cachedGeneration(dir: String): Long = {
     try {
-      val m = Paths.get(dir, ManifestName)
-      val marker = Paths.get(dir, TxnMarkerName)
-      val fp = (
-        if (Files.exists(m)) Files.getLastModifiedTime(m).to(
-          java.util.concurrent.TimeUnit.NANOSECONDS) else -1L,
-        if (Files.exists(m)) Files.size(m) else -1L,
-        if (Files.exists(marker)) Files.getLastModifiedTime(marker).to(
-          java.util.concurrent.TimeUnit.NANOSECONDS) else -1L)
-      val hit = generationCache.get(dir)
+      val key = generationKey(dir)
+      val fp = generationFp(dir)
+      val hit = generationCache.get(key)
       if (hit != null && hit._1 == fp) return hit._2
       val out = committedGeneration(dir)
-      generationCache.put(dir, (fp, out))
-      out
+      generationMerge(key, fp, out)
+      // Serve what the cache settled on (the merge may have kept a
+      // same-fp higher generation recorded by the committer).
+      val settled = generationCache.get(key)
+      if (settled != null && settled._1 == fp) settled._2 else out
     } catch { case _: Exception => committedGeneration(dir) }
   }
 
@@ -2669,6 +2707,9 @@ object ManifestSink {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(target),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Live pointer swap: record the new generation for version() readers
+    // in this JVM (txn staging changes nothing visible — skipped).
+    if (stageAs.isEmpty) noteCommittedGeneration(dir, generation)
   }
 
   /** FULL rewrite: all entries into ONE fresh segment + pointer swap —

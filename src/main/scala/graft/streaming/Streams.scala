@@ -41,14 +41,32 @@ object Streams {
     * TIMESTAMP(MICROS) (read directly). Hard-coding either breaks the
     * other: a nanos divide applied to micros compresses the event
     * timeline 1000×. */
+  // (mtime-ms, size) -> probed events schema per directory: the footer
+  // probe below costs ~80-170 ms of driver time per call and every
+  // streaming spec pays it (the join specs twice) — round-18, guide §6
+  // (metadata I/O): mtime-keyed METADATA cache, the same pattern as
+  // ManifestSink.identityAt, never a result cache. A rewritten events
+  // file gets a fresh fingerprint and re-probes.
+  private val eventsSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, ((Long, Long), StructType)]()
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // One driver-side footer read; the streaming source needs an explicit
     // schema anyway, so probing it from the batch reader costs nothing
     // extra and keeps stream and batch reads byte-identical.
-    val onDisk = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val f = new java.io.File(dir, "events.parquet")
+    val fp = (f.lastModified, f.length)
+    val hit = eventsSchemaCache.get(dir)
+    val onDisk =
+      if (hit != null && hit._1 == fp) hit._2
+      else {
+        val s = spark.read
+          .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+        eventsSchemaCache.put(dir, (fp, s))
+        s
+      }
     val raw = spark.readStream
       .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
@@ -488,6 +506,46 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** State partitions for a run, derived from the stream's file-source
+    * input volume (round-18, guide §2: scale-adaptive partitioning —
+    * the house `Dedup.loopParts` pattern instead of a constant sized to
+    * the bench SF): one partition per 64 MB of source bytes as the
+    * state-volume proxy, floored at `floor` (the measured local minimum
+    * — below 4 the per-batch commit cost is flat) and capped at the
+    * session's shuffle width. Sources without file stats (DSv2 pages,
+    * manifest streams — all small here) stay at the floor. State
+    * partitions follow state volume, not CPU count, so the derivation
+    * keys on bytes; a 100 TB/day deployment overrides per run via
+    * `GRAFT_STREAM_STATE_PARTITIONS` exactly like
+    * `spark.sql.shuffle.partitions` for stateful queries. */
+  private[streaming] def derivedStatePartitions(df: DataFrame,
+      floor: Int): Int = {
+    val spark = df.sparkSession
+    val width = math.max(floor,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val bytes =
+      try {
+        import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
+        df.queryExecution.logical.collect {
+          case sr: StreamingRelation =>
+            val glob = sr.dataSource.options.get("pathGlobFilter").map(g =>
+              java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$g"))
+            sr.dataSource.paths.map { p =>
+              val f = new java.io.File(p)
+              if (f.isFile) f.length
+              else if (f.isDirectory) {
+                val kids = f.listFiles()
+                if (kids == null) 0L
+                else kids.iterator.filter(k => k.isFile && glob.forall(
+                  _.matches(java.nio.file.Paths.get(k.getName)))).map(_.length).sum
+              } else 0L
+            }.sum
+        }.sum
+      } catch { case _: Throwable => 0L }
+    math.min(width, math.max(floor,
+      ((bytes + (64L << 20) - 1) / (64L << 20)).toInt))
+  }
+
   /** Run a streaming DataFrame to completion with `Trigger.AvailableNow`
     * into an in-memory table and return the final result as a static
     * DataFrame. Deterministic: processes everything available, then
@@ -495,16 +553,31 @@ object Streams {
     * driver-oracled specs; a production job would use the same plan with
     * a real sink and a continuous trigger). */
   def runToTable(df: DataFrame, name: String, outputMode: String,
-      statePartitions: Int = 4): DataFrame = {
+      statePartitions: Int = 4,
+      // `false` skips the trailing NO-DATA micro-batch (round-18, guide
+      // §2/§5 — amortize per-batch constants: one fewer offset-log +
+      // commit-log + planning + state-commit round per run). ONLY legal
+      // for queries whose stateful operators emit rows exclusively on
+      // DATA arrival — inner/semi stream-stream joins and streaming
+      // dedup, where the watermark-advance batch evicts state but can
+      // emit nothing. Callers must keep the default for append-mode
+      // aggregations (windows emit AT the flush) and outer joins
+      // (null-extended rows emit AT the flush).
+      noDataFlush: Boolean = true): DataFrame = {
     val spark = df.sparkSession
-    // Scale knob (round-17, guide §2: keep scale-dependent settings
-    // parameterised): state partitions default to the caller's value
-    // (sized to bench-SF state volume) and are overridable per run —
-    // a production deployment sizes this to state bytes / throughput,
-    // not to CPU count, exactly like spark.sql.shuffle.partitions for
-    // stateful queries (the count is baked into the checkpoint).
-    val wantParts = sys.env.get("GRAFT_STREAM_STATE_PARTITIONS")
-      .map(_.toInt).getOrElse(statePartitions)
+    // Scale knob: explicit env override wins (validated — a malformed
+    // value must fail loudly, not deep inside the run); otherwise the
+    // count derives from input volume with the caller's value as the
+    // floor. The count is baked into the checkpoint, so a production
+    // resume pins it via the override.
+    val wantParts = sys.env.get("GRAFT_STREAM_STATE_PARTITIONS") match {
+      case Some(v) =>
+        val n = scala.util.Try(v.trim.toInt).toOption
+        require(n.exists(_ >= 1),
+          s"GRAFT_STREAM_STATE_PARTITIONS must be a positive integer, got '$v'")
+        n.get
+      case None => derivedStatePartitions(df, statePartitions)
+    }
     // Stateful operators create one state store per shuffle partition,
     // and each store pays commit/checkpoint I/O per micro-batch — at
     // this state size that overhead dominates (measured 6.5 s → 3.7 s on
@@ -516,7 +589,10 @@ object Streams {
     // values out of order and leave the session misconfigured.
     spark.synchronized {
       val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = spark.conf.get(noDataKey)
       spark.conf.set("spark.sql.shuffle.partitions", wantParts)
+      if (!noDataFlush) spark.conf.set(noDataKey, "false")
       try {
         val q = df.writeStream
           .format("memory")
@@ -525,7 +601,10 @@ object Streams {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(noDataKey, prevNoData)
+      }
     }
     spark.table(name)
   }
