@@ -11,8 +11,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
+      // Cached plans get AQE byte-sized output partitions (round-18;
+      // rationale at Tables.doLoad, full-bench A/B 240.1 -> 226.9 s).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev knob (never set by the driver): GRAFT_CONF="k=v;k=v" applies
+    // session confs for local A/B runs without recompiling.
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Untimed JVM warm-up at the smallest SF: EVERY query runs once at
     // sf0.001 before timing starts. A query's first execution pays
     // analysis + whole-stage codegen + JIT + (for streaming) state-store

@@ -62,6 +62,17 @@ object Tables {
     // wall-clock values the oracle does.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Let AQE size CACHED-plan output partitions by bytes too (round-18,
+    // guide §2.2/§2: partitioning derived from size, not a constant):
+    // Spark pins cached-plan output partitioning by default, so every
+    // kB-sized staged dimension kept `shuffle.partitions` partitions and
+    // each consumer map stage paid width² shuffle-file opens. Full-bench
+    // A/B: 240.1 -> 226.9 s; at cluster scale the same flag sizes cache
+    // partitions to the advisory bytes instead of the task count.
+    // Defensive per-session set (like the two above) so driver-built
+    // sessions get it without relying on our mains' builders.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     nanosTimestampCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       df.schema(c).dataType match {

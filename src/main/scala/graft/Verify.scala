@@ -37,6 +37,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
+      // Cached plans get AQE byte-sized output partitions (round-18;
+      // rationale at Tables.doLoad).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

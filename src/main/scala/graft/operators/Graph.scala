@@ -65,12 +65,33 @@ object Graph {
   def stagedUserNodes(spark: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, Long) =
     userNodeMemo.getOrElseUpdate(spark, dir) {
-      val ranked = Ranks.globalRowNumber(
+      val ranked0 = Ranks.globalRowNumber(
           graft.Tables.events(spark, dir).select(col("user_id")).distinct(),
           "r", Seq(col("user_id")))
         .select((col("r") - 1).as("r"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      (ranked, ranked.count())
+      val n = ranked0.count()
+      // Size-derived partition count for the cached dimension (round-18,
+      // guide §2.2 — fewer, larger map tasks): the rank pipeline leaves
+      // one partition per range bucket (= session width), so every edge
+      // mint that unions k projections of this table launched k×width
+      // map tasks, EACH opening width bypass-merge shuffle files —
+      // jstack-sampled as the dominant cost of the graph specs at bench
+      // SF (128 tasks × 32 files for a 1500-row dimension). Same
+      // formula as Dedup.loopParts: ~100k rows per partition, capped at
+      // the session width, so a 100 TB node dimension keeps full
+      // parallelism while a small one stops paying per-file constants.
+      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val parts = math.max(1, math.min(width, (n / 100000L + 1L).toInt))
+      val ranked =
+        if (parts >= ranked0.rdd.getNumPartitions) ranked0
+        else {
+          val c = ranked0.coalesce(parts).persist(StorageLevel.MEMORY_AND_DISK)
+          c.count()
+          ranked0.unpersist(blocking = false)
+          c
+        }
+      (ranked, n)
     }
 
   /** `iterations` rounds of damped PageRank over directed `edges`
@@ -171,17 +192,24 @@ object Graph {
     * orientation-independent, so the DuckDB oracle (q97) replays it
     * with the simpler id-ordered join. */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = canonical(edges)
+    // STAGED subtrees (round-18, guide §2.4): the canonical edge set
+    // feeds the degree table, the orientation join, and the final
+    // degree join, and the oriented list feeds BOTH wedge sides plus
+    // the closure probe — un-staged, the expanded tree recomputed the
+    // edge mint ~17x (50 Exchanges, zero AQE reuse across the
+    // self-join sides; measured 43 CPU-seconds at sf0.1 for a
+    // 4500-edge graph). Staging collapses each to one computation.
+    val e = Dedup.stage(canonical(edges))
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
-    val oriented = e
+    val oriented = Dedup.stage(e
       .join(deg.select(col("node").as("u"), col("degree").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), "v")
       .select(when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
           struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .select(col("e.a").as("a"), col("e.b").as("b")))
     val wedge = oriented
       .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
       .select(col("a"), col("b"), col("c"))

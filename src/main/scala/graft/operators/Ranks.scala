@@ -33,14 +33,37 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Bucket count for the range passes below: the caller's explicit
+    * value, else DERIVED from the input's Catalyst size estimate — one
+    * bucket per ~32 MB, floored at 1, capped at the session width
+    * (round-18, guide §2: make partitioning scale-adaptive — derive
+    * from input size — rather than a constant tuned for either local
+    * mode or the cluster). The former width default left every
+    * kB-sized ranked dimension at 32 partitions, and each downstream
+    * map task pays per-shuffle-file constants (bypass-merge writers
+    * open `width` files per task — jstack-sampled as the dominant graph
+    * /rank family cost at bench SF). Ranks and prefix folds are exact
+    * for ANY bucket count, so this changes nothing computed. */
+  private def derivedBuckets(df: DataFrame, buckets: Int): Int = {
+    val spark = df.sparkSession
+    val width = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    if (buckets > 0) buckets
+    else {
+      val bytes =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes
+        catch { case _: Throwable => BigInt(-1) }
+      if (bytes < 0) width
+      else (((bytes + (32L << 20) - 1) / (32L << 20)) min BigInt(width))
+        .max(BigInt(1)).toInt
+    }
+  }
+
   /** Shared pass: stage `df` range-partitioned on `sort` with its slice
     * id appended as `__pid` (non-decreasing along `sort`). */
   private def rangeBucket(df: DataFrame, sort: Seq[Column],
       buckets: Int): DataFrame = {
-    val spark = df.sparkSession
-    val nb = math.max(1,
-      if (buckets > 0) buckets
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nb = derivedBuckets(df, buckets)
     Dedup.stage(df.repartitionByRange(nb, sort: _*)
       .withColumn("__pid", spark_partition_id()))
   }
@@ -76,9 +99,7 @@ object Ranks {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = df.sparkSession
-    val nb = math.max(1,
-      if (buckets > 0) buckets
-      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val nb = derivedBuckets(df, buckets)
     val parted = df.repartitionByRange(nb, sort: _*)
       .sortWithinPartitions(sort: _*)
     val schema = StructType(

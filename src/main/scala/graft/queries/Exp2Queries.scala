@@ -3082,11 +3082,15 @@ object Exp2Queries {
       // q98's memoized table instead of replaying the loop.
       val edgesIn = graft.operators.Graph.communityEdges(s, dir)
       val labels = graft.operators.Graph.communityLabels(s, dir)
-      // Symmetric distinct edge set (matching the oracle's `e`).
+      // Symmetric distinct edge set (matching the oracle's `e`) — STAGED
+      // (round-18, guide §2.4): it feeds the m count action, the degree
+      // aggregate, and the intra-community join; un-staged each consumer
+      // replayed the union+distinct mint from the node table.
       val eraw = edgesIn.where(col("src") =!= col("dst"))
-      val e = eraw.select(col("src").as("u"), col("dst").as("v"))
-        .union(eraw.select(col("dst").as("u"), col("src").as("v")))
-        .distinct()
+      val e = graft.operators.Dedup.stage(
+        eraw.select(col("src").as("u"), col("dst").as("v"))
+          .union(eraw.select(col("dst").as("u"), col("src").as("v")))
+          .distinct())
       val und = e.where(col("u") < col("v"))
       val m = und.count()
       val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))

@@ -53,6 +53,8 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set( // see Tables.doLoad — same defensive per-session set
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // One driver-side footer read; the streaming source needs an explicit
     // schema anyway, so probing it from the batch reader costs nothing
     // extra and keeps stream and batch reads byte-identical.

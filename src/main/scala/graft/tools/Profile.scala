@@ -24,6 +24,13 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev knob: GRAFT_CONF="k=v;k=v" sets arbitrary session confs for
+    // an A/B without recompiling.
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Dev knob: GRAFT_ROCKSDB=1 times the query against the RocksDB
     // state-store provider (off-heap state, the production backend).
     if (sys.env.contains("GRAFT_ROCKSDB")) {
