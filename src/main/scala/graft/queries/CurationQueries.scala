@@ -199,14 +199,20 @@ object CurationQueries {
     val toks = Tables.fanOut(Tables.documents(s, dir).select("doc_id", "text"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
-    val flat = toks
+    // STAGED (round-18, guide §1.2 "don't compute things twice" — the
+    // tx39 recipe the r17 verdict asked to apply here): the tokenized
+    // bigram stream feeds FOUR consumers (pair counts, head-word
+    // counts, the vocabulary aggregate, and the final NLL join);
+    // un-staged, each replayed the regex tokenization + explode — the
+    // spec's dominant CPU (QProbe: 327 tasks / ~50 task-seconds).
+    val flat = Dedup.stage(toks
       .select(col("doc_id"), transform(sequence(lit(1), size(col("toks")) - 1),
         i => struct(element_at(col("toks"), i).as("w1"),
           concat_ws(" ", element_at(col("toks"), i),
             element_at(col("toks"), i + 1)).as("pair"))).as("ps"))
       .select(col("doc_id"), explode_outer(col("ps")).as("p"))
       .where(col("p").isNotNull)
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.pair").as("pair")))
     val cp = flat.groupBy(col("pair")).agg(count(lit(1)).as("cp"))
     val cw = flat.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
     val v = flat.agg(count_distinct(col("w1")).as("v"))
