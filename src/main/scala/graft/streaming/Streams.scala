@@ -520,7 +520,7 @@ object Streams {
     * keys on bytes; a 100 TB/day deployment overrides per run via
     * `GRAFT_STREAM_STATE_PARTITIONS` exactly like
     * `spark.sql.shuffle.partitions` for stateful queries. */
-  private[streaming] def derivedStatePartitions(df: DataFrame,
+  private[graft] def derivedStatePartitions(df: DataFrame,
       floor: Int): Int = {
     val spark = df.sparkSession
     val width = math.max(floor,
