@@ -352,6 +352,9 @@ object OlapQueries {
           graft.operators.TextAnalysis.tokens(col("text"))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"),
           col("col").as("tok")))
+      // NOT staged (round-18, measured): caching the token-volume pair
+      // table (wide string rows) cost more than recomputing the narrow
+      // self-join over the cached postings — 1.2 s -> 1.6 s when tried.
       val pairs = p.as("a").join(p.as("b"),
         col("a.doc_id") === col("b.doc_id") &&
           col("b.pos") === col("a.pos") + 1)

@@ -467,13 +467,16 @@ object PipelineQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_bp DESC, term) AS rn
         |  FROM scored) r
         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
-      val toks = Tables.fanOut(
+      // STAGED (round-18): `toks` feeds the TF explode AND the n_docs
+      // count, and `tf` feeds the DF aggregate AND the scored join —
+      // un-staged, the regex tokenization replayed ~3x per run.
+      val toks = graft.operators.Dedup.stage(Tables.fanOut(
           Tables.documents(s, dir).where(col("doc_id") < 200).select("doc_id", "text"))
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val tf = toks
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+      val tf = graft.operators.Dedup.stage(toks
         .select(col("doc_id"), explode_outer(col("toks")).as("term"))
         .where(col("term").isNotNull)
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("term"))
         .agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))

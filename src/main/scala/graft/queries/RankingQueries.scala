@@ -185,12 +185,15 @@ object RankingQueries {
         |    * 10000.0 + 0.5) AS BIGINT))) AS BIGINT) AS zabs
         |FROM ex JOIN m2 USING (d)
         |GROUP BY vec_id""".stripMargin) { (s, dir) =>
-      val ex = Tables.fanOut(
+      // STAGED (round-18): the exploded (vec_id, d, xf) matrix feeds the
+      // per-dimension stats AND the final z join; un-staged each side
+      // replayed the fanOut repartition + posexplode.
+      val ex = graft.operators.Dedup.stage(Tables.fanOut(
         Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
         .select(col("vec_id"),
           posexplode_outer(col("embedding")).as(Seq("d0", "x")))
         .select(col("vec_id"), (col("d0") + 1).as("d"),
-          floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("xf"))
+          floor(col("x").cast("double") * 1000000.0 + 0.5).cast("long").as("xf")))
       val stats = ex.groupBy("d").agg(
         count(lit(1)).as("n"), sum(col("xf")).as("s1"),
         sum(col("xf") * col("xf")).as("s2"))
